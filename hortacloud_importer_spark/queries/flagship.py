@@ -1,0 +1,123 @@
+"""Flagship query: per-group channel statistics (SURVEY.md §7.1).
+
+Fuses D4 (histogram) + D5 (exact percentiles) + D6 (zero fraction) +
+D7 (band moments) + D10 (requant params) — the heart of the
+reference's KTX pass 1 (ktx/octree/ktx_from_rendered_tiff.py:433-530)
+— over the `lineitem` fixture: intensity := floor(l_extendedprice *
+l_discount) (so l_discount = 0 rows play the "zero means no data"
+role), group := l_returnflag.
+
+Plan shape (100 TB posture): scan -> map-side-combined groupBy on
+(group, intensity) -> window over the compact histogram -> one-row-
+per-group agg -> broadcast join of the tiny zero-count side -> pure
+column math. The only full-data shuffle is the histogram groupBy,
+whose output is bounded by bins-per-group, not input rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hortacloud_importer_spark.catalog import table
+from hortacloud_importer_spark.operators import percentile as P
+from hortacloud_importer_spark.operators import requant as R
+from hortacloud_importer_spark.registry import register
+
+# Deciles + the requant band p20..p95 + extremes.
+_PCTS = sorted({0, 100, *range(0, 101, 10), *R.BAND})
+_REPORTED = ["p0", "p10", "p20", "p50", "p90", "p95", "p100"]
+
+_INTENSITY_SQL = "CAST(FLOOR(l_extendedprice * l_discount) AS BIGINT)"
+
+
+def channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    grouped = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.floor(F.col("l_extendedprice") * F.col("l_discount")).alias("i"),
+    )
+
+    # Zero-fraction side (D6): tiny (one row per group) -> broadcast.
+    zeros = grouped.groupBy("grp").agg(
+        F.count("*").alias("total_rows"),
+        F.count(F.when(F.col("i") == 0, True)).alias("zero_count"),
+    )
+
+    hist = P.with_cdf(P.nonzero_histogram(grouped, ["grp"], "i"), ["grp"], "i")
+    pctl = hist.groupBy("grp").agg(*P.percentile_exprs("i", _PCTS))
+    mean, stddev = R.band_moments()
+    stats = pctl.select("grp", *_REPORTED, mean, stddev).select(
+        "*", *R.requant_params()
+    )
+
+    out = stats.join(F.broadcast(zeros), "grp")
+    return out.select(
+        F.col("grp").alias("l_returnflag"),
+        "total_rows",
+        "zero_count",
+        ((F.lit(100.0) * F.col("zero_count")) / F.col("total_rows")).alias("pct_zero"),
+        *_REPORTED,
+        "mean_p",
+        "stddev_p",
+        "black_level",
+        "white_level",
+        "gamma",
+    )
+
+
+def _oracle() -> str:
+    mean, stddev = R.band_moments_sql()
+    rq = R.requant_params_sql(mean, stddev)
+    cte = P.percentile_oracle_cte(
+        f"SELECT l_returnflag AS grp, {_INTENSITY_SQL} AS i FROM lineitem",
+        "grp",
+        "i",
+        _PCTS,
+    )
+    return f"""
+WITH {cte},
+zeros AS (
+  SELECT l_returnflag AS grp,
+         COUNT(*) AS total_rows,
+         COUNT(CASE WHEN {_INTENSITY_SQL} = 0 THEN TRUE END) AS zero_count
+  FROM lineitem GROUP BY 1
+)
+SELECT p.grp AS l_returnflag,
+       z.total_rows, z.zero_count,
+       (100.0 * z.zero_count) / z.total_rows AS pct_zero,
+       {", ".join(_REPORTED)},
+       {mean} AS mean_p, {stddev} AS stddev_p,
+       {rq["black_level"]} AS black_level,
+       {rq["white_level"]} AS white_level,
+       {rq["gamma"]} AS gamma
+FROM pctl p JOIN zeros z USING (grp)
+""".strip()
+
+
+register("agg_requant_params", "D4+D5+D6+D7+D10", _oracle())(channel_stats)
+
+
+@register(
+    "agg_percentile",
+    "D5+E1",
+    oracle=f"""
+WITH {P.percentile_oracle_cte(
+        "SELECT l_returnflag AS grp, CAST(FLOOR(l_extendedprice) AS BIGINT) AS i FROM lineitem",
+        "grp", "i", list(range(0, 101, 10)))}
+SELECT grp AS l_returnflag, {", ".join(f"p{p}" for p in range(0, 101, 10))}
+FROM pctl
+""".strip(),
+)
+def deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deciles of floor(l_extendedprice) per return flag — the
+    reference's 101-percentile vector (ktx_from_rendered_tiff.py:441-473)
+    reduced to deciles, via histogram + cumulative window (not
+    percentile_approx: exactness is required for the oracle hash, and
+    the histogram method IS the reference algorithm)."""
+    li = table(spark, sf_dir, "lineitem")
+    src = li.select(
+        F.col("l_returnflag").alias("grp"), F.floor("l_extendedprice").alias("i")
+    )
+    out = P.exact_percentiles(src, ["grp"], "i", list(range(0, 101, 10)))
+    return out.withColumnRenamed("grp", "l_returnflag")
