@@ -29,7 +29,24 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
+    if name == "events":
+        return _events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries INT64 TIMESTAMP(NANOS), which the vanilla
+    parquet reader rejects (PARQUET_TYPE_ILLEGAL). Read the nanos as a
+    long (dynamic session conf) and convert to a microsecond
+    TimestampType — the same truncation DuckDB applies to its
+    TIMESTAMP view, so both engines see identical values."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
+    )
 
 
 def load(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

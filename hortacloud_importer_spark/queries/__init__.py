@@ -1,3 +1,8 @@
 """Query modules — importing this package populates the registry."""
 
-from hortacloud_importer_spark.queries import flagship  # noqa: F401
+from hortacloud_importer_spark.queries import (  # noqa: F401
+    aggregates,
+    filters,
+    flagship,
+    scans,
+)

@@ -1,0 +1,161 @@
+"""§2.A — scans, sources, sinks (relational surface).
+
+The reference's source layer is directory/stack/N5 discovery with
+schema inference and windowed reads (tiff2octree.py:628-823); Spark's
+parquet reader supplies listing + inference + predicate/partition
+pruning natively, so these queries assert those behaviors over the
+fixture tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hortacloud_importer_spark.catalog import table
+from hortacloud_importer_spark.operators.exactness import sum_money, sum_money_sql
+from hortacloud_importer_spark.registry import register
+
+
+@register(
+    "scan_parquet",
+    "A1",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
+       COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem
+""",
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-table scan with schema inference (A1): mirrors
+    slice_to_dask_array's list-then-infer (tiff2octree.py:653-691);
+    spark.read.parquet infers from footers and parallelizes the scan."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@register(
+    "repartition_scan",
+    "A2",
+    oracle="""
+SELECT event_id % 32 AS pkey, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1
+""",
+)
+def repartition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stack scan + rechunk (A2): one container exploded into records,
+    re-partitioned by a derived key (tiff2octree.py:628-651's rechunk ≡
+    repartition(n, key)); the groupBy then reuses that partitioning."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "pkey", F.pmod(F.col("event_id"), F.lit(32)).cast("bigint")
+    )
+    return (
+        ev.repartition(32, "pkey")
+        .groupBy("pkey")
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "union_channels",
+    "A3",
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n FROM (
+  SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'F'
+  UNION ALL
+  SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'O'
+) GROUP BY 1
+""",
+)
+def union_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source union (A3): mirrors multi-dir/channel discovery
+    (tiff2octree.py:711-777) — per-channel loads unioned by name."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linestatus") == "F").select("l_returnflag")
+    b = li.filter(F.col("l_linestatus") == "O").select("l_returnflag")
+    return a.unionByName(b).groupBy("l_returnflag").agg(F.count("*").alias("n"))
+
+
+@register(
+    "range_scan",
+    "A4",
+    oracle=f"""
+SELECT COUNT(*) AS n, {sum_money_sql("l_quantity", "sum_qty")}
+FROM lineitem WHERE l_orderkey BETWEEN 100 AND 400
+""",
+)
+def range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed region read (A4): the reference reads only the block's
+    window (tiff2octree.py:281-292); here a key-range predicate that
+    Catalyst pushes to the parquet scan (row-group skip)."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_orderkey").between(100, 400)).agg(
+        F.count("*").alias("n"), sum_money("l_quantity", "sum_qty")
+    )
+
+
+@register(
+    "json_attr",
+    "A5",
+    oracle="""
+SELECT CAST(props->>'$.k' AS BIGINT) AS k, COUNT(*) AS n
+FROM events GROUP BY 1
+""",
+)
+def json_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-attribute read (A5): zarr attrs `pixelResolution`
+    (tiff2octree.py:694-708) ≡ JSON side-car parse."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.get_json_object("props", "$.k").cast("bigint").alias("k")
+    ).agg(F.count("*").alias("n"))
+
+
+@register(
+    "sink_nonempty",
+    "A6",
+    oracle=f"""
+SELECT l_orderkey, {sum_money_sql("l_quantity", "sum_qty")}
+FROM lineitem GROUP BY 1 HAVING MAX(l_discount) > 0
+""",
+)
+def sink_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-empty sink predicate (A6/O5): the reference skips all-zero
+    blocks before writing (tiff2octree.py:312,344,438) — expressed as
+    HAVING max(...) > 0 ahead of the sink so Catalyst can fuse it."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(sum_money("l_quantity", "sum_qty"), F.max("l_discount").alias("_md"))
+        .filter(F.col("_md") > 0)
+        .drop("_md")
+    )
+
+
+@register(
+    "scalar_meta",
+    "A10",
+    oracle=f"""
+SELECT COUNT(*) AS n_rows,
+       CAST(MIN(l_shipdate) AS DATE) AS min_ship,
+       CAST(MAX(l_shipdate) AS DATE) AS max_ship,
+       {sum_money_sql("l_extendedprice", "total_price")}
+FROM lineitem
+""",
+)
+def scalar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata sink payload (A10): transform.txt's ox..sz,nl scalars
+    (tiff2octree.py:842-901) ≡ a one-row aggregate select."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_shipdate").cast("date").alias("min_ship"),
+        F.max("l_shipdate").cast("date").alias("max_ship"),
+        sum_money("l_extendedprice", "total_price"),
+    )
