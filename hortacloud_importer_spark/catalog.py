@@ -44,9 +44,9 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("bigint"))
-    )
+    # integer DIV, not double division: at ~1.7e18 ns the double ulp is
+    # ~256 ns, which shifts some timestamps by 1 µs after rounding.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def load(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -4,5 +4,10 @@ from hortacloud_importer_spark.queries import (  # noqa: F401
     aggregates,
     filters,
     flagship,
+    functions,
+    joins,
     scans,
+    sets,
+    streaming_duals,
+    windows,
 )

@@ -1,0 +1,76 @@
+"""§2.G — set operations.
+
+Reference analogs: multi-dir input unions (tiff2octree.py:1204,
+1282-1287) and the resume difference "all blocks minus existing"
+(tiff2octree.py:359-368, 399-403).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hortacloud_importer_spark.catalog import table
+from hortacloud_importer_spark.operators.exactness import sum_money, sum_money_sql
+from hortacloud_importer_spark.registry import register
+
+
+@register(
+    "set_union",
+    "G1",
+    oracle=f"""
+SELECT l_linestatus, COUNT(*) AS n, {sum_money_sql("l_extendedprice", "revenue")}
+FROM (
+  SELECT l_linestatus, l_extendedprice FROM lineitem WHERE l_orderkey % 2 = 0
+  UNION ALL
+  SELECT l_linestatus, l_extendedprice FROM lineitem WHERE l_orderkey % 2 = 1
+) GROUP BY 1
+""",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (G1): two input partitions re-unioned (Spark union ==
+    bag semantics, no dedup shuffle)."""
+    li = table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_orderkey") % 2 == 0).select("l_linestatus", "l_extendedprice")
+    b = li.filter(F.col("l_orderkey") % 2 == 1).select("l_linestatus", "l_extendedprice")
+    return (
+        a.unionByName(b)
+        .groupBy("l_linestatus")
+        .agg(F.count("*").alias("n"), sum_money("l_extendedprice", "revenue"))
+    )
+
+
+@register(
+    "set_except",
+    "G2",
+    oracle="""
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+""",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (G2): the resume difference — full work-list minus
+    completed outputs. Distinct semantics (like SQL EXCEPT); the
+    anti-join variant is C4."""
+    c, o = table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    return c.select("c_custkey").subtract(
+        o.select(F.col("o_custkey").alias("c_custkey"))
+    )
+
+
+@register(
+    "set_intersect",
+    "G3",
+    oracle="""
+SELECT c_custkey FROM customer
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders
+""",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (G3): customers that did order."""
+    c, o = table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders")
+    return c.select("c_custkey").intersect(
+        o.select(F.col("o_custkey").alias("c_custkey"))
+    )

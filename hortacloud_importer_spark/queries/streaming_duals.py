@@ -1,0 +1,137 @@
+"""§2.I — streaming operators, batch duals.
+
+The reference's KTX writer is a genuine single-pass bounded-state
+stream over z-slices (ktx_from_rendered_tiff.py:323-391). These are
+the oracle-checkable batch duals of the Structured Streaming surface
+(the streaming wrappers themselves live in
+hortacloud_importer_spark.streaming and are rows-only/e2e-tested —
+DuckDB can't run a stream).
+
+Window alignment note: Spark's window() aligns tumbling/sliding
+windows to the 1970 epoch; the DuckDB mirrors reproduce that with
+integer epoch-microsecond arithmetic, so boundaries match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hortacloud_importer_spark.catalog import table
+from hortacloud_importer_spark.operators.exactness import cents
+from hortacloud_importer_spark.registry import register
+
+_SUM_CENTS = "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0"
+
+
+@register(
+    "stream_tumbling",
+    "I3",
+    oracle=f"""
+SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+       COUNT(*) AS n, {_SUM_CENTS} AS sum_value
+FROM events GROUP BY 1
+""",
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling window (I3): pairs of parent z-slices reduce to one
+    child slice (ktx_from_rendered_tiff.py:269-296) ≡ tumbling
+    count/time windows. Batch dual of readStream + window(ts, '1 hour');
+    map-side partial aggregation applies as usual."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents("value")) / F.lit(100.0)).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "stream_sliding",
+    "I4",
+    oracle=f"""
+SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000 - CAST(k AS BIGINT) * 900000000) AS window_start,
+       COUNT(*) AS n, {_SUM_CENTS} AS sum_value
+FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+GROUP BY 1
+""",
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (I4): window(ts, '1 hour', '15 min') — each event
+    lands in 4 overlapping windows. The DuckDB mirror expands the 4
+    aligned starts per event explicitly."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents("value")) / F.lit(100.0)).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )
+
+
+@register(
+    "stream_session",
+    "I4",
+    oracle=f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n, {_SUM_CENTS} AS sum_value
+FROM sessions GROUP BY user_id, session_id
+""",
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session window (I4): session_window(ts, '30 minutes') per user —
+    Spark merges events with gaps < 30 min. The DuckDB mirror is the
+    classic gaps-and-islands SQL. Output = (user, session start, count,
+    sum); the session end is engine-defined (last+gap) so it's not
+    compared."""
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n"),
+            (F.sum(cents("value")) / F.lit(100.0)).alias("sum_value"),
+        )
+        .select(
+            "user_id", F.col("w.start").alias("session_start"), "n", "sum_value"
+        )
+    )
+
+
+@register(
+    "stream_resume",
+    "I5",
+    oracle="""
+SELECT e.user_id, COUNT(*) AS n_pending
+FROM events e
+WHERE e.event_id NOT IN (SELECT event_id FROM events WHERE event_type = 'purchase')
+GROUP BY 1
+""",
+)
+def stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental progress / resume (I5): the do_step1 marker +
+    dummy_generated sentinel resume (tiff2octree.py:1328-1355) — the
+    batch dual is an anti-join of the work list against completed
+    work; in streaming this is checkpoint + idempotent foreachBatch."""
+    e = table(spark, sf_dir, "events")
+    done = e.filter(F.col("event_type") == "purchase").select("event_id")
+    return (
+        e.join(done, "event_id", "left_anti")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pending"))
+    )

@@ -1,0 +1,240 @@
+"""§2.E/F — window functions, sorts, top-k.
+
+Reference analogs: the percentile CDF walk is an ordered cumulative
+sum (ktx_from_rendered_tiff.py:458-470), the mipmap z-cascade is a
+sliding 3-row frame (:262-296), and 2nd-max is a rank-within-group
+(ktx/util.py:165-171). Every window here is partitioned by a key —
+at 100 TB an unpartitioned window would serialize onto one task, so
+the one intentionally-global example (sort_rownum) documents that
+caveat and keys the frame where possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hortacloud_importer_spark.catalog import table
+from hortacloud_importer_spark.operators.exactness import cents
+from hortacloud_importer_spark.registry import register
+
+
+@register(
+    "win_cumsum",
+    "E1",
+    oracle="""
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT)
+       / 100.0 AS running_total
+FROM orders
+""",
+)
+def win_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered cumulative sum (E1): the CDF accumulation
+    (ktx_from_rendered_tiff.py:458-470) as a running total per
+    customer. Cents-exact; orderkey tiebreak makes the frame
+    deterministic."""
+    o = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.sum(cents("o_totalprice")).over(w) / F.lit(100.0)).alias("running_total"),
+    )
+
+
+@register(
+    "win_sliding",
+    "E2",
+    oracle="""
+SELECT user_id, event_id,
+       (CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+             OVER w AS BIGINT) / 100.0) / COUNT(*) OVER w AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+)
+def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 3-row frame (E2): the mipmap z-cascade's ≤3-slice deque
+    (ktx_from_rendered_tiff.py:262-296) ≡ rowsBetween(-2, 0)."""
+    e = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    mavg = (F.sum(cents("value")).over(w) / F.lit(100.0)) / F.count("*").over(w)
+    return e.select("user_id", "event_id", mavg.alias("moving_avg"))
+
+
+@register(
+    "win_rank",
+    "E3",
+    oracle="""
+SELECT l_orderkey, l_linenumber, l_extendedprice AS price
+FROM (
+  SELECT l_orderkey, l_linenumber, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_extendedprice DESC, l_linenumber) AS rn
+  FROM lineitem
+) WHERE rn = 2
+""",
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank within group (E3): sorted-subvoxel indexing [-2]
+    (ktx/util.py:165-171) ≡ row_number = 2 per group."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_extendedprice").desc(), "l_linenumber"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 2)
+        .select("l_orderkey", "l_linenumber", F.col("l_extendedprice").alias("price"))
+    )
+
+
+@register(
+    "win_lag",
+    "E4",
+    oracle="""
+SELECT user_id, event_id,
+       value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta,
+       LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+       FIRST_VALUE(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS first_event
+FROM events
+""",
+)
+def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead/first_value (E4): consecutive-slice deltas. Same-
+    operand double subtraction is IEEE-exact in both engines."""
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.first("event_id").over(w).alias("first_event"),
+    )
+
+
+@register(
+    "win_ntile",
+    "E4",
+    oracle="""
+SELECT tile, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+  FROM orders
+) GROUP BY 1
+""",
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile (E4): percentile bucketing — the dual of D5's quantile
+    vector. Global orderBy documented caveat: fine for dim-sized
+    inputs; for fact tables use D5's histogram method instead."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_totalprice", F.ntile(10).over(w).alias("tile"))
+        .groupBy("tile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+@register(
+    "sort_global",
+    "F1",
+    oracle="""
+SELECT n_name, n_regionkey,
+       ROW_NUMBER() OVER (ORDER BY n_regionkey, n_name) AS rank
+FROM nation
+""",
+)
+def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort (F1): intra-group value sort (ktx/util.py:165).
+    The rank column materializes the order so the order-insensitive
+    hash still verifies it. Spark's orderBy is a range-partitioned
+    distributed sort — scales; row_number needs the single-partition
+    window only because we materialize the rank, dim-sized here."""
+    n = table(spark, sf_dir, "nation")
+    w = Window.orderBy("n_regionkey", "n_name")
+    return n.select("n_name", "n_regionkey", F.row_number().over(w).alias("rank"))
+
+
+@register(
+    "sort_rownum",
+    "F2",
+    oracle="""
+SELECT event_id, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+FROM events
+""",
+)
+def sort_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered row numbering (F2): z-order assignment from sorted file
+    lists (tiff2octree.py:1034). At 100 TB: zipWithIndex-style two-pass
+    (per-partition counts + offset) instead of a global window; here
+    the fixture is stream-sized so the window form is the clearer
+    declaration."""
+    e = table(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    return e.select("event_id", F.row_number().over(w).alias("rn"))
+
+
+@register(
+    "topk",
+    "F3",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+""",
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (F3): 2nd-max generalizes to top-k
+    (tiff2octree.py:240-241). Window row_number ≤ k — Spark pushes a
+    per-partition top-k (WindowGroupLimit) before the shuffle."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "limit_k",
+    "F3",
+    oracle="""
+SELECT o_orderkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""",
+)
+def limit_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k (F3): orderBy().limit(k) compiles to TakeOrdered —
+    per-partition heaps + driver merge of k rows, never a full sort."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(10)
+        .select("o_orderkey", "o_totalprice")
+    )
