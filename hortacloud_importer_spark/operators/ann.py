@@ -1,0 +1,90 @@
+"""Approximate nearest neighbor via random-hyperplane LSH.
+
+Sign-bit signatures from deterministic pseudo-random hyperplanes,
+computed entirely with Catalyst expressions: hyperplane component
+h[j][d] is derived from xxhash64(j, d) mapped into [-1, 1), so every
+executor regenerates the same planes with no broadcast of plane
+matrices and no Python in the scoring path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_SCALE = float(1 << 62)
+
+
+def _plane_component(j: int, d: Column) -> Column:
+    """Deterministic pseudo-random value in [-1, 1) for plane j, dim d."""
+    return F.xxhash64(F.lit(j), d) / F.lit(_SCALE)
+
+
+def _signature(vec: Column, n_planes: int) -> Column:
+    """Bit i = sign of <vec, plane_i>; 0..2^n_planes-1 as bigint."""
+    sig = None
+    for j in range(n_planes):
+        dot_j = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda x, d: x.cast("double") * _plane_component(j, d),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(dot_j >= 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseOR(term)
+    return sig
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_planes: int = 16,
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Top-k by cosine among LSH candidates (multi-probe by hamming).
+
+    Plan: signature projection (narrow) -> broadcast the single query
+    signature -> hamming filter prunes the corpus -> exact cosine on
+    survivors -> global top-k. No shuffle of the corpus at any point.
+    """
+    sig = embeddings.withColumn("sig", _signature(F.col("embedding"), n_planes))
+    q = sig.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("sig").alias("qsig"), F.col("embedding").alias("qv")
+    )
+    hamming = F.bit_count(F.expr("sig ^ qsig"))
+    cand = (
+        sig.filter(F.col("vec_id") != query_vec_id)
+        .crossJoin(F.broadcast(q))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "qv", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(c, c, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    scored = cand.select(
+        "vec_id",
+        "hamming",
+        F.round(dot / (norm("embedding") * norm("qv")), 6).alias("score"),
+    )
+    w = Window.orderBy(F.col("score").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("vec_id", "score", "hamming")
+    )

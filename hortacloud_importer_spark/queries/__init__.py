@@ -2,12 +2,15 @@
 
 from hortacloud_importer_spark.queries import (  # noqa: F401
     aggregates,
+    dedup,
     filters,
     flagship,
     functions,
     joins,
     scans,
     sets,
+    similarity,
     streaming_duals,
+    text,
     windows,
 )

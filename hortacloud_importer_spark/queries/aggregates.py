@@ -85,9 +85,11 @@ def agg_2ndmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected array is O(1) per group and the whole thing is a single
     hash aggregate, no window shuffle."""
     li = table(spark, sf_dir, "lineitem")
+    # try_element_at: single-line groups exist and ANSI element_at would
+    # raise before the >=2 filter is applied (plan-shape dependent)
     arr = F.sort_array(F.collect_list("l_extendedprice"), asc=False)
-    second = F.element_at(arr, 2)
-    first = F.element_at(arr, 1)
+    second = F.try_element_at(arr, F.lit(2))
+    first = F.try_element_at(arr, F.lit(1))
     return (
         li.groupBy("l_orderkey")
         .agg(

@@ -1,0 +1,153 @@
+"""§2.K1/K2 — deduplication (exact + near-duplicate).
+
+100 TB posture: exact dedup is one hash-groupBy on a content
+fingerprint (md5/sha2 — standardized, so the DuckDB oracle matches
+exactly); near-dup avoids the O(n²) pair space by only joining
+documents that share a shingle (inverted-index join), and the
+MinHash-LSH variant replaces the shingle join with banded minhash
+buckets so the candidate set stays bounded under skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hortacloud_importer_spark.catalog import table
+from hortacloud_importer_spark.registry import register
+
+# A corpus with actual duplicates: every 5th document re-appears under
+# a shifted doc_id (simulating a re-crawl).
+_DUP_CORPUS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+"""
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.select("doc_id", "text").unionByName(dup)
+
+
+@register(
+    "dedup_exact",
+    "K1",
+    oracle=f"""
+SELECT MD5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM ({_DUP_CORPUS_SQL})
+GROUP BY 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (K1): content fingerprint (md5) -> keep the lowest
+    doc_id. One hash aggregate; the fingerprint (16 bytes) is the only
+    thing shuffled, never the payload — at 100 TB this is the
+    difference between shuffling hashes and shuffling documents."""
+    corpus = _dup_corpus(spark, sf_dir)
+    return corpus.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+_SHINGLES_SQL = """
+SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents)
+     , UNNEST(range(1, len(words) - 1)) AS t(i)
+"""
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 3-gram shingles, one row per (doc, position)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.size(words) - 3)
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(words, i + 1),
+        F.element_at(words, i + 2),
+        F.element_at(words, i + 3),
+    )
+    return d.select(
+        "doc_id", F.explode(F.transform(idx, shingle)).alias("shingle")
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    "K2",
+    oracle=f"""
+WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.08
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup by n-gram Jaccard (K2): inverted-index join — documents
+    are compared ONLY if they share a shingle, so the pair space is the
+    posting-list join, not n². Jaccard = |A∩B| / (|A|+|B|-|A∩B|) from
+    exact integer counts. Skew note: stop-shingle posting lists explode
+    the join at scale; production would drop shingles with document
+    frequency above a cap before the self-join (same plan shape)."""
+    sh = _shingles(spark, sf_dir).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    pairs = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.08)
+    )
+
+
+@register("dedup_minhash", "K2", oracle=None)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup (K2), rows-only: 32 permutation hashes
+    h_j(x) = (a_j * x + b_j) mod p over xxhash64 shingle ids, banded
+    4-per-band into 8 LSH buckets; candidate pairs agree on at least
+    one band. This replaces K2's shingle self-join with a bounded
+    bucket join — the 100 TB scale path (bucket cardinality is
+    controlled by band width, not document frequency). Engine hash
+    functions differ, so no SQL oracle; the pair set is validated in
+    tests against dedup_ngram_jaccard's exact pairs."""
+    from hortacloud_importer_spark.operators.minhash import minhash_pairs
+
+    return minhash_pairs(_shingles(spark, sf_dir), n_hashes=32, bands=8)
+
+
+@register("dedup_simhash", "K2", oracle=None)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (K2), rows-only: 64-bit token-hash majority
+    signature per document; candidates = equal 16-bit prefix band;
+    emitted with hamming distance ≤ 12. All bit math stays in Catalyst
+    expressions (no UDF)."""
+    from hortacloud_importer_spark.operators.minhash import simhash_pairs
+
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return simhash_pairs(tokens, max_hamming=12)

@@ -1,0 +1,157 @@
+"""§2.K3 — similarity search over embeddings.
+
+Exact brute-force cosine top-k is the oracle-checked baseline; the
+scale path is LSH bucketing (random hyperplane signs) that prunes the
+candidate set before exact re-scoring. Dot products are evaluated as
+deterministic left-fold aggregates in double precision; scores are
+rounded to 6 dp before ranking so a last-ulp difference between
+engines can't flip the order (values carry ~1e-15 relative error,
+10 orders of magnitude below the rounding grain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hortacloud_importer_spark.catalog import table
+from hortacloud_importer_spark.registry import register
+
+_QUERY_VEC_ID = 0
+_TOP_K = 10
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    """Deterministic double dot product of two float arrays."""
+    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: str | Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+# DuckDB mirror: per-dimension products summed per vec (sum order differs
+# from the left fold, hence the shared ROUND(.., 6)).
+_DOT_SQL = """
+SELECT e.vec_id,
+       SUM(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+           * CAST(q.qv[CAST(i AS INT)] AS DOUBLE)) AS dot,
+       SUM(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)
+           * CAST(e.embedding[CAST(i AS INT)] AS DOUBLE)) AS norm2
+FROM embeddings e,
+     (SELECT embedding AS qv FROM embeddings WHERE vec_id = {qid}) q,
+     UNNEST(range(1, len(e.embedding) + 1)) AS t(i)
+GROUP BY 1
+"""
+
+
+@register(
+    "sim_topk",
+    "K3",
+    oracle=f"""
+WITH dots AS ({_DOT_SQL.format(qid=_QUERY_VEC_ID)}),
+qn AS (SELECT SQRT(norm2) AS qnorm FROM dots WHERE vec_id = {_QUERY_VEC_ID})
+SELECT vec_id, score FROM (
+  SELECT vec_id,
+         ROUND(dot / (SQRT(norm2) * qnorm), 6) AS score,
+         ROW_NUMBER() OVER (ORDER BY ROUND(dot / (SQRT(norm2) * qnorm), 6) DESC,
+                            vec_id) AS rn
+  FROM dots, qn
+  WHERE vec_id <> {_QUERY_VEC_ID}
+) WHERE rn <= {_TOP_K}
+""",
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k (K3 baseline): brute force against a fixed
+    query vector (vec_id=0). The query row is broadcast — never a
+    shuffle of the corpus; the top-k is a TakeOrdered-style global
+    limit. At 100 TB this is the exact re-score stage of the ANN
+    pipeline below."""
+    e = table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("qv")
+    )
+    scored = (
+        e.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(
+                _dot("embedding", "qv") / (_norm("embedding") * _norm("qv")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _TOP_K)
+        .select("vec_id", "score")
+    )
+
+
+@register("sim_ann_lsh", "K3", oracle=None)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via random-hyperplane LSH (K3 scale path), rows-only:
+    16-bit sign signature per vector from deterministic pseudo-random
+    hyperplanes; candidates share the query's bucket (multi-probe:
+    hamming ≤ 2 on the signature), then exact cosine re-scoring of the
+    pruned set. The bucket join replaces the corpus scan — at 100 TB
+    only bucket-mates are scored. Validated in tests for recall
+    against sim_topk."""
+    from hortacloud_importer_spark.operators.ann import lsh_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    return lsh_topk(e, query_vec_id=_QUERY_VEC_ID, k=_TOP_K)
+
+
+@register(
+    "sim_pairs_cosine",
+    "K3+K2",
+    oracle=f"""
+WITH norms AS (
+  SELECT vec_id, label, embedding,
+         SQRT((SELECT SUM(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(embedding[CAST(i AS INT)] AS DOUBLE))
+               FROM UNNEST(range(1, len(embedding) + 1)) AS t(i))) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         (SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                     * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
+          FROM UNNEST(range(1, len(a.embedding) + 1)) AS t(i)) AS dot,
+         a.nrm AS na, b.nrm AS nb
+  FROM norms a JOIN norms b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, ROUND(dot / (na * nb), 6) AS cosine
+FROM pairs
+WHERE ROUND(dot / (na * nb), 6) >= 0.5
+""",
+)
+def sim_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (K2/K3): cosine ≥ 0.5 among
+    vectors sharing a label — the label plays the role of the coarse
+    IVF/cluster assignment, so the quadratic comparison happens only
+    inside cells, never across the corpus."""
+    e = table(spark, sf_dir, "embeddings")
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("lbl"),
+        F.col("embedding").alias("emb_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lbl"),
+        F.col("embedding").alias("emb_b"),
+    )
+    cos = F.round(
+        _dot("emb_a", "emb_b") / (_norm("emb_a") * _norm("emb_b")), 6
+    )
+    return (
+        a.join(b, "lbl")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= 0.5)
+    )

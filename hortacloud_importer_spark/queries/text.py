@@ -1,0 +1,183 @@
+"""§2.K5 — text analysis over `documents`.
+
+Language-ID (stopword-hit heuristic), quality scoring (length /
+punctuation / stopword ratios), token counting (whitespace + BPE-ish
+regex), and document fingerprinting (md5/sha2 — standardized digests,
+so the oracle matches exactly). Everything is built-in-function
+Catalyst expressions: no Python in the hot path, map-side-combinable
+aggregates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hortacloud_importer_spark.catalog import table
+from hortacloud_importer_spark.registry import register
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+# BPE-ish pre-tokenizer: letter runs, single digits, or any non-space symbol.
+_TOKEN_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
+
+@register(
+    "text_wordcount",
+    "K5",
+    oracle="""
+SELECT w AS word, COUNT(*) AS n
+FROM (SELECT UNNEST(str_split(text, ' ')) AS w FROM documents)
+WHERE w <> ''
+GROUP BY 1
+""",
+)
+def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counts (K5): split -> explode -> count. The canonical
+    map-side-combined aggregation; per-executor partials keep the
+    shuffle at vocabulary size, not corpus size."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "text_stats",
+    "K5",
+    oracle="""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS avg_chars,
+       CAST(SUM(LEN(str_split(text, ' '))) AS BIGINT) AS total_words,
+       MAX(LENGTH(text)) AS max_len
+FROM documents GROUP BY 1
+""",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus statistics (K5): exact integer sums."""
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars") / F.count("*").cast("double")).alias("avg_chars"),
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("total_words"),
+        F.max(F.length("text")).alias("max_len"),
+    )
+
+
+@register(
+    "text_langid",
+    "K5",
+    oracle=f"""
+SELECT doc_id, lang, n_words, n_stop,
+       CASE WHEN CAST(n_stop AS DOUBLE) / n_words > 0.05
+            THEN 'en-like' ELSE 'other' END AS guessed
+FROM (
+  SELECT doc_id, lang,
+         LEN(str_split(text, ' ')) AS n_words,
+         LEN(list_filter(str_split(text, ' '), w -> w IN ({_STOP_SQL}))) AS n_stop
+  FROM documents
+)
+""",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (K5): stopword hit-rate per document —
+    the n-gram-profile method reduced to its word form. Pure per-row
+    expressions (higher-order filter), no shuffle at all."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("bigint")
+    n_stop = F.size(
+        F.filter(words, lambda w: w.isin(*_STOPWORDS))
+    ).cast("bigint")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stop"),
+        F.when(n_stop.cast("double") / n_words > 0.05, "en-like")
+        .otherwise("other")
+        .alias("guessed"),
+    )
+
+
+@register(
+    "text_quality",
+    "K5",
+    oracle=f"""
+SELECT doc_id,
+       LENGTH(text) AS n_chars_txt,
+       LEN(str_split(text, ' ')) AS n_words,
+       LENGTH(text) / CAST(LEN(str_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+       LEN(regexp_extract_all(text, '[^a-z ]')) AS n_nonalpha,
+       CAST(LEN(list_filter(str_split(text, ' '), w -> w IN ({_STOP_SQL}))) AS DOUBLE)
+         / LEN(str_split(text, ' ')) AS stop_ratio
+FROM documents
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals (K5): length, mean word length, non-alpha count,
+    stopword ratio — the standard LLM-corpus quality filters, all as
+    scan-local expressions (a quality *filter* is then just WHERE over
+    these)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("bigint")
+    n_stop = F.size(F.filter(words, lambda w: w.isin(*_STOPWORDS)))
+    return d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars_txt"),
+        n_words.alias("n_words"),
+        (F.length("text") / n_words.cast("double")).alias("avg_word_len"),
+        F.regexp_count("text", F.lit("[^a-z ]")).cast("bigint").alias("n_nonalpha"),
+        (n_stop.cast("double") / n_words).alias("stop_ratio"),
+    )
+
+
+@register(
+    "text_tokens",
+    "K5",
+    oracle=f"""
+SELECT doc_id,
+       LEN(str_split(text, ' ')) AS ws_tokens,
+       LEN(regexp_extract_all(text, '{_TOKEN_RE}')) AS bpe_ish_tokens
+FROM documents
+""",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (K5): whitespace tokens + a BPE-ish regex
+    pre-tokenization count (letter runs / digits / symbols) — the
+    pre-tokenizer every BPE pipeline applies before merges."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(_TOKEN_RE)).cast("bigint").alias("bpe_ish_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    "K5+K1",
+    oracle="""
+SELECT doc_id,
+       MD5(text) AS fp_md5,
+       SHA256(LOWER(TRIM(text))) AS fp_norm
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (K5): raw + normalized content digests.
+    md5/sha256 are standardized, so fingerprints are portable across
+    engines — the property exact dedup (K1) relies on."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("fp_md5"),
+        F.sha2(F.lower(F.trim("text")), 256).alias("fp_norm"),
+    )
