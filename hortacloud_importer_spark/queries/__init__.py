@@ -12,5 +12,6 @@ from hortacloud_importer_spark.queries import (  # noqa: F401
     similarity,
     streaming_duals,
     text,
+    volume,
     windows,
 )
