@@ -1,0 +1,88 @@
+"""Partitioned octree block store (SURVEY.md §2.A6/A4/A11, §2.C4).
+
+Spark-first restatement of the reference's filesystem block layout:
+- save_block writes ``{octree-path}/default.{ch}.tif`` with ZLIB and
+  skips all-zero blocks (tiff2octree.py:298-317, 370-387) -> here a
+  parquet write ``partitionBy`` per-level octant digits with zstd,
+  preceded by a ``array_max(voxels) > 0`` filter (§4 O5: skip-empty
+  is a plan-level HAVING, not imperative control flow).
+- check_block / resume (tiff2octree.py:359-368, 1040-1041) -> a LEFT
+  ANTI join of the work list against the committed store listing —
+  one distributed join instead of N os.path.exists round-trips.
+- windowed region read (tiff2octree.py:281-292) -> a range filter on
+  block coordinates; because the octant digits are partition columns,
+  Catalyst turns it into partition pruning (directory skip), the
+  exact analog of the reference opening only the needed files.
+
+Layout: ``{root}/l1=D/l2=D/.../part-*.parquet`` — one directory per
+octant digit per level, lexicographically Morton-ordered, so a
+spatial crop touches a contiguous subtree exactly like the
+reference's nested octant directories.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _digit(coord_bit_cols, bit: int):
+    zc, yc, xc = coord_bit_cols
+    xb = F.shiftright(xc, bit).bitwiseAND(F.lit(1))
+    yb = F.shiftright(yc, bit).bitwiseAND(F.lit(1))
+    zb = F.shiftright(zc, bit).bitwiseAND(F.lit(1))
+    return F.lit(1) + xb + yb * 2 + zb * 4
+
+
+def with_octree_digits(blocks: DataFrame, nlevels: int) -> DataFrame:
+    """Add one ``l{k}`` octant-digit column per level (MSB first)."""
+    cols = (F.col("zi"), F.col("yi"), F.col("xi"))
+    out = blocks
+    for k, bit in enumerate(range(nlevels - 2, -1, -1), start=1):
+        out = out.withColumn(f"l{k}", _digit(cols, bit).cast("int"))
+    return out
+
+
+def write_blocks(
+    blocks: DataFrame,
+    root: str,
+    nlevels: int,
+    mode: str = "append",
+    skip_empty: bool = True,
+) -> None:
+    """A6: partitioned, compressed, skip-empty block sink.
+
+    ``mode="append"`` keeps the write idempotent-with-resume (pair
+    with :func:`resume_filter`); Spark's committed-output protocol
+    replaces the reference's sentinel files (§4 O10).
+    """
+    df = with_octree_digits(blocks, nlevels)
+    if skip_empty:
+        df = df.filter(F.array_max("voxels") > 0)
+    part_cols = [f"l{k}" for k in range(1, nlevels)]
+    writer = df.write.mode(mode).option("compression", "zstd")
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
+    writer.parquet(root)
+
+
+def read_blocks(spark: SparkSession, root: str) -> DataFrame:
+    """A1 over the block store: schema + partition discovery are
+    parquet-native; filters on l{k}/zi/yi/xi prune directories and
+    row groups (A4)."""
+    return spark.read.parquet(root)
+
+
+def resume_filter(work: DataFrame, spark: SparkSession, root: str) -> DataFrame:
+    """C4: drop work items whose output already exists in the store.
+
+    LEFT ANTI join on the block key — the committed listing is only
+    keys (columns pruned at scan), so at 100 TB the join's build side
+    is the key set, never payloads.
+    """
+    key = ["zi", "yi", "xi", "channel"]
+    try:
+        done = read_blocks(spark, root).select(*key)
+    except Exception:  # store does not exist yet -> nothing committed
+        return work
+    return work.join(done, on=key, how="left_anti")
