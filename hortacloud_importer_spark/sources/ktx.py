@@ -1,0 +1,285 @@
+"""KTX 1.1 binary codec + Spark sink/source (SURVEY.md §2.A8/A9).
+
+Implements the public Khronos KTX 1.1 container (identifier,
+endianness marker 0x04030201, 13 uint32 header words, padded
+key/value metadata, length-prefixed 4-byte-aligned mipmap payloads)
+from the spec. Reference behavior mirrored: streaming per-block write
+(ktx_from_rendered_tiff.py:323-400), header parse/serialize
+(ktx/__init__.py:225-355), value bytes carry a trailing NUL
+(ktx/__init__.py:150-151).
+
+Spark integration keeps the engine distributed: the writer is a
+grouped-map (``applyInPandas``) over ``(block, channel)`` groups of
+pyramid rows — each task serializes one block's mipmap chain to one
+KTX blob, so blobs never visit the driver; the reader is a
+``mapInPandas`` decode over binary rows (the ``binaryFile`` source
+shape). Both move bytes through Arrow batches, not Python rows.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import sys
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Public OpenGL enum values (gl.h / Khronos registry).
+GL_UNSIGNED_BYTE = 0x1401
+GL_UNSIGNED_SHORT = 0x1403
+GL_RED = 0x1903
+GL_RG = 0x8227
+GL_RGB = 0x1907
+GL_RGBA = 0x1908
+_FORMATS = {1: GL_RED, 2: GL_RG, 3: GL_RGB, 4: GL_RGBA}
+_INTERNAL = {
+    (GL_RED, 1): 0x8229,  # GL_R8
+    (GL_RED, 2): 0x822A,  # GL_R16
+    (GL_RG, 1): 0x822B,  # GL_RG8
+    (GL_RG, 2): 0x822C,  # GL_RG16
+    (GL_RGB, 1): 0x8051,  # GL_RGB8
+    (GL_RGB, 2): 0x8054,  # GL_RGB16
+    (GL_RGBA, 1): 0x8058,  # GL_RGBA8
+    (GL_RGBA, 2): 0x805B,  # GL_RGBA16
+}
+
+_IDENTIFIER = b"\xabKTX 11\xbb\r\n\x1a\n"
+_ENDIAN_LE = b"\x01\x02\x03\x04"
+_ENDIAN_BE = b"\x04\x03\x02\x01"
+
+
+class KtxParseError(ValueError):
+    pass
+
+
+@dataclass
+class KtxHeader:
+    little_endian: bool = True
+    gl_type: int = GL_UNSIGNED_SHORT
+    gl_type_size: int = 2
+    gl_format: int = GL_RED
+    gl_internal_format: int = 0x822A
+    gl_base_internal_format: int = GL_RED
+    pixel_width: int = 0
+    pixel_height: int = 0
+    pixel_depth: int = 0
+    number_of_array_elements: int = 0
+    number_of_faces: int = 0
+    number_of_mipmap_levels: int = 1
+    metadata: dict[bytes, bytes] = field(default_factory=dict)
+
+    @classmethod
+    def for_array(
+        cls,
+        shape_zyx: tuple[int, int, int],
+        itemsize: int,
+        channels: int,
+        mipmap_levels: int,
+        metadata: dict[str, str] | None = None,
+    ) -> "KtxHeader":
+        if itemsize not in (1, 2):
+            raise ValueError("only uint8/uint16 payloads supported")
+        if channels not in _FORMATS:
+            raise ValueError("1-4 channels supported")
+        fmt = _FORMATS[channels]
+        h = cls(
+            little_endian=sys.byteorder == "little",
+            gl_type=GL_UNSIGNED_BYTE if itemsize == 1 else GL_UNSIGNED_SHORT,
+            gl_type_size=itemsize,
+            gl_format=fmt,
+            gl_internal_format=_INTERNAL[(fmt, itemsize)],
+            gl_base_internal_format=fmt,
+            pixel_width=shape_zyx[2],
+            pixel_height=shape_zyx[1],
+            pixel_depth=shape_zyx[0],
+            number_of_mipmap_levels=mipmap_levels,
+        )
+        # Value bytes carry a trailing NUL (matches ktx/__init__.py:150-151).
+        for k, v in (metadata or {}).items():
+            h.metadata[k.encode()] = v.encode() + b"\x00"
+        return h
+
+    # --- serialization -----------------------------------------------------
+
+    def _ec(self) -> str:
+        return "<" if self.little_endian else ">"
+
+    def write_stream(self, out: io.BufferedIOBase) -> None:
+        out.write(_IDENTIFIER)
+        out.write(_ENDIAN_LE if self.little_endian else _ENDIAN_BE)
+        words = (
+            self.gl_type,
+            self.gl_type_size,
+            self.gl_format,
+            self.gl_internal_format,
+            self.gl_base_internal_format,
+            self.pixel_width,
+            self.pixel_height,
+            self.pixel_depth,
+            self.number_of_array_elements,
+            self.number_of_faces,
+            self.number_of_mipmap_levels,
+        )
+        out.write(struct.pack(self._ec() + "11I", *words))
+        kv = io.BytesIO()
+        for key, value in self.metadata.items():
+            blob = key + b"\x00" + value
+            pad = 3 - ((len(blob) + 3) % 4)
+            kv.write(struct.pack(self._ec() + "I", len(blob)))
+            kv.write(blob)
+            kv.write(b"\x00" * pad)
+        out.write(struct.pack(self._ec() + "I", len(kv.getvalue())))
+        out.write(kv.getvalue())
+
+    @classmethod
+    def read_stream(cls, src: io.BufferedIOBase) -> "KtxHeader":
+        if src.read(12) != _IDENTIFIER:
+            raise KtxParseError("bad KTX identifier")
+        endian = src.read(4)
+        if endian == _ENDIAN_LE:
+            le = True
+        elif endian == _ENDIAN_BE:
+            le = False
+        else:
+            raise KtxParseError(f"bad endian marker {endian!r}")
+        ec = "<" if le else ">"
+        words = struct.unpack(ec + "11I", src.read(44))
+        h = cls(le, *words)
+        kv_bytes = struct.unpack(ec + "I", src.read(4))[0]
+        remaining = kv_bytes
+        while remaining > 4:
+            size = struct.unpack(ec + "I", src.read(4))[0]
+            blob = src.read(size)
+            pad = 3 - ((size + 3) % 4)
+            src.read(pad)
+            remaining -= 4 + size + pad
+            nul = blob.find(b"\x00")
+            h.metadata[blob[:nul]] = blob[nul + 1:]
+        return h
+
+
+def encode_ktx(header: KtxHeader, mipmaps: list[bytes]) -> bytes:
+    """Serialize header + length-prefixed, 4-byte-padded mipmap levels."""
+    out = io.BytesIO()
+    header.write_stream(out)
+    ec = header._ec()
+    for level in mipmaps:
+        out.write(struct.pack(ec + "I", len(level)))
+        out.write(level)
+        out.write(b"\x00" * (3 - ((len(level) + 3) % 4)))
+    return out.getvalue()
+
+
+def decode_ktx(data: bytes) -> tuple[KtxHeader, list[bytes]]:
+    src = io.BytesIO(data)
+    header = KtxHeader.read_stream(src)
+    mipmaps = []
+    for _ in range(max(1, header.number_of_mipmap_levels)):
+        size = struct.unpack(header._ec() + "I", src.read(4))[0]
+        mipmaps.append(src.read(size))
+        src.read(3 - ((size + 3) % 4))
+    return header, mipmaps
+
+
+# --- Spark plumbing --------------------------------------------------------
+
+KTX_SCHEMA = (
+    "zi int, yi int, xi int, channel int, n_levels int, ktx binary"
+)
+
+
+def ktx_encode_blocks(pyramid_blocks: DataFrame, itemsize: int = 2) -> DataFrame:
+    """A8: per-(block, channel) KTX blobs from pyramid block rows.
+
+    Input schema: (zi, yi, xi, channel, level, voxels array<int>,
+    shape array<int>) — i.e. blockify() output per pyramid level.
+    One grouped-map task serializes one block's level chain; the blob
+    never touches the driver. Metadata records the block coordinate
+    (the reference stores geometry the same way,
+    ktx_from_rendered_tiff.py:208-251).
+    """
+    dtype = np.uint8 if itemsize == 1 else np.uint16
+
+    def encode(key, pdf):
+        zi, yi, xi, ch = (int(k) for k in key)
+        pdf = pdf.sort_values("level")
+        mipmaps = [
+            np.asarray(row.voxels, dtype=dtype).tobytes()
+            for row in pdf.itertuples()
+        ]
+        shape = tuple(int(s) for s in pdf.iloc[0]["shape"])
+        header = KtxHeader.for_array(
+            shape,
+            itemsize,
+            channels=1,
+            mipmap_levels=len(mipmaps),
+            metadata={"block_zyx": f"{zi},{yi},{xi}", "channel": str(ch)},
+        )
+        blob = encode_ktx(header, mipmaps)
+        return pd.DataFrame(
+            [
+                {
+                    "zi": zi,
+                    "yi": yi,
+                    "xi": xi,
+                    "channel": ch,
+                    "n_levels": len(mipmaps),
+                    "ktx": blob,
+                }
+            ]
+        )
+
+    return pyramid_blocks.groupBy("zi", "yi", "xi", "channel").applyInPandas(
+        encode, KTX_SCHEMA
+    )
+
+
+DECODE_SCHEMA = (
+    "zi int, yi int, xi int, channel int, level int, n_bytes int,"
+    " pixel_depth int, pixel_height int, pixel_width int, voxels array<int>"
+)
+
+
+def ktx_decode_blocks(ktx_df: DataFrame, itemsize: int = 2) -> DataFrame:
+    """A9: binary KTX rows -> one row per mipmap level with payload.
+
+    mapInPandas keeps decode on executors; works identically over
+    ``spark.read.format("binaryFile")`` rows (rename ``content`` to
+    ``ktx``).
+    """
+    dtype = np.uint8 if itemsize == 1 else np.uint16
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                header, mipmaps = decode_ktx(bytes(row.ktx))
+                z, y, x = (
+                    int(v)
+                    for v in header.metadata[b"block_zyx"].rstrip(b"\x00").split(b",")
+                )
+                ch = int(header.metadata[b"channel"].rstrip(b"\x00"))
+                for lv, payload in enumerate(mipmaps):
+                    out.append(
+                        {
+                            "zi": z,
+                            "yi": y,
+                            "xi": x,
+                            "channel": ch,
+                            "level": lv,
+                            "n_bytes": len(payload),
+                            "pixel_depth": header.pixel_depth,
+                            "pixel_height": header.pixel_height,
+                            "pixel_width": header.pixel_width,
+                            "voxels": np.frombuffer(payload, dtype=dtype)
+                            .astype(np.int32)
+                            .tolist(),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return ktx_df.mapInPandas(decode, DECODE_SCHEMA)

@@ -1,0 +1,138 @@
+"""Golden-byte KTX codec tests + distributed encode/decode round trip."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hortacloud_importer_spark.sources.ktx import (
+    GL_RED,
+    GL_UNSIGNED_BYTE,
+    GL_UNSIGNED_SHORT,
+    KtxHeader,
+    KtxParseError,
+    decode_ktx,
+    encode_ktx,
+    ktx_decode_blocks,
+    ktx_encode_blocks,
+)
+from hortacloud_importer_spark.volume import (
+    blockify,
+    build_pyramid,
+    mipmap_dimension,
+    synthetic_volume,
+)
+
+
+def _header(levels=3, meta=None):
+    return KtxHeader.for_array((4, 4, 4), 2, 1, levels, meta or {"k": "v"})
+
+
+def test_identifier_and_endian_marker():
+    blob = encode_ktx(_header(1), [b"\x00" * 128])
+    assert blob[:12] == b"\xabKTX 11\xbb\r\n\x1a\n"
+    assert blob[12:16] == b"\x01\x02\x03\x04"  # little-endian marker
+
+
+def test_header_fields_roundtrip():
+    h = _header(3, {"block_zyx": "1,2,3", "channel": "0"})
+    got, mips = decode_ktx(encode_ktx(h, [b"ab" * 32, b"cd" * 8, b"ef" * 2]))
+    for f in (
+        "little_endian",
+        "gl_type",
+        "gl_type_size",
+        "gl_format",
+        "gl_internal_format",
+        "gl_base_internal_format",
+        "pixel_width",
+        "pixel_height",
+        "pixel_depth",
+        "number_of_array_elements",
+        "number_of_faces",
+        "number_of_mipmap_levels",
+    ):
+        assert getattr(got, f) == getattr(h, f), f
+    assert got.metadata == h.metadata
+    assert mips == [b"ab" * 32, b"cd" * 8, b"ef" * 2]
+    assert got.gl_type == GL_UNSIGNED_SHORT
+    assert got.gl_format == GL_RED
+
+
+def test_big_endian_roundtrip():
+    h = _header(1)
+    h.little_endian = False
+    blob = encode_ktx(h, [b"\x01\x02\x03\x04"])
+    assert blob[12:16] == b"\x04\x03\x02\x01"
+    got, mips = decode_ktx(blob)
+    assert not got.little_endian
+    assert got.pixel_depth == 4
+    assert mips == [b"\x01\x02\x03\x04"]
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, 4, 5])
+def test_mipmap_padding_alignment(n):
+    """Every mipmap payload is length-prefixed and padded to 4 bytes."""
+    h = KtxHeader.for_array((1, 1, n), 1, 1, 1, {})
+    payload = bytes(range(n))
+    blob = encode_ktx(h, [payload])
+    assert len(blob) % 4 == 0
+    got, mips = decode_ktx(blob)
+    assert mips == [payload]
+    # length prefix is the unpadded size
+    header_len = len(encode_ktx(h, [])[:])
+    assert struct.unpack("<I", blob[header_len : header_len + 4])[0] == n
+
+
+@pytest.mark.parametrize("key,value", [("a", ""), ("ab", "x"), ("abc", "xy"), ("abcd", "xyz")])
+def test_kv_metadata_padding(key, value):
+    h = KtxHeader.for_array((2, 2, 2), 2, 1, 1, {key: value})
+    got, _ = decode_ktx(encode_ktx(h, [b"\x00" * 16]))
+    assert got.metadata == {key.encode(): value.encode() + b"\x00"}
+
+
+def test_bad_identifier_raises():
+    with pytest.raises(KtxParseError):
+        decode_ktx(b"not a ktx file at all....." + b"\x00" * 64)
+
+
+def test_spark_encode_decode_roundtrip(spark):
+    dims = (8, 8, 8)
+    nlevels = 3
+    v = synthetic_volume(spark, *dims, channels=2)
+    pyr = build_pyramid(v, dims, nlevels, "arthur", persist=False)
+    per_level = []
+    d = dims
+    for lv in range(nlevels):
+        lv_blocks = blockify(pyr.filter(F.col("level") == lv), d).withColumn(
+            "level", F.lit(lv)
+        )
+        per_level.append(lv_blocks)
+        d = tuple(mipmap_dimension(1, x) for x in d)
+    stacked = per_level[0]
+    for b in per_level[1:]:
+        stacked = stacked.unionByName(b)
+
+    encoded = ktx_encode_blocks(stacked)
+    rows = encoded.collect()
+    assert len(rows) == 2  # one blob per channel, single block grid
+    assert all(r["n_levels"] == nlevels for r in rows)
+    assert all(bytes(r["ktx"])[:12] == b"\xabKTX 11\xbb\r\n\x1a\n" for r in rows)
+
+    decoded = ktx_decode_blocks(encoded)
+    # level-0 payload must equal the original volume, per channel
+    want = {
+        (r["channel"], r["z"], r["y"], r["x"]): r["intensity"] for r in v.collect()
+    }
+    got_rows = decoded.filter(F.col("level") == 0).collect()
+    for r in got_rows:
+        assert r["pixel_depth"] == 8 and r["n_bytes"] == 8 * 8 * 8 * 2
+        arr = np.array(r["voxels"]).reshape(8, 8, 8)
+        for z in range(8):
+            for y in range(8):
+                for x in range(8):
+                    assert arr[z, y, x] == want[(r["channel"], z, y, x)]
+    # deepest level has 1 voxel
+    assert decoded.filter(F.col("level") == 2).count() == 2
