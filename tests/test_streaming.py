@@ -1,0 +1,150 @@
+"""Streaming cascade: kernel vs batch pyramid, stateful streaming E2E,
+watermarked window parity with batch duals."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hortacloud_importer_spark.streaming.cascade import (
+    MipmapCascade,
+    downsample_slice_stack,
+    streaming_cascade,
+)
+from hortacloud_importer_spark.streaming.windows import tumbling_agg
+from hortacloud_importer_spark.volume.downsample import mipmap_dimension
+
+from tests.test_volume import np_downsample, random_vol
+
+
+def _np_pyramid(vol, filter_):
+    levels = {0: vol}
+    lv = 0
+    while max(vol.shape) > 1:
+        vol = np_downsample(vol, filter_)
+        lv += 1
+        levels[lv] = vol
+    return levels
+
+
+@pytest.mark.parametrize("dims", [(8, 8, 8), (9, 6, 5), (5, 5, 5), (4, 4, 1)])
+@pytest.mark.parametrize("filter_", ["mean", "max", "arthur"])
+def test_cascade_kernel_matches_batch_pyramid(dims, filter_):
+    vol = random_vol(dims)
+    want = _np_pyramid(vol.copy(), filter_)
+    cascade = MipmapCascade(dims, filter_)
+    got: dict[tuple[int, int], np.ndarray] = {}
+    for z in range(dims[0]):
+        for level, cz, daughter in cascade.feed(z, vol[z].astype(np.int64)):
+            got[(level, cz)] = daughter
+    for lv in range(1, len(want)):
+        for cz in range(want[lv].shape[0]):
+            assert (lv, cz) in got, f"level {lv} slice {cz} never emitted"
+            assert np.array_equal(got[(lv, cz)], want[lv][cz]), (lv, cz)
+
+
+def test_slice_stack_even_vs_general_path():
+    """The vectorized even path and the contributor gather agree."""
+    rng = np.random.default_rng(5)
+    parents = rng.integers(0, 1 << 16, size=(2, 6, 8)).astype(np.int64)
+    parents[rng.random(size=parents.shape) < 0.4] = 0
+    for filter_ in ("mean", "max", "arthur"):
+        fast = downsample_slice_stack(parents, filter_)
+        slow = np.zeros_like(fast)
+        from hortacloud_importer_spark.streaming.cascade import (
+            _np_child_groups,
+            _reduce,
+        )
+
+        gy, gx = _np_child_groups(6), _np_child_groups(8)
+        for iy, ys in enumerate(gy):
+            for ix, xs in enumerate(gx):
+                slow[iy, ix] = _reduce(parents[:, ys][:, :, xs].ravel(), filter_)
+        assert np.array_equal(fast, slow), filter_
+
+
+def test_streaming_cascade_e2e(spark, tmp_path):
+    """applyInPandasWithState across >= 2 micro-batches: state carries
+    partial level buffers between batches; results match the kernel."""
+    dims = (8, 4, 4)
+    vol = random_vol(dims)
+    indir = tmp_path / "slices"
+    indir.mkdir()
+    schema = (
+        "zi int, yi int, xi int, channel int, z int,"
+        " height int, width int, voxels array<long>"
+    )
+
+    def rows(z0, z1):
+        return [
+            (0, 0, 0, 0, z, dims[1], dims[2], [int(v) for v in vol[z].ravel()])
+            for z in range(z0, z1)
+        ]
+
+    # two files -> two micro-batches (maxFilesPerTrigger=1); file source
+    # orders by modification time, so sleep between writes
+    spark.createDataFrame(rows(0, 4), schema).coalesce(1).write.parquet(
+        str(indir / "a")
+    )
+    time.sleep(1.1)
+    spark.createDataFrame(rows(4, 8), schema).coalesce(1).write.parquet(
+        str(indir / "b")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(indir / "*"))
+    )
+    out = streaming_cascade(stream, dims, "arthur")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cascade_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["level"], r["z"]): np.array(r["voxels"]).reshape(r["height"], r["width"])
+        for r in spark.sql("SELECT * FROM cascade_out").collect()
+    }
+    want = _np_pyramid(vol.copy(), "arthur")
+    n_expected = sum(want[lv].shape[0] for lv in range(1, len(want)))
+    assert len(got) == n_expected, sorted(got)
+    for lv in range(1, len(want)):
+        for cz in range(want[lv].shape[0]):
+            assert np.array_equal(got[(lv, cz)], want[lv][cz]), (lv, cz)
+
+
+def test_streaming_tumbling_matches_batch(spark, tmp_path, sf_dir):
+    """I3: the same tumbling_agg over a file stream equals the batch run."""
+    from hortacloud_importer_spark.catalog import table
+
+    events = table(spark, sf_dir, "events").select("ts", "value")
+    events.write.parquet(str(tmp_path / "events_in"))
+    stream = spark.readStream.schema(events.schema).parquet(
+        str(tmp_path / "events_in")
+    )
+    q = (
+        tumbling_agg(stream, "1 hour")
+        .writeStream.format("memory")
+        .queryName("tumbling_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["win"]["start"], r["n"], r["total"])
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    want = {
+        (r["win"]["start"], r["n"], r["total"])
+        for r in tumbling_agg(events, "1 hour").collect()
+    }
+    assert got == want
