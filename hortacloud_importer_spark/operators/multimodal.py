@@ -1,0 +1,215 @@
+"""§2.K4 — multimodal (image/audio/video) columns.
+
+Design: media rows are ``(media_id, kind, format, payload binary,
+meta struct)`` — payload is opaque bytes, metadata is typed, exactly
+the reference's block model generalized (a KTX block IS a binary
+payload with typed header metadata, ktx/__init__.py:139-158). All
+compute is ``mapInPandas`` over Arrow batches: bytes stay on
+executors, the driver only sees aggregates.
+
+Decode honesty (per the build contract): the container has no image/
+audio codecs, so
+- ``raw8`` (plain uint8 H*W*C / frame-stacked / PCM bytes) decode is
+  REAL and fully tested;
+- compressed formats (jpeg/png/...) are gated behind an import-try of
+  PIL and raise ``NotImplementedError`` when absent — the Spark-side
+  plumbing (schema, batching, partitioning) is identical either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+META_SCHEMA = (
+    "meta struct<height:int, width:int, channels:int,"
+    " sample_rate:int, n_frames:int>"
+)
+MEDIA_SCHEMA = (
+    "media_id long, kind string, format string, payload binary, " + META_SCHEMA
+)
+
+
+def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
+    """payload -> ndarray. raw8 is real; compressed needs PIL."""
+    if fmt == "raw8":
+        h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
+        nf = max(1, int(meta["n_frames"] or 1))
+        return np.frombuffer(payload, dtype=np.uint8).reshape(nf, h, w, c)
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:  # codec libs absent in this container
+        raise NotImplementedError(
+            f"format {fmt!r} needs an image codec; only raw8 is built in"
+        ) from exc
+    import io
+
+    import PIL.Image as Image
+
+    arr = np.asarray(Image.open(io.BytesIO(payload)))
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    return arr[None, ...]
+
+
+def synthetic_media(
+    spark: SparkSession, n: int, kind: str = "image", seed: int = 11
+) -> DataFrame:
+    """Deterministic raw8 media: per-row RNG seeded by (seed, id), so
+    any executor regenerates identical payloads (no driver data)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid in pdf["id"]:
+                rng = np.random.default_rng((seed, int(mid)))
+                if kind == "image":
+                    h, w, c = int(rng.integers(4, 17)), int(rng.integers(4, 17)), 3
+                    nf, sr = 1, 0
+                    payload = rng.integers(0, 256, size=h * w * c, dtype=np.uint8)
+                elif kind == "video":
+                    h, w, c = 8, 8, 1
+                    nf, sr = int(rng.integers(4, 13)), 0
+                    payload = rng.integers(0, 256, size=nf * h * w * c, dtype=np.uint8)
+                else:  # audio: 1-D PCM8
+                    h, w, c = 1, int(rng.integers(64, 257)), 1
+                    nf, sr = 1, 8000
+                    payload = rng.integers(0, 256, size=w, dtype=np.uint8)
+                rows.append(
+                    {
+                        "media_id": int(mid),
+                        "kind": kind,
+                        "format": "raw8",
+                        "payload": payload.tobytes(),
+                        "meta": {
+                            "height": h,
+                            "width": w,
+                            "channels": c,
+                            "sample_rate": sr,
+                            "n_frames": nf,
+                        },
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    # size partitions to the row count: tiny demo sets shouldn't pay 32
+    # Python-worker startups (at scale n/4096 partitions ~ a few
+    # thousand rows per Arrow batch)
+    return spark.range(n, numPartitions=max(1, min(n // 16, 32))).mapInPandas(
+        gen, MEDIA_SCHEMA
+    )
+
+
+def binary_file_source(spark: SparkSession, glob: str, fmt: str) -> DataFrame:
+    """A1 for media: ``binaryFile`` scan -> media rows (metadata-only
+    decode happens lazily in the operators below)."""
+    df = spark.read.format("binaryFile").load(glob)
+    return df.select(
+        F.xxhash64("path").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit(fmt).alias("format"),
+        F.col("content").alias("payload"),
+        F.expr(
+            "named_struct('height', -1, 'width', -1, 'channels', -1,"
+            " 'sample_rate', 0, 'n_frames', 1)"
+        ).alias("meta"),
+    )
+
+
+FEATURES_SCHEMA = (
+    "media_id long, n_bytes int, mean_intensity double, min_intensity int,"
+    " max_intensity int, hist16 array<long>"
+)
+
+
+def media_features(media: DataFrame) -> DataFrame:
+    """Feature extraction: per-item intensity stats + 16-bin histogram,
+    one Arrow batch at a time (J2's batched-kernel pattern)."""
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                arr = _decode_one(row.format, bytes(row.payload), row.meta)
+                hist = np.bincount(arr.ravel() >> 4, minlength=16)
+                out.append(
+                    {
+                        "media_id": int(row.media_id),
+                        "n_bytes": int(arr.size),
+                        "mean_intensity": float(arr.mean()),
+                        "min_intensity": int(arr.min()),
+                        "max_intensity": int(arr.max()),
+                        "hist16": hist.astype(np.int64).tolist(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(feats, FEATURES_SCHEMA)
+
+
+def resize_images(media: DataFrame, th: int, tw: int) -> DataFrame:
+    """Nearest-neighbor resize (real for raw8): new payload + meta.
+    Same MEDIA_SCHEMA out, so resizes compose/pipeline."""
+
+    def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                arr = _decode_one(row.format, bytes(row.payload), row.meta)[0]
+                h, w, c = arr.shape
+                ys = (np.arange(th) * h) // th
+                xs = (np.arange(tw) * w) // tw
+                resized = arr[ys][:, xs]
+                out.append(
+                    {
+                        "media_id": int(row.media_id),
+                        "kind": row.kind,
+                        "format": "raw8",
+                        "payload": resized.tobytes(),
+                        "meta": {
+                            "height": th,
+                            "width": tw,
+                            "channels": c,
+                            "sample_rate": int(row.meta["sample_rate"]),
+                            "n_frames": 1,
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(rs, MEDIA_SCHEMA)
+
+
+def sample_frames(media: DataFrame, stride: int) -> DataFrame:
+    """Video -> image rows, every ``stride``-th frame (a 1->N UDTF,
+    J4): the batch shape stays bounded because each output row is a
+    single frame."""
+
+    def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                frames = _decode_one(row.format, bytes(row.payload), row.meta)
+                for fi in range(0, frames.shape[0], stride):
+                    out.append(
+                        {
+                            "media_id": int(row.media_id) * 1000 + fi,
+                            "kind": "image",
+                            "format": "raw8",
+                            "payload": frames[fi].tobytes(),
+                            "meta": {
+                                "height": frames.shape[1],
+                                "width": frames.shape[2],
+                                "channels": frames.shape[3],
+                                "sample_rate": 0,
+                                "n_frames": 1,
+                            },
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(fs, MEDIA_SCHEMA)

@@ -7,6 +7,7 @@ from hortacloud_importer_spark.queries import (  # noqa: F401
     flagship,
     functions,
     joins,
+    multimodal,
     scans,
     sets,
     similarity,
