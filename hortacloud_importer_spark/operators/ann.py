@@ -9,7 +9,7 @@ matrices and no Python in the scoring path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _SCALE = float(1 << 62)
@@ -46,7 +46,7 @@ def lsh_topk(
     query_vec_id: int,
     k: int = 10,
     n_planes: int = 16,
-    max_hamming: int = 2,
+    max_hamming: int = 4,
 ) -> DataFrame:
     """Top-k by cosine among LSH candidates (multi-probe by hamming).
 
@@ -82,9 +82,9 @@ def lsh_topk(
         "hamming",
         F.round(dot / (norm("embedding") * norm("qv")), 6).alias("score"),
     )
-    w = Window.orderBy(F.col("score").desc(), "vec_id")
+    # TakeOrderedAndProject, not a global window (see sim_topk)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
+        scored.orderBy(F.col("score").desc(), "vec_id")
+        .limit(k)
         .select("vec_id", "score", "hamming")
     )

@@ -11,7 +11,7 @@ engines can't flip the order (values carry ~1e-15 relative error,
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hortacloud_importer_spark.catalog import table
@@ -82,10 +82,12 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score"),
         )
     )
-    w = Window.orderBy(F.col("score").desc(), "vec_id")
+    # global top-k as TakeOrderedAndProject (per-partition heaps + one
+    # k-row merge on the driver) — NOT a row_number window, which would
+    # funnel the whole corpus into a single partition
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _TOP_K)
+        scored.orderBy(F.col("score").desc(), "vec_id")
+        .limit(_TOP_K)
         .select("vec_id", "score")
     )
 
@@ -127,11 +129,11 @@ pairs AS (
 )
 SELECT vec_a, vec_b, ROUND(dot / (na * nb), 6) AS cosine
 FROM pairs
-WHERE ROUND(dot / (na * nb), 6) >= 0.5
+WHERE ROUND(dot / (na * nb), 6) >= 0.25
 """,
 )
 def sim_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (K2/K3): cosine ≥ 0.5 among
+    """Embedding-cosine near-dup pairs (K2/K3): cosine ≥ 0.25 among
     vectors sharing a label — the label plays the role of the coarse
     IVF/cluster assignment, so the quadratic comparison happens only
     inside cells, never across the corpus."""
@@ -153,5 +155,5 @@ def sim_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "lbl")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= 0.5)
+        .filter(F.col("cosine") >= 0.25)
     )

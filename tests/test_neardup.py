@@ -1,0 +1,119 @@
+"""Validation the rows-only near-dup/ANN operators promise in their
+docstrings: MinHash/SimHash find planted near-duplicates and estimate
+similarity accurately; LSH-ANN candidates carry exact cosine scores."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hortacloud_importer_spark.operators.ann import lsh_topk
+from hortacloud_importer_spark.operators.minhash import (
+    minhash_pairs,
+    minhash_signatures,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and then runs far away "
+    "into the deep green forest to find some tasty food for its cubs "
+    "while the moon rises slowly over the quiet hills in the east"
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    words = BASE.split()
+    near = words.copy()
+    near[5] = "leaps"  # one-word edit -> high jaccard
+    far = ["totally"] + ["different" + str(i) for i in range(30)]
+    docs = [
+        (0, " ".join(words)),
+        (1, " ".join(words)),  # exact dup of 0
+        (2, " ".join(near)),  # near dup of 0
+        (3, " ".join(far)),  # unrelated
+        (4, " ".join(reversed(words))),  # same vocab, different shingles
+    ]
+    return spark.createDataFrame(docs, "doc_id int, text string")
+
+
+def _shingles(docs):
+    words = F.split("text", " ")
+    idx = F.sequence(F.lit(0), F.size(words) - 3)
+    mk = lambda i: F.concat_ws(  # noqa: E731
+        " ",
+        F.element_at(words, i + 1),
+        F.element_at(words, i + 2),
+        F.element_at(words, i + 3),
+    )
+    return docs.select("doc_id", F.explode(F.transform(idx, mk)).alias("shingle"))
+
+
+def _exact_jaccard(docs):
+    sh = _shingles(docs).distinct()
+    rows = sh.collect()
+    sets: dict[int, set] = {}
+    for r in rows:
+        sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+    out = {}
+    ids = sorted(sets)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                inter = len(sets[i] & sets[j])
+                out[(i, j)] = inter / (len(sets[i]) + len(sets[j]) - inter)
+    return out
+
+
+def test_minhash_finds_planted_dups(spark, corpus):
+    exact = _exact_jaccard(corpus)
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_pairs(_shingles(corpus), n_hashes=32, bands=8).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0  # exact dup
+    assert (0, 2) in pairs  # near dup found
+    # estimate within 0.25 of exact for found high-sim pairs
+    for key, est in pairs.items():
+        if exact[key] >= 0.5:
+            assert abs(est - exact[key]) <= 0.25, (key, est, exact[key])
+    # unrelated doc 3 shares no shingle with 0 -> must not pair
+    assert (0, 3) not in pairs
+
+
+def test_minhash_signature_shape(spark, corpus):
+    sig = minhash_signatures(_shingles(corpus), n_hashes=32).collect()
+    assert len(sig) == 5
+    assert all(len(r["sig"]) == 32 for r in sig)
+    # identical docs -> identical signatures
+    by_id = {r["doc_id"]: r["sig"] for r in sig}
+    assert by_id[0] == by_id[1]
+    assert by_id[0] != by_id[3]
+
+
+def test_simhash_finds_planted_dups(spark, corpus):
+    tokens = corpus.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_pairs(tokens, max_hamming=16).collect()
+    }
+    assert pairs.get((0, 1)) == 0  # exact dup -> identical simhash
+    # doc 4 is a token-level permutation: simhash is order-insensitive
+    assert pairs.get((0, 4)) == 0
+    assert (0, 2) in pairs and pairs[(0, 2)] <= 16
+
+
+def test_lsh_ann_candidates_score_exact(spark, sf_dir):
+    """Every ANN candidate's cosine must equal the brute-force value."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = lsh_topk(emb, query_vec_id=0, k=10).collect()
+    assert len(got) >= 1  # probe radius must yield candidates
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    q = vecs[0]
+    for r in got:
+        v = vecs[r["vec_id"]]
+        want = round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6)
+        assert r["score"] == pytest.approx(want, abs=2e-6)
