@@ -97,7 +97,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH (K3 scale path), rows-only:
     16-bit sign signature per vector from deterministic pseudo-random
     hyperplanes; candidates share the query's bucket (multi-probe:
-    hamming ≤ 2 on the signature), then exact cosine re-scoring of the
+    hamming ≤ 4 on the signature), then exact cosine re-scoring of the
     pruned set. The bucket join replaces the corpus scan — at 100 TB
     only bucket-mates are scored. Validated in tests for recall
     against sim_topk."""

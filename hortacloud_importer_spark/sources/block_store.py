@@ -73,6 +73,30 @@ def read_blocks(spark: SparkSession, root: str) -> DataFrame:
     return spark.read.parquet(root)
 
 
+def rewrite_layout(
+    df: DataFrame,
+    root: str,
+    sort_cols: list[str],
+    rowgroup_bytes: int = 8 * 1024 * 1024,
+) -> None:
+    """A7: storage-layout rewrite for cheap windowed reads.
+
+    The reference re-lays big untiled slices out as 256x256-tiled TIFF
+    so window reads touch only the needed tiles
+    (tiff2octree.py:516-551, 1026-1030). The parquet analog: sort by
+    the access-path key (Morton/octree order) and bound row-group
+    size, so a range predicate skips row groups via min/max stats —
+    ``conv_tiled_tiff`` as config + sort, not code (§4 O7).
+    """
+    (
+        df.sort(*sort_cols)
+        .write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("parquet.block.size", str(rowgroup_bytes))
+        .parquet(root)
+    )
+
+
 def resume_filter(work: DataFrame, spark: SparkSession, root: str) -> DataFrame:
     """C4: drop work items whose output already exists in the store.
 
