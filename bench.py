@@ -20,8 +20,36 @@ from hortacloud_importer_spark.session import get_spark
 # Headline set: flagship + one representative per operator family.
 # Grown as coverage widens; anything registered can be benched via argv.
 HEADLINE = [
+    # flagship + aggregates
     "agg_requant_params",
     "agg_percentile",
+    "agg_2ndmax",
+    "agg_histogram",
+    # scans / filters
+    "project",
+    "filter_range",
+    # joins
+    "join_inner",
+    "join_broadcast",
+    "join_anti",
+    # windows / sorts
+    "win_cumsum",
+    "win_rank",
+    "topk",
+    # sets / streaming duals
+    "set_union",
+    "stream_tumbling",
+    "stream_session",
+    # volume engine
+    "vol_downsample_2ndmax",
+    "vol_cascade",
+    # extensions: dedup / text / similarity / multimodal
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "text_wordcount",
+    "text_quality",
+    "sim_topk",
+    "mm_doc_bytes",
 ]
 
 

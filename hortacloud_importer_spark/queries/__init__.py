@@ -11,6 +11,7 @@ from hortacloud_importer_spark.queries import (  # noqa: F401
     scans,
     sets,
     similarity,
+    sinks,
     streaming_duals,
     text,
     volume,

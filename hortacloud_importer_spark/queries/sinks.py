@@ -1,0 +1,96 @@
+"""§2.A7/A8/A9/J1-J3 — sink/codec/kernel query registrations.
+
+These are rows-only (binary sinks and layout rewrites aren't
+SQL-comparable); each runs the full distributed pipeline and returns
+verifiable accounting rows. Byte-exactness is covered by
+tests/test_ktx.py (golden-byte) and tests/test_kernels.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hortacloud_importer_spark.registry import register
+
+
+@register("ktx_roundtrip", "A8+A9", oracle=None)
+def ktx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8+A9 rows-only: synthetic volume -> pyramid -> per-block KTX
+    encode (applyInPandas) -> decode (mapInPandas) -> per-level byte
+    accounting. Level-k payload must be 8x smaller than level k-1."""
+    from hortacloud_importer_spark.sources.ktx import (
+        ktx_decode_blocks,
+        ktx_encode_blocks,
+    )
+    from hortacloud_importer_spark.volume import (
+        blockify,
+        build_pyramid,
+        mipmap_dimension,
+        synthetic_volume,
+    )
+
+    dims = (8, 8, 8)
+    v = synthetic_volume(spark, *dims, channels=2)
+    pyr = build_pyramid(v, dims, 3, "arthur", persist=False)
+    per_level = []
+    d = dims
+    for lv in range(3):
+        per_level.append(
+            blockify(pyr.filter(F.col("level") == lv), d).withColumn(
+                "level", F.lit(lv)
+            )
+        )
+        d = tuple(mipmap_dimension(1, x) for x in d)
+    stacked = per_level[0]
+    for b in per_level[1:]:
+        stacked = stacked.unionByName(b)
+    decoded = ktx_decode_blocks(ktx_encode_blocks(stacked))
+    return decoded.groupBy("level").agg(
+        F.count("*").alias("n_blocks"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("pixel_depth").alias("depth"),
+    )
+
+
+@register("sink_layout_rewrite", "A7", oracle=None)
+def sink_layout_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 rows-only: rewrite a table sorted by its access key with
+    bounded row groups (the tiled-TIFF analog), read it back, and
+    return the range-scan accounting over the rewritten layout."""
+    from hortacloud_importer_spark.sources.block_store import rewrite_layout
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    out = tempfile.mkdtemp(prefix="layout_rewrite_") + "/lineitem_sorted"
+    rewrite_layout(li, out, ["l_orderkey", "l_linenumber"])
+    back = spark.read.parquet(out)
+    return back.filter(
+        (F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") < 2000)
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").alias("total_qty"),
+    )
+
+
+@register("vol_kernel_box", "J1+J2+J3", oracle=None)
+def vol_kernel_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1-J3 rows-only: the grouped-map neighborhood-kernel path
+    (applyInPandas over Arrow batches) with the dependency-free box
+    kernel; scipy/skimage kernels share this exact plumbing."""
+    from hortacloud_importer_spark.operators.kernels import (
+        downsample_blocks_kernel,
+    )
+    from hortacloud_importer_spark.volume import blockify, synthetic_volume
+
+    v = synthetic_volume(spark, 8, 8, 8, channels=2)
+    out = downsample_blocks_kernel(blockify(v, (4, 4, 4)), "box")
+    return out.select(
+        "zi", "yi", "xi", "channel",
+        F.aggregate("voxels", F.lit(0).cast("bigint"), lambda a, b: a + b).alias(
+            "payload_sum"
+        ),
+    )
