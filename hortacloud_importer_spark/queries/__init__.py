@@ -13,6 +13,7 @@ from hortacloud_importer_spark.queries import (  # noqa: F401
     similarity,
     sinks,
     streaming_duals,
+    streaming_live,
     text,
     volume,
     windows,

@@ -222,6 +222,19 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_distinct", "D11", oracle=None)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx distinct (D11), rows-only: HLL sketch at 1% target error
+    — the 100 TB path where an exact distinct shuffle is unaffordable;
+    sketches merge map-side so the shuffle carries registers, not
+    keys. (Sketch values are engine-specific, hence no SQL oracle.)"""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_cust_approx"),
+        F.count("*").alias("n"),
+    )
+
+
 @register(
     "agg_rollup",
     "D12",

@@ -38,21 +38,50 @@ def channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") * F.col("l_discount")).alias("i"),
     )
 
-    # Zero-fraction side (D6): tiny (one row per group) -> broadcast.
-    zeros = grouped.groupBy("grp").agg(
-        F.count("*").alias("total_rows"),
-        F.count(F.when(F.col("i") == 0, True)).alias("zero_count"),
+    # ONE scan, NO join: the full (group, intensity) histogram keeps
+    # the i=0 bin; the CDF window counts only non-zero bins (the zero
+    # bin gets a NULL cumulative, so percentile picks skip it), and the
+    # final per-group aggregate reads zero-fraction totals off the same
+    # rows. Plan: scan -> partial+final histogram agg -> window(grp) ->
+    # one agg -> column math. Two histogram-sized exchanges total.
+    # (A naive "reuse the histogram for a separate zeros branch" does
+    # NOT fuse: Catalyst pushes the i>0 filter below the aggregate on
+    # one branch, so the exchanges differ and ReuseExchange can't fire.)
+    from pyspark.sql import Window
+
+    full_hist = grouped.groupBy("grp", "i").agg(F.count("*").alias("bin_count"))
+    order = Window.partitionBy("grp").orderBy("i")
+    whole = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    nz_count = F.when(F.col("i") > 0, F.col("bin_count"))
+    cdf = full_hist.withColumn("cum_count", F.sum(nz_count).over(order)).withColumn(
+        "total_nonzero", F.sum(nz_count).over(whole)
     )
 
-    hist = P.with_cdf(P.nonzero_histogram(grouped, ["grp"], "i"), ["grp"], "i")
-    pctl = hist.groupBy("grp").agg(*P.percentile_exprs("i", _PCTS))
+    pct = (F.lit(100.0) * F.col("cum_count")) / F.col("total_nonzero")
+    nz_i = F.when(F.col("i") > 0, F.col("i"))
+    pct_exprs = []
+    for p in _PCTS:
+        if p == 0:
+            pct_exprs.append(F.min(nz_i).alias("p0"))
+        elif p == 100:
+            pct_exprs.append(F.max(nz_i).alias("p100"))
+        else:
+            pct_exprs.append(
+                F.min(F.when(pct >= F.lit(float(p)), F.col("i"))).alias(f"p{p}")
+            )
+    pctl = cdf.groupBy("grp").agg(
+        *pct_exprs,
+        F.sum("bin_count").alias("total_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("i") == 0, F.col("bin_count"))), F.lit(0).cast("bigint")
+        ).alias("zero_count"),
+    )
+
     mean, stddev = R.band_moments()
-    stats = pctl.select("grp", *_REPORTED, mean, stddev).select(
-        "*", *R.requant_params()
-    )
-
-    out = stats.join(F.broadcast(zeros), "grp")
-    return out.select(
+    stats = pctl.select(
+        "grp", "total_rows", "zero_count", *_REPORTED, mean, stddev
+    ).select("*", *R.requant_params())
+    return stats.select(
         F.col("grp").alias("l_returnflag"),
         "total_rows",
         "zero_count",
