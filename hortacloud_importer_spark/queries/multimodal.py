@@ -23,7 +23,11 @@ from hortacloud_importer_spark.registry import register
 
 def _doc_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents.text as raw8 'audio' payloads (1 x n_bytes x 1)."""
-    d = table(spark, sf_dir, "documents")
+    # the fixture is one small parquet file -> one input split -> one
+    # Python worker; spread the Arrow batches across workers before the
+    # decode kernel (at real scale the source has many splits and this
+    # repartition is unnecessary — splits already parallelize)
+    d = table(spark, sf_dir, "documents").repartition(16, "doc_id")
     payload = F.encode("text", "UTF-8")
     return d.select(
         F.col("doc_id").alias("media_id"),

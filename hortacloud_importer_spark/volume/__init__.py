@@ -15,6 +15,7 @@ The reference's central abstraction is a dense chunked 4-D array
 
 from hortacloud_importer_spark.volume.model import (  # noqa: F401
     blockify,
+    densify,
     octree_path,
     synthetic_volume,
     unblockify,

@@ -58,6 +58,40 @@ def synthetic_volume(
     )
 
 
+def densify(
+    voxels: DataFrame,
+    spark: SparkSession,
+    dims: tuple[int, int, int],
+    channels: int = 1,
+) -> DataFrame:
+    """Sparse -> dense voxels: materialize absent coordinates as 0.
+
+    The engine's relational form is sparse (absent row == zero == "no
+    data", matching the reference's skip-empty storage,
+    tiff2octree.py:312); dense export boundaries (KTX payloads, A8)
+    need every coordinate present. Grid generation is a narrow range
+    scan; the join is a right outer on the coordinate key.
+    """
+    n = dims[0] * dims[1] * dims[2] * channels
+    grid = spark.range(n)
+    c = (F.col("id") % channels).cast("int")
+    rest = F.col("id") / channels
+    x = (F.floor(rest) % dims[2]).cast("int")
+    rest = F.floor(rest) / dims[2]
+    y = (F.floor(rest) % dims[1]).cast("int")
+    z = (F.floor(F.floor(rest) / dims[1])).cast("int")
+    grid = grid.select(
+        z.alias("z"), y.alias("y"), x.alias("x"), c.alias("channel")
+    )
+    return grid.join(voxels, ["z", "y", "x", "channel"], "left").select(
+        "z",
+        "y",
+        "x",
+        "channel",
+        F.coalesce("intensity", F.lit(0)).cast("int").alias("intensity"),
+    )
+
+
 def octree_path(
     z: Column | str,
     y: Column | str,
