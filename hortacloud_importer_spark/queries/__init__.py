@@ -12,6 +12,7 @@ from hortacloud_importer_spark.queries import (  # noqa: F401
     sets,
     similarity,
     sinks,
+    sql_surface,
     streaming_duals,
     streaming_live,
     text,
