@@ -238,3 +238,55 @@ def limit_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", "o_totalprice")
     )
+
+
+@register(
+    "win_denserank",
+    "E4",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       DENSE_RANK() OVER (PARTITION BY l_orderkey
+                          ORDER BY l_quantity DESC, l_linenumber) AS drnk
+FROM lineitem WHERE l_orderkey % 50 = 0
+""",
+)
+def win_denserank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dense_rank (E4): rank without gaps per order by quantity."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    w = Window.partitionBy("l_orderkey").orderBy(
+        F.col("l_quantity").desc(), "l_linenumber"
+    )
+    return li.select(
+        "l_orderkey", "l_linenumber", F.dense_rank().over(w).alias("drnk")
+    )
+
+
+@register(
+    "win_firstlast",
+    "E4",
+    oracle="""
+SELECT l_orderkey, l_linenumber,
+       FIRST_VALUE(l_quantity) OVER w AS first_qty,
+       LAST_VALUE(l_quantity) OVER w AS last_qty
+FROM lineitem
+WHERE l_orderkey % 50 = 0
+WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value (E4) over the full partition frame (the
+    default growing frame makes last_value useless — the explicit
+    unbounded frame is the portable form)."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.first("l_quantity").over(w).alias("first_qty"),
+        F.last("l_quantity").over(w).alias("last_qty"),
+    )

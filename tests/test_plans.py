@@ -1,0 +1,88 @@
+"""Physical-plan regression net: the optimizations the engine relies
+on must be visible in the executed plan, not assumed. A refactor that
+silently loses a pushdown/broadcast/TakeOrdered fails here."""
+
+from __future__ import annotations
+
+import pytest
+
+from hortacloud_importer_spark.registry import all_queries
+
+SPECS = all_queries()
+
+
+def _plan(spark, name, sf_dir):
+    return (
+        SPECS[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, "project", sf_dir)
+    assert "ReadSchema: struct<l_orderkey" in plan
+    # untouched wide columns must not be read
+    assert "l_comment" not in plan and "l_shipinstruct" not in plan
+
+
+def test_range_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, "filter_range", sf_dir)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan" in plan or "LessThan" in plan or "Between" in plan
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, "join_broadcast", sf_dir)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_anti_join_shape(spark, sf_dir):
+    plan = _plan(spark, "join_anti", sf_dir)
+    assert "LeftAnti" in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, "sim_topk", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+    # the corpus must NOT be funneled through a single-partition window
+    assert "Window" not in plan
+
+
+def test_limit_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, "limit_k", sf_dir)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_flagship_scans_once(spark, sf_dir):
+    plan = _plan(spark, "agg_requant_params", sf_dir)
+    assert plan.count("FileScan") == 1
+    # fully fused: histogram window + aggregate, no second branch join
+    assert "Join" not in plan
+
+
+def test_downsample_is_single_aggregate(spark, sf_dir):
+    """The 2x2x2 downsample must be one hash aggregate over bit math:
+    no window, no UDF, exactly one shuffle above the scan."""
+    plan = _plan(spark, "vol_downsample_2ndmax", sf_dir)
+    assert "Window" not in plan
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_dedup_exact_shuffles_hashes_not_payloads(spark, sf_dir):
+    """The exact-dedup shuffle carries (fp, doc_id), never text."""
+    plan = _plan(spark, "dedup_exact", sf_dir)
+    ex = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert ex, plan[:2000]
+    assert all("text" not in l for l in ex), ex
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["agg_mean", "agg_histogram", "text_wordcount", "vol_downsample_mean"],
+)
+def test_aggregates_have_partial_stage(spark, sf_dir, name):
+    """Map-side combine: every groupBy must show a partial_ aggregate
+    below its Exchange (8x data reduction before the shuffle for the
+    downsamples; vocabulary-size shuffle for wordcount)."""
+    plan = _plan(spark, name, sf_dir)
+    assert "partial_" in plan, plan[:2000]
