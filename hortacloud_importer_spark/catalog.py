@@ -51,3 +51,30 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def load(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
     return tuple(table(spark, sf_dir, n) for n in names)
+
+
+class SchemaMismatch(ValueError):
+    """A later input diverged from the frozen run schema."""
+
+
+def freeze_schema(df: DataFrame) -> str:
+    """Capture the inferred schema as the run contract (§1.4: the
+    reference infers from the first file then asserts every subsequent
+    slice matches — ktx_from_rendered_tiff.py:425-426,
+    small_memory_histogram.py:30-31)."""
+    return df.schema.simpleString()
+
+
+def validate_schema(df: DataFrame, frozen: str, source: str = "") -> DataFrame:
+    """Fail fast when an input's schema diverges from the frozen one.
+
+    Field ORDER matters too (the reference's dtype/shape asserts are
+    positional); pass-through on success so this chains in pipelines.
+    """
+    got = df.schema.simpleString()
+    if got != frozen:
+        raise SchemaMismatch(
+            f"schema mismatch{f' in {source}' if source else ''}:\n"
+            f"  frozen: {frozen}\n  got   : {got}"
+        )
+    return df
