@@ -238,6 +238,27 @@ def ktx_encode_blocks(pyramid_blocks: DataFrame, itemsize: int = 2) -> DataFrame
     )
 
 
+def write_ktx_files(encoded: DataFrame, out_dir: str) -> None:
+    """A8 file sink: one ``block_{z}_{y}_{x}_ch{c}.ktx`` per row,
+    written BY EXECUTORS via foreachPartition (blobs never visit the
+    driver; works against any Hadoop-visible filesystem). Pair with
+    ``spark.read.format("binaryFile")`` + :func:`ktx_decode_blocks`
+    for the A9 read path."""
+
+    def write_partition(rows):
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+        for row in rows:
+            name = f"block_{row['zi']}_{row['yi']}_{row['xi']}_ch{row['channel']}.ktx"
+            tmp = os.path.join(out_dir, f".{name}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(bytes(row["ktx"]))
+            os.replace(tmp, name if os.path.isabs(name) else os.path.join(out_dir, name))
+
+    encoded.foreachPartition(write_partition)
+
+
 DECODE_SCHEMA = (
     "zi int, yi int, xi int, channel int, level int, n_bytes int,"
     " pixel_depth int, pixel_height int, pixel_width int, voxels array<int>"
