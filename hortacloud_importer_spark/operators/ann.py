@@ -88,3 +88,79 @@ def lsh_topk(
         .limit(k)
         .select("vec_id", "score", "hamming")
     )
+
+
+def _dotd(a, b) -> Column:
+    """Double-precision left-fold dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _normd(a) -> Column:
+    return F.sqrt(_dotd(a, a))
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_probe_cells: int = 3,
+) -> DataFrame:
+    """IVF-style ANN: coarse cells -> probe nearest cells -> exact
+    re-score of cell members only.
+
+    Inverted-file structure, Spark-first: the cell assignment is the
+    `label` column (a full build would k-means it — same plan shape);
+    centroids are one aggregate over position-exploded vectors (tiny:
+    cells x dims rows); cell probing is a broadcast of ONE row per
+    probed cell; the corpus is then scanned once with a broadcast
+    semi-join membership filter. At 100 TB only nprobe/ncells of the
+    corpus is scored — the classic IVF recall/cost dial.
+    """
+    pos = embeddings.select("label", F.posexplode("embedding").alias("pos", "v"))
+    centroids = (
+        pos.groupBy("label", "pos")
+        .agg(F.avg("v").alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "cv"))),
+                lambda s: s["cv"],
+            ).alias("centroid")
+        )
+    )
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qv")
+    )
+    probe = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            (_dotd("centroid", "qv") / (_normd("centroid") * _normd("qv"))).alias(
+                "csim"
+            ),
+        )
+        .orderBy(F.col("csim").desc(), "label")
+        .limit(n_probe_cells)
+        .select("label")
+    )
+    cand = (
+        embeddings.filter(F.col("vec_id") != query_vec_id)
+        .join(F.broadcast(probe), "label", "left_semi")
+        .crossJoin(F.broadcast(q))
+    )
+    scored = cand.select(
+        "vec_id",
+        "label",
+        F.round(_dotd("embedding", "qv") / (_normd("embedding") * _normd("qv")), 6).alias(
+            "score"
+        ),
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "vec_id")
+        .limit(k)
+        .select("vec_id", "label", "score")
+    )

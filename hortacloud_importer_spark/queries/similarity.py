@@ -107,6 +107,19 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, query_vec_id=_QUERY_VEC_ID, k=_TOP_K)
 
 
+@register("sim_ann_ivf", "K3", oracle=None)
+def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via inverted-file coarse quantization (K3 scale path),
+    rows-only: per-cell centroids -> probe the query's nearest cells
+    -> exact cosine over cell members only. Complements sim_ann_lsh:
+    IVF prunes by data-learned cells, LSH by random hyperplanes.
+    Candidate scores validated exact in tests."""
+    from hortacloud_importer_spark.operators.ann import ivf_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, query_vec_id=_QUERY_VEC_ID, k=_TOP_K)
+
+
 @register(
     "sim_pairs_cosine",
     "K3+K2",

@@ -106,6 +106,32 @@ def test_simhash_finds_planted_dups(spark, corpus):
     assert (0, 2) in pairs and pairs[(0, 2)] <= 16
 
 
+def test_ivf_ann_candidates_score_exact(spark, sf_dir):
+    """IVF candidates carry exact cosine; top-1 within probed cells
+    must equal the global top-1 when its cell is probed."""
+    from hortacloud_importer_spark.operators.ann import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = ivf_topk(emb, query_vec_id=0, k=10, n_probe_cells=10).collect()
+    assert len(got) == 10
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb.collect()}
+    q = vecs[0]
+    for r in got:
+        v = vecs[r["vec_id"]]
+        want = round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6)
+        assert r["score"] == pytest.approx(want, abs=2e-6)
+    # probing ALL 10 cells makes IVF exhaustive -> equals brute force
+    brute = sorted(
+        (
+            (round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6), vid)
+            for vid, v in vecs.items()
+            if vid != 0
+        ),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    assert [(r["score"], r["vec_id"]) for r in got] == brute
+
+
 def test_lsh_ann_candidates_score_exact(spark, sf_dir):
     """Every ANN candidate's cosine must equal the brute-force value."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
