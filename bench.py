@@ -43,6 +43,10 @@ HEADLINE = [
     # volume engine
     "vol_downsample_2ndmax",
     "vol_cascade",
+    "vol_pyramid_throughput",
+    # composite analytics
+    "q_ship_priority",
+    "q_regional_volume",
     # extensions: dedup / text / similarity / multimodal
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -2,6 +2,7 @@
 
 from hortacloud_importer_spark.queries import (  # noqa: F401
     aggregates,
+    analytics,
     dedup,
     filters,
     flagship,

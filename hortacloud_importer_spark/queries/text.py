@@ -161,6 +161,20 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("text_sentences_udtf", "K5+J4", oracle=None)
+def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation via a Python UDTF (J4), rows-only: one
+    row per (doc, sentence) with word counts — Python generator logic
+    where the expansion rule isn't expressible as array built-ins.
+    Validated against a plain-Python re-split in tests."""
+    from hortacloud_importer_spark.operators.udtfs import SplitSentences
+
+    d = table(spark, sf_dir, "documents")
+    return d.select("doc_id", "text").lateralJoin(
+        SplitSentences(F.col("text").outer())
+    ).select("doc_id", "idx", "sentence", "n_words")
+
+
 @register(
     "text_fingerprint",
     "K5+K1",

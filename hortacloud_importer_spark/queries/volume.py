@@ -114,6 +114,24 @@ def vol_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pyr.filter(F.col("level") == 2).select("z", "y", "x", "intensity")
 
 
+@register("vol_pyramid_throughput", "D13+D3", oracle=None)
+def vol_pyramid_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-engine throughput probe (rows-only): full 6-level arthur
+    pyramid over a 64^3 synthetic volume (262k voxels, sf-independent)
+    — the benchmark's measure of the core downsample cascade. Returns
+    per-level counts + checksums (deterministic input, so the values
+    are stable across runs/engines)."""
+    from hortacloud_importer_spark.volume import build_pyramid, synthetic_volume
+
+    dims = (64, 64, 64)
+    v = synthetic_volume(spark, *dims, channels=1)
+    pyr = build_pyramid(v, dims, 6, "arthur", persist=True)
+    return pyr.groupBy("level").agg(
+        F.count("*").alias("n_voxels"),
+        F.sum("intensity").cast("bigint").alias("checksum"),
+    )
+
+
 @register(
     "vol_octree_path",
     "H2+A6",
