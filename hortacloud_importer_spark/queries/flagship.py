@@ -127,6 +127,22 @@ FROM pctl p JOIN zeros z USING (grp)
 register("agg_requant_params", "D4+D5+D6+D7+D10", _oracle())(channel_stats)
 
 
+@register("agg_approx_percentile", "D5", oracle=None)
+def approx_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx deciles (D5 scale variant), rows-only: percentile_approx
+    (KLL-style sketch, mergeable map-side) — at 100 TB the exact
+    histogram method still wins when intensities are bounded ints
+    (65,536 bins max), but unbounded/continuous domains need the
+    sketch. Accuracy vs the exact method is bounded by the 10,000
+    accuracy parameter."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_returnflag")).agg(
+        F.percentile_approx(
+            "l_extendedprice", [i / 10 for i in range(11)], 10000
+        ).alias("deciles")
+    )
+
+
 @register(
     "agg_percentile",
     "D5+E1",

@@ -47,6 +47,14 @@ def test_topk_is_take_ordered(spark, sf_dir):
     assert "Window" not in plan
 
 
+def test_grouped_topk_pushes_group_limit(spark, sf_dir):
+    """Per-group top-k must push a partial WindowGroupLimit below the
+    shuffle: only k rows per group per mapper reach the exchange."""
+    plan = _plan(spark, "topk", sf_dir)
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan and "Final" in plan
+
+
 def test_limit_is_take_ordered(spark, sf_dir):
     plan = _plan(spark, "limit_k", sf_dir)
     assert "TakeOrderedAndProject" in plan
