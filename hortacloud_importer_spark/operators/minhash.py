@@ -11,7 +11,7 @@ are never shuffled.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # 2^31-1: keeps (a*x + b) < 2^62 so the bigint math can't overflow —

@@ -11,7 +11,7 @@ from hortacloud_importer_spark.operators.kernels import (
     downsample_blocks_kernel,
 )
 from hortacloud_importer_spark.sources.block_store import rewrite_layout
-from hortacloud_importer_spark.volume import blockify, synthetic_volume, unblockify
+from hortacloud_importer_spark.volume import blockify, synthetic_volume
 
 
 def test_box_kernel_via_apply_in_pandas(spark):

@@ -10,7 +10,6 @@ from pyspark.sql import functions as F
 
 from hortacloud_importer_spark.sources.ktx import (
     GL_RED,
-    GL_UNSIGNED_BYTE,
     GL_UNSIGNED_SHORT,
     KtxHeader,
     KtxParseError,

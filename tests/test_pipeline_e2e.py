@@ -17,7 +17,6 @@ from hortacloud_importer_spark.volume import (
     blockify,
     build_pyramid,
     densify,
-    mipmap_dimension,
     synthetic_volume,
     unblockify,
 )

@@ -15,7 +15,6 @@ from hortacloud_importer_spark.streaming.cascade import (
     streaming_cascade,
 )
 from hortacloud_importer_spark.streaming.windows import tumbling_agg
-from hortacloud_importer_spark.volume.downsample import mipmap_dimension
 
 from tests.test_volume import np_downsample, random_vol
 
