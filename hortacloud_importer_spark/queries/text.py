@@ -161,6 +161,52 @@ def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINNOW_K = 3  # k-gram size (words)
+_WINNOW_W = 4  # winnowing window
+
+
+def winnow_fingerprints(d: DataFrame, k: int = _WINNOW_K, w: int = _WINNOW_W) -> DataFrame:
+    """Winnowing (rolling-hash) fingerprints, pure Catalyst arrays:
+    word k-gram hashes -> per-window minima -> distinct set. The MOSS
+    guarantee: any shared run of >= w+k-1 words between two documents
+    shares at least one fingerprint, at ~2/(w+1) the storage of full
+    shingling. The hash array is computed ONCE per row (transform over
+    the split array), then windows are slices of it — no per-index
+    re-evaluation (see _shingles' pitfall note in dedup.py)."""
+    assert k == 3, "gram builder below is written for k=3"
+    words = F.split("text", " ")
+    z = F.arrays_zip(
+        words,
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        F.slice(words, 3, F.greatest(F.size(words) - 2, F.lit(0))),
+    )
+    grams = F.transform(
+        F.filter(z, lambda t: t["2"].isNotNull()),
+        lambda t: F.xxhash64(F.concat_ws(" ", t["0"], t["1"], t["2"])),
+    )
+    hashes = F.col("_hashes")
+    minima = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(hashes) - w, F.lit(0))),
+        lambda i: F.array_min(F.slice(hashes, i + 1, w)),
+    )
+    return (
+        d.filter(F.size(words) >= k)
+        .select("doc_id", grams.alias("_hashes"))
+        .select("doc_id", F.explode(F.array_distinct(minima)).alias("fp"))
+    )
+
+
+@register("text_winnow", "K5+K2", oracle=None)
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by winnowing (K5), rows-only: the
+    rolling-hash fingerprint set per document — the dedup-oriented
+    fingerprint (shared substrings -> shared fingerprints), vs
+    text_fingerprint's whole-document digests. Validated against a
+    plain-Python winnower in tests."""
+    d = table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d)
+
+
 @register("text_sentences_udtf", "K5+J4", oracle=None)
 def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation via a Python UDTF (J4), rows-only: one

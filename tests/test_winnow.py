@@ -1,0 +1,67 @@
+"""Winnowing fingerprints vs a plain-Python oracle + the MOSS
+shared-substring guarantee."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hortacloud_importer_spark.queries.text import (
+    _WINNOW_K,
+    _WINNOW_W,
+    winnow_fingerprints,
+)
+
+
+def _spark_hash_oracle(spark, texts):
+    """xxhash64 isn't reimplementable in pure Python here, so get the
+    per-gram hashes from Spark itself, then winnow in Python."""
+    rows = []
+    for doc_id, text in texts:
+        words = text.split(" ")
+        for i in range(len(words) - _WINNOW_K + 1):
+            rows.append((doc_id, i, " ".join(words[i : i + _WINNOW_K])))
+    df = spark.createDataFrame(rows, "doc_id int, pos int, gram string")
+    hashed = {
+        (r["doc_id"], r["pos"]): r["h"]
+        for r in df.select("doc_id", "pos", F.xxhash64("gram").alias("h")).collect()
+    }
+    out = {}
+    for doc_id, text in texts:
+        n = len(text.split(" ")) - _WINNOW_K + 1
+        hs = [hashed[(doc_id, i)] for i in range(n)]
+        fps = set()
+        for i in range(max(1, n - _WINNOW_W + 1)):
+            fps.add(min(hs[i : i + _WINNOW_W]))
+        out[doc_id] = fps
+    return out
+
+
+def test_winnow_matches_python(spark):
+    texts = [
+        (0, "a b c d e f g h i j k l m"),
+        (1, "x y z a b c d e f q r s t"),
+        (2, "one two three"),  # exactly k words -> single gram
+    ]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    got = {}
+    for r in winnow_fingerprints(df).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+    want = _spark_hash_oracle(spark, texts)
+    assert got == want
+
+
+def test_shared_run_shares_fingerprint(spark):
+    """MOSS guarantee: docs sharing >= w+k-1 consecutive words share
+    at least one fingerprint."""
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = w+k-1 words
+    texts = [
+        (0, f"p q r {shared} s t"),
+        (1, f"{shared} u v w x"),
+        (2, "totally different words here entirely now"),
+    ]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    fps = {}
+    for r in winnow_fingerprints(df).collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert fps[0] & fps[1], "shared run must share a fingerprint"
+    assert not (fps[0] & fps[2])
