@@ -125,7 +125,7 @@ def vol_pyramid_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     dims = (64, 64, 64)
     v = synthetic_volume(spark, *dims, channels=1)
-    pyr = build_pyramid(v, dims, 6, "arthur", persist=True)
+    pyr = build_pyramid(v, dims, 6, "arthur")
     return pyr.groupBy("level").agg(
         F.count("*").alias("n_voxels"),
         F.sum("intensity").cast("bigint").alias("checksum"),

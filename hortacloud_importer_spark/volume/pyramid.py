@@ -27,23 +27,29 @@ def build_pyramid(
     dims: tuple[int, int, int],
     nlevels: int,
     filter_: str = "arthur",
-    persist: bool = True,
+    persist: bool = False,
 ) -> DataFrame:
     """All mipmap levels as one DataFrame with a ``level`` column.
 
     level 0 = input; level k halves each dim of level k-1 (down to 1,
-    OpenGL convention, ktx/util.py:223-239). Each intermediate level is
-    persisted MEMORY_AND_DISK while its child is derived, then the
-    union of all levels is returned.
+    OpenGL convention, ktx/util.py:223-239).
+
+    ``persist`` is a scale dial, measured both ways: at local scale
+    recomputing each level's lineage is ONE whole-stage-codegen chain
+    over 8x-shrinking data and beats the cache path 5x (0.9s vs 5.1s
+    for a 64^3/6-level pyramid), so the default is False. Set True
+    when the leaf scan itself is expensive (remote storage, 100 TB):
+    each level is then persisted MEMORY_AND_DISK while its child is
+    derived, bounding the job to one leaf scan total — the reference's
+    materialize-between-levels barrier (tiff2octree.py:1062-1120,
+    SURVEY.md §4 O13).
     """
     levels = [leaf_voxels.withColumn("level", F.lit(0))]
     cur = leaf_voxels
     cur_dims = dims
-    handles = []
     for lv in range(1, nlevels):
         if persist:
             cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
-            handles.append(cur)
         nxt = downsample_voxels(cur, cur_dims, filter_)
         cur_dims = tuple(mipmap_dimension(1, d) for d in cur_dims)
         levels.append(nxt.withColumn("level", F.lit(lv)))

@@ -83,30 +83,38 @@ def test_streaming_cascade_e2e(spark, tmp_path):
             for z in range(z0, z1)
         ]
 
-    # two files -> two micro-batches (maxFilesPerTrigger=1); file source
-    # orders by modification time, so sleep between writes
+    # two micro-batches, deterministically sequenced: the second file
+    # is written only after the stream has consumed the first (mod-time
+    # ordering across files written close together is racy)
     spark.createDataFrame(rows(0, 4), schema).coalesce(1).write.parquet(
         str(indir / "a")
     )
-    time.sleep(1.1)
-    spark.createDataFrame(rows(4, 8), schema).coalesce(1).write.parquet(
-        str(indir / "b")
-    )
-
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(str(indir / "*"))
-    )
+    stream = spark.readStream.schema(schema).parquet(str(indir / "*"))
     out = streaming_cascade(stream, dims, "arthur")
     q = (
         out.writeStream.format("memory")
         .queryName("cascade_out")
         .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
+        .trigger(processingTime="500 milliseconds")
         .start()
     )
-    q.awaitTermination(120)
+
+    def rows_seen():
+        return sum(p.numInputRows for p in q.recentProgress)
+
+    deadline = time.time() + 90
+    while rows_seen() < 4 and time.time() < deadline:
+        time.sleep(0.3)
+    assert rows_seen() == 4, "first batch not consumed"
+    spark.createDataFrame(rows(4, 8), schema).coalesce(1).write.parquet(
+        str(indir / "b")
+    )
+    while rows_seen() < 8 and time.time() < deadline:
+        time.sleep(0.3)
+    assert rows_seen() == 8, "second batch not consumed"
+    time.sleep(2)  # let the last emission commit to the sink
+    q.stop()
+    q.awaitTermination(30)
     got = {
         (r["level"], r["z"]): np.array(r["voxels"]).reshape(r["height"], r["width"])
         for r in spark.sql("SELECT * FROM cascade_out").collect()
