@@ -94,3 +94,34 @@ def test_aggregates_have_partial_stage(spark, sf_dir, name):
     downsamples; vocabulary-size shuffle for wordcount)."""
     plan = _plan(spark, name, sf_dir)
     assert "partial_" in plan, plan[:2000]
+
+
+def test_market_share_broadcasts_dims(spark, sf_dir):
+    """Q8-shape: every dimension side (part, supplier+nation,
+    region+nation->customer) must reach the fact scan as a broadcast,
+    and the part filter must be pushed into its scan."""
+    df = SPECS["q_market_share"].fn(spark, sf_dir)
+    df.collect()  # let AQE finalize the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "EqualTo(p_type,PROMO)" in plan or "p_type" in plan.split("PushedFilters")[1][:200]
+
+
+def test_top_supplier_max_is_broadcast_not_window(spark, sf_dir):
+    """Q15-shape: the scalar max must come back as a broadcast onto the
+    per-supplier aggregate — never a global (unpartitioned) window."""
+    df = SPECS["q_top_supplier"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Broadcast" in plan
+
+
+def test_cust_order_dist_keeps_outer_join(spark, sf_dir):
+    """Q13-shape: the priority predicate must stay inside the LEFT
+    OUTER join condition (zero-order customers survive), and both
+    aggregations must have map-side partials."""
+    plan = _plan(spark, "q_cust_order_dist", sf_dir)
+    assert "LeftOuter" in plan
+    assert "partial_count" in plan
