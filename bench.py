@@ -47,6 +47,9 @@ HEADLINE = [
     # composite analytics
     "q_ship_priority",
     "q_regional_volume",
+    "q_market_share",
+    "q_top_supplier",
+    "q_cust_order_dist",
     # extensions: dedup / text / similarity / multimodal
     "dedup_exact",
     "dedup_ngram_jaccard",

@@ -282,3 +282,54 @@ def agg_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         ((F.sum("order_cents") / F.lit(100.0)) / F.count("*")).alias("avg_order_total"),
     )
+
+
+@register(
+    "agg_cube",
+    "D12",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+       COUNT(*) AS n, {sum_money_sql("l_quantity", "sum_qty")}
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cube (D12): all 2^n subtotal combinations in one pass — the
+    engine expands each input row into its grouping-set keys before
+    the shuffle, so it is still a single partial+final aggregate, not
+    2^n scans. grouping_id disambiguates a real NULL key from a
+    subtotal row."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").alias("n"),
+        sum_money("l_quantity", "sum_qty"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    "D12",
+    oracle=f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+       COUNT(*) AS n, {sum_money_sql("l_quantity", "sum_qty")}
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit grouping sets (D12): the pyramid's per-level totals
+    (levels = sets) computed in one aggregate instead of a union of
+    three scans."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupingSets(
+        [["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.grouping_id().cast("int").alias("gid"),
+        F.count("*").alias("n"),
+        sum_money("l_quantity", "sum_qty"),
+    )
