@@ -241,3 +241,67 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("fp_md5"),
         F.sha2(F.lower(F.trim("text")), 256).alias("fp_norm"),
     )
+
+
+@register(
+    "text_tfidf",
+    "K5",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, w AS word
+  FROM (SELECT doc_id, UNNEST(str_split(text, ' ')) AS w FROM documents)
+  WHERE w <> ''
+),
+tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+dfreq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY 1)
+SELECT doc_id, word, tfidf FROM (
+  SELECT t.doc_id, t.word,
+         ROUND(t.tf * LN(CAST(n.n_docs AS DOUBLE) / d.df), 6) AS tfidf,
+         ROW_NUMBER() OVER (
+           PARTITION BY t.doc_id
+           ORDER BY ROUND(t.tf * LN(CAST(n.n_docs AS DOUBLE) / d.df), 6) DESC,
+                    t.word) AS rn
+  FROM tf t JOIN dfreq d USING (word) CROSS JOIN n
+) WHERE rn <= 3
+""",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tf-idf with per-doc top-3 terms (K5): term frequency per
+    (doc, word), document frequency per word off the same aggregate,
+    idf = ln(N/df), then a per-doc grouped top-k (WindowGroupLimit
+    pushes the partial limit below the shuffle). The word-keyed join
+    shuffles vocabulary-sized data only; the 1-row corpus count is
+    broadcast. Scores are rounded to 6 dp before ranking so both
+    engines rank identical values; ties break on the word itself.
+    (tf feeds two aggregates; recomputing it beats caching here —
+    both consumers are one shuffle off the same scan.)"""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    ndocs = d.agg(F.count("*").alias("n_docs"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dfreq, "word")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "word",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "word")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "word", "tfidf")
+    )
