@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from hortacloud_importer_spark.registry import all_queries  # noqa: E402
+from hortacloud_importer_spark.registry import driver_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -27,12 +27,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in all_queries().items()}
+    # Consolidated driver-facing set (≤ 50 entries, scalar-only output
+    # columns, every SURVEY §2 row covered). The wider local registry
+    # (redundant variants, bench-only probes) stays pytest-verified via
+    # hortacloud_importer_spark.registry.all_queries().
+    return {name: spec.fn for name, spec in driver_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         name: spec.oracle
-        for name, spec in all_queries().items()
+        for name, spec in driver_queries().items()
         if spec.oracle is not None
     }

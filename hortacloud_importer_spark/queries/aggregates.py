@@ -18,6 +18,7 @@ from hortacloud_importer_spark.catalog import table
 from hortacloud_importer_spark.operators.exactness import (
     avg_money,
     avg_money_sql,
+    cents,
     stats_money,
     stats_money_sql,
     sum_money,
@@ -29,6 +30,7 @@ from hortacloud_importer_spark.registry import register
 @register(
     "agg_mean",
     "D1",
+    driver=False,
     oracle=f"""
 SELECT l_orderkey // 100 AS grp, COUNT(*) AS n, {avg_money_sql("l_quantity", "mean_qty")}
 FROM lineitem GROUP BY 1
@@ -47,6 +49,7 @@ def agg_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_max",
     "D2",
+    driver=False,
     oracle="""
 SELECT l_orderkey // 100 AS grp, MAX(l_extendedprice) AS max_price
 FROM lineitem GROUP BY 1
@@ -64,6 +67,7 @@ def agg_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_2ndmax",
     "D3",
+    driver=False,
     oracle="""
 SELECT l_orderkey,
        COALESCE(NULLIF(MAX(CASE WHEN rnk = 2 THEN l_extendedprice END), 0),
@@ -122,6 +126,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_countif",
     "D6",
+    driver=False,
     oracle="""
 SELECT l_returnflag,
        COUNT(*) AS n,
@@ -148,6 +153,7 @@ _MEAN_SQL, _STD_SQL = stats_money_sql("l_quantity")
 @register(
     "agg_stats",
     "D7",
+    driver=False,
     oracle=f"""
 SELECT l_returnflag, COUNT(*) AS n,
        {_MEAN_SQL} AS mean_qty, {_STD_SQL} AS stddev_qty
@@ -168,6 +174,7 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_minmax_nz",
     "D8",
+    driver=False,
     oracle="""
 SELECT l_returnflag,
        MIN(NULLIF(l_discount, 0)) AS min_nz, MAX(NULLIF(l_discount, 0)) AS max_nz,
@@ -190,6 +197,7 @@ def agg_minmax_nz(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_rms",
     "D9",
+    driver=False,
     oracle="""
 SELECT event_type,
        SQRT((CAST(SUM(CAST(ROUND(value * 100) AS BIGINT) * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 10000.0) / COUNT(value)) AS rms
@@ -222,7 +230,7 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", "D11", oracle=None)
+@register("agg_approx_distinct", "D11", oracle=None, driver=False)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approx distinct (D11), rows-only: HLL sketch at 1% target error
     — the 100 TB path where an exact distinct shuffle is unaffordable;
@@ -238,6 +246,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_rollup",
     "D12",
+    driver=False,
     oracle=f"""
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n, {sum_money_sql("l_quantity", "sum_qty")}
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -255,6 +264,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_cascade",
     "D13",
+    driver=False,
     oracle=f"""
 WITH per_order AS (
   SELECT o_custkey, CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS order_cents
@@ -311,6 +321,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_grouping_sets",
     "D12",
+    driver=False,
     oracle=f"""
 SELECT l_returnflag, l_linestatus,
        CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
@@ -332,4 +343,56 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping_id().cast("int").alias("gid"),
         F.count("*").alias("n"),
         sum_money("l_quantity", "sum_qty"),
+    )
+
+
+_M_MEAN_SQL, _M_STD_SQL = stats_money_sql("l_quantity")
+
+
+@register(
+    "agg_moments",
+    "D1+D2+D6+D7+D8+D9",
+    oracle=f"""
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       {avg_money_sql("l_quantity", "mean_qty")},
+       MAX(l_extendedprice) AS max_price,
+       COUNT(CASE WHEN l_discount = 0 THEN 1 END) AS n_zero,
+       (100.0 * COUNT(CASE WHEN l_discount = 0 THEN 1 END)) / COUNT(*) AS pct_zero,
+       {_M_MEAN_SQL} AS mean2_qty, {_M_STD_SQL} AS stddev_qty,
+       MIN(NULLIF(l_discount, 0)) AS min_nz, MAX(NULLIF(l_discount, 0)) AS max_nz,
+       SQRT((CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)
+                      * CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT) / 10000.0)
+            / COUNT(l_quantity)) AS rms_qty
+FROM lineitem GROUP BY 1
+""",
+)
+def agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated D-family moments driver query: ONE scan + ONE
+    map-side-combined hash aggregate computes the tumbling mean (D1,
+    zero-is-NULL nanmean dual), max (D2), zero-fraction/count_if (D6),
+    mean/stddev (D7, exact integer moment sums), non-zero min/max (D8)
+    and RMS (D9) — the reference computes all of these in its single
+    stats pass too (ktx_from_rendered_tiff.py:433-530). The single-op
+    variants stay registered driver=False for per-op tests/bench.
+    At 100 TB this is the preferred shape: every extra aggregate
+    column is free relative to a second scan of the fact table."""
+    li = table(spark, sf_dir, "lineitem")
+    qc = cents("l_quantity")
+    n_zero = F.count(F.when(F.col("l_discount") == 0, True))
+    nz_disc = F.nullif(F.col("l_discount"), F.lit(0))
+    mean2, std = stats_money("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        avg_money("l_quantity", "mean_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+        n_zero.alias("n_zero"),
+        ((F.lit(100.0) * n_zero) / F.count("*")).alias("pct_zero"),
+        mean2.alias("mean2_qty"),
+        std.alias("stddev_qty"),
+        F.min(nz_disc).alias("min_nz"),
+        F.max(nz_disc).alias("max_nz"),
+        F.sqrt((F.sum(qc * qc) / F.lit(10000.0)) / F.count("l_quantity")).alias(
+            "rms_qty"
+        ),
     )

@@ -18,6 +18,7 @@ from hortacloud_importer_spark.registry import register
 @register(
     "q_ship_priority",
     "B+C1+D+F3",
+    driver=False,
     oracle="""
 SELECT l_orderkey,
        CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
@@ -116,6 +117,7 @@ def q_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_market_share",
     "B+C1+C3+D6+H4",
+    driver=False,
     oracle="""
 WITH sales AS (
   SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
@@ -210,6 +212,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_top_supplier",
     "C1+D13+F3",
+    driver=False,
     oracle="""
 WITH rev AS (
   SELECT l_suppkey,
@@ -253,6 +256,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_cust_order_dist",
     "C5+D1+D4",
+    driver=False,
     oracle="""
 SELECT c_count, COUNT(*) AS custdist
 FROM (

@@ -85,11 +85,25 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Document-frequency cap on shingles: a "stop-shingle" appearing in m
+# documents contributes m² candidate pairs to the self-join — one
+# boilerplate phrase makes the join quadratic at 100 TB. Shingles with
+# df > cap carry ~zero near-dup signal (they're corpus-common, not
+# document-identifying), so both the representation and the join drop
+# them; the Jaccard is then exact over the capped shingle space. The
+# same pruning spirit as the reference's skip-empty work units
+# (tiff2octree.py:312). Bounded-pair-count regression test:
+# tests/test_neardup.py::test_df_cap_bounds_pairs.
+_DF_CAP = 64
+
+
 @register(
     "dedup_ngram_jaccard",
     "K2",
     oracle=f"""
-WITH sh AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+WITH sh0 AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+hot AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) > {_DF_CAP}),
+sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
@@ -107,10 +121,23 @@ WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.08
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup by n-gram Jaccard (K2): inverted-index join — documents
     are compared ONLY if they share a shingle, so the pair space is the
-    posting-list join, not n². Jaccard = |A∩B| / (|A|+|B|-|A∩B|) from
-    exact integer counts. Skew note: stop-shingle posting lists explode
-    the join at scale; production would drop shingles with document
-    frequency above a cap before the self-join (same plan shape)."""
+    posting-list join, not n²; shingles over the document-frequency cap
+    (_DF_CAP) are dropped first, so no posting list exceeds the cap and
+    the worst-case pair count is bounded by cap × n_shingles. Jaccard =
+    |A∩B| / (|A|+|B|-|A∩B|) from exact integer counts over the capped
+    shingle space (candidate generation and measure use the same
+    representation, so the oracle mirrors it exactly)."""
+    return jaccard_pairs(_shingles(spark, sf_dir), df_cap=_DF_CAP)
+
+
+def jaccard_pairs(
+    shingles: DataFrame, df_cap: int | None = _DF_CAP, threshold: float = 0.08
+) -> DataFrame:
+    """Capped inverted-index Jaccard join over (doc_id, shingle) rows.
+
+    `df_cap=None` disables the document-frequency cap (test/compare
+    path only — unbounded posting lists are quadratic under skew).
+    """
     # xxhash64 the shingle before the self-join: the join/distinct keys
     # become 8-byte longs instead of ~20-char strings, so the 2.8M-row
     # pair shuffle moves a fraction of the bytes (collision odds at this
@@ -118,11 +145,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No persist: measured 2x slower than recompute here — the shingle
     # scan is one codegen stage and ReuseExchange dedupes the distinct
     # shuffle across the four references.
-    sh = (
-        _shingles(spark, sf_dir)
-        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
-        .distinct()
-    )
+    sh = shingles.select("doc_id", F.xxhash64("shingle").alias("shingle")).distinct()
+    if df_cap is not None:
+        # hot-shingle side is tiny by construction (only df>cap
+        # survivors) -> broadcast anti-join, no extra shuffle of the
+        # posting lists
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -141,11 +175,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", "n_common", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.08)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
-@register("dedup_minhash", "K2", oracle=None)
+@register("dedup_minhash", "K2", oracle=None, driver=False)
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash near-dup (K2), rows-only: 32 permutation hashes
     h_j(x) = (a_j * x + b_j) mod p over xxhash64 shingle ids, banded
@@ -160,7 +194,7 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(_shingles(spark, sf_dir), n_hashes=32, bands=8)
 
 
-@register("dedup_simhash", "K2", oracle=None)
+@register("dedup_simhash", "K2", oracle=None, driver=False)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup (K2), rows-only: 64-bit token-hash majority
     signature per document; candidates = equal 16-bit prefix band;
@@ -171,3 +205,35 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     return simhash_pairs(tokens, max_hamming=12)
+
+
+@register("dedup_approx", "K2", oracle=None)
+def dedup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated approximate near-dup driver query (K2), rows-only,
+    union-with-tag: `minhash` = banded MinHash-LSH candidate pairs
+    with estimated Jaccard (bucket join — candidate set bounded by
+    band width, not document frequency: the 100 TB scale path);
+    `simhash` = 64-bit SimHash prefix-band pairs with hamming
+    distance. Engine-specific hash values -> no SQL oracle; both pair
+    sets are validated against exact Jaccard in tests/test_neardup.py.
+    The standalone variants stay registered driver=False."""
+    from hortacloud_importer_spark.operators.minhash import (
+        minhash_pairs,
+        simhash_pairs,
+    )
+
+    mh = minhash_pairs(_shingles(spark, sf_dir), n_hashes=32, bands=8).select(
+        F.lit("minhash").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("est_jaccard").cast("double").alias("metric"),
+    )
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    sh = simhash_pairs(tokens, max_hamming=12).select(
+        F.lit("simhash").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("hamming").cast("double").alias("metric"),
+    )
+    return mh.unionByName(sh)

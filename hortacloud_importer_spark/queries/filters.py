@@ -16,9 +16,57 @@ from hortacloud_importer_spark.registry import register
 
 
 @register(
+    "filter_project_clamp",
+    "B1+B2+B3+B4+B5+B6",
+    oracle="""
+SELECT p_partkey, p_name,
+       LEAST(GREATEST(p_retailprice, 1000.0), 1500.0) AS clamped,
+       COALESCE(NULLIF(p_size % 5, 0), -1) AS size_mod_nz
+FROM part
+WHERE p_retailprice >= 950.0 AND p_retailprice < 1800.0
+  AND p_size > 0
+  AND (p_type LIKE '%BRASS%' OR regexp_matches(p_name, '^[a-f]'))
+  AND p_size IN (1, 2, 3, 5, 8, 13, 21, 34)
+""",
+)
+def filter_project_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated B-family driver query: column projection (B1), a
+    conjunctive range predicate (B2, spatial-crop dual), non-zero check
+    (B3, `img_data.max() > 0` as a filter), LIKE/regex pattern match
+    (B4, filename filters), clamp projection (B5, white/black levels),
+    and IN + zero-is-NULL boundary predicates (B6) — one scan, every
+    predicate pushed to the parquet reader. The single-op variants stay
+    registered driver=False for plan/pushdown tests."""
+    p = table(spark, sf_dir, "part")
+    return (
+        p.filter(
+            (F.col("p_retailprice") >= 950.0)
+            & (F.col("p_retailprice") < 1800.0)
+            & (F.col("p_size") > 0)
+            & (
+                F.col("p_type").like("%BRASS%")
+                | F.col("p_name").rlike("^[a-f]")
+            )
+            & F.col("p_size").isin(1, 2, 3, 5, 8, 13, 21, 34)
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            F.least(
+                F.greatest("p_retailprice", F.lit(1000.0)), F.lit(1500.0)
+            ).alias("clamped"),
+            F.coalesce(
+                F.nullif(F.col("p_size") % 5, F.lit(0)), F.lit(-1)
+            ).alias("size_mod_nz"),
+        )
+    )
+
+
+@register(
     "project",
     "B1",
     oracle="SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
+    driver=False,
 )
 def project(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column selection (B1): band read ≡ select; Catalyst prunes the
@@ -36,6 +84,7 @@ SELECT l_orderkey, l_linenumber
 FROM lineitem
 WHERE l_quantity >= 10 AND l_quantity < 40 AND l_discount >= 0.02 AND l_discount <= 0.08
 """,
+driver=False,
 )
 def filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive range predicate (B2): spatial crop dual
@@ -53,6 +102,7 @@ def filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "filter_nonzero",
     "B3",
     oracle="SELECT COUNT(*) AS n FROM lineitem WHERE l_discount > 0",
+driver=False,
 )
 def filter_nonzero(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-empty predicate (B3): `img_data.max() > 0` skip
@@ -69,6 +119,7 @@ SELECT p_partkey, p_name, p_type
 FROM part
 WHERE p_type LIKE '%BRASS%' OR regexp_matches(p_name, '^[a-f]')
 """,
+driver=False,
 )
 def filter_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pattern filters (B4): endswith/glob/regex filename matching
@@ -87,6 +138,7 @@ SELECT l_orderkey, l_linenumber,
        LEAST(GREATEST(l_extendedprice, 1000.0), 50000.0) AS clamped
 FROM lineitem
 """,
+driver=False,
 )
 def clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clamp expressions (B5): white/black level clamps
@@ -110,6 +162,7 @@ FROM orders
 WHERE o_orderstatus IN ('F', 'P') AND o_orderpriority <> '5-LOW'
 GROUP BY 1
 """,
+driver=False,
 )
 def filter_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IN / <> predicates (B6)."""
@@ -132,6 +185,7 @@ SELECT COUNT(CASE WHEN NULLIF(l_discount, 0) IS NULL THEN 1 END) AS n_null,
        COUNT(NULLIF(l_discount, 0)) AS n_nonzero
 FROM lineitem WHERE NULLIF(l_discount, 0) IS NULL OR l_discount > 0
 """,
+driver=False,
 )
 def filter_null(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IS NULL + zero-is-NULL boundary (B6/§1.2): nullif(x, 0) at the

@@ -127,7 +127,7 @@ FROM pctl p JOIN zeros z USING (grp)
 register("agg_requant_params", "D4+D5+D6+D7+D10", _oracle())(channel_stats)
 
 
-@register("agg_approx_percentile", "D5", oracle=None)
+@register("agg_approx_percentile", "D5", oracle=None, driver=False)
 def approx_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approx deciles (D5 scale variant), rows-only: percentile_approx
     (KLL-style sketch, mergeable map-side) — at 100 TB the exact

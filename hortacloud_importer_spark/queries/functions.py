@@ -53,9 +53,15 @@ _OCT_SQL = """
 """
 
 
+_REQUANT_SQL = (
+    "CAST(CEIL(SQRT(LEAST(GREATEST((l_extendedprice - 900.0) / (80000.0 - 900.0),"
+    " 0.0), 1.0)) * 254) AS BIGINT) + 1"
+)
+
+
 @register(
     "math_funcs",
-    "H2",
+    "H2+H3",
     oracle=f"""
 SELECT {_OCT_SQL} AS octant,
        COUNT(*) AS n,
@@ -63,15 +69,19 @@ SELECT {_OCT_SQL} AS octant,
        CAST(MAX(l_orderkey >> 1) AS BIGINT) AS max_shr,
        CAST(SUM(CAST(FLOOR(SQRT(l_orderkey)) AS BIGINT)) AS BIGINT) AS sum_isqrt,
        CAST(SUM(CAST(CEIL(l_quantity / 7.0) AS BIGINT)) AS BIGINT) AS sum_ceil,
-       CAST(SUM(l_orderkey % 8) AS BIGINT) AS sum_mod
+       CAST(SUM(l_orderkey % 8) AS BIGINT) AS sum_mod,
+       CAST(SUM({_REQUANT_SQL}) AS BIGINT) AS sum_requant
 FROM lineitem GROUP BY 1
 """,
 )
 def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math family (H2): THE octree octant expression — the reference's
-    space-filling partition key (octant = 1 + x_bit + 2*y_bit + 4*z_bit,
-    tiff2octree.py:263-279) — plus shifts (:228-233), floor/ceil/sqrt
-    (ktx/util.py:36; ktx_from_rendered_tiff.py:199,364), and pmod."""
+    """Math family (H2) + cast/requant expression (H3): THE octree
+    octant expression — the reference's space-filling partition key
+    (octant = 1 + x_bit + 2*y_bit + 4*z_bit, tiff2octree.py:263-279) —
+    plus shifts (:228-233), floor/ceil/sqrt (ktx/util.py:36;
+    ktx_from_rendered_tiff.py:199,364), pmod, and the uint16→uint8
+    requant cast chain (:350-365) summed per octant (the full per-row
+    requant stays registered as `cast_requant`, driver=False)."""
     li = table(spark, sf_dir, "lineitem")
     octant = (
         F.lit(1)
@@ -79,6 +89,8 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 2 * ((F.col("l_suppkey") / 4).cast("bigint") % 2)
         + 4 * ((F.col("l_linenumber") / 4).cast("bigint") % 2)
     )
+    norm = (F.col("l_extendedprice") - F.lit(900.0)) / (F.lit(80000.0) - F.lit(900.0))
+    requant = F.ceil(F.sqrt(F.least(F.greatest(norm, F.lit(0.0)), F.lit(1.0))) * 254) + 1
     return li.groupBy(octant.alias("octant")).agg(
         F.count("*").alias("n"),
         F.min(F.shiftleft("l_orderkey", 2)).cast("bigint").alias("min_shl"),
@@ -86,12 +98,14 @@ def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.sqrt("l_orderkey"))).alias("sum_isqrt"),
         F.sum(F.ceil(F.col("l_quantity") / 7.0)).alias("sum_ceil"),
         F.sum(F.col("l_orderkey") % 8).alias("sum_mod"),
+        F.sum(requant).alias("sum_requant"),
     )
 
 
 @register(
     "cast_requant",
     "H3",
+    driver=False,
     oracle="""
 SELECT l_orderkey, l_linenumber,
        CAST(CEIL(SQRT(LEAST(GREATEST((l_extendedprice - 900.0) / (80000.0 - 900.0), 0.0), 1.0)) * 254) AS BIGINT) + 1 AS requant
@@ -144,7 +158,7 @@ def date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "H5",
     oracle="""
 SELECT l_orderkey,
-       LIST_SORT(LIST(l_linenumber)) AS line_numbers,
+       ARRAY_TO_STRING(LIST_SORT(LIST(l_linenumber)), ',') AS line_numbers,
        LEN(LIST(l_linenumber)) AS n_lines,
        LIST_SORT(LIST(l_linenumber))[1] AS first_line,
        LIST_SORT(LIST(l_linenumber))[-1] AS last_line,
@@ -156,11 +170,17 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array family (H5): blockify/interleave/index array ops
     (tiff2octree.py:220-225; ktx/util.py:242-262, 167-169).
     collect_list order is nondeterministic -> sort_array before any
-    positional access, mirroring the reference's numpy.sort."""
+    positional access, mirroring the reference's numpy.sort. The array
+    itself is serialized to a CSV string at the query boundary —
+    external canonicalizers sort/hash rows and can't hash list cells;
+    the serialization also pins element ORDER, which the raw array
+    hash wouldn't."""
     li = table(spark, sf_dir, "lineitem")
     arr = F.sort_array(F.collect_list("l_linenumber"))
     return li.groupBy("l_orderkey").agg(
-        arr.alias("line_numbers"),
+        F.array_join(F.transform(arr, lambda x: x.cast("string")), ",").alias(
+            "line_numbers"
+        ),
         F.size(arr).cast("bigint").alias("n_lines"),
         F.element_at(arr, 1).alias("first_line"),
         F.element_at(arr, -1).alias("last_line"),
@@ -171,6 +191,7 @@ def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "map_funcs",
     "H6",
+    driver=False,
     oracle="""
 SELECT n_nationkey,
        CAST(n_regionkey AS VARCHAR) AS region_val,
@@ -201,6 +222,7 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_funcs",
     "H7",
+    driver=False,
     oracle="""
 SELECT event_type,
        CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
@@ -241,3 +263,47 @@ def null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(nz_disc.isNull(), 1).otherwise(0)).alias("n_zero_disc"),
         F.max(F.coalesce(nz_disc, F.lit(-1.0))).alias("max_or_sentinel"),
     )
+
+
+@register(
+    "func_nested",
+    "H6+H7",
+    oracle="""
+SELECT 'map' AS facet, CAST(n_nationkey AS VARCHAR) AS k,
+       CAST(n_regionkey AS VARCHAR) AS a,
+       CAST(n_nationkey * 2 AS VARCHAR) AS b
+FROM nation
+UNION ALL
+SELECT 'json' AS facet, event_type AS k,
+       CAST(CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS VARCHAR) AS a,
+       CAST(COUNT(CAST(props->>'$.k' AS BIGINT)) AS VARCHAR) AS b
+FROM events GROUP BY 2
+""",
+)
+def func_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated nested-data driver query, union-with-tag: `map` =
+    KV metadata round-trip via str_to_map/element_at (H6, KtxHeader
+    key_value_metadata, ktx/__init__.py:141-158; transform.txt parse,
+    tiff2octree.py:842-901); `json` = side-car attribute extraction +
+    aggregation via get_json_object (H7, zarr attrs,
+    tiff2octree.py:694-708). Facets pad to one all-string scalar
+    schema. The standalone variants stay registered driver=False."""
+    n = table(spark, sf_dir, "nation")
+    kv = F.concat_ws(
+        ";",
+        F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")),
+        F.concat(F.lit("scaled:"), (F.col("n_nationkey") * 2).cast("string")),
+    )
+    m = F.str_to_map(kv, F.lit(";"), F.lit(":"))
+    map_f = n.select(
+        F.lit("map").alias("facet"),
+        F.col("n_nationkey").cast("string").alias("k"),
+        F.element_at(m, "region").alias("a"),
+        F.element_at(m, "scaled").alias("b"),
+    )
+    e = table(spark, sf_dir, "events")
+    jk = F.get_json_object("props", "$.k").cast("bigint")
+    json_f = e.groupBy(F.col("event_type").alias("k")).agg(
+        F.sum(jk).cast("string").alias("a"), F.count(jk).cast("string").alias("b")
+    ).select(F.lit("json").alias("facet"), "k", "a", "b")
+    return map_f.unionByName(json_f)

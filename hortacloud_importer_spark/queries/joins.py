@@ -126,6 +126,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_outer",
     "C5",
+    driver=False,
     oracle="""
 SELECT c_custkey, COUNT(o_orderkey) AS n_orders
 FROM customer LEFT JOIN orders ON c_custkey = o_custkey
@@ -146,6 +147,7 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_semi",
     "C5",
+    driver=False,
     oracle="""
 SELECT c_custkey, c_mktsegment FROM customer
 WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
@@ -164,6 +166,7 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_full",
     "C5",
+    driver=False,
     oracle="""
 WITH a AS (SELECT l_returnflag AS flag, COUNT(*) AS n_f FROM lineitem WHERE l_linestatus='F' GROUP BY 1),
      b AS (SELECT l_returnflag AS flag, COUNT(*) AS n_o FROM lineitem WHERE l_linestatus='O' GROUP BY 1)
@@ -192,6 +195,7 @@ def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_asof",
     "C6",
+    driver=False,
     oracle="""
 SELECT event_id, user_id, o_orderkey AS last_order
 FROM (
@@ -226,6 +230,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_range",
     "C6",
+    driver=False,
     oracle="""
 SELECT a.event_id, COUNT(b.event_id) AS n_following
 FROM events a
@@ -260,3 +265,93 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a_id").alias("event_id"))
         .agg(F.count("b_id").alias("n_following"))
     )
+
+
+_NULL_B = "CAST(NULL AS BIGINT)"
+_NULL_S = "CAST(NULL AS VARCHAR)"
+
+
+@register(
+    "join_suite",
+    "C5+C6",
+    oracle=f"""
+SELECT 'outer' AS facet, c_custkey AS k, COUNT(o_orderkey) AS v, {_NULL_B} AS v2, {_NULL_S} AS s
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY 2
+UNION ALL
+SELECT 'semi' AS facet, c_custkey AS k, {_NULL_B} AS v, {_NULL_B} AS v2, c_mktsegment AS s
+FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT 'full' AS facet, {_NULL_B} AS k, a.n_f AS v, b.n_o AS v2,
+       COALESCE(a.flag, b.flag) AS s
+FROM (SELECT l_returnflag AS flag, COUNT(*) AS n_f FROM lineitem WHERE l_linestatus='F' GROUP BY 1) a
+FULL OUTER JOIN (SELECT l_returnflag AS flag, COUNT(*) AS n_o FROM lineitem WHERE l_linestatus='O' GROUP BY 1) b
+  ON a.flag = b.flag
+UNION ALL
+SELECT 'asof' AS facet, event_id AS k, user_id AS v, o_orderkey AS v2, {_NULL_S} AS s
+FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+) WHERE rn = 1
+UNION ALL
+SELECT 'range' AS facet, a.event_id AS k, COUNT(b.event_id) AS v, {_NULL_B} AS v2, {_NULL_S} AS s
+FROM events a
+JOIN events b
+  ON b.user_id = a.user_id AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+WHERE a.event_type = 'error'
+GROUP BY 2
+""",
+)
+def join_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated C5+C6 driver query, union-with-tag: `outer` =
+    left-outer counts, `semi` = existence semi-join, `full` = full
+    outer of two aggregate sides, `asof` = per-event latest-order
+    as-of join, `range` = interval self-join. Each facet is the same
+    plan as its standalone variant (kept registered driver=False);
+    the union pads to one scalar schema (facet, k, v, v2, s) so the
+    external canonicalizer can hash it. Facets are independent
+    subtrees, so Spark schedules their stages concurrently."""
+    nb = F.lit(None).cast("bigint")
+    ns = F.lit(None).cast("string")
+    outer = join_outer(spark, sf_dir).select(
+        F.lit("outer").alias("facet"),
+        F.col("c_custkey").alias("k"),
+        F.col("n_orders").alias("v"),
+        nb.alias("v2"),
+        ns.alias("s"),
+    )
+    semi = join_semi(spark, sf_dir).select(
+        F.lit("semi").alias("facet"),
+        F.col("c_custkey").alias("k"),
+        nb.alias("v"),
+        nb.alias("v2"),
+        F.col("c_mktsegment").alias("s"),
+    )
+    full = join_full(spark, sf_dir).select(
+        F.lit("full").alias("facet"),
+        nb.alias("k"),
+        F.col("n_f").alias("v"),
+        F.col("n_o").alias("v2"),
+        F.col("flag").alias("s"),
+    )
+    asof = join_asof(spark, sf_dir).select(
+        F.lit("asof").alias("facet"),
+        F.col("event_id").alias("k"),
+        F.col("user_id").alias("v"),
+        F.col("last_order").alias("v2"),
+        ns.alias("s"),
+    )
+    rng = join_range(spark, sf_dir).select(
+        F.lit("range").alias("facet"),
+        F.col("event_id").alias("k"),
+        F.col("n_following").alias("v"),
+        nb.alias("v2"),
+        ns.alias("s"),
+    )
+    out = outer
+    for part in (semi, full, asof, rng):
+        out = out.unionByName(part)
+    return out

@@ -59,14 +59,14 @@ def mm_doc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(_doc_media(spark, sf_dir)).select("media_id", "n_bytes")
 
 
-@register("mm_doc_features", "K4", oracle=None)
+@register("mm_doc_features", "K4", oracle=None, driver=False)
 def mm_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 rows-only: full feature extraction (intensity stats + 16-bin
     histogram) over fixture-derived payloads."""
     return media_features(_doc_media(spark, sf_dir))
 
 
-@register("mm_resize_features", "K4", oracle=None)
+@register("mm_resize_features", "K4", oracle=None, driver=False)
 def mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 rows-only: synthetic raw8 images -> nearest-neighbor resize
     to 8x8 -> features; exercises the compose-by-schema pipeline."""
@@ -74,9 +74,46 @@ def mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(resize_images(media, 8, 8))
 
 
-@register("mm_frame_sample", "K4", oracle=None)
+@register("mm_frame_sample", "K4", oracle=None, driver=False)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 rows-only: video frame sampling (every 2nd frame) -> per-
     frame features (the 1->N explode dual, J4)."""
     media = synthetic_media(spark, 16, "video")
     return media_features(sample_frames(media, 2))
+
+
+def _feat_tagged(df: DataFrame, facet: str) -> DataFrame:
+    """FEATURES_SCHEMA -> scalar-only driver schema (hist16 -> CSV)."""
+    return df.select(
+        F.lit(facet).alias("facet"),
+        "media_id",
+        "n_bytes",
+        "mean_intensity",
+        "min_intensity",
+        "max_intensity",
+        F.array_join(F.transform("hist16", lambda v: v.cast("string")), ",").alias(
+            "hist16_csv"
+        ),
+    )
+
+
+@register("mm_features", "K4", oracle=None)
+def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated K4 driver query, rows-only, union-with-tag:
+    `doc` = full feature extraction over fixture-derived raw8
+    payloads; `resize` = synthetic images -> nearest-neighbor 8x8
+    resize -> features (compose-by-schema); `frames` = video frame
+    sampling (every 2nd frame) -> per-frame features (the 1->N
+    explode dual, J4). The 16-bin histogram is serialized to CSV so
+    every output column is a scalar the external canonicalizer can
+    hash. Standalone variants stay registered driver=False."""
+    doc = _feat_tagged(media_features(_doc_media(spark, sf_dir)), "doc")
+    rs = _feat_tagged(
+        media_features(resize_images(synthetic_media(spark, 64, "image"), 8, 8)),
+        "resize",
+    )
+    fr = _feat_tagged(
+        media_features(sample_frames(synthetic_media(spark, 16, "video"), 2)),
+        "frames",
+    )
+    return doc.unionByName(rs).unionByName(fr)

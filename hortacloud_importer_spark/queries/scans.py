@@ -18,8 +18,116 @@ from hortacloud_importer_spark.registry import register
 
 
 @register(
+    "scan_suite",
+    "A1+A2+A4",
+    oracle=f"""
+SELECT 'full' AS facet, CAST(COUNT(*) AS BIGINT) AS m1,
+       CAST(MAX(l_orderkey) AS BIGINT) AS m2,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS m3
+FROM lineitem
+UNION ALL
+SELECT 'rechunk' AS facet, CAST(event_id % 32 AS BIGINT) AS m1,
+       CAST(COUNT(*) AS BIGINT) AS m2,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS m3
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'range' AS facet, CAST(COUNT(*) AS BIGINT) AS m1,
+       {sum_money_sql("l_quantity", "m2")},
+       CAST(0 AS BIGINT) AS m3
+FROM lineitem WHERE l_orderkey BETWEEN 100 AND 400
+""",
+)
+def scan_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated A-family scans driver query, union-with-tag:
+    `full` = full-table scan with schema inference (A1,
+    slice_to_dask_array's list-then-infer, tiff2octree.py:653-691);
+    `rechunk` = stack scan re-partitioned by a derived key (A2,
+    :628-651 — repartition(32, pkey) reused by the groupBy);
+    `range` = windowed region read (A4, :281-292) whose key-range
+    predicate Catalyst pushes to parquet row-group skipping (pushdown
+    plan-asserted in tests/test_plans.py on the range_scan variant).
+    The single-facet variants stay registered driver=False."""
+    li = table(spark, sf_dir, "lineitem")
+    full = li.agg(
+        F.count("*").alias("m1"),
+        F.max("l_orderkey").alias("m2"),
+        F.countDistinct("l_partkey").alias("m3"),
+    ).select(F.lit("full").alias("facet"), "m1", "m2", "m3")
+    ev = table(spark, sf_dir, "events").withColumn(
+        "pkey", F.pmod(F.col("event_id"), F.lit(32)).cast("bigint")
+    )
+    rechunk = (
+        ev.repartition(32, "pkey")
+        .groupBy("pkey")
+        .agg(F.count("*").alias("m2"), F.countDistinct("user_id").alias("m3"))
+        .select(
+            F.lit("rechunk").alias("facet"), F.col("pkey").alias("m1"), "m2", "m3"
+        )
+    )
+    rng = (
+        li.filter(F.col("l_orderkey").between(100, 400))
+        .agg(F.count("*").alias("m1"), sum_money("l_quantity", "m2"))
+        .select(
+            F.lit("range").alias("facet"), "m1", "m2", F.lit(0).cast("bigint").alias("m3")
+        )
+    )
+    return full.unionByName(rechunk).unionByName(rng)
+
+
+@register(
+    "meta_attrs",
+    "A5+A10",
+    oracle="""
+SELECT 'attr:' || CAST(a AS VARCHAR) AS facet, a, b FROM (
+  SELECT CAST(props->>'$.k' AS BIGINT) AS a, CAST(COUNT(*) AS BIGINT) AS b
+  FROM events GROUP BY 1
+)
+UNION ALL
+SELECT 'scalar_counts' AS facet, CAST(COUNT(*) AS BIGINT) AS a,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS b
+FROM lineitem
+UNION ALL
+SELECT 'scalar_dates' AS facet,
+       CAST(DATEDIFF('day', DATE '1970-01-01', CAST(MIN(l_shipdate) AS DATE)) AS BIGINT) AS a,
+       CAST(DATEDIFF('day', DATE '1970-01-01', CAST(MAX(l_shipdate) AS DATE)) AS BIGINT) AS b
+FROM lineitem
+""",
+)
+def meta_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated metadata driver query, union-with-tag: `attr:*` =
+    JSON side-car attribute read (A5, zarr `pixelResolution`,
+    tiff2octree.py:694-708); `scalar_counts`/`scalar_dates` = the
+    one-row metadata-sink payload (A10, transform.txt's ox..sz,nl
+    scalars, :842-901) with dates as epoch-day ints so every output
+    column is a scalar the driver canonicalizer can hash."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    attrs = (
+        ev.groupBy(k.alias("a"))
+        .agg(F.count("*").alias("b"))
+        .select(
+            F.concat(F.lit("attr:"), F.col("a").cast("string")).alias("facet"),
+            "a",
+            "b",
+        )
+    )
+    li = table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    counts = li.agg(
+        F.count("*").alias("a"), F.sum(cents).alias("b")
+    ).select(F.lit("scalar_counts").alias("facet"), "a", "b")
+    epoch = F.lit("1970-01-01").cast("date")
+    dates = li.agg(
+        F.datediff(F.min("l_shipdate").cast("date"), epoch).cast("bigint").alias("a"),
+        F.datediff(F.max("l_shipdate").cast("date"), epoch).cast("bigint").alias("b"),
+    ).select(F.lit("scalar_dates").alias("facet"), "a", "b")
+    return attrs.unionByName(counts).unionByName(dates)
+
+
+@register(
     "scan_parquet",
     "A1",
+    driver=False,
     oracle="""
 SELECT COUNT(*) AS n_rows,
        MIN(l_orderkey) AS min_key, MAX(l_orderkey) AS max_key,
@@ -43,6 +151,7 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "repartition_scan",
     "A2",
+    driver=False,
     oracle="""
 SELECT event_id % 32 AS pkey, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users
 FROM events GROUP BY 1
@@ -85,6 +194,7 @@ def union_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "range_scan",
     "A4",
+    driver=False,
     oracle=f"""
 SELECT COUNT(*) AS n, {sum_money_sql("l_quantity", "sum_qty")}
 FROM lineitem WHERE l_orderkey BETWEEN 100 AND 400
@@ -103,6 +213,7 @@ def range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_attr",
     "A5",
+    driver=False,
     oracle="""
 SELECT CAST(props->>'$.k' AS BIGINT) AS k, COUNT(*) AS n
 FROM events GROUP BY 1
@@ -141,6 +252,7 @@ def sink_nonempty(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scalar_meta",
     "A10",
+    driver=False,
     oracle=f"""
 SELECT COUNT(*) AS n_rows,
        CAST(MIN(l_shipdate) AS DATE) AS min_ship,

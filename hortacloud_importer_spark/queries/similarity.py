@@ -92,7 +92,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann_lsh", "K3", oracle=None)
+@register("sim_ann_lsh", "K3", oracle=None, driver=False)
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH (K3 scale path), rows-only:
     16-bit sign signature per vector from deterministic pseudo-random
@@ -107,7 +107,7 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, query_vec_id=_QUERY_VEC_ID, k=_TOP_K)
 
 
-@register("sim_ann_ivf", "K3", oracle=None)
+@register("sim_ann_ivf", "K3", oracle=None, driver=False)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via inverted-file coarse quantization (K3 scale path),
     rows-only: per-cell centroids -> probe the query's nearest cells
@@ -170,3 +170,31 @@ def sim_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= 0.25)
     )
+
+
+@register("sim_ann", "K3", oracle=None)
+def sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated ANN driver query (K3), rows-only, union-with-tag:
+    `lsh` = random-hyperplane signature bucketing + multi-probe +
+    exact re-score; `ivf` = learned-centroid inverted file + probe-
+    cell semi-join + exact re-score. Both prune the corpus scan to a
+    bounded candidate set — the two standard 100 TB ANN shapes.
+    Deterministic given the fixture, but hash/centroid values are
+    engine-specific -> no SQL oracle; recall vs sim_topk is asserted
+    in tests. The standalone variants stay registered driver=False."""
+    from hortacloud_importer_spark.operators.ann import ivf_topk, lsh_topk
+
+    e = table(spark, sf_dir, "embeddings")
+    lsh = lsh_topk(e, query_vec_id=_QUERY_VEC_ID, k=_TOP_K).select(
+        F.lit("lsh").alias("method"),
+        "vec_id",
+        "score",
+        F.col("hamming").cast("bigint").alias("extra"),
+    )
+    ivf = ivf_topk(e, query_vec_id=_QUERY_VEC_ID, k=_TOP_K).select(
+        F.lit("ivf").alias("method"),
+        "vec_id",
+        "score",
+        F.col("label").cast("bigint").alias("extra"),
+    )
+    return lsh.unionByName(ivf)

@@ -37,7 +37,7 @@ def _register_views(spark: SparkSession, sf_dir: str) -> None:
         table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
-@register("sql_pricing_summary", "B+D+F via SQL", oracle=_PRICING_SQL)
+@register("sql_pricing_summary", "B+D+F via SQL", oracle=_PRICING_SQL, driver=False)
 def sql_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME SQL text runs on Spark (via temp views over the
     catalog) and on DuckDB — zero dialect translation, proving the

@@ -27,6 +27,7 @@ _SUM_CENTS = "CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) / 100.0"
 @register(
     "stream_tumbling",
     "I3",
+    driver=False,
     oracle=f"""
 SELECT make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
        COUNT(*) AS n, {_SUM_CENTS} AS sum_value
@@ -52,6 +53,7 @@ def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_sliding",
     "I4",
+    driver=False,
     oracle=f"""
 SELECT make_timestamp((epoch_us(ts) // 900000000) * 900000000 - CAST(k AS BIGINT) * 900000000) AS window_start,
        COUNT(*) AS n, {_SUM_CENTS} AS sum_value
@@ -77,6 +79,7 @@ def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_session",
     "I4",
+    driver=False,
     oracle=f"""
 WITH flagged AS (
   SELECT user_id, ts, value,
@@ -135,3 +138,79 @@ def stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count("*").alias("n_pending"))
     )
+
+
+@register(
+    "stream_windows",
+    "I3+I4",
+    oracle=f"""
+SELECT 'tumbling' AS facet,
+       make_timestamp((epoch_us(ts) // 3600000000) * 3600000000) AS window_start,
+       CAST(NULL AS BIGINT) AS user_id, COUNT(*) AS n, {_SUM_CENTS} AS sum_value
+FROM events GROUP BY 2
+UNION ALL
+SELECT 'sliding' AS facet,
+       make_timestamp((epoch_us(ts) // 900000000) * 900000000 - CAST(k AS BIGINT) * 900000000)
+         AS window_start,
+       CAST(NULL AS BIGINT) AS user_id, COUNT(*) AS n, {_SUM_CENTS} AS sum_value
+FROM events, UNNEST([0, 1, 2, 3]) AS t(k)
+GROUP BY 2
+UNION ALL
+SELECT 'session' AS facet, session_start AS window_start, user_id, n, sum_value
+FROM (
+  WITH flagged AS (
+    SELECT user_id, ts, value,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+    FROM events
+  ),
+  sessions AS (
+    SELECT user_id, ts, value,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM flagged
+  )
+  SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n, {_SUM_CENTS} AS sum_value
+  FROM sessions GROUP BY user_id, session_id
+)
+""",
+)
+def stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated I3+I4 driver query, union-with-tag: the batch
+    duals of the three streaming window shapes — `tumbling` =
+    window(ts, 1h), `sliding` = window(ts, 1h, 15m) (each event in 4
+    overlapping windows), `session` = session_window(ts, 30m) per user
+    (gaps-and-islands in the DuckDB mirror). The live readStream forms
+    of the same aggregations are exercised in tests/test_streaming.py;
+    the standalone duals stay registered driver=False."""
+    e = table(spark, sf_dir, "events")
+    nb = F.lit(None).cast("bigint")
+    money = (F.sum(cents("value")) / F.lit(100.0)).alias("sum_value")
+    tumbling = (
+        e.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), money)
+        .select(
+            F.lit("tumbling").alias("facet"),
+            F.col("w.start").alias("window_start"),
+            nb.alias("user_id"), "n", "sum_value",
+        )
+    )
+    sliding = (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), money)
+        .select(
+            F.lit("sliding").alias("facet"),
+            F.col("w.start").alias("window_start"),
+            nb.alias("user_id"), "n", "sum_value",
+        )
+    )
+    session = (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n"), money)
+        .select(
+            F.lit("session").alias("facet"),
+            F.col("w.start").alias("window_start"),
+            F.col("user_id"), "n", "sum_value",
+        )
+    )
+    return tumbling.unionByName(sliding).unionByName(session)

@@ -26,7 +26,10 @@ def stream_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hortacloud_importer_spark.streaming.cascade import streaming_cascade
     from hortacloud_importer_spark.volume import synthetic_volume
 
-    dims = (8, 8, 8)
+    # 4^3: small enough that the correctness sweep pays for the
+    # streaming-machinery overhead only once, not for data volume
+    # (the full-size cascade is covered by tests/test_streaming.py)
+    dims = (4, 4, 4)
     v = synthetic_volume(spark, *dims, channels=1)
     slices = (
         v.groupBy("z")

@@ -25,6 +25,7 @@ _TOKEN_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
 @register(
     "text_wordcount",
     "K5",
+    driver=False,
     oracle="""
 SELECT w AS word, COUNT(*) AS n
 FROM (SELECT UNNEST(str_split(text, ' ')) AS w FROM documents)
@@ -48,6 +49,7 @@ def text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_stats",
     "K5",
+    driver=False,
     oracle="""
 SELECT lang,
        COUNT(*) AS n_docs,
@@ -73,6 +75,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_langid",
     "K5",
+    driver=False,
     oracle=f"""
 SELECT doc_id, lang, n_words, n_stop,
        CASE WHEN CAST(n_stop AS DOUBLE) / n_words > 0.05
@@ -109,6 +112,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_quality",
     "K5",
+    driver=False,
     oracle=f"""
 SELECT doc_id,
        LENGTH(text) AS n_chars_txt,
@@ -142,6 +146,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_tokens",
     "K5",
+    driver=False,
     oracle=f"""
 SELECT doc_id,
        LEN(str_split(text, ' ')) AS ws_tokens,
@@ -196,7 +201,7 @@ def winnow_fingerprints(d: DataFrame, k: int = _WINNOW_K, w: int = _WINNOW_W) ->
     )
 
 
-@register("text_winnow", "K5+K2", oracle=None)
+@register("text_winnow", "K5+K2", oracle=None, driver=False)
 def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting by winnowing (K5), rows-only: the
     rolling-hash fingerprint set per document — the dedup-oriented
@@ -207,7 +212,7 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(d)
 
 
-@register("text_sentences_udtf", "K5+J4", oracle=None)
+@register("text_sentences_udtf", "K5+J4", oracle=None, driver=False)
 def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence segmentation via a Python UDTF (J4), rows-only: one
     row per (doc, sentence) with word counts — Python generator logic

@@ -71,7 +71,7 @@ def _drop_channel(df: DataFrame) -> DataFrame:
     return df.select("z", "y", "x", "intensity")
 
 
-@register("vol_downsample_mean", "D1", oracle=_ds_sql(_MEAN, _VOX_SQL))
+@register("vol_downsample_mean", "D1", oracle=_ds_sql(_MEAN, _VOX_SQL), driver=False)
 def vol_downsample_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 2x2x2 window mean with zero-is-NULL (D1): the
     reference's nanmean area-downsample (ktx/util.py:151-158) as one
@@ -81,7 +81,7 @@ def vol_downsample_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("vol_downsample_max", "D2", oracle=_ds_sql(_MAX, _VOX_SQL))
+@register("vol_downsample_max", "D2", oracle=_ds_sql(_MAX, _VOX_SQL), driver=False)
 def vol_downsample_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 2x2x2 window max over non-zero (D2; ktx/util.py:159-163)."""
     return _drop_channel(
@@ -114,7 +114,7 @@ def vol_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pyr.filter(F.col("level") == 2).select("z", "y", "x", "intensity")
 
 
-@register("vol_pyramid_throughput", "D13+D3", oracle=None)
+@register("vol_pyramid_throughput", "D13+D3", oracle=None, driver=False)
 def vol_pyramid_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Volume-engine throughput probe (rows-only): full 6-level arthur
     pyramid over a 64^3 synthetic volume (262k voxels, sf-independent)
@@ -135,6 +135,7 @@ def vol_pyramid_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "vol_octree_path",
     "H2+A6",
+    driver=False,
     oracle=f"""
 SELECT z, y, x,
        CONCAT(
@@ -164,7 +165,8 @@ def vol_octree_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     "H5+J4",
     oracle=f"""
 SELECT z // 4 AS zi, y // 4 AS yi, x // 4 AS xi,
-       list(intensity ORDER BY ((z % 4) * 4 + (y % 4)) * 4 + (x % 4)) AS voxels
+       array_to_string(list(intensity ORDER BY ((z % 4) * 4 + (y % 4)) * 4 + (x % 4)), ',')
+         AS voxels_csv
 FROM ({_VOX_SQL})
 GROUP BY 1, 2, 3
 """,
@@ -178,5 +180,10 @@ def vol_blockify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("zi").cast("long"),
         F.col("yi").cast("long"),
         F.col("xi").cast("long"),
-        "voxels",
+        # serialize the payload at the query boundary: external
+        # canonicalizers hash scalar cells only, and the CSV pins the
+        # zyx packing order explicitly
+        F.array_join(
+            F.transform("voxels", lambda v: v.cast("string")), ","
+        ).alias("voxels_csv"),
     )

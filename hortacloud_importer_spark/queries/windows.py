@@ -22,6 +22,7 @@ from hortacloud_importer_spark.registry import register
 @register(
     "win_cumsum",
     "E1",
+    driver=False,
     oracle="""
 SELECT o_custkey, o_orderkey,
        CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
@@ -76,6 +77,7 @@ def win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_rank",
     "E3",
+    driver=False,
     oracle="""
 SELECT l_orderkey, l_linenumber, l_extendedprice AS price
 FROM (
@@ -103,6 +105,7 @@ def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_lag",
     "E4",
+    driver=False,
     oracle="""
 SELECT user_id, event_id,
        value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS delta,
@@ -128,6 +131,7 @@ def win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_ntile",
     "E4",
+    driver=False,
     oracle="""
 SELECT tile, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
 FROM (
@@ -176,21 +180,40 @@ def sort_global(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sort_rownum",
-    "F2",
+    "F2+E4",
     oracle="""
-SELECT event_id, ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn
+SELECT event_id,
+       ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+       NTILE(10) OVER (ORDER BY ts, event_id) AS tile
 FROM events
 """,
 )
 def sort_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered row numbering (F2): z-order assignment from sorted file
-    lists (tiff2octree.py:1034). At 100 TB: zipWithIndex-style two-pass
-    (per-partition counts + offset) instead of a global window; here
-    the fixture is stream-sized so the window form is the clearer
-    declaration."""
-    e = table(spark, sf_dir, "events")
-    w = Window.orderBy("ts", "event_id")
-    return e.select("event_id", F.row_number().over(w).alias("rn"))
+    """Ordered row numbering (F2) + exact global NTILE (E4), both in
+    the scale-safe form: z-order assignment from sorted file lists
+    (tiff2octree.py:1034) as the two-pass zipWithIndex pattern —
+    range-partition on the key, per-partition counts prefix-summed
+    into offsets, local row_number + offset (operators/rownum.py).
+    The tile comes from the closed-form NTILE mapping over rn and the
+    broadcast total count — no `OVER (ORDER BY ...)` window ever sees
+    the fact table; tests/test_plans.py asserts the scan side feeds no
+    Exchange SinglePartition."""
+    from hortacloud_importer_spark.operators.rownum import (
+        global_row_numbers,
+        ntile_from_rownum,
+    )
+
+    e = table(spark, sf_dir, "events").select("event_id", "ts")
+    numbered = global_row_numbers(e, ["ts", "event_id"], npartitions=32)
+    n_total = e.agg(F.count("*").alias("_total"))
+    return (
+        numbered.join(F.broadcast(n_total))
+        .select(
+            "event_id",
+            "rn",
+            ntile_from_rownum(F.col("rn"), F.col("_total"), 10).alias("tile"),
+        )
+    )
 
 
 @register(
@@ -224,6 +247,7 @@ def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "limit_k",
     "F3",
+    driver=False,
     oracle="""
 SELECT o_orderkey, o_totalprice
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
@@ -243,6 +267,7 @@ def limit_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_denserank",
     "E4",
+    driver=False,
     oracle="""
 SELECT l_orderkey, l_linenumber,
        DENSE_RANK() OVER (PARTITION BY l_orderkey
@@ -264,6 +289,7 @@ def win_denserank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_firstlast",
     "E4",
+    driver=False,
     oracle="""
 SELECT l_orderkey, l_linenumber,
        FIRST_VALUE(l_quantity) OVER w AS first_qty,
@@ -289,4 +315,53 @@ def win_firstlast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         F.first("l_quantity").over(w).alias("first_qty"),
         F.last("l_quantity").over(w).alias("last_qty"),
+    )
+
+
+@register(
+    "win_suite",
+    "E3+E4",
+    oracle="""
+SELECT user_id, event_id,
+       ROW_NUMBER() OVER w_ts AS rn,
+       RANK() OVER w_val AS rnk,
+       DENSE_RANK() OVER w_val AS drnk,
+       NTILE(4) OVER w_ts AS tile,
+       value - LAG(value) OVER w_ts AS delta,
+       LEAD(event_type) OVER w_ts AS next_type,
+       FIRST_VALUE(event_id) OVER w_ts AS first_event,
+       LAST_VALUE(event_id) OVER w_full AS last_event
+FROM events
+WINDOW w_ts AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w_val AS (PARTITION BY user_id ORDER BY value DESC),
+       w_full AS (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+)
+def win_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated E3+E4 driver query: the full ranking-function
+    surface (row_number/rank/dense_rank/ntile/lag/lead/first/last)
+    in ONE window pass per user. All window specs share the partition
+    key, so Catalyst plans a single hash exchange on user_id and sorts
+    within it (two sort orders -> two local sorts, zero extra
+    shuffles). ntile here is per-partition (bounded groups); the
+    scale-safe GLOBAL ntile is sort_rownum's closed-form path.
+    rank/dense_rank order by value alone — ties share a rank, which is
+    deterministic output even though intra-tie row order isn't.
+    The single-function variants stay registered driver=False."""
+    e = table(spark, sf_dir, "events")
+    w_ts = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_val = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    w_full = w_ts.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w_ts).alias("rn"),
+        F.rank().over(w_val).alias("rnk"),
+        F.dense_rank().over(w_val).alias("drnk"),
+        F.ntile(4).over(w_ts).alias("tile"),
+        (F.col("value") - F.lag("value").over(w_ts)).alias("delta"),
+        F.lead("event_type").over(w_ts).alias("next_type"),
+        F.first("event_id").over(w_ts).alias("first_event"),
+        F.last("event_id").over(w_full).alias("last_event"),
     )

@@ -143,3 +143,41 @@ def test_lsh_ann_candidates_score_exact(spark, sf_dir):
         v = vecs[r["vec_id"]]
         want = round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6)
         assert r["score"] == pytest.approx(want, abs=2e-6)
+
+
+def test_df_cap_bounds_pairs(spark):
+    """One boilerplate shingle planted in 50% of docs must not blow up
+    the candidate-pair count: with the DF cap it contributes ZERO
+    pairs; without the cap it alone contributes O(m^2) pairs."""
+    from hortacloud_importer_spark.queries.dedup import jaccard_pairs
+
+    n_docs = 40
+    rows = []
+    for d in range(n_docs):
+        # unique content per doc + the same boilerplate phrase in every
+        # even doc (df = 20 > cap)
+        text = " ".join(f"w{d}_{i}" for i in range(12))
+        if d % 2 == 0:
+            text += " all rights reserved worldwide"
+        rows.append((d, text))
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    sh = _shingles(docs)
+
+    uncapped = jaccard_pairs(sh, df_cap=None, threshold=0.0)
+    capped = jaccard_pairs(sh, df_cap=8, threshold=0.0)
+
+    # the boilerplate shingles connect all 20 even docs pairwise
+    assert uncapped.count() >= (20 * 19) // 2
+    # capped: no shingle is shared below the cap -> no candidate pairs
+    assert capped.count() == 0
+
+    # and the cap must NOT lose real near-duplicates: plant one
+    dup = docs.union(
+        spark.createDataFrame(
+            [(1000, " ".join(f"w7_{i}" for i in range(12)))],
+            "doc_id int, text string",
+        )
+    )
+    found = jaccard_pairs(_shingles(dup), df_cap=8, threshold=0.5)
+    got = {(r.doc_a, r.doc_b) for r in found.collect()}
+    assert (7, 1000) in got
