@@ -35,11 +35,41 @@ MEDIA_SCHEMA = (
 
 
 def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
-    """payload -> ndarray. raw8 is real; compressed needs PIL."""
+    """payload -> ndarray. raw8 is real; tiff/compressed are gated on
+    codec libs (absent in this container — probe recorded in
+    FIXTURES.md)."""
     if fmt == "raw8":
         h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
         nf = max(1, int(meta["n_frames"] or 1))
         return np.frombuffer(payload, dtype=np.uint8).reshape(nf, h, w, c)
+    if fmt in ("tiff", "tif"):
+        # the reference's entire front door is TIFF page decode
+        # (slice_to_dask_array / stack_to_dask_array,
+        # tiff2octree.py:653-691, 628-651); same honest gate as PIL —
+        # the Spark plumbing (binaryFile -> mapInPandas -> voxels) is
+        # identical once a codec exists
+        try:
+            import tifffile
+        except ImportError:
+            try:
+                import imageio.v3 as tifffile  # type: ignore[no-redef]
+            except ImportError as exc:
+                raise NotImplementedError(
+                    "format 'tiff' needs tifffile or imageio; probe "
+                    "2026-08-13: both absent from this container "
+                    "(see FIXTURES.md)"
+                ) from exc
+        import io as _io
+
+        arr = np.asarray(tifffile.imread(_io.BytesIO(payload)))
+        # normalize to (frames, h, w, channels)
+        if arr.ndim == 2:  # single grayscale page
+            arr = arr[None, :, :, None]
+        elif arr.ndim == 3:
+            # page stack (pages, h, w) when the last dim is image-sized;
+            # otherwise a single (h, w, c) page
+            arr = arr[..., None] if arr.shape[-1] > 8 else arr[None, ...]
+        return arr
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:  # codec libs absent in this container

@@ -192,8 +192,21 @@ KTX_SCHEMA = (
 )
 
 
-def ktx_encode_blocks(pyramid_blocks: DataFrame, itemsize: int = 2) -> DataFrame:
-    """A8: per-(block, channel) KTX blobs from pyramid block rows.
+def interleave_channels(arrays: list[np.ndarray]) -> np.ndarray:
+    """Interleave same-shaped flat channel payloads element-wise:
+    [z y x]-ordered per-channel arrays -> one [z y x c]-ordered array
+    — the reference's multi-channel texel layout
+    (interleave_channel_arrays, ktx/util.py:242-262), restated on the
+    flat zyx payload blockify() produces."""
+    if len(arrays) == 1:
+        return arrays[0]
+    return np.stack(arrays, axis=-1).ravel()
+
+
+def ktx_encode_blocks(
+    pyramid_blocks: DataFrame, itemsize: int = 2, interleave: bool = False
+) -> DataFrame:
+    """A8: per-block KTX blobs from pyramid block rows.
 
     Input schema: (zi, yi, xi, channel, level, voxels array<int>,
     shape array<int>) — i.e. blockify() output per pyramid level.
@@ -201,6 +214,13 @@ def ktx_encode_blocks(pyramid_blocks: DataFrame, itemsize: int = 2) -> DataFrame
     never touches the driver. Metadata records the block coordinate
     (the reference stores geometry the same way,
     ktx_from_rendered_tiff.py:208-251).
+
+    ``interleave=False``: one single-channel KTX per (block, channel).
+    ``interleave=True``: one multi-channel KTX per block — channels
+    are interleaved per texel (GL_RG/RGB/RGBA formats, the reference's
+    default 2-channel specimen case, ktx_from_rendered_tiff.py:312);
+    the output row's ``channel`` is -1 and the original channel ids
+    ride in the ``channel_ids`` metadata key.
     """
     dtype = np.uint8 if itemsize == 1 else np.uint16
 
@@ -233,6 +253,50 @@ def ktx_encode_blocks(pyramid_blocks: DataFrame, itemsize: int = 2) -> DataFrame
             ]
         )
 
+    def encode_interleaved(key, pdf):
+        zi, yi, xi = (int(k) for k in key)
+        chans = sorted(int(c) for c in pdf["channel"].unique())
+        levels = sorted(int(v) for v in pdf["level"].unique())
+        mipmaps = []
+        for lv in levels:
+            sub = pdf[pdf["level"] == lv]
+            per_ch = {
+                int(r.channel): np.asarray(r.voxels, dtype=dtype)
+                for r in sub.itertuples()
+            }
+            mipmaps.append(
+                interleave_channels([per_ch[c] for c in chans]).tobytes()
+            )
+        first = pdf[pdf["level"] == levels[0]].iloc[0]
+        shape = tuple(int(s) for s in first["shape"])
+        header = KtxHeader.for_array(
+            shape,
+            itemsize,
+            channels=len(chans),
+            mipmap_levels=len(mipmaps),
+            metadata={
+                "block_zyx": f"{zi},{yi},{xi}",
+                "channel_ids": ",".join(str(c) for c in chans),
+            },
+        )
+        blob = encode_ktx(header, mipmaps)
+        return pd.DataFrame(
+            [
+                {
+                    "zi": zi,
+                    "yi": yi,
+                    "xi": xi,
+                    "channel": -1,
+                    "n_levels": len(mipmaps),
+                    "ktx": blob,
+                }
+            ]
+        )
+
+    if interleave:
+        return pyramid_blocks.groupBy("zi", "yi", "xi").applyInPandas(
+            encode_interleaved, KTX_SCHEMA
+        )
     return pyramid_blocks.groupBy("zi", "yi", "xi", "channel").applyInPandas(
         encode, KTX_SCHEMA
     )
@@ -240,21 +304,34 @@ def ktx_encode_blocks(pyramid_blocks: DataFrame, itemsize: int = 2) -> DataFrame
 
 def write_ktx_files(encoded: DataFrame, out_dir: str) -> None:
     """A8 file sink: one ``block_{z}_{y}_{x}_ch{c}.ktx`` per row,
-    written BY EXECUTORS via foreachPartition (blobs never visit the
-    driver; works against any Hadoop-visible filesystem). Pair with
-    ``spark.read.format("binaryFile")`` + :func:`ktx_decode_blocks`
-    for the A9 read path."""
+    written BY EXECUTORS via foreachPartition — blobs never visit the
+    driver. Paths resolve through ``pyarrow.fs.FileSystem.from_uri``,
+    so the same code writes local disk, ``hdfs://`` or ``s3://`` from
+    Python workers (which have no JVM gateway — the Hadoop Java API
+    is not reachable from executor-side Python; pyarrow's filesystems
+    are the engine-portable equivalent). Local filesystems get
+    tmp+rename for atomic visibility; object stores are single-PUT
+    atomic already, and task retries simply overwrite the same key
+    (idempotent names). Pair with ``spark.read.format("binaryFile")``
+    + :func:`ktx_decode_blocks` for the A9 read path."""
 
     def write_partition(rows):
-        import os
+        from pyarrow import fs as pafs
 
-        os.makedirs(out_dir, exist_ok=True)
+        if "://" in out_dir:
+            filesystem, base = pafs.FileSystem.from_uri(out_dir)
+        else:
+            filesystem, base = pafs.LocalFileSystem(), out_dir
+        filesystem.create_dir(base, recursive=True)
+        local = isinstance(filesystem, pafs.LocalFileSystem)
         for row in rows:
             name = f"block_{row['zi']}_{row['yi']}_{row['xi']}_ch{row['channel']}.ktx"
-            tmp = os.path.join(out_dir, f".{name}.tmp")
-            with open(tmp, "wb") as fh:
+            target = f"{base}/{name}"
+            staged = f"{base}/.{name}.tmp" if local else target
+            with filesystem.open_output_stream(staged) as fh:
                 fh.write(bytes(row["ktx"]))
-            os.replace(tmp, name if os.path.isabs(name) else os.path.join(out_dir, name))
+            if local:
+                filesystem.move(staged, target)
 
     encoded.foreachPartition(write_partition)
 
@@ -273,6 +350,7 @@ def ktx_decode_blocks(ktx_df: DataFrame, itemsize: int = 2) -> DataFrame:
     ``ktx``).
     """
     dtype = np.uint8 if itemsize == 1 else np.uint16
+    n_channels_of = {fmt: n for n, fmt in _FORMATS.items()}
 
     def decode(batches):
         for pdf in batches:
@@ -283,24 +361,33 @@ def ktx_decode_blocks(ktx_df: DataFrame, itemsize: int = 2) -> DataFrame:
                     int(v)
                     for v in header.metadata[b"block_zyx"].rstrip(b"\x00").split(b",")
                 )
-                ch = int(header.metadata[b"channel"].rstrip(b"\x00"))
+                nch = n_channels_of.get(header.gl_format, 1)
+                if nch == 1:
+                    ch_ids = [int(header.metadata[b"channel"].rstrip(b"\x00"))]
+                else:
+                    ch_ids = [
+                        int(c)
+                        for c in header.metadata[b"channel_ids"]
+                        .rstrip(b"\x00")
+                        .split(b",")
+                    ]
                 for lv, payload in enumerate(mipmaps):
-                    out.append(
-                        {
-                            "zi": z,
-                            "yi": y,
-                            "xi": x,
-                            "channel": ch,
-                            "level": lv,
-                            "n_bytes": len(payload),
-                            "pixel_depth": header.pixel_depth,
-                            "pixel_height": header.pixel_height,
-                            "pixel_width": header.pixel_width,
-                            "voxels": np.frombuffer(payload, dtype=dtype)
-                            .astype(np.int32)
-                            .tolist(),
-                        }
-                    )
+                    texels = np.frombuffer(payload, dtype=dtype).reshape(-1, nch)
+                    for ci, ch in enumerate(ch_ids):
+                        out.append(
+                            {
+                                "zi": z,
+                                "yi": y,
+                                "xi": x,
+                                "channel": ch,
+                                "level": lv,
+                                "n_bytes": len(payload) // nch,
+                                "pixel_depth": header.pixel_depth,
+                                "pixel_height": header.pixel_height,
+                                "pixel_width": header.pixel_width,
+                                "voxels": texels[:, ci].astype(np.int32).tolist(),
+                            }
+                        )
             yield pd.DataFrame(out)
 
     return ktx_df.mapInPandas(decode, DECODE_SCHEMA)

@@ -174,8 +174,19 @@ def streaming_cascade(
             cascade = MipmapCascade(dims, filter_)
         zi, yi, xi, ch = (int(k) for k in key)
         rows = []
-        for pdf in pdf_iter:
-            for row in pdf.sort_values("z").itertuples():
+        # a key's rows can span multiple Arrow chunks within one
+        # micro-batch in arbitrary shuffle order — materialize the
+        # whole batch and sort ONCE so the z-order contract holds
+        # inside the batch (cross-batch ordering stays the documented
+        # source assumption)
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        batch = (
+            pd.concat(chunks, ignore_index=True).sort_values("z")
+            if chunks
+            else pd.DataFrame()
+        )
+        if len(batch):
+            for row in batch.itertuples():
                 h, w = int(row.height), int(row.width)
                 arr = np.asarray(row.voxels, dtype=np.int64).reshape(h, w)
                 for level, z, daughter in cascade.feed(int(row.z), arr):

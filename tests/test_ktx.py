@@ -135,3 +135,80 @@ def test_spark_encode_decode_roundtrip(spark):
                     assert arr[z, y, x] == want[(r["channel"], z, y, x)]
     # deepest level has 1 voxel
     assert decoded.filter(F.col("level") == 2).count() == 2
+
+
+def test_interleave_golden_bytes():
+    """2-channel interleave must produce the exact texel-interleaved
+    byte layout the reference's interleave_channel_arrays produces
+    (ktx/util.py:242-262): r0 g0 r1 g1 ... little-endian uint16."""
+    from hortacloud_importer_spark.sources.ktx import (
+        GL_RG,
+        encode_ktx,
+        interleave_channels,
+    )
+
+    ch0 = np.array([1, 2, 3, 4], dtype=np.uint16)
+    ch1 = np.array([10, 20, 30, 40], dtype=np.uint16)
+    inter = interleave_channels([ch0, ch1])
+    assert inter.tolist() == [1, 10, 2, 20, 3, 30, 4, 40]
+
+    header = KtxHeader.for_array((1, 2, 2), itemsize=2, channels=2, mipmap_levels=1)
+    assert header.gl_format == GL_RG
+    assert header.gl_internal_format == 0x822C  # GL_RG16
+    blob = encode_ktx(header, [inter.tobytes()])
+    # payload = last 16+4 bytes: uint32 size prefix + 8 uint16 texels
+    payload = blob[-20:]
+    assert payload[:4] == (16).to_bytes(4, "little")
+    assert payload[4:] == bytes.fromhex(
+        "01000a000200140003001e000400" + "2800"
+    ) or np.frombuffer(payload[4:], dtype="<u2").tolist() == [
+        1, 10, 2, 20, 3, 30, 4, 40,
+    ]
+
+
+def test_spark_interleaved_roundtrip(spark):
+    """A 2-channel volume encodes to ONE multi-channel KTX per block
+    (the reference's default.0.tif/default.1.tif case) and decodes
+    back to the per-channel voxels exactly."""
+    dims = (8, 8, 8)
+    nlevels = 3
+    v = synthetic_volume(spark, *dims, channels=2)
+    pyr = build_pyramid(v, dims, nlevels, "arthur", persist=False)
+    per_level = []
+    d = dims
+    for lv in range(nlevels):
+        per_level.append(
+            blockify(pyr.filter(F.col("level") == lv), d).withColumn(
+                "level", F.lit(lv)
+            )
+        )
+        d = tuple(mipmap_dimension(1, x) for x in d)
+    stacked = per_level[0]
+    for b in per_level[1:]:
+        stacked = stacked.unionByName(b)
+
+    encoded = ktx_encode_blocks(stacked, interleave=True)
+    rows = encoded.collect()
+    assert len(rows) == 1  # ONE blob for both channels
+    assert rows[0]["channel"] == -1
+    header, mipmaps = decode_ktx(bytes(rows[0]["ktx"]))
+    from hortacloud_importer_spark.sources.ktx import GL_RG
+
+    assert header.gl_format == GL_RG
+    assert len(mipmaps) == nlevels
+    # level-0 interleaved payload is 2x the single-channel size
+    assert len(mipmaps[0]) == 8 * 8 * 8 * 2 * 2
+
+    decoded = ktx_decode_blocks(encoded)
+    want = {
+        (r["channel"], r["z"], r["y"], r["x"]): r["intensity"] for r in v.collect()
+    }
+    got_rows = decoded.filter(F.col("level") == 0).collect()
+    assert {r["channel"] for r in got_rows} == {0, 1}
+    for r in got_rows:
+        assert r["n_bytes"] == 8 * 8 * 8 * 2
+        arr = np.array(r["voxels"]).reshape(8, 8, 8)
+        for z in range(8):
+            for y in range(8):
+                for x in range(8):
+                    assert arr[z, y, x] == want[(r["channel"], z, y, x)]

@@ -102,3 +102,22 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # late 100.0 never appears
     assert rows.get("2024-01-01T10:00:00") == (1, 1.0), rows
     assert all(total != 100.0 and total != 101.0 for _, total in rows.values())
+
+
+def test_ktx_file_sink_via_uri(spark, tmp_path):
+    """The sink resolves paths through pyarrow.fs.FileSystem.from_uri,
+    so a file:// URI (the local stand-in for hdfs://, s3://) writes
+    the same blobs as a bare path."""
+    out = str(tmp_path / "ktx_uri_out")
+    v = synthetic_volume(spark, 4, 4, 4, channels=1)
+    blocks = blockify(v, (4, 4, 4)).withColumn("level", F.lit(0))
+    write_ktx_files(ktx_encode_blocks(blocks), f"file://{out}")
+
+    files = sorted(glob.glob(f"{out}/*.ktx"))
+    assert [f.rsplit("/", 1)[1] for f in files] == ["block_0_0_0_ch0.ktx"]
+    bin_df = (
+        spark.read.format("binaryFile")
+        .load(f"{out}/*.ktx")
+        .select(F.col("content").alias("ktx"))
+    )
+    assert ktx_decode_blocks(bin_df).count() == 1

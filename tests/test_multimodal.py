@@ -88,3 +88,20 @@ def test_arrow_batch_shape(spark):
     media = synthetic_media(spark, 5, "image")
     kinds = media.select("payload").toPandas()
     assert all(isinstance(b, (bytes, bytearray)) for b in kinds["payload"])
+
+
+def test_tiff_gate_raises_cleanly():
+    """TIFF decode is gated on tifffile/imageio (absent here — probe in
+    FIXTURES.md): the kernel must raise NotImplementedError, not crash."""
+    import pytest
+
+    from hortacloud_importer_spark.operators.multimodal import _decode_one
+
+    try:
+        import tifffile  # noqa: F401
+
+        pytest.skip("tifffile present; gate not exercised")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="tiff"):
+        _decode_one("tiff", b"II*\x00", {"height": 1, "width": 1, "channels": 1, "n_frames": 1})

@@ -125,3 +125,44 @@ def test_cust_order_dist_keeps_outer_join(spark, sf_dir):
     plan = _plan(spark, "q_cust_order_dist", sf_dir)
     assert "LeftOuter" in plan
     assert "partial_count" in plan
+
+
+def test_sort_rownum_has_no_global_window_over_the_data(spark, sf_dir):
+    """F2's scale-safe form: the fact table is range-partitioned and
+    locally numbered; the only SinglePartition exchange feeds the tiny
+    per-partition-counts window, never the events scan. The window
+    over the data must be partitioned (by the range-partition id)."""
+    plan = _plan(spark, "sort_rownum", sf_dir)
+    # the offsets side is broadcast back, the counts window is tiny
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the data-side row_number window is keyed by the range-partition
+    # id, not unpartitioned
+    assert "row_number() windowspecdefinition(_pid#" in plan
+    single = [
+        seg for seg in plan.split("Exchange ") if seg.startswith("SinglePartition")
+    ]
+    for seg in single:
+        # a SinglePartition exchange may carry count partials (zero
+        # columns read) or the tiny per-pid counts — never data rows
+        head = seg[:500]
+        if "parquet" in head:
+            assert "ReadSchema: struct<>" in head, (
+                f"data columns feed SinglePartition: {head}"
+            )
+
+
+def test_win_suite_single_exchange(spark, sf_dir):
+    """All E3/E4 window specs share the user_id partition key -> ONE
+    hash exchange on user_id, no SinglePartition anywhere."""
+    plan = _plan(spark, "win_suite", sf_dir)
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_dedup_df_cap_is_broadcast_anti_join(spark, sf_dir):
+    """The hot-shingle cap must not add a posting-list shuffle: the
+    df>cap survivors broadcast into a LeftAnti join."""
+    plan = _plan(spark, "dedup_ngram_jaccard", sf_dir)
+    assert "LeftAnti, BuildRight" in plan or (
+        "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    )
