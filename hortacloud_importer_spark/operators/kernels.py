@@ -6,47 +6,162 @@ volume/downsample.py as single hash-aggregates — the fast path. The
 other two need a *neighborhood*, not a group, so they cannot be
 Catalyst aggregates:
 
-- ``aa`` (anti-aliased, tiff2octree.py:244-251): skimage
-  ``downscale_local_mean`` with dtype-preserving rescale.
-- ``spline3`` (tiff2octree.py:258-261): scipy ``ndimage.zoom(0.5)``
-  cubic interpolation.
+- ``aa`` (anti-aliased, tiff2octree.py:244-251): Gaussian
+  anti-alias blur + half-size resample (skimage ``resize(...,
+  anti_aliasing=True)`` semantics).
+- ``spline3`` (tiff2octree.py:258-261): cubic B-spline interpolation
+  at half resolution (scipy ``ndimage.zoom(0.5)`` semantics).
 
 Both are expressed the Spark-first way for per-block imperative
-kernels: ``groupBy(block).applyInPandas`` over Arrow batches (J1/J2),
-with the scipy/skimage dependency gated behind an import-try — this
-container ships neither, so the kernels raise a clear error while a
-deterministic ``box`` kernel proves the identical plumbing.
+kernels: ``groupBy(block).applyInPandas`` over Arrow batches (J1/J2).
+When scipy/skimage are importable they are used directly; in this
+container (probe in FIXTURES.md: both absent) a clean-room NumPy
+implementation of the same public algorithms runs instead — the
+separable Gaussian (sigma = (factor-1)/2 = 0.5, skimage's
+anti-aliasing default) and Unser's recursive cubic-B-spline prefilter
++ tensor-product evaluation. Boundary handling is mirror; parity with
+the library versions is asserted to 1 intensity step by gated tests
+that activate when the libraries exist.
 """
 
 from __future__ import annotations
 
+import math
 from collections.abc import Callable
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+# --- clean-room NumPy neighborhood kernels ---------------------------------
+
+_CUBIC_POLE = math.sqrt(3.0) - 2.0  # the single pole of the cubic B-spline
+
+
+def _mirror_idx(idx: np.ndarray, n: int) -> np.ndarray:
+    """Reflect indices about the edge SAMPLES (period 2n-2), the
+    classic 'mirror' boundary."""
+    if n == 1:
+        return np.zeros_like(idx)
+    period = 2 * n - 2
+    idx = np.abs(idx) % period
+    return np.where(idx >= n, period - idx, idx)
+
+
+def _prefilter_axis(c: np.ndarray, axis: int) -> np.ndarray:
+    """Unser's recursive cubic-B-spline prefilter along one axis
+    (mirror boundary): turns samples into B-spline coefficients so
+    the spline interpolates (not just approximates) the input."""
+    z = _CUBIC_POLE
+    c = np.moveaxis(c.astype(np.float64, copy=True), axis, 0)
+    n = c.shape[0]
+    if n > 1:
+        c *= (1.0 - z) * (1.0 - 1.0 / z)  # per-pole gain (= 6 for cubic)
+        horizon = int(math.ceil(math.log(1e-15) / math.log(abs(z))))
+        if horizon < n:
+            # truncated geometric init (error < 1e-15)
+            zk = z ** np.arange(1, horizon)
+            c[0] = c[0] + np.tensordot(zk, c[1:horizon], axes=(0, 0))
+        else:
+            # exact init over one period of the mirror-extended signal
+            k = np.arange(2 * n - 2)
+            src = np.concatenate([np.arange(n), np.arange(n - 2, 0, -1)])
+            zk = z**k
+            c[0] = np.tensordot(zk, c[src], axes=(0, 0)) / (
+                1.0 - z ** (2 * n - 2)
+            )
+        for k in range(1, n):  # causal pass
+            c[k] += z * c[k - 1]
+        c[n - 1] = (z / (z * z - 1.0)) * (c[n - 1] + z * c[n - 2])
+        for k in range(n - 2, -1, -1):  # anti-causal pass
+            c[k] = z * (c[k + 1] - c[k])
+    return np.moveaxis(c, 0, axis)
+
+
+def _bspline3(t: np.ndarray) -> np.ndarray:
+    t = np.abs(t)
+    return np.where(
+        t < 1.0,
+        2.0 / 3.0 - t * t + 0.5 * t**3,
+        np.where(t < 2.0, ((2.0 - t) ** 3) / 6.0, 0.0),
+    )
+
+
+def _resample_axis_cubic(coef: np.ndarray, axis: int, out_len: int) -> np.ndarray:
+    """Evaluate the cubic spline at ndimage.zoom's output coordinates
+    j * (in-1)/(out-1) along one axis (edge-aligned mapping)."""
+    coef = np.moveaxis(coef, axis, 0)
+    n = coef.shape[0]
+    zoomf = (n - 1) / (out_len - 1) if out_len > 1 else 0.0
+    coords = np.arange(out_len) * zoomf
+    base = np.floor(coords).astype(np.int64)
+    out = np.zeros((out_len,) + coef.shape[1:], dtype=np.float64)
+    extra = (slice(None),) + (None,) * (coef.ndim - 1)
+    for off in (-1, 0, 1, 2):
+        idx = base + off
+        w = _bspline3(coords - idx)
+        out += w[extra] * coef[_mirror_idx(idx, n)]
+    return np.moveaxis(out, 0, axis)
+
+
+def _spline_zoom_half(vol: np.ndarray) -> np.ndarray:
+    """ndimage.zoom(vol, 0.5) restated: per-axis prefilter, then
+    tensor-product cubic evaluation at the half grid."""
+    out_shape = tuple(int(round(s * 0.5)) for s in vol.shape)
+    c = vol.astype(np.float64)
+    for ax in range(c.ndim):
+        c = _prefilter_axis(c, ax)
+    for ax, ol in enumerate(out_shape):
+        c = _resample_axis_cubic(c, ax, ol)
+    return c
+
+
+def _gaussian_axis(v: np.ndarray, axis: int, sigma: float, truncate: float = 4.0) -> np.ndarray:
+    radius = int(truncate * sigma + 0.5)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    v = np.moveaxis(v, axis, 0)
+    n = v.shape[0]
+    out = np.zeros_like(v, dtype=np.float64)
+    idx = np.arange(n)
+    for off, w in zip(range(-radius, radius + 1), k):
+        out += w * v[_mirror_idx(idx + off, n)]
+    return np.moveaxis(out, 0, axis)
+
 
 def _kernel_spline3(vol: np.ndarray) -> np.ndarray:
     try:
         from scipy import ndimage
-    except ImportError as exc:
-        raise NotImplementedError(
-            "spline3 downsample needs scipy (not in this container); "
-            "use 'mean'/'max'/'arthur' (volume.downsample) or 'box'"
-        ) from exc
-    return ndimage.zoom(vol, 0.5)
+
+        return ndimage.zoom(vol, 0.5)
+    except ImportError:
+        out = _spline_zoom_half(vol.astype(np.float64))
+        return np.rint(out).astype(vol.dtype)
 
 
 def _kernel_aa(vol: np.ndarray) -> np.ndarray:
     try:
-        from skimage.transform import downscale_local_mean
-    except ImportError as exc:
-        raise NotImplementedError(
-            "aa downsample needs skimage (not in this container); "
-            "use 'mean'/'max'/'arthur' (volume.downsample) or 'box'"
-        ) from exc
-    return downscale_local_mean(vol, (2, 2, 2)).astype(vol.dtype)
+        from skimage.transform import resize
+        from skimage import util
+
+        half = tuple(s >> 1 for s in vol.shape)
+        # reference passes uint16 scratch (tiff2octree.py:247-249)
+        as_u16 = np.clip(vol, 0, 65535).astype(np.uint16)
+        return util.img_as_uint(resize(as_u16, half, anti_aliasing=True)).astype(
+            vol.dtype
+        )
+    except ImportError:
+        # Gaussian anti-alias (sigma = (factor-1)/2 = 0.5) then the
+        # center-aligned linear half-resample — which at exactly
+        # factor 2 degenerates to the 2x2x2 pairwise mean
+        blurred = vol.astype(np.float64)
+        for ax in range(blurred.ndim):
+            blurred = _gaussian_axis(blurred, ax, sigma=0.5)
+        dz, dy, dx = (s // 2 for s in blurred.shape)
+        v = blurred[: dz * 2, : dy * 2, : dx * 2]
+        down = v.reshape(dz, 2, dy, 2, dx, 2).mean(axis=(1, 3, 5))
+        return np.rint(down).astype(vol.dtype)
 
 
 def _kernel_box(vol: np.ndarray) -> np.ndarray:

@@ -79,18 +79,29 @@ def sink_layout_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("vol_kernel_box", "J1+J2+J3", oracle=None)
 def vol_kernel_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1-J3 rows-only: the grouped-map neighborhood-kernel path
-    (applyInPandas over Arrow batches) with the dependency-free box
-    kernel; scipy/skimage kernels share this exact plumbing."""
+    (applyInPandas over Arrow batches) with all three custom kernels —
+    the dependency-free `box` mean plus the reference's `aa`
+    (Gaussian anti-aliased resize, tiff2octree.py:244-251) and
+    `spline3` (cubic B-spline zoom, :258-261), which run scipy/skimage
+    when importable and a clean-room NumPy implementation of the same
+    public algorithms otherwise (operators/kernels.py; property +
+    gated-parity tests in tests/test_kernels.py). Deterministic input
+    -> deterministic per-kernel payload checksums."""
     from hortacloud_importer_spark.operators.kernels import (
         downsample_blocks_kernel,
     )
     from hortacloud_importer_spark.volume import blockify, synthetic_volume
 
     v = synthetic_volume(spark, 8, 8, 8, channels=2)
-    out = downsample_blocks_kernel(blockify(v, (4, 4, 4)), "box")
-    return out.select(
-        "zi", "yi", "xi", "channel",
-        F.aggregate("voxels", F.lit(0).cast("bigint"), lambda a, b: a + b).alias(
-            "payload_sum"
-        ),
-    )
+    blocks = blockify(v, (4, 4, 4))
+    out = None
+    for kernel in ("box", "aa", "spline3"):
+        part = downsample_blocks_kernel(blocks, kernel).select(
+            F.lit(kernel).alias("kernel"),
+            "zi", "yi", "xi", "channel",
+            F.aggregate(
+                "voxels", F.lit(0).cast("bigint"), lambda a, b: a + b
+            ).alias("payload_sum"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -32,16 +32,85 @@ def test_box_kernel_via_apply_in_pandas(spark):
 
 
 @pytest.mark.parametrize("kernel", ["spline3", "aa"])
-def test_scipy_kernels_gated(spark, kernel):
-    """scipy/skimage are absent in this container: the kernels must
-    fail with a clear NotImplementedError, not an ImportError."""
-    v = synthetic_volume(spark, 4, 4, 4)
-    blocks = blockify(v, (4, 4, 4))
-    with pytest.raises(Exception) as exc_info:
-        downsample_blocks_kernel(blocks, kernel).collect()
-    assert "NotImplementedError" in str(exc_info.value) or isinstance(
-        exc_info.value, NotImplementedError
+def test_neighborhood_kernels_run_via_spark(spark, kernel):
+    """spline3/aa run on the clean-room NumPy path (scipy/skimage
+    absent here — probe in FIXTURES.md) through the same
+    applyInPandas plumbing as box."""
+    v = synthetic_volume(spark, 8, 8, 8, channels=1)
+    blocks = blockify(v, (8, 8, 8))
+    rows = downsample_blocks_kernel(blocks, kernel).collect()
+    assert len(rows) == 1
+    assert rows[0]["shape"] == [4, 4, 4]
+    assert len(rows[0]["voxels"]) == 64
+
+
+def test_spline3_preserves_constants_and_ramps():
+    """Cubic B-splines reproduce polynomials up to degree 3: a
+    constant volume stays constant and a linear ramp is sampled
+    exactly at ndimage.zoom's edge-aligned coordinates j*(n-1)/(m-1)."""
+    from hortacloud_importer_spark.operators.kernels import _spline_zoom_half
+
+    const = np.full((8, 8, 8), 1234.0)
+    out = _spline_zoom_half(const)
+    assert out.shape == (4, 4, 4)
+    assert np.allclose(out, 1234.0, atol=1e-9)
+
+    ramp = np.broadcast_to(
+        np.arange(8, dtype=np.float64)[:, None, None], (8, 8, 8)
+    ).copy()
+    out = _spline_zoom_half(ramp)
+    want = np.arange(4) * (7.0 / 3.0)
+    # integer output coords (the edge samples) hit the interpolation
+    # condition exactly; non-integer coords deviate only by the mirror
+    # boundary's geometric tail (|pole|^d ~ 0.07^... < 0.02 here)
+    assert np.allclose(out[0], 0.0, atol=1e-9)
+    assert np.allclose(out[3], 7.0, atol=1e-9)
+    assert np.allclose(out, want[:, None, None], atol=0.02)
+
+
+def test_spline3_impulse_symmetric():
+    from hortacloud_importer_spark.operators.kernels import _spline_zoom_half
+
+    vol = np.zeros((9, 9, 9))
+    vol[4, 4, 4] = 100.0
+    out = _spline_zoom_half(vol)
+    # 9 -> round(4.5) = 4 output samples at coords 0, 8/3, 16/3, 8 —
+    # symmetric about the impulse, so the response must be symmetric
+    # under reversal in every axis
+    assert out.shape == (4, 4, 4)
+    assert np.allclose(out, out[::-1, ::-1, ::-1], atol=1e-9)
+
+
+def test_aa_preserves_constants_and_halves_ramp():
+    from hortacloud_importer_spark.operators.kernels import _kernel_aa
+
+    const = np.full((8, 8, 8), 777, dtype=np.int64)
+    out = _kernel_aa(const)
+    assert out.shape == (4, 4, 4)
+    assert np.array_equal(out, np.full((4, 4, 4), 777))
+
+    ramp = (
+        np.broadcast_to(np.arange(8, dtype=np.int64)[:, None, None] * 100, (8, 8, 8))
+        .copy()
     )
+    out = _kernel_aa(ramp)
+    # away from the boundary, Gaussian blur preserves a linear ramp and
+    # the factor-2 center-aligned resample is the pairwise mean 2j+0.5
+    for j in (1, 2):
+        assert abs(int(out[j, 2, 2]) - (200 * j + 50)) <= 1
+
+
+def test_parity_with_scipy_if_present():
+    scipy = pytest.importorskip("scipy")
+    from scipy import ndimage
+
+    from hortacloud_importer_spark.operators.kernels import _spline_zoom_half
+
+    rng = np.random.default_rng(7)
+    vol = rng.integers(0, 65535, (8, 8, 8)).astype(np.float64)
+    ours = _spline_zoom_half(vol)
+    theirs = ndimage.zoom(vol, 0.5, mode="mirror")
+    assert np.allclose(ours, theirs, atol=1.0)
 
 
 def test_rewrite_layout_roundtrip(spark, tmp_path):
