@@ -45,20 +45,20 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
     if fmt in ("tiff", "tif"):
         # the reference's entire front door is TIFF page decode
         # (slice_to_dask_array / stack_to_dask_array,
-        # tiff2octree.py:653-691, 628-651); same honest gate as PIL —
-        # the Spark plumbing (binaryFile -> mapInPandas -> voxels) is
-        # identical once a codec exists
+        # tiff2octree.py:653-691, 628-651). tifffile/imageio when
+        # importable (full codec coverage); otherwise the clean-room
+        # baseline reader handles the uncompressed striped stacks the
+        # reference renders (sources/tiff.py) and compressed files
+        # raise TiffParseError naming the missing codec.
         try:
             import tifffile
         except ImportError:
             try:
                 import imageio.v3 as tifffile  # type: ignore[no-redef]
-            except ImportError as exc:
-                raise NotImplementedError(
-                    "format 'tiff' needs tifffile or imageio; probe "
-                    "2026-08-13: both absent from this container "
-                    "(see FIXTURES.md)"
-                ) from exc
+            except ImportError:
+                from hortacloud_importer_spark.sources.tiff import decode_tiff
+
+                return decode_tiff(bytes(payload))
         import io as _io
 
         arr = np.asarray(tifffile.imread(_io.BytesIO(payload)))

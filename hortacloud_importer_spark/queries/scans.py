@@ -271,3 +271,50 @@ def scalar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("l_shipdate").cast("date").alias("max_ship"),
         sum_money("l_extendedprice", "total_price"),
     )
+
+
+@register("scan_tiff_stack", "A1+A2", oracle=None)
+def scan_tiff_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 over REAL container files, rows-only: a deterministic
+    z-stack of baseline TIFF slices is written (sources/tiff.py), then
+    ingested exactly the way the reference's front door works
+    (slice_to_dask_array, tiff2octree.py:653-691): binaryFile scan ->
+    per-file page decode on executors (clean-room uncompressed-TIFF
+    reader; tifffile used instead when importable) -> per-slice
+    intensity accounting. Deterministic pixels -> deterministic rows."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import media_features
+    from hortacloud_importer_spark.sources.tiff import encode_tiff
+
+    workdir = tempfile.mkdtemp(prefix="tiff_stack_")
+    h = w = 8
+    for z in range(4):
+        vals = ((np.arange(h * w).reshape(h, w) * (z + 1)) % 251).astype(np.uint8)
+        with open(f"{workdir}/default.0.{z:03d}.tif", "wb") as fh:
+            fh.write(encode_tiff(vals[None, ...]))
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*.tif")
+        .select(
+            F.regexp_extract(F.col("path"), r"\.(\d{3})\.tif$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.lit("tiff").alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 8, 'width', 8, 'channels', 1,"
+                " 'sample_rate', 0, 'n_frames', 1)"
+            ).alias("meta"),
+        )
+    )
+    return media_features(media).select(
+        F.col("media_id").alias("z"),
+        "n_bytes",
+        "mean_intensity",
+        "min_intensity",
+        "max_intensity",
+    )

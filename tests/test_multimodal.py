@@ -90,18 +90,27 @@ def test_arrow_batch_shape(spark):
     assert all(isinstance(b, (bytes, bytearray)) for b in kinds["payload"])
 
 
-def test_tiff_gate_raises_cleanly():
-    """TIFF decode is gated on tifffile/imageio (absent here — probe in
-    FIXTURES.md): the kernel must raise NotImplementedError, not crash."""
+def test_tiff_routes_to_baseline_reader():
+    """With tifffile/imageio absent (probe in FIXTURES.md), the tiff
+    format routes to the clean-room baseline reader; compressed files
+    fail with a clear codec error, not a crash."""
+    import numpy as np
     import pytest
 
     from hortacloud_importer_spark.operators.multimodal import _decode_one
+    from hortacloud_importer_spark.sources.tiff import encode_tiff
 
     try:
         import tifffile  # noqa: F401
 
-        pytest.skip("tifffile present; gate not exercised")
+        pytest.skip("tifffile present; fallback not exercised")
     except ImportError:
         pass
-    with pytest.raises(NotImplementedError, match="tiff"):
-        _decode_one("tiff", b"II*\x00", {"height": 1, "width": 1, "channels": 1, "n_frames": 1})
+    page = np.arange(12, dtype=np.uint8).reshape(1, 3, 4)
+    got = _decode_one(
+        "tiff",
+        encode_tiff(page),
+        {"height": 3, "width": 4, "channels": 1, "n_frames": 1},
+    )
+    assert got.shape == (1, 3, 4, 1)
+    assert np.array_equal(got[0, :, :, 0], page[0])
