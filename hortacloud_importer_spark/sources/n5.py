@@ -1,0 +1,215 @@
+"""Clean-room N5 / Zarr-v2 chunk-store readers (SURVEY §2.A1/A3).
+
+The reference's third front door is ``n5_zarr_to_dask_array``
+(tiff2octree.py:779-823): open a Zarr array or N5 dataset, read shape/
+dtype, then window-read chunks lazily. The Spark-first dual reads the
+tiny JSON metadata once on the driver (through Spark's own reader, so
+any Hadoop-visible store works) and decodes chunk FILES on executors:
+``binaryFile`` scan of the chunk grid -> ``mapInPandas`` decode ->
+one voxel row per element, offset by the chunk's grid position. Both
+container formats are public specs:
+
+- **N5** (github.com/saalfeldlab/n5): ``attributes.json`` with
+  ``dimensions`` (x fastest), ``blockSize``, ``dataType``,
+  ``compression``; chunk files ``<x>/<y>/<z>`` with a
+  big-endian header (mode uint16, ndim uint16, int32 dims) and
+  big-endian payload in x-fastest order.
+- **Zarr v2**: ``.zarray`` with C-ordered ``shape``/``chunks``,
+  numpy dtype string, ``compressor``; chunk files ``<i>.<j>.<k>``
+  (slowest dimension first), full chunk size with fill overflow.
+
+``raw`` N5 chunks and ``compressor: null`` Zarr chunks decode as-is;
+``gzip``/``zlib`` decode via the stdlib. Other codecs (blosc, lz4,
+xz) raise a clear error naming the missing library — same honesty
+rule as FIXTURES.md's codec probe.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VOXEL_SCHEMA = "z long, y long, x long, intensity long"
+
+
+class ChunkStoreError(ValueError):
+    pass
+
+
+def _read_json(spark: SparkSession, path: str) -> dict:
+    """Small-file JSON read through the Hadoop FileSystem API (driver
+    side, like sources/hierarchy.py's listing), so local / HDFS / s3a
+    paths all resolve identically. NOT spark.read.text: Hadoop input
+    formats hide `.`-prefixed files, which would skip Zarr's .zarray."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, baos, 4096, True)
+    return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
+
+
+def _decompress(payload: bytes, codec: str) -> bytes:
+    if codec in ("raw", "null", "none"):
+        return payload
+    if codec == "gzip":
+        return gzip.decompress(payload)
+    if codec == "zlib":
+        return zlib.decompress(payload)
+    raise ChunkStoreError(
+        f"chunk codec {codec!r} needs a library this container lacks "
+        "(see FIXTURES.md); raw/gzip/zlib are built in"
+    )
+
+
+_N5_DTYPES = {
+    "uint8": ">u1",
+    "uint16": ">u2",
+    "uint32": ">u4",
+    "uint64": ">u8",
+    "int8": ">i1",
+    "int16": ">i2",
+    "int32": ">i4",
+    "int64": ">i8",
+}
+
+
+def read_n5(spark: SparkSession, root: str) -> DataFrame:
+    """N5 dataset directory -> voxel DataFrame (z, y, x, intensity).
+
+    ``root`` is the dataset level (contains ``attributes.json``).
+    Chunk files are scanned with ``binaryFile`` and decoded on
+    executors; grid offsets come from the chunk path, so no driver
+    loop ever touches payload bytes.
+    """
+    attrs = _read_json(spark, f"{root}/attributes.json")
+    dims_xyz = attrs["dimensions"]  # x fastest per the N5 spec
+    block_xyz = attrs["blockSize"]
+    codec = (attrs.get("compression") or {"type": "raw"})["type"]
+    np_dtype = _N5_DTYPES.get(attrs["dataType"])
+    if np_dtype is None:
+        raise ChunkStoreError(f"unsupported N5 dataType {attrs['dataType']!r}")
+    if len(dims_xyz) != 3:
+        raise ChunkStoreError("only 3-D N5 datasets supported")
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                # path suffix <gx>/<gy>/<gz> (x grid index first)
+                gx, gy, gz = (
+                    int(p) for p in row.path.rsplit("/", 3)[1:]
+                )
+                raw = bytes(row.content)
+                ndim = int.from_bytes(raw[2:4], "big")
+                hdr_end = 4 + 4 * ndim
+                bdims_xyz = [
+                    int.from_bytes(raw[4 + 4 * i : 8 + 4 * i], "big")
+                    for i in range(ndim)
+                ]
+                payload = _decompress(raw[hdr_end:], codec)
+                # x-fastest payload == C-order over reversed (z, y, x)
+                arr = np.frombuffer(payload, dtype=np_dtype).reshape(
+                    list(reversed(bdims_xyz))
+                )
+                oz, oy, ox = (
+                    gz * block_xyz[2],
+                    gy * block_xyz[1],
+                    gx * block_xyz[0],
+                )
+                zz, yy, xx = np.indices(arr.shape)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "z": (zz + oz).ravel(),
+                            "y": (yy + oy).ravel(),
+                            "x": (xx + ox).ravel(),
+                            "intensity": arr.astype(np.int64).ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                columns=["z", "y", "x", "intensity"]
+            )
+
+    chunks = spark.read.format("binaryFile").load(f"{root}/*/*/*")
+    return chunks.mapInPandas(decode, VOXEL_SCHEMA)
+
+
+def read_zarr(spark: SparkSession, root: str) -> DataFrame:
+    """Zarr-v2 array directory -> voxel DataFrame (z, y, x, intensity)."""
+    meta = _read_json(spark, f"{root}/.zarray")
+    if int(meta.get("zarr_format", 2)) != 2:
+        raise ChunkStoreError("only zarr v2 supported")
+    shape = meta["shape"]  # C order: z, y, x
+    chunks_zyx = meta["chunks"]
+    if len(shape) != 3:
+        raise ChunkStoreError("only 3-D zarr arrays supported")
+    comp = meta.get("compressor")
+    codec = "raw" if comp is None else comp.get("id", "raw")
+    order = meta.get("order", "C")
+    np_dtype = np.dtype(meta["dtype"])
+    sep = meta.get("dimension_separator", ".")
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                name = row.path.rsplit("/", 1)[1]
+                gz, gy, gx = (int(p) for p in name.split(sep))
+                payload = _decompress(bytes(row.content), codec)
+                arr = np.frombuffer(payload, dtype=np_dtype).reshape(
+                    chunks_zyx, order=order
+                )
+                oz, oy, ox = (
+                    gz * chunks_zyx[0],
+                    gy * chunks_zyx[1],
+                    gx * chunks_zyx[2],
+                )
+                # zarr edge chunks are full-size; clip the overhang
+                keep = (
+                    slice(0, max(0, min(chunks_zyx[0], shape[0] - oz))),
+                    slice(0, max(0, min(chunks_zyx[1], shape[1] - oy))),
+                    slice(0, max(0, min(chunks_zyx[2], shape[2] - ox))),
+                )
+                arr = arr[keep]
+                zz, yy, xx = np.indices(arr.shape)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "z": (zz + oz).ravel(),
+                            "y": (yy + oy).ravel(),
+                            "x": (xx + ox).ravel(),
+                            "intensity": arr.astype(np.int64).ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                columns=["z", "y", "x", "intensity"]
+            )
+
+    pattern = f"{root}/*" if sep == "." else f"{root}/*/*/*"
+    chunks = (
+        spark.read.format("binaryFile")
+        .load(pattern)
+        .filter(~F.col("path").endswith(".zarray"))
+        .filter(~F.col("path").endswith(".zattrs"))
+    )
+    return chunks.mapInPandas(decode, VOXEL_SCHEMA)
+
+
+def open_chunk_store(spark: SparkSession, root: str) -> DataFrame:
+    """The reference's zarr-then-N5 probe order
+    (tiff2octree.py:789-795): try Zarr (.zarray present), fall back
+    to N5 (attributes.json present)."""
+    try:
+        return read_zarr(spark, root)
+    except Exception:  # noqa: BLE001 — probe order, mirror the reference
+        return read_n5(spark, root)

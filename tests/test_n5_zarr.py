@@ -1,0 +1,141 @@
+"""Clean-room N5 / Zarr-v2 chunk-store readers (A1/A3 front door).
+
+Stores are hand-built from the public specs with stdlib gzip/zlib, so
+the readers are tested against the format, not against themselves.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+import zlib
+
+import numpy as np
+import pytest
+
+from hortacloud_importer_spark.sources.n5 import (
+    ChunkStoreError,
+    open_chunk_store,
+    read_n5,
+    read_zarr,
+)
+
+
+def _write_n5(root, vol: np.ndarray, block_xyz, codec="raw"):
+    """vol is (z, y, x); N5 metadata is x-fastest."""
+    dz, dy, dx = vol.shape
+    bx, by, bz = block_xyz
+    root.mkdir(parents=True, exist_ok=True)
+    (root / "attributes.json").write_text(
+        json.dumps(
+            {
+                "dimensions": [dx, dy, dz],
+                "blockSize": [bx, by, bz],
+                "dataType": "uint16",
+                "compression": {"type": codec},
+            }
+        )
+    )
+    for gz_i in range((dz + bz - 1) // bz):
+        for gy in range((dy + by - 1) // by):
+            for gx in range((dx + bx - 1) // bx):
+                blk = vol[
+                    gz_i * bz : (gz_i + 1) * bz,
+                    gy * by : (gy + 1) * by,
+                    gx * bx : (gx + 1) * bx,
+                ]
+                cz, cy, cx = blk.shape
+                header = (
+                    (0).to_bytes(2, "big")
+                    + (3).to_bytes(2, "big")
+                    + cx.to_bytes(4, "big")
+                    + cy.to_bytes(4, "big")
+                    + cz.to_bytes(4, "big")
+                )
+                payload = blk.astype(">u2").tobytes()  # x fastest == C over zyx
+                if codec == "gzip":
+                    payload = gzip.compress(payload)
+                d = root / str(gx) / str(gy)
+                d.mkdir(parents=True, exist_ok=True)
+                (d / str(gz_i)).write_bytes(header + payload)
+
+
+def _write_zarr(root, vol: np.ndarray, chunks_zyx, compressor):
+    dz, dy, dx = vol.shape
+    cz, cy, cx = chunks_zyx
+    root.mkdir(parents=True, exist_ok=True)
+    (root / ".zarray").write_text(
+        json.dumps(
+            {
+                "zarr_format": 2,
+                "shape": [dz, dy, dx],
+                "chunks": [cz, cy, cx],
+                "dtype": "<u2",
+                "compressor": compressor,
+                "order": "C",
+                "fill_value": 0,
+                "filters": None,
+            }
+        )
+    )
+    for gz_i in range((dz + cz - 1) // cz):
+        for gy in range((dy + cy - 1) // cy):
+            for gx in range((dx + cx - 1) // cx):
+                full = np.zeros((cz, cy, cx), dtype="<u2")
+                blk = vol[
+                    gz_i * cz : (gz_i + 1) * cz,
+                    gy * cy : (gy + 1) * cy,
+                    gx * cx : (gx + 1) * cx,
+                ]
+                full[: blk.shape[0], : blk.shape[1], : blk.shape[2]] = blk
+                payload = full.tobytes()
+                if compressor and compressor["id"] == "zlib":
+                    payload = zlib.compress(payload)
+                (root / f"{gz_i}.{gy}.{gx}").write_bytes(payload)
+
+
+def _collect_vol(df, shape):
+    got = np.zeros(shape, dtype=np.int64)
+    rows = df.collect()
+    assert len(rows) == int(np.prod(shape))
+    for r in rows:
+        got[r["z"], r["y"], r["x"]] = r["intensity"]
+    return got
+
+
+@pytest.mark.parametrize("codec", ["raw", "gzip"])
+def test_n5_roundtrip(spark, tmp_path, codec):
+    rng = np.random.default_rng(8)
+    vol = rng.integers(0, 65535, (4, 6, 8), dtype=np.uint16)
+    _write_n5(tmp_path / "data.n5", vol, (4, 3, 2), codec)
+    got = _collect_vol(read_n5(spark, f"file://{tmp_path}/data.n5"), vol.shape)
+    assert np.array_equal(got, vol)
+
+
+@pytest.mark.parametrize(
+    "compressor", [None, {"id": "zlib", "level": 1}]
+)
+def test_zarr_roundtrip_with_edge_chunks(spark, tmp_path, compressor):
+    rng = np.random.default_rng(9)
+    vol = rng.integers(0, 65535, (5, 7, 6), dtype=np.uint16)  # non-divisible
+    _write_zarr(tmp_path / "arr.zarr", vol, (4, 4, 4), compressor)
+    got = _collect_vol(read_zarr(spark, f"file://{tmp_path}/arr.zarr"), vol.shape)
+    assert np.array_equal(got, vol)
+
+
+def test_probe_order_matches_reference(spark, tmp_path):
+    vol = np.arange(8, dtype=np.uint16).reshape(2, 2, 2)
+    _write_zarr(tmp_path / "store", vol, (2, 2, 2), None)
+    got = _collect_vol(open_chunk_store(spark, f"file://{tmp_path}/store"), vol.shape)
+    assert np.array_equal(got, vol)
+
+
+def test_unknown_codec_raises(spark, tmp_path):
+    vol = np.zeros((2, 2, 2), dtype=np.uint16)
+    root = tmp_path / "b.zarr"
+    _write_zarr(root, vol, (2, 2, 2), None)
+    meta = json.loads((root / ".zarray").read_text())
+    meta["compressor"] = {"id": "blosc", "cname": "zstd"}
+    (root / ".zarray").write_text(json.dumps(meta))
+    with pytest.raises(Exception, match="blosc"):
+        read_zarr(spark, f"file://{root}").collect()
