@@ -81,3 +81,33 @@ def read_level(spark: SparkSession, root: str, scale: int) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def read_level_chunks(spark: SparkSession, root: str, scale: int) -> DataFrame:
+    """The chunk-store form of :func:`read_level`: each ``c{i}/s{j}``
+    group is an N5 dataset or Zarr array (the reference's actual
+    layout, tiff2octree.py:711-777 + 779-823) decoded by
+    sources/n5.py's executor-side readers — the full
+    ``n5_zarr_to_dask_array`` front door, Spark-first."""
+    from hortacloud_importer_spark.sources.n5 import open_chunk_store
+
+    layout = discover_hierarchy(spark, root)
+    if not layout:
+        raise FileNotFoundError(f"no c*/s* hierarchy under {root}")
+    has_channel_dirs = bool(
+        [n for n in _list_dirs(spark, root) if _CHANNEL_RE.match(n)]
+    )
+    parts = []
+    for ch, scales in layout.items():
+        if scale not in scales:
+            continue
+        base = f"{root}/c{ch}/s{scale}" if has_channel_dirs else f"{root}/s{scale}"
+        parts.append(
+            open_chunk_store(spark, base).withColumn("channel", F.lit(ch))
+        )
+    if not parts:
+        raise FileNotFoundError(f"scale s{scale} absent under {root}")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -139,3 +139,29 @@ def test_unknown_codec_raises(spark, tmp_path):
     (root / ".zarray").write_text(json.dumps(meta))
     with pytest.raises(Exception, match="blosc"):
         read_zarr(spark, f"file://{root}").collect()
+
+
+def test_hierarchy_discovery_over_n5(spark, tmp_path):
+    """The reference's full front door: c{i}/s{j} group discovery over
+    an N5 store, each level decoded distributed, channels tagged."""
+    from hortacloud_importer_spark.sources.hierarchy import (
+        discover_hierarchy,
+        read_level_chunks,
+    )
+
+    rng = np.random.default_rng(11)
+    vols = {ch: rng.integers(0, 65535, (4, 4, 4), dtype=np.uint16) for ch in (0, 1)}
+    for ch, vol in vols.items():
+        _write_n5(tmp_path / f"c{ch}" / "s0", vol, (4, 4, 2), "gzip")
+        _write_n5(tmp_path / f"c{ch}" / "s1", vol[::2, ::2, ::2], (2, 2, 1), "gzip")
+
+    root = f"file://{tmp_path}"
+    assert discover_hierarchy(spark, root) == {0: [0, 1], 1: [0, 1]}
+    lv0 = read_level_chunks(spark, root, 0)
+    assert lv0.count() == 2 * 64
+    got = {ch: np.zeros((4, 4, 4), dtype=np.int64) for ch in (0, 1)}
+    for r in lv0.collect():
+        got[r["channel"]][r["z"], r["y"], r["x"]] = r["intensity"]
+    for ch in (0, 1):
+        assert np.array_equal(got[ch], vols[ch])
+    assert read_level_chunks(spark, root, 1).count() == 2 * 8
