@@ -325,3 +325,52 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("n_copies") - 1).alias("dups_removed"),
         F.min("keep_id").alias("first_doc"),
     )
+
+
+@register(
+    "dedup_components",
+    "K2",
+    oracle=f"""
+WITH RECURSIVE
+sh0 AS (SELECT DISTINCT doc_id, shingle FROM ({_SHINGLES_SQL})),
+hot AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) > {_DF_CAP}),
+sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+p0 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM p0
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.08
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT node, MIN(label) AS component,
+       (node = MIN(label)) AS keep
+FROM reach GROUP BY 1
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster formation (K2): near-dup PAIRS -> connected
+    components -> canonical keep flag per document — the step that
+    turns candidate pairs into an actual deduplicated corpus.
+    Spark side: iterative min-label propagation (one join + one
+    map-side-combined min per round, operators/components.py); the
+    DuckDB mirror computes the same fixpoint as a recursive CTE, so
+    the component labels are oracle-exact."""
+    from hortacloud_importer_spark.operators.components import dedup_keep_list
+
+    pairs = jaccard_pairs(_shingles(spark, sf_dir), df_cap=_DF_CAP)
+    return dedup_keep_list(pairs)

@@ -229,6 +229,7 @@ def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_fingerprint",
     "K5+K1",
+    driver=False,
     oracle="""
 SELECT doc_id,
        MD5(text) AS fp_md5,

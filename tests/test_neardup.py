@@ -181,3 +181,40 @@ def test_df_cap_bounds_pairs(spark):
     found = jaccard_pairs(_shingles(dup), df_cap=8, threshold=0.5)
     got = {(r.doc_a, r.doc_b) for r in found.collect()}
     assert (7, 1000) in got
+
+
+def test_connected_components_shapes(spark):
+    from hortacloud_importer_spark.operators.components import (
+        connected_components,
+        dedup_keep_list,
+    )
+
+    # chain 1-2-3-4 + separate pair (10, 11) + star 20-(21,22,23)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22), (20, 23)],
+        "doc_a long, doc_b long",
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
+    keep = {r["node"]: r["keep"] for r in dedup_keep_list(pairs).collect()}
+    assert keep == {
+        1: True, 2: False, 3: False, 4: False,
+        10: True, 11: False,
+        20: True, 21: False, 22: False, 23: False,
+    }
+
+
+def test_connected_components_long_chain_converges(spark):
+    from hortacloud_importer_spark.operators.components import connected_components
+
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    comp = connected_components(pairs, max_iterations=n + 2).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == n + 1
