@@ -69,8 +69,10 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     limit. At 100 TB this is the exact re-score stage of the ANN
     pipeline below."""
     e = table(spark, sf_dir, "embeddings")
+    # qnorm folds once in the broadcast 1-row side, not once per corpus
+    # row (same fold order -> bit-identical score)
     q = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
-        F.col("embedding").alias("qv")
+        F.col("embedding").alias("qv"), _norm("embedding").alias("qnorm")
     )
     scored = (
         e.filter(F.col("vec_id") != _QUERY_VEC_ID)
@@ -78,7 +80,7 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             F.round(
-                _dot("embedding", "qv") / (_norm("embedding") * _norm("qv")), 6
+                _dot("embedding", "qv") / (_norm("embedding") * F.col("qnorm")), 6
             ).alias("score"),
         )
     )
@@ -151,18 +153,25 @@ def sim_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF/cluster assignment, so the quadratic comparison happens only
     inside cells, never across the corpus."""
     e = table(spark, sf_dir, "embeddings")
+    # norms are per-VECTOR, so compute them before the pair join —
+    # inside the pair select they'd be re-folded per PAIR, tripling the
+    # higher-order-function work (measured 34s -> ~1/3 at sf0.01). The
+    # fold order is unchanged, so the doubles (and the 6-dp rounded
+    # hash) are bit-identical to the oracle's per-vector norms.
     a = e.select(
         F.col("vec_id").alias("vec_a"),
         F.col("label").alias("lbl"),
         F.col("embedding").alias("emb_a"),
+        _norm("embedding").alias("norm_a"),
     )
     b = e.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("lbl"),
         F.col("embedding").alias("emb_b"),
+        _norm("embedding").alias("norm_b"),
     )
     cos = F.round(
-        _dot("emb_a", "emb_b") / (_norm("emb_a") * _norm("emb_b")), 6
+        _dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b")), 6
     )
     return (
         a.join(b, "lbl")

@@ -166,3 +166,24 @@ def test_dedup_df_cap_is_broadcast_anti_join(spark, sf_dir):
     assert "LeftAnti, BuildRight" in plan or (
         "BroadcastHashJoin" in plan and "LeftAnti" in plan
     )
+
+
+def test_agg_moments_is_one_aggregate_pass(spark, sf_dir):
+    """The consolidated D-family moments must stay ONE partial+final
+    hash-aggregate pair over one scan — the whole point of fusing the
+    six single-op variants."""
+    plan = _plan(spark, "agg_moments", sf_dir)
+    assert plan.count("HashAggregate") == 2
+    assert plan.count("FileScan parquet") == 1
+    assert "Exchange hashpartitioning(l_returnflag" in plan
+
+
+def test_join_suite_facets_keep_their_strategies(spark, sf_dir):
+    """Consolidation must not degrade the per-facet join strategies:
+    the semi/anti stay (broadcast) hash joins, the as-of keeps its
+    WindowGroupLimit-able shape, nothing falls back to a cartesian."""
+    plan = _plan(spark, "join_suite", sf_dir)
+    assert "LeftSemi" in plan
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "row_number" in plan  # the as-of top-1
