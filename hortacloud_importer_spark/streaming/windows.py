@@ -71,3 +71,24 @@ def idempotent_foreach_batch(write_fn):
         write_fn(df, batch_id)
 
     return _apply
+
+
+def streaming_dedup(
+    docs: DataFrame,
+    watermark: str = "1 hour",
+    ts: str = "ts",
+    text: str = "text",
+) -> DataFrame:
+    """K1 as a streaming operator (I5-adjacent): exact dedup over a
+    document stream — first arrival of each content fingerprint wins,
+    re-crawls within the watermark horizon are dropped.
+    ``dropDuplicatesWithinWatermark`` bounds the fingerprint state the
+    same way the reference's resume set bounds re-work: state holds
+    only fingerprints younger than the watermark, so executor memory
+    is O(recent window), never O(corpus). Exactly-once-per-fingerprint
+    beyond the horizon needs the batch K1 pass (dedup_exact) — the
+    standard streaming-ingest + periodic-compaction split."""
+    out = docs.withColumn("fp", F.md5(text))
+    if docs.isStreaming:
+        return out.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(["fp"])
+    return out.dropDuplicates(["fp"])

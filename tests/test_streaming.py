@@ -155,3 +155,51 @@ def test_streaming_tumbling_matches_batch(spark, tmp_path, sf_dir):
         for r in tumbling_agg(events, "1 hour").collect()
     }
     assert got == want
+
+
+def test_streaming_dedup_drops_recrawls(spark, tmp_path):
+    """K1 streaming dual: duplicate texts inside the watermark horizon
+    are dropped; state carries only fingerprints, never payloads."""
+    import json
+    import os
+
+    from hortacloud_importer_spark.streaming.windows import streaming_dedup
+
+    indir, ckpt = str(tmp_path / "in"), str(tmp_path / "ckpt")
+    os.makedirs(indir)
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01 10:00:00", "text": "alpha beta"},
+        {"doc_id": 2, "ts": "2024-01-01 10:01:00", "text": "gamma delta"},
+        {"doc_id": 3, "ts": "2024-01-01 10:02:00", "text": "alpha beta"},  # re-crawl
+        {"doc_id": 4, "ts": "2024-01-01 10:03:00", "text": "epsilon"},
+        {"doc_id": 5, "ts": "2024-01-01 10:04:00", "text": "gamma delta"},  # re-crawl
+    ]
+    with open(f"{indir}/batch0.json", "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+    schema = "doc_id long, ts string, text string"
+    stream = (
+        spark.readStream.schema(schema)
+        .json(indir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = (
+        streaming_dedup(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in spark.table("dedup_stream").collect()}
+    assert got == {1, 2, 4}
+
+    # batch dual: same operator, same answer
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["ts"], r["text"]) for r in rows], schema
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    kept = {r["doc_id"] for r in streaming_dedup(batch).collect()}
+    # batch dropDuplicates keeps an arbitrary member per fp; assert one
+    # per fingerprint and count, not identity
+    assert len(kept) == 3
