@@ -318,3 +318,80 @@ def scan_tiff_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_intensity",
         "max_intensity",
     )
+
+
+@register(
+    "scan_n5_datasource",
+    "A1+A3+A4",
+    driver=False,
+    oracle="""
+SELECT t1.range AS z, t2.range AS y, t3.range AS x,
+       (7 * (t1.range * 35 + t2.range * 7 + t3.range)) % 65521 AS intensity
+FROM range(2, 6) t1, range(5) t2, range(7) t3
+WHERE t3.range < 4
+""",
+)
+def scan_n5_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A3 through the Spark-4 Python DataSource front door
+    (sources/datasource.py), oracle-exact: a deterministic gzip N5
+    store (intensity = 7*(z*dy*dx + y*dx + x) mod 65521, dims 6x5x7,
+    4^3 blocks) is written, then read with
+    ``spark.read.format("n5_volume")`` under a z/x range filter — the
+    pushed filters prune chunk partitions at planning time (the A4
+    windowed-read dual of get_cropped_image_rasterio,
+    tiff2octree.py:281-292) and Spark re-applies them row-level, so
+    the result is exact regardless of pruning."""
+    import gzip
+    import json
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.sources.datasource import (
+        register_volume_sources,
+    )
+
+    register_volume_sources(spark)
+    dz, dy, dx = 6, 5, 7
+    bx = by = bz = 4
+    vol = ((np.arange(dz * dy * dx).reshape(dz, dy, dx) * 7) % 65521).astype(
+        np.uint16
+    )
+    root = tempfile.mkdtemp(prefix="n5_ds_") + "/vol.n5"
+    import os
+
+    os.makedirs(root)
+    with open(f"{root}/attributes.json", "w") as fh:
+        json.dump(
+            {
+                "dimensions": [dx, dy, dz],
+                "blockSize": [bx, by, bz],
+                "dataType": "uint16",
+                "compression": {"type": "gzip"},
+            },
+            fh,
+        )
+    for gz_i in range((dz + bz - 1) // bz):
+        for gy in range((dy + by - 1) // by):
+            for gx in range((dx + bx - 1) // bx):
+                blk = vol[
+                    gz_i * bz : (gz_i + 1) * bz,
+                    gy * by : (gy + 1) * by,
+                    gx * bx : (gx + 1) * bx,
+                ]
+                cz, cy, cx = blk.shape
+                header = (
+                    (0).to_bytes(2, "big")
+                    + (3).to_bytes(2, "big")
+                    + cx.to_bytes(4, "big")
+                    + cy.to_bytes(4, "big")
+                    + cz.to_bytes(4, "big")
+                )
+                os.makedirs(f"{root}/{gx}/{gy}", exist_ok=True)
+                with open(f"{root}/{gx}/{gy}/{gz_i}", "wb") as fh:
+                    fh.write(header + gzip.compress(blk.astype(">u2").tobytes()))
+    return (
+        spark.read.format("n5_volume")
+        .load(root)
+        .filter((F.col("z") >= 2) & (F.col("x") < 4))
+    )

@@ -23,6 +23,9 @@ def get_spark(app_name: str = "hortacloud-importer-spark") -> SparkSession:
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource readers (sources/datasource.py) prune chunk
+        # partitions from pushed z/y/x range filters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
             cpus if cpus != "*" else str(os.cpu_count() or 8),

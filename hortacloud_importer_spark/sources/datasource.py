@@ -1,0 +1,429 @@
+"""Spark Python DataSource front door for the volume container formats.
+
+The reference's entry points are directory scans that build a lazy
+chunked array and read blocks on demand — ``slice_to_dask_array``
+(tiff2octree.py:653-691), ``n5_zarr_to_dask_array``
+(tiff2octree.py:779-823) with the windowed block read
+``get_cropped_image_rasterio`` (tiff2octree.py:281-292). The Spark-4
+Python DataSource API lets the engine register those front doors as
+real formats:
+
+    spark.dataSource.register(N5VolumeDataSource)
+    spark.read.format("n5_volume").load(root)      # batch
+    spark.readStream.format("tiff_volume").load(d) # ordered z stream
+
+Scale design:
+
+- **Planning = chunk grid, not payloads.** ``partitions()`` lists the
+  chunk files (driver side, metadata only) and emits one input
+  partition per ~``target_partition_bytes`` of decoded voxels, so a
+  100 TB store with millions of chunks plans into input splits the
+  same way the built-in Parquet source sizes its splits. Payload
+  bytes are only ever touched inside ``read()`` on executors.
+- **Filter pushdown prunes chunks.** ``pushFilters`` accepts range /
+  equality predicates on ``z``/``y``/``x`` and drops whole chunks
+  whose coordinate extent cannot intersect — the A4 windowed-read
+  dual, same contract as Parquet row-group skipping. All filters are
+  returned to Spark as "unsupported" so row-level evaluation still
+  runs: pruning is a pure optimization and can never under-deliver.
+- **Arrow batches out.** ``read()`` yields one pyarrow RecordBatch
+  per chunk (columnar, zero row-at-a-time Python), so decode cost is
+  NumPy-bound like the mapInPandas readers in sources/n5.py.
+- **No JVM dependence.** Planning and decode run in Python workers
+  (no py4j gateway there); file IO goes through ``pyarrow.fs`` like
+  sources/ktx.py's executor-side sink, so local / HDFS / S3 paths
+  behave identically.
+
+The streaming half (``tiff_volume`` with ``readStream``) implements
+the reference's ordered z-slice consumption (I1,
+ktx_from_rendered_tiff.py:331-342): each micro-batch takes the next
+``max_slices_per_batch`` files in sorted order; offsets are the
+number of slices consumed, so restart/replay re-reads a deterministic
+file range.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+    SimpleDataSourceStreamReader,
+)
+
+VOXEL_DDL = "z bigint, y bigint, x bigint, intensity bigint"
+_AXES = ("z", "y", "x")
+_DEFAULT_PARTITION_BYTES = 128 * 1024 * 1024
+
+
+def _pa_fs(path: str):
+    """pyarrow filesystem + normalized path for local or URI paths."""
+    from pyarrow import fs as pafs
+
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _read_bytes(path: str) -> bytes:
+    filesystem, p = _pa_fs(path)
+    with filesystem.open_input_stream(p) as fh:
+        return fh.read()
+
+
+def _list_files(root: str) -> list[str]:
+    from pyarrow import fs as pafs
+
+    filesystem, base = _pa_fs(root)
+    infos = filesystem.get_file_info(pafs.FileSelector(base, recursive=True))
+    prefix = root[: len(root) - len(base)]  # scheme, if any
+    return [prefix + i.path for i in infos if i.type == pafs.FileType.File]
+
+
+@dataclass
+class _Bounds:
+    """Per-axis inclusive [lo, hi] coordinate bounds from pushed filters."""
+
+    lo: dict[str, int] = field(default_factory=dict)
+    hi: dict[str, int] = field(default_factory=dict)
+
+    def narrow(self, axis: str, lo: int | None = None, hi: int | None = None):
+        if lo is not None:
+            self.lo[axis] = max(self.lo.get(axis, lo), lo)
+        if hi is not None:
+            self.hi[axis] = min(self.hi.get(axis, hi), hi)
+
+    def admits(self, axis: str, ext_lo: int, ext_hi: int) -> bool:
+        """Could [ext_lo, ext_hi] intersect the bounds on `axis`?"""
+        if axis in self.lo and ext_hi < self.lo[axis]:
+            return False
+        if axis in self.hi and ext_lo > self.hi[axis]:
+            return False
+        return True
+
+
+def _absorb_filters(filters: list[Filter], bounds: _Bounds) -> list[Filter]:
+    """Tighten `bounds` from z/y/x predicates; return ALL filters as
+    unsupported so Spark re-applies them row-level (pruning-only
+    pushdown — the Parquet row-group-skip contract)."""
+    for f in filters:
+        attr = getattr(f, "attribute", None)
+        if not (isinstance(attr, tuple) and len(attr) == 1 and attr[0] in _AXES):
+            continue
+        axis = attr[0]
+        try:
+            if isinstance(f, EqualTo):
+                bounds.narrow(axis, lo=int(f.value), hi=int(f.value))
+            elif isinstance(f, GreaterThan):
+                bounds.narrow(axis, lo=int(f.value) + 1)
+            elif isinstance(f, GreaterThanOrEqual):
+                bounds.narrow(axis, lo=int(f.value))
+            elif isinstance(f, LessThan):
+                bounds.narrow(axis, hi=int(f.value) - 1)
+            elif isinstance(f, LessThanOrEqual):
+                bounds.narrow(axis, hi=int(f.value))
+            elif isinstance(f, In):
+                vals = [int(v) for v in f.value]
+                if vals:
+                    bounds.narrow(axis, lo=min(vals), hi=max(vals))
+        except (TypeError, ValueError):
+            continue  # non-integer comparand: no pruning from this filter
+    return filters
+
+
+@dataclass
+class _ChunkPartition(InputPartition):
+    """A group of chunk files decoded by one task."""
+
+    chunks: list[tuple[str, int, int, int]]  # (path, gx|gz, gy, gz|gx)
+
+
+def _group_chunks(
+    chunks: list[tuple[str, int, int, int]], bytes_per_chunk: int, target: int
+) -> list[_ChunkPartition]:
+    per = max(1, target // max(1, bytes_per_chunk))
+    return [
+        _ChunkPartition(chunks[i : i + per]) for i in range(0, len(chunks), per)
+    ]
+
+
+def _voxel_batch(z, y, x, i) -> pa.RecordBatch:
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(z, type=pa.int64()),
+            pa.array(y, type=pa.int64()),
+            pa.array(x, type=pa.int64()),
+            pa.array(i, type=pa.int64()),
+        ],
+        names=["z", "y", "x", "intensity"],
+    )
+
+
+class _N5Reader(DataSourceReader):
+    def __init__(self, options: dict):
+        from hortacloud_importer_spark.sources.n5 import n5_meta
+
+        import json
+
+        self.root = options["path"].rstrip("/")
+        self.target = int(
+            options.get("target_partition_bytes", _DEFAULT_PARTITION_BYTES)
+        )
+        attrs = json.loads(_read_bytes(f"{self.root}/attributes.json"))
+        self.dims_xyz, self.block_xyz, self.codec, self.np_dtype = n5_meta(attrs)
+        self.bounds = _Bounds()
+
+    def pushFilters(self, filters: list[Filter]):
+        return _absorb_filters(filters, self.bounds)
+
+    def partitions(self):
+        bx, by, bz = self.block_xyz
+        chunks = []
+        base_len = len(self.root) + 1
+        for path in _list_files(self.root):
+            rel = path[base_len:]
+            parts = rel.split("/")
+            if len(parts) != 3:
+                continue  # attributes.json and non-chunk files
+            try:
+                gx, gy, gz = (int(p) for p in parts)
+            except ValueError:
+                continue
+            if not (
+                self.bounds.admits("z", gz * bz, (gz + 1) * bz - 1)
+                and self.bounds.admits("y", gy * by, (gy + 1) * by - 1)
+                and self.bounds.admits("x", gx * bx, (gx + 1) * bx - 1)
+            ):
+                continue
+            chunks.append((path, gx, gy, gz))
+        chunks.sort(key=lambda c: (c[3], c[2], c[1]))
+        voxel_bytes = bx * by * bz * np.dtype(self.np_dtype).itemsize
+        return _group_chunks(chunks, voxel_bytes, self.target)
+
+    def read(self, partition: _ChunkPartition):
+        from hortacloud_importer_spark.sources.n5 import n5_chunk_axes
+
+        for path, gx, gy, gz in partition.chunks:
+            z, y, x, i = n5_chunk_axes(
+                _read_bytes(path), self.codec, self.np_dtype, self.block_xyz,
+                gx, gy, gz,
+            )
+            yield _voxel_batch(z, y, x, i)
+
+
+class N5VolumeDataSource(DataSource):
+    """``spark.read.format("n5_volume").load(dataset_dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "n5_volume"
+
+    def schema(self) -> str:
+        return VOXEL_DDL
+
+    def reader(self, schema) -> _N5Reader:
+        return _N5Reader(dict(self.options))
+
+
+class _ZarrReader(DataSourceReader):
+    def __init__(self, options: dict):
+        from hortacloud_importer_spark.sources.n5 import zarr_meta
+
+        import json
+
+        self.root = options["path"].rstrip("/")
+        self.target = int(
+            options.get("target_partition_bytes", _DEFAULT_PARTITION_BYTES)
+        )
+        meta = json.loads(_read_bytes(f"{self.root}/.zarray"))
+        (
+            self.shape,
+            self.chunks_zyx,
+            self.codec,
+            self.order,
+            self.np_dtype,
+            self.sep,
+        ) = zarr_meta(meta)
+        self.bounds = _Bounds()
+
+    def pushFilters(self, filters: list[Filter]):
+        return _absorb_filters(filters, self.bounds)
+
+    def partitions(self):
+        cz, cy, cx = self.chunks_zyx
+        base_len = len(self.root) + 1
+        chunks = []
+        for path in _list_files(self.root):
+            rel = path[base_len:]
+            name = rel.replace("/", self.sep) if self.sep == "/" else rel
+            if name.startswith("."):
+                continue  # .zarray / .zattrs
+            try:
+                gz, gy, gx = (int(p) for p in name.split(self.sep))
+            except ValueError:
+                continue
+            if not (
+                self.bounds.admits("z", gz * cz, (gz + 1) * cz - 1)
+                and self.bounds.admits("y", gy * cy, (gy + 1) * cy - 1)
+                and self.bounds.admits("x", gx * cx, (gx + 1) * cx - 1)
+            ):
+                continue
+            chunks.append((path, gz, gy, gx))
+        chunks.sort(key=lambda c: (c[1], c[2], c[3]))
+        voxel_bytes = cz * cy * cx * self.np_dtype.itemsize
+        return _group_chunks(chunks, voxel_bytes, self.target)
+
+    def read(self, partition: _ChunkPartition):
+        from hortacloud_importer_spark.sources.n5 import zarr_chunk_axes
+
+        for path, gz, gy, gx in partition.chunks:
+            z, y, x, i = zarr_chunk_axes(
+                _read_bytes(path), self.codec, self.np_dtype, self.chunks_zyx,
+                self.order, self.shape, gz, gy, gx,
+            )
+            yield _voxel_batch(z, y, x, i)
+
+
+class ZarrVolumeDataSource(DataSource):
+    """``spark.read.format("zarr_volume").load(array_dir)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "zarr_volume"
+
+    def schema(self) -> str:
+        return VOXEL_DDL
+
+    def reader(self, schema) -> _ZarrReader:
+        return _ZarrReader(dict(self.options))
+
+
+def _sorted_slices(root: str, suffix: str) -> list[str]:
+    """Sorted slice paths == z order (the reference's
+    ``img_files.sort()``, tiff2octree.py:1034 — F2 semantics)."""
+    return sorted(p for p in _list_files(root) if p.endswith(suffix))
+
+
+def _slice_axes(data: bytes, z: int):
+    from hortacloud_importer_spark.sources.tiff import decode_tiff
+
+    pages = decode_tiff(data)  # (pages, height, width, samples)
+    if pages.shape[0] != 1 or pages.shape[3] != 1:
+        raise ValueError(
+            f"slice file has shape {pages.shape}; one single-sample z-slice "
+            "per file expected (stacks/channels go through queries/scans.py)"
+        )
+    arr = pages[0, :, :, 0]
+    yy, xx = np.indices(arr.shape)
+    return (
+        np.full(arr.size, z, dtype=np.int64),
+        yy.ravel(),
+        xx.ravel(),
+        arr.astype(np.int64).ravel(),
+    )
+
+
+@dataclass
+class _SlicePartition(InputPartition):
+    slices: list[tuple[str, int]]  # (path, z)
+
+
+class _TiffSliceReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.root = options["path"].rstrip("/")
+        self.suffix = options.get("suffix", ".tif")
+        self.per_partition = int(options.get("slices_per_partition", 1))
+        self.bounds = _Bounds()
+
+    def pushFilters(self, filters: list[Filter]):
+        return _absorb_filters(filters, self.bounds)
+
+    def partitions(self):
+        files = [
+            (p, z)
+            for z, p in enumerate(_sorted_slices(self.root, self.suffix))
+            if self.bounds.admits("z", z, z)
+        ]
+        per = max(1, self.per_partition)
+        return [
+            _SlicePartition(files[i : i + per])
+            for i in range(0, len(files), per)
+        ] or [_SlicePartition([])]
+
+    def read(self, partition: _SlicePartition):
+        for path, z in partition.slices:
+            yield _voxel_batch(*_slice_axes(_read_bytes(path), z))
+
+
+class _TiffSliceStreamReader(SimpleDataSourceStreamReader):
+    """Ordered z-slice micro-batch source (I1). Offset = number of
+    slices consumed; files appended later (higher sort order) are
+    picked up by subsequent batches."""
+
+    def __init__(self, options: dict):
+        self.root = options["path"].rstrip("/")
+        self.suffix = options.get("suffix", ".tif")
+        self.per_batch = int(options.get("max_slices_per_batch", 8))
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def _rows(self, files: list[str], z0: int):
+        out = []
+        for off, path in enumerate(files):
+            z, y, x, i = _slice_axes(_read_bytes(path), z0 + off)
+            out.extend(
+                zip(z.tolist(), y.tolist(), x.tolist(), i.tolist(), strict=True)
+            )
+        return iter(out)
+
+    def read(self, start: dict):
+        n = int(start["n"])
+        files = _sorted_slices(self.root, self.suffix)[n : n + self.per_batch]
+        return self._rows(files, n), {"n": n + len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        a, b = int(start["n"]), int(end["n"])
+        return self._rows(_sorted_slices(self.root, self.suffix)[a:b], a)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class TiffVolumeDataSource(DataSource):
+    """``spark.read.format("tiff_volume").load(slice_dir)`` (batch) or
+    ``spark.readStream.format("tiff_volume")`` (ordered z stream)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tiff_volume"
+
+    def schema(self) -> str:
+        return VOXEL_DDL
+
+    def reader(self, schema) -> _TiffSliceReader:
+        return _TiffSliceReader(dict(self.options))
+
+    def simpleStreamReader(self, schema) -> _TiffSliceStreamReader:
+        return _TiffSliceStreamReader(dict(self.options))
+
+
+_SOURCES = (N5VolumeDataSource, ZarrVolumeDataSource, TiffVolumeDataSource)
+
+
+def register_volume_sources(spark) -> None:
+    """Register all volume formats on this session (idempotent —
+    re-registration overwrites with the same class)."""
+    for cls in _SOURCES:
+        spark.dataSource.register(cls)

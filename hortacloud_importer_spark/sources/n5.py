@@ -81,6 +81,44 @@ _N5_DTYPES = {
 }
 
 
+def n5_chunk_axes(
+    raw: bytes, codec: str, np_dtype, block_xyz, gx: int, gy: int, gz: int
+):
+    """Decode one N5 chunk file -> flat (z, y, x, intensity) arrays.
+
+    Shared by the mapInPandas path below and the Python DataSource
+    front door (sources/datasource.py)."""
+    ndim = int.from_bytes(raw[2:4], "big")
+    hdr_end = 4 + 4 * ndim
+    bdims_xyz = [
+        int.from_bytes(raw[4 + 4 * i : 8 + 4 * i], "big") for i in range(ndim)
+    ]
+    payload = _decompress(raw[hdr_end:], codec)
+    # x-fastest payload == C-order over reversed (z, y, x)
+    arr = np.frombuffer(payload, dtype=np_dtype).reshape(list(reversed(bdims_xyz)))
+    oz, oy, ox = gz * block_xyz[2], gy * block_xyz[1], gx * block_xyz[0]
+    zz, yy, xx = np.indices(arr.shape)
+    return (
+        (zz + oz).ravel(),
+        (yy + oy).ravel(),
+        (xx + ox).ravel(),
+        arr.astype(np.int64).ravel(),
+    )
+
+
+def n5_meta(attrs: dict) -> tuple[list[int], list[int], str, str]:
+    """Validate attributes.json -> (dims_xyz, block_xyz, codec, np_dtype)."""
+    dims_xyz = attrs["dimensions"]  # x fastest per the N5 spec
+    block_xyz = attrs["blockSize"]
+    codec = (attrs.get("compression") or {"type": "raw"})["type"]
+    np_dtype = _N5_DTYPES.get(attrs["dataType"])
+    if np_dtype is None:
+        raise ChunkStoreError(f"unsupported N5 dataType {attrs['dataType']!r}")
+    if len(dims_xyz) != 3:
+        raise ChunkStoreError("only 3-D N5 datasets supported")
+    return dims_xyz, block_xyz, codec, np_dtype
+
+
 def read_n5(spark: SparkSession, root: str) -> DataFrame:
     """N5 dataset directory -> voxel DataFrame (z, y, x, intensity).
 
@@ -90,14 +128,7 @@ def read_n5(spark: SparkSession, root: str) -> DataFrame:
     loop ever touches payload bytes.
     """
     attrs = _read_json(spark, f"{root}/attributes.json")
-    dims_xyz = attrs["dimensions"]  # x fastest per the N5 spec
-    block_xyz = attrs["blockSize"]
-    codec = (attrs.get("compression") or {"type": "raw"})["type"]
-    np_dtype = _N5_DTYPES.get(attrs["dataType"])
-    if np_dtype is None:
-        raise ChunkStoreError(f"unsupported N5 dataType {attrs['dataType']!r}")
-    if len(dims_xyz) != 3:
-        raise ChunkStoreError("only 3-D N5 datasets supported")
+    _, block_xyz, codec, np_dtype = n5_meta(attrs)
 
     def decode(batches):
         for pdf in batches:
@@ -107,34 +138,10 @@ def read_n5(spark: SparkSession, root: str) -> DataFrame:
                 gx, gy, gz = (
                     int(p) for p in row.path.rsplit("/", 3)[1:]
                 )
-                raw = bytes(row.content)
-                ndim = int.from_bytes(raw[2:4], "big")
-                hdr_end = 4 + 4 * ndim
-                bdims_xyz = [
-                    int.from_bytes(raw[4 + 4 * i : 8 + 4 * i], "big")
-                    for i in range(ndim)
-                ]
-                payload = _decompress(raw[hdr_end:], codec)
-                # x-fastest payload == C-order over reversed (z, y, x)
-                arr = np.frombuffer(payload, dtype=np_dtype).reshape(
-                    list(reversed(bdims_xyz))
+                z, y, x, i = n5_chunk_axes(
+                    bytes(row.content), codec, np_dtype, block_xyz, gx, gy, gz
                 )
-                oz, oy, ox = (
-                    gz * block_xyz[2],
-                    gy * block_xyz[1],
-                    gx * block_xyz[0],
-                )
-                zz, yy, xx = np.indices(arr.shape)
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "z": (zz + oz).ravel(),
-                            "y": (yy + oy).ravel(),
-                            "x": (xx + ox).ravel(),
-                            "intensity": arr.astype(np.int64).ravel(),
-                        }
-                    )
-                )
+                out.append(pd.DataFrame({"z": z, "y": y, "x": x, "intensity": i}))
             yield pd.concat(out) if out else pd.DataFrame(
                 columns=["z", "y", "x", "intensity"]
             )
@@ -143,9 +150,8 @@ def read_n5(spark: SparkSession, root: str) -> DataFrame:
     return chunks.mapInPandas(decode, VOXEL_SCHEMA)
 
 
-def read_zarr(spark: SparkSession, root: str) -> DataFrame:
-    """Zarr-v2 array directory -> voxel DataFrame (z, y, x, intensity)."""
-    meta = _read_json(spark, f"{root}/.zarray")
+def zarr_meta(meta: dict) -> tuple[list[int], list[int], str, str, "np.dtype", str]:
+    """Validate .zarray -> (shape_zyx, chunks_zyx, codec, order, dtype, sep)."""
     if int(meta.get("zarr_format", 2)) != 2:
         raise ChunkStoreError("only zarr v2 supported")
     shape = meta["shape"]  # C order: z, y, x
@@ -157,6 +163,46 @@ def read_zarr(spark: SparkSession, root: str) -> DataFrame:
     order = meta.get("order", "C")
     np_dtype = np.dtype(meta["dtype"])
     sep = meta.get("dimension_separator", ".")
+    return shape, chunks_zyx, codec, order, np_dtype, sep
+
+
+def zarr_chunk_axes(
+    raw: bytes,
+    codec: str,
+    np_dtype,
+    chunks_zyx,
+    order: str,
+    shape,
+    gz: int,
+    gy: int,
+    gx: int,
+):
+    """Decode one Zarr-v2 chunk file -> flat (z, y, x, intensity) arrays.
+
+    Edge chunks are stored full-size; the overhang past ``shape`` is
+    clipped. Shared with sources/datasource.py."""
+    payload = _decompress(raw, codec)
+    arr = np.frombuffer(payload, dtype=np_dtype).reshape(chunks_zyx, order=order)
+    oz, oy, ox = gz * chunks_zyx[0], gy * chunks_zyx[1], gx * chunks_zyx[2]
+    keep = (
+        slice(0, max(0, min(chunks_zyx[0], shape[0] - oz))),
+        slice(0, max(0, min(chunks_zyx[1], shape[1] - oy))),
+        slice(0, max(0, min(chunks_zyx[2], shape[2] - ox))),
+    )
+    arr = arr[keep]
+    zz, yy, xx = np.indices(arr.shape)
+    return (
+        (zz + oz).ravel(),
+        (yy + oy).ravel(),
+        (xx + ox).ravel(),
+        arr.astype(np.int64).ravel(),
+    )
+
+
+def read_zarr(spark: SparkSession, root: str) -> DataFrame:
+    """Zarr-v2 array directory -> voxel DataFrame (z, y, x, intensity)."""
+    meta = _read_json(spark, f"{root}/.zarray")
+    shape, chunks_zyx, codec, order, np_dtype, sep = zarr_meta(meta)
 
     def decode(batches):
         for pdf in batches:
@@ -164,33 +210,18 @@ def read_zarr(spark: SparkSession, root: str) -> DataFrame:
             for row in pdf.itertuples():
                 name = row.path.rsplit("/", 1)[1]
                 gz, gy, gx = (int(p) for p in name.split(sep))
-                payload = _decompress(bytes(row.content), codec)
-                arr = np.frombuffer(payload, dtype=np_dtype).reshape(
-                    chunks_zyx, order=order
+                z, y, x, i = zarr_chunk_axes(
+                    bytes(row.content),
+                    codec,
+                    np_dtype,
+                    chunks_zyx,
+                    order,
+                    shape,
+                    gz,
+                    gy,
+                    gx,
                 )
-                oz, oy, ox = (
-                    gz * chunks_zyx[0],
-                    gy * chunks_zyx[1],
-                    gx * chunks_zyx[2],
-                )
-                # zarr edge chunks are full-size; clip the overhang
-                keep = (
-                    slice(0, max(0, min(chunks_zyx[0], shape[0] - oz))),
-                    slice(0, max(0, min(chunks_zyx[1], shape[1] - oy))),
-                    slice(0, max(0, min(chunks_zyx[2], shape[2] - ox))),
-                )
-                arr = arr[keep]
-                zz, yy, xx = np.indices(arr.shape)
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "z": (zz + oz).ravel(),
-                            "y": (yy + oy).ravel(),
-                            "x": (xx + ox).ravel(),
-                            "intensity": arr.astype(np.int64).ravel(),
-                        }
-                    )
-                )
+                out.append(pd.DataFrame({"z": z, "y": y, "x": x, "intensity": i}))
             yield pd.concat(out) if out else pd.DataFrame(
                 columns=["z", "y", "x", "intensity"]
             )
