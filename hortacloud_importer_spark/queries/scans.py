@@ -174,6 +174,10 @@ def repartition_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "union_channels",
     "A3",
+    # A3's driver-facing flagship is scan_n5_datasource (a REAL
+    # hierarchical chunk store through the DataSource front door);
+    # this fixture-table dual stays pytest-oracle-checked.
+    driver=False,
     oracle="""
 SELECT l_returnflag, COUNT(*) AS n FROM (
   SELECT l_returnflag FROM lineitem WHERE l_linestatus = 'F'
@@ -323,7 +327,6 @@ def scan_tiff_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scan_n5_datasource",
     "A1+A3+A4",
-    driver=False,
     oracle="""
 SELECT t1.range AS z, t2.range AS y, t3.range AS x,
        (7 * (t1.range * 35 + t2.range * 7 + t3.range)) % 65521 AS intensity
