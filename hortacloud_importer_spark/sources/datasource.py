@@ -51,6 +51,7 @@ import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -60,6 +61,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 VOXEL_DDL = "z bigint, y bigint, x bigint, intensity bigint"
@@ -419,7 +421,115 @@ class TiffVolumeDataSource(DataSource):
         return _TiffSliceStreamReader(dict(self.options))
 
 
-_SOURCES = (N5VolumeDataSource, ZarrVolumeDataSource, TiffVolumeDataSource)
+# --- KTX sink (A8) as a writable format ------------------------------------
+
+
+@dataclass
+class _KtxCommit(WriterCommitMessage):
+    files: list[str]
+    n_rows: int
+
+
+class _KtxWriter(DataSourceWriter):
+    """``df.write.format("ktx_files").save(dir)`` over KTX_SCHEMA rows
+    (zi, yi, xi, channel, n_levels, ktx) — the DataSource-API form of
+    sources/ktx.py::write_ktx_files, with real commit semantics:
+
+    - ``write()`` (executors) stages blobs via pyarrow.fs with
+      idempotent names, tmp+rename on local FS (single-PUT object
+      stores need no staging); a retried task overwrites its own
+      files, so speculative/retried attempts cannot duplicate.
+    - ``commit()`` (driver) writes a ``_MANIFEST.json`` naming every
+      committed file — the atomic-visibility marker the reference
+      implements as sentinel files (do_step1/dummy_generated,
+      tiff2octree.py:1328-1355; I5), and what a resume anti-join (C4)
+      can read instead of listing the store.
+    - ``overwrite`` mode clears prior ``.ktx`` files + manifest first.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.out_dir = options["path"].rstrip("/")
+        if overwrite:
+            from pyarrow import fs as pafs
+
+            filesystem, base = _pa_fs(self.out_dir)
+            try:
+                infos = filesystem.get_file_info(
+                    pafs.FileSelector(base, recursive=False)
+                )
+            except (FileNotFoundError, OSError):
+                infos = []
+            for info in infos:
+                if info.type == pafs.FileType.File and (
+                    info.base_name.endswith(".ktx")
+                    or info.base_name == "_MANIFEST.json"
+                ):
+                    filesystem.delete_file(info.path)
+
+    def write(self, iterator) -> _KtxCommit:
+        from pyarrow import fs as pafs
+
+        filesystem, base = _pa_fs(self.out_dir)
+        filesystem.create_dir(base, recursive=True)
+        local = isinstance(filesystem, pafs.LocalFileSystem)
+        files, n = [], 0
+        for row in iterator:
+            name = (
+                f"block_{row['zi']}_{row['yi']}_{row['xi']}"
+                f"_ch{row['channel']}.ktx"
+            )
+            staged = f"{base}/.{name}.tmp" if local else f"{base}/{name}"
+            with filesystem.open_output_stream(staged) as fh:
+                fh.write(bytes(row["ktx"]))
+            if local:
+                filesystem.move(staged, f"{base}/{name}")
+            files.append(name)
+            n += 1
+        return _KtxCommit(files, n)
+
+    def commit(self, messages) -> None:
+        import json
+
+        filesystem, base = _pa_fs(self.out_dir)
+        files = sorted(f for m in messages if m for f in m.files)
+        manifest = {"files": files, "n_rows": sum(m.n_rows for m in messages if m)}
+        filesystem.create_dir(base, recursive=True)
+        with filesystem.open_output_stream(f"{base}/_MANIFEST.json") as fh:
+            fh.write(json.dumps(manifest).encode())
+
+    def abort(self, messages) -> None:
+        filesystem, base = _pa_fs(self.out_dir)
+        for m in messages:
+            if not m:
+                continue
+            for name in m.files:
+                try:
+                    filesystem.delete_file(f"{base}/{name}")
+                except (FileNotFoundError, OSError):
+                    pass  # best-effort: uncommitted leftovers are inert
+
+
+class KtxFilesDataSource(DataSource):
+    """Writable ``ktx_files`` format (read back with ``binaryFile`` +
+    sources/ktx.py::ktx_decode_blocks)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ktx_files"
+
+    def schema(self) -> str:
+        return "zi int, yi int, xi int, channel int, n_levels int, ktx binary"
+
+    def writer(self, schema, overwrite: bool) -> _KtxWriter:
+        return _KtxWriter(dict(self.options), overwrite)
+
+
+_SOURCES = (
+    N5VolumeDataSource,
+    ZarrVolumeDataSource,
+    TiffVolumeDataSource,
+    KtxFilesDataSource,
+)
 
 
 def register_volume_sources(spark) -> None:

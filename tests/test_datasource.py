@@ -261,3 +261,69 @@ def test_tiff_stream_reads_slices_in_z_order(registered, tmp_path):
         for x in range(3)
     }
     assert _rows(got) == want
+
+
+def test_ktx_writer_datasource_roundtrip(registered, tmp_path):
+    """A8 through df.write.format("ktx_files"): blobs land with
+    idempotent names, _MANIFEST.json records the committed set, and
+    binaryFile + ktx_decode_blocks recovers the voxels."""
+    from pyspark.sql import functions as F
+
+    from hortacloud_importer_spark.sources.ktx import (
+        ktx_decode_blocks,
+        ktx_encode_blocks,
+    )
+    from hortacloud_importer_spark.volume import blockify, synthetic_volume
+
+    out = tmp_path / "ktx_ds_out"
+    v = synthetic_volume(registered, 4, 4, 4, channels=2)
+    blocks = blockify(v, (4, 4, 4)).withColumn("level", F.lit(0))
+    encoded = ktx_encode_blocks(blocks)
+    encoded.write.format("ktx_files").mode("append").save(str(out))
+
+    manifest = json.loads((out / "_MANIFEST.json").read_text())
+    assert sorted(manifest["files"]) == [
+        "block_0_0_0_ch0.ktx",
+        "block_0_0_0_ch1.ktx",
+    ]
+    assert manifest["n_rows"] == 2
+
+    bin_df = (
+        registered.read.format("binaryFile")
+        .load(str(out / "*.ktx"))
+        .select(F.col("content").alias("ktx"))
+    )
+    decoded = ktx_decode_blocks(bin_df)
+    want = {
+        (r["channel"], r["z"], r["y"], r["x"]): r["intensity"]
+        for r in v.collect()
+    }
+    got = {}
+    for r in decoded.filter(F.col("level") == 0).collect():
+        arr = np.array(r["voxels"]).reshape(4, 4, 4)
+        for z in range(4):
+            for y in range(4):
+                for x in range(4):
+                    got[(r["channel"], z, y, x)] = int(arr[z, y, x])
+    assert got == want
+
+
+def test_ktx_writer_overwrite_clears_stale_files(registered, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hortacloud_importer_spark.sources.ktx import ktx_encode_blocks
+    from hortacloud_importer_spark.volume import blockify, synthetic_volume
+
+    out = tmp_path / "ktx_ow"
+    out.mkdir()
+    (out / "block_9_9_9_ch0.ktx").write_bytes(b"stale")
+
+    v = synthetic_volume(registered, 4, 4, 4, channels=1)
+    blocks = blockify(v, (4, 4, 4)).withColumn("level", F.lit(0))
+    encoded = ktx_encode_blocks(blocks)
+    encoded.write.format("ktx_files").mode("overwrite").save(str(out))
+
+    names = sorted(p.name for p in out.glob("*.ktx"))
+    assert names == ["block_0_0_0_ch0.ktx"]  # stale file removed
+    manifest = json.loads((out / "_MANIFEST.json").read_text())
+    assert manifest["files"] == ["block_0_0_0_ch0.ktx"]
