@@ -336,6 +336,33 @@ def _slice_axes(data: bytes, z: int):
     )
 
 
+def _slice_array(data: bytes) -> np.ndarray:
+    """One z-slice file -> its 2-D page (validation shared with
+    :func:`_slice_axes`)."""
+    from hortacloud_importer_spark.sources.tiff import decode_tiff
+
+    pages = decode_tiff(data)
+    if pages.shape[0] != 1 or pages.shape[3] != 1:
+        raise ValueError(
+            f"slice file has shape {pages.shape}; one single-sample z-slice "
+            "per file expected (stacks/channels go through queries/scans.py)"
+        )
+    return pages[0, :, :, 0]
+
+
+def _slice_batch(z: int, arr: np.ndarray) -> pa.RecordBatch:
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array([z], type=pa.int64()),
+            pa.array([arr.shape[0]], type=pa.int32()),
+            pa.array([arr.shape[1]], type=pa.int32()),
+            pa.array([arr.astype(np.int64).ravel().tolist()],
+                     type=pa.list_(pa.int64())),
+        ],
+        names=["z", "height", "width", "voxels"],
+    )
+
+
 @dataclass
 class _SlicePartition(InputPartition):
     slices: list[tuple[str, int]]  # (path, z)
@@ -346,6 +373,7 @@ class _TiffSliceReader(DataSourceReader):
         self.root = options["path"].rstrip("/")
         self.suffix = options.get("suffix", ".tif")
         self.per_partition = int(options.get("slices_per_partition", 1))
+        self.emit = options.get("emit", "voxels")
         self.bounds = _Bounds()
 
     def pushFilters(self, filters: list[Filter]):
@@ -365,7 +393,10 @@ class _TiffSliceReader(DataSourceReader):
 
     def read(self, partition: _SlicePartition):
         for path, z in partition.slices:
-            yield _voxel_batch(*_slice_axes(_read_bytes(path), z))
+            if self.emit == "slices":
+                yield _slice_batch(z, _slice_array(_read_bytes(path)))
+            else:
+                yield _voxel_batch(*_slice_axes(_read_bytes(path), z))
 
 
 class _TiffSliceStreamReader(SimpleDataSourceStreamReader):
@@ -377,6 +408,7 @@ class _TiffSliceStreamReader(SimpleDataSourceStreamReader):
         self.root = options["path"].rstrip("/")
         self.suffix = options.get("suffix", ".tif")
         self.per_batch = int(options.get("max_slices_per_batch", 8))
+        self.emit = options.get("emit", "voxels")
 
     def initialOffset(self) -> dict:
         return {"n": 0}
@@ -384,6 +416,17 @@ class _TiffSliceStreamReader(SimpleDataSourceStreamReader):
     def _rows(self, files: list[str], z0: int):
         out = []
         for off, path in enumerate(files):
+            if self.emit == "slices":
+                arr = _slice_array(_read_bytes(path))
+                out.append(
+                    (
+                        z0 + off,
+                        arr.shape[0],
+                        arr.shape[1],
+                        arr.astype(np.int64).ravel().tolist(),
+                    )
+                )
+                continue
             z, y, x, i = _slice_axes(_read_bytes(path), z0 + off)
             out.extend(
                 zip(z.tolist(), y.tolist(), x.tolist(), i.tolist(), strict=True)
@@ -403,15 +446,25 @@ class _TiffSliceStreamReader(SimpleDataSourceStreamReader):
         pass
 
 
+SLICE_DDL = "z bigint, height int, width int, voxels array<bigint>"
+
+
 class TiffVolumeDataSource(DataSource):
     """``spark.read.format("tiff_volume").load(slice_dir)`` (batch) or
-    ``spark.readStream.format("tiff_volume")`` (ordered z stream)."""
+    ``spark.readStream.format("tiff_volume")`` (ordered z stream).
+
+    ``option("emit", "slices")`` switches the row grain from one row
+    per voxel to one row per z-slice (z, height, width, voxels) — the
+    reference's streaming unit (ktx_from_rendered_tiff.py:331-342),
+    directly consumable by streaming/cascade.py::streaming_cascade."""
 
     @classmethod
     def name(cls) -> str:
         return "tiff_volume"
 
     def schema(self) -> str:
+        if self.options.get("emit", "voxels") == "slices":
+            return SLICE_DDL
         return VOXEL_DDL
 
     def reader(self, schema) -> _TiffSliceReader:

@@ -327,3 +327,73 @@ def test_ktx_writer_overwrite_clears_stale_files(registered, tmp_path):
     assert names == ["block_0_0_0_ch0.ktx"]  # stale file removed
     manifest = json.loads((out / "_MANIFEST.json").read_text())
     assert manifest["files"] == ["block_0_0_0_ch0.ktx"]
+
+
+def test_tiff_stream_slices_feed_the_stateful_cascade(registered, tmp_path):
+    """I1 + I2 end-to-end the way the reference runs them
+    (ktx_from_rendered_tiff.py:323-391): real TIFF slice files -> the
+    tiff_volume stream source with emit=slices -> the bounded-state
+    mipmap cascade -> every deeper level matches the pure-NumPy
+    kernel fed the same slices directly."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from hortacloud_importer_spark.streaming.cascade import (
+        MipmapCascade,
+        streaming_cascade,
+    )
+
+    dims = (4, 4, 4)
+    vol = (_vol(*dims) % 251).astype(np.uint8)
+    _write_slices(tmp_path / "cascade_in", list(vol))
+
+    slices = (
+        registered.readStream.format("tiff_volume")
+        .option("emit", "slices")
+        .option("max_slices_per_batch", 1)  # one slice per micro-batch
+        .load(str(tmp_path / "cascade_in"))
+        .select(
+            F.lit(0).alias("zi"),
+            F.lit(0).alias("yi"),
+            F.lit(0).alias("xi"),
+            F.lit(0).alias("channel"),
+            "z",
+            "height",
+            "width",
+            "voxels",
+        )
+    )
+    q = (
+        streaming_cascade(slices, dims, "arthur")
+        .writeStream.format("memory")
+        .queryName("tiff_cascade_e2e")
+        .option("checkpointLocation", str(tmp_path / "cascade_ckpt"))
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+
+    def rows_seen():
+        return sum(p.numInputRows for p in q.recentProgress)
+
+    deadline = time.time() + 90
+    while rows_seen() < dims[0] and time.time() < deadline:
+        time.sleep(0.3)
+    time.sleep(1.5)
+    q.stop()
+    q.awaitTermination(30)
+
+    oracle = MipmapCascade(dims, "arthur")
+    want = {}
+    for z in range(dims[0]):
+        for level, oz, daughter in oracle.feed(z, vol[z].astype(np.int64)):
+            want[(level, oz)] = daughter
+    got = {
+        (r["level"], r["z"]): np.array(r["voxels"]).reshape(
+            r["height"], r["width"]
+        )
+        for r in registered.sql("SELECT * FROM tiff_cascade_e2e").collect()
+    }
+    assert set(got) == set(want)
+    for k, arr in want.items():
+        np.testing.assert_array_equal(got[k], arr)
