@@ -44,6 +44,7 @@ HEADLINE = [
     "vol_downsample_2ndmax",
     "vol_cascade",
     "vol_pyramid_throughput",
+    "vol_n5_throughput",
     # composite analytics
     "q_ship_priority",
     "q_regional_volume",
@@ -69,6 +70,10 @@ def main() -> None:
 
     # Warm the JVM + parquet footers once so timings measure the queries.
     specs[names[0]].fn(spark, sf_dir).count()
+    if "vol_n5_throughput" in names:
+        # first call builds its one-time /tmp store; warm it out of the
+        # timed loop so the probe measures decode, not store creation
+        specs["vol_n5_throughput"].fn(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in names:

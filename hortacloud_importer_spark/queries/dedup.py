@@ -137,6 +137,14 @@ def jaccard_pairs(
 
     `df_cap=None` disables the document-frequency cap (test/compare
     path only — unbounded posting lists are quadratic under skew).
+
+    Measured alternatives at sf0.1 (kept for the record, both lose):
+    carrying n_sh via a doc_id-partitioned window to skip the two
+    sizes joins trades them for a doc_id shuffle (wash, ~same time);
+    replacing the self-join with collect_list-per-shingle + in-array
+    pair expansion (safe once lists are capped <= df_cap) is ~40%
+    SLOWER — the nested transform/slice expression costs more than
+    the sort-merge join it removes.
     """
     # xxhash64 the shingle before the self-join: the join/distinct keys
     # become 8-byte longs instead of ~20-char strings, so the 2.8M-row

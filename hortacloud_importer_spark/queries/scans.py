@@ -398,3 +398,79 @@ def scan_n5_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load(root)
         .filter((F.col("z") >= 2) & (F.col("x") < 4))
     )
+
+
+@register("vol_n5_throughput", "A1+A3", driver=False, oracle=None)
+def vol_n5_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only decode-throughput probe for the n5_volume DataSource:
+    a 96^3 (884k-voxel) raw N5 store in 32^3 chunks (27 chunk files,
+    built once per machine under /tmp, keyed by content params) is
+    read through spark.read.format("n5_volume") and reduced to
+    per-chunk stats. Measures the full front-door pipeline: driver
+    chunk planning -> executor pyarrow.fs reads -> NumPy decode ->
+    Arrow batches -> JVM aggregate. rows-only (bench, not a
+    correctness query — scan_n5_datasource is the oracle-exact one)."""
+    import os
+
+    import numpy as np
+
+    dim, blk = 96, 32
+    root = f"/tmp/spark_graft_n5_bench_{dim}_{blk}/vol.n5"
+    if not os.path.exists(f"{root}/attributes.json"):
+        import json
+
+        vol = ((np.arange(dim**3).reshape(dim, dim, dim) * 7) % 65521).astype(
+            np.uint16
+        )
+        os.makedirs(root, exist_ok=True)
+        with open(f"{root}/attributes.json", "w") as fh:
+            json.dump(
+                {
+                    "dimensions": [dim] * 3,
+                    "blockSize": [blk] * 3,
+                    "dataType": "uint16",
+                    "compression": {"type": "raw"},
+                },
+                fh,
+            )
+        n = dim // blk
+        hdr = (
+            (0).to_bytes(2, "big")
+            + (3).to_bytes(2, "big")
+            + blk.to_bytes(4, "big") * 3
+        )
+        for gz_i in range(n):
+            for gy in range(n):
+                for gx in range(n):
+                    cut = vol[
+                        gz_i * blk : (gz_i + 1) * blk,
+                        gy * blk : (gy + 1) * blk,
+                        gx * blk : (gx + 1) * blk,
+                    ]
+                    os.makedirs(f"{root}/{gx}/{gy}", exist_ok=True)
+                    with open(f"{root}/{gx}/{gy}/{gz_i}", "wb") as fh:
+                        fh.write(hdr + cut.astype(">u2").tobytes())
+
+    from hortacloud_importer_spark.sources.datasource import (
+        register_volume_sources,
+    )
+
+    register_volume_sources(spark)
+    vox = (
+        spark.read.format("n5_volume")
+        # chunk-per-task so the 27 decodes spread across the executors
+        .option("target_partition_bytes", blk**3 * 2)
+        .load(root)
+    )
+    return (
+        vox.groupBy(
+            (F.col("z") / blk).cast("int").alias("gz"),
+            (F.col("y") / blk).cast("int").alias("gy"),
+            (F.col("x") / blk).cast("int").alias("gx"),
+        )
+        .agg(
+            F.count("*").alias("n_vox"),
+            F.sum("intensity").alias("sum_i"),
+            F.max("intensity").alias("max_i"),
+        )
+    )
