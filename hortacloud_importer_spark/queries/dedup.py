@@ -61,13 +61,18 @@ FROM (SELECT doc_id, str_split(text, ' ') AS words FROM documents)
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word 3-gram shingles, one row per (doc, position).
+    """Word 3-gram shingles of the documents table (see _shingles_of)."""
+    return _shingles_of(table(spark, sf_dir, "documents"))
+
+
+def _shingles_of(d: DataFrame) -> DataFrame:
+    """Word 3-gram shingles, one row per (doc, position), from any
+    (doc_id, text) corpus.
 
     Formulated as arrays_zip(words, words[1:], words[2:]) -> explode,
     NOT per-index element_at lambdas: element_at inside a transform
     re-evaluates split(text) per access, which is O(words^2) per
     document (measured 6x slower at sf0.1)."""
-    d = table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     z = F.arrays_zip(
         words,
@@ -382,3 +387,148 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = jaccard_pairs(_shingles(spark, sf_dir), df_cap=_DF_CAP)
     return dedup_keep_list(pairs)
+
+
+def _shingle_sql(inner: str) -> str:
+    """DuckDB word-3-gram shingle SQL over any (doc_id, text) relation."""
+    return f"""
+SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+FROM (SELECT doc_id, str_split(text, ' ') AS words FROM ({inner}))
+     , UNNEST(range(1, len(words) - 1)) AS t(i)
+"""
+
+
+@register(
+    "q_curation_pipeline",
+    "K1+K2+K5+B",
+    driver=False,
+    oracle=f"""
+WITH RECURSIVE
+corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, lang, text FROM documents WHERE doc_id % 5 = 0
+),
+quality AS (
+  SELECT doc_id, lang, text,
+         LEN(str_split(text, ' ')) AS n_words,
+         CAST(LEN(list_filter(str_split(text, ' '),
+                              w -> w IN ('the','a','of','and','to','in','is','for','on','with'))) AS DOUBLE)
+           / LEN(str_split(text, ' ')) AS stop_ratio
+  FROM corpus
+),
+kept AS (
+  SELECT * FROM quality
+  WHERE n_words >= 5 AND n_words <= 2000 AND stop_ratio >= 0.01
+),
+survivors AS (
+  SELECT MIN(doc_id) AS keep_id, MIN(lang) AS lang, MIN(text) AS text,
+         MIN(n_words) AS n_words, COUNT(*) AS n_copies
+  FROM kept GROUP BY MD5(text)
+),
+sh0 AS (SELECT DISTINCT doc_id, shingle FROM (
+  {_shingle_sql("SELECT keep_id AS doc_id, text FROM survivors")})),
+hot AS (SELECT shingle FROM sh0 GROUP BY 1 HAVING COUNT(*) > {_DF_CAP}),
+sh AS (SELECT * FROM sh0 WHERE shingle NOT IN (SELECT shingle FROM hot)),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+p0 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT doc_a, doc_b FROM p0
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.08
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+),
+comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY 1),
+flagged AS (
+  SELECT s.*, (c.node IS NULL OR s.keep_id = c.component) AS keep_flag
+  FROM survivors s LEFT JOIN comp c ON s.keep_id = c.node
+)
+SELECT lang,
+       CAST(SUM(CASE WHEN keep_flag THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep_flag THEN n_words ELSE 0 END) AS BIGINT) AS total_words,
+       CAST(SUM(n_copies - 1) AS BIGINT) AS exact_dups_removed,
+       CAST(SUM(CASE WHEN keep_flag THEN 0 ELSE 1 END) AS BIGINT) AS neardup_removed,
+       MIN(CASE WHEN keep_flag THEN keep_id END) AS first_doc
+FROM flagged GROUP BY 1
+""",
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE LLM-corpus curation pipeline as one Catalyst plan
+    (K1+K2+K5): quality signals filter the dup-injected corpus, exact
+    dedup collapses byte-identical re-crawls (16-byte md5 shuffle,
+    never payloads), the survivors run capped inverted-index Jaccard
+    near-dup -> connected components -> canonical-per-cluster keep
+    flags, and the final rollup reports per-language kept docs, word
+    totals, exact dups removed, and near-dups removed. Every stage is
+    the already-verified operator (q_corpus_curation, jaccard_pairs,
+    connected_components); the composite pins their composition with
+    a single recursive-CTE DuckDB oracle. Scale shape: the only
+    full-corpus shuffles are the md5 groupBy and the capped shingle
+    join; the component propagation iterates over the (tiny) pair
+    graph only."""
+    from hortacloud_importer_spark.operators.components import (
+        connected_components,
+    )
+
+    stopwords = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+    d = table(spark, sf_dir, "documents")
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "lang", "text"
+    )
+    corpus = d.select("doc_id", "lang", "text").unionByName(dup)
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("bigint")
+    stop_ratio = (
+        F.size(F.filter(words, lambda w: w.isin(*stopwords))).cast("double") / n_words
+    )
+    kept = (
+        corpus.withColumn("n_words", n_words)
+        .withColumn("stop_ratio", stop_ratio)
+        .filter(
+            (F.col("n_words") >= 5)
+            & (F.col("n_words") <= 2000)
+            & (F.col("stop_ratio") >= 0.01)
+        )
+    )
+    survivors = kept.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.min("lang").alias("lang"),
+        F.min("text").alias("text"),
+        F.min("n_words").alias("n_words"),
+        F.count("*").alias("n_copies"),
+    )
+    pairs = jaccard_pairs(
+        _shingles_of(survivors.select(F.col("keep_id").alias("doc_id"), "text")),
+        df_cap=_DF_CAP,
+    )
+    comp = connected_components(pairs)
+    flagged = survivors.join(
+        comp, survivors.keep_id == comp.node, "left"
+    ).withColumn(
+        "keep_flag",
+        F.col("node").isNull() | (F.col("keep_id") == F.col("component")),
+    )
+    keep_i = F.col("keep_flag").cast("int")
+    return flagged.groupBy("lang").agg(
+        F.sum(keep_i).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("keep_flag"), F.col("n_words")).otherwise(0))
+        .cast("bigint")
+        .alias("total_words"),
+        F.sum(F.col("n_copies") - 1).cast("bigint").alias("exact_dups_removed"),
+        F.sum(1 - keep_i).cast("bigint").alias("neardup_removed"),
+        F.min(F.when(F.col("keep_flag"), F.col("keep_id"))).alias("first_doc"),
+    )
