@@ -217,10 +217,13 @@ class _N5Reader(DataSourceReader):
         from hortacloud_importer_spark.sources.n5 import n5_chunk_axes
 
         for path, gx, gy, gz in partition.chunks:
-            z, y, x, i = n5_chunk_axes(
-                _read_bytes(path), self.codec, self.np_dtype, self.block_xyz,
-                gx, gy, gz,
-            )
+            try:
+                z, y, x, i = n5_chunk_axes(
+                    _read_bytes(path), self.codec, self.np_dtype,
+                    self.block_xyz, gx, gy, gz,
+                )
+            except Exception as exc:
+                raise ValueError(f"bad N5 chunk {path}: {exc}") from exc
             yield _voxel_batch(z, y, x, i)
 
 
@@ -290,10 +293,13 @@ class _ZarrReader(DataSourceReader):
         from hortacloud_importer_spark.sources.n5 import zarr_chunk_axes
 
         for path, gz, gy, gx in partition.chunks:
-            z, y, x, i = zarr_chunk_axes(
-                _read_bytes(path), self.codec, self.np_dtype, self.chunks_zyx,
-                self.order, self.shape, gz, gy, gx,
-            )
+            try:
+                z, y, x, i = zarr_chunk_axes(
+                    _read_bytes(path), self.codec, self.np_dtype,
+                    self.chunks_zyx, self.order, self.shape, gz, gy, gx,
+                )
+            except Exception as exc:
+                raise ValueError(f"bad Zarr chunk {path}: {exc}") from exc
             yield _voxel_batch(z, y, x, i)
 
 

@@ -87,13 +87,33 @@ def n5_chunk_axes(
     """Decode one N5 chunk file -> flat (z, y, x, intensity) arrays.
 
     Shared by the mapInPandas path below and the Python DataSource
-    front door (sources/datasource.py)."""
+    front door (sources/datasource.py).
+
+    The header is validated BEFORE any array is built: one corrupt
+    chunk among billions must fail fast with a clear error, not spin
+    allocating a garbage-sized ndarray (a truncated header once parsed
+    to a 1.9-billion-element dim and hung ``np.indices``)."""
     ndim = int.from_bytes(raw[2:4], "big")
     hdr_end = 4 + 4 * ndim
+    if ndim != len(block_xyz) or len(raw) < hdr_end:
+        raise ChunkStoreError(
+            f"corrupt N5 chunk header: ndim={ndim}, {len(raw)} bytes"
+        )
     bdims_xyz = [
         int.from_bytes(raw[4 + 4 * i : 8 + 4 * i], "big") for i in range(ndim)
     ]
+    if any(d < 1 or d > b for d, b in zip(bdims_xyz, block_xyz)):
+        raise ChunkStoreError(
+            f"corrupt N5 chunk header: block dims {bdims_xyz} "
+            f"outside dataset blockSize {list(block_xyz)}"
+        )
     payload = _decompress(raw[hdr_end:], codec)
+    n_expected = int(np.prod(bdims_xyz))
+    if len(payload) != n_expected * np.dtype(np_dtype).itemsize:
+        raise ChunkStoreError(
+            f"corrupt N5 chunk payload: {len(payload)} bytes for "
+            f"{n_expected} x {np.dtype(np_dtype).itemsize}-byte elements"
+        )
     # x-fastest payload == C-order over reversed (z, y, x)
     arr = np.frombuffer(payload, dtype=np_dtype).reshape(list(reversed(bdims_xyz)))
     oz, oy, ox = gz * block_xyz[2], gy * block_xyz[1], gx * block_xyz[0]
@@ -138,9 +158,14 @@ def read_n5(spark: SparkSession, root: str) -> DataFrame:
                 gx, gy, gz = (
                     int(p) for p in row.path.rsplit("/", 3)[1:]
                 )
-                z, y, x, i = n5_chunk_axes(
-                    bytes(row.content), codec, np_dtype, block_xyz, gx, gy, gz
-                )
+                try:
+                    z, y, x, i = n5_chunk_axes(
+                        bytes(row.content), codec, np_dtype, block_xyz, gx, gy, gz
+                    )
+                except Exception as exc:
+                    raise ChunkStoreError(
+                        f"bad N5 chunk {row.path}: {exc}"
+                    ) from exc
                 out.append(pd.DataFrame({"z": z, "y": y, "x": x, "intensity": i}))
             yield pd.concat(out) if out else pd.DataFrame(
                 columns=["z", "y", "x", "intensity"]
@@ -182,6 +207,12 @@ def zarr_chunk_axes(
     Edge chunks are stored full-size; the overhang past ``shape`` is
     clipped. Shared with sources/datasource.py."""
     payload = _decompress(raw, codec)
+    n_expected = int(np.prod(chunks_zyx))
+    if len(payload) != n_expected * np.dtype(np_dtype).itemsize:
+        raise ChunkStoreError(
+            f"corrupt Zarr chunk payload: {len(payload)} bytes for "
+            f"{n_expected} x {np.dtype(np_dtype).itemsize}-byte elements"
+        )
     arr = np.frombuffer(payload, dtype=np_dtype).reshape(chunks_zyx, order=order)
     oz, oy, ox = gz * chunks_zyx[0], gy * chunks_zyx[1], gx * chunks_zyx[2]
     keep = (
@@ -210,17 +241,22 @@ def read_zarr(spark: SparkSession, root: str) -> DataFrame:
             for row in pdf.itertuples():
                 name = row.path.rsplit("/", 1)[1]
                 gz, gy, gx = (int(p) for p in name.split(sep))
-                z, y, x, i = zarr_chunk_axes(
-                    bytes(row.content),
-                    codec,
-                    np_dtype,
-                    chunks_zyx,
-                    order,
-                    shape,
-                    gz,
-                    gy,
-                    gx,
-                )
+                try:
+                    z, y, x, i = zarr_chunk_axes(
+                        bytes(row.content),
+                        codec,
+                        np_dtype,
+                        chunks_zyx,
+                        order,
+                        shape,
+                        gz,
+                        gy,
+                        gx,
+                    )
+                except Exception as exc:
+                    raise ChunkStoreError(
+                        f"bad Zarr chunk {row.path}: {exc}"
+                    ) from exc
                 out.append(pd.DataFrame({"z": z, "y": y, "x": x, "intensity": i}))
             yield pd.concat(out) if out else pd.DataFrame(
                 columns=["z", "y", "x", "intensity"]

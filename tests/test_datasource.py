@@ -397,3 +397,14 @@ def test_tiff_stream_slices_feed_the_stateful_cascade(registered, tmp_path):
     assert set(got) == set(want)
     for k, arr in want.items():
         np.testing.assert_array_equal(got[k], arr)
+
+
+def test_corrupt_chunk_names_the_file(registered, tmp_path):
+    """A truncated chunk must fail with the offending PATH in the
+    message, not a bare numpy reshape error."""
+    vol = _vol(4, 4, 4)
+    root = tmp_path / "bad.n5"
+    _write_n5(root, vol, (4, 4, 4), codec="raw")
+    (root / "0" / "0" / "0").write_bytes(b"\x00\x00\x00\x03trunc")
+    with pytest.raises(Exception, match=r"bad N5 chunk .*bad\.n5/0/0/0"):
+        registered.read.format("n5_volume").load(str(root)).collect()

@@ -165,3 +165,34 @@ def test_hierarchy_discovery_over_n5(spark, tmp_path):
     for ch in (0, 1):
         assert np.array_equal(got[ch], vols[ch])
     assert read_level_chunks(spark, root, 1).count() == 2 * 8
+
+
+def test_corrupt_chunk_bytes_fail_fast_without_spark():
+    """Header validation must reject garbage BEFORE building arrays: a
+    truncated header once parsed to a ~2-billion-element dim and hung
+    np.indices.  One bad chunk in a 100 TB store must die in
+    microseconds with a parseable message, not stall an executor."""
+    from hortacloud_importer_spark.sources.n5 import n5_chunk_axes, zarr_chunk_axes
+
+    bad = [
+        b"",  # empty file
+        b"\x00\x00\x00\x03trunc",  # truncated dims
+        b"\x00\x00\x00\x02" + b"\x00\x00\x00\x04" * 2,  # ndim mismatch
+        b"\x00\x00\x00\x03" + b"\x00\x00\x00\x63" * 3,  # dims > blockSize
+        # well-formed header, short payload
+        b"\x00\x00\x00\x03" + (4).to_bytes(4, "big") * 3 + b"\x00" * 7,
+    ]
+    for raw in bad:
+        with pytest.raises(ChunkStoreError, match="corrupt N5 chunk"):
+            n5_chunk_axes(raw, "raw", np.dtype(">u2"), (4, 4, 4), 0, 0, 0)
+
+    with pytest.raises(ChunkStoreError, match="corrupt Zarr chunk"):
+        zarr_chunk_axes(
+            b"\x00" * 3, "raw", np.dtype("<u2"), (4, 4, 4), "C", (4, 4, 4), 0, 0, 0
+        )
+
+    # a good chunk still decodes exactly
+    hdr = b"\x00\x00\x00\x03" + (4).to_bytes(4, "big") * 3
+    payload = np.arange(64, dtype=">u2").tobytes()
+    z, y, x, i = n5_chunk_axes(hdr + payload, "raw", np.dtype(">u2"), (4, 4, 4), 1, 0, 0)
+    assert i.tolist() == list(range(64)) and int(x.min()) == 4 and int(x.max()) == 7
