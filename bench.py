@@ -75,11 +75,23 @@ def main() -> None:
         # timed loop so the probe measures decode, not store creation
         specs["vol_n5_throughput"].fn(spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.time()
-        specs[name].fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+    # Best-of-REPS per query: this box is a shared VM, and a noisy
+    # neighbor during one execution otherwise reads as a fake 2x
+    # "regression" round-over-round. min() is the standard estimator
+    # for the code's own cost under external noise; reps are disclosed
+    # in the output line.
+    # Reps are interleaved (pass over the whole list, then repeat) so a
+    # query's executions land minutes apart: contention waves on a
+    # shared host span many seconds, and back-to-back reps would both
+    # sit inside the same wave.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    timings: dict[str, float] = {name: float("inf") for name in names}
+    for _ in range(reps):
+        for name in names:
+            t0 = time.time()
+            specs[name].fn(spark, sf_dir).count()
+            timings[name] = min(timings[name], time.time() - t0)
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -90,6 +102,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": reps,
+                "agg": "min",
             }
         )
     )
