@@ -172,7 +172,20 @@ def _voxel_batch(z, y, x, i) -> pa.RecordBatch:
     )
 
 
-class _N5Reader(DataSourceReader):
+class _PushdownMixin:
+    """The ``pushFilters`` half of the chunk readers, split out so
+    :func:`register_volume_sources` can register no-pushdown reader
+    variants when a session refuses
+    ``spark.sql.python.filterPushdown.enabled``: Spark will not plan a
+    Python DataSource whose reader overrides ``pushFilters`` while that
+    conf is off, and chunk pruning is a pure optimization (all filters
+    are re-applied row-level), so dropping it is always safe."""
+
+    def pushFilters(self, filters: list[Filter]):
+        return _absorb_filters(filters, self.bounds)
+
+
+class _N5ReaderNoPushdown(DataSourceReader):
     def __init__(self, options: dict):
         from hortacloud_importer_spark.sources.n5 import n5_meta
 
@@ -185,9 +198,6 @@ class _N5Reader(DataSourceReader):
         attrs = json.loads(_read_bytes(f"{self.root}/attributes.json"))
         self.dims_xyz, self.block_xyz, self.codec, self.np_dtype = n5_meta(attrs)
         self.bounds = _Bounds()
-
-    def pushFilters(self, filters: list[Filter]):
-        return _absorb_filters(filters, self.bounds)
 
     def partitions(self):
         bx, by, bz = self.block_xyz
@@ -227,6 +237,10 @@ class _N5Reader(DataSourceReader):
             yield _voxel_batch(z, y, x, i)
 
 
+class _N5Reader(_PushdownMixin, _N5ReaderNoPushdown):
+    pass
+
+
 class N5VolumeDataSource(DataSource):
     """``spark.read.format("n5_volume").load(dataset_dir)``."""
 
@@ -241,7 +255,7 @@ class N5VolumeDataSource(DataSource):
         return _N5Reader(dict(self.options))
 
 
-class _ZarrReader(DataSourceReader):
+class _ZarrReaderNoPushdown(DataSourceReader):
     def __init__(self, options: dict):
         from hortacloud_importer_spark.sources.n5 import zarr_meta
 
@@ -261,9 +275,6 @@ class _ZarrReader(DataSourceReader):
             self.sep,
         ) = zarr_meta(meta)
         self.bounds = _Bounds()
-
-    def pushFilters(self, filters: list[Filter]):
-        return _absorb_filters(filters, self.bounds)
 
     def partitions(self):
         cz, cy, cx = self.chunks_zyx
@@ -301,6 +312,10 @@ class _ZarrReader(DataSourceReader):
             except Exception as exc:
                 raise ValueError(f"bad Zarr chunk {path}: {exc}") from exc
             yield _voxel_batch(z, y, x, i)
+
+
+class _ZarrReader(_PushdownMixin, _ZarrReaderNoPushdown):
+    pass
 
 
 class ZarrVolumeDataSource(DataSource):
@@ -374,16 +389,13 @@ class _SlicePartition(InputPartition):
     slices: list[tuple[str, int]]  # (path, z)
 
 
-class _TiffSliceReader(DataSourceReader):
+class _TiffSliceReaderNoPushdown(DataSourceReader):
     def __init__(self, options: dict):
         self.root = options["path"].rstrip("/")
         self.suffix = options.get("suffix", ".tif")
         self.per_partition = int(options.get("slices_per_partition", 1))
         self.emit = options.get("emit", "voxels")
         self.bounds = _Bounds()
-
-    def pushFilters(self, filters: list[Filter]):
-        return _absorb_filters(filters, self.bounds)
 
     def partitions(self):
         files = [
@@ -403,6 +415,10 @@ class _TiffSliceReader(DataSourceReader):
                 yield _slice_batch(z, _slice_array(_read_bytes(path)))
             else:
                 yield _voxel_batch(*_slice_axes(_read_bytes(path), z))
+
+
+class _TiffSliceReader(_PushdownMixin, _TiffSliceReaderNoPushdown):
+    pass
 
 
 class _TiffSliceStreamReader(SimpleDataSourceStreamReader):
@@ -583,6 +599,21 @@ class KtxFilesDataSource(DataSource):
         return _KtxWriter(dict(self.options), overwrite)
 
 
+class N5VolumeDataSourceNoPushdown(N5VolumeDataSource):
+    def reader(self, schema) -> _N5ReaderNoPushdown:
+        return _N5ReaderNoPushdown(dict(self.options))
+
+
+class ZarrVolumeDataSourceNoPushdown(ZarrVolumeDataSource):
+    def reader(self, schema) -> _ZarrReaderNoPushdown:
+        return _ZarrReaderNoPushdown(dict(self.options))
+
+
+class TiffVolumeDataSourceNoPushdown(TiffVolumeDataSource):
+    def reader(self, schema) -> _TiffSliceReaderNoPushdown:
+        return _TiffSliceReaderNoPushdown(dict(self.options))
+
+
 _SOURCES = (
     N5VolumeDataSource,
     ZarrVolumeDataSource,
@@ -590,9 +621,53 @@ _SOURCES = (
     KtxFilesDataSource,
 )
 
+# Same format names, readers without pushFilters — registered when the
+# session cannot enable spark.sql.python.filterPushdown.enabled (chunk
+# pruning lost, results identical: Spark applies all filters row-level).
+_SOURCES_NO_PUSHDOWN = (
+    N5VolumeDataSourceNoPushdown,
+    ZarrVolumeDataSourceNoPushdown,
+    TiffVolumeDataSourceNoPushdown,
+    KtxFilesDataSource,
+)
+
+_PUSHDOWN_CONF = "spark.sql.python.filterPushdown.enabled"
+
+
+def _enable_filter_pushdown(spark) -> bool:
+    """Turn on Python DataSource filter pushdown for this session.
+
+    It is a runtime SQL conf, so ``spark.conf.set`` works on a vanilla
+    ``SparkSession.builder`` session (the driver's case). Returns
+    whether pushdown readers may be planned."""
+    try:
+        spark.conf.set(_PUSHDOWN_CONF, "true")
+        return True
+    except Exception:
+        try:
+            return str(spark.conf.get(_PUSHDOWN_CONF)).lower() == "true"
+        except Exception:
+            return False
+
 
 def register_volume_sources(spark) -> None:
     """Register all volume formats on this session (idempotent —
-    re-registration overwrites with the same class)."""
-    for cls in _SOURCES:
-        spark.dataSource.register(cls)
+    re-registration overwrites with the same class).
+
+    Enables ``spark.sql.python.filterPushdown.enabled`` first: Spark
+    refuses to plan a Python DataSource whose reader overrides
+    ``pushFilters`` while that conf is off. If the conf cannot be set
+    (e.g. a locked-down session), falls back to registering readers
+    without ``pushFilters`` — chunk pruning is lost but results are
+    identical because every filter is re-applied row-level anyway."""
+    sources = _SOURCES if _enable_filter_pushdown(spark) else _SOURCES_NO_PUSHDOWN
+    for cls in sources:
+        try:
+            spark.dataSource.register(cls)
+        except Exception as exc:  # cloned sessions inherit the registry:
+            # same-session re-register overwrites (WARN), but a session
+            # created via newSession() raises DATA_SOURCE_ALREADY_EXISTS
+            # for names inherited from its parent — the format is already
+            # usable there, so that error is not a failure.
+            if "DATA_SOURCE_ALREADY_EXISTS" not in str(exc):
+                raise

@@ -408,3 +408,102 @@ def test_corrupt_chunk_names_the_file(registered, tmp_path):
     (root / "0" / "0" / "0").write_bytes(b"\x00\x00\x00\x03trunc")
     with pytest.raises(Exception, match=r"bad N5 chunk .*bad\.n5/0/0/0"):
         registered.read.format("n5_volume").load(str(root)).collect()
+
+
+def test_scan_n5_query_on_truly_vanilla_session():
+    """The driver runs queries in a session built by a plain
+    ``SparkSession.builder`` (no session.py factory), where
+    spark.sql.python.filterPushdown.enabled defaults to false —
+    register_volume_sources must enable it itself (VERDICT r2 #1).
+    A cloned newSession() inherits too much state to model that, so
+    this builds a genuinely fresh session in a subprocess."""
+    import os
+    import subprocess
+    import sys
+
+    script = """
+from pyspark.sql import SparkSession
+from hortacloud_importer_spark.queries.scans import scan_n5_datasource
+
+spark = SparkSession.builder.master("local[2]").appName("vanilla").getOrCreate()
+df = scan_n5_datasource(spark, "unused-sf-dir")
+rows = df.collect()
+assert spark.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
+want = {
+    (z, y, x, (7 * (z * 35 + y * 7 + x)) % 65521)
+    for z in range(2, 6)
+    for y in range(5)
+    for x in range(4)
+}
+assert {tuple(r) for r in rows} == want, sorted(tuple(r) for r in rows)[:5]
+print("VANILLA_OK")
+spark.stop()
+"""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo_root}
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=repo_root,
+        env=env,
+    )
+    assert "VANILLA_OK" in proc.stdout, proc.stdout[-2000:] + proc.stderr[-4000:]
+
+
+def test_register_falls_back_to_no_pushdown_readers(spark, tmp_path):
+    """If the conf can't be set (locked-down session), registration
+    swaps in readers without pushFilters: pruning is lost, results
+    identical via row-level filter re-eval."""
+
+    class _LockedConf:
+        def set(self, *a, **k):
+            raise RuntimeError("conf locked")
+
+        def get(self, *a, **k):
+            return "false"
+
+    class _Proxy:
+        conf = _LockedConf()
+
+        def __getattr__(self, name):
+            return getattr(spark, name)
+
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    try:
+        # same-session re-registration overwrites, so this swaps the
+        # parent session's formats to the no-pushFilters reader classes
+        register_volume_sources(_Proxy())
+        from pyspark.sql.datasource import DataSourceReader
+
+        from hortacloud_importer_spark.sources.datasource import (
+            _N5ReaderNoPushdown,
+        )
+
+        assert (
+            getattr(_N5ReaderNoPushdown, "pushFilters", None)
+            is DataSourceReader.pushFilters
+        )
+        vol = _vol(6, 5, 7)
+        root = tmp_path / "nopd.n5"
+        _write_n5(root, vol, (4, 4, 4))
+        # with pushdown disabled a pushFilters reader would refuse to
+        # plan; the no-pushdown reader must run and filter row-level
+        spark.conf.set(conf_key, "false")
+        got = (
+            spark.read.format("n5_volume")
+            .load(str(root))
+            .filter("z >= 2 AND x < 3")
+            .collect()
+        )
+        want = {
+            (z, y, x, int(vol[z, y, x]))
+            for z in range(2, 6)
+            for y in range(5)
+            for x in range(3)
+        }
+        assert {tuple(r) for r in got} == want
+    finally:
+        spark.conf.set(conf_key, "true")
+        register_volume_sources(spark)  # restore pushdown formats
