@@ -1,13 +1,16 @@
-"""Minimal clean-room TIFF 6.0 reader (SURVEY §2.A1/A2 front door).
+"""Minimal clean-room TIFF 6.0 reader/writer (SURVEY §2.A1/A2/A7 front door).
 
 The reference's entire ingestion path is TIFF page decode
 (slice_to_dask_array / stack_to_dask_array, tiff2octree.py:653-691,
-628-651): a directory of single-page slice TIFFs, or one multi-page
-z-stack per channel. This module implements the baseline-TIFF subset
-those rendered stacks actually use — uncompressed (Compression=1),
-striped, grayscale or contiguous multi-sample, 8/16-bit unsigned —
-straight from the public TIFF 6.0 structure: byte-order header, IFD
-entry walk, strip concatenation. Compressed TIFFs still require a
+628-651), and its *output* path writes every block as ZLIB-compressed
+TIFF (``compression=("ZLIB", 6)``, tiff2octree.py:315, 385, 441, 544)
+and rewrites large slices as 256x256-tiled TIFF so windowed reads are
+cheap (tiff2octree.py:516-551, 1026-1030). This module implements that
+subset straight from the public TIFF 6.0 structure: byte-order header,
+IFD entry walk, strip or tile assembly, zlib/deflate codecs
+(compression tags 1, 8, 32946 — pure stdlib ``zlib``), horizontal
+predictor (tag 317), grayscale or contiguous multi-sample, 8/16-bit
+unsigned. Formats beyond that (LZW, JPEG, packbits) still require a
 codec library (tifffile/imageio, absent here — probe in FIXTURES.md)
 and raise ``TiffParseError``.
 
@@ -15,11 +18,14 @@ Spark-side use: ``binaryFile`` scan -> ``decode_tiff`` inside a
 ``mapInPandas`` kernel (operators/multimodal.py routes ``format in
 ('tiff', 'tif')`` here when tifffile/imageio are missing), so whole
 files move as Arrow-batched binary and pages decode on executors.
+``decode_tiff_window`` decodes only the strips/tiles a window
+intersects — the read-side payoff of the reference's tiled rewrite.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -35,7 +41,16 @@ _TAG_STRIP_OFFSETS = 273
 _TAG_SAMPLES_PER_PIXEL = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
+_TAG_PREDICTOR = 317
+_TAG_TILE_WIDTH = 322
+_TAG_TILE_LENGTH = 323
+_TAG_TILE_OFFSETS = 324
+_TAG_TILE_COUNTS = 325
 _TAG_SAMPLE_FORMAT = 339
+
+# Compression codes we decode: 1 = none, 8 = deflate ("Adobe"), 32946 =
+# deflate (the original tag) — both are raw zlib streams.
+_ZLIB_CODES = (8, 32946)
 
 
 class TiffParseError(ValueError):
@@ -69,33 +84,118 @@ def _parse_ifd(data: bytes, ec: str, pos: int) -> tuple[dict[int, list], int]:
     return entries, next_ifd
 
 
-def _decode_page(data: bytes, ec: str, ifd: dict[int, list]) -> np.ndarray:
-    compression = ifd.get(_TAG_COMPRESSION, [1])[0]
-    if compression != 1:
-        raise TiffParseError(
-            f"compression {compression} needs a codec library (tifffile/"
-            "imageio — absent in this container, see FIXTURES.md); only "
-            "uncompressed baseline TIFF is built in"
-        )
-    width = ifd[_TAG_WIDTH][0]
-    length = ifd[_TAG_LENGTH][0]
-    spp = ifd.get(_TAG_SAMPLES_PER_PIXEL, [1])[0]
+def _page_dtype(ec: str, ifd: dict[int, list]) -> tuple[np.dtype, int]:
     bits = ifd.get(_TAG_BITS, [8])
     if len(set(bits)) != 1 or bits[0] not in (8, 16):
         raise TiffParseError(f"unsupported BitsPerSample {bits}")
     if ifd.get(_TAG_SAMPLE_FORMAT, [1])[0] != 1:
         raise TiffParseError("only unsigned-integer samples supported")
-    dtype = np.dtype(("<" if ec == "<" else ">") + ("u1" if bits[0] == 8 else "u2"))
-    offsets = ifd[_TAG_STRIP_OFFSETS]
-    counts = ifd[_TAG_STRIP_COUNTS]
-    payload = b"".join(
-        data[off : off + cnt] for off, cnt in zip(offsets, counts)
-    )
-    expect = width * length * spp * (bits[0] // 8)
-    if len(payload) < expect:
-        raise TiffParseError(f"truncated strips: {len(payload)} < {expect}")
-    arr = np.frombuffer(payload[:expect], dtype=dtype).reshape(length, width, spp)
+    return np.dtype(("<" if ec == "<" else ">") + ("u1" if bits[0] == 8 else "u2")), bits[0]
+
+
+def _decode_block(
+    data: bytes,
+    off: int,
+    cnt: int,
+    compression: int,
+    predictor: int,
+    dtype: np.dtype,
+    rows: int,
+    cols: int,
+    spp: int,
+) -> np.ndarray:
+    """One strip or tile -> (rows, cols, spp), codec + predictor undone."""
+    raw = data[off : off + cnt]
+    if compression in _ZLIB_CODES:
+        try:
+            raw = zlib.decompress(raw)
+        except zlib.error as e:
+            raise TiffParseError(f"bad deflate stream in block at {off}: {e}") from e
+    elif compression != 1:
+        raise TiffParseError(
+            f"compression {compression} needs a codec library (tifffile/"
+            "imageio — absent in this container, see FIXTURES.md); built-in "
+            "codecs are uncompressed (1) and zlib/deflate (8, 32946)"
+        )
+    expect = rows * cols * spp
+    arr = np.frombuffer(raw, dtype=dtype, count=min(expect, len(raw) // dtype.itemsize))
+    if arr.size < expect:
+        raise TiffParseError(f"truncated block at {off}: {arr.size} < {expect} samples")
+    arr = arr[:expect].reshape(rows, cols, spp)
+    if predictor == 2:
+        # Horizontal differencing resets per scanline; modular cumsum
+        # (in the sample dtype) inverts it exactly.
+        arr = np.cumsum(arr, axis=1, dtype=dtype)
+    elif predictor != 1:
+        raise TiffParseError(f"unsupported predictor {predictor}")
     return arr.astype(dtype.newbyteorder("="))
+
+
+def _block_grid(ifd: dict[int, list]) -> tuple[bool, int, int, int, int]:
+    """-> (tiled, block_rows, block_cols, across, down) for the page."""
+    width = ifd[_TAG_WIDTH][0]
+    length = ifd[_TAG_LENGTH][0]
+    if _TAG_TILE_WIDTH in ifd:
+        tw = ifd[_TAG_TILE_WIDTH][0]
+        tl = ifd[_TAG_TILE_LENGTH][0]
+        return True, tl, tw, -(-width // tw), -(-length // tl)
+    rps = ifd.get(_TAG_ROWS_PER_STRIP, [length])[0]
+    rps = min(rps, length) or length
+    return False, rps, width, 1, -(-length // rps)
+
+
+def _decode_page(
+    data: bytes,
+    ec: str,
+    ifd: dict[int, list],
+    window: tuple[int, int, int, int] | None = None,
+    stats: dict | None = None,
+) -> np.ndarray:
+    compression = ifd.get(_TAG_COMPRESSION, [1])[0]
+    predictor = ifd.get(_TAG_PREDICTOR, [1])[0]
+    width = ifd[_TAG_WIDTH][0]
+    length = ifd[_TAG_LENGTH][0]
+    spp = ifd.get(_TAG_SAMPLES_PER_PIXEL, [1])[0]
+    dtype, _bits = _page_dtype(ec, ifd)
+    tiled, brows, bcols, across, down = _block_grid(ifd)
+    if tiled:
+        offsets = ifd[_TAG_TILE_OFFSETS]
+        counts = ifd[_TAG_TILE_COUNTS]
+    else:
+        offsets = ifd[_TAG_STRIP_OFFSETS]
+        counts = ifd[_TAG_STRIP_COUNTS]
+    if len(offsets) < across * down or len(counts) < across * down:
+        raise TiffParseError(
+            f"{'tile' if tiled else 'strip'} table too short: "
+            f"{len(offsets)} offsets for a {down}x{across} grid"
+        )
+    y0, y1, x0, x1 = window if window else (0, length, 0, width)
+    y0, y1 = max(0, y0), min(length, y1)
+    x0, x1 = max(0, x0), min(width, x1)
+    if y0 >= y1 or x0 >= x1:
+        return np.zeros((0, 0, spp), dtype=dtype.newbyteorder("="))
+    by0, by1 = y0 // brows, -(-y1 // brows)
+    bx0, bx1 = x0 // bcols, -(-x1 // bcols)
+    out = np.zeros(
+        ((by1 - by0) * brows, (bx1 - bx0) * bcols, spp), dtype=dtype.newbyteorder("=")
+    )
+    decoded = 0
+    for by in range(by0, by1):
+        for bx in range(bx0, bx1):
+            i = by * across + bx
+            # Strips cover full width but may be short on the last row
+            # of the grid; tiles are always padded to tile size.
+            rows = brows if tiled else min(brows, length - by * brows)
+            block = _decode_block(
+                data, offsets[i], counts[i], compression, predictor, dtype, rows, bcols, spp
+            )
+            oy, ox = (by - by0) * brows, (bx - bx0) * bcols
+            out[oy : oy + rows, ox : ox + bcols] = block
+            decoded += 1
+    if stats is not None:
+        stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + decoded
+        stats["blocks_total"] = stats.get("blocks_total", 0) + across * down
+    return out[y0 - by0 * brows : y1 - by0 * brows, x0 - bx0 * bcols : x1 - bx0 * bcols]
 
 
 def decode_tiff(data: bytes) -> np.ndarray:
@@ -125,44 +225,153 @@ def decode_tiff(data: bytes) -> np.ndarray:
     return np.stack(pages)
 
 
-def encode_tiff(pages: np.ndarray) -> bytes:
-    """Write (pages, h, w[, samples]) uint8/uint16 as an uncompressed
-    little-endian multi-page TIFF — the test/fixture dual of
-    :func:`decode_tiff` (round-trip asserted against hand-built golden
-    bytes in tests/test_tiff.py, so writer bugs can't mask reader
-    bugs)."""
+def decode_tiff_window(
+    data: bytes,
+    page: int = 0,
+    y: tuple[int, int] | None = None,
+    x: tuple[int, int] | None = None,
+    stats: dict | None = None,
+) -> np.ndarray:
+    """Decode only the strips/tiles of one page that a window touches.
+
+    This is why the reference rewrites big slices as 256x256 tiles
+    (tiff2octree.py:516-551): an octant-sized window over a tiled page
+    decodes O(window) tiles, not the whole page. ``stats`` (optional
+    dict) receives ``blocks_decoded`` / ``blocks_total`` so callers and
+    tests can assert pruning actually happened.
+    """
+    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
+        raise TiffParseError("not a TIFF")
+    ec = "<" if data[:2] == b"II" else ">"
+    (pos,) = struct.unpack_from(ec + "I", data, 4)
+    idx = 0
+    while pos:
+        ifd, pos = _parse_ifd(data, ec, pos)
+        if idx == page:
+            length = ifd[_TAG_LENGTH][0]
+            width = ifd[_TAG_WIDTH][0]
+            y0, y1 = y if y else (0, length)
+            x0, x1 = x if x else (0, width)
+            return _decode_page(data, ec, ifd, window=(y0, y1, x0, x1), stats=stats)
+        idx += 1
+        if idx > 65536:
+            raise TiffParseError("IFD chain too long (cyclic?)")
+    raise TiffParseError(f"page {page} out of range ({idx} pages)")
+
+
+def _pack_entry(tag: int, ftype: int, values: list[int], overflow_pos: int) -> tuple[bytes, bytes]:
+    """-> (12-byte IFD entry, out-of-line payload or b'')."""
+    fmt = _TYPE_FMT[ftype]
+    payload = struct.pack("<" + str(len(values)) + fmt, *values)
+    if len(payload) <= 4:
+        return struct.pack("<HHI4s", tag, ftype, len(values), payload.ljust(4, b"\x00")), b""
+    return struct.pack("<HHII", tag, ftype, len(values), overflow_pos), payload
+
+
+def encode_tiff(
+    pages: np.ndarray,
+    *,
+    compression: str | None = None,
+    tile: tuple[int, int] | None = None,
+    predictor: int = 1,
+) -> bytes:
+    """Write (pages, h, w[, samples]) uint8/uint16 as little-endian TIFF.
+
+    ``compression="zlib"`` emits deflate blocks (tag 8) matching the
+    reference's ``compression=("ZLIB", 6)`` output (tiff2octree.py:315);
+    ``tile=(tl, tw)`` emits a tiled layout matching its 256x256 rewrite
+    (tiff2octree.py:544); ``predictor=2`` applies horizontal
+    differencing before the codec. Round-trips are asserted against
+    hand-built golden bytes in tests/test_tiff.py, so writer bugs can't
+    mask reader bugs.
+    """
     if pages.ndim == 3:
         pages = pages[..., None]
     npages, h, w, spp = pages.shape
     if pages.dtype not in (np.uint8, np.uint16):
         raise ValueError("uint8/uint16 only")
+    if compression not in (None, "zlib"):
+        raise ValueError("compression must be None or 'zlib'")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 or 2")
+    comp_code = 8 if compression == "zlib" else 1
     bits = pages.dtype.itemsize * 8
     out = bytearray(b"II*\x00")
-    out += struct.pack("<I", 8)  # first IFD right after the header
-    entry = lambda tag, ftype, count, value: struct.pack(  # noqa: E731
-        "<HHI4s",
-        tag,
-        ftype,
-        count,
-        value if isinstance(value, bytes) else struct.pack("<I", value)[:4],
-    )
-    pos = 8
+    out += struct.pack("<I", 0)  # next-IFD pointer, patched per page
+    next_ptr_pos = 4
     for pi in range(npages):
-        strip = pages[pi].astype("<u1" if bits == 8 else "<u2").tobytes()
-        n = 8
+        arr = pages[pi].astype("<u1" if bits == 8 else "<u2")
+        if tile:
+            tl, tw = tile
+            blocks = []
+            for ty in range(0, h, tl):
+                for tx in range(0, w, tw):
+                    t = np.zeros((tl, tw, spp), dtype=arr.dtype)
+                    sub = arr[ty : ty + tl, tx : tx + tw]
+                    t[: sub.shape[0], : sub.shape[1]] = sub
+                    blocks.append(t)
+        else:
+            blocks = [arr]
+        if predictor == 2:
+            blocks = [
+                np.concatenate([b[:, :1], np.diff(b, axis=1)], axis=1).astype(arr.dtype)
+                for b in blocks
+            ]
+        payloads = [b.tobytes() for b in blocks]
+        if comp_code == 8:
+            payloads = [zlib.compress(p, 6) for p in payloads]
+        tags: list[tuple[int, int, list[int]]] = [
+            (_TAG_WIDTH, 4, [w]),
+            (_TAG_LENGTH, 4, [h]),
+            (_TAG_BITS, 3, [bits]),
+            (_TAG_COMPRESSION, 3, [comp_code]),
+            (_TAG_SAMPLES_PER_PIXEL, 3, [spp]),
+        ]
+        if predictor == 2:
+            tags.append((_TAG_PREDICTOR, 3, [2]))
+        counts = [len(p) for p in payloads]
+        off_tag = _TAG_TILE_OFFSETS if tile else _TAG_STRIP_OFFSETS
+        if tile:
+            tags += [
+                (_TAG_TILE_WIDTH, 4, [tw]),
+                (_TAG_TILE_LENGTH, 4, [tl]),
+                (off_tag, 4, [0] * len(payloads)),  # patched below
+                (_TAG_TILE_COUNTS, 4, counts),
+            ]
+        else:
+            tags += [
+                (off_tag, 4, [0] * len(payloads)),
+                (_TAG_ROWS_PER_STRIP, 4, [h]),
+                (_TAG_STRIP_COUNTS, 4, counts),
+            ]
+        tags.sort()
+        ifd_pos = len(out)
+        n = len(tags)
         ifd_size = 2 + n * 12 + 4
-        strip_off = pos + ifd_size
-        next_ifd = strip_off + len(strip) if pi < npages - 1 else 0
+        # Two passes: sizes first (offsets depend on overflow layout).
+        overflow_size = sum(
+            len(struct.pack("<" + str(len(v)) + _TYPE_FMT[ft], *v))
+            for _, ft, v in tags
+            if len(v) * _TYPE_SIZE[ft] > 4
+        )
+        data_pos = ifd_pos + ifd_size + overflow_size
+        block_offsets, p = [], data_pos
+        for c in counts:
+            block_offsets.append(p)
+            p += c
+        tags = [(t, ft, block_offsets if t == off_tag else v) for t, ft, v in tags]
+        entries, overflow = bytearray(), bytearray()
+        opos = ifd_pos + ifd_size
+        for t, ft, v in tags:
+            e, extra = _pack_entry(t, ft, v, opos + len(overflow))
+            entries += e
+            overflow += extra
+        struct.pack_into("<I", out, next_ptr_pos, ifd_pos)
         out += struct.pack("<H", n)
-        out += entry(_TAG_WIDTH, 4, 1, w)
-        out += entry(_TAG_LENGTH, 4, 1, h)
-        out += entry(_TAG_BITS, 3, 1, struct.pack("<HH", bits, 0))
-        out += entry(_TAG_COMPRESSION, 3, 1, struct.pack("<HH", 1, 0))
-        out += entry(_TAG_STRIP_OFFSETS, 4, 1, strip_off)
-        out += entry(_TAG_SAMPLES_PER_PIXEL, 3, 1, struct.pack("<HH", spp, 0))
-        out += entry(_TAG_ROWS_PER_STRIP, 4, 1, h)
-        out += entry(_TAG_STRIP_COUNTS, 4, 1, len(strip))
-        out += struct.pack("<I", next_ifd)
-        out += strip
-        pos = next_ifd if next_ifd else pos + ifd_size + len(strip)
+        out += entries
+        next_ptr_pos = len(out)
+        out += struct.pack("<I", 0)
+        out += overflow
+        for pay in payloads:
+            out += pay
     return bytes(out)
