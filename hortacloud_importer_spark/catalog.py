@@ -35,18 +35,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries INT64 TIMESTAMP(NANOS), which the vanilla
-    parquet reader rejects (PARQUET_TYPE_ILLEGAL). Read the nanos as a
-    long (dynamic session conf) and convert to a microsecond
-    TimestampType — the same truncation DuckDB applies to its
-    TIMESTAMP view, so both engines see identical values."""
+    """Normalize events.ts to a microsecond TimestampType regardless of
+    how the driver generated the file. Two physical schemas exist in the
+    wild: INT64 TIMESTAMP(NANOS), which the vanilla parquet reader
+    rejects (PARQUET_TYPE_ILLEGAL) so we read nanos-as-long and divide,
+    and plain TIMESTAMP(MICROS) without UTC adjustment, which Spark
+    reads as TIMESTAMP_NTZ. Both end up as the TimestampType that DuckDB
+    TIMESTAMP hash-compares against (session timeZone is UTC, so the
+    NTZ→LTZ cast is value-preserving)."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # integer DIV, not double division: at ~1.7e18 ns the double ulp is
-    # ~256 ns, which shifts some timestamps by 1 µs after rounding.
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # integer DIV, not double division: at ~1.7e18 ns the double ulp
+        # is ~256 ns, which shifts some timestamps by 1 µs after rounding.
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return df
 
 
 def load(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -45,3 +45,34 @@ def test_schema_freeze_and_validate(spark, sf_dir):
 def test_events_ts_is_microsecond_timestamp(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_events_both_physical_ts_schemas(spark, tmp_path):
+    """The driver has shipped events.parquet with two physical ts types:
+    INT64 TIMESTAMP(NANOS) (rounds 1-2) and TIMESTAMP(MICROS)/NTZ
+    (round 3+). _events must normalize both to the same TimestampType
+    values — this is what broke 9 driver queries in CORRECTNESS_r03."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = [
+        datetime.datetime(2024, 1, 1, 0, 0, 7, 179575),
+        datetime.datetime(2024, 5, 31, 23, 59, 59, 999999),
+    ]
+    base = {"event_id": pa.array([0, 1], pa.int64())}
+
+    nanos_dir = tmp_path / "nanos"
+    micros_dir = tmp_path / "micros"
+    for d, unit in ((nanos_dir, "ns"), (micros_dir, "us")):
+        d.mkdir()
+        t = pa.table({**base, "ts": pa.array(rows, pa.timestamp(unit))})
+        pq.write_table(t, d / "events.parquet", version="2.6")
+
+    out = {}
+    for d in (nanos_dir, micros_dir):
+        ev = table(spark, str(d), "events")
+        assert dict(ev.dtypes)["ts"] == "timestamp", d.name
+        out[d.name] = [r["ts"] for r in ev.orderBy("event_id").collect()]
+    assert out["nanos"] == out["micros"] == rows
