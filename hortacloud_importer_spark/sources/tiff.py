@@ -41,6 +41,7 @@ _TAG_STRIP_OFFSETS = 273
 _TAG_SAMPLES_PER_PIXEL = 277
 _TAG_ROWS_PER_STRIP = 278
 _TAG_STRIP_COUNTS = 279
+_TAG_PLANAR_CONFIG = 284
 _TAG_PREDICTOR = 317
 _TAG_TILE_WIDTH = 322
 _TAG_TILE_LENGTH = 323
@@ -106,9 +107,13 @@ def _decode_block(
 ) -> np.ndarray:
     """One strip or tile -> (rows, cols, spp), codec + predictor undone."""
     raw = data[off : off + cnt]
+    expect_bytes = rows * cols * spp * dtype.itemsize
     if compression in _ZLIB_CODES:
         try:
-            raw = zlib.decompress(raw)
+            # Cap the inflate at the block's expected size: a crafted
+            # stream can't balloon memory past one block (this decoder
+            # sits on the generic binaryFile ingest path).
+            raw = zlib.decompressobj().decompress(raw, expect_bytes)
         except zlib.error as e:
             raise TiffParseError(f"bad deflate stream in block at {off}: {e}") from e
     elif compression != 1:
@@ -131,10 +136,16 @@ def _decode_block(
     return arr.astype(dtype.newbyteorder("="))
 
 
+def _required(ifd: dict[int, list], tag: int, what: str) -> list:
+    if tag not in ifd or not ifd[tag]:
+        raise TiffParseError(f"missing required tag {tag} ({what})")
+    return ifd[tag]
+
+
 def _block_grid(ifd: dict[int, list]) -> tuple[bool, int, int, int, int]:
     """-> (tiled, block_rows, block_cols, across, down) for the page."""
-    width = ifd[_TAG_WIDTH][0]
-    length = ifd[_TAG_LENGTH][0]
+    width = _required(ifd, _TAG_WIDTH, "ImageWidth")[0]
+    length = _required(ifd, _TAG_LENGTH, "ImageLength")[0]
     if _TAG_TILE_WIDTH in ifd:
         tw = ifd[_TAG_TILE_WIDTH][0]
         tl = ifd[_TAG_TILE_LENGTH][0]
@@ -153,17 +164,24 @@ def _decode_page(
 ) -> np.ndarray:
     compression = ifd.get(_TAG_COMPRESSION, [1])[0]
     predictor = ifd.get(_TAG_PREDICTOR, [1])[0]
-    width = ifd[_TAG_WIDTH][0]
-    length = ifd[_TAG_LENGTH][0]
+    width = _required(ifd, _TAG_WIDTH, "ImageWidth")[0]
+    length = _required(ifd, _TAG_LENGTH, "ImageLength")[0]
     spp = ifd.get(_TAG_SAMPLES_PER_PIXEL, [1])[0]
+    if spp > 1 and ifd.get(_TAG_PLANAR_CONFIG, [1])[0] != 1:
+        # Planar (separate-plane) layout would decode to silently wrong
+        # pixels if treated as chunky; reject it explicitly.
+        raise TiffParseError(
+            f"PlanarConfiguration {ifd[_TAG_PLANAR_CONFIG][0]} unsupported "
+            "(only 1 = chunky)"
+        )
     dtype, _bits = _page_dtype(ec, ifd)
     tiled, brows, bcols, across, down = _block_grid(ifd)
     if tiled:
-        offsets = ifd[_TAG_TILE_OFFSETS]
-        counts = ifd[_TAG_TILE_COUNTS]
+        offsets = _required(ifd, _TAG_TILE_OFFSETS, "TileOffsets")
+        counts = _required(ifd, _TAG_TILE_COUNTS, "TileByteCounts")
     else:
-        offsets = ifd[_TAG_STRIP_OFFSETS]
-        counts = ifd[_TAG_STRIP_COUNTS]
+        offsets = _required(ifd, _TAG_STRIP_OFFSETS, "StripOffsets")
+        counts = _required(ifd, _TAG_STRIP_COUNTS, "StripByteCounts")
     if len(offsets) < across * down or len(counts) < across * down:
         raise TiffParseError(
             f"{'tile' if tiled else 'strip'} table too short: "
@@ -198,8 +216,8 @@ def _decode_page(
     return out[y0 - by0 * brows : y1 - by0 * brows, x0 - bx0 * bcols : x1 - bx0 * bcols]
 
 
-def decode_tiff(data: bytes) -> np.ndarray:
-    """bytes -> (pages, height, width, samples) uint8/uint16 array."""
+def _parse_header(data: bytes) -> tuple[str, int]:
+    """Validate the 8-byte TIFF header -> (endian char, first IFD pos)."""
     if len(data) < 8:
         raise TiffParseError("file shorter than a TIFF header")
     if data[:2] == b"II":
@@ -212,6 +230,12 @@ def decode_tiff(data: bytes) -> np.ndarray:
     if magic != 42:
         raise TiffParseError(f"bad TIFF magic {magic}")
     (pos,) = struct.unpack_from(ec + "I", data, 4)
+    return ec, pos
+
+
+def decode_tiff(data: bytes) -> np.ndarray:
+    """bytes -> (pages, height, width, samples) uint8/uint16 array."""
+    ec, pos = _parse_header(data)
     pages = []
     while pos:
         ifd, pos = _parse_ifd(data, ec, pos)
@@ -240,16 +264,13 @@ def decode_tiff_window(
     dict) receives ``blocks_decoded`` / ``blocks_total`` so callers and
     tests can assert pruning actually happened.
     """
-    if len(data) < 8 or data[:2] not in (b"II", b"MM"):
-        raise TiffParseError("not a TIFF")
-    ec = "<" if data[:2] == b"II" else ">"
-    (pos,) = struct.unpack_from(ec + "I", data, 4)
+    ec, pos = _parse_header(data)
     idx = 0
     while pos:
         ifd, pos = _parse_ifd(data, ec, pos)
         if idx == page:
-            length = ifd[_TAG_LENGTH][0]
-            width = ifd[_TAG_WIDTH][0]
+            length = _required(ifd, _TAG_LENGTH, "ImageLength")[0]
+            width = _required(ifd, _TAG_WIDTH, "ImageWidth")[0]
             y0, y1 = y if y else (0, length)
             x0, x1 = x if x else (0, width)
             return _decode_page(data, ec, ifd, window=(y0, y1, x0, x1), stats=stats)

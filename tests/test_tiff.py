@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from hortacloud_importer_spark.sources.tiff import (
     TiffParseError,
     decode_tiff,
+    decode_tiff_window,
     encode_tiff,
 )
 
@@ -85,6 +86,168 @@ def test_compressed_raises_with_codec_hint():
 def test_bad_magic_raises():
     with pytest.raises(TiffParseError):
         decode_tiff(b"PK\x03\x04not a tiff")
+
+
+def test_zlib_roundtrip_8_and_16_bit():
+    """Deflate blocks (tag 8) — the reference's own output format
+    (compression=("ZLIB", 6), tiff2octree.py:315)."""
+    rng = np.random.default_rng(6)
+    for dtype, hi in ((np.uint8, 255), (np.uint16, 65535)):
+        stack = rng.integers(0, hi, (2, 7, 5), dtype=dtype)
+        blob = encode_tiff(stack, compression="zlib")
+        got = decode_tiff(blob)
+        assert got.dtype == dtype
+        assert np.array_equal(got[..., 0], stack)
+        # compression actually happened (tag present, not a raw copy)
+        assert struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 8, 0) in blob
+
+
+def test_zlib_legacy_tag_32946():
+    """Tag 32946 is the original deflate code; same bitstream as 8."""
+    stack = np.arange(48, dtype=np.uint8).reshape(1, 6, 8)
+    blob = encode_tiff(stack, compression="zlib")
+    needle = struct.pack("<HHI", 259, 3, 1) + struct.pack("<HH", 8, 0)
+    idx = blob.find(needle)
+    assert idx >= 0
+    legacy = blob[: idx + 8] + struct.pack("<HH", 32946, 0) + blob[idx + 12 :]
+    assert np.array_equal(decode_tiff(legacy), decode_tiff(blob))
+
+
+def test_zlib_oversized_stream_is_bounded():
+    """A crafted block that inflates far past the expected size must not
+    balloon memory: the inflate is capped at the block's pixel count."""
+    import zlib
+
+    stack = np.full((1, 4, 4), 7, dtype=np.uint8)
+    blob = encode_tiff(stack, compression="zlib")
+    bomb = zlib.compress(bytes([7]) * 16 + b"\x00" * (64 << 20), 6)
+    counts_needle = struct.pack("<HHI", 279, 4, 1)
+    idx = blob.find(counts_needle)
+    assert idx >= 0
+    # strip payload is the tail of the blob; swap it for the bomb
+    (old_count,) = struct.unpack_from("<I", blob, idx + 8)
+    patched = (
+        blob[: idx + 8]
+        + struct.pack("<I", len(bomb))
+        + blob[idx + 12 : len(blob) - old_count]
+        + bomb
+    )
+    got = decode_tiff(patched)  # decodes the first 16 bytes, ignores the rest
+    assert np.array_equal(got[..., 0], stack)
+
+
+def test_tiled_roundtrip_and_window_pruning():
+    """Tiled layout (tags 322-325) matching the reference's 256x256
+    rewrite (tiff2octree.py:516-551); a window decodes O(window) tiles."""
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 65535, (1, 16, 16), dtype=np.uint16)
+    blob = encode_tiff(img, tile=(4, 4), compression="zlib")
+    assert np.array_equal(decode_tiff(blob)[..., 0], img)
+
+    stats: dict = {}
+    win = decode_tiff_window(blob, page=0, y=(0, 4), x=(4, 8), stats=stats)
+    assert np.array_equal(win[..., 0], img[0, 0:4, 4:8])
+    assert stats == {"blocks_decoded": 1, "blocks_total": 16}
+
+    # a window straddling tile borders decodes exactly the touched tiles
+    stats = {}
+    win = decode_tiff_window(blob, page=0, y=(3, 9), x=(2, 6), stats=stats)
+    assert np.array_equal(win[..., 0], img[0, 3:9, 2:6])
+    assert stats["blocks_decoded"] == 6  # 3 tile-rows x 2 tile-cols
+
+
+def test_predictor2_roundtrip_8_16_multisample():
+    """Horizontal differencing (tag 317) under zlib, per-channel."""
+    rng = np.random.default_rng(8)
+    cases = [
+        rng.integers(0, 255, (2, 5, 9, 3), dtype=np.uint8),   # RGB
+        rng.integers(0, 65535, (1, 6, 4), dtype=np.uint16),   # gray 16
+    ]
+    for arr in cases:
+        blob = encode_tiff(arr, compression="zlib", predictor=2)
+        got = decode_tiff(blob)
+        want = arr if arr.ndim == 4 else arr[..., None]
+        assert np.array_equal(got, want)
+
+
+def test_big_endian_golden_bytes():
+    """MM byte order with uint16 samples — values above 255 catch any
+    byte-swap bug. Hand-assembled, independent of encode_tiff."""
+    pixels = struct.pack(">6H", 256, 512, 1024, 2048, 4096, 60000)
+    entries = []
+
+    def e(tag, ftype, count, value4):
+        entries.append(struct.pack(">HHI", tag, ftype, count) + value4)
+
+    n = 7
+    strip_off = 8 + 2 + n * 12 + 4
+    e(256, 4, 1, struct.pack(">I", 3))
+    e(257, 4, 1, struct.pack(">I", 2))
+    e(258, 3, 1, struct.pack(">HH", 16, 0))
+    e(259, 3, 1, struct.pack(">HH", 1, 0))
+    e(273, 4, 1, struct.pack(">I", strip_off))
+    e(278, 4, 1, struct.pack(">I", 2))
+    e(279, 4, 1, struct.pack(">I", len(pixels)))
+    blob = (
+        b"MM\x00*"
+        + struct.pack(">I", 8)
+        + struct.pack(">H", n)
+        + b"".join(entries)
+        + struct.pack(">I", 0)
+        + pixels
+    )
+    got = decode_tiff(blob)
+    want = np.array([[256, 512, 1024], [2048, 4096, 60000]], dtype=np.uint16)
+    assert np.array_equal(got[0, ..., 0], want)
+
+
+def test_missing_strip_table_raises_parse_error():
+    """Dropping StripOffsets must raise TiffParseError (the documented
+    exception), not KeyError."""
+    blob, _ = _golden_single_page()
+    idx = blob.find(struct.pack("<HHI", 273, 4, 1))
+    # retag the StripOffsets entry to an unknown tag id
+    bad = blob[:idx] + struct.pack("<H", 60000) + blob[idx + 2 :]
+    with pytest.raises(TiffParseError, match="StripOffsets"):
+        decode_tiff(bad)
+
+
+def test_planar_configuration_2_rejected():
+    """Separate-plane layout (tag 284 = 2) would silently scramble
+    multi-sample pixels; it must raise instead."""
+    pixels = bytes(range(12))  # claimed 2x2 RGB
+    entries = []
+
+    def e(tag, ftype, count, value4):
+        entries.append(struct.pack("<HHI", tag, ftype, count) + value4)
+
+    n = 8
+    strip_off = 8 + 2 + n * 12 + 4
+    e(256, 4, 1, struct.pack("<I", 2))
+    e(257, 4, 1, struct.pack("<I", 2))
+    e(258, 3, 1, struct.pack("<HH", 8, 0))
+    e(259, 3, 1, struct.pack("<HH", 1, 0))
+    e(273, 4, 1, struct.pack("<I", strip_off))
+    e(277, 3, 1, struct.pack("<HH", 3, 0))  # SamplesPerPixel = 3
+    e(279, 4, 1, struct.pack("<I", len(pixels)))
+    e(284, 3, 1, struct.pack("<HH", 2, 0))  # PlanarConfiguration = 2
+    blob = (
+        b"II*\x00"
+        + struct.pack("<I", 8)
+        + struct.pack("<H", n)
+        + b"".join(entries)
+        + struct.pack("<I", 0)
+        + pixels
+    )
+    with pytest.raises(TiffParseError, match="PlanarConfiguration"):
+        decode_tiff(blob)
+
+
+def test_window_rejects_bad_magic():
+    """decode_tiff_window shares decode_tiff's header validation."""
+    junk = b"II\x00\x00" + b"\x00" * 64  # II but magic != 42
+    with pytest.raises(TiffParseError, match="magic"):
+        decode_tiff_window(junk, page=0)
 
 
 def test_binaryfile_scan_to_features(spark, tmp_path):
