@@ -51,6 +51,7 @@ import pyarrow as pa
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -60,7 +61,6 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
-    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -421,48 +421,52 @@ class _TiffSliceReader(_PushdownMixin, _TiffSliceReaderNoPushdown):
     pass
 
 
-class _TiffSliceStreamReader(SimpleDataSourceStreamReader):
+class _TiffSliceStreamReader(DataSourceStreamReader):
     """Ordered z-slice micro-batch source (I1). Offset = number of
     slices consumed; files appended later (higher sort order) are
-    picked up by subsequent batches."""
+    picked up by subsequent batches.
+
+    Partition-planning variant: the driver only ever lists file names
+    (metadata); each planned partition decodes its slice inside
+    ``read()`` on an executor and yields one Arrow batch — the same
+    executor-side decode path as the batch reader, so no slice payload
+    visits the driver (the reference streams slices the same way,
+    ktx_from_rendered_tiff.py:331-342)."""
 
     def __init__(self, options: dict):
         self.root = options["path"].rstrip("/")
         self.suffix = options.get("suffix", ".tif")
         self.per_batch = int(options.get("max_slices_per_batch", 8))
         self.emit = options.get("emit", "voxels")
+        # High-water mark already offered to Spark; keeps each
+        # micro-batch bounded to per_batch slices no matter how large
+        # the directory backlog is.
+        self._advanced = 0
 
     def initialOffset(self) -> dict:
         return {"n": 0}
 
-    def _rows(self, files: list[str], z0: int):
-        out = []
-        for off, path in enumerate(files):
-            if self.emit == "slices":
-                arr = _slice_array(_read_bytes(path))
-                out.append(
-                    (
-                        z0 + off,
-                        arr.shape[0],
-                        arr.shape[1],
-                        arr.astype(np.int64).ravel().tolist(),
-                    )
-                )
-                continue
-            z, y, x, i = _slice_axes(_read_bytes(path), z0 + off)
-            out.extend(
-                zip(z.tolist(), y.tolist(), x.tolist(), i.tolist(), strict=True)
-            )
-        return iter(out)
+    def latestOffset(self) -> dict:
+        total = len(_sorted_slices(self.root, self.suffix))
+        self._advanced = min(total, self._advanced + self.per_batch)
+        return {"n": self._advanced}
 
-    def read(self, start: dict):
-        n = int(start["n"])
-        files = _sorted_slices(self.root, self.suffix)[n : n + self.per_batch]
-        return self._rows(files, n), {"n": n + len(files)}
-
-    def readBetweenOffsets(self, start: dict, end: dict):
+    def partitions(self, start: dict, end: dict):
         a, b = int(start["n"]), int(end["n"])
-        return self._rows(_sorted_slices(self.root, self.suffix)[a:b], a)
+        # On checkpoint restart Spark replans the pending batch without
+        # calling latestOffset; keep the high-water mark consistent.
+        self._advanced = max(self._advanced, b)
+        files = _sorted_slices(self.root, self.suffix)[a:b]
+        return [
+            _SlicePartition([(p, a + i)]) for i, p in enumerate(files)
+        ] or [_SlicePartition([])]
+
+    def read(self, partition: _SlicePartition):
+        for path, z in partition.slices:
+            if self.emit == "slices":
+                yield _slice_batch(z, _slice_array(_read_bytes(path)))
+            else:
+                yield _voxel_batch(*_slice_axes(_read_bytes(path), z))
 
     def commit(self, end: dict) -> None:
         pass
@@ -492,7 +496,7 @@ class TiffVolumeDataSource(DataSource):
     def reader(self, schema) -> _TiffSliceReader:
         return _TiffSliceReader(dict(self.options))
 
-    def simpleStreamReader(self, schema) -> _TiffSliceStreamReader:
+    def streamReader(self, schema) -> _TiffSliceStreamReader:
         return _TiffSliceStreamReader(dict(self.options))
 
 
