@@ -143,12 +143,25 @@ FROM (
 )
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile (E4): percentile bucketing — the dual of D5's quantile
-    vector. Global orderBy documented caveat: fine for dim-sized
-    inputs; for fact tables use D5's histogram method instead."""
-    o = table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    vector, in the scale-safe form: no `NTILE OVER (ORDER BY ...)`
+    global window ever sees the table. Row numbers come from the
+    two-pass range-partition pattern (operators/rownum.py) and the
+    tile from the closed-form NTILE mapping — same plan shape as
+    sort_rownum, asserted in tests/test_plans.py."""
+    from hortacloud_importer_spark.operators.rownum import (
+        global_row_numbers,
+        ntile_from_rownum,
+    )
+
+    o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    numbered = global_row_numbers(o, ["o_totalprice", "o_orderkey"], npartitions=32)
+    n_total = o.agg(F.count("*").alias("_total"))
     return (
-        o.select("o_totalprice", F.ntile(10).over(w).alias("tile"))
+        numbered.join(F.broadcast(n_total))
+        .select(
+            "o_totalprice",
+            ntile_from_rownum(F.col("rn"), F.col("_total"), 10).alias("tile"),
+        )
         .groupBy("tile")
         .agg(
             F.count("*").alias("n"),

@@ -151,6 +151,51 @@ def test_sort_rownum_has_no_global_window_over_the_data(spark, sf_dir):
             )
 
 
+def test_win_ntile_has_no_global_window_over_the_data(spark, sf_dir):
+    """E4's standalone NTILE variant must use the same scale-safe shape
+    as sort_rownum: range-partition + local row_number + closed-form
+    tile — never NTILE OVER (ORDER BY ...) on the orders scan."""
+    plan = _plan(spark, "win_ntile", sf_dir)
+    assert "ntile(" not in plan
+    assert "row_number() windowspecdefinition(_pid#" in plan
+    single = [
+        seg for seg in plan.split("Exchange ") if seg.startswith("SinglePartition")
+    ]
+    for seg in single:
+        head = seg[:500]
+        if "parquet" in head:
+            assert "ReadSchema: struct<>" in head, (
+                f"data columns feed SinglePartition: {head}"
+            )
+
+
+def test_no_registered_query_has_unpartitioned_window_over_facts():
+    """Sweep the registry source: `Window.orderBy` without a preceding
+    `partitionBy` is only allowed where the input is dim-sized and the
+    docstring says so (sort_global over nation, the rownum offsets
+    prefix-sum). Fact-table queries must use operators/rownum.py."""
+    import pathlib
+    import re
+
+    qdir = pathlib.Path(__file__).parent.parent / "hortacloud_importer_spark"
+    allowed = {
+        ("queries/windows.py", "sort_global"),  # nation: 25 rows
+        ("operators/rownum.py", "global_row_numbers"),  # <= npartitions rows
+    }
+    hits = []
+    for py in qdir.rglob("*.py"):
+        text = py.read_text()
+        for m in re.finditer(r"Window\.orderBy\(", text):
+            # which def contains this use?
+            fn = None
+            for dm in re.finditer(r"^def (\w+)", text[: m.start()], re.M):
+                fn = dm.group(1)
+            key = (str(py.relative_to(qdir.parent)).replace("hortacloud_importer_spark/", ""), fn)
+            if key not in allowed:
+                hits.append(key)
+    assert not hits, f"unpartitioned Window.orderBy outside allowlist: {hits}"
+
+
 def test_win_suite_single_exchange(spark, sf_dir):
     """All E3/E4 window specs share the user_id partition key -> ONE
     hash exchange on user_id, no SinglePartition anywhere."""
