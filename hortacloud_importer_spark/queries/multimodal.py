@@ -97,9 +97,11 @@ def _feat_tagged(df: DataFrame, facet: str) -> DataFrame:
     )
 
 
-@register("mm_features", "K4", oracle=None)
+@register("mm_features", "K4", oracle=None, driver=False)
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Consolidated K4 driver query, rows-only, union-with-tag:
+    """Consolidated K4 query (local registry; K4's driver evidence is
+    mm_doc_bytes hash-green plus scan_tiff_stack, which drives the
+    same media_features operator oracle-exact), union-with-tag:
     `doc` = full feature extraction over fixture-derived raw8
     payloads; `resize` = synthetic images -> nearest-neighbor 8x8
     resize -> features (compose-by-schema); `frames` = video frame

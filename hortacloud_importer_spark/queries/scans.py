@@ -277,15 +277,33 @@ def scalar_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("scan_tiff_stack", "A1+A2", oracle=None)
+@register(
+    "scan_tiff_stack",
+    "A1+A2",
+    oracle="""
+SELECT z,
+       CAST(64 AS INTEGER) AS n_bytes,
+       AVG(v) AS mean_intensity,
+       CAST(MIN(v) AS INTEGER) AS min_intensity,
+       CAST(MAX(v) AS INTEGER) AS max_intensity
+FROM (
+  SELECT t1.range AS z, (t2.range * (t1.range + 1)) % 251 AS v
+  FROM range(4) t1, range(64) t2
+)
+GROUP BY z
+""",
+)
 def scan_tiff_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1/A2 over REAL container files, rows-only: a deterministic
+    """A1/A2 over REAL container files, oracle-exact: a deterministic
     z-stack of baseline TIFF slices is written (sources/tiff.py), then
     ingested exactly the way the reference's front door works
     (slice_to_dask_array, tiff2octree.py:653-691): binaryFile scan ->
     per-file page decode on executors (clean-room uncompressed-TIFF
     reader; tifffile used instead when importable) -> per-slice
-    intensity accounting. Deterministic pixels -> deterministic rows."""
+    intensity accounting. The DuckDB oracle regenerates the pixel
+    formula ((i * (z+1)) % 251) with range() arithmetic, so a decode
+    bug anywhere in the encode->scan->decode->stats chain breaks the
+    hash. AVG over 64 values is sum/2^6 — bit-exact in both engines."""
     import tempfile
 
     import numpy as np

@@ -55,11 +55,25 @@ def ktx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sink_layout_rewrite", "A7", oracle=None)
+@register(
+    "sink_layout_rewrite",
+    "A7",
+    oracle="""
+SELECT COUNT(*) AS n_rows, SUM(l_quantity) AS total_qty
+FROM lineitem
+WHERE l_orderkey % 4 = 0 AND l_orderkey >= 1000 AND l_orderkey < 2000
+""",
+)
 def sink_layout_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7 rows-only: rewrite a table sorted by its access key with
+    """A7, oracle-exact: rewrite a table sorted by its access key with
     bounded row groups (the tiled-TIFF analog), read it back, and
-    return the range-scan accounting over the rewritten layout."""
+    return the range-scan accounting over the rewritten layout. The
+    DuckDB oracle computes the same accounting from the ORIGINAL
+    table, so a rewrite that drops/duplicates/corrupts rows fails the
+    hash even though the layout itself isn't SQL-visible (layout
+    properties — sorted row groups, bounded group size — are asserted
+    in tests/test_block_store.py). l_quantity values are whole
+    numbers, so the double sum is order-insensitive exact."""
     from hortacloud_importer_spark.sources.block_store import rewrite_layout
 
     # one deterministic quarter of the table: the reference rewrites
@@ -81,14 +95,78 @@ def sink_layout_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("vol_kernel_box", "J1+J2+J3", oracle=None)
+@register(
+    "vol_kernel_box",
+    "J1+J2",
+    oracle="""
+WITH grid AS (
+  SELECT t1.range AS z, t2.range AS y, t3.range AS x
+  FROM range(16) t1 CROSS JOIN range(16) t2 CROSS JOIN range(16) t3
+),
+vox AS (
+  SELECT l_orderkey % 16 AS z, l_partkey % 16 AS y, l_suppkey % 16 AS x,
+         MAX(CASE WHEN l_linenumber % 5 = 0 THEN 0
+                  ELSE CAST(ROUND(l_extendedprice * 100) AS BIGINT) % 65536 END)
+           AS intensity
+  FROM lineitem
+  GROUP BY 1, 2, 3
+),
+dense AS (
+  SELECT g.z, g.y, g.x, COALESCE(v.intensity, 0) AS intensity
+  FROM grid g LEFT JOIN vox v ON v.z = g.z AND v.y = g.y AND v.x = g.x
+),
+win AS (
+  SELECT z // 2 AS wz, y // 2 AS wy, x // 2 AS wx,
+         CAST(SUM(intensity) // 8 AS BIGINT) AS wv
+  FROM dense
+  GROUP BY 1, 2, 3
+)
+SELECT 'box' AS kernel,
+       CAST(wz // 2 AS INTEGER) AS zi,
+       CAST(wy // 2 AS INTEGER) AS yi,
+       CAST(wx // 2 AS INTEGER) AS xi,
+       CAST(0 AS INTEGER) AS channel,
+       CAST(SUM(wv) AS BIGINT) AS payload_sum
+FROM win
+GROUP BY 2, 3, 4
+""",
+)
 def vol_kernel_box(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1-J3 rows-only: the grouped-map neighborhood-kernel path
-    (applyInPandas over Arrow batches) with all three custom kernels —
-    the dependency-free `box` mean plus the reference's `aa`
-    (Gaussian anti-aliased resize, tiff2octree.py:244-251) and
-    `spline3` (cubic B-spline zoom, :258-261), which run scipy/skimage
-    when importable and a clean-room NumPy implementation of the same
+    """J1/J2, oracle-exact: the grouped-map neighborhood-kernel path
+    (applyInPandas over Arrow batches) with the dependency-free `box`
+    2x2x2 mean over the lineitem-derived 16^3 grid (densified — the
+    kernel path needs full blocks, matching the reference's dense
+    scratch arrays, tiff2octree.py:220-225). The box mean of 8
+    non-negative ints truncates like floor(sum/8) == sum // 8, so
+    DuckDB reproduces every output voxel with integer grid math; the
+    oracle sums each half-res block payload. The library-shaped aa /
+    spline3 kernels ride the same applyInPandas plumbing in
+    vol_kernel_custom (J3, rows-only + parity-tested)."""
+    from hortacloud_importer_spark.operators.kernels import (
+        downsample_blocks_kernel,
+    )
+    from hortacloud_importer_spark.queries.volume import _DIM, _voxels
+    from hortacloud_importer_spark.volume import blockify, densify
+
+    v = densify(_voxels(spark, sf_dir), spark, (_DIM, _DIM, _DIM))
+    blocks = blockify(v, (4, 4, 4))
+    return downsample_blocks_kernel(blocks, "box").select(
+        F.lit("box").alias("kernel"),
+        "zi", "yi", "xi", "channel",
+        F.aggregate(
+            "voxels", F.lit(0).cast("bigint"), lambda a, b: a + b
+        ).alias("payload_sum"),
+    )
+
+
+@register("vol_kernel_custom", "J3", oracle=None)
+def vol_kernel_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 rows-only: the reference's two library-shaped neighborhood
+    kernels — `aa` (Gaussian anti-aliased resize,
+    tiff2octree.py:244-251) and `spline3` (cubic B-spline zoom,
+    :258-261) — over the same applyInPandas plumbing that
+    vol_kernel_box proves oracle-exact. They run scipy/skimage when
+    importable and a clean-room NumPy implementation of the same
     public algorithms otherwise (operators/kernels.py; property +
     gated-parity tests in tests/test_kernels.py). Deterministic input
     -> deterministic per-kernel payload checksums."""
@@ -100,7 +178,7 @@ def vol_kernel_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = synthetic_volume(spark, 8, 8, 8, channels=2)
     blocks = blockify(v, (4, 4, 4))
     out = None
-    for kernel in ("box", "aa", "spline3"):
+    for kernel in ("aa", "spline3"):
         part = downsample_blocks_kernel(blocks, kernel).select(
             F.lit(kernel).alias("kernel"),
             "zi", "yi", "xi", "channel",
