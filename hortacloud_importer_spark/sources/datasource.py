@@ -603,6 +603,155 @@ class KtxFilesDataSource(DataSource):
         return _KtxWriter(dict(self.options), overwrite)
 
 
+def _octree_rel_dir(zi: int, yi: int, xi: int, nlevels: int) -> str:
+    """Octant-digit directory for a leaf block, MSB first — the same
+    ``1 + x_bit + 2*y_bit + 4*z_bit`` key as volume.model.octree_path
+    (tiff2octree.py:263-279)."""
+    parts = []
+    for bit in range(nlevels - 2, -1, -1):
+        parts.append(
+            str(
+                1
+                + ((xi >> bit) & 1)
+                + 2 * ((yi >> bit) & 1)
+                + 4 * ((zi >> bit) & 1)
+            )
+        )
+    return "/".join(parts)
+
+
+@dataclass
+class _TiffBlockCommit(WriterCommitMessage):
+    files: list[str]
+    n_rows: int
+    n_skipped: int
+
+
+class _TiffBlockWriter(DataSourceWriter):
+    """``df.write.format("tiff_blocks").save(root)`` over blockify rows
+    (zi, yi, xi, channel, shape, voxels) — the reference's ACTUAL block
+    output: ``{octree-path}/default.{channel}.tif``, zlib-compressed,
+    all-zero blocks skipped (save_block, tiff2octree.py:298-317; ZLIB
+    at :315). Written with the clean-room encoder (sources/tiff.py), so
+    a store produced here is byte-readable by the reference's tooling
+    and by this engine's decode_tiff / tiff_volume scan.
+
+    Commit semantics mirror ``ktx_files``: executors stage via
+    pyarrow.fs (tmp+rename on local FS, idempotent names so retried
+    tasks overwrite themselves), the driver commits a ``_MANIFEST.json``
+    naming every file — the atomic-visibility marker the reference
+    implements as sentinel files (tiff2octree.py:1328-1355), and the
+    input a resume anti-join (C4) reads instead of walking the tree.
+    Options: ``nlevels`` (octree depth, default 1 = flat), ``dtype``
+    (``uint8``/``uint16``, default uint16), ``skip_empty`` (default
+    true)."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.out_dir = options["path"].rstrip("/")
+        self.nlevels = int(options.get("nlevels", 1))
+        self.dtype = options.get("dtype", "uint16")
+        if self.dtype not in ("uint8", "uint16"):
+            raise ValueError("dtype must be uint8 or uint16")
+        self.skip_empty = str(options.get("skip_empty", "true")).lower() == "true"
+        if overwrite:
+            from pyarrow import fs as pafs
+
+            filesystem, base = _pa_fs(self.out_dir)
+            try:
+                infos = filesystem.get_file_info(
+                    pafs.FileSelector(base, recursive=True)
+                )
+            except (FileNotFoundError, OSError):
+                infos = []
+            for info in infos:
+                if info.type == pafs.FileType.File and (
+                    info.base_name.endswith(".tif")
+                    or info.base_name == "_MANIFEST.json"
+                ):
+                    filesystem.delete_file(info.path)
+
+    def write(self, iterator) -> _TiffBlockCommit:
+        from pyarrow import fs as pafs
+
+        from hortacloud_importer_spark.sources.tiff import encode_tiff
+
+        filesystem, base = _pa_fs(self.out_dir)
+        local = isinstance(filesystem, pafs.LocalFileSystem)
+        files, n, skipped = [], 0, 0
+        made_dirs: set[str] = set()
+        for row in iterator:
+            arr = np.asarray(row["voxels"], dtype=np.int64)
+            if self.skip_empty and (arr.size == 0 or arr.max() <= 0):
+                skipped += 1
+                continue
+            bz, by, bx = (int(s) for s in row["shape"])
+            vol = arr[: bz * by * bx].reshape(bz, by, bx).astype(self.dtype)
+            rel_dir = _octree_rel_dir(
+                int(row["zi"]), int(row["yi"]), int(row["xi"]), self.nlevels
+            )
+            name = f"default.{int(row['channel'])}.tif"
+            rel = f"{rel_dir}/{name}" if rel_dir else name
+            target_dir = f"{base}/{rel_dir}".rstrip("/")
+            if target_dir not in made_dirs:
+                filesystem.create_dir(target_dir, recursive=True)
+                made_dirs.add(target_dir)
+            payload = encode_tiff(vol, compression="zlib")
+            staged = (
+                f"{target_dir}/.{name}.tmp" if local else f"{base}/{rel}"
+            )
+            with filesystem.open_output_stream(staged) as fh:
+                fh.write(payload)
+            if local:
+                filesystem.move(staged, f"{base}/{rel}")
+            files.append(rel)
+            n += 1
+        return _TiffBlockCommit(files, n, skipped)
+
+    def commit(self, messages) -> None:
+        import json
+
+        filesystem, base = _pa_fs(self.out_dir)
+        files = sorted(f for m in messages if m for f in m.files)
+        manifest = {
+            "files": files,
+            "n_rows": sum(m.n_rows for m in messages if m),
+            "n_skipped": sum(m.n_skipped for m in messages if m),
+        }
+        filesystem.create_dir(base, recursive=True)
+        with filesystem.open_output_stream(f"{base}/_MANIFEST.json") as fh:
+            fh.write(json.dumps(manifest).encode())
+
+    def abort(self, messages) -> None:
+        filesystem, base = _pa_fs(self.out_dir)
+        for m in messages:
+            if not m:
+                continue
+            for rel in m.files:
+                try:
+                    filesystem.delete_file(f"{base}/{rel}")
+                except (FileNotFoundError, OSError):
+                    pass  # best-effort: uncommitted leftovers are inert
+
+
+class TiffBlocksDataSource(DataSource):
+    """Writable ``tiff_blocks`` format — the reference's octree block
+    store (read back with ``binaryFile`` + sources/tiff.py::decode_tiff
+    or the ``tiff_volume`` scan)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "tiff_blocks"
+
+    def schema(self) -> str:
+        return (
+            "zi int, yi int, xi int, channel int,"
+            " shape array<int>, voxels array<int>"
+        )
+
+    def writer(self, schema, overwrite: bool) -> _TiffBlockWriter:
+        return _TiffBlockWriter(dict(self.options), overwrite)
+
+
 class N5VolumeDataSourceNoPushdown(N5VolumeDataSource):
     def reader(self, schema) -> _N5ReaderNoPushdown:
         return _N5ReaderNoPushdown(dict(self.options))
@@ -623,6 +772,7 @@ _SOURCES = (
     ZarrVolumeDataSource,
     TiffVolumeDataSource,
     KtxFilesDataSource,
+    TiffBlocksDataSource,
 )
 
 # Same format names, readers without pushFilters — registered when the
@@ -633,6 +783,7 @@ _SOURCES_NO_PUSHDOWN = (
     ZarrVolumeDataSourceNoPushdown,
     TiffVolumeDataSourceNoPushdown,
     KtxFilesDataSource,
+    TiffBlocksDataSource,
 )
 
 _PUSHDOWN_CONF = "spark.sql.python.filterPushdown.enabled"

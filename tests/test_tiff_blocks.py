@@ -1,0 +1,94 @@
+"""A6 as real files: the ``tiff_blocks`` DataSource writer emits the
+reference's actual output layout — ``{octree-path}/default.{ch}.tif``,
+zlib-compressed, all-zero blocks skipped (save_block,
+tiff2octree.py:298-317) — and the clean-room decoder reads it back."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import numpy as np
+
+from hortacloud_importer_spark.sources.tiff import decode_tiff
+
+_SCHEMA = (
+    "zi int, yi int, xi int, channel int, shape array<int>, voxels array<int>"
+)
+
+
+def _registered(spark):
+    from hortacloud_importer_spark.sources.datasource import (
+        register_volume_sources,
+    )
+
+    register_volume_sources(spark)
+    return spark
+
+
+def test_tiff_blocks_sink_roundtrip_and_skip_empty(spark, tmp_path):
+    spark = _registered(spark)
+    rng = np.random.default_rng(9)
+    data = {}
+    rows = []
+    for zi, yi, xi in [(0, 0, 0), (1, 0, 1)]:
+        vox = [int(v) for v in rng.integers(1, 65535, 8)]
+        data[(zi, yi, xi)] = vox
+        rows.append((zi, yi, xi, 0, [2, 2, 2], vox))
+    rows.append((0, 1, 0, 0, [2, 2, 2], [0] * 8))  # all-zero -> skipped
+    df = spark.createDataFrame(rows, _SCHEMA)
+    out = str(tmp_path / "store")
+    df.write.format("tiff_blocks").option("nlevels", 2).mode("append").save(out)
+
+    man = json.loads((tmp_path / "store" / "_MANIFEST.json").read_text())
+    assert man["n_rows"] == 2
+    assert man["n_skipped"] == 1
+    # octree digit at nlevels=2: 1 + x_bit + 2*y_bit + 4*z_bit
+    assert sorted(man["files"]) == ["1/default.0.tif", "6/default.0.tif"]
+
+    for (zi, yi, xi), vox in data.items():
+        digit = 1 + xi + 2 * yi + 4 * zi
+        blob = (tmp_path / "store" / str(digit) / "default.0.tif").read_bytes()
+        got = decode_tiff(blob)  # 2 z-pages of 2x2, one sample
+        assert got.shape == (2, 2, 2, 1)
+        assert got[..., 0].ravel().tolist() == vox
+    # zlib actually on: compressed multipage file, not raw 16 bytes/page
+    assert len(blob) != 8 + 2 * 8  # not an uncompressed single payload
+
+
+def test_tiff_blocks_overwrite_clears_prior_files(spark, tmp_path):
+    spark = _registered(spark)
+    out = str(tmp_path / "store")
+    a = spark.createDataFrame(
+        [(0, 0, 0, 0, [2, 2, 2], [5] * 8), (1, 0, 1, 0, [2, 2, 2], [9] * 8)],
+        _SCHEMA,
+    )
+    a.write.format("tiff_blocks").option("nlevels", 2).mode("append").save(out)
+    b = spark.createDataFrame([(0, 0, 0, 1, [2, 2, 2], [7] * 8)], _SCHEMA)
+    b.write.format("tiff_blocks").option("nlevels", 2).mode("overwrite").save(out)
+
+    files = sorted(
+        p.split(f"{out}/")[1] for p in glob.glob(f"{out}/**/*.tif", recursive=True)
+    )
+    assert files == ["1/default.1.tif"]
+    man = json.loads((tmp_path / "store" / "_MANIFEST.json").read_text())
+    assert man["files"] == ["1/default.1.tif"]
+
+
+def test_tiff_blocks_store_feeds_resume_anti_join(spark, tmp_path):
+    """C4 over the manifest: the committed file list (not a tree walk)
+    drives the resume filter."""
+    spark = _registered(spark)
+    out = str(tmp_path / "store")
+    done = spark.createDataFrame([(0, 0, 0, 0, [2, 2, 2], [5] * 8)], _SCHEMA)
+    done.write.format("tiff_blocks").option("nlevels", 2).mode("append").save(out)
+
+    man = json.loads((tmp_path / "store" / "_MANIFEST.json").read_text())
+    committed = set(man["files"])
+    work = [(0, 0, 0, 0), (1, 0, 1, 0)]  # second block not yet written
+    todo = [
+        (zi, yi, xi, ch)
+        for zi, yi, xi, ch in work
+        if f"{1 + xi + 2 * yi + 4 * zi}/default.{ch}.tif" not in committed
+    ]
+    assert todo == [(1, 0, 1, 0)]
