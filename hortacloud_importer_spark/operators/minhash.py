@@ -32,16 +32,37 @@ def _perm_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
+def portable_hex_id(col: str, ndigits: int) -> "F.Column":
+    """Engine-neutral integer id from the first ``ndigits`` hex digits
+    of md5 — the same value DuckDB computes as
+    ``CAST('0x' || substr(md5(col), 1, n) AS BIGINT)``, which is what
+    makes the MinHash/SimHash driver queries oracle-checkable. Stays
+    all-Catalyst (md5/substring/conv are JVM built-ins); cap ndigits at
+    15 (60 bits) so the bigint never overflows downstream products."""
+    if not 1 <= ndigits <= 15:
+        raise ValueError("ndigits must be 1..15")
+    return F.conv(F.substring(F.md5(col), 1, ndigits), 16, 10).cast("bigint")
+
+
 def minhash_signatures(
-    shingles: DataFrame, n_hashes: int = 32, id_col: str = "doc_id"
+    shingles: DataFrame,
+    n_hashes: int = 32,
+    id_col: str = "doc_id",
+    portable: bool = False,
 ) -> DataFrame:
     """(doc_id, sig: array<bigint>) — min over permuted shingle hashes.
 
     h_j(x) = ((a_j * x + b_j) mod p); x = xxhash64(shingle) masked to
-    non-negative. The whole signature is one hash aggregate of
-    n_hashes MIN()s.
+    non-negative (or, with ``portable=True``, a 28-bit md5-derived id
+    any SQL engine reproduces — used by the oracle-checked driver
+    query). The whole signature is one hash aggregate of n_hashes
+    MIN()s.
     """
-    x = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P))
+    if portable:
+        # 7 hex digits = 28 bits: a * x < 2^59, no ANSI overflow
+        x = portable_hex_id("shingle", 7)
+    else:
+        x = F.pmod(F.xxhash64("shingle"), F.lit(_MERSENNE_P))
     mins = [
         F.min((x * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(f"h{j}")
         for j, (a, b) in enumerate(_perm_params(n_hashes))
@@ -53,16 +74,26 @@ def minhash_signatures(
 
 
 def minhash_pairs(
-    shingles: DataFrame, n_hashes: int = 32, bands: int = 8
+    shingles: DataFrame, n_hashes: int = 32, bands: int = 8, portable: bool = False
 ) -> DataFrame:
     """Banded-LSH candidate pairs with estimated similarity.
 
     rows = n_hashes // bands hashes per band; a pair is a candidate if
     any band matches exactly (classic banding: P[match] = 1-(1-s^r)^b).
     Output: (doc_a, doc_b, est_jaccard = matching hash fraction).
+    ``portable=True`` uses md5-derived shingle ids and joins buckets on
+    the joined hash string instead of an xxhash64 of the band — same
+    plan shape, engine-neutral values (the oracle path).
     """
     rows = n_hashes // bands
-    sig = minhash_signatures(shingles, n_hashes).cache()
+    sig = minhash_signatures(shingles, n_hashes, portable=portable).cache()
+
+    def _bucket(i: int):
+        cols = [F.col("sig")[i * rows + r] for r in range(rows)]
+        if portable:
+            return F.concat_ws("_", *[c.cast("string") for c in cols])
+        return F.xxhash64(*cols)
+
     banded = sig.select(
         "doc_id",
         F.explode(
@@ -70,9 +101,7 @@ def minhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.xxhash64(*[F.col("sig")[i * rows + r] for r in range(rows)]).alias(
-                            "bucket"
-                        ),
+                        _bucket(i).alias("bucket"),
                     )
                     for i in range(bands)
                 ]
@@ -107,9 +136,13 @@ def minhash_pairs(
     )
 
 
-def simhash_signatures(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document from token xxhash64 bit majorities."""
-    h = F.xxhash64("token")
+def simhash_signatures(
+    tokens: DataFrame, id_col: str = "doc_id", portable: bool = False
+) -> DataFrame:
+    """64-bit SimHash per document from token-hash bit majorities
+    (60 significant bits in portable mode — md5-derived, so the SQL
+    oracle reproduces every signature)."""
+    h = portable_hex_id("token", 15) if portable else F.xxhash64("token")
     one = F.lit(1).cast("bigint")
     bit_sums = [
         F.sum(
@@ -130,9 +163,11 @@ def simhash_signatures(tokens: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return agg.select(id_col, sim.alias("simhash"))
 
 
-def simhash_pairs(tokens: DataFrame, max_hamming: int = 12) -> DataFrame:
+def simhash_pairs(
+    tokens: DataFrame, max_hamming: int = 12, portable: bool = False
+) -> DataFrame:
     """Candidate pairs via 16-bit prefix band + exact hamming filter."""
-    sig = simhash_signatures(tokens).withColumn(
+    sig = simhash_signatures(tokens, portable=portable).withColumn(
         "band", F.shiftrightunsigned("simhash", 48)
     )
     a = sig.select(

@@ -227,22 +227,106 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(tokens, max_hamming=12)
 
 
-@register("dedup_approx", "K2", oracle=None)
+def _minhash_perm_values() -> str:
+    """The (j, a, b) permutation constants as a SQL VALUES list —
+    the same deterministic _perm_params(32) table the Spark side uses."""
+    from hortacloud_importer_spark.operators.minhash import _perm_params
+
+    return ", ".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(_perm_params(32))
+    )
+
+
+_DEDUP_APPROX_SQL = f"""
+WITH ids AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS x
+  FROM ({_SHINGLES_SQL})
+),
+perms(j, a, b) AS (VALUES {{perms}}),
+hx AS (
+  SELECT doc_id, j, MIN((a * x + b) % 2147483647) AS h
+  FROM ids CROSS JOIN perms GROUP BY 1, 2
+),
+bandsig AS (
+  SELECT doc_id, j // 4 AS band,
+         string_agg(CAST(h AS VARCHAR), '_' ORDER BY j) AS bucket
+  FROM hx GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bandsig a
+  JOIN bandsig b ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.doc_a, c.doc_b,
+         SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 32.0 AS metric
+  FROM cand c
+  JOIN hx ha ON ha.doc_id = c.doc_a
+  JOIN hx hb ON hb.doc_id = c.doc_b AND hb.j = ha.j
+  GROUP BY 1, 2
+),
+tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+),
+th AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, t.range AS b,
+         SUM(CASE WHEN (h >> t.range) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN range(60) t GROUP BY 1, 2
+),
+simsig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+           AS simhash
+  FROM bits GROUP BY 1
+),
+simpairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM simsig a
+  JOIN simsig b ON (a.simhash >> 48) = (b.simhash >> 48)
+              AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+)
+SELECT 'minhash' AS method, doc_a, doc_b, metric FROM est
+UNION ALL
+SELECT 'simhash' AS method, doc_a, doc_b,
+       CAST(hamming AS DOUBLE) AS metric
+FROM simpairs
+"""
+
+
+@register(
+    "dedup_approx",
+    "K2",
+    oracle=_DEDUP_APPROX_SQL.format(perms=_minhash_perm_values()),
+)
 def dedup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Consolidated approximate near-dup driver query (K2), rows-only,
-    union-with-tag: `minhash` = banded MinHash-LSH candidate pairs
-    with estimated Jaccard (bucket join — candidate set bounded by
-    band width, not document frequency: the 100 TB scale path);
-    `simhash` = 64-bit SimHash prefix-band pairs with hamming
-    distance. Engine-specific hash values -> no SQL oracle; both pair
-    sets are validated against exact Jaccard in tests/test_neardup.py.
-    The standalone variants stay registered driver=False."""
+    """Consolidated approximate near-dup driver query (K2),
+    oracle-exact, union-with-tag: `minhash` = banded MinHash-LSH
+    candidate pairs with estimated Jaccard (bucket join — candidate
+    set bounded by band width, not document frequency: the 100 TB
+    scale path); `simhash` = 64-bit SimHash prefix-band pairs with
+    hamming distance. Both run in portable-hash mode (md5-derived
+    shingle/token ids, operators/minhash.py::portable_hex_id), so the
+    DuckDB oracle reproduces every signature, bucket, pair, and metric
+    bit-for-bit; recall vs exact Jaccard is separately validated in
+    tests/test_neardup.py. The xxhash64 production variants stay
+    registered driver=False."""
     from hortacloud_importer_spark.operators.minhash import (
         minhash_pairs,
         simhash_pairs,
     )
 
-    mh = minhash_pairs(_shingles(spark, sf_dir), n_hashes=32, bands=8).select(
+    mh = minhash_pairs(
+        _shingles(spark, sf_dir), n_hashes=32, bands=8, portable=True
+    ).select(
         F.lit("minhash").alias("method"),
         "doc_a",
         "doc_b",
@@ -250,7 +334,7 @@ def dedup_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = table(spark, sf_dir, "documents")
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    sh = simhash_pairs(tokens, max_hamming=12).select(
+    sh = simhash_pairs(tokens, max_hamming=12, portable=True).select(
         F.lit("simhash").alias("method"),
         "doc_a",
         "doc_b",
