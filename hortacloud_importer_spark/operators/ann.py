@@ -15,12 +15,23 @@ from pyspark.sql import functions as F
 _SCALE = float(1 << 62)
 
 
-def _plane_component(j: int, d: Column) -> Column:
-    """Deterministic pseudo-random value in [-1, 1) for plane j, dim d."""
+def _plane_component(j: int, d: Column, portable: bool = False) -> Column:
+    """Deterministic pseudo-random value in [-1, 1) for plane j, dim d.
+
+    ``portable=True`` derives the component from md5 (60 bits / 2^59
+    - 1) instead of xxhash64 — the same value DuckDB computes from
+    ``CAST('0x' || substr(md5(j || '_' || d), 1, 15) AS BIGINT)``, so
+    the oracle-checked driver query reproduces every plane. int64 ->
+    double conversion is IEEE round-to-nearest in both engines, then
+    the /2^59 and -1 are exact, so components are bit-identical."""
+    if portable:
+        key = F.concat_ws("_", F.lit(str(j)), d.cast("string"))
+        raw = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+        return raw / F.lit(float(1 << 59)) - F.lit(1.0)
     return F.xxhash64(F.lit(j), d) / F.lit(_SCALE)
 
 
-def _signature(vec: Column, n_planes: int) -> Column:
+def _signature(vec: Column, n_planes: int, portable: bool = False) -> Column:
     """Bit i = sign of <vec, plane_i>; 0..2^n_planes-1 as bigint."""
     sig = None
     for j in range(n_planes):
@@ -28,7 +39,7 @@ def _signature(vec: Column, n_planes: int) -> Column:
             F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, d: x.cast("double") * _plane_component(j, d),
+                lambda x, d: x.cast("double") * _plane_component(j, d, portable),
             ),
             F.lit(0.0),
             lambda acc, v: acc + v,
@@ -47,14 +58,19 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 16,
     max_hamming: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Top-k by cosine among LSH candidates (multi-probe by hamming).
 
     Plan: signature projection (narrow) -> broadcast the single query
     signature -> hamming filter prunes the corpus -> exact cosine on
     survivors -> global top-k. No shuffle of the corpus at any point.
+    ``portable=True`` switches the plane hash to the md5-derived,
+    SQL-reproducible family (the oracle path).
     """
-    sig = embeddings.withColumn("sig", _signature(F.col("embedding"), n_planes))
+    sig = embeddings.withColumn(
+        "sig", _signature(F.col("embedding"), n_planes, portable)
+    )
     q = sig.filter(F.col("vec_id") == query_vec_id).select(
         F.col("sig").alias("qsig"), F.col("embedding").alias("qv")
     )
@@ -139,9 +155,13 @@ def ivf_topk(
         centroids.crossJoin(F.broadcast(q))
         .select(
             "label",
-            (_dotd("centroid", "qv") / (_normd("centroid") * _normd("qv"))).alias(
-                "csim"
-            ),
+            # rounded before ranking: centroid components are float
+            # AVERAGES, whose summation order differs across engines;
+            # the 6-dp grain absorbs the ulp spread so the probed cell
+            # set is deterministic (same policy as the score columns)
+            F.round(
+                _dotd("centroid", "qv") / (_normd("centroid") * _normd("qv")), 6
+            ).alias("csim"),
         )
         .orderBy(F.col("csim").desc(), "label")
         .limit(n_probe_cells)

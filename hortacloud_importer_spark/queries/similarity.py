@@ -181,20 +181,95 @@ def sim_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ann", "K3", oracle=None)
+_SIM_ANN_SQL = f"""
+WITH vecpos AS (
+  SELECT vec_id, label, t.i - 1 AS d,
+         CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+),
+planes AS (
+  SELECT j.range AS j, d.range AS d,
+         CAST('0x' || substr(md5(CAST(j.range AS VARCHAR) || '_'
+                                 || CAST(d.range AS VARCHAR)), 1, 15)
+              AS BIGINT) / 576460752303423488.0 - 1.0 AS w
+  FROM range(16) j CROSS JOIN range(64) d
+),
+sigs AS (
+  SELECT vec_id, SUM(bit) AS sig FROM (
+    SELECT vp.vec_id, p.j,
+           CASE WHEN SUM(vp.v * p.w) >= 0
+                THEN CAST(1 AS BIGINT) << p.j ELSE 0 END AS bit
+    FROM vecpos vp JOIN planes p ON p.d = vp.d
+    GROUP BY vp.vec_id, p.j
+  ) GROUP BY 1
+),
+dots AS ({_DOT_SQL.format(qid=_QUERY_VEC_ID)}),
+qn AS (SELECT SQRT(norm2) AS qnorm FROM dots WHERE vec_id = {_QUERY_VEC_ID}),
+lsh_cand AS (
+  SELECT s.vec_id,
+         bit_count(xor(s.sig, (SELECT sig FROM sigs
+                               WHERE vec_id = {_QUERY_VEC_ID}))) AS hamming
+  FROM sigs s WHERE s.vec_id <> {_QUERY_VEC_ID}
+),
+lsh AS (
+  SELECT 'lsh' AS method, vec_id, score, CAST(hamming AS BIGINT) AS extra
+  FROM (
+    SELECT c.vec_id, c.hamming,
+           ROUND(d.dot / (SQRT(d.norm2) * qn.qnorm), 6) AS score,
+           ROW_NUMBER() OVER (
+             ORDER BY ROUND(d.dot / (SQRT(d.norm2) * qn.qnorm), 6) DESC,
+                      c.vec_id) AS rn
+    FROM lsh_cand c JOIN dots d ON d.vec_id = c.vec_id, qn
+    WHERE c.hamming <= 4
+  ) WHERE rn <= {_TOP_K}
+),
+cent AS (SELECT label, d, AVG(v) AS cv FROM vecpos GROUP BY 1, 2),
+qpos AS (SELECT d, v FROM vecpos WHERE vec_id = {_QUERY_VEC_ID}),
+probe AS (
+  SELECT label FROM (
+    SELECT c.label,
+           ROUND(SUM(c.cv * q.v)
+                 / (SQRT(SUM(c.cv * c.cv))
+                    * (SELECT SQRT(SUM(v * v)) FROM qpos)), 6) AS csim
+    FROM cent c JOIN qpos q ON q.d = c.d
+    GROUP BY c.label
+  ) ORDER BY csim DESC, label LIMIT 3
+),
+ivf AS (
+  SELECT 'ivf' AS method, vec_id, score, CAST(label AS BIGINT) AS extra
+  FROM (
+    SELECT e.vec_id, e.label,
+           ROUND(d.dot / (SQRT(d.norm2) * qn.qnorm), 6) AS score,
+           ROW_NUMBER() OVER (
+             ORDER BY ROUND(d.dot / (SQRT(d.norm2) * qn.qnorm), 6) DESC,
+                      e.vec_id) AS rn
+    FROM embeddings e
+    JOIN probe USING (label)
+    JOIN dots d ON d.vec_id = e.vec_id, qn
+    WHERE e.vec_id <> {_QUERY_VEC_ID}
+  ) WHERE rn <= {_TOP_K}
+)
+SELECT * FROM lsh UNION ALL SELECT * FROM ivf
+"""
+
+
+@register("sim_ann", "K3", oracle=_SIM_ANN_SQL)
 def sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Consolidated ANN driver query (K3), rows-only, union-with-tag:
-    `lsh` = random-hyperplane signature bucketing + multi-probe +
-    exact re-score; `ivf` = learned-centroid inverted file + probe-
-    cell semi-join + exact re-score. Both prune the corpus scan to a
-    bounded candidate set — the two standard 100 TB ANN shapes.
-    Deterministic given the fixture, but hash/centroid values are
-    engine-specific -> no SQL oracle; recall vs sim_topk is asserted
-    in tests. The standalone variants stay registered driver=False."""
+    """Consolidated ANN driver query (K3), oracle-exact,
+    union-with-tag: `lsh` = random-hyperplane signature bucketing +
+    multi-probe + exact re-score; `ivf` = learned-centroid inverted
+    file + probe-cell semi-join + exact re-score. Both prune the
+    corpus scan to a bounded candidate set — the two standard 100 TB
+    ANN shapes. The LSH planes run in portable-hash mode
+    (operators/ann.py::_plane_component, md5-derived — bit-identical
+    in DuckDB); IVF centroid similarity is rounded to 6 dp before
+    cell ranking so cross-engine float-summation ulps can't change
+    the probed set. Recall vs sim_topk stays asserted in tests; the
+    xxhash64 plane variants stay registered driver=False."""
     from hortacloud_importer_spark.operators.ann import ivf_topk, lsh_topk
 
     e = table(spark, sf_dir, "embeddings")
-    lsh = lsh_topk(e, query_vec_id=_QUERY_VEC_ID, k=_TOP_K).select(
+    lsh = lsh_topk(e, query_vec_id=_QUERY_VEC_ID, k=_TOP_K, portable=True).select(
         F.lit("lsh").alias("method"),
         "vec_id",
         "score",
