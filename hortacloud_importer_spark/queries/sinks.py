@@ -16,11 +16,29 @@ from pyspark.sql import functions as F
 from hortacloud_importer_spark.registry import register
 
 
-@register("ktx_roundtrip", "A8+A9", oracle=None)
+@register(
+    "ktx_roundtrip",
+    "A8+A9",
+    oracle="""
+SELECT CAST(t.range AS INTEGER) AS level,
+       CAST(2 AS BIGINT) AS n_blocks,
+       CAST(2 * 2 * ((8 >> t.range) * (8 >> t.range) * (8 >> t.range))
+            AS BIGINT) AS total_bytes,
+       CAST(8 AS INTEGER) AS depth
+FROM range(3) t
+""",
+)
 def ktx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8+A9 rows-only: synthetic volume -> pyramid -> per-block KTX
-    encode (applyInPandas) -> decode (mapInPandas) -> per-level byte
-    accounting. Level-k payload must be 8x smaller than level k-1."""
+    """A8+A9, oracle-exact accounting: synthetic volume -> pyramid ->
+    per-block KTX encode (applyInPandas) -> decode (mapInPandas) ->
+    per-level byte accounting. The DuckDB oracle re-derives every cell
+    from the pyramid geometry: an 8^3 x 2-channel volume blockified at
+    full level dims yields one KTX file per channel (n_blocks = 2
+    rows/mip level); mip-l payload is (8 >> l)^3 voxels x itemsize 2 x
+    2 channels = 4*(8>>l)^3 bytes — the 8x-per-level shrink; the
+    header depth is the level-0 block extent (8). A codec bug anywhere
+    in the header/mip-chain/padding round trip changes these sums
+    (byte-level golden tests live in tests/test_ktx.py)."""
     from hortacloud_importer_spark.sources.ktx import (
         ktx_decode_blocks,
         ktx_encode_blocks,
