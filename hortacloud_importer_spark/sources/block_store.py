@@ -97,6 +97,79 @@ def rewrite_layout(
     )
 
 
+def read_tiff_block_store(spark: SparkSession, root: str) -> DataFrame:
+    """Read a ``tiff_blocks`` store (the reference's octree layout,
+    ``{digit}/{digit}/.../default.{ch}.tif``) back into blockify-shaped
+    rows (zi, yi, xi, channel, shape, voxels).
+
+    binaryFile scan -> executor-side clean-room decode
+    (sources/tiff.py); block coordinates are recovered from the octant
+    digits in the PATH (``1 + x_bit + 2*y_bit + 4*z_bit`` per level,
+    MSB first — tiff2octree.py:263-279), so the store round-trips
+    without a manifest. Payload bytes never visit the driver.
+    """
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("zi", IntegerType()),
+            StructField("yi", IntegerType()),
+            StructField("xi", IntegerType()),
+            StructField("channel", IntegerType()),
+            StructField("shape", ArrayType(IntegerType())),
+            StructField("voxels", ArrayType(IntegerType())),
+        ]
+    )
+
+    def decode(batches):
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        from hortacloud_importer_spark.sources.tiff import decode_tiff
+
+        pat = re.compile(r"default\.(\d+)\.tif$")
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                m = pat.search(row.path)
+                if not m:
+                    continue
+                rel = row.path.split(f"{root.rstrip('/')}/", 1)[-1]
+                zi = yi = xi = 0
+                for digit_s in rel.split("/")[:-1]:
+                    d = int(digit_s) - 1
+                    xi = (xi << 1) | (d & 1)
+                    yi = (yi << 1) | ((d >> 1) & 1)
+                    zi = (zi << 1) | ((d >> 2) & 1)
+                arr = decode_tiff(bytes(row.content))[..., 0]  # (z, h, w)
+                out.append(
+                    {
+                        "zi": zi,
+                        "yi": yi,
+                        "xi": xi,
+                        "channel": int(m.group(1)),
+                        "shape": list(arr.shape),
+                        "voxels": arr.astype(np.int32).ravel().tolist(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.tif")
+        .load(root)
+    )
+    return files.select("path", "content").mapInPandas(decode, out_schema)
+
+
 def resume_filter(work: DataFrame, spark: SparkSession, root: str) -> DataFrame:
     """C4: drop work items whose output already exists in the store.
 

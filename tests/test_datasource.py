@@ -263,6 +263,58 @@ def test_tiff_stream_reads_slices_in_z_order(registered, tmp_path):
     assert _rows(got) == want
 
 
+def test_tiff_stream_restart_resumes_from_checkpoint(registered, tmp_path):
+    """Stop after the first slices, append more files, restart on the
+    SAME checkpoint: the partition-planning stream reader must resume
+    at the committed offset — every slice exactly once, z order kept."""
+    import time
+
+    vol = (_vol(6, 2, 2) % 251).astype(np.uint8)
+    _write_slices(tmp_path / "restream", list(vol[:3]))
+    out = str(tmp_path / "re_out")
+
+    def run_until(nrows):
+        q = (
+            registered.readStream.format("tiff_volume")
+            .option("max_slices_per_batch", 2)
+            .load(str(tmp_path / "restream"))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "re_ckpt"))
+            .trigger(processingTime="300 milliseconds")
+            .start()
+        )
+
+        def count():
+            try:
+                return registered.read.parquet(out).count()
+            except Exception:
+                return 0
+
+        deadline = time.time() + 90
+        while count() < nrows and time.time() < deadline:
+            time.sleep(0.3)
+        time.sleep(1)
+        q.stop()
+        q.awaitTermination(30)
+
+    run_until(3 * 4)
+    _write_slices(tmp_path / "restream", list(vol))  # now all 6 slices
+    run_until(6 * 4)  # restart must pick up only slices 3-5
+
+    rows = registered.read.parquet(out).collect()
+    got = sorted((r["z"], r["y"], r["x"], r["intensity"]) for r in rows)
+    want = sorted(
+        (z, y, x, int(vol[z, y, x]))
+        for z in range(6)
+        for y in range(2)
+        for x in range(2)
+    )
+    # every slice exactly once across the restart: the committed
+    # offset survived (no replay into the sink, no skipped z)
+    assert got == want
+
+
 def test_ktx_writer_datasource_roundtrip(registered, tmp_path):
     """A8 through df.write.format("ktx_files"): blobs land with
     idempotent names, _MANIFEST.json records the committed set, and

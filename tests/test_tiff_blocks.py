@@ -75,6 +75,38 @@ def test_tiff_blocks_overwrite_clears_prior_files(spark, tmp_path):
     assert man["files"] == ["1/default.1.tif"]
 
 
+def test_tiff_blocks_store_reads_back_distributed(spark, tmp_path):
+    """Write with the DataSource sink, read back with the binaryFile +
+    decode path — coordinates recovered from the octree digits, voxels
+    byte-exact."""
+    from hortacloud_importer_spark.sources.block_store import (
+        read_tiff_block_store,
+    )
+
+    spark = _registered(spark)
+    out = str(tmp_path / "store")
+    rng = np.random.default_rng(11)
+    rows, want = [], {}
+    for zi, yi, xi, ch in [(0, 0, 0, 0), (1, 1, 0, 1), (0, 1, 1, 0)]:
+        vox = [int(v) for v in rng.integers(1, 65535, 8)]
+        want[(zi, yi, xi, ch)] = vox
+        rows.append((zi, yi, xi, ch, [2, 2, 2], vox))
+    spark.createDataFrame(rows, _SCHEMA).write.format("tiff_blocks").option(
+        "nlevels", 2
+    ).mode("append").save(out)
+
+    back = read_tiff_block_store(spark, out)
+    got = {
+        (r["zi"], r["yi"], r["xi"], r["channel"]): (r["shape"], r["voxels"])
+        for r in back.collect()
+    }
+    assert set(got) == set(want)
+    for k, vox in want.items():
+        shape, voxels = got[k]
+        assert shape == [2, 2, 2]
+        assert voxels == vox
+
+
 def test_tiff_blocks_store_feeds_resume_anti_join(spark, tmp_path):
     """C4 over the manifest: the committed file list (not a tree walk)
     drives the resume filter."""
