@@ -214,6 +214,51 @@ def resize_images(media: DataFrame, th: int, tw: int) -> DataFrame:
     return media.mapInPandas(rs, MEDIA_SCHEMA)
 
 
+def retile_tiff(media: DataFrame, tile: tuple[int, int] = (256, 256)) -> DataFrame:
+    """A7's real-TIFF half: rewrite strip-layout TIFF payloads as
+    zlib-compressed TILED TIFF (the reference's conv_tiled_tiff,
+    tiff2octree.py:516-551 — it retiles big slices at 256x256 exactly
+    so later windowed reads decode O(window) tiles instead of whole
+    strips; decode_tiff_window's block-pruning stats prove the payoff).
+
+    mapInPandas over Arrow batches — payloads stay on executors; same
+    MEDIA_SCHEMA out (format becomes 'tiff'), so retiles compose with
+    the other media operators."""
+    tl, tw = int(tile[0]), int(tile[1])
+
+    def rt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hortacloud_importer_spark.sources.tiff import encode_tiff
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                arr = _decode_one(row.format, bytes(row.payload), row.meta)
+                # (frames, h, w, c) -> pages; uint8 stays, wider casts up
+                pages = arr.astype(np.uint8 if arr.dtype == np.uint8 else np.uint16)
+                if pages.shape[-1] == 1:
+                    pages = pages[..., 0]
+                out.append(
+                    {
+                        "media_id": int(row.media_id),
+                        "kind": row.kind,
+                        "format": "tiff",
+                        "payload": encode_tiff(
+                            pages, compression="zlib", tile=(tl, tw)
+                        ),
+                        "meta": {
+                            "height": int(row.meta["height"]),
+                            "width": int(row.meta["width"]),
+                            "channels": int(row.meta["channels"]),
+                            "sample_rate": int(row.meta["sample_rate"]),
+                            "n_frames": int(row.meta["n_frames"]),
+                        },
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(rt, MEDIA_SCHEMA)
+
+
 def sample_frames(media: DataFrame, stride: int) -> DataFrame:
     """Video -> image rows, every ``stride``-th frame (a 1->N UDTF,
     J4): the batch shape stays bounded because each output row is a

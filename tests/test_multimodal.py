@@ -114,3 +114,53 @@ def test_tiff_routes_to_baseline_reader():
     )
     assert got.shape == (1, 3, 4, 1)
     assert np.array_equal(got[0, :, :, 0], page[0])
+
+
+def test_retile_tiff_windowed_read_payoff(spark):
+    """A7 over real TIFF payloads: strip layout in, 16x16-tiled zlib
+    out — pixels identical, and a small window decodes O(window) tiles
+    where the strip layout decodes the whole page."""
+    from hortacloud_importer_spark.operators.multimodal import retile_tiff
+    from hortacloud_importer_spark.sources.tiff import (
+        decode_tiff,
+        decode_tiff_window,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 255, (64, 64), dtype=np.uint8)
+    strip_blob = encode_tiff(img[None, ...])  # one strip, whole page
+    media = spark.createDataFrame(
+        [
+            (
+                1,
+                "image",
+                "tiff",
+                bytearray(strip_blob),
+                {
+                    "height": 64,
+                    "width": 64,
+                    "channels": 1,
+                    "sample_rate": 0,
+                    "n_frames": 1,
+                },
+            )
+        ],
+        "media_id long, kind string, format string, payload binary,"
+        " meta struct<height:int, width:int, channels:int,"
+        " sample_rate:int, n_frames:int>",
+    )
+    out = retile_tiff(media, tile=(16, 16)).collect()
+    assert len(out) == 1
+    tiled_blob = bytes(out[0]["payload"])
+    assert np.array_equal(decode_tiff(tiled_blob)[0, ..., 0], img)
+
+    stats_tiled: dict = {}
+    win = decode_tiff_window(tiled_blob, y=(0, 16), x=(16, 32), stats=stats_tiled)
+    assert np.array_equal(win[..., 0], img[0:16, 16:32])
+    assert stats_tiled == {"blocks_decoded": 1, "blocks_total": 16}
+
+    stats_strip: dict = {}
+    decode_tiff_window(strip_blob, y=(0, 16), x=(16, 32), stats=stats_strip)
+    assert stats_strip["blocks_decoded"] == stats_strip["blocks_total"] == 1
+    # the strip "block" is the ENTIRE page; the tiled read touched 1/16
