@@ -58,6 +58,9 @@ HEADLINE = [
     "text_quality",
     "sim_topk",
     "mm_doc_bytes",
+    # r4 additions: the oracle-exact ANN + MinHash/SimHash paths
+    "sim_ann",
+    "dedup_approx",
 ]
 
 

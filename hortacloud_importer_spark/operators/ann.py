@@ -31,16 +31,40 @@ def _plane_component(j: int, d: Column, portable: bool = False) -> Column:
     return F.xxhash64(F.lit(j), d) / F.lit(_SCALE)
 
 
-def _signature(vec: Column, n_planes: int, portable: bool = False) -> Column:
+def _portable_plane(j: int, dim: int) -> list[float]:
+    """Plane j's components precomputed driver-side. hashlib.md5 yields
+    the same hex as Spark/DuckDB md5, int/2^59 - 1 the same double
+    (scaling by a power of two commutes with rounding), so these
+    literals are bit-identical to the in-plan expression — they just
+    skip recomputing a constant md5 per ROW x plane x dim (measured
+    ~2x on sim_ann at sf0.1)."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[:15], 16)
+        / float(1 << 59)
+        - 1.0
+        for d in range(dim)
+    ]
+
+
+def _signature(
+    vec: Column, n_planes: int, portable: bool = False, dim: int | None = None
+) -> Column:
     """Bit i = sign of <vec, plane_i>; 0..2^n_planes-1 as bigint."""
     sig = None
     for j in range(n_planes):
-        dot_j = F.aggregate(
-            F.zip_with(
+        if portable and dim is not None:
+            plane = F.array(*[F.lit(w) for w in _portable_plane(j, dim)])
+            prods = F.zip_with(plane, vec, lambda w, x: x.cast("double") * w)
+        else:
+            prods = F.zip_with(
                 vec,
                 F.sequence(F.lit(0), F.size(vec) - 1),
                 lambda x, d: x.cast("double") * _plane_component(j, d, portable),
-            ),
+            )
+        dot_j = F.aggregate(
+            prods,
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -59,6 +83,7 @@ def lsh_topk(
     n_planes: int = 16,
     max_hamming: int = 4,
     portable: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k by cosine among LSH candidates (multi-probe by hamming).
 
@@ -66,10 +91,11 @@ def lsh_topk(
     signature -> hamming filter prunes the corpus -> exact cosine on
     survivors -> global top-k. No shuffle of the corpus at any point.
     ``portable=True`` switches the plane hash to the md5-derived,
-    SQL-reproducible family (the oracle path).
+    SQL-reproducible family (the oracle path); pass ``dim`` with it to
+    bake the planes in as literals (no per-row md5).
     """
     sig = embeddings.withColumn(
-        "sig", _signature(F.col("embedding"), n_planes, portable)
+        "sig", _signature(F.col("embedding"), n_planes, portable, dim)
     )
     q = sig.filter(F.col("vec_id") == query_vec_id).select(
         F.col("sig").alias("qsig"), F.col("embedding").alias("qv")

@@ -269,7 +269,11 @@ def sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hortacloud_importer_spark.operators.ann import ivf_topk, lsh_topk
 
     e = table(spark, sf_dir, "embeddings")
-    lsh = lsh_topk(e, query_vec_id=_QUERY_VEC_ID, k=_TOP_K, portable=True).select(
+    # dim=64 (the fixture embedding width, TESTDATA.md) bakes the md5
+    # planes in as literals instead of per-row md5 expressions
+    lsh = lsh_topk(
+        e, query_vec_id=_QUERY_VEC_ID, k=_TOP_K, portable=True, dim=64
+    ).select(
         F.lit("lsh").alias("method"),
         "vec_id",
         "score",
