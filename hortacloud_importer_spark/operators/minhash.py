@@ -141,16 +141,31 @@ def simhash_signatures(
 ) -> DataFrame:
     """64-bit SimHash per document from token-hash bit majorities
     (60 significant bits in portable mode — md5-derived, so the SQL
-    oracle reproduces every signature)."""
+    oracle reproduces every signature).
+
+    Occurrences are pre-grouped to (doc, hash, count) so the 64
+    bit-sum aggregates scan distinct hashes, not raw tokens, weighted
+    by count — identical ±1-per-occurrence math. Measured ~5% at
+    sf0.1 (fixture docs have few repeated tokens), but the reshaping
+    is what matters at 100 TB: the wide 64-buffer aggregate's input
+    becomes bounded by vocabulary x docs instead of raw token count,
+    and the extra exchange is map-side-combined."""
     h = portable_hex_id("token", 15) if portable else F.xxhash64("token")
+    th = (
+        tokens.select(F.col(id_col), h.alias("_h"))
+        .groupBy(id_col, "_h")
+        .agg(F.count("*").alias("_c"))
+    )
     one = F.lit(1).cast("bigint")
     bit_sums = [
         F.sum(
-            F.when(F.shiftrightunsigned(h, b).bitwiseAND(one) == one, 1).otherwise(-1)
+            F.when(
+                F.shiftrightunsigned("_h", b).bitwiseAND(one) == one, F.col("_c")
+            ).otherwise(-F.col("_c"))
         ).alias(f"b{b}")
         for b in range(64)
     ]
-    agg = tokens.groupBy(id_col).agg(*bit_sums)
+    agg = th.groupBy(id_col).agg(*bit_sums)
     sim = None
     for b in range(64):
         bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("bigint")).otherwise(
