@@ -282,3 +282,78 @@ def test_binaryfile_scan_to_features(spark, tmp_path):
     want = sorted(round(float(s.mean()), 6) for s in slices)
     assert means == want
     assert all(r["n_bytes"] == 64 for r in rows)
+
+
+def test_tiff_roundtrip_property():
+    """Hypothesis: encode->decode is the identity for every combination
+    of shape, dtype, compression, tiling, and predictor the codec
+    claims to support."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        npages=st.integers(1, 3),
+        h=st.integers(1, 33),
+        w=st.integers(1, 33),
+        spp=st.sampled_from([1, 2, 3, 4]),
+        bits=st.sampled_from([8, 16]),
+        compression=st.sampled_from([None, "zlib"]),
+        tiled=st.booleans(),
+        predictor=st.sampled_from([1, 2]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(npages, h, w, spp, bits, compression, tiled, predictor, seed):
+        rng = np.random.default_rng(seed)
+        dtype = np.uint8 if bits == 8 else np.uint16
+        arr = rng.integers(0, 2**bits - 1, (npages, h, w, spp), dtype=dtype)
+        blob = encode_tiff(
+            arr,
+            compression=compression,
+            tile=(8, 8) if tiled else None,
+            predictor=predictor,
+        )
+        got = decode_tiff(blob)
+        assert got.shape == arr.shape
+        assert got.dtype == arr.dtype
+        assert np.array_equal(got, arr)
+
+    check()
+
+
+def test_tiff_window_property():
+    """Hypothesis: any window over any layout equals the same slice of
+    the full decode."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=30,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        tiled=st.booleans(),
+        compression=st.sampled_from([None, "zlib"]),
+        data=st.data(),
+    )
+    def check(h, w, tiled, compression, data):
+        rng = np.random.default_rng(7)
+        arr = rng.integers(0, 255, (1, h, w), dtype=np.uint8)
+        blob = encode_tiff(
+            arr, compression=compression, tile=(8, 8) if tiled else None
+        )
+        y0 = data.draw(st.integers(0, h - 1))
+        y1 = data.draw(st.integers(y0 + 1, h))
+        x0 = data.draw(st.integers(0, w - 1))
+        x1 = data.draw(st.integers(x0 + 1, w))
+        win = decode_tiff_window(blob, y=(y0, y1), x=(x0, x1))
+        assert np.array_equal(win[..., 0], arr[0, y0:y1, x0:x1])
+
+    check()
