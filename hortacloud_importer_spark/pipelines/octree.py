@@ -1,0 +1,142 @@
+"""The reference's main program, Spark-first: slices -> octree store.
+
+tiff2octree.py's driver flow (its __main__, :1236-1366) is: discover
+slices -> infer dims -> cut the top level into octant blocks -> write
+leaf blocks (ZLIB TIFF under octree paths, skip-empty, sentinel files
+for resume) -> downsample level by level, writing each level one
+directory shallower, until the root block.  ``build_octree`` composes
+the engine's existing operators into exactly that run:
+
+- scan: the ``tiff_volume`` DataSource (A1/A2 — decode on executors),
+  or any (z, y, x, channel, intensity) DataFrame the caller provides
+  (N5/Zarr via ``n5_volume``/``zarr_volume``, parquet, …);
+- dims: inferred with one tiny aggregate when not given (the
+  reference infers from the first file, tiff2octree.py:653-691);
+- blocks: ``blockify`` at leaf-grid granularity — 2^(nlevels-1)
+  blocks per axis, the reference's calc_optimal_nlevels arrangement
+  (tiff2octree.py:618-626);
+- pyramid: ``downsample_voxels`` per level (D1-D3 kernels); every
+  level reuses the same leaf block DIMS, half the block COUNT per
+  axis (ktx/util.py:223-239), so level k lands at octree depth
+  nlevels-1-k — the root block is the lowest-resolution mip;
+- sink: the ``tiff_blocks`` DataSource (A6 — octree-path ZLIB TIFF,
+  skip-empty, manifest commit); successive levels merge into one
+  ``_MANIFEST.json``;
+- resume (C4/A11): blocks whose file is already in the manifest are
+  anti-joined away BEFORE any payload work, the distributed dual of
+  the reference's per-block existence checks (tiff2octree.py:359-368,
+  1040-1041).
+
+Everything stays declarative until the sink: one leaf scan, one
+hash-aggregate per level, no driver-side payloads.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hortacloud_importer_spark.sources.datasource import (
+    _pa_fs,
+    register_volume_sources,
+)
+from hortacloud_importer_spark.volume import (
+    blockify,
+    mipmap_dimension,
+    octree_path,
+)
+from hortacloud_importer_spark.volume.downsample import downsample_voxels
+
+
+def _committed_files(out_dir: str) -> set[str]:
+    filesystem, base = _pa_fs(out_dir)
+    try:
+        with filesystem.open_input_stream(f"{base}/_MANIFEST.json") as fh:
+            return set(json.loads(fh.read()).get("files", []))
+    except (FileNotFoundError, OSError):
+        return set()
+
+
+def _infer_dims(voxels: DataFrame) -> tuple[int, int, int]:
+    row = voxels.agg(
+        F.max("z").alias("z"), F.max("y").alias("y"), F.max("x").alias("x")
+    ).first()
+    return int(row["z"]) + 1, int(row["y"]) + 1, int(row["x"]) + 1
+
+
+def build_octree(
+    spark: SparkSession,
+    source: str | DataFrame,
+    out_dir: str,
+    nlevels: int,
+    filter_: str = "arthur",
+    dims: tuple[int, int, int] | None = None,
+    dtype: str = "uint16",
+    resume: bool = True,
+) -> DataFrame:
+    """Run the full slices -> octree-of-TIFF-blocks build.
+
+    ``source``: a slice directory (scanned via the ``tiff_volume``
+    format) or a voxels DataFrame — which must be DENSE (one row per
+    coordinate, zeros present; ``volume.densify`` converts sparse
+    sources) because block payloads reshape to full block extent.
+    Returns the per-level accounting (level, n_blocks_written,
+    n_voxels) the run produced — all sink effects are in ``out_dir``
+    (blocks + merged ``_MANIFEST.json``).
+    """
+    if isinstance(source, str):
+        register_volume_sources(spark)
+        voxels = (
+            spark.read.format("tiff_volume")
+            .load(source)
+            .withColumn("channel", F.lit(0))
+        )
+    else:
+        voxels = source
+    if dims is None:
+        dims = _infer_dims(voxels)
+    leaf_grid = 1 << (nlevels - 1)  # leaf blocks per axis
+    block_dims = tuple(-(-d // leaf_grid) for d in dims)
+
+    committed = _committed_files(out_dir) if resume else set()
+    summary_rows = []
+    cur, cur_dims = voxels, dims
+    for level in range(nlevels):
+        depth = nlevels - level  # tiff_blocks nlevels option: digits+1
+        blocks = blockify(cur, block_dims)
+        if committed:
+            rel = F.concat(
+                F.when(
+                    F.lit(depth > 1),
+                    F.concat(
+                        octree_path("zi", "yi", "xi", depth), F.lit("/")
+                    ),
+                ).otherwise(F.lit("")),
+                F.concat_ws("", F.lit("default."), "channel", F.lit(".tif")),
+            )
+            done = spark.createDataFrame(
+                [(f,) for f in sorted(committed)], "rel string"
+            )
+            blocks = (
+                blocks.withColumn("rel", rel)
+                .join(F.broadcast(done), "rel", "left_anti")
+                .drop("rel")
+            )
+        n_blocks = blocks.count()
+        n_voxels = cur.count()
+        (
+            blocks.write.format("tiff_blocks")
+            .option("nlevels", depth)
+            .option("dtype", dtype)
+            .mode("append")
+            .save(out_dir)
+        )
+        summary_rows.append((level, n_blocks, n_voxels))
+        if level < nlevels - 1:
+            cur = downsample_voxels(cur, cur_dims, filter_)
+            cur_dims = tuple(mipmap_dimension(1, d) for d in cur_dims)
+    return spark.createDataFrame(
+        summary_rows, "level int, n_blocks_written long, n_voxels long"
+    )

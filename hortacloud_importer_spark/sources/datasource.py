@@ -653,6 +653,7 @@ class _TiffBlockWriter(DataSourceWriter):
         if self.dtype not in ("uint8", "uint16"):
             raise ValueError("dtype must be uint8 or uint16")
         self.skip_empty = str(options.get("skip_empty", "true")).lower() == "true"
+        self.overwrite = overwrite
         if overwrite:
             from pyarrow import fs as pafs
 
@@ -711,11 +712,27 @@ class _TiffBlockWriter(DataSourceWriter):
         import json
 
         filesystem, base = _pa_fs(self.out_dir)
-        files = sorted(f for m in messages if m for f in m.files)
+        files = {f for m in messages if m for f in m.files}
+        skipped = sum(m.n_skipped for m in messages if m)
+        # append mode MERGES with the prior manifest: successive
+        # per-level writes of one octree build (pipelines/octree.py)
+        # share the root, and a resume run must not un-commit earlier
+        # levels' files (the reference's sentinel files accumulate the
+        # same way, tiff2octree.py:1328-1355)
+        if not self.overwrite:
+            try:
+                with filesystem.open_input_stream(
+                    f"{base}/_MANIFEST.json"
+                ) as fh:
+                    prior = json.loads(fh.read())
+                files |= set(prior.get("files", []))
+                skipped += int(prior.get("n_skipped", 0))
+            except (FileNotFoundError, OSError):
+                pass
         manifest = {
-            "files": files,
-            "n_rows": sum(m.n_rows for m in messages if m),
-            "n_skipped": sum(m.n_skipped for m in messages if m),
+            "files": sorted(files),
+            "n_rows": len(files),
+            "n_skipped": skipped,
         }
         filesystem.create_dir(base, recursive=True)
         with filesystem.open_output_stream(f"{base}/_MANIFEST.json") as fh:
