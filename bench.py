@@ -58,9 +58,11 @@ HEADLINE = [
     "text_quality",
     "sim_topk",
     "mm_doc_bytes",
-    # r4 additions: the oracle-exact ANN + MinHash/SimHash paths
+    # r4 additions: the oracle-exact ANN + MinHash/SimHash paths and
+    # the end-to-end octree-build pipeline
     "sim_ann",
     "dedup_approx",
+    "vol_octree_build",
 ]
 
 

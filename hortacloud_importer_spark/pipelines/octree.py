@@ -86,8 +86,8 @@ def build_octree(
     n_voxels) the run produced — all sink effects are in ``out_dir``
     (blocks + merged ``_MANIFEST.json``).
     """
+    register_volume_sources(spark)  # tiff_volume scan + tiff_blocks sink
     if isinstance(source, str):
-        register_volume_sources(spark)
         voxels = (
             spark.read.format("tiff_volume")
             .load(source)
@@ -101,6 +101,9 @@ def build_octree(
     block_dims = tuple(-(-d // leaf_grid) for d in dims)
 
     committed = _committed_files(out_dir) if resume else set()
+    n_channels = int(
+        voxels.agg(F.countDistinct("channel").alias("c")).first()["c"]
+    )
     summary_rows = []
     cur, cur_dims = voxels, dims
     for level in range(nlevels):
@@ -124,8 +127,6 @@ def build_octree(
                 .join(F.broadcast(done), "rel", "left_anti")
                 .drop("rel")
             )
-        n_blocks = blocks.count()
-        n_voxels = cur.count()
         (
             blocks.write.format("tiff_blocks")
             .option("nlevels", depth)
@@ -133,6 +134,13 @@ def build_octree(
             .mode("append")
             .save(out_dir)
         )
+        # accounting from metadata only — no extra jobs over the data:
+        # files this level = manifest delta (excludes skipped/resumed),
+        # voxel count = the dense-grid arithmetic
+        now_committed = _committed_files(out_dir)
+        n_blocks = len(now_committed - committed)
+        committed = now_committed
+        n_voxels = cur_dims[0] * cur_dims[1] * cur_dims[2] * n_channels
         summary_rows.append((level, n_blocks, n_voxels))
         if level < nlevels - 1:
             cur = downsample_voxels(cur, cur_dims, filter_)

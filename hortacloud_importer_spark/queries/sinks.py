@@ -177,6 +177,23 @@ def vol_kernel_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("vol_octree_build", "A6+A11+D13", oracle=None, driver=False)
+def vol_octree_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only throughput probe: the full build_octree pipeline
+    (pipelines/octree.py — scan-free synthetic leaf, 3-level pyramid,
+    octree ZLIB-TIFF sink with manifest) over a 32^3 volume. The e2e
+    correctness of the same composition is pinned file-by-file in
+    tests/test_octree_pipeline.py."""
+    from hortacloud_importer_spark.pipelines import build_octree
+    from hortacloud_importer_spark.volume import synthetic_volume
+
+    out = tempfile.mkdtemp(prefix="octree_bench_") + "/store"
+    v = synthetic_volume(spark, 32, 32, 32, zero_fraction_mod=5)
+    return build_octree(
+        spark, v, out, nlevels=3, filter_="arthur", dims=(32, 32, 32)
+    )
+
+
 @register("vol_kernel_custom", "J3", oracle=None)
 def vol_kernel_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 rows-only: the reference's two library-shaped neighborhood
