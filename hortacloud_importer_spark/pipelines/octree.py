@@ -44,6 +44,7 @@ from hortacloud_importer_spark.sources.datasource import (
 )
 from hortacloud_importer_spark.volume import (
     blockify,
+    densify,
     mipmap_dimension,
     octree_path,
 )
@@ -104,6 +105,17 @@ def build_octree(
     n_channels = int(
         voxels.agg(F.countDistinct("channel").alias("c")).first()["c"]
     )
+    padded = tuple(b * leaf_grid for b in block_dims)
+    if padded != dims:
+        # Non-divisible dims leave edge blocks partial, which cannot
+        # reshape to block extent; zero-pad to the grid instead
+        # (zero = no-data in every downsample kernel, §1.2, so the
+        # padding never perturbs pyramid values, and skip-empty drops
+        # all-zero pad blocks the way the reference skips empty edge
+        # blocks, tiff2octree.py:312). The pad join is the densify
+        # grid scan — only paid when dims aren't grid-aligned.
+        voxels = densify(voxels, spark, padded, channels=n_channels)
+        dims = padded
     summary_rows = []
     cur, cur_dims = voxels, dims
     for level in range(nlevels):

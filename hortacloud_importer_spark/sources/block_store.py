@@ -121,6 +121,10 @@ def read_tiff_block_store(spark: SparkSession, root: str) -> DataFrame:
             StructField("yi", IntegerType()),
             StructField("xi", IntegerType()),
             StructField("channel", IntegerType()),
+            # octree depth = digit count; a multi-level store keeps
+            # every pyramid level in one tree (root block = depth 0),
+            # so (depth, zi, yi, xi, channel) is the unique block key
+            StructField("depth", IntegerType()),
             StructField("shape", ArrayType(IntegerType())),
             StructField("voxels", ArrayType(IntegerType())),
         ]
@@ -143,7 +147,8 @@ def read_tiff_block_store(spark: SparkSession, root: str) -> DataFrame:
                     continue
                 rel = row.path.split(f"{root.rstrip('/')}/", 1)[-1]
                 zi = yi = xi = 0
-                for digit_s in rel.split("/")[:-1]:
+                digits = rel.split("/")[:-1]
+                for digit_s in digits:
                     d = int(digit_s) - 1
                     xi = (xi << 1) | (d & 1)
                     yi = (yi << 1) | ((d >> 1) & 1)
@@ -155,6 +160,7 @@ def read_tiff_block_store(spark: SparkSession, root: str) -> DataFrame:
                         "yi": yi,
                         "xi": xi,
                         "channel": int(m.group(1)),
+                        "depth": len(digits),
                         "shape": list(arr.shape),
                         "voxels": arr.astype(np.int32).ravel().tolist(),
                     }

@@ -72,3 +72,49 @@ def test_build_octree_end_to_end_with_resume(spark, tmp_path):
     assert resumed == {0: 0, 1: 0}
     man2 = json.loads((tmp_path / "octree" / "_MANIFEST.json").read_text())
     assert man2["files"] == man["files"]
+
+
+def test_build_octree_pads_non_divisible_dims_multichannel(spark, tmp_path):
+    """dims (7,6,5) x 2 channels, nlevels=2: edge blocks zero-pad to
+    the (4,3,3) block grid instead of scrambling or crashing; every
+    stored voxel matches the padded source per channel."""
+    from hortacloud_importer_spark.pipelines import build_octree
+    from hortacloud_importer_spark.sources.block_store import (
+        read_tiff_block_store,
+    )
+
+    rng = np.random.default_rng(23)
+    vol = rng.integers(1, 60000, (2, 7, 6, 5), dtype=np.uint16)  # (ch, z, y, x)
+    rows = [
+        (int(z), int(y), int(x), int(c), int(vol[c, z, y, x]))
+        for c in range(2)
+        for z in range(7)
+        for y in range(6)
+        for x in range(5)
+    ]
+    voxels = spark.createDataFrame(
+        rows, "z int, y int, x int, channel int, intensity int"
+    )
+    out = str(tmp_path / "odd_octree")
+    summary = {
+        r["level"]: r["n_blocks_written"]
+        for r in build_octree(
+            spark, voxels, out, nlevels=2, filter_="max", dims=(7, 6, 5)
+        ).collect()
+    }
+    assert summary == {0: 16, 1: 2}  # 8 leaf blocks + root, per channel
+
+    padded = np.zeros((2, 8, 6, 6), dtype=np.uint16)
+    padded[:, :7, :, :5] = vol
+    back = read_tiff_block_store(spark, out)
+    leaf = [r for r in back.collect() if r["depth"] == 1]
+    assert len(leaf) == 16
+    assert all(r["shape"] == [4, 3, 3] for r in leaf)
+    for r in leaf:
+        zi, yi, xi, c = r["zi"], r["yi"], r["xi"], r["channel"]
+        want = padded[
+            c, zi * 4 : zi * 4 + 4, yi * 3 : yi * 3 + 3, xi * 3 : xi * 3 + 3
+        ]
+        assert np.array_equal(
+            np.array(r["voxels"], dtype=np.uint16).reshape(4, 3, 3), want
+        ), (zi, yi, xi, c)
