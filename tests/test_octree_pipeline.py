@@ -118,3 +118,76 @@ def test_build_octree_pads_non_divisible_dims_multichannel(spark, tmp_path):
         assert np.array_equal(
             np.array(r["voxels"], dtype=np.uint16).reshape(4, 3, 3), want
         ), (zi, yi, xi, c)
+
+
+def test_tiff_octree_to_ktx_full_chain(spark, tmp_path):
+    """The reference's second main program: TIFF octree -> per-block
+    mip chains -> KTX store. Verifies mip 0 equals the stored block
+    and mip 1 equals the independent NumPy window-max."""
+    from pyspark.sql import functions as F
+
+    from hortacloud_importer_spark.pipelines import (
+        build_octree,
+        tiff_octree_to_ktx,
+    )
+    from hortacloud_importer_spark.sources.ktx import ktx_decode_blocks
+
+    rng = np.random.default_rng(29)
+    vol = rng.integers(1, 60000, (8, 8, 8), dtype=np.uint16)  # all non-zero
+    rows = [
+        (int(z), int(y), int(x), 0, int(vol[z, y, x]))
+        for z in range(8)
+        for y in range(8)
+        for x in range(8)
+    ]
+    voxels = spark.createDataFrame(
+        rows, "z int, y int, x int, channel int, intensity int"
+    )
+    store = str(tmp_path / "tiff_store")
+    build_octree(spark, voxels, store, nlevels=2, filter_="max", dims=(8, 8, 8))
+
+    ktx_out = str(tmp_path / "ktx_store")
+    summary = tiff_octree_to_ktx(
+        spark, store, ktx_out, block_dims=(4, 4, 4), n_mips=3,
+        filter_="max", depth=1,
+    ).first()
+    assert summary["n_files"] == 8  # one KTX per leaf block
+    assert summary["n_blocks"] == 8
+
+    decoded = ktx_decode_blocks(
+        spark.read.format("binaryFile")
+        .load(f"{ktx_out}/*.ktx")
+        .select(F.col("content").alias("ktx"))
+    ).collect()
+    assert len(decoded) == 8 * 3  # 3 mips per block
+    for r in decoded:
+        # recover block coords from the metadata-free decode: match by
+        # payload against every block at this mip level
+        if r["level"] == 0:
+            arr = np.array(r["voxels"], dtype=np.uint16).reshape(4, 4, 4)
+            found = any(
+                np.array_equal(
+                    arr,
+                    vol[zi * 4 : zi * 4 + 4, yi * 4 : yi * 4 + 4, xi * 4 : xi * 4 + 4],
+                )
+                for zi in range(2)
+                for yi in range(2)
+                for xi in range(2)
+            )
+            assert found
+        elif r["level"] == 1:
+            arr = np.array(r["voxels"], dtype=np.uint16).reshape(2, 2, 2)
+            found = any(
+                np.array_equal(
+                    arr,
+                    vol[zi * 4 : zi * 4 + 4, yi * 4 : yi * 4 + 4, xi * 4 : xi * 4 + 4]
+                    .reshape(2, 2, 2, 2, 2, 2)
+                    .max(axis=(1, 3, 5)),
+                )
+                for zi in range(2)
+                for yi in range(2)
+                for xi in range(2)
+            )
+            assert found
+        else:
+            assert len(r["voxels"]) == 1  # 1^3 root mip
