@@ -528,6 +528,7 @@ class _KtxWriter(DataSourceWriter):
 
     def __init__(self, options: dict, overwrite: bool):
         self.out_dir = options["path"].rstrip("/")
+        self.overwrite = overwrite
         if overwrite:
             from pyarrow import fs as pafs
 
@@ -570,8 +571,18 @@ class _KtxWriter(DataSourceWriter):
         import json
 
         filesystem, base = _pa_fs(self.out_dir)
-        files = sorted(f for m in messages if m for f in m.files)
-        manifest = {"files": files, "n_rows": sum(m.n_rows for m in messages if m)}
+        files = {f for m in messages if m for f in m.files}
+        # append merges with the prior manifest (same contract as the
+        # tiff_blocks sink): incremental runs must not un-commit files
+        if not self.overwrite:
+            try:
+                with filesystem.open_input_stream(
+                    f"{base}/_MANIFEST.json"
+                ) as fh:
+                    files |= set(json.loads(fh.read()).get("files", []))
+            except (FileNotFoundError, OSError):
+                pass
+        manifest = {"files": sorted(files), "n_rows": len(files)}
         filesystem.create_dir(base, recursive=True)
         with filesystem.open_output_stream(f"{base}/_MANIFEST.json") as fh:
             fh.write(json.dumps(manifest).encode())

@@ -360,6 +360,32 @@ def test_ktx_writer_datasource_roundtrip(registered, tmp_path):
     assert got == want
 
 
+def test_ktx_writer_append_merges_manifest(registered, tmp_path):
+    """A second append run (an incremental/resume conversion) must keep
+    the first run's files in _MANIFEST.json — same contract as the
+    tiff_blocks sink."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from hortacloud_importer_spark.sources.ktx import ktx_encode_blocks
+    from hortacloud_importer_spark.volume import blockify, synthetic_volume
+
+    out = tmp_path / "ktx_merge_out"
+    v = synthetic_volume(registered, 4, 4, 4, channels=2)
+    blocks = blockify(v, (4, 4, 4)).withColumn("level", F.lit(0))
+    for ch in (0, 1):  # two incremental runs, one channel each
+        ktx_encode_blocks(blocks.filter(F.col("channel") == ch)).write.format(
+            "ktx_files"
+        ).mode("append").save(str(out))
+    manifest = json.loads((out / "_MANIFEST.json").read_text())
+    assert sorted(manifest["files"]) == [
+        "block_0_0_0_ch0.ktx",
+        "block_0_0_0_ch1.ktx",
+    ]
+    assert manifest["n_rows"] == 2
+
+
 def test_ktx_writer_overwrite_clears_stale_files(registered, tmp_path):
     from pyspark.sql import functions as F
 
