@@ -232,3 +232,21 @@ def test_join_suite_facets_keep_their_strategies(spark, sf_dir):
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
     assert "row_number" in plan  # the as-of top-1
+
+
+def test_block_mip_chain_is_hash_aggregates_only(spark):
+    """The per-block mip chain (pipelines/ktx.py) must be hash
+    aggregates keyed by block coords — no SinglePartition exchange,
+    no window — so a 100 TB octree's chains scale with its blocks."""
+    from pyspark.sql import functions as F
+
+    from hortacloud_importer_spark.pipelines import block_mip_chain
+    from hortacloud_importer_spark.volume import blockify, synthetic_volume
+
+    blocks = blockify(synthetic_volume(spark, 8, 8, 8), (4, 4, 4))
+    chain = block_mip_chain(blocks, (4, 4, 4), n_mips=3, filter_="max")
+    chain.collect()
+    plan = chain._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
