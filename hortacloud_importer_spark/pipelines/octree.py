@@ -76,6 +76,7 @@ def build_octree(
     dims: tuple[int, int, int] | None = None,
     dtype: str = "uint16",
     resume: bool = True,
+    channels: int = 1,
 ) -> DataFrame:
     """Run the full slices -> octree-of-TIFF-blocks build.
 
@@ -89,11 +90,25 @@ def build_octree(
     """
     register_volume_sources(spark)  # tiff_volume scan + tiff_blocks sink
     if isinstance(source, str):
-        voxels = (
-            spark.read.format("tiff_volume")
-            .load(source)
-            .withColumn("channel", F.lit(0))
-        )
+        if channels == 1:
+            # any slice naming: every file in sorted order is a z
+            voxels = (
+                spark.read.format("tiff_volume")
+                .load(source)
+                .withColumn("channel", F.lit(0))
+            )
+        else:
+            # one scan per channel of the reference's default.{ch}.{z}
+            # naming; the channel option keeps z assignment per-channel
+            voxels = None
+            for ch in range(channels):
+                scan = (
+                    spark.read.format("tiff_volume")
+                    .option("channel", str(ch))
+                    .load(source)
+                    .withColumn("channel", F.lit(ch))
+                )
+                voxels = scan if voxels is None else voxels.unionByName(scan)
     else:
         voxels = source
     if dims is None:

@@ -332,10 +332,19 @@ class ZarrVolumeDataSource(DataSource):
         return _ZarrReader(dict(self.options))
 
 
-def _sorted_slices(root: str, suffix: str) -> list[str]:
+def _sorted_slices(root: str, suffix: str, channel: str | None = None) -> list[str]:
     """Sorted slice paths == z order (the reference's
-    ``img_files.sort()``, tiff2octree.py:1034 — F2 semantics)."""
-    return sorted(p for p in _list_files(root) if p.endswith(suffix))
+    ``img_files.sort()``, tiff2octree.py:1034 — F2 semantics).
+
+    ``channel`` selects one channel of a multi-channel slice dir by
+    the reference's ``default.{ch}.{z}`` naming — without it a
+    2-channel directory would sort channel-major and assign wrong z
+    indices to the second channel's files."""
+    files = (p for p in _list_files(root) if p.endswith(suffix))
+    if channel is not None:
+        prefix = f"default.{channel}."
+        files = (p for p in files if p.rsplit("/", 1)[-1].startswith(prefix))
+    return sorted(files)
 
 
 def _slice_axes(data: bytes, z: int):
@@ -393,6 +402,7 @@ class _TiffSliceReaderNoPushdown(DataSourceReader):
     def __init__(self, options: dict):
         self.root = options["path"].rstrip("/")
         self.suffix = options.get("suffix", ".tif")
+        self.channel = options.get("channel")
         self.per_partition = int(options.get("slices_per_partition", 1))
         self.emit = options.get("emit", "voxels")
         self.bounds = _Bounds()
@@ -400,7 +410,7 @@ class _TiffSliceReaderNoPushdown(DataSourceReader):
     def partitions(self):
         files = [
             (p, z)
-            for z, p in enumerate(_sorted_slices(self.root, self.suffix))
+            for z, p in enumerate(_sorted_slices(self.root, self.suffix, self.channel))
             if self.bounds.admits("z", z, z)
         ]
         per = max(1, self.per_partition)
@@ -436,6 +446,7 @@ class _TiffSliceStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.root = options["path"].rstrip("/")
         self.suffix = options.get("suffix", ".tif")
+        self.channel = options.get("channel")
         self.per_batch = int(options.get("max_slices_per_batch", 8))
         self.emit = options.get("emit", "voxels")
         # High-water mark already offered to Spark; keeps each
@@ -447,7 +458,7 @@ class _TiffSliceStreamReader(DataSourceStreamReader):
         return {"n": 0}
 
     def latestOffset(self) -> dict:
-        total = len(_sorted_slices(self.root, self.suffix))
+        total = len(_sorted_slices(self.root, self.suffix, self.channel))
         self._advanced = min(total, self._advanced + self.per_batch)
         return {"n": self._advanced}
 
@@ -456,7 +467,7 @@ class _TiffSliceStreamReader(DataSourceStreamReader):
         # On checkpoint restart Spark replans the pending batch without
         # calling latestOffset; keep the high-water mark consistent.
         self._advanced = max(self._advanced, b)
-        files = _sorted_slices(self.root, self.suffix)[a:b]
+        files = _sorted_slices(self.root, self.suffix, self.channel)[a:b]
         return [
             _SlicePartition([(p, a + i)]) for i, p in enumerate(files)
         ] or [_SlicePartition([])]

@@ -585,3 +585,34 @@ def test_register_falls_back_to_no_pushdown_readers(spark, tmp_path):
     finally:
         spark.conf.set(conf_key, "true")
         register_volume_sources(spark)  # restore pushdown formats
+
+
+def test_tiff_slice_channel_option_selects_one_channel(registered, tmp_path):
+    """A 2-channel slice dir (default.{ch}.{z}.tif) read without the
+    channel option would sort channel-major and misnumber z; with it,
+    each channel scans its own files in z order."""
+    d = tmp_path / "two_ch"
+    d.mkdir()
+    vols = {}
+    rng = np.random.default_rng(31)
+    for ch in range(2):
+        vol = (rng.integers(1, 250, (3, 2, 2))).astype(np.uint8)
+        vols[ch] = vol
+        for z in range(3):
+            (d / f"default.{ch}.{z:03d}.tif").write_bytes(
+                encode_tiff(vol[z][None, ...])
+            )
+    for ch in range(2):
+        df = (
+            registered.read.format("tiff_volume")
+            .option("channel", str(ch))
+            .load(str(d))
+        )
+        got = _rows(df)
+        want = {
+            (z, y, x, int(vols[ch][z, y, x]))
+            for z in range(3)
+            for y in range(2)
+            for x in range(2)
+        }
+        assert got == want, f"channel {ch}"

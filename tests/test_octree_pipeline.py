@@ -191,3 +191,39 @@ def test_tiff_octree_to_ktx_full_chain(spark, tmp_path):
             assert found
         else:
             assert len(r["voxels"]) == 1  # 1^3 root mip
+
+
+def test_build_octree_from_two_channel_slices(spark, tmp_path):
+    """channels=2: per-channel z-ordered scans feed one build; each
+    channel's leaf files land beside each other under the octants."""
+    from hortacloud_importer_spark.pipelines import build_octree
+
+    rng = np.random.default_rng(37)
+    d = tmp_path / "slices2"
+    d.mkdir()
+    vols = {}
+    for ch in range(2):
+        vol = rng.integers(1, 250, (4, 4, 4)).astype(np.uint8)
+        vols[ch] = vol
+        for z in range(4):
+            (d / f"default.{ch}.{z:03d}.tif").write_bytes(
+                encode_tiff(vol[z][None, ...])
+            )
+    out = str(tmp_path / "oct2")
+    summary = {
+        r["level"]: r["n_blocks_written"]
+        for r in build_octree(
+            spark, str(d), out, nlevels=2, filter_="max", channels=2
+        ).collect()
+    }
+    assert summary == {0: 16, 1: 2}
+    for ch in range(2):
+        for zi, yi, xi in [(0, 0, 0), (1, 1, 1)]:
+            digit = 1 + xi + 2 * yi + 4 * zi
+            got = decode_tiff(
+                (tmp_path / "oct2" / str(digit) / f"default.{ch}.tif").read_bytes()
+            )[..., 0]
+            want = vols[ch][
+                zi * 2 : zi * 2 + 2, yi * 2 : yi * 2 + 2, xi * 2 : xi * 2 + 2
+            ]
+            assert np.array_equal(got, want.astype(np.uint16)), (ch, zi, yi, xi)
