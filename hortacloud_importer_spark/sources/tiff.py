@@ -6,8 +6,10 @@ The reference's entire ingestion path is TIFF page decode
 TIFF (``compression=("ZLIB", 6)``, tiff2octree.py:315, 385, 441, 544)
 and rewrites large slices as 256x256-tiled TIFF so windowed reads are
 cheap (tiff2octree.py:516-551, 1026-1030). This module implements that
-subset straight from the public TIFF 6.0 structure: byte-order header,
-IFD entry walk, strip or tile assembly, zlib/deflate codecs
+subset straight from the public TIFF 6.0 + BigTIFF structures:
+byte-order header (magic 42 classic / 43 BigTIFF with 8-byte
+offsets — the >4 GB slice layout), IFD entry walk, strip or tile
+assembly, zlib/deflate codecs
 (compression tags 1, 8, 32946 — pure stdlib ``zlib``), horizontal
 predictor (tag 317), grayscale or contiguous multi-sample, 8/16-bit
 unsigned. Formats beyond that (LZW, JPEG, packbits) still require a
@@ -29,9 +31,16 @@ import zlib
 
 import numpy as np
 
-# IFD entry field types -> byte width (TIFF 6.0 §2).
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d"}
+# IFD entry field types -> byte width (TIFF 6.0 §2; 16-18 = BigTIFF
+# LONG8/SLONG8/IFD8 per the public BigTIFF spec).
+_TYPE_SIZE = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4,
+    12: 8, 16: 8, 17: 8, 18: 8,
+}
+_TYPE_FMT = {
+    1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d",
+    16: "Q", 17: "q", 18: "Q",
+}
 
 _TAG_WIDTH = 256
 _TAG_LENGTH = 257
@@ -58,30 +67,48 @@ class TiffParseError(ValueError):
     pass
 
 
-def _read_values(data: bytes, ec: str, ftype: int, count: int, raw: bytes) -> list:
+def _read_values(
+    data: bytes, ec: str, ftype: int, count: int, raw: bytes, big: bool = False
+) -> list:
     size = _TYPE_SIZE.get(ftype)
     if size is None or ftype not in _TYPE_FMT:
         raise TiffParseError(f"unsupported IFD field type {ftype}")
     total = size * count
-    if total <= 4:
+    inline = 8 if big else 4
+    if total <= inline:
         payload = raw[:total]
     else:
-        (offset,) = struct.unpack(ec + "I", raw)
+        (offset,) = struct.unpack(ec + ("Q" if big else "I"), raw)
         payload = data[offset : offset + total]
     return list(struct.unpack(ec + str(count) + _TYPE_FMT[ftype], payload))
 
 
-def _parse_ifd(data: bytes, ec: str, pos: int) -> tuple[dict[int, list], int]:
-    (n_entries,) = struct.unpack_from(ec + "H", data, pos)
+def _parse_ifd(
+    data: bytes, ec: str, pos: int, big: bool = False
+) -> tuple[dict[int, list], int]:
+    # BigTIFF IFDs: 8-byte entry count, 20-byte entries (8-byte count +
+    # 8-byte value slot), 8-byte next pointer; classic: 2/12/4.
+    head, esize, off_fmt = (8, 20, "Q") if big else (2, 12, "I")
+    if big:
+        (n_entries,) = struct.unpack_from(ec + "Q", data, pos)
+    else:
+        (n_entries,) = struct.unpack_from(ec + "H", data, pos)
     entries: dict[int, list] = {}
     for i in range(n_entries):
-        tag, ftype, count = struct.unpack_from(ec + "HHI", data, pos + 2 + 12 * i)
-        raw = data[pos + 2 + 12 * i + 8 : pos + 2 + 12 * i + 12]
+        base = pos + head + esize * i
+        if big:
+            tag, ftype, count = struct.unpack_from(ec + "HHQ", data, base)
+            raw = data[base + 12 : base + 20]
+        else:
+            tag, ftype, count = struct.unpack_from(ec + "HHI", data, base)
+            raw = data[base + 8 : base + 12]
         try:
-            entries[tag] = _read_values(data, ec, ftype, count, raw)
+            entries[tag] = _read_values(data, ec, ftype, count, raw, big)
         except TiffParseError:
             continue  # ignore exotic tags we don't need
-    (next_ifd,) = struct.unpack_from(ec + "I", data, pos + 2 + 12 * n_entries)
+    (next_ifd,) = struct.unpack_from(
+        ec + off_fmt, data, pos + head + esize * n_entries
+    )
     return entries, next_ifd
 
 
@@ -216,8 +243,11 @@ def _decode_page(
     return out[y0 - by0 * brows : y1 - by0 * brows, x0 - bx0 * bcols : x1 - bx0 * bcols]
 
 
-def _parse_header(data: bytes) -> tuple[str, int]:
-    """Validate the 8-byte TIFF header -> (endian char, first IFD pos)."""
+def _parse_header(data: bytes) -> tuple[str, int, bool]:
+    """Validate the TIFF header -> (endian char, first IFD pos, bigtiff).
+
+    Magic 42 = classic (4-byte offsets), 43 = BigTIFF (8-byte offsets,
+    16-byte header) — the layout any >4 GB slice file needs."""
     if len(data) < 8:
         raise TiffParseError("file shorter than a TIFF header")
     if data[:2] == b"II":
@@ -227,18 +257,28 @@ def _parse_header(data: bytes) -> tuple[str, int]:
     else:
         raise TiffParseError(f"bad byte-order mark {data[:2]!r}")
     (magic,) = struct.unpack_from(ec + "H", data, 2)
-    if magic != 42:
-        raise TiffParseError(f"bad TIFF magic {magic}")
-    (pos,) = struct.unpack_from(ec + "I", data, 4)
-    return ec, pos
+    if magic == 42:
+        (pos,) = struct.unpack_from(ec + "I", data, 4)
+        return ec, pos, False
+    if magic == 43:
+        if len(data) < 16:
+            raise TiffParseError("file shorter than a BigTIFF header")
+        offsize, zero = struct.unpack_from(ec + "HH", data, 4)
+        if offsize != 8 or zero != 0:
+            raise TiffParseError(
+                f"bad BigTIFF header (offsize={offsize}, pad={zero})"
+            )
+        (pos,) = struct.unpack_from(ec + "Q", data, 8)
+        return ec, pos, True
+    raise TiffParseError(f"bad TIFF magic {magic}")
 
 
 def decode_tiff(data: bytes) -> np.ndarray:
     """bytes -> (pages, height, width, samples) uint8/uint16 array."""
-    ec, pos = _parse_header(data)
+    ec, pos, big = _parse_header(data)
     pages = []
     while pos:
-        ifd, pos = _parse_ifd(data, ec, pos)
+        ifd, pos = _parse_ifd(data, ec, pos, big)
         pages.append(_decode_page(data, ec, ifd))
         if len(pages) > 65536:
             raise TiffParseError("IFD chain too long (cyclic?)")
@@ -264,10 +304,10 @@ def decode_tiff_window(
     dict) receives ``blocks_decoded`` / ``blocks_total`` so callers and
     tests can assert pruning actually happened.
     """
-    ec, pos = _parse_header(data)
+    ec, pos, big = _parse_header(data)
     idx = 0
     while pos:
-        ifd, pos = _parse_ifd(data, ec, pos)
+        ifd, pos = _parse_ifd(data, ec, pos, big)
         if idx == page:
             length = _required(ifd, _TAG_LENGTH, "ImageLength")[0]
             width = _required(ifd, _TAG_WIDTH, "ImageWidth")[0]
@@ -280,10 +320,19 @@ def decode_tiff_window(
     raise TiffParseError(f"page {page} out of range ({idx} pages)")
 
 
-def _pack_entry(tag: int, ftype: int, values: list[int], overflow_pos: int) -> tuple[bytes, bytes]:
-    """-> (12-byte IFD entry, out-of-line payload or b'')."""
+def _pack_entry(
+    tag: int, ftype: int, values: list[int], overflow_pos: int, big: bool = False
+) -> tuple[bytes, bytes]:
+    """-> (12- or 20-byte IFD entry, out-of-line payload or b'')."""
     fmt = _TYPE_FMT[ftype]
     payload = struct.pack("<" + str(len(values)) + fmt, *values)
+    if big:
+        if len(payload) <= 8:
+            return (
+                struct.pack("<HHQ8s", tag, ftype, len(values), payload.ljust(8, b"\x00")),
+                b"",
+            )
+        return struct.pack("<HHQQ", tag, ftype, len(values), overflow_pos), payload
     if len(payload) <= 4:
         return struct.pack("<HHI4s", tag, ftype, len(values), payload.ljust(4, b"\x00")), b""
     return struct.pack("<HHII", tag, ftype, len(values), overflow_pos), payload
@@ -295,8 +344,13 @@ def encode_tiff(
     compression: str | None = None,
     tile: tuple[int, int] | None = None,
     predictor: int = 1,
+    bigtiff: bool = False,
 ) -> bytes:
     """Write (pages, h, w[, samples]) uint8/uint16 as little-endian TIFF.
+
+    ``bigtiff=True`` emits the BigTIFF layout (magic 43, 8-byte
+    offsets/counts, 20-byte IFD entries) — required once a slice file
+    passes 4 GB, which 100 TB stores reach routinely.
 
     ``compression="zlib"`` emits deflate blocks (tag 8) matching the
     reference's ``compression=("ZLIB", 6)`` output (tiff2octree.py:315);
@@ -317,9 +371,19 @@ def encode_tiff(
         raise ValueError("predictor must be 1 or 2")
     comp_code = 8 if compression == "zlib" else 1
     bits = pages.dtype.itemsize * 8
-    out = bytearray(b"II*\x00")
-    out += struct.pack("<I", 0)  # next-IFD pointer, patched per page
-    next_ptr_pos = 4
+    # classic: 8-byte header, 12-byte entries, 4-byte offsets;
+    # BigTIFF: 16-byte header, 20-byte entries, 8-byte offsets
+    head, esize, off_fmt, off_type = (
+        (8, 20, "<Q", 16) if bigtiff else (2, 12, "<I", 4)
+    )
+    if bigtiff:
+        out = bytearray(b"II+\x00" + struct.pack("<HH", 8, 0))
+        out += struct.pack("<Q", 0)  # next-IFD pointer, patched per page
+        next_ptr_pos = 8
+    else:
+        out = bytearray(b"II*\x00")
+        out += struct.pack("<I", 0)  # next-IFD pointer, patched per page
+        next_ptr_pos = 4
     for pi in range(npages):
         arr = pages[pi].astype("<u1" if bits == 8 else "<u2")
         if tile:
@@ -352,28 +416,30 @@ def encode_tiff(
             tags.append((_TAG_PREDICTOR, 3, [2]))
         counts = [len(p) for p in payloads]
         off_tag = _TAG_TILE_OFFSETS if tile else _TAG_STRIP_OFFSETS
+        otype = off_type  # LONG8 offsets/counts in BigTIFF
         if tile:
             tags += [
                 (_TAG_TILE_WIDTH, 4, [tw]),
                 (_TAG_TILE_LENGTH, 4, [tl]),
-                (off_tag, 4, [0] * len(payloads)),  # patched below
-                (_TAG_TILE_COUNTS, 4, counts),
+                (off_tag, otype, [0] * len(payloads)),  # patched below
+                (_TAG_TILE_COUNTS, otype, counts),
             ]
         else:
             tags += [
-                (off_tag, 4, [0] * len(payloads)),
+                (off_tag, otype, [0] * len(payloads)),
                 (_TAG_ROWS_PER_STRIP, 4, [h]),
-                (_TAG_STRIP_COUNTS, 4, counts),
+                (_TAG_STRIP_COUNTS, otype, counts),
             ]
         tags.sort()
         ifd_pos = len(out)
         n = len(tags)
-        ifd_size = 2 + n * 12 + 4
+        inline = 8 if bigtiff else 4
+        ifd_size = head + n * esize + (8 if bigtiff else 4)
         # Two passes: sizes first (offsets depend on overflow layout).
         overflow_size = sum(
             len(struct.pack("<" + str(len(v)) + _TYPE_FMT[ft], *v))
             for _, ft, v in tags
-            if len(v) * _TYPE_SIZE[ft] > 4
+            if len(v) * _TYPE_SIZE[ft] > inline
         )
         data_pos = ifd_pos + ifd_size + overflow_size
         block_offsets, p = [], data_pos
@@ -384,14 +450,14 @@ def encode_tiff(
         entries, overflow = bytearray(), bytearray()
         opos = ifd_pos + ifd_size
         for t, ft, v in tags:
-            e, extra = _pack_entry(t, ft, v, opos + len(overflow))
+            e, extra = _pack_entry(t, ft, v, opos + len(overflow), bigtiff)
             entries += e
             overflow += extra
-        struct.pack_into("<I", out, next_ptr_pos, ifd_pos)
-        out += struct.pack("<H", n)
+        struct.pack_into(off_fmt, out, next_ptr_pos, ifd_pos)
+        out += struct.pack("<Q" if bigtiff else "<H", n)
         out += entries
         next_ptr_pos = len(out)
-        out += struct.pack("<I", 0)
+        out += struct.pack(off_fmt, 0)
         out += overflow
         for pay in payloads:
             out += pay

@@ -305,9 +305,10 @@ def test_tiff_roundtrip_property():
         compression=st.sampled_from([None, "zlib"]),
         tiled=st.booleans(),
         predictor=st.sampled_from([1, 2]),
+        bigtiff=st.booleans(),
         seed=st.integers(0, 2**31 - 1),
     )
-    def check(npages, h, w, spp, bits, compression, tiled, predictor, seed):
+    def check(npages, h, w, spp, bits, compression, tiled, predictor, bigtiff, seed):
         rng = np.random.default_rng(seed)
         dtype = np.uint8 if bits == 8 else np.uint16
         arr = rng.integers(0, 2**bits - 1, (npages, h, w, spp), dtype=dtype)
@@ -316,6 +317,7 @@ def test_tiff_roundtrip_property():
             compression=compression,
             tile=(8, 8) if tiled else None,
             predictor=predictor,
+            bigtiff=bigtiff,
         )
         got = decode_tiff(blob)
         assert got.shape == arr.shape
@@ -357,3 +359,32 @@ def test_tiff_window_property():
         assert np.array_equal(win[..., 0], arr[0, y0:y1, x0:x1])
 
     check()
+
+
+def test_bigtiff_roundtrip_all_layouts():
+    """BigTIFF (magic 43, 8-byte offsets): the layout any >4 GB slice
+    needs. Round-trips across strip/tiled x raw/zlib x predictor."""
+    rng = np.random.default_rng(43)
+    arr = rng.integers(0, 65535, (3, 10, 7), dtype=np.uint16)
+    for kwargs in (
+        {},
+        {"compression": "zlib"},
+        {"tile": (4, 4), "compression": "zlib"},
+        {"predictor": 2, "compression": "zlib"},
+    ):
+        blob = encode_tiff(arr, bigtiff=True, **kwargs)
+        assert blob[2:4] == b"+\x00"  # version 43
+        assert np.array_equal(decode_tiff(blob)[..., 0], arr), kwargs
+    # and the windowed decode prunes tiles the same way
+    blob = encode_tiff(arr[:1], bigtiff=True, tile=(4, 4), compression="zlib")
+    stats: dict = {}
+    win = decode_tiff_window(blob, y=(0, 4), x=(0, 4), stats=stats)
+    assert np.array_equal(win[..., 0], arr[0, 0:4, 0:4])
+    assert stats["blocks_decoded"] == 1
+
+
+def test_bigtiff_bad_offsize_rejected():
+    blob = bytearray(encode_tiff(np.zeros((1, 2, 2), np.uint8), bigtiff=True))
+    blob[4] = 4  # offsize must be 8
+    with pytest.raises(TiffParseError, match="BigTIFF"):
+        decode_tiff(bytes(blob))
