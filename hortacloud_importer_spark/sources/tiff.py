@@ -10,11 +10,12 @@ subset straight from the public TIFF 6.0 + BigTIFF structures:
 byte-order header (magic 42 classic / 43 BigTIFF with 8-byte
 offsets — the >4 GB slice layout), IFD entry walk, strip or tile
 assembly, zlib/deflate codecs
-(compression tags 1, 8, 32946 — pure stdlib ``zlib``), horizontal
-predictor (tag 317), grayscale or contiguous multi-sample, 8/16-bit
-unsigned. Formats beyond that (LZW, JPEG, packbits) still require a
-codec library (tifffile/imageio, absent here — probe in FIXTURES.md)
-and raise ``TiffParseError``.
+(compression tags 1, 8, 32946 — pure stdlib ``zlib``), TIFF-flavor
+LZW (tag 5, early-change) and PackBits RLE (tag 32773) decode,
+horizontal predictor (tag 317), grayscale or contiguous multi-sample,
+8/16-bit unsigned. Formats beyond that (JPEG, CCITT) require a codec
+library (tifffile/imageio, absent here — probe in FIXTURES.md) and
+raise ``TiffParseError``.
 
 Spark-side use: ``binaryFile`` scan -> ``decode_tiff`` inside a
 ``mapInPandas`` kernel (operators/multimodal.py routes ``format in
@@ -59,12 +60,93 @@ _TAG_TILE_COUNTS = 325
 _TAG_SAMPLE_FORMAT = 339
 
 # Compression codes we decode: 1 = none, 8 = deflate ("Adobe"), 32946 =
-# deflate (the original tag) — both are raw zlib streams.
+# deflate (the original tag) — both are raw zlib streams; 5 = LZW and
+# 32773 = PackBits are implemented below from the public TIFF 6.0 spec.
 _ZLIB_CODES = (8, 32946)
+_COMP_LZW = 5
+_COMP_PACKBITS = 32773
 
 
 class TiffParseError(ValueError):
     pass
+
+
+def _packbits_decompress(raw: bytes, expect: int) -> bytes:
+    """PackBits RLE (TIFF 6.0 §9): n in 0..127 copies n+1 literals,
+    n in -127..-1 repeats the next byte 1-n times, -128 is a no-op."""
+    out = bytearray()
+    i, n_raw = 0, len(raw)
+    while i < n_raw and len(out) < expect:
+        n = raw[i]
+        i += 1
+        if n < 128:
+            out += raw[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            if i >= n_raw:
+                break
+            out += raw[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def _lzw_decompress(raw: bytes, expect: int) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first bit packing, codes
+    start at 9 bits, ClearCode=256, EOI=257, and the code width bumps
+    one entry EARLY (at table sizes 511/1023/2047). Output is capped at
+    ``expect`` bytes, like the deflate path."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+
+    def reset():
+        nonlocal table, width, prev
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        prev = None
+
+    reset()
+    n_raw = len(raw)
+    while len(out) < expect:
+        while nbits < width:
+            if pos >= n_raw:
+                return bytes(out)
+            acc = (acc << 8) | raw[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            reset()
+            continue
+        if code == EOI:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise TiffParseError(f"bad first LZW code {code}")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise TiffParseError(f"LZW code {code} beyond table")
+        out += entry
+        prev = entry
+        # early change, decoder side: the writer's table runs one entry
+        # ahead (it adds the pair BEFORE emitting the next code), so
+        # the reader must widen one entry sooner than its own table
+        # size suggests.
+        if len(table) + 2 >= (1 << width) and width < 12:
+            width += 1
+    return bytes(out)
 
 
 def _read_values(
@@ -143,11 +225,16 @@ def _decode_block(
             raw = zlib.decompressobj().decompress(raw, expect_bytes)
         except zlib.error as e:
             raise TiffParseError(f"bad deflate stream in block at {off}: {e}") from e
+    elif compression == _COMP_LZW:
+        raw = _lzw_decompress(raw, expect_bytes)
+    elif compression == _COMP_PACKBITS:
+        raw = _packbits_decompress(raw, expect_bytes)
     elif compression != 1:
         raise TiffParseError(
             f"compression {compression} needs a codec library (tifffile/"
             "imageio — absent in this container, see FIXTURES.md); built-in "
-            "codecs are uncompressed (1) and zlib/deflate (8, 32946)"
+            "codecs are uncompressed (1), zlib/deflate (8, 32946), LZW (5), "
+            "and PackBits (32773)"
         )
     expect = rows * cols * spp
     arr = np.frombuffer(raw, dtype=dtype, count=min(expect, len(raw) // dtype.itemsize))

@@ -76,11 +76,108 @@ def test_multisample_page_roundtrip():
 
 def test_compressed_raises_with_codec_hint():
     blob, _ = _golden_single_page()
-    # flip the Compression entry (tag 259) value from 1 -> 5 (LZW)
+    # flip the Compression entry (tag 259) value from 1 -> 7 (JPEG)
     idx = blob.find(struct.pack("<HHI", 259, 3, 1))
-    bad = blob[: idx + 8] + struct.pack("<HH", 5, 0) + blob[idx + 12 :]
+    bad = blob[: idx + 8] + struct.pack("<HH", 7, 0) + blob[idx + 12 :]
     with pytest.raises(TiffParseError, match="codec"):
         decode_tiff(bad)
+
+
+def _swap_strip_codec(blob: bytes, comp_code: int, new_payload: bytes) -> bytes:
+    """Re-point a single-strip uncompressed blob at a recoded payload."""
+    idx = blob.find(struct.pack("<HHI", 259, 3, 1))
+    assert idx >= 0
+    blob = blob[: idx + 8] + struct.pack("<HH", comp_code, 0) + blob[idx + 12 :]
+    cdx = blob.find(struct.pack("<HHI", 279, 4, 1))
+    assert cdx >= 0
+    (old_count,) = struct.unpack_from("<I", blob, cdx + 8)
+    return (
+        blob[: cdx + 8]
+        + struct.pack("<I", len(new_payload))
+        + blob[cdx + 12 : len(blob) - old_count]
+        + new_payload
+    )
+
+
+def test_packbits_decode():
+    """PackBits (tag 32773) decoded per TIFF 6.0 §9 — payload built by
+    an independent test-local encoder."""
+
+    def packbits(data: bytes) -> bytes:
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            run = 1
+            while i + run < len(data) and run < 128 and data[i + run] == data[i]:
+                run += 1
+            if run >= 2:
+                out += bytes([257 - run, data[i]])
+                i += run
+            else:
+                j = i + 1
+                while (
+                    j < len(data)
+                    and j - i < 128
+                    and not (j + 1 < len(data) and data[j] == data[j + 1])
+                ):
+                    j += 1
+                out += bytes([j - i - 1]) + data[i:j]
+                i = j
+        return bytes(out)
+
+    img = np.array(
+        [[7, 7, 7, 7, 1, 2], [3, 3, 3, 3, 3, 3], [9, 8, 7, 6, 5, 4]],
+        dtype=np.uint8,
+    )
+    blob = encode_tiff(img[None, ...])  # uncompressed single strip
+    patched = _swap_strip_codec(blob, 32773, packbits(img.tobytes()))
+    assert np.array_equal(decode_tiff(patched)[0, ..., 0], img)
+
+
+def test_lzw_decode_with_width_changes():
+    """TIFF-flavor LZW (tag 5): MSB-first codes, CLEAR/EOI, EARLY width
+    change — stream built by an independent test-local compressor and
+    large enough to push past 9-bit codes."""
+
+    def lzw(data: bytes) -> bytes:
+        CLEAR, EOI = 256, 257
+        bits: list[tuple[int, int]] = []
+        width = 9
+        table = {bytes([i]): i for i in range(256)}
+        next_code = 258
+        bits.append((CLEAR, width))
+        w = b""
+        for b in data:
+            wc = w + bytes([b])
+            if wc in table:
+                w = wc
+                continue
+            bits.append((table[w], width))
+            table[wc] = next_code
+            next_code += 1
+            if next_code + 1 >= (1 << width) and width < 12:
+                width += 1
+            w = bytes([b])
+        if w:
+            bits.append((table[w], width))
+        bits.append((EOI, width))
+        acc = nacc = 0
+        out = bytearray()
+        for code, cw in bits:
+            acc = (acc << cw) | code
+            nacc += cw
+            while nacc >= 8:
+                out.append((acc >> (nacc - 8)) & 0xFF)
+                nacc -= 8
+        if nacc:
+            out.append((acc << (8 - nacc)) & 0xFF)
+        return bytes(out)
+
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 255, (24, 40), dtype=np.uint8)  # ~1k entries
+    blob = encode_tiff(img[None, ...])
+    patched = _swap_strip_codec(blob, 5, lzw(img.tobytes()))
+    assert np.array_equal(decode_tiff(patched)[0, ..., 0], img)
 
 
 def test_bad_magic_raises():
