@@ -68,6 +68,12 @@ def _signature(
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
+        if portable:
+            # round to the same 6-dp grain as the score columns BEFORE
+            # the sign test: Spark folds in array order while SQL SUM
+            # order is unspecified, so an unrounded dot within an ulp
+            # of zero could flip a signature bit across engines
+            dot_j = F.round(dot_j, 6)
         bit = F.when(dot_j >= 0, F.lit(1).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )

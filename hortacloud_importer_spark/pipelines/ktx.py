@@ -22,16 +22,14 @@ own mipmap chain (the bounded-state cascade), and writes one
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hortacloud_importer_spark.sources import manifest
 from hortacloud_importer_spark.sources.block_store import (
     read_tiff_block_store,
 )
 from hortacloud_importer_spark.sources.datasource import (
-    _pa_fs,
     register_volume_sources,
 )
 from hortacloud_importer_spark.sources.ktx import ktx_encode_blocks
@@ -44,6 +42,146 @@ from hortacloud_importer_spark.volume.downsample import (
 _KEY = ["zi", "yi", "xi", "channel"]
 
 
+def _block_key(blocks: DataFrame) -> list[str]:
+    return [
+        c for c in ("zi", "yi", "xi", "depth", "channel") if c in blocks.columns
+    ]
+
+
+def channel_block_stats(blocks: DataFrame) -> DataFrame:
+    """Per-(block, channel) input-intensity statistics — the
+    reference's pass-1 per-channel histogram walk
+    (ktx_from_rendered_tiff.py:433-530) as ONE fused plan per store:
+    all 101 exact non-zero percentiles, zero/total counts, and the
+    black/white/gamma intensity-downsample params (D4+D5+D6+D10,
+    grouped by block key instead of globally — same shape as
+    queries/flagship.py::channel_stats).
+
+    Output columns: block key + ``stats_percentiles`` (array<long>,
+    101 entries), ``stats_zero_count``, ``stats_total_count``,
+    ``black_level``, ``white_level``, ``gamma0`` — the passthrough
+    schema sources/ktx.py::ktx_encode_blocks consumes. The only
+    shuffle is the (key, intensity) histogram groupBy, whose output is
+    bounded by 65,536 bins per block-channel regardless of voxels."""
+    from pyspark.sql import Window
+
+    from hortacloud_importer_spark.operators import requant as R
+
+    key = _block_key(blocks)
+    vox = blocks.select(*key, F.explode("voxels").alias("i"))
+    full_hist = vox.groupBy(*key, "i").agg(F.count("*").alias("bin_count"))
+    order = Window.partitionBy(*key).orderBy("i")
+    whole = order.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    nz_count = F.when(F.col("i") > 0, F.col("bin_count"))
+    cdf = full_hist.withColumn("cum_count", F.sum(nz_count).over(order)).withColumn(
+        "total_nonzero", F.sum(nz_count).over(whole)
+    )
+    pct = (F.lit(100.0) * F.col("cum_count")) / F.col("total_nonzero")
+    nz_i = F.when(F.col("i") > 0, F.col("i"))
+    pct_exprs = [F.coalesce(F.min(nz_i), F.lit(0)).cast("long").alias("p0")]
+    for p in range(1, 100):
+        pct_exprs.append(
+            F.coalesce(F.min(F.when(pct >= F.lit(float(p)), F.col("i"))), F.lit(0))
+            .cast("long")
+            .alias(f"p{p}")
+        )
+    pct_exprs.append(F.coalesce(F.max(nz_i), F.lit(0)).cast("long").alias("p100"))
+    pctl = cdf.groupBy(*key).agg(
+        *pct_exprs,
+        F.sum("bin_count").alias("stats_total_count"),
+        F.coalesce(
+            F.sum(F.when(F.col("i") == 0, F.col("bin_count"))),
+            F.lit(0).cast("bigint"),
+        ).alias("stats_zero_count"),
+    )
+    mean, stddev = R.band_moments()
+    params = pctl.select("*", mean, stddev).select("*", *R.requant_params())
+    return params.select(
+        *key,
+        F.array(*[F.col(f"p{p}") for p in range(101)]).alias("stats_percentiles"),
+        "stats_zero_count",
+        "stats_total_count",
+        "black_level",
+        "white_level",
+        F.col("gamma").alias("gamma0"),
+    )
+
+
+def requantize_blocks(blocks: DataFrame, stats: DataFrame) -> DataFrame:
+    """uint16 -> uint8 intensity requantization of block payloads with
+    per-(block, channel) params — the reference's pass-2 transform
+    (ktx_from_rendered_tiff.py:346-365), as a Catalyst
+    ``F.transform`` over the voxel arrays (no explode, no Python):
+    shift by black, floor small values at 1, preserve zero as no-data,
+    scale by 1/range, clamp at 1, gamma-correct, expand to 0-254,
+    ceil. Association mirrors the NumPy mirror
+    (volume/geometry.py::requantize) exactly."""
+    key = _block_key(blocks)
+    joined = blocks.join(
+        stats.select(*key, "black_level", "white_level", "gamma0"), key, "left"
+    )
+    black = F.coalesce(F.col("black_level").cast("double"), F.lit(1.0))
+    white = F.coalesce(F.col("white_level").cast("double"), F.lit(65535.0))
+    gamma = F.coalesce(F.col("gamma0"), F.lit(0.5))
+    rng = F.greatest(F.lit(1.0), white - black)
+
+    def requant(v):
+        t = v.cast("double") - black
+        t = F.when(t <= 1.0, F.lit(1.0)).otherwise(t)
+        t = F.when(v == 0, F.lit(0.0)).otherwise(t)
+        t = t * (F.lit(1.0) / rng)
+        t = F.when(t >= 1.0, F.lit(1.0)).otherwise(t)
+        t = F.pow(t, gamma) * F.lit(254.0)
+        return F.ceil(t).cast("int")
+
+    return joined.withColumn("voxels", F.transform("voxels", requant)).drop(
+        "black_level", "white_level", "gamma0"
+    )
+
+
+def downsample_blocks_xy(
+    blocks: DataFrame,
+    block_dims: tuple[int, int, int],
+    filter_: str = "arthur",
+) -> DataFrame:
+    """Halve block payloads in X and Y only (z untouched) — the
+    reference's optional first-mip spatial downsample
+    (downsample_array_xy, ktx/util.py:184-192), as one hash aggregate
+    with the same zero-is-NULL kernel and odd-pivot mapping as the
+    z-halving chain."""
+    key = _block_key(blocks)
+    bz, by, bx = block_dims
+    my, mx = mipmap_dimension(1, by), mipmap_dimension(1, bx)
+    pos = F.col("pos")
+    vox = blocks.select(
+        *key, F.posexplode("voxels").alias("pos", "intensity")
+    ).select(
+        *key,
+        F.floor(pos / (by * bx)).cast("int").alias("lz"),
+        child_index((F.floor(pos / bx) % by).cast("int"), by).alias("ly"),
+        child_index((pos % bx).cast("int"), bx).alias("lx"),
+        "intensity",
+    )
+    agg = vox.groupBy(*key, "lz", "ly", "lx").agg(
+        _agg_expr(filter_).cast("int").alias("intensity")
+    )
+    packed = F.struct(
+        ((F.col("lz") * my + F.col("ly")) * mx + F.col("lx"))
+        .cast("long")
+        .alias("k"),
+        F.col("intensity").alias("v"),
+    )
+    return (
+        agg.groupBy(*key)
+        .agg(F.sort_array(F.collect_list(packed)).alias("kv"))
+        .select(
+            *key,
+            F.array(F.lit(bz), F.lit(my), F.lit(mx)).alias("shape"),
+            F.transform("kv", lambda s: s["v"]).alias("voxels"),
+        )
+    )
+
+
 def block_mip_chain(
     blocks: DataFrame,
     block_dims: tuple[int, int, int],
@@ -54,15 +192,19 @@ def block_mip_chain(
     ``level`` 1..n_mips-1 downsampled WITHIN each block — the per-node
     chain a KTX file stores. Every level is one hash aggregate; the
     block key rides along, so no per-block Python loop exists anywhere.
+    A ``depth`` column (octree level of the block, from
+    read_tiff_block_store) joins the key when present so whole-store
+    conversions keep same-coordinate blocks at different levels apart.
     """
+    key = _KEY + (["depth"] if "depth" in blocks.columns else [])
     bz, by, bx = block_dims
     frames = [
-        blocks.select(*_KEY, "shape", "voxels").withColumn("level", F.lit(0))
+        blocks.select(*key, "shape", "voxels").withColumn("level", F.lit(0))
     ]
     pos = F.col("pos")
-    cur = blocks.select(*_KEY, F.posexplode("voxels").alias("pos", "intensity"))
+    cur = blocks.select(*key, F.posexplode("voxels").alias("pos", "intensity"))
     cur = cur.select(
-        *_KEY,
+        *key,
         F.floor(pos / (by * bx)).cast("int").alias("lz"),
         (F.floor(pos / bx) % by).cast("int").alias("ly"),
         (pos % bx).cast("int").alias("lx"),
@@ -73,7 +215,7 @@ def block_mip_chain(
         cz = child_index(F.col("lz"), dims_k[0]).alias("lz")
         cy = child_index(F.col("ly"), dims_k[1]).alias("ly")
         cx = child_index(F.col("lx"), dims_k[2]).alias("lx")
-        cur = cur.groupBy(*_KEY, cz, cy, cx).agg(
+        cur = cur.groupBy(*key, cz, cy, cx).agg(
             _agg_expr(filter_).cast("int").alias("intensity")
         )
         dims_k = tuple(mipmap_dimension(1, d) for d in dims_k)
@@ -85,10 +227,10 @@ def block_mip_chain(
             F.col("intensity").alias("v"),
         )
         frames.append(
-            cur.groupBy(*_KEY)
+            cur.groupBy(*key)
             .agg(F.sort_array(F.collect_list(packed)).alias("kv"))
             .select(
-                *_KEY,
+                *key,
                 F.transform("kv", lambda s: s["v"]).alias("voxels"),
                 F.array(*[F.lit(int(d)) for d in dims_k]).alias("shape"),
                 F.lit(k).alias("level"),
@@ -128,10 +270,11 @@ def tiff_octree_to_ktx(
         .mode("append")
         .save(out_dir)
     )
-    filesystem, base = _pa_fs(out_dir)
-    with filesystem.open_input_stream(f"{base}/_MANIFEST.json") as fh:
-        manifest = json.loads(fh.read())
+    # distinct committed-file count via the manifest-shard DataFrame
+    # (one file per block in this sink, so n_blocks == n_files); the
+    # count is a Spark job over shard text files, never a driver set
+    n_files = int(manifest.committed_files_df(spark, out_dir).distinct().count())
     return spark.createDataFrame(
-        [(len(manifest["files"]), int(manifest["n_rows"]), n_mips)],
+        [(n_files, n_files, n_mips)],
         "n_files long, n_blocks long, n_mips int",
     )

@@ -20,12 +20,14 @@ the engine's existing operators into exactly that run:
   axis (ktx/util.py:223-239), so level k lands at octree depth
   nlevels-1-k — the root block is the lowest-resolution mip;
 - sink: the ``tiff_blocks`` DataSource (A6 — octree-path ZLIB TIFF,
-  skip-empty, manifest commit); successive levels merge into one
-  ``_MANIFEST.json``;
+  skip-empty, sharded manifest commit: one immutable shard per level,
+  sources/manifest.py);
 - resume (C4/A11): blocks whose file is already in the manifest are
   anti-joined away BEFORE any payload work, the distributed dual of
   the reference's per-block existence checks (tiff2octree.py:359-368,
-  1040-1041).
+  1040-1041). The committed side is READ as a DataFrame from the
+  manifest shards (spark.read.text — splittable), never materialized
+  as a driver-side set, so resume scales to ~1e7-block stores.
 
 Everything stays declarative until the sink: one leaf scan, one
 hash-aggregate per level, no driver-side payloads.
@@ -33,11 +35,10 @@ hash-aggregate per level, no driver-side payloads.
 
 from __future__ import annotations
 
-import json
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hortacloud_importer_spark.sources import manifest
 from hortacloud_importer_spark.sources.datasource import (
     _pa_fs,
     register_volume_sources,
@@ -49,15 +50,6 @@ from hortacloud_importer_spark.volume import (
     octree_path,
 )
 from hortacloud_importer_spark.volume.downsample import downsample_voxels
-
-
-def _committed_files(out_dir: str) -> set[str]:
-    filesystem, base = _pa_fs(out_dir)
-    try:
-        with filesystem.open_input_stream(f"{base}/_MANIFEST.json") as fh:
-            return set(json.loads(fh.read()).get("files", []))
-    except (FileNotFoundError, OSError):
-        return set()
 
 
 def _infer_dims(voxels: DataFrame) -> tuple[int, int, int]:
@@ -77,6 +69,9 @@ def build_octree(
     dtype: str = "uint16",
     resume: bool = True,
     channels: int = 1,
+    origin_nm: tuple[float, float, float] = (0.0, 0.0, 0.0),
+    voxel_size_um: tuple[float, float, float] = (1.0, 1.0, 1.0),
+    write_transform: bool = True,
 ) -> DataFrame:
     """Run the full slices -> octree-of-TIFF-blocks build.
 
@@ -86,7 +81,13 @@ def build_octree(
     sources) because block payloads reshape to full block extent.
     Returns the per-level accounting (level, n_blocks_written,
     n_voxels) the run produced — all sink effects are in ``out_dir``
-    (blocks + merged ``_MANIFEST.json``).
+    (blocks + manifest shards + root ``transform.txt``).
+
+    ``origin_nm`` / ``voxel_size_um`` (both xyz; origin in nm, LEAF
+    voxel size in um) feed the root ``transform.txt`` the reference
+    writes beside its octree (tiff2octree.py:842-901) and that the
+    KTX pass reads first (ktx_from_rendered_tiff.py:34-48) —
+    ``pipelines.ktx.tiff_octree_to_ktx`` picks it up automatically.
     """
     register_volume_sources(spark)  # tiff_volume scan + tiff_blocks sink
     if isinstance(source, str):
@@ -116,7 +117,10 @@ def build_octree(
     leaf_grid = 1 << (nlevels - 1)  # leaf blocks per axis
     block_dims = tuple(-(-d // leaf_grid) for d in dims)
 
-    committed = _committed_files(out_dir) if resume else set()
+    filesystem, base = _pa_fs(out_dir)
+    # committed side as a DataFrame (None = no manifest yet): the
+    # resume anti-join never materializes the set driver-side
+    done = manifest.committed_files_df(spark, out_dir) if resume else None
     n_channels = int(
         voxels.agg(F.countDistinct("channel").alias("c")).first()["c"]
     )
@@ -133,10 +137,11 @@ def build_octree(
         dims = padded
     summary_rows = []
     cur, cur_dims = voxels, dims
+    seen_summaries = set(manifest.summary_files(filesystem, base))
     for level in range(nlevels):
         depth = nlevels - level  # tiff_blocks nlevels option: digits+1
         blocks = blockify(cur, block_dims)
-        if committed:
+        if done is not None:
             rel = F.concat(
                 F.when(
                     F.lit(depth > 1),
@@ -146,12 +151,12 @@ def build_octree(
                 ).otherwise(F.lit("")),
                 F.concat_ws("", F.lit("default."), "channel", F.lit(".tif")),
             )
-            done = spark.createDataFrame(
-                [(f,) for f in sorted(committed)], "rel string"
-            )
+            # no broadcast hint: the committed side can be ~1e7 paths
+            # at 100 TB; a shuffled anti-join on the path key is the
+            # scale-safe shape (AQE still broadcasts when it is small)
             blocks = (
                 blocks.withColumn("rel", rel)
-                .join(F.broadcast(done), "rel", "left_anti")
+                .join(done, "rel", "left_anti")
                 .drop("rel")
             )
         (
@@ -162,16 +167,33 @@ def build_octree(
             .save(out_dir)
         )
         # accounting from metadata only — no extra jobs over the data:
-        # files this level = manifest delta (excludes skipped/resumed),
-        # voxel count = the dense-grid arithmetic
-        now_committed = _committed_files(out_dir)
-        n_blocks = len(now_committed - committed)
-        committed = now_committed
+        # each level's write appends exactly one manifest shard, so
+        # "files written this level" is that shard's n_files (resumed
+        # and skipped blocks never reach the shard's file list)
+        new_summaries = [
+            p
+            for p in manifest.summary_files(filesystem, base)
+            if p not in seen_summaries
+        ]
+        seen_summaries.update(new_summaries)
+        n_blocks = sum(
+            int(manifest.read_summary(filesystem, p).get("n_files", 0))
+            for p in new_summaries
+        )
         n_voxels = cur_dims[0] * cur_dims[1] * cur_dims[2] * n_channels
         summary_rows.append((level, n_blocks, n_voxels))
         if level < nlevels - 1:
             cur = downsample_voxels(cur, cur_dims, filter_)
             cur_dims = tuple(mipmap_dimension(1, d) for d in cur_dims)
+    if write_transform:
+        # the reference writes transform.txt once per build
+        # (tiff2octree.py:842-901): origin verbatim (nm), s* = leaf
+        # voxel size scaled to the root level
+        from hortacloud_importer_spark.volume.geometry import (
+            write_transform_txt,
+        )
+
+        write_transform_txt(out_dir, origin_nm, voxel_size_um, nlevels)
     return spark.createDataFrame(
         summary_rows, "level int, n_blocks_written long, n_voxels long"
     )

@@ -197,7 +197,7 @@ planes AS (
 sigs AS (
   SELECT vec_id, SUM(bit) AS sig FROM (
     SELECT vp.vec_id, p.j,
-           CASE WHEN SUM(vp.v * p.w) >= 0
+           CASE WHEN ROUND(SUM(vp.v * p.w), 6) >= 0
                 THEN CAST(1 AS BIGINT) << p.j ELSE 0 END AS bit
     FROM vecpos vp JOIN planes p ON p.d = vp.d
     GROUP BY vp.vec_id, p.j

@@ -107,6 +107,15 @@ def read_tiff_block_store(spark: SparkSession, root: str) -> DataFrame:
     digits in the PATH (``1 + x_bit + 2*y_bit + 4*z_bit`` per level,
     MSB first — tiff2octree.py:263-279), so the store round-trips
     without a manifest. Payload bytes never visit the driver.
+
+    When the store HAS a manifest (sources/manifest.py shards or the
+    legacy ``_MANIFEST.json``), the scan is restricted to the
+    committed file set via a semi-join on the relative path — abort
+    cleanup is best-effort (and non-local filesystems write final
+    names directly), so a killed build can leave uncommitted ``.tif``
+    leftovers that must not be read back as data. Manifest-less
+    stores (foreign octrees, e.g. the reference's own output) fall
+    back to the full glob.
     """
     from pyspark.sql.types import (
         ArrayType,
@@ -173,6 +182,22 @@ def read_tiff_block_store(spark: SparkSession, root: str) -> DataFrame:
         .option("pathGlobFilter", "*.tif")
         .load(root)
     )
+    from hortacloud_importer_spark.sources import manifest
+
+    committed = manifest.committed_files_df(spark, root)
+    if committed is not None:
+        import re as _re
+
+        # same root-prefix split the decoder uses; no broadcast hint —
+        # the committed side can be ~1e7 paths, AQE broadcasts small
+        rel = F.element_at(
+            F.split("path", _re.escape(f"{root.rstrip('/')}/")), -1
+        ).alias("rel")
+        files = (
+            files.withColumn("rel", rel)
+            .join(committed, "rel", "left_semi")
+            .drop("rel")
+        )
     return files.select("path", "content").mapInPandas(decode, out_schema)
 
 

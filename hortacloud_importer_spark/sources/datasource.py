@@ -459,7 +459,13 @@ class _TiffSliceStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         total = len(_sorted_slices(self.root, self.suffix, self.channel))
-        self._advanced = min(total, self._advanced + self.per_batch)
+        # never move backward: _advanced is floored at every offset
+        # Spark has already shown us (partitions()/commit() raise it on
+        # restart), so a fresh reader instance cannot offer an offset
+        # below the checkpointed commit even if total shrank
+        self._advanced = max(
+            self._advanced, min(total, self._advanced + self.per_batch)
+        )
         return {"n": self._advanced}
 
     def partitions(self, start: dict, end: dict):
@@ -480,7 +486,10 @@ class _TiffSliceStreamReader(DataSourceStreamReader):
                 yield _voxel_batch(*_slice_axes(_read_bytes(path), z))
 
     def commit(self, end: dict) -> None:
-        pass
+        # restart path: Spark commits recovered batches before asking
+        # for a new latestOffset — floor the high-water mark here so a
+        # fresh reader never offers an offset below the checkpoint
+        self._advanced = max(self._advanced, int(end["n"]))
 
 
 SLICE_DDL = "z bigint, height int, width int, voxels array<bigint>"
@@ -529,11 +538,13 @@ class _KtxWriter(DataSourceWriter):
       idempotent names, tmp+rename on local FS (single-PUT object
       stores need no staging); a retried task overwrites its own
       files, so speculative/retried attempts cannot duplicate.
-    - ``commit()`` (driver) writes a ``_MANIFEST.json`` naming every
-      committed file — the atomic-visibility marker the reference
-      implements as sentinel files (do_step1/dummy_generated,
+    - ``commit()`` (driver) appends ONE manifest shard naming the
+      files this run committed (sources/manifest.py — the Delta-log
+      pattern) — the atomic-visibility marker the reference implements
+      as sentinel files (do_step1/dummy_generated,
       tiff2octree.py:1328-1355; I5), and what a resume anti-join (C4)
-      can read instead of listing the store.
+      reads instead of listing the store. O(run) per commit, never
+      O(store).
     - ``overwrite`` mode clears prior ``.ktx`` files + manifest first.
     """
 
@@ -543,7 +554,10 @@ class _KtxWriter(DataSourceWriter):
         if overwrite:
             from pyarrow import fs as pafs
 
+            from hortacloud_importer_spark.sources import manifest
+
             filesystem, base = _pa_fs(self.out_dir)
+            manifest.clear(filesystem, base)
             try:
                 infos = filesystem.get_file_info(
                     pafs.FileSelector(base, recursive=False)
@@ -551,9 +565,8 @@ class _KtxWriter(DataSourceWriter):
             except (FileNotFoundError, OSError):
                 infos = []
             for info in infos:
-                if info.type == pafs.FileType.File and (
-                    info.base_name.endswith(".ktx")
-                    or info.base_name == "_MANIFEST.json"
+                if info.type == pafs.FileType.File and info.base_name.endswith(
+                    ".ktx"
                 ):
                     filesystem.delete_file(info.path)
 
@@ -579,24 +592,15 @@ class _KtxWriter(DataSourceWriter):
         return _KtxCommit(files, n)
 
     def commit(self, messages) -> None:
-        import json
+        from hortacloud_importer_spark.sources import manifest
 
         filesystem, base = _pa_fs(self.out_dir)
         files = {f for m in messages if m for f in m.files}
-        # append merges with the prior manifest (same contract as the
-        # tiff_blocks sink): incremental runs must not un-commit files
-        if not self.overwrite:
-            try:
-                with filesystem.open_input_stream(
-                    f"{base}/_MANIFEST.json"
-                ) as fh:
-                    files |= set(json.loads(fh.read()).get("files", []))
-            except (FileNotFoundError, OSError):
-                pass
-        manifest = {"files": sorted(files), "n_rows": len(files)}
+        # one immutable shard per commit: append/resume runs accumulate
+        # shards, nothing merges or rewrites (prior commits stay
+        # visible through the shard union — sources/manifest.py)
         filesystem.create_dir(base, recursive=True)
-        with filesystem.open_output_stream(f"{base}/_MANIFEST.json") as fh:
-            fh.write(json.dumps(manifest).encode())
+        manifest.write_commit(filesystem, base, sorted(files))
 
     def abort(self, messages) -> None:
         filesystem, base = _pa_fs(self.out_dir)
@@ -660,10 +664,11 @@ class _TiffBlockWriter(DataSourceWriter):
 
     Commit semantics mirror ``ktx_files``: executors stage via
     pyarrow.fs (tmp+rename on local FS, idempotent names so retried
-    tasks overwrite themselves), the driver commits a ``_MANIFEST.json``
-    naming every file — the atomic-visibility marker the reference
-    implements as sentinel files (tiff2octree.py:1328-1355), and the
-    input a resume anti-join (C4) reads instead of walking the tree.
+    tasks overwrite themselves), the driver appends ONE manifest shard
+    per commit (sources/manifest.py) — the atomic-visibility marker
+    the reference implements as sentinel files
+    (tiff2octree.py:1328-1355), and the input a resume anti-join (C4)
+    reads instead of walking the tree.
     Options: ``nlevels`` (octree depth, default 1 = flat), ``dtype``
     (``uint8``/``uint16``, default uint16), ``skip_empty`` (default
     true)."""
@@ -679,7 +684,10 @@ class _TiffBlockWriter(DataSourceWriter):
         if overwrite:
             from pyarrow import fs as pafs
 
+            from hortacloud_importer_spark.sources import manifest
+
             filesystem, base = _pa_fs(self.out_dir)
+            manifest.clear(filesystem, base)
             try:
                 infos = filesystem.get_file_info(
                     pafs.FileSelector(base, recursive=True)
@@ -687,9 +695,8 @@ class _TiffBlockWriter(DataSourceWriter):
             except (FileNotFoundError, OSError):
                 infos = []
             for info in infos:
-                if info.type == pafs.FileType.File and (
-                    info.base_name.endswith(".tif")
-                    or info.base_name == "_MANIFEST.json"
+                if info.type == pafs.FileType.File and info.base_name.endswith(
+                    ".tif"
                 ):
                     filesystem.delete_file(info.path)
 
@@ -731,34 +738,19 @@ class _TiffBlockWriter(DataSourceWriter):
         return _TiffBlockCommit(files, n, skipped)
 
     def commit(self, messages) -> None:
-        import json
+        from hortacloud_importer_spark.sources import manifest
 
         filesystem, base = _pa_fs(self.out_dir)
         files = {f for m in messages if m for f in m.files}
         skipped = sum(m.n_skipped for m in messages if m)
-        # append mode MERGES with the prior manifest: successive
-        # per-level writes of one octree build (pipelines/octree.py)
-        # share the root, and a resume run must not un-commit earlier
-        # levels' files (the reference's sentinel files accumulate the
-        # same way, tiff2octree.py:1328-1355)
-        if not self.overwrite:
-            try:
-                with filesystem.open_input_stream(
-                    f"{base}/_MANIFEST.json"
-                ) as fh:
-                    prior = json.loads(fh.read())
-                files |= set(prior.get("files", []))
-                skipped += int(prior.get("n_skipped", 0))
-            except (FileNotFoundError, OSError):
-                pass
-        manifest = {
-            "files": sorted(files),
-            "n_rows": len(files),
-            "n_skipped": skipped,
-        }
+        # one immutable shard per commit: successive per-level writes
+        # of one octree build (pipelines/octree.py) accumulate shards
+        # under the shared root, prior commits stay visible through
+        # the shard union, and nothing is ever rewritten (the
+        # reference's sentinel files accumulate the same way,
+        # tiff2octree.py:1328-1355). n_skipped is per-RUN by contract.
         filesystem.create_dir(base, recursive=True)
-        with filesystem.open_output_stream(f"{base}/_MANIFEST.json") as fh:
-            fh.write(json.dumps(manifest).encode())
+        manifest.write_commit(filesystem, base, sorted(files), n_skipped=skipped)
 
     def abort(self, messages) -> None:
         filesystem, base = _pa_fs(self.out_dir)

@@ -317,10 +317,12 @@ def test_tiff_stream_restart_resumes_from_checkpoint(registered, tmp_path):
 
 def test_ktx_writer_datasource_roundtrip(registered, tmp_path):
     """A8 through df.write.format("ktx_files"): blobs land with
-    idempotent names, _MANIFEST.json records the committed set, and
-    binaryFile + ktx_decode_blocks recovers the voxels."""
+    idempotent names, the manifest shard records the committed set,
+    and binaryFile + ktx_decode_blocks recovers the voxels."""
+    from pyarrow import fs as pafs
     from pyspark.sql import functions as F
 
+    from hortacloud_importer_spark.sources import manifest
     from hortacloud_importer_spark.sources.ktx import (
         ktx_decode_blocks,
         ktx_encode_blocks,
@@ -333,12 +335,12 @@ def test_ktx_writer_datasource_roundtrip(registered, tmp_path):
     encoded = ktx_encode_blocks(blocks)
     encoded.write.format("ktx_files").mode("append").save(str(out))
 
-    manifest = json.loads((out / "_MANIFEST.json").read_text())
-    assert sorted(manifest["files"]) == [
+    fs = pafs.LocalFileSystem()
+    assert sorted(manifest.committed_files(fs, str(out))) == [
         "block_0_0_0_ch0.ktx",
         "block_0_0_0_ch1.ktx",
     ]
-    assert manifest["n_rows"] == 2
+    assert manifest.run_totals(fs, str(out))["n_files"] == 2
 
     bin_df = (
         registered.read.format("binaryFile")
@@ -362,12 +364,13 @@ def test_ktx_writer_datasource_roundtrip(registered, tmp_path):
 
 def test_ktx_writer_append_merges_manifest(registered, tmp_path):
     """A second append run (an incremental/resume conversion) must keep
-    the first run's files in _MANIFEST.json — same contract as the
-    tiff_blocks sink."""
-    import json
-
+    the first run's files visible in the committed set — one immutable
+    shard per run, union on read (same contract as the tiff_blocks
+    sink)."""
+    from pyarrow import fs as pafs
     from pyspark.sql import functions as F
 
+    from hortacloud_importer_spark.sources import manifest
     from hortacloud_importer_spark.sources.ktx import ktx_encode_blocks
     from hortacloud_importer_spark.volume import blockify, synthetic_volume
 
@@ -378,12 +381,20 @@ def test_ktx_writer_append_merges_manifest(registered, tmp_path):
         ktx_encode_blocks(blocks.filter(F.col("channel") == ch)).write.format(
             "ktx_files"
         ).mode("append").save(str(out))
-    manifest = json.loads((out / "_MANIFEST.json").read_text())
-    assert sorted(manifest["files"]) == [
+    fs = pafs.LocalFileSystem()
+    assert sorted(manifest.committed_files(fs, str(out))) == [
         "block_0_0_0_ch0.ktx",
         "block_0_0_0_ch1.ktx",
     ]
-    assert manifest["n_rows"] == 2
+    # two commits -> two shards; neither rewrote the other
+    assert len(manifest.summary_files(fs, str(out))) == 2
+    rows = [
+        r["rel"]
+        for r in manifest.committed_files_df(registered, str(out))
+        .distinct()
+        .collect()
+    ]
+    assert sorted(rows) == ["block_0_0_0_ch0.ktx", "block_0_0_0_ch1.ktx"]
 
 
 def test_ktx_writer_overwrite_clears_stale_files(registered, tmp_path):
@@ -403,8 +414,13 @@ def test_ktx_writer_overwrite_clears_stale_files(registered, tmp_path):
 
     names = sorted(p.name for p in out.glob("*.ktx"))
     assert names == ["block_0_0_0_ch0.ktx"]  # stale file removed
-    manifest = json.loads((out / "_MANIFEST.json").read_text())
-    assert manifest["files"] == ["block_0_0_0_ch0.ktx"]
+    from pyarrow import fs as pafs
+
+    from hortacloud_importer_spark.sources import manifest
+
+    assert manifest.committed_files(pafs.LocalFileSystem(), str(out)) == {
+        "block_0_0_0_ch0.ktx"
+    }
 
 
 def test_tiff_stream_slices_feed_the_stateful_cascade(registered, tmp_path):

@@ -1,0 +1,174 @@
+"""Sharded commit manifest (sources/manifest.py): append-only shards,
+legacy fold-in, distributed committed-set reads, and the
+leftover-exclusion contract for read_tiff_block_store."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+from pyarrow import fs as pafs
+
+from hortacloud_importer_spark.sources import manifest
+
+_FS = pafs.LocalFileSystem()
+
+_SCHEMA = (
+    "zi int, yi int, xi int, channel int, shape array<int>, voxels array<int>"
+)
+
+
+def test_shards_accumulate_without_rewrites(tmp_path):
+    base = str(tmp_path / "store")
+    _FS.create_dir(base, recursive=True)
+    manifest.write_commit(_FS, base, ["a/x.tif", "b/y.tif"], n_skipped=1)
+    first = manifest.summary_files(_FS, base)
+    assert len(first) == 1
+    before = {p: _FS.get_file_info(p).mtime for p in first}
+
+    manifest.write_commit(_FS, base, ["c/z.tif"], n_skipped=2)
+    second = manifest.summary_files(_FS, base)
+    assert len(second) == 2
+    # the first shard was not touched by the second commit
+    for p, mtime in before.items():
+        assert _FS.get_file_info(p).mtime == mtime
+
+    assert manifest.committed_files(_FS, base) == {
+        "a/x.tif",
+        "b/y.tif",
+        "c/z.tif",
+    }
+    totals = manifest.run_totals(_FS, base)
+    assert totals == {"n_files": 3, "n_skipped": 3}
+    assert manifest.has_manifest(_FS, base)
+
+
+def test_no_manifest_returns_none_df(spark, tmp_path):
+    base = str(tmp_path / "empty")
+    _FS.create_dir(base, recursive=True)
+    assert not manifest.has_manifest(_FS, base)
+    assert manifest.committed_files_df(spark, base) is None
+
+
+def test_legacy_manifest_folds_into_committed_set(spark, tmp_path):
+    base = str(tmp_path / "legacy_store")
+    _FS.create_dir(base, recursive=True)
+    (tmp_path / "legacy_store" / "_MANIFEST.json").write_text(
+        json.dumps({"files": ["old/a.tif"], "n_rows": 1, "n_skipped": 4})
+    )
+    manifest.write_commit(_FS, base, ["new/b.tif"])
+
+    assert manifest.committed_files(_FS, base) == {"old/a.tif", "new/b.tif"}
+    assert manifest.run_totals(_FS, base) == {"n_files": 2, "n_skipped": 4}
+    rows = sorted(
+        r["rel"] for r in manifest.committed_files_df(spark, base).collect()
+    )
+    assert rows == ["new/b.tif", "old/a.tif"]
+
+
+def test_committed_set_df_is_file_scan_backed(spark, tmp_path):
+    """The resume side must come from a distributed text scan of the
+    shards — never a createDataFrame over a driver-side set."""
+    base = str(tmp_path / "scan_store")
+    _FS.create_dir(base, recursive=True)
+    manifest.write_commit(_FS, base, [f"{d}/default.0.tif" for d in "1234"])
+    df = manifest.committed_files_df(spark, base)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan text" in plan
+    assert "LocalTableScan" not in plan and "scan ExistingRDD" not in plan
+    assert {r["rel"] for r in df.collect()} == {
+        f"{d}/default.0.tif" for d in "1234"
+    }
+
+
+def test_build_octree_resume_side_reads_shards_distributed(spark, tmp_path):
+    """End-to-end: the resume anti-join in build_octree consumes the
+    shard text scan (no driver-side committed set, no broadcast-from-
+    local-collection)."""
+    from hortacloud_importer_spark.pipelines import build_octree
+    from hortacloud_importer_spark.sources.datasource import (
+        register_volume_sources,
+    )
+    from hortacloud_importer_spark.volume import blockify, octree_path
+    from pyspark.sql import functions as F
+
+    register_volume_sources(spark)
+    rng = np.random.default_rng(5)
+    vol = rng.integers(1, 250, (4, 4, 4))
+    rows = [
+        (int(z), int(y), int(x), 0, int(vol[z, y, x]))
+        for z in range(4)
+        for y in range(4)
+        for x in range(4)
+    ]
+    voxels = spark.createDataFrame(
+        rows, "z int, y int, x int, channel int, intensity int"
+    )
+    out = str(tmp_path / "oct")
+    build_octree(spark, voxels, out, nlevels=2, filter_="max", dims=(4, 4, 4))
+
+    # replicate the resume-side plan exactly as build_octree builds it
+    done = manifest.committed_files_df(spark, out)
+    blocks = blockify(voxels, (2, 2, 2))
+    rel = F.concat(
+        octree_path("zi", "yi", "xi", 2),
+        F.lit("/"),
+        F.concat_ws("", F.lit("default."), "channel", F.lit(".tif")),
+    )
+    todo = blocks.withColumn("rel", rel).join(done, "rel", "left_anti")
+    plan = todo._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan text" in plan
+    assert "LocalTableScan" not in plan
+    assert todo.count() == 0  # everything committed -> resume drops all
+
+
+def test_read_tiff_block_store_excludes_uncommitted_leftovers(spark, tmp_path):
+    """ADVICE r4: a killed build's leftover .tif (present on disk, not
+    in any manifest shard) must not be read back as data."""
+    from hortacloud_importer_spark.sources.block_store import (
+        read_tiff_block_store,
+    )
+    from hortacloud_importer_spark.sources.datasource import (
+        register_volume_sources,
+    )
+    from hortacloud_importer_spark.sources.tiff import encode_tiff
+
+    register_volume_sources(spark)
+    out = str(tmp_path / "store")
+    df = spark.createDataFrame(
+        [(0, 0, 0, 0, [2, 2, 2], [5] * 8)], _SCHEMA
+    )
+    df.write.format("tiff_blocks").option("nlevels", 2).mode("append").save(out)
+
+    # simulate an uncommitted leftover from a crashed task
+    leftover = tmp_path / "store" / "6"
+    leftover.mkdir(parents=True, exist_ok=True)
+    (leftover / "default.0.tif").write_bytes(
+        encode_tiff(np.full((2, 2, 2), 9, dtype=np.uint16))
+    )
+
+    got = {
+        (r["zi"], r["yi"], r["xi"]) for r in read_tiff_block_store(spark, out).collect()
+    }
+    assert got == {(0, 0, 0)}  # leftover (1,0,1) block excluded
+
+
+def test_read_tiff_block_store_manifestless_reads_everything(spark, tmp_path):
+    """A foreign octree (e.g. produced by the reference) has no
+    manifest; the full glob remains the fallback."""
+    from hortacloud_importer_spark.sources.block_store import (
+        read_tiff_block_store,
+    )
+    from hortacloud_importer_spark.sources.tiff import encode_tiff
+
+    root = tmp_path / "foreign"
+    for digit, fill in [("1", 3), ("8", 7)]:
+        (root / digit).mkdir(parents=True, exist_ok=True)
+        (root / digit / "default.0.tif").write_bytes(
+            encode_tiff(np.full((2, 2, 2), fill, dtype=np.uint16))
+        )
+    got = {
+        (r["zi"], r["yi"], r["xi"]): r["voxels"][0]
+        for r in read_tiff_block_store(spark, str(root)).collect()
+    }
+    assert got == {(0, 0, 0): 3, (1, 1, 1): 7}

@@ -5,11 +5,14 @@ main-program flow (tiff2octree.py:1236-1366) as one composition."""
 from __future__ import annotations
 
 import glob
-import json
 
 import numpy as np
+from pyarrow import fs as pafs
 
+from hortacloud_importer_spark.sources import manifest
 from hortacloud_importer_spark.sources.tiff import decode_tiff, encode_tiff
+
+_FS = pafs.LocalFileSystem()
 
 
 def _write_slices(d, vol):
@@ -36,11 +39,11 @@ def test_build_octree_end_to_end_with_resume(spark, tmp_path):
     assert summary[0] == (8, 512)
     assert summary[1] == (1, 64)
 
-    man = json.loads((tmp_path / "octree" / "_MANIFEST.json").read_text())
+    committed = sorted(manifest.committed_files(_FS, out))
     files = sorted(
         p.split(f"{out}/")[1] for p in glob.glob(f"{out}/**/*.tif", recursive=True)
     )
-    assert files == man["files"]
+    assert files == committed
     assert files == [f"{d}/default.0.tif" for d in "12345678"] + ["default.0.tif"]
 
     # leaf blocks hold the original voxels at the right octant
@@ -70,8 +73,7 @@ def test_build_octree_end_to_end_with_resume(spark, tmp_path):
         ).collect()
     }
     assert resumed == {0: 0, 1: 0}
-    man2 = json.loads((tmp_path / "octree" / "_MANIFEST.json").read_text())
-    assert man2["files"] == man["files"]
+    assert sorted(manifest.committed_files(_FS, out)) == committed
 
 
 def test_build_octree_pads_non_divisible_dims_multichannel(spark, tmp_path):

@@ -6,11 +6,14 @@ tiff2octree.py:298-317) — and the clean-room decoder reads it back."""
 from __future__ import annotations
 
 import glob
-import json
 
 import numpy as np
+from pyarrow import fs as pafs
 
+from hortacloud_importer_spark.sources import manifest
 from hortacloud_importer_spark.sources.tiff import decode_tiff
+
+_FS = pafs.LocalFileSystem()
 
 _SCHEMA = (
     "zi int, yi int, xi int, channel int, shape array<int>, voxels array<int>"
@@ -40,11 +43,14 @@ def test_tiff_blocks_sink_roundtrip_and_skip_empty(spark, tmp_path):
     out = str(tmp_path / "store")
     df.write.format("tiff_blocks").option("nlevels", 2).mode("append").save(out)
 
-    man = json.loads((tmp_path / "store" / "_MANIFEST.json").read_text())
-    assert man["n_rows"] == 2
-    assert man["n_skipped"] == 1
+    totals = manifest.run_totals(_FS, out)
+    assert totals["n_files"] == 2
+    assert totals["n_skipped"] == 1
     # octree digit at nlevels=2: 1 + x_bit + 2*y_bit + 4*z_bit
-    assert sorted(man["files"]) == ["1/default.0.tif", "6/default.0.tif"]
+    assert sorted(manifest.committed_files(_FS, out)) == [
+        "1/default.0.tif",
+        "6/default.0.tif",
+    ]
 
     for (zi, yi, xi), vox in data.items():
         digit = 1 + xi + 2 * yi + 4 * zi
@@ -71,8 +77,7 @@ def test_tiff_blocks_overwrite_clears_prior_files(spark, tmp_path):
         p.split(f"{out}/")[1] for p in glob.glob(f"{out}/**/*.tif", recursive=True)
     )
     assert files == ["1/default.1.tif"]
-    man = json.loads((tmp_path / "store" / "_MANIFEST.json").read_text())
-    assert man["files"] == ["1/default.1.tif"]
+    assert manifest.committed_files(_FS, out) == {"1/default.1.tif"}
 
 
 def test_tiff_blocks_store_reads_back_distributed(spark, tmp_path):
@@ -115,8 +120,7 @@ def test_tiff_blocks_store_feeds_resume_anti_join(spark, tmp_path):
     done = spark.createDataFrame([(0, 0, 0, 0, [2, 2, 2], [5] * 8)], _SCHEMA)
     done.write.format("tiff_blocks").option("nlevels", 2).mode("append").save(out)
 
-    man = json.loads((tmp_path / "store" / "_MANIFEST.json").read_text())
-    committed = set(man["files"])
+    committed = manifest.committed_files(_FS, out)
     work = [(0, 0, 0, 0), (1, 0, 1, 0)]  # second block not yet written
     todo = [
         (zi, yi, xi, ch)
