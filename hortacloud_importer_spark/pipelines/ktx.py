@@ -251,6 +251,10 @@ def tiff_octree_to_ktx(
     filter_: str = "arthur",
     depth: int | None = None,
     interleave: bool = False,
+    downsample_intensity: bool = False,
+    downsample_xy: bool = False,
+    with_metadata: bool = True,
+    specimen_id: str | None = None,
 ) -> DataFrame:
     """Convert a ``tiff_blocks`` octree store into a KTX block store.
 
@@ -258,18 +262,95 @@ def tiff_octree_to_ktx(
     stored blocks at that depth must share ``block_dims`` (true for
     any store pipelines/octree.py built). Returns a one-row summary
     (n_files, n_blocks, n_mips) read back from the sink manifest.
+
+    When the store carries a root ``transform.txt`` (build_octree
+    writes one; the reference requires one,
+    ktx_from_rendered_tiff.py:34-48) and ``with_metadata`` is on, each
+    KTX header gets the reference's full viewer KV payload — geometry
+    walk + per-channel statistics — and ``transform.txt`` is copied
+    beside the KTX output (tiff2octree.py:894-901).
+
+    Reference pass-2 options (convert_block_ktx_path,
+    tiff2octree.py:454-498):
+    ``downsample_intensity`` requantizes uint16 payloads to uint8 with
+    per-(block, channel) black/white/gamma estimated from the block's
+    own histogram (ktx_from_rendered_tiff.py:346-365; the header still
+    reports the INPUT-intensity statistics + reconstruction triple);
+    ``downsample_xy`` halves X/Y once before the mip chain
+    (ktx/util.py:184-192). ``n_mips`` counts levels AFTER the XY
+    halving.
     """
     register_volume_sources(spark)
     blocks = read_tiff_block_store(spark, store_root)
     if depth is not None:
         blocks = blocks.filter(F.col("depth") == depth)
-    chain = block_mip_chain(blocks, block_dims, n_mips, filter_)
+
+    from hortacloud_importer_spark.volume.geometry import (
+        OctreeGeometry,
+        read_transform_txt,
+    )
+
+    transform = read_transform_txt(store_root)
+    geometry = None
+    if with_metadata and transform is not None:
+        geometry = OctreeGeometry.from_transform(
+            transform,
+            block_dims,
+            specimen_id=specimen_id
+            or store_root.rstrip("/").rsplit("/", 1)[-1],
+            mipmap_filter=filter_,
+            downsample_xy=downsample_xy,
+            downsample_intensity=downsample_intensity,
+        )
+
+    stats = None
+    if geometry is not None or downsample_intensity:
+        # pass-1 statistics of the INPUT intensities, shared by the
+        # requant transform and the header KV; persisted because both
+        # consumers would otherwise recompute the histogram aggregate
+        stats = channel_block_stats(blocks).persist()
+    itemsize = 2
+    if downsample_intensity:
+        blocks = requantize_blocks(blocks, stats)
+        itemsize = 1
+    out_block_dims = block_dims
+    if downsample_xy:
+        blocks = downsample_blocks_xy(blocks, block_dims, filter_)
+        bz, by, bx = block_dims
+        out_block_dims = (
+            bz,
+            mipmap_dimension(1, by),
+            mipmap_dimension(1, bx),
+        )
+    chain = block_mip_chain(blocks, out_block_dims, n_mips, filter_)
+    if stats is not None:
+        chain = chain.join(stats, _block_key(blocks), "left")
     (
-        ktx_encode_blocks(chain, interleave=interleave)
+        ktx_encode_blocks(
+            chain, itemsize=itemsize, interleave=interleave, geometry=geometry
+        )
         .write.format("ktx_files")
         .mode("append")
         .save(out_dir)
     )
+    if stats is not None:
+        stats.unpersist()
+    if transform is not None:
+        # the reference copies transform.txt beside the KTX output
+        # verbatim (tiff2octree.py:894-901)
+        from hortacloud_importer_spark.sources.datasource import _pa_fs
+
+        src_fs, src_base = _pa_fs(store_root)
+        dst_fs, dst_base = _pa_fs(out_dir)
+        with src_fs.open_input_stream(
+            f"{src_base.rstrip('/')}/transform.txt"
+        ) as fh:
+            payload = fh.read()
+        dst_fs.create_dir(dst_base, recursive=True)
+        with dst_fs.open_output_stream(
+            f"{dst_base.rstrip('/')}/transform.txt"
+        ) as fh:
+            fh.write(payload)
     # distinct committed-file count via the manifest-shard DataFrame
     # (one file per block in this sink, so n_blocks == n_files); the
     # count is a Spark job over shard text files, never a driver set

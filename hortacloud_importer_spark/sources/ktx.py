@@ -203,8 +203,88 @@ def interleave_channels(arrays: list[np.ndarray]) -> np.ndarray:
     return np.stack(arrays, axis=-1).ravel()
 
 
+def _viewer_metadata(
+    geometry,
+    zi: int,
+    yi: int,
+    xi: int,
+    depth: int,
+    shape_zyx: tuple[int, int, int],
+    per_channel: list[dict],
+) -> dict[str, str]:
+    """Assemble the reference's full KV payload for one block, in the
+    reference's key order (geometry walk -> all channels' quantiles ->
+    all channels' requant triples — ktx_from_rendered_tiff.py:147-251).
+    ``per_channel`` entries: {"percentiles": np.ndarray(101),
+    "zero_count", "total_count", and optionally "black"/"white"/
+    "gamma0" when intensity downsampling produced real params}."""
+    from hortacloud_importer_spark.volume import geometry as G
+
+    path = G.octree_path_digits(zi, yi, xi, depth)
+    md = G.block_geometry_metadata(
+        geometry,
+        path,
+        pixel_whd=(shape_zyx[2], shape_zyx[1], shape_zyx[0]),
+        n_channels=len(per_channel),
+    )
+    for c, st in enumerate(per_channel):
+        md.update(
+            G.channel_quantile_metadata(
+                c, st["percentiles"], st["zero_count"], st["total_count"]
+            )
+        )
+    for c, st in enumerate(per_channel):
+        md.update(
+            G.channel_requant_metadata(
+                c,
+                black=st.get("black", 1.0),
+                white=st.get("white", 65535.0),
+                gamma0=st.get("gamma0", 1.0),
+            )
+        )
+    return md
+
+
+_STATS_COLS = ("stats_percentiles", "stats_zero_count", "stats_total_count")
+
+
+def _channel_stats(row, level0_voxels: np.ndarray, downsample_intensity: bool):
+    """Stats for one channel: from the passthrough stats_* columns when
+    the pipeline computed them upstream (pre-requant — the reference
+    reports INPUT-intensity statistics), else from the level-0 payload
+    via the NumPy mirror of D4/D5/D10 (volume/geometry.py)."""
+    from hortacloud_importer_spark.volume import geometry as G
+
+    if row is not None and "stats_percentiles" in row and row["stats_percentiles"] is not None:
+        st = {
+            "percentiles": np.asarray(row["stats_percentiles"], dtype="int64"),
+            "zero_count": int(row["stats_zero_count"]),
+            "total_count": int(row["stats_total_count"]),
+        }
+    else:
+        v = np.asarray(level0_voxels, dtype="int64")
+        hist = np.bincount(v, minlength=G.N_BINS)
+        st = {
+            "percentiles": G.nonzero_percentiles(hist),
+            "zero_count": int(hist[0]),
+            "total_count": int(v.size),
+        }
+    if downsample_intensity:
+        if row is not None and "black_level" in row and row["black_level"] is not None:
+            st["black"] = float(row["black_level"])
+            st["white"] = float(row["white_level"])
+            st["gamma0"] = float(row["gamma0"])
+        else:
+            b, w, g = G.intensity_downsample_params(st["percentiles"])
+            st["black"], st["white"], st["gamma0"] = float(b), float(w), g
+    return st
+
+
 def ktx_encode_blocks(
-    pyramid_blocks: DataFrame, itemsize: int = 2, interleave: bool = False
+    pyramid_blocks: DataFrame,
+    itemsize: int = 2,
+    interleave: bool = False,
+    geometry=None,
 ) -> DataFrame:
     """A8: per-block KTX blobs from pyramid block rows.
 
@@ -221,23 +301,49 @@ def ktx_encode_blocks(
     default 2-channel specimen case, ktx_from_rendered_tiff.py:312);
     the output row's ``channel`` is -1 and the original channel ids
     ride in the ``channel_ids`` metadata key.
+
+    ``geometry`` (a volume.geometry.OctreeGeometry) switches on the
+    reference's full viewer KV payload per block — octree geometry
+    walk, corners, bounding sphere, nominal resolution, per-channel
+    quantiles / zero fraction / intensity-reconstruction triple
+    (ktx_from_rendered_tiff.py:147-251). The block's octree depth is
+    taken from a ``depth`` input column when present (part of the
+    group key), else 0 (a root-only conversion). Channel statistics
+    come from ``stats_percentiles``/``stats_zero_count``/
+    ``stats_total_count`` (+ ``black_level``/``white_level``/
+    ``gamma0``) passthrough columns when the pipeline computed them
+    upstream of a requant, else are derived from the level-0 payload
+    inside the encode task.
     """
     dtype = np.uint8 if itemsize == 1 else np.uint16
+    cols = pyramid_blocks.columns
+    has_depth = "depth" in cols
+    dsi = bool(geometry is not None and geometry.downsample_intensity)
 
     def encode(key, pdf):
-        zi, yi, xi, ch = (int(k) for k in key)
+        if has_depth:  # groupBy(zi, yi, xi, depth, channel)
+            zi, yi, xi, depth, ch = (int(k) for k in key)
+        else:
+            (zi, yi, xi, ch), depth = (int(k) for k in key), 0
         pdf = pdf.sort_values("level")
         mipmaps = [
             np.asarray(row.voxels, dtype=dtype).tobytes()
             for row in pdf.itertuples()
         ]
         shape = tuple(int(s) for s in pdf.iloc[0]["shape"])
+        metadata = {"block_zyx": f"{zi},{yi},{xi}", "channel": str(ch)}
+        if geometry is not None:
+            first = pdf.iloc[0]
+            st = _channel_stats(first, first["voxels"], dsi)
+            metadata.update(
+                _viewer_metadata(geometry, zi, yi, xi, depth, shape, [st])
+            )
         header = KtxHeader.for_array(
             shape,
             itemsize,
             channels=1,
             mipmap_levels=len(mipmaps),
-            metadata={"block_zyx": f"{zi},{yi},{xi}", "channel": str(ch)},
+            metadata=metadata,
         )
         blob = encode_ktx(header, mipmaps)
         return pd.DataFrame(
@@ -254,7 +360,10 @@ def ktx_encode_blocks(
         )
 
     def encode_interleaved(key, pdf):
-        zi, yi, xi = (int(k) for k in key)
+        if has_depth:
+            zi, yi, xi, depth = (int(k) for k in key)
+        else:
+            (zi, yi, xi), depth = (int(k) for k in key), 0
         chans = sorted(int(c) for c in pdf["channel"].unique())
         levels = sorted(int(v) for v in pdf["level"].unique())
         mipmaps = []
@@ -267,17 +376,29 @@ def ktx_encode_blocks(
             mipmaps.append(
                 interleave_channels([per_ch[c] for c in chans]).tobytes()
             )
-        first = pdf[pdf["level"] == levels[0]].iloc[0]
+        lvl0 = pdf[pdf["level"] == levels[0]]
+        first = lvl0.iloc[0]
         shape = tuple(int(s) for s in first["shape"])
+        metadata = {
+            "block_zyx": f"{zi},{yi},{xi}",
+            "channel_ids": ",".join(str(c) for c in chans),
+        }
+        if geometry is not None:
+            per_channel = []
+            for c in chans:
+                row = lvl0[lvl0["channel"] == c].iloc[0]
+                per_channel.append(_channel_stats(row, row["voxels"], dsi))
+            metadata.update(
+                _viewer_metadata(
+                    geometry, zi, yi, xi, depth, shape, per_channel
+                )
+            )
         header = KtxHeader.for_array(
             shape,
             itemsize,
             channels=len(chans),
             mipmap_levels=len(mipmaps),
-            metadata={
-                "block_zyx": f"{zi},{yi},{xi}",
-                "channel_ids": ",".join(str(c) for c in chans),
-            },
+            metadata=metadata,
         )
         blob = encode_ktx(header, mipmaps)
         return pd.DataFrame(
@@ -293,11 +414,12 @@ def ktx_encode_blocks(
             ]
         )
 
+    key = ["zi", "yi", "xi"] + (["depth"] if has_depth else [])
     if interleave:
-        return pyramid_blocks.groupBy("zi", "yi", "xi").applyInPandas(
+        return pyramid_blocks.groupBy(*key).applyInPandas(
             encode_interleaved, KTX_SCHEMA
         )
-    return pyramid_blocks.groupBy("zi", "yi", "xi", "channel").applyInPandas(
+    return pyramid_blocks.groupBy(*key, "channel").applyInPandas(
         encode, KTX_SCHEMA
     )
 
