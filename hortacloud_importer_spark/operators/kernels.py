@@ -130,14 +130,34 @@ def _gaussian_axis(v: np.ndarray, axis: int, sigma: float, truncate: float = 4.0
     return np.moveaxis(out, 0, axis)
 
 
+def _kernel_spline3_clean(vol: np.ndarray) -> np.ndarray:
+    """Clean-room cubic-spline half-zoom, never the library path —
+    deterministic regardless of what's importable (oracle mode)."""
+    out = _spline_zoom_half(vol.astype(np.float64))
+    return np.rint(out).astype(vol.dtype)
+
+
+def _kernel_aa_clean(vol: np.ndarray) -> np.ndarray:
+    """Clean-room anti-aliased half-downsample, never the library
+    path: Gaussian anti-alias (sigma = (factor-1)/2 = 0.5) then the
+    center-aligned linear half-resample — which at exactly factor 2
+    degenerates to the 2x2x2 pairwise mean."""
+    blurred = vol.astype(np.float64)
+    for ax in range(blurred.ndim):
+        blurred = _gaussian_axis(blurred, ax, sigma=0.5)
+    dz, dy, dx = (s // 2 for s in blurred.shape)
+    v = blurred[: dz * 2, : dy * 2, : dx * 2]
+    down = v.reshape(dz, 2, dy, 2, dx, 2).mean(axis=(1, 3, 5))
+    return np.rint(down).astype(vol.dtype)
+
+
 def _kernel_spline3(vol: np.ndarray) -> np.ndarray:
     try:
         from scipy import ndimage
 
         return ndimage.zoom(vol, 0.5)
     except ImportError:
-        out = _spline_zoom_half(vol.astype(np.float64))
-        return np.rint(out).astype(vol.dtype)
+        return _kernel_spline3_clean(vol)
 
 
 def _kernel_aa(vol: np.ndarray) -> np.ndarray:
@@ -152,16 +172,30 @@ def _kernel_aa(vol: np.ndarray) -> np.ndarray:
             vol.dtype
         )
     except ImportError:
-        # Gaussian anti-alias (sigma = (factor-1)/2 = 0.5) then the
-        # center-aligned linear half-resample — which at exactly
-        # factor 2 degenerates to the 2x2x2 pairwise mean
-        blurred = vol.astype(np.float64)
-        for ax in range(blurred.ndim):
-            blurred = _gaussian_axis(blurred, ax, sigma=0.5)
-        dz, dy, dx = (s // 2 for s in blurred.shape)
-        v = blurred[: dz * 2, : dy * 2, : dx * 2]
-        down = v.reshape(dz, 2, dy, 2, dx, 2).mean(axis=(1, 3, 5))
-        return np.rint(down).astype(vol.dtype)
+        return _kernel_aa_clean(vol)
+
+
+def aa_half_weights(n: int) -> list[list[float]]:
+    """The (n/2) x n linear operator equivalent to `aa`'s clean-room
+    pipeline along ONE axis of an n-sample block: mirror-boundary
+    Gaussian blur (sigma 0.5, radius 2) followed by the pairwise mean.
+    Because the whole kernel is linear, the 3-D output is the tensor
+    product of this matrix applied per axis — which is how the DuckDB
+    oracle reproduces it (queries/sinks.py::vol_kernel_custom). The
+    final np.rint absorbs float summation-order differences: the
+    driver fixture's closest approach to a .5 boundary is ~3e-4
+    (asserted in tests/test_kernels.py), eleven orders of magnitude
+    above double rounding noise."""
+    radius, sigma = 2, 0.5
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    k /= k.sum()
+    blur = np.zeros((n, n))
+    for off, w in zip(range(-radius, radius + 1), k):
+        for o in range(n):
+            blur[o, _mirror_idx(np.array([o + off]), n)[0]] += w
+    half = (blur[0::2] + blur[1::2]) / 2.0
+    return half.tolist()
 
 
 def _kernel_box(vol: np.ndarray) -> np.ndarray:
@@ -180,6 +214,9 @@ KERNELS: dict[str, Callable[[np.ndarray], np.ndarray]] = {
     "spline3": _kernel_spline3,
     "aa": _kernel_aa,
     "box": _kernel_box,
+    # *_clean: bypass the library try — the deterministic oracle mode
+    "spline3_clean": _kernel_spline3_clean,
+    "aa_clean": _kernel_aa_clean,
 }
 
 _OUT_SCHEMA = (

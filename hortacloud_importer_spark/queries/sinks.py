@@ -194,27 +194,104 @@ def vol_octree_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("vol_kernel_custom", "J3", oracle=None)
+def _kernel_custom_oracle() -> str:
+    """DuckDB oracle for the two neighborhood kernels over the
+    lineitem-derived densified 16^3 grid, 4^3 blocks:
+
+    - ``spline3`` (cubic B-spline zoom 0.5, tiff2octree.py:258-261):
+      at half-zoom on a 4-sample axis the spline is EVALUATED at
+      integer input coordinates j*(n-1)/(out-1) = {0, 3} — and a
+      prefiltered interpolating spline reproduces its samples exactly
+      at integer coords, so the output is corner-sampling. Pure
+      integer SQL; np.rint recovers the exact integers (analytic
+      identity, float error ~1e-12).
+    - ``aa`` (Gaussian anti-aliased half-resize,
+      tiff2octree.py:244-251): the clean-room pipeline is linear, so
+      its per-axis action is a 2x4 matrix (aa_half_weights) and the
+      3-D result is the tensor product — one weighted sum per output
+      voxel. Weights are baked as repr() literals (exact double
+      round-trip); the trailing ROUND absorbs summation-order ulps
+      (margin to .5 asserted ~3e-4 in tests/test_kernels.py).
+    """
+    from hortacloud_importer_spark.operators.kernels import aa_half_weights
+
+    c = aa_half_weights(4)
+    wrows = ",\n    ".join(
+        f"({o}, {i}, CAST({c[o][i]!r} AS DOUBLE))"
+        for o in range(2)
+        for i in range(4)
+    )
+    return f"""
+WITH grid AS (
+  SELECT t1.range AS z, t2.range AS y, t3.range AS x
+  FROM range(16) t1 CROSS JOIN range(16) t2 CROSS JOIN range(16) t3
+),
+vox AS (
+  SELECT l_orderkey % 16 AS z, l_partkey % 16 AS y, l_suppkey % 16 AS x,
+         MAX(CASE WHEN l_linenumber % 5 = 0 THEN 0
+                  ELSE CAST(ROUND(l_extendedprice * 100) AS BIGINT) % 65536 END)
+           AS intensity
+  FROM lineitem
+  GROUP BY 1, 2, 3
+),
+dense AS (
+  SELECT g.z, g.y, g.x, COALESCE(v.intensity, 0) AS intensity
+  FROM grid g LEFT JOIN vox v ON v.z = g.z AND v.y = g.y AND v.x = g.x
+),
+aa_w(o, i, w) AS (VALUES
+    {wrows}
+),
+aa_out AS (
+  SELECT d.z // 4 AS zi, d.y // 4 AS yi, d.x // 4 AS xi,
+         wz.o AS oz, wy.o AS oy, wx.o AS ox,
+         SUM(wz.w * wy.w * wx.w * d.intensity) AS s
+  FROM dense d
+  JOIN aa_w wz ON wz.i = d.z % 4
+  JOIN aa_w wy ON wy.i = d.y % 4
+  JOIN aa_w wx ON wx.i = d.x % 4
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT 'aa' AS kernel, CAST(zi AS INTEGER) AS zi, CAST(yi AS INTEGER) AS yi,
+       CAST(xi AS INTEGER) AS xi, CAST(0 AS INTEGER) AS channel,
+       CAST(SUM(CAST(ROUND(s) AS BIGINT)) AS BIGINT) AS payload_sum
+FROM aa_out GROUP BY 2, 3, 4
+UNION ALL
+SELECT 'spline3' AS kernel, CAST(z // 4 AS INTEGER) AS zi,
+       CAST(y // 4 AS INTEGER) AS yi, CAST(x // 4 AS INTEGER) AS xi,
+       CAST(0 AS INTEGER) AS channel, CAST(SUM(intensity) AS BIGINT) AS payload_sum
+FROM dense
+WHERE z % 4 IN (0, 3) AND y % 4 IN (0, 3) AND x % 4 IN (0, 3)
+GROUP BY 2, 3, 4
+"""
+
+
+@register("vol_kernel_custom", "J3", oracle=_kernel_custom_oracle())
 def vol_kernel_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 rows-only: the reference's two library-shaped neighborhood
-    kernels — `aa` (Gaussian anti-aliased resize,
+    """J3, oracle-exact: the reference's two library-shaped
+    neighborhood kernels — `aa` (Gaussian anti-aliased resize,
     tiff2octree.py:244-251) and `spline3` (cubic B-spline zoom,
     :258-261) — over the same applyInPandas plumbing that
-    vol_kernel_box proves oracle-exact. They run scipy/skimage when
-    importable and a clean-room NumPy implementation of the same
-    public algorithms otherwise (operators/kernels.py; property +
-    gated-parity tests in tests/test_kernels.py). Deterministic input
-    -> deterministic per-kernel payload checksums."""
+    vol_kernel_box proves, on the lineitem-derived densified 16^3
+    grid. The driver query runs the *_clean kernel variants (the
+    clean-room NumPy implementations of the same public algorithms,
+    operators/kernels.py) so the result is deterministic whether or
+    not scipy/skimage are importable; the library-preferring `aa` /
+    `spline3` production kernels are pinned to the clean duals by
+    gated parity tests (tests/test_kernels.py). The DuckDB oracle
+    re-derives both kernels in SQL: spline3 as corner-sampling (exact
+    spline interpolation at integer coords) and aa as a baked 2x4
+    linear operator applied per axis — see _kernel_custom_oracle."""
     from hortacloud_importer_spark.operators.kernels import (
         downsample_blocks_kernel,
     )
-    from hortacloud_importer_spark.volume import blockify, synthetic_volume
+    from hortacloud_importer_spark.queries.volume import _DIM, _voxels
+    from hortacloud_importer_spark.volume import blockify, densify
 
-    v = synthetic_volume(spark, 8, 8, 8, channels=2)
+    v = densify(_voxels(spark, sf_dir), spark, (_DIM, _DIM, _DIM))
     blocks = blockify(v, (4, 4, 4))
     out = None
     for kernel in ("aa", "spline3"):
-        part = downsample_blocks_kernel(blocks, kernel).select(
+        part = downsample_blocks_kernel(blocks, f"{kernel}_clean").select(
             F.lit(kernel).alias("kernel"),
             "zi", "yi", "xi", "channel",
             F.aggregate(

@@ -100,6 +100,59 @@ def test_aa_preserves_constants_and_halves_ramp():
         assert abs(int(out[j, 2, 2]) - (200 * j + 50)) <= 1
 
 
+def test_spline3_clean_corner_sampling_identity():
+    """The oracle-backing identity: cubic-spline half-zoom of a
+    4-sample axis evaluates the interpolating spline at integer input
+    coords {0, 3}, so the 4^3 output is exactly the corner samples
+    (queries/sinks.py::_kernel_custom_oracle)."""
+    from hortacloud_importer_spark.operators.kernels import (
+        _kernel_spline3_clean,
+    )
+
+    rng = np.random.default_rng(11)
+    for _ in range(50):
+        vol = rng.integers(0, 65536, (4, 4, 4)).astype(np.int64)
+        out = _kernel_spline3_clean(vol)
+        assert np.array_equal(out, vol[np.ix_([0, 3], [0, 3], [0, 3])])
+
+
+def test_aa_clean_tensor_product_identity_and_margin(spark, sf_dir):
+    """aa's clean pipeline is linear, so aa_half_weights(4) applied
+    per axis must reproduce it bit-for-bit after rint; and on the
+    driver fixture grid the pre-rint values keep a >= 1e-4 margin from
+    every .5 boundary, so DuckDB's independently-ordered float sums
+    round to the same integers (the oracle's correctness argument)."""
+    from hortacloud_importer_spark.operators.kernels import (
+        _kernel_aa_clean,
+        aa_half_weights,
+    )
+    from hortacloud_importer_spark.queries.volume import _DIM, _voxels
+    from hortacloud_importer_spark.volume import densify
+
+    c = np.asarray(aa_half_weights(4))
+    grid = np.zeros((_DIM, _DIM, _DIM), dtype=np.int64)
+    for r in densify(_voxels(spark, sf_dir), spark, (_DIM,) * 3).collect():
+        grid[r["z"], r["y"], r["x"]] = r["intensity"]
+    min_margin = 1.0
+    for zi in range(_DIM // 4):
+        for yi in range(_DIM // 4):
+            for xi in range(_DIM // 4):
+                blk = grid[
+                    zi * 4 : zi * 4 + 4,
+                    yi * 4 : yi * 4 + 4,
+                    xi * 4 : xi * 4 + 4,
+                ]
+                alt = np.einsum(
+                    "oi,pj,qk,ijk->opq", c, c, c, blk.astype(np.float64)
+                )
+                assert np.array_equal(
+                    np.rint(alt).astype(np.int64), _kernel_aa_clean(blk)
+                )
+                frac = np.abs(alt - np.floor(alt) - 0.5)
+                min_margin = min(min_margin, float(frac.min()))
+    assert min_margin > 1e-4, min_margin
+
+
 def test_parity_with_scipy_if_present():
     scipy = pytest.importorskip("scipy")
     from scipy import ndimage
