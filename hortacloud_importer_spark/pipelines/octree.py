@@ -35,6 +35,7 @@ hash-aggregate per level, no driver-side payloads.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,6 +49,7 @@ from hortacloud_importer_spark.volume import (
     densify,
     mipmap_dimension,
     octree_path,
+    unblockify,
 )
 from hortacloud_importer_spark.volume.downsample import downsample_voxels
 
@@ -121,9 +123,14 @@ def build_octree(
     # committed side as a DataFrame (None = no manifest yet): the
     # resume anti-join never materializes the set driver-side
     done = manifest.committed_files_df(spark, out_dir) if resume else None
-    n_channels = int(
-        voxels.agg(F.countDistinct("channel").alias("c")).first()["c"]
-    )
+    if isinstance(source, str):
+        # channel count is a scan parameter, not data — don't pay an
+        # aggregate over the whole volume to rediscover it
+        n_channels = channels
+    else:
+        n_channels = int(
+            voxels.agg(F.countDistinct("channel").alias("c")).first()["c"]
+        )
     padded = tuple(b * leaf_grid for b in block_dims)
     if padded != dims:
         # Non-divisible dims leave edge blocks partial, which cannot
@@ -136,11 +143,24 @@ def build_octree(
         voxels = densify(voxels, spark, padded, channels=n_channels)
         dims = padded
     summary_rows = []
-    cur, cur_dims = voxels, dims
+    cur_dims = dims
     seen_summaries = set(manifest.summary_files(filesystem, base))
+    # The source is scanned EXACTLY ONCE for the whole build: each
+    # level's blocks are persisted (memory, spilling to executor
+    # disk), the sink writes from that materialization, and the next
+    # level is derived from it via unblockify -> downsample ->
+    # blockify. Without this, level k's write would recompute the
+    # whole chain from the source — k+1 source scans for a k-level
+    # build, which at 100 TB is the dominant cost. Each level is 8x
+    # smaller than the last, so peak persisted footprint is ~1.14x the
+    # leaf level, and parents are unpersisted as soon as their child
+    # level materializes.
+    blocks = blockify(voxels, block_dims)
+    prev: DataFrame | None = None
     for level in range(nlevels):
         depth = nlevels - level  # tiff_blocks nlevels option: digits+1
-        blocks = blockify(cur, block_dims)
+        blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+        to_write = blocks
         if done is not None:
             rel = F.concat(
                 F.when(
@@ -153,19 +173,24 @@ def build_octree(
             )
             # no broadcast hint: the committed side can be ~1e7 paths
             # at 100 TB; a shuffled anti-join on the path key is the
-            # scale-safe shape (AQE still broadcasts when it is small)
-            blocks = (
+            # scale-safe shape (AQE still broadcasts when it is small).
+            # Only the SINK side is filtered — the pyramid still needs
+            # every block's voxels, written or resumed.
+            to_write = (
                 blocks.withColumn("rel", rel)
                 .join(done, "rel", "left_anti")
                 .drop("rel")
             )
         (
-            blocks.write.format("tiff_blocks")
+            to_write.write.format("tiff_blocks")
             .option("nlevels", depth)
             .option("dtype", dtype)
             .mode("append")
             .save(out_dir)
         )
+        # this level is now materialized; its parent can be dropped
+        if prev is not None:
+            prev.unpersist(blocking=False)
         # accounting from metadata only — no extra jobs over the data:
         # each level's write appends exactly one manifest shard, so
         # "files written this level" is that shard's n_files (resumed
@@ -183,8 +208,11 @@ def build_octree(
         n_voxels = cur_dims[0] * cur_dims[1] * cur_dims[2] * n_channels
         summary_rows.append((level, n_blocks, n_voxels))
         if level < nlevels - 1:
-            cur = downsample_voxels(cur, cur_dims, filter_)
+            child = downsample_voxels(unblockify(blocks), cur_dims, filter_)
             cur_dims = tuple(mipmap_dimension(1, d) for d in cur_dims)
+            prev, blocks = blocks, blockify(child, block_dims)
+        else:
+            blocks.unpersist(blocking=False)
     if write_transform:
         # the reference writes transform.txt once per build
         # (tiff2octree.py:842-901): origin verbatim (nm), s* = leaf
