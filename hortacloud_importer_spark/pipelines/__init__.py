@@ -1,6 +1,10 @@
 """End-to-end pipeline compositions (the reference's main programs)."""
 
-from hortacloud_importer_spark.pipelines.octree import build_octree  # noqa: F401
+from hortacloud_importer_spark.pipelines.octree import (  # noqa: F401
+    build_octree,
+    optimal_nlevels,
+    stack_voxels,
+)
 from hortacloud_importer_spark.pipelines.ktx import (  # noqa: F401
     block_mip_chain,
     tiff_octree_to_ktx,

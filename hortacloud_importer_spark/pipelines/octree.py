@@ -51,7 +51,14 @@ from hortacloud_importer_spark.volume import (
     octree_path,
     unblockify,
 )
-from hortacloud_importer_spark.volume.downsample import downsample_voxels
+from hortacloud_importer_spark.operators.kernels import (
+    KERNELS,
+    downsample_blocks_kernel,
+)
+from hortacloud_importer_spark.volume.downsample import (
+    FILTERS,
+    downsample_voxels,
+)
 
 
 def _infer_dims(voxels: DataFrame) -> tuple[int, int, int]:
@@ -61,11 +68,85 @@ def _infer_dims(voxels: DataFrame) -> tuple[int, int, int]:
     return int(row["z"]) + 1, int(row["y"]) + 1, int(row["x"]) + 1
 
 
+def optimal_nlevels(dims: tuple[int, int, int]) -> int:
+    """Smallest level count whose leaf blocks fall under 512^3 voxels —
+    the reference's calc_optimal_nlevels (tiff2octree.py:617-625),
+    restated over ceil-divided block extents because this engine
+    zero-pads non-divisible dims instead of cropping them."""
+    lv = 1
+    while True:
+        grid = 1 << (lv - 1)
+        leaf = [-(-d // grid) for d in dims]
+        if leaf[0] * leaf[1] * leaf[2] < 512 * 512 * 512:
+            return lv
+        lv += 1
+
+
+def stack_voxels(
+    spark: SparkSession, path: str, channel: int = 0
+) -> tuple[DataFrame, tuple[int, int, int]]:
+    """Multi-page TIFF stack(s) -> (voxels DataFrame, dims).
+
+    The dual of the reference's ``stack_to_dask_array``
+    (tiff2octree.py:627-651, dask_image.imread): every page of every
+    matched file, files in sorted-path order, is one z slice. All
+    files must share one page count and page shape — the same
+    uniformity dask's imread demands. Page decode happens on
+    executors over Arrow batches; the driver reads exactly one file
+    to learn the stack geometry (the reference does the same,
+    tiff2octree.py:653-691), so dims come for free with no data scan.
+    """
+    import pandas as pd
+
+    from hortacloud_importer_spark.sources.tiff import decode_tiff
+
+    bf = spark.read.format("binaryFile").load(path)
+    paths = sorted(r["path"] for r in bf.select("path").collect())
+    if not paths:
+        raise FileNotFoundError(path)
+    first = bf.filter(F.col("path") == paths[0]).select("content").first()
+    shape = decode_tiff(bytes(first["content"])).shape  # (pages, h, w, s)
+    n_pages, h, w = int(shape[0]), int(shape[1]), int(shape[2])
+    order = {p: i for i, p in enumerate(paths)}
+    dims = (n_pages * len(paths), h, w)
+
+    def gen(batches):
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                arr = decode_tiff(bytes(row["content"]))
+                if arr.shape[:3] != (n_pages, h, w):
+                    raise ValueError(
+                        f"stack file {row['path']} shape {arr.shape[:3]} != "
+                        f"({n_pages}, {h}, {w}); stacks must be uniform"
+                    )
+                base = order[row["path"]] * n_pages
+                flat = arr[..., 0].reshape(n_pages, h * w)
+                yield pd.DataFrame(
+                    {
+                        "z": [base + p for p in range(n_pages)],
+                        "page": [flat[p].tolist() for p in range(n_pages)],
+                    }
+                )
+
+    pages = bf.mapInPandas(gen, "z int, page array<long>")
+    pos = F.col("pos")
+    voxels = pages.select(
+        "z", F.posexplode("page").alias("pos", "intensity")
+    ).select(
+        "z",
+        (pos / w).cast("int").alias("y"),
+        (pos % w).cast("int").alias("x"),
+        F.lit(int(channel)).alias("channel"),
+        F.col("intensity").cast("int").alias("intensity"),
+    )
+    return voxels, dims
+
+
 def build_octree(
     spark: SparkSession,
     source: str | DataFrame,
     out_dir: str,
-    nlevels: int,
+    nlevels: int | None,
     filter_: str = "arthur",
     dims: tuple[int, int, int] | None = None,
     dtype: str = "uint16",
@@ -91,6 +172,10 @@ def build_octree(
     KTX pass reads first (ktx_from_rendered_tiff.py:34-48) —
     ``pipelines.ktx.tiff_octree_to_ktx`` picks it up automatically.
     """
+    if filter_ not in FILTERS and filter_ not in KERNELS:
+        raise ValueError(
+            f"unknown filter {filter_!r}; have {FILTERS + tuple(KERNELS)}"
+        )
     register_volume_sources(spark)  # tiff_volume scan + tiff_blocks sink
     if isinstance(source, str):
         if channels == 1:
@@ -116,8 +201,18 @@ def build_octree(
         voxels = source
     if dims is None:
         dims = _infer_dims(voxels)
+    if nlevels is None or nlevels <= 0:
+        # the reference's -l -1 convention (tiff2octree.py:1175, 617)
+        nlevels = optimal_nlevels(dims)
     leaf_grid = 1 << (nlevels - 1)  # leaf blocks per axis
     block_dims = tuple(-(-d // leaf_grid) for d in dims)
+    if filter_ in KERNELS and nlevels > 1 and any(b % 2 for b in block_dims):
+        # the neighborhood kernels halve by truncation (s // 2); an
+        # odd block axis would drop a plane per level. The reference
+        # has the same even-extent assumption in its aa/spline path.
+        raise ValueError(
+            f"kernel filter {filter_!r} needs even block dims, got {block_dims}"
+        )
 
     filesystem, base = _pa_fs(out_dir)
     # committed side as a DataFrame (None = no manifest yet): the
@@ -208,9 +303,24 @@ def build_octree(
         n_voxels = cur_dims[0] * cur_dims[1] * cur_dims[2] * n_channels
         summary_rows.append((level, n_blocks, n_voxels))
         if level < nlevels - 1:
-            child = downsample_voxels(unblockify(blocks), cur_dims, filter_)
+            if filter_ in FILTERS:
+                # mean/max/arthur: the single-hash-aggregate global
+                # voxel downsample
+                child = downsample_voxels(
+                    unblockify(blocks), cur_dims, filter_
+                )
+                nxt = blockify(child, block_dims)
+            else:
+                # neighborhood kernels (aa / spline3,
+                # tiff2octree.py:244-261): halve each block's payload
+                # with the grouped-map kernel, then re-assemble 8
+                # half-size siblings into full child blocks (the
+                # unblockify coords of a halved block ARE the child
+                # resolution's global coords)
+                halved = downsample_blocks_kernel(blocks, filter_)
+                nxt = blockify(unblockify(halved), block_dims)
             cur_dims = tuple(mipmap_dimension(1, d) for d in cur_dims)
-            prev, blocks = blocks, blockify(child, block_dims)
+            prev, blocks = blocks, nxt
         else:
             blocks.unpersist(blocking=False)
     if write_transform:

@@ -577,11 +577,10 @@ class _KtxWriter(DataSourceWriter):
         filesystem.create_dir(base, recursive=True)
         local = isinstance(filesystem, pafs.LocalFileSystem)
         files, n = [], 0
+        from hortacloud_importer_spark.sources.ktx import ktx_block_name
+
         for row in iterator:
-            name = (
-                f"block_{row['zi']}_{row['yi']}_{row['xi']}"
-                f"_ch{row['channel']}.ktx"
-            )
+            name = ktx_block_name(row)
             staged = f"{base}/.{name}.tmp" if local else f"{base}/{name}"
             with filesystem.open_output_stream(staged) as fh:
                 fh.write(bytes(row["ktx"]))
@@ -623,7 +622,11 @@ class KtxFilesDataSource(DataSource):
         return "ktx_files"
 
     def schema(self) -> str:
-        return "zi int, yi int, xi int, channel int, n_levels int, ktx binary"
+        # depth is optional on write (0/absent = single-level store)
+        return (
+            "zi int, yi int, xi int, depth int, channel int,"
+            " n_levels int, ktx binary"
+        )
 
     def writer(self, schema, overwrite: bool) -> _KtxWriter:
         return _KtxWriter(dict(self.options), overwrite)

@@ -188,7 +188,7 @@ def decode_ktx(data: bytes) -> tuple[KtxHeader, list[bytes]]:
 # --- Spark plumbing --------------------------------------------------------
 
 KTX_SCHEMA = (
-    "zi int, yi int, xi int, channel int, n_levels int, ktx binary"
+    "zi int, yi int, xi int, depth int, channel int, n_levels int, ktx binary"
 )
 
 
@@ -332,6 +332,11 @@ def ktx_encode_blocks(
         ]
         shape = tuple(int(s) for s in pdf.iloc[0]["shape"])
         metadata = {"block_zyx": f"{zi},{yi},{xi}", "channel": str(ch)}
+        if has_depth:
+            # whole-store conversions carry blocks at several octree
+            # levels; same (zi,yi,xi) can exist at each, so the level
+            # must ride the metadata (and the sink file name)
+            metadata["depth"] = str(depth)
         if geometry is not None:
             first = pdf.iloc[0]
             st = _channel_stats(first, first["voxels"], dsi)
@@ -352,6 +357,7 @@ def ktx_encode_blocks(
                     "zi": zi,
                     "yi": yi,
                     "xi": xi,
+                    "depth": depth,
                     "channel": ch,
                     "n_levels": len(mipmaps),
                     "ktx": blob,
@@ -383,6 +389,8 @@ def ktx_encode_blocks(
             "block_zyx": f"{zi},{yi},{xi}",
             "channel_ids": ",".join(str(c) for c in chans),
         }
+        if has_depth:
+            metadata["depth"] = str(depth)
         if geometry is not None:
             per_channel = []
             for c in chans:
@@ -407,6 +415,7 @@ def ktx_encode_blocks(
                     "zi": zi,
                     "yi": yi,
                     "xi": xi,
+                    "depth": depth,
                     "channel": -1,
                     "n_levels": len(mipmaps),
                     "ktx": blob,
@@ -422,6 +431,22 @@ def ktx_encode_blocks(
     return pyramid_blocks.groupBy(*key, "channel").applyInPandas(
         encode, KTX_SCHEMA
     )
+
+
+def ktx_block_name(row) -> str:
+    """Sink file name for one encoded block row. Single-level
+    conversions keep the flat ``block_{z}_{y}_{x}_ch{c}.ktx`` name;
+    whole-store conversions (depth column present and non-zero) add
+    ``_d{depth}`` — without it the root block and the (0,0,0) block of
+    every other octree level would collide on one file, silently
+    dropping levels (the reference disambiguates the same way, by
+    encoding the octree path into the name, tiff2octree.py:401)."""
+    try:
+        depth = row["depth"]
+    except (KeyError, ValueError, IndexError):
+        depth = None
+    tag = f"_d{depth}" if depth else ""
+    return f"block_{row['zi']}_{row['yi']}_{row['xi']}{tag}_ch{row['channel']}.ktx"
 
 
 def write_ktx_files(encoded: DataFrame, out_dir: str) -> None:
@@ -447,7 +472,7 @@ def write_ktx_files(encoded: DataFrame, out_dir: str) -> None:
         filesystem.create_dir(base, recursive=True)
         local = isinstance(filesystem, pafs.LocalFileSystem)
         for row in rows:
-            name = f"block_{row['zi']}_{row['yi']}_{row['xi']}_ch{row['channel']}.ktx"
+            name = ktx_block_name(row)
             target = f"{base}/{name}"
             staged = f"{base}/.{name}.tmp" if local else target
             with filesystem.open_output_stream(staged) as fh:
@@ -459,7 +484,7 @@ def write_ktx_files(encoded: DataFrame, out_dir: str) -> None:
 
 
 DECODE_SCHEMA = (
-    "zi int, yi int, xi int, channel int, level int, n_bytes int,"
+    "zi int, yi int, xi int, depth int, channel int, level int, n_bytes int,"
     " pixel_depth int, pixel_height int, pixel_width int, voxels array<int>"
 )
 
@@ -483,6 +508,8 @@ def ktx_decode_blocks(ktx_df: DataFrame, itemsize: int = 2) -> DataFrame:
                     int(v)
                     for v in header.metadata[b"block_zyx"].rstrip(b"\x00").split(b",")
                 )
+                d_raw = header.metadata.get(b"depth")
+                block_depth = int(d_raw.rstrip(b"\x00")) if d_raw else 0
                 nch = n_channels_of.get(header.gl_format, 1)
                 if nch == 1:
                     ch_ids = [int(header.metadata[b"channel"].rstrip(b"\x00"))]
@@ -501,6 +528,7 @@ def ktx_decode_blocks(ktx_df: DataFrame, itemsize: int = 2) -> DataFrame:
                                 "zi": z,
                                 "yi": y,
                                 "xi": x,
+                                "depth": block_depth,
                                 "channel": ch,
                                 "level": lv,
                                 "n_bytes": len(payload) // nch,

@@ -1,0 +1,123 @@
+"""The reference-flag CLI front door (cli.py): argument mapping plus
+an end-to-end octree + KTX run over real slice/stack files."""
+
+from __future__ import annotations
+
+import glob
+import json
+
+import numpy as np
+import pytest
+
+from hortacloud_importer_spark.cli import FILTER_ALIASES, build_parser, main
+from hortacloud_importer_spark.sources.tiff import decode_tiff, encode_tiff
+
+
+def test_filter_aliases_cover_reference_names():
+    # tiff2octree.py:1177: "downsample method: 2ndmax, area,
+    # aa(anti-aliasing), spline"
+    assert {"2ndmax", "area", "aa", "spline"} <= set(FILTER_ALIASES)
+    assert FILTER_ALIASES["area"] == "mean"
+    assert FILTER_ALIASES["2ndmax"] == "arthur"
+    assert FILTER_ALIASES["spline"] == "spline3"
+
+
+def test_parser_defaults_match_reference():
+    args = build_parser().parse_args(["octree", "-i", "in", "-o", "out"])
+    assert args.level == -1 and args.downsample == "area"
+    assert args.origin == (0.0, 0.0, 0.0)
+    assert args.voxsize == (1.0, 1.0, 1.0)
+    assert not args.resume
+
+
+def test_octree_requires_exactly_one_input(tmp_path, capsys):
+    with pytest.raises(SystemExit):
+        main(["octree", "-o", str(tmp_path / "o")])
+
+
+def test_cli_octree_from_slices_then_ktx(spark, tmp_path, capsys):
+    rng = np.random.default_rng(23)
+    vol = rng.integers(1, 250, (8, 8, 8), dtype=np.uint8)
+    d = tmp_path / "slices"
+    d.mkdir()
+    for z in range(8):
+        (d / f"default.0.{z:03d}.tif").write_bytes(encode_tiff(vol[z][None, ...]))
+    out = str(tmp_path / "oct")
+    ktx_out = str(tmp_path / "ktx")
+
+    rc = main(
+        [
+            "octree",
+            "-i",
+            str(d),
+            "-o",
+            out,
+            "-l",
+            "2",
+            "-d",
+            "2ndmax",
+            "--voxsize",
+            "0.5,0.5,1.0",
+            "--ktx",
+            "--ktxout",
+            ktx_out,
+            "--mips",
+            "2",
+        ]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert {r["level"]: r["n_blocks_written"] for r in res["levels"]} == {
+        0: 8,
+        1: 1,
+    }
+    assert res["ktx"]["n_files"] == 9  # one KTX per block, both levels
+    assert (tmp_path / "oct" / "transform.txt").exists()
+    assert (tmp_path / "ktx" / "transform.txt").exists()
+    assert len(glob.glob(f"{ktx_out}/**/*.ktx", recursive=True)) == 9
+
+    # leaf octant 1 (zi=yi=xi=0) holds the original corner voxels
+    got = decode_tiff((tmp_path / "oct" / "1" / "default.0.tif").read_bytes())[
+        ..., 0
+    ]
+    assert np.array_equal(got, vol[:4, :4, :4].astype(np.uint16))
+
+
+def test_cli_octree_from_stack_auto_levels(spark, tmp_path, capsys):
+    """-f stack ingestion: pages become z slices; -l -1 resolves to
+    the reference's optimal-level rule (1 for a tiny stack)."""
+    rng = np.random.default_rng(29)
+    vol = rng.integers(1, 250, (4, 8, 8), dtype=np.uint8)
+    stack = tmp_path / "stack.tif"
+    stack.write_bytes(encode_tiff(vol))
+    out = str(tmp_path / "oct_stack")
+
+    rc = main(["octree", "-f", str(stack), "-o", out, "-d", "area"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [r["level"] for r in res["levels"]] == [0]
+    got = decode_tiff((tmp_path / "oct_stack" / "default.0.tif").read_bytes())[
+        ..., 0
+    ]
+    assert np.array_equal(got, vol.astype(np.uint16))
+
+
+def test_cli_octree_from_n5_store(spark, tmp_path, capsys):
+    """-i pointing at an N5 root auto-detects (tiff2octree.py:319-328
+    parity) and builds through the n5_volume DataSource."""
+    from tests.test_datasource import _write_n5
+
+    rng = np.random.default_rng(31)
+    vol = rng.integers(1, 60000, (4, 4, 4)).astype(np.uint16)
+    root = tmp_path / "n5"
+    _write_n5(root, vol, (4, 4, 4))
+    out = str(tmp_path / "oct_n5")
+
+    rc = main(["octree", "-i", str(root), "-o", out, "-l", "1", "-d", "area"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [r["level"] for r in res["levels"]] == [0]
+    got = decode_tiff((tmp_path / "oct_n5" / "default.0.tif").read_bytes())[
+        ..., 0
+    ]
+    assert np.array_equal(got, vol)

@@ -89,8 +89,8 @@ def test_encode_blocks_kv_payload_round_trips(spark):
     header, mipmaps = decode_ktx(bytes(out[0]["ktx"]))
 
     keys = [k.decode() for k in header.metadata]
-    assert keys[:2] == ["block_zyx", "channel"]
-    assert keys[2:] == _GEOM_KEYS + [
+    assert keys[:3] == ["block_zyx", "channel", "depth"]
+    assert keys[3:] == _GEOM_KEYS + [
         "channel_0_intensity_quantiles",
         "channel_0_percent_zero_intensity",
         "channel_0_intensity_gamma",
@@ -165,7 +165,7 @@ def test_octree_to_ktx_with_transform_metadata(spark, tmp_path):
     # (1,1,2) xyz; full volume = root voxel * ROOT-BLOCK pixels (the
     # root block IS the whole volume at root resolution,
     # ktx_from_rendered_tiff.py:53-57) = (1,1,2) * (4,4,4) = (4,4,8)
-    blob = (tmp_path / "ktx" / "block_1_1_1_ch0.ktx").read_bytes()
+    blob = (tmp_path / "ktx" / "block_1_1_1_d1_ch0.ktx").read_bytes()
     header, mipmaps = decode_ktx(blob)
     assert header.gl_type == GL_UNSIGNED_SHORT
     assert _meta_str(header, "octree_path") == "8"
@@ -218,7 +218,7 @@ def test_octree_to_ktx_requant_pass(spark, tmp_path):
         digit_block = vol[
             zi * 4 : zi * 4 + 4, yi * 4 : yi * 4 + 4, xi * 4 : xi * 4 + 4
         ]
-        blob = (tmp_path / "ktx8" / f"block_{zi}_{yi}_{xi}_ch0.ktx").read_bytes()
+        blob = (tmp_path / "ktx8" / f"block_{zi}_{yi}_{xi}_d1_ch0.ktx").read_bytes()
         header, mipmaps = decode_ktx(blob)
         assert header.gl_type == GL_UNSIGNED_BYTE
         assert header.gl_type_size == 1
@@ -264,7 +264,7 @@ def test_octree_to_ktx_downsample_xy(spark, tmp_path):
     want = sub.reshape(4, 2, 2, 2, 2).transpose(0, 1, 3, 2, 4).reshape(4, 4, 4)
     # max over each 1x2x2 window (all values non-zero here)
     want = sub.reshape(4, 2, 2, 2, 2).max(axis=(2, 4))
-    blob = (tmp_path / "ktx_xy" / "block_0_0_0_ch0.ktx").read_bytes()
+    blob = (tmp_path / "ktx_xy" / "block_0_0_0_d1_ch0.ktx").read_bytes()
     header, mipmaps = decode_ktx(blob)
     assert (header.pixel_depth, header.pixel_height, header.pixel_width) == (
         4,
@@ -291,9 +291,11 @@ def test_octree_to_ktx_without_transform_keeps_plain_metadata(spark, tmp_path):
         spark, store, ktx_out, block_dims=(2, 2, 2), n_mips=1,
         filter_="max", depth=1,
     )
-    blob = (tmp_path / "ktx_plain" / "block_0_0_0_ch0.ktx").read_bytes()
+    blob = (tmp_path / "ktx_plain" / "block_0_0_0_d1_ch0.ktx").read_bytes()
     header, _ = decode_ktx(blob)
-    assert [k.decode() for k in header.metadata] == ["block_zyx", "channel"]
+    assert [k.decode() for k in header.metadata] == [
+        "block_zyx", "channel", "depth",
+    ]
     assert not (tmp_path / "ktx_plain" / "transform.txt").exists()
 
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 import glob
 
 import numpy as np
+import pytest
 from pyarrow import fs as pafs
 
 from hortacloud_importer_spark.sources import manifest
@@ -229,3 +230,69 @@ def test_build_octree_from_two_channel_slices(spark, tmp_path):
                 zi * 2 : zi * 2 + 2, yi * 2 : yi * 2 + 2, xi * 2 : xi * 2 + 2
             ]
             assert np.array_equal(got, want.astype(np.uint16)), (ch, zi, yi, xi)
+
+
+def test_build_octree_with_neighborhood_kernel_filter(spark, tmp_path):
+    """-d aa|spline parity (tiff2octree.py:244-261): non-level-0
+    levels come from the grouped-map kernel applied per block, then 8
+    half-size siblings re-assemble into each child block — matching
+    the reference's per-block map_blocks kernels. Root block must
+    equal the NumPy kernel applied to each leaf block, assembled."""
+    from hortacloud_importer_spark.operators.kernels import KERNELS
+    from hortacloud_importer_spark.pipelines import build_octree
+
+    rng = np.random.default_rng(53)
+    vol = rng.integers(1, 60000, (8, 8, 8)).astype(np.uint16)
+    _write_slices(tmp_path / "slices_aa", list(vol))
+
+    for kernel in ("aa", "spline3"):
+        out = str(tmp_path / f"oct_{kernel}")
+        summary = {
+            r["level"]: r["n_blocks_written"]
+            for r in build_octree(
+                spark,
+                str(tmp_path / "slices_aa"),
+                out,
+                nlevels=2,
+                filter_=kernel,
+            ).collect()
+        }
+        assert summary == {0: 8, 1: 1}
+        root = decode_tiff(
+            (tmp_path / f"oct_{kernel}" / "default.0.tif").read_bytes()
+        )[..., 0]
+        want = np.zeros((4, 4, 4), dtype=np.int64)
+        fn = KERNELS[kernel]
+        for zi in range(2):
+            for yi in range(2):
+                for xi in range(2):
+                    blk = vol[
+                        zi * 4 : zi * 4 + 4,
+                        yi * 4 : yi * 4 + 4,
+                        xi * 4 : xi * 4 + 4,
+                    ].astype(np.int64)
+                    want[
+                        zi * 2 : zi * 2 + 2,
+                        yi * 2 : yi * 2 + 2,
+                        xi * 2 : xi * 2 + 2,
+                    ] = fn(blk)
+        assert np.array_equal(root.astype(np.int64), want), kernel
+
+
+def test_build_octree_rejects_bad_filters(spark, tmp_path):
+    from hortacloud_importer_spark.pipelines import build_octree
+    from hortacloud_importer_spark.volume import synthetic_volume
+
+    v = synthetic_volume(spark, 4, 4, 4)
+    with pytest.raises(ValueError, match="unknown filter"):
+        build_octree(spark, v, str(tmp_path / "x"), 2, filter_="nope", dims=(4, 4, 4))
+    # odd block dims with a neighborhood kernel would drop planes
+    with pytest.raises(ValueError, match="even block dims"):
+        build_octree(
+            spark,
+            synthetic_volume(spark, 6, 6, 6),
+            str(tmp_path / "y"),
+            2,
+            filter_="aa",
+            dims=(6, 6, 6),
+        )
