@@ -152,7 +152,9 @@ def build_parser() -> argparse.ArgumentParser:
         "-d",
         "--downsample",
         default="2ndmax",
-        choices=sorted(FILTER_ALIASES),
+        # the per-block mip chain is a group aggregate; neighborhood
+        # kernels (aa/spline) are octree-build options only
+        choices=["2ndmax", "arthur", "area", "mean", "max"],
         help="mip downsample method",
     )
     ktx_p.add_argument(
@@ -285,13 +287,20 @@ def _run_octree(args) -> dict:
 
         first = read_tiff_block_store(spark, store).select("shape").first()
         block_dims = tuple(int(s) for s in first["shape"])
+        # the KTX pass's per-block mip chain is a group aggregate; the
+        # neighborhood kernels don't apply there — the reference's KTX
+        # converter defaults to 'arthur' regardless of the octree
+        # build's method (ktx_from_rendered_tiff.py:33)
+        from hortacloud_importer_spark.volume.downsample import FILTERS
+
+        ktx_filter = filter_ if filter_ in FILTERS else "arthur"
         res = tiff_octree_to_ktx(
             spark,
             store,
             ktx_out,
             block_dims=block_dims,
             n_mips=args.mips,
-            filter_=filter_,
+            filter_=ktx_filter,
             downsample_intensity=args.downsample_intensity,
             downsample_xy=args.downsample_xy,
         ).first()

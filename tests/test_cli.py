@@ -121,3 +121,53 @@ def test_cli_octree_from_n5_store(spark, tmp_path, capsys):
         ..., 0
     ]
     assert np.array_equal(got, vol)
+
+
+def test_stack_voxels_multi_file_z_offsets(spark, tmp_path):
+    """A glob of uniform stacks concatenates along z in sorted-path
+    order (dask imread parity); non-uniform stacks are rejected."""
+    from hortacloud_importer_spark.pipelines import stack_voxels
+
+    rng = np.random.default_rng(41)
+    vols = [
+        rng.integers(1, 250, (2, 4, 4), dtype=np.uint8) for _ in range(3)
+    ]
+    for i, v in enumerate(vols):
+        (tmp_path / f"s{i:02d}.tif").write_bytes(encode_tiff(v))
+    vox, dims = stack_voxels(spark, str(tmp_path / "s*.tif"))
+    assert dims == (6, 4, 4)
+    got = np.zeros(dims, dtype=np.int64)
+    for r in vox.collect():
+        got[r["z"], r["y"], r["x"]] = r["intensity"]
+    assert np.array_equal(got, np.concatenate(vols).astype(np.int64))
+
+    (tmp_path / "s99.tif").write_bytes(
+        encode_tiff(rng.integers(1, 9, (3, 4, 4), dtype=np.uint8))
+    )
+    vox2, _ = stack_voxels(spark, str(tmp_path / "s*.tif"))
+    with pytest.raises(Exception, match="uniform"):
+        vox2.count()
+
+
+def test_cli_kernel_build_with_ktx_falls_back_to_arthur_mips(
+    spark, tmp_path, capsys
+):
+    """-d aa --ktx must not crash: the KTX pass's mip chain is a group
+    aggregate, so it runs with the reference's default 'arthur' filter
+    while the octree build itself uses the aa kernel."""
+    rng = np.random.default_rng(43)
+    vol = rng.integers(1, 250, (8, 8, 8), dtype=np.uint8)
+    d = tmp_path / "slices_k"
+    d.mkdir()
+    for z in range(8):
+        (d / f"default.0.{z:03d}.tif").write_bytes(encode_tiff(vol[z][None, ...]))
+    out = str(tmp_path / "oct_k")
+    rc = main(
+        [
+            "octree", "-i", str(d), "-o", out, "-l", "2", "-d", "aa",
+            "--ktx", "--ktxout", str(tmp_path / "ktx_k"), "--mips", "2",
+        ]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["ktx"]["n_files"] == 9
