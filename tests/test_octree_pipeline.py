@@ -296,3 +296,16 @@ def test_build_octree_rejects_bad_filters(spark, tmp_path):
             filter_="aa",
             dims=(6, 6, 6),
         )
+
+
+def test_optimal_nlevels_matches_reference_rule():
+    """calc_optimal_nlevels dual (tiff2octree.py:617-625): smallest
+    level count whose leaf blocks fall under 512^3."""
+    from hortacloud_importer_spark.pipelines import optimal_nlevels
+
+    assert optimal_nlevels((8, 8, 8)) == 1
+    assert optimal_nlevels((512, 512, 512)) == 2
+    assert optimal_nlevels((511, 511, 511)) == 1
+    assert optimal_nlevels((1024, 1024, 1024)) == 3
+    # non-cubic: only the PRODUCT matters
+    assert optimal_nlevels((2048, 512, 128)) == 2
