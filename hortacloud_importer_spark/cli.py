@@ -201,13 +201,42 @@ def _detect_volume_format(path: str) -> str | None:
     """N5 roots carry ``attributes.json``; Zarr-v2 arrays carry
     ``.zarray`` — the same probe order the reference's zarr.open
     fallback implies (tiff2octree.py:322-326). Anything else is a
-    slice directory."""
+    slice directory or a c{i}/s{j} hierarchy."""
+    import json
     import os
 
-    if os.path.exists(os.path.join(path, "attributes.json")):
-        return "n5_volume"
+    try:
+        with open(os.path.join(path, "attributes.json")) as fh:
+            attrs = json.load(fh)
+        # group-level attributes.json (e.g. just pixelResolution) is
+        # NOT a dataset: the N5 spec keys datasets on dimensions
+        if "dimensions" in attrs:
+            return "n5_volume"
+    except (FileNotFoundError, OSError, ValueError):
+        pass
     if os.path.exists(os.path.join(path, ".zarray")):
         return "zarr_volume"
+    return None
+
+
+def _pixel_resolution(path: str) -> tuple[float, float, float] | None:
+    """The reference reads a ``pixelResolution`` attribute from the N5
+    root to default the voxel size (get_pixel_resolution_n5_zarr,
+    tiff2octree.py:694-709); both the bare-list and the
+    ``{"dimensions": [...]}`` forms occur in the wild."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(path, "attributes.json")) as fh:
+            attrs = json.load(fh)
+    except (FileNotFoundError, OSError, ValueError):
+        return None
+    res = attrs.get("pixelResolution")
+    if isinstance(res, dict):
+        res = res.get("dimensions")
+    if isinstance(res, (list, tuple)) and len(res) == 3:
+        return tuple(float(v) for v in res)
     return None
 
 
@@ -249,6 +278,22 @@ def _run_octree(args) -> dict:
                     .load(args.inputdir)
                     .withColumn("channel", F.lit(args.channel))
                 )
+            else:
+                # c{i}/s{j} multi-channel/multi-scale hierarchy
+                # (check_n5_levels/check_n5_channels,
+                # tiff2octree.py:711-777): full-res level s0, every
+                # channel, through the chunk-store readers
+                from hortacloud_importer_spark.sources.hierarchy import (
+                    discover_hierarchy,
+                    read_level_chunks,
+                )
+
+                if discover_hierarchy(spark, args.inputdir):
+                    source = read_level_chunks(spark, args.inputdir, 0)
+            if args.voxsize == (1.0, 1.0, 1.0):
+                res = _pixel_resolution(args.inputdir)
+                if res is not None:
+                    args.voxsize = res
         summary = build_octree(
             spark,
             source,

@@ -171,3 +171,35 @@ def test_cli_kernel_build_with_ktx_falls_back_to_arthur_mips(
     assert rc == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res["ktx"]["n_files"] == 9
+
+
+def test_cli_octree_from_n5_hierarchy_with_pixel_resolution(
+    spark, tmp_path, capsys
+):
+    """c{i}/s0 hierarchy input (check_n5_levels/check_n5_channels
+    parity): both channels build, and the root pixelResolution
+    attribute defaults --voxsize into transform.txt."""
+    from tests.test_datasource import _write_n5
+
+    rng = np.random.default_rng(47)
+    root = tmp_path / "h"
+    vols = {}
+    for ch in range(2):
+        vols[ch] = rng.integers(1, 60000, (4, 4, 4)).astype(np.uint16)
+        _write_n5(root / f"c{ch}" / "s0", vols[ch], (4, 4, 4))
+    (root / "attributes.json").write_text(
+        json.dumps({"pixelResolution": {"dimensions": [0.4, 0.4, 1.0]}})
+    )
+    out = str(tmp_path / "oct_h")
+
+    rc = main(["octree", "-i", str(root), "-o", out, "-l", "1", "-d", "area"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert [r["n_blocks_written"] for r in res["levels"]] == [2]
+    for ch in range(2):
+        got = decode_tiff(
+            (tmp_path / "oct_h" / f"default.{ch}.tif").read_bytes()
+        )[..., 0]
+        assert np.array_equal(got, vols[ch]), ch
+    txt = (tmp_path / "oct_h" / "transform.txt").read_text()
+    assert "sx: 400" in txt and "sz: 1000" in txt  # um * 1000 * 2^0
