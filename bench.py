@@ -63,6 +63,9 @@ HEADLINE = [
     "sim_ann",
     "dedup_approx",
     "vol_octree_build",
+    # r5 addition: the full octree->KTX conversion (stats + requant +
+    # mip chains + viewer metadata + manifest commit)
+    "vol_ktx_convert",
 ]
 
 
@@ -75,10 +78,12 @@ def main() -> None:
 
     # Warm the JVM + parquet footers once so timings measure the queries.
     specs[names[0]].fn(spark, sf_dir).count()
-    if "vol_n5_throughput" in names:
-        # first call builds its one-time /tmp store; warm it out of the
-        # timed loop so the probe measures decode, not store creation
-        specs["vol_n5_throughput"].fn(spark, sf_dir).count()
+    for probe in ("vol_n5_throughput", "vol_ktx_convert"):
+        if probe in names:
+            # first call builds its one-time /tmp store; warm it out of
+            # the timed loop so the probe measures decode/convert, not
+            # store creation
+            specs[probe].fn(spark, sf_dir).count()
 
     # Best-of-REPS per query: this box is a shared VM, and a noisy
     # neighbor during one execution otherwise reads as a fake 2x

@@ -78,32 +78,58 @@ def channel_block_stats(blocks: DataFrame) -> DataFrame:
     )
     pct = (F.lit(100.0) * F.col("cum_count")) / F.col("total_nonzero")
     nz_i = F.when(F.col("i") > 0, F.col("i"))
-    pct_exprs = [F.coalesce(F.min(nz_i), F.lit(0)).cast("long").alias("p0")]
+    # The 101 percentile aggregates land in ONE array column instead
+    # of 101 named columns: the per-block variant of the flagship's
+    # plan would otherwise thread 101 columns through three nested
+    # projections, and Catalyst's analysis time on that width (not the
+    # execution) dominated the whole pass (measured ~2.5s of a 4.6s
+    # stats step at 9 blocks). Values are identical — the moments
+    # below fold the array left-to-right exactly like the column-wise
+    # reduce in operators/requant.band_moments.
+    pct_exprs = [F.coalesce(F.min(nz_i), F.lit(0)).cast("long")]
     for p in range(1, 100):
         pct_exprs.append(
-            F.coalesce(F.min(F.when(pct >= F.lit(float(p)), F.col("i"))), F.lit(0))
-            .cast("long")
-            .alias(f"p{p}")
+            F.coalesce(
+                F.min(F.when(pct >= F.lit(float(p)), F.col("i"))), F.lit(0)
+            ).cast("long")
         )
-    pct_exprs.append(F.coalesce(F.max(nz_i), F.lit(0)).cast("long").alias("p100"))
+    pct_exprs.append(F.coalesce(F.max(nz_i), F.lit(0)).cast("long"))
     pctl = cdf.groupBy(*key).agg(
-        *pct_exprs,
+        F.array(*pct_exprs).alias("stats_percentiles"),
         F.sum("bin_count").alias("stats_total_count"),
         F.coalesce(
             F.sum(F.when(F.col("i") == 0, F.col("bin_count"))),
             F.lit(0).cast("bigint"),
         ).alias("stats_zero_count"),
     )
-    mean, stddev = R.band_moments()
-    params = pctl.select("*", mean, stddev).select("*", *R.requant_params())
-    return params.select(
+    arr = F.col("stats_percentiles")
+    band = F.slice(arr, R.MIN_QUANTILE + 1, len(R.BAND))  # p20..p95
+    n = float(len(R.BAND))
+    s1 = F.aggregate(band, F.lit(0).cast("long"), lambda a, b: a + b)
+    s2 = F.aggregate(
+        band, F.lit(0).cast("long"), lambda a, b: a + b * b
+    )
+    mean = s1 / F.lit(n)
+    stddev = F.sqrt(s2 / F.lit(n) - mean * mean)
+    p20 = F.element_at(arr, R.MIN_QUANTILE + 1)
+    p95 = F.element_at(arr, R.MAX_BASE_QUANTILE + 1)
+    p100 = F.element_at(arr, 101)
+    white = F.floor(p95 + F.lit(R.MAX_SIGMA_BUFFER) * stddev)
+    white = F.greatest(white, F.floor(F.lit(R.MAX_PROPORTION) * p100))
+    white = F.least(white, p100.cast("bigint"))
+    white = F.greatest(white, F.lit(254).cast("bigint"))
+    black = F.greatest(
+        F.least(p20.cast("bigint"), white - F.lit(253)),
+        F.lit(1).cast("bigint"),
+    )
+    return pctl.select(
         *key,
-        F.array(*[F.col(f"p{p}") for p in range(101)]).alias("stats_percentiles"),
+        "stats_percentiles",
         "stats_zero_count",
         "stats_total_count",
-        "black_level",
-        "white_level",
-        F.col("gamma").alias("gamma0"),
+        black.alias("black_level"),
+        white.alias("white_level"),
+        F.lit(0.5).alias("gamma0"),
     )
 
 
@@ -284,6 +310,14 @@ def tiff_octree_to_ktx(
     blocks = read_tiff_block_store(spark, store_root)
     if depth is not None:
         blocks = blocks.filter(F.col("depth") == depth)
+    # One store read for the whole pass: the decoded blocks feed the
+    # stats aggregate AND every mip-chain union branch — without the
+    # persist each consumer re-runs the binaryFile scan + TIFF decode
+    # (2 + n_mips store reads at 100 TB; the reference's two-pass
+    # design reads each file twice). Spills to executor disk.
+    from pyspark import StorageLevel
+
+    blocks = raw_blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
 
     from hortacloud_importer_spark.volume.geometry import (
         OctreeGeometry,
@@ -335,6 +369,7 @@ def tiff_octree_to_ktx(
     )
     if stats is not None:
         stats.unpersist()
+    raw_blocks.unpersist(blocking=False)
     if transform is not None:
         # the reference copies transform.txt beside the KTX output
         # verbatim (tiff2octree.py:894-901)

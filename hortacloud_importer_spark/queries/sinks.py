@@ -265,6 +265,44 @@ GROUP BY 2, 3, 4
 """
 
 
+@register("vol_ktx_convert", "A8+D4+D10+J1", oracle=None, driver=False)
+def vol_ktx_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only throughput probe: the full tiff_octree_to_ktx pass
+    (pipelines/ktx.py) over a 32^3 two-level octree store — store scan
+    + clean-room TIFF decode, per-(block, channel) histogram/percentile
+    statistics, uint16->uint8 requantization, per-block mip chains,
+    viewer-metadata KTX encode, manifest commit. The source store is
+    built once per machine under /tmp (transform.txt is the completion
+    sentinel, written last); each run converts into a fresh output
+    dir, so the probe times the conversion, not the store build. The
+    e2e correctness of the same composition is pinned in
+    tests/test_ktx_metadata.py."""
+    import os
+
+    from hortacloud_importer_spark.pipelines import (
+        build_octree,
+        tiff_octree_to_ktx,
+    )
+    from hortacloud_importer_spark.volume import synthetic_volume
+
+    store = f"{tempfile.gettempdir()}/spark_graft_ktxbench_32_2/store"
+    if not os.path.exists(f"{store}/transform.txt"):
+        v = synthetic_volume(spark, 32, 32, 32, zero_fraction_mod=5)
+        build_octree(
+            spark, v, store, nlevels=2, filter_="arthur", dims=(32, 32, 32)
+        )
+    out = tempfile.mkdtemp(prefix="ktx_bench_") + "/ktx"
+    return tiff_octree_to_ktx(
+        spark,
+        store,
+        out,
+        block_dims=(16, 16, 16),
+        n_mips=3,
+        filter_="arthur",
+        downsample_intensity=True,
+    )
+
+
 @register("vol_kernel_custom", "J3", oracle=_kernel_custom_oracle())
 def vol_kernel_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3, oracle-exact: the reference's two library-shaped
