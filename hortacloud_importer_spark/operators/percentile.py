@@ -66,7 +66,11 @@ def percentile_exprs(intensity_col: str, percentiles: Sequence[int]) -> list[Col
     Expects with_cdf() columns. p=0 maps to min non-zero and p=100 to
     max non-zero (ktx_from_rendered_tiff.py:471-473).
     """
-    pct = (F.lit(100.0) * F.col("cum_count")) / F.col("total_nonzero")
+    # One parsed SQL string per percentile instead of ~6 Column calls:
+    # each Column operation is a py4j round-trip, and for a ~100-entry
+    # percentile vector the driver-side construction cost exceeded the
+    # aggregate's execution. The D suffix keeps literals DoubleType
+    # (matching F.lit floats), so values stay bit-identical.
     exprs: list[Column] = []
     for p in percentiles:
         if p == 0:
@@ -75,7 +79,10 @@ def percentile_exprs(intensity_col: str, percentiles: Sequence[int]) -> list[Col
             exprs.append(F.max(intensity_col).alias("p100"))
         else:
             exprs.append(
-                F.min(F.when(pct >= F.lit(float(p)), F.col(intensity_col))).alias(f"p{p}")
+                F.expr(
+                    "min(CASE WHEN (100.0D * cum_count) / total_nonzero"
+                    f" >= {float(p)}D THEN {intensity_col} END)"
+                ).alias(f"p{p}")
             )
     return exprs
 

@@ -17,8 +17,6 @@ expression tree over exact integers.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -30,13 +28,21 @@ BAND = list(range(MIN_QUANTILE, MAX_BASE_QUANTILE + 1))  # 76 percentiles
 
 
 def band_moments() -> tuple[Column, Column]:
-    """(mean, stddev) over percentile columns p20..p95 (already computed)."""
+    """(mean, stddev) over percentile columns p20..p95 (already computed).
+
+    Built as ONE parsed SQL expression per output instead of a
+    reduce() over 152 Column objects: each Column operation is a py4j
+    round-trip, and the driver-side construction cost of the column
+    form (~0.5s) dwarfed the execution of the expression itself. The
+    parsed tree is the same left-associated sum, so values are
+    bit-identical (the ``D`` suffixes keep the literals DoubleType,
+    matching the old ``F.lit`` floats)."""
     n = float(len(BAND))
-    s1 = reduce(lambda a, b: a + b, [F.col(f"p{p}") for p in BAND])
-    s2 = reduce(lambda a, b: a + b, [F.col(f"p{p}") * F.col(f"p{p}") for p in BAND])
-    mean = s1 / F.lit(n)
-    var = s2 / F.lit(n) - mean * mean
-    return mean.alias("mean_p"), F.sqrt(var).alias("stddev_p")
+    s1 = " + ".join(f"p{p}" for p in BAND)
+    s2 = " + ".join(f"p{p} * p{p}" for p in BAND)
+    mean = f"(({s1}) / {n}D)"
+    var = f"(({s2}) / {n}D - {mean} * {mean})"
+    return F.expr(mean).alias("mean_p"), F.expr(f"SQRT({var})").alias("stddev_p")
 
 
 def requant_params() -> list[Column]:
@@ -49,17 +55,20 @@ def requant_params() -> list[Column]:
       white = max(white, 254)                  # at least 8-bit range
       black = max(min(p20, white - 253), 1)    # >=253 interval, >=1
     """
-    white = F.floor(F.col(f"p{MAX_BASE_QUANTILE}") + F.lit(MAX_SIGMA_BUFFER) * F.col("stddev_p"))
-    white = F.greatest(white, F.floor(F.lit(MAX_PROPORTION) * F.col("p100")))
-    white = F.least(white, F.col("p100").cast("bigint"))
-    white = F.greatest(white, F.lit(254).cast("bigint"))
-    black = F.greatest(
-        F.least(F.col(f"p{MIN_QUANTILE}").cast("bigint"), white - F.lit(253)),
-        F.lit(1).cast("bigint"),
+    w = (
+        f"CAST(FLOOR(p{MAX_BASE_QUANTILE}"
+        f" + {MAX_SIGMA_BUFFER}D * stddev_p) AS BIGINT)"
+    )
+    w = f"GREATEST({w}, CAST(FLOOR({MAX_PROPORTION}D * p100) AS BIGINT))"
+    w = f"LEAST({w}, CAST(p100 AS BIGINT))"
+    w = f"GREATEST({w}, CAST(254 AS BIGINT))"
+    b = (
+        f"GREATEST(LEAST(CAST(p{MIN_QUANTILE} AS BIGINT), {w} - 253),"
+        " CAST(1 AS BIGINT))"
     )
     return [
-        black.alias("black_level"),
-        white.alias("white_level"),
+        F.expr(b).alias("black_level"),
+        F.expr(w).alias("white_level"),
         F.lit(0.5).alias("gamma"),
     ]
 

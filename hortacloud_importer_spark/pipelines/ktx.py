@@ -76,8 +76,7 @@ def channel_block_stats(blocks: DataFrame) -> DataFrame:
     cdf = full_hist.withColumn("cum_count", F.sum(nz_count).over(order)).withColumn(
         "total_nonzero", F.sum(nz_count).over(whole)
     )
-    pct = (F.lit(100.0) * F.col("cum_count")) / F.col("total_nonzero")
-    nz_i = F.when(F.col("i") > 0, F.col("i"))
+    nz_i = "CASE WHEN i > 0 THEN i END"
     # The 101 percentile aggregates land in ONE array column instead
     # of 101 named columns: the per-block variant of the flagship's
     # plan would otherwise thread 101 columns through three nested
@@ -86,14 +85,15 @@ def channel_block_stats(blocks: DataFrame) -> DataFrame:
     # stats step at 9 blocks). Values are identical — the moments
     # below fold the array left-to-right exactly like the column-wise
     # reduce in operators/requant.band_moments.
-    pct_exprs = [F.coalesce(F.min(nz_i), F.lit(0)).cast("long")]
+    pct_exprs = [F.expr(f"CAST(COALESCE(MIN({nz_i}), 0) AS BIGINT)")]
     for p in range(1, 100):
         pct_exprs.append(
-            F.coalesce(
-                F.min(F.when(pct >= F.lit(float(p)), F.col("i"))), F.lit(0)
-            ).cast("long")
+            F.expr(
+                "CAST(COALESCE(MIN(CASE WHEN (100.0D * cum_count)"
+                f" / total_nonzero >= {float(p)}D THEN i END), 0) AS BIGINT)"
+            )
         )
-    pct_exprs.append(F.coalesce(F.max(nz_i), F.lit(0)).cast("long"))
+    pct_exprs.append(F.expr(f"CAST(COALESCE(MAX({nz_i}), 0) AS BIGINT)"))
     pctl = cdf.groupBy(*key).agg(
         F.array(*pct_exprs).alias("stats_percentiles"),
         F.sum("bin_count").alias("stats_total_count"),

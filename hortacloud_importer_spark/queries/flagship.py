@@ -57,17 +57,23 @@ def channel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_nonzero", F.sum(nz_count).over(whole)
     )
 
-    pct = (F.lit(100.0) * F.col("cum_count")) / F.col("total_nonzero")
-    nz_i = F.when(F.col("i") > 0, F.col("i"))
+    # expression strings parse JVM-side in one py4j call each — the
+    # Column-object form cost more driver time to CONSTRUCT (~1s of
+    # py4j round-trips for this vector) than the aggregate takes to
+    # run; D-suffixed literals keep DoubleType semantics bit-identical
+    nz_i = "CASE WHEN i > 0 THEN i END"
     pct_exprs = []
     for p in _PCTS:
         if p == 0:
-            pct_exprs.append(F.min(nz_i).alias("p0"))
+            pct_exprs.append(F.expr(f"min({nz_i})").alias("p0"))
         elif p == 100:
-            pct_exprs.append(F.max(nz_i).alias("p100"))
+            pct_exprs.append(F.expr(f"max({nz_i})").alias("p100"))
         else:
             pct_exprs.append(
-                F.min(F.when(pct >= F.lit(float(p)), F.col("i"))).alias(f"p{p}")
+                F.expr(
+                    "min(CASE WHEN (100.0D * cum_count) / total_nonzero"
+                    f" >= {float(p)}D THEN i END)"
+                ).alias(f"p{p}")
             )
     pctl = cdf.groupBy("grp").agg(
         *pct_exprs,
