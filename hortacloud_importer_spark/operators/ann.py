@@ -51,7 +51,33 @@ def _portable_plane(j: int, dim: int) -> list[float]:
 def _signature(
     vec: Column, n_planes: int, portable: bool = False, dim: int | None = None
 ) -> Column:
-    """Bit i = sign of <vec, plane_i>; 0..2^n_planes-1 as bigint."""
+    """Bit i = sign of <vec, plane_i>; 0..2^n_planes-1 as bigint.
+
+    The baked-literal portable path assembles ONE parsed SQL
+    expression for the whole signature: the Column-object form spent
+    ~1s of driver time on py4j round-trips (n_planes x dim F.lit
+    calls alone) before anything ran. repr() literals with the D
+    suffix round-trip to the identical doubles, so signatures are
+    bit-identical to the old form. That path reads the ``embedding``
+    column by name (its only call site); the generic-Column ``vec``
+    parameter serves the non-portable branch."""
+    if portable and dim is not None:
+        terms = []
+        for j in range(n_planes):
+            arr = ", ".join(f"{w!r}D" for w in _portable_plane(j, dim))
+            dot = (
+                f"round(aggregate(zip_with(array({arr}), embedding,"
+                " (w, x) -> CAST(x AS DOUBLE) * w), 0.0D,"
+                " (acc, v) -> acc + v), 6)"
+            )
+            terms.append(
+                f"(shiftleft(CASE WHEN {dot} >= 0 THEN 1L ELSE 0L END, {j}))"
+            )
+        # the 6-dp round before the sign test matches the score-column
+        # policy: Spark folds in array order while SQL SUM order is
+        # unspecified, so an unrounded dot within an ulp of zero could
+        # flip a bit across engines
+        return F.expr(" | ".join(terms))
     sig = None
     for j in range(n_planes):
         if portable and dim is not None:

@@ -70,10 +70,13 @@ def minhash_signatures(
     # was measured slower — the extra exchange costs more than the
     # duplicate rows, which map-side partial MIN absorbs anyway)
     ids = shingles.select(F.col(id_col), x.alias("_x"))
+    # expression strings parse JVM-side in one py4j round-trip each;
+    # the Column-object form spent more driver time constructing the
+    # 32 MIN chains than the aggregate takes to run (same finding as
+    # operators/requant.band_moments). Integer literals and % keep the
+    # exact bigint math of the F.lit form.
     mins = [
-        F.min((F.col("_x") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE_P)).alias(
-            f"h{j}"
-        )
+        F.expr(f"min((_x * {a} + {b}) % {_MERSENNE_P})").alias(f"h{j}")
         for j, (a, b) in enumerate(_perm_params(n_hashes))
     ]
     sig = ids.groupBy(id_col).agg(*mins)
@@ -97,25 +100,19 @@ def minhash_pairs(
     rows = n_hashes // bands
     sig = minhash_signatures(shingles, n_hashes, portable=portable).cache()
 
-    def _bucket(i: int):
-        cols = [F.col("sig")[i * rows + r] for r in range(rows)]
+    def _bucket_sql(i: int) -> str:
+        cols = [f"sig[{i * rows + r}]" for r in range(rows)]
         if portable:
-            return F.concat_ws("_", *[c.cast("string") for c in cols])
-        return F.xxhash64(*cols)
+            joined = ", ".join(f"CAST({c} AS STRING)" for c in cols)
+            return f"concat_ws('_', {joined})"
+        return f"xxhash64({', '.join(cols)})"
 
+    structs = ", ".join(
+        f"named_struct('band', {i}, 'bucket', {_bucket_sql(i)})"
+        for i in range(bands)
+    )
     banded = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        _bucket(i).alias("bucket"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "doc_id", F.expr(f"explode(array({structs}))").alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
     a = banded.alias("a")
     b = banded.alias("b")
@@ -167,26 +164,25 @@ def simhash_signatures(
         .groupBy(id_col, "_h")
         .agg(F.count("*").alias("_c"))
     )
-    one = F.lit(1).cast("bigint")
+    # parsed SQL strings: the 64 bit-sum aggregates plus the 64-term
+    # OR reduction cost ~1s of driver-side py4j round-trips as Column
+    # chains — the dominant share of the whole query's wall time.
+    # shiftrightunsigned / bigint literals keep the math identical.
     bit_sums = [
-        F.sum(
-            F.when(
-                F.shiftrightunsigned("_h", b).bitwiseAND(one) == one, F.col("_c")
-            ).otherwise(-F.col("_c"))
+        F.expr(
+            f"sum(CASE WHEN shiftrightunsigned(_h, {b}) & 1L = 1L"
+            f" THEN _c ELSE -_c END)"
         ).alias(f"b{b}")
         for b in range(64)
     ]
     agg = th.groupBy(id_col).agg(*bit_sums)
-    sim = None
-    for b in range(64):
-        bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        term = F.shiftleft(bit, b)
-        # bitwise OR, not +: distinct bits anyway, and OR can never trip
-        # ANSI overflow on the sign bit
-        sim = term if sim is None else sim.bitwiseOR(term)
-    return agg.select(id_col, sim.alias("simhash"))
+    # bitwise OR, not +: distinct bits anyway, and OR can never trip
+    # ANSI overflow on the sign bit
+    sim = " | ".join(
+        f"(shiftleft(CASE WHEN b{b} > 0 THEN 1L ELSE 0L END, {b}))"
+        for b in range(64)
+    )
+    return agg.select(id_col, F.expr(sim).alias("simhash"))
 
 
 def simhash_pairs(
