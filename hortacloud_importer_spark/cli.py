@@ -144,8 +144,14 @@ def build_parser() -> argparse.ArgumentParser:
     ktx_p.add_argument(
         "--block-dims",
         type=lambda s: _triple(s, int),
-        required=True,
-        help="stored block extent z,y,x",
+        default=None,
+        help="stored block extent z,y,x (default: read from the store)",
+    )
+    ktx_p.add_argument(
+        "--interleave",
+        action="store_true",
+        help="one multi-channel KTX per block (GL_RG/RGB texels — the "
+        "reference's 2-channel specimen default) instead of one per channel",
     )
     ktx_p.add_argument("--mips", type=int, default=4, help="mip levels per block")
     ktx_p.add_argument(
@@ -361,14 +367,27 @@ def _run_ktx(args) -> dict:
     from hortacloud_importer_spark.pipelines import tiff_octree_to_ktx
 
     spark = _session(args)
+    block_dims = args.block_dims
+    if block_dims is None:
+        # all blocks in a build_octree store share one extent — read it
+        # off the first block instead of making the user repeat it
+        from hortacloud_importer_spark.sources.block_store import (
+            read_tiff_block_store,
+        )
+
+        first = (
+            read_tiff_block_store(spark, args.inputdir).select("shape").first()
+        )
+        block_dims = tuple(int(s) for s in first["shape"])
     res = tiff_octree_to_ktx(
         spark,
         args.inputdir,
         args.output,
-        block_dims=tuple(args.block_dims),
+        block_dims=tuple(block_dims),
         n_mips=args.mips,
         filter_=FILTER_ALIASES[args.downsample],
         depth=args.depth,
+        interleave=args.interleave,
         downsample_intensity=args.downsample_intensity,
         downsample_xy=args.downsample_xy,
     ).first()

@@ -203,3 +203,28 @@ def test_cli_octree_from_n5_hierarchy_with_pixel_resolution(
         assert np.array_equal(got, vols[ch]), ch
     txt = (tmp_path / "oct_h" / "transform.txt").read_text()
     assert "sx: 400" in txt and "sz: 1000" in txt  # um * 1000 * 2^0
+
+
+def test_cli_ktx_subcommand_interleave_autodetect(spark, tmp_path, capsys):
+    """Standalone ktx subcommand: block dims auto-read from the store,
+    --interleave packs both channels into one GL_RG KTX per block."""
+    from hortacloud_importer_spark.pipelines import build_octree
+    from hortacloud_importer_spark.sources.ktx import decode_ktx
+    from hortacloud_importer_spark.volume import synthetic_volume
+
+    store = str(tmp_path / "store2ch")
+    v = synthetic_volume(spark, 4, 4, 4, channels=2)
+    build_octree(
+        spark, v, store, nlevels=1, filter_="max", dims=(4, 4, 4),
+        voxel_size_um=(0.5, 0.5, 1.0),
+    )
+    out = str(tmp_path / "ktx2ch")
+    rc = main(["ktx", "-i", store, "-o", out, "--mips", "2", "--interleave"])
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n_files"] == 1  # one interleaved file for both channels
+    blob = glob.glob(f"{out}/*.ktx")
+    assert len(blob) == 1
+    header, mipmaps = decode_ktx(open(blob[0], "rb").read())
+    assert header.metadata[b"channel_ids"].rstrip(b"\x00") == b"0,1"
+    assert len(mipmaps) == 2
