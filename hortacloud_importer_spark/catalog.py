@@ -26,12 +26,27 @@ TABLES = (
 )
 
 
+# Analyzed-DataFrame cache: spark.read.parquet re-lists the directory
+# and re-reads footers for schema inference on EVERY call, so an
+# 8-table composite paid ~0.5s of driver time just loading tables it
+# had already loaded. DataFrames are immutable logical plans — reusing
+# one is free — and keying on applicationId (unique per SparkContext)
+# guarantees a plan never outlives its session.
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLES}")
-    if name == "events":
-        return _events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _CACHE.get(key)
+    if df is None:
+        if name == "events":
+            df = _events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        _CACHE[key] = df
+    return df
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
