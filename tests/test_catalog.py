@@ -76,3 +76,20 @@ def test_events_both_physical_ts_schemas(spark, tmp_path):
         assert dict(ev.dtypes)["ts"] == "timestamp", d.name
         out[d.name] = [r["ts"] for r in ev.orderBy("event_id").collect()]
     assert out["nanos"] == out["micros"] == rows
+
+
+def test_table_cache_returns_same_plan_per_session(spark, sf_dir):
+    """table() memoizes the analyzed DataFrame per (session, dir,
+    name): repeated loads must not re-read parquet footers, and the
+    cache key must separate different sf dirs."""
+    from hortacloud_importer_spark import catalog
+
+    a = catalog.table(spark, sf_dir, "nation")
+    b = catalog.table(spark, sf_dir, "nation")
+    assert a is b
+    key = (spark.sparkContext.applicationId, sf_dir, "nation")
+    assert catalog._CACHE[key] is a
+    # a different dir is a different entry (never served stale data)
+    other = sf_dir.replace("sf0.001", "sf0.01")
+    c = catalog.table(spark, other, "nation")
+    assert c is not a
