@@ -169,7 +169,34 @@ def build_parser() -> argparse.ArgumentParser:
     ktx_p.add_argument("--downsample-intensity", action="store_true")
     ktx_p.add_argument("--downsample-xy", action="store_true")
     _spark_flags(ktx_p)
+
+    crop_p = sub.add_parser(
+        "crop",
+        help="export a voxel window of one octree level as a slice directory",
+    )
+    crop_p.add_argument("-i", "--inputdir", required=True, help="octree store")
+    crop_p.add_argument("-o", "--output", required=True, help="slice dir output")
+    crop_p.add_argument(
+        "--z", type=lambda s: _pair(s), required=True, help="z0,z1 (half-open)"
+    )
+    crop_p.add_argument("--y", type=lambda s: _pair(s), required=True)
+    crop_p.add_argument("--x", type=lambda s: _pair(s), required=True)
+    crop_p.add_argument(
+        "--depth",
+        type=int,
+        default=None,
+        help="octree level (default: the deepest = full resolution)",
+    )
+    crop_p.add_argument("--dtype", default="uint16")
+    _spark_flags(crop_p)
     return ap
+
+
+def _pair(s: str) -> tuple[int, int]:
+    parts = [int(p) for p in s.split(",")]
+    if len(parts) != 2:
+        raise argparse.ArgumentTypeError(f"need 2 comma-separated values: {s!r}")
+    return (parts[0], parts[1])
 
 
 def _spark_flags(p: argparse.ArgumentParser) -> None:
@@ -399,9 +426,46 @@ def _run_ktx(args) -> dict:
     }
 
 
+def _run_crop(args) -> dict:
+    from hortacloud_importer_spark.pipelines import crop_octree
+    from hortacloud_importer_spark.sources.block_store import (
+        read_tiff_block_store,
+    )
+
+    spark = _session(args)
+    # block extent + deepest level read off the store itself
+    probe = read_tiff_block_store(spark, args.inputdir).select("shape", "depth")
+    first = probe.first()
+    block_dims = tuple(int(s) for s in first["shape"])
+    depth = args.depth
+    if depth is None:
+        depth = int(probe.agg({"depth": "max"}).first()[0])
+    res = crop_octree(
+        spark,
+        args.inputdir,
+        args.output,
+        window=(tuple(args.z), tuple(args.y), tuple(args.x)),
+        depth=depth,
+        block_dims=block_dims,
+        dtype=args.dtype,
+    )
+    rows = res.collect()
+    return {
+        "command": "crop",
+        "output": args.output,
+        "n_slices": len(rows),
+        "n_nonzero": sum(r["n_nonzero"] for r in rows),
+    }
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    result = _run_octree(args) if args.command == "octree" else _run_ktx(args)
+    if args.command == "octree":
+        result = _run_octree(args)
+    elif args.command == "ktx":
+        result = _run_ktx(args)
+    else:
+        result = _run_crop(args)
     print(json.dumps(result))
     return 0
 

@@ -97,7 +97,42 @@ def rewrite_layout(
     )
 
 
-def read_tiff_block_store(spark: SparkSession, root: str) -> DataFrame:
+def path_block_coords(root: str):
+    """(zi, yi, xi, depth) Catalyst columns derived from a store file
+    PATH's octant digits — the same bit walk the decoder does in
+    Python, but evaluable BEFORE any payload decode, which is what
+    makes windowed reads prune files instead of decoding then
+    discarding (A4; the reference's windowed region read,
+    tiff2octree.py:281-292)."""
+    import re as _re
+
+    rel = F.element_at(F.split("path", _re.escape(f"{root.rstrip('/')}/")), -1)
+    parts = F.split(rel, "/")
+    digits = F.slice(parts, 1, F.size(parts) - 1)
+
+    def axis(shift: int):
+        return F.aggregate(
+            digits,
+            F.lit(0),
+            lambda acc, d: acc * 2
+            + F.shiftright(d.cast("int") - 1, shift).bitwiseAND(F.lit(1)),
+        )
+
+    return (
+        axis(2).alias("_zi"),
+        axis(1).alias("_yi"),
+        axis(0).alias("_xi"),
+        (F.size(parts) - 1).alias("_depth"),
+    )
+
+
+def read_tiff_block_store(
+    spark: SparkSession,
+    root: str,
+    window: tuple[tuple[int, int], tuple[int, int], tuple[int, int]] | None = None,
+    block_dims: tuple[int, int, int] | None = None,
+    depth: int | None = None,
+) -> DataFrame:
     """Read a ``tiff_blocks`` store (the reference's octree layout,
     ``{digit}/{digit}/.../default.{ch}.tif``) back into blockify-shaped
     rows (zi, yi, xi, channel, shape, voxels).
@@ -107,6 +142,13 @@ def read_tiff_block_store(spark: SparkSession, root: str) -> DataFrame:
     digits in the PATH (``1 + x_bit + 2*y_bit + 4*z_bit`` per level,
     MSB first — tiff2octree.py:263-279), so the store round-trips
     without a manifest. Payload bytes never visit the driver.
+
+    ``window`` = ((z0, z1), (y0, y1), (x0, x1)) half-open VOXEL bounds
+    (requires ``block_dims``) restricts the read to blocks overlapping
+    the region, and ``depth`` to one octree level — both filters
+    evaluate on path-derived coordinates BEFORE the decode, so a small
+    crop of a huge store decodes only the touched blocks (A4 windowed
+    read, tiff2octree.py:281-292).
 
     When the store HAS a manifest (sources/manifest.py shards or the
     legacy ``_MANIFEST.json``), the scan is restricted to the
@@ -182,6 +224,23 @@ def read_tiff_block_store(spark: SparkSession, root: str) -> DataFrame:
         .option("pathGlobFilter", "*.tif")
         .load(root)
     )
+    if window is not None or depth is not None:
+        zi_c, yi_c, xi_c, depth_c = path_block_coords(root)
+        files = files.select("*", zi_c, yi_c, xi_c, depth_c)
+        if depth is not None:
+            files = files.filter(F.col("_depth") == depth)
+        if window is not None:
+            if block_dims is None or depth is None:
+                # block extent is depth-relative: a voxel window only
+                # names blocks at ONE level
+                raise ValueError("window pruning requires block_dims and depth")
+            for col, (lo, hi), b in zip(
+                ("_zi", "_yi", "_xi"), window, block_dims
+            ):
+                files = files.filter(
+                    (F.col(col) >= lo // b) & (F.col(col) <= (hi - 1) // b)
+                )
+        files = files.drop("_zi", "_yi", "_xi", "_depth")
     from hortacloud_importer_spark.sources import manifest
 
     committed = manifest.committed_files_df(spark, root)

@@ -228,3 +228,58 @@ def test_cli_ktx_subcommand_interleave_autodetect(spark, tmp_path, capsys):
     header, mipmaps = decode_ktx(open(blob[0], "rb").read())
     assert header.metadata[b"channel_ids"].rstrip(b"\x00") == b"0,1"
     assert len(mipmaps) == 2
+
+
+def test_cli_crop_window_round_trips(spark, tmp_path, capsys):
+    """crop exports a voxel window of the leaf level as a slice dir
+    (window-local z), pruning non-window block files before decode."""
+    from hortacloud_importer_spark.pipelines import build_octree
+    from hortacloud_importer_spark.volume import synthetic_volume
+
+    store = str(tmp_path / "crop_store")
+    v = synthetic_volume(spark, 8, 8, 8)
+    build_octree(spark, v, store, nlevels=2, filter_="max", dims=(8, 8, 8))
+
+    out = str(tmp_path / "crop_out")
+    rc = main(
+        ["crop", "-i", store, "-o", out, "--z", "2,6", "--y", "1,7", "--x", "0,8"]
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n_slices"] == 4
+
+    want = np.zeros((8, 8, 8), dtype=np.int64)
+    for r in synthetic_volume(spark, 8, 8, 8).collect():
+        want[r["z"], r["y"], r["x"]] = r["intensity"]
+    for lz, z in enumerate(range(2, 6)):
+        got = decode_tiff(
+            (tmp_path / "crop_out" / f"default.0.{lz:05d}.tif").read_bytes()
+        )[0, :, :, 0]
+        assert np.array_equal(got.astype(np.int64), want[z, 1:7, 0:8]), z
+
+
+def test_window_prune_filters_before_decode(spark, tmp_path):
+    """The window filter must sit on path-derived coordinates below
+    the Python decode in the plan — a crop of a huge store reads only
+    the touched block files."""
+    from hortacloud_importer_spark.pipelines import build_octree
+    from hortacloud_importer_spark.sources.block_store import (
+        read_tiff_block_store,
+    )
+    from hortacloud_importer_spark.volume import synthetic_volume
+
+    store = str(tmp_path / "prune_store")
+    v = synthetic_volume(spark, 8, 8, 8)
+    build_octree(spark, v, store, nlevels=2, filter_="max", dims=(8, 8, 8))
+
+    win = ((0, 4), (0, 4), (0, 4))  # exactly one leaf octant
+    df = read_tiff_block_store(
+        spark, store, window=win, block_dims=(4, 4, 4), depth=1
+    )
+    rows = df.collect()
+    assert [(r["zi"], r["yi"], r["xi"]) for r in rows] == [(0, 0, 0)]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the coordinate filter is below MapInPandas (decode), not above
+    assert plan.index("Filter") > plan.index("MapInPandas") or (
+        "PushedFilters" in plan
+    ) or plan.index("MapInPandas") > plan.index("aggregate")
