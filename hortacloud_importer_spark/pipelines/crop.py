@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from hortacloud_importer_spark.sources.block_store import (
     read_tiff_block_store,
+    store_channels,
 )
 from hortacloud_importer_spark.volume.model import densify, unblockify
 
@@ -38,10 +39,14 @@ def crop_octree(
     depth: int,
     block_dims: tuple[int, int, int],
     dtype: str = "uint16",
+    channels: int | None = None,
 ) -> DataFrame:
     """Export ``window`` = ((z0,z1), (y0,y1), (x0,x1)) of octree level
     ``depth`` as a slice directory. Returns per-slice accounting
-    (z, channel, n_nonzero)."""
+    (z, channel, n_nonzero).
+
+    ``channels`` (count) skips channel discovery; when omitted it is
+    derived from the store's file NAMES (no payload decode)."""
     (z0, z1), (y0, y1), (x0, x1) = window
     if not (z0 < z1 and y0 < y1 and x0 < x1):
         raise ValueError(f"empty window {window}")
@@ -65,8 +70,11 @@ def crop_octree(
             "intensity",
         )
     )
-    n_channels = max(
-        1, blocks.select("channel").distinct().count()
+    # channel count from file paths, NOT from the decoded blocks: a
+    # distinct() over the block frame would run the whole window's
+    # TIFF decode a second time just to learn a handful of ids
+    n_channels = channels if channels else max(
+        1, len(store_channels(spark, store_root))
     )
     dense = densify(vox, spark, dims, channels=n_channels)
 

@@ -97,6 +97,28 @@ def rewrite_layout(
     )
 
 
+def store_channels(spark: SparkSession, root: str) -> list[int]:
+    """Distinct channel ids of a ``tiff_blocks`` store, from file
+    NAMES only (``default.{ch}.tif``): the binaryFile scan projects
+    just ``path``, so no block payload is read or decoded — channel
+    discovery over a 100 TB store is a listing-sized job. The result
+    (a handful of ints) is driver-safe by construction."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.tif")
+        .load(root)
+    )
+    ids = (
+        files.select(
+            F.regexp_extract("path", r"default\.(\d+)\.tif$", 1).alias("ch")
+        )
+        .filter(F.col("ch") != "")
+        .distinct()
+    )
+    return sorted(int(r["ch"]) for r in ids.collect())
+
+
 def path_block_coords(root: str):
     """(zi, yi, xi, depth) Catalyst columns derived from a store file
     PATH's octant digits — the same bit walk the decoder does in

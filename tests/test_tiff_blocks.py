@@ -128,3 +128,23 @@ def test_tiff_blocks_store_feeds_resume_anti_join(spark, tmp_path):
         if f"{1 + xi + 2 * yi + 4 * zi}/default.{ch}.tif" not in committed
     ]
     assert todo == [(1, 0, 1, 0)]
+
+
+def test_store_channels_from_paths_without_decode(spark, tmp_path):
+    """Channel discovery reads file NAMES only: the ids come back even
+    when every payload on disk is corrupt, proving no decode ran."""
+    from hortacloud_importer_spark.sources.block_store import store_channels
+
+    spark = _registered(spark)
+    rows = [
+        (0, 0, 0, ch, [2, 2, 2], [1, 2, 3, 4, 5, 6, 7, 8])
+        for ch in (0, 2)
+    ]
+    df = spark.createDataFrame(rows, _SCHEMA)
+    out = str(tmp_path / "chan_store")
+    df.write.format("tiff_blocks").option("nlevels", 1).mode("append").save(out)
+    # corrupt every .tif payload; path-only discovery must not care
+    for p in glob.glob(f"{out}/**/*.tif", recursive=True):
+        with open(p, "wb") as fh:
+            fh.write(b"not a tiff")
+    assert store_channels(spark, out) == [0, 2]
