@@ -357,14 +357,13 @@ def _run_octree(args) -> dict:
         if read_transform_txt(store) is None:
             raise SystemExit(f"{store} has no transform.txt; build it first")
         # transform.txt records s* = leaf_um * 1000 * 2^(nl-1); block
-        # extent isn't in the file, so recover it from the store's own
-        # first block (all blocks share one extent by construction)
+        # extent isn't in the file, so recover it from ONE block's
+        # TIFF header (all blocks share one extent by construction)
         from hortacloud_importer_spark.sources.block_store import (
-            read_tiff_block_store,
+            store_block_meta,
         )
 
-        first = read_tiff_block_store(spark, store).select("shape").first()
-        block_dims = tuple(int(s) for s in first["shape"])
+        block_dims, _ = store_block_meta(spark, store)
         # the KTX pass's per-block mip chain is a group aggregate; the
         # neighborhood kernels don't apply there — the reference's KTX
         # converter defaults to 'arthur' regardless of the octree
@@ -397,15 +396,13 @@ def _run_ktx(args) -> dict:
     block_dims = args.block_dims
     if block_dims is None:
         # all blocks in a build_octree store share one extent — read it
-        # off the first block instead of making the user repeat it
+        # off one block's TIFF header instead of making the user repeat
+        # it (no payload decode)
         from hortacloud_importer_spark.sources.block_store import (
-            read_tiff_block_store,
+            store_block_meta,
         )
 
-        first = (
-            read_tiff_block_store(spark, args.inputdir).select("shape").first()
-        )
-        block_dims = tuple(int(s) for s in first["shape"])
+        block_dims, _ = store_block_meta(spark, args.inputdir)
     res = tiff_octree_to_ktx(
         spark,
         args.inputdir,
@@ -429,17 +426,17 @@ def _run_ktx(args) -> dict:
 def _run_crop(args) -> dict:
     from hortacloud_importer_spark.pipelines import crop_octree
     from hortacloud_importer_spark.sources.block_store import (
-        read_tiff_block_store,
+        store_block_meta,
     )
 
     spark = _session(args)
-    # block extent + deepest level read off the store itself
-    probe = read_tiff_block_store(spark, args.inputdir).select("shape", "depth")
-    first = probe.first()
-    block_dims = tuple(int(s) for s in first["shape"])
+    # block extent from one TIFF header + deepest level from the path
+    # listing — the old probe decoded EVERY block (max over a decoded
+    # column) just to learn the store's metadata
+    block_dims, max_depth = store_block_meta(spark, args.inputdir)
     depth = args.depth
     if depth is None:
-        depth = int(probe.agg({"depth": "max"}).first()[0])
+        depth = max_depth
     res = crop_octree(
         spark,
         args.inputdir,

@@ -119,6 +119,43 @@ def store_channels(spark: SparkSession, root: str) -> list[int]:
     return sorted(int(r["ch"]) for r in ids.collect())
 
 
+def store_block_meta(
+    spark: SparkSession, root: str
+) -> tuple[tuple[int, int, int], int]:
+    """(block extent zyx, deepest octree level) of a ``tiff_blocks``
+    store, for metadata cost: the depth comes from the path listing
+    (octant-digit count — no payload read), and the extent from ONE
+    file's TIFF header walk (``tiff_shape`` — no strip/tile decode).
+    All blocks of a build_octree store share one extent by
+    construction, so one header suffices; a full-store aggregate over
+    decoded blocks would decode 100 TB to learn three ints."""
+    from hortacloud_importer_spark.sources.tiff import tiff_shape
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.tif")
+        .load(root)
+        .select("path")
+    )
+    _, _, _, depth_c = path_block_coords(root)
+    row = files.select("path", depth_c).agg(
+        F.max("_depth").alias("max_depth"), F.min("path").alias("probe")
+    ).first()
+    if row is None or row["probe"] is None:
+        raise FileNotFoundError(f"no .tif blocks under {root}")
+    from hortacloud_importer_spark.sources.datasource import _pa_fs
+
+    # re-root the probe path: Spark reports file:/... URIs, pyarrow
+    # wants the filesystem-local form — the relative part is
+    # scheme-independent
+    rel = row["probe"].split(f"{root.rstrip('/')}/", 1)[-1]
+    filesystem, base = _pa_fs(root)
+    with filesystem.open_input_stream(f"{base.rstrip('/')}/{rel}") as fh:
+        shape = tiff_shape(fh.read())
+    return shape, int(row["max_depth"])
+
+
 def path_block_coords(root: str):
     """(zi, yi, xi, depth) Catalyst columns derived from a store file
     PATH's octant digits — the same bit walk the decoder does in

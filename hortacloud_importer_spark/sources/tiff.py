@@ -376,6 +376,34 @@ def decode_tiff(data: bytes) -> np.ndarray:
     return np.stack(pages)
 
 
+def tiff_shape(data: bytes) -> tuple[int, int, int]:
+    """bytes -> (pages, height, width) from the IFD chain ONLY.
+
+    No strip/tile payload is touched, so probing a block's extent
+    costs a header walk, not a decode — the metadata-read analog of
+    the reference inferring geometry from one file header
+    (tiff2octree.py:653-691)."""
+    ec, pos, big = _parse_header(data)
+    n_pages = 0
+    hw: tuple[int, int] | None = None
+    while pos:
+        ifd, pos = _parse_ifd(data, ec, pos, big)
+        page_hw = (
+            _required(ifd, _TAG_LENGTH, "ImageLength")[0],
+            _required(ifd, _TAG_WIDTH, "ImageWidth")[0],
+        )
+        if hw is None:
+            hw = page_hw
+        elif hw != page_hw:
+            raise TiffParseError("pages differ in shape")
+        n_pages += 1
+        if n_pages > 65536:
+            raise TiffParseError("IFD chain too long (cyclic?)")
+    if hw is None:
+        raise TiffParseError("no IFDs")
+    return n_pages, hw[0], hw[1]
+
+
 def decode_tiff_window(
     data: bytes,
     page: int = 0,

