@@ -218,9 +218,12 @@ def build_octree(
     # committed side as a DataFrame (None = no manifest yet): the
     # resume anti-join never materializes the set driver-side
     done = manifest.committed_files_df(spark, out_dir) if resume else None
-    if isinstance(source, str):
+    if isinstance(source, str) or channels > 1:
         # channel count is a scan parameter, not data — don't pay an
-        # aggregate over the whole volume to rediscover it
+        # aggregate over the whole volume to rediscover it. DataFrame
+        # callers with multi-channel voxels pass ``channels``
+        # explicitly; the aggregate below only ever runs for
+        # single-default DataFrame sources.
         n_channels = channels
     else:
         n_channels = int(
