@@ -268,6 +268,138 @@ def block_mip_chain(
     return out
 
 
+def ktx_convert_blocks_fused(
+    blocks: DataFrame,
+    n_mips: int,
+    filter_: str = "arthur",
+    interleave: bool = False,
+    geometry=None,
+    downsample_intensity: bool = False,
+    downsample_xy: bool = False,
+) -> DataFrame:
+    """The whole per-block KTX conversion — input statistics, requant,
+    optional XY halving, the in-block mip chain, encode — as ONE
+    executor-side kernel per block.
+
+    Every step of the reference's pass-2 is block-local (one task per
+    node, ktx_from_rendered_tiff.py:331-427): stats/percentiles/
+    requant params are per (block, channel), the mip chain never
+    crosses a block boundary, and the KTX blob serializes one block.
+    Expressing that as distributed aggregates (the ``fused=False``
+    path) costs a histogram shuffle, a window sort, two shuffles per
+    mip level, and a stats join — all to regroup rows that START
+    grouped. This kernel keeps the grouping: the single-channel form
+    is ``mapInPandas`` over the scan — a map-ONLY plan, zero
+    shuffles at any store size — and the interleaved form pays exactly
+    one shuffle (channels of a block live in separate files). Blocks
+    are bounded by construction (each came from one TIFF file), so the
+    in-memory NumPy chain is safe; values are pinned to the
+    distributed duals by np_halve property tests and the fused-vs-
+    unfused byte-identity test.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from hortacloud_importer_spark.sources.ktx import (
+        _interleaved_block_row,
+        _single_block_row,
+        interleave_channels,
+    )
+    from hortacloud_importer_spark.sources.ktx import KTX_SCHEMA
+    from hortacloud_importer_spark.volume import geometry as G
+    from hortacloud_importer_spark.volume.downsample import np_halve
+
+    has_depth = "depth" in blocks.columns
+    itemsize = 1 if downsample_intensity else 2
+    dtype = np.uint8 if itemsize == 1 else np.uint16
+    need_stats = geometry is not None or downsample_intensity
+
+    def convert_one(voxels, shape) -> tuple[list[bytes], dict | None, tuple]:
+        arr = np.asarray(voxels, dtype=np.int64).reshape(
+            tuple(int(s) for s in shape)
+        )
+        st = None
+        if need_stats:
+            hist = np.bincount(arr.ravel(), minlength=G.N_BINS)
+            st = {
+                "percentiles": G.nonzero_percentiles(hist),
+                "zero_count": int(hist[0]),
+                "total_count": int(arr.size),
+            }
+            if downsample_intensity:
+                b, w, g = G.intensity_downsample_params(st["percentiles"])
+                st["black"], st["white"], st["gamma0"] = float(b), float(w), g
+        if downsample_intensity:
+            arr = G.requantize(
+                arr, st["black"], st["white"], st["gamma0"]
+            ).astype(np.int64)
+        if downsample_xy:
+            arr = np_halve(arr, filter_, axes=(False, True, True))
+        levels = [arr]
+        for _ in range(1, n_mips):
+            arr = np_halve(arr, filter_)
+            levels.append(arr)
+        return levels, st, levels[0].shape
+
+    def fused_single(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                levels, st, shape = convert_one(row.voxels, row.shape)
+                out.append(
+                    _single_block_row(
+                        int(row.zi),
+                        int(row.yi),
+                        int(row.xi),
+                        int(row.depth) if has_depth else 0,
+                        int(row.channel),
+                        [lv.astype(dtype).tobytes() for lv in levels],
+                        shape,
+                        itemsize,
+                        geometry,
+                        st,
+                        has_depth,
+                    )
+                )
+            yield pd.DataFrame(out)
+
+    def fused_interleaved(key, pdf):
+        if has_depth:
+            zi, yi, xi, depth = (int(k) for k in key)
+        else:
+            (zi, yi, xi), depth = (int(k) for k in key), 0
+        pdf = pdf.sort_values("channel")
+        chans, per_ch, stats_list = [], [], []
+        for row in pdf.itertuples():
+            levels, st, shape = convert_one(row.voxels, row.shape)
+            chans.append(int(row.channel))
+            per_ch.append(levels)
+            stats_list.append(st)
+        mip_bytes = [
+            interleave_channels(
+                [np.ascontiguousarray(ch[lv], dtype=dtype) for ch in per_ch]
+            ).tobytes()
+            for lv in range(n_mips)
+        ]
+        return pd.DataFrame(
+            [
+                _interleaved_block_row(
+                    zi, yi, xi, depth, chans, mip_bytes, shape,
+                    itemsize, geometry,
+                    stats_list if geometry is not None else None,
+                    has_depth,
+                )
+            ]
+        )
+
+    if interleave:
+        key = ["zi", "yi", "xi"] + (["depth"] if has_depth else [])
+        return blocks.groupBy(*key).applyInPandas(
+            fused_interleaved, KTX_SCHEMA
+        )
+    return blocks.mapInPandas(fused_single, KTX_SCHEMA)
+
+
 def tiff_octree_to_ktx(
     spark: SparkSession,
     store_root: str,
@@ -281,6 +413,7 @@ def tiff_octree_to_ktx(
     downsample_xy: bool = False,
     with_metadata: bool = True,
     specimen_id: str | None = None,
+    fused: bool = True,
 ) -> DataFrame:
     """Convert a ``tiff_blocks`` octree store into a KTX block store.
 
@@ -310,14 +443,17 @@ def tiff_octree_to_ktx(
     blocks = read_tiff_block_store(spark, store_root)
     if depth is not None:
         blocks = blocks.filter(F.col("depth") == depth)
-    # One store read for the whole pass: the decoded blocks feed the
-    # stats aggregate AND every mip-chain union branch — without the
-    # persist each consumer re-runs the binaryFile scan + TIFF decode
-    # (2 + n_mips store reads at 100 TB; the reference's two-pass
-    # design reads each file twice). Spills to executor disk.
-    from pyspark import StorageLevel
+    raw_blocks = None
+    if not fused:
+        # One store read for the whole pass: the decoded blocks feed
+        # the stats aggregate AND every mip-chain union branch —
+        # without the persist each consumer re-runs the binaryFile
+        # scan + TIFF decode (2 + n_mips store reads at 100 TB; the
+        # reference's two-pass design reads each file twice). The
+        # fused path has exactly one consumer, so it skips the cache.
+        from pyspark import StorageLevel
 
-    blocks = raw_blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
+        blocks = raw_blocks = blocks.persist(StorageLevel.MEMORY_AND_DISK)
 
     from hortacloud_importer_spark.volume.geometry import (
         OctreeGeometry,
@@ -337,39 +473,63 @@ def tiff_octree_to_ktx(
             downsample_intensity=downsample_intensity,
         )
 
-    stats = None
-    if geometry is not None or downsample_intensity:
-        # pass-1 statistics of the INPUT intensities, shared by the
-        # requant transform and the header KV; persisted because both
-        # consumers would otherwise recompute the histogram aggregate
-        stats = channel_block_stats(blocks).persist()
-    itemsize = 2
-    if downsample_intensity:
-        blocks = requantize_blocks(blocks, stats)
-        itemsize = 1
-    out_block_dims = block_dims
-    if downsample_xy:
-        blocks = downsample_blocks_xy(blocks, block_dims, filter_)
-        bz, by, bx = block_dims
-        out_block_dims = (
-            bz,
-            mipmap_dimension(1, by),
-            mipmap_dimension(1, bx),
+    if fused:
+        # the default: the whole conversion as one executor-side
+        # kernel per block — a map-only plan (one shuffle when
+        # interleaving), see ktx_convert_blocks_fused
+        (
+            ktx_convert_blocks_fused(
+                blocks,
+                n_mips=n_mips,
+                filter_=filter_,
+                interleave=interleave,
+                geometry=geometry,
+                downsample_intensity=downsample_intensity,
+                downsample_xy=downsample_xy,
+            )
+            .write.format("ktx_files")
+            .mode("append")
+            .save(out_dir)
         )
-    chain = block_mip_chain(blocks, out_block_dims, n_mips, filter_)
-    if stats is not None:
-        chain = chain.join(stats, _block_key(blocks), "left")
-    (
-        ktx_encode_blocks(
-            chain, itemsize=itemsize, interleave=interleave, geometry=geometry
+    else:
+        stats = None
+        if geometry is not None or downsample_intensity:
+            # pass-1 statistics of the INPUT intensities, shared by
+            # the requant transform and the header KV; persisted
+            # because both consumers would otherwise recompute the
+            # histogram aggregate
+            stats = channel_block_stats(blocks).persist()
+        itemsize = 2
+        if downsample_intensity:
+            blocks = requantize_blocks(blocks, stats)
+            itemsize = 1
+        out_block_dims = block_dims
+        if downsample_xy:
+            blocks = downsample_blocks_xy(blocks, block_dims, filter_)
+            bz, by, bx = block_dims
+            out_block_dims = (
+                bz,
+                mipmap_dimension(1, by),
+                mipmap_dimension(1, bx),
+            )
+        chain = block_mip_chain(blocks, out_block_dims, n_mips, filter_)
+        if stats is not None:
+            chain = chain.join(stats, _block_key(blocks), "left")
+        (
+            ktx_encode_blocks(
+                chain,
+                itemsize=itemsize,
+                interleave=interleave,
+                geometry=geometry,
+            )
+            .write.format("ktx_files")
+            .mode("append")
+            .save(out_dir)
         )
-        .write.format("ktx_files")
-        .mode("append")
-        .save(out_dir)
-    )
-    if stats is not None:
-        stats.unpersist()
-    raw_blocks.unpersist(blocking=False)
+        if stats is not None:
+            stats.unpersist()
+    if raw_blocks is not None:
+        raw_blocks.unpersist(blocking=False)
     if transform is not None:
         # the reference copies transform.txt beside the KTX output
         # verbatim (tiff2octree.py:894-901)

@@ -280,6 +280,90 @@ def _channel_stats(row, level0_voxels: np.ndarray, downsample_intensity: bool):
     return st
 
 
+def _single_block_row(
+    zi: int,
+    yi: int,
+    xi: int,
+    depth: int,
+    ch: int,
+    mip_bytes: list[bytes],
+    shape: tuple[int, int, int],
+    itemsize: int,
+    geometry,
+    stats,
+    has_depth: bool,
+) -> dict:
+    """One encoded single-channel block row — shared by the grouped-map
+    encode (``ktx_encode_blocks``) and the fused per-block converter
+    (pipelines/ktx.py), so both paths emit byte-identical blobs."""
+    metadata = {"block_zyx": f"{zi},{yi},{xi}", "channel": str(ch)}
+    if has_depth:
+        metadata["depth"] = str(depth)
+    if geometry is not None:
+        metadata.update(
+            _viewer_metadata(geometry, zi, yi, xi, depth, shape, [stats])
+        )
+    header = KtxHeader.for_array(
+        shape,
+        itemsize,
+        channels=1,
+        mipmap_levels=len(mip_bytes),
+        metadata=metadata,
+    )
+    return {
+        "zi": zi,
+        "yi": yi,
+        "xi": xi,
+        "depth": depth,
+        "channel": ch,
+        "n_levels": len(mip_bytes),
+        "ktx": encode_ktx(header, mip_bytes),
+    }
+
+
+def _interleaved_block_row(
+    zi: int,
+    yi: int,
+    xi: int,
+    depth: int,
+    chans: list[int],
+    mip_bytes: list[bytes],
+    shape: tuple[int, int, int],
+    itemsize: int,
+    geometry,
+    stats_list,
+    has_depth: bool,
+) -> dict:
+    """One encoded multi-channel block row (texel-interleaved) —
+    shared for the same byte-identity reason as _single_block_row."""
+    metadata = {
+        "block_zyx": f"{zi},{yi},{xi}",
+        "channel_ids": ",".join(str(c) for c in chans),
+    }
+    if has_depth:
+        metadata["depth"] = str(depth)
+    if geometry is not None:
+        metadata.update(
+            _viewer_metadata(geometry, zi, yi, xi, depth, shape, stats_list)
+        )
+    header = KtxHeader.for_array(
+        shape,
+        itemsize,
+        channels=len(chans),
+        mipmap_levels=len(mip_bytes),
+        metadata=metadata,
+    )
+    return {
+        "zi": zi,
+        "yi": yi,
+        "xi": xi,
+        "depth": depth,
+        "channel": -1,
+        "n_levels": len(mip_bytes),
+        "ktx": encode_ktx(header, mip_bytes),
+    }
+
+
 def ktx_encode_blocks(
     pyramid_blocks: DataFrame,
     itemsize: int = 2,
@@ -331,37 +415,19 @@ def ktx_encode_blocks(
             for row in pdf.itertuples()
         ]
         shape = tuple(int(s) for s in pdf.iloc[0]["shape"])
-        metadata = {"block_zyx": f"{zi},{yi},{xi}", "channel": str(ch)}
-        if has_depth:
-            # whole-store conversions carry blocks at several octree
-            # levels; same (zi,yi,xi) can exist at each, so the level
-            # must ride the metadata (and the sink file name)
-            metadata["depth"] = str(depth)
+        st = None
         if geometry is not None:
             first = pdf.iloc[0]
             st = _channel_stats(first, first["voxels"], dsi)
-            metadata.update(
-                _viewer_metadata(geometry, zi, yi, xi, depth, shape, [st])
-            )
-        header = KtxHeader.for_array(
-            shape,
-            itemsize,
-            channels=1,
-            mipmap_levels=len(mipmaps),
-            metadata=metadata,
-        )
-        blob = encode_ktx(header, mipmaps)
+        # whole-store conversions carry blocks at several octree
+        # levels; same (zi,yi,xi) can exist at each, so the level
+        # must ride the metadata (and the sink file name)
         return pd.DataFrame(
             [
-                {
-                    "zi": zi,
-                    "yi": yi,
-                    "xi": xi,
-                    "depth": depth,
-                    "channel": ch,
-                    "n_levels": len(mipmaps),
-                    "ktx": blob,
-                }
+                _single_block_row(
+                    zi, yi, xi, depth, ch, mipmaps, shape,
+                    itemsize, geometry, st, has_depth,
+                )
             ]
         )
 
@@ -383,43 +449,19 @@ def ktx_encode_blocks(
                 interleave_channels([per_ch[c] for c in chans]).tobytes()
             )
         lvl0 = pdf[pdf["level"] == levels[0]]
-        first = lvl0.iloc[0]
-        shape = tuple(int(s) for s in first["shape"])
-        metadata = {
-            "block_zyx": f"{zi},{yi},{xi}",
-            "channel_ids": ",".join(str(c) for c in chans),
-        }
-        if has_depth:
-            metadata["depth"] = str(depth)
+        shape = tuple(int(s) for s in lvl0.iloc[0]["shape"])
+        per_channel = None
         if geometry is not None:
             per_channel = []
             for c in chans:
                 row = lvl0[lvl0["channel"] == c].iloc[0]
                 per_channel.append(_channel_stats(row, row["voxels"], dsi))
-            metadata.update(
-                _viewer_metadata(
-                    geometry, zi, yi, xi, depth, shape, per_channel
-                )
-            )
-        header = KtxHeader.for_array(
-            shape,
-            itemsize,
-            channels=len(chans),
-            mipmap_levels=len(mipmaps),
-            metadata=metadata,
-        )
-        blob = encode_ktx(header, mipmaps)
         return pd.DataFrame(
             [
-                {
-                    "zi": zi,
-                    "yi": yi,
-                    "xi": xi,
-                    "depth": depth,
-                    "channel": -1,
-                    "n_levels": len(mipmaps),
-                    "ktx": blob,
-                }
+                _interleaved_block_row(
+                    zi, yi, xi, depth, chans, mipmaps, shape,
+                    itemsize, geometry, per_channel, has_depth,
+                )
             ]
         )
 

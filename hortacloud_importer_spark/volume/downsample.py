@@ -87,3 +87,81 @@ def downsample_voxels(
         voxels.groupBy(cz, cy, cx, "channel")
         .agg(_agg_expr(filter_).cast("int").alias("intensity"))
     )
+
+
+def np_child_indices(in_len: int) -> "object":
+    """Vectorized :func:`child_index`: parent index -> child index for
+    one axis (identical branch structure, NumPy instead of Catalyst).
+    Used by the in-executor block kernels (pipelines/ktx.py fused
+    path), where a block's voxels are already local to one task."""
+    import numpy as np
+
+    out_len = mipmap_dimension(1, in_len)
+    j = np.arange(in_len, dtype=np.int64)
+    if in_len <= 3 or out_len == 1:
+        return np.zeros(in_len, dtype=np.int64)
+    if in_len == 2 * out_len:
+        return j >> 1
+    p = out_len // 2
+    return np.where(
+        j <= 2 * p + 1, j >> 1, np.where(j == 2 * p + 2, p, (j - 1) >> 1)
+    )
+
+
+def np_halve(
+    vol: "object",
+    filter_: str,
+    axes: tuple[bool, bool, bool] = (True, True, True),
+) -> "object":
+    """One halving step over a dense (z, y, x) NumPy block — the
+    in-executor mirror of :func:`downsample_voxels` (same zero-is-NULL
+    kernels, same odd-pivot mapping; property-tested equal in
+    tests/test_volume.py). ``axes`` selects which dimensions halve
+    (the XY-only first-mip option, ktx/util.py:183-192, is
+    ``(False, True, True)``).
+
+    Bucketing is one bincount/maximum.at pass per reduction — no
+    Python loops — so a 512^3 block halves in tens of milliseconds,
+    which is what makes the fused per-block KTX conversion a map-only
+    job instead of a shuffle cascade."""
+    import numpy as np
+
+    vol = np.asarray(vol)
+    maps = [
+        np_child_indices(d) if h else np.arange(d, dtype=np.int64)
+        for d, h in zip(vol.shape, axes)
+    ]
+    odims = tuple(
+        mipmap_dimension(1, d) if h else d for d, h in zip(vol.shape, axes)
+    )
+    oz, oy, ox = odims
+    idx = (
+        (maps[0][:, None, None] * oy + maps[1][None, :, None]) * ox
+        + maps[2][None, None, :]
+    ).ravel()
+    v = vol.astype(np.int64, copy=False).ravel()
+    n = oz * oy * ox
+    if filter_ == "mean":
+        nzm = v != 0
+        s = np.bincount(idx[nzm], weights=v[nzm].astype(np.float64), minlength=n)
+        c = np.bincount(idx[nzm], minlength=n)
+        out = np.zeros(n, dtype=np.int64)
+        has = c > 0
+        out[has] = np.floor(s[has] / c[has]).astype(np.int64)
+    elif filter_ == "max":
+        out = np.zeros(n, dtype=np.int64)
+        nzm = v != 0
+        np.maximum.at(out, idx[nzm], v[nzm])
+    elif filter_ == "arthur":
+        size = np.bincount(idx, minlength=n)
+        m1 = np.zeros(n, dtype=np.int64)
+        np.maximum.at(m1, idx, v)
+        at_max = v == m1[idx]
+        cnt_max = np.bincount(idx[at_max], minlength=n)
+        m2 = np.zeros(n, dtype=np.int64)
+        np.maximum.at(m2, idx[~at_max], v[~at_max])
+        second = np.where(cnt_max >= 2, m1, m2)
+        out = np.where((size > 1) & (second != 0), second, m1)
+    else:
+        raise ValueError(f"unknown filter {filter_!r}; have {FILTERS}")
+    return out.reshape(odims)

@@ -1,0 +1,116 @@
+"""The fused per-block KTX converter (pipelines/ktx.py::
+ktx_convert_blocks_fused): byte-identical to the distributed-aggregate
+path across every pass-2 option, with a map-only physical plan.
+
+The reference's KTX pass is one task per octree node
+(ktx_from_rendered_tiff.py:331-427); the fused path keeps that
+block-locality — stats, requant, XY halving, mip chain, and encode all
+run inside one executor kernel — so the single-channel conversion
+plans with ZERO exchanges at any store size."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pytest
+
+from hortacloud_importer_spark.pipelines import (
+    build_octree,
+    tiff_octree_to_ktx,
+)
+from hortacloud_importer_spark.volume import synthetic_volume
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("fused") / "store")
+    v = synthetic_volume(spark, 16, 16, 16, zero_fraction_mod=5)
+    build_octree(
+        spark, v, root, nlevels=2, filter_="arthur", dims=(16, 16, 16)
+    )
+    return root
+
+
+def _convert(spark, store, tmp, fused, **kw):
+    out = str(tmp / f"ktx_{fused}_{'_'.join(sorted(kw))}")
+    tiff_octree_to_ktx(
+        spark,
+        store,
+        out,
+        block_dims=(8, 8, 8),
+        n_mips=3,
+        filter_="arthur",
+        fused=fused,
+        **kw,
+    ).count()
+    return out
+
+
+def _files(root):
+    return {
+        os.path.relpath(p, root): open(p, "rb").read()
+        for p in glob.glob(f"{root}/**/*.ktx", recursive=True)
+    }
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {"downsample_intensity": True, "downsample_xy": True},
+        {"interleave": True},
+    ],
+    ids=["requant_xy_metadata", "interleave"],
+)
+def test_fused_matches_unfused_byte_for_byte(spark, store, tmp_path, kw):
+    a = _files(_convert(spark, store, tmp_path, True, **kw))
+    b = _files(_convert(spark, store, tmp_path, False, **kw))
+    assert sorted(a) == sorted(b) and len(a) == 9
+    assert all(a[f] == b[f] for f in a)
+
+
+def test_fused_single_channel_plan_has_no_exchange(spark, store):
+    """The structural point of the fused path: one map stage, no
+    shuffle — the conversion scales as a pure map job."""
+    from hortacloud_importer_spark.pipelines.ktx import (
+        ktx_convert_blocks_fused,
+    )
+    from hortacloud_importer_spark.sources.block_store import (
+        read_tiff_block_store,
+    )
+
+    blocks = read_tiff_block_store(spark, store)
+    plan = (
+        ktx_convert_blocks_fused(blocks, n_mips=3, filter_="arthur")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan
+    assert "MapInPandas" in plan
+
+
+def test_np_halve_axes_variant_matches_catalyst_xy(spark):
+    """np_halve(axes=(False, True, True)) == downsample_blocks_xy on
+    the same block (the XY-only first-mip option, ktx/util.py:184-192).
+    """
+    from hortacloud_importer_spark.pipelines.ktx import downsample_blocks_xy
+    from hortacloud_importer_spark.volume.downsample import np_halve
+
+    rng = np.random.default_rng(3)
+    vol = rng.integers(0, 1 << 16, size=(4, 6, 5)).astype(np.int64)
+    vol[rng.random(size=vol.shape) < 0.3] = 0
+    rows = [(0, 0, 0, 0, [4, 6, 5], [int(v) for v in vol.ravel()])]
+    blocks = spark.createDataFrame(
+        rows,
+        "zi int, yi int, xi int, channel int, shape array<int>,"
+        " voxels array<int>",
+    )
+    for filt in ("mean", "max", "arthur"):
+        got = downsample_blocks_xy(blocks, (4, 6, 5), filt).first()
+        want = np_halve(vol, filt, axes=(False, True, True))
+        assert tuple(got["shape"]) == want.shape
+        assert np.array_equal(
+            np.asarray(got["voxels"]).reshape(want.shape), want
+        ), filt

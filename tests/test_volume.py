@@ -174,3 +174,16 @@ def test_synthetic_volume_deterministic(spark):
     assert a == b
     assert any(r["intensity"] == 0 for r in a)  # zeros present
     assert all(0 <= r["intensity"] < (1 << 16) for r in a)
+
+
+@pytest.mark.parametrize("dims", DIMS)
+@pytest.mark.parametrize("filter_", ["mean", "max", "arthur"])
+def test_np_halve_matches_reference_mirror(dims, filter_):
+    """The vectorized in-executor kernel (volume/downsample.np_halve,
+    the fused KTX path's mip step) equals the loop-based reference
+    mirror — and therefore the Catalyst downsample it is tested
+    against above."""
+    from hortacloud_importer_spark.volume.downsample import np_halve
+
+    vol = random_vol(dims)
+    assert np.array_equal(np_halve(vol, filter_), np_downsample(vol, filter_))
