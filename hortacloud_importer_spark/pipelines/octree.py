@@ -58,6 +58,7 @@ from hortacloud_importer_spark.operators.kernels import (
 from hortacloud_importer_spark.volume.downsample import (
     FILTERS,
     downsample_voxels,
+    halve_blocks,
 )
 
 
@@ -155,6 +156,7 @@ def build_octree(
     origin_nm: tuple[float, float, float] = (0.0, 0.0, 0.0),
     voxel_size_um: tuple[float, float, float] = (1.0, 1.0, 1.0),
     write_transform: bool = True,
+    fused: bool = True,
 ) -> DataFrame:
     """Run the full slices -> octree-of-TIFF-blocks build.
 
@@ -307,12 +309,19 @@ def build_octree(
         summary_rows.append((level, n_blocks, n_voxels))
         if level < nlevels - 1:
             if filter_ in FILTERS:
-                # mean/max/arthur: the single-hash-aggregate global
-                # voxel downsample
-                child = downsample_voxels(
-                    unblockify(blocks), cur_dims, filter_
-                )
-                nxt = blockify(child, block_dims)
+                if fused:
+                    # mean/max/arthur at block granularity: assemble 8
+                    # sibling blocks per parent and halve in-executor —
+                    # ONE packed-array shuffle per level (see
+                    # halve_blocks; byte-identity with the global
+                    # aggregate pinned in tests/test_octree_pipeline)
+                    nxt = halve_blocks(blocks, filter_)
+                else:
+                    # the single-hash-aggregate global voxel downsample
+                    child = downsample_voxels(
+                        unblockify(blocks), cur_dims, filter_
+                    )
+                    nxt = blockify(child, block_dims)
             else:
                 # neighborhood kernels (aa / spline3,
                 # tiff2octree.py:244-261): halve each block's payload

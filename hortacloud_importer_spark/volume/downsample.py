@@ -165,3 +165,63 @@ def np_halve(
     else:
         raise ValueError(f"unknown filter {filter_!r}; have {FILTERS}")
     return out.reshape(odims)
+
+
+def halve_blocks(blocks: DataFrame, filter_: str) -> DataFrame:
+    """One pyramid halving step at BLOCK granularity: each parent
+    block is exactly its 8 sibling child blocks assembled into a
+    ``(2bz, 2by, 2bx)`` array and halved with :func:`np_halve` — the
+    grouped-map dual of ``blockify(downsample_voxels(unblockify(b)))``.
+
+    Scale shape: ONE shuffle per level, moving packed payload arrays
+    keyed by parent block (vs two voxel-row shuffles for the
+    unblockify->aggregate->blockify chain, each row carrying 4
+    coordinate columns per intensity). Equality with the global
+    Catalyst downsample holds on grid-aligned volumes because every
+    2x2x2 cube lies inside one parent's region and block grids are
+    powers of two, so the odd-pivot mapping never crosses a parent
+    boundary; pinned by the fused-vs-unfused store byte-identity test
+    (tests/test_octree_pipeline.py) and np_halve's property tests.
+    Missing octants (skip-empty store read-backs) densify to zero.
+    """
+    import pandas as pd
+
+    out_schema = (
+        "zi int, yi int, xi int, channel int,"
+        " shape array<int>, voxels array<int>"
+    )
+
+    def halve(key, pdf):
+        import numpy as np
+
+        zi, yi, xi, ch = (int(k) for k in key)
+        shape = tuple(int(s) for s in pdf.iloc[0]["shape"])
+        bz, by, bx = shape
+        big = np.zeros((2 * bz, 2 * by, 2 * bx), dtype=np.int64)
+        for row in pdf.itertuples():
+            oz, oy, ox = int(row.zi) & 1, int(row.yi) & 1, int(row.xi) & 1
+            big[
+                oz * bz : (oz + 1) * bz,
+                oy * by : (oy + 1) * by,
+                ox * bx : (ox + 1) * bx,
+            ] = np.asarray(row.voxels, dtype=np.int64).reshape(shape)
+        out = np_halve(big, filter_)
+        return pd.DataFrame(
+            [
+                {
+                    "zi": zi,
+                    "yi": yi,
+                    "xi": xi,
+                    "channel": ch,
+                    "shape": list(shape),
+                    "voxels": out.ravel().tolist(),
+                }
+            ]
+        )
+
+    return blocks.groupBy(
+        F.shiftright("zi", 1).alias("zi"),
+        F.shiftright("yi", 1).alias("yi"),
+        F.shiftright("xi", 1).alias("xi"),
+        F.col("channel"),
+    ).applyInPandas(halve, out_schema)

@@ -309,3 +309,48 @@ def test_optimal_nlevels_matches_reference_rule():
     assert optimal_nlevels((1024, 1024, 1024)) == 3
     # non-cubic: only the PRODUCT matters
     assert optimal_nlevels((2048, 512, 128)) == 2
+
+
+@pytest.mark.parametrize("filt", ["arthur", "mean", "max"])
+def test_fused_build_matches_global_aggregate_byte_for_byte(
+    spark, tmp_path, filt
+):
+    """halve_blocks (grouped-map per parent block, one packed-array
+    shuffle per level) produces the same store, byte for byte, as the
+    global unblockify->downsample_voxels->blockify chain — including
+    odd block extents (dims 20^3 / 3 levels -> 5^3 blocks), where the
+    equality rests on 2x2x2 cubes never crossing a parent's region."""
+    import os
+
+    from hortacloud_importer_spark.pipelines import build_octree
+    from hortacloud_importer_spark.volume import synthetic_volume
+
+    stores = []
+    for fused in (True, False):
+        out = str(tmp_path / f"store_{filt}_{fused}")
+        v = synthetic_volume(spark, 20, 20, 20, zero_fraction_mod=4)
+        build_octree(
+            spark,
+            v,
+            out,
+            nlevels=3,
+            filter_=filt,
+            dims=(20, 20, 20),
+            fused=fused,
+        ).count()
+        stores.append(out)
+    a, b = stores
+    fa = sorted(
+        os.path.relpath(p, a)
+        for p in glob.glob(f"{a}/**/*.tif", recursive=True)
+    )
+    fb = sorted(
+        os.path.relpath(p, b)
+        for p in glob.glob(f"{b}/**/*.tif", recursive=True)
+    )
+    assert fa == fb and fa
+    for f in fa:
+        assert (
+            open(os.path.join(a, f), "rb").read()
+            == open(os.path.join(b, f), "rb").read()
+        ), f
