@@ -168,6 +168,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ktx_p.add_argument("--downsample-intensity", action="store_true")
     ktx_p.add_argument("--downsample-xy", action="store_true")
+    ktx_p.add_argument(
+        "--delete-source",
+        action="store_true",
+        help="reclaim converted source blocks after the KTX commit "
+        "(the reference's --ktxonly cleanup)",
+    )
     _spark_flags(ktx_p)
 
     crop_p = sub.add_parser(
@@ -380,6 +386,11 @@ def _run_octree(args) -> dict:
             filter_=ktx_filter,
             downsample_intensity=args.downsample_intensity,
             downsample_xy=args.downsample_xy,
+            # the reference reclaims the intermediate octree on
+            # --ktxonly (tiff2octree.py:1357) — but OUR --ktxonly
+            # converts a PRE-EXISTING store, so deleting it implicitly
+            # would destroy user input; reclaim is the explicit
+            # `ktx --delete-source` instead (MIGRATION.md)
         ).first()
         out["ktx"] = {
             "output": ktx_out,
@@ -414,6 +425,7 @@ def _run_ktx(args) -> dict:
         interleave=args.interleave,
         downsample_intensity=args.downsample_intensity,
         downsample_xy=args.downsample_xy,
+        delete_source=args.delete_source,
     ).first()
     return {
         "command": "ktx",

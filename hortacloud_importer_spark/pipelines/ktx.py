@@ -414,6 +414,7 @@ def tiff_octree_to_ktx(
     with_metadata: bool = True,
     specimen_id: str | None = None,
     fused: bool = True,
+    delete_source: bool = False,
 ) -> DataFrame:
     """Convert a ``tiff_blocks`` octree store into a KTX block store.
 
@@ -438,6 +439,14 @@ def tiff_octree_to_ktx(
     ``downsample_xy`` halves X/Y once before the mip chain
     (ktx/util.py:184-192). ``n_mips`` counts levels AFTER the XY
     halving.
+
+    ``delete_source`` mirrors the reference's ``--ktxonly`` space
+    reclaim (tiff2octree.py:508-515, 1153-1162): after the KTX
+    manifest commits, the converted source ``.tif`` blocks below the
+    root are deleted (a distributed map over the listing — no driver
+    set), and the root-level ``default.{ch}.tif`` files are moved
+    beside the KTX output's parent directory, exactly where the
+    reference leaves its lowest-resolution slices.
     """
     register_volume_sources(spark)
     blocks = read_tiff_block_store(spark, store_root)
@@ -550,7 +559,87 @@ def tiff_octree_to_ktx(
     # (one file per block in this sink, so n_blocks == n_files); the
     # count is a Spark job over shard text files, never a driver set
     n_files = int(manifest.committed_files_df(spark, out_dir).distinct().count())
+    if delete_source:
+        _reclaim_source_store(spark, store_root, out_dir, depth)
     return spark.createDataFrame(
         [(n_files, n_files, n_mips)],
         "n_files long, n_blocks long, n_mips int",
     )
+
+
+def _reclaim_source_store(
+    spark: SparkSession,
+    store_root: str,
+    out_dir: str,
+    depth: int | None,
+) -> None:
+    """The reference's ``--ktxonly`` cleanup: delete converted source
+    blocks below the root (tiff2octree.py:508-515 — per-block, after
+    its KTX is written; here after the whole commit, so a failed run
+    never deletes anything), then move the root ``default.{ch}.tif``
+    files next to the KTX output's parent (:1153-1162). The delete is
+    a map over the path listing — executor-side, no driver set."""
+    import pandas as pd
+
+    from hortacloud_importer_spark.sources.block_store import (
+        path_block_coords,
+    )
+    from hortacloud_importer_spark.sources.datasource import _pa_fs
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.tif")
+        .load(store_root)
+        .select("path")
+    )
+    _, _, _, depth_c = path_block_coords(store_root)
+    files = files.select("path", depth_c)
+    # the reference keeps the root level (level > 1 guard); a
+    # depth-restricted conversion only reclaims that depth
+    cond = F.col("_depth") >= 1
+    if depth is not None:
+        cond = F.col("_depth") == depth
+    doomed = files.filter(cond).select("path")
+    root_norm = store_root
+
+    def rm(batches):
+        filesystem, base = _pa_fs(root_norm)
+        for pdf in batches:
+            n = 0
+            for row in pdf.itertuples():
+                rel = row.path.split(f"{root_norm.rstrip('/')}/", 1)[-1]
+                try:
+                    filesystem.delete_file(f"{base.rstrip('/')}/{rel}")
+                    n += 1
+                except (FileNotFoundError, OSError):
+                    pass  # idempotent under task retries
+            yield pd.DataFrame({"n": [n]})
+
+    doomed.mapInPandas(rm, "n long").agg(F.sum("n")).collect()
+    if depth is None:
+        # root slices move beside the KTX root (driver-side: one file
+        # per channel by construction)
+        src_fs, src_base = _pa_fs(store_root)
+        parent = out_dir.rstrip("/").rsplit("/", 1)[0] or out_dir
+        if parent.rstrip("/") != store_root.rstrip("/"):
+            dst_fs, dst_base = _pa_fs(parent)
+            from pyarrow import fs as pafs
+
+            infos = src_fs.get_file_info(
+                pafs.FileSelector(src_base, recursive=False)
+            )
+            for i in infos:
+                if i.type != pafs.FileType.File:
+                    continue
+                name = i.base_name
+                if not (name.startswith("default.") and name.endswith(".tif")):
+                    continue
+                with src_fs.open_input_stream(i.path) as fh:
+                    payload = fh.read()
+                dst_fs.create_dir(dst_base, recursive=True)
+                with dst_fs.open_output_stream(
+                    f"{dst_base.rstrip('/')}/{name}"
+                ) as fh:
+                    fh.write(payload)
+                src_fs.delete_file(i.path)

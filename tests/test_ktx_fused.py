@@ -114,3 +114,34 @@ def test_np_halve_axes_variant_matches_catalyst_xy(spark):
         assert np.array_equal(
             np.asarray(got["voxels"]).reshape(want.shape), want
         ), filt
+
+
+def test_delete_source_reclaims_store_after_commit(spark, tmp_path):
+    """delete_source (the reference's --ktxonly cleanup,
+    tiff2octree.py:508-515, 1153-1162): sub-root source blocks are
+    deleted after the KTX manifest commits, root default.{ch}.tif
+    files move beside the KTX output's parent, and the KTX store
+    itself is complete."""
+    root = str(tmp_path / "reclaim" / "store")
+    v = synthetic_volume(spark, 16, 16, 16, zero_fraction_mod=5)
+    build_octree(
+        spark, v, root, nlevels=2, filter_="arthur", dims=(16, 16, 16)
+    )
+    out = str(tmp_path / "reclaim" / "ktx")
+    res = tiff_octree_to_ktx(
+        spark,
+        root,
+        out,
+        block_dims=(8, 8, 8),
+        n_mips=2,
+        filter_="arthur",
+        delete_source=True,
+    ).first()
+    assert res["n_files"] == 9
+    # all 8 leaf (depth-1) blocks reclaimed; the root file moved next
+    # to the KTX output (same parent dir as the store here)
+    assert glob.glob(f"{root}/*/default.*.tif") == []
+    assert not os.path.exists(f"{root}/default.0.tif")
+    parent = str(tmp_path / "reclaim")
+    assert os.path.exists(f"{parent}/default.0.tif")
+    assert len(glob.glob(f"{out}/**/*.ktx", recursive=True)) == 9
