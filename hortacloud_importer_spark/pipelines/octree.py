@@ -99,15 +99,19 @@ def stack_voxels(
     """
     import pandas as pd
 
-    from hortacloud_importer_spark.sources.tiff import decode_tiff
+    from hortacloud_importer_spark.sources.tiff import (
+        decode_tiff,
+        tiff_shape,
+    )
 
     bf = spark.read.format("binaryFile").load(path)
     paths = sorted(r["path"] for r in bf.select("path").collect())
     if not paths:
         raise FileNotFoundError(path)
     first = bf.filter(F.col("path") == paths[0]).select("content").first()
-    shape = decode_tiff(bytes(first["content"])).shape  # (pages, h, w, s)
-    n_pages, h, w = int(shape[0]), int(shape[1]), int(shape[2])
+    # header walk only — no strip/tile decompression of a potentially
+    # multi-GB stack file just to learn its geometry
+    n_pages, h, w = tiff_shape(bytes(first["content"]))
     order = {p: i for i, p in enumerate(paths)}
     dims = (n_pages * len(paths), h, w)
 
