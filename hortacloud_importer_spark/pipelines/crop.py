@@ -10,11 +10,14 @@ subcommand/scan can ingest right back.
 
 Scale shape: block files outside the window are pruned on
 path-derived coordinates BEFORE any decode
-(sources/block_store.path_block_coords), voxels re-key to
-window-local coordinates in a narrow projection, absent voxels
-densify to zero (skip-empty stores drop all-zero blocks), and each
-output slice is encoded and written by executors — the driver only
-ever sees per-slice accounting.
+(sources/block_store.path_block_coords); each decoded block is cut
+into window-clipped Z-plane TILES in-executor (packed 2-D arrays, not
+voxel rows); ONE shuffle regroups tiles by output slice; the assembly
+kernel zero-fills a (dy, dx) canvas, places tiles, encodes, and
+writes — so absent blocks (skip-empty stores drop all-zero blocks)
+densify to zero with no grid join, and the shuffle moves payload
+bytes only (no per-voxel coordinate columns). The driver only ever
+sees per-slice accounting.
 """
 
 from __future__ import annotations
@@ -26,7 +29,6 @@ from hortacloud_importer_spark.sources.block_store import (
     read_tiff_block_store,
     store_channels,
 )
-from hortacloud_importer_spark.volume.model import densify, unblockify
 
 _Window = tuple[tuple[int, int], tuple[int, int], tuple[int, int]]
 
@@ -46,87 +48,114 @@ def crop_octree(
     (z, channel, n_nonzero).
 
     ``channels`` (count) skips channel discovery; when omitted it is
-    derived from the store's file NAMES (no payload decode)."""
+    derived from the store's file NAMES (no payload decode). Every
+    (slice, channel) in the window is written even when no block
+    covers it (all-zero slice), matching a dense export."""
     (z0, z1), (y0, y1), (x0, x1) = window
     if not (z0 < z1 and y0 < y1 and x0 < x1):
         raise ValueError(f"empty window {window}")
-    dims = (z1 - z0, y1 - y0, x1 - x0)
+    dz, dy, dx = z1 - z0, y1 - y0, x1 - x0
 
     blocks = read_tiff_block_store(
         spark, store_root, window=window, block_dims=block_dims, depth=depth
     )
-    vox = (
-        unblockify(blocks)
-        .filter(
-            (F.col("z") >= z0) & (F.col("z") < z1)
-            & (F.col("y") >= y0) & (F.col("y") < y1)
-            & (F.col("x") >= x0) & (F.col("x") < x1)
-        )
-        .select(
-            (F.col("z") - z0).alias("z"),
-            (F.col("y") - y0).alias("y"),
-            (F.col("x") - x0).alias("x"),
-            "channel",
-            "intensity",
-        )
-    )
-    # channel count from file paths, NOT from the decoded blocks: a
-    # distinct() over the block frame would run the whole window's
-    # TIFF decode a second time just to learn a handful of ids
     n_channels = channels if channels else max(
         1, len(store_channels(spark, store_root))
     )
-    dense = densify(vox, spark, dims, channels=n_channels)
 
-    dz, dy, dx = dims
-    key = (F.col("y") * dx + F.col("x")).cast("long")
-    packed = F.struct(key.alias("k"), F.col("intensity").alias("v"))
-    slices = (
-        dense.groupBy("z", "channel")
-        .agg(F.sort_array(F.collect_list(packed)).alias("kv"))
-        .select(
-            "z",
-            "channel",
-            F.transform("kv", lambda s: s["v"]).alias("pixels"),
-        )
+    tile_schema = (
+        "z int, channel int, y_off int, x_off int,"
+        " h int, w int, tile array<int>"
     )
+
+    def cut_tiles(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                bz, by, bx = (int(s) for s in row.shape)
+                arr = np.asarray(row.voxels, dtype=np.int64).reshape(
+                    bz, by, bx
+                )
+                gz, gy, gx = (
+                    int(row.zi) * bz,
+                    int(row.yi) * by,
+                    int(row.xi) * bx,
+                )
+                # window clip in block-local coordinates
+                ly0, ly1 = max(y0 - gy, 0), min(y1 - gy, by)
+                lx0, lx1 = max(x0 - gx, 0), min(x1 - gx, bx)
+                if ly0 >= ly1 or lx0 >= lx1:
+                    continue
+                for lz in range(max(z0 - gz, 0), min(z1 - gz, bz)):
+                    tile = arr[lz, ly0:ly1, lx0:lx1]
+                    out.append(
+                        {
+                            "z": gz + lz - z0,
+                            "channel": int(row.channel),
+                            "y_off": gy + ly0 - y0,
+                            "x_off": gx + lx0 - x0,
+                            "h": ly1 - ly0,
+                            "w": lx1 - lx0,
+                            "tile": tile.ravel().tolist(),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    tiles = blocks.mapInPandas(cut_tiles, tile_schema)
+    # full (z, channel) grid so empty slices still export as zeros
+    # (skip-empty stores drop all-zero blocks); dz*channels rows only
+    grid = spark.range(dz * n_channels).select(
+        (F.col("id") % dz).cast("int").alias("z"),
+        (F.col("id") / dz).cast("int").alias("channel"),
+    )
+    keyed = grid.join(tiles, ["z", "channel"], "left")
 
     out_schema = "z int, channel int, n_nonzero long"
 
-    def write(batches):
+    def assemble(key, pdf):
         import numpy as np
         import pandas as pd
         from pyarrow import fs as pafs
 
         from hortacloud_importer_spark.sources.tiff import encode_tiff
 
+        z, ch = int(key[0]), int(key[1])
+        page = np.zeros((dy, dx), dtype=np.int64)
+        for row in pdf.itertuples():
+            if row.tile is None:
+                continue
+            yo, xo, h, w = (
+                int(row.y_off),
+                int(row.x_off),
+                int(row.h),
+                int(row.w),
+            )
+            page[yo : yo + h, xo : xo + w] = np.asarray(
+                row.tile, dtype=np.int64
+            ).reshape(h, w)
         if "://" in out_dir:
             filesystem, base = pafs.FileSystem.from_uri(out_dir)
         else:
             filesystem, base = pafs.LocalFileSystem(), out_dir
         filesystem.create_dir(base, recursive=True)
         local = isinstance(filesystem, pafs.LocalFileSystem)
-        for pdf in batches:
-            out = []
-            for row in pdf.itertuples():
-                page = (
-                    np.asarray(row.pixels, dtype=np.int64)
-                    .reshape(dy, dx)
-                    .astype(np.dtype(dtype))
-                )
-                name = f"default.{int(row.channel)}.{int(row.z):05d}.tif"
-                staged = f"{base}/.{name}.tmp" if local else f"{base}/{name}"
-                with filesystem.open_output_stream(staged) as fh:
-                    fh.write(encode_tiff(page[None, ...]))
-                if local:
-                    filesystem.move(staged, f"{base}/{name}")
-                out.append(
-                    {
-                        "z": int(row.z),
-                        "channel": int(row.channel),
-                        "n_nonzero": int(np.count_nonzero(page)),
-                    }
-                )
-            yield pd.DataFrame(out)
+        name = f"default.{ch}.{z:05d}.tif"
+        staged = f"{base}/.{name}.tmp" if local else f"{base}/{name}"
+        with filesystem.open_output_stream(staged) as fh:
+            fh.write(encode_tiff(page.astype(np.dtype(dtype))[None, ...]))
+        if local:
+            filesystem.move(staged, f"{base}/{name}")
+        return pd.DataFrame(
+            [
+                {
+                    "z": z,
+                    "channel": ch,
+                    "n_nonzero": int(np.count_nonzero(page)),
+                }
+            ]
+        )
 
-    return slices.mapInPandas(write, out_schema)
+    return keyed.groupBy("z", "channel").applyInPandas(assemble, out_schema)

@@ -283,3 +283,42 @@ def test_window_prune_filters_before_decode(spark, tmp_path):
     assert plan.index("Filter") > plan.index("MapInPandas") or (
         "PushedFilters" in plan
     ) or plan.index("MapInPandas") > plan.index("aggregate")
+
+
+def test_crop_writes_zero_slices_for_skipped_blocks(spark, tmp_path):
+    """Skip-empty stores drop all-zero blocks; a crop over such a
+    region must still export dense zero slices (the assembly canvas
+    zero-fills — no densify grid join)."""
+    from pyspark.sql import functions as F
+
+    from hortacloud_importer_spark.pipelines import build_octree, crop_octree
+    from hortacloud_importer_spark.volume import synthetic_volume
+
+    store = str(tmp_path / "zero_store")
+    v = synthetic_volume(spark, 8, 8, 8).withColumn(
+        "intensity",
+        # zero the whole z<4 half: its 4 leaf blocks are skipped
+        F.when(F.col("z") < 4, F.lit(0)).otherwise(F.col("intensity")),
+    )
+    build_octree(spark, v, store, nlevels=2, filter_="max", dims=(8, 8, 8))
+
+    out = str(tmp_path / "zero_out")
+    res = {
+        (r["z"], r["channel"]): r["n_nonzero"]
+        for r in crop_octree(
+            spark,
+            store,
+            out,
+            window=((0, 6), (0, 8), (0, 8)),
+            depth=1,
+            block_dims=(4, 4, 4),
+        ).collect()
+    }
+    assert set(res) == {(z, 0) for z in range(6)}
+    for z in range(4):  # the zeroed half: dense zero slices on disk
+        assert res[(z, 0)] == 0
+        page = decode_tiff(
+            (tmp_path / "zero_out" / f"default.0.{z:05d}.tif").read_bytes()
+        )[0, :, :, 0]
+        assert page.shape == (8, 8) and not page.any()
+    assert res[(4, 0)] > 0
