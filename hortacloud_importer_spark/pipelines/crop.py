@@ -76,7 +76,7 @@ def crop_octree(
             out = []
             for row in pdf.itertuples():
                 bz, by, bx = (int(s) for s in row.shape)
-                arr = np.asarray(row.voxels, dtype=np.int64).reshape(
+                arr = np.asarray(row.voxels, dtype=np.int32).reshape(
                     bz, by, bx
                 )
                 gz, gy, gx = (
@@ -123,7 +123,7 @@ def crop_octree(
         from hortacloud_importer_spark.sources.tiff import encode_tiff
 
         z, ch = int(key[0]), int(key[1])
-        page = np.zeros((dy, dx), dtype=np.int64)
+        page = np.zeros((dy, dx), dtype=np.int32)
         for row in pdf.itertuples():
             if row.tile is None:
                 continue
@@ -134,7 +134,7 @@ def crop_octree(
                 int(row.w),
             )
             page[yo : yo + h, xo : xo + w] = np.asarray(
-                row.tile, dtype=np.int64
+                row.tile, dtype=np.int32
             ).reshape(h, w)
         if "://" in out_dir:
             filesystem, base = pafs.FileSystem.from_uri(out_dir)

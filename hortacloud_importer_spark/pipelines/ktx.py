@@ -315,7 +315,9 @@ def ktx_convert_blocks_fused(
     need_stats = geometry is not None or downsample_intensity
 
     def convert_one(voxels, shape) -> tuple[list[bytes], dict | None, tuple]:
-        arr = np.asarray(voxels, dtype=np.int64).reshape(
+        # int32 is lossless here (uint16 inputs, uint8 after
+        # requant) and halves the kernel's peak block memory
+        arr = np.asarray(voxels, dtype=np.int32).reshape(
             tuple(int(s) for s in shape)
         )
         st = None
@@ -332,7 +334,7 @@ def ktx_convert_blocks_fused(
         if downsample_intensity:
             arr = G.requantize(
                 arr, st["black"], st["white"], st["gamma0"]
-            ).astype(np.int64)
+            ).astype(np.int32)
         if downsample_xy:
             arr = np_halve(arr, filter_, axes=(False, True, True))
         levels = [arr]

@@ -127,20 +127,30 @@ def np_halve(
     import numpy as np
 
     vol = np.asarray(vol)
-    maps = [
-        np_child_indices(d) if h else np.arange(d, dtype=np.int64)
-        for d, h in zip(vol.shape, axes)
-    ]
     odims = tuple(
         mipmap_dimension(1, d) if h else d for d, h in zip(vol.shape, axes)
     )
     oz, oy, ox = odims
+    n = oz * oy * ox
+    # int32 bucket indexes halve the dominant temporary (one index per
+    # input voxel); a 512^3 block's output is ~2^24, far under 2^31
+    itype = np.int32 if n < 2**31 else np.int64
+    maps = [
+        (np_child_indices(d) if h else np.arange(d, dtype=np.int64)).astype(
+            itype
+        )
+        for d, h in zip(vol.shape, axes)
+    ]
     idx = (
-        (maps[0][:, None, None] * oy + maps[1][None, :, None]) * ox
+        (maps[0][:, None, None] * itype(oy) + maps[1][None, :, None])
+        * itype(ox)
         + maps[2][None, None, :]
     ).ravel()
-    v = vol.astype(np.int64, copy=False).ravel()
-    n = oz * oy * ox
+    # values keep their input dtype (comparisons and gathers only);
+    # mean sums go through float64 bincount weights regardless
+    v = vol.ravel()
+    if not np.issubdtype(v.dtype, np.integer):
+        v = v.astype(np.int64)
     if filter_ == "mean":
         nzm = v != 0
         s = np.bincount(idx[nzm], weights=v[nzm].astype(np.float64), minlength=n)
@@ -197,14 +207,14 @@ def halve_blocks(blocks: DataFrame, filter_: str) -> DataFrame:
         zi, yi, xi, ch = (int(k) for k in key)
         shape = tuple(int(s) for s in pdf.iloc[0]["shape"])
         bz, by, bx = shape
-        big = np.zeros((2 * bz, 2 * by, 2 * bx), dtype=np.int64)
+        big = np.zeros((2 * bz, 2 * by, 2 * bx), dtype=np.int32)
         for row in pdf.itertuples():
             oz, oy, ox = int(row.zi) & 1, int(row.yi) & 1, int(row.xi) & 1
             big[
                 oz * bz : (oz + 1) * bz,
                 oy * by : (oy + 1) * by,
                 ox * bx : (ox + 1) * bx,
-            ] = np.asarray(row.voxels, dtype=np.int64).reshape(shape)
+            ] = np.asarray(row.voxels, dtype=np.int32).reshape(shape)
         out = np_halve(big, filter_)
         return pd.DataFrame(
             [
