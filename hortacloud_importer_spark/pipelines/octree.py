@@ -57,6 +57,7 @@ from hortacloud_importer_spark.operators.kernels import (
 )
 from hortacloud_importer_spark.volume.downsample import (
     FILTERS,
+    assemble_halved_blocks,
     downsample_voxels,
     halve_blocks,
 )
@@ -330,11 +331,16 @@ def build_octree(
                 # neighborhood kernels (aa / spline3,
                 # tiff2octree.py:244-261): halve each block's payload
                 # with the grouped-map kernel, then re-assemble 8
-                # half-size siblings into full child blocks (the
-                # unblockify coords of a halved block ARE the child
-                # resolution's global coords)
+                # half-size siblings into full child blocks
                 halved = downsample_blocks_kernel(blocks, filter_)
-                nxt = blockify(unblockify(halved), block_dims)
+                if fused:
+                    # packed-array re-assembly, one shuffle (the dual
+                    # of blockify(unblockify(halved)))
+                    nxt = assemble_halved_blocks(halved)
+                else:
+                    # voxel-row re-assembly (the unblockify coords of a
+                    # halved block ARE the child resolution's globals)
+                    nxt = blockify(unblockify(halved), block_dims)
             cur_dims = tuple(mipmap_dimension(1, d) for d in cur_dims)
             prev, blocks = blocks, nxt
         else:

@@ -235,3 +235,52 @@ def halve_blocks(blocks: DataFrame, filter_: str) -> DataFrame:
         F.shiftright("xi", 1).alias("xi"),
         F.col("channel"),
     ).applyInPandas(halve, out_schema)
+
+
+def assemble_halved_blocks(halved: DataFrame) -> DataFrame:
+    """Re-assemble 8 half-size sibling blocks into one full-size parent
+    block — the packed-array dual of ``blockify(unblockify(halved))``
+    that the kernel-filter build path (aa/spline3, which halve INSIDE
+    each block via operators/kernels.py) needs between levels. Same
+    single-shuffle shape as :func:`halve_blocks`, minus the halving:
+    the children are already at target resolution. Missing octants
+    zero-fill."""
+    import pandas as pd
+
+    out_schema = (
+        "zi int, yi int, xi int, channel int,"
+        " shape array<int>, voxels array<int>"
+    )
+
+    def assemble(key, pdf):
+        import numpy as np
+
+        zi, yi, xi, ch = (int(k) for k in key)
+        hz, hy, hx = (int(s) for s in pdf.iloc[0]["shape"])
+        big = np.zeros((2 * hz, 2 * hy, 2 * hx), dtype=np.int32)
+        for row in pdf.itertuples():
+            oz, oy, ox = int(row.zi) & 1, int(row.yi) & 1, int(row.xi) & 1
+            big[
+                oz * hz : (oz + 1) * hz,
+                oy * hy : (oy + 1) * hy,
+                ox * hx : (ox + 1) * hx,
+            ] = np.asarray(row.voxels, dtype=np.int32).reshape(hz, hy, hx)
+        return pd.DataFrame(
+            [
+                {
+                    "zi": zi,
+                    "yi": yi,
+                    "xi": xi,
+                    "channel": ch,
+                    "shape": [2 * hz, 2 * hy, 2 * hx],
+                    "voxels": big.ravel().tolist(),
+                }
+            ]
+        )
+
+    return halved.groupBy(
+        F.shiftright("zi", 1).alias("zi"),
+        F.shiftright("yi", 1).alias("yi"),
+        F.shiftright("xi", 1).alias("xi"),
+        F.col("channel"),
+    ).applyInPandas(assemble, out_schema)

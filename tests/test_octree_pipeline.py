@@ -354,3 +354,43 @@ def test_fused_build_matches_global_aggregate_byte_for_byte(
             open(os.path.join(a, f), "rb").read()
             == open(os.path.join(b, f), "rb").read()
         ), f
+
+
+def test_fused_kernel_build_matches_voxel_row_assembly(spark, tmp_path):
+    """assemble_halved_blocks (packed re-assembly after the aa/spline3
+    per-block kernels) produces the same store byte-for-byte as the
+    blockify(unblockify(...)) voxel-row path."""
+    import os
+
+    from hortacloud_importer_spark.pipelines import build_octree
+    from hortacloud_importer_spark.volume import synthetic_volume
+
+    stores = []
+    for fused in (True, False):
+        out = str(tmp_path / f"kstore_{fused}")
+        v = synthetic_volume(spark, 16, 16, 16, zero_fraction_mod=5)
+        build_octree(
+            spark,
+            v,
+            out,
+            nlevels=2,
+            filter_="aa",
+            dims=(16, 16, 16),
+            fused=fused,
+        ).count()
+        stores.append(out)
+    a, b = stores
+    fa = sorted(
+        os.path.relpath(p, a)
+        for p in glob.glob(f"{a}/**/*.tif", recursive=True)
+    )
+    fb = sorted(
+        os.path.relpath(p, b)
+        for p in glob.glob(f"{b}/**/*.tif", recursive=True)
+    )
+    assert fa == fb and fa
+    for f in fa:
+        assert (
+            open(os.path.join(a, f), "rb").read()
+            == open(os.path.join(b, f), "rb").read()
+        ), f
