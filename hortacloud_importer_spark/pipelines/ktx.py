@@ -8,16 +8,21 @@ own mipmap chain (the bounded-state cascade), and writes one
 
 - scan: ``read_tiff_block_store`` (binaryFile + clean-room decode on
   executors, coordinates from octree path digits);
-- per-block mips: each halving step is ONE hash aggregate over
-  block-local coordinates (the same zero-is-NULL kernels and
-  odd-pivot mapping as the global pyramid, volume/downsample.py) —
-  blocks never leave their executors' partitions logically: the key
-  (zi, yi, xi, channel) rides every row;
-- re-pack: the blockify sort-key trick turns each mip level back into
-  a zyx-ordered payload array;
-- sink: ``ktx_encode_blocks`` (one grouped-map task per block
-  serializes the level chain) -> the ``ktx_files`` DataSource writer
-  (idempotent names, manifest commit).
+- convert (default, ``fused=True``): the whole per-block pass —
+  input stats, requant, optional XY halving, the in-block mip chain,
+  KTX encode — as ONE executor kernel per block
+  (``ktx_convert_blocks_fused``): a map-only plan with zero shuffles
+  (one groupBy only when interleaving channels), because every step
+  is block-local, exactly like the reference's one-task-per-node
+  execution;
+- convert (``fused=False`` dual, byte-identical and test-pinned):
+  distributed aggregates — ``channel_block_stats`` (histogram
+  shuffle + window CDF), Catalyst ``requantize_blocks``,
+  ``block_mip_chain`` (one hash aggregate + re-pack per level) — for
+  blocks too large for a single task's memory;
+- sink: ``ktx_encode_blocks`` / the fused kernel's rows -> the
+  ``ktx_files`` DataSource writer (idempotent names, sharded
+  manifest commit).
 """
 
 from __future__ import annotations
