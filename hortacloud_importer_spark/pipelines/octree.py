@@ -15,9 +15,12 @@ the engine's existing operators into exactly that run:
 - blocks: ``blockify`` at leaf-grid granularity — 2^(nlevels-1)
   blocks per axis, the reference's calc_optimal_nlevels arrangement
   (tiff2octree.py:618-626);
-- pyramid: ``downsample_voxels`` per level (D1-D3 kernels); every
-  level reuses the same leaf block DIMS, half the block COUNT per
-  axis (ktx/util.py:223-239), so level k lands at octree depth
+- pyramid: ``halve_blocks`` per level by default (D1-D3 kernels in
+  one grouped-map per parent block — a single packed-array shuffle
+  per level; ``fused=False`` keeps the byte-identical
+  ``downsample_voxels`` global-aggregate dual); every level reuses
+  the same leaf block DIMS, half the block COUNT per axis
+  (ktx/util.py:223-239), so level k lands at octree depth
   nlevels-1-k — the root block is the lowest-resolution mip;
 - sink: the ``tiff_blocks`` DataSource (A6 — octree-path ZLIB TIFF,
   skip-empty, sharded manifest commit: one immutable shard per level,
@@ -30,7 +33,7 @@ the engine's existing operators into exactly that run:
   as a driver-side set, so resume scales to ~1e7-block stores.
 
 Everything stays declarative until the sink: one leaf scan, one
-hash-aggregate per level, no driver-side payloads.
+shuffle per level, no driver-side payloads.
 """
 
 from __future__ import annotations
