@@ -73,6 +73,135 @@ def _infer_dims(voxels: DataFrame) -> tuple[int, int, int]:
     return int(row["z"]) + 1, int(row["y"]) + 1, int(row["x"]) + 1
 
 
+def _infer_slice_dims(source: str, channels: int) -> tuple[int, int, int]:
+    """Dims of a slice directory from its LISTING plus one file's TIFF
+    header walk — the reference's inference (one file header,
+    tiff2octree.py:653-691) instead of a max-aggregate over decoded
+    voxels. One z per file is the tiff_volume scan contract."""
+    from hortacloud_importer_spark.sources.datasource import (
+        _read_bytes,
+        _sorted_slices,
+    )
+    from hortacloud_importer_spark.sources.tiff import tiff_shape
+
+    files = _sorted_slices(
+        source.rstrip("/"), ".tif", "0" if channels > 1 else None
+    )
+    if not files:
+        raise FileNotFoundError(source)
+    pages, h, w = tiff_shape(_read_bytes(files[0]))
+    if pages != 1:
+        raise ValueError(
+            f"slice file {files[0]} has {pages} pages; one z-slice per "
+            "file expected (stacks go through stack_voxels)"
+        )
+    return len(files), h, w
+
+
+def _slices_to_blocks(
+    spark: SparkSession,
+    source: str,
+    block_dims: tuple[int, int, int],
+    padded_dims: tuple[int, int, int],
+    channels: int,
+) -> DataFrame:
+    """Leaf ingest as packed tiles: slice rows (``emit=slices``) are
+    cut into per-(yi, xi) block tiles in-executor and ONE shuffle
+    assembles each block from its bz tiles — the packed dual of
+    exploding every slice to voxel rows and re-aggregating with
+    blockify (whose shuffle carries four coordinate columns per
+    intensity and, for non-grid dims, a densify grid join). Y/X
+    zero-padding happens on the tile canvas at cut time; missing z
+    tiles (z padding) zero-fill on the block canvas. This is the
+    dominant shuffle of a build — everything above it is 8x smaller
+    per level."""
+    import pandas as pd
+
+    bz, by, bx = block_dims
+    gy, gx = padded_dims[1] // by, padded_dims[2] // bx
+
+    tile_schema = (
+        "zi int, lz int, yi int, xi int, channel int, tile array<int>"
+    )
+
+    def cut(batches):
+        import numpy as np
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                h, w = int(row.height), int(row.width)
+                page = np.zeros((gy * by, gx * bx), dtype=np.int32)
+                arr = np.asarray(row.voxels, dtype=np.int32).reshape(h, w)
+                page[: min(h, gy * by), : min(w, gx * bx)] = arr[
+                    : gy * by, : gx * bx
+                ]
+                z = int(row.z)
+                for yi in range(gy):
+                    for xi in range(gx):
+                        out.append(
+                            {
+                                "zi": z // bz,
+                                "lz": z % bz,
+                                "yi": yi,
+                                "xi": xi,
+                                "channel": int(row.channel),
+                                "tile": page[
+                                    yi * by : (yi + 1) * by,
+                                    xi * bx : (xi + 1) * bx,
+                                ]
+                                .ravel()
+                                .tolist(),
+                            }
+                        )
+            yield pd.DataFrame(out)
+
+    tiles = None
+    for ch in range(channels):
+        scan = spark.read.format("tiff_volume").option("emit", "slices")
+        if channels > 1:
+            # the reference's default.{ch}.{z} naming; z stays
+            # per-channel
+            scan = scan.option("channel", str(ch))
+        part = (
+            scan.load(source)
+            .withColumn("channel", F.lit(ch))
+            .mapInPandas(cut, tile_schema)
+        )
+        tiles = part if tiles is None else tiles.unionByName(part)
+
+    out_schema = (
+        "zi int, yi int, xi int, channel int,"
+        " shape array<int>, voxels array<int>"
+    )
+
+    def assemble(key, pdf):
+        import numpy as np
+
+        zi, yi, xi, ch = (int(k) for k in key)
+        block = np.zeros((bz, by, bx), dtype=np.int32)
+        for row in pdf.itertuples():
+            block[int(row.lz)] = np.asarray(
+                row.tile, dtype=np.int32
+            ).reshape(by, bx)
+        return pd.DataFrame(
+            [
+                {
+                    "zi": zi,
+                    "yi": yi,
+                    "xi": xi,
+                    "channel": ch,
+                    "shape": [bz, by, bx],
+                    "voxels": block.ravel().tolist(),
+                }
+            ]
+        )
+
+    return tiles.groupBy("zi", "yi", "xi", "channel").applyInPandas(
+        assemble, out_schema
+    )
+
+
 def optimal_nlevels(dims: tuple[int, int, int]) -> int:
     """Smallest level count whose leaf blocks fall under 512^3 voxels —
     the reference's calc_optimal_nlevels (tiff2octree.py:617-625),
@@ -187,30 +316,37 @@ def build_octree(
             f"unknown filter {filter_!r}; have {FILTERS + tuple(KERNELS)}"
         )
     register_volume_sources(spark)  # tiff_volume scan + tiff_blocks sink
+    voxels: DataFrame | None = None
     if isinstance(source, str):
-        if channels == 1:
-            # any slice naming: every file in sorted order is a z
-            voxels = (
-                spark.read.format("tiff_volume")
-                .load(source)
-                .withColumn("channel", F.lit(0))
-            )
-        else:
-            # one scan per channel of the reference's default.{ch}.{z}
-            # naming; the channel option keeps z assignment per-channel
-            voxels = None
-            for ch in range(channels):
-                scan = (
+        if dims is None:
+            # listing + one header walk, never a voxel aggregate
+            dims = _infer_slice_dims(source, channels)
+        if not fused:
+            if channels == 1:
+                # any slice naming: every file in sorted order is a z
+                voxels = (
                     spark.read.format("tiff_volume")
-                    .option("channel", str(ch))
                     .load(source)
-                    .withColumn("channel", F.lit(ch))
+                    .withColumn("channel", F.lit(0))
                 )
-                voxels = scan if voxels is None else voxels.unionByName(scan)
+            else:
+                # one scan per channel of the reference's
+                # default.{ch}.{z} naming; the channel option keeps z
+                # assignment per-channel
+                for ch in range(channels):
+                    scan = (
+                        spark.read.format("tiff_volume")
+                        .option("channel", str(ch))
+                        .load(source)
+                        .withColumn("channel", F.lit(ch))
+                    )
+                    voxels = (
+                        scan if voxels is None else voxels.unionByName(scan)
+                    )
     else:
         voxels = source
-    if dims is None:
-        dims = _infer_dims(voxels)
+        if dims is None:
+            dims = _infer_dims(voxels)
     if nlevels is None or nlevels <= 0:
         # the reference's -l -1 convention (tiff2octree.py:1175, 617)
         nlevels = optimal_nlevels(dims)
@@ -240,30 +376,35 @@ def build_octree(
             voxels.agg(F.countDistinct("channel").alias("c")).first()["c"]
         )
     padded = tuple(b * leaf_grid for b in block_dims)
-    if padded != dims:
-        # Non-divisible dims leave edge blocks partial, which cannot
-        # reshape to block extent; zero-pad to the grid instead
-        # (zero = no-data in every downsample kernel, §1.2, so the
-        # padding never perturbs pyramid values, and skip-empty drops
-        # all-zero pad blocks the way the reference skips empty edge
-        # blocks, tiff2octree.py:312). The pad join is the densify
-        # grid scan — only paid when dims aren't grid-aligned.
-        voxels = densify(voxels, spark, padded, channels=n_channels)
-        dims = padded
+    if isinstance(source, str) and fused:
+        # leaf ingest as packed tiles (one shuffle; y/x/z zero-pad on
+        # the tile/block canvases — no densify grid join)
+        blocks = _slices_to_blocks(spark, source, block_dims, padded, channels)
+    else:
+        if padded != dims:
+            # Non-divisible dims leave edge blocks partial, which
+            # cannot reshape to block extent; zero-pad to the grid
+            # instead (zero = no-data in every downsample kernel,
+            # §1.2, so the padding never perturbs pyramid values, and
+            # skip-empty drops all-zero pad blocks the way the
+            # reference skips empty edge blocks, tiff2octree.py:312).
+            # The pad join is the densify grid scan — only paid when
+            # dims aren't grid-aligned.
+            voxels = densify(voxels, spark, padded, channels=n_channels)
+        blocks = blockify(voxels, block_dims)
+    dims = padded
     summary_rows = []
     cur_dims = dims
     seen_summaries = set(manifest.summary_files(filesystem, base))
     # The source is scanned EXACTLY ONCE for the whole build: each
     # level's blocks are persisted (memory, spilling to executor
     # disk), the sink writes from that materialization, and the next
-    # level is derived from it via unblockify -> downsample ->
-    # blockify. Without this, level k's write would recompute the
-    # whole chain from the source — k+1 source scans for a k-level
-    # build, which at 100 TB is the dominant cost. Each level is 8x
-    # smaller than the last, so peak persisted footprint is ~1.14x the
-    # leaf level, and parents are unpersisted as soon as their child
-    # level materializes.
-    blocks = blockify(voxels, block_dims)
+    # level is derived from it. Without this, level k's write would
+    # recompute the whole chain from the source — k+1 source scans for
+    # a k-level build, which at 100 TB is the dominant cost. Each
+    # level is 8x smaller than the last, so peak persisted footprint
+    # is ~1.14x the leaf level, and parents are unpersisted as soon as
+    # their child level materializes.
     prev: DataFrame | None = None
     for level in range(nlevels):
         depth = nlevels - level  # tiff_blocks nlevels option: digits+1

@@ -394,3 +394,43 @@ def test_fused_kernel_build_matches_voxel_row_assembly(spark, tmp_path):
             open(os.path.join(a, f), "rb").read()
             == open(os.path.join(b, f), "rb").read()
         ), f
+
+
+def test_fused_slice_ingest_matches_voxel_path(spark, tmp_path):
+    """The packed-tile leaf ingest (_slices_to_blocks) builds the same
+    store, byte for byte, as the voxel-row scan + densify + blockify
+    path — odd dims exercise the y/x/z canvas padding."""
+    import os
+
+    from hortacloud_importer_spark.pipelines import build_octree
+
+    rng = np.random.default_rng(31)
+    vol = rng.integers(0, 60000, (7, 6, 5)).astype(np.uint16)
+    _write_slices(tmp_path / "fslices", list(vol))
+    stores = []
+    for fused in (True, False):
+        out = str(tmp_path / f"fstore_{fused}")
+        build_octree(
+            spark,
+            str(tmp_path / "fslices"),
+            out,
+            nlevels=2,
+            filter_="max",
+            fused=fused,
+        ).count()
+        stores.append(out)
+    a, b = stores
+    fa = sorted(
+        os.path.relpath(p, a)
+        for p in glob.glob(f"{a}/**/*.tif", recursive=True)
+    )
+    fb = sorted(
+        os.path.relpath(p, b)
+        for p in glob.glob(f"{b}/**/*.tif", recursive=True)
+    )
+    assert fa == fb and fa
+    for f in fa:
+        assert (
+            open(os.path.join(a, f), "rb").read()
+            == open(os.path.join(b, f), "rb").read()
+        ), f
