@@ -585,13 +585,49 @@ def _reclaim_source_store(
     its KTX is written; here after the whole commit, so a failed run
     never deletes anything), then move the root ``default.{ch}.tif``
     files next to the KTX output's parent (:1153-1162). The delete is
-    a map over the path listing — executor-side, no driver set."""
+    a map over the path listing — executor-side, no driver set.
+    ``depth=0`` (root-only conversion) never deletes: the root slices
+    are MOVED, matching the reference's level > 1 guard."""
+    import posixpath
+
     import pandas as pd
 
     from hortacloud_importer_spark.sources.block_store import (
         path_block_coords,
     )
     from hortacloud_importer_spark.sources.datasource import _pa_fs
+
+    def move_root_slices():
+        # root slices move beside the KTX root (driver-side: one file
+        # per channel by construction)
+        src_fs, src_base = _pa_fs(store_root)
+        parent = posixpath.dirname(out_dir.rstrip("/")) or "."
+        if parent.rstrip("/") == store_root.rstrip("/"):
+            return
+        dst_fs, dst_base = _pa_fs(parent)
+        from pyarrow import fs as pafs
+
+        dst_fs.create_dir(dst_base, recursive=True)
+        infos = src_fs.get_file_info(
+            pafs.FileSelector(src_base, recursive=False)
+        )
+        for i in infos:
+            if i.type != pafs.FileType.File:
+                continue
+            name = i.base_name
+            if not (name.startswith("default.") and name.endswith(".tif")):
+                continue
+            with src_fs.open_input_stream(i.path) as fh:
+                payload = fh.read()
+            with dst_fs.open_output_stream(
+                f"{dst_base.rstrip('/')}/{name}"
+            ) as fh:
+                fh.write(payload)
+            src_fs.delete_file(i.path)
+
+    if depth == 0:
+        move_root_slices()
+        return
 
     files = (
         spark.read.format("binaryFile")
@@ -619,34 +655,12 @@ def _reclaim_source_store(
                 try:
                     filesystem.delete_file(f"{base.rstrip('/')}/{rel}")
                     n += 1
-                except (FileNotFoundError, OSError):
-                    pass  # idempotent under task retries
+                except FileNotFoundError:
+                    pass  # idempotent under task retries; any other
+                    # failure (permissions, read-only mount) must
+                    # surface, not read as a successful reclaim
             yield pd.DataFrame({"n": [n]})
 
     doomed.mapInPandas(rm, "n long").agg(F.sum("n")).collect()
     if depth is None:
-        # root slices move beside the KTX root (driver-side: one file
-        # per channel by construction)
-        src_fs, src_base = _pa_fs(store_root)
-        parent = out_dir.rstrip("/").rsplit("/", 1)[0] or out_dir
-        if parent.rstrip("/") != store_root.rstrip("/"):
-            dst_fs, dst_base = _pa_fs(parent)
-            from pyarrow import fs as pafs
-
-            infos = src_fs.get_file_info(
-                pafs.FileSelector(src_base, recursive=False)
-            )
-            for i in infos:
-                if i.type != pafs.FileType.File:
-                    continue
-                name = i.base_name
-                if not (name.startswith("default.") and name.endswith(".tif")):
-                    continue
-                with src_fs.open_input_stream(i.path) as fh:
-                    payload = fh.read()
-                dst_fs.create_dir(dst_base, recursive=True)
-                with dst_fs.open_output_stream(
-                    f"{dst_base.rstrip('/')}/{name}"
-                ) as fh:
-                    fh.write(payload)
-                src_fs.delete_file(i.path)
+        move_root_slices()

@@ -118,6 +118,7 @@ def _slices_to_blocks(
     import pandas as pd
 
     bz, by, bx = block_dims
+    pz = padded_dims[0]
     gy, gx = padded_dims[1] // by, padded_dims[2] // bx
 
     tile_schema = (
@@ -130,13 +131,20 @@ def _slices_to_blocks(
         for pdf in batches:
             out = []
             for row in pdf.itertuples():
+                z = int(row.z)
+                if z >= pz:
+                    # clip to the padded grid, like the densify grid
+                    # join does on the voxel-row path: a stray slice
+                    # past the grid (e.g. one channel listing more
+                    # files than the channel dims were inferred from)
+                    # must not alias onto an in-grid octree path
+                    continue
                 h, w = int(row.height), int(row.width)
                 page = np.zeros((gy * by, gx * bx), dtype=np.int32)
                 arr = np.asarray(row.voxels, dtype=np.int32).reshape(h, w)
                 page[: min(h, gy * by), : min(w, gx * bx)] = arr[
                     : gy * by, : gx * bx
                 ]
-                z = int(row.z)
                 for yi in range(gy):
                     for xi in range(gx):
                         out.append(

@@ -194,47 +194,7 @@ def halve_blocks(blocks: DataFrame, filter_: str) -> DataFrame:
     (tests/test_octree_pipeline.py) and np_halve's property tests.
     Missing octants (skip-empty store read-backs) densify to zero.
     """
-    import pandas as pd
-
-    out_schema = (
-        "zi int, yi int, xi int, channel int,"
-        " shape array<int>, voxels array<int>"
-    )
-
-    def halve(key, pdf):
-        import numpy as np
-
-        zi, yi, xi, ch = (int(k) for k in key)
-        shape = tuple(int(s) for s in pdf.iloc[0]["shape"])
-        bz, by, bx = shape
-        big = np.zeros((2 * bz, 2 * by, 2 * bx), dtype=np.int32)
-        for row in pdf.itertuples():
-            oz, oy, ox = int(row.zi) & 1, int(row.yi) & 1, int(row.xi) & 1
-            big[
-                oz * bz : (oz + 1) * bz,
-                oy * by : (oy + 1) * by,
-                ox * bx : (ox + 1) * bx,
-            ] = np.asarray(row.voxels, dtype=np.int32).reshape(shape)
-        out = np_halve(big, filter_)
-        return pd.DataFrame(
-            [
-                {
-                    "zi": zi,
-                    "yi": yi,
-                    "xi": xi,
-                    "channel": ch,
-                    "shape": list(shape),
-                    "voxels": out.ravel().tolist(),
-                }
-            ]
-        )
-
-    return blocks.groupBy(
-        F.shiftright("zi", 1).alias("zi"),
-        F.shiftright("yi", 1).alias("yi"),
-        F.shiftright("xi", 1).alias("xi"),
-        F.col("channel"),
-    ).applyInPandas(halve, out_schema)
+    return _octant_regroup(blocks, lambda big: np_halve(big, filter_))
 
 
 def assemble_halved_blocks(halved: DataFrame) -> DataFrame:
@@ -245,6 +205,15 @@ def assemble_halved_blocks(halved: DataFrame) -> DataFrame:
     single-shuffle shape as :func:`halve_blocks`, minus the halving:
     the children are already at target resolution. Missing octants
     zero-fill."""
+    return _octant_regroup(halved, lambda big: big)
+
+
+def _octant_regroup(blocks: DataFrame, finish) -> DataFrame:
+    """Shared octant-assembly kernel: group 8 siblings per parent
+    block, place each by its coordinate parity bits into a double-size
+    canvas (missing octants stay zero), then apply ``finish`` to the
+    canvas (np_halve for the pyramid step, identity for kernel-halved
+    re-assembly)."""
     import pandas as pd
 
     out_schema = (
@@ -252,19 +221,20 @@ def assemble_halved_blocks(halved: DataFrame) -> DataFrame:
         " shape array<int>, voxels array<int>"
     )
 
-    def assemble(key, pdf):
+    def regroup(key, pdf):
         import numpy as np
 
         zi, yi, xi, ch = (int(k) for k in key)
-        hz, hy, hx = (int(s) for s in pdf.iloc[0]["shape"])
-        big = np.zeros((2 * hz, 2 * hy, 2 * hx), dtype=np.int32)
+        bz, by, bx = (int(s) for s in pdf.iloc[0]["shape"])
+        big = np.zeros((2 * bz, 2 * by, 2 * bx), dtype=np.int32)
         for row in pdf.itertuples():
             oz, oy, ox = int(row.zi) & 1, int(row.yi) & 1, int(row.xi) & 1
             big[
-                oz * hz : (oz + 1) * hz,
-                oy * hy : (oy + 1) * hy,
-                ox * hx : (ox + 1) * hx,
-            ] = np.asarray(row.voxels, dtype=np.int32).reshape(hz, hy, hx)
+                oz * bz : (oz + 1) * bz,
+                oy * by : (oy + 1) * by,
+                ox * bx : (ox + 1) * bx,
+            ] = np.asarray(row.voxels, dtype=np.int32).reshape(bz, by, bx)
+        out = finish(big)
         return pd.DataFrame(
             [
                 {
@@ -272,15 +242,15 @@ def assemble_halved_blocks(halved: DataFrame) -> DataFrame:
                     "yi": yi,
                     "xi": xi,
                     "channel": ch,
-                    "shape": [2 * hz, 2 * hy, 2 * hx],
-                    "voxels": big.ravel().tolist(),
+                    "shape": list(out.shape),
+                    "voxels": out.ravel().tolist(),
                 }
             ]
         )
 
-    return halved.groupBy(
+    return blocks.groupBy(
         F.shiftright("zi", 1).alias("zi"),
         F.shiftright("yi", 1).alias("yi"),
         F.shiftright("xi", 1).alias("xi"),
         F.col("channel"),
-    ).applyInPandas(assemble, out_schema)
+    ).applyInPandas(regroup, out_schema)

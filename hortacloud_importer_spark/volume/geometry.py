@@ -274,10 +274,22 @@ def intensity_downsample_params(
 ) -> tuple[int, int, float]:
     """(black_level, white_level, gamma) from the percentile vector —
     the reference's estimator (ktx_from_rendered_tiff.py:481-530),
-    mirrored by operators/requant.py for the distributed path."""
-    band = percentiles[min_quantile : max_base_quantile + 1].astype("float64")
-    mean = band.sum() / float(len(band))
-    variance = float(np.square(band - mean).sum()) / float(len(band))
+    mirrored by operators/requant.py for the distributed path.
+
+    Moments come from exact integer sums (s1, s2 fit a double exactly:
+    76 band entries <= 65535) folded through the SAME float64
+    expression tree as the Catalyst/DuckDB one-pass form
+    (operators/requant.band_moments), so the fused in-executor kernels
+    and the distributed aggregates produce bit-identical params — a
+    two-pass sum((x-mean)^2) differs by an ulp, which a FLOOR at an
+    integer boundary would amplify into a one-level white_level split
+    between the two paths."""
+    band = percentiles[min_quantile : max_base_quantile + 1].astype("int64")
+    n = float(len(band))
+    s1 = float(int(band.sum()))
+    s2 = float(int((band * band).sum()))
+    mean = s1 / n
+    variance = max(s2 / n - mean * mean, 0.0)
     stddev = math.sqrt(variance)
     white = int(percentiles[max_base_quantile] + max_sigma_buffer * stddev)
     white = int(max(white, max_proportion * percentiles[100]))

@@ -145,3 +145,31 @@ def test_delete_source_reclaims_store_after_commit(spark, tmp_path):
     parent = str(tmp_path / "reclaim")
     assert os.path.exists(f"{parent}/default.0.tif")
     assert len(glob.glob(f"{out}/**/*.ktx", recursive=True)) == 9
+
+
+def test_delete_source_depth0_moves_root_instead_of_deleting(
+    spark, tmp_path
+):
+    """A root-only conversion (depth=0) with delete_source must MOVE
+    the root slices beside the KTX output, never delete them — the
+    reference's level > 1 guard (tiff2octree.py:508)."""
+    root = str(tmp_path / "d0" / "store")
+    v = synthetic_volume(spark, 16, 16, 16, zero_fraction_mod=5)
+    build_octree(
+        spark, v, root, nlevels=2, filter_="arthur", dims=(16, 16, 16)
+    )
+    out = str(tmp_path / "d0" / "ktx")
+    tiff_octree_to_ktx(
+        spark,
+        root,
+        out,
+        block_dims=(16, 16, 16),
+        n_mips=2,
+        filter_="arthur",
+        depth=0,
+        delete_source=True,
+    ).count()
+    # leaf blocks untouched, root file moved (not deleted)
+    assert len(glob.glob(f"{root}/*/default.*.tif")) == 8
+    assert not os.path.exists(f"{root}/default.0.tif")
+    assert os.path.exists(str(tmp_path / "d0" / "default.0.tif"))

@@ -434,3 +434,45 @@ def test_fused_slice_ingest_matches_voxel_path(spark, tmp_path):
             open(os.path.join(a, f), "rb").read()
             == open(os.path.join(b, f), "rb").read()
         ), f
+
+
+def test_fused_ingest_clips_slices_beyond_padded_grid(spark, tmp_path):
+    """A slice dir with more files than the caller's dims must clip in
+    the fused tile ingest exactly like the voxel path's densify grid
+    join — a stray z would otherwise alias onto an in-grid octree
+    path."""
+    import os
+
+    from hortacloud_importer_spark.pipelines import build_octree
+
+    rng = np.random.default_rng(37)
+    vol = rng.integers(1, 60000, (9, 6, 5)).astype(np.uint16)
+    _write_slices(tmp_path / "clipslices", list(vol))  # 9 files, dims say 7
+    stores = []
+    for fused in (True, False):
+        out = str(tmp_path / f"clipstore_{fused}")
+        build_octree(
+            spark,
+            str(tmp_path / "clipslices"),
+            out,
+            nlevels=2,
+            filter_="max",
+            dims=(7, 6, 5),
+            fused=fused,
+        ).count()
+        stores.append(out)
+    a, b = stores
+    fa = sorted(
+        os.path.relpath(p, a)
+        for p in glob.glob(f"{a}/**/*.tif", recursive=True)
+    )
+    fb = sorted(
+        os.path.relpath(p, b)
+        for p in glob.glob(f"{b}/**/*.tif", recursive=True)
+    )
+    assert fa == fb and fa
+    for f in fa:
+        assert (
+            open(os.path.join(a, f), "rb").read()
+            == open(os.path.join(b, f), "rb").read()
+        ), f
