@@ -549,19 +549,20 @@ def tiff_octree_to_ktx(
     if transform is not None:
         # the reference copies transform.txt beside the KTX output
         # verbatim (tiff2octree.py:894-901)
-        from hortacloud_importer_spark.sources.datasource import _pa_fs
+        from hortacloud_importer_spark.sources.datasource import (
+            _copy_file,
+            _pa_fs,
+        )
 
         src_fs, src_base = _pa_fs(store_root)
         dst_fs, dst_base = _pa_fs(out_dir)
-        with src_fs.open_input_stream(
-            f"{src_base.rstrip('/')}/transform.txt"
-        ) as fh:
-            payload = fh.read()
         dst_fs.create_dir(dst_base, recursive=True)
-        with dst_fs.open_output_stream(
-            f"{dst_base.rstrip('/')}/transform.txt"
-        ) as fh:
-            fh.write(payload)
+        _copy_file(
+            src_fs,
+            f"{src_base.rstrip('/')}/transform.txt",
+            dst_fs,
+            f"{dst_base.rstrip('/')}/transform.txt",
+        )
     # distinct committed-file count via the manifest-shard DataFrame
     # (one file per block in this sink, so n_blocks == n_files); the
     # count is a Spark job over shard text files, never a driver set
@@ -595,7 +596,10 @@ def _reclaim_source_store(
     from hortacloud_importer_spark.sources.block_store import (
         path_block_coords,
     )
-    from hortacloud_importer_spark.sources.datasource import _pa_fs
+    from hortacloud_importer_spark.sources.datasource import (
+        _copy_file,
+        _pa_fs,
+    )
 
     def move_root_slices():
         # root slices move beside the KTX root (driver-side: one file
@@ -617,12 +621,9 @@ def _reclaim_source_store(
             name = i.base_name
             if not (name.startswith("default.") and name.endswith(".tif")):
                 continue
-            with src_fs.open_input_stream(i.path) as fh:
-                payload = fh.read()
-            with dst_fs.open_output_stream(
-                f"{dst_base.rstrip('/')}/{name}"
-            ) as fh:
-                fh.write(payload)
+            _copy_file(
+                src_fs, i.path, dst_fs, f"{dst_base.rstrip('/')}/{name}"
+            )
             src_fs.delete_file(i.path)
 
     if depth == 0:

@@ -84,6 +84,15 @@ def _read_bytes(path: str) -> bytes:
         return fh.read()
 
 
+def _copy_file(src_fs, src_path: str, dst_fs, dst_path: str) -> None:
+    """Cross-filesystem single-file copy (pyarrow streams). The caller
+    ensures the destination directory exists."""
+    with src_fs.open_input_stream(src_path) as fh:
+        payload = fh.read()
+    with dst_fs.open_output_stream(dst_path) as fh:
+        fh.write(payload)
+
+
 def _list_files(root: str) -> list[str]:
     from pyarrow import fs as pafs
 
