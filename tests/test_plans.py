@@ -250,3 +250,33 @@ def test_block_mip_chain_is_hash_aggregates_only(spark):
     assert "Exchange SinglePartition" not in plan
     assert "Window" not in plan
     assert "HashAggregate" in plan
+
+
+def test_halve_blocks_is_single_packed_shuffle(spark):
+    """The fused pyramid step must plan exactly ONE exchange (the
+    parent-block regroup of packed arrays) — no voxel-row explode, no
+    second re-pack shuffle."""
+    from hortacloud_importer_spark.volume.downsample import halve_blocks
+
+    rows = [
+        (zi, yi, xi, 0, [2, 2, 2], list(range(8)))
+        for zi in range(2)
+        for yi in range(2)
+        for xi in range(2)
+    ]
+    blocks = spark.createDataFrame(
+        rows,
+        "zi int, yi int, xi int, channel int, shape array<int>,"
+        " voxels array<int>",
+    )
+    out = halve_blocks(blocks, "arthur")
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the structural claim: no voxel-row explode and no collect_list
+    # re-pack — the step is one grouped map over packed arrays (AQE's
+    # initial+final plan print makes raw Exchange counts unreliable;
+    # the absent operators are the signal)
+    assert "Exchange SinglePartition" not in plan
+    assert "explode" not in plan
+    assert "FlatMapGroupsInPandas" in plan
+    assert "sort_array" not in plan  # blockify's re-pack idiom
