@@ -59,9 +59,14 @@ def crop_octree(
     blocks = read_tiff_block_store(
         spark, store_root, window=window, block_dims=block_dims, depth=depth
     )
-    n_channels = channels if channels else max(
-        1, len(store_channels(spark, store_root))
-    )
+    # actual channel IDS, not a 0..n-1 assumption: a store written
+    # with non-contiguous ids (e.g. {0, 2}) must export those slices,
+    # not a zero slice for a nonexistent id. An int `channels` keeps
+    # the dense 0..n-1 contract for callers that know their layout.
+    if channels:
+        channel_ids = list(range(channels))
+    else:
+        channel_ids = store_channels(spark, store_root) or [0]
 
     tile_schema = (
         "z int, channel int, y_off int, x_off int,"
@@ -107,9 +112,10 @@ def crop_octree(
     tiles = blocks.mapInPandas(cut_tiles, tile_schema)
     # full (z, channel) grid so empty slices still export as zeros
     # (skip-empty stores drop all-zero blocks); dz*channels rows only
-    grid = spark.range(dz * n_channels).select(
-        (F.col("id") % dz).cast("int").alias("z"),
-        (F.col("id") / dz).cast("int").alias("channel"),
+    grid = spark.range(dz).select(F.col("id").cast("int").alias("z")).crossJoin(
+        spark.createDataFrame(
+            [(int(c),) for c in channel_ids], "channel int"
+        )
     )
     keyed = grid.join(tiles, ["z", "channel"], "left")
 
@@ -144,8 +150,12 @@ def crop_octree(
         local = isinstance(filesystem, pafs.LocalFileSystem)
         name = f"default.{ch}.{z:05d}.tif"
         staged = f"{base}/.{name}.tmp" if local else f"{base}/{name}"
+        # cast FIRST so the accounting matches the bytes written: a
+        # value that wraps/clips in the output dtype (256 -> 0 in
+        # uint8) must not count as nonzero
+        cast = page.astype(np.dtype(dtype))
         with filesystem.open_output_stream(staged) as fh:
-            fh.write(encode_tiff(page.astype(np.dtype(dtype))[None, ...]))
+            fh.write(encode_tiff(cast[None, ...]))
         if local:
             filesystem.move(staged, f"{base}/{name}")
         return pd.DataFrame(
@@ -153,7 +163,7 @@ def crop_octree(
                 {
                     "z": z,
                     "channel": ch,
-                    "n_nonzero": int(np.count_nonzero(page)),
+                    "n_nonzero": int(np.count_nonzero(cast)),
                 }
             ]
         )

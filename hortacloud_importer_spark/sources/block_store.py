@@ -138,6 +138,23 @@ def store_block_meta(
         .load(root)
         .select("path")
     )
+    # same committed-manifest filter the data read applies: an
+    # uncommitted leftover from a killed build must not become the
+    # probe file (truncated header) or skew max-depth (stale dims)
+    from hortacloud_importer_spark.sources import manifest
+
+    committed = manifest.committed_files_df(spark, root)
+    if committed is not None:
+        import re as _re
+
+        rel = F.element_at(
+            F.split("path", _re.escape(f"{root.rstrip('/')}/")), -1
+        ).alias("rel")
+        files = (
+            files.withColumn("rel", rel)
+            .join(committed, "rel", "left_semi")
+            .drop("rel")
+        )
     _, _, _, depth_c = path_block_coords(root)
     row = files.select("path", depth_c).agg(
         F.max("_depth").alias("max_depth"), F.min("path").alias("probe")
@@ -327,8 +344,23 @@ def resume_filter(work: DataFrame, spark: SparkSession, root: str) -> DataFrame:
     is the key set, never payloads.
     """
     key = ["zi", "yi", "xi", "channel"]
-    try:
-        done = read_blocks(spark, root).select(*key)
-    except Exception:  # store does not exist yet -> nothing committed
+    # probe existence FIRST (pyarrow listing, no Spark job): a fresh
+    # store is the only state that legitimately means "nothing
+    # committed". Anything else — corrupt files, permissions, a
+    # transient object-store error — must surface, not silently read
+    # as an empty store and trigger a full rewrite (at 100 TB that is
+    # a multi-day silent redo). The probe also keeps fresh-store runs
+    # from tripping a JVM AnalysisException whose stack trace Spark
+    # logs to stderr.
+    from pyarrow import fs as pafs
+
+    from hortacloud_importer_spark.sources.datasource import _pa_fs
+
+    filesystem, base = _pa_fs(root)
+    info = filesystem.get_file_info(base)
+    if info.type == pafs.FileType.NotFound:
         return work
+    if not filesystem.get_file_info(pafs.FileSelector(base, recursive=False)):
+        return work  # directory exists but is empty: also fresh
+    done = read_blocks(spark, root).select(*key)
     return work.join(done, on=key, how="left_anti")

@@ -11,9 +11,10 @@ shard pair under ``{root}/_manifest/`` and nothing is ever rewritten:
 
 ``commit-<id>.files.txt``
     one committed relative path per line. This file is the commit
-    point — staged tmp+rename on local filesystems, single atomic PUT
-    on object stores — so a reader either sees the whole commit or
-    none of it.
+    point — staged tmp+rename wherever rename is atomic (local, NFS,
+    any non-object-store filesystem), single atomic PUT on s3/gcs
+    where rename is copy+delete — so a reader either sees the whole
+    commit or none of it.
 ``commit-<id>.json``
     ``{"n_files": N, "n_skipped": K}`` — per-RUN accounting, written
     after the commit point (purely informational; a crash in between
@@ -44,23 +45,38 @@ def _shard_base(base: str) -> str:
     return f"{base.rstrip('/')}/{SHARD_DIR}"
 
 
+def _is_object_store(filesystem) -> bool:
+    """True only for stores where a single PUT is the atomic commit
+    and move is copy+delete (NOT atomic): s3/gcs/azure. Everything
+    else — local, NFS/fuse served through a non-local pyarrow
+    filesystem, subtree/mock wrappers — gets stage+rename, because an
+    open-write-close to the final name can expose a torn shard to a
+    concurrent reader there."""
+    try:
+        name = filesystem.type_name
+    except AttributeError:
+        return False
+    if name == "subtree":
+        # unwrap: atomicity is the base filesystem's property
+        base_fs = getattr(filesystem, "base_fs", None)
+        return _is_object_store(base_fs) if base_fs is not None else False
+    return name in ("s3", "gcs", "abfs", "azurefs")
+
+
 def write_commit(filesystem, base: str, files: list[str], n_skipped: int = 0) -> str:
     """Append one commit shard; returns the shard id.
 
     O(files-in-this-commit) — independent of store size.
     """
-    from pyarrow import fs as pafs
-
     sdir = _shard_base(base)
     filesystem.create_dir(sdir, recursive=True)
     shard_id = uuid.uuid4().hex
-    local = isinstance(filesystem, pafs.LocalFileSystem)
     name = f"{sdir}/commit-{shard_id}.files.txt"
-    staged = f"{sdir}/.commit-{shard_id}.files.txt.tmp" if local else name
+    staged = name if _is_object_store(filesystem) else f"{sdir}/.commit-{shard_id}.files.txt.tmp"
     payload = "".join(f"{f}\n" for f in sorted(files)).encode()
     with filesystem.open_output_stream(staged) as fh:
         fh.write(payload)
-    if local:
+    if staged != name:
         filesystem.move(staged, name)
     summary = {"n_files": len(files), "n_skipped": int(n_skipped)}
     with filesystem.open_output_stream(f"{sdir}/commit-{shard_id}.json") as fh:
@@ -167,7 +183,12 @@ def committed_files_df(spark, root: str):
     frames = []
     if has_shards:
         frames.append(
-            spark.read.text(f"{root.rstrip('/')}/{SHARD_DIR}/*.files.txt")
+            # directory + pathGlobFilter, NOT a glob path: Spark stats
+            # the un-globbed literal while probing for a streaming-sink
+            # metadata dir and warn-logs a FileNotFoundException stack
+            # trace on every read of a glob that names no real file
+            spark.read.option("pathGlobFilter", "*.files.txt")
+            .text(f"{root.rstrip('/')}/{SHARD_DIR}")
             .filter(F.length("value") > 0)
             .select(F.col("value").alias("rel"))
         )

@@ -84,3 +84,26 @@ def test_octree_digits_match_path_expr(spark):
         "path2", F.concat_ws("/", F.col("l1").cast("string"), F.col("l2").cast("string"))
     )
     assert joined.filter(F.col("path") != F.col("path2")).count() == 0
+
+
+def test_resume_filter_corrupt_store_raises(spark, store):
+    """VERDICT r5 wrongness #1: a broken store must SURFACE, not read
+    as "nothing committed" and silently trigger a full rewrite."""
+    import pathlib
+
+    blocks = _blocks(spark).filter(F.array_max("voxels") > 0)
+    write_blocks(blocks.filter(F.col("zi") < 2), store, NLEVELS)
+    for part in pathlib.Path(store).rglob("*.parquet"):
+        part.write_bytes(b"this is not a parquet file")
+    with pytest.raises(Exception):
+        resume_filter(blocks, spark, store).count()
+
+
+def test_resume_filter_empty_dir_is_fresh(spark, store, tmp_path):
+    """An existing-but-empty directory (mkdir survived a killed run
+    that never wrote) still means nothing committed."""
+    import pathlib
+
+    blocks = _blocks(spark).filter(F.array_max("voxels") > 0)
+    pathlib.Path(store).mkdir(parents=True)
+    assert resume_filter(blocks, spark, store).count() == blocks.count()

@@ -322,3 +322,90 @@ def test_crop_writes_zero_slices_for_skipped_blocks(spark, tmp_path):
         )[0, :, :, 0]
         assert page.shape == (8, 8) and not page.any()
     assert res[(4, 0)] > 0
+
+
+def test_crop_non_contiguous_channel_ids(spark, tmp_path):
+    """ADVICE r5: a store with channel ids {0, 2} must export those
+    ids — not drop channel 2 and emit a zero slice for a phantom
+    channel 1 from a 0..n-1 assumption."""
+    from hortacloud_importer_spark.pipelines import crop_octree
+    from hortacloud_importer_spark.sources.datasource import (
+        register_volume_sources,
+    )
+
+    register_volume_sources(spark)
+    store = str(tmp_path / "chan_store")
+    schema = (
+        "zi int, yi int, xi int, channel int,"
+        " shape array<int>, voxels array<int>"
+    )
+    rows = [
+        (0, 0, 0, 0, [2, 2, 2], [10] * 8),
+        (0, 0, 0, 2, [2, 2, 2], [20] * 8),
+    ]
+    spark.createDataFrame(rows, schema).write.format("tiff_blocks").option(
+        "nlevels", 2
+    ).mode("append").save(store)
+
+    out = str(tmp_path / "chan_out")
+    res = {
+        (r["z"], r["channel"]): r["n_nonzero"]
+        for r in crop_octree(
+            spark,
+            store,
+            out,
+            window=((0, 2), (0, 2), (0, 2)),
+            depth=1,
+            block_dims=(2, 2, 2),
+        ).collect()
+    }
+    assert set(res) == {(z, ch) for z in range(2) for ch in (0, 2)}
+    assert all(v == 4 for v in res.values())
+    page = decode_tiff(
+        (tmp_path / "chan_out" / "default.2.00000.tif").read_bytes()
+    )[0, :, :, 0]
+    assert (page == 20).all()
+    assert not (tmp_path / "chan_out" / "default.1.00000.tif").exists()
+
+
+def test_crop_accounting_counts_after_dtype_cast(spark, tmp_path):
+    """ADVICE r5: n_nonzero must describe the bytes WRITTEN — a value
+    that wraps to 0 in the output dtype (256 -> uint8) is zero on
+    disk and must not be counted."""
+    from hortacloud_importer_spark.pipelines import crop_octree
+    from hortacloud_importer_spark.sources.datasource import (
+        register_volume_sources,
+    )
+
+    register_volume_sources(spark)
+    store = str(tmp_path / "wrap_store")
+    schema = (
+        "zi int, yi int, xi int, channel int,"
+        " shape array<int>, voxels array<int>"
+    )
+    # z-plane 0: one 256 (wraps to 0 in uint8) and one 7 (survives)
+    vox = [256, 7, 0, 0] + [0] * 4
+    spark.createDataFrame(
+        [(0, 0, 0, 0, [2, 2, 2], vox)], schema
+    ).write.format("tiff_blocks").option("nlevels", 2).mode("append").save(
+        store
+    )
+
+    out = str(tmp_path / "wrap_out")
+    res = {
+        r["z"]: r["n_nonzero"]
+        for r in crop_octree(
+            spark,
+            store,
+            out,
+            window=((0, 2), (0, 2), (0, 2)),
+            depth=1,
+            block_dims=(2, 2, 2),
+            dtype="uint8",
+        ).collect()
+    }
+    assert res[0] == 1  # the 256 wrapped to zero; only the 7 counts
+    page = decode_tiff(
+        (tmp_path / "wrap_out" / "default.0.00000.tif").read_bytes()
+    )[0, :, :, 0]
+    assert int(np.count_nonzero(page)) == 1

@@ -169,3 +169,32 @@ def test_store_block_meta_one_header_no_decode(spark, tmp_path):
     shape, max_depth = store_block_meta(spark, out)
     assert shape == (2, 2, 2)
     assert max_depth == 1  # nlevels=2 leaves carry one octant digit
+
+
+def test_store_block_meta_ignores_uncommitted_leftovers(spark, tmp_path):
+    """ADVICE r5: the header probe (min path) and max-depth must apply
+    the same committed-manifest filter as the data read — a leftover
+    .tif from a killed build could otherwise become the probe file
+    (here: wrong dims AND a deeper, lexicographically-smaller path)."""
+    from hortacloud_importer_spark.sources.block_store import (
+        store_block_meta,
+    )
+    from hortacloud_importer_spark.sources.tiff import encode_tiff
+
+    spark = _registered(spark)
+    out = str(tmp_path / "leftover_meta_store")
+    spark.createDataFrame(
+        [(0, 0, 0, 0, [2, 2, 2], [1] * 8)], _SCHEMA
+    ).write.format("tiff_blocks").option("nlevels", 2).mode("append").save(out)
+
+    # uncommitted leftover: deeper path ("1/1/" sorts before the
+    # committed "1/"), different block extent
+    leftover = tmp_path / "leftover_meta_store" / "1" / "1"
+    leftover.mkdir(parents=True, exist_ok=True)
+    (leftover / "default.0.tif").write_bytes(
+        encode_tiff(np.full((4, 4, 4), 9, dtype=np.uint16))
+    )
+
+    shape, max_depth = store_block_meta(spark, out)
+    assert shape == (2, 2, 2)  # committed extent, not the leftover's
+    assert max_depth == 1  # leftover's depth-2 path not counted
