@@ -243,7 +243,7 @@ def downsample_blocks_kernel(blocks: DataFrame, kernel: str) -> DataFrame:
                     "yi": yi,
                     "xi": xi,
                     "channel": ch,
-                    "voxels": out.ravel().astype(np.int64).tolist(),
+                    "voxels": out.ravel().astype(np.int64),
                     "shape": list(out.shape),
                 }
             ]

@@ -173,7 +173,7 @@ def media_features(media: DataFrame) -> DataFrame:
                         "mean_intensity": float(arr.mean()),
                         "min_intensity": int(arr.min()),
                         "max_intensity": int(arr.max()),
-                        "hist16": hist.astype(np.int64).tolist(),
+                        "hist16": hist.astype(np.int64),
                     }
                 )
             yield pd.DataFrame(out)

@@ -104,7 +104,7 @@ def crop_octree(
                             "x_off": gx + lx0 - x0,
                             "h": ly1 - ly0,
                             "w": lx1 - lx0,
-                            "tile": tile.ravel().tolist(),
+                            "tile": tile.ravel(),
                         }
                     )
             yield pd.DataFrame(out)

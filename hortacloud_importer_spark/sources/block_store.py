@@ -289,7 +289,7 @@ def read_tiff_block_store(
                         "channel": int(m.group(1)),
                         "depth": len(digits),
                         "shape": list(arr.shape),
-                        "voxels": arr.astype(np.int32).ravel().tolist(),
+                        "voxels": arr.astype(np.int32).ravel(),
                     }
                 )
             yield pd.DataFrame(out)

@@ -395,7 +395,7 @@ def _slice_batch(z: int, arr: np.ndarray) -> pa.RecordBatch:
             pa.array([z], type=pa.int64()),
             pa.array([arr.shape[0]], type=pa.int32()),
             pa.array([arr.shape[1]], type=pa.int32()),
-            pa.array([arr.astype(np.int64).ravel().tolist()],
+            pa.array([arr.astype(np.int64).ravel()],
                      type=pa.list_(pa.int64())),
         ],
         names=["z", "height", "width", "voxels"],

@@ -577,7 +577,7 @@ def ktx_decode_blocks(ktx_df: DataFrame, itemsize: int = 2) -> DataFrame:
                                 "pixel_depth": header.pixel_depth,
                                 "pixel_height": header.pixel_height,
                                 "pixel_width": header.pixel_width,
-                                "voxels": texels[:, ci].astype(np.int32).tolist(),
+                                "voxels": texels[:, ci].astype(np.int32),
                             }
                         )
             yield pd.DataFrame(out)

@@ -200,7 +200,7 @@ def streaming_cascade(
                             "z": z,
                             "height": daughter.shape[0],
                             "width": daughter.shape[1],
-                            "voxels": daughter.ravel().tolist(),
+                            "voxels": daughter.ravel(),
                         }
                     )
         state.update((pickle.dumps(cascade),))

@@ -243,7 +243,7 @@ def _octant_regroup(blocks: DataFrame, finish) -> DataFrame:
                     "xi": xi,
                     "channel": ch,
                     "shape": list(out.shape),
-                    "voxels": out.ravel().tolist(),
+                    "voxels": out.ravel(),
                 }
             ]
         )

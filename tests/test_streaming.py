@@ -203,3 +203,68 @@ def test_streaming_dedup_drops_recrawls(spark, tmp_path):
     # batch dropDuplicates keeps an arbitrary member per fp; assert one
     # per fingerprint and count, not identity
     assert len(kept) == 3
+
+
+def test_streaming_cascade_checkpoint_restart_byte_identical(spark, tmp_path):
+    """VERDICT r5 #7: stop the stateful cascade mid-volume, start a
+    NEW query from the same checkpoint, and require the full emitted
+    pyramid to be byte-identical to an uninterrupted run — the
+    restart contract of the OPERATOR's pickled state, not just the
+    sink. File sink + checkpoint gives exactly-once output across the
+    restart (_spark_metadata dedupe)."""
+    dims = (8, 4, 4)
+    vol = random_vol(dims)
+    indir = tmp_path / "r_slices"
+    outdir = str(tmp_path / "r_out")
+    ckpt = str(tmp_path / "r_ckpt")
+    indir.mkdir()
+    schema = (
+        "zi int, yi int, xi int, channel int, z int,"
+        " height int, width int, voxels array<long>"
+    )
+
+    def rows(z0, z1):
+        return [
+            (0, 0, 0, 0, z, dims[1], dims[2], [int(v) for v in vol[z].ravel()])
+            for z in range(z0, z1)
+        ]
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(str(indir / "*"))
+        q = (
+            streaming_cascade(stream, dims, "arthur")
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), "stream did not drain"
+
+    # first half of the volume, then the query goes away entirely
+    spark.createDataFrame(rows(0, 4), schema).coalesce(1).write.parquet(
+        str(indir / "a")
+    )
+    run_once()
+    # mid-volume state (partial level buffers) now lives ONLY in the
+    # checkpoint; the rest of the volume arrives after the restart
+    spark.createDataFrame(rows(4, 8), schema).coalesce(1).write.parquet(
+        str(indir / "b")
+    )
+    run_once()
+
+    got = {
+        (r["level"], r["z"]): np.array(r["voxels"]).reshape(
+            r["height"], r["width"]
+        )
+        for r in spark.read.parquet(outdir).collect()
+    }
+    want = _np_pyramid(vol.copy(), "arthur")
+    n_expected = sum(want[lv].shape[0] for lv in range(1, len(want)))
+    assert len(got) == n_expected, sorted(got)
+    for lv in range(1, len(want)):
+        for cz in range(want[lv].shape[0]):
+            assert np.array_equal(got[(lv, cz)], want[lv][cz]), (lv, cz)
+    # the post-restart run really did resume from checkpointed state:
+    # the deepest child needs parents from BOTH halves of the volume
+    assert (len(want) - 1, 0) in got
