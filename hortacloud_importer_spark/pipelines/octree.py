@@ -73,9 +73,28 @@ def _infer_dims(voxels: DataFrame) -> tuple[int, int, int]:
     return int(row["z"]) + 1, int(row["y"]) + 1, int(row["x"]) + 1
 
 
-def _infer_slice_dims(source: str, channels: int) -> tuple[int, int, int]:
-    """Dims of a slice directory from its LISTING plus one file's TIFF
-    header walk — the reference's inference (one file header,
+def _detect_slice_suffix(source: str, channels: int) -> str:
+    """``.tif`` unless the directory holds only JPEG 2000 slices — the
+    reference auto-detects .jp2 inputs the same way (rasterio branch,
+    tiff2octree.py:673-678). Listing-only, no decode."""
+    from hortacloud_importer_spark.sources.datasource import _sorted_slices
+
+    ch = "0" if channels > 1 else None
+    root = source.rstrip("/")
+    if _sorted_slices(root, ".tif", ch):
+        return ".tif"
+    for sfx in (".jp2", ".j2k"):
+        if _sorted_slices(root, sfx, ch):
+            return sfx
+    return ".tif"
+
+
+def _infer_slice_dims(
+    source: str, channels: int, suffix: str = ".tif"
+) -> tuple[int, int, int]:
+    """Dims of a slice directory from its LISTING plus one file's
+    header walk (TIFF IFD or JP2 ihdr box — neither decodes payload)
+    — the reference's inference (one file header,
     tiff2octree.py:653-691) instead of a max-aggregate over decoded
     voxels. One z per file is the tiff_volume scan contract."""
     from hortacloud_importer_spark.sources.datasource import (
@@ -85,10 +104,20 @@ def _infer_slice_dims(source: str, channels: int) -> tuple[int, int, int]:
     from hortacloud_importer_spark.sources.tiff import tiff_shape
 
     files = _sorted_slices(
-        source.rstrip("/"), ".tif", "0" if channels > 1 else None
+        source.rstrip("/"), suffix, "0" if channels > 1 else None
     )
     if not files:
         raise FileNotFoundError(source)
+    if suffix in (".jp2", ".j2k"):
+        from hortacloud_importer_spark.sources.jp2 import jp2_shape
+
+        h, w, nc = jp2_shape(_read_bytes(files[0]))
+        if nc != 1:
+            raise ValueError(
+                f"slice file {files[0]} has {nc} components; one "
+                "single-sample z-slice per file expected"
+            )
+        return len(files), h, w
     pages, h, w = tiff_shape(_read_bytes(files[0]))
     if pages != 1:
         raise ValueError(
@@ -104,6 +133,7 @@ def _slices_to_blocks(
     block_dims: tuple[int, int, int],
     padded_dims: tuple[int, int, int],
     channels: int,
+    suffix: str = ".tif",
 ) -> DataFrame:
     """Leaf ingest as packed tiles: slice rows (``emit=slices``) are
     cut into per-(yi, xi) block tiles in-executor and ONE shuffle
@@ -169,7 +199,11 @@ def _slices_to_blocks(
 
     tiles = None
     for ch in range(channels):
-        scan = spark.read.format("tiff_volume").option("emit", "slices")
+        scan = (
+            spark.read.format("tiff_volume")
+            .option("emit", "slices")
+            .option("suffix", suffix)
+        )
         if channels > 1:
             # the reference's default.{ch}.{z} naming; z stays
             # per-channel
@@ -329,14 +363,16 @@ def build_octree(
     register_volume_sources(spark)  # tiff_volume scan + tiff_blocks sink
     voxels: DataFrame | None = None
     if isinstance(source, str):
+        suffix = _detect_slice_suffix(source, channels)
         if dims is None:
             # listing + one header walk, never a voxel aggregate
-            dims = _infer_slice_dims(source, channels)
+            dims = _infer_slice_dims(source, channels, suffix)
         if not fused:
             if channels == 1:
                 # any slice naming: every file in sorted order is a z
                 voxels = (
                     spark.read.format("tiff_volume")
+                    .option("suffix", suffix)
                     .load(source)
                     .withColumn("channel", F.lit(0))
                 )
@@ -347,6 +383,7 @@ def build_octree(
                 for ch in range(channels):
                     scan = (
                         spark.read.format("tiff_volume")
+                        .option("suffix", suffix)
                         .option("channel", str(ch))
                         .load(source)
                         .withColumn("channel", F.lit(ch))
@@ -390,7 +427,9 @@ def build_octree(
     if isinstance(source, str) and fused:
         # leaf ingest as packed tiles (one shuffle; y/x/z zero-pad on
         # the tile/block canvases — no densify grid join)
-        blocks = _slices_to_blocks(spark, source, block_dims, padded, channels)
+        blocks = _slices_to_blocks(
+            spark, source, block_dims, padded, channels, suffix
+        )
     else:
         if padded != dims:
             # Non-divisible dims leave edge blocks partial, which

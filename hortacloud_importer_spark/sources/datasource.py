@@ -356,10 +356,22 @@ def _sorted_slices(root: str, suffix: str, channel: str | None = None) -> list[s
     return sorted(files)
 
 
-def _slice_axes(data: bytes, z: int):
+def _decode_slice_pages(data: bytes, path: str) -> np.ndarray:
+    """One slice file -> (pages, h, w, samples), dispatched on the
+    file extension: TIFF via the built-in clean-room codec, JPEG 2000
+    via the gated OpenJPEG hook (sources/jp2.py; the reference reads
+    .jp2 slices through rasterio, tiff2octree.py:673-678)."""
+    if path.lower().endswith((".jp2", ".j2k", ".jpf")):
+        from hortacloud_importer_spark.sources.jp2 import decode_jp2
+
+        return decode_jp2(data)
     from hortacloud_importer_spark.sources.tiff import decode_tiff
 
-    pages = decode_tiff(data)  # (pages, height, width, samples)
+    return decode_tiff(data)
+
+
+def _slice_axes(data: bytes, z: int, path: str = ".tif"):
+    pages = _decode_slice_pages(data, path)  # (pages, height, width, samples)
     if pages.shape[0] != 1 or pages.shape[3] != 1:
         raise ValueError(
             f"slice file has shape {pages.shape}; one single-sample z-slice "
@@ -375,12 +387,10 @@ def _slice_axes(data: bytes, z: int):
     )
 
 
-def _slice_array(data: bytes) -> np.ndarray:
+def _slice_array(data: bytes, path: str = ".tif") -> np.ndarray:
     """One z-slice file -> its 2-D page (validation shared with
     :func:`_slice_axes`)."""
-    from hortacloud_importer_spark.sources.tiff import decode_tiff
-
-    pages = decode_tiff(data)
+    pages = _decode_slice_pages(data, path)
     if pages.shape[0] != 1 or pages.shape[3] != 1:
         raise ValueError(
             f"slice file has shape {pages.shape}; one single-sample z-slice "
@@ -431,9 +441,9 @@ class _TiffSliceReaderNoPushdown(DataSourceReader):
     def read(self, partition: _SlicePartition):
         for path, z in partition.slices:
             if self.emit == "slices":
-                yield _slice_batch(z, _slice_array(_read_bytes(path)))
+                yield _slice_batch(z, _slice_array(_read_bytes(path), path))
             else:
-                yield _voxel_batch(*_slice_axes(_read_bytes(path), z))
+                yield _voxel_batch(*_slice_axes(_read_bytes(path), z, path))
 
 
 class _TiffSliceReader(_PushdownMixin, _TiffSliceReaderNoPushdown):
@@ -490,9 +500,9 @@ class _TiffSliceStreamReader(DataSourceStreamReader):
     def read(self, partition: _SlicePartition):
         for path, z in partition.slices:
             if self.emit == "slices":
-                yield _slice_batch(z, _slice_array(_read_bytes(path)))
+                yield _slice_batch(z, _slice_array(_read_bytes(path), path))
             else:
-                yield _voxel_batch(*_slice_axes(_read_bytes(path), z))
+                yield _voxel_batch(*_slice_axes(_read_bytes(path), z, path))
 
     def commit(self, end: dict) -> None:
         # restart path: Spark commits recovered batches before asking

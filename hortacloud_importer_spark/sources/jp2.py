@@ -1,0 +1,149 @@
+"""JPEG 2000 slice ingest (SURVEY.md §2.A1; reference
+tiff2octree.py:673-678, 281-292 — ``get_cropped_image_rasterio`` on
+``.jp2`` slice directories).
+
+Clean-room split, mirroring sources/tiff.py's design:
+
+- :func:`jp2_shape` — geometry from the JP2 container's ``ihdr`` box
+  (or a raw J2K codestream's SIZ marker segment), written from the
+  public ISO/IEC 15444-1 box/marker layout. No codec needed: the
+  slice-directory dims probe (one header walk, not a decode) works on
+  JP2 stores even in codec-less environments.
+- :func:`decode_jp2` — full entropy decode, gated on an importable
+  OpenJPEG binding (glymur / imageio / Pillow). This container ships
+  none (probe recorded in FIXTURES.md), so decode raises
+  ``NotImplementedError`` naming the options — the honest-gate
+  contract used for every absent codec in this repo.
+
+The wavelet/EBCOT entropy coder is NOT reimplemented here: unlike
+TIFF's baseline strips, a JPEG 2000 decoder is a multi-thousand-line
+numerical codec, and a from-scratch one would be slower and riskier
+than the gate. The Spark-side plumbing (listing, partition planning,
+per-slice executor decode, window pushdown) is identical to TIFF and
+fully tested.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+
+import numpy as np
+
+
+class Jp2ParseError(ValueError):
+    pass
+
+
+# ISO/IEC 15444-1: every JP2 file starts with the 12-byte signature
+# box; a raw codestream starts with the SOC marker.
+JP2_SIGNATURE = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+SOC_MARKER = b"\xff\x4f"
+_SIZ_MARKER = b"\xff\x51"
+
+
+def _codestream_shape(data: bytes) -> tuple[int, int, int]:
+    """(height, width, n_components) from the SIZ marker segment that
+    must immediately follow SOC in a J2K codestream."""
+    if data[:2] != SOC_MARKER:
+        raise Jp2ParseError("no SOC marker at codestream start")
+    if data[2:4] != _SIZ_MARKER:
+        raise Jp2ParseError("SOC not followed by SIZ marker")
+    # SIZ: Lsiz(2) Rsiz(2) Xsiz(4) Ysiz(4) XOsiz(4) YOsiz(4)
+    #      XTsiz(4) YTsiz(4) XTOsiz(4) YTOsiz(4) Csiz(2)
+    if len(data) < 4 + 38:
+        raise Jp2ParseError("truncated SIZ segment")
+    (xsiz, ysiz, xosiz, yosiz) = struct.unpack(">IIII", data[8:24])
+    (csiz,) = struct.unpack(">H", data[40:42])
+    return ysiz - yosiz, xsiz - xosiz, csiz
+
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    """Yield (box_type, payload_offset, payload_end) walking the JP2
+    box sequence in ``data[start:end]``."""
+    pos = start
+    while pos + 8 <= end:
+        (lbox,) = struct.unpack(">I", data[pos : pos + 4])
+        tbox = data[pos + 4 : pos + 8]
+        payload = pos + 8
+        if lbox == 1:  # XLBox: 64-bit extended length follows
+            if pos + 16 > end:
+                raise Jp2ParseError("truncated XLBox header")
+            (xlbox,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            payload = pos + 16
+            box_end = pos + xlbox
+        elif lbox == 0:  # box extends to the end of the container
+            box_end = end
+        else:
+            box_end = pos + lbox
+        if box_end < payload or box_end > end:
+            raise Jp2ParseError(f"box {tbox!r} overruns container")
+        yield tbox, payload, box_end
+        pos = box_end
+
+
+def jp2_shape(data: bytes) -> tuple[int, int, int]:
+    """(height, width, n_components) from the headers only — the JP2
+    analog of tiff.tiff_shape: an ``ihdr``-box walk (or raw-codestream
+    SIZ read), no entropy decode, so a 100 TB slice directory's
+    geometry probe reads one file's first kilobytes."""
+    if data[:2] == SOC_MARKER:
+        return _codestream_shape(data)
+    if data[: len(JP2_SIGNATURE)] != JP2_SIGNATURE:
+        raise Jp2ParseError("neither a JP2 signature box nor a J2K codestream")
+    for tbox, p0, p1 in _iter_boxes(data, len(JP2_SIGNATURE), len(data)):
+        if tbox != b"jp2h":
+            continue
+        for t2, q0, q1 in _iter_boxes(data, p0, p1):
+            if t2 == b"ihdr":
+                # ihdr: HEIGHT(4) WIDTH(4) NC(2) BPC(1) C(1) UnkC(1) IPR(1)
+                if q1 - q0 < 10:
+                    raise Jp2ParseError("short ihdr box")
+                h, w, nc = struct.unpack(">IIH", data[q0 : q0 + 10])
+                return h, w, nc
+        raise Jp2ParseError("jp2h box without ihdr")
+    raise Jp2ParseError("no jp2h box")
+
+
+def decode_jp2(data: bytes) -> np.ndarray:
+    """Full decode -> (pages, height, width, samples), matching
+    tiff.decode_tiff's shape contract. Gated: requires an OpenJPEG
+    binding (glymur, imageio+plugin, or Pillow built with JP2)."""
+    h, w, nc = jp2_shape(data)  # validate + fail with real geometry
+    try:
+        import glymur  # type: ignore[import-not-found]
+        import tempfile
+
+        # glymur's API is file-based
+        with tempfile.NamedTemporaryFile(suffix=".jp2") as fh:
+            fh.write(data)
+            fh.flush()
+            arr = np.asarray(glymur.Jp2k(fh.name)[:])
+        return _normalize(arr)
+    except ImportError:
+        pass
+    try:
+        import imageio.v3 as iio  # type: ignore[import-not-found]
+
+        return _normalize(np.asarray(iio.imread(io.BytesIO(data), extension=".jp2")))
+    except ImportError:
+        pass
+    try:
+        import PIL.Image as Image  # type: ignore[import-not-found]
+
+        return _normalize(np.asarray(Image.open(io.BytesIO(data))))
+    except ImportError:
+        pass
+    raise NotImplementedError(
+        f"JP2 slice decode ({h}x{w}, {nc} component(s)) needs an OpenJPEG "
+        "binding — install glymur, imageio (with its JPEG-2000 plugin), or "
+        "a Pillow built with OpenJPEG; none is bundled with this engine"
+    )
+
+
+def _normalize(arr: np.ndarray) -> np.ndarray:
+    if arr.ndim == 2:
+        return arr[None, :, :, None]
+    if arr.ndim == 3:  # (h, w, c)
+        return arr[None, ...]
+    return arr

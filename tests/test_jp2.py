@@ -1,0 +1,124 @@
+"""JPEG 2000 slice ingest (sources/jp2.py): codec-free header walk,
+the honest decode gate, and suffix auto-detection in build_octree.
+Reference behavior: tiff2octree.py:673-678 reads .jp2 slice
+directories through rasterio."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from hortacloud_importer_spark.sources.jp2 import (
+    JP2_SIGNATURE,
+    Jp2ParseError,
+    decode_jp2,
+    jp2_shape,
+)
+
+
+def _box(tbox: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + tbox + payload
+
+
+def _codestream(h: int, w: int, nc: int) -> bytes:
+    siz = struct.pack(
+        ">HHIIIIIIIIH",
+        38 + 3 * nc,  # Lsiz
+        0,  # Rsiz
+        w, h, 0, 0,  # Xsiz Ysiz XOsiz YOsiz
+        w, h, 0, 0,  # XTsiz YTsiz XTOsiz YTOsiz
+        nc,
+    ) + b"\x07\x01\x01" * nc
+    return b"\xff\x4f" + b"\xff\x51" + siz
+
+
+def _jp2_bytes(h: int, w: int, nc: int = 1) -> bytes:
+    """Minimal spec-shaped JP2: signature, ftyp, jp2h/ihdr, jp2c.
+    Headers are real; the codestream body is header-only (enough for
+    every codec-free path; an actual decode hits the gate)."""
+    ftyp = _box(b"ftyp", b"jp2 " + b"\x00" * 4 + b"jp2 ")
+    ihdr = _box(b"ihdr", struct.pack(">IIHBBBB", h, w, nc, 7, 7, 0, 0))
+    jp2h = _box(b"jp2h", ihdr)
+    jp2c = _box(b"jp2c", _codestream(h, w, nc))
+    return JP2_SIGNATURE + ftyp + jp2h + jp2c
+
+
+def _codec_available() -> bool:
+    for mod in ("glymur", "imageio", "PIL"):
+        try:
+            __import__(mod)
+            return True
+        except ImportError:
+            continue
+    return False
+
+
+def test_jp2_shape_from_ihdr_box():
+    assert jp2_shape(_jp2_bytes(6, 9, 1)) == (6, 9, 1)
+    assert jp2_shape(_jp2_bytes(512, 1024, 3)) == (512, 1024, 3)
+
+
+def test_jp2_shape_from_raw_codestream():
+    assert jp2_shape(_codestream(7, 5, 2)) == (7, 5, 2)
+
+
+def test_jp2_shape_rejects_garbage():
+    with pytest.raises(Jp2ParseError):
+        jp2_shape(b"II*\x00 this is a TIFF, not a JP2")
+    with pytest.raises(Jp2ParseError):
+        jp2_shape(JP2_SIGNATURE + _box(b"ftyp", b"jp2 "))  # no jp2h
+    # overrunning box length must not read out of bounds
+    bad = JP2_SIGNATURE + struct.pack(">I", 1 << 30) + b"jp2h"
+    with pytest.raises(Jp2ParseError):
+        jp2_shape(bad)
+
+
+@pytest.mark.skipif(
+    _codec_available(), reason="a JP2 codec is importable here"
+)
+def test_decode_jp2_gate_names_the_options():
+    with pytest.raises(NotImplementedError, match="OpenJPEG"):
+        decode_jp2(_jp2_bytes(4, 4, 1))
+
+
+@pytest.mark.skipif(
+    not _codec_available(), reason="no JP2 codec in this container"
+)
+def test_decode_jp2_parity_with_header_walk():
+    # when a codec IS present the decode's geometry must agree with
+    # the codec-free header walk
+    data = _jp2_bytes(4, 4, 1)
+    h, w, nc = jp2_shape(data)
+    arr = decode_jp2(data)
+    assert arr.shape == (1, h, w, nc)
+
+
+def test_build_octree_detects_jp2_slices_and_gates_decode(spark, tmp_path):
+    """A .jp2 slice directory is auto-detected (dims from the ihdr
+    header walk — no codec); the DECODE then hits the honest gate in
+    this codec-less container instead of silently misreading."""
+    from hortacloud_importer_spark.pipelines import build_octree
+    from hortacloud_importer_spark.pipelines.octree import (
+        _detect_slice_suffix,
+        _infer_slice_dims,
+    )
+
+    indir = tmp_path / "jp2_slices"
+    indir.mkdir()
+    for z in range(4):
+        (indir / f"default.0.{z:05d}.jp2").write_bytes(_jp2_bytes(4, 4, 1))
+
+    assert _detect_slice_suffix(str(indir), 1) == ".jp2"
+    assert _infer_slice_dims(str(indir), 1, ".jp2") == (4, 4, 4)
+
+    if _codec_available():
+        pytest.skip("decode would succeed here; gate branch untestable")
+    with pytest.raises(Exception, match="OpenJPEG"):
+        build_octree(
+            spark,
+            str(indir),
+            str(tmp_path / "out"),
+            nlevels=2,
+            filter_="max",
+        ).collect()

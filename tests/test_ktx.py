@@ -212,3 +212,103 @@ def test_spark_interleaved_roundtrip(spark):
             for y in range(8):
                 for x in range(8):
                     assert arr[z, y, x] == want[(r["channel"], z, y, x)]
+
+
+def test_decode_reference_write_sequence_field_for_field():
+    """VERDICT r5 #8 — cross-implementation parity WITHOUT importing
+    the reference: this fixture is hand-written with raw struct calls
+    following the reference writer's exact byte sequence
+    (ktx/__init__.py:320-355 header + KV block, :385-395 mip levels:
+    identifier, 01020304 endianness word, 11 uint32 fields,
+    bytesOfKeyValueData, per-key [size][key\\x00value][pad 3-((s+3)%4)],
+    then per mip [imageSize][payload][same pad]); values carry the
+    trailing NUL the reference's __setitem__ appends (:150-151).
+    sources/ktx.py must parse every field. (Parity targets the
+    reference WRITER: its own KV reader never subtracts the 4-byte
+    size prefix from its countdown, an off-by-4-per-entry slip that a
+    spec-correct multi-key file would trip.)"""
+    import io
+    import struct
+
+    from hortacloud_importer_spark.sources.ktx import decode_ktx
+
+    out = io.BytesIO()
+    out.write(b"\xabKTX 11\xbb\r\n\x1a\n")  # identifier
+    out.write(b"\x01\x02\x03\x04")  # little-endian marker
+
+    def u32(v):
+        out.write(struct.pack("<I", v))
+
+    u32(0x1403)  # glType = GL_UNSIGNED_SHORT
+    u32(2)  # glTypeSize
+    u32(0x1903)  # glFormat = GL_RED
+    u32(0x822A)  # glInternalFormat = GL_R16
+    u32(0x1903)  # glBaseInternalFormat
+    u32(4)  # pixelWidth
+    u32(4)  # pixelHeight
+    u32(4)  # pixelDepth
+    u32(0)  # numberOfArrayElements
+    u32(0)  # numberOfFaces
+    u32(3)  # numberOfMipmapLevels
+
+    # KV block, insertion-ordered like the reference's OrderedDict
+    kv_pairs = [
+        (b"distance_units", b"micrometers\x00"),
+        (b"multiscale_level_id", b"3\x00"),
+        (b"number_of_channels", b"1\x00"),
+    ]
+    kv = io.BytesIO()
+    for key, value in kv_pairs:
+        blob = key + b"\x00" + value
+        kv.write(struct.pack("<I", len(blob)))
+        kv.write(blob)
+        kv.write((3 - ((len(blob) + 3) % 4)) * b"\x00")
+    u32(len(kv.getvalue()))
+    out.write(kv.getvalue())
+
+    # mip levels: 4^3, 2^3, 1^3 uint16 texels
+    rng = np.random.default_rng(5)
+    mips = [
+        rng.integers(0, 1 << 16, size=n, dtype=np.uint16).tobytes()
+        for n in (64, 8, 1)
+    ]
+    for payload in mips:
+        u32(len(payload))
+        out.write(payload)
+        out.write((3 - ((len(payload) + 3) % 4)) * b"\x00")
+
+    header, got_mips = decode_ktx(out.getvalue())
+    assert header.little_endian is True
+    assert header.gl_type == 0x1403 and header.gl_type_size == 2
+    assert header.gl_format == 0x1903
+    assert header.gl_internal_format == 0x822A
+    assert header.gl_base_internal_format == 0x1903
+    assert (header.pixel_width, header.pixel_height, header.pixel_depth) == (
+        4, 4, 4,
+    )
+    assert header.number_of_array_elements == 0
+    assert header.number_of_faces == 0
+    assert header.number_of_mipmap_levels == 3
+    assert header.metadata == dict(kv_pairs)
+    assert got_mips == mips
+
+    # and the reverse: our writer reproduces the byte stream the
+    # reference would have written for these exact fields
+    from hortacloud_importer_spark.sources.ktx import KtxHeader, encode_ktx
+
+    h = KtxHeader(
+        little_endian=True,
+        gl_type=0x1403,
+        gl_type_size=2,
+        gl_format=0x1903,
+        gl_internal_format=0x822A,
+        gl_base_internal_format=0x1903,
+        pixel_width=4,
+        pixel_height=4,
+        pixel_depth=4,
+        number_of_array_elements=0,
+        number_of_faces=0,
+        number_of_mipmap_levels=3,
+        metadata=dict(kv_pairs),
+    )
+    assert encode_ktx(h, mips) == out.getvalue()
