@@ -108,7 +108,9 @@ def store_channels(spark: SparkSession, root: str) -> list[int]:
         .option("recursiveFileLookup", "true")
         .option("pathGlobFilter", "*.tif")
         .load(root)
+        .select("path")
     )
+    files = _committed_only(spark, files, root)
     ids = (
         files.select(
             F.regexp_extract("path", r"default\.(\d+)\.tif$", 1).alias("ch")
@@ -117,6 +119,29 @@ def store_channels(spark: SparkSession, root: str) -> list[int]:
         .distinct()
     )
     return sorted(int(r["ch"]) for r in ids.collect())
+
+
+def _committed_only(spark: SparkSession, files: DataFrame, root: str) -> DataFrame:
+    """Semi-join a ``path`` listing against the store's committed
+    manifest (no-op for manifest-less foreign stores) — every metadata
+    probe must exclude uncommitted leftovers the same way the data
+    read does, or a killed build's stray file can surface as a phantom
+    channel / wrong extent / wrong depth."""
+    from hortacloud_importer_spark.sources import manifest
+
+    committed = manifest.committed_files_df(spark, root)
+    if committed is None:
+        return files
+    import re as _re
+
+    rel = F.element_at(
+        F.split("path", _re.escape(f"{root.rstrip('/')}/")), -1
+    ).alias("rel")
+    return (
+        files.withColumn("rel", rel)
+        .join(committed, "rel", "left_semi")
+        .drop("rel")
+    )
 
 
 def store_block_meta(
@@ -141,20 +166,7 @@ def store_block_meta(
     # same committed-manifest filter the data read applies: an
     # uncommitted leftover from a killed build must not become the
     # probe file (truncated header) or skew max-depth (stale dims)
-    from hortacloud_importer_spark.sources import manifest
-
-    committed = manifest.committed_files_df(spark, root)
-    if committed is not None:
-        import re as _re
-
-        rel = F.element_at(
-            F.split("path", _re.escape(f"{root.rstrip('/')}/")), -1
-        ).alias("rel")
-        files = (
-            files.withColumn("rel", rel)
-            .join(committed, "rel", "left_semi")
-            .drop("rel")
-        )
+    files = _committed_only(spark, files, root)
     _, _, _, depth_c = path_block_coords(root)
     row = files.select("path", depth_c).agg(
         F.max("_depth").alias("max_depth"), F.min("path").alias("probe")
@@ -317,22 +329,10 @@ def read_tiff_block_store(
                     (F.col(col) >= lo // b) & (F.col(col) <= (hi - 1) // b)
                 )
         files = files.drop("_zi", "_yi", "_xi", "_depth")
-    from hortacloud_importer_spark.sources import manifest
-
-    committed = manifest.committed_files_df(spark, root)
-    if committed is not None:
-        import re as _re
-
-        # same root-prefix split the decoder uses; no broadcast hint —
-        # the committed side can be ~1e7 paths, AQE broadcasts small
-        rel = F.element_at(
-            F.split("path", _re.escape(f"{root.rstrip('/')}/")), -1
-        ).alias("rel")
-        files = (
-            files.withColumn("rel", rel)
-            .join(committed, "rel", "left_semi")
-            .drop("rel")
-        )
+    # same root-prefix split the decoder uses; no broadcast hint in
+    # _committed_only — the committed side can be ~1e7 paths, AQE
+    # broadcasts when it is small
+    files = _committed_only(spark, files, root)
     return files.select("path", "content").mapInPandas(decode, out_schema)
 
 

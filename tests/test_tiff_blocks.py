@@ -198,3 +198,23 @@ def test_store_block_meta_ignores_uncommitted_leftovers(spark, tmp_path):
     shape, max_depth = store_block_meta(spark, out)
     assert shape == (2, 2, 2)  # committed extent, not the leftover's
     assert max_depth == 1  # leftover's depth-2 path not counted
+
+
+def test_store_channels_ignores_uncommitted_leftovers(spark, tmp_path):
+    """A stray default.5.tif from a killed build must not surface as a
+    phantom channel in discovery."""
+    from hortacloud_importer_spark.sources.block_store import (
+        store_channels,
+    )
+    from hortacloud_importer_spark.sources.tiff import encode_tiff
+
+    spark = _registered(spark)
+    out = str(tmp_path / "phantom_store")
+    spark.createDataFrame(
+        [(0, 0, 0, 0, [2, 2, 2], [1] * 8)], _SCHEMA
+    ).write.format("tiff_blocks").option("nlevels", 2).mode("append").save(out)
+    leftover = tmp_path / "phantom_store" / "1"
+    (leftover / "default.5.tif").write_bytes(
+        encode_tiff(np.full((2, 2, 2), 9, dtype=np.uint16))
+    )
+    assert store_channels(spark, out) == [0]
