@@ -273,6 +273,48 @@ def block_mip_chain(
     return out
 
 
+def _block_file_groups(
+    spark: SparkSession, store_root: str, depth: int | None = None
+) -> DataFrame:
+    """All committed block files of a store grouped per block:
+    (zi, yi, xi, depth, paths array<string>). Metadata only — the
+    groupBy shuffles PATHS (a few hundred bytes per block), never
+    payloads, which is what lets the interleaved fused conversion run
+    with zero payload shuffle: each kernel task then reads its own
+    block's channel files (the reference's one-task-per-block I/O
+    model, ktx_from_rendered_tiff.py:331-427)."""
+    from hortacloud_importer_spark.sources.block_store import (
+        _committed_only,
+        path_block_coords,
+    )
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.tif")
+        .load(store_root)
+        .select("path")
+    )
+    files = _committed_only(spark, files, store_root)
+    zi_c, yi_c, xi_c, depth_c = path_block_coords(store_root)
+    files = files.select("path", zi_c, yi_c, xi_c, depth_c)
+    if depth is not None:
+        files = files.filter(F.col("_depth") == depth)
+    groups = files.groupBy(
+        F.col("_zi").alias("zi"),
+        F.col("_yi").alias("yi"),
+        F.col("_xi").alias("xi"),
+        F.col("_depth").alias("depth"),
+    ).agg(F.sort_array(F.collect_list("path")).alias("paths"))
+    # explicit spread: the groups shuffle is a few KiB, so AQE
+    # coalesces it to ONE partition — which would serialize the
+    # CPU-heavy per-block conversion downstream (the round-6 soak
+    # caught exactly this: one 312s task). An explicit partition count
+    # is respected by AQE; round-robin balances blocks whose cost
+    # varies by level.
+    return groups.repartition(spark.sparkContext.defaultParallelism)
+
+
 def ktx_convert_blocks_fused(
     blocks: DataFrame,
     n_mips: int,
@@ -281,6 +323,7 @@ def ktx_convert_blocks_fused(
     geometry=None,
     downsample_intensity: bool = False,
     downsample_xy: bool = False,
+    store_root: str | None = None,
 ) -> DataFrame:
     """The whole per-block KTX conversion — input statistics, requant,
     optional XY halving, the in-block mip chain, encode — as ONE
@@ -315,6 +358,8 @@ def ktx_convert_blocks_fused(
     from hortacloud_importer_spark.volume.downsample import np_halve
 
     has_depth = "depth" in blocks.columns
+    if store_root is not None and not interleave:
+        raise ValueError("store_root (file-group mode) implies interleave")
     itemsize = 1 if downsample_intensity else 2
     dtype = np.uint8 if itemsize == 1 else np.uint16
     need_stats = geometry is not None or downsample_intensity
@@ -370,16 +415,12 @@ def ktx_convert_blocks_fused(
                 )
             yield pd.DataFrame(out)
 
-    def fused_interleaved(key, pdf):
-        if has_depth:
-            zi, yi, xi, depth = (int(k) for k in key)
-        else:
-            (zi, yi, xi), depth = (int(k) for k in key), 0
-        pdf = pdf.sort_values("channel")
+    def interleaved_row(zi, yi, xi, depth, items):
+        """items: (channel, voxels, shape) per channel, any order."""
         chans, per_ch, stats_list = [], [], []
-        for row in pdf.itertuples():
-            levels, st, shape = convert_one(row.voxels, row.shape)
-            chans.append(int(row.channel))
+        for ch, voxels, shape_in in sorted(items, key=lambda t: t[0]):
+            levels, st, shape = convert_one(voxels, shape_in)
+            chans.append(int(ch))
             per_ch.append(levels)
             stats_list.append(st)
         mip_bytes = [
@@ -388,18 +429,61 @@ def ktx_convert_blocks_fused(
             ).tobytes()
             for lv in range(n_mips)
         ]
-        return pd.DataFrame(
-            [
-                _interleaved_block_row(
-                    zi, yi, xi, depth, chans, mip_bytes, shape,
-                    itemsize, geometry,
-                    stats_list if geometry is not None else None,
-                    has_depth,
-                )
-            ]
+        return _interleaved_block_row(
+            zi, yi, xi, depth, chans, mip_bytes, shape,
+            itemsize, geometry,
+            stats_list if geometry is not None else None,
+            has_depth,
         )
 
+    def fused_interleaved(key, pdf):
+        if has_depth:
+            zi, yi, xi, depth = (int(k) for k in key)
+        else:
+            (zi, yi, xi), depth = (int(k) for k in key), 0
+        items = [
+            (int(row.channel), row.voxels, row.shape)
+            for row in pdf.itertuples()
+        ]
+        return pd.DataFrame([interleaved_row(zi, yi, xi, depth, items)])
+
+    def fused_filegroups(batches):
+        import re as _re
+
+        from hortacloud_importer_spark.sources.datasource import _pa_fs
+        from hortacloud_importer_spark.sources.tiff import decode_tiff
+
+        filesystem, base = _pa_fs(store_root)
+        prefix = f"{store_root.rstrip('/')}/"
+        chan_re = _re.compile(r"default\.(\d+)\.tif$")
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                items = []
+                for path in row.paths:
+                    rel = path.split(prefix, 1)[-1]
+                    with filesystem.open_input_stream(
+                        f"{base.rstrip('/')}/{rel}"
+                    ) as fh:
+                        arr = decode_tiff(fh.read())[..., 0]
+                    ch = int(chan_re.search(path).group(1))
+                    items.append((ch, arr, arr.shape))
+                out.append(
+                    interleaved_row(
+                        int(row.zi), int(row.yi), int(row.xi),
+                        int(row.depth) if has_depth else 0, items,
+                    )
+                )
+            yield pd.DataFrame(out)
+
     if interleave:
+        if store_root is not None:
+            # file-group mode: `blocks` carries PATH LISTS, not
+            # payloads — the only shuffle in the whole conversion
+            # moved paths (see _block_file_groups); each kernel task
+            # reads its block's channel files itself, exactly the
+            # reference's one-task-per-block I/O model
+            return blocks.mapInPandas(fused_filegroups, KTX_SCHEMA)
         key = ["zi", "yi", "xi"] + (["depth"] if has_depth else [])
         return blocks.groupBy(*key).applyInPandas(
             fused_interleaved, KTX_SCHEMA
@@ -456,9 +540,16 @@ def tiff_octree_to_ktx(
     reference leaves its lowest-resolution slices.
     """
     register_volume_sources(spark)
-    blocks = read_tiff_block_store(spark, store_root)
-    if depth is not None:
-        blocks = blocks.filter(F.col("depth") == depth)
+    if fused and interleave:
+        # path lists instead of decoded payloads: the groupBy that
+        # matches a block's channels up moves file PATHS only; the
+        # kernel reads + decodes the files itself (round-6 soak:
+        # the payload-grouped variant shuffled ~1 GiB at 2 GiB scale)
+        blocks = _block_file_groups(spark, store_root, depth)
+    else:
+        blocks = read_tiff_block_store(spark, store_root)
+        if depth is not None:
+            blocks = blocks.filter(F.col("depth") == depth)
     raw_blocks = None
     if not fused:
         # One store read for the whole pass: the decoded blocks feed
@@ -502,6 +593,7 @@ def tiff_octree_to_ktx(
                 geometry=geometry,
                 downsample_intensity=downsample_intensity,
                 downsample_xy=downsample_xy,
+                store_root=store_root if interleave else None,
             )
             .write.format("ktx_files")
             .mode("append")

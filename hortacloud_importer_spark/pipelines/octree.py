@@ -514,7 +514,13 @@ def build_octree(
                     # ONE packed-array shuffle per level (see
                     # halve_blocks; byte-identity with the global
                     # aggregate pinned in tests/test_octree_pipeline)
-                    nxt = halve_blocks(blocks, filter_)
+                    nxt = halve_blocks(
+                        blocks,
+                        filter_,
+                        # even dims: halve in place first so the level
+                        # shuffle moves child/8 bytes (SOAK.md)
+                        halve_first=not any(b % 2 for b in block_dims),
+                    )
                 else:
                     # the single-hash-aggregate global voxel downsample
                     child = downsample_voxels(

@@ -177,24 +177,77 @@ def np_halve(
     return out.reshape(odims)
 
 
-def halve_blocks(blocks: DataFrame, filter_: str) -> DataFrame:
-    """One pyramid halving step at BLOCK granularity: each parent
-    block is exactly its 8 sibling child blocks assembled into a
-    ``(2bz, 2by, 2bx)`` array and halved with :func:`np_halve` — the
-    grouped-map dual of ``blockify(downsample_voxels(unblockify(b)))``.
+def halve_blocks(
+    blocks: DataFrame, filter_: str, halve_first: bool = False
+) -> DataFrame:
+    """One pyramid halving step at BLOCK granularity — the grouped-map
+    dual of ``blockify(downsample_voxels(unblockify(b)))``.
 
-    Scale shape: ONE shuffle per level, moving packed payload arrays
-    keyed by parent block (vs two voxel-row shuffles for the
-    unblockify->aggregate->blockify chain, each row carrying 4
-    coordinate columns per intensity). Equality with the global
-    Catalyst downsample holds on grid-aligned volumes because every
-    2x2x2 cube lies inside one parent's region and block grids are
-    powers of two, so the odd-pivot mapping never crosses a parent
-    boundary; pinned by the fused-vs-unfused store byte-identity test
-    (tests/test_octree_pipeline.py) and np_halve's property tests.
+    Two physically different plans, byte-identical results:
+
+    - ``halve_first=False`` (works for any block dims): assemble each
+      parent's 8 sibling child blocks into a ``(2bz, 2by, 2bx)`` array
+      and halve the canvas with :func:`np_halve`. ONE shuffle per
+      level, but it carries the FULL child level.
+    - ``halve_first=True`` (requires all-even block dims): halve every
+      block IN PLACE first (a map-only stage — no shuffle), then
+      regroup the 8x-smaller halves into parents. The level shuffle
+      now moves child-level/8 bytes; the round-6 scale soak measured
+      the difference at ~8x on the dominant pyramid stage (SOAK.md).
+      Legal exactly when no 2-voxel halving group straddles a sibling
+      boundary: even block dims make every level's extent even (no
+      odd-pivot) and pair groups ``(2i, 2i+1)`` never cross an even
+      boundary. An odd block axis WOULD cross (the pair at the
+      boundary spans two siblings), so the kernel validates and
+      raises — callers with odd dims keep the assemble-first plan.
+
+    Equality with the global Catalyst downsample is pinned by the
+    fused-vs-unfused store byte-identity test
+    (tests/test_octree_pipeline.py) plus a direct halve_first-vs-
+    assemble-first equality test; np_halve itself is property-tested.
     Missing octants (skip-empty store read-backs) densify to zero.
     """
-    return _octant_regroup(blocks, lambda big: np_halve(big, filter_))
+    if not halve_first:
+        return _octant_regroup(blocks, lambda big: np_halve(big, filter_))
+
+    import pandas as pd
+
+    out_schema = (
+        "zi int, yi int, xi int, channel int,"
+        " shape array<int>, voxels array<int>"
+    )
+
+    def halve_each(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for row in pdf.itertuples():
+                bz, by, bx = (int(s) for s in row.shape)
+                if bz % 2 or by % 2 or bx % 2:
+                    raise ValueError(
+                        "halve_first needs even block dims, got "
+                        f"({bz}, {by}, {bx})"
+                    )
+                arr = np.asarray(row.voxels, dtype=np.int32).reshape(
+                    bz, by, bx
+                )
+                out = np_halve(arr, filter_)
+                rows.append(
+                    {
+                        "zi": int(row.zi),
+                        "yi": int(row.yi),
+                        "xi": int(row.xi),
+                        "channel": int(row.channel),
+                        "shape": list(out.shape),
+                        "voxels": out.ravel(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return _octant_regroup(
+        blocks.mapInPandas(halve_each, out_schema), lambda big: big
+    )
 
 
 def assemble_halved_blocks(halved: DataFrame) -> DataFrame:

@@ -173,3 +173,57 @@ def test_delete_source_depth0_moves_root_instead_of_deleting(
     assert len(glob.glob(f"{root}/*/default.*.tif")) == 8
     assert not os.path.exists(f"{root}/default.0.tif")
     assert os.path.exists(str(tmp_path / "d0" / "default.0.tif"))
+
+
+@pytest.fixture(scope="module")
+def store2ch(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("fused2ch") / "store")
+    v = synthetic_volume(spark, 16, 16, 16, channels=2, zero_fraction_mod=5)
+    build_octree(
+        spark, v, root, nlevels=2, filter_="arthur", dims=(16, 16, 16),
+        channels=2,
+    )
+    return root
+
+
+def test_filegroup_interleave_matches_unfused_byte_for_byte(
+    spark, store2ch, tmp_path
+):
+    """SOAK.md finding: the payload-grouped interleave shuffled every
+    decoded block. The fused pipeline now plans per-block FILE groups
+    (paths shuffle, payloads don't) — output must stay byte-identical
+    to the distributed dual, now over a genuinely multi-channel
+    store."""
+    a = _files(
+        _convert(spark, store2ch, tmp_path, True, interleave=True,
+                 downsample_intensity=True)
+    )
+    b = _files(
+        _convert(spark, store2ch, tmp_path, False, interleave=True,
+                 downsample_intensity=True)
+    )
+    assert sorted(a) == sorted(b) and len(a) == 9
+    assert all(a[f] == b[f] for f in a)
+
+
+def test_filegroup_interleave_shuffles_paths_not_payloads(spark, store2ch):
+    """Plan shape: the only exchange feeds the PATH collect_list; the
+    conversion itself is MapInPandas over (block, paths) rows — no
+    grouped-map over decoded payload rows anywhere."""
+    from hortacloud_importer_spark.pipelines.ktx import (
+        _block_file_groups,
+        ktx_convert_blocks_fused,
+    )
+
+    groups = _block_file_groups(spark, store2ch)
+    out = ktx_convert_blocks_fused(
+        groups, n_mips=3, filter_="arthur", interleave=True,
+        store_root=store2ch,
+    )
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan  # no payload regroup
+    assert "collect_list(path" in plan  # the metadata-only shuffle
+    # and the scan feeding it projects paths only, never content
+    assert "content" not in plan

@@ -280,3 +280,54 @@ def test_halve_blocks_is_single_packed_shuffle(spark):
     assert "explode" not in plan
     assert "FlatMapGroupsInPandas" in plan
     assert "sort_array" not in plan  # blockify's re-pack idiom
+
+
+def test_halve_first_plan_and_equality(spark):
+    """halve_first=True must (a) match the assemble-first results
+    exactly on even block dims, (b) keep the map-only local halve out
+    of the shuffle (MapInPandas BEFORE the grouped-map exchange), and
+    (c) refuse odd block dims (a boundary pair would straddle two
+    siblings)."""
+    import numpy as np
+    import pytest
+
+    from hortacloud_importer_spark.volume.downsample import halve_blocks
+
+    rng = np.random.default_rng(17)
+    rows = [
+        (
+            zi, yi, xi, ch, [4, 4, 4],
+            [int(v) for v in rng.integers(0, 5, size=64)],
+        )
+        for zi in range(2)
+        for yi in range(2)
+        for xi in range(2)
+        for ch in range(2)
+    ]
+    schema = (
+        "zi int, yi int, xi int, channel int, shape array<int>,"
+        " voxels array<int>"
+    )
+    blocks = spark.createDataFrame(rows, schema)
+
+    def key(df):
+        return {
+            (r["zi"], r["yi"], r["xi"], r["channel"]):
+                (list(r["shape"]), list(r["voxels"]))
+            for r in df.collect()
+        }
+
+    for filt in ("arthur", "mean", "max"):
+        fast = halve_blocks(blocks, filt, halve_first=True)
+        assert key(fast) == key(halve_blocks(blocks, filt)), filt
+
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # the in-place halve, pre-shuffle
+    assert "FlatMapGroupsInPandas" in plan  # the regroup
+    assert "explode" not in plan
+
+    odd = spark.createDataFrame(
+        [(0, 0, 0, 0, [3, 4, 4], [1] * 48)], schema
+    )
+    with pytest.raises(Exception, match="even block dims"):
+        halve_blocks(odd, "max", halve_first=True).collect()

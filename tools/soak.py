@@ -322,13 +322,21 @@ def _write_md(r: dict) -> None:
             "",
             "## Shuffle-decay model",
             "",
-            f"Leaf ingest shuffled {leaf} MiB; pyramid level shuffles "
-            f"{lv1} MiB then {lv2} MiB — ratios "
-            f"{leaf / max(lv1, 0.1):.1f}x and {lv1 / max(lv2, 0.1):.1f}x "
-            "against the 8x-per-level model (packed int32 arrays, lz4 "
-            "shuffle compression; sparsity makes compression ratios "
-            "level-dependent, so ~8x +/- compression drift is the "
-            "expected band).",
+            f"Leaf ingest shuffled {leaf} MiB (the unavoidable z-major-"
+            "slices -> 3-D-blocks re-layout: the volume crosses the "
+            "wire once). With halve-first pyramid steps each level "
+            "shuffle carries the HALVED blocks — raw bytes are exactly "
+            "volume/8 then volume/64 (int32 payloads; see the per-level "
+            f"voxel table). Measured compressed: {lv1} MiB then {lv2} "
+            f"MiB ({leaf / max(lv1, 0.1):.1f}x, {lv1 / max(lv2, 0.1):.1f}x) "
+            "— lz4 ratios shrink level-over-level because downsampled "
+            "levels are denser (2nd-max of a sparse field is less "
+            "compressible than the field), so compressed decay lags the "
+            "exact 8x raw decay. Rejected alternative: z-stripe ingest "
+            "(read bz slices per task, emit blocks directly, zero "
+            "shuffle) — per-task memory is O(XY-extent x bz), which "
+            "breaks on wide-XY specimens; the tile shuffle is bounded "
+            "by block size regardless of volume shape.",
         ]
     lines += [
         "",
