@@ -70,7 +70,7 @@ def crop_octree(
 
     tile_schema = (
         "z int, channel int, y_off int, x_off int,"
-        " h int, w int, tile array<int>"
+        " h int, w int, tile binary"
     )
 
     def cut_tiles(batches):
@@ -104,7 +104,10 @@ def crop_octree(
                             "x_off": gx + lx0 - x0,
                             "h": ly1 - ly0,
                             "w": lx1 - lx0,
-                            "tile": tile.ravel(),
+                            # raw uint16 bytes: store payloads are
+                            # uint8/uint16 on disk, so this is
+                            # lossless and halves the tile shuffle
+                            "tile": tile.astype("<u2").tobytes(),
                         }
                     )
             yield pd.DataFrame(out)
@@ -139,8 +142,8 @@ def crop_octree(
                 int(row.h),
                 int(row.w),
             )
-            page[yo : yo + h, xo : xo + w] = np.asarray(
-                row.tile, dtype=np.int32
+            page[yo : yo + h, xo : xo + w] = np.frombuffer(
+                row.tile, dtype="<u2"
             ).reshape(h, w)
         if "://" in out_dir:
             filesystem, base = pafs.FileSystem.from_uri(out_dir)

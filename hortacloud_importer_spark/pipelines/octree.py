@@ -152,7 +152,7 @@ def _slices_to_blocks(
     gy, gx = padded_dims[1] // by, padded_dims[2] // bx
 
     tile_schema = (
-        "zi int, lz int, yi int, xi int, channel int, tile array<int>"
+        "zi int, lz int, yi int, xi int, channel int, tile binary"
     )
 
     def cut(batches):
@@ -170,13 +170,31 @@ def _slices_to_blocks(
                     # must not alias onto an in-grid octree path
                     continue
                 h, w = int(row.height), int(row.width)
-                page = np.zeros((gy * by, gx * bx), dtype=np.int32)
-                arr = np.asarray(row.voxels, dtype=np.int32).reshape(h, w)
+                # uint16 is lossless for every supported slice source
+                # (TIFF/JP2 decode to uint8/uint16) and HALVES the raw
+                # bytes of the build's dominant shuffle vs int32 tiles
+                page = np.zeros((gy * by, gx * bx), dtype=np.uint16)
+                arr = np.asarray(row.voxels, dtype=np.uint16).reshape(h, w)
                 page[: min(h, gy * by), : min(w, gx * bx)] = arr[
                     : gy * by, : gx * bx
                 ]
                 for yi in range(gy):
                     for xi in range(gx):
+                        tile = page[
+                            yi * by : (yi + 1) * by,
+                            xi * bx : (xi + 1) * bx,
+                        ]
+                        if not tile.any():
+                            # skip-empty at TILE grain: the assemble
+                            # canvas zero-fills missing z-tiles, so an
+                            # all-zero tile shuffles nothing — on
+                            # blob-sparse microscopy most tiles are
+                            # background (a block with NO tiles simply
+                            # never materializes, which matches the
+                            # sink's skip-empty block filter)
+                            continue
+                        # raw little-endian bytes, not an int list:
+                        # Arrow binary cells move as one buffer
                         out.append(
                             {
                                 "zi": z // bz,
@@ -184,15 +202,7 @@ def _slices_to_blocks(
                                 "yi": yi,
                                 "xi": xi,
                                 "channel": int(row.channel),
-                                # ndarray stays in the pandas cell:
-                                # Arrow list-converts it directly; a
-                                # .tolist() here is a measured 2-5x
-                                # serialization tax on the build's
-                                # hottest shuffle
-                                "tile": page[
-                                    yi * by : (yi + 1) * by,
-                                    xi * bx : (xi + 1) * bx,
-                                ].ravel(),
+                                "tile": tile.astype("<u2").tobytes(),
                             }
                         )
             yield pd.DataFrame(out)
@@ -226,8 +236,8 @@ def _slices_to_blocks(
         zi, yi, xi, ch = (int(k) for k in key)
         block = np.zeros((bz, by, bx), dtype=np.int32)
         for row in pdf.itertuples():
-            block[int(row.lz)] = np.asarray(
-                row.tile, dtype=np.int32
+            block[int(row.lz)] = np.frombuffer(
+                row.tile, dtype="<u2"
             ).reshape(by, bx)
         return pd.DataFrame(
             [

@@ -212,9 +212,13 @@ def halve_blocks(
 
     import pandas as pd
 
+    # the halved intermediates ship as raw little-endian uint16
+    # (lossless: every downsample of uint16 stays in range) — half the
+    # raw shuffle bytes of an int32 list array, and the payload moves
+    # as ONE Arrow buffer instead of a list conversion
     out_schema = (
         "zi int, yi int, xi int, channel int,"
-        " shape array<int>, voxels array<int>"
+        " shape array<int>, voxels binary"
     )
 
     def halve_each(batches):
@@ -240,13 +244,15 @@ def halve_blocks(
                         "xi": int(row.xi),
                         "channel": int(row.channel),
                         "shape": list(out.shape),
-                        "voxels": out.ravel(),
+                        "voxels": out.astype("<u2").tobytes(),
                     }
                 )
             yield pd.DataFrame(rows)
 
     return _octant_regroup(
-        blocks.mapInPandas(halve_each, out_schema), lambda big: big
+        blocks.mapInPandas(halve_each, out_schema),
+        lambda big: big,
+        payload="u2bin",
     )
 
 
@@ -261,12 +267,13 @@ def assemble_halved_blocks(halved: DataFrame) -> DataFrame:
     return _octant_regroup(halved, lambda big: big)
 
 
-def _octant_regroup(blocks: DataFrame, finish) -> DataFrame:
+def _octant_regroup(blocks: DataFrame, finish, payload: str = "array") -> DataFrame:
     """Shared octant-assembly kernel: group 8 siblings per parent
     block, place each by its coordinate parity bits into a double-size
     canvas (missing octants stay zero), then apply ``finish`` to the
     canvas (np_halve for the pyramid step, identity for kernel-halved
-    re-assembly)."""
+    re-assembly). ``payload="u2bin"`` reads raw uint16 bytes (the
+    halve-first intermediate) instead of int list arrays."""
     import pandas as pd
 
     out_schema = (
@@ -282,11 +289,16 @@ def _octant_regroup(blocks: DataFrame, finish) -> DataFrame:
         big = np.zeros((2 * bz, 2 * by, 2 * bx), dtype=np.int32)
         for row in pdf.itertuples():
             oz, oy, ox = int(row.zi) & 1, int(row.yi) & 1, int(row.xi) & 1
+            vox = (
+                np.frombuffer(row.voxels, dtype="<u2")
+                if payload == "u2bin"
+                else np.asarray(row.voxels, dtype=np.int32)
+            )
             big[
                 oz * bz : (oz + 1) * bz,
                 oy * by : (oy + 1) * by,
                 ox * bx : (ox + 1) * bx,
-            ] = np.asarray(row.voxels, dtype=np.int32).reshape(bz, by, bx)
+            ] = vox.reshape(bz, by, bx)
         out = finish(big)
         return pd.DataFrame(
             [

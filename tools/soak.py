@@ -326,7 +326,7 @@ def _write_md(r: dict) -> None:
             "slices -> 3-D-blocks re-layout: the volume crosses the "
             "wire once). With halve-first pyramid steps each level "
             "shuffle carries the HALVED blocks — raw bytes are exactly "
-            "volume/8 then volume/64 (int32 payloads; see the per-level "
+            "volume/8 then volume/64 (raw uint16 payloads; see the per-level "
             f"voxel table). Measured compressed: {lv1} MiB then {lv2} "
             f"MiB ({leaf / max(lv1, 0.1):.1f}x, {lv1 / max(lv2, 0.1):.1f}x) "
             "— lz4 ratios shrink level-over-level because downsampled "
