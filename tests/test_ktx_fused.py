@@ -227,3 +227,26 @@ def test_filegroup_interleave_shuffles_paths_not_payloads(spark, store2ch):
     assert "collect_list(path" in plan  # the metadata-only shuffle
     # and the scan feeding it projects paths only, never content
     assert "content" not in plan
+
+
+def test_block_file_groups_depth_filter_and_channels(spark, store2ch):
+    """The file-group planner: one row per block with BOTH channel
+    files, path-derived coordinates, and a working depth filter."""
+    from hortacloud_importer_spark.pipelines.ktx import _block_file_groups
+
+    rows = {
+        (r["zi"], r["yi"], r["xi"], r["depth"]): list(r["paths"])
+        for r in _block_file_groups(spark, store2ch).collect()
+    }
+    # 16^3 / 2 levels: 8 leaf blocks at depth 1 + 1 root at depth 0
+    assert len(rows) == 9
+    assert all(len(p) == 2 for p in rows.values())  # both channels
+    assert all(
+        p[0].endswith("default.0.tif") and p[1].endswith("default.1.tif")
+        for p in rows.values()
+    )
+    deep = {
+        (r["zi"], r["yi"], r["xi"])
+        for r in _block_file_groups(spark, store2ch, depth=1).collect()
+    }
+    assert deep == {(z, y, x) for z in range(2) for y in range(2) for x in range(2)}
