@@ -169,6 +169,12 @@ def build_parser() -> argparse.ArgumentParser:
     ktx_p.add_argument("--downsample-intensity", action="store_true")
     ktx_p.add_argument("--downsample-xy", action="store_true")
     ktx_p.add_argument(
+        "--resume",
+        action="store_true",
+        help="skip blocks whose .ktx output is already committed "
+        "(the reference's per-file exists check, as one anti-join)",
+    )
+    ktx_p.add_argument(
         "--delete-source",
         action="store_true",
         help="reclaim converted source blocks after the KTX commit "
@@ -386,6 +392,7 @@ def _run_octree(args) -> dict:
             filter_=ktx_filter,
             downsample_intensity=args.downsample_intensity,
             downsample_xy=args.downsample_xy,
+            resume=args.resume,
             # the reference reclaims the intermediate octree on
             # --ktxonly (tiff2octree.py:1357) — but OUR --ktxonly
             # converts a PRE-EXISTING store, so deleting it implicitly
@@ -426,6 +433,7 @@ def _run_ktx(args) -> dict:
         downsample_intensity=args.downsample_intensity,
         downsample_xy=args.downsample_xy,
         delete_source=args.delete_source,
+        resume=args.resume,
     ).first()
     return {
         "command": "ktx",

@@ -149,8 +149,10 @@ def crop_octree(
             filesystem, base = pafs.FileSystem.from_uri(out_dir)
         else:
             filesystem, base = pafs.LocalFileSystem(), out_dir
+        from hortacloud_importer_spark.sources import manifest as _m
+
         filesystem.create_dir(base, recursive=True)
-        local = isinstance(filesystem, pafs.LocalFileSystem)
+        local = _m.should_stage(filesystem)
         name = f"default.{ch}.{z:05d}.tif"
         staged = f"{base}/.{name}.tmp" if local else f"{base}/{name}"
         # cast FIRST so the accounting matches the bytes written: a

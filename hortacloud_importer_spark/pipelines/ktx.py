@@ -506,6 +506,7 @@ def tiff_octree_to_ktx(
     specimen_id: str | None = None,
     fused: bool = True,
     delete_source: bool = False,
+    resume: bool = False,
 ) -> DataFrame:
     """Convert a ``tiff_blocks`` octree store into a KTX block store.
 
@@ -550,6 +551,42 @@ def tiff_octree_to_ktx(
         blocks = read_tiff_block_store(spark, store_root)
         if depth is not None:
             blocks = blocks.filter(F.col("depth") == depth)
+    if resume:
+        # the reference's pass-2 resume skips blocks whose .ktx output
+        # already exists (tiff2octree.py:400-402, per-file
+        # os.path.exists); here: one anti-join of the work list
+        # against the OUTPUT store's manifest on the expected file
+        # name — key-only, distributed, no payload touched for
+        # already-converted blocks
+        done = manifest.committed_files_df(spark, out_dir)
+        if done is not None:
+            has_depth = "depth" in blocks.columns
+            tag = (
+                F.when(
+                    F.col("depth") > 0,
+                    F.concat(F.lit("_d"), F.col("depth").cast("string")),
+                ).otherwise(F.lit(""))
+                if has_depth
+                else F.lit("")
+            )
+            ch = (
+                F.lit("-1")
+                if interleave
+                else F.col("channel").cast("string")
+            )
+            rel = F.concat(
+                F.lit("block_"),
+                F.col("zi").cast("string"), F.lit("_"),
+                F.col("yi").cast("string"), F.lit("_"),
+                F.col("xi").cast("string"),
+                tag,
+                F.lit("_ch"), ch, F.lit(".ktx"),
+            )
+            blocks = (
+                blocks.withColumn("rel", rel)
+                .join(done, "rel", "left_anti")
+                .drop("rel")
+            )
     raw_blocks = None
     if not fused:
         # One store read for the whole pass: the decoded blocks feed

@@ -592,9 +592,13 @@ class _KtxWriter(DataSourceWriter):
     def write(self, iterator) -> _KtxCommit:
         from pyarrow import fs as pafs
 
+        from hortacloud_importer_spark.sources import manifest as _m
+
         filesystem, base = _pa_fs(self.out_dir)
         filesystem.create_dir(base, recursive=True)
-        local = isinstance(filesystem, pafs.LocalFileSystem)
+        # stage+rename wherever rename is atomic (non-object-store),
+        # not only LocalFileSystem — same rule as the manifest commit
+        local = _m.should_stage(filesystem)
         files, n = [], 0
         from hortacloud_importer_spark.sources.ktx import ktx_block_name
 
@@ -727,8 +731,10 @@ class _TiffBlockWriter(DataSourceWriter):
 
         from hortacloud_importer_spark.sources.tiff import encode_tiff
 
+        from hortacloud_importer_spark.sources import manifest as _m
+
         filesystem, base = _pa_fs(self.out_dir)
-        local = isinstance(filesystem, pafs.LocalFileSystem)
+        local = _m.should_stage(filesystem)
         files, n, skipped = [], 0, 0
         made_dirs: set[str] = set()
         for row in iterator:

@@ -63,6 +63,14 @@ def _is_object_store(filesystem) -> bool:
     return name in ("s3", "gcs", "abfs", "azurefs")
 
 
+def should_stage(filesystem) -> bool:
+    """True when a writer must stage+rename for atomic visibility
+    (everything except object stores, where the single PUT is the
+    atomic commit and rename is copy+delete). Shared by every file
+    sink in the engine so the atomicity rule lives in one place."""
+    return not _is_object_store(filesystem)
+
+
 def write_commit(filesystem, base: str, files: list[str], n_skipped: int = 0) -> str:
     """Append one commit shard; returns the shard id.
 

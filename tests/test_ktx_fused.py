@@ -250,3 +250,43 @@ def test_block_file_groups_depth_filter_and_channels(spark, store2ch):
         for r in _block_file_groups(spark, store2ch, depth=1).collect()
     }
     assert deep == {(z, y, x) for z in range(2) for y in range(2) for x in range(2)}
+
+
+def test_ktx_resume_skips_committed_blocks(spark, store, tmp_path):
+    """A11 for the KTX pass (reference: per-file os.path.exists skip,
+    tiff2octree.py:400-402): resume anti-joins the work list against
+    the OUTPUT manifest — already-converted blocks are neither decoded
+    nor rewritten."""
+    import os
+
+    out = str(tmp_path / "resume_ktx")
+    # first pass: one octree level only
+    tiff_octree_to_ktx(
+        spark, store, out, block_dims=(8, 8, 8), n_mips=3,
+        filter_="arthur", depth=1,
+    ).count()
+    first = {
+        p: os.path.getmtime(os.path.join(out, p)) for p in os.listdir(out)
+        if p.endswith(".ktx")
+    }
+    assert len(first) == 8
+
+    # resumed full conversion: fills in the root, leaves depth-1 alone
+    res = tiff_octree_to_ktx(
+        spark, store, out, block_dims=(8, 8, 8), n_mips=3,
+        filter_="arthur", resume=True,
+    ).first()
+    now = {p for p in os.listdir(out) if p.endswith(".ktx")}
+    assert len(now) == 9
+    for name, mtime in first.items():
+        assert os.path.getmtime(os.path.join(out, name)) == mtime, name
+    assert res["n_files"] == 9  # manifest union counts everything
+
+    # resuming again converts nothing new (all committed)
+    before = set(os.listdir(f"{out}/_manifest"))
+    tiff_octree_to_ktx(
+        spark, store, out, block_dims=(8, 8, 8), n_mips=3,
+        filter_="arthur", resume=True,
+    ).count()
+    for name, mtime in first.items():
+        assert os.path.getmtime(os.path.join(out, name)) == mtime, name
