@@ -103,3 +103,53 @@ def test_np_halve_axes_property(filter_, dims, seed, axes):
         return out
 
     assert np.array_equal(got, ref()), (dims, seed, axes)
+
+
+@pytest.mark.parametrize("filter_", ["mean", "max", "arthur"])
+@given(
+    bdims=st.tuples(
+        st.integers(1, 4), st.integers(1, 4), st.integers(1, 4)
+    ),
+    seed=st.integers(0, 2**31 - 1),
+    present_mask=st.integers(1, 255),
+    zero_p=st.floats(0.0, 1.0),
+)
+@settings(max_examples=40, deadline=None)
+def test_halve_first_boundary_property(filter_, bdims, seed, present_mask, zero_p):
+    """The halve-first pyramid rewrite rests on one claim: for EVEN
+    block dims, halving each sibling block independently then
+    concatenating the halves equals halving the assembled 2x canvas —
+    no 2-voxel group straddles a sibling boundary. Pinned over random
+    even dims, zero densities, and every pattern of missing octants
+    (skip-empty stores densify absentees to zero). Pure NumPy, so the
+    example budget is wide."""
+    from hortacloud_importer_spark.volume.downsample import np_halve
+
+    bz, by, bx = (2 * d for d in bdims)  # even by construction
+    rng = np.random.default_rng(seed)
+    sibs = {}
+    for o in range(8):
+        if present_mask & (1 << o):
+            s = rng.integers(0, 1 << 16, size=(bz, by, bx)).astype(np.int64)
+            s[rng.random(size=s.shape) < zero_p] = 0
+            sibs[o] = s
+    big = np.zeros((2 * bz, 2 * by, 2 * bx), dtype=np.int64)
+    for o, s in sibs.items():
+        oz, oy, ox = (o >> 2) & 1, (o >> 1) & 1, o & 1
+        big[
+            oz * bz : (oz + 1) * bz,
+            oy * by : (oy + 1) * by,
+            ox * bx : (ox + 1) * bx,
+        ] = s
+    want = np_halve(big, filter_)
+
+    got = np.zeros_like(want)
+    hz, hy, hx = bz // 2, by // 2, bx // 2
+    for o, s in sibs.items():
+        oz, oy, ox = (o >> 2) & 1, (o >> 1) & 1, o & 1
+        got[
+            oz * hz : (oz + 1) * hz,
+            oy * hy : (oy + 1) * hy,
+            ox * hx : (ox + 1) * hx,
+        ] = np_halve(s, filter_)
+    assert np.array_equal(got, want), (bdims, seed, present_mask)
