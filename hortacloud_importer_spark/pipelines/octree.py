@@ -280,48 +280,105 @@ def stack_voxels(
     (tiff2octree.py:627-651, dask_image.imread): every page of every
     matched file, files in sorted-path order, is one z slice. All
     files must share one page count and page shape — the same
-    uniformity dask's imread demands. Page decode happens on
-    executors over Arrow batches; the driver reads exactly one file
-    to learn the stack geometry (the reference does the same,
-    tiff2octree.py:653-691), so dims come for free with no data scan.
+    uniformity dask's imread demands. Partition grain is the PAGE,
+    not the file: the driver walks each file's IFD chain with seeks
+    (tiff_page_table — O(pages) small reads, no payload), broadcasts
+    the per-page strip tables, and each task seeks straight to its
+    page's strips (decode_stack_page). The old whole-file binaryFile
+    read capped stacks at the 2 GB row limit and made one file one
+    task; a 100 GB BigTIFF stack now streams page-by-page with
+    per-task memory bounded by one page.
     """
     import pandas as pd
+    from pyarrow import fs as pafs
 
+    from hortacloud_importer_spark.sources.datasource import (
+        _list_files,
+        _pa_fs,
+    )
     from hortacloud_importer_spark.sources.tiff import (
-        decode_tiff,
-        tiff_shape,
+        _TAG_LENGTH,
+        _TAG_WIDTH,
+        _required,
+        tiff_page_table,
     )
 
-    bf = spark.read.format("binaryFile").load(path)
-    paths = sorted(r["path"] for r in bf.select("path").collect())
+    filesystem, base = _pa_fs(path)
+    if any(c in base.rsplit("/", 1)[-1] for c in "*?["):
+        # glob form (dask imread parity): match within the parent dir
+        import fnmatch
+        import posixpath
+
+        d, pat = posixpath.split(base)
+        infos = filesystem.get_file_info(pafs.FileSelector(d))
+        paths = sorted(
+            i.path
+            for i in infos
+            if i.type == pafs.FileType.File
+            and fnmatch.fnmatch(i.base_name, pat)
+        )
+    else:
+        info = filesystem.get_file_info(base)
+        if info.type == pafs.FileType.File:
+            paths = [base]
+        else:
+            paths = sorted(_list_files(base))
     if not paths:
         raise FileNotFoundError(path)
-    first = bf.filter(F.col("path") == paths[0]).select("content").first()
-    # header walk only — no strip/tile decompression of a potentially
-    # multi-GB stack file just to learn its geometry
-    n_pages, h, w = tiff_shape(bytes(first["content"]))
-    order = {p: i for i, p in enumerate(paths)}
+    tables: dict[str, tuple[str, list[dict]]] = {}
+    shape0 = None
+    for p_ in paths:
+        with filesystem.open_input_file(p_) as fh:
+            ec, page_ifds = tiff_page_table(fh)
+        tables[p_] = (ec, page_ifds)
+        shape_ = (
+            len(page_ifds),
+            _required(page_ifds[0], _TAG_LENGTH, "ImageLength")[0],
+            _required(page_ifds[0], _TAG_WIDTH, "ImageWidth")[0],
+        )
+        if shape0 is None:
+            shape0 = shape_
+        elif shape_ != shape0:
+            raise ValueError(
+                f"stack file {p_} shape {shape_} != {shape0}; "
+                "stacks must be uniform"
+            )
+    n_pages, h, w = shape0
     dims = (n_pages * len(paths), h, w)
+    bc = spark.sparkContext.broadcast(tables)
+    order = {p_: i for i, p_ in enumerate(paths)}
+    uri = path  # re-derive the filesystem executor-side (not picklable)
 
     def gen(batches):
+        from hortacloud_importer_spark.sources.datasource import _pa_fs
+        from hortacloud_importer_spark.sources.tiff import (
+            decode_stack_page,
+        )
+
+        fs_, _ = _pa_fs(uri)
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                arr = decode_tiff(bytes(row["content"]))
-                if arr.shape[:3] != (n_pages, h, w):
+            for row in pdf.itertuples():
+                p_, pg = row.path, int(row.page_idx)
+                ec_, page_ifds = bc.value[p_]
+                with fs_.open_input_file(p_) as fh:
+                    arr = decode_stack_page(fh, ec_, page_ifds[pg])[..., 0]
+                if arr.shape != (h, w):
                     raise ValueError(
-                        f"stack file {row['path']} shape {arr.shape[:3]} != "
-                        f"({n_pages}, {h}, {w}); stacks must be uniform"
+                        f"stack file {p_} page {pg} shape {arr.shape} != "
+                        f"({h}, {w}); stacks must be uniform"
                     )
-                base = order[row["path"]] * n_pages
-                flat = arr[..., 0].reshape(n_pages, h * w)
                 yield pd.DataFrame(
                     {
-                        "z": [base + p for p in range(n_pages)],
-                        "page": [flat[p] for p in range(n_pages)],
+                        "z": [order[p_] * n_pages + pg],
+                        "page": [arr.astype("int64").ravel()],
                     }
                 )
 
-    pages = bf.mapInPandas(gen, "z int, page array<long>")
+    tasks = spark.createDataFrame(
+        [(p_, pg) for p_ in paths for pg in range(n_pages)],
+        "path string, page_idx int",
+    ).repartition(spark.sparkContext.defaultParallelism)
+    pages = tasks.mapInPandas(gen, "z int, page array<long>")
     pos = F.col("pos")
     voxels = pages.select(
         "z", F.posexplode("page").alias("pos", "intensity")

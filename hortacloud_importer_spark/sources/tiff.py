@@ -204,9 +204,8 @@ def _page_dtype(ec: str, ifd: dict[int, list]) -> tuple[np.dtype, int]:
 
 
 def _decode_block(
-    data: bytes,
+    raw: bytes,
     off: int,
-    cnt: int,
     compression: int,
     predictor: int,
     dtype: np.dtype,
@@ -214,8 +213,8 @@ def _decode_block(
     cols: int,
     spp: int,
 ) -> np.ndarray:
-    """One strip or tile -> (rows, cols, spp), codec + predictor undone."""
-    raw = data[off : off + cnt]
+    """One strip/tile payload -> (rows, cols, spp), codec + predictor
+    undone (``off`` is for error messages only)."""
     expect_bytes = rows * cols * spp * dtype.itemsize
     if compression in _ZLIB_CODES:
         try:
@@ -270,12 +269,16 @@ def _block_grid(ifd: dict[int, list]) -> tuple[bool, int, int, int, int]:
 
 
 def _decode_page(
-    data: bytes,
+    fetch,
     ec: str,
     ifd: dict[int, list],
     window: tuple[int, int, int, int] | None = None,
     stats: dict | None = None,
 ) -> np.ndarray:
+    """``fetch(offset, count) -> bytes`` supplies block payloads — a
+    whole-file bytes slice for the in-memory decoders, a seek+read for
+    the streaming stack reader (so a 100 GB BigTIFF never needs to be
+    resident to decode one page)."""
     compression = ifd.get(_TAG_COMPRESSION, [1])[0]
     predictor = ifd.get(_TAG_PREDICTOR, [1])[0]
     width = _required(ifd, _TAG_WIDTH, "ImageWidth")[0]
@@ -319,7 +322,8 @@ def _decode_page(
             # of the grid; tiles are always padded to tile size.
             rows = brows if tiled else min(brows, length - by * brows)
             block = _decode_block(
-                data, offsets[i], counts[i], compression, predictor, dtype, rows, bcols, spp
+                fetch(offsets[i], counts[i]), offsets[i], compression,
+                predictor, dtype, rows, bcols, spp,
             )
             oy, ox = (by - by0) * brows, (bx - bx0) * bcols
             out[oy : oy + rows, ox : ox + bcols] = block
@@ -366,7 +370,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
     pages = []
     while pos:
         ifd, pos = _parse_ifd(data, ec, pos, big)
-        pages.append(_decode_page(data, ec, ifd))
+        pages.append(_decode_page(lambda o, c: data[o : o + c], ec, ifd))
         if len(pages) > 65536:
             raise TiffParseError("IFD chain too long (cyclic?)")
     if not pages:
@@ -404,6 +408,74 @@ def tiff_shape(data: bytes) -> tuple[int, int, int]:
     return n_pages, hw[0], hw[1]
 
 
+def tiff_page_table(fh) -> tuple[str, list[dict]]:
+    """Seek-based IFD walk over a FILE-LIKE (``seek``/``read``):
+    ``(endian_char, [per-page tag dict, ...])`` without ever loading
+    the file — the planning half of bounded-memory stack ingest. A
+    100 GB BigTIFF stack costs O(pages) small reads here; each page's
+    strips are then fetched individually by :func:`decode_stack_page`.
+    The returned dicts are the same tag->values shape the in-memory
+    parser produces, so the page decoders are shared."""
+
+    def read_at(off: int, n: int) -> bytes:
+        fh.seek(off)
+        return fh.read(n)
+
+    head = read_at(0, 16)
+    ec, pos, big = _parse_header(head)
+    head_len, esize, off_fmt = (8, 20, "Q") if big else (2, 12, "I")
+    pages: list[dict] = []
+    while pos:
+        if big:
+            (n_entries,) = struct.unpack(ec + "Q", read_at(pos, 8))
+        else:
+            (n_entries,) = struct.unpack(ec + "H", read_at(pos, 2))
+        table = read_at(pos + head_len, esize * n_entries + (8 if big else 4))
+        entries: dict[int, list] = {}
+        for i in range(n_entries):
+            base = esize * i
+            if big:
+                tag, ftype, count = struct.unpack_from(ec + "HHQ", table, base)
+                raw = table[base + 12 : base + 20]
+            else:
+                tag, ftype, count = struct.unpack_from(ec + "HHI", table, base)
+                raw = table[base + 8 : base + 12]
+            size = _TYPE_SIZE.get(ftype)
+            if size is None or ftype not in _TYPE_FMT:
+                continue  # exotic field types we don't need
+            total = size * count
+            inline = 8 if big else 4
+            if total <= inline:
+                payload = raw[:total]
+            else:
+                (voff,) = struct.unpack(ec + ("Q" if big else "I"), raw)
+                payload = read_at(voff, total)
+            entries[tag] = list(
+                struct.unpack(ec + str(count) + _TYPE_FMT[ftype], payload)
+            )
+        (pos,) = struct.unpack_from(
+            ec + off_fmt, table, esize * n_entries
+        )
+        pages.append(entries)
+        if len(pages) > 65536:
+            raise TiffParseError("IFD chain too long (cyclic?)")
+    if not pages:
+        raise TiffParseError("no IFDs")
+    return ec, pages
+
+
+def decode_stack_page(fh, ec: str, ifd: dict[int, list]) -> np.ndarray:
+    """One page -> (h, w, spp) from a seekable reader, reading ONLY
+    that page's strip/tile payloads (pair with
+    :func:`tiff_page_table`)."""
+
+    def fetch(off: int, n: int) -> bytes:
+        fh.seek(off)
+        return fh.read(n)
+
+    return _decode_page(fetch, ec, ifd)
+
+
 def decode_tiff_window(
     data: bytes,
     page: int = 0,
@@ -428,7 +500,10 @@ def decode_tiff_window(
             width = _required(ifd, _TAG_WIDTH, "ImageWidth")[0]
             y0, y1 = y if y else (0, length)
             x0, x1 = x if x else (0, width)
-            return _decode_page(data, ec, ifd, window=(y0, y1, x0, x1), stats=stats)
+            return _decode_page(
+                lambda o, c: data[o : o + c], ec, ifd,
+                window=(y0, y1, x0, x1), stats=stats,
+            )
         idx += 1
         if idx > 65536:
             raise TiffParseError("IFD chain too long (cyclic?)")

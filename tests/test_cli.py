@@ -144,9 +144,10 @@ def test_stack_voxels_multi_file_z_offsets(spark, tmp_path):
     (tmp_path / "s99.tif").write_bytes(
         encode_tiff(rng.integers(1, 9, (3, 4, 4), dtype=np.uint8))
     )
-    vox2, _ = stack_voxels(spark, str(tmp_path / "s*.tif"))
+    # non-uniform stacks now fail FAST at plan time (the driver's
+    # page-table walk sees every file's geometry before any decode)
     with pytest.raises(Exception, match="uniform"):
-        vox2.count()
+        stack_voxels(spark, str(tmp_path / "s*.tif"))
 
 
 def test_cli_kernel_build_with_ktx_falls_back_to_arthur_mips(
