@@ -127,8 +127,9 @@ def crop_octree(
     def assemble(key, pdf):
         import numpy as np
         import pandas as pd
-        from pyarrow import fs as pafs
 
+        from hortacloud_importer_spark.sources import manifest as _m
+        from hortacloud_importer_spark.sources.datasource import _pa_fs
         from hortacloud_importer_spark.sources.tiff import encode_tiff
 
         z, ch = int(key[0]), int(key[1])
@@ -145,12 +146,7 @@ def crop_octree(
             page[yo : yo + h, xo : xo + w] = np.frombuffer(
                 row.tile, dtype="<u2"
             ).reshape(h, w)
-        if "://" in out_dir:
-            filesystem, base = pafs.FileSystem.from_uri(out_dir)
-        else:
-            filesystem, base = pafs.LocalFileSystem(), out_dir
-        from hortacloud_importer_spark.sources import manifest as _m
-
+        filesystem, base = _pa_fs(out_dir)
         filesystem.create_dir(base, recursive=True)
         local = _m.should_stage(filesystem)
         name = f"default.{ch}.{z:05d}.tif"

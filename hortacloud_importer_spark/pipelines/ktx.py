@@ -274,15 +274,19 @@ def block_mip_chain(
 
 
 def _block_file_groups(
-    spark: SparkSession, store_root: str, depth: int | None = None
+    spark: SparkSession,
+    store_root: str,
+    depth: int | None = None,
+    per_channel: bool = False,
 ) -> DataFrame:
-    """All committed block files of a store grouped per block:
-    (zi, yi, xi, depth, paths array<string>). Metadata only — the
-    groupBy shuffles PATHS (a few hundred bytes per block), never
-    payloads, which is what lets the interleaved fused conversion run
-    with zero payload shuffle: each kernel task then reads its own
-    block's channel files (the reference's one-task-per-block I/O
-    model, ktx_from_rendered_tiff.py:331-427)."""
+    """All committed block files of a store as PATH rows:
+    (zi, yi, xi, depth[, channel], paths array<string>). Metadata only
+    — grouped mode shuffles PATHS (a few hundred bytes per block),
+    never payloads; ``per_channel`` mode (one row per file, channel
+    from the name) needs no shuffle at all. Each kernel task then
+    reads its own block's file(s) — the reference's one-task-per-block
+    I/O model (ktx_from_rendered_tiff.py:331-427) — and a resume
+    anti-join upstream of this listing touches no payload either."""
     from hortacloud_importer_spark.sources.block_store import (
         _committed_only,
         path_block_coords,
@@ -300,6 +304,19 @@ def _block_file_groups(
     files = files.select("path", zi_c, yi_c, xi_c, depth_c)
     if depth is not None:
         files = files.filter(F.col("_depth") == depth)
+    if per_channel:
+        ch = F.regexp_extract("path", r"default\.(\d+)\.tif$", 1)
+        return (
+            files.filter(ch != "")
+            .select(
+                F.col("_zi").alias("zi"),
+                F.col("_yi").alias("yi"),
+                F.col("_xi").alias("xi"),
+                F.col("_depth").alias("depth"),
+                ch.cast("int").alias("channel"),
+                F.array("path").alias("paths"),
+            )
+        )
     groups = files.groupBy(
         F.col("_zi").alias("zi"),
         F.col("_yi").alias("yi"),
@@ -358,8 +375,6 @@ def ktx_convert_blocks_fused(
     from hortacloud_importer_spark.volume.downsample import np_halve
 
     has_depth = "depth" in blocks.columns
-    if store_root is not None and not interleave:
-        raise ValueError("store_root (file-group mode) implies interleave")
     itemsize = 1 if downsample_intensity else 2
     dtype = np.uint8 if itemsize == 1 else np.uint16
     need_stats = geometry is not None or downsample_intensity
@@ -456,6 +471,7 @@ def ktx_convert_blocks_fused(
         filesystem, base = _pa_fs(store_root)
         prefix = f"{store_root.rstrip('/')}/"
         chan_re = _re.compile(r"default\.(\d+)\.tif$")
+        single = not interleave  # per_channel rows: one file per row
         for pdf in batches:
             out = []
             for row in pdf.itertuples():
@@ -468,22 +484,31 @@ def ktx_convert_blocks_fused(
                         arr = decode_tiff(fh.read())[..., 0]
                     ch = int(chan_re.search(path).group(1))
                     items.append((ch, arr, arr.shape))
-                out.append(
-                    interleaved_row(
-                        int(row.zi), int(row.yi), int(row.xi),
-                        int(row.depth) if has_depth else 0, items,
+                zi, yi, xi = int(row.zi), int(row.yi), int(row.xi)
+                depth = int(row.depth) if has_depth else 0
+                if single:
+                    ch, voxels, shape_in = items[0]
+                    levels, st, shape = convert_one(voxels, shape_in)
+                    out.append(
+                        _single_block_row(
+                            zi, yi, xi, depth, ch,
+                            [lv.astype(dtype).tobytes() for lv in levels],
+                            shape, itemsize, geometry, st, has_depth,
+                        )
                     )
-                )
+                else:
+                    out.append(interleaved_row(zi, yi, xi, depth, items))
             yield pd.DataFrame(out)
 
+    if store_root is not None:
+        # file-group mode: `blocks` carries PATH rows, not payloads —
+        # at most one metadata shuffle (the interleave channel-pairing
+        # groupBy) moves paths (see _block_file_groups); each kernel
+        # task reads its block's file(s), exactly the reference's
+        # one-task-per-block I/O model. A resume filter upstream acts
+        # on paths, so committed blocks are never even opened.
+        return blocks.mapInPandas(fused_filegroups, KTX_SCHEMA)
     if interleave:
-        if store_root is not None:
-            # file-group mode: `blocks` carries PATH LISTS, not
-            # payloads — the only shuffle in the whole conversion
-            # moved paths (see _block_file_groups); each kernel task
-            # reads its block's channel files itself, exactly the
-            # reference's one-task-per-block I/O model
-            return blocks.mapInPandas(fused_filegroups, KTX_SCHEMA)
         key = ["zi", "yi", "xi"] + (["depth"] if has_depth else [])
         return blocks.groupBy(*key).applyInPandas(
             fused_interleaved, KTX_SCHEMA
@@ -541,12 +566,16 @@ def tiff_octree_to_ktx(
     reference leaves its lowest-resolution slices.
     """
     register_volume_sources(spark)
-    if fused and interleave:
-        # path lists instead of decoded payloads: the groupBy that
-        # matches a block's channels up moves file PATHS only; the
-        # kernel reads + decodes the files itself (round-6 soak:
-        # the payload-grouped variant shuffled ~1 GiB at 2 GiB scale)
-        blocks = _block_file_groups(spark, store_root, depth)
+    if fused:
+        # path rows instead of decoded payloads (round-6 soak: the
+        # payload-grouped interleave shuffled ~1 GiB at 2 GiB scale):
+        # single-channel mode is one row per file with zero shuffle;
+        # interleave pairs a block's channel files with a paths-only
+        # groupBy. Resume below then filters on paths, so committed
+        # blocks are never opened, let alone decoded.
+        blocks = _block_file_groups(
+            spark, store_root, depth, per_channel=not interleave
+        )
     else:
         blocks = read_tiff_block_store(spark, store_root)
         if depth is not None:
@@ -556,8 +585,10 @@ def tiff_octree_to_ktx(
         # already exists (tiff2octree.py:400-402, per-file
         # os.path.exists); here: one anti-join of the work list
         # against the OUTPUT store's manifest on the expected file
-        # name — key-only, distributed, no payload touched for
-        # already-converted blocks
+        # name. In fused mode the work list is PATH rows, so committed
+        # blocks are never opened; in the fused=False fallback the
+        # anti-join sits above the decode (those blocks are read once,
+        # then dropped — the price of the giant-block fallback)
         done = manifest.committed_files_df(spark, out_dir)
         if done is not None:
             has_depth = "depth" in blocks.columns
@@ -630,7 +661,7 @@ def tiff_octree_to_ktx(
                 geometry=geometry,
                 downsample_intensity=downsample_intensity,
                 downsample_xy=downsample_xy,
-                store_root=store_root if interleave else None,
+                store_root=store_root,
             )
             .write.format("ktx_files")
             .mode("append")

@@ -76,17 +76,23 @@ def _infer_dims(voxels: DataFrame) -> tuple[int, int, int]:
 def _detect_slice_suffix(source: str, channels: int) -> str:
     """``.tif`` unless the directory holds only JPEG 2000 slices — the
     reference auto-detects .jp2 inputs the same way (rasterio branch,
-    tiff2octree.py:673-678). Listing-only, no decode."""
-    from hortacloud_importer_spark.sources.datasource import _sorted_slices
+    tiff2octree.py:673-678). ONE listing, classified by extension (an
+    object-store LIST over ~1e5 slices is not free; probing suffixes
+    one listing each would triple it)."""
+    from hortacloud_importer_spark.sources.datasource import _list_files
 
-    ch = "0" if channels > 1 else None
-    root = source.rstrip("/")
-    if _sorted_slices(root, ".tif", ch):
+    prefix = f"default.{0}." if channels > 1 else None
+    have: set[str] = set()
+    for p in _list_files(source.rstrip("/")):
+        name = p.rsplit("/", 1)[-1]
+        if prefix is not None and not name.startswith(prefix):
+            continue
+        for sfx in (".tif", ".jp2", ".j2k"):
+            if name.endswith(sfx):
+                have.add(sfx)
+    if ".tif" in have or not have:
         return ".tif"
-    for sfx in (".jp2", ".j2k"):
-        if _sorted_slices(root, sfx, ch):
-            return sfx
-    return ".tif"
+    return ".jp2" if ".jp2" in have else ".j2k"
 
 
 def _infer_slice_dims(
@@ -292,10 +298,7 @@ def stack_voxels(
     import pandas as pd
     from pyarrow import fs as pafs
 
-    from hortacloud_importer_spark.sources.datasource import (
-        _list_files,
-        _pa_fs,
-    )
+    from hortacloud_importer_spark.sources.datasource import _pa_fs
     from hortacloud_importer_spark.sources.tiff import (
         _TAG_LENGTH,
         _TAG_WIDTH,
@@ -322,7 +325,15 @@ def stack_voxels(
         if info.type == pafs.FileType.File:
             paths = [base]
         else:
-            paths = sorted(_list_files(base))
+            # list through the filesystem we derived (scheme-correct
+            # for s3://, hdfs://, ...); paths stay scheme-stripped so
+            # the kernel can open them with the same filesystem object
+            infos = filesystem.get_file_info(
+                pafs.FileSelector(base, recursive=True)
+            )
+            paths = sorted(
+                i.path for i in infos if i.type == pafs.FileType.File
+            )
     if not paths:
         raise FileNotFoundError(path)
     tables: dict[str, tuple[str, list[dict]]] = {}

@@ -360,7 +360,12 @@ def resume_filter(work: DataFrame, spark: SparkSession, root: str) -> DataFrame:
     info = filesystem.get_file_info(base)
     if info.type == pafs.FileType.NotFound:
         return work
-    if not filesystem.get_file_info(pafs.FileSelector(base, recursive=False)):
-        return work  # directory exists but is empty: also fresh
+    entries = filesystem.get_file_info(pafs.FileSelector(base, recursive=False))
+    # hidden-only contents (e.g. just _temporary/ from a killed first
+    # write, or _SUCCESS) mean nothing committed — Spark's reader
+    # ignores _/. entries, so treating them as data would turn the
+    # probe into an UNABLE_TO_INFER_SCHEMA failure on a fresh store
+    if all(i.base_name.startswith(("_", ".")) for i in entries):
+        return work
     done = read_blocks(spark, root).select(*key)
     return work.join(done, on=key, how="left_anti")

@@ -237,6 +237,17 @@ def halve_blocks(
                     bz, by, bx
                 )
                 out = np_halve(arr, filter_)
+                if int(out.max(initial=0)) > 0xFFFF:
+                    # a >16-bit source (e.g. a uint32 N5 volume) would
+                    # silently WRAP in the uint16 payload and compound
+                    # per level — unlike the assemble-first plan,
+                    # which only narrows once at the sink. Surface it.
+                    raise ValueError(
+                        "halve_first uint16 payload overflow "
+                        f"(max {int(out.max())}): the source has "
+                        ">16-bit intensities; build with fused=False "
+                        "or pre-requantize to uint16"
+                    )
                 rows.append(
                     {
                         "zi": int(row.zi),

@@ -107,3 +107,14 @@ def test_resume_filter_empty_dir_is_fresh(spark, store, tmp_path):
     blocks = _blocks(spark).filter(F.array_max("voxels") > 0)
     pathlib.Path(store).mkdir(parents=True)
     assert resume_filter(blocks, spark, store).count() == blocks.count()
+
+
+def test_resume_filter_temporary_only_dir_is_fresh(spark, store):
+    """A first write killed mid-job leaves only Spark's _temporary/
+    tree — hidden entries mean nothing committed, not a broken store."""
+    import pathlib
+
+    blocks = _blocks(spark).filter(F.array_max("voxels") > 0)
+    (pathlib.Path(store) / "_temporary" / "0").mkdir(parents=True)
+    (pathlib.Path(store) / "_temporary" / "0" / "task_x").write_text("")
+    assert resume_filter(blocks, spark, store).count() == blocks.count()

@@ -290,3 +290,37 @@ def test_ktx_resume_skips_committed_blocks(spark, store, tmp_path):
     ).count()
     for name, mtime in first.items():
         assert os.path.getmtime(os.path.join(out, name)) == mtime, name
+
+
+def test_ktx_resume_never_opens_committed_source_blocks(spark, store, tmp_path):
+    """Resume must be payload-free in fused mode: after converting
+    depth 1, CORRUPT those source blocks — a resume that re-read them
+    would crash; the path-level anti-join completes and converts only
+    the root."""
+    import glob as _glob
+    import os
+
+    out = str(tmp_path / "resume_pathonly")
+    tiff_octree_to_ktx(
+        spark, store, out, block_dims=(8, 8, 8), n_mips=3,
+        filter_="arthur", depth=1,
+    ).count()
+    # truncate every depth-1 source file (committed outputs exist)
+    for p in _glob.glob(f"{store}/*/default.*.tif"):
+        with open(p, "wb") as fh:
+            fh.write(b"garbage, not a TIFF")
+    try:
+        tiff_octree_to_ktx(
+            spark, store, out, block_dims=(8, 8, 8), n_mips=3,
+            filter_="arthur", resume=True,
+        ).count()
+        assert len([p for p in os.listdir(out) if p.endswith(".ktx")]) == 9
+    finally:
+        # the module-scoped store fixture is shared: rebuild it
+        import shutil
+
+        shutil.rmtree(store, ignore_errors=True)
+        v = synthetic_volume(spark, 16, 16, 16, zero_fraction_mod=5)
+        build_octree(
+            spark, v, store, nlevels=2, filter_="arthur", dims=(16, 16, 16)
+        )

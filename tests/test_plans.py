@@ -331,3 +331,26 @@ def test_halve_first_plan_and_equality(spark):
     )
     with pytest.raises(Exception, match="even block dims"):
         halve_blocks(odd, "max", halve_first=True).collect()
+
+
+def test_halve_first_rejects_17bit_values(spark):
+    """halve_first ships uint16 payloads; a >16-bit source (uint32
+    N5 volumes) must surface as an error, not wrap silently and
+    compound per level (review finding, round 6)."""
+    import pytest
+
+    from hortacloud_importer_spark.volume.downsample import halve_blocks
+
+    schema = (
+        "zi int, yi int, xi int, channel int, shape array<int>,"
+        " voxels array<int>"
+    )
+    blocks = spark.createDataFrame(
+        [(z, y, x, 0, [2, 2, 2], [70000] * 8)
+         for z in range(2) for y in range(2) for x in range(2)],
+        schema,
+    )
+    with pytest.raises(Exception, match="overflow"):
+        halve_blocks(blocks, "max", halve_first=True).collect()
+    # the assemble-first plan narrows only at the sink, so it still works
+    assert halve_blocks(blocks, "max").count() == 1

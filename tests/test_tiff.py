@@ -550,3 +550,20 @@ def test_stack_voxels_bigtiff_zlib_roundtrip(spark, tmp_path):
     for r in vox.collect():
         got[r["z"], r["y"], r["x"]] = r["intensity"]
     assert np.array_equal(got, vol.astype(np.int64))
+
+
+def test_stack_voxels_file_uri_directory(spark, tmp_path):
+    """Directory listing must go through the URI-derived filesystem
+    (review finding: the scheme-stripped path was re-rooted onto a
+    LocalFileSystem, breaking s3://-style inputs; file:// exercises
+    the same dispatch)."""
+    from hortacloud_importer_spark.pipelines import stack_voxels
+
+    rng = np.random.default_rng(47)
+    vol = rng.integers(1, 250, (2, 3, 4), dtype=np.uint8)
+    d = tmp_path / "uristacks"
+    d.mkdir()
+    (d / "a.tif").write_bytes(encode_tiff(vol))
+    vox, dims = stack_voxels(spark, f"file://{d}")
+    assert dims == (2, 3, 4)
+    assert vox.count() == 24
