@@ -101,3 +101,136 @@ def test_fused_pipelines_byte_identical_under_real_executors(
         a, b = _files(root_a, pat), _files(root_b, pat)
         assert sorted(a) == sorted(b), (pat, sorted(a), sorted(b))
         assert all(a[f] == b[f] for f in a), pat
+
+
+_DRIVER2 = """
+import sys, json, glob
+import numpy as np
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.appName("lc2")
+    .master("local-cluster[2,4,2048]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    .config("spark.sql.python.filterPushdown.enabled", "true")
+    .config("spark.executor.memory", "2g")
+    .config("spark.executorEnv.PYTHONPATH", {repo!r})
+    .config("spark.ui.enabled", "false")
+    .getOrCreate())
+from hortacloud_importer_spark.pipelines import build_octree, crop_octree
+from hortacloud_importer_spark.streaming.cascade import streaming_cascade
+
+# slice-dir build: exercises the tiff_volume Python DataSource and the
+# packed-tile ingest with executor-side decode
+build_octree(spark, {slices!r}, {store!r}, nlevels=2, filter_="arthur").collect()
+crop_octree(spark, {store!r}, {crop!r}, window=((2, 10), (1, 9), (3, 11)),
+            depth=1, block_dims=(8, 8, 8)).collect()
+
+# stateful streaming (applyInPandasWithState) with a real state store
+# across executors
+schema = ("zi int, yi int, xi int, channel int, z int,"
+          " height int, width int, voxels array<long>")
+stream = spark.readStream.schema(schema).parquet({stream_in!r})
+q = (streaming_cascade(stream, (8, 4, 4), "arthur")
+     .writeStream.format("parquet").option("path", {stream_out!r})
+     .option("checkpointLocation", {ckpt!r})
+     .trigger(availableNow=True).start())
+assert q.awaitTermination(180), "stream did not drain"
+print("RESULT ok")
+spark.stop()
+"""
+
+
+def test_datasource_crop_and_streaming_under_real_executors(spark, tmp_path):
+    """The executor-heaviest paths — the tiff_volume Python
+    DataSource (partition planning driver-side, decode executor-side),
+    the crop export, and the applyInPandasWithState cascade — must
+    produce byte-identical output on real worker JVMs."""
+    import numpy as np
+
+    from hortacloud_importer_spark.pipelines import crop_octree
+    from hortacloud_importer_spark.sources.tiff import encode_tiff
+
+    from tests.test_volume import random_vol
+
+    # shared inputs
+    slices = tmp_path / "slices"
+    slices.mkdir()
+    rng = np.random.default_rng(7)
+    for z in range(16):
+        page = rng.integers(0, 1 << 16, size=(16, 16), dtype=np.uint16)
+        page[rng.random(size=page.shape) < 0.3] = 0
+        (slices / f"default.0.{z:05d}.tif").write_bytes(
+            encode_tiff(page[None, ...])
+        )
+    vol = random_vol((8, 4, 4))
+    stream_rows = [
+        (0, 0, 0, 0, z, 4, 4, [int(v) for v in vol[z].ravel()])
+        for z in range(8)
+    ]
+    schema = (
+        "zi int, yi int, xi int, channel int, z int,"
+        " height int, width int, voxels array<long>"
+    )
+    stream_in = str(tmp_path / "stream_in")
+    spark.createDataFrame(stream_rows, schema).coalesce(1).write.parquet(
+        stream_in
+    )
+
+    (tmp_path / "lc").mkdir()
+    (tmp_path / "l").mkdir()
+    lc = {k: str(tmp_path / "lc" / k) for k in ("store", "crop", "sout", "ckpt")}
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            _DRIVER2.format(
+                repo=_REPO, slices=str(slices), store=lc["store"],
+                crop=lc["crop"], stream_in=stream_in,
+                stream_out=lc["sout"], ckpt=lc["ckpt"],
+            ),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=_REPO,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "RESULT ok" in proc.stdout, proc.stdout
+
+    # local duals
+    from hortacloud_importer_spark.pipelines import build_octree
+    from hortacloud_importer_spark.streaming.cascade import streaming_cascade
+
+    l = {k: str(tmp_path / "l" / k) for k in ("store", "crop", "sout", "ckpt")}
+    build_octree(spark, str(slices), l["store"], nlevels=2, filter_="arthur").collect()
+    crop_octree(
+        spark, l["store"], l["crop"], window=((2, 10), (1, 9), (3, 11)),
+        depth=1, block_dims=(8, 8, 8),
+    ).collect()
+    stream = spark.readStream.schema(schema).parquet(stream_in)
+    q = (
+        streaming_cascade(stream, (8, 4, 4), "arthur")
+        .writeStream.format("parquet")
+        .option("path", l["sout"])
+        .option("checkpointLocation", l["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    for key, pat in (("store", "*.tif"), ("crop", "*.tif")):
+        a, b = _files(lc[key], pat), _files(l[key], pat)
+        assert sorted(a) == sorted(b), (key, sorted(a), sorted(b))
+        assert all(a[f] == b[f] for f in a), key
+    # streaming results: same emitted pyramid (row-set equality)
+    got_lc = {
+        (r["level"], r["z"]): list(r["voxels"])
+        for r in spark.read.parquet(lc["sout"]).collect()
+    }
+    got_l = {
+        (r["level"], r["z"]): list(r["voxels"])
+        for r in spark.read.parquet(l["sout"]).collect()
+    }
+    assert got_lc == got_l and got_lc
