@@ -306,7 +306,7 @@ def _block_file_groups(
         files = files.filter(F.col("_depth") == depth)
     if per_channel:
         ch = F.regexp_extract("path", r"default\.(\d+)\.tif$", 1)
-        return (
+        rows = (
             files.filter(ch != "")
             .select(
                 F.col("_zi").alias("zi"),
@@ -317,6 +317,10 @@ def _block_file_groups(
                 F.array("path").alias("paths"),
             )
         )
+        # same explicit spread as the grouped mode (see below): after
+        # a resume anti-join the few-KiB metadata exchange would
+        # otherwise AQE-coalesce and serialize the conversion
+        return rows.repartition(spark.sparkContext.defaultParallelism)
     groups = files.groupBy(
         F.col("_zi").alias("zi"),
         F.col("_yi").alias("yi"),
@@ -487,6 +491,13 @@ def ktx_convert_blocks_fused(
                 zi, yi, xi = int(row.zi), int(row.yi), int(row.xi)
                 depth = int(row.depth) if has_depth else 0
                 if single:
+                    if len(items) != 1:
+                        raise ValueError(
+                            "interleave=False file-group rows must "
+                            f"carry exactly one file, got {len(items)}"
+                            " — grouped (multi-channel) rows need "
+                            "interleave=True"
+                        )
                     ch, voxels, shape_in = items[0]
                     levels, st, shape = convert_one(voxels, shape_in)
                     out.append(

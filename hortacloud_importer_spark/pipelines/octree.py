@@ -306,19 +306,42 @@ def stack_voxels(
         tiff_page_table,
     )
 
+    def _hidden(p_: str) -> bool:
+        # binaryFile-parity: _SUCCESS, ._resource forks, .DS_Store,
+        # _logs/ subtrees etc. are never stack files
+        return any(
+            seg.startswith(("_", ".")) for seg in p_.split("/") if seg
+        )
+
+    def _expand_braces(pat: str) -> list[str]:
+        # Hadoop-glob {a,b} alternation (single nesting level suffices
+        # for slice-set patterns like stack_{1,2}.tif)
+        i = pat.find("{")
+        if i < 0:
+            return [pat]
+        j = pat.find("}", i)
+        if j < 0:
+            return [pat]
+        out = []
+        for alt in pat[i + 1 : j].split(","):
+            out.extend(_expand_braces(pat[:i] + alt + pat[j + 1 :]))
+        return out
+
     filesystem, base = _pa_fs(path)
-    if any(c in base.rsplit("/", 1)[-1] for c in "*?["):
+    if any(c in base.rsplit("/", 1)[-1] for c in "*?[{"):
         # glob form (dask imread parity): match within the parent dir
         import fnmatch
         import posixpath
 
         d, pat = posixpath.split(base)
+        pats = _expand_braces(pat)
         infos = filesystem.get_file_info(pafs.FileSelector(d))
         paths = sorted(
             i.path
             for i in infos
             if i.type == pafs.FileType.File
-            and fnmatch.fnmatch(i.base_name, pat)
+            and not _hidden(i.base_name)
+            and any(fnmatch.fnmatch(i.base_name, q) for q in pats)
         )
     else:
         info = filesystem.get_file_info(base)
@@ -332,16 +355,27 @@ def stack_voxels(
                 pafs.FileSelector(base, recursive=True)
             )
             paths = sorted(
-                i.path for i in infos if i.type == pafs.FileType.File
+                i.path
+                for i in infos
+                if i.type == pafs.FileType.File
+                and not _hidden(i.path[len(base) :])
             )
     if not paths:
         raise FileNotFoundError(path)
-    tables: dict[str, tuple[str, list[dict]]] = {}
+    # page tables in parallel: each file's walk is a handful of small
+    # reads, and on an object store doing hundreds of files serially
+    # would turn planning into minutes of driver dead time
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _table(p_):
+        with filesystem.open_input_file(p_) as fh:
+            return p_, tiff_page_table(fh)
+
+    with ThreadPoolExecutor(max_workers=min(16, len(paths))) as pool:
+        tables = dict(pool.map(_table, paths))
     shape0 = None
     for p_ in paths:
-        with filesystem.open_input_file(p_) as fh:
-            ec, page_ifds = tiff_page_table(fh)
-        tables[p_] = (ec, page_ifds)
+        _ec, page_ifds = tables[p_]
         shape_ = (
             len(page_ifds),
             _required(page_ifds[0], _TAG_LENGTH, "ImageLength")[0],

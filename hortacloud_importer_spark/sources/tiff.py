@@ -149,49 +149,51 @@ def _lzw_decompress(raw: bytes, expect: int) -> bytes:
     return bytes(out)
 
 
-def _read_values(
-    data: bytes, ec: str, ftype: int, count: int, raw: bytes, big: bool = False
-) -> list:
-    size = _TYPE_SIZE.get(ftype)
-    if size is None or ftype not in _TYPE_FMT:
-        raise TiffParseError(f"unsupported IFD field type {ftype}")
-    total = size * count
-    inline = 8 if big else 4
-    if total <= inline:
-        payload = raw[:total]
+def _parse_ifd_fetch(
+    fetch, ec: str, pos: int, big: bool = False
+) -> tuple[dict[int, list], int]:
+    """One IFD via ``fetch(offset, count) -> bytes`` — the single IFD
+    walker behind both the in-memory parser and the seek-based page
+    table, so tag handling can never diverge between them.
+
+    BigTIFF IFDs: 8-byte entry count, 20-byte entries (8-byte count +
+    8-byte value slot), 8-byte next pointer; classic: 2/12/4."""
+    head, esize, off_fmt = (8, 20, "Q") if big else (2, 12, "I")
+    if big:
+        (n_entries,) = struct.unpack(ec + "Q", fetch(pos, 8))
     else:
-        (offset,) = struct.unpack(ec + ("Q" if big else "I"), raw)
-        payload = data[offset : offset + total]
-    return list(struct.unpack(ec + str(count) + _TYPE_FMT[ftype], payload))
+        (n_entries,) = struct.unpack(ec + "H", fetch(pos, 2))
+    table = fetch(pos + head, esize * n_entries + (8 if big else 4))
+    entries: dict[int, list] = {}
+    for i in range(n_entries):
+        base = esize * i
+        if big:
+            tag, ftype, count = struct.unpack_from(ec + "HHQ", table, base)
+            raw = table[base + 12 : base + 20]
+        else:
+            tag, ftype, count = struct.unpack_from(ec + "HHI", table, base)
+            raw = table[base + 8 : base + 12]
+        size = _TYPE_SIZE.get(ftype)
+        if size is None or ftype not in _TYPE_FMT:
+            continue  # exotic field types we don't need
+        total = size * count
+        inline = 8 if big else 4
+        if total <= inline:
+            payload = raw[:total]
+        else:
+            (voff,) = struct.unpack(ec + ("Q" if big else "I"), raw)
+            payload = fetch(voff, total)
+        entries[tag] = list(
+            struct.unpack(ec + str(count) + _TYPE_FMT[ftype], payload)
+        )
+    (next_ifd,) = struct.unpack_from(ec + off_fmt, table, esize * n_entries)
+    return entries, next_ifd
 
 
 def _parse_ifd(
     data: bytes, ec: str, pos: int, big: bool = False
 ) -> tuple[dict[int, list], int]:
-    # BigTIFF IFDs: 8-byte entry count, 20-byte entries (8-byte count +
-    # 8-byte value slot), 8-byte next pointer; classic: 2/12/4.
-    head, esize, off_fmt = (8, 20, "Q") if big else (2, 12, "I")
-    if big:
-        (n_entries,) = struct.unpack_from(ec + "Q", data, pos)
-    else:
-        (n_entries,) = struct.unpack_from(ec + "H", data, pos)
-    entries: dict[int, list] = {}
-    for i in range(n_entries):
-        base = pos + head + esize * i
-        if big:
-            tag, ftype, count = struct.unpack_from(ec + "HHQ", data, base)
-            raw = data[base + 12 : base + 20]
-        else:
-            tag, ftype, count = struct.unpack_from(ec + "HHI", data, base)
-            raw = data[base + 8 : base + 12]
-        try:
-            entries[tag] = _read_values(data, ec, ftype, count, raw, big)
-        except TiffParseError:
-            continue  # ignore exotic tags we don't need
-    (next_ifd,) = struct.unpack_from(
-        ec + off_fmt, data, pos + head + esize * n_entries
-    )
-    return entries, next_ifd
+    return _parse_ifd_fetch(lambda o, c: data[o : o + c], ec, pos, big)
 
 
 def _page_dtype(ec: str, ifd: dict[int, list]) -> tuple[np.dtype, int]:
@@ -421,41 +423,10 @@ def tiff_page_table(fh) -> tuple[str, list[dict]]:
         fh.seek(off)
         return fh.read(n)
 
-    head = read_at(0, 16)
-    ec, pos, big = _parse_header(head)
-    head_len, esize, off_fmt = (8, 20, "Q") if big else (2, 12, "I")
+    ec, pos, big = _parse_header(read_at(0, 16))
     pages: list[dict] = []
     while pos:
-        if big:
-            (n_entries,) = struct.unpack(ec + "Q", read_at(pos, 8))
-        else:
-            (n_entries,) = struct.unpack(ec + "H", read_at(pos, 2))
-        table = read_at(pos + head_len, esize * n_entries + (8 if big else 4))
-        entries: dict[int, list] = {}
-        for i in range(n_entries):
-            base = esize * i
-            if big:
-                tag, ftype, count = struct.unpack_from(ec + "HHQ", table, base)
-                raw = table[base + 12 : base + 20]
-            else:
-                tag, ftype, count = struct.unpack_from(ec + "HHI", table, base)
-                raw = table[base + 8 : base + 12]
-            size = _TYPE_SIZE.get(ftype)
-            if size is None or ftype not in _TYPE_FMT:
-                continue  # exotic field types we don't need
-            total = size * count
-            inline = 8 if big else 4
-            if total <= inline:
-                payload = raw[:total]
-            else:
-                (voff,) = struct.unpack(ec + ("Q" if big else "I"), raw)
-                payload = read_at(voff, total)
-            entries[tag] = list(
-                struct.unpack(ec + str(count) + _TYPE_FMT[ftype], payload)
-            )
-        (pos,) = struct.unpack_from(
-            ec + off_fmt, table, esize * n_entries
-        )
+        entries, pos = _parse_ifd_fetch(read_at, ec, pos, big)
         pages.append(entries)
         if len(pages) > 65536:
             raise TiffParseError("IFD chain too long (cyclic?)")

@@ -282,14 +282,20 @@ def test_ktx_resume_skips_committed_blocks(spark, store, tmp_path):
         assert os.path.getmtime(os.path.join(out, name)) == mtime, name
     assert res["n_files"] == 9  # manifest union counts everything
 
-    # resuming again converts nothing new (all committed)
-    before = set(os.listdir(f"{out}/_manifest"))
+    # resuming again converts nothing new (all committed): files
+    # untouched AND the committed set does not change
+    from pyarrow import fs as pafs
+
+    from hortacloud_importer_spark.sources import manifest
+
+    before = manifest.committed_files(pafs.LocalFileSystem(), out)
     tiff_octree_to_ktx(
         spark, store, out, block_dims=(8, 8, 8), n_mips=3,
         filter_="arthur", resume=True,
     ).count()
     for name, mtime in first.items():
         assert os.path.getmtime(os.path.join(out, name)) == mtime, name
+    assert manifest.committed_files(pafs.LocalFileSystem(), out) == before
 
 
 def test_ktx_resume_never_opens_committed_source_blocks(spark, store, tmp_path):

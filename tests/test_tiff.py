@@ -567,3 +567,38 @@ def test_stack_voxels_file_uri_directory(spark, tmp_path):
     vox, dims = stack_voxels(spark, f"file://{d}")
     assert dims == (2, 3, 4)
     assert vox.count() == 24
+
+
+def test_stack_voxels_ignores_hidden_files_and_expands_braces(spark, tmp_path):
+    """binaryFile-parity listing rules: _SUCCESS / dotfiles are never
+    stack files, and Hadoop-style {a,b} alternation works."""
+    from hortacloud_importer_spark.pipelines import stack_voxels
+
+    rng = np.random.default_rng(53)
+    vols = [rng.integers(1, 250, (2, 3, 4), dtype=np.uint8) for _ in range(2)]
+    d = tmp_path / "globdir"
+    d.mkdir()
+    (d / "stack_1.tif").write_bytes(encode_tiff(vols[0]))
+    (d / "stack_2.tif").write_bytes(encode_tiff(vols[1]))
+    (d / "stack_9.tif").write_bytes(encode_tiff(
+        rng.integers(1, 9, (7, 3, 4), dtype=np.uint8)  # excluded by glob
+    ))
+    (d / "_SUCCESS").write_text("")
+    (d / ".DS_Store").write_bytes(b"junk")
+    (d / "._stack_1.tif").write_bytes(b"resource fork junk")
+
+    vox, dims = stack_voxels(spark, str(d / "stack_{1,2}.tif"))
+    assert dims == (4, 3, 4)
+    got = np.zeros(dims, dtype=np.int64)
+    for r in vox.collect():
+        got[r["z"], r["y"], r["x"]] = r["intensity"]
+    assert np.array_equal(got, np.concatenate(vols).astype(np.int64))
+
+    # directory listing skips the hidden junk too
+    d2 = tmp_path / "dirdir"
+    d2.mkdir()
+    (d2 / "a.tif").write_bytes(encode_tiff(vols[0]))
+    (d2 / "_SUCCESS").write_text("")
+    (d2 / ".hidden.tif").write_bytes(b"junk")
+    _, dims2 = stack_voxels(spark, str(d2))
+    assert dims2 == (2, 3, 4)
