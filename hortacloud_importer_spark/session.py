@@ -16,9 +16,16 @@ from pyspark.sql import SparkSession
 
 def get_spark(app_name: str = "hortacloud-importer-spark") -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # SPARK_GRAFT_MASTER points the whole harness (oracle checks,
+    # bench, CLI) at any master — e.g. local-cluster[2,8,4096] for
+    # real-executor runs, or spark://... for a standalone cluster.
+    # Non-local masters need the package on executors
+    # (spark.executorEnv.PYTHONPATH below covers local-cluster; real
+    # clusters ship it via --py-files / pip).
+    master = os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -34,4 +41,11 @@ def get_spark(app_name: str = "hortacloud-importer-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local-cluster"):
+        import hortacloud_importer_spark as _pkg
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(_pkg.__file__)))
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH", repo
+        ).config("spark.executor.memory", os.environ.get("SPARK_GRAFT_EXEC_MEM", "2g"))
     return builder.getOrCreate()
