@@ -321,12 +321,23 @@ def _block_file_groups(
         # a resume anti-join the few-KiB metadata exchange would
         # otherwise AQE-coalesce and serialize the conversion
         return rows.repartition(spark.sparkContext.defaultParallelism)
-    groups = files.groupBy(
-        F.col("_zi").alias("zi"),
-        F.col("_yi").alias("yi"),
-        F.col("_xi").alias("xi"),
-        F.col("_depth").alias("depth"),
-    ).agg(F.sort_array(F.collect_list("path")).alias("paths"))
+    # same admission rule as per_channel mode: only files the store's
+    # channel naming scheme claims (default.<n>.tif) join a group — a
+    # stray foo.tif inside a block directory must not crash the fused
+    # kernel's channel parse (it filters out here exactly as it does
+    # from the per-file rows above)
+    groups = (
+        files.filter(
+            F.regexp_extract("path", r"default\.(\d+)\.tif$", 1) != ""
+        )
+        .groupBy(
+            F.col("_zi").alias("zi"),
+            F.col("_yi").alias("yi"),
+            F.col("_xi").alias("xi"),
+            F.col("_depth").alias("depth"),
+        )
+        .agg(F.sort_array(F.collect_list("path")).alias("paths"))
+    )
     # explicit spread: the groups shuffle is a few KiB, so AQE
     # coalesces it to ONE partition — which would serialize the
     # CPU-heavy per-block conversion downstream (the round-6 soak
@@ -481,13 +492,20 @@ def ktx_convert_blocks_fused(
             for row in pdf.itertuples():
                 items = []
                 for path in row.paths:
+                    m = chan_re.search(path)
+                    if m is None:
+                        raise ValueError(
+                            f"block file {path!r} does not follow the "
+                            "store's default.<channel>.tif naming — "
+                            "cannot assign it a channel for KTX "
+                            "conversion"
+                        )
                     rel = path.split(prefix, 1)[-1]
                     with filesystem.open_input_stream(
                         f"{base.rstrip('/')}/{rel}"
                     ) as fh:
                         arr = decode_tiff(fh.read())[..., 0]
-                    ch = int(chan_re.search(path).group(1))
-                    items.append((ch, arr, arr.shape))
+                    items.append((int(m.group(1)), arr, arr.shape))
                 zi, yi, xi = int(row.zi), int(row.yi), int(row.xi)
                 depth = int(row.depth) if has_depth else 0
                 if single:

@@ -115,14 +115,22 @@ def _infer_slice_dims(
     if not files:
         raise FileNotFoundError(source)
     if suffix in (".jp2", ".j2k"):
-        from hortacloud_importer_spark.sources.jp2 import jp2_shape
+        from hortacloud_importer_spark.sources.jp2 import (
+            check_jp2_uint16,
+            jp2_shape,
+        )
 
-        h, w, nc = jp2_shape(_read_bytes(files[0]))
+        head = _read_bytes(files[0])
+        h, w, nc = jp2_shape(head)
         if nc != 1:
             raise ValueError(
                 f"slice file {files[0]} has {nc} components; one "
                 "single-sample z-slice per file expected"
             )
+        # plan-time admission check mirroring TIFF's _page_dtype rule:
+        # a signed or >16-bit JP2 store must fail HERE, not wrap
+        # modulo 2^16 inside the uint16 tile-cut kernel
+        check_jp2_uint16(head, files[0])
         return len(files), h, w
     pages, h, w = tiff_shape(_read_bytes(files[0]))
     if pages != 1:
@@ -294,6 +302,11 @@ def stack_voxels(
     read capped stacks at the 2 GB row limit and made one file one
     task; a 100 GB BigTIFF stack now streams page-by-page with
     per-task memory bounded by one page.
+
+    ``path`` may glob (``*?[{`` Hadoop-style, with ``{a,b}``
+    alternation) in ANY segment: intermediate glob segments expand
+    against directories level by level (``run*/stack.tif``), a final
+    glob segment matches files in each expanded directory.
     """
     import pandas as pd
     from pyarrow import fs as pafs
@@ -327,22 +340,61 @@ def stack_voxels(
             out.extend(_expand_braces(pat[:i] + alt + pat[j + 1 :]))
         return out
 
-    filesystem, base = _pa_fs(path)
-    if any(c in base.rsplit("/", 1)[-1] for c in "*?[{"):
-        # glob form (dask imread parity): match within the parent dir
-        import fnmatch
-        import posixpath
+    def _glob_seg(s_: str) -> bool:
+        return any(c in s_ for c in "*?[{")
 
-        d, pat = posixpath.split(base)
-        pats = _expand_braces(pat)
-        infos = filesystem.get_file_info(pafs.FileSelector(d))
-        paths = sorted(
-            i.path
-            for i in infos
-            if i.type == pafs.FileType.File
-            and not _hidden(i.base_name)
-            and any(fnmatch.fnmatch(i.base_name, q) for q in pats)
-        )
+    filesystem, base = _pa_fs(path)
+    segs = base.split("/")
+    if any(_glob_seg(s) for s in segs):
+        # glob form (dask imread / Hadoop-glob parity): ANY segment
+        # may glob, not just the last — run*/stack.tif expands the
+        # run* DIRECTORIES level by level, then matches files (or
+        # falls through to the concrete-path branch per expansion)
+        import fnmatch
+
+        def _matches(name, seg):
+            return any(
+                fnmatch.fnmatch(name, q) for q in _expand_braces(seg)
+            )
+
+        first = next(i for i, s in enumerate(segs) if _glob_seg(s))
+        prefixes = ["/".join(segs[:first])]
+        for seg in segs[first:-1]:
+            if not _glob_seg(seg):
+                prefixes = [f"{pre}/{seg}" for pre in prefixes]
+                continue
+            nxt = []
+            for pre in prefixes:
+                infos = filesystem.get_file_info(pafs.FileSelector(pre))
+                nxt.extend(
+                    i.path
+                    for i in infos
+                    if i.type == pafs.FileType.Directory
+                    and not _hidden(i.base_name)
+                    and _matches(i.base_name, seg)
+                )
+            prefixes = sorted(nxt)
+        last = segs[-1]
+        paths = []
+        if _glob_seg(last):
+            for pre in prefixes:
+                infos = filesystem.get_file_info(pafs.FileSelector(pre))
+                paths.extend(
+                    i.path
+                    for i in infos
+                    if i.type == pafs.FileType.File
+                    and not _hidden(i.base_name)
+                    and _matches(i.base_name, last)
+                )
+        else:
+            for pre in prefixes:
+                cand = f"{pre}/{last}"
+                if (
+                    filesystem.get_file_info(cand).type
+                    == pafs.FileType.File
+                ):
+                    paths.append(cand)
+        paths = sorted(paths)
     else:
         info = filesystem.get_file_info(base)
         if info.type == pafs.FileType.File:

@@ -364,7 +364,17 @@ def _decode_slice_pages(data: bytes, path: str) -> np.ndarray:
     if path.lower().endswith((".jp2", ".j2k", ".jpf")):
         from hortacloud_importer_spark.sources.jp2 import decode_jp2
 
-        return decode_jp2(data)
+        pages = decode_jp2(data)
+        # executor-side dual of the plan-time check_jp2_uint16 probe:
+        # whatever the codec returned must FIT the uint16 voxel model
+        # (TIFF ingest gets this for free from _page_dtype) — reject
+        # rather than wrap
+        if pages.dtype.kind != "u" or pages.dtype.itemsize > 2:
+            raise ValueError(
+                f"{path}: decoded JP2 samples are {pages.dtype}; "
+                "octree ingest supports unsigned <=16-bit samples only"
+            )
+        return pages
     from hortacloud_importer_spark.sources.tiff import decode_tiff
 
     return decode_tiff(data)

@@ -58,6 +58,82 @@ def _codestream_shape(data: bytes) -> tuple[int, int, int]:
     return ysiz - yosiz, xsiz - xosiz, csiz
 
 
+def _unpack_depth(raw: int, where: str) -> tuple[int, bool]:
+    """ISO/IEC 15444-1 sample-precision byte (Ssiz / ihdr BPC / bpcc
+    entry) -> (bit_depth, signed): low 7 bits are depth-1, the high
+    bit flags two's-complement samples."""
+    depth = (raw & 0x7F) + 1
+    signed = bool(raw & 0x80)
+    if depth < 1 or depth > 38:
+        raise Jp2ParseError(f"invalid sample depth {depth} in {where}")
+    return depth, signed
+
+
+def _codestream_sample_format(data: bytes) -> tuple[int, bool]:
+    csiz_end = 42 + 3 * struct.unpack(">H", data[40:42])[0]
+    if data[:2] != SOC_MARKER or data[2:4] != _SIZ_MARKER or len(data) < csiz_end:
+        raise Jp2ParseError("truncated SIZ component table")
+    # per-component Ssiz(1) XRsiz(1) YRsiz(1) triples after Csiz
+    depth, signed = 0, False
+    for off in range(42, csiz_end, 3):
+        d, s = _unpack_depth(data[off], "SIZ Ssiz")
+        depth, signed = max(depth, d), signed or s
+    return depth, signed
+
+
+def jp2_sample_format(data: bytes) -> tuple[int, bool]:
+    """(bit_depth, signed) from headers only — the JP2 analog of
+    TIFF's BitsPerSample/SampleFormat tags (sources/tiff.py
+    ``_page_dtype``). Reads the ihdr BPC field (or the ``bpcc`` box
+    when BPC=255 declares per-component depths, taking the widest),
+    or a raw codestream's per-component Ssiz bytes. Lets a slice
+    directory's ingest reject >16-bit or signed JP2 samples at plan
+    time instead of silently wrapping them into uint16 tiles."""
+    if data[:2] == SOC_MARKER:
+        return _codestream_sample_format(data)
+    if data[: len(JP2_SIGNATURE)] != JP2_SIGNATURE:
+        raise Jp2ParseError("neither a JP2 signature box nor a J2K codestream")
+    for tbox, p0, p1 in _iter_boxes(data, len(JP2_SIGNATURE), len(data)):
+        if tbox != b"jp2h":
+            continue
+        bpc = None
+        bpcc: bytes | None = None
+        for t2, q0, q1 in _iter_boxes(data, p0, p1):
+            if t2 == b"ihdr":
+                if q1 - q0 < 11:
+                    raise Jp2ParseError("short ihdr box")
+                bpc = data[q0 + 10]
+            elif t2 == b"bpcc":
+                bpcc = data[q0:q1]
+        if bpc is None:
+            raise Jp2ParseError("jp2h box without ihdr")
+        if bpc != 0xFF:
+            return _unpack_depth(bpc, "ihdr BPC")
+        if not bpcc:
+            raise Jp2ParseError("ihdr BPC=255 but no bpcc box")
+        depth, signed = 0, False
+        for raw in bpcc:
+            d, s = _unpack_depth(raw, "bpcc")
+            depth, signed = max(depth, d), signed or s
+        return depth, signed
+    raise Jp2ParseError("no jp2h box")
+
+
+def check_jp2_uint16(data: bytes, path: str = "<jp2>") -> None:
+    """Raise unless every component is unsigned <=16-bit — the same
+    admission rule TIFF ingest enforces via ``_page_dtype`` (uint8/
+    uint16 only). Called at plan time so a 32-bit or signed JP2 slice
+    fails the build up front rather than wrapping modulo 2^16 inside
+    the tile-cut kernel (pipelines/octree.py ``_slices_to_blocks``)."""
+    depth, signed = jp2_sample_format(data)
+    if signed or depth > 16:
+        raise Jp2ParseError(
+            f"{path}: JP2 samples are {'signed ' if signed else ''}"
+            f"{depth}-bit; octree ingest supports unsigned <=16-bit "
+            "samples only (uint16 tile shuffle would wrap the values)"
+        )
+
+
 def _iter_boxes(data: bytes, start: int, end: int):
     """Yield (box_type, payload_offset, payload_end) walking the JP2
     box sequence in ``data[start:end]``."""
@@ -110,6 +186,14 @@ def decode_jp2(data: bytes) -> np.ndarray:
     tiff.decode_tiff's shape contract. Gated: requires an OpenJPEG
     binding (glymur, imageio+plugin, or Pillow built with JP2)."""
     h, w, nc = jp2_shape(data)  # validate + fail with real geometry
+    # Each binding may be importable yet still lack JPEG-2000 support
+    # (imageio without its plugin raises OSError/ValueError from
+    # imread; Pillow built without OpenJPEG raises
+    # UnidentifiedImageError, a ValueError/OSError subclass) — treat
+    # those exactly like an absent import and fall through to the
+    # next binding, carrying the messages into the final gate so a
+    # genuine decode failure is still visible.
+    failures: list[str] = []
     try:
         import glymur  # type: ignore[import-not-found]
         import tempfile
@@ -122,22 +206,29 @@ def decode_jp2(data: bytes) -> np.ndarray:
         return _normalize(arr)
     except ImportError:
         pass
+    except (OSError, ValueError, RuntimeError) as exc:
+        failures.append(f"glymur: {exc}")
     try:
         import imageio.v3 as iio  # type: ignore[import-not-found]
 
         return _normalize(np.asarray(iio.imread(io.BytesIO(data), extension=".jp2")))
     except ImportError:
         pass
+    except (OSError, ValueError, RuntimeError) as exc:
+        failures.append(f"imageio: {exc}")
     try:
         import PIL.Image as Image  # type: ignore[import-not-found]
 
         return _normalize(np.asarray(Image.open(io.BytesIO(data))))
     except ImportError:
         pass
+    except (OSError, ValueError, RuntimeError) as exc:
+        failures.append(f"PIL: {exc}")
+    detail = ("; tried " + "; ".join(failures)) if failures else ""
     raise NotImplementedError(
         f"JP2 slice decode ({h}x{w}, {nc} component(s)) needs an OpenJPEG "
         "binding — install glymur, imageio (with its JPEG-2000 plugin), or "
-        "a Pillow built with OpenJPEG; none is bundled with this engine"
+        f"a Pillow built with OpenJPEG; none is bundled with this engine{detail}"
     )
 
 

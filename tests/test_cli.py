@@ -410,3 +410,37 @@ def test_crop_accounting_counts_after_dtype_cast(spark, tmp_path):
         (tmp_path / "wrap_out" / "default.0.00000.tif").read_bytes()
     )[0, :, :, 0]
     assert int(np.count_nonzero(page)) == 1
+
+
+def test_stack_voxels_intermediate_segment_glob(spark, tmp_path):
+    """ADVICE r6: Hadoop-style globs in INTERMEDIATE path segments
+    (run*/stack.tif) expand against directories level by level — the
+    binaryFile reader supported these and the page-grain planner must
+    too."""
+    from hortacloud_importer_spark.pipelines import stack_voxels
+
+    rng = np.random.default_rng(47)
+    vols = [
+        rng.integers(1, 250, (2, 4, 4), dtype=np.uint8) for _ in range(2)
+    ]
+    for i, v in enumerate(vols):
+        d = tmp_path / f"run{i}"
+        d.mkdir()
+        (d / "stack.tif").write_bytes(encode_tiff(v))
+    # a decoy that must NOT match
+    decoy = tmp_path / "other"
+    decoy.mkdir()
+    (decoy / "stack.tif").write_bytes(
+        encode_tiff(rng.integers(1, 9, (3, 4, 4), dtype=np.uint8))
+    )
+
+    vox, dims = stack_voxels(spark, str(tmp_path / "run*" / "stack.tif"))
+    assert dims == (4, 4, 4)
+    got = np.zeros(dims, dtype=np.int64)
+    for r in vox.collect():
+        got[r["z"], r["y"], r["x"]] = r["intensity"]
+    assert np.array_equal(got, np.concatenate(vols).astype(np.int64))
+
+    # glob in BOTH an intermediate and the final segment
+    vox2, dims2 = stack_voxels(spark, str(tmp_path / "run*" / "*.tif"))
+    assert dims2 == (4, 4, 4)

@@ -122,3 +122,86 @@ def test_build_octree_detects_jp2_slices_and_gates_decode(spark, tmp_path):
             nlevels=2,
             filter_="max",
         ).collect()
+
+
+def _jp2_bytes_bpc(h: int, w: int, nc: int, bpc: int) -> bytes:
+    """Like _jp2_bytes but with an explicit ihdr BPC byte."""
+    ftyp = _box(b"ftyp", b"jp2 " + b"\x00" * 4 + b"jp2 ")
+    ihdr = _box(b"ihdr", struct.pack(">IIHBBBB", h, w, nc, bpc, 7, 0, 0))
+    jp2h = _box(b"jp2h", ihdr)
+    jp2c = _box(b"jp2c", _codestream(h, w, nc))
+    return JP2_SIGNATURE + ftyp + jp2h + jp2c
+
+
+def test_jp2_sample_format_from_ihdr_and_codestream():
+    from hortacloud_importer_spark.sources.jp2 import jp2_sample_format
+
+    # BPC byte: low 7 bits = depth-1, high bit = signed
+    assert jp2_sample_format(_jp2_bytes_bpc(4, 4, 1, 7)) == (8, False)
+    assert jp2_sample_format(_jp2_bytes_bpc(4, 4, 1, 15)) == (16, False)
+    assert jp2_sample_format(_jp2_bytes_bpc(4, 4, 1, 31)) == (32, False)
+    assert jp2_sample_format(_jp2_bytes_bpc(4, 4, 1, 0x87)) == (8, True)
+    # raw codestream: per-component Ssiz bytes (the _codestream
+    # builder writes 0x07 = 8-bit unsigned)
+    assert jp2_sample_format(_codestream(4, 4, 2)) == (8, False)
+
+
+def test_jp2_sample_format_bpcc_box_takes_widest():
+    from hortacloud_importer_spark.sources.jp2 import jp2_sample_format
+
+    # BPC=255 declares per-component depths in a bpcc box
+    ftyp = _box(b"ftyp", b"jp2 " + b"\x00" * 4 + b"jp2 ")
+    ihdr = _box(b"ihdr", struct.pack(">IIHBBBB", 4, 4, 2, 0xFF, 7, 0, 0))
+    bpcc = _box(b"bpcc", bytes([7, 15]))  # 8-bit + 16-bit
+    jp2h = _box(b"jp2h", ihdr + bpcc)
+    data = JP2_SIGNATURE + ftyp + jp2h + _box(b"jp2c", _codestream(4, 4, 2))
+    assert jp2_sample_format(data) == (16, False)
+
+
+def test_check_jp2_uint16_rejects_wide_or_signed_samples():
+    """ADVICE r6 (medium): >16-bit or signed JP2 slices must fail at
+    admission instead of wrapping modulo 2^16 in the uint16 tile cut
+    — the JP2 mirror of TIFF's _page_dtype rule."""
+    from hortacloud_importer_spark.sources.jp2 import check_jp2_uint16
+
+    check_jp2_uint16(_jp2_bytes_bpc(4, 4, 1, 15))  # 16-bit unsigned ok
+    with pytest.raises(Jp2ParseError, match="32-bit"):
+        check_jp2_uint16(_jp2_bytes_bpc(4, 4, 1, 31))
+    with pytest.raises(Jp2ParseError, match="signed"):
+        check_jp2_uint16(_jp2_bytes_bpc(4, 4, 1, 0x87))
+
+
+def test_infer_slice_dims_rejects_wide_jp2(tmp_path):
+    """The plan-time probe in _infer_slice_dims applies the admission
+    rule, so a 32-bit JP2 store fails the build before any executor
+    work."""
+    from hortacloud_importer_spark.pipelines.octree import _infer_slice_dims
+
+    indir = tmp_path / "wide_jp2"
+    indir.mkdir()
+    for z in range(2):
+        (indir / f"{z:05d}.jp2").write_bytes(_jp2_bytes_bpc(4, 4, 1, 31))
+    with pytest.raises(Jp2ParseError, match="32-bit"):
+        _infer_slice_dims(str(indir), 1, ".jp2")
+
+
+def test_decode_jp2_falls_through_broken_binding(monkeypatch):
+    """ADVICE r6: an importable binding that cannot decode (plugin
+    missing -> OSError/ValueError) must fall through to the next
+    binding and surface its message in the final gate, not mask the
+    chain with its own error."""
+    import sys
+    import types
+
+    class _BrokenJp2k:
+        def __init__(self, *a, **k):
+            raise OSError("openjpeg library not found")
+
+    fake = types.ModuleType("glymur")
+    fake.Jp2k = _BrokenJp2k
+    monkeypatch.setitem(sys.modules, "glymur", fake)
+    if _codec_available():
+        pytest.skip("a later binding would decode for real here")
+    with pytest.raises(NotImplementedError) as exc:
+        decode_jp2(_jp2_bytes(4, 4, 1))
+    assert "glymur: openjpeg library not found" in str(exc.value)

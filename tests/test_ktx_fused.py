@@ -330,3 +330,63 @@ def test_ktx_resume_never_opens_committed_source_blocks(spark, store, tmp_path):
         build_octree(
             spark, v, store, nlevels=2, filter_="arthur", dims=(16, 16, 16)
         )
+
+
+def test_block_file_groups_skip_stray_tif(spark, tmp_path):
+    """ADVICE r6: grouped (interleave) mode must apply the same
+    default.<n>.tif admission predicate per_channel mode does — a
+    stray .tif inside a foreign (manifest-less) store previously
+    crashed the fused kernel's channel parse with AttributeError."""
+    import shutil
+
+    from hortacloud_importer_spark.pipelines.ktx import (
+        _block_file_groups,
+        ktx_convert_blocks_fused,
+    )
+    from hortacloud_importer_spark.sources.tiff import encode_tiff
+
+    root = str(tmp_path / "store")
+    v = synthetic_volume(spark, 8, 8, 8, zero_fraction_mod=5)
+    build_octree(spark, v, root, nlevels=1, filter_="arthur", dims=(8, 8, 8))
+    # make it a foreign store (no manifest -> listing is not filtered
+    # by the commit semi-join) and drop in a non-conforming file
+    shutil.rmtree(os.path.join(root, "_manifest"))
+    stray = os.path.join(root, "notes.tif")
+    with open(stray, "wb") as fh:
+        fh.write(
+            encode_tiff(np.ones((1, 4, 4), dtype=np.uint8))
+        )
+
+    groups = _block_file_groups(spark, root)
+    all_paths = [p for r in groups.collect() for p in r["paths"]]
+    assert all(p.endswith("default.0.tif") for p in all_paths)
+    assert not any(p.endswith("notes.tif") for p in all_paths)
+
+    # and the fused conversion over those groups completes
+    out = ktx_convert_blocks_fused(
+        _block_file_groups(spark, root), n_mips=2, filter_="arthur",
+        interleave=True, store_root=root,
+    )
+    assert out.count() == 1
+
+
+def test_fused_filegroups_names_offending_path(spark):
+    """If a non-conforming path ever reaches the fused kernel (e.g. a
+    caller-built group row), the error names the file instead of an
+    opaque AttributeError."""
+    from pyspark.sql import functions as F
+
+    from hortacloud_importer_spark.pipelines.ktx import (
+        ktx_convert_blocks_fused,
+    )
+
+    rows = spark.createDataFrame(
+        [(0, 0, 0, 0, ["/nowhere/block/custom_name.tif"])],
+        "zi int, yi int, xi int, depth int, paths array<string>",
+    )
+    out = ktx_convert_blocks_fused(
+        rows, n_mips=2, filter_="arthur", interleave=True,
+        store_root="/nowhere",
+    )
+    with pytest.raises(Exception, match="default.<channel>.tif"):
+        out.count()
