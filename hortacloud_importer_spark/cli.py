@@ -180,6 +180,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="reclaim converted source blocks after the KTX commit "
         "(the reference's --ktxonly cleanup)",
     )
+    ktx_p.add_argument(
+        "--lz4",
+        action="store_true",
+        help="write LZ4-frame side-compressed .ktx.lz4 files "
+        "(the reference's LZ4.exe post-pass, done inline)",
+    )
     _spark_flags(ktx_p)
 
     crop_p = sub.add_parser(
@@ -434,6 +440,7 @@ def _run_ktx(args) -> dict:
         downsample_xy=args.downsample_xy,
         delete_source=args.delete_source,
         resume=args.resume,
+        lz4=args.lz4,
     ).first()
     return {
         "command": "ktx",

@@ -561,6 +561,7 @@ def tiff_octree_to_ktx(
     fused: bool = True,
     delete_source: bool = False,
     resume: bool = False,
+    lz4: bool = False,
 ) -> DataFrame:
     """Convert a ``tiff_blocks`` octree store into a KTX block store.
 
@@ -585,6 +586,11 @@ def tiff_octree_to_ktx(
     ``downsample_xy`` halves X/Y once before the mip chain
     (ktx/util.py:184-192). ``n_mips`` counts levels AFTER the XY
     halving.
+
+    ``lz4`` writes LZ4-frame ``.ktx.lz4`` side-compressed files (the
+    reference's dev-only ``LZ4.exe`` post-pass over the store,
+    ktx_from_rendered_tiff.py:565-583, folded into the per-executor
+    write); ``decode_ktx`` and every reader handle both transparently.
 
     ``delete_source`` mirrors the reference's ``--ktxonly`` space
     reclaim (tiff2octree.py:508-515, 1153-1162): after the KTX
@@ -640,7 +646,8 @@ def tiff_octree_to_ktx(
                 F.col("yi").cast("string"), F.lit("_"),
                 F.col("xi").cast("string"),
                 tag,
-                F.lit("_ch"), ch, F.lit(".ktx"),
+                F.lit("_ch"), ch,
+                F.lit(".ktx.lz4" if lz4 else ".ktx"),
             )
             blocks = (
                 blocks.withColumn("rel", rel)
@@ -693,6 +700,7 @@ def tiff_octree_to_ktx(
                 store_root=store_root,
             )
             .write.format("ktx_files")
+            .option("lz4", str(lz4).lower())
             .mode("append")
             .save(out_dir)
         )
@@ -728,6 +736,7 @@ def tiff_octree_to_ktx(
                 geometry=geometry,
             )
             .write.format("ktx_files")
+            .option("lz4", str(lz4).lower())
             .mode("append")
             .save(out_dir)
         )

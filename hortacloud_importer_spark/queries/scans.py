@@ -492,3 +492,85 @@ def vol_n5_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("intensity").alias("max_i"),
         )
     )
+
+
+@register(
+    "scan_zarr_blosc",
+    "A1+A3",
+    oracle="""
+SELECT t1.range AS z, t2.range AS y, t3.range AS x,
+       (11 * (t1.range * 30 + t2.range * 6 + t3.range)) % 65521 AS intensity
+FROM range(5) t1, range(5) t2, range(6) t3
+WHERE t1.range >= 1 AND t2.range < 4
+""",
+    # local registry: the external driver window is frozen at 50
+    # (A3 is driver-covered by scan_n5_datasource); the oracle still
+    # runs under tests/test_oracle.py + tools/check_oracle.py
+    driver=False,
+)
+def scan_zarr_blosc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 with Zarr's DEFAULT compressor: a deterministic Zarr-v2
+    store (intensity = 11*(z*dy*dx + y*dx + x) mod 65521, dims 5x5x6,
+    4^3 chunks) is written with blosc-lz4 + byte shuffle — the
+    numcodecs default real-world stores carry — through the
+    clean-room c-blosc1 container writer (sources/codecs.py), then
+    read back via ``spark.read.format("zarr_volume")`` under a z/y
+    window. Proves the codec matrix end-to-end at the driver level:
+    blosc header parse, split-stream lz4 decode, per-block byte
+    unshuffle, edge-chunk clipping."""
+    import json
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.sources.codecs import blosc_compress
+    from hortacloud_importer_spark.sources.datasource import (
+        register_volume_sources,
+    )
+
+    register_volume_sources(spark)
+    dz, dy, dx = 5, 5, 6
+    cz = cy = cx = 4
+    vol = ((np.arange(dz * dy * dx).reshape(dz, dy, dx) * 11) % 65521).astype(
+        "<u2"
+    )
+    root = tempfile.mkdtemp(prefix="zarr_blosc_") + "/arr.zarr"
+    os.makedirs(root)
+    with open(f"{root}/.zarray", "w") as fh:
+        json.dump(
+            {
+                "zarr_format": 2,
+                "shape": [dz, dy, dx],
+                "chunks": [cz, cy, cx],
+                "dtype": "<u2",
+                "compressor": {
+                    "id": "blosc",
+                    "cname": "lz4",
+                    "clevel": 5,
+                    "shuffle": 1,
+                    "blocksize": 0,
+                },
+                "order": "C",
+                "fill_value": 0,
+                "filters": None,
+            },
+            fh,
+        )
+    for gz_i in range((dz + cz - 1) // cz):
+        for gy in range((dy + cy - 1) // cy):
+            for gx in range((dx + cx - 1) // cx):
+                full = np.zeros((cz, cy, cx), dtype="<u2")
+                blk = vol[
+                    gz_i * cz : (gz_i + 1) * cz,
+                    gy * cy : (gy + 1) * cy,
+                    gx * cx : (gx + 1) * cx,
+                ]
+                full[: blk.shape[0], : blk.shape[1], : blk.shape[2]] = blk
+                with open(f"{root}/{gz_i}.{gy}.{gx}", "wb") as fh:
+                    fh.write(blosc_compress(full.tobytes(), typesize=2))
+    return (
+        spark.read.format("zarr_volume")
+        .load(root)
+        .filter((F.col("z") >= 1) & (F.col("y") < 4))
+    )

@@ -580,6 +580,9 @@ class _KtxWriter(DataSourceWriter):
     def __init__(self, options: dict, overwrite: bool):
         self.out_dir = options["path"].rstrip("/")
         self.overwrite = overwrite
+        # .ktx.lz4 side-compression (reference's LZ4.exe post-pass,
+        # ktx_from_rendered_tiff.py:565-583) done inline per executor
+        self.lz4 = str(options.get("lz4", "false")).lower() == "true"
         if overwrite:
             from pyarrow import fs as pafs
 
@@ -595,7 +598,7 @@ class _KtxWriter(DataSourceWriter):
                 infos = []
             for info in infos:
                 if info.type == pafs.FileType.File and info.base_name.endswith(
-                    ".ktx"
+                    (".ktx", ".ktx.lz4")
                 ):
                     filesystem.delete_file(info.path)
 
@@ -612,11 +615,18 @@ class _KtxWriter(DataSourceWriter):
         files, n = [], 0
         from hortacloud_importer_spark.sources.ktx import ktx_block_name
 
+        if self.lz4:
+            from hortacloud_importer_spark.sources.codecs import (
+                lz4_frame_compress,
+            )
         for row in iterator:
-            name = ktx_block_name(row)
+            name = ktx_block_name(row, lz4=self.lz4)
             staged = f"{base}/.{name}.tmp" if local else f"{base}/{name}"
+            blob = bytes(row["ktx"])
+            if self.lz4:
+                blob = lz4_frame_compress(blob)
             with filesystem.open_output_stream(staged) as fh:
-                fh.write(bytes(row["ktx"]))
+                fh.write(blob)
             if local:
                 filesystem.move(staged, f"{base}/{name}")
             files.append(name)

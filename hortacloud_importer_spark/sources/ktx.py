@@ -174,7 +174,21 @@ def encode_ktx(header: KtxHeader, mipmaps: list[bytes]) -> bytes:
     return out.getvalue()
 
 
+_LZ4_FRAME_MAGIC = b"\x04\x22\x4d\x18"  # LZ4 frame, little-endian
+
+
 def decode_ktx(data: bytes) -> tuple[KtxHeader, list[bytes]]:
+    if data[:4] == _LZ4_FRAME_MAGIC:
+        # .ktx.lz4 side-compression (the reference's dev shell-out to
+        # LZ4.exe, ktx_from_rendered_tiff.py:565-583, writes LZ4
+        # frames): transparently decompress, so every reader —
+        # ktx_decode_blocks over binaryFile rows included — handles
+        # compressed stores with no extra plumbing
+        from hortacloud_importer_spark.sources.codecs import (
+            lz4_frame_decompress,
+        )
+
+        data = lz4_frame_decompress(data)
     src = io.BytesIO(data)
     header = KtxHeader.read_stream(src)
     mipmaps = []
@@ -475,7 +489,7 @@ def ktx_encode_blocks(
     )
 
 
-def ktx_block_name(row) -> str:
+def ktx_block_name(row, lz4: bool = False) -> str:
     """Sink file name for one encoded block row. Single-level
     conversions keep the flat ``block_{z}_{y}_{x}_ch{c}.ktx`` name;
     whole-store conversions (depth column present and non-zero) add
@@ -488,10 +502,11 @@ def ktx_block_name(row) -> str:
     except (KeyError, ValueError, IndexError):
         depth = None
     tag = f"_d{depth}" if depth else ""
-    return f"block_{row['zi']}_{row['yi']}_{row['xi']}{tag}_ch{row['channel']}.ktx"
+    sfx = ".ktx.lz4" if lz4 else ".ktx"
+    return f"block_{row['zi']}_{row['yi']}_{row['xi']}{tag}_ch{row['channel']}{sfx}"
 
 
-def write_ktx_files(encoded: DataFrame, out_dir: str) -> None:
+def write_ktx_files(encoded: DataFrame, out_dir: str, lz4: bool = False) -> None:
     """A8 file sink: one ``block_{z}_{y}_{x}_ch{c}.ktx`` per row,
     written BY EXECUTORS via foreachPartition — blobs never visit the
     driver. Paths resolve through ``pyarrow.fs.FileSystem.from_uri``,
@@ -502,7 +517,12 @@ def write_ktx_files(encoded: DataFrame, out_dir: str) -> None:
     tmp+rename for atomic visibility; object stores are single-PUT
     atomic already, and task retries simply overwrite the same key
     (idempotent names). Pair with ``spark.read.format("binaryFile")``
-    + :func:`ktx_decode_blocks` for the A9 read path."""
+    + :func:`ktx_decode_blocks` for the A9 read path.
+
+    ``lz4`` writes ``.ktx.lz4`` LZ4-frame side-compressed files (the
+    reference's LZ4.exe shell-out, ktx_from_rendered_tiff.py:565-583,
+    done inline per executor instead of as a post-pass over the
+    store); :func:`decode_ktx` reads them transparently."""
 
     def write_partition(rows):
         from pyarrow import fs as pafs
@@ -513,12 +533,19 @@ def write_ktx_files(encoded: DataFrame, out_dir: str) -> None:
             filesystem, base = pafs.LocalFileSystem(), out_dir
         filesystem.create_dir(base, recursive=True)
         local = isinstance(filesystem, pafs.LocalFileSystem)
+        if lz4:
+            from hortacloud_importer_spark.sources.codecs import (
+                lz4_frame_compress,
+            )
         for row in rows:
-            name = ktx_block_name(row)
+            name = ktx_block_name(row, lz4=lz4)
             target = f"{base}/{name}"
             staged = f"{base}/.{name}.tmp" if local else target
+            blob = bytes(row["ktx"])
+            if lz4:
+                blob = lz4_frame_compress(blob)
             with filesystem.open_output_stream(staged) as fh:
-                fh.write(bytes(row["ktx"]))
+                fh.write(blob)
             if local:
                 filesystem.move(staged, target)
 

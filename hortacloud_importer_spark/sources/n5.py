@@ -18,17 +18,19 @@ container formats are public specs:
   numpy dtype string, ``compressor``; chunk files ``<i>.<j>.<k>``
   (slowest dimension first), full chunk size with fill overflow.
 
-``raw`` N5 chunks and ``compressor: null`` Zarr chunks decode as-is;
-``gzip``/``zlib`` decode via the stdlib. Other codecs (blosc, lz4,
-xz) raise a clear error naming the missing library — same honesty
-rule as FIXTURES.md's codec probe.
+Chunk payloads decode through sources/codecs.py: the full standard
+N5 codec set (raw, gzip incl. ``useZlib``, bzip2, lz4-java block
+streams, xz) and the Zarr-v2 numcodecs set (blosc — the Zarr
+default — lz4, zstd, gzip, zlib, bz2, lzma). The two ``lz4`` ids are
+DIFFERENT formats (N5 wraps chunks in lz4-java block streams, Zarr's
+numcodecs prefixes one raw LZ4 block with its size), which is why the
+dispatch is per-container. Only blosc's blosclz inner codec and
+bit-shuffle filter remain gated with a clear error.
 """
 
 from __future__ import annotations
 
-import gzip
 import json
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -56,17 +58,6 @@ def _read_json(spark: SparkSession, path: str) -> dict:
     return json.loads(bytes(baos.toByteArray()).decode("utf-8"))
 
 
-def _decompress(payload: bytes, codec: str) -> bytes:
-    if codec in ("raw", "null", "none"):
-        return payload
-    if codec == "gzip":
-        return gzip.decompress(payload)
-    if codec == "zlib":
-        return zlib.decompress(payload)
-    raise ChunkStoreError(
-        f"chunk codec {codec!r} needs a library this container lacks "
-        "(see FIXTURES.md); raw/gzip/zlib are built in"
-    )
 
 
 _N5_DTYPES = {
@@ -107,7 +98,9 @@ def n5_chunk_axes(
             f"corrupt N5 chunk header: block dims {bdims_xyz} "
             f"outside dataset blockSize {list(block_xyz)}"
         )
-    payload = _decompress(raw[hdr_end:], codec)
+    from hortacloud_importer_spark.sources.codecs import n5_decompress
+
+    payload = n5_decompress(raw[hdr_end:], codec)
     n_expected = int(np.prod(bdims_xyz))
     if len(payload) != n_expected * np.dtype(np_dtype).itemsize:
         raise ChunkStoreError(
@@ -130,7 +123,10 @@ def n5_meta(attrs: dict) -> tuple[list[int], list[int], str, str]:
     """Validate attributes.json -> (dims_xyz, block_xyz, codec, np_dtype)."""
     dims_xyz = attrs["dimensions"]  # x fastest per the N5 spec
     block_xyz = attrs["blockSize"]
-    codec = (attrs.get("compression") or {"type": "raw"})["type"]
+    comp = attrs.get("compression") or {"type": "raw"}
+    codec = comp["type"]
+    if codec == "gzip" and comp.get("useZlib"):
+        codec = "zlib"  # N5 GzipCompression(useZlib=true) = zlib framing
     np_dtype = _N5_DTYPES.get(attrs["dataType"])
     if np_dtype is None:
         raise ChunkStoreError(f"unsupported N5 dataType {attrs['dataType']!r}")
@@ -206,7 +202,9 @@ def zarr_chunk_axes(
 
     Edge chunks are stored full-size; the overhang past ``shape`` is
     clipped. Shared with sources/datasource.py."""
-    payload = _decompress(raw, codec)
+    from hortacloud_importer_spark.sources.codecs import zarr_decompress
+
+    payload = zarr_decompress(raw, codec)
     n_expected = int(np.prod(chunks_zyx))
     if len(payload) != n_expected * np.dtype(np_dtype).itemsize:
         raise ChunkStoreError(

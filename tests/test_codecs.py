@@ -1,0 +1,224 @@
+"""Chunk/side-file codec layer (sources/codecs.py): LZ4 frame,
+lz4-java block streams (N5), numcodecs LZ4, the c-blosc1 container
+(Zarr's default compressor), xxh32, and the per-container dispatch.
+
+All formats are public specs; fixtures below are built byte-by-byte
+from those specs (xxh32 is additionally pinned to the published
+xxHash test vectors), so a format drift in the implementation fails
+against spec-shaped bytes, not just its own roundtrip."""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import lzma
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from hortacloud_importer_spark.sources import codecs as C
+
+
+def test_xxh32_published_vectors():
+    # xxHash reference test vectors (Cyan4973/xxHash)
+    assert C.xxh32(b"") == 0x02CC5D05
+    assert C.xxh32(b"a") == 0x550D7456
+
+
+def test_xxh32_seed_and_lengths():
+    rng = np.random.default_rng(7)
+    # structural: all length classes (16+ lanes, 4-byte tail, 1-byte
+    # tail) produce stable 32-bit values and differ by seed
+    for n in (0, 1, 3, 4, 15, 16, 17, 63, 1024):
+        data = bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        h0, h1 = C.xxh32(data, 0), C.xxh32(data, 1)
+        assert 0 <= h0 <= 0xFFFFFFFF
+        if n:
+            assert h0 != h1
+
+
+def test_lz4_frame_roundtrip_and_magic():
+    data = b"the quick brown fox " * 1000
+    enc = C.lz4_frame_compress(data)
+    assert enc[:4] == b"\x04\x22\x4d\x18"  # LZ4 frame magic
+    assert C.lz4_frame_decompress(enc) == data
+
+
+def test_lz4java_roundtrip_multi_block_and_raw_blocks():
+    rng = np.random.default_rng(11)
+    cases = [
+        b"",
+        b"abc",
+        b"Z" * 300_000,  # compressible, spans >4 blocks at 64 KiB
+        bytes(rng.integers(0, 256, 200_000, dtype=np.uint8)),  # raw blocks
+    ]
+    for data in cases:
+        enc = C.lz4java_block_compress(data, block_size=1 << 16)
+        assert C.lz4java_block_decompress(enc) == data
+
+
+def test_lz4java_stream_shape_matches_spec():
+    """Byte-level frame check against the lz4-java stream layout:
+    per-block 'LZ4Block' magic + token + LE32 lengths."""
+    data = b"x" * 100
+    enc = C.lz4java_block_compress(data, block_size=1 << 16)
+    assert enc[:8] == b"LZ4Block"
+    token, clen, dlen = struct.unpack("<BII", enc[8:17])
+    assert token & 0xF0 in (0x10, 0x20)
+    assert token & 0x0F == 6  # 64 KiB block size -> level 6
+    assert dlen == 100
+    # end mark: zero lengths
+    assert enc[-12:] == struct.pack("<III", 0, 0, 0)
+    # truncated stream fails with a clear error
+    with pytest.raises(C.CodecError, match="truncated|header"):
+        C.lz4java_block_decompress(enc[: len(enc) - 13] + b"\x01")
+
+
+def test_lz4java_tolerates_missing_end_mark():
+    data = b"hello world" * 50
+    enc = C.lz4java_block_compress(data)
+    no_end = enc[: len(enc) - (8 + 13)]
+    assert C.lz4java_block_decompress(no_end) == data
+
+
+def test_numcodecs_lz4_roundtrip_and_prefix():
+    data = b"zarr chunk " * 500
+    enc = C.numcodecs_lz4_compress(data)
+    (dlen,) = struct.unpack("<I", enc[:4])
+    assert dlen == len(data)
+    assert C.numcodecs_lz4_decompress(enc) == data
+    with pytest.raises(C.CodecError):
+        C.numcodecs_lz4_decompress(b"\x01")
+
+
+@pytest.mark.parametrize("cname", ["lz4", "zlib", "zstd", "snappy"])
+@pytest.mark.parametrize("typesize", [1, 2, 4])
+@pytest.mark.parametrize("shuffle", [True, False])
+def test_blosc_roundtrip(cname, typesize, shuffle):
+    rng = np.random.default_rng(13)
+    for n in (0, 1, 100, 4096, 70_001):
+        data = bytes(rng.integers(0, 40, n, dtype=np.uint8))
+        enc = C.blosc_compress(
+            data, typesize=typesize, cname=cname, shuffle=shuffle,
+            blocksize=1 << 14,
+        )
+        assert C.blosc_decompress(enc) == data
+
+
+def test_blosc_header_fields_match_spec():
+    data = np.arange(4096, dtype="<u2").tobytes()
+    enc = C.blosc_compress(data, typesize=2, cname="lz4", shuffle=True)
+    # 16-byte header: version, versionlz, flags, typesize, then LE32
+    # nbytes / blocksize / cbytes
+    assert enc[0] >= 1
+    flags, typesize = enc[2], enc[3]
+    assert flags & 0x1  # byte-shuffle flag
+    assert (flags >> 5) & 0x7 == 1  # lz4 compressor code
+    assert typesize == 2
+    nbytes, blocksize, cbytes = struct.unpack("<iii", enc[4:16])
+    assert nbytes == len(data) and cbytes == len(enc)
+    assert 0 < blocksize <= nbytes
+
+
+def test_blosc_memcpy_container():
+    rng = np.random.default_rng(17)
+    data = bytes(rng.integers(0, 256, 10_000, dtype=np.uint8))
+    enc = C.blosc_compress(data, typesize=2, cname="lz4")
+    assert enc[2] & 0x2  # memcpy flag: compression did not pay
+    assert len(enc) == len(data) + 16
+    assert C.blosc_decompress(enc) == data
+
+
+def test_blosc_hand_built_container_decodes():
+    """Decode a container assembled BY HAND from the c-blosc1 format
+    doc (single block, single stream, zlib inner, no shuffle) — the
+    decoder must accept spec-shaped bytes it did not itself write."""
+    raw = b"spec-shaped blosc payload " * 10
+    comp = zlib.compress(raw)
+    body = struct.pack("<i", len(comp)) + comp
+    hdr = bytes([2, 1, 3 << 5, 1]) + struct.pack(
+        "<iii", len(raw), len(raw), 16 + 4 + len(body)
+    )
+    container = hdr + struct.pack("<i", 20) + body
+    assert C.blosc_decompress(container) == raw
+
+
+def test_blosc_split_streams_hand_built():
+    """Split-block layout: typesize streams, each its own LE32 size +
+    lz4 block, assembled per the c-blosc split rule, with byte
+    shuffle applied per block."""
+    import pyarrow as pa
+
+    typesize = 2
+    n = 1024  # one block, 512 elements -> split (blocksize/typesize >= 128)
+    raw = np.arange(n // typesize, dtype="<u2").tobytes()
+    shuffled = np.frombuffer(raw, dtype=np.uint8).reshape(-1, typesize).T.tobytes()
+    neblock = n // typesize
+    body = b""
+    for s in range(typesize):
+        stream = shuffled[s * neblock : (s + 1) * neblock]
+        comp = pa.Codec("lz4_raw").compress(stream, asbytes=True)
+        if len(comp) >= neblock:
+            comp = stream
+        body += struct.pack("<i", len(comp)) + comp
+    hdr = bytes([2, 1, (1 << 5) | 0x1, typesize]) + struct.pack(
+        "<iii", n, n, 16 + 4 + len(body)
+    )
+    container = hdr + struct.pack("<i", 20) + body
+    assert C.blosc_decompress(container) == raw
+
+
+def test_blosc_gates_are_honest():
+    with pytest.raises(C.CodecError, match="bit-shuffle"):
+        C.blosc_decompress(
+            bytes([2, 1, 0x4, 1]) + struct.pack("<iii", 10, 10, 30) + b"\x00" * 14
+        )
+    with pytest.raises(C.CodecError, match="blosclz"):
+        # compressor code 0 = blosclz
+        body = struct.pack("<i", 3) + b"\x01\x02\x03"
+        C.blosc_decompress(
+            bytes([2, 1, 0, 1])
+            + struct.pack("<iii", 10, 10, 16 + 4 + len(body))
+            + struct.pack("<i", 20)
+            + body
+        )
+    with pytest.raises(C.CodecError):
+        C.blosc_decompress(b"\x02\x01")  # truncated header
+
+
+def test_n5_dispatch_full_codec_set():
+    data = b"n5 chunk payload " * 100
+    cases = {
+        "raw": data,
+        "gzip": gzip.compress(data),
+        "zlib": zlib.compress(data),
+        "bzip2": bz2.compress(data),
+        "xz": lzma.compress(data),
+        "lz4": C.lz4java_block_compress(data),
+    }
+    for codec, payload in cases.items():
+        assert C.n5_decompress(payload, codec) == data, codec
+    with pytest.raises(C.CodecError, match="unsupported"):
+        C.n5_decompress(data, "brotli")
+
+
+def test_zarr_dispatch_full_codec_set():
+    data = np.arange(2000, dtype="<u2").tobytes()
+    import pyarrow as pa
+
+    cases = {
+        "raw": data,
+        "blosc": C.blosc_compress(data, typesize=2, cname="lz4"),
+        "lz4": C.numcodecs_lz4_compress(data),
+        "zstd": pa.Codec("zstd").compress(data, asbytes=True),
+        "gzip": gzip.compress(data),
+        "zlib": zlib.compress(data),
+        "bz2": bz2.compress(data),
+        "lzma": lzma.compress(data),
+    }
+    for codec, payload in cases.items():
+        assert C.zarr_decompress(payload, codec) == data, codec
+    with pytest.raises(C.CodecError, match="unsupported"):
+        C.zarr_decompress(data, "brotli")

@@ -390,3 +390,74 @@ def test_fused_filegroups_names_offending_path(spark):
     )
     with pytest.raises(Exception, match="default.<channel>.tif"):
         out.count()
+
+
+def test_ktx_lz4_side_compression_roundtrip(spark, store, tmp_path):
+    """A8 option: lz4=True writes LZ4-frame .ktx.lz4 files (the
+    reference's LZ4.exe post-pass, ktx_from_rendered_tiff.py:565-583,
+    folded into the executor write); decode_ktx reads them
+    transparently, and the decoded levels are byte-identical to the
+    uncompressed store's."""
+    from hortacloud_importer_spark.sources.ktx import ktx_decode_blocks
+
+    plain = _convert(spark, store, tmp_path, True)
+    lz = str(tmp_path / "ktx_lz4")
+    tiff_octree_to_ktx(
+        spark, store, lz, block_dims=(8, 8, 8), n_mips=3,
+        filter_="arthur", lz4=True,
+    ).count()
+
+    lz_files = sorted(glob.glob(f"{lz}/*.ktx.lz4"))
+    assert len(lz_files) == 9 and not glob.glob(f"{lz}/*.ktx")
+    # LZ4 frame magic on every side-compressed file
+    for p in lz_files:
+        with open(p, "rb") as fh:
+            assert fh.read(4) == b"\x04\x22\x4d\x18"
+
+    def decoded(root, pattern):
+        df = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", pattern)
+            .load(root)
+            .selectExpr("content as ktx", "path")
+        )
+        rows = ktx_decode_blocks(df).collect()
+        return {
+            (r["zi"], r["yi"], r["xi"], r["depth"], r["channel"], r["level"]):
+                list(r["voxels"])
+            for r in rows
+        }
+
+    a = decoded(plain, "*.ktx")
+    b = decoded(lz, "*.ktx.lz4")
+    assert a == b
+
+
+def test_ktx_lz4_resume_skips_committed(spark, store, tmp_path):
+    """Resume with lz4 on: the anti-join's expected name carries the
+    .ktx.lz4 suffix, so committed compressed blocks are skipped."""
+    import os
+
+    out = str(tmp_path / "resume_lz4")
+    tiff_octree_to_ktx(
+        spark, store, out, block_dims=(8, 8, 8), n_mips=3,
+        filter_="arthur", depth=1, lz4=True,
+    ).count()
+    first = {
+        p: os.path.getmtime(os.path.join(out, p))
+        for p in os.listdir(out)
+        if p.endswith(".ktx.lz4")
+    }
+    assert len(first) == 8
+    tiff_octree_to_ktx(
+        spark, store, out, block_dims=(8, 8, 8), n_mips=3,
+        filter_="arthur", lz4=True, resume=True,
+    ).count()
+    after = {
+        p: os.path.getmtime(os.path.join(out, p))
+        for p in os.listdir(out)
+        if p.endswith(".ktx.lz4")
+    }
+    assert len(after) == 9  # root block added
+    for p, t in first.items():
+        assert after[p] == t  # committed blocks untouched

@@ -32,7 +32,11 @@ def _write_n5(root, vol: np.ndarray, block_xyz, codec="raw"):
                 "dimensions": [dx, dy, dz],
                 "blockSize": [bx, by, bz],
                 "dataType": "uint16",
-                "compression": {"type": codec},
+                "compression": (
+                    {"type": "gzip", "useZlib": True}
+                    if codec == "zlib"
+                    else {"type": codec}
+                ),
             }
         )
     )
@@ -55,6 +59,22 @@ def _write_n5(root, vol: np.ndarray, block_xyz, codec="raw"):
                 payload = blk.astype(">u2").tobytes()  # x fastest == C over zyx
                 if codec == "gzip":
                     payload = gzip.compress(payload)
+                elif codec == "zlib":
+                    payload = zlib.compress(payload)
+                elif codec == "bzip2":
+                    import bz2
+
+                    payload = bz2.compress(payload)
+                elif codec == "xz":
+                    import lzma
+
+                    payload = lzma.compress(payload)
+                elif codec == "lz4":
+                    from hortacloud_importer_spark.sources.codecs import (
+                        lz4java_block_compress,
+                    )
+
+                    payload = lz4java_block_compress(payload)
                 d = root / str(gx) / str(gy)
                 d.mkdir(parents=True, exist_ok=True)
                 (d / str(gz_i)).write_bytes(header + payload)
@@ -89,8 +109,40 @@ def _write_zarr(root, vol: np.ndarray, chunks_zyx, compressor):
                 ]
                 full[: blk.shape[0], : blk.shape[1], : blk.shape[2]] = blk
                 payload = full.tobytes()
-                if compressor and compressor["id"] == "zlib":
+                cid = compressor["id"] if compressor else None
+                if cid == "zlib":
                     payload = zlib.compress(payload)
+                elif cid == "gzip":
+                    payload = gzip.compress(payload)
+                elif cid == "bz2":
+                    import bz2
+
+                    payload = bz2.compress(payload)
+                elif cid == "lzma":
+                    import lzma
+
+                    payload = lzma.compress(payload)
+                elif cid == "zstd":
+                    import pyarrow as pa
+
+                    payload = pa.Codec("zstd").compress(payload, asbytes=True)
+                elif cid == "lz4":
+                    from hortacloud_importer_spark.sources.codecs import (
+                        numcodecs_lz4_compress,
+                    )
+
+                    payload = numcodecs_lz4_compress(payload)
+                elif cid == "blosc":
+                    from hortacloud_importer_spark.sources.codecs import (
+                        blosc_compress,
+                    )
+
+                    payload = blosc_compress(
+                        payload,
+                        typesize=2,
+                        cname=compressor.get("cname", "lz4"),
+                        shuffle=bool(compressor.get("shuffle", 1)),
+                    )
                 (root / f"{gz_i}.{gy}.{gx}").write_bytes(payload)
 
 
@@ -103,7 +155,9 @@ def _collect_vol(df, shape):
     return got
 
 
-@pytest.mark.parametrize("codec", ["raw", "gzip"])
+@pytest.mark.parametrize(
+    "codec", ["raw", "gzip", "zlib", "bzip2", "xz", "lz4"]
+)
 def test_n5_roundtrip(spark, tmp_path, codec):
     rng = np.random.default_rng(8)
     vol = rng.integers(0, 65535, (4, 6, 8), dtype=np.uint16)
@@ -113,7 +167,20 @@ def test_n5_roundtrip(spark, tmp_path, codec):
 
 
 @pytest.mark.parametrize(
-    "compressor", [None, {"id": "zlib", "level": 1}]
+    "compressor",
+    [
+        None,
+        {"id": "zlib", "level": 1},
+        {"id": "gzip", "level": 1},
+        {"id": "bz2", "level": 1},
+        {"id": "lzma"},
+        {"id": "zstd", "level": 1},
+        {"id": "lz4", "acceleration": 1},
+        # the Zarr DEFAULT compressor: blosc-lz4 with byte shuffle
+        {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1},
+        {"id": "blosc", "cname": "zstd", "clevel": 5, "shuffle": 1},
+        {"id": "blosc", "cname": "zlib", "clevel": 5, "shuffle": 0},
+    ],
 )
 def test_zarr_roundtrip_with_edge_chunks(spark, tmp_path, compressor):
     rng = np.random.default_rng(9)
@@ -135,9 +202,9 @@ def test_unknown_codec_raises(spark, tmp_path):
     root = tmp_path / "b.zarr"
     _write_zarr(root, vol, (2, 2, 2), None)
     meta = json.loads((root / ".zarray").read_text())
-    meta["compressor"] = {"id": "blosc", "cname": "zstd"}
+    meta["compressor"] = {"id": "brotli"}
     (root / ".zarray").write_text(json.dumps(meta))
-    with pytest.raises(Exception, match="blosc"):
+    with pytest.raises(Exception, match="brotli"):
         read_zarr(spark, f"file://{root}").collect()
 
 
