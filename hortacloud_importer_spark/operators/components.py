@@ -42,6 +42,11 @@ def connected_components(
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        # materialize ONCE: without this every propagation round
+        # re-executes the whole upstream candidate-generation DAG
+        # (shingle scan, DF-cap, pair join) — the corpus soak measured
+        # it as ~3x the pair join's shuffle bytes on a 500k-doc corpus
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("node"))

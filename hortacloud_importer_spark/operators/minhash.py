@@ -85,8 +85,33 @@ def minhash_signatures(
     )
 
 
+def _drop_hot_buckets(
+    banded: DataFrame, keys: list[str], cap: int
+) -> DataFrame:
+    """Broadcast anti-join away LSH buckets holding more than ``cap``
+    documents — the LSH analog of the n-gram DF cap
+    (queries/dedup.py::jaccard_pairs): a bucket that big is
+    non-discriminative (its members pair-bomb quadratically), and the
+    hot-bucket side is tiny by construction, so the cap adds one
+    map-side-combined aggregate and no extra shuffle of the rows.
+    Measured need: an adversarially repetitive 500k-doc corpus drove
+    the uncapped prefix-band join to 3.7e9 candidate pairs
+    (SOAK.md corpus section)."""
+    hot = (
+        banded.groupBy(*keys)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > cap)
+        .select(*keys)
+    )
+    return banded.join(F.broadcast(hot), keys, "left_anti")
+
+
 def minhash_pairs(
-    shingles: DataFrame, n_hashes: int = 32, bands: int = 8, portable: bool = False
+    shingles: DataFrame,
+    n_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Banded-LSH candidate pairs with estimated similarity.
 
@@ -96,6 +121,10 @@ def minhash_pairs(
     ``portable=True`` uses md5-derived shingle ids and joins buckets on
     the joined hash string instead of an xxhash64 of the band — same
     plan shape, engine-neutral values (the oracle path).
+    ``bucket_cap`` drops band buckets larger than the cap before the
+    self-join (see _drop_hot_buckets) — the production guard against
+    pair blowup on repetitive corpora; None preserves classic-LSH
+    semantics exactly (the oracle-checked mode).
     """
     rows = n_hashes // bands
     sig = minhash_signatures(shingles, n_hashes, portable=portable).cache()
@@ -114,6 +143,8 @@ def minhash_pairs(
     banded = sig.select(
         "doc_id", F.expr(f"explode(array({structs}))").alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
+    if bucket_cap is not None:
+        banded = _drop_hot_buckets(banded, ["band", "bucket"], bucket_cap)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -186,16 +217,23 @@ def simhash_signatures(
 
 
 def simhash_pairs(
-    tokens: DataFrame, max_hamming: int = 12, portable: bool = False
+    tokens: DataFrame,
+    max_hamming: int = 12,
+    portable: bool = False,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via 16-bit prefix band + exact hamming filter.
 
     The signature frame is cached (same as minhash_pairs): both join
     sides read it, and without the cache the token aggregation runs
-    twice. Set-semantics output — no trailing global sort."""
+    twice. Set-semantics output — no trailing global sort.
+    ``bucket_cap`` drops prefix bands larger than the cap (see
+    _drop_hot_buckets); None = classic semantics (oracle mode)."""
     sig = simhash_signatures(tokens, portable=portable).withColumn(
         "band", F.shiftrightunsigned("simhash", 48)
     ).cache()
+    if bucket_cap is not None:
+        sig = _drop_hot_buckets(sig, ["band"], bucket_cap)
     a = sig.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"), "band"
     )

@@ -70,11 +70,22 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
             # otherwise a single (h, w, c) page
             arr = arr[..., None] if arr.shape[-1] > 8 else arr[None, ...]
         return arr
+    if fmt in ("jpeg", "jpg"):
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError:
+            # clean-room baseline T.81 decoder (sources/jpeg.py):
+            # grayscale + YCbCr sequential Huffman — the overwhelming
+            # majority of real-world JPEG payloads
+            from hortacloud_importer_spark.sources.jpeg import decode_jpeg
+
+            return decode_jpeg(bytes(payload))[None, ...]
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:  # codec libs absent in this container
         raise NotImplementedError(
-            f"format {fmt!r} needs an image codec; only raw8 is built in"
+            f"format {fmt!r} needs an image codec; only raw8 and "
+            "baseline jpeg are built in"
         ) from exc
     import io
 

@@ -208,10 +208,15 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket join — the 100 TB scale path (bucket cardinality is
     controlled by band width, not document frequency). Engine hash
     functions differ, so no SQL oracle; the pair set is validated in
-    tests against dedup_ngram_jaccard's exact pairs."""
+    tests against dedup_ngram_jaccard's exact pairs. bucket_cap=1024
+    guards the production path against non-discriminative buckets on
+    repetitive corpora (the corpus soak measured an adversarial
+    blowup without it — SOAK.md)."""
     from hortacloud_importer_spark.operators.minhash import minhash_pairs
 
-    return minhash_pairs(_shingles(spark, sf_dir), n_hashes=32, bands=8)
+    return minhash_pairs(
+        _shingles(spark, sf_dir), n_hashes=32, bands=8, bucket_cap=1024
+    )
 
 
 @register("dedup_simhash", "K2", oracle=None, driver=False)
@@ -219,12 +224,14 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup (K2), rows-only: 64-bit token-hash majority
     signature per document; candidates = equal 16-bit prefix band;
     emitted with hamming distance ≤ 12. All bit math stays in Catalyst
-    expressions (no UDF)."""
+    expressions (no UDF). bucket_cap=4096 guards the prefix-band join
+    against near-uniform corpora where one band swallows the corpus
+    (SOAK.md corpus section)."""
     from hortacloud_importer_spark.operators.minhash import simhash_pairs
 
     d = table(spark, sf_dir, "documents")
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    return simhash_pairs(tokens, max_hamming=12)
+    return simhash_pairs(tokens, max_hamming=12, bucket_cap=4096)
 
 
 def _minhash_perm_values() -> str:

@@ -1,0 +1,627 @@
+"""Clean-room baseline JPEG decoder (ITU-T T.81), for TIFF
+compression 7 ("new-style JPEG", TIFF TechNote 2) and the multimodal
+``jpeg`` decode hook.
+
+The reference inherits JPEG-compressed TIFF support from tifffile
+(absent in this container — FIXTURES.md); SURVEY's honesty rule kept
+it gated until now. This module implements the baseline sequential
+DCT process from the public spec:
+
+- marker parse: SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOS/RSTn/EOI;
+- canonical Huffman tables expanded to flat 16-bit peek LUTs (one
+  65,536-entry symbol/length array pair per table), so the
+  per-symbol decode is two array reads;
+- entropy decode per MCU with restart-interval support and 0xFF00
+  byte unstuffing, DC prediction per component;
+- dequantize + inverse zigzag + 2-D IDCT done VECTORIZED over all
+  blocks at once (one einsum against the orthonormal DCT-II basis —
+  the only per-symbol Python loop is the Huffman scan itself);
+- chroma upsampling (nearest, any integer sampling factors) and
+  BT.601 YCbCr->RGB for 3-component scans (JFIF convention; Adobe
+  APP14 transform=0 keeps RGB as-is).
+
+Out of scope, gated with clear errors: progressive (SOF2),
+arithmetic coding, 12-bit precision, hierarchical — none of which
+the reference's microscopy TIFF inputs use.
+
+TIFF integration (sources/tiff.py): a compression-7 strip/tile is a
+complete JPEG stream that may omit its tables; the page-level
+``JPEGTables`` tag (347) carries a tables-only stream (SOI, DQT/DHT
+segments, EOI). ``decode_jpeg(data, tables=...)`` pre-loads those
+tables, then lets the strip stream override per T.81 semantics.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class JpegParseError(ValueError):
+    pass
+
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal DCT-II basis: pixel = C.T @ coef @ C
+_C = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _C[_k, _n] = np.cos(np.pi * _k * (2 * _n + 1) / 16) * (
+            np.sqrt(1 / 8) if _k == 0 else np.sqrt(2 / 8)
+        )
+
+
+def _build_huff_lut(bits: list[int], vals: list[int]):
+    """Canonical Huffman table -> flat 16-bit peek LUT:
+    ``sym[peek16]``/``length[peek16]``. length 0 marks invalid."""
+    sym = np.zeros(1 << 16, dtype=np.uint8)
+    length = np.zeros(1 << 16, dtype=np.uint8)
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            if k >= len(vals):
+                raise JpegParseError("DHT counts exceed symbol list")
+            if code >= (1 << ln):
+                raise JpegParseError("over-subscribed Huffman table")
+            lo = code << (16 - ln)
+            hi = lo + (1 << (16 - ln))
+            sym[lo:hi] = vals[k]
+            length[lo:hi] = ln
+            code += 1
+            k += 1
+        code <<= 1
+    return sym, length
+
+
+class _BitReader:
+    """MSB-first bit reader over an entropy-coded segment (already
+    unstuffed). Keeps a Python-int buffer topped up byte-wise; peeks
+    16 bits for the LUT, consumes per decoded symbol."""
+
+    __slots__ = ("data", "pos", "buf", "nbits")
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self, need: int) -> None:
+        while self.nbits < need:
+            if self.pos < len(self.data):
+                self.buf = (self.buf << 8) | self.data[self.pos]
+                self.pos += 1
+            else:
+                self.buf <<= 8  # zero-pad past the end (T.81 F.2.2.5)
+            self.nbits += 8
+
+    def peek16(self) -> int:
+        self._fill(16)
+        return (self.buf >> (self.nbits - 16)) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.nbits -= n
+        self.buf &= (1 << self.nbits) - 1
+
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self._fill(n)
+        v = (self.buf >> (self.nbits - n)) & ((1 << n) - 1)
+        self.skip(n)
+        return v
+
+
+def _extend(v: int, t: int) -> int:
+    # T.81 F.12: map the t-bit magnitude to its signed value
+    if t == 0:
+        return 0
+    return v - (1 << t) + 1 if v < (1 << (t - 1)) else v
+
+
+def _unstuff(data: bytes) -> bytes:
+    """Drop the 0x00 stuffed after each 0xFF in entropy data."""
+    return data.replace(b"\xff\x00", b"\xff")
+
+
+class _Tables:
+    def __init__(self):
+        self.qt: dict[int, np.ndarray] = {}
+        self.dc: dict[int, tuple] = {}
+        self.ac: dict[int, tuple] = {}
+        self.restart_interval = 0
+        self.adobe_transform: int | None = None
+
+
+def _parse_segments(data: bytes, tables: _Tables):
+    """Walk marker segments; returns (sof, scan) where sof is the
+    frame dict once SOF0/SOF1 is seen and scan is (scan_header_dict,
+    entropy_start_offset) once SOS is seen."""
+    if data[:2] != b"\xff\xd8":
+        raise JpegParseError("missing SOI marker")
+    pos = 2
+    sof = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise JpegParseError(f"expected marker at offset {pos}")
+        if pos + 2 > len(data):
+            raise JpegParseError("truncated marker at end of stream")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            return sof, None
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue  # standalone
+        if pos + 2 > len(data):
+            raise JpegParseError("truncated segment header")
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0xF
+                p += 1
+                if pq == 0:
+                    q = np.frombuffer(seg[p : p + 64], dtype=np.uint8)
+                    p += 64
+                else:
+                    q = np.frombuffer(seg[p : p + 128], dtype=">u2")
+                    p += 128
+                tables.qt[tq] = q.astype(np.int32)
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0xF
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + n])
+                lut = _build_huff_lut(bits, vals)
+                (tables.dc if tc == 0 else tables.ac)[th] = lut
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            (tables.restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext seq
+            prec = seg[0]
+            if prec != 8:
+                raise JpegParseError(f"{prec}-bit precision unsupported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
+                )
+            sof = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise JpegParseError(
+                f"SOF{marker - 0xC0}: only baseline/extended-sequential "
+                "Huffman JPEG is supported (no progressive/arithmetic)"
+            )
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scomps = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i : 3 + 2 * i]
+                scomps.append({"cs": cs, "td": tt >> 4, "ta": tt & 0xF})
+            return sof, (scomps, pos + seglen)
+        elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
+            tables.adobe_transform = seg[11] if len(seg) > 11 else None
+        pos += seglen
+    return sof, None
+
+
+def load_tables(stream: bytes, tables: _Tables) -> None:
+    """Pre-load DQT/DHT/DRI from a tables-only stream (the TIFF
+    JPEGTables tag): SOI, table segments, EOI — no frame, no scan."""
+    _parse_segments(stream, tables)
+
+
+def _decode_scan(
+    data: bytes, start: int, sof: dict, scomps: list, tables: _Tables
+):
+    """Entropy-decode every MCU -> per-component dequantized
+    coefficient grids, then vectorized IDCT."""
+    comps = sof["comps"]
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (sof["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (sof["h"] + 8 * vmax - 1) // (8 * vmax)
+
+    # per-component coefficient storage (blocks_y, blocks_x, 64)
+    store = {}
+    for c in comps:
+        store[c["id"]] = np.zeros(
+            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
+        )
+
+    # split on restart markers; each segment restarts DC prediction
+    entropy = data[start:]
+    # cut at EOI if present
+    eoi = entropy.rfind(b"\xff\xd9")
+    if eoi >= 0:
+        entropy = entropy[:eoi]
+    segments = []
+    if tables.restart_interval:
+        import re
+
+        segments = re.split(b"\xff[\xd0-\xd7]", entropy)
+    else:
+        segments = [entropy]
+
+    order = [by_id[s["cs"]] for s in scomps]
+    huff = [
+        (tables.dc.get(s["td"]), tables.ac.get(s["ta"])) for s in scomps
+    ]
+    for (dc_t, ac_t), s in zip(huff, scomps):
+        if dc_t is None or ac_t is None:
+            raise JpegParseError(
+                f"scan component {s['cs']} references undefined Huffman "
+                "tables (a TIFF strip without JPEGTables?)"
+            )
+
+    mcu_per_seg = tables.restart_interval or mcuy * mcux
+    mcu = 0
+    for seg in segments:
+        reader = _BitReader(_unstuff(seg))
+        pred = {c["id"]: 0 for c in comps}
+        for _ in range(min(mcu_per_seg, mcuy * mcux - mcu)):
+            my, mx = divmod(mcu, mcux)
+            for (dc_sym, dc_len), (ac_sym, ac_len), comp in (
+                (h[0], h[1], c) for h, c in zip(huff, order)
+            ):
+                grid = store[comp["id"]]
+                for v_i in range(comp["v"]):
+                    for h_i in range(comp["h"]):
+                        blk = grid[my * comp["v"] + v_i, mx * comp["h"] + h_i]
+                        # DC
+                        p16 = reader.peek16()
+                        ln = dc_len[p16]
+                        if ln == 0:
+                            raise JpegParseError("bad DC Huffman code")
+                        reader.skip(int(ln))
+                        t = int(dc_sym[p16])
+                        diff = _extend(reader.receive(t), t)
+                        pred[comp["id"]] += diff
+                        blk[0] = pred[comp["id"]]
+                        # AC
+                        k = 1
+                        while k < 64:
+                            p16 = reader.peek16()
+                            ln = ac_len[p16]
+                            if ln == 0:
+                                raise JpegParseError("bad AC Huffman code")
+                            reader.skip(int(ln))
+                            rs = int(ac_sym[p16])
+                            r, s_ = rs >> 4, rs & 0xF
+                            if s_ == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise JpegParseError("AC run past block end")
+                            blk[k] = _extend(reader.receive(s_), s_)
+                            k += 1
+            mcu += 1
+    if mcu != mcuy * mcux:
+        raise JpegParseError(
+            f"scan ended after {mcu} of {mcuy * mcux} MCUs"
+        )
+
+    # dequantize + inverse zigzag + batched IDCT per component
+    planes = {}
+    for c in comps:
+        q = tables.qt.get(c["tq"])
+        if q is None:
+            raise JpegParseError(f"component references undefined DQT {c['tq']}")
+        grid = store[c["id"]]
+        by, bx = grid.shape[0], grid.shape[1]
+        deq = grid.reshape(-1, 64) * q[np.newaxis, :]
+        blocks = np.zeros((deq.shape[0], 64), dtype=np.float64)
+        blocks[:, _ZIGZAG] = deq
+        blocks = blocks.reshape(-1, 8, 8)
+        # pixel = C.T @ coef @ C, batched
+        pix = np.einsum("ki,nkl,lj->nij", _C, blocks, _C)
+        pix = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
+        plane = (
+            pix.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+        planes[c["id"]] = plane
+    return planes, hmax, vmax
+
+
+def decode_jpeg(data: bytes, tables_stream: bytes | None = None) -> np.ndarray:
+    """Baseline JPEG stream -> (height, width, n_components) uint8.
+
+    ``tables_stream`` pre-loads DQT/DHT (TIFF JPEGTables, tag 347);
+    segments in ``data`` override them per T.81. 3-component output
+    is converted YCbCr->RGB (BT.601) unless Adobe APP14 declares
+    transform=0 (already RGB)."""
+    tables = _Tables()
+    if tables_stream:
+        try:
+            load_tables(tables_stream, tables)
+        except JpegParseError as exc:
+            raise JpegParseError(f"bad JPEGTables stream: {exc}") from exc
+    sof, scan = _parse_segments(data, tables)
+    if sof is None:
+        raise JpegParseError("no SOF frame header before scan")
+    if scan is None:
+        raise JpegParseError("no SOS scan in stream")
+    scomps, start = scan
+    if len(scomps) != len(sof["comps"]):
+        raise JpegParseError(
+            "non-interleaved multi-scan sequential JPEG is not supported "
+            "(one interleaved SOS expected)"
+        )
+    planes, hmax, vmax = _decode_scan(data, start, sof, scomps, tables)
+
+    h, w = sof["h"], sof["w"]
+    comps = sof["comps"]
+    out = np.zeros((h, w, len(comps)), dtype=np.uint8)
+    for i, c in enumerate(comps):
+        plane = planes[c["id"]]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:  # chroma upsample, nearest
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out[:, :, i] = plane[:h, :w]
+    if len(comps) == 3 and tables.adobe_transform != 0:
+        out = _ycbcr_to_rgb(out)
+    return out
+
+
+def _ycbcr_to_rgb(img: np.ndarray) -> np.ndarray:
+    y = img[:, :, 0].astype(np.float64)
+    cb = img[:, :, 1].astype(np.float64) - 128.0
+    cr = img[:, :, 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=2)), 0, 255
+    ).astype(np.uint8)
+
+
+# --------------------------------------------------------- encoder
+# A minimal baseline ENCODER exists so tests are spec-shaped streams
+# rather than decode(encode(x)) identities alone: it emits standard
+# markers, example-annex Huffman tables (T.81 K.3), and a flat
+# quality-100-style quant table, so any spec-conforming decoder reads
+# its output. Used by tests and the TIFF fixture writer only.
+
+_STD_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_STD_DC_VALS = list(range(12))
+_STD_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_STD_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _huff_code_map(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    codes = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | code
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # 1-pad per T.81
+        return bytes(self.out)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _table_segments(qtable: np.ndarray) -> bytes:
+    dqt = _seg(0xDB, bytes([0]) + bytes(int(v) for v in qtable))
+    dht_dc = _seg(
+        0xC4, bytes([0x00]) + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS)
+    )
+    dht_ac = _seg(
+        0xC4, bytes([0x10]) + bytes(_STD_AC_BITS) + bytes(_STD_AC_VALS)
+    )
+    return dqt + dht_dc + dht_ac
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.clip(np.round(np.stack([y, cb, cr], axis=2)), 0, 255)
+
+
+def _plane_zigzag_blocks(plane: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+    """One component plane -> (by*bx, 64) quantized zigzag blocks,
+    edge-replicated to the 8-multiple grid."""
+    h, w = plane.shape
+    by, bx = (h + 7) // 8, (w + 7) // 8
+    padded = np.zeros((by * 8, bx * 8), dtype=np.float64)
+    padded[:h, :w] = plane
+    padded[h:, :w] = padded[h - 1 : h, :w]
+    padded[:, w:] = padded[:, w - 1 : w]
+    blocks = (
+        padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128.0
+    )
+    coef = np.einsum("ik,nkl,jl->nij", _C, blocks, _C)
+    q = np.round(
+        coef.reshape(-1, 64) / qtable[np.newaxis, :].astype(np.float64)
+    ).astype(np.int32)
+    return q[:, _ZIGZAG]  # forward zigzag: sequence i reads natural _ZIGZAG[i]
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    qtable: np.ndarray | None = None,
+    tables_external: bool = False,
+    restart_interval: int = 0,
+) -> bytes | tuple[bytes, bytes]:
+    """Baseline encoder (fixtures only): (h, w) grayscale or
+    (h, w, 3) RGB uint8, 4:4:4, shared tables. With
+    ``tables_external=True`` returns ``(tables_stream, scan_stream)``
+    — the TIFF JPEGTables split, where the scan stream omits DQT/DHT.
+    ``restart_interval`` emits DRI + RSTn markers every N MCUs (to
+    exercise the decoder's restart path)."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise JpegParseError("encoder takes a 2-D or (h, w, 3) uint8 array")
+    if qtable is None:
+        qtable = np.ones(64, dtype=np.int32)  # lossless-ish for tests
+    if img.ndim == 3:
+        if img.shape[2] != 3:
+            raise JpegParseError("3-D input must be (h, w, 3) RGB")
+        ycc = _rgb_to_ycbcr(img)
+        planes = [ycc[:, :, i] for i in range(3)]
+    else:
+        planes = [img.astype(np.float64)]
+    h, w = planes[0].shape
+    zz_per_comp = [_plane_zigzag_blocks(p, qtable) for p in planes]
+
+    dc_codes = _huff_code_map(_STD_DC_BITS, _STD_DC_VALS)
+    ac_codes = _huff_code_map(_STD_AC_BITS, _STD_AC_VALS)
+
+    def put_magnitude(v: int) -> tuple[int, int]:
+        t = 0 if v == 0 else int(abs(v)).bit_length()
+        mag = v if v >= 0 else v + (1 << t) - 1
+        return t, mag
+
+    def put_block(wtr: _BitWriter, blk: np.ndarray, pred: int) -> int:
+        diff = int(blk[0]) - pred
+        t, mag = put_magnitude(diff)
+        c, ln = dc_codes[t]
+        wtr.put(c, ln)
+        if t:
+            wtr.put(mag, t)
+        run = 0
+        last_nz = (
+            int(np.nonzero(blk[1:])[0][-1]) + 1 if np.any(blk[1:]) else 0
+        )
+        for k in range(1, last_nz + 1):
+            v = int(blk[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]  # ZRL
+                wtr.put(c, ln)
+                run -= 16
+            t, mag = put_magnitude(v)
+            c, ln = ac_codes[(run << 4) | t]
+            wtr.put(c, ln)
+            wtr.put(mag, t)
+            run = 0
+        if last_nz < 63:
+            c, ln = ac_codes[0x00]  # EOB
+            wtr.put(c, ln)
+        return int(blk[0])
+
+    n_mcu = zz_per_comp[0].shape[0]  # 4:4:4 -> one block per comp/MCU
+    parts = []
+    wtr = _BitWriter()
+    preds = [0] * len(planes)
+    rst = 0
+    for mcu in range(n_mcu):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            parts.append(wtr.flush())
+            parts.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+            rst += 1
+            wtr = _BitWriter()
+            preds = [0] * len(planes)
+        for ci, zz in enumerate(zz_per_comp):
+            preds[ci] = put_block(wtr, zz[mcu], preds[ci])
+    parts.append(wtr.flush())
+    entropy = b"".join(parts)
+
+    nc = len(planes)
+    sof = _seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([nc])
+        + b"".join(bytes([i + 1, 0x11, 0]) for i in range(nc)),
+    )
+    sos = _seg(
+        0xDA,
+        bytes([nc])
+        + b"".join(bytes([i + 1, 0x00]) for i in range(nc))
+        + bytes([0, 63, 0]),
+    )
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
+    tables_blob = _table_segments(qtable)
+    if tables_external:
+        tables_stream = b"\xff\xd8" + tables_blob + b"\xff\xd9"
+        scan_stream = b"\xff\xd8" + dri + sof + sos + entropy + b"\xff\xd9"
+        return tables_stream, scan_stream
+    return b"\xff\xd8" + tables_blob + dri + sof + sos + entropy + b"\xff\xd9"
+
+
+def encode_jpeg_gray(
+    img: np.ndarray,
+    qtable: np.ndarray | None = None,
+    tables_external: bool = False,
+) -> bytes | tuple[bytes, bytes]:
+    """Back-compat alias for the grayscale case."""
+    return encode_jpeg(img, qtable=qtable, tables_external=tables_external)

@@ -12,10 +12,12 @@ offsets — the >4 GB slice layout), IFD entry walk, strip or tile
 assembly, zlib/deflate codecs
 (compression tags 1, 8, 32946 — pure stdlib ``zlib``), TIFF-flavor
 LZW (tag 5, early-change) and PackBits RLE (tag 32773) decode,
+baseline "new-style" JPEG (tag 7, clean-room T.81 decoder in
+sources/jpeg.py with JPEGTables-tag support — TIFF TechNote 2),
 horizontal predictor (tag 317), grayscale or contiguous multi-sample,
-8/16-bit unsigned. Formats beyond that (JPEG, CCITT) require a codec
-library (tifffile/imageio, absent here — probe in FIXTURES.md) and
-raise ``TiffParseError``.
+8/16-bit unsigned. Formats beyond that (old-style JPEG tag 6, CCITT)
+require a codec library (tifffile/imageio, absent here — probe in
+FIXTURES.md) and raise ``TiffParseError``.
 
 Spark-side use: ``binaryFile`` scan -> ``decode_tiff`` inside a
 ``mapInPandas`` kernel (operators/multimodal.py routes ``format in
@@ -39,7 +41,7 @@ _TYPE_SIZE = {
     12: 8, 16: 8, 17: 8, 18: 8,
 }
 _TYPE_FMT = {
-    1: "B", 3: "H", 4: "I", 8: "h", 9: "i", 11: "f", 12: "d",
+    1: "B", 3: "H", 4: "I", 7: "B", 8: "h", 9: "i", 11: "f", 12: "d",
     16: "Q", 17: "q", 18: "Q",
 }
 
@@ -64,7 +66,9 @@ _TAG_SAMPLE_FORMAT = 339
 # 32773 = PackBits are implemented below from the public TIFF 6.0 spec.
 _ZLIB_CODES = (8, 32946)
 _COMP_LZW = 5
+_COMP_JPEG = 7  # "new-style" JPEG (TIFF TechNote 2)
 _COMP_PACKBITS = 32773
+_TAG_JPEG_TABLES = 347
 
 
 class TiffParseError(ValueError):
@@ -214,9 +218,40 @@ def _decode_block(
     rows: int,
     cols: int,
     spp: int,
+    jpeg_tables: bytes | None = None,
 ) -> np.ndarray:
     """One strip/tile payload -> (rows, cols, spp), codec + predictor
     undone (``off`` is for error messages only)."""
+    if compression == _COMP_JPEG:
+        # new-style JPEG: the payload is a complete baseline JPEG
+        # stream, tables optionally hoisted into the page-level
+        # JPEGTables tag (clean-room T.81 decoder, sources/jpeg.py)
+        from hortacloud_importer_spark.sources.jpeg import (
+            JpegParseError,
+            decode_jpeg,
+        )
+
+        try:
+            arr = decode_jpeg(raw, tables_stream=jpeg_tables)
+        except JpegParseError as exc:
+            raise TiffParseError(
+                f"bad JPEG stream in block at {off}: {exc}"
+            ) from exc
+        if arr.shape[2] != spp:
+            raise TiffParseError(
+                f"JPEG block at {off} decodes {arr.shape[2]} samples/"
+                f"pixel, page declares {spp}"
+            )
+        if arr.shape[0] < rows or arr.shape[1] < cols:
+            raise TiffParseError(
+                f"JPEG block at {off} is {arr.shape[0]}x{arr.shape[1]}, "
+                f"smaller than its {rows}x{cols} grid cell"
+            )
+        if dtype.itemsize != 1:
+            raise TiffParseError(
+                "JPEG compression with BitsPerSample > 8 unsupported"
+            )
+        return arr[:rows, :cols].astype(dtype.newbyteorder("="))
     expect_bytes = rows * cols * spp * dtype.itemsize
     if compression in _ZLIB_CODES:
         try:
@@ -235,7 +270,7 @@ def _decode_block(
             f"compression {compression} needs a codec library (tifffile/"
             "imageio — absent in this container, see FIXTURES.md); built-in "
             "codecs are uncompressed (1), zlib/deflate (8, 32946), LZW (5), "
-            "and PackBits (32773)"
+            "baseline JPEG (7), and PackBits (32773)"
         )
     expect = rows * cols * spp
     arr = np.frombuffer(raw, dtype=dtype, count=min(expect, len(raw) // dtype.itemsize))
@@ -283,6 +318,9 @@ def _decode_page(
     resident to decode one page)."""
     compression = ifd.get(_TAG_COMPRESSION, [1])[0]
     predictor = ifd.get(_TAG_PREDICTOR, [1])[0]
+    jpeg_tables = (
+        bytes(ifd[_TAG_JPEG_TABLES]) if _TAG_JPEG_TABLES in ifd else None
+    )
     width = _required(ifd, _TAG_WIDTH, "ImageWidth")[0]
     length = _required(ifd, _TAG_LENGTH, "ImageLength")[0]
     spp = ifd.get(_TAG_SAMPLES_PER_PIXEL, [1])[0]
@@ -326,6 +364,7 @@ def _decode_page(
             block = _decode_block(
                 fetch(offsets[i], counts[i]), offsets[i], compression,
                 predictor, dtype, rows, bcols, spp,
+                jpeg_tables=jpeg_tables,
             )
             oy, ox = (by - by0) * brows, (bx - bx0) * bcols
             out[oy : oy + rows, ox : ox + bcols] = block
@@ -526,11 +565,18 @@ def encode_tiff(
     npages, h, w, spp = pages.shape
     if pages.dtype not in (np.uint8, np.uint16):
         raise ValueError("uint8/uint16 only")
-    if compression not in (None, "zlib"):
-        raise ValueError("compression must be None or 'zlib'")
+    if compression not in (None, "zlib", "jpeg"):
+        raise ValueError("compression must be None, 'zlib', or 'jpeg'")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 or 2")
-    comp_code = 8 if compression == "zlib" else 1
+    if compression == "jpeg":
+        if pages.dtype != np.uint8:
+            raise ValueError("JPEG compression is 8-bit only")
+        if spp not in (1, 3):
+            raise ValueError("JPEG compression takes 1 or 3 samples/pixel")
+        if predictor != 1:
+            raise ValueError("JPEG compression excludes the predictor")
+    comp_code = {None: 1, "zlib": 8, "jpeg": _COMP_JPEG}[compression]
     bits = pages.dtype.itemsize * 8
     # classic: 8-byte header, 12-byte entries, 4-byte offsets;
     # BigTIFF: 16-byte header, 20-byte entries, 8-byte offsets
@@ -563,9 +609,22 @@ def encode_tiff(
                 np.concatenate([b[:, :1], np.diff(b, axis=1)], axis=1).astype(arr.dtype)
                 for b in blocks
             ]
-        payloads = [b.tobytes() for b in blocks]
-        if comp_code == 8:
-            payloads = [zlib.compress(p, 6) for p in payloads]
+        jpeg_tables_stream = None
+        if comp_code == _COMP_JPEG:
+            # new-style JPEG (TechNote 2): one complete scan stream
+            # per strip/tile, DQT/DHT hoisted into the JPEGTables tag
+            from hortacloud_importer_spark.sources.jpeg import encode_jpeg
+
+            payloads = []
+            for b in blocks:
+                img = b[:, :, 0] if spp == 1 else b
+                tbl, scan = encode_jpeg(img, tables_external=True)
+                jpeg_tables_stream = tbl  # identical across blocks
+                payloads.append(scan)
+        else:
+            payloads = [b.tobytes() for b in blocks]
+            if comp_code == 8:
+                payloads = [zlib.compress(p, 6) for p in payloads]
         tags: list[tuple[int, int, list[int]]] = [
             (_TAG_WIDTH, 4, [w]),
             (_TAG_LENGTH, 4, [h]),
@@ -575,6 +634,10 @@ def encode_tiff(
         ]
         if predictor == 2:
             tags.append((_TAG_PREDICTOR, 3, [2]))
+        if jpeg_tables_stream is not None:
+            tags.append(
+                (_TAG_JPEG_TABLES, 7, list(jpeg_tables_stream))
+            )
         counts = [len(p) for p in payloads]
         off_tag = _TAG_TILE_OFFSETS if tile else _TAG_STRIP_OFFSETS
         otype = off_type  # LONG8 offsets/counts in BigTIFF

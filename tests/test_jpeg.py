@@ -1,0 +1,177 @@
+"""Clean-room baseline JPEG codec (sources/jpeg.py) and its TIFF
+compression-7 integration (TIFF TechNote 2 "new-style JPEG" with the
+JPEGTables tag). The reference inherits this format via tifffile;
+here it is decoded from the T.81 spec directly.
+
+The encoder exists so fixtures are spec-shaped streams (standard
+markers, the T.81 Annex K example Huffman tables) rather than
+decode(encode(x)) identities against a private format; marker-level
+assertions below check the emitted bytes against the spec layout."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from hortacloud_importer_spark.sources.jpeg import (
+    JpegParseError,
+    decode_jpeg,
+    encode_jpeg,
+)
+from hortacloud_importer_spark.sources.tiff import (
+    TiffParseError,
+    decode_tiff,
+    encode_tiff,
+    tiff_shape,
+)
+
+
+def test_gray_roundtrip_tolerances():
+    rng = np.random.default_rng(3)
+    flat = np.full((16, 24), 130, dtype=np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(flat))[:, :, 0], flat)
+    yy, xx = np.indices((33, 41))
+    grad = ((yy * 3 + xx * 2) % 256).astype(np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg(grad))[:, :, 0], grad)
+    # worst case for DCT integer rounding: unit quant tables bound the
+    # spatial error at 1
+    noise = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(noise))[:, :, 0]
+    assert np.abs(dec.astype(int) - noise.astype(int)).max() <= 1
+
+
+def test_quantized_roundtrip_is_lossy_but_close():
+    rng = np.random.default_rng(5)
+    img = rng.integers(80, 160, (24, 24), dtype=np.uint8)
+    q = np.full(64, 8, dtype=np.int32)
+    dec = decode_jpeg(encode_jpeg(img, qtable=q))[:, :, 0]
+    # q=8 on mid-range noise: error bounded by a few quant steps
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 32
+    assert np.abs(dec.astype(float) - img.astype(float)).mean() <= 8
+
+
+def test_external_tables_split_matches_inline():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (17, 19), dtype=np.uint8)
+    inline = decode_jpeg(encode_jpeg(img))
+    tables, scan = encode_jpeg(img, tables_external=True)
+    assert decode_jpeg(scan, tables_stream=tables).tobytes() == inline.tobytes()
+    # the scan stream alone has no Huffman tables -> clear error
+    with pytest.raises(JpegParseError, match="Huffman"):
+        decode_jpeg(scan)
+
+
+def test_restart_markers_roundtrip():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (24, 48), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(img))
+    with_rst = encode_jpeg(img, restart_interval=3)
+    assert b"\xff\xd0" in with_rst  # RST0 actually emitted
+    assert decode_jpeg(with_rst).tobytes() == plain.tobytes()
+
+
+def test_color_444_roundtrip_via_ycbcr():
+    rng = np.random.default_rng(11)
+    rgb = rng.integers(0, 256, (24, 17, 3), dtype=np.uint8)
+    dec = decode_jpeg(encode_jpeg(rgb))
+    assert dec.shape == rgb.shape
+    # lossless-ish quant: error = YCbCr<->RGB integer roundtrip only
+    assert np.abs(dec.astype(int) - rgb.astype(int)).max() <= 4
+
+
+def test_marker_layout_matches_spec():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    blob = encode_jpeg(img)
+    assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+    # segment walk: DQT, DHT x2, SOF0, SOS in order
+    markers = []
+    pos = 2
+    while pos < len(blob) - 2:
+        assert blob[pos] == 0xFF
+        m = blob[pos + 1]
+        markers.append(m)
+        (ln,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+        pos += 2 + ln
+        if m == 0xDA:
+            break
+    assert markers == [0xDB, 0xC4, 0xC4, 0xC0, 0xDA]
+
+
+def test_decoder_rejects_unsupported_processes():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    blob = bytearray(encode_jpeg(img))
+    i = blob.find(b"\xff\xc0")
+    blob[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
+    with pytest.raises(JpegParseError, match="progressive|SOF"):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(JpegParseError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_decoder_rejects_invalid_huffman_codes():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    blob = encode_jpeg(img)
+    i = blob.find(b"\xff\xda")
+    (ln,) = struct.unpack(">H", blob[i + 2 : i + 4])
+    head = blob[: i + 2 + ln]
+    # all-ones entropy bits (0xFF stuffed as 0xFF00) hit the gap in
+    # the Annex K DC table (its longest code is 9 bits of ones-1)
+    with pytest.raises(JpegParseError, match="Huffman code"):
+        decode_jpeg(head + b"\xff\x00" * 4 + b"\xff\xd9")
+
+
+def test_tiff_jpeg_strip_and_tile_roundtrip():
+    rng = np.random.default_rng(15)
+    img = rng.integers(0, 256, (1, 37, 53), dtype=np.uint8)
+    for kw in ({}, {"tile": (16, 16)}):
+        got = decode_tiff(encode_tiff(img, compression="jpeg", **kw))
+        assert got.shape == (1, 37, 53, 1)
+        assert np.abs(got[..., 0].astype(int) - img.astype(int)).max() <= 1
+    assert tiff_shape(encode_tiff(img, compression="jpeg")) == (1, 37, 53)
+
+
+def test_tiff_jpeg_multipage_and_rgb():
+    rng = np.random.default_rng(17)
+    pages = rng.integers(0, 256, (3, 16, 16), dtype=np.uint8)
+    got = decode_tiff(encode_tiff(pages, compression="jpeg"))
+    assert np.abs(got[..., 0].astype(int) - pages.astype(int)).max() <= 1
+    rgb = rng.integers(0, 256, (1, 21, 33, 3), dtype=np.uint8)
+    got = decode_tiff(encode_tiff(rgb, compression="jpeg"))
+    assert got.shape == rgb.shape
+    assert np.abs(got.astype(int) - rgb.astype(int)).max() <= 4
+
+
+def test_tiff_jpeg_uses_jpeg_tables_tag():
+    """The page must carry tag 347 and strips must NOT carry DQT —
+    the TechNote 2 split, which is what real writers emit."""
+    img = np.zeros((1, 16, 16), dtype=np.uint8)
+    blob = encode_tiff(img, compression="jpeg")
+    # tag 347 present
+    assert struct.pack("<HH", 347, 7) in blob
+    # exactly one DQT marker in the whole file (inside JPEGTables)
+    assert blob.count(b"\xff\xdb") == 1
+
+
+def test_tiff_jpeg_16bit_rejected():
+    img = np.zeros((1, 8, 8), dtype=np.uint16)
+    with pytest.raises(ValueError, match="8-bit"):
+        encode_tiff(img, compression="jpeg")
+
+
+def test_stack_voxels_reads_jpeg_stack(spark, tmp_path):
+    """The page-grain stack reader decodes compression-7 pages through
+    the same seek-based strip fetch as every other codec."""
+    from hortacloud_importer_spark.pipelines import stack_voxels
+
+    rng = np.random.default_rng(19)
+    vol = rng.integers(0, 250, (3, 8, 8), dtype=np.uint8)
+    f = tmp_path / "stack.tif"
+    f.write_bytes(encode_tiff(vol, compression="jpeg"))
+    vox, dims = stack_voxels(spark, str(f))
+    assert dims == (3, 8, 8)
+    got = np.zeros(dims, dtype=np.int64)
+    for r in vox.collect():
+        got[r["z"], r["y"], r["x"]] = r["intensity"]
+    assert np.abs(got - vol.astype(np.int64)).max() <= 1

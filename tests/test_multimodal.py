@@ -76,7 +76,13 @@ def test_binary_file_source(spark, tmp_path):
 
 
 def test_compressed_format_gated():
+    # jpeg now has a built-in baseline decoder; png remains gated
     with pytest.raises(NotImplementedError):
+        _decode_one(
+            "png", b"\x89PNG\r\n", {"height": 1, "width": 1, "channels": 1, "n_frames": 1}
+        )
+    # a corrupt jpeg fails with a parse error, not a silent result
+    with pytest.raises(Exception, match="truncated|marker"):
         _decode_one(
             "jpeg", b"\xff\xd8\xff", {"height": 1, "width": 1, "channels": 1, "n_frames": 1}
         )
@@ -164,3 +170,25 @@ def test_retile_tiff_windowed_read_payoff(spark):
     decode_tiff_window(strip_blob, y=(0, 16), x=(16, 32), stats=stats_strip)
     assert stats_strip["blocks_decoded"] == stats_strip["blocks_total"] == 1
     # the strip "block" is the ENTIRE page; the tiled read touched 1/16
+
+
+def test_decode_one_jpeg_via_builtin_codec():
+    """The jpeg multimodal format decodes through the clean-room T.81
+    decoder when PIL is absent (this container)."""
+    import numpy as np
+    import pytest
+
+    from hortacloud_importer_spark.operators.multimodal import _decode_one
+    from hortacloud_importer_spark.sources.jpeg import encode_jpeg
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; the builtin fallback is shadowed")
+    except ImportError:
+        pass
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    arr = _decode_one("jpeg", encode_jpeg(img), {})
+    assert arr.shape == (1, 16, 24, 1)
+    assert np.abs(arr[0, :, :, 0].astype(int) - img.astype(int)).max() <= 1

@@ -218,3 +218,54 @@ def test_connected_components_long_chain_converges(spark):
     comp = connected_components(pairs, max_iterations=n + 2).collect()
     assert {r["component"] for r in comp} == {0}
     assert len(comp) == n + 1
+
+
+def test_lsh_bucket_cap_drops_nondiscriminative_buckets(spark):
+    """SOAK finding: an adversarially repetitive corpus pair-bombs the
+    uncapped LSH joins (3.7e9 candidates at 500k docs). bucket_cap
+    anti-joins away buckets holding more than cap docs — identical
+    small-corpus results, bounded worst case."""
+    from hortacloud_importer_spark.operators.minhash import (
+        minhash_pairs,
+        simhash_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    # 12 documents with IDENTICAL shingle sets -> every minhash band
+    # bucket holds all 12 docs
+    rows = [(d, f"s{i}") for d in range(12) for i in range(10)]
+    sh = spark.createDataFrame(rows, "doc_id long, shingle string")
+    uncapped = minhash_pairs(sh, n_hashes=32, bands=8).count()
+    assert uncapped == 12 * 11 // 2
+    assert minhash_pairs(sh, n_hashes=32, bands=8, bucket_cap=8).count() == 0
+    # cap above the bucket size changes nothing
+    assert (
+        minhash_pairs(sh, n_hashes=32, bands=8, bucket_cap=64).count()
+        == uncapped
+    )
+
+    tokens = spark.createDataFrame(
+        [(d, f"t{i}") for d in range(12) for i in range(20)],
+        "doc_id long, token string",
+    )
+    un = simhash_pairs(tokens, max_hamming=64).count()
+    assert un == 12 * 11 // 2
+    assert simhash_pairs(tokens, max_hamming=64, bucket_cap=8).count() == 0
+
+
+def test_components_edges_materialized_once(spark):
+    """SOAK finding: the propagation loop re-executed the upstream
+    candidate DAG every round. The edge list must be a checkpointed
+    scan, not a recomputed join tree."""
+    from hortacloud_importer_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}

@@ -76,10 +76,20 @@ def test_multisample_page_roundtrip():
 
 def test_compressed_raises_with_codec_hint():
     blob, _ = _golden_single_page()
-    # flip the Compression entry (tag 259) value from 1 -> 7 (JPEG)
+    # flip the Compression entry (tag 259) value from 1 -> 6: OLD-style
+    # JPEG stays gated (new-style 7 decodes via sources/jpeg.py now)
+    idx = blob.find(struct.pack("<HHI", 259, 3, 1))
+    bad = blob[: idx + 8] + struct.pack("<HH", 6, 0) + blob[idx + 12 :]
+    with pytest.raises(TiffParseError, match="codec"):
+        decode_tiff(bad)
+
+
+def test_compression7_with_non_jpeg_payload_fails_clearly():
+    blob, _ = _golden_single_page()
+    # compression says JPEG but the strip holds raw pixels
     idx = blob.find(struct.pack("<HHI", 259, 3, 1))
     bad = blob[: idx + 8] + struct.pack("<HH", 7, 0) + blob[idx + 12 :]
-    with pytest.raises(TiffParseError, match="codec"):
+    with pytest.raises(TiffParseError, match="JPEG"):
         decode_tiff(bad)
 
 

@@ -352,9 +352,18 @@ def _write_md(r: dict) -> None:
         "Raw JSON: see the `tools/soak.py` stdout of the recorded run."
     )
     lines.append("")
-    with open(os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "SOAK.md"), "w") as fh:
-        fh.write("\n".join(lines))
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SOAK.md"
+    )
+    # preserve the corpus-soak section tools/soak_corpus.py maintains
+    tail = ""
+    if os.path.exists(path):
+        old = open(path).read()
+        marker = old.find("\n# CORPUS SOAK")
+        if marker >= 0:
+            tail = old[marker:]
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + tail)
 
 
 if __name__ == "__main__":
