@@ -345,7 +345,14 @@ def stack_voxels(
 
     filesystem, base = _pa_fs(path)
     segs = base.split("/")
-    if any(_glob_seg(s) for s in segs):
+    # a CONCRETE existing path that happens to contain glob characters
+    # (e.g. a literal directory named 'set[1]') keeps resolving as
+    # itself — glob expansion applies only when the literal path does
+    # not exist, so pre-glob-support call sites never break
+    glob_form = any(_glob_seg(s) for s in segs) and (
+        filesystem.get_file_info(base).type == pafs.FileType.NotFound
+    )
+    if glob_form:
         # glob form (dask imread / Hadoop-glob parity): ANY segment
         # may glob, not just the last — run*/stack.tif expands the
         # run* DIRECTORIES level by level, then matches files (or

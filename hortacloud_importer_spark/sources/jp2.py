@@ -194,9 +194,12 @@ def decode_jp2(data: bytes) -> np.ndarray:
     # next binding, carrying the messages into the final gate so a
     # genuine decode failure is still visible.
     failures: list[str] = []
+    importable = 0
     try:
         import glymur  # type: ignore[import-not-found]
         import tempfile
+
+        importable += 1
 
         # glymur's API is file-based
         with tempfile.NamedTemporaryFile(suffix=".jp2") as fh:
@@ -211,6 +214,7 @@ def decode_jp2(data: bytes) -> np.ndarray:
     try:
         import imageio.v3 as iio  # type: ignore[import-not-found]
 
+        importable += 1
         return _normalize(np.asarray(iio.imread(io.BytesIO(data), extension=".jp2")))
     except ImportError:
         pass
@@ -219,16 +223,25 @@ def decode_jp2(data: bytes) -> np.ndarray:
     try:
         import PIL.Image as Image  # type: ignore[import-not-found]
 
+        importable += 1
         return _normalize(np.asarray(Image.open(io.BytesIO(data))))
     except ImportError:
         pass
     except (OSError, ValueError, RuntimeError) as exc:
         failures.append(f"PIL: {exc}")
-    detail = ("; tried " + "; ".join(failures)) if failures else ""
+    if importable:
+        # at least one binding WAS present and still failed: that is a
+        # decode failure (corrupt data or a half-installed plugin), not
+        # the missing-codec environment gate — NotImplementedError is
+        # reserved for the latter (the FIXTURES.md honesty-gate signal)
+        raise Jp2ParseError(
+            f"JP2 decode failed ({h}x{w}, {nc} component(s)): "
+            + "; ".join(failures)
+        )
     raise NotImplementedError(
         f"JP2 slice decode ({h}x{w}, {nc} component(s)) needs an OpenJPEG "
         "binding — install glymur, imageio (with its JPEG-2000 plugin), or "
-        f"a Pillow built with OpenJPEG; none is bundled with this engine{detail}"
+        "a Pillow built with OpenJPEG; none is bundled with this engine"
     )
 
 

@@ -33,6 +33,7 @@ tables, then lets the strip stream override per T.81 semantics.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -155,6 +156,11 @@ def _parse_segments(data: bytes, tables: _Tables):
     while pos < len(data):
         if data[pos] != 0xFF:
             raise JpegParseError(f"expected marker at offset {pos}")
+        # optional 0xFF fill bytes may pad before any marker
+        # (T.81 B.1.1.2) — consume the whole run, the marker is the
+        # first non-FF byte
+        while pos + 1 < len(data) and data[pos + 1] == 0xFF:
+            pos += 1
         if pos + 2 > len(data):
             raise JpegParseError("truncated marker at end of stream")
         marker = data[pos + 1]
@@ -225,8 +231,27 @@ def _parse_segments(data: bytes, tables: _Tables):
 
 def load_tables(stream: bytes, tables: _Tables) -> None:
     """Pre-load DQT/DHT/DRI from a tables-only stream (the TIFF
-    JPEGTables tag): SOI, table segments, EOI — no frame, no scan."""
-    _parse_segments(stream, tables)
+    JPEGTables tag): SOI, table segments, EOI — no frame, no scan.
+
+    Parsed streams are memoized: a tiled TIFF page reuses ONE
+    JPEGTables blob across hundreds of blocks, and rebuilding the
+    65,536-entry Huffman LUTs per block is pure waste. The cached
+    template is never mutated — its dicts are copied into the
+    caller's tables so the strip stream can override entries per
+    T.81 without touching the cache."""
+    base = _cached_tables(bytes(stream))
+    tables.qt.update(base.qt)
+    tables.dc.update(base.dc)
+    tables.ac.update(base.ac)
+    tables.restart_interval = base.restart_interval
+    tables.adobe_transform = base.adobe_transform
+
+
+@functools.lru_cache(maxsize=8)
+def _cached_tables(stream: bytes) -> _Tables:
+    t = _Tables()
+    _parse_segments(stream, t)
+    return t
 
 
 def _decode_scan(

@@ -444,3 +444,19 @@ def test_stack_voxels_intermediate_segment_glob(spark, tmp_path):
     # glob in BOTH an intermediate and the final segment
     vox2, dims2 = stack_voxels(spark, str(tmp_path / "run*" / "*.tif"))
     assert dims2 == (4, 4, 4)
+
+
+def test_stack_voxels_literal_path_with_glob_chars(spark, tmp_path):
+    """Review r7: a CONCRETE directory whose name contains glob
+    characters (set[1]) must keep resolving as a literal path — glob
+    expansion only applies when the literal path does not exist."""
+    from hortacloud_importer_spark.pipelines import stack_voxels
+
+    rng = np.random.default_rng(53)
+    vol = rng.integers(1, 250, (2, 4, 4), dtype=np.uint8)
+    d = tmp_path / "set[1]"
+    d.mkdir()
+    (d / "stack.tif").write_bytes(encode_tiff(vol))
+    vox, dims = stack_voxels(spark, str(d / "stack.tif"))
+    assert dims == (2, 4, 4)
+    assert vox.count() == 32

@@ -186,10 +186,12 @@ def test_infer_slice_dims_rejects_wide_jp2(tmp_path):
 
 
 def test_decode_jp2_falls_through_broken_binding(monkeypatch):
-    """ADVICE r6: an importable binding that cannot decode (plugin
-    missing -> OSError/ValueError) must fall through to the next
-    binding and surface its message in the final gate, not mask the
-    chain with its own error."""
+    """ADVICE r6 + review: an importable binding that cannot decode
+    (plugin missing -> OSError/ValueError) falls through to the next
+    binding; if EVERY present binding fails, the error is a
+    Jp2ParseError carrying the per-binding messages — the
+    NotImplementedError gate is reserved for "no binding importable
+    at all" (the FIXTURES.md environment signal)."""
     import sys
     import types
 
@@ -202,6 +204,6 @@ def test_decode_jp2_falls_through_broken_binding(monkeypatch):
     monkeypatch.setitem(sys.modules, "glymur", fake)
     if _codec_available():
         pytest.skip("a later binding would decode for real here")
-    with pytest.raises(NotImplementedError) as exc:
+    with pytest.raises(Jp2ParseError) as exc:
         decode_jp2(_jp2_bytes(4, 4, 1))
     assert "glymur: openjpeg library not found" in str(exc.value)

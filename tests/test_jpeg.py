@@ -175,3 +175,33 @@ def test_stack_voxels_reads_jpeg_stack(spark, tmp_path):
     for r in vox.collect():
         got[r["z"], r["y"], r["x"]] = r["intensity"]
     assert np.abs(got - vol.astype(np.int64)).max() <= 1
+
+
+def test_fill_bytes_before_markers_are_skipped():
+    """T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes —
+    real encoders emit them; the walk must not misparse the second
+    0xFF as the marker."""
+    img = np.full((8, 8), 77, dtype=np.uint8)
+    blob = encode_jpeg(img)
+    # inject a fill byte before every DQT/DHT/SOF/SOS marker
+    padded = blob.replace(b"\xff\xdb", b"\xff\xff\xdb").replace(
+        b"\xff\xc4", b"\xff\xff\xc4"
+    ).replace(b"\xff\xc0", b"\xff\xff\xc0").replace(
+        b"\xff\xda", b"\xff\xff\xda"
+    )
+    assert decode_jpeg(padded).tobytes() == decode_jpeg(blob).tobytes()
+
+
+def test_jpeg_tables_parse_is_memoized():
+    """A tiled page decodes hundreds of blocks against ONE JPEGTables
+    blob; the 65k-entry Huffman LUTs must be built once, not per
+    block."""
+    from hortacloud_importer_spark.sources.jpeg import _cached_tables
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (1, 48, 48), dtype=np.uint8)
+    blob = encode_tiff(img, compression="jpeg", tile=(16, 16))
+    _cached_tables.cache_clear()
+    decode_tiff(blob)
+    info = _cached_tables.cache_info()
+    assert info.misses == 1 and info.hits == 9 - 1  # 9 tiles, one parse

@@ -23,12 +23,13 @@ LLM-data-pipeline table):
 - ANN probes a bounded candidate set (shuffle << all-pairs).
 
 Duplicate structure (deterministic, id-keyed): ids ending in 9 are
-EXACT copies of id-1; ids ending in 8 are NEAR duplicates of id-7
-(same word stream, ~3% of words replaced) — so ~10% exact-dup rate
-and a known near-dup pair per decade of ids.
+EXACT copies of the decade's id-ending-0 doc; ids ending in 8 are
+NEAR duplicates of id-7 (same word stream, ~3% of words replaced) —
+so ~10% exact-dup rate and a known near-dup pair per decade of ids.
 
-Usage: python tools/soak_corpus.py [--docs N] [--keep-data]
-(~3-6 min on 32 cores; the parquet fixture under /tmp is reused).
+Usage: python tools/soak_corpus.py [--docs N]
+(~3-6 min on 32 cores; the parquet fixture under /tmp is reused —
+delete /tmp/spark_graft_soak_corpus to force regeneration).
 """
 
 from __future__ import annotations
@@ -36,7 +37,6 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import shutil
 import sys
 import time
 
@@ -117,8 +117,12 @@ def _gen_corpus(spark) -> float:
             for row in pdf.itertuples():
                 did = int(row.id)
                 last = did % 10
-                if last == 9:  # exact duplicate of id-1
-                    w = words_for(did - 1)
+                if last == 9:
+                    # exact duplicate of the decade's id-ending-0 doc
+                    # (NOT did-1: doc did-1 ends in 8 and its TEXT is
+                    # the mutated stream, so copying words_for(did-1)
+                    # would duplicate nothing that exists)
+                    w = words_for(did - 9)
                 elif last == 8:  # near duplicate of id-7: ~3% mutated
                     w = words_for(did - 7).copy()
                     rng = np.random.default_rng((778, did))
@@ -188,9 +192,15 @@ def _gen_corpus(spark) -> float:
 
 
 def main() -> int:
+    global N_DOCS, N_VECS
     ap = argparse.ArgumentParser()
-    ap.add_argument("--keep-data", action="store_true")
+    ap.add_argument(
+        "--docs", type=int, default=N_DOCS,
+        help="corpus size (also SOAK_CORPUS_DOCS); a changed size needs "
+        "a fresh fixture dir",
+    )
     args = ap.parse_args()
+    N_DOCS = N_VECS = args.docs
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     from pyspark.sql import SparkSession
@@ -274,8 +284,6 @@ def main() -> int:
     report["peak_rss_phase"] = sampler.peak_at
     _write_md(report)
     print(json.dumps(report, indent=1)[:2400])
-    if not args.keep_data:
-        pass  # fixture is cheap to keep and expensive to regenerate
     spark.stop()
     return 0
 
@@ -318,8 +326,9 @@ def _write_md(r: dict) -> None:
         "joins (operators/minhash.py::_drop_hot_buckets — the LSH "
         "analog of the n-gram DF cap), defaulted on the production "
         "variants; the oracle-mode query keeps classic semantics. The "
-        "capped MinHash row above recovers the planted ~50k dup pairs "
-        "with a bounded shuffle.",
+        "capped MinHash row above recovers the planted pair structure "
+        "(~100k pairs: 50k exact + 50k near dups; jaccard finds exactly "
+        "100,000) with a bounded shuffle.",
         "2. **Edge-DAG recompute in connected components**: the "
         "propagation loop re-executed the whole candidate-generation "
         "DAG every round (~3x the pair join's shuffle at this scale). "
