@@ -266,7 +266,7 @@ class N5VolumeDataSource(DataSource):
 
 class _ZarrReaderNoPushdown(DataSourceReader):
     def __init__(self, options: dict):
-        from hortacloud_importer_spark.sources.n5 import zarr_meta
+        from hortacloud_importer_spark.sources.n5 import zarr3_meta, zarr_meta
 
         import json
 
@@ -274,15 +274,30 @@ class _ZarrReaderNoPushdown(DataSourceReader):
         self.target = int(
             options.get("target_partition_bytes", _DEFAULT_PARTITION_BYTES)
         )
-        meta = json.loads(_read_bytes(f"{self.root}/.zarray"))
-        (
-            self.shape,
-            self.chunks_zyx,
-            self.codec,
-            self.order,
-            self.np_dtype,
-            self.sep,
-        ) = zarr_meta(meta)
+        self.v3_codecs = None  # None = v2; a list = v3 bytes->bytes chain
+        try:
+            meta = json.loads(_read_bytes(f"{self.root}/.zarray"))
+        except (FileNotFoundError, OSError):
+            # Zarr v3 (zarr-python 3.x default): zarr.json metadata,
+            # c/<i>/<j>/<k> chunk keys, codec chain
+            meta = json.loads(_read_bytes(f"{self.root}/zarr.json"))
+            (
+                self.shape,
+                self.chunks_zyx,
+                self.np_dtype,
+                self.v3_codecs,
+                self.sep,
+            ) = zarr3_meta(meta)
+            self.codec, self.order = "raw", "C"
+        else:
+            (
+                self.shape,
+                self.chunks_zyx,
+                self.codec,
+                self.order,
+                self.np_dtype,
+                self.sep,
+            ) = zarr_meta(meta)
         self.bounds = _Bounds()
 
     def partitions(self):
@@ -294,6 +309,10 @@ class _ZarrReaderNoPushdown(DataSourceReader):
             name = rel.replace("/", self.sep) if self.sep == "/" else rel
             if name.startswith("."):
                 continue  # .zarray / .zattrs
+            if self.v3_codecs is not None:
+                if not name.startswith(f"c{self.sep}"):
+                    continue  # zarr.json and any non-chunk keys
+                name = name[len(f"c{self.sep}") :]
             try:
                 gz, gy, gx = (int(p) for p in name.split(self.sep))
             except ValueError:
@@ -310,12 +329,18 @@ class _ZarrReaderNoPushdown(DataSourceReader):
         return _group_chunks(chunks, voxel_bytes, self.target)
 
     def read(self, partition: _ChunkPartition):
-        from hortacloud_importer_spark.sources.n5 import zarr_chunk_axes
+        from hortacloud_importer_spark.sources.n5 import (
+            zarr3_chunk_bytes,
+            zarr_chunk_axes,
+        )
 
         for path, gz, gy, gx in partition.chunks:
             try:
+                raw = _read_bytes(path)
+                if self.v3_codecs is not None:
+                    raw = zarr3_chunk_bytes(raw, self.v3_codecs)
                 z, y, x, i = zarr_chunk_axes(
-                    _read_bytes(path), self.codec, self.np_dtype,
+                    raw, self.codec, self.np_dtype,
                     self.chunks_zyx, self.order, self.shape, gz, gy, gx,
                 )
             except Exception as exc:

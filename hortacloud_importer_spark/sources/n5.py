@@ -270,11 +270,138 @@ def read_zarr(spark: SparkSession, root: str) -> DataFrame:
     return chunks.mapInPandas(decode, VOXEL_SCHEMA)
 
 
+_V3_DTYPES = {
+    "uint8": "u1",
+    "uint16": "u2",
+    "uint32": "u4",
+    "uint64": "u8",
+    "int8": "i1",
+    "int16": "i2",
+    "int32": "i4",
+    "int64": "i8",
+    "float32": "f4",
+    "float64": "f8",
+}
+
+
+def zarr3_meta(meta: dict) -> tuple[list[int], list[int], "np.dtype", list, str]:
+    """Validate zarr.json (Zarr v3 array metadata, the zarr-python 3.x
+    default) -> (shape_zyx, chunks_zyx, numpy dtype, bytes->bytes
+    codec list, chunk-key separator).
+
+    Supported codec chain: one array->bytes ``bytes`` codec (endian
+    from its configuration) followed by any of the registered
+    bytes->bytes codecs ``blosc``/``gzip``/``zstd`` (decoded through
+    sources/codecs.py — blosc's container is self-describing) and
+    ``crc32c`` (the trailing 4-byte checksum is stripped; Castagnoli
+    verification is skipped, like the lz4-java block checksums).
+    ``transpose`` and ``sharding_indexed`` raise the honest gate."""
+    if int(meta.get("zarr_format", 0)) != 3 or meta.get("node_type") != "array":
+        raise ChunkStoreError("not a Zarr v3 array (zarr.json)")
+    shape = meta["shape"]
+    if len(shape) != 3:
+        raise ChunkStoreError("only 3-D zarr arrays supported")
+    grid = meta.get("chunk_grid", {})
+    if grid.get("name") != "regular":
+        raise ChunkStoreError(f"unsupported chunk_grid {grid.get('name')!r}")
+    chunks_zyx = grid["configuration"]["chunk_shape"]
+    base = _V3_DTYPES.get(meta.get("data_type"))
+    if base is None:
+        raise ChunkStoreError(f"unsupported data_type {meta.get('data_type')!r}")
+    codecs = list(meta.get("codecs", []))
+    if not codecs or codecs[0].get("name") != "bytes":
+        raise ChunkStoreError(
+            "codec chain must start with the 'bytes' array->bytes codec "
+            f"(got {codecs[0].get('name') if codecs else 'nothing'!r}; "
+            "transpose/sharding_indexed are not supported)"
+        )
+    endian = (codecs[0].get("configuration") or {}).get("endian", "little")
+    np_dtype = np.dtype(("<" if endian == "little" else ">") + base)
+    bb = codecs[1:]
+    for c in bb:
+        if c.get("name") not in ("blosc", "gzip", "zstd", "crc32c"):
+            raise ChunkStoreError(
+                f"unsupported Zarr v3 codec {c.get('name')!r} "
+                "(blosc/gzip/zstd/crc32c are built in)"
+            )
+    kenc = meta.get("chunk_key_encoding", {"name": "default"})
+    sep = (kenc.get("configuration") or {}).get("separator", "/")
+    if kenc.get("name", "default") != "default":
+        raise ChunkStoreError(
+            f"unsupported chunk_key_encoding {kenc.get('name')!r} "
+            "(the 'default' c/<i>/<j>/<k> scheme is built in)"
+        )
+    return shape, chunks_zyx, np_dtype, bb, sep
+
+
+def zarr3_chunk_bytes(raw: bytes, bb_codecs: list) -> bytes:
+    """Undo the bytes->bytes codec chain (reverse order)."""
+    from hortacloud_importer_spark.sources.codecs import (
+        blosc_decompress,
+        zarr_decompress,
+    )
+
+    for c in reversed(bb_codecs):
+        name = c.get("name")
+        if name == "crc32c":
+            if len(raw) < 4:
+                raise ChunkStoreError("crc32c codec: payload under 4 bytes")
+            raw = raw[:-4]
+        elif name == "blosc":
+            raw = blosc_decompress(raw)
+        else:  # gzip / zstd, validated by zarr3_meta
+            raw = zarr_decompress(raw, name)
+    return raw
+
+
+def read_zarr_v3(spark: SparkSession, root: str) -> DataFrame:
+    """Zarr-v3 array directory (zarr.json + c/<i>/<j>/<k> chunks) ->
+    voxel DataFrame (z, y, x, intensity) — same executor-decode shape
+    as read_zarr."""
+    meta = _read_json(spark, f"{root}/zarr.json")
+    shape, chunks_zyx, np_dtype, bb, sep = zarr3_meta(meta)
+
+    def decode(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                rel = row.path.split("/c", 1)[-1]
+                if sep == "/":
+                    gz, gy, gx = (int(p) for p in rel.strip("/").split("/"))
+                else:
+                    gz, gy, gx = (
+                        int(p) for p in rel.strip("/").split(sep)[1:]
+                    )
+                try:
+                    payload = zarr3_chunk_bytes(bytes(row.content), bb)
+                    z, y, x, i = zarr_chunk_axes(
+                        payload, "raw", np_dtype, chunks_zyx, "C",
+                        shape, gz, gy, gx,
+                    )
+                except Exception as exc:
+                    raise ChunkStoreError(
+                        f"bad Zarr v3 chunk {row.path}: {exc}"
+                    ) from exc
+                out.append(pd.DataFrame({"z": z, "y": y, "x": x, "intensity": i}))
+            yield pd.concat(out) if out else pd.DataFrame(
+                columns=["z", "y", "x", "intensity"]
+            )
+
+    pattern = f"{root}/c/*/*/*" if sep == "/" else f"{root}/c*"
+    chunks = spark.read.format("binaryFile").load(pattern)
+    return chunks.mapInPandas(decode, VOXEL_SCHEMA)
+
+
 def open_chunk_store(spark: SparkSession, root: str) -> DataFrame:
     """The reference's zarr-then-N5 probe order
-    (tiff2octree.py:789-795): try Zarr (.zarray present), fall back
-    to N5 (attributes.json present)."""
+    (tiff2octree.py:789-795): try Zarr (.zarray present), then Zarr
+    v3 (zarr.json — what zarr-python 3.x writes by default), fall
+    back to N5 (attributes.json present)."""
     try:
         return read_zarr(spark, root)
     except Exception:  # noqa: BLE001 — probe order, mirror the reference
+        pass
+    try:
+        return read_zarr_v3(spark, root)
+    except Exception:  # noqa: BLE001
         return read_n5(spark, root)

@@ -66,6 +66,7 @@ _TAG_SAMPLE_FORMAT = 339
 # 32773 = PackBits are implemented below from the public TIFF 6.0 spec.
 _ZLIB_CODES = (8, 32946)
 _COMP_LZW = 5
+_COMP_OLDJPEG = 6  # TIFF 6.0 original JPEG (deprecated by TechNote 2)
 _COMP_JPEG = 7  # "new-style" JPEG (TIFF TechNote 2)
 _COMP_PACKBITS = 32773
 _TAG_JPEG_TABLES = 347
@@ -222,6 +223,14 @@ def _decode_block(
 ) -> np.ndarray:
     """One strip/tile payload -> (rows, cols, spp), codec + predictor
     undone (``off`` is for error messages only)."""
+    if compression == _COMP_OLDJPEG and raw[:2] == b"\xff\xd8":
+        # TIFF 6.0 old-style JPEG is a mess of interchange variants,
+        # but the most common real-world form stores a COMPLETE JPEG
+        # stream per strip (what TechNote 2 standardized as tag 7) —
+        # when the payload starts with SOI, decode it the same way;
+        # the tag-6 variants with bare JPEGProc/JPEGQTables pointer
+        # tags fall through to the codec gate below
+        compression = _COMP_JPEG
     if compression == _COMP_JPEG:
         # new-style JPEG: the payload is a complete baseline JPEG
         # stream, tables optionally hoisted into the page-level

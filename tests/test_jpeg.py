@@ -205,3 +205,19 @@ def test_jpeg_tables_parse_is_memoized():
     decode_tiff(blob)
     info = _cached_tables.cache_info()
     assert info.misses == 1 and info.hits == 9 - 1  # 9 tiles, one parse
+
+
+def test_oldstyle_jpeg_with_full_stream_decodes():
+    """TIFF compression 6 (old-style JPEG) most often holds a complete
+    JPEG stream per strip in the wild — when the payload starts with
+    SOI it decodes like tag 7; the pointer-tag variants keep the codec
+    gate (test_compressed_raises_with_codec_hint)."""
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (1, 16, 24), dtype=np.uint8)
+    blob = encode_tiff(img, compression="jpeg")
+    # rewrite Compression 7 -> 6; strips are full streams either way
+    idx = blob.find(struct.pack("<HHI", 259, 3, 1))
+    assert idx >= 0
+    old = blob[: idx + 8] + struct.pack("<HH", 6, 0) + blob[idx + 12 :]
+    got = decode_tiff(old)
+    assert np.abs(got[..., 0].astype(int) - img.astype(int)).max() <= 1

@@ -263,3 +263,171 @@ def test_corrupt_chunk_bytes_fail_fast_without_spark():
     payload = np.arange(64, dtype=">u2").tobytes()
     z, y, x, i = n5_chunk_axes(hdr + payload, "raw", np.dtype(">u2"), (4, 4, 4), 1, 0, 0)
     assert i.tolist() == list(range(64)) and int(x.min()) == 4 and int(x.max()) == 7
+
+
+def _write_zarr_v3(root, vol, chunks_zyx, codecs, sep="/"):
+    """Spec-shaped Zarr v3 store: zarr.json + c/<i>/<j>/<k> chunks,
+    codec chain applied in order (bytes endian, then bytes->bytes)."""
+    dz, dy, dx = vol.shape
+    cz, cy, cx = chunks_zyx
+    root.mkdir(parents=True, exist_ok=True)
+    (root / "zarr.json").write_text(
+        json.dumps(
+            {
+                "zarr_format": 3,
+                "node_type": "array",
+                "shape": [dz, dy, dx],
+                "data_type": "uint16",
+                "chunk_grid": {
+                    "name": "regular",
+                    "configuration": {"chunk_shape": [cz, cy, cx]},
+                },
+                "chunk_key_encoding": {
+                    "name": "default",
+                    "configuration": {"separator": sep},
+                },
+                "fill_value": 0,
+                "codecs": [
+                    {"name": "bytes", "configuration": {"endian": "little"}}
+                ]
+                + codecs,
+            }
+        )
+    )
+    from hortacloud_importer_spark.sources.codecs import blosc_compress
+
+    for gz_i in range((dz + cz - 1) // cz):
+        for gy in range((dy + cy - 1) // cy):
+            for gx in range((dx + cx - 1) // cx):
+                full = np.zeros((cz, cy, cx), dtype="<u2")
+                blk = vol[
+                    gz_i * cz : (gz_i + 1) * cz,
+                    gy * cy : (gy + 1) * cy,
+                    gx * cx : (gx + 1) * cx,
+                ]
+                full[: blk.shape[0], : blk.shape[1], : blk.shape[2]] = blk
+                payload = full.tobytes()
+                for c in codecs:
+                    if c["name"] == "blosc":
+                        payload = blosc_compress(
+                            payload, typesize=2,
+                            cname=c["configuration"].get("cname", "lz4"),
+                        )
+                    elif c["name"] == "gzip":
+                        payload = gzip.compress(payload)
+                    elif c["name"] == "zstd":
+                        import pyarrow as pa
+
+                        payload = pa.Codec("zstd").compress(
+                            payload, asbytes=True
+                        )
+                    elif c["name"] == "crc32c":
+                        payload = payload + b"\x00\x00\x00\x00"
+                if sep == "/":
+                    d = root / "c" / str(gz_i) / str(gy)
+                    d.mkdir(parents=True, exist_ok=True)
+                    (d / str(gx)).write_bytes(payload)
+                else:
+                    (root / f"c{sep}{gz_i}{sep}{gy}{sep}{gx}").write_bytes(
+                        payload
+                    )
+
+
+@pytest.mark.parametrize(
+    "codecs",
+    [
+        [],
+        [{"name": "gzip", "configuration": {"level": 1}}],
+        [{"name": "zstd", "configuration": {"level": 3}}],
+        [{"name": "blosc", "configuration": {"cname": "lz4", "shuffle": "shuffle"}}],
+        [
+            {"name": "blosc", "configuration": {"cname": "zstd"}},
+            {"name": "crc32c"},
+        ],
+    ],
+)
+def test_zarr_v3_roundtrip(spark, tmp_path, codecs):
+    """Zarr v3 (zarr-python 3.x default layout): zarr.json metadata,
+    c/<i>/<j>/<k> chunk keys, bytes + bytes->bytes codec chain."""
+    from hortacloud_importer_spark.sources.n5 import read_zarr_v3
+
+    rng = np.random.default_rng(21)
+    vol = rng.integers(0, 65535, (5, 7, 6), dtype=np.uint16)  # edge chunks
+    _write_zarr_v3(tmp_path / "v3.zarr", vol, (4, 4, 4), codecs)
+    got = _collect_vol(
+        read_zarr_v3(spark, f"file://{tmp_path}/v3.zarr"), vol.shape
+    )
+    assert np.array_equal(got, vol)
+
+
+def test_zarr_v3_dot_separator(spark, tmp_path):
+    from hortacloud_importer_spark.sources.n5 import read_zarr_v3
+
+    vol = np.arange(8, dtype=np.uint16).reshape(2, 2, 2)
+    _write_zarr_v3(tmp_path / "v3dot.zarr", vol, (2, 2, 2), [], sep=".")
+    got = _collect_vol(
+        read_zarr_v3(spark, f"file://{tmp_path}/v3dot.zarr"), vol.shape
+    )
+    assert np.array_equal(got, vol)
+
+
+def test_open_chunk_store_probes_v3(spark, tmp_path):
+    vol = np.arange(8, dtype=np.uint16).reshape(2, 2, 2)
+    _write_zarr_v3(tmp_path / "store3", vol, (2, 2, 2), [])
+    got = _collect_vol(
+        open_chunk_store(spark, f"file://{tmp_path}/store3"), vol.shape
+    )
+    assert np.array_equal(got, vol)
+
+
+def test_zarr_v3_gates_sharding_and_transpose(spark, tmp_path):
+    from hortacloud_importer_spark.sources.n5 import zarr3_meta
+
+    base = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": [2, 2, 2],
+        "data_type": "uint16",
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": [2, 2, 2]},
+        },
+        "chunk_key_encoding": {"name": "default"},
+        "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+    }
+    bad = dict(base)
+    bad["codecs"] = [{"name": "sharding_indexed", "configuration": {}}]
+    with pytest.raises(ChunkStoreError, match="bytes"):
+        zarr3_meta(bad)
+    bad2 = dict(base)
+    bad2["codecs"] = base["codecs"] + [{"name": "transpose"}]
+    with pytest.raises(ChunkStoreError, match="transpose|unsupported"):
+        zarr3_meta(bad2)
+
+
+def test_zarr_volume_datasource_reads_v3(spark, tmp_path):
+    """The zarr_volume DataSource probes zarr.json when .zarray is
+    absent: v3 stores get the same chunk-grain partition planning and
+    window pruning as v2."""
+    from hortacloud_importer_spark.sources.datasource import (
+        register_volume_sources,
+    )
+
+    register_volume_sources(spark)
+    rng = np.random.default_rng(27)
+    vol = rng.integers(0, 65535, (5, 6, 7), dtype=np.uint16)
+    _write_zarr_v3(
+        tmp_path / "ds3.zarr", vol, (4, 4, 4),
+        [{"name": "blosc", "configuration": {"cname": "lz4"}}],
+    )
+    df = spark.read.format("zarr_volume").load(str(tmp_path / "ds3.zarr"))
+    got = _collect_vol(df, vol.shape)
+    assert np.array_equal(got, vol)
+    # window filter still prunes + re-applies exactly
+    import pyspark.sql.functions as F
+
+    sub = df.filter((F.col("z") >= 2) & (F.col("x") < 3))
+    rows = sub.collect()
+    assert len(rows) == 3 * 6 * 3
+    for r in rows:
+        assert vol[r["z"], r["y"], r["x"]] == r["intensity"]
