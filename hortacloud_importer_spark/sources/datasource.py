@@ -275,6 +275,7 @@ class _ZarrReaderNoPushdown(DataSourceReader):
             options.get("target_partition_bytes", _DEFAULT_PARTITION_BYTES)
         )
         self.v3_codecs = None  # None = v2; a list = v3 bytes->bytes chain
+        self.v3_shard = None  # ZEP-2 shard spec for sharded v3 stores
         try:
             meta = json.loads(_read_bytes(f"{self.root}/.zarray"))
         except (FileNotFoundError, OSError):
@@ -287,6 +288,7 @@ class _ZarrReaderNoPushdown(DataSourceReader):
                 self.np_dtype,
                 self.v3_codecs,
                 self.sep,
+                self.v3_shard,
             ) = zarr3_meta(meta)
             self.codec, self.order = "raw", "C"
         else:
@@ -331,13 +333,18 @@ class _ZarrReaderNoPushdown(DataSourceReader):
     def read(self, partition: _ChunkPartition):
         from hortacloud_importer_spark.sources.n5 import (
             zarr3_chunk_bytes,
+            zarr3_shard_bytes,
             zarr_chunk_axes,
         )
 
         for path, gz, gy, gx in partition.chunks:
             try:
                 raw = _read_bytes(path)
-                if self.v3_codecs is not None:
+                if self.v3_shard is not None:
+                    raw = zarr3_shard_bytes(
+                        raw, self.v3_shard, self.chunks_zyx, self.np_dtype
+                    )
+                elif self.v3_codecs is not None:
                     raw = zarr3_chunk_bytes(raw, self.v3_codecs)
                 z, y, x, i = zarr_chunk_axes(
                     raw, self.codec, self.np_dtype,

@@ -289,13 +289,19 @@ def zarr3_meta(meta: dict) -> tuple[list[int], list[int], "np.dtype", list, str]
     default) -> (shape_zyx, chunks_zyx, numpy dtype, bytes->bytes
     codec list, chunk-key separator).
 
-    Supported codec chain: one array->bytes ``bytes`` codec (endian
+    Supported codec chains: one array->bytes ``bytes`` codec (endian
     from its configuration) followed by any of the registered
     bytes->bytes codecs ``blosc``/``gzip``/``zstd`` (decoded through
     sources/codecs.py — blosc's container is self-describing) and
-    ``crc32c`` (the trailing 4-byte checksum is stripped; Castagnoli
-    verification is skipped, like the lz4-java block checksums).
-    ``transpose`` and ``sharding_indexed`` raise the honest gate."""
+    ``crc32c`` (trailing 4-byte checksums are stripped; Castagnoli
+    verification is skipped, like the lz4-java block checksums); OR a
+    top-level ``sharding_indexed`` codec (ZEP-2 — the v3 layout built
+    FOR 100 TB stores: outer chunks are shard objects holding an
+    inner-chunk grid plus a uint64 offset/nbytes footer index), whose
+    inner chain is validated by the same rule. ``transpose`` raises
+    the honest gate. The last element of the return is the shard
+    spec dict (inner_zyx / codecs / index_codecs / index_location),
+    or None for unsharded arrays."""
     if int(meta.get("zarr_format", 0)) != 3 or meta.get("node_type") != "array":
         raise ChunkStoreError("not a Zarr v3 array (zarr.json)")
     shape = meta["shape"]
@@ -308,22 +314,56 @@ def zarr3_meta(meta: dict) -> tuple[list[int], list[int], "np.dtype", list, str]
     base = _V3_DTYPES.get(meta.get("data_type"))
     if base is None:
         raise ChunkStoreError(f"unsupported data_type {meta.get('data_type')!r}")
-    codecs = list(meta.get("codecs", []))
-    if not codecs or codecs[0].get("name") != "bytes":
-        raise ChunkStoreError(
-            "codec chain must start with the 'bytes' array->bytes codec "
-            f"(got {codecs[0].get('name') if codecs else 'nothing'!r}; "
-            "transpose/sharding_indexed are not supported)"
-        )
-    endian = (codecs[0].get("configuration") or {}).get("endian", "little")
-    np_dtype = np.dtype(("<" if endian == "little" else ">") + base)
-    bb = codecs[1:]
-    for c in bb:
-        if c.get("name") not in ("blosc", "gzip", "zstd", "crc32c"):
+
+    def _split_chain(codecs: list, where: str):
+        if not codecs or codecs[0].get("name") != "bytes":
             raise ChunkStoreError(
-                f"unsupported Zarr v3 codec {c.get('name')!r} "
-                "(blosc/gzip/zstd/crc32c are built in)"
+                f"{where} codec chain must start with the 'bytes' "
+                "array->bytes codec (got "
+                f"{codecs[0].get('name') if codecs else 'nothing'!r}; "
+                "transpose is not supported)"
             )
+        endian = (codecs[0].get("configuration") or {}).get("endian", "little")
+        bb = codecs[1:]
+        for c in bb:
+            if c.get("name") not in ("blosc", "gzip", "zstd", "crc32c"):
+                raise ChunkStoreError(
+                    f"unsupported Zarr v3 codec {c.get('name')!r} in "
+                    f"{where} chain (blosc/gzip/zstd/crc32c are built in)"
+                )
+        return endian, bb
+
+    codecs = list(meta.get("codecs", []))
+    shard = None
+    if codecs and codecs[0].get("name") == "sharding_indexed":
+        if len(codecs) > 1:
+            raise ChunkStoreError(
+                "codecs after sharding_indexed are not supported"
+            )
+        cfg = codecs[0].get("configuration") or {}
+        if "chunk_shape" not in cfg:
+            raise ChunkStoreError(
+                "sharding_indexed configuration lacks chunk_shape"
+            )
+        inner_zyx = cfg["chunk_shape"]
+        if any(o % i for o, i in zip(chunks_zyx, inner_zyx)):
+            raise ChunkStoreError(
+                f"shard shape {chunks_zyx} is not a multiple of inner "
+                f"chunk shape {inner_zyx}"
+            )
+        endian, bb_inner = _split_chain(
+            list(cfg.get("codecs", [])), "shard inner"
+        )
+        shard = {
+            "inner_zyx": list(inner_zyx),
+            "codecs": bb_inner,
+            "index_codecs": list(cfg.get("index_codecs", [])),
+            "index_location": cfg.get("index_location", "end"),
+        }
+        bb = []  # the shard decoder applies the inner chain itself
+    else:
+        endian, bb = _split_chain(codecs, "array")
+    np_dtype = np.dtype(("<" if endian == "little" else ">") + base)
     kenc = meta.get("chunk_key_encoding", {"name": "default"})
     sep = (kenc.get("configuration") or {}).get("separator", "/")
     if kenc.get("name", "default") != "default":
@@ -331,7 +371,7 @@ def zarr3_meta(meta: dict) -> tuple[list[int], list[int], "np.dtype", list, str]
             f"unsupported chunk_key_encoding {kenc.get('name')!r} "
             "(the 'default' c/<i>/<j>/<k> scheme is built in)"
         )
-    return shape, chunks_zyx, np_dtype, bb, sep
+    return shape, chunks_zyx, np_dtype, bb, sep, shard
 
 
 def zarr3_chunk_bytes(raw: bytes, bb_codecs: list) -> bytes:
@@ -354,12 +394,68 @@ def zarr3_chunk_bytes(raw: bytes, bb_codecs: list) -> bytes:
     return raw
 
 
+def zarr3_shard_bytes(
+    raw: bytes, shard: dict, outer_zyx, np_dtype
+) -> bytes:
+    """One shard object (ZEP-2 sharding_indexed) -> the outer chunk's
+    raw C-order bytes. The footer (or header) index holds one uint64
+    little-endian (offset, nbytes) pair per inner chunk in C-order
+    over the intra-shard grid; 2^64-1 marks a missing chunk (filled
+    with zero, this engine's no-data value)."""
+    iz, iy, ix = shard["inner_zyx"]
+    oz, oy, ox = outer_zyx
+    nz, ny, nx = oz // iz, oy // iy, ox // ix
+    n_inner = nz * ny * nx
+    index_size = 16 * n_inner
+    for c in shard["index_codecs"]:
+        if c.get("name") == "crc32c":
+            index_size += 4
+    if len(raw) < index_size:
+        raise ChunkStoreError(
+            f"shard of {len(raw)} bytes shorter than its "
+            f"{index_size}-byte index"
+        )
+    if shard["index_location"] == "start":
+        index = raw[:index_size]
+    else:
+        index = raw[-index_size:]
+    pairs = np.frombuffer(index[: 16 * n_inner], dtype="<u8").reshape(-1, 2)
+    out = np.zeros((oz, oy, ox), dtype=np_dtype.newbyteorder("="))
+    missing = np.uint64(0xFFFFFFFFFFFFFFFF)
+    k = 0
+    for gz in range(nz):
+        for gy in range(ny):
+            for gx in range(nx):
+                off, nbytes = pairs[k]
+                k += 1
+                if off == missing:
+                    continue
+                payload = raw[int(off) : int(off) + int(nbytes)]
+                if len(payload) != int(nbytes):
+                    raise ChunkStoreError(
+                        f"inner chunk {gz},{gy},{gx} overruns the shard"
+                    )
+                dec = zarr3_chunk_bytes(payload, shard["codecs"])
+                if len(dec) != iz * iy * ix * np_dtype.itemsize:
+                    raise ChunkStoreError(
+                        f"inner chunk {gz},{gy},{gx} decoded to "
+                        f"{len(dec)} bytes"
+                    )
+                out[
+                    gz * iz : (gz + 1) * iz,
+                    gy * iy : (gy + 1) * iy,
+                    gx * ix : (gx + 1) * ix,
+                ] = np.frombuffer(dec, dtype=np_dtype).reshape(iz, iy, ix)
+    return out.astype(np_dtype, copy=False).tobytes()
+
+
 def read_zarr_v3(spark: SparkSession, root: str) -> DataFrame:
     """Zarr-v3 array directory (zarr.json + c/<i>/<j>/<k> chunks) ->
     voxel DataFrame (z, y, x, intensity) — same executor-decode shape
-    as read_zarr."""
+    as read_zarr. Sharded stores (ZEP-2) decode each shard object to
+    its outer chunk in the same per-file task."""
     meta = _read_json(spark, f"{root}/zarr.json")
-    shape, chunks_zyx, np_dtype, bb, sep = zarr3_meta(meta)
+    shape, chunks_zyx, np_dtype, bb, sep, shard = zarr3_meta(meta)
 
     def decode(batches):
         for pdf in batches:
@@ -373,7 +469,12 @@ def read_zarr_v3(spark: SparkSession, root: str) -> DataFrame:
                         int(p) for p in rel.strip("/").split(sep)[1:]
                     )
                 try:
-                    payload = zarr3_chunk_bytes(bytes(row.content), bb)
+                    if shard is not None:
+                        payload = zarr3_shard_bytes(
+                            bytes(row.content), shard, chunks_zyx, np_dtype
+                        )
+                    else:
+                        payload = zarr3_chunk_bytes(bytes(row.content), bb)
                     z, y, x, i = zarr_chunk_axes(
                         payload, "raw", np_dtype, chunks_zyx, "C",
                         shape, gz, gy, gx,

@@ -397,12 +397,16 @@ def test_zarr_v3_gates_sharding_and_transpose(spark, tmp_path):
     }
     bad = dict(base)
     bad["codecs"] = [{"name": "sharding_indexed", "configuration": {}}]
-    with pytest.raises(ChunkStoreError, match="bytes"):
+    with pytest.raises(ChunkStoreError, match="chunk_shape"):
         zarr3_meta(bad)
     bad2 = dict(base)
     bad2["codecs"] = base["codecs"] + [{"name": "transpose"}]
     with pytest.raises(ChunkStoreError, match="transpose|unsupported"):
         zarr3_meta(bad2)
+    bad3 = dict(base)
+    bad3["codecs"] = [{"name": "transpose"}] + base["codecs"]
+    with pytest.raises(ChunkStoreError, match="bytes"):
+        zarr3_meta(bad3)
 
 
 def test_zarr_volume_datasource_reads_v3(spark, tmp_path):
@@ -431,3 +435,155 @@ def test_zarr_volume_datasource_reads_v3(spark, tmp_path):
     assert len(rows) == 3 * 6 * 3
     for r in rows:
         assert vol[r["z"], r["y"], r["x"]] == r["intensity"]
+
+
+def _write_zarr_v3_sharded(
+    root, vol, shard_zyx, inner_zyx, inner_codecs, index_location="end"
+):
+    """ZEP-2 sharded store: each outer chunk is one shard object of
+    encoded inner chunks plus a uint64-LE (offset, nbytes) footer
+    index (crc32c-suffixed, as zarr-python writes); all-zero inner
+    chunks are omitted (index pair = 2^64-1)."""
+    import struct as _struct
+
+    from hortacloud_importer_spark.sources.codecs import blosc_compress
+
+    dz, dy, dx = vol.shape
+    sz, sy, sx = shard_zyx
+    iz, iy, ix = inner_zyx
+    root.mkdir(parents=True, exist_ok=True)
+    (root / "zarr.json").write_text(
+        json.dumps(
+            {
+                "zarr_format": 3,
+                "node_type": "array",
+                "shape": [dz, dy, dx],
+                "data_type": "uint16",
+                "chunk_grid": {
+                    "name": "regular",
+                    "configuration": {"chunk_shape": [sz, sy, sx]},
+                },
+                "chunk_key_encoding": {
+                    "name": "default",
+                    "configuration": {"separator": "/"},
+                },
+                "fill_value": 0,
+                "codecs": [
+                    {
+                        "name": "sharding_indexed",
+                        "configuration": {
+                            "chunk_shape": [iz, iy, ix],
+                            "codecs": [
+                                {
+                                    "name": "bytes",
+                                    "configuration": {"endian": "little"},
+                                }
+                            ]
+                            + inner_codecs,
+                            "index_codecs": [
+                                {
+                                    "name": "bytes",
+                                    "configuration": {"endian": "little"},
+                                },
+                                {"name": "crc32c"},
+                            ],
+                            "index_location": index_location,
+                        },
+                    }
+                ],
+            }
+        )
+    )
+
+    def enc(payload):
+        for c in inner_codecs:
+            if c["name"] == "blosc":
+                payload = blosc_compress(payload, typesize=2)
+            elif c["name"] == "gzip":
+                payload = gzip.compress(payload)
+        return payload
+
+    missing = (1 << 64) - 1
+    for gz_i in range(-(-dz // sz)):
+        for gy in range(-(-dy // sy)):
+            for gx in range(-(-dx // sx)):
+                full = np.zeros((sz, sy, sx), dtype="<u2")
+                blk = vol[
+                    gz_i * sz : (gz_i + 1) * sz,
+                    gy * sy : (gy + 1) * sy,
+                    gx * sx : (gx + 1) * sx,
+                ]
+                full[: blk.shape[0], : blk.shape[1], : blk.shape[2]] = blk
+                body = bytearray()
+                pairs = []
+                header = 0
+                n_inner = (sz // iz) * (sy // iy) * (sx // ix)
+                if index_location == "start":
+                    header = 16 * n_inner + 4
+                for cz_i in range(sz // iz):
+                    for cy_i in range(sy // iy):
+                        for cx_i in range(sx // ix):
+                            inner = full[
+                                cz_i * iz : (cz_i + 1) * iz,
+                                cy_i * iy : (cy_i + 1) * iy,
+                                cx_i * ix : (cx_i + 1) * ix,
+                            ]
+                            if not inner.any():
+                                pairs.append((missing, missing))
+                                continue
+                            payload = enc(inner.tobytes())
+                            pairs.append((header + len(body), len(payload)))
+                            body += payload
+                index = b"".join(
+                    _struct.pack("<QQ", o, n) for o, n in pairs
+                ) + b"\x00\x00\x00\x00"  # crc32c placeholder
+                blob = (
+                    index + bytes(body)
+                    if index_location == "start"
+                    else bytes(body) + index
+                )
+                d = root / "c" / str(gz_i) / str(gy)
+                d.mkdir(parents=True, exist_ok=True)
+                (d / str(gx)).write_bytes(blob)
+
+
+@pytest.mark.parametrize("index_location", ["end", "start"])
+@pytest.mark.parametrize(
+    "inner_codecs",
+    [[], [{"name": "blosc", "configuration": {"cname": "lz4"}}]],
+)
+def test_zarr_v3_sharded_roundtrip(spark, tmp_path, inner_codecs, index_location):
+    """ZEP-2 sharding — the v3 layout built FOR huge stores: outer
+    chunks are shard objects with an inner-chunk grid and a uint64
+    index; missing inner chunks read as fill (zero)."""
+    from hortacloud_importer_spark.sources.n5 import read_zarr_v3
+
+    rng = np.random.default_rng(33)
+    vol = rng.integers(0, 65535, (10, 9, 8), dtype=np.uint16)
+    vol[0:2, 0:4, 0:4] = 0  # a whole inner chunk of zeros -> omitted
+    name = f"sh_{index_location}_{len(inner_codecs)}.zarr"
+    _write_zarr_v3_sharded(
+        tmp_path / name, vol, (4, 4, 4), (2, 4, 4), inner_codecs,
+        index_location,
+    )
+    got = _collect_vol(
+        read_zarr_v3(spark, f"file://{tmp_path}/{name}"), vol.shape
+    )
+    assert np.array_equal(got, vol)
+
+
+def test_zarr_volume_datasource_reads_sharded_v3(spark, tmp_path):
+    from hortacloud_importer_spark.sources.datasource import (
+        register_volume_sources,
+    )
+
+    register_volume_sources(spark)
+    rng = np.random.default_rng(35)
+    vol = rng.integers(0, 65535, (8, 8, 8), dtype=np.uint16)
+    _write_zarr_v3_sharded(
+        tmp_path / "dss.zarr", vol, (4, 8, 8), (2, 4, 8),
+        [{"name": "blosc", "configuration": {"cname": "lz4"}}],
+    )
+    df = spark.read.format("zarr_volume").load(str(tmp_path / "dss.zarr"))
+    got = _collect_vol(df, vol.shape)
+    assert np.array_equal(got, vol)
