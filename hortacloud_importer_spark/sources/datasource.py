@@ -278,7 +278,10 @@ class _ZarrReaderNoPushdown(DataSourceReader):
         self.v3_shard = None  # ZEP-2 shard spec for sharded v3 stores
         try:
             meta = json.loads(_read_bytes(f"{self.root}/.zarray"))
-        except (FileNotFoundError, OSError):
+        except FileNotFoundError:
+            # missing .zarray only — a transient IO/permission error
+            # on a genuine v2 store must surface as itself, not as a
+            # misleading zarr.json complaint
             # Zarr v3 (zarr-python 3.x default): zarr.json metadata,
             # c/<i>/<j>/<k> chunk keys, codec chain
             meta = json.loads(_read_bytes(f"{self.root}/zarr.json"))

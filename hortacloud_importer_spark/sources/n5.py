@@ -284,10 +284,12 @@ _V3_DTYPES = {
 }
 
 
-def zarr3_meta(meta: dict) -> tuple[list[int], list[int], "np.dtype", list, str]:
+def zarr3_meta(
+    meta: dict,
+) -> tuple[list[int], list[int], "np.dtype", list, str, dict | None]:
     """Validate zarr.json (Zarr v3 array metadata, the zarr-python 3.x
     default) -> (shape_zyx, chunks_zyx, numpy dtype, bytes->bytes
-    codec list, chunk-key separator).
+    codec list, chunk-key separator, shard spec or None).
 
     Supported codec chains: one array->bytes ``bytes`` codec (endian
     from its configuration) followed by any of the registered
@@ -354,11 +356,40 @@ def zarr3_meta(meta: dict) -> tuple[list[int], list[int], "np.dtype", list, str]
         endian, bb_inner = _split_chain(
             list(cfg.get("codecs", [])), "shard inner"
         )
+        # the index decoder hardcodes LE uint64 pairs (+ optional
+        # crc32c suffix) — gate any other spec-legal index chain
+        # (big-endian, compressed index) rather than decode garbage
+        idx_codecs = list(
+            cfg.get(
+                "index_codecs",
+                [{"name": "bytes", "configuration": {"endian": "little"}}],
+            )
+        )
+        idx_names = [c.get("name") for c in idx_codecs]
+        idx_endian = (
+            (idx_codecs[0].get("configuration") or {}).get("endian", "little")
+            if idx_names and idx_names[0] == "bytes"
+            else None
+        )
+        if (
+            idx_names not in (["bytes"], ["bytes", "crc32c"])
+            or idx_endian != "little"
+        ):
+            raise ChunkStoreError(
+                f"unsupported shard index_codecs {idx_names} "
+                "(little-endian bytes [+ crc32c] is built in)"
+            )
+        fill = meta.get("fill_value", 0)
+        if not isinstance(fill, (int, float)) or isinstance(fill, bool):
+            raise ChunkStoreError(
+                f"unsupported fill_value {fill!r} for a sharded store"
+            )
         shard = {
             "inner_zyx": list(inner_zyx),
             "codecs": bb_inner,
-            "index_codecs": list(cfg.get("index_codecs", [])),
+            "index_crc32c": "crc32c" in idx_names,
             "index_location": cfg.get("index_location", "end"),
+            "fill": fill,
         }
         bb = []  # the shard decoder applies the inner chain itself
     else:
@@ -406,10 +437,7 @@ def zarr3_shard_bytes(
     oz, oy, ox = outer_zyx
     nz, ny, nx = oz // iz, oy // iy, ox // ix
     n_inner = nz * ny * nx
-    index_size = 16 * n_inner
-    for c in shard["index_codecs"]:
-        if c.get("name") == "crc32c":
-            index_size += 4
+    index_size = 16 * n_inner + (4 if shard["index_crc32c"] else 0)
     if len(raw) < index_size:
         raise ChunkStoreError(
             f"shard of {len(raw)} bytes shorter than its "
@@ -420,7 +448,11 @@ def zarr3_shard_bytes(
     else:
         index = raw[-index_size:]
     pairs = np.frombuffer(index[: 16 * n_inner], dtype="<u8").reshape(-1, 2)
-    out = np.zeros((oz, oy, ox), dtype=np_dtype.newbyteorder("="))
+    # missing inner chunks materialize as the array's declared
+    # fill_value, not an assumed zero
+    out = np.full(
+        (oz, oy, ox), shard["fill"], dtype=np_dtype.newbyteorder("=")
+    )
     missing = np.uint64(0xFFFFFFFFFFFFFFFF)
     k = 0
     for gz in range(nz):
@@ -461,14 +493,26 @@ def read_zarr_v3(spark: SparkSession, root: str) -> DataFrame:
         for pdf in batches:
             out = []
             for row in pdf.itertuples():
-                rel = row.path.split("/c", 1)[-1]
-                if sep == "/":
-                    gz, gy, gx = (int(p) for p in rel.strip("/").split("/"))
-                else:
-                    gz, gy, gx = (
-                        int(p) for p in rel.strip("/").split(sep)[1:]
-                    )
                 try:
+                    # parse from the path TAIL — the store root itself
+                    # may contain '/c...' components (/data/cells/...,
+                    # the c{ch}/s{scale} hierarchy layout), so never
+                    # split on the first '/c'
+                    if sep == "/":
+                        parts = row.path.rstrip("/").rsplit("/", 4)
+                        if parts[-4] != "c":
+                            raise ChunkStoreError(
+                                "chunk key not under the c/ directory"
+                            )
+                        gz, gy, gx = (int(p) for p in parts[-3:])
+                    else:
+                        name = row.path.rsplit("/", 1)[-1]
+                        fields = name.split(sep)
+                        if fields[0] != "c" or len(fields) != 4:
+                            raise ChunkStoreError(
+                                f"chunk key {name!r} is not c{sep}i{sep}j{sep}k"
+                            )
+                        gz, gy, gx = (int(p) for p in fields[1:])
                     if shard is not None:
                         payload = zarr3_shard_bytes(
                             bytes(row.content), shard, chunks_zyx, np_dtype
@@ -497,12 +541,22 @@ def open_chunk_store(spark: SparkSession, root: str) -> DataFrame:
     """The reference's zarr-then-N5 probe order
     (tiff2octree.py:789-795): try Zarr (.zarray present), then Zarr
     v3 (zarr.json — what zarr-python 3.x writes by default), fall
-    back to N5 (attributes.json present)."""
+    back to N5 (attributes.json present).
+
+    A ChunkStoreError re-raises instead of falling through: the
+    metadata file WAS found and parsed, and its honest-gate message
+    (unsupported codec, transpose, bad shard config) must not be
+    replaced by an unrelated 'attributes.json not found' from the
+    next probe."""
     try:
         return read_zarr(spark, root)
+    except ChunkStoreError:
+        raise
     except Exception:  # noqa: BLE001 — probe order, mirror the reference
         pass
     try:
         return read_zarr_v3(spark, root)
+    except ChunkStoreError:
+        raise
     except Exception:  # noqa: BLE001
         return read_n5(spark, root)

@@ -587,3 +587,92 @@ def test_zarr_volume_datasource_reads_sharded_v3(spark, tmp_path):
     df = spark.read.format("zarr_volume").load(str(tmp_path / "dss.zarr"))
     got = _collect_vol(df, vol.shape)
     assert np.array_equal(got, vol)
+
+
+def test_zarr_v3_root_containing_c_component(spark, tmp_path):
+    """Review r7: chunk indices must parse from the path TAIL — a
+    store root like .../cells/... (or the c{ch}/s{scale} hierarchy)
+    contains '/c' before the chunk directory."""
+    from hortacloud_importer_spark.sources.n5 import read_zarr_v3
+
+    vol = np.arange(8, dtype=np.uint16).reshape(2, 2, 2)
+    root = tmp_path / "cells" / "c0" / "v3.zarr"
+    _write_zarr_v3(root, vol, (2, 2, 2), [])
+    got = _collect_vol(read_zarr_v3(spark, f"file://{root}"), vol.shape)
+    assert np.array_equal(got, vol)
+
+
+def test_zarr_v3_shard_fill_value_honored(spark, tmp_path):
+    """Missing inner chunks materialize as the declared fill_value."""
+    from hortacloud_importer_spark.sources.n5 import read_zarr_v3
+
+    vol = np.full((4, 4, 4), 7, dtype=np.uint16)
+    vol[0:2, :, :] = 0  # the writer omits all-zero inner chunks
+    root = tmp_path / "fill.zarr"
+    _write_zarr_v3_sharded(root, vol, (4, 4, 4), (2, 4, 4), [])
+    meta = json.loads((root / "zarr.json").read_text())
+    meta["fill_value"] = 9
+    (root / "zarr.json").write_text(json.dumps(meta))
+    got = _collect_vol(read_zarr_v3(spark, f"file://{root}"), vol.shape)
+    assert (got[0:2] == 9).all() and (got[2:4] == 7).all()
+
+
+def test_zarr_v3_gates_exotic_index_codecs():
+    from hortacloud_importer_spark.sources.n5 import zarr3_meta
+
+    meta = {
+        "zarr_format": 3,
+        "node_type": "array",
+        "shape": [2, 2, 2],
+        "data_type": "uint16",
+        "chunk_grid": {
+            "name": "regular",
+            "configuration": {"chunk_shape": [2, 2, 2]},
+        },
+        "chunk_key_encoding": {"name": "default"},
+        "codecs": [
+            {
+                "name": "sharding_indexed",
+                "configuration": {
+                    "chunk_shape": [2, 2, 2],
+                    "codecs": [
+                        {"name": "bytes", "configuration": {"endian": "little"}}
+                    ],
+                    "index_codecs": [
+                        {"name": "bytes", "configuration": {"endian": "big"}},
+                        {"name": "crc32c"},
+                    ],
+                },
+            }
+        ],
+    }
+    with pytest.raises(ChunkStoreError, match="index_codecs"):
+        zarr3_meta(meta)
+
+
+def test_open_chunk_store_preserves_gate_errors(spark, tmp_path):
+    """A parsed-but-gated metadata file must surface its own message,
+    not fall through to an unrelated attributes.json error."""
+    root = tmp_path / "gated.zarr"
+    root.mkdir()
+    (root / "zarr.json").write_text(
+        json.dumps(
+            {
+                "zarr_format": 3,
+                "node_type": "array",
+                "shape": [2, 2, 2],
+                "data_type": "uint16",
+                "chunk_grid": {
+                    "name": "regular",
+                    "configuration": {"chunk_shape": [2, 2, 2]},
+                },
+                "chunk_key_encoding": {"name": "default"},
+                "codecs": [
+                    {"name": "transpose", "configuration": {"order": [2, 1, 0]}},
+                    {"name": "bytes", "configuration": {"endian": "little"}},
+                ],
+            }
+        )
+    )
+    with pytest.raises(ChunkStoreError, match="bytes"):
+        open_chunk_store(spark, f"file://{root}")

@@ -349,7 +349,15 @@ def _write_md(r: dict) -> None:
         lines.append(f"| {lv['level']} | {lv['blocks']} | {lv['voxels']} |")
     lines.append("")
     lines.append(
-        "Raw JSON: see the `tools/soak.py` stdout of the recorded run."
+        "Stage names are raw Spark callsites from the REST API; map "
+        "them to pipeline phases by stage id order (listing/meta "
+        "probes -> ingest shuffle -> per-level pyramid -> manifest)."
+    )
+    lines.append("")
+    lines.append(
+        "Reproduce: `SPARK_GRAFT_CPUS=32 python tools/soak.py` (first "
+        "run generates the 2 GiB slice fixture under /tmp and reuses "
+        "it after)."
     )
     lines.append("")
     path = os.path.join(
