@@ -451,12 +451,40 @@ def _run_ktx(args) -> dict:
 
 
 def _run_crop(args) -> dict:
-    from hortacloud_importer_spark.pipelines import crop_octree
+    from hortacloud_importer_spark.pipelines import (
+        crop_chunk_store,
+        crop_octree,
+    )
     from hortacloud_importer_spark.sources.block_store import (
         store_block_meta,
     )
+    from hortacloud_importer_spark.sources.datasource import _read_bytes
 
     spark = _session(args)
+    # chunk-store inputs (N5 / Zarr v2 / Zarr v3) crop directly — the
+    # reference's get_cropped_image_n5_zarr (tiff2octree.py:351-383);
+    # probe by metadata file, exactly like the octree subcommand's
+    # input auto-detection
+    base = args.inputdir.rstrip("/")
+    for probe in (".zarray", "zarr.json", "attributes.json"):
+        try:
+            _read_bytes(f"{base}/{probe}")
+        except (FileNotFoundError, OSError):
+            continue
+        res = crop_chunk_store(
+            spark,
+            args.inputdir,
+            args.output,
+            window=(tuple(args.z), tuple(args.y), tuple(args.x)),
+            dtype=args.dtype,
+        )
+        rows = res.collect()
+        return {
+            "command": "crop",
+            "output": args.output,
+            "n_slices": len(rows),
+            "n_nonzero": sum(r["n_nonzero"] for r in rows),
+        }
     # block extent from one TIFF header + deepest level from the path
     # listing — the old probe decoded EVERY block (max over a decoded
     # column) just to learn the store's metadata

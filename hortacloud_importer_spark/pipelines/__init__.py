@@ -5,7 +5,10 @@ from hortacloud_importer_spark.pipelines.octree import (  # noqa: F401
     optimal_nlevels,
     stack_voxels,
 )
-from hortacloud_importer_spark.pipelines.crop import crop_octree  # noqa: F401
+from hortacloud_importer_spark.pipelines.crop import (  # noqa: F401
+    crop_chunk_store,
+    crop_octree,
+)
 from hortacloud_importer_spark.pipelines.ktx import (  # noqa: F401
     block_mip_chain,
     tiff_octree_to_ktx,

@@ -113,6 +113,24 @@ def crop_octree(
             yield pd.DataFrame(out)
 
     tiles = blocks.mapInPandas(cut_tiles, tile_schema)
+    return _assemble_slices(
+        spark, tiles, dz, dy, dx, channel_ids, out_dir, dtype
+    )
+
+
+def _assemble_slices(
+    spark: SparkSession,
+    tiles: DataFrame,
+    dz: int,
+    dy: int,
+    dx: int,
+    channel_ids: list[int],
+    out_dir: str,
+    dtype: str,
+) -> DataFrame:
+    """Window-local Z-plane tiles -> one TIFF slice per (z, channel),
+    assembled and written in-executor (shared by the octree and
+    chunk-store crops)."""
     # full (z, channel) grid so empty slices still export as zeros
     # (skip-empty stores drop all-zero blocks); dz*channels rows only
     grid = spark.range(dz).select(F.col("id").cast("int").alias("z")).crossJoin(
@@ -170,3 +188,183 @@ def crop_octree(
         )
 
     return keyed.groupBy("z", "channel").applyInPandas(assemble, out_schema)
+
+
+def crop_chunk_store(
+    spark: SparkSession,
+    root: str,
+    out_dir: str,
+    window: _Window,
+    dtype: str = "uint16",
+) -> DataFrame:
+    """Window export straight from an N5 / Zarr v2 / Zarr v3 chunk
+    store — the reference's ``get_cropped_image_n5_zarr``
+    (tiff2octree.py:351-383) as a distributed slice-directory export.
+
+    Same scale shape as :func:`crop_octree`: chunks outside the
+    window are pruned on their GRID COORDINATES from the listing
+    (driver sees paths only, never payloads), each surviving chunk is
+    decoded and cut into window-clipped Z-plane tiles in-executor,
+    and one packed-tile shuffle regroups by output slice."""
+    import json as _json
+
+    from hortacloud_importer_spark.sources.datasource import (
+        _list_files,
+        _read_bytes,
+    )
+    from hortacloud_importer_spark.sources.n5 import (
+        ChunkStoreError,
+        n5_meta,
+        zarr3_meta,
+        zarr_meta,
+    )
+
+    (z0, z1), (y0, y1), (x0, x1) = window
+    if not (z0 < z1 and y0 < y1 and x0 < x1):
+        raise ValueError(f"empty window {window}")
+    dz, dy, dx = z1 - z0, y1 - y0, x1 - x0
+    base = root.rstrip("/")
+
+    def _try_json(name):
+        try:
+            return _json.loads(_read_bytes(f"{base}/{name}"))
+        except (FileNotFoundError, OSError):
+            return None
+
+    kind = None
+    if (meta := _try_json(".zarray")) is not None:
+        kind = "zarr2"
+        shape, chunks_zyx, codec, order, np_dtype, sep = zarr_meta(meta)
+        shard = None
+    elif (meta := _try_json("zarr.json")) is not None:
+        kind = "zarr3"
+        shape, chunks_zyx, np_dtype, bb, sep, shard = zarr3_meta(meta)
+        codec, order = "raw", "C"
+    elif (meta := _try_json("attributes.json")) is not None:
+        kind = "n5"
+        dims_xyz, block_xyz, codec, np_dtype = n5_meta(meta)
+        shape = list(reversed(dims_xyz))
+        chunks_zyx = list(reversed(block_xyz))
+        order, sep, shard, bb = "C", "/", None, []
+    else:
+        raise ChunkStoreError(
+            f"{root} holds none of .zarray / zarr.json / attributes.json"
+        )
+    if kind != "zarr3":
+        bb = []
+    cz, cy, cx = chunks_zyx
+
+    # driver-side listing + grid pruning (paths only, the A4 shape)
+    work = []
+    for path in _list_files(base):
+        name = path[len(base) + 1 :]
+        tail = name.rsplit("/", 1)[-1]
+        if tail.startswith((".", "_")) or tail in ("zarr.json",):
+            continue
+        try:
+            if kind == "n5":
+                gx_, gy_, gz_ = (int(p) for p in name.split("/"))
+            elif kind == "zarr3":
+                fields = (
+                    name.split("/")[1:]
+                    if sep == "/"
+                    else tail.split(sep)[1:]
+                )
+                if sep == "/" and not name.startswith("c/"):
+                    continue
+                if sep != "/" and not tail.startswith(f"c{sep}"):
+                    continue
+                gz_, gy_, gx_ = (int(p) for p in fields)
+            else:
+                key = name.replace("/", sep) if sep == "/" else tail
+                gz_, gy_, gx_ = (int(p) for p in key.split(sep))
+        except ValueError:
+            continue
+        if (
+            gz_ * cz >= z1
+            or (gz_ + 1) * cz <= z0
+            or gy_ * cy >= y1
+            or (gy_ + 1) * cy <= y0
+            or gx_ * cx >= x1
+            or (gx_ + 1) * cx <= x0
+        ):
+            continue
+        work.append((path, gz_, gy_, gx_))
+    chunks_df = spark.createDataFrame(
+        work or [("", -1, -1, -1)],
+        "path string, gz int, gy int, gx int",
+    ).filter(F.col("gz") >= 0)
+    chunks_df = chunks_df.repartition(spark.sparkContext.defaultParallelism)
+
+    tile_schema = (
+        "z int, channel int, y_off int, x_off int,"
+        " h int, w int, tile binary"
+    )
+    uri = root
+
+    def cut(batches):
+        import numpy as np
+        import pandas as pd
+
+        from hortacloud_importer_spark.sources.datasource import _pa_fs
+        from hortacloud_importer_spark.sources.n5 import (
+            n5_chunk_array,
+            zarr3_chunk_bytes,
+            zarr3_shard_bytes,
+            zarr_chunk_array,
+        )
+
+        fs_, fs_base = _pa_fs(uri)
+        prefix = f"{base.rstrip('/')}/"
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                rel = row.path.split(prefix, 1)[-1]
+                with fs_.open_input_stream(
+                    f"{fs_base.rstrip('/')}/{rel}"
+                ) as fh:
+                    raw = fh.read()
+                if kind == "n5":
+                    arr = n5_chunk_array(
+                        raw, codec, np_dtype, list(reversed(chunks_zyx))
+                    )
+                elif kind == "zarr3":
+                    if shard is not None:
+                        raw = zarr3_shard_bytes(raw, shard, chunks_zyx, np_dtype)
+                    else:
+                        raw = zarr3_chunk_bytes(raw, bb)
+                    arr = zarr_chunk_array(raw, "raw", np_dtype, chunks_zyx, "C")
+                else:
+                    arr = zarr_chunk_array(raw, codec, np_dtype, chunks_zyx, order)
+                gz_, gy_, gx_ = int(row.gz), int(row.gy), int(row.gx)
+                oz, oy, ox = gz_ * cz, gy_ * cy, gx_ * cx
+                # clip stored-full-size chunks to the array extent,
+                # then to the window, in chunk-local coordinates
+                bz_, by_, bx_ = (
+                    min(arr.shape[0], shape[0] - oz),
+                    min(arr.shape[1], shape[1] - oy),
+                    min(arr.shape[2], shape[2] - ox),
+                )
+                ly0, ly1 = max(y0 - oy, 0), min(y1 - oy, by_)
+                lx0, lx1 = max(x0 - ox, 0), min(x1 - ox, bx_)
+                if ly0 >= ly1 or lx0 >= lx1:
+                    continue
+                for lz in range(max(z0 - oz, 0), min(z1 - oz, bz_)):
+                    tile = arr[lz, ly0:ly1, lx0:lx1]
+                    if not tile.any():
+                        continue
+                    out.append(
+                        {
+                            "z": oz + lz - z0,
+                            "channel": 0,
+                            "y_off": oy + ly0 - y0,
+                            "x_off": ox + lx0 - x0,
+                            "h": ly1 - ly0,
+                            "w": lx1 - lx0,
+                            "tile": tile.astype("<u2").tobytes(),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    tiles = chunks_df.mapInPandas(cut, tile_schema)
+    return _assemble_slices(spark, tiles, dz, dy, dx, [0], out_dir, dtype)

@@ -72,13 +72,10 @@ _N5_DTYPES = {
 }
 
 
-def n5_chunk_axes(
-    raw: bytes, codec: str, np_dtype, block_xyz, gx: int, gy: int, gz: int
-):
-    """Decode one N5 chunk file -> flat (z, y, x, intensity) arrays.
-
-    Shared by the mapInPandas path below and the Python DataSource
-    front door (sources/datasource.py).
+def n5_chunk_array(raw: bytes, codec: str, np_dtype, block_xyz) -> np.ndarray:
+    """Decode one N5 chunk file -> its (z, y, x) ndarray (possibly
+    smaller than blockSize at the edge — N5 stores true dims in the
+    chunk header).
 
     The header is validated BEFORE any array is built: one corrupt
     chunk among billions must fail fast with a clear error, not spin
@@ -108,7 +105,19 @@ def n5_chunk_axes(
             f"{n_expected} x {np.dtype(np_dtype).itemsize}-byte elements"
         )
     # x-fastest payload == C-order over reversed (z, y, x)
-    arr = np.frombuffer(payload, dtype=np_dtype).reshape(list(reversed(bdims_xyz)))
+    return np.frombuffer(payload, dtype=np_dtype).reshape(
+        list(reversed(bdims_xyz))
+    )
+
+
+def n5_chunk_axes(
+    raw: bytes, codec: str, np_dtype, block_xyz, gx: int, gy: int, gz: int
+):
+    """Decode one N5 chunk file -> flat (z, y, x, intensity) arrays.
+
+    Shared by the mapInPandas path below and the Python DataSource
+    front door (sources/datasource.py)."""
+    arr = n5_chunk_array(raw, codec, np_dtype, block_xyz)
     oz, oy, ox = gz * block_xyz[2], gy * block_xyz[1], gx * block_xyz[0]
     zz, yy, xx = np.indices(arr.shape)
     return (
@@ -187,6 +196,25 @@ def zarr_meta(meta: dict) -> tuple[list[int], list[int], str, str, "np.dtype", s
     return shape, chunks_zyx, codec, order, np_dtype, sep
 
 
+def zarr_chunk_array(
+    raw: bytes, codec: str, np_dtype, chunks_zyx, order: str
+) -> np.ndarray:
+    """Decode one Zarr chunk payload -> its full-size (z, y, x)
+    ndarray (Zarr stores edge chunks full-size; callers clip)."""
+    from hortacloud_importer_spark.sources.codecs import zarr_decompress
+
+    payload = zarr_decompress(raw, codec)
+    n_expected = int(np.prod(chunks_zyx))
+    if len(payload) != n_expected * np.dtype(np_dtype).itemsize:
+        raise ChunkStoreError(
+            f"corrupt Zarr chunk payload: {len(payload)} bytes for "
+            f"{n_expected} x {np.dtype(np_dtype).itemsize}-byte elements"
+        )
+    return np.frombuffer(payload, dtype=np_dtype).reshape(
+        chunks_zyx, order=order
+    )
+
+
 def zarr_chunk_axes(
     raw: bytes,
     codec: str,
@@ -202,16 +230,7 @@ def zarr_chunk_axes(
 
     Edge chunks are stored full-size; the overhang past ``shape`` is
     clipped. Shared with sources/datasource.py."""
-    from hortacloud_importer_spark.sources.codecs import zarr_decompress
-
-    payload = zarr_decompress(raw, codec)
-    n_expected = int(np.prod(chunks_zyx))
-    if len(payload) != n_expected * np.dtype(np_dtype).itemsize:
-        raise ChunkStoreError(
-            f"corrupt Zarr chunk payload: {len(payload)} bytes for "
-            f"{n_expected} x {np.dtype(np_dtype).itemsize}-byte elements"
-        )
-    arr = np.frombuffer(payload, dtype=np_dtype).reshape(chunks_zyx, order=order)
+    arr = zarr_chunk_array(raw, codec, np_dtype, chunks_zyx, order)
     oz, oy, ox = gz * chunks_zyx[0], gy * chunks_zyx[1], gx * chunks_zyx[2]
     keep = (
         slice(0, max(0, min(chunks_zyx[0], shape[0] - oz))),

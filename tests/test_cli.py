@@ -460,3 +460,48 @@ def test_stack_voxels_literal_path_with_glob_chars(spark, tmp_path):
     vox, dims = stack_voxels(spark, str(d / "stack.tif"))
     assert dims == (2, 4, 4)
     assert vox.count() == 32
+
+
+def test_cli_crop_from_zarr_store(spark, tmp_path, capsys):
+    """`crop -i <zarr store>` auto-detects the chunk-store input and
+    exports the window without needing an octree store."""
+    import json as _json
+
+    from hortacloud_importer_spark.cli import main
+
+    rng = np.random.default_rng(59)
+    vol = rng.integers(1, 60000, (4, 4, 4)).astype(np.uint16)
+    root = tmp_path / "in.zarr"
+    root.mkdir()
+    (root / ".zarray").write_text(
+        _json.dumps(
+            {
+                "zarr_format": 2,
+                "shape": [4, 4, 4],
+                "chunks": [2, 2, 2],
+                "dtype": "<u2",
+                "compressor": None,
+                "order": "C",
+                "fill_value": 0,
+            }
+        )
+    )
+    for gz in range(2):
+        for gy in range(2):
+            for gx in range(2):
+                blk = vol[
+                    gz * 2 : gz * 2 + 2, gy * 2 : gy * 2 + 2, gx * 2 : gx * 2 + 2
+                ].astype("<u2")
+                (root / f"{gz}.{gy}.{gx}").write_bytes(blk.tobytes())
+    out = tmp_path / "win"
+    rc = main(
+        [
+            "crop", "-i", str(root), "-o", str(out),
+            "--z", "1,3", "--y", "0,4", "--x", "2,4",
+        ]
+    )
+    assert rc == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["n_slices"] == 2
+    got = decode_tiff((out / "default.0.00000.tif").read_bytes())[0, :, :, 0]
+    assert np.array_equal(got, vol[1, 0:4, 2:4])

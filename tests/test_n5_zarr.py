@@ -676,3 +676,47 @@ def test_open_chunk_store_preserves_gate_errors(spark, tmp_path):
     )
     with pytest.raises(ChunkStoreError, match="bytes"):
         open_chunk_store(spark, f"file://{root}")
+
+
+def test_crop_chunk_store_all_kinds(spark, tmp_path):
+    """The reference's get_cropped_image_n5_zarr as an export: a
+    window crops straight from N5 / Zarr v2 / Zarr v3 (incl. sharded)
+    stores into a re-ingestable slice directory, with chunk pruning
+    on grid coordinates."""
+    from hortacloud_importer_spark.pipelines import crop_chunk_store
+    from hortacloud_importer_spark.sources.tiff import decode_tiff
+
+    rng = np.random.default_rng(41)
+    vol = rng.integers(1, 65535, (6, 7, 8), dtype=np.uint16)
+    window = ((1, 4), (2, 6), (3, 8))
+
+    stores = {}
+    _write_n5(tmp_path / "a.n5", vol, (4, 3, 2), "gzip")
+    stores["n5"] = tmp_path / "a.n5"
+    _write_zarr(tmp_path / "b.zarr", vol, (4, 4, 4), {"id": "zlib", "level": 1})
+    stores["zarr2"] = tmp_path / "b.zarr"
+    _write_zarr_v3(
+        tmp_path / "c.zarr", vol, (4, 4, 4),
+        [{"name": "blosc", "configuration": {"cname": "lz4"}}],
+    )
+    stores["zarr3"] = tmp_path / "c.zarr"
+    _write_zarr_v3_sharded(tmp_path / "d.zarr", vol, (4, 4, 4), (2, 4, 4), [])
+    stores["zarr3_sharded"] = tmp_path / "d.zarr"
+
+    (z0, z1), (y0, y1), (x0, x1) = window
+    expect = vol[z0:z1, y0:y1, x0:x1]
+    for kind, root in stores.items():
+        out = tmp_path / f"crop_{kind}"
+        res = crop_chunk_store(
+            spark, str(root), str(out), window
+        ).collect()
+        assert len(res) == z1 - z0, kind
+        got = np.stack(
+            [
+                decode_tiff((out / f"default.0.{z:05d}.tif").read_bytes())[
+                    0, :, :, 0
+                ]
+                for z in range(z1 - z0)
+            ]
+        )
+        assert np.array_equal(got, expect), kind
