@@ -80,6 +80,14 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
             from hortacloud_importer_spark.sources.jpeg import decode_jpeg
 
             return decode_jpeg(bytes(payload))[None, ...]
+    if fmt == "png":
+        try:
+            import PIL.Image  # noqa: F401
+        except ImportError:
+            # clean-room PNG (sources/png.py): stdlib zlib + filters
+            from hortacloud_importer_spark.sources.png import decode_png
+
+            return decode_png(bytes(payload))[None, ...]
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:  # codec libs absent in this container

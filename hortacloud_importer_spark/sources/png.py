@@ -1,0 +1,217 @@
+"""Clean-room PNG codec (RFC 2083 / ISO 15948) for the multimodal
+``png`` decode hook.
+
+PNG is a deliberately simple format — zlib (stdlib) over per-scanline
+filtered samples — so unlike JPEG 2000 there is no reason to gate it
+on an external library:
+
+- chunk walk with CRC-32 verification (stdlib ``zlib.crc32``);
+- color types: greyscale (0), truecolor (2), palette (3),
+  greyscale+alpha (4), truecolor+alpha (6);
+- bit depths 8 and 16 for sample types, 1/2/4/8 for palette indices;
+- filters 0-4 (None/Sub/Up/Average/Paeth) undone scanline-by-scanline
+  (the Paeth predictor needs the sequential scan; Sub/Average/Paeth
+  inner loops run per-scanline over numpy rows);
+- interlace: only the null method (0) — Adam7 (1) raises the honest
+  gate (rare outside web-optimized thumbnails).
+
+A matching encoder (filter 0, one IDAT) exists so tests are
+spec-shaped files, with marker/CRC-level assertions, rather than
+roundtrips against a private layout.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+
+class PngParseError(ValueError):
+    pass
+
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel
+_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _chunks(data: bytes):
+    if data[: len(PNG_SIGNATURE)] != PNG_SIGNATURE:
+        raise PngParseError("missing PNG signature")
+    pos = len(PNG_SIGNATURE)
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length or pos + 12 + length > len(data):
+            raise PngParseError(f"truncated chunk {ctype!r}")
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + payload) & 0xFFFFFFFF != crc:
+            raise PngParseError(f"bad CRC on chunk {ctype!r}")
+        yield ctype, payload
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise PngParseError("no IEND chunk")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Filtered scanlines -> (height, stride) bytes. ``bpp`` = bytes
+    per complete pixel (min 1), the filter unit per the spec."""
+    if len(raw) != height * (stride + 1):
+        raise PngParseError(
+            f"decompressed {len(raw)} bytes; expected "
+            f"{height}x({stride}+1)"
+        )
+    src = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        f = int(src[y, 0])
+        line = src[y, 1:].astype(np.int32)
+        if f == 0:
+            cur = line
+        elif f == 1:  # Sub
+            cur = line.copy()
+            for x in range(bpp, stride):
+                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
+        elif f == 2:  # Up
+            cur = (line + prior) & 0xFF
+        elif f == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                cur[x] = (cur[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                left = int(cur[x - bpp]) if x >= bpp else 0
+                up = int(prior[x])
+                ul = int(prior[x - bpp]) if x >= bpp else 0
+                cur[x] = (cur[x] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise PngParseError(f"unknown filter type {f} on line {y}")
+        out[y] = cur.astype(np.uint8)
+        prior = cur
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """PNG bytes -> (height, width, channels) uint8 or uint16."""
+    ihdr = None
+    palette = None
+    trns = None
+    idat = bytearray()
+    for ctype, payload in _chunks(data):
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            ihdr = (w, h, depth, color)
+            if comp != 0 or filt != 0:
+                raise PngParseError(
+                    f"unknown compression/filter method {comp}/{filt}"
+                )
+            if interlace != 0:
+                raise PngParseError(
+                    "Adam7 interlace is not supported (null method only)"
+                )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"tRNS":
+            trns = payload
+        elif ctype == b"IDAT":
+            idat += payload
+    if ihdr is None:
+        raise PngParseError("no IHDR chunk")
+    w, h, depth, color = ihdr
+    if color not in _SAMPLES:
+        raise PngParseError(f"unknown color type {color}")
+    if color == 3:
+        if depth not in (1, 2, 4, 8):
+            raise PngParseError(f"palette bit depth {depth} invalid")
+        if palette is None:
+            raise PngParseError("palette color type without PLTE")
+    elif depth not in (8, 16):
+        raise PngParseError(
+            f"bit depth {depth} unsupported for color type {color} "
+            "(8/16-bit samples only)"
+        )
+    spp = _SAMPLES[color]
+    bits_per_pixel = depth * spp
+    stride = (w * bits_per_pixel + 7) // 8
+    bpp = max(1, bits_per_pixel // 8)
+    raw = zlib.decompress(bytes(idat))
+    rows = _unfilter(raw, h, stride, bpp)
+
+    if color == 3:
+        if depth < 8:
+            bits = np.unpackbits(rows, axis=1)[:, : w * depth]
+            idx = bits.reshape(h, w, depth)
+            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+            indices = (idx * weights).sum(axis=2)
+        else:
+            indices = rows[:, :w]
+        if int(indices.max(initial=0)) >= len(palette):
+            raise PngParseError("palette index out of range")
+        img = palette[indices]  # (h, w, 3)
+        if trns is not None:
+            alpha_lut = np.full(len(palette), 255, dtype=np.uint8)
+            alpha_lut[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+            img = np.dstack([img, alpha_lut[indices]])
+        return img
+    if depth == 16:
+        arr = rows.reshape(h, -1).view(">u2").astype(np.uint16)
+        return arr.reshape(h, w, spp)
+    return rows.reshape(h, w, spp)
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w[, c]) uint8/uint16 -> PNG (filter 0, one IDAT). Fixture
+    writer; output is spec-conforming for any decoder."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if color is None:
+        raise PngParseError(f"{c} channels unsupported")
+    if img.dtype == np.uint8:
+        depth, body = 8, img.tobytes()
+    elif img.dtype == np.uint16:
+        depth, body = 16, img.astype(">u2").tobytes()
+    else:
+        raise PngParseError("uint8/uint16 only")
+    stride = w * c * (depth // 8)
+    lines = bytearray()
+    for y in range(h):
+        lines.append(0)  # filter: None
+        lines += body[y * stride : (y + 1) * stride]
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + ctype
+            + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
+        + chunk(b"IEND", b"")
+    )

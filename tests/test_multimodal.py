@@ -76,15 +76,19 @@ def test_binary_file_source(spark, tmp_path):
 
 
 def test_compressed_format_gated():
-    # jpeg now has a built-in baseline decoder; png remains gated
+    # jpeg/png now have built-in clean-room decoders; webp stays gated
     with pytest.raises(NotImplementedError):
         _decode_one(
-            "png", b"\x89PNG\r\n", {"height": 1, "width": 1, "channels": 1, "n_frames": 1}
+            "webp", b"RIFF....WEBP", {"height": 1, "width": 1, "channels": 1, "n_frames": 1}
         )
-    # a corrupt jpeg fails with a parse error, not a silent result
+    # corrupt payloads fail with parse errors, not silent results
     with pytest.raises(Exception, match="truncated|marker"):
         _decode_one(
             "jpeg", b"\xff\xd8\xff", {"height": 1, "width": 1, "channels": 1, "n_frames": 1}
+        )
+    with pytest.raises(Exception, match="chunk|signature"):
+        _decode_one(
+            "png", b"\x89PNG\r\n\x1a\n\x00", {"height": 1, "width": 1, "channels": 1, "n_frames": 1}
         )
 
 

@@ -1,0 +1,167 @@
+"""Clean-room PNG codec (sources/png.py): chunk walk + CRC, filter
+reconstruction, color types, palette expansion — spec-shaped fixtures
+with marker/CRC-level assertions, plus the multimodal hook."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from hortacloud_importer_spark.sources.png import (
+    PNG_SIGNATURE,
+    PngParseError,
+    decode_png,
+    encode_png,
+)
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16])
+def test_roundtrip_color_types(channels, dtype):
+    rng = np.random.default_rng(3)
+    hi = 256 if dtype == np.uint8 else 65536
+    img = rng.integers(0, hi, (13, 17, channels)).astype(dtype)
+    got = decode_png(encode_png(img))
+    assert got.dtype == dtype and got.shape == img.shape
+    assert np.array_equal(got, img)
+
+
+def test_grayscale_2d_input():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    got = decode_png(encode_png(img))
+    assert got.shape == (8, 8, 1)
+    assert np.array_equal(got[:, :, 0], img)
+
+
+def _chunk(ctype: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + ctype
+        + payload
+        + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+    )
+
+
+def _hand_png(w, h, depth, color, body, extra=b""):
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + extra
+        + _chunk(b"IDAT", zlib.compress(body))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def test_all_filter_types_reconstruct():
+    """Hand-filter a known image with Sub/Up/Average/Paeth per line
+    and require exact reconstruction — the decoder is tested against
+    spec-computed bytes, not its own inverse."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (5, 7), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    lines = bytearray()
+    filters = [0, 1, 2, 3, 4]
+    for y, f in enumerate(filters):
+        row = img[y].astype(int)
+        prior = img[y - 1].astype(int) if y else np.zeros(7, dtype=int)
+        lines.append(f)
+        for x in range(7):
+            left = row[x - 1] if x else 0
+            up = prior[x]
+            ul = prior[x - 1] if x else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = row[x] - left
+            elif f == 2:
+                v = row[x] - up
+            elif f == 3:
+                v = row[x] - ((left + up) >> 1)
+            else:
+                v = row[x] - paeth(left, up, ul)
+            lines.append(v & 0xFF)
+    got = decode_png(_hand_png(7, 5, 8, 0, bytes(lines)))
+    assert np.array_equal(got[:, :, 0], img)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_palette_expansion(depth):
+    palette = np.array(
+        [[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], dtype=np.uint8
+    )
+    w, h = 5, 3
+    rng = np.random.default_rng(depth)
+    idx = rng.integers(0, min(4, 1 << depth), (h, w), dtype=np.uint8)
+    lines = bytearray()
+    for y in range(h):
+        lines.append(0)
+        bits = np.unpackbits(idx[y][:, None], axis=1, count=8)[:, 8 - depth :]
+        packed = np.packbits(bits.ravel())
+        lines += packed.tobytes()
+    blob = _hand_png(
+        w, h, depth, 3, bytes(lines),
+        extra=_chunk(b"PLTE", palette.tobytes()),
+    )
+    got = decode_png(blob)
+    assert got.shape == (h, w, 3)
+    assert np.array_equal(got, palette[idx])
+
+
+def test_palette_trns_adds_alpha():
+    palette = np.array([[1, 2, 3], [4, 5, 6]], dtype=np.uint8)
+    idx = np.array([[0, 1]], dtype=np.uint8)
+    blob = _hand_png(
+        2, 1, 8, 3, b"\x00" + idx.tobytes(),
+        extra=_chunk(b"PLTE", palette.tobytes()) + _chunk(b"tRNS", b"\x80"),
+    )
+    got = decode_png(blob)
+    assert got.shape == (1, 2, 4)
+    assert list(got[0, 0]) == [1, 2, 3, 0x80]
+    assert list(got[0, 1]) == [4, 5, 6, 255]
+
+
+def test_crc_and_gates():
+    img = np.zeros((4, 4), dtype=np.uint8)
+    blob = bytearray(encode_png(img))
+    blob[-5] ^= 0xFF  # corrupt IEND CRC
+    with pytest.raises(PngParseError, match="CRC"):
+        decode_png(bytes(blob))
+    # Adam7 gate
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    blob2 = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"\x00" * 20))
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngParseError, match="Adam7"):
+        decode_png(blob2)
+    with pytest.raises(PngParseError, match="signature"):
+        decode_png(b"GIF89a")
+
+
+def test_multimodal_png_hook():
+    import pytest as _pytest
+
+    from hortacloud_importer_spark.operators.multimodal import _decode_one
+
+    try:
+        import PIL  # noqa: F401
+
+        _pytest.skip("PIL present; the builtin fallback is shadowed")
+    except ImportError:
+        pass
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    arr = _decode_one("png", encode_png(img), {})
+    assert arr.shape == (1, 9, 11, 3)
+    assert np.array_equal(arr[0], img)
