@@ -248,12 +248,19 @@ def main() -> int:
     )
 
     phases = []
+    topk_rows: dict = {}
     for name, claim in QUERIES:
         spec = registry[name]
         sampler.phase(name)
         before = {s["stageId"] for s in _stages(spark)}
         t0 = time.monotonic()
-        n_rows = spec.fn(spark, WORK).count()
+        if name in ("sim_topk", "sim_ann"):
+            # tiny top-k outputs: keep the rows for the recall check
+            rows = spec.fn(spark, WORK).collect()
+            topk_rows[name] = rows
+            n_rows = len(rows)
+        else:
+            n_rows = spec.fn(spark, WORK).count()
         wall = time.monotonic() - t0
         stages = [s for s in _stages(spark) if s["stageId"] not in before]
         phases.append(
@@ -282,6 +289,19 @@ def main() -> int:
     report["phases"] = phases
     report["peak_rss_gib"] = round(sampler.peak / 2**20, 2)
     report["peak_rss_phase"] = sampler.peak_at
+    # ANN quality at this scale: recall@k of each approximate method
+    # against the exact brute-force top-k (same fixed query vector)
+    if "sim_topk" in topk_rows and "sim_ann" in topk_rows:
+        exact = {r["vec_id"] for r in topk_rows["sim_topk"]}
+        recalls = {}
+        for method in ("lsh", "ivf"):
+            got = {
+                r["vec_id"]
+                for r in topk_rows["sim_ann"]
+                if r["method"] == method
+            }
+            recalls[method] = round(len(exact & got) / max(len(exact), 1), 2)
+        report["ann_recall_at_k"] = recalls
     _write_md(report)
     print(json.dumps(report, indent=1)[:2400])
     spark.stop()
@@ -316,6 +336,17 @@ def _write_md(r: dict) -> None:
         f"{r['baseline_rss_gib']}; peak during `{r['peak_rss_phase']}`"
         " — RSS is cumulative JVM heap growth under a 48g cap, not a "
         "per-query attribution).",
+    ]
+    if "ann_recall_at_k" in r:
+        rc = r["ann_recall_at_k"]
+        lines += [
+            "",
+            f"ANN quality at this scale: recall@10 vs exact brute force "
+            f"= **{rc.get('lsh')} (LSH)** / **{rc.get('ivf')} (IVF)** "
+            "on the 500k-vector corpus (same fixed query; candidates "
+            "stay bucket-bounded, see the sim_ann shuffle row).",
+        ]
+    lines += [
         "",
         "## What this soak caught (fixed before these numbers)",
         "",
