@@ -468,9 +468,23 @@ def _run_crop(args) -> dict:
     base = args.inputdir.rstrip("/")
     for probe in (".zarray", "zarr.json", "attributes.json"):
         try:
-            _read_bytes(f"{base}/{probe}")
+            raw = _read_bytes(f"{base}/{probe}")
         except (FileNotFoundError, OSError):
             continue
+        if probe == "attributes.json":
+            # a GROUP-level attributes.json ({"pixelResolution": ...}
+            # on an N5 group / rendered-octree root) is not a dataset
+            # — same rule as _detect_volume_format's probe
+            import json as _json
+
+            if "dimensions" not in _json.loads(raw):
+                continue
+        if args.depth is not None:
+            raise SystemExit(
+                "--depth applies to octree stores; chunk stores are "
+                "single-scale — point -i at the wanted c{ch}/s{depth} "
+                "level instead"
+            )
         res = crop_chunk_store(
             spark,
             args.inputdir,

@@ -92,8 +92,9 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
         import PIL.Image  # noqa: F401
     except ImportError as exc:  # codec libs absent in this container
         raise NotImplementedError(
-            f"format {fmt!r} needs an image codec; only raw8 and "
-            "baseline jpeg are built in"
+            f"format {fmt!r} needs an image codec (PIL); built-in "
+            "clean-room decoders cover raw8, tiff, baseline jpeg, "
+            "and png"
         ) from exc
     import io
 

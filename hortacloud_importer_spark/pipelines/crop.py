@@ -22,6 +22,7 @@ sees per-slice accounting.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -127,6 +128,7 @@ def _assemble_slices(
     channel_ids: list[int],
     out_dir: str,
     dtype: str,
+    fill: int = 0,
 ) -> DataFrame:
     """Window-local Z-plane tiles -> one TIFF slice per (z, channel),
     assembled and written in-executor (shared by the octree and
@@ -151,7 +153,7 @@ def _assemble_slices(
         from hortacloud_importer_spark.sources.tiff import encode_tiff
 
         z, ch = int(key[0]), int(key[1])
-        page = np.zeros((dy, dx), dtype=np.int32)
+        page = np.full((dy, dx), fill, dtype=np.int32)
         for row in pdf.itertuples():
             if row.tile is None:
                 continue
@@ -252,6 +254,22 @@ def crop_chunk_store(
         )
     if kind != "zarr3":
         bb = []
+    # the export format is uint8/uint16 TIFF slices and tiles pack as
+    # little-endian uint16 — gate anything wider/signed/float rather
+    # than silently wrapping it (the octree-crop cast is safe only
+    # because block stores are uint8/uint16 on disk by construction)
+    if np.dtype(np_dtype).kind != "u" or np.dtype(np_dtype).itemsize > 2:
+        raise ChunkStoreError(
+            f"crop export supports unsigned <=16-bit chunk stores; "
+            f"this store is {np.dtype(np_dtype).name}"
+        )
+    # a spec-conforming reader materializes never-written chunks as
+    # the declared fill_value, not an assumed zero
+    fill = meta.get("fill_value", 0) or 0
+    if not isinstance(fill, int) or not 0 <= fill < (1 << 16):
+        raise ChunkStoreError(
+            f"unsupported fill_value {fill!r} for a uint16 slice export"
+        )
     cz, cy, cx = chunks_zyx
 
     # driver-side listing + grid pruning (paths only, the A4 shape)
@@ -276,7 +294,9 @@ def crop_chunk_store(
                     continue
                 gz_, gy_, gx_ = (int(p) for p in fields)
             else:
-                key = name.replace("/", sep) if sep == "/" else tail
+                # nested keys (sep '/') use the full relative path,
+                # flat keys ('.') use the filename
+                key = name if sep == "/" else tail
                 gz_, gy_, gx_ = (int(p) for p in key.split(sep))
         except ValueError:
             continue
@@ -351,7 +371,10 @@ def crop_chunk_store(
                     continue
                 for lz in range(max(z0 - oz, 0), min(z1 - oz, bz_)):
                     tile = arr[lz, ly0:ly1, lx0:lx1]
-                    if not tile.any():
+                    # skip-empty only when the canvas default IS zero:
+                    # with a nonzero fill_value a stored all-zero tile
+                    # must still overwrite the fill on the canvas
+                    if fill == 0 and not tile.any():
                         continue
                     out.append(
                         {
@@ -367,4 +390,6 @@ def crop_chunk_store(
             yield pd.DataFrame(out)
 
     tiles = chunks_df.mapInPandas(cut, tile_schema)
-    return _assemble_slices(spark, tiles, dz, dy, dx, [0], out_dir, dtype)
+    return _assemble_slices(
+        spark, tiles, dz, dy, dx, [0], out_dir, dtype, fill=fill
+    )

@@ -78,34 +78,46 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
         )
     src = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     out = np.zeros((height, stride), dtype=np.uint8)
-    prior = np.zeros(stride, dtype=np.int32)
+    prior_arr = np.zeros(stride, dtype=np.uint8)
+    prior_list: list[int] | None = None
     for y in range(height):
         f = int(src[y, 0])
-        line = src[y, 1:].astype(np.int32)
+        line = src[y, 1:]
         if f == 0:
-            cur = line
-        elif f == 1:  # Sub
-            cur = line.copy()
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
-        elif f == 2:  # Up
-            cur = (line + prior) & 0xFF
-        elif f == 3:  # Average
-            cur = line.copy()
-            for x in range(stride):
-                left = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (cur[x] + ((left + prior[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            cur = line.copy()
-            for x in range(stride):
-                left = int(cur[x - bpp]) if x >= bpp else 0
-                up = int(prior[x])
-                ul = int(prior[x - bpp]) if x >= bpp else 0
-                cur[x] = (cur[x] + _paeth(left, up, ul)) & 0xFF
+            cur_arr = line.copy()
+        elif f == 1:  # Sub — vectorized: per byte-lane cumsum mod 256
+            cur_arr = line.copy()
+            for p in range(bpp):
+                np.add.accumulate(
+                    cur_arr[p::bpp], dtype=np.uint8, out=cur_arr[p::bpp]
+                )
+        elif f == 2:  # Up — vectorized (uint8 wraps naturally)
+            cur_arr = line + prior_arr
+        elif f in (3, 4):  # Average / Paeth: left-dependency is
+            # inherently sequential; plain-int list loops beat numpy
+            # scalar indexing by ~10x on this path
+            if prior_list is None:
+                prior_list = prior_arr.tolist()
+            cur = line.tolist()
+            pri = prior_list
+            if f == 3:
+                for x in range(stride):
+                    left = cur[x - bpp] if x >= bpp else 0
+                    cur[x] = (cur[x] + ((left + pri[x]) >> 1)) & 0xFF
+            else:
+                for x in range(stride):
+                    left = cur[x - bpp] if x >= bpp else 0
+                    up = pri[x]
+                    ul = pri[x - bpp] if x >= bpp else 0
+                    cur[x] = (cur[x] + _paeth(left, up, ul)) & 0xFF
+            cur_arr = np.asarray(cur, dtype=np.uint8)
+            out[y] = cur_arr
+            prior_arr, prior_list = cur_arr, cur
+            continue
         else:
             raise PngParseError(f"unknown filter type {f} on line {y}")
-        out[y] = cur.astype(np.uint8)
-        prior = cur
+        out[y] = cur_arr
+        prior_arr, prior_list = cur_arr, None
     return out
 
 
@@ -117,6 +129,10 @@ def decode_png(data: bytes) -> np.ndarray:
     idat = bytearray()
     for ctype, payload in _chunks(data):
         if ctype == b"IHDR":
+            if len(payload) != 13:
+                raise PngParseError(
+                    f"IHDR payload is {len(payload)} bytes, not 13"
+                )
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
@@ -154,7 +170,10 @@ def decode_png(data: bytes) -> np.ndarray:
     bits_per_pixel = depth * spp
     stride = (w * bits_per_pixel + 7) // 8
     bpp = max(1, bits_per_pixel // 8)
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise PngParseError(f"corrupt IDAT zlib stream: {exc}") from exc
     rows = _unfilter(raw, h, stride, bpp)
 
     if color == 3:

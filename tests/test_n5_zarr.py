@@ -720,3 +720,82 @@ def test_crop_chunk_store_all_kinds(spark, tmp_path):
             ]
         )
         assert np.array_equal(got, expect), kind
+
+
+def test_crop_chunk_store_gates_wide_dtypes_and_honors_fill(spark, tmp_path):
+    """Review r7: crop must refuse stores whose samples cannot pack
+    losslessly into the uint16 slice export, and missing chunks must
+    materialize as the declared fill_value."""
+    from hortacloud_importer_spark.pipelines import crop_chunk_store
+    from hortacloud_importer_spark.sources.n5 import ChunkStoreError
+    from hortacloud_importer_spark.sources.tiff import decode_tiff
+
+    # float32 v3 store -> clear gate, no silent wrap
+    root = tmp_path / "f32.zarr"
+    root.mkdir()
+    (root / "zarr.json").write_text(
+        json.dumps(
+            {
+                "zarr_format": 3,
+                "node_type": "array",
+                "shape": [2, 2, 2],
+                "data_type": "float32",
+                "chunk_grid": {
+                    "name": "regular",
+                    "configuration": {"chunk_shape": [2, 2, 2]},
+                },
+                "chunk_key_encoding": {"name": "default"},
+                "fill_value": 0,
+                "codecs": [
+                    {"name": "bytes", "configuration": {"endian": "little"}}
+                ],
+            }
+        )
+    )
+    with pytest.raises(ChunkStoreError, match="float32"):
+        crop_chunk_store(
+            spark, str(root), str(tmp_path / "o1"), ((0, 2), (0, 2), (0, 2))
+        )
+
+    # v2 store with fill_value=7 and a missing chunk: export shows 7
+    vol = np.full((2, 2, 4), 3, dtype=np.uint16)
+    zroot = tmp_path / "fillv2.zarr"
+    _write_zarr(zroot, vol, (2, 2, 2), None)
+    meta = json.loads((zroot / ".zarray").read_text())
+    meta["fill_value"] = 7
+    (zroot / ".zarray").write_text(json.dumps(meta))
+    (zroot / "0.0.1").unlink()  # drop the x=2..3 chunk
+    out = tmp_path / "o2"
+    crop_chunk_store(
+        spark, str(zroot), str(out), ((0, 2), (0, 2), (0, 4))
+    ).collect()
+    got = decode_tiff((out / "default.0.00000.tif").read_bytes())[0, :, :, 0]
+    assert (got[:, 0:2] == 3).all() and (got[:, 2:4] == 7).all()
+
+
+def test_cli_crop_depth_rejected_for_chunk_store(spark, tmp_path, capsys):
+    from hortacloud_importer_spark.cli import main
+
+    root = tmp_path / "d.zarr"
+    root.mkdir()
+    (root / ".zarray").write_text(
+        json.dumps(
+            {
+                "zarr_format": 2,
+                "shape": [2, 2, 2],
+                "chunks": [2, 2, 2],
+                "dtype": "<u2",
+                "compressor": None,
+                "order": "C",
+                "fill_value": 0,
+            }
+        )
+    )
+    (root / "0.0.0").write_bytes(np.zeros(8, dtype="<u2").tobytes())
+    with pytest.raises(SystemExit, match="octree stores"):
+        main(
+            [
+                "crop", "-i", str(root), "-o", str(tmp_path / "o"),
+                "--z", "0,2", "--y", "0,2", "--x", "0,2", "--depth", "1",
+            ]
+        )

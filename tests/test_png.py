@@ -165,3 +165,36 @@ def test_multimodal_png_hook():
     arr = _decode_one("png", encode_png(img), {})
     assert arr.shape == (1, 9, 11, 3)
     assert np.array_equal(arr[0], img)
+
+
+def test_hand_filtered_sub_wide_image_vectorized_path():
+    """The vectorized Sub reconstruction (per-lane uint8 cumsum) must
+    match spec semantics on a multi-byte-per-pixel image with
+    overflow-heavy values."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (4, 33, 3), dtype=np.uint8)
+    body = bytearray()
+    for y in range(4):
+        body.append(1)  # Sub
+        row = img[y].reshape(-1).astype(int)
+        prev = np.concatenate([[0, 0, 0], row[:-3]])
+        body += ((row - prev) & 0xFF).astype(np.uint8).tobytes()
+    got = decode_png(_hand_png(33, 4, 8, 2, bytes(body)))
+    assert np.array_equal(got, img)
+
+
+def test_malformed_streams_raise_png_errors():
+    # IHDR payload of the wrong size, CRC made valid
+    bad_ihdr = struct.pack(">IIBBBB", 4, 4, 8, 0, 0, 0)  # 12 bytes
+    blob = PNG_SIGNATURE + _chunk(b"IHDR", bad_ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(PngParseError, match="IHDR"):
+        decode_png(blob)
+    # CRC-valid but garbled IDAT
+    blob2 = (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+        + _chunk(b"IDAT", b"not zlib data")
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngParseError, match="IDAT"):
+        decode_png(blob2)
