@@ -10,10 +10,11 @@ on an external library:
   greyscale+alpha (4), truecolor+alpha (6);
 - bit depths 8 and 16 for sample types, 1/2/4/8 for palette indices;
 - filters 0-4 (None/Sub/Up/Average/Paeth) undone scanline-by-scanline
-  (the Paeth predictor needs the sequential scan; Sub/Average/Paeth
-  inner loops run per-scanline over numpy rows);
-- interlace: only the null method (0) — Adam7 (1) raises the honest
-  gate (rare outside web-optimized thumbnails).
+  (Sub/Up vectorized; Average/Paeth are sequential by definition and
+  run as plain-int loops);
+- both interlace methods: null (0) and Adam7 (1) — the seven
+  sub-images decode from one zlib stream and scatter onto the pass
+  grid.
 
 A matching encoder (filter 0, one IDAT) exists so tests are
 spec-shaped files, with marker/CRC-level assertions, rather than
@@ -36,6 +37,17 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 # color type -> samples per pixel
 _SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
 
 def _chunks(data: bytes):
@@ -136,14 +148,14 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, depth, color, comp, filt, interlace = struct.unpack(
                 ">IIBBBBB", payload
             )
-            ihdr = (w, h, depth, color)
+            ihdr = (w, h, depth, color, interlace)
             if comp != 0 or filt != 0:
                 raise PngParseError(
                     f"unknown compression/filter method {comp}/{filt}"
                 )
-            if interlace != 0:
+            if interlace not in (0, 1):
                 raise PngParseError(
-                    "Adam7 interlace is not supported (null method only)"
+                    f"unknown interlace method {interlace}"
                 )
         elif ctype == b"PLTE":
             palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
@@ -153,7 +165,7 @@ def decode_png(data: bytes) -> np.ndarray:
             idat += payload
     if ihdr is None:
         raise PngParseError("no IHDR chunk")
-    w, h, depth, color = ihdr
+    w, h, depth, color, interlace = ihdr
     if color not in _SAMPLES:
         raise PngParseError(f"unknown color type {color}")
     if color == 3:
@@ -167,23 +179,61 @@ def decode_png(data: bytes) -> np.ndarray:
             "(8/16-bit samples only)"
         )
     spp = _SAMPLES[color]
-    bits_per_pixel = depth * spp
-    stride = (w * bits_per_pixel + 7) // 8
-    bpp = max(1, bits_per_pixel // 8)
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise PngParseError(f"corrupt IDAT zlib stream: {exc}") from exc
-    rows = _unfilter(raw, h, stride, bpp)
+
+    def rows_to_samples(rows: np.ndarray, width: int):
+        """Unfiltered scanline bytes -> (h, width) palette indices or
+        (h, width, spp) samples, for the full image or one Adam7
+        sub-image."""
+        if color == 3:
+            if depth < 8:
+                bits = np.unpackbits(rows, axis=1)[:, : width * depth]
+                idx = bits.reshape(rows.shape[0], width, depth)
+                weights = (1 << np.arange(depth - 1, -1, -1)).astype(
+                    np.uint8
+                )
+                return (idx * weights).sum(axis=2)
+            return rows[:, :width]
+        if depth == 16:
+            arr = rows.reshape(rows.shape[0], -1).view(">u2")
+            return arr.astype(np.uint16).reshape(rows.shape[0], width, spp)
+        return rows.reshape(rows.shape[0], width, spp)
+
+    bits_per_pixel = depth * spp
+    bpp = max(1, bits_per_pixel // 8)
+    if interlace == 0:
+        stride = (w * bits_per_pixel + 7) // 8
+        rows = _unfilter(raw, h, stride, bpp)
+        samples = rows_to_samples(rows, w)
+    else:
+        # Adam7: seven independently-filtered sub-images in one zlib
+        # stream; pass p covers pixels (y0+i*dy, x0+j*dx)
+        sample_dtype = np.uint16 if (color != 3 and depth == 16) else np.uint8
+        if color == 3:
+            samples = np.zeros((h, w), dtype=np.uint8)
+        else:
+            samples = np.zeros((h, w, spp), dtype=sample_dtype)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue
+            stride = (wp * bits_per_pixel + 7) // 8
+            need = hp * (stride + 1)
+            sub = _unfilter(raw[pos : pos + need], hp, stride, bpp)
+            pos += need
+            samples[y0::dy, x0::dx] = rows_to_samples(sub, wp)
+        if pos != len(raw):
+            raise PngParseError(
+                f"Adam7 stream has {len(raw) - pos} unconsumed bytes"
+            )
 
     if color == 3:
-        if depth < 8:
-            bits = np.unpackbits(rows, axis=1)[:, : w * depth]
-            idx = bits.reshape(h, w, depth)
-            weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
-            indices = (idx * weights).sum(axis=2)
-        else:
-            indices = rows[:, :w]
+        indices = samples
         if int(indices.max(initial=0)) >= len(palette):
             raise PngParseError("palette index out of range")
         img = palette[indices]  # (h, w, 3)
@@ -192,10 +242,7 @@ def decode_png(data: bytes) -> np.ndarray:
             alpha_lut[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
             img = np.dstack([img, alpha_lut[indices]])
         return img
-    if depth == 16:
-        arr = rows.reshape(h, -1).view(">u2").astype(np.uint16)
-        return arr.reshape(h, w, spp)
-    return rows.reshape(h, w, spp)
+    return samples
 
 
 def encode_png(img: np.ndarray) -> bytes:

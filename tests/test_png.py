@@ -135,15 +135,15 @@ def test_crc_and_gates():
     blob[-5] ^= 0xFF  # corrupt IEND CRC
     with pytest.raises(PngParseError, match="CRC"):
         decode_png(bytes(blob))
-    # Adam7 gate
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+    # unknown interlace method
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 2)
     blob2 = (
         PNG_SIGNATURE
         + _chunk(b"IHDR", ihdr)
         + _chunk(b"IDAT", zlib.compress(b"\x00" * 20))
         + _chunk(b"IEND", b"")
     )
-    with pytest.raises(PngParseError, match="Adam7"):
+    with pytest.raises(PngParseError, match="interlace"):
         decode_png(blob2)
     with pytest.raises(PngParseError, match="signature"):
         decode_png(b"GIF89a")
@@ -198,3 +198,52 @@ def test_malformed_streams_raise_png_errors():
     )
     with pytest.raises(PngParseError, match="IDAT"):
         decode_png(blob2)
+
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _adam7_png(img: np.ndarray) -> bytes:
+    """Hand-build an Adam7-interlaced PNG per the spec pass grid
+    (filter 0 lines), so the decoder is tested against spec-shaped
+    bytes."""
+    h, w = img.shape[:2]
+    c = 1 if img.ndim == 2 else img.shape[2]
+    arr = img.reshape(h, w, c)
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    depth = 16 if arr.dtype == np.uint16 else 8
+    body = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = arr[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        enc = sub.astype(">u2") if depth == 16 else sub
+        for y in range(sub.shape[0]):
+            body.append(0)
+            body += enc[y].tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 1)
+    return (
+        PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(body)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("shape", [(16, 16, 3), (13, 9, 1), (3, 5, 2), (1, 1, 1)])
+def test_adam7_interlaced_decode(shape):
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    got = decode_png(_adam7_png(img))
+    assert np.array_equal(got, img.reshape(shape[0], shape[1], shape[2]))
+
+
+def test_adam7_16bit_decode():
+    rng = np.random.default_rng(77)
+    img = rng.integers(0, 65536, (10, 11, 1)).astype(np.uint16)
+    got = decode_png(_adam7_png(img))
+    assert got.dtype == np.uint16
+    assert np.array_equal(got, img)
