@@ -92,7 +92,15 @@ def _gen_corpus(spark) -> float:
             "that be are was or an".split(),
             dtype=object,
         )
-        vocab = np.array([f"w{i:06d}" for i in range(102000)], dtype=object)
+        # topic count scales with corpus size (~5k docs per topic):
+        # a FIXED topic count would grow within-topic pair density
+        # quadratically with N and fake a blowup that real corpora
+        # (whose topical diversity grows with size) don't have
+        n_topics = max(100, N_DOCS // 5000)
+        vocab = np.array(
+            [f"w{i:06d}" for i in range(n_topics * 1000 + 3000)],
+            dtype=object,
+        )
         ranks = np.arange(1, 3001, dtype=np.float64)
         topic_probs = (1.0 / ranks) / np.sum(1.0 / ranks)
         langs = np.array(["en", "de", "fr", "es"], dtype=object)
@@ -100,7 +108,7 @@ def _gen_corpus(spark) -> float:
 
         def words_for(seed: int) -> np.ndarray:
             rng = np.random.default_rng((777, seed))
-            topic = seed % 100
+            topic = seed % n_topics
             window = vocab[topic * 1000 : topic * 1000 + 3000]
             n_stop = WORDS_PER_DOC // 3
             content = rng.choice(
@@ -128,7 +136,7 @@ def _gen_corpus(spark) -> float:
                     rng = np.random.default_rng((778, did))
                     k = max(1, WORDS_PER_DOC * 3 // 100)
                     idx = rng.choice(WORDS_PER_DOC, size=k, replace=False)
-                    topic = (did - 7) % 100
+                    topic = (did - 7) % n_topics
                     w[idx] = rng.choice(
                         vocab[topic * 1000 : topic * 1000 + 3000],
                         size=k,
@@ -343,8 +351,9 @@ def _write_md(r: dict) -> None:
             "",
             f"ANN quality at this scale: recall@10 vs exact brute force "
             f"= **{rc.get('lsh')} (LSH)** / **{rc.get('ivf')} (IVF)** "
-            "on the 500k-vector corpus (same fixed query; candidates "
-            "stay bucket-bounded, see the sim_ann shuffle row).",
+            f"on the {r['n_vecs']:,}-vector corpus (same fixed query; "
+            "candidates stay bucket-bounded, see the sim_ann shuffle "
+            "row).",
         ]
     lines += [
         "",
