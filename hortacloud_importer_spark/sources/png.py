@@ -224,6 +224,12 @@ def decode_png(data: bytes) -> np.ndarray:
                 continue
             stride = (wp * bits_per_pixel + 7) // 8
             need = hp * (stride + 1)
+            if len(raw) - pos < need:
+                raise PngParseError(
+                    f"Adam7 stream truncated in pass at ({x0},{y0}) "
+                    f"step ({dx},{dy}): {len(raw) - pos} bytes left, "
+                    f"{need} needed for a {hp}x{wp} sub-image"
+                )
             sub = _unfilter(raw[pos : pos + need], hp, stride, bpp)
             pos += need
             samples[y0::dy, x0::dx] = rows_to_samples(sub, wp)

@@ -240,11 +240,22 @@ def main() -> int:
     }
 
     sampler.phase("generate")
+    meta_path = f"{WORK}/_soak_meta.json"
     done_marker = f"{WORK}/documents.parquet/_SUCCESS"
     if os.path.exists(done_marker):
+        stamped = -1
+        if os.path.exists(meta_path):
+            stamped = json.load(open(meta_path)).get("n_docs", -1)
+        if stamped != N_DOCS:
+            raise SystemExit(
+                f"fixture at {WORK} holds {stamped} docs but this run "
+                f"wants {N_DOCS}; use a fresh SOAK_CORPUS_DIR (reusing "
+                "it would publish mislabeled measurements)"
+            )
         report["gen_sec"] = 0.0
     else:
         report["gen_sec"] = round(_gen_corpus(spark), 1)
+        json.dump({"n_docs": N_DOCS}, open(meta_path, "w"))
     report["corpus_mb"] = round(
         sum(
             os.path.getsize(os.path.join(dp, f))
@@ -317,16 +328,20 @@ def main() -> int:
 
 
 def _write_md(r: dict) -> None:
+    n = r["n_docs"]
     lines = [
-        "# CORPUS SOAK — K1-K5 / ANN at ~100x the bench corpus",
+        f"# CORPUS SOAK RUN — {n:,} documents "
+        f"(~{max(1, n // 5000)}x the bench corpus)",
         "",
         f"Generated by `tools/soak_corpus.py` on local[{r['cpus']}]: "
-        f"**{r['n_docs']:,} documents** ({WORDS_PER_DOC} words each, "
+        f"**{n:,} documents** ({WORDS_PER_DOC} words each, "
         f"~10% exact dups, ~10% near dups) + {r['n_vecs']:,} x {DIM}-d "
         f"embeddings in 32 clusters — {r['corpus_mb']} MiB of parquet "
         "(the bench fixture is 5,000 docs / 2,000 vectors). The exact "
         "registry query functions run unchanged; only `sf_dir` points "
-        "at the big corpus.",
+        "at the big corpus. Planted structure at THIS scale: "
+        f"{n // 10:,} exact + {n // 10:,} near dups -> jaccard finds "
+        f"exactly {n // 5:,} pairs.",
         "",
         "| query | claim under test | rows | wall s | input MiB "
         "| shuffle write MiB | shuffle read MiB |",
@@ -367,8 +382,8 @@ def _write_md(r: dict) -> None:
         "analog of the n-gram DF cap), defaulted on the production "
         "variants; the oracle-mode query keeps classic semantics. The "
         "capped MinHash row above recovers the planted pair structure "
-        "(~100k pairs: 50k exact + 50k near dups; jaccard finds exactly "
-        "100,000) with a bounded shuffle.",
+        "(N/5 pairs: half exact, half near dups; jaccard finds them "
+        "exactly) with a bounded shuffle.",
         "2. **Edge-DAG recompute in connected components**: the "
         "propagation loop re-executed the whole candidate-generation "
         "DAG every round (~3x the pair join's shuffle at this scale). "
@@ -376,20 +391,26 @@ def _write_md(r: dict) -> None:
         "(operators/components.py); `dedup_components` now costs one "
         "jaccard execution plus small per-round exchanges.",
         "",
-        "Reproduce: `SPARK_GRAFT_CPUS=32 python tools/soak_corpus.py` "
-        "(the parquet fixture under /tmp is reused across runs).",
+        "Reproduce: `SPARK_GRAFT_CPUS=32 python tools/soak_corpus.py "
+        "[--docs N]` (the parquet fixture under /tmp is reused across "
+        "runs and is stamped with its size; a different --docs needs a "
+        "fresh SOAK_CORPUS_DIR).",
         "",
     ]
     path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SOAK.md"
     )
-    head = ""
-    if os.path.exists(path):
-        old = open(path).read()
-        marker = old.find("\n# CORPUS SOAK")
-        head = old[:marker] if marker >= 0 else old
+    # replace ONLY this scale's previous run section (header carries
+    # the doc count); hand-curated '# CORPUS SOAK —' analyses and runs
+    # at other scales stay untouched
+    marker = lines[0]
+    doc = open(path).read() if os.path.exists(path) else ""
+    start = doc.find("\n" + marker)
+    if start >= 0:
+        nxt = doc.find("\n# ", start + 1)
+        doc = doc[:start] + (doc[nxt:] if nxt >= 0 else "")
     with open(path, "w") as fh:
-        fh.write(head.rstrip("\n") + "\n\n" + "\n".join(lines))
+        fh.write(doc.rstrip("\n") + "\n\n" + "\n".join(lines))
 
 
 if __name__ == "__main__":
