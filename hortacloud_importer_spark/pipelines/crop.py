@@ -236,18 +236,19 @@ def crop_chunk_store(
     kind = None
     if (meta := _try_json(".zarray")) is not None:
         kind = "zarr2"
-        shape, chunks_zyx, codec, order, np_dtype, sep = zarr_meta(meta)
-        shard = None
+        shape, chunks_zyx, codec, order, np_dtype, sep, _ = zarr_meta(meta)
+        shard, transpose = None, None
     elif (meta := _try_json("zarr.json")) is not None:
         kind = "zarr3"
-        shape, chunks_zyx, np_dtype, bb, sep, shard = zarr3_meta(meta)
+        shape, chunks_zyx, np_dtype, bb, sep, shard, extra = zarr3_meta(meta)
         codec, order = "raw", "C"
+        transpose = extra["transpose"]
     elif (meta := _try_json("attributes.json")) is not None:
         kind = "n5"
         dims_xyz, block_xyz, codec, np_dtype = n5_meta(meta)
         shape = list(reversed(dims_xyz))
         chunks_zyx = list(reversed(block_xyz))
-        order, sep, shard, bb = "C", "/", None, []
+        order, sep, shard, bb, transpose = "C", "/", None, [], None
     else:
         raise ChunkStoreError(
             f"{root} holds none of .zarray / zarr.json / attributes.json"
@@ -266,9 +267,12 @@ def crop_chunk_store(
     # a spec-conforming reader materializes never-written chunks as
     # the declared fill_value, not an assumed zero
     fill = meta.get("fill_value", 0) or 0
-    if not isinstance(fill, int) or not 0 <= fill < (1 << 16):
+    if not isinstance(fill, int) or not 0 <= fill <= int(
+        np.iinfo(np_dtype).max
+    ):
         raise ChunkStoreError(
-            f"unsupported fill_value {fill!r} for a uint16 slice export"
+            f"unsupported fill_value {fill!r} for a "
+            f"{np.dtype(np_dtype).name} slice export"
         )
     cz, cy, cx = chunks_zyx
 
@@ -352,7 +356,9 @@ def crop_chunk_store(
                     if shard is not None:
                         raw = zarr3_shard_bytes(raw, shard, chunks_zyx, np_dtype)
                     else:
-                        raw = zarr3_chunk_bytes(raw, bb)
+                        raw = zarr3_chunk_bytes(
+                            raw, bb, transpose, chunks_zyx, np_dtype
+                        )
                     arr = zarr_chunk_array(raw, "raw", np_dtype, chunks_zyx, "C")
                 else:
                     arr = zarr_chunk_array(raw, codec, np_dtype, chunks_zyx, order)

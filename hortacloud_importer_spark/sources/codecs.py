@@ -144,6 +144,55 @@ def xxh32(data: bytes, seed: int = 0) -> int:
     return h
 
 
+_CRC32C_TABLES: list[list[int]] | None = None
+
+
+def _crc32c_tables() -> list[list[int]]:
+    """Slicing-by-8 lookup tables for the Castagnoli CRC (polynomial
+    0x1EDC6F41, reflected 0x82F63B78 — the crc32c of iSCSI, ext4, and
+    the Zarr v3 ``crc32c`` codec). zlib.crc32 uses the IEEE 802.3
+    polynomial, so it can't be reused; the tables make the Python
+    loop process 8 bytes per iteration."""
+    global _CRC32C_TABLES
+    if _CRC32C_TABLES is None:
+        t0 = []
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ (0x82F63B78 if c & 1 else 0)
+            t0.append(c)
+        tables = [t0]
+        for _ in range(7):
+            prev = tables[-1]
+            tables.append([(prev[i] >> 8) ^ t0[prev[i] & 0xFF] for i in range(256)])
+        _CRC32C_TABLES = tables
+    return _CRC32C_TABLES
+
+
+def crc32c(data: bytes, crc: int = 0) -> int:
+    """CRC-32C (Castagnoli) — crc32c(b"123456789") == 0xE3069283."""
+    t0, t1, t2, t3, t4, t5, t6, t7 = _crc32c_tables()
+    crc ^= 0xFFFFFFFF
+    n8 = len(data) - len(data) % 8
+    i = 0
+    while i < n8:
+        b = crc ^ int.from_bytes(data[i : i + 4], "little")
+        crc = (
+            t7[b & 0xFF]
+            ^ t6[(b >> 8) & 0xFF]
+            ^ t5[(b >> 16) & 0xFF]
+            ^ t4[(b >> 24) & 0xFF]
+            ^ t3[data[i + 4]]
+            ^ t2[data[i + 5]]
+            ^ t1[data[i + 6]]
+            ^ t0[data[i + 7]]
+        )
+        i += 8
+    for j in range(n8, len(data)):
+        crc = (crc >> 8) ^ t0[(crc ^ data[j]) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
 _LZ4J_MAGIC = b"LZ4Block"
 _LZ4J_RAW = 0x10
 _LZ4J_LZ4 = 0x20
@@ -174,7 +223,11 @@ def lz4java_block_compress(data: bytes, block_size: int = 1 << 16) -> bytes:
     return bytes(out)
 
 
-def lz4java_block_decompress(data: bytes) -> bytes:
+def lz4java_block_decompress(data: bytes, verify: bool = False) -> bytes:
+    """``verify=True`` additionally checks each block's xxh32 checksum
+    (seed 0x9747B28C, low 28 bits — lz4-java's convention). Opt-in:
+    the pure-Python xxh32 costs more than the LZ4 decode itself, so
+    the default trusts the length/magic validation."""
     out = bytearray()
     pos = 0
     while True:
@@ -187,7 +240,7 @@ def lz4java_block_decompress(data: bytes) -> bytes:
             raise CodecError(
                 f"lz4-java stream: bad block header at offset {pos}"
             )
-        token, clen, dlen, _check = struct.unpack(
+        token, clen, dlen, check = struct.unpack(
             "<BIII", hdr[len(_LZ4J_MAGIC) :]
         )
         pos += _LZ4J_HEADER
@@ -201,13 +254,22 @@ def lz4java_block_decompress(data: bytes) -> bytes:
         if method == _LZ4J_RAW:
             if clen != dlen:
                 raise CodecError("lz4-java stream: raw block length mismatch")
-            out += payload
+            block = payload
         elif method == _LZ4J_LZ4:
-            out += _lz4_block_decompress(payload, dlen)
+            block = _lz4_block_decompress(payload, dlen)
         else:
             raise CodecError(
                 f"lz4-java stream: unknown compression method 0x{method:x}"
             )
+        if verify:
+            got = xxh32(block, _LZ4J_SEED) & 0x0FFFFFFF
+            if got != check & 0x0FFFFFFF:
+                raise CodecError(
+                    f"lz4-java stream: xxh32 mismatch on block at "
+                    f"offset {pos - clen - _LZ4J_HEADER} "
+                    f"(stored {check & 0x0FFFFFFF:#09x}, computed {got:#09x})"
+                )
+        out += block
 
 
 def numcodecs_lz4_compress(data: bytes) -> bytes:
@@ -297,7 +359,13 @@ def _blosc_split(compcode: int, typesize: int, blocksize: int) -> bool:
 
 def _blosc_parse_block(
     data: bytes, start: int, bsize: int, nstreams: int, compcode: int
-) -> bytes:
+) -> tuple[bytes, int]:
+    """Parse one block at ``start`` assuming ``nstreams`` split
+    streams -> (decoded bytes, end offset of the last stream). The
+    end offset lets the caller verify a candidate stream count
+    against the next block's start — a stored-uncompressed stream
+    (csize==want) can otherwise 'parse' under the wrong nstreams and
+    return wrong bytes silently."""
     out = bytearray()
     pos = start
     neblock = bsize // nstreams
@@ -321,7 +389,7 @@ def _blosc_parse_block(
                     f"blosc stream decompressed to {len(dec)}, wanted {want}"
                 )
             out += dec
-    return bytes(out)
+    return bytes(out), pos
 
 
 def blosc_decompress(data: bytes) -> bytes:
@@ -360,21 +428,39 @@ def blosc_decompress(data: bytes) -> bytes:
     bstarts = struct.unpack(f"<{nblocks}i", data[16:idx_end])
     out = bytearray()
     shuffle = bool(flags & _F_BYTE_SHUFFLE)
+    # c-blosc writes blocks back-to-back, so each block's streams end
+    # exactly where the next block starts (or at cbytes for the last
+    # in file order) — the boundary that disambiguates the split count
+    ordered = sorted(bstarts)
     for j, start in enumerate(bstarts):
+        nxt = next((s for s in ordered if s > start), cbytes)
         bsize = min(blocksize, nbytes - j * blocksize)
         leftover = bsize != blocksize or bsize % typesize
         want_split = _blosc_split(compcode, typesize, blocksize) and not leftover
         candidates = (typesize, 1) if want_split else (1, typesize)
         block = None
+        provisional: bytes | None = None
         err: Exception | None = None
         for nstreams in candidates:
             if nstreams > 1 and bsize % nstreams:
                 continue
             try:
-                block = _blosc_parse_block(data, start, bsize, nstreams, compcode)
-                break
+                cand, end = _blosc_parse_block(
+                    data, start, bsize, nstreams, compcode
+                )
             except CodecError as exc:
                 err = exc
+                continue
+            if end == nxt:
+                block = cand  # consumed exactly to the next boundary
+                break
+            if provisional is None:
+                provisional = cand
+        if block is None:
+            # no candidate landed on the boundary (e.g. a writer that
+            # pads between blocks): trust the primary split heuristic's
+            # parse rather than a wrong-count one that merely didn't raise
+            block = provisional
         if block is None:
             raise err if err is not None else CodecError("blosc: empty block")
         if shuffle:
@@ -462,10 +548,12 @@ def blosc_compress(
 # ----------------------------------------------------------- dispatch
 
 
-def n5_decompress(payload: bytes, codec: str) -> bytes:
+def n5_decompress(payload: bytes, codec: str, verify: bool = False) -> bytes:
     """N5 ``compression.type`` dispatch — the full standard N5 codec
     set (saalfeldlab/n5 spec): raw, gzip (+useZlib handled upstream
-    as 'zlib'), bzip2, lz4 (lz4-java block stream), xz."""
+    as 'zlib'), bzip2, lz4 (lz4-java block stream), xz. ``verify``
+    opts into the lz4-java per-block xxh32 check; gzip/zlib/bzip2/xz
+    carry their own integrity checks that the stdlib verifies."""
     if codec in ("raw", "null", "none"):
         return payload
     if codec == "gzip":
@@ -475,7 +563,7 @@ def n5_decompress(payload: bytes, codec: str) -> bytes:
     if codec == "bzip2":
         return bz2.decompress(payload)
     if codec == "lz4":
-        return lz4java_block_decompress(payload)
+        return lz4java_block_decompress(payload, verify=verify)
     if codec == "xz":
         return lzma.decompress(payload)
     raise CodecError(

@@ -276,6 +276,8 @@ class _ZarrReaderNoPushdown(DataSourceReader):
         )
         self.v3_codecs = None  # None = v2; a list = v3 bytes->bytes chain
         self.v3_shard = None  # ZEP-2 shard spec for sharded v3 stores
+        self.v3_transpose = None
+        self.verify = str(options.get("verify", "false")).lower() == "true"
         try:
             meta = json.loads(_read_bytes(f"{self.root}/.zarray"))
         except FileNotFoundError:
@@ -292,8 +294,13 @@ class _ZarrReaderNoPushdown(DataSourceReader):
                 self.v3_codecs,
                 self.sep,
                 self.v3_shard,
+                extra,
             ) = zarr3_meta(meta)
             self.codec, self.order = "raw", "C"
+            self.v3_transpose = extra["transpose"]
+            self.fill = extra["fill"]
+            if self.v3_shard is not None and self.verify:
+                self.v3_shard = dict(self.v3_shard, verify=True)
         else:
             (
                 self.shape,
@@ -302,6 +309,7 @@ class _ZarrReaderNoPushdown(DataSourceReader):
                 self.order,
                 self.np_dtype,
                 self.sep,
+                self.fill,
             ) = zarr_meta(meta)
         self.bounds = _Bounds()
 
@@ -329,6 +337,24 @@ class _ZarrReaderNoPushdown(DataSourceReader):
             ):
                 continue
             chunks.append((path, gz, gy, gx))
+        if self.fill:
+            # a nonzero declared fill_value materializes never-written
+            # chunks — synthesize path-less partitions for the grid
+            # cells (within pushed bounds) no file covers; read()
+            # expands them to fill voxels with zero I/O
+            present = {(gz, gy, gx) for _, gz, gy, gx in chunks}
+            for gz in range(-(-self.shape[0] // cz)):
+                if not self.bounds.admits("z", gz * cz, (gz + 1) * cz - 1):
+                    continue
+                for gy in range(-(-self.shape[1] // cy)):
+                    if not self.bounds.admits("y", gy * cy, (gy + 1) * cy - 1):
+                        continue
+                    for gx in range(-(-self.shape[2] // cx)):
+                        if (gz, gy, gx) in present or not self.bounds.admits(
+                            "x", gx * cx, (gx + 1) * cx - 1
+                        ):
+                            continue
+                        chunks.append((None, gz, gy, gx))
         chunks.sort(key=lambda c: (c[1], c[2], c[3]))
         voxel_bytes = cz * cy * cx * self.np_dtype.itemsize
         return _group_chunks(chunks, voxel_bytes, self.target)
@@ -340,15 +366,30 @@ class _ZarrReaderNoPushdown(DataSourceReader):
             zarr_chunk_axes,
         )
 
+        import numpy as np
+
         for path, gz, gy, gx in partition.chunks:
             try:
+                if path is None:  # never-written chunk: fill_value
+                    raw = np.full(
+                        self.chunks_zyx, self.fill, dtype=self.np_dtype
+                    ).tobytes()
+                    z, y, x, i = zarr_chunk_axes(
+                        raw, "raw", self.np_dtype,
+                        self.chunks_zyx, "C", self.shape, gz, gy, gx,
+                    )
+                    yield _voxel_batch(z, y, x, i)
+                    continue
                 raw = _read_bytes(path)
                 if self.v3_shard is not None:
                     raw = zarr3_shard_bytes(
                         raw, self.v3_shard, self.chunks_zyx, self.np_dtype
                     )
                 elif self.v3_codecs is not None:
-                    raw = zarr3_chunk_bytes(raw, self.v3_codecs)
+                    raw = zarr3_chunk_bytes(
+                        raw, self.v3_codecs, self.v3_transpose,
+                        self.chunks_zyx, self.np_dtype, verify=self.verify,
+                    )
                 z, y, x, i = zarr_chunk_axes(
                     raw, self.codec, self.np_dtype,
                     self.chunks_zyx, self.order, self.shape, gz, gy, gx,

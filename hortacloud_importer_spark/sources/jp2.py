@@ -70,8 +70,10 @@ def _unpack_depth(raw: int, where: str) -> tuple[int, bool]:
 
 
 def _codestream_sample_format(data: bytes) -> tuple[int, bool]:
+    if data[:2] != SOC_MARKER or data[2:4] != _SIZ_MARKER or len(data) < 42:
+        raise Jp2ParseError("truncated SIZ component table")
     csiz_end = 42 + 3 * struct.unpack(">H", data[40:42])[0]
-    if data[:2] != SOC_MARKER or data[2:4] != _SIZ_MARKER or len(data) < csiz_end:
+    if len(data) < csiz_end:
         raise Jp2ParseError("truncated SIZ component table")
     # per-component Ssiz(1) XRsiz(1) YRsiz(1) triples after Csiz
     depth, signed = 0, False

@@ -263,6 +263,16 @@ def _decode_scan(
     by_id = {c["id"]: c for c in comps}
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
+    for c in comps:
+        # the nearest-neighbour upsample replicates by integer factors;
+        # non-divisible factors (legal per T.81 but vanishingly rare)
+        # would need fractional resampling — gate, don't broadcast-crash
+        if hmax % c["h"] or vmax % c["v"]:
+            raise JpegParseError(
+                f"component {c['id']} sampling {c['h']}x{c['v']} does not "
+                f"divide the frame maxima {hmax}x{vmax}; only integer-"
+                "ratio chroma subsampling is supported"
+            )
     mcux = (sof["w"] + 8 * hmax - 1) // (8 * hmax)
     mcuy = (sof["h"] + 8 * vmax - 1) // (8 * vmax)
 

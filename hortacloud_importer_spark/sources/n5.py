@@ -72,7 +72,9 @@ _N5_DTYPES = {
 }
 
 
-def n5_chunk_array(raw: bytes, codec: str, np_dtype, block_xyz) -> np.ndarray:
+def n5_chunk_array(
+    raw: bytes, codec: str, np_dtype, block_xyz, verify: bool = False
+) -> np.ndarray:
     """Decode one N5 chunk file -> its (z, y, x) ndarray (possibly
     smaller than blockSize at the edge — N5 stores true dims in the
     chunk header).
@@ -97,7 +99,7 @@ def n5_chunk_array(raw: bytes, codec: str, np_dtype, block_xyz) -> np.ndarray:
         )
     from hortacloud_importer_spark.sources.codecs import n5_decompress
 
-    payload = n5_decompress(raw[hdr_end:], codec)
+    payload = n5_decompress(raw[hdr_end:], codec, verify=verify)
     n_expected = int(np.prod(bdims_xyz))
     if len(payload) != n_expected * np.dtype(np_dtype).itemsize:
         raise ChunkStoreError(
@@ -111,13 +113,14 @@ def n5_chunk_array(raw: bytes, codec: str, np_dtype, block_xyz) -> np.ndarray:
 
 
 def n5_chunk_axes(
-    raw: bytes, codec: str, np_dtype, block_xyz, gx: int, gy: int, gz: int
+    raw: bytes, codec: str, np_dtype, block_xyz, gx: int, gy: int, gz: int,
+    verify: bool = False,
 ):
     """Decode one N5 chunk file -> flat (z, y, x, intensity) arrays.
 
     Shared by the mapInPandas path below and the Python DataSource
     front door (sources/datasource.py)."""
-    arr = n5_chunk_array(raw, codec, np_dtype, block_xyz)
+    arr = n5_chunk_array(raw, codec, np_dtype, block_xyz, verify=verify)
     oz, oy, ox = gz * block_xyz[2], gy * block_xyz[1], gx * block_xyz[0]
     zz, yy, xx = np.indices(arr.shape)
     return (
@@ -144,13 +147,14 @@ def n5_meta(attrs: dict) -> tuple[list[int], list[int], str, str]:
     return dims_xyz, block_xyz, codec, np_dtype
 
 
-def read_n5(spark: SparkSession, root: str) -> DataFrame:
+def read_n5(spark: SparkSession, root: str, verify: bool = False) -> DataFrame:
     """N5 dataset directory -> voxel DataFrame (z, y, x, intensity).
 
     ``root`` is the dataset level (contains ``attributes.json``).
     Chunk files are scanned with ``binaryFile`` and decoded on
     executors; grid offsets come from the chunk path, so no driver
-    loop ever touches payload bytes.
+    loop ever touches payload bytes. ``verify=True`` opts into
+    lz4-java per-block xxh32 checks.
     """
     attrs = _read_json(spark, f"{root}/attributes.json")
     _, block_xyz, codec, np_dtype = n5_meta(attrs)
@@ -165,7 +169,8 @@ def read_n5(spark: SparkSession, root: str) -> DataFrame:
                 )
                 try:
                     z, y, x, i = n5_chunk_axes(
-                        bytes(row.content), codec, np_dtype, block_xyz, gx, gy, gz
+                        bytes(row.content), codec, np_dtype, block_xyz,
+                        gx, gy, gz, verify=verify,
                     )
                 except Exception as exc:
                     raise ChunkStoreError(
@@ -180,8 +185,12 @@ def read_n5(spark: SparkSession, root: str) -> DataFrame:
     return chunks.mapInPandas(decode, VOXEL_SCHEMA)
 
 
-def zarr_meta(meta: dict) -> tuple[list[int], list[int], str, str, "np.dtype", str]:
-    """Validate .zarray -> (shape_zyx, chunks_zyx, codec, order, dtype, sep)."""
+def zarr_meta(
+    meta: dict,
+) -> tuple[list[int], list[int], str, str, "np.dtype", str, int | float]:
+    """Validate .zarray -> (shape_zyx, chunks_zyx, codec, order,
+    dtype, sep, fill_value). A ``null`` fill (v2's "undefined")
+    normalizes to 0 — this engine's no-data value."""
     if int(meta.get("zarr_format", 2)) != 2:
         raise ChunkStoreError("only zarr v2 supported")
     shape = meta["shape"]  # C order: z, y, x
@@ -193,7 +202,13 @@ def zarr_meta(meta: dict) -> tuple[list[int], list[int], str, str, "np.dtype", s
     order = meta.get("order", "C")
     np_dtype = np.dtype(meta["dtype"])
     sep = meta.get("dimension_separator", ".")
-    return shape, chunks_zyx, codec, order, np_dtype, sep
+    fill = meta.get("fill_value", 0)
+    if fill is None:
+        fill = 0
+    if not isinstance(fill, (int, float)) or isinstance(fill, bool):
+        # v2 allows "NaN"/"Infinity" strings and base64 for raw dtypes
+        raise ChunkStoreError(f"unsupported fill_value {fill!r}")
+    return shape, chunks_zyx, codec, order, np_dtype, sep, fill
 
 
 def zarr_chunk_array(
@@ -247,10 +262,108 @@ def zarr_chunk_axes(
     )
 
 
+def missing_fill_voxels(
+    spark: SparkSession, root: str, shape, chunks_zyx, fill, key_of
+) -> DataFrame | None:
+    """Distributed fill voxels for never-written chunks — a
+    spec-conforming Zarr reader materializes them as the declared
+    ``fill_value``. Only called for nonzero fill (zero is this
+    engine's implicit no-data value; materializing it would explode
+    sparse stores into dense row counts for no information).
+
+    The chunk GRID is enumerated driver-side (metadata-scale — the
+    same listing Spark's file index does for the binaryFile scan) and
+    only (gz, gy, gx) keys shuffle; voxel expansion happens on
+    executors. ``key_of(relative_path) -> (gz, gy, gx) | None``
+    parses the store's chunk-key scheme."""
+    from hortacloud_importer_spark.sources.datasource import _list_files
+
+    ifill = int(fill)
+    if ifill != fill:
+        raise ChunkStoreError(
+            f"non-integral fill_value {fill!r} cannot materialize into "
+            "the integral voxel schema"
+        )
+    base = root.rstrip("/")
+    present = set()
+    for path in _list_files(base):
+        key = key_of(path[len(base) + 1 :])
+        if key is not None:
+            present.add(key)
+    cz, cy, cx = chunks_zyx
+    ngz, ngy, ngx = (-(-s // c) for s, c in zip(shape, chunks_zyx))
+    missing = [
+        (gz, gy, gx)
+        for gz in range(ngz)
+        for gy in range(ngy)
+        for gx in range(ngx)
+        if (gz, gy, gx) not in present
+    ]
+    if not missing:
+        return None
+    sz, sy, sx = shape
+
+    def expand(batches):
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                oz, oy, ox = row.gz * cz, row.gy * cy, row.gx * cx
+                dz, dy, dx = (
+                    min(cz, sz - oz),
+                    min(cy, sy - oy),
+                    min(cx, sx - ox),
+                )
+                zz, yy, xx = np.indices((dz, dy, dx))
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "z": (zz + oz).ravel(),
+                            "y": (yy + oy).ravel(),
+                            "x": (xx + ox).ravel(),
+                            "intensity": np.full(dz * dy * dx, ifill),
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                columns=["z", "y", "x", "intensity"]
+            )
+
+    df = spark.createDataFrame(missing, "gz long, gy long, gx long")
+    # AQE coalesces a tiny keys-only exchange to one partition and
+    # would serialize the CPU-heavy expansion behind it — spread it
+    # across the cluster explicitly (the recurring fused-kernel trap)
+    n = max(1, min(len(missing), spark.sparkContext.defaultParallelism))
+    return df.repartition(n).mapInPandas(expand, VOXEL_SCHEMA)
+
+
+def zarr_key_parser(sep: str, v3: bool = False):
+    """relative-path -> (gz, gy, gx) parser for a Zarr store's chunk
+    key scheme (None for metadata / foreign files)."""
+
+    def key_of(rel: str):
+        fields = rel.split("/") if sep == "/" else rel.rsplit("/", 1)[-1].split(sep)
+        if v3:
+            if not fields or fields[0] != "c":
+                return None
+            fields = fields[1:]
+        if len(fields) != 3:
+            return None
+        try:
+            return tuple(int(p) for p in fields)
+        except ValueError:
+            return None
+
+    return key_of
+
+
 def read_zarr(spark: SparkSession, root: str) -> DataFrame:
-    """Zarr-v2 array directory -> voxel DataFrame (z, y, x, intensity)."""
+    """Zarr-v2 array directory -> voxel DataFrame (z, y, x, intensity).
+
+    Never-written chunks materialize as the declared nonzero
+    ``fill_value`` (zero fill stays implicit — the engine's no-data
+    convention)."""
     meta = _read_json(spark, f"{root}/.zarray")
-    shape, chunks_zyx, codec, order, np_dtype, sep = zarr_meta(meta)
+    shape, chunks_zyx, codec, order, np_dtype, sep, fill = zarr_meta(meta)
 
     def decode(batches):
         for pdf in batches:
@@ -286,7 +399,14 @@ def read_zarr(spark: SparkSession, root: str) -> DataFrame:
         .filter(~F.col("path").endswith(".zarray"))
         .filter(~F.col("path").endswith(".zattrs"))
     )
-    return chunks.mapInPandas(decode, VOXEL_SCHEMA)
+    out = chunks.mapInPandas(decode, VOXEL_SCHEMA)
+    if fill:
+        filled = missing_fill_voxels(
+            spark, root, shape, chunks_zyx, fill, zarr_key_parser(sep)
+        )
+        if filled is not None:
+            out = out.unionByName(filled)
+    return out
 
 
 _V3_DTYPES = {
@@ -305,7 +425,7 @@ _V3_DTYPES = {
 
 def zarr3_meta(
     meta: dict,
-) -> tuple[list[int], list[int], "np.dtype", list, str, dict | None]:
+) -> tuple[list[int], list[int], "np.dtype", list, str, dict | None, dict]:
     """Validate zarr.json (Zarr v3 array metadata, the zarr-python 3.x
     default) -> (shape_zyx, chunks_zyx, numpy dtype, bytes->bytes
     codec list, chunk-key separator, shard spec or None).
@@ -319,10 +439,13 @@ def zarr3_meta(
     top-level ``sharding_indexed`` codec (ZEP-2 — the v3 layout built
     FOR 100 TB stores: outer chunks are shard objects holding an
     inner-chunk grid plus a uint64 offset/nbytes footer index), whose
-    inner chain is validated by the same rule. ``transpose`` raises
-    the honest gate. The last element of the return is the shard
-    spec dict (inner_zyx / codecs / index_codecs / index_location),
-    or None for unsharded arrays."""
+    inner chain is validated by the same rule. A ``transpose``
+    array->array codec may precede ``bytes`` in either chain; its
+    axis permutation is undone at decode. The sixth element of the
+    return is the shard spec dict (inner_zyx / codecs / index_codecs
+    / index_location), or None for unsharded arrays; the seventh is
+    ``{"fill": fill_value, "transpose": order-or-None}`` for the
+    unsharded chunk chain."""
     if int(meta.get("zarr_format", 0)) != 3 or meta.get("node_type") != "array":
         raise ChunkStoreError("not a Zarr v3 array (zarr.json)")
     shape = meta["shape"]
@@ -337,12 +460,21 @@ def zarr3_meta(
         raise ChunkStoreError(f"unsupported data_type {meta.get('data_type')!r}")
 
     def _split_chain(codecs: list, where: str):
+        transpose = None
+        if codecs and codecs[0].get("name") == "transpose":
+            order = (codecs[0].get("configuration") or {}).get("order")
+            if not isinstance(order, list) or sorted(order) != [0, 1, 2]:
+                raise ChunkStoreError(
+                    f"transpose codec in {where} chain needs an 'order' "
+                    f"permutation of [0, 1, 2] (got {order!r})"
+                )
+            transpose = [int(o) for o in order]
+            codecs = codecs[1:]
         if not codecs or codecs[0].get("name") != "bytes":
             raise ChunkStoreError(
-                f"{where} codec chain must start with the 'bytes' "
+                f"{where} codec chain must continue with the 'bytes' "
                 "array->bytes codec (got "
-                f"{codecs[0].get('name') if codecs else 'nothing'!r}; "
-                "transpose is not supported)"
+                f"{codecs[0].get('name') if codecs else 'nothing'!r})"
             )
         endian = (codecs[0].get("configuration") or {}).get("endian", "little")
         bb = codecs[1:]
@@ -352,10 +484,16 @@ def zarr3_meta(
                     f"unsupported Zarr v3 codec {c.get('name')!r} in "
                     f"{where} chain (blosc/gzip/zstd/crc32c are built in)"
                 )
-        return endian, bb
+        return endian, bb, transpose
 
+    fill = meta.get("fill_value", 0)
+    if fill is None:
+        fill = 0
+    if not isinstance(fill, (int, float)) or isinstance(fill, bool):
+        raise ChunkStoreError(f"unsupported fill_value {fill!r}")
     codecs = list(meta.get("codecs", []))
     shard = None
+    transpose = None
     if codecs and codecs[0].get("name") == "sharding_indexed":
         if len(codecs) > 1:
             raise ChunkStoreError(
@@ -372,7 +510,7 @@ def zarr3_meta(
                 f"shard shape {chunks_zyx} is not a multiple of inner "
                 f"chunk shape {inner_zyx}"
             )
-        endian, bb_inner = _split_chain(
+        endian, bb_inner, t_inner = _split_chain(
             list(cfg.get("codecs", [])), "shard inner"
         )
         # the index decoder hardcodes LE uint64 pairs (+ optional
@@ -398,21 +536,17 @@ def zarr3_meta(
                 f"unsupported shard index_codecs {idx_names} "
                 "(little-endian bytes [+ crc32c] is built in)"
             )
-        fill = meta.get("fill_value", 0)
-        if not isinstance(fill, (int, float)) or isinstance(fill, bool):
-            raise ChunkStoreError(
-                f"unsupported fill_value {fill!r} for a sharded store"
-            )
         shard = {
             "inner_zyx": list(inner_zyx),
             "codecs": bb_inner,
+            "transpose": t_inner,
             "index_crc32c": "crc32c" in idx_names,
             "index_location": cfg.get("index_location", "end"),
             "fill": fill,
         }
         bb = []  # the shard decoder applies the inner chain itself
     else:
-        endian, bb = _split_chain(codecs, "array")
+        endian, bb, transpose = _split_chain(codecs, "array")
     np_dtype = np.dtype(("<" if endian == "little" else ">") + base)
     kenc = meta.get("chunk_key_encoding", {"name": "default"})
     sep = (kenc.get("configuration") or {}).get("separator", "/")
@@ -421,13 +555,30 @@ def zarr3_meta(
             f"unsupported chunk_key_encoding {kenc.get('name')!r} "
             "(the 'default' c/<i>/<j>/<k> scheme is built in)"
         )
-    return shape, chunks_zyx, np_dtype, bb, sep, shard
+    return shape, chunks_zyx, np_dtype, bb, sep, shard, {
+        "fill": fill,
+        "transpose": transpose,
+    }
 
 
-def zarr3_chunk_bytes(raw: bytes, bb_codecs: list) -> bytes:
-    """Undo the bytes->bytes codec chain (reverse order)."""
+def zarr3_chunk_bytes(
+    raw: bytes,
+    bb_codecs: list,
+    transpose: list | None = None,
+    chunk_zyx=None,
+    np_dtype=None,
+    verify: bool = False,
+) -> bytes:
+    """Undo the bytes->bytes codec chain (reverse order), then undo a
+    ``transpose`` array->array permutation if the chain declared one
+    (the stored bytes are C-order over the PERMUTED chunk shape;
+    ``chunk_zyx``/``np_dtype`` are required in that case to reshape).
+    ``verify=True`` checks crc32c trailers (Castagnoli, the zarr v3
+    ``crc32c`` codec) instead of just stripping them — opt-in because
+    the table-driven Python CRC costs ~the decode itself."""
     from hortacloud_importer_spark.sources.codecs import (
         blosc_decompress,
+        crc32c,
         zarr_decompress,
     )
 
@@ -436,11 +587,30 @@ def zarr3_chunk_bytes(raw: bytes, bb_codecs: list) -> bytes:
         if name == "crc32c":
             if len(raw) < 4:
                 raise ChunkStoreError("crc32c codec: payload under 4 bytes")
+            if verify:
+                want = int.from_bytes(raw[-4:], "little")
+                got = crc32c(raw[:-4])
+                if got != want:
+                    raise ChunkStoreError(
+                        f"crc32c mismatch: stored {want:#010x}, "
+                        f"computed {got:#010x}"
+                    )
             raw = raw[:-4]
         elif name == "blosc":
             raw = blosc_decompress(raw)
         else:  # gzip / zstd, validated by zarr3_meta
             raw = zarr_decompress(raw, name)
+    if transpose is not None:
+        pshape = [int(chunk_zyx[o]) for o in transpose]
+        want = int(np.prod(pshape)) * np.dtype(np_dtype).itemsize
+        if len(raw) != want:
+            raise ChunkStoreError(
+                f"transposed chunk decoded to {len(raw)} bytes, "
+                f"wanted {want}"
+            )
+        arr = np.frombuffer(raw, dtype=np_dtype).reshape(pshape)
+        inv = np.argsort(transpose)
+        raw = np.ascontiguousarray(arr.transpose(tuple(inv))).tobytes()
     return raw
 
 
@@ -486,7 +656,14 @@ def zarr3_shard_bytes(
                     raise ChunkStoreError(
                         f"inner chunk {gz},{gy},{gx} overruns the shard"
                     )
-                dec = zarr3_chunk_bytes(payload, shard["codecs"])
+                dec = zarr3_chunk_bytes(
+                    payload,
+                    shard["codecs"],
+                    shard.get("transpose"),
+                    (iz, iy, ix),
+                    np_dtype,
+                    verify=shard.get("verify", False),
+                )
                 if len(dec) != iz * iy * ix * np_dtype.itemsize:
                     raise ChunkStoreError(
                         f"inner chunk {gz},{gy},{gx} decoded to "
@@ -500,13 +677,20 @@ def zarr3_shard_bytes(
     return out.astype(np_dtype, copy=False).tobytes()
 
 
-def read_zarr_v3(spark: SparkSession, root: str) -> DataFrame:
+def read_zarr_v3(
+    spark: SparkSession, root: str, verify: bool = False
+) -> DataFrame:
     """Zarr-v3 array directory (zarr.json + c/<i>/<j>/<k> chunks) ->
     voxel DataFrame (z, y, x, intensity) — same executor-decode shape
     as read_zarr. Sharded stores (ZEP-2) decode each shard object to
-    its outer chunk in the same per-file task."""
+    its outer chunk in the same per-file task. ``verify=True`` checks
+    crc32c codec trailers instead of stripping them. Never-written
+    chunks materialize as a declared nonzero ``fill_value``."""
     meta = _read_json(spark, f"{root}/zarr.json")
-    shape, chunks_zyx, np_dtype, bb, sep, shard = zarr3_meta(meta)
+    shape, chunks_zyx, np_dtype, bb, sep, shard, extra = zarr3_meta(meta)
+    transpose = extra["transpose"]
+    if shard is not None and verify:
+        shard = dict(shard, verify=True)
 
     def decode(batches):
         for pdf in batches:
@@ -537,7 +721,10 @@ def read_zarr_v3(spark: SparkSession, root: str) -> DataFrame:
                             bytes(row.content), shard, chunks_zyx, np_dtype
                         )
                     else:
-                        payload = zarr3_chunk_bytes(bytes(row.content), bb)
+                        payload = zarr3_chunk_bytes(
+                            bytes(row.content), bb, transpose,
+                            chunks_zyx, np_dtype, verify=verify,
+                        )
                     z, y, x, i = zarr_chunk_axes(
                         payload, "raw", np_dtype, chunks_zyx, "C",
                         shape, gz, gy, gx,
@@ -553,7 +740,15 @@ def read_zarr_v3(spark: SparkSession, root: str) -> DataFrame:
 
     pattern = f"{root}/c/*/*/*" if sep == "/" else f"{root}/c*"
     chunks = spark.read.format("binaryFile").load(pattern)
-    return chunks.mapInPandas(decode, VOXEL_SCHEMA)
+    out = chunks.mapInPandas(decode, VOXEL_SCHEMA)
+    if extra["fill"]:
+        filled = missing_fill_voxels(
+            spark, root, shape, chunks_zyx, extra["fill"],
+            zarr_key_parser(sep, v3=True),
+        )
+        if filled is not None:
+            out = out.unionByName(filled)
+    return out
 
 
 def open_chunk_store(spark: SparkSession, root: str) -> DataFrame:

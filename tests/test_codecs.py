@@ -223,3 +223,28 @@ def test_zarr_dispatch_full_codec_set():
     with pytest.raises(C.CodecError, match="unsupported"):
         C.zarr_decompress(data, "brotli")
 
+
+
+def test_crc32c_known_vectors():
+    """Castagnoli CRC against published check values (RFC 3720 /
+    the universal "123456789" check word)."""
+    assert C.crc32c(b"") == 0
+    assert C.crc32c(b"123456789") == 0xE3069283
+    # iSCSI test vector: 32 bytes of zeros
+    assert C.crc32c(bytes(32)) == 0x8A9136AA
+    # and an incremental == one-shot equivalence across a split
+    data = bytes(range(256)) * 5
+    # crc chaining: crc32c(a+b) == crc32c(b, crc=crc32c(a))
+    assert C.crc32c(data) == C.crc32c(data[100:], crc=C.crc32c(data[:100]))
+
+
+def test_lz4java_verify_checksums():
+    rng = np.random.default_rng(7)
+    data = rng.integers(0, 256, 200_000, dtype=np.uint8).tobytes()
+    stream = C.lz4java_block_compress(data, block_size=1 << 16)
+    assert C.lz4java_block_decompress(stream, verify=True) == data
+    # flip one payload byte in the middle of the stream
+    tampered = bytearray(stream)
+    tampered[len(stream) // 2] ^= 0x10
+    with pytest.raises(C.CodecError, match="xxh32|lz4|length"):
+        C.lz4java_block_decompress(bytes(tampered), verify=True)

@@ -80,7 +80,7 @@ def _write_n5(root, vol: np.ndarray, block_xyz, codec="raw"):
                 (d / str(gz_i)).write_bytes(header + payload)
 
 
-def _write_zarr(root, vol: np.ndarray, chunks_zyx, compressor):
+def _write_zarr(root, vol: np.ndarray, chunks_zyx, compressor, fill=0, skip=()):
     dz, dy, dx = vol.shape
     cz, cy, cx = chunks_zyx
     root.mkdir(parents=True, exist_ok=True)
@@ -93,7 +93,7 @@ def _write_zarr(root, vol: np.ndarray, chunks_zyx, compressor):
                 "dtype": "<u2",
                 "compressor": compressor,
                 "order": "C",
-                "fill_value": 0,
+                "fill_value": fill,
                 "filters": None,
             }
         )
@@ -101,7 +101,9 @@ def _write_zarr(root, vol: np.ndarray, chunks_zyx, compressor):
     for gz_i in range((dz + cz - 1) // cz):
         for gy in range((dy + cy - 1) // cy):
             for gx in range((dx + cx - 1) // cx):
-                full = np.zeros((cz, cy, cx), dtype="<u2")
+                if (gz_i, gy, gx) in skip:
+                    continue
+                full = np.full((cz, cy, cx), fill, dtype="<u2")
                 blk = vol[
                     gz_i * cz : (gz_i + 1) * cz,
                     gy * cy : (gy + 1) * cy,
@@ -265,12 +267,22 @@ def test_corrupt_chunk_bytes_fail_fast_without_spark():
     assert i.tolist() == list(range(64)) and int(x.min()) == 4 and int(x.max()) == 7
 
 
-def _write_zarr_v3(root, vol, chunks_zyx, codecs, sep="/"):
+def _write_zarr_v3(
+    root, vol, chunks_zyx, codecs, sep="/", transpose=None, fill=0, skip=()
+):
     """Spec-shaped Zarr v3 store: zarr.json + c/<i>/<j>/<k> chunks,
-    codec chain applied in order (bytes endian, then bytes->bytes)."""
+    codec chain applied in order (optional transpose, bytes endian,
+    then bytes->bytes). ``skip`` chunk keys are left unwritten (never-
+    written chunks read back as ``fill``); crc32c trailers are real
+    Castagnoli checksums so verify-mode reads also pass."""
     dz, dy, dx = vol.shape
     cz, cy, cx = chunks_zyx
     root.mkdir(parents=True, exist_ok=True)
+    chain = [{"name": "bytes", "configuration": {"endian": "little"}}] + codecs
+    if transpose is not None:
+        chain = [
+            {"name": "transpose", "configuration": {"order": list(transpose)}}
+        ] + chain
     (root / "zarr.json").write_text(
         json.dumps(
             {
@@ -286,26 +298,27 @@ def _write_zarr_v3(root, vol, chunks_zyx, codecs, sep="/"):
                     "name": "default",
                     "configuration": {"separator": sep},
                 },
-                "fill_value": 0,
-                "codecs": [
-                    {"name": "bytes", "configuration": {"endian": "little"}}
-                ]
-                + codecs,
+                "fill_value": fill,
+                "codecs": chain,
             }
         )
     )
-    from hortacloud_importer_spark.sources.codecs import blosc_compress
+    from hortacloud_importer_spark.sources.codecs import blosc_compress, crc32c
 
     for gz_i in range((dz + cz - 1) // cz):
         for gy in range((dy + cy - 1) // cy):
             for gx in range((dx + cx - 1) // cx):
-                full = np.zeros((cz, cy, cx), dtype="<u2")
+                if (gz_i, gy, gx) in skip:
+                    continue
+                full = np.full((cz, cy, cx), fill, dtype="<u2")
                 blk = vol[
                     gz_i * cz : (gz_i + 1) * cz,
                     gy * cy : (gy + 1) * cy,
                     gx * cx : (gx + 1) * cx,
                 ]
                 full[: blk.shape[0], : blk.shape[1], : blk.shape[2]] = blk
+                if transpose is not None:
+                    full = np.ascontiguousarray(full.transpose(transpose))
                 payload = full.tobytes()
                 for c in codecs:
                     if c["name"] == "blosc":
@@ -322,7 +335,9 @@ def _write_zarr_v3(root, vol, chunks_zyx, codecs, sep="/"):
                             payload, asbytes=True
                         )
                     elif c["name"] == "crc32c":
-                        payload = payload + b"\x00\x00\x00\x00"
+                        payload = payload + crc32c(payload).to_bytes(
+                            4, "little"
+                        )
                 if sep == "/":
                     d = root / "c" / str(gz_i) / str(gy)
                     d.mkdir(parents=True, exist_ok=True)
@@ -358,6 +373,122 @@ def test_zarr_v3_roundtrip(spark, tmp_path, codecs):
         read_zarr_v3(spark, f"file://{tmp_path}/v3.zarr"), vol.shape
     )
     assert np.array_equal(got, vol)
+
+
+@pytest.mark.parametrize("order", [[2, 1, 0], [1, 2, 0], [0, 1, 2]])
+def test_zarr_v3_transpose_roundtrip(spark, tmp_path, order):
+    """The v3 ``transpose`` array->array codec: stored bytes are
+    C-order over the PERMUTED chunk shape; the reader undoes the
+    permutation."""
+    from hortacloud_importer_spark.sources.n5 import read_zarr_v3
+
+    rng = np.random.default_rng(33)
+    vol = rng.integers(0, 65535, (5, 7, 6), dtype=np.uint16)  # edge chunks
+    root = tmp_path / f"t{''.join(map(str, order))}.zarr"
+    _write_zarr_v3(
+        root, vol, (4, 3, 4),
+        [{"name": "gzip", "configuration": {"level": 1}}],
+        transpose=order,
+    )
+    got = _collect_vol(read_zarr_v3(spark, f"file://{root}"), vol.shape)
+    assert np.array_equal(got, vol)
+
+
+def test_zarr_v3_unsharded_fill_value(spark, tmp_path):
+    """Never-written chunks of an unsharded v3 store materialize as
+    the declared nonzero fill_value (previously they were dropped,
+    disagreeing with the shard path and the spec)."""
+    from hortacloud_importer_spark.sources.n5 import read_zarr_v3
+
+    rng = np.random.default_rng(34)
+    vol = rng.integers(1, 65535, (5, 7, 6), dtype=np.uint16)
+    root = tmp_path / "fill.zarr"
+    _write_zarr_v3(
+        root, vol, (4, 4, 4), [], fill=77, skip={(1, 0, 1), (0, 1, 0)}
+    )
+    want = vol.astype(np.int64).copy()
+    want[4:5, 0:4, 4:6] = 77
+    want[0:4, 4:7, 0:4] = 77
+    got = _collect_vol(read_zarr_v3(spark, f"file://{root}"), vol.shape)
+    assert np.array_equal(got, want)
+
+
+def test_zarr_v2_fill_value(spark, tmp_path):
+    rng = np.random.default_rng(35)
+    vol = rng.integers(1, 65535, (5, 7, 6), dtype=np.uint16)
+    root = tmp_path / "fill2.zarr"
+    _write_zarr(root, vol, (4, 4, 4), None, fill=9, skip={(0, 0, 0)})
+    want = vol.astype(np.int64).copy()
+    want[0:4, 0:4, 0:4] = 9
+    got = _collect_vol(read_zarr(spark, f"file://{root}"), vol.shape)
+    assert np.array_equal(got, want)
+
+
+def test_zarr_volume_datasource_fill_value(spark, tmp_path):
+    """The zarr_volume DataSource plans path-less partitions for
+    never-written chunks when fill_value is nonzero — and window
+    pushdown prunes them like any other chunk."""
+    from hortacloud_importer_spark.sources.datasource import (
+        register_volume_sources,
+    )
+
+    register_volume_sources(spark)
+    rng = np.random.default_rng(36)
+    vol = rng.integers(1, 65535, (5, 7, 6), dtype=np.uint16)
+    root = tmp_path / "fillds.zarr"
+    _write_zarr_v3(root, vol, (4, 4, 4), [], fill=55, skip={(1, 0, 1)})
+    df = spark.read.format("zarr_volume").load(str(root))
+    want = vol.astype(np.int64).copy()
+    want[4:5, 0:4, 4:6] = 55
+    got = _collect_vol(df, vol.shape)
+    assert np.array_equal(got, want)
+    # pushdown prunes the synthetic fill partition too
+    pruned = df.filter("z < 4").count()
+    assert pruned == 4 * 7 * 6
+
+
+def test_zarr_v3_crc32c_verify(spark, tmp_path):
+    """Opt-in crc32c verification: a clean store reads identically,
+    a flipped byte raises a named checksum error instead of decoding
+    garbage."""
+    from hortacloud_importer_spark.sources.n5 import read_zarr_v3
+
+    rng = np.random.default_rng(37)
+    vol = rng.integers(0, 65535, (4, 4, 4), dtype=np.uint16)
+    root = tmp_path / "crc.zarr"
+    _write_zarr_v3(root, vol, (4, 4, 4), [{"name": "crc32c"}])
+    got = _collect_vol(
+        read_zarr_v3(spark, f"file://{root}", verify=True), vol.shape
+    )
+    assert np.array_equal(got, vol)
+    chunk = root / "c" / "0" / "0" / "0"
+    raw = bytearray(chunk.read_bytes())
+    raw[3] ^= 0x40
+    chunk.write_bytes(bytes(raw))
+    # default (no verify) decodes the corrupt bytes silently; verify raises
+    with pytest.raises(Exception, match="crc32c mismatch"):
+        read_zarr_v3(spark, f"file://{root}", verify=True).collect()
+
+
+def test_n5_lz4_xxh32_verify(spark, tmp_path):
+    from hortacloud_importer_spark.sources.n5 import read_n5
+
+    rng = np.random.default_rng(38)
+    vol = rng.integers(0, 65535, (4, 4, 4), dtype=np.uint16)  # incompressible
+    _write_n5(tmp_path / "v.n5", vol, (4, 4, 4), codec="lz4")
+    got = _collect_vol(
+        read_n5(spark, f"file://{tmp_path}/v.n5", verify=True), vol.shape
+    )
+    assert np.array_equal(got, vol)
+    chunk = tmp_path / "v.n5" / "0" / "0" / "0"
+    raw = bytearray(chunk.read_bytes())
+    # chunk = 16-byte N5 header + 21-byte lz4-java block header +
+    # payload (+ 21-byte end mark): flip a payload byte, not the end
+    # mark (whose fields the decoder never checksums)
+    raw[16 + 21 + 3] ^= 0x01
+    chunk.write_bytes(bytes(raw))
+    with pytest.raises(Exception, match="xxh32 mismatch"):
+        read_n5(spark, f"file://{tmp_path}/v.n5", verify=True).collect()
 
 
 def test_zarr_v3_dot_separator(spark, tmp_path):
@@ -399,14 +530,29 @@ def test_zarr_v3_gates_sharding_and_transpose(spark, tmp_path):
     bad["codecs"] = [{"name": "sharding_indexed", "configuration": {}}]
     with pytest.raises(ChunkStoreError, match="chunk_shape"):
         zarr3_meta(bad)
+    # transpose AFTER bytes is a malformed chain (it is array->array)
     bad2 = dict(base)
     bad2["codecs"] = base["codecs"] + [{"name": "transpose"}]
     with pytest.raises(ChunkStoreError, match="transpose|unsupported"):
         zarr3_meta(bad2)
+    # transpose without a full [0,1,2] permutation is gated
     bad3 = dict(base)
     bad3["codecs"] = [{"name": "transpose"}] + base["codecs"]
-    with pytest.raises(ChunkStoreError, match="bytes"):
+    with pytest.raises(ChunkStoreError, match="order"):
         zarr3_meta(bad3)
+    bad4 = dict(base)
+    bad4["codecs"] = [
+        {"name": "transpose", "configuration": {"order": [0, 0, 1]}}
+    ] + base["codecs"]
+    with pytest.raises(ChunkStoreError, match="order"):
+        zarr3_meta(bad4)
+    # a well-formed transpose parses and reports its permutation
+    good = dict(base)
+    good["codecs"] = [
+        {"name": "transpose", "configuration": {"order": [2, 1, 0]}}
+    ] + base["codecs"]
+    *_, extra = zarr3_meta(good)
+    assert extra["transpose"] == [2, 1, 0]
 
 
 def test_zarr_volume_datasource_reads_v3(spark, tmp_path):
@@ -668,13 +814,13 @@ def test_open_chunk_store_preserves_gate_errors(spark, tmp_path):
                 },
                 "chunk_key_encoding": {"name": "default"},
                 "codecs": [
-                    {"name": "transpose", "configuration": {"order": [2, 1, 0]}},
                     {"name": "bytes", "configuration": {"endian": "little"}},
+                    {"name": "zfp"},
                 ],
             }
         )
     )
-    with pytest.raises(ChunkStoreError, match="bytes"):
+    with pytest.raises(ChunkStoreError, match="zfp"):
         open_chunk_store(spark, f"file://{root}")
 
 
