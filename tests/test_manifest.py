@@ -5,6 +5,7 @@ leftover-exclusion contract for read_tiff_block_store."""
 from __future__ import annotations
 
 import json
+import io
 
 import numpy as np
 from pyarrow import fs as pafs
@@ -236,3 +237,87 @@ def test_is_object_store_classification(tmp_path):
     assert _is_object_store(_FakeS3())
     # direct PUT (no staging) on object stores: move is copy+delete
     # there, so the single PUT is the atomic commit
+
+
+class _MockObjectStore:
+    """In-memory object store with real PUT semantics: no rename
+    (calling it fails the test — on s3/gcs it is copy+delete, NOT
+    atomic), no directories, and an object becomes visible only when
+    its output stream CLOSES (the single atomic PUT). Implements just
+    the surface manifest.py touches."""
+
+    type_name = "s3"
+
+    def __init__(self):
+        self.objects: dict[str, bytes] = {}
+        self.puts: list[str] = []
+
+    def create_dir(self, path, recursive=False):
+        pass  # object stores have no directories
+
+    def move(self, src, dst):
+        raise AssertionError(
+            f"rename {src} -> {dst} on an object store (copy+delete, torn)"
+        )
+
+    def open_output_stream(self, path):
+        store = self
+
+        class _Put(io.BytesIO):
+            def close(inner):
+                store.objects[path] = inner.getvalue()
+                store.puts.append(path)
+                super().close()
+
+        return _Put()
+
+    def open_input_stream(self, path):
+        if path not in self.objects:
+            raise FileNotFoundError(path)
+        return io.BytesIO(self.objects[path])
+
+    def delete_file(self, path):
+        self.objects.pop(path)
+
+    def get_file_info(self, selector):
+        base = selector.base_dir.rstrip("/") + "/"
+
+        class _Info:
+            type = pafs.FileType.File
+
+            def __init__(self, path):
+                self.path = path
+                self.base_name = path.rsplit("/", 1)[-1]
+
+        return [
+            _Info(p)
+            for p in self.objects
+            if p.startswith(base) and "/" not in p[len(base):]
+        ]
+
+
+def test_write_commit_object_store_single_put(tmp_path):
+    """The object-store branch: the commit point is ONE direct PUT of
+    the final shard name — never a tmp name, never a rename — and the
+    shard is invisible until that PUT completes, so a concurrent
+    reader sees the whole commit or none of it."""
+    fs = _MockObjectStore()
+    base = "bucket/store"
+    assert not manifest.has_manifest(fs, base)
+    manifest.write_commit(fs, base, ["a/x.tif", "b/y.tif"], n_skipped=3)
+
+    shard_puts = [p for p in fs.puts if p.endswith(".files.txt")]
+    assert len(shard_puts) == 1
+    assert "/_manifest/commit-" in shard_puts[0]
+    assert ".tmp" not in shard_puts[0]
+    # the object materialized complete, in one PUT
+    assert fs.objects[shard_puts[0]] == b"a/x.tif\nb/y.tif\n"
+    assert manifest.committed_files(fs, base) == {"a/x.tif", "b/y.tif"}
+    assert manifest.run_totals(fs, base) == {"n_files": 2, "n_skipped": 3}
+
+    # a second commit appends a new immutable shard; nothing rewritten
+    manifest.write_commit(fs, base, ["c/z.tif"])
+    assert len(set(fs.puts)) == len(fs.puts)  # no object PUT twice
+    assert manifest.committed_files(fs, base) == {
+        "a/x.tif", "b/y.tif", "c/z.tif",
+    }

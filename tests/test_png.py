@@ -247,3 +247,75 @@ def test_adam7_16bit_decode():
     got = decode_png(_adam7_png(img))
     assert got.dtype == np.uint16
     assert np.array_equal(got, img)
+
+
+def _forward_filter(img_bytes: np.ndarray, filters: list[int], bpp: int) -> bytes:
+    """Spec forward filter: (h, stride) sample bytes + per-row filter
+    codes -> the filtered scanline stream a conforming encoder writes."""
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    h, stride = img_bytes.shape
+    lines = bytearray()
+    for y, f in enumerate(filters):
+        row = img_bytes[y].astype(int)
+        prior = img_bytes[y - 1].astype(int) if y else np.zeros(stride, int)
+        lines.append(f)
+        for x in range(stride):
+            left = row[x - bpp] if x >= bpp else 0
+            up = prior[x]
+            ul = prior[x - bpp] if x >= bpp else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = row[x] - left
+            elif f == 2:
+                v = row[x] - up
+            elif f == 3:
+                v = row[x] - ((left + up) >> 1)
+            else:
+                v = row[x] - paeth(left, up, ul)
+            lines.append(v & 0xFF)
+    return bytes(lines)
+
+
+@pytest.mark.parametrize(
+    "h,w,bpp,seed", [(40, 37, 3, 1), (17, 64, 1, 2), (33, 12, 4, 3), (90, 9, 2, 4)]
+)
+def test_unfilter_wavefront_matches_loop(monkeypatch, h, w, bpp, seed):
+    """The anti-diagonal wavefront path must byte-match the scalar
+    row loop on mixed-filter images (both decode the same
+    spec-filtered stream back to the source bytes)."""
+    from hortacloud_importer_spark.sources import png as P
+
+    rng = np.random.default_rng(seed)
+    stride = w * bpp
+    img = rng.integers(0, 256, (h, stride), dtype=np.uint8)
+    filters = rng.integers(0, 5, h).tolist()
+    raw = _forward_filter(img, filters, bpp)
+    # loop path
+    monkeypatch.setattr(P, "_WAVEFRONT_MIN_BYTES", 1 << 60)
+    loop = P._unfilter(raw, h, stride, bpp)
+    # wavefront path, with a tiny band to exercise the band carry
+    monkeypatch.setattr(P, "_WAVEFRONT_MIN_BYTES", 0)
+    monkeypatch.setattr(P, "_WAVEFRONT_BAND", 7)
+    wave = P._unfilter(raw, h, stride, bpp)
+    assert np.array_equal(loop, wave)
+    assert np.array_equal(wave, img)
+
+
+def test_unfilter_wavefront_paeth_heavy_decode():
+    """A Paeth-only image large enough to trigger the wavefront path
+    end-to-end through decode_png."""
+    from hortacloud_importer_spark.sources import png as P
+
+    rng = np.random.default_rng(11)
+    h, w = 128, 200  # 128*600 filtered bytes > _WAVEFRONT_MIN_BYTES/ n34*stride
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    raw = _forward_filter(img.reshape(h, w * 3), [4] * h, 3)
+    assert h * (w * 3) >= P._WAVEFRONT_MIN_BYTES
+    blob = _hand_png(w, h, 8, 2, raw)
+    assert np.array_equal(decode_png(blob), img)
