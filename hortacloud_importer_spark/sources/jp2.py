@@ -9,18 +9,23 @@ Clean-room split, mirroring sources/tiff.py's design:
   public ISO/IEC 15444-1 box/marker layout. No codec needed: the
   slice-directory dims probe (one header walk, not a decode) works on
   JP2 stores even in codec-less environments.
-- :func:`decode_jp2` — full entropy decode, gated on an importable
-  OpenJPEG binding (glymur / imageio / Pillow). This container ships
-  none (probe recorded in FIXTURES.md), so decode raises
-  ``NotImplementedError`` naming the options — the honest-gate
-  contract used for every absent codec in this repo.
+- :func:`decode_jp2` — full entropy decode. Lossless (reversible
+  5/3) single-tile codestreams — what a microscopy slice store
+  actually writes — decode through the clean-room from-spec codec in
+  sources/j2k.py with no external binding. Features outside that
+  scope (9/7 irreversible, multi-tile, multi-layer …) fall through
+  to an importable OpenJPEG binding (glymur / imageio / Pillow) and,
+  when none exists, raise ``NotImplementedError`` naming both the
+  unsupported feature and the binding options — the honest-gate
+  contract used for every partially-covered codec in this repo.
+- :func:`encode_jp2` — the fixture/writer dual: wraps
+  j2k.encode_j2k's codestream in a minimal spec-shaped JP2 container
+  (signature, ftyp, jp2h/ihdr, jp2c), so slice directories can be
+  built and round-tripped entirely in-container.
 
-The wavelet/EBCOT entropy coder is NOT reimplemented here: unlike
-TIFF's baseline strips, a JPEG 2000 decoder is a multi-thousand-line
-numerical codec, and a from-scratch one would be slower and riskier
-than the gate. The Spark-side plumbing (listing, partition planning,
-per-slice executor decode, window pushdown) is identical to TIFF and
-fully tested.
+The Spark-side plumbing (listing, partition planning, per-slice
+executor decode, window pushdown) is identical to TIFF and fully
+tested.
 """
 
 from __future__ import annotations
@@ -183,11 +188,69 @@ def jp2_shape(data: bytes) -> tuple[int, int, int]:
     raise Jp2ParseError("no jp2h box")
 
 
+def extract_codestream(data: bytes) -> bytes:
+    """The raw J2K codestream: ``data`` itself when it starts with
+    SOC, else the ``jp2c`` box payload of a JP2 container."""
+    if data[:2] == SOC_MARKER:
+        return data
+    if data[: len(JP2_SIGNATURE)] != JP2_SIGNATURE:
+        raise Jp2ParseError("neither a JP2 signature box nor a J2K codestream")
+    for tbox, p0, p1 in _iter_boxes(data, len(JP2_SIGNATURE), len(data)):
+        if tbox == b"jp2c":
+            return data[p0:p1]
+    raise Jp2ParseError("JP2 container has no jp2c codestream box")
+
+
+def encode_jp2(img: np.ndarray, levels: int = 2, **kw) -> bytes:
+    """uint8/uint16 (h, w[, nc]) -> a minimal spec-shaped ``.jp2``
+    file (signature, ftyp, jp2h/ihdr+colr, jp2c around a lossless
+    5/3 codestream from j2k.encode_j2k). The writer dual of
+    :func:`decode_jp2`; any conforming reader opens the output."""
+    from hortacloud_importer_spark.sources.j2k import encode_j2k
+
+    cs = encode_j2k(img, levels=levels, **kw)
+    h, w = img.shape[:2]
+    nc = img.shape[2] if img.ndim == 3 else 1
+    bpc = (8 if img.dtype == np.uint8 else 16) - 1
+
+    def _box(tbox: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + tbox + payload
+
+    ftyp = _box(b"ftyp", b"jp2 " + b"\x00" * 4 + b"jp2 ")
+    ihdr = _box(b"ihdr", struct.pack(">IIHBBBB", h, w, nc, bpc, 7, 0, 0))
+    # colr: METH=1 (enumerated), EnumCS 16=sRGB / 17=greyscale
+    colr = _box(b"colr", struct.pack(">BBBI", 1, 0, 0, 16 if nc == 3 else 17))
+    jp2h = _box(b"jp2h", ihdr + colr)
+    return JP2_SIGNATURE + ftyp + jp2h + _box(b"jp2c", cs)
+
+
 def decode_jp2(data: bytes) -> np.ndarray:
     """Full decode -> (pages, height, width, samples), matching
-    tiff.decode_tiff's shape contract. Gated: requires an OpenJPEG
-    binding (glymur, imageio+plugin, or Pillow built with JP2)."""
+    tiff.decode_tiff's shape contract. Lossless single-tile streams
+    decode bindinglessly via sources/j2k.py; anything outside that
+    scope needs an OpenJPEG binding (glymur, imageio+plugin, or a
+    Pillow built with JP2)."""
+    from hortacloud_importer_spark.sources.j2k import (
+        J2kParseError,
+        J2kUnsupported,
+        decode_j2k,
+    )
+
     h, w, nc = jp2_shape(data)  # validate + fail with real geometry
+    failures: list[str] = []
+    unsupported: str | None = None
+    try:
+        return _normalize(decode_j2k(extract_codestream(data)))
+    except J2kUnsupported as exc:
+        # spec-legal feature outside the clean-room lossless scope:
+        # this is the case the binding chain exists for
+        unsupported = str(exc)
+    except (J2kParseError, Jp2ParseError) as exc:
+        # genuine parse trouble — still give a present binding the
+        # chance (it may tolerate encoder quirks we reject), but a
+        # bindingless environment reports the parse error, not the
+        # missing-codec gate
+        failures.append(f"j2k: {exc}")
     # Each binding may be importable yet still lack JPEG-2000 support
     # (imageio without its plugin raises OSError/ValueError from
     # imread; Pillow built without OpenJPEG raises
@@ -195,7 +258,6 @@ def decode_jp2(data: bytes) -> np.ndarray:
     # those exactly like an absent import and fall through to the
     # next binding, carrying the messages into the final gate so a
     # genuine decode failure is still visible.
-    failures: list[str] = []
     importable = 0
     try:
         import glymur  # type: ignore[import-not-found]
@@ -231,19 +293,22 @@ def decode_jp2(data: bytes) -> np.ndarray:
         pass
     except (OSError, ValueError, RuntimeError) as exc:
         failures.append(f"PIL: {exc}")
-    if importable:
-        # at least one binding WAS present and still failed: that is a
-        # decode failure (corrupt data or a half-installed plugin), not
-        # the missing-codec environment gate — NotImplementedError is
-        # reserved for the latter (the FIXTURES.md honesty-gate signal)
+    if importable or (failures and unsupported is None):
+        # a binding WAS present and still failed, or the clean-room
+        # codec hit genuine parse trouble with no binding to retry:
+        # that is a decode failure (corrupt data or a half-installed
+        # plugin), not the missing-codec environment gate —
+        # NotImplementedError is reserved for the latter (the
+        # FIXTURES.md honesty-gate signal)
         raise Jp2ParseError(
             f"JP2 decode failed ({h}x{w}, {nc} component(s)): "
             + "; ".join(failures)
         )
     raise NotImplementedError(
-        f"JP2 slice decode ({h}x{w}, {nc} component(s)) needs an OpenJPEG "
-        "binding — install glymur, imageio (with its JPEG-2000 plugin), or "
-        "a Pillow built with OpenJPEG; none is bundled with this engine"
+        f"JP2 decode ({h}x{w}, {nc} component(s)): the codestream uses "
+        f"{unsupported} — outside the clean-room lossless 5/3 scope — and "
+        "no OpenJPEG binding is importable; install glymur, imageio (with "
+        "its JPEG-2000 plugin), or a Pillow built with OpenJPEG"
     )
 
 

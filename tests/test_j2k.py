@@ -1,0 +1,237 @@
+"""Clean-room JPEG 2000 codec (sources/j2k.py): MQ coder, Tier-1,
+tag trees, 5/3 DWT, and full codestream round-trips — all written
+from ISO/IEC 15444-1 / ITU-T T.800 with no external binding.
+Closes the reference's rasterio-only JP2 ingest path
+(tiff2octree.py:673-678) for this container."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from hortacloud_importer_spark.sources.j2k import (
+    J2kParseError,
+    J2kUnsupported,
+    MQDecoder,
+    MQEncoder,
+    TagTree,
+    decode_j2k,
+    dwt_forward,
+    dwt_inverse,
+    encode_j2k,
+    t1_decode_block,
+    t1_encode_block,
+)
+
+
+# ------------------------------------------------------------ MQ coder
+
+
+def test_mq_roundtrip_random_contexts():
+    rng = np.random.default_rng(0)
+    for _ in range(40):
+        n = int(rng.integers(1, 300))
+        bits = rng.integers(0, 2, size=n).tolist()
+        ctxs = rng.integers(0, 19, size=n).tolist()
+        enc = MQEncoder()
+        for c, b in zip(ctxs, bits):
+            enc.encode(int(c), int(b))
+        dec = MQDecoder(enc.flush())
+        assert [dec.decode(int(c)) for c in ctxs] == bits
+
+
+def test_mq_stuffed_ff_byte_and_flush_high_bits():
+    """Regression: the FLUSH-time stuffed byte can legally exceed
+    0x7F (≤ 0x8F); masking it with 0x7F corrupted the stream. This
+    exact sequence produced `.. ff 83 ..` at flush."""
+    seq = [(0, 1), (9, 0), (5, 0), (5, 0), (14, 1), (5, 0), (16, 1),
+           (5, 0), (16, 0), (5, 0), (16, 1), (5, 0), (16, 1), (5, 0),
+           (16, 1), (5, 0), (16, 0), (5, 1), (12, 0), (16, 1),
+           (16, 0), (15, 1)]
+    enc = MQEncoder()
+    for c, b in seq:
+        enc.encode(c, b)
+    data = enc.flush()
+    assert b"\xff" in data  # the stream really exercises stuffing
+    dec = MQDecoder(data)
+    assert [dec.decode(c) for c, _ in seq] == [b for _, b in seq]
+
+
+def test_mq_decoder_survives_truncation_deterministically():
+    """Annex C: past the stream end the decoder synthesizes 0xFF
+    bytes — truncated input decodes without raising."""
+    enc = MQEncoder()
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2, size=64).tolist()
+    for b in bits:
+        enc.encode(0, int(b))
+    data = enc.flush()
+    dec = MQDecoder(data[: max(1, len(data) // 2)])
+    out = [dec.decode(0) for _ in bits]
+    assert len(out) == len(bits)  # no exception, deterministic length
+
+
+# ------------------------------------------------------------ tag tree
+
+
+def test_tag_tree_roundtrip():
+    rng = np.random.default_rng(2)
+    for w, h in [(1, 1), (3, 2), (5, 7), (8, 8)]:
+        vals = rng.integers(0, 6, size=(h, w))
+        enc_tree = TagTree(w, h)
+        for y in range(h):
+            for x in range(w):
+                enc_tree.set_value(x, y, int(vals[y, x]))
+        enc_tree.finalize()
+        bits: list[int] = []
+        for y in range(h):
+            for x in range(w):
+                enc_tree.encode(x, y, int(vals[y, x]) + 1, bits.append)
+        dec_tree = TagTree(w, h)
+        it = iter(bits)
+        for y in range(h):
+            for x in range(w):
+                k = 1
+                while not dec_tree.decode(x, y, k, lambda: next(it)):
+                    k += 1
+                assert dec_tree.leaf_value(x, y) == vals[y, x]
+
+
+# ------------------------------------------------------------- 5/3 DWT
+
+
+def test_dwt_53_perfect_reconstruction():
+    rng = np.random.default_rng(3)
+    for shape in [(1, 1), (1, 17), (16, 16), (31, 45), (100, 70)]:
+        for levels in range(0, 4):
+            a = rng.integers(-(1 << 15), 1 << 15, size=shape).astype(np.int64)
+            assert np.array_equal(dwt_inverse(dwt_forward(a, levels)), a)
+
+
+# ------------------------------------------------------------- Tier-1
+
+
+@pytest.mark.parametrize("band", ["LL", "HL", "LH", "HH"])
+def test_t1_block_roundtrip(band):
+    rng = np.random.default_rng(4)
+    for _ in range(8):
+        h, w = int(rng.integers(1, 65)), int(rng.integers(1, 65))
+        mag = 1 << int(rng.integers(1, 16))
+        blk = rng.integers(-mag, mag, size=(h, w)).astype(np.int32)
+        data, nplanes, npasses = t1_encode_block(blk, band)
+        if nplanes == 0:
+            assert not blk.any()
+            continue
+        out = t1_decode_block(data, w, h, band, nplanes, npasses)
+        assert np.array_equal(out, blk)
+
+
+def test_t1_sparse_blocks_use_runlength_mode():
+    """Mostly-zero blocks (the microscopy case) compress well — the
+    run-length cleanup mode is what makes that happen."""
+    blk = np.zeros((64, 64), dtype=np.int32)
+    blk[10, 3] = 9000
+    blk[50, 60] = -12345
+    data, nplanes, npasses = t1_encode_block(blk, "LL")
+    out = t1_decode_block(data, 64, 64, "LL", nplanes, npasses)
+    assert np.array_equal(out, blk)
+    assert len(data) < 64  # 4096 coefficients in under 64 bytes
+
+
+# ------------------------------------------------------ full codestream
+
+
+@pytest.mark.parametrize(
+    "shape,dtype,levels",
+    [
+        ((5, 7), np.uint8, 1),
+        ((31, 45), np.uint8, 2),
+        ((64, 64), np.uint16, 3),
+        ((100, 70), np.uint16, 0),
+        ((257, 129), np.uint16, 5),
+        ((1, 1), np.uint8, 0),
+    ],
+)
+def test_codestream_roundtrip_grey(shape, dtype, levels):
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, np.iinfo(dtype).max, size=shape, dtype=dtype)
+    out = decode_j2k(encode_j2k(a, levels=levels))
+    assert out.dtype == dtype
+    assert np.array_equal(out[:, :, 0], a)
+
+
+def test_codestream_roundtrip_rgb_with_rct():
+    rng = np.random.default_rng(6)
+    a = rng.integers(0, 255, size=(50, 60, 3), dtype=np.uint8)
+    out = decode_j2k(encode_j2k(a, levels=2))
+    assert np.array_equal(out, a)
+
+
+def test_codestream_roundtrip_smooth_compresses():
+    """Smooth microscopy-like data must land well under 1x raw size
+    (lossless), and still reconstruct exactly."""
+    yy, xx = np.mgrid[0:128, 0:96]
+    a = (
+        3000 * np.exp(-((yy - 64) ** 2 + (xx - 48) ** 2) / 500.0)
+    ).astype(np.uint16)
+    data = encode_j2k(a, levels=3)
+    assert len(data) < a.nbytes / 2
+    assert np.array_equal(decode_j2k(data)[:, :, 0], a)
+
+
+def test_codestream_small_codeblocks_and_progressions():
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 65535, size=(40, 56), dtype=np.uint16)
+    for cb in [(16, 16), (32, 8)]:
+        for prog in [0, 1, 2, 4]:  # LRCP RLCP RPCL CPRL
+            out = decode_j2k(encode_j2k(a, levels=2, cb=cb, prog=prog))
+            assert np.array_equal(out[:, :, 0], a)
+
+
+def test_unsupported_features_gate_with_names():
+    a = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    cs = bytearray(encode_j2k(a, levels=1))
+
+    def _patch_cod(data: bytearray, offset_from_len: int, value: int):
+        pos = 2
+        while pos < len(data):
+            marker, length = struct.unpack(">HH", data[pos : pos + 4])
+            if marker == 0xFF52:
+                data[pos + 2 + offset_from_len] = value
+                return
+            pos += 2 + length
+        raise AssertionError("no COD marker")
+
+    bad = bytearray(cs)
+    _patch_cod(bad, 11, 0)  # SPcod transformation byte -> 9/7
+    with pytest.raises(J2kUnsupported, match="9/7"):
+        decode_j2k(bytes(bad))
+
+    bad = bytearray(cs)
+    _patch_cod(bad, 10, 0x01)  # code-block style: selective bypass
+    with pytest.raises(J2kUnsupported, match="code-block style"):
+        decode_j2k(bytes(bad))
+
+
+def test_truncated_and_garbage_streams_parse_error():
+    a = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    data = encode_j2k(a, levels=1)
+    with pytest.raises(J2kParseError):
+        decode_j2k(data[:30])
+    with pytest.raises(J2kParseError):
+        decode_j2k(b"not a codestream at all")
+
+
+def test_fuzz_roundtrip_mixed():
+    """Property fuzz across shapes, depths, block sizes, levels."""
+    rng = np.random.default_rng(8)
+    for _ in range(15):
+        h = int(rng.integers(1, 90))
+        w = int(rng.integers(1, 90))
+        dt = np.uint16 if rng.integers(0, 2) else np.uint8
+        levels = int(rng.integers(0, 4))
+        a = rng.integers(0, np.iinfo(dt).max, size=(h, w), dtype=dt)
+        out = decode_j2k(encode_j2k(a, levels=levels))
+        assert np.array_equal(out[:, :, 0], a), (h, w, dt, levels)
