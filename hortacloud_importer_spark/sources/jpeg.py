@@ -20,9 +20,16 @@ DCT process from the public spec:
   BT.601 YCbCr->RGB for 3-component scans (JFIF convention; Adobe
   APP14 transform=0 keeps RGB as-is).
 
-Out of scope, gated with clear errors: progressive (SOF2),
-arithmetic coding, 12-bit precision, hierarchical — none of which
-the reference's microscopy TIFF inputs use.
+Progressive (SOF2) streams decode too: all four pass types — DC
+first/refinement (interleaved or not) and AC spectral-selection /
+successive-approximation with EOB-run accumulation (T.81 Annex G,
+Figures G.2/G.7) — accumulate into the same per-component
+coefficient grids, so the dequantize+IDCT tail is shared with the
+baseline path. Most web-crawled JPEGs are progressive, so the K4
+multimodal hook needs this even though microscopy TIFFs do not.
+
+Out of scope, gated with clear errors: arithmetic coding, 12-bit
+precision, hierarchical, lossless (SOF3).
 
 TIFF integration (sources/tiff.py): a compression-7 strip/tile is a
 complete JPEG stream that may omit its tables; the page-level
@@ -145,14 +152,37 @@ class _Tables:
         self.adobe_transform: int | None = None
 
 
+def _entropy_end(data: bytes, start: int) -> int:
+    """Offset of the first marker terminating an entropy-coded
+    segment: 0xFF followed by anything but 0x00 (stuffing), RSTn, or
+    another 0xFF (fill)."""
+    pos = start
+    n = len(data)
+    while True:
+        pos = data.find(b"\xff", pos)
+        if pos < 0 or pos + 1 >= n:
+            return n
+        nxt = data[pos + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            pos += 2
+        elif nxt == 0xFF:
+            pos += 1
+        else:
+            return pos
+
+
 def _parse_segments(data: bytes, tables: _Tables):
-    """Walk marker segments; returns (sof, scan) where sof is the
-    frame dict once SOF0/SOF1 is seen and scan is (scan_header_dict,
-    entropy_start_offset) once SOS is seen."""
+    """Walk marker segments; returns (sof, scans) where sof is the
+    frame dict once SOF0/SOF1/SOF2 is seen and scans is a list of
+    (scan_header_dict, entropy_start, entropy_end) — one entry for a
+    sequential stream, one per SOS for a progressive one. Each scan
+    header snapshots the Huffman LUTs and restart interval in force
+    at its SOS, since later DHT/DRI segments may redefine them."""
     if data[:2] != b"\xff\xd8":
         raise JpegParseError("missing SOI marker")
     pos = 2
     sof = None
+    scans: list[tuple[dict, int, int]] = []
     while pos < len(data):
         if data[pos] != 0xFF:
             raise JpegParseError(f"expected marker at offset {pos}")
@@ -166,7 +196,7 @@ def _parse_segments(data: bytes, tables: _Tables):
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
-            return sof, None
+            return sof, scans
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
             continue  # standalone
         if pos + 2 > len(data):
@@ -197,7 +227,7 @@ def _parse_segments(data: bytes, tables: _Tables):
                 p += 17 + n
         elif marker == 0xDD:  # DRI
             (tables.restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext seq
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
             prec = seg[0]
             if prec != 8:
                 raise JpegParseError(f"{prec}-bit precision unsupported")
@@ -209,12 +239,18 @@ def _parse_segments(data: bytes, tables: _Tables):
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-            sof = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            sof = {
+                "h": h,
+                "w": w,
+                "comps": comps,
+                "progressive": marker == 0xC2,
+            }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegParseError(
-                f"SOF{marker - 0xC0}: only baseline/extended-sequential "
-                "Huffman JPEG is supported (no progressive/arithmetic)"
+                f"SOF{marker - 0xC0}: only baseline/extended-sequential/"
+                "progressive Huffman JPEG is supported (no arithmetic/"
+                "lossless/hierarchical)"
             )
         elif marker == 0xDA:  # SOS
             ns = seg[0]
@@ -222,11 +258,27 @@ def _parse_segments(data: bytes, tables: _Tables):
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i : 3 + 2 * i]
                 scomps.append({"cs": cs, "td": tt >> 4, "ta": tt & 0xF})
-            return sof, (scomps, pos + seglen)
+            ss, se, ahl = seg[1 + 2 * ns : 4 + 2 * ns]
+            hdr = {
+                "comps": scomps,
+                "ss": ss,
+                "se": se,
+                "ah": ahl >> 4,
+                "al": ahl & 0xF,
+                # snapshot: later DHT/DRI may redefine these
+                "dc": {s["td"]: tables.dc.get(s["td"]) for s in scomps},
+                "ac": {s["ta"]: tables.ac.get(s["ta"]) for s in scomps},
+                "ri": tables.restart_interval,
+            }
+            start = pos + seglen
+            end = _entropy_end(data, start)
+            scans.append((hdr, start, end))
+            pos = end
+            continue
         elif marker == 0xEE and seg[:5] == b"Adobe":  # APP14
             tables.adobe_transform = seg[11] if len(seg) > 11 else None
         pos += seglen
-    return sof, None
+    return sof, scans
 
 
 def load_tables(stream: bytes, tables: _Tables) -> None:
@@ -254,13 +306,10 @@ def _cached_tables(stream: bytes) -> _Tables:
     return t
 
 
-def _decode_scan(
-    data: bytes, start: int, sof: dict, scomps: list, tables: _Tables
-):
-    """Entropy-decode every MCU -> per-component dequantized
-    coefficient grids, then vectorized IDCT."""
+def _frame_geometry(sof: dict):
+    """(hmax, vmax, mcux, mcuy) with the integer-ratio sampling
+    admission check shared by the sequential and progressive paths."""
     comps = sof["comps"]
-    by_id = {c["id"]: c for c in comps}
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     for c in comps:
@@ -275,32 +324,64 @@ def _decode_scan(
             )
     mcux = (sof["w"] + 8 * hmax - 1) // (8 * hmax)
     mcuy = (sof["h"] + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
 
-    # per-component coefficient storage (blocks_y, blocks_x, 64)
-    store = {}
-    for c in comps:
-        store[c["id"]] = np.zeros(
-            (mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32
-        )
 
-    # split on restart markers; each segment restarts DC prediction
-    entropy = data[start:]
-    # cut at EOI if present
-    eoi = entropy.rfind(b"\xff\xd9")
-    if eoi >= 0:
-        entropy = entropy[:eoi]
-    segments = []
-    if tables.restart_interval:
+def _alloc_store(sof: dict, mcux: int, mcuy: int) -> dict:
+    """Per-component coefficient grids (blocks_y, blocks_x, 64)."""
+    return {
+        c["id"]: np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+        for c in sof["comps"]
+    }
+
+
+def _restart_segments(entropy: bytes, ri: int) -> list[bytes]:
+    """Split on RSTn markers; each segment restarts predictions."""
+    if ri:
         import re
 
-        segments = re.split(b"\xff[\xd0-\xd7]", entropy)
-    else:
-        segments = [entropy]
+        return re.split(b"\xff[\xd0-\xd7]", entropy)
+    return [entropy]
+
+
+def _idct_planes(store: dict, sof: dict, tables: _Tables) -> dict:
+    """dequantize + inverse zigzag + batched IDCT per component."""
+    planes = {}
+    for c in sof["comps"]:
+        q = tables.qt.get(c["tq"])
+        if q is None:
+            raise JpegParseError(
+                f"component references undefined DQT {c['tq']}"
+            )
+        grid = store[c["id"]]
+        by, bx = grid.shape[0], grid.shape[1]
+        deq = grid.reshape(-1, 64) * q[np.newaxis, :]
+        blocks = np.zeros((deq.shape[0], 64), dtype=np.float64)
+        blocks[:, _ZIGZAG] = deq
+        blocks = blocks.reshape(-1, 8, 8)
+        # pixel = C.T @ coef @ C, batched
+        pix = np.einsum("ki,nkl,lj->nij", _C, blocks, _C)
+        pix = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
+        planes[c["id"]] = (
+            pix.reshape(by, bx, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by * 8, bx * 8)
+        )
+    return planes
+
+
+def _decode_scan(data: bytes, hdr: dict, start: int, end: int, sof: dict):
+    """Sequential path: entropy-decode every MCU of the single
+    interleaved scan -> per-component coefficient grids."""
+    comps = sof["comps"]
+    by_id = {c["id"]: c for c in comps}
+    scomps = hdr["comps"]
+    hmax, vmax, mcux, mcuy = _frame_geometry(sof)
+    store = _alloc_store(sof, mcux, mcuy)
+    segments = _restart_segments(data[start:end], hdr["ri"])
 
     order = [by_id[s["cs"]] for s in scomps]
-    huff = [
-        (tables.dc.get(s["td"]), tables.ac.get(s["ta"])) for s in scomps
-    ]
+    huff = [(hdr["dc"][s["td"]], hdr["ac"][s["ta"]]) for s in scomps]
     for (dc_t, ac_t), s in zip(huff, scomps):
         if dc_t is None or ac_t is None:
             raise JpegParseError(
@@ -308,7 +389,7 @@ def _decode_scan(
                 "tables (a TIFF strip without JPEGTables?)"
             )
 
-    mcu_per_seg = tables.restart_interval or mcuy * mcux
+    mcu_per_seg = hdr["ri"] or mcuy * mcux
     mcu = 0
     for seg in segments:
         reader = _BitReader(_unstuff(seg))
@@ -357,33 +438,217 @@ def _decode_scan(
         raise JpegParseError(
             f"scan ended after {mcu} of {mcuy * mcux} MCUs"
         )
+    return store
 
-    # dequantize + inverse zigzag + batched IDCT per component
-    planes = {}
-    for c in comps:
-        q = tables.qt.get(c["tq"])
-        if q is None:
-            raise JpegParseError(f"component references undefined DQT {c['tq']}")
-        grid = store[c["id"]]
-        by, bx = grid.shape[0], grid.shape[1]
-        deq = grid.reshape(-1, 64) * q[np.newaxis, :]
-        blocks = np.zeros((deq.shape[0], 64), dtype=np.float64)
-        blocks[:, _ZIGZAG] = deq
-        blocks = blocks.reshape(-1, 8, 8)
-        # pixel = C.T @ coef @ C, batched
-        pix = np.einsum("ki,nkl,lj->nij", _C, blocks, _C)
-        pix = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
-        plane = (
-            pix.reshape(by, bx, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(by * 8, bx * 8)
-        )
-        planes[c["id"]] = plane
-    return planes, hmax, vmax
+
+# ------------------------------------------- progressive (SOF2) scans
+# T.81 Annex G: four pass types accumulating into the coefficient
+# grids. Spectral-selection indexes are zigzag positions — the same
+# layout the grids already use, so the IDCT tail is shared verbatim.
+
+
+def _scan_blocks(sof: dict, scomps: list, store: dict):
+    """Per-MCU lists of (comp, block-vector) in coding order. For a
+    non-interleaved scan (ns=1) the 'MCU' is a single block and the
+    grid is the component's own ceil(dim/8) raster — NOT padded to
+    the interleaved MCU multiple (T.81 A.2.2)."""
+    by_id = {c["id"]: c for c in sof["comps"]}
+    hmax = max(c["h"] for c in sof["comps"])
+    vmax = max(c["v"] for c in sof["comps"])
+    mcux = (sof["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (sof["h"] + 8 * vmax - 1) // (8 * vmax)
+    units = []
+    if len(scomps) > 1:
+        order = [by_id[s["cs"]] for s in scomps]
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            unit = []
+            for c in order:
+                g = store[c["id"]]
+                for v_i in range(c["v"]):
+                    for h_i in range(c["h"]):
+                        unit.append(
+                            (c, g[my * c["v"] + v_i, mx * c["h"] + h_i])
+                        )
+            units.append(unit)
+    else:
+        c = by_id[scomps[0]["cs"]]
+        g = store[c["id"]]
+        cw = -(-(sof["w"] * c["h"]) // hmax)
+        ch = -(-(sof["h"] * c["v"]) // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        for by in range(bh):
+            for bx in range(bw):
+                units.append([(c, g[by, bx])])
+    return units
+
+
+def _huff_decode(reader: _BitReader, lut) -> int:
+    sym, length = lut
+    p16 = reader.peek16()
+    ln = length[p16]
+    if ln == 0:
+        raise JpegParseError("bad Huffman code in progressive scan")
+    reader.skip(int(ln))
+    return int(sym[p16])
+
+
+def _prog_dc_scan(units, segments, hdr):
+    """DC first (Ah=0: diff-coded, value << Al) or refinement (Ah>0:
+    one raw bit ORed in at Al) — T.81 G.1.2.1."""
+    al, refine = hdr["al"], hdr["ah"] != 0
+    luts = {s["cs"]: hdr["dc"][s["td"]] for s in hdr["comps"]}
+    if not refine and any(v is None for v in luts.values()):
+        raise JpegParseError("DC scan references undefined Huffman table")
+    per_seg = hdr["ri"] or len(units)
+    done = 0
+    for seg in segments:
+        reader = _BitReader(_unstuff(seg))
+        pred: dict[int, int] = {}
+        for unit in units[done : done + per_seg]:
+            for comp, blk in unit:
+                if refine:
+                    blk[0] |= reader.receive(1) << al
+                else:
+                    t = _huff_decode(reader, luts[comp["id"]])
+                    diff = _extend(reader.receive(t), t)
+                    pred[comp["id"]] = pred.get(comp["id"], 0) + diff
+                    blk[0] = pred[comp["id"]] << al
+        done += per_seg
+        if done >= len(units):
+            break
+
+
+def _prog_ac_first(units, segments, hdr):
+    """AC spectral-selection first pass with EOB-run accumulation
+    (T.81 G.1.2.2, Figure G.3)."""
+    ss, se, al = hdr["ss"], hdr["se"], hdr["al"]
+    lut = hdr["ac"][hdr["comps"][0]["ta"]]
+    if lut is None:
+        raise JpegParseError("AC scan references undefined Huffman table")
+    per_seg = hdr["ri"] or len(units)
+    done = 0
+    for seg in segments:
+        reader = _BitReader(_unstuff(seg))
+        eobrun = 0
+        for unit in units[done : done + per_seg]:
+            blk = unit[0][1]
+            if eobrun:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _huff_decode(reader, lut)
+                r, s_ = rs >> 4, rs & 0xF
+                if s_ == 0:
+                    if r == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << r) - 1 + reader.receive(r)
+                    break
+                k += r
+                if k > se:
+                    raise JpegParseError("AC run past band end")
+                blk[k] = _extend(reader.receive(s_), s_) << al
+                k += 1
+        done += per_seg
+        if done >= len(units):
+            break
+
+
+def _prog_ac_refine(units, segments, hdr):
+    """AC successive-approximation refinement (T.81 G.1.2.3, Figure
+    G.7): newly significant coefficients arrive as ±1<<Al; every
+    already-nonzero coefficient passed over contributes a correction
+    bit, including inside EOB runs."""
+    ss, se, al = hdr["ss"], hdr["se"], hdr["al"]
+    lut = hdr["ac"][hdr["comps"][0]["ta"]]
+    if lut is None:
+        raise JpegParseError("AC scan references undefined Huffman table")
+    p1, m1 = 1 << al, -1 << al
+    per_seg = hdr["ri"] or len(units)
+    done = 0
+
+    def _correct(blk, k, reader):
+        if reader.receive(1) and not (int(blk[k]) & p1):
+            blk[k] += p1 if blk[k] > 0 else m1
+
+    for seg in segments:
+        reader = _BitReader(_unstuff(seg))
+        eobrun = 0
+        for unit in units[done : done + per_seg]:
+            blk = unit[0][1]
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(reader, lut)
+                    r, s_ = rs >> 4, rs & 0xF
+                    newval = 0
+                    if s_ == 0:
+                        if r < 15:
+                            eobrun = (1 << r) + reader.receive(r)
+                            break
+                        # ZRL: skip 16 zero-history positions
+                    else:
+                        if s_ != 1:
+                            raise JpegParseError(
+                                "AC refinement size must be 1"
+                            )
+                        newval = p1 if reader.receive(1) else m1
+                    while k <= se:
+                        if blk[k] != 0:
+                            _correct(blk, k, reader)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:  # corrections under the EOB run
+                    if blk[k] != 0:
+                        _correct(blk, k, reader)
+                    k += 1
+                eobrun -= 1
+        done += per_seg
+        if done >= len(units):
+            break
+
+
+def _decode_progressive(data: bytes, sof: dict, scans: list) -> dict:
+    """Run every scan of a progressive frame into shared coefficient
+    grids; returns the store for the common IDCT tail."""
+    hmax, vmax, mcux, mcuy = _frame_geometry(sof)
+    del hmax, vmax
+    store = _alloc_store(sof, mcux, mcuy)
+    for hdr, start, end in scans:
+        ss, se = hdr["ss"], hdr["se"]
+        if ss == 0 and se != 0:
+            raise JpegParseError(
+                "progressive scan mixes DC and AC (Ss=0 needs Se=0)"
+            )
+        if ss > 0 and len(hdr["comps"]) != 1:
+            raise JpegParseError(
+                "progressive AC scans must be non-interleaved (ns=1)"
+            )
+        if se > 63 or ss > se:
+            raise JpegParseError(f"bad spectral selection {ss}..{se}")
+        units = _scan_blocks(sof, hdr["comps"], store)
+        segments = _restart_segments(data[start:end], hdr["ri"])
+        if ss == 0:
+            _prog_dc_scan(units, segments, hdr)
+        elif hdr["ah"] == 0:
+            _prog_ac_first(units, segments, hdr)
+        else:
+            _prog_ac_refine(units, segments, hdr)
+    return store
 
 
 def decode_jpeg(data: bytes, tables_stream: bytes | None = None) -> np.ndarray:
-    """Baseline JPEG stream -> (height, width, n_components) uint8.
+    """Sequential or progressive JPEG stream -> (height, width,
+    n_components) uint8.
 
     ``tables_stream`` pre-loads DQT/DHT (TIFF JPEGTables, tag 347);
     segments in ``data`` override them per T.81. 3-component output
@@ -395,18 +660,23 @@ def decode_jpeg(data: bytes, tables_stream: bytes | None = None) -> np.ndarray:
             load_tables(tables_stream, tables)
         except JpegParseError as exc:
             raise JpegParseError(f"bad JPEGTables stream: {exc}") from exc
-    sof, scan = _parse_segments(data, tables)
+    sof, scans = _parse_segments(data, tables)
     if sof is None:
         raise JpegParseError("no SOF frame header before scan")
-    if scan is None:
+    if not scans:
         raise JpegParseError("no SOS scan in stream")
-    scomps, start = scan
-    if len(scomps) != len(sof["comps"]):
-        raise JpegParseError(
-            "non-interleaved multi-scan sequential JPEG is not supported "
-            "(one interleaved SOS expected)"
-        )
-    planes, hmax, vmax = _decode_scan(data, start, sof, scomps, tables)
+    hmax, vmax, _, _ = _frame_geometry(sof)
+    if sof.get("progressive"):
+        store = _decode_progressive(data, sof, scans)
+    else:
+        hdr, start, end = scans[0]
+        if len(hdr["comps"]) != len(sof["comps"]):
+            raise JpegParseError(
+                "non-interleaved multi-scan sequential JPEG is not "
+                "supported (one interleaved SOS expected)"
+            )
+        store = _decode_scan(data, hdr, start, end, sof)
+    planes = _idct_planes(store, sof, tables)
 
     h, w = sof["h"], sof["w"]
     comps = sof["comps"]
@@ -660,3 +930,204 @@ def encode_jpeg_gray(
 ) -> bytes | tuple[bytes, bytes]:
     """Back-compat alias for the grayscale case."""
     return encode_jpeg(img, qtable=qtable, tables_external=tables_external)
+
+
+# ----------------------------------------------- progressive encoder
+# Fixture writer for the SOF2 decode path. Progressive AC scans use
+# EOBn symbols (r<<4 for r up to 14) that the K.3 example AC table
+# does not contain, so a "flat" canonical table covering all 256
+# run/size symbols is emitted instead: 255 codes at 9 bits + 1 at 10
+# (each DHT BITS entry is one byte, so 256 cannot share a length).
+# Compression is irrelevant for fixtures; validity is what matters.
+
+_FLAT_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0]
+_FLAT_AC_VALS = list(range(256))
+
+
+class _ProgState:
+    """Deferred EOB-run bookkeeping for one AC scan (T.81 G.1.2.2-3):
+    ``eobrun`` counts band-ended blocks; ``be`` buffers the
+    correction bits of coefficients passed inside the run, flushed
+    right after the EOBn codeword."""
+
+    __slots__ = ("eobrun", "be")
+
+    def __init__(self):
+        self.eobrun = 0
+        self.be: list[int] = []
+
+
+def _flush_eobrun(st: _ProgState, wtr: _BitWriter, ac_codes) -> None:
+    if st.eobrun > 0:
+        nbits = st.eobrun.bit_length() - 1
+        c, ln = ac_codes[nbits << 4]
+        wtr.put(c, ln)
+        if nbits:
+            wtr.put(st.eobrun & ((1 << nbits) - 1), nbits)
+        st.eobrun = 0
+        for b in st.be:
+            wtr.put(b, 1)
+        st.be = []
+
+
+def _enc_ac_first(blk, wtr, st, ss, se, al, ac_codes) -> None:
+    r = 0
+    for k in range(ss, se + 1):
+        v = int(blk[k])
+        t = (v if v >= 0 else -v) >> al
+        if t == 0:
+            r += 1
+            continue
+        _flush_eobrun(st, wtr, ac_codes)
+        while r > 15:
+            c, ln = ac_codes[0xF0]
+            wtr.put(c, ln)
+            r -= 16
+        s_ = t.bit_length()
+        c, ln = ac_codes[(r << 4) | s_]
+        wtr.put(c, ln)
+        wtr.put(t if v >= 0 else (~t) & ((1 << s_) - 1), s_)
+        r = 0
+    if r > 0:  # trailing zeros (or an all-zero band): join the EOB run
+        st.eobrun += 1
+        if st.eobrun == 0x7FFF:
+            _flush_eobrun(st, wtr, ac_codes)
+
+
+def _enc_ac_refine(blk, wtr, st, ss, se, al, ac_codes) -> None:
+    absv = {}
+    eob = ss - 1  # position of the last NEWLY significant coefficient
+    for k in range(ss, se + 1):
+        t = abs(int(blk[k])) >> al
+        absv[k] = t
+        if t == 1:
+            eob = k
+    r = 0
+    br: list[int] = []
+    for k in range(ss, se + 1):
+        t = absv[k]
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and k <= eob:
+            _flush_eobrun(st, wtr, ac_codes)
+            c, ln = ac_codes[0xF0]
+            wtr.put(c, ln)
+            r -= 16
+            for b in br:
+                wtr.put(b, 1)
+            br = []
+        if t > 1:  # already significant: correction bit only
+            br.append(t & 1)
+            continue
+        _flush_eobrun(st, wtr, ac_codes)
+        c, ln = ac_codes[(r << 4) | 1]
+        wtr.put(c, ln)
+        wtr.put(1 if int(blk[k]) > 0 else 0, 1)
+        for b in br:
+            wtr.put(b, 1)
+        br = []
+        r = 0
+    if r > 0 or br:
+        st.eobrun += 1
+        st.be.extend(br)
+        if st.eobrun == 0x7FFF or len(st.be) > 900:
+            _flush_eobrun(st, wtr, ac_codes)
+
+
+# jpegtran's default progression: DC al=1, split AC firsts at al=2,
+# one full-band refinement per level, DC refinement last.
+_DEFAULT_SCRIPT = [
+    ("dc", 0, 0, 0, 1),
+    ("ac", 1, 5, 0, 2),
+    ("ac", 6, 63, 0, 2),
+    ("ac", 1, 63, 2, 1),
+    ("dc", 0, 0, 1, 0),
+    ("ac", 1, 63, 1, 0),
+]
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    qtable: np.ndarray | None = None,
+    script: list | None = None,
+) -> bytes:
+    """Progressive (SOF2) encoder over the same quantized coefficient
+    grids as :func:`encode_jpeg` — decode(progressive) must equal
+    decode(baseline) exactly, which is what the tests assert.
+    ``script`` entries are (kind, ss, se, ah, al); AC scans are
+    emitted once per component (T.81 requires ns=1 there)."""
+    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+        raise JpegParseError("encoder takes a 2-D or (h, w, 3) uint8 array")
+    if qtable is None:
+        qtable = np.ones(64, dtype=np.int32)
+    if img.ndim == 3:
+        if img.shape[2] != 3:
+            raise JpegParseError("3-D input must be (h, w, 3) RGB")
+        ycc = _rgb_to_ycbcr(img)
+        planes = [ycc[:, :, i] for i in range(3)]
+    else:
+        planes = [img.astype(np.float64)]
+    h, w = planes[0].shape
+    zz_per_comp = [_plane_zigzag_blocks(p, qtable) for p in planes]
+    nc = len(planes)
+
+    dc_codes = _huff_code_map(_STD_DC_BITS, _STD_DC_VALS)
+    ac_codes = _huff_code_map(_FLAT_AC_BITS, _FLAT_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes(int(v) for v in qtable))
+    out += _seg(0xC4, bytes([0x00]) + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(_FLAT_AC_BITS) + bytes(_FLAT_AC_VALS))
+    out += _seg(
+        0xC2,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([nc])
+        + b"".join(bytes([i + 1, 0x11, 0]) for i in range(nc)),
+    )
+
+    def _sos(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        return _seg(
+            0xDA,
+            bytes([len(comp_ids)])
+            + b"".join(bytes([cid, 0x00]) for cid in comp_ids)
+            + bytes([ss, se, (ah << 4) | al]),
+        )
+
+    n_blocks = zz_per_comp[0].shape[0]  # 4:4:4: same grid per comp
+    for kind, ss, se, ah, al in script or _DEFAULT_SCRIPT:
+        if kind == "dc":
+            wtr = _BitWriter()
+            if ah == 0:
+                preds = [0] * nc
+                for b in range(n_blocks):
+                    for ci, zz in enumerate(zz_per_comp):
+                        v = int(zz[b, 0]) >> al
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        t = 0 if diff == 0 else abs(diff).bit_length()
+                        c, ln = dc_codes[t]
+                        wtr.put(c, ln)
+                        if t:
+                            wtr.put(
+                                diff if diff >= 0 else diff + (1 << t) - 1, t
+                            )
+            else:
+                for b in range(n_blocks):
+                    for zz in zz_per_comp:
+                        wtr.put((int(zz[b, 0]) >> al) & 1, 1)
+            out += _sos(list(range(1, nc + 1)), 0, 0, ah, al)
+            out += wtr.flush()
+        else:
+            for ci, zz in enumerate(zz_per_comp):
+                wtr = _BitWriter()
+                st = _ProgState()
+                enc = _enc_ac_first if ah == 0 else _enc_ac_refine
+                for b in range(n_blocks):
+                    enc(zz[b], wtr, st, ss, se, al, ac_codes)
+                _flush_eobrun(st, wtr, ac_codes)
+                out += _sos([ci + 1], ss, se, ah, al)
+                out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -103,8 +103,13 @@ def test_decoder_rejects_unsupported_processes():
     img = np.zeros((8, 8), dtype=np.uint8)
     blob = bytearray(encode_jpeg(img))
     i = blob.find(b"\xff\xc0")
-    blob[i + 1] = 0xC2  # flip SOF0 -> SOF2 (progressive)
-    with pytest.raises(JpegParseError, match="progressive|SOF"):
+    blob[i + 1] = 0xC9  # flip SOF0 -> SOF9 (arithmetic sequential)
+    with pytest.raises(JpegParseError, match="arithmetic|SOF"):
+        decode_jpeg(bytes(blob))
+    # SOF2 with a baseline scan header is malformed progressive
+    # (a Ss=0 scan must have Se=0), not an unsupported process
+    blob[i + 1] = 0xC2
+    with pytest.raises(JpegParseError, match="progressive"):
         decode_jpeg(bytes(blob))
     with pytest.raises(JpegParseError, match="SOI"):
         decode_jpeg(b"not a jpeg")
@@ -221,3 +226,108 @@ def test_oldstyle_jpeg_with_full_stream_decodes():
     old = blob[: idx + 8] + struct.pack("<HH", 6, 0) + blob[idx + 12 :]
     got = decode_tiff(old)
     assert np.abs(got[..., 0].astype(int) - img.astype(int)).max() <= 1
+
+
+# ---------------------------------------------- progressive (SOF2)
+
+
+def _q50():
+    return np.array(
+        [16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+         14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+         18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113,
+         92, 49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112,
+         100, 103, 99],
+        dtype=np.int32,
+    )
+
+
+def test_progressive_equals_baseline_gray():
+    """SOF2 decode accumulates the same coefficient grids the
+    sequential scan produces in one pass, so the decoded pixels must
+    be IDENTICAL (both paths share the dequant+IDCT tail)."""
+    from hortacloud_importer_spark.sources.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(41)
+    for shape in [(16, 16), (37, 53), (120, 176)]:
+        img = rng.integers(0, 255, size=shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, qtable=_q50()))
+        prog = decode_jpeg(encode_jpeg_progressive(img, qtable=_q50()))
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_equals_baseline_rgb():
+    from hortacloud_importer_spark.sources.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(43)
+    img = rng.integers(0, 255, size=(45, 61, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, qtable=_q50()))
+    prog = decode_jpeg(encode_jpeg_progressive(img, qtable=_q50()))
+    assert prog.shape == (45, 61, 3)
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_smooth_exercises_eob_runs():
+    """Smooth content quantizes to sparse AC grids -> long EOB runs
+    spanning blocks, the successive-approximation path's hardest
+    case (deferred EOBn + buffered correction bits)."""
+    from hortacloud_importer_spark.sources.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    yy, xx = np.mgrid[0:96, 0:144]
+    img = (127 + 120 * np.sin(yy / 17.0) * np.cos(xx / 23.0)).astype(
+        np.uint8
+    )
+    base = decode_jpeg(encode_jpeg(img, qtable=_q50()))
+    prog = decode_jpeg(encode_jpeg_progressive(img, qtable=_q50()))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_custom_scan_scripts():
+    """Pure spectral selection (no approximation), deep per-band
+    approximation with interleaved DC refinements, and a single
+    full-band script must all converge to the baseline decode."""
+    from hortacloud_importer_spark.sources.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(47)
+    img = rng.integers(0, 255, size=(48, 80), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, qtable=_q50()))
+    scripts = [
+        [("dc", 0, 0, 0, 0), ("ac", 1, 10, 0, 0), ("ac", 11, 63, 0, 0)],
+        [("dc", 0, 0, 0, 3), ("ac", 1, 5, 0, 2), ("ac", 6, 63, 0, 2),
+         ("ac", 1, 5, 2, 1), ("ac", 6, 63, 2, 1), ("dc", 0, 0, 3, 2),
+         ("ac", 1, 5, 1, 0), ("dc", 0, 0, 2, 1), ("ac", 6, 63, 1, 0),
+         ("dc", 0, 0, 1, 0)],
+        [("dc", 0, 0, 0, 0), ("ac", 1, 63, 0, 1), ("ac", 1, 63, 1, 0)],
+    ]
+    for script in scripts:
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, qtable=_q50(), script=script)
+        )
+        assert np.array_equal(base, prog)
+
+
+def test_progressive_rejects_malformed_scans():
+    from hortacloud_importer_spark.sources.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    img = np.zeros((16, 16), dtype=np.uint8)
+    # interleaved AC scan: ns must be 1
+    blob = bytearray(encode_jpeg_progressive(img))
+    # hand-build: flip an AC SOS to claim 2 components is awkward;
+    # instead assert the decoder's validation directly via a DC scan
+    # with Se != 0 (the SOF2+baseline-header case)
+    seq = bytearray(encode_jpeg(img))
+    i = seq.find(b"\xff\xc0")
+    seq[i + 1] = 0xC2
+    with pytest.raises(JpegParseError, match="Ss=0 needs Se=0"):
+        decode_jpeg(bytes(seq))
+    del blob
