@@ -466,9 +466,29 @@ def _sc_context(hc: int, vc: int) -> tuple[int, int]:
 
 
 class _T1State:
-    """Shared scan-state for one code-block (both directions)."""
+    """Shared scan-state for one code-block (both directions).
 
-    __slots__ = ("w", "h", "sig", "sign", "visited", "refined")
+    Besides the spec's significance/sign/visited/refined flags it
+    maintains two monotone acceleration structures so the coding
+    passes cost O(active area), not O(block area), on the sparse
+    planes that dominate microscopy data:
+
+    - ``cand``: the 8-neighbourhood dilation of the significance map
+      (including the significant cells themselves). A cell outside
+      ``cand`` is insignificant, unvisited, and has all-zero
+      neighbour counts — every pass can treat it with a constant
+      context or skip it outright.
+    - ``colcand``: per (stripe, column) OR of ``cand`` over the four
+      stripe cells. A cleared entry lets SPP/MRP skip the column and
+      lets the cleanup pass take the run-length branch with no
+      per-cell checks.
+
+    Both only ever gain bits (significance is monotone within a
+    block), so they are updated incrementally in
+    :meth:`make_significant` — never recomputed."""
+
+    __slots__ = ("w", "h", "sig", "sign", "visited", "refined",
+                 "cand", "colcand", "nsig")
 
     def __init__(self, w: int, h: int):
         self.w, self.h = w, h
@@ -477,6 +497,21 @@ class _T1State:
         self.sign = bytearray(n)  # 1 = negative
         self.visited = bytearray(n)
         self.refined = bytearray(n)
+        self.cand = bytearray(n)
+        self.colcand = bytearray(((h + 3) // 4) * w)
+        self.nsig = 0
+
+    def make_significant(self, x: int, y: int) -> None:
+        w, h = self.w, self.h
+        self.sig[y * w + x] = 1
+        self.nsig += 1
+        cand, colcand = self.cand, self.colcand
+        for yy in range(max(0, y - 1), min(h, y + 2)):
+            row = yy * w
+            srow = (yy >> 2) * w
+            for xx in range(max(0, x - 1), min(w, x + 2)):
+                cand[row + xx] = 1
+                colcand[srow + xx] = 1
 
     def neighbor_counts(self, x: int, y: int) -> tuple[int, int, int]:
         w, h, sig = self.w, self.h, self.sig
@@ -610,69 +645,106 @@ def t1_encode_block(
 
 def _spp(st: _T1State, mq, mag, bp, band, decode: bool):
     """Significance propagation: insignificant coefficients with at
-    least one significant neighbor."""
-    w = st.w
-    for x, y in _stripe_scan(st.w, st.h):
-        i = y * w + x
-        if st.sig[i]:
-            continue
-        hh, vv, dd = st.neighbor_counts(x, y)
-        if hh + vv + dd == 0:
-            continue
-        ctx = _zc_context(band, hh, vv, dd)
-        if decode:
-            bit = mq.decode(ctx)
-        else:
-            bit = 1 if (mag[i] >> bp) & 1 else 0
-            mq.encode(ctx, bit)
-        st.visited[i] = 1
-        if bit:
-            _code_sign(st, mq, x, y, decode)
-            st.sig[i] = 1
-            if decode:
-                mag[i] = 1 << bp
+    least one significant neighbor. A cell outside ``st.cand`` has no
+    significant neighbour by construction, so whole columns are
+    skipped via ``st.colcand`` — newly significant cells extend both
+    maps immediately, keeping the propagation exact."""
+    if st.nsig == 0:
+        return  # nothing can have a significant neighbor
+    w, h = st.w, st.h
+    sig, cand, colcand = st.sig, st.cand, st.colcand
+    for k in range(0, h, 4):
+        srow = (k >> 2) * w
+        ymax = min(k + 4, h)
+        for x in range(w):
+            if not colcand[srow + x]:
+                continue
+            for y in range(k, ymax):
+                i = y * w + x
+                if sig[i] or not cand[i]:
+                    continue
+                hh, vv, dd = st.neighbor_counts(x, y)
+                if hh + vv + dd == 0:
+                    continue
+                ctx = _zc_context(band, hh, vv, dd)
+                if decode:
+                    bit = mq.decode(ctx)
+                else:
+                    bit = 1 if (mag[i] >> bp) & 1 else 0
+                    mq.encode(ctx, bit)
+                st.visited[i] = 1
+                if bit:
+                    _code_sign(st, mq, x, y, decode)
+                    st.make_significant(x, y)
+                    if decode:
+                        mag[i] = 1 << bp
 
 
 def _mrp(st: _T1State, mq, mag, bp, decode: bool):
     """Magnitude refinement: coefficients already significant before
-    this bit-plane (skip those the SPP just made significant)."""
-    w = st.w
-    for x, y in _stripe_scan(st.w, st.h):
-        i = y * w + x
-        if not st.sig[i] or st.visited[i]:
-            continue
-        if st.refined[i]:
-            ctx = 16
-        else:
-            ctx = 15 if st.any_sig_neighbor(x, y) else 14
-        if decode:
-            bit = mq.decode(ctx)
-            if bit:
-                mag[i] |= 1 << bp
-        else:
-            mq.encode(ctx, (mag[i] >> bp) & 1)
-        st.refined[i] = 1
+    this bit-plane (skip those the SPP just made significant).
+    Significant cells all lie under ``st.colcand`` columns, so the
+    scan skips inactive columns; significance does not change during
+    this pass."""
+    if st.nsig == 0:
+        return
+    w, h = st.w, st.h
+    sig, visited, refined, colcand = st.sig, st.visited, st.refined, st.colcand
+    for k in range(0, h, 4):
+        srow = (k >> 2) * w
+        ymax = min(k + 4, h)
+        for x in range(w):
+            if not colcand[srow + x]:
+                continue
+            for y in range(k, ymax):
+                i = y * w + x
+                if not sig[i] or visited[i]:
+                    continue
+                if refined[i]:
+                    ctx = 16
+                else:
+                    ctx = 15 if st.any_sig_neighbor(x, y) else 14
+                if decode:
+                    bit = mq.decode(ctx)
+                    if bit:
+                        mag[i] |= 1 << bp
+                else:
+                    mq.encode(ctx, (mag[i] >> bp) & 1)
+                refined[i] = 1
 
 
 def _cup(st: _T1State, mq, mag, bp, band, decode: bool):
-    """Cleanup pass with the 4-row run-length mode."""
+    """Cleanup pass with the 4-row run-length mode. A cleared
+    ``st.colcand`` entry proves the whole stripe column is
+    insignificant, unvisited (SPP only visits candidate cells), and
+    neighbour-free — the run-length branch applies with no per-cell
+    checks, which is what makes mostly-empty planes O(columns)."""
     w, h = st.w, st.h
+    sig, visited, cand, colcand = st.sig, st.visited, st.cand, st.colcand
+    zero_ctx = _zc_context(band, 0, 0, 0)
     for k in range(0, h, 4):
+        srow = (k >> 2) * w
+        full = k + 4 <= h
+        ymax = min(k + 4, h)
         for x in range(w):
             y = k
             # run-length mode: a full stripe column, all four
             # insignificant, unvisited, with all-zero contexts
-            run = k + 4 <= h
-            if run:
+            if full and not colcand[srow + x]:
+                run = True
+            elif full:
+                run = True
                 for yy in range(k, k + 4):
                     i = yy * w + x
-                    if st.sig[i] or st.visited[i]:
+                    if sig[i] or visited[i]:
                         run = False
                         break
                     hh, vv, dd = st.neighbor_counts(x, yy)
                     if hh + vv + dd:
                         run = False
                         break
+            else:
+                run = False
             if run:
                 if decode:
                     any_sig = mq.decode(CTX_RL)
@@ -699,16 +771,18 @@ def _cup(st: _T1State, mq, mag, bp, band, decode: bool):
                 # the run-interrupting coefficient becomes significant
                 # with only its sign coded
                 _code_sign(st, mq, x, y, decode)
-                st.sig[i] = 1
+                st.make_significant(x, y)
                 if decode:
                     mag[i] = 1 << bp
                 y += 1
-            for yy in range(y, min(k + 4, h)):
+            for yy in range(y, ymax):
                 i = yy * w + x
-                if st.sig[i] or st.visited[i]:
+                if sig[i] or visited[i]:
                     continue
-                hh, vv, dd = st.neighbor_counts(x, yy)
-                ctx = _zc_context(band, hh, vv, dd)
+                if cand[i]:
+                    ctx = _zc_context(band, *st.neighbor_counts(x, yy))
+                else:
+                    ctx = zero_ctx  # provably no significant neighbors
                 if decode:
                     bit = mq.decode(ctx)
                 else:
@@ -716,7 +790,7 @@ def _cup(st: _T1State, mq, mag, bp, band, decode: bool):
                     mq.encode(ctx, bit)
                 if bit:
                     _code_sign(st, mq, x, yy, decode)
-                    st.sig[i] = 1
+                    st.make_significant(x, yy)
                     if decode:
                         mag[i] = 1 << bp
 
