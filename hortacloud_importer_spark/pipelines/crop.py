@@ -243,6 +243,7 @@ def crop_chunk_store(
         shape, chunks_zyx, np_dtype, bb, sep, shard, extra = zarr3_meta(meta)
         codec, order = "raw", "C"
         transpose = extra["transpose"]
+        v3_prefixed = extra["kenc"] == "default"  # v2 keys: no c/ prefix
     elif (meta := _try_json("attributes.json")) is not None:
         kind = "n5"
         dims_xyz, block_xyz, codec, np_dtype = n5_meta(meta)
@@ -287,15 +288,17 @@ def crop_chunk_store(
             if kind == "n5":
                 gx_, gy_, gz_ = (int(p) for p in name.split("/"))
             elif kind == "zarr3":
+                strip = 1 if v3_prefixed else 0
                 fields = (
-                    name.split("/")[1:]
+                    name.split("/")[strip:]
                     if sep == "/"
-                    else tail.split(sep)[1:]
+                    else tail.split(sep)[strip:]
                 )
-                if sep == "/" and not name.startswith("c/"):
-                    continue
-                if sep != "/" and not tail.startswith(f"c{sep}"):
-                    continue
+                if v3_prefixed:
+                    if sep == "/" and not name.startswith("c/"):
+                        continue
+                    if sep != "/" and not tail.startswith(f"c{sep}"):
+                        continue
                 gz_, gy_, gx_ = (int(p) for p in fields)
             else:
                 # nested keys (sep '/') use the full relative path,

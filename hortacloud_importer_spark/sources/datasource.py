@@ -298,6 +298,7 @@ class _ZarrReaderNoPushdown(DataSourceReader):
             ) = zarr3_meta(meta)
             self.codec, self.order = "raw", "C"
             self.v3_transpose = extra["transpose"]
+            self.v3_prefixed = extra["kenc"] == "default"  # v2: bare keys
             self.fill = extra["fill"]
             if self.v3_shard is not None and self.verify:
                 self.v3_shard = dict(self.v3_shard, verify=True)
@@ -322,7 +323,7 @@ class _ZarrReaderNoPushdown(DataSourceReader):
             name = rel.replace("/", self.sep) if self.sep == "/" else rel
             if name.startswith("."):
                 continue  # .zarray / .zattrs
-            if self.v3_codecs is not None:
+            if self.v3_codecs is not None and self.v3_prefixed:
                 if not name.startswith(f"c{self.sep}"):
                     continue  # zarr.json and any non-chunk keys
                 name = name[len(f"c{self.sep}") :]

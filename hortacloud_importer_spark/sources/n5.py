@@ -549,15 +549,23 @@ def zarr3_meta(
         endian, bb, transpose = _split_chain(codecs, "array")
     np_dtype = np.dtype(("<" if endian == "little" else ">") + base)
     kenc = meta.get("chunk_key_encoding", {"name": "default"})
-    sep = (kenc.get("configuration") or {}).get("separator", "/")
-    if kenc.get("name", "default") != "default":
+    kname = kenc.get("name", "default")
+    # v3 spec ships two encodings: "default" = c/<i>/<j>/<k> (sep
+    # "/" or "."), "v2" = bare <i>.<j>.<k> Zarr-v2-style keys (default
+    # sep "." — what `zarr.config` migrations of old stores produce)
+    if kname == "default":
+        sep = (kenc.get("configuration") or {}).get("separator", "/")
+    elif kname == "v2":
+        sep = (kenc.get("configuration") or {}).get("separator", ".")
+    else:
         raise ChunkStoreError(
-            f"unsupported chunk_key_encoding {kenc.get('name')!r} "
-            "(the 'default' c/<i>/<j>/<k> scheme is built in)"
+            f"unsupported chunk_key_encoding {kname!r} "
+            "('default' and 'v2' are built in)"
         )
     return shape, chunks_zyx, np_dtype, bb, sep, shard, {
         "fill": fill,
         "transpose": transpose,
+        "kenc": kname,
     }
 
 
@@ -689,6 +697,7 @@ def read_zarr_v3(
     meta = _read_json(spark, f"{root}/zarr.json")
     shape, chunks_zyx, np_dtype, bb, sep, shard, extra = zarr3_meta(meta)
     transpose = extra["transpose"]
+    prefixed = extra["kenc"] == "default"  # "v2" keys have no c/ prefix
     if shard is not None and verify:
         shard = dict(shard, verify=True)
 
@@ -702,8 +711,9 @@ def read_zarr_v3(
                     # the c{ch}/s{scale} hierarchy layout), so never
                     # split on the first '/c'
                     if sep == "/":
-                        parts = row.path.rstrip("/").rsplit("/", 4)
-                        if parts[-4] != "c":
+                        nparts = 4 if prefixed else 3
+                        parts = row.path.rstrip("/").rsplit("/", nparts)
+                        if prefixed and parts[-4] != "c":
                             raise ChunkStoreError(
                                 "chunk key not under the c/ directory"
                             )
@@ -711,11 +721,18 @@ def read_zarr_v3(
                     else:
                         name = row.path.rsplit("/", 1)[-1]
                         fields = name.split(sep)
-                        if fields[0] != "c" or len(fields) != 4:
+                        if prefixed:
+                            if fields[0] != "c" or len(fields) != 4:
+                                raise ChunkStoreError(
+                                    f"chunk key {name!r} is not "
+                                    f"c{sep}i{sep}j{sep}k"
+                                )
+                            fields = fields[1:]
+                        elif len(fields) != 3:
                             raise ChunkStoreError(
-                                f"chunk key {name!r} is not c{sep}i{sep}j{sep}k"
+                                f"chunk key {name!r} is not i{sep}j{sep}k"
                             )
-                        gz, gy, gx = (int(p) for p in fields[1:])
+                        gz, gy, gx = (int(p) for p in fields)
                     if shard is not None:
                         payload = zarr3_shard_bytes(
                             bytes(row.content), shard, chunks_zyx, np_dtype
@@ -738,13 +755,16 @@ def read_zarr_v3(
                 columns=["z", "y", "x", "intensity"]
             )
 
-    pattern = f"{root}/c/*/*/*" if sep == "/" else f"{root}/c*"
+    if prefixed:
+        pattern = f"{root}/c/*/*/*" if sep == "/" else f"{root}/c*"
+    else:  # v2-style keys: digit-led names, never zarr.json
+        pattern = f"{root}/*/*/*" if sep == "/" else f"{root}/[0-9]*"
     chunks = spark.read.format("binaryFile").load(pattern)
     out = chunks.mapInPandas(decode, VOXEL_SCHEMA)
     if extra["fill"]:
         filled = missing_fill_voxels(
             spark, root, shape, chunks_zyx, extra["fill"],
-            zarr_key_parser(sep, v3=True),
+            zarr_key_parser(sep, v3=prefixed),
         )
         if filled is not None:
             out = out.unionByName(filled)

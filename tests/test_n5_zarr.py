@@ -268,7 +268,8 @@ def test_corrupt_chunk_bytes_fail_fast_without_spark():
 
 
 def _write_zarr_v3(
-    root, vol, chunks_zyx, codecs, sep="/", transpose=None, fill=0, skip=()
+    root, vol, chunks_zyx, codecs, sep="/", transpose=None, fill=0, skip=(),
+    kenc="default",
 ):
     """Spec-shaped Zarr v3 store: zarr.json + c/<i>/<j>/<k> chunks,
     codec chain applied in order (optional transpose, bytes endian,
@@ -295,7 +296,7 @@ def _write_zarr_v3(
                     "configuration": {"chunk_shape": [cz, cy, cx]},
                 },
                 "chunk_key_encoding": {
-                    "name": "default",
+                    "name": kenc,
                     "configuration": {"separator": sep},
                 },
                 "fill_value": fill,
@@ -338,7 +339,16 @@ def _write_zarr_v3(
                         payload = payload + crc32c(payload).to_bytes(
                             4, "little"
                         )
-                if sep == "/":
+                if kenc == "v2":  # bare Zarr-v2-style keys
+                    if sep == "/":
+                        d = root / str(gz_i) / str(gy)
+                        d.mkdir(parents=True, exist_ok=True)
+                        (d / str(gx)).write_bytes(payload)
+                    else:
+                        (root / f"{gz_i}{sep}{gy}{sep}{gx}").write_bytes(
+                            payload
+                        )
+                elif sep == "/":
                     d = root / "c" / str(gz_i) / str(gy)
                     d.mkdir(parents=True, exist_ok=True)
                     (d / str(gx)).write_bytes(payload)
@@ -411,6 +421,42 @@ def test_zarr_v3_unsharded_fill_value(spark, tmp_path):
     want[0:4, 4:7, 0:4] = 77
     got = _collect_vol(read_zarr_v3(spark, f"file://{root}"), vol.shape)
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("sep", [".", "/"])
+def test_zarr_v3_v2_chunk_key_encoding(spark, tmp_path, sep):
+    """The v3 spec's second chunk-key scheme: ``v2`` encoding stores
+    bare Zarr-v2-style keys (<i>.<j>.<k>, no ``c`` prefix) — what
+    zarr-python writes when migrating old stores. Covers both the
+    reader function and the ``zarr_volume`` DataSource, incl. fill
+    materialization for a skipped chunk."""
+    from hortacloud_importer_spark.sources.datasource import (
+        register_volume_sources,
+    )
+    from hortacloud_importer_spark.sources.n5 import read_zarr_v3
+
+    register_volume_sources(spark)
+    rng = np.random.default_rng(36)
+    vol = rng.integers(1, 65535, (5, 7, 6), dtype=np.uint16)
+    root = tmp_path / f"v2enc{'s' if sep == '/' else 'd'}.zarr"
+    _write_zarr_v3(
+        root, vol, (4, 4, 4),
+        [{"name": "gzip", "configuration": {"level": 1}}],
+        sep=sep, kenc="v2", fill=55, skip={(1, 1, 1)},
+    )
+    want = vol.astype(np.int64).copy()
+    want[4:5, 4:7, 4:6] = 55
+    got = _collect_vol(read_zarr_v3(spark, f"file://{root}"), vol.shape)
+    assert np.array_equal(got, want)
+    ds = (
+        spark.read.format("zarr_volume")
+        .load(str(root))
+        .toPandas()
+        .sort_values(["z", "y", "x"])
+    )
+    grid = np.zeros(vol.shape, dtype=np.int64)
+    grid[ds["z"], ds["y"], ds["x"]] = ds["intensity"]
+    assert np.array_equal(grid, want)
 
 
 def test_zarr_v2_fill_value(spark, tmp_path):
@@ -848,6 +894,12 @@ def test_crop_chunk_store_all_kinds(spark, tmp_path):
     stores["zarr3"] = tmp_path / "c.zarr"
     _write_zarr_v3_sharded(tmp_path / "d.zarr", vol, (4, 4, 4), (2, 4, 4), [])
     stores["zarr3_sharded"] = tmp_path / "d.zarr"
+    _write_zarr_v3(
+        tmp_path / "e.zarr", vol, (4, 4, 4),
+        [{"name": "gzip", "configuration": {"level": 1}}],
+        sep=".", kenc="v2",
+    )
+    stores["zarr3_v2keys"] = tmp_path / "e.zarr"
 
     (z0, z1), (y0, y1), (x0, x1) = window
     expect = vol[z0:z1, y0:y1, x0:x1]
