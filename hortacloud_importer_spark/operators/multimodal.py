@@ -74,9 +74,9 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
         try:
             import PIL.Image  # noqa: F401
         except ImportError:
-            # clean-room baseline T.81 decoder (sources/jpeg.py):
-            # grayscale + YCbCr sequential Huffman — the overwhelming
-            # majority of real-world JPEG payloads
+            # clean-room T.81 decoder (sources/jpeg.py): grayscale +
+            # YCbCr, sequential AND progressive Huffman — the
+            # overwhelming majority of real-world JPEG payloads
             from hortacloud_importer_spark.sources.jpeg import decode_jpeg
 
             return decode_jpeg(bytes(payload))[None, ...]
@@ -88,13 +88,19 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
             from hortacloud_importer_spark.sources.png import decode_png
 
             return decode_png(bytes(payload))[None, ...]
+    if fmt in ("jp2", "j2k"):
+        # clean-room lossless JPEG 2000 (sources/j2k.py) with the
+        # glymur/imageio/PIL fallback chain inside decode_jp2
+        from hortacloud_importer_spark.sources.jp2 import decode_jp2
+
+        return decode_jp2(bytes(payload))
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:  # codec libs absent in this container
         raise NotImplementedError(
             f"format {fmt!r} needs an image codec (PIL); built-in "
-            "clean-room decoders cover raw8, tiff, baseline jpeg, "
-            "and png"
+            "clean-room decoders cover raw8, tiff, jpeg, png, and "
+            "lossless jp2"
         ) from exc
     import io
 

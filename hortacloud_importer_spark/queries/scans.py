@@ -343,6 +343,71 @@ def scan_tiff_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_jp2_stack",
+    "A1+A2",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT z,
+       AVG(v) AS mean_intensity,
+       CAST(MIN(v) AS INTEGER) AS min_intensity,
+       CAST(MAX(v) AS INTEGER) AS max_intensity
+FROM (
+  SELECT t1.range AS z, (t2.range * (t1.range + 1)) % 251 AS v
+  FROM range(4) t1, range(64) t2
+)
+GROUP BY z
+""",
+)
+def scan_jp2_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 over REAL JPEG 2000 slices, oracle-exact: the same
+    deterministic z-stack as scan_tiff_stack, but encoded as lossless
+    5/3 JP2 files (sources/j2k.py via encode_jp2) and decoded
+    bindinglessly inside the executor media kernel — the reference
+    needs rasterio for this input (tiff2octree.py:673-678). The
+    DuckDB oracle regenerates the pixel formula, so a bit error
+    anywhere in the MQ/EBCOT/DWT chain breaks the hash. n_bytes is
+    not projected: a compressed size is encoder-specific, not
+    SQL-derivable."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import media_features
+    from hortacloud_importer_spark.sources.jp2 import encode_jp2
+
+    workdir = tempfile.mkdtemp(prefix="jp2_stack_")
+    h = w = 8
+    for z in range(4):
+        vals = ((np.arange(h * w).reshape(h, w) * (z + 1)) % 251).astype(
+            np.uint8
+        )
+        with open(f"{workdir}/default.0.{z:03d}.jp2", "wb") as fh:
+            fh.write(encode_jp2(vals, levels=1))
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*.jp2")
+        .select(
+            F.regexp_extract(F.col("path"), r"\.(\d{3})\.jp2$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.lit("jp2").alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 8, 'width', 8, 'channels', 1,"
+                " 'sample_rate', 0, 'n_frames', 1)"
+            ).alias("meta"),
+        )
+    )
+    return media_features(media).select(
+        F.col("media_id").alias("z"),
+        "mean_intensity",
+        "min_intensity",
+        "max_intensity",
+    )
+
+
+@register(
     "scan_n5_datasource",
     "A1+A3+A4",
     oracle="""
