@@ -807,18 +807,6 @@ def _code_sign(st: _T1State, mq, x: int, y: int, decode: bool):
 # ------------------------------------------------- 5/3 reversible DWT
 
 
-def _ext(a: np.ndarray, i: int) -> np.ndarray:
-    """Whole-sample symmetric extension index (period 2N-2)."""
-    n = a.shape[-1]
-    if n == 1:
-        return a[..., 0]
-    if i < 0:
-        i = -i
-    if i > n - 1:
-        i = 2 * (n - 1) - i
-    return a[..., i]
-
-
 def fwd_5x3_1d(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """One forward 5/3 lifting step along the last axis (0-origin,
     even samples -> low-pass), vectorized over leading axes."""
@@ -927,6 +915,9 @@ COD = 0xFF52
 COC = 0xFF53
 QCD = 0xFF5C
 QCC = 0xFF5D
+RGN = 0xFF5E
+POC = 0xFF5F
+PPM = 0xFF60
 COM = 0xFF64
 SOT = 0xFF90
 SOP = 0xFF91
@@ -1211,7 +1202,13 @@ def _parse_main_header(data: bytes):
             raise J2kUnsupported(
                 "per-component COC/QCC overrides are not supported"
             )
-        # COM and anything else informational: skip
+        elif marker in (RGN, POC, PPM):
+            # Each of these changes how packets/coefficients must be
+            # interpreted; skipping them would silently misdecode.
+            raise J2kUnsupported(
+                f"marker 0x{marker:04x} (RGN/POC/PPM) is not supported"
+            )
+        # COM/TLM/PLM and anything else informational: skip
         pos += 2 + length
     if siz is None or cod is None or qcd is None:
         raise J2kParseError("missing SIZ/COD/QCD before the tile")
@@ -1219,7 +1216,23 @@ def _parse_main_header(data: bytes):
 
 
 def decode_j2k(data: bytes) -> np.ndarray:
-    """Single-tile lossless codestream -> (h, w, nc) uint8/uint16."""
+    """Single-tile lossless codestream -> (h, w, nc) uint8/uint16.
+
+    All malformed-stream failure modes surface as :class:`J2kParseError`
+    (out-of-scope features as :class:`J2kUnsupported`) so callers like
+    ``decode_jp2`` can rely on one error contract; raw ``struct.error``
+    / ``ValueError`` / ``IndexError`` from short or garbled segments are
+    wrapped here.
+    """
+    try:
+        return _decode_j2k(data)
+    except J2kParseError:
+        raise
+    except (struct.error, ValueError, IndexError) as exc:
+        raise J2kParseError(f"malformed codestream: {exc}") from exc
+
+
+def _decode_j2k(data: bytes) -> np.ndarray:
     siz, cod, qcd, pos = _parse_main_header(data)
     if len(siz) < 36:
         raise J2kParseError("SIZ shorter than its fixed fields")
@@ -1242,6 +1255,10 @@ def decode_j2k(data: bytes) -> np.ndarray:
         signs.append(bool(ssiz & 0x80))
     if max(depths) > 16:
         raise J2kUnsupported(">16-bit components are not supported")
+    if any(signs):
+        # An unsigned output buffer would clip every negative sample to
+        # zero — gate instead of silently corrupting.
+        raise J2kUnsupported("signed components are not supported")
 
     scod, prog, nlayers, mct = cod[0], cod[1], struct.unpack(">H", cod[2:4])[0], cod[4]
     levels, xcb, ycb, cbstyle, transform = cod[5:10]
@@ -1368,9 +1385,9 @@ def decode_j2k(data: bytes) -> np.ndarray:
         dtype=np.uint16 if max(depths) > 8 else np.uint8,
     )
     for ci in range(nc):
-        p = planes[ci]
-        if not signs[ci]:
-            p = p + (1 << (depths[ci] - 1))
+        # Components are gated unsigned above, so the inverse DC level
+        # shift is unconditional.
+        p = planes[ci] + (1 << (depths[ci] - 1))
         np.clip(p, 0, (1 << depths[ci]) - 1, out=p)
         out[:, :, ci] = p
     return out

@@ -396,32 +396,20 @@ def _decode_scan(data: bytes, hdr: dict, start: int, end: int, sof: dict):
         pred = {c["id"]: 0 for c in comps}
         for _ in range(min(mcu_per_seg, mcuy * mcux - mcu)):
             my, mx = divmod(mcu, mcux)
-            for (dc_sym, dc_len), (ac_sym, ac_len), comp in (
-                (h[0], h[1], c) for h, c in zip(huff, order)
-            ):
+            for (dc_lut, ac_lut), comp in zip(huff, order):
                 grid = store[comp["id"]]
                 for v_i in range(comp["v"]):
                     for h_i in range(comp["h"]):
                         blk = grid[my * comp["v"] + v_i, mx * comp["h"] + h_i]
                         # DC
-                        p16 = reader.peek16()
-                        ln = dc_len[p16]
-                        if ln == 0:
-                            raise JpegParseError("bad DC Huffman code")
-                        reader.skip(int(ln))
-                        t = int(dc_sym[p16])
+                        t = _huff_decode(reader, dc_lut)
                         diff = _extend(reader.receive(t), t)
                         pred[comp["id"]] += diff
                         blk[0] = pred[comp["id"]]
                         # AC
                         k = 1
                         while k < 64:
-                            p16 = reader.peek16()
-                            ln = ac_len[p16]
-                            if ln == 0:
-                                raise JpegParseError("bad AC Huffman code")
-                            reader.skip(int(ln))
-                            rs = int(ac_sym[p16])
+                            rs = _huff_decode(reader, ac_lut)
                             r, s_ = rs >> 4, rs & 0xF
                             if s_ == 0:
                                 if r == 15:
@@ -453,10 +441,7 @@ def _scan_blocks(sof: dict, scomps: list, store: dict):
     grid is the component's own ceil(dim/8) raster — NOT padded to
     the interleaved MCU multiple (T.81 A.2.2)."""
     by_id = {c["id"]: c for c in sof["comps"]}
-    hmax = max(c["h"] for c in sof["comps"])
-    vmax = max(c["v"] for c in sof["comps"])
-    mcux = (sof["w"] + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (sof["h"] + 8 * vmax - 1) // (8 * vmax)
+    hmax, vmax, mcux, mcuy = _frame_geometry(sof)
     units = []
     if len(scomps) > 1:
         order = [by_id[s["cs"]] for s in scomps]
@@ -488,9 +473,19 @@ def _huff_decode(reader: _BitReader, lut) -> int:
     p16 = reader.peek16()
     ln = length[p16]
     if ln == 0:
-        raise JpegParseError("bad Huffman code in progressive scan")
+        raise JpegParseError("bad Huffman code")
     reader.skip(int(ln))
     return int(sym[p16])
+
+
+def _check_scan_coverage(done: int, total: int):
+    """A scan that runs out of restart segments before covering every
+    MCU/block (truncated download) must hard-error like the sequential
+    path, not leave a silently-gray region."""
+    if done < total:
+        raise JpegParseError(
+            f"scan ended after {done} of {total} units"
+        )
 
 
 def _prog_dc_scan(units, segments, hdr):
@@ -517,6 +512,7 @@ def _prog_dc_scan(units, segments, hdr):
         done += per_seg
         if done >= len(units):
             break
+    _check_scan_coverage(done, len(units))
 
 
 def _prog_ac_first(units, segments, hdr):
@@ -554,6 +550,7 @@ def _prog_ac_first(units, segments, hdr):
         done += per_seg
         if done >= len(units):
             break
+    _check_scan_coverage(done, len(units))
 
 
 def _prog_ac_refine(units, segments, hdr):
@@ -615,6 +612,7 @@ def _prog_ac_refine(units, segments, hdr):
         done += per_seg
         if done >= len(units):
             break
+    _check_scan_coverage(done, len(units))
 
 
 def _decode_progressive(data: bytes, sof: dict, scans: list) -> dict:

@@ -235,3 +235,44 @@ def test_fuzz_roundtrip_mixed():
         a = rng.integers(0, np.iinfo(dt).max, size=(h, w), dtype=dt)
         out = decode_j2k(encode_j2k(a, levels=levels))
         assert np.array_equal(out[:, :, 0], a), (h, w, dt, levels)
+
+
+def test_review_gates_signed_rgn_and_error_contract():
+    """Round-8 review: signed components and RGN/POC/PPM must gate
+    (not silently corrupt), and truncated segments must surface as
+    J2kParseError, never raw struct.error/ValueError."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 65535, (21, 34), dtype=np.uint16)
+    enc = encode_j2k(img)
+
+    # Ssiz sign bit -> gate (previously clipped all negatives to 0)
+    i = enc.find(b"\xff\x51")
+    ba = bytearray(enc)
+    ba[i + 4 + 36] |= 0x80  # first component's Ssiz
+    with pytest.raises(J2kUnsupported, match="signed"):
+        decode_j2k(bytes(ba))
+
+    # RGN in the main header -> gate (previously skipped => misdecode)
+    rgn = b"\xff\x5e" + struct.pack(">H", 5) + b"\x00\x00\x05"
+    k = enc.find(b"\xff\x90")
+    with pytest.raises(J2kUnsupported, match="RGN"):
+        decode_j2k(enc[:k] + rgn + enc[k:])
+
+    # short-but-self-consistent COD (Lcod admits 5 bytes): the inner
+    # unpack raises ValueError; the public API must wrap it
+    c = enc.find(b"\xff\x52")
+    lcod = struct.unpack(">H", enc[c + 2 : c + 4])[0]
+    bad = (
+        enc[:c]
+        + b"\xff\x52"
+        + struct.pack(">H", 7)
+        + enc[c + 4 : c + 9]
+        + enc[c + 2 + lcod :]
+    )
+    with pytest.raises(J2kParseError):
+        decode_j2k(bad)
+
+    # truncated inside SOT: struct.error inside -> J2kParseError out
+    s = enc.find(b"\xff\x90")
+    with pytest.raises(J2kParseError):
+        decode_j2k(enc[: s + 6])

@@ -331,3 +331,24 @@ def test_progressive_rejects_malformed_scans():
     with pytest.raises(JpegParseError, match="Ss=0 needs Se=0"):
         decode_jpeg(bytes(seq))
     del blob
+
+
+def test_progressive_truncated_scan_hard_errors():
+    """Round-8 review: a progressive scan that runs out of restart
+    segments before covering every block must raise like the
+    sequential path does, not return a silently-gray region. A DRI
+    of 4 with no RSTn markers in the stream leaves one 4-unit
+    segment for a 36-block scan."""
+    from hortacloud_importer_spark.sources.jpeg import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(53)
+    img = rng.integers(0, 255, size=(48, 48), dtype=np.uint8)
+    blob = encode_jpeg_progressive(img, qtable=_q50())
+    assert decode_jpeg(blob).shape[:2] == (48, 48)
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 4)
+    i = blob.find(b"\xff\xda")  # first SOS
+    cut = blob[:i] + dri + blob[i:]
+    with pytest.raises(JpegParseError, match="ended after"):
+        decode_jpeg(cut)
