@@ -5,8 +5,9 @@ Closes the last "reference ingests it, this engine cannot" gap: the
 reference reads ``.jp2`` slice directories through rasterio
 (tiff2octree.py:673-678); this container ships no OpenJPEG binding,
 so sources/jp2.py previously gated the decode. This module decodes
-(and, for fixtures, encodes) single-tile lossless codestreams with
-no external codec:
+(and, for fixtures, encodes) lossless codestreams — single-tile or
+a regular multi-tile grid, the layout slide/slice scanners emit —
+with no external codec:
 
 - **MQ arithmetic coder** (Annex C; the same coder as JBIG2/T.88):
   47-state table, byte-stuffed at 0xFF, carry-propagating encoder.
@@ -22,10 +23,11 @@ no external codec:
   with the spec's ceil/floor subband size rules.
 - **Reversible color transform** (RCT, Annex G) and DC level shift.
 
-Honest gates (raised as :class:`J2kUnsupported`): multiple tiles or
-tile-parts, layers > 1, the 9/7 irreversible transform, non-unit
-component subsampling, custom precincts, code-block style flags
-(bypass/reset/termall/vsc/segsym), and the PCRL progression. The
+Honest gates (raised as :class:`J2kUnsupported`): multiple
+tile-parts per tile, layers > 1, the 9/7 irreversible transform,
+non-unit component subsampling, signed components, custom precincts,
+code-block style flags (bypass/reset/termall/vsc/segsym), the
+RGN/POC/PPM markers, and the PCRL progression. The
 scope covers what a lossless microscopy slice store actually writes;
 everything else still routes to the optional OpenJPEG bindings in
 sources/jp2.py.
@@ -1024,17 +1026,40 @@ def _packet_sequence(prog: int, nres: int, ncomp: int):
 # ------------------------------------------------------------ encoder
 
 
+def _tile_rects(xsiz: int, ysiz: int, xt: int, yt: int):
+    """Raster-order tile rectangles (x0, y0, x1, y1) of the XTsiz x
+    YTsiz grid clipped to the image (T.800 B.3; offsets are gated to
+    zero, so tile t sits at (t % ntx, t // ntx))."""
+    ntx, nty = -(-xsiz // xt), -(-ysiz // yt)
+    rects = []
+    for tj in range(nty):
+        for ti in range(ntx):
+            rects.append(
+                (
+                    ti * xt,
+                    tj * yt,
+                    min((ti + 1) * xt, xsiz),
+                    min((tj + 1) * yt, ysiz),
+                )
+            )
+    return rects
+
+
 def encode_j2k(
     img: np.ndarray,
     levels: int = 2,
     cb: tuple[int, int] = (64, 64),
     mct: bool | None = None,
     prog: int = 0,
+    tile: tuple[int, int] | None = None,
 ) -> bytes:
-    """(h, w[, nc]) uint8/uint16 -> single-tile lossless (5/3)
-    codestream. The fixture/roundtrip writer dual of
-    :func:`decode_j2k`; output is spec-shaped (markers, tag trees,
-    MQ codewords), so any conforming decoder reads it."""
+    """(h, w[, nc]) uint8/uint16 -> lossless (5/3) codestream.
+    ``tile=(xt, yt)`` splits the image into an XTsiz x YTsiz grid of
+    independently coded tiles (the layout real scanner JP2s use);
+    default is one tile covering the image. The fixture/roundtrip
+    writer dual of :func:`decode_j2k`; output is spec-shaped
+    (markers, tag trees, MQ codewords), so any conforming decoder
+    reads it."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, nc = img.shape
@@ -1051,12 +1076,85 @@ def encode_j2k(
         mct = nc == 3
     if mct and nc != 3:
         raise J2kParseError("MCT needs exactly 3 components")
+    xt, yt = tile if tile else (w, h)
+    if xt < 1 or yt < 1:
+        raise J2kParseError(f"invalid tile size {tile}")
 
     planes = [img[:, :, c].astype(np.int64) - (1 << (depth - 1)) for c in range(nc)]
     if mct:
+        # RCT is pointwise, so applying it before the tile split is
+        # identical to the spec's per-tile-component transform
         r, g, b = planes
         planes = [(r + 2 * g + b) >> 2, b - g, r - g]
 
+    tiles = []
+    for (x0, y0, x1, y1) in _tile_rects(w, h, xt, yt):
+        tiles.append(
+            _encode_tile(
+                [p[y0:y1, x0:x1] for p in planes],
+                y1 - y0,
+                x1 - x0,
+                nc,
+                levels,
+                cbw,
+                cbh,
+                depth,
+                prog,
+            )
+        )
+
+    # main header
+    out = bytearray()
+    out += struct.pack(">H", SOC)
+    siz = struct.pack(
+        ">HHIIIIIIIIH", 38 + 3 * nc, 0, w, h, 0, 0, xt, yt, 0, 0, nc
+    )
+    for _ in range(nc):
+        siz += struct.pack(">BBB", depth - 1, 1, 1)
+    out += struct.pack(">H", SIZ) + siz
+    spcod = struct.pack(
+        ">BBBBB",
+        levels,
+        (cbw.bit_length() - 1) - 2,
+        (cbh.bit_length() - 1) - 2,
+        0,  # code-block style: none of the Part-1 mode flags
+        1,  # transformation: 5/3 reversible
+    )
+    cod = struct.pack(">HBBHB", 12, 0, prog, 1, 1 if mct else 0) + spcod
+    out += struct.pack(">H", COD) + cod
+    nres = levels + 1
+    n_bands = 3 * levels + 1
+    sqcd = bytes([(_GUARD_BITS << 5) | 0])  # style 0: no quantization
+    exps = [depth + 2 + _BAND_GAIN["LL"]]
+    for r in range(1, nres):
+        for btype in ("HL", "LH", "HH"):
+            exps.append(depth + 2 + _BAND_GAIN[btype])
+    spqcd = bytes(e << 3 for e in exps)
+    out += struct.pack(">H", QCD) + struct.pack(">H", 3 + n_bands) + sqcd + spqcd
+    for isot, tbytes in enumerate(tiles):
+        psot = 12 + 2 + len(tbytes)
+        out += struct.pack(">H", SOT) + struct.pack(
+            ">HHIBB", 10, isot, psot, 0, 1
+        )
+        out += struct.pack(">H", SOD)
+        out += tbytes
+    out += struct.pack(">H", EOC)
+    return bytes(out)
+
+
+def _encode_tile(
+    planes: list,
+    h: int,
+    w: int,
+    nc: int,
+    levels: int,
+    cbw: int,
+    cbh: int,
+    depth: int,
+    prog: int,
+) -> bytes:
+    """Tier-1 + Tier-2 encode one tile's (already level-shifted /
+    MCT'd) component planes into its packet byte stream."""
     comps = []
     for plane in planes:
         pyr = dwt_forward(plane, levels)
@@ -1139,39 +1237,7 @@ def encode_j2k(
                     body += data
         tile += wr.flush() + body
 
-    # main header
-    out = bytearray()
-    out += struct.pack(">H", SOC)
-    siz = struct.pack(
-        ">HHIIIIIIIIH", 38 + 3 * nc, 0, w, h, 0, 0, w, h, 0, 0, nc
-    )
-    for _ in range(nc):
-        siz += struct.pack(">BBB", depth - 1, 1, 1)
-    out += struct.pack(">H", SIZ) + siz
-    spcod = struct.pack(
-        ">BBBBB",
-        levels,
-        (cbw.bit_length() - 1) - 2,
-        (cbh.bit_length() - 1) - 2,
-        0,  # code-block style: none of the Part-1 mode flags
-        1,  # transformation: 5/3 reversible
-    )
-    cod = struct.pack(">HBBHB", 12, 0, prog, 1, 1 if mct else 0) + spcod
-    out += struct.pack(">H", COD) + cod
-    n_bands = 3 * levels + 1
-    sqcd = bytes([(_GUARD_BITS << 5) | 0])  # style 0: no quantization
-    exps = [depth + 2 + _BAND_GAIN["LL"]]
-    for r in range(1, nres):
-        for btype in ("HL", "LH", "HH"):
-            exps.append(depth + 2 + _BAND_GAIN[btype])
-    spqcd = bytes(e << 3 for e in exps)
-    out += struct.pack(">H", QCD) + struct.pack(">H", 3 + n_bands) + sqcd + spqcd
-    psot = 12 + 2 + len(tile)
-    out += struct.pack(">H", SOT) + struct.pack(">HHIBB", 10, 0, psot, 0, 1)
-    out += struct.pack(">H", SOD)
-    out += tile
-    out += struct.pack(">H", EOC)
-    return bytes(out)
+    return bytes(tile)
 
 
 # ------------------------------------------------------------ decoder
@@ -1242,8 +1308,8 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     del rsiz
     if xo or yo or xto or yto:
         raise J2kUnsupported("nonzero image/tile grid offsets")
-    if xt < xsiz or yt < ysiz:
-        raise J2kUnsupported("multi-tile codestreams are not supported")
+    if not xt or not yt:
+        raise J2kParseError("zero tile dimensions")
     if len(siz) < 36 + 3 * nc:
         raise J2kParseError("SIZ shorter than its component table")
     depths, signs = [], []
@@ -1285,24 +1351,99 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     if len(exps) < n_bands:
         raise J2kParseError("QCD exponent table shorter than band count")
 
-    # tile header
-    marker, lsot, isot, psot, tpsot, tnsot = struct.unpack(
-        ">HHHIBB", data[pos : pos + 12]
-    )
-    if marker != SOT or lsot != 10:
-        raise J2kParseError("expected SOT after the main header")
-    if isot != 0 or tpsot != 0 or (tnsot not in (0, 1)):
-        raise J2kUnsupported("multiple tiles / tile-parts")
-    sod_at = pos + 12
-    if data[sod_at : sod_at + 2] != b"\xff\x93":
-        raise J2kUnsupported("tile-part header markers are not supported")
-    tile_end = pos + psot if psot else len(data) - 2
-    tile = data[sod_at + 2 : tile_end]
+    # tile loop — each SOT/SOD tile-part is an independent DWT domain
+    # placed into its grid rectangle (tiles may appear in any order)
+    rects = _tile_rects(xsiz, ysiz, xt, yt)
+    planes = [np.zeros((ysiz, xsiz), dtype=np.int64) for _ in range(nc)]
+    seen: set[int] = set()
+    while True:
+        if pos + 2 > len(data):
+            raise J2kParseError("codestream ends without EOC")
+        if data[pos : pos + 2] == b"\xff\xd9":  # EOC
+            break
+        marker, lsot, isot, psot, tpsot, tnsot = struct.unpack(
+            ">HHHIBB", data[pos : pos + 12]
+        )
+        if marker != SOT or lsot != 10:
+            raise J2kParseError(f"expected SOT at offset {pos}")
+        if tpsot != 0 or tnsot not in (0, 1):
+            raise J2kUnsupported("multiple tile-parts per tile")
+        if isot >= len(rects) or isot in seen:
+            raise J2kParseError(f"bad tile index {isot}")
+        sod_at = pos + 12
+        if data[sod_at : sod_at + 2] != b"\xff\x93":
+            raise J2kUnsupported(
+                "tile-part header markers are not supported"
+            )
+        tile_end = pos + psot if psot else len(data) - 2
+        x0, y0, x1, y1 = rects[isot]
+        tplanes = _decode_tile_planes(
+            data[sod_at + 2 : tile_end],
+            y1 - y0,
+            x1 - x0,
+            nc,
+            levels,
+            cbw,
+            cbh,
+            depths,
+            guard,
+            exps,
+            prog,
+            use_sop,
+            use_eph,
+        )
+        for ci in range(nc):
+            planes[ci][y0:y1, x0:x1] = tplanes[ci]
+        seen.add(isot)
+        pos = tile_end
+    if len(seen) != len(rects):
+        raise J2kParseError(
+            f"codestream holds {len(seen)} of {len(rects)} tiles"
+        )
 
-    # per-component band structures, with QCD-derived Mb
+    if mct == 1:
+        if nc < 3:
+            raise J2kParseError("MCT declared with fewer than 3 components")
+        y, u, v = planes[0], planes[1], planes[2]
+        g = y - ((u + v) >> 2)
+        planes[0], planes[1], planes[2] = v + g, g, u + g
+    elif mct != 0:
+        raise J2kUnsupported(f"MCT mode {mct}")
+
+    out = np.zeros(
+        (ysiz, xsiz, nc),
+        dtype=np.uint16 if max(depths) > 8 else np.uint8,
+    )
+    for ci in range(nc):
+        # Components are gated unsigned above, so the inverse DC level
+        # shift is unconditional.
+        p = planes[ci] + (1 << (depths[ci] - 1))
+        np.clip(p, 0, (1 << depths[ci]) - 1, out=p)
+        out[:, :, ci] = p
+    return out
+
+
+def _decode_tile_planes(
+    tile: bytes,
+    th: int,
+    tw: int,
+    nc: int,
+    levels: int,
+    cbw: int,
+    cbh: int,
+    depths: list,
+    guard: int,
+    exps: list,
+    prog: int,
+    use_sop: bool,
+    use_eph: bool,
+) -> list:
+    """Tier-2 + Tier-1 + inverse DWT for one tile's byte stream ->
+    per-component (th, tw) int64 planes (still level-shifted /
+    MCT'd — the caller finishes those globally, they are pointwise)."""
     comps = []
     for ci in range(nc):
-        bands = _build_bands(ysiz, xsiz, levels, cbw, cbh, depths[ci])
+        bands = _build_bands(th, tw, levels, cbw, cbh, depths[ci])
         k = 0
         for blist in bands:
             for band in blist:
@@ -1370,24 +1511,4 @@ def _decode_j2k(data: bytes) -> np.ndarray:
                 (bands[r][0].coeffs, bands[r][1].coeffs, bands[r][2].coeffs)
             )
         planes.append(dwt_inverse(pyr))
-
-    if mct == 1:
-        if nc < 3:
-            raise J2kParseError("MCT declared with fewer than 3 components")
-        y, u, v = planes[0], planes[1], planes[2]
-        g = y - ((u + v) >> 2)
-        planes[0], planes[1], planes[2] = v + g, g, u + g
-    elif mct != 0:
-        raise J2kUnsupported(f"MCT mode {mct}")
-
-    out = np.zeros(
-        (ysiz, xsiz, nc),
-        dtype=np.uint16 if max(depths) > 8 else np.uint8,
-    )
-    for ci in range(nc):
-        # Components are gated unsigned above, so the inverse DC level
-        # shift is unconditional.
-        p = planes[ci] + (1 << (depths[ci] - 1))
-        np.clip(p, 0, (1 << depths[ci]) - 1, out=p)
-        out[:, :, ci] = p
-    return out
+    return planes

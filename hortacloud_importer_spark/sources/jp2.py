@@ -10,10 +10,10 @@ Clean-room split, mirroring sources/tiff.py's design:
   slice-directory dims probe (one header walk, not a decode) works on
   JP2 stores even in codec-less environments.
 - :func:`decode_jp2` — full entropy decode. Lossless (reversible
-  5/3) single-tile codestreams — what a microscopy slice store
-  actually writes — decode through the clean-room from-spec codec in
-  sources/j2k.py with no external binding. Features outside that
-  scope (9/7 irreversible, multi-tile, multi-layer …) fall through
+  5/3) codestreams, single-tile or tiled — what a microscopy slice
+  store actually writes — decode through the clean-room from-spec
+  codec in sources/j2k.py with no external binding. Features outside
+  that scope (9/7 irreversible, multi-layer …) fall through
   to an importable OpenJPEG binding (glymur / imageio / Pillow) and,
   when none exists, raise ``NotImplementedError`` naming both the
   unsupported feature and the binding options — the honest-gate
@@ -226,8 +226,8 @@ def encode_jp2(img: np.ndarray, levels: int = 2, **kw) -> bytes:
 
 def decode_jp2(data: bytes) -> np.ndarray:
     """Full decode -> (pages, height, width, samples), matching
-    tiff.decode_tiff's shape contract. Lossless single-tile streams
-    decode bindinglessly via sources/j2k.py; anything outside that
+    tiff.decode_tiff's shape contract. Lossless streams (single-tile
+    or tiled) decode bindinglessly via sources/j2k.py; anything outside that
     scope needs an OpenJPEG binding (glymur, imageio+plugin, or a
     Pillow built with JP2)."""
     from hortacloud_importer_spark.sources.j2k import (

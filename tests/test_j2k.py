@@ -276,3 +276,51 @@ def test_review_gates_signed_rgn_and_error_contract():
     s = enc.find(b"\xff\x90")
     with pytest.raises(J2kParseError):
         decode_j2k(enc[: s + 6])
+
+
+def test_multitile_roundtrip_grids():
+    """Tiled codestreams (the layout slide/slice scanners emit):
+    exact roundtrip across ragged grids, depths, and RCT."""
+    rng = np.random.default_rng(11)
+    cases = [
+        ((100, 140), (64, 64), np.uint8, 2),
+        ((65, 64), (32, 32), np.uint16, 1),
+        ((50, 50), (50, 17), np.uint8, 0),
+        ((81, 77), (27, 40), np.uint16, 3),
+    ]
+    for shape, tile, dt, levels in cases:
+        a = rng.integers(0, np.iinfo(dt).max, shape, dtype=dt)
+        out = decode_j2k(encode_j2k(a, tile=tile, levels=levels))
+        assert np.array_equal(out[:, :, 0], a), (shape, tile, dt)
+    img = rng.integers(0, 255, (70, 90, 3), dtype=np.uint8)
+    assert np.array_equal(decode_j2k(encode_j2k(img, tile=(32, 48))), img)
+
+
+def test_multitile_out_of_order_and_coverage():
+    """Tile-parts may appear in any order; missing or duplicate
+    tiles are parse errors, not silent holes."""
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 255, (64, 96), dtype=np.uint8)
+    enc = encode_j2k(a, tile=(48, 32), levels=1)
+
+    # split codestream into header, per-tile chunks, EOC
+    sots = []
+    p = enc.find(b"\xff\x90")
+    head = enc[:p]
+    while p < len(enc) - 2:
+        (psot,) = struct.unpack(">I", enc[p + 6 : p + 10])
+        sots.append(enc[p : p + psot])
+        p += psot
+    assert enc[p:] == b"\xff\xd9" and len(sots) == 4
+
+    # reversed tile order decodes identically
+    shuffled = head + b"".join(reversed(sots)) + b"\xff\xd9"
+    assert np.array_equal(decode_j2k(shuffled)[:, :, 0], a)
+
+    # a dropped tile is a hard error
+    with pytest.raises(J2kParseError, match="3 of 4 tiles"):
+        decode_j2k(head + b"".join(sots[:3]) + b"\xff\xd9")
+
+    # a duplicated tile index is a hard error
+    with pytest.raises(J2kParseError, match="bad tile index"):
+        decode_j2k(head + b"".join(sots + [sots[0]]) + b"\xff\xd9")

@@ -238,3 +238,19 @@ def test_decode_jp2_falls_through_broken_binding(monkeypatch):
     with pytest.raises(Jp2ParseError) as exc:
         decode_jp2(_jp2_bytes(4, 4, 1))
     assert "glymur: openjpeg library not found" in str(exc.value)
+
+
+def test_tiled_jp2_container_roundtrip():
+    """A tiled codestream inside the JP2 container (the real slice
+    scanner layout) decodes bindinglessly with exact values."""
+    import numpy as np
+
+    from hortacloud_importer_spark.sources.jp2 import encode_jp2
+
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 65535, (96, 130), dtype=np.uint16)
+    blob = encode_jp2(img, levels=2, tile=(64, 64))
+    assert jp2_shape(blob) == (96, 130, 1)
+    out = decode_jp2(blob)
+    assert out.shape == (1, 96, 130, 1)
+    assert np.array_equal(out[0, :, :, 0], img)
