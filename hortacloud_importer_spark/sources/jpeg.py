@@ -28,8 +28,15 @@ coefficient grids, so the dequantize+IDCT tail is shared with the
 baseline path. Most web-crawled JPEGs are progressive, so the K4
 multimodal hook needs this even though microscopy TIFFs do not.
 
-Out of scope, gated with clear errors: arithmetic coding, 12-bit
-precision, hierarchical, lossless (SOF3).
+12-bit precision (extended-sequential SOF1 or progressive SOF2 —
+the layout 12-bit scientific instruments write) decodes to uint16:
+the level shift, clip range, output dtype, and YCbCr center all key
+off the frame's precision byte, and the Pq=1 wide-DQT form parses.
+TIFF pages declaring BitsPerSample 12 under compression 7 route
+through it; the fixture encoder emits it with ``precision=12``.
+
+Out of scope, gated with clear errors: arithmetic coding,
+hierarchical, lossless (SOF3), 16-bit samples (no T.81 mode).
 
 TIFF integration (sources/tiff.py): a compression-7 strip/tile is a
 complete JPEG stream that may omit its tables; the page-level
@@ -229,8 +236,10 @@ def _parse_segments(data: bytes, tables: _Tables):
             (tables.restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
             prec = seg[0]
-            if prec != 8:
+            if prec not in (8, 12):
                 raise JpegParseError(f"{prec}-bit precision unsupported")
+            if prec == 12 and marker == 0xC0:
+                raise JpegParseError("baseline (SOF0) must be 8-bit")
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
             comps = []
@@ -242,6 +251,7 @@ def _parse_segments(data: bytes, tables: _Tables):
             sof = {
                 "h": h,
                 "w": w,
+                "prec": prec,
                 "comps": comps,
                 "progressive": marker == 0xC2,
             }
@@ -360,8 +370,11 @@ def _idct_planes(store: dict, sof: dict, tables: _Tables) -> dict:
         blocks[:, _ZIGZAG] = deq
         blocks = blocks.reshape(-1, 8, 8)
         # pixel = C.T @ coef @ C, batched
+        prec = sof.get("prec", 8)
         pix = np.einsum("ki,nkl,lj->nij", _C, blocks, _C)
-        pix = np.clip(np.round(pix) + 128, 0, 255).astype(np.uint8)
+        pix = np.clip(
+            np.round(pix) + (1 << (prec - 1)), 0, (1 << prec) - 1
+        ).astype(np.uint8 if prec == 8 else np.uint16)
         planes[c["id"]] = (
             pix.reshape(by, bx, 8, 8)
             .transpose(0, 2, 1, 3)
@@ -677,8 +690,11 @@ def decode_jpeg(data: bytes, tables_stream: bytes | None = None) -> np.ndarray:
     planes = _idct_planes(store, sof, tables)
 
     h, w = sof["h"], sof["w"]
+    prec = sof.get("prec", 8)
     comps = sof["comps"]
-    out = np.zeros((h, w, len(comps)), dtype=np.uint8)
+    out = np.zeros(
+        (h, w, len(comps)), dtype=np.uint8 if prec == 8 else np.uint16
+    )
     for i, c in enumerate(comps):
         plane = planes[c["id"]]
         ry, rx = vmax // c["v"], hmax // c["h"]
@@ -686,20 +702,21 @@ def decode_jpeg(data: bytes, tables_stream: bytes | None = None) -> np.ndarray:
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         out[:, :, i] = plane[:h, :w]
     if len(comps) == 3 and tables.adobe_transform != 0:
-        out = _ycbcr_to_rgb(out)
+        out = _ycbcr_to_rgb(out, prec)
     return out
 
 
-def _ycbcr_to_rgb(img: np.ndarray) -> np.ndarray:
+def _ycbcr_to_rgb(img: np.ndarray, prec: int = 8) -> np.ndarray:
+    mid = float(1 << (prec - 1))
     y = img[:, :, 0].astype(np.float64)
-    cb = img[:, :, 1].astype(np.float64) - 128.0
-    cr = img[:, :, 2].astype(np.float64) - 128.0
+    cb = img[:, :, 1].astype(np.float64) - mid
+    cr = img[:, :, 2].astype(np.float64) - mid
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     return np.clip(
-        np.round(np.stack([r, g, b], axis=2)), 0, 255
-    ).astype(np.uint8)
+        np.round(np.stack([r, g, b], axis=2)), 0, (1 << prec) - 1
+    ).astype(np.uint8 if prec == 8 else np.uint16)
 
 
 # --------------------------------------------------------- encoder
@@ -711,6 +728,16 @@ def _ycbcr_to_rgb(img: np.ndarray) -> np.ndarray:
 
 _STD_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
 _STD_DC_VALS = list(range(12))
+
+# 12-bit fixture tables: every DC category 0..15 at 5 bits and every
+# AC (run, size<=14) symbol at 8 bits — valid canonical codes chosen
+# for coverage (any conforming decoder reads them), not compression.
+_WIDE_DC_BITS = [0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_WIDE_DC_VALS = list(range(16))
+_WIDE_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 226, 0, 0, 0, 0, 0, 0, 0, 0]
+_WIDE_AC_VALS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 15)
+]
 _STD_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
 _STD_AC_VALS = [
     0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
@@ -772,14 +799,27 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
 
 
-def _table_segments(qtable: np.ndarray) -> bytes:
-    dqt = _seg(0xDB, bytes([0]) + bytes(int(v) for v in qtable))
-    dht_dc = _seg(
-        0xC4, bytes([0x00]) + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS)
-    )
-    dht_ac = _seg(
-        0xC4, bytes([0x10]) + bytes(_STD_AC_BITS) + bytes(_STD_AC_VALS)
-    )
+def _table_segments(qtable: np.ndarray, precision: int = 8) -> bytes:
+    if precision == 12:
+        # Pq=1 (16-bit entries) exercises the decoder's wide-DQT path
+        dqt = _seg(
+            0xDB,
+            bytes([0x10]) + b"".join(struct.pack(">H", int(v)) for v in qtable),
+        )
+        dht_dc = _seg(
+            0xC4, bytes([0x00]) + bytes(_WIDE_DC_BITS) + bytes(_WIDE_DC_VALS)
+        )
+        dht_ac = _seg(
+            0xC4, bytes([0x10]) + bytes(_WIDE_AC_BITS) + bytes(_WIDE_AC_VALS)
+        )
+    else:
+        dqt = _seg(0xDB, bytes([0]) + bytes(int(v) for v in qtable))
+        dht_dc = _seg(
+            0xC4, bytes([0x00]) + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS)
+        )
+        dht_ac = _seg(
+            0xC4, bytes([0x10]) + bytes(_STD_AC_BITS) + bytes(_STD_AC_VALS)
+        )
     return dqt + dht_dc + dht_ac
 
 
@@ -793,7 +833,9 @@ def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
     return np.clip(np.round(np.stack([y, cb, cr], axis=2)), 0, 255)
 
 
-def _plane_zigzag_blocks(plane: np.ndarray, qtable: np.ndarray) -> np.ndarray:
+def _plane_zigzag_blocks(
+    plane: np.ndarray, qtable: np.ndarray, shift: float = 128.0
+) -> np.ndarray:
     """One component plane -> (by*bx, 64) quantized zigzag blocks,
     edge-replicated to the 8-multiple grid."""
     h, w = plane.shape
@@ -804,7 +846,7 @@ def _plane_zigzag_blocks(plane: np.ndarray, qtable: np.ndarray) -> np.ndarray:
     padded[:, w:] = padded[:, w - 1 : w]
     blocks = (
         padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-        - 128.0
+        - shift
     )
     coef = np.einsum("ik,nkl,jl->nij", _C, blocks, _C)
     q = np.round(
@@ -818,29 +860,45 @@ def encode_jpeg(
     qtable: np.ndarray | None = None,
     tables_external: bool = False,
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes | tuple[bytes, bytes]:
     """Baseline encoder (fixtures only): (h, w) grayscale or
     (h, w, 3) RGB uint8, 4:4:4, shared tables. With
     ``tables_external=True`` returns ``(tables_stream, scan_stream)``
     — the TIFF JPEGTables split, where the scan stream omits DQT/DHT.
     ``restart_interval`` emits DRI + RSTn markers every N MCUs (to
-    exercise the decoder's restart path)."""
-    if img.dtype != np.uint8 or img.ndim not in (2, 3):
+    exercise the decoder's restart path). ``precision=12`` takes a
+    2-D uint16 array (values < 4096) and emits an extended-sequential
+    SOF1 frame — the 12-bit layout scientific instruments write."""
+    if precision == 12:
+        if img.dtype != np.uint16 or img.ndim != 2:
+            raise JpegParseError("12-bit encoder takes a 2-D uint16 array")
+        if img.max(initial=0) > 4095:
+            raise JpegParseError("12-bit samples must be < 4096")
+        planes = [img.astype(np.float64)]
+    elif img.dtype != np.uint8 or img.ndim not in (2, 3):
         raise JpegParseError("encoder takes a 2-D or (h, w, 3) uint8 array")
-    if qtable is None:
-        qtable = np.ones(64, dtype=np.int32)  # lossless-ish for tests
-    if img.ndim == 3:
+    elif img.ndim == 3:
         if img.shape[2] != 3:
             raise JpegParseError("3-D input must be (h, w, 3) RGB")
         ycc = _rgb_to_ycbcr(img)
         planes = [ycc[:, :, i] for i in range(3)]
     else:
         planes = [img.astype(np.float64)]
+    if qtable is None:
+        qtable = np.ones(64, dtype=np.int32)  # lossless-ish for tests
     h, w = planes[0].shape
-    zz_per_comp = [_plane_zigzag_blocks(p, qtable) for p in planes]
+    shift = float(1 << (precision - 1))
+    zz_per_comp = [
+        _plane_zigzag_blocks(p, qtable, shift=shift) for p in planes
+    ]
 
-    dc_codes = _huff_code_map(_STD_DC_BITS, _STD_DC_VALS)
-    ac_codes = _huff_code_map(_STD_AC_BITS, _STD_AC_VALS)
+    if precision == 12:
+        dc_codes = _huff_code_map(_WIDE_DC_BITS, _WIDE_DC_VALS)
+        ac_codes = _huff_code_map(_WIDE_AC_BITS, _WIDE_AC_VALS)
+    else:
+        dc_codes = _huff_code_map(_STD_DC_BITS, _STD_DC_VALS)
+        ac_codes = _huff_code_map(_STD_AC_BITS, _STD_AC_VALS)
 
     def put_magnitude(v: int) -> tuple[int, int]:
         t = 0 if v == 0 else int(abs(v)).bit_length()
@@ -896,8 +954,8 @@ def encode_jpeg(
 
     nc = len(planes)
     sof = _seg(
-        0xC0,
-        bytes([8])
+        0xC1 if precision == 12 else 0xC0,
+        bytes([precision])
         + struct.pack(">HH", h, w)
         + bytes([nc])
         + b"".join(bytes([i + 1, 0x11, 0]) for i in range(nc)),
@@ -913,7 +971,7 @@ def encode_jpeg(
         if restart_interval
         else b""
     )
-    tables_blob = _table_segments(qtable)
+    tables_blob = _table_segments(qtable, precision)
     if tables_external:
         tables_stream = b"\xff\xd8" + tables_blob + b"\xff\xd9"
         scan_stream = b"\xff\xd8" + dri + sof + sos + entropy + b"\xff\xd9"

@@ -203,8 +203,16 @@ def _parse_ifd(
 
 def _page_dtype(ec: str, ifd: dict[int, list]) -> tuple[np.dtype, int]:
     bits = ifd.get(_TAG_BITS, [8])
-    if len(set(bits)) != 1 or bits[0] not in (8, 16):
+    if len(set(bits)) != 1 or bits[0] not in (8, 12, 16):
         raise TiffParseError(f"unsupported BitsPerSample {bits}")
+    if bits[0] == 12 and ifd.get(_TAG_COMPRESSION, [1])[0] not in (
+        _COMP_JPEG,
+        _COMP_OLDJPEG,
+    ):
+        # 12-bit non-JPEG pages are bit-packed raster — out of scope
+        raise TiffParseError(
+            "12-bit samples are supported only under JPEG compression"
+        )
     if ifd.get(_TAG_SAMPLE_FORMAT, [1])[0] != 1:
         raise TiffParseError("only unsigned-integer samples supported")
     return np.dtype(("<" if ec == "<" else ">") + ("u1" if bits[0] == 8 else "u2")), bits[0]
@@ -220,6 +228,7 @@ def _decode_block(
     cols: int,
     spp: int,
     jpeg_tables: bytes | None = None,
+    bits: int = 8,
 ) -> np.ndarray:
     """One strip/tile payload -> (rows, cols, spp), codec + predictor
     undone (``off`` is for error messages only)."""
@@ -256,9 +265,16 @@ def _decode_block(
                 f"JPEG block at {off} is {arr.shape[0]}x{arr.shape[1]}, "
                 f"smaller than its {rows}x{cols} grid cell"
             )
-        if dtype.itemsize != 1:
+        if bits == 16:
+            # T.81 has no 16-bit mode; a 16-bit page under JPEG
+            # compression is either mislabeled or non-standard
             raise TiffParseError(
-                "JPEG compression with BitsPerSample > 8 unsupported"
+                "JPEG compression with BitsPerSample 16 unsupported"
+            )
+        if (arr.dtype == np.uint8) != (bits == 8):
+            raise TiffParseError(
+                f"JPEG block at {off} decodes {arr.dtype.name} samples, "
+                f"page declares BitsPerSample {bits}"
             )
         return arr[:rows, :cols].astype(dtype.newbyteorder("="))
     expect_bytes = rows * cols * spp * dtype.itemsize
@@ -373,7 +389,7 @@ def _decode_page(
             block = _decode_block(
                 fetch(offsets[i], counts[i]), offsets[i], compression,
                 predictor, dtype, rows, bcols, spp,
-                jpeg_tables=jpeg_tables,
+                jpeg_tables=jpeg_tables, bits=_bits,
             )
             oy, ox = (by - by0) * brows, (bx - bx0) * bcols
             out[oy : oy + rows, ox : ox + bcols] = block
@@ -578,15 +594,24 @@ def encode_tiff(
         raise ValueError("compression must be None, 'zlib', or 'jpeg'")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 or 2")
+    jpeg_precision = 8
     if compression == "jpeg":
-        if pages.dtype != np.uint8:
-            raise ValueError("JPEG compression is 8-bit only")
+        if pages.dtype == np.uint16:
+            # 12-bit extended-sequential (BitsPerSample 12), the
+            # layout 12-bit scientific instruments write
+            if spp != 1:
+                raise ValueError("12-bit JPEG takes 1 sample/pixel")
+            if pages.max(initial=0) > 4095:
+                raise ValueError("12-bit JPEG samples must be < 4096")
+            jpeg_precision = 12
+        elif pages.dtype != np.uint8:
+            raise ValueError("JPEG compression is 8- or 12-bit only")
         if spp not in (1, 3):
             raise ValueError("JPEG compression takes 1 or 3 samples/pixel")
         if predictor != 1:
             raise ValueError("JPEG compression excludes the predictor")
     comp_code = {None: 1, "zlib": 8, "jpeg": _COMP_JPEG}[compression]
-    bits = pages.dtype.itemsize * 8
+    bits = 12 if jpeg_precision == 12 else pages.dtype.itemsize * 8
     # classic: 8-byte header, 12-byte entries, 4-byte offsets;
     # BigTIFF: 16-byte header, 20-byte entries, 8-byte offsets
     head, esize, off_fmt, off_type = (
@@ -627,7 +652,9 @@ def encode_tiff(
             payloads = []
             for b in blocks:
                 img = b[:, :, 0] if spp == 1 else b
-                tbl, scan = encode_jpeg(img, tables_external=True)
+                tbl, scan = encode_jpeg(
+                    img, tables_external=True, precision=jpeg_precision
+                )
                 jpeg_tables_stream = tbl  # identical across blocks
                 payloads.append(scan)
         else:

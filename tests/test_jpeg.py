@@ -160,9 +160,47 @@ def test_tiff_jpeg_uses_jpeg_tables_tag():
 
 
 def test_tiff_jpeg_16bit_rejected():
-    img = np.zeros((1, 8, 8), dtype=np.uint16)
-    with pytest.raises(ValueError, match="8-bit"):
+    # uint16 pages route to the 12-bit JPEG path, which caps at 4095;
+    # true 16-bit samples have no T.81 representation
+    img = np.full((1, 8, 8), 60000, dtype=np.uint16)
+    with pytest.raises(ValueError, match="4096"):
         encode_tiff(img, compression="jpeg")
+
+
+def test_tiff_jpeg_12bit_roundtrip():
+    """12-bit extended-sequential JPEG inside TIFF (BitsPerSample 12,
+    SOF1, Pq=1 wide DQT): near-lossless roundtrip at qtable=1,
+    strip and tiled layouts."""
+    from hortacloud_importer_spark.sources.tiff import decode_tiff
+
+    rng = np.random.default_rng(59)
+    pages = rng.integers(0, 4096, (2, 40, 56), dtype=np.uint16)
+    for kw in [{}, {"tile": (16, 16)}]:
+        out = decode_tiff(encode_tiff(pages, compression="jpeg", **kw))
+        assert out.dtype == np.uint16 and out.shape == (2, 40, 56, 1)
+        err = np.abs(
+            out[:, :, :, 0].astype(int) - pages.astype(int)
+        ).max()
+        assert err <= 1, err
+
+
+def test_jpeg_12bit_stream_roundtrip():
+    """Bare 12-bit SOF1 streams: uint16 output, wide Huffman tables,
+    external-tables split, and the SOF0+12-bit gate."""
+    rng = np.random.default_rng(61)
+    img = rng.integers(0, 4096, (41, 57), dtype=np.uint16)
+    out = decode_jpeg(encode_jpeg(img, precision=12))
+    assert out.dtype == np.uint16
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+    ts, ss = encode_jpeg(img, precision=12, tables_external=True)
+    out2 = decode_jpeg(ss, tables_stream=ts)
+    assert np.array_equal(out, out2)
+    # 12-bit claimed in a baseline SOF0 frame is a parse error
+    blob = bytearray(encode_jpeg(img, precision=12))
+    i = blob.find(b"\xff\xc1")
+    blob[i + 1] = 0xC0
+    with pytest.raises(JpegParseError, match="SOF0.*8-bit"):
+        decode_jpeg(bytes(blob))
 
 
 def test_stack_voxels_reads_jpeg_stack(spark, tmp_path):
