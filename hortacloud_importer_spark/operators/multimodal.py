@@ -191,7 +191,10 @@ def media_features(media: DataFrame) -> DataFrame:
             out = []
             for row in pdf.itertuples():
                 arr = _decode_one(row.format, bytes(row.payload), row.meta)
-                hist = np.bincount(arr.ravel() >> 4, minlength=16)
+                # 16 bins regardless of sample width (uint8 >> 4,
+                # uint16 >> 12): bincount's minlength is only a floor
+                shift = arr.dtype.itemsize * 8 - 4
+                hist = np.bincount(arr.ravel() >> shift, minlength=16)
                 out.append(
                     {
                         "media_id": int(row.media_id),
