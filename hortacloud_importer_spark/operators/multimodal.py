@@ -71,15 +71,28 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
             arr = arr[..., None] if arr.shape[-1] > 8 else arr[None, ...]
         return arr
     if fmt in ("jpeg", "jpg"):
-        try:
-            import PIL.Image  # noqa: F401
-        except ImportError:
-            # clean-room T.81 decoder (sources/jpeg.py): grayscale +
-            # YCbCr, sequential AND progressive Huffman — the
-            # overwhelming majority of real-world JPEG payloads
-            from hortacloud_importer_spark.sources.jpeg import decode_jpeg
+        # clean-room T.81 decoder (sources/jpeg.py): grayscale + YCbCr,
+        # sequential AND progressive Huffman, 8- and 12-bit. Preferred
+        # even when Pillow is importable: PIL cannot open 12-bit
+        # SOF1/SOF2 streams, so routing through it first would crash on
+        # exactly the payloads only the clean-room path covers. PIL
+        # remains the fallback for streams outside the clean-room scope
+        # (arithmetic coding, CMYK, ...).
+        from hortacloud_importer_spark.sources.jpeg import (
+            JpegParseError,
+            decode_jpeg,
+        )
 
+        try:
             return decode_jpeg(bytes(payload))[None, ...]
+        except JpegParseError as parse_exc:
+            try:
+                import PIL.Image  # noqa: F401
+            except ImportError:
+                # corrupt/out-of-scope stream and no binding: the parse
+                # error is the honest answer, not "needs codec"
+                raise parse_exc from None
+            # PIL present: fall through to the generic tail below
     if fmt == "png":
         try:
             import PIL.Image  # noqa: F401
@@ -191,9 +204,14 @@ def media_features(media: DataFrame) -> DataFrame:
             out = []
             for row in pdf.itertuples():
                 arr = _decode_one(row.format, bytes(row.payload), row.meta)
-                # 16 bins regardless of sample width (uint8 >> 4,
-                # uint16 >> 12): bincount's minlength is only a floor
-                shift = arr.dtype.itemsize * 8 - 4
+                # 16 bins. uint8 keeps fixed [0,256) bins (>> 4); wider
+                # samples bin over the item's own power-of-two dynamic
+                # range — a fixed >> 12 would put every pixel of a
+                # 12-bit (or dim 16-bit microscopy) item into bin 0.
+                if arr.dtype.itemsize == 1:
+                    shift = 4
+                else:
+                    shift = max(4, int(arr.max(initial=0)).bit_length() - 4)
                 hist = np.bincount(arr.ravel() >> shift, minlength=16)
                 out.append(
                     {

@@ -964,48 +964,101 @@ def _get_npasses(rd: PackBitReader) -> int:
 
 class _Band:
     """One subband at one resolution of one component: geometry,
-    code-block grid, per-block Tier-2 state."""
+    code-block grid, per-block Tier-2 state.
 
-    def __init__(self, btype: str, h: int, w: int, cbw: int, cbh: int, mb: int):
+    ``(ox, oy)`` is the band's origin in BAND coordinates (canvas
+    coordinates divided down to this resolution). The code-block
+    partition is anchored at canvas (0,0) per T.800 B.7 — for a tile
+    whose band origin is not a code-block multiple, the first
+    row/column of blocks is short. Tile 0 (origin 0) reduces to the
+    plain ceil(w/cbw) grid."""
+
+    def __init__(
+        self,
+        btype: str,
+        h: int,
+        w: int,
+        cbw: int,
+        cbh: int,
+        mb: int,
+        ox: int = 0,
+        oy: int = 0,
+    ):
         self.btype = btype
         self.h, self.w = h, w
         self.cbw, self.cbh = cbw, cbh
         self.mb = mb
-        self.ncx = max(0, -(-w // cbw)) if w else 0
-        self.ncy = max(0, -(-h // cbh)) if h else 0
+        self.ox, self.oy = ox, oy
+        self.mx0 = ox // cbw if w else 0
+        self.my0 = oy // cbh if h else 0
+        self.ncx = (-(-(ox + w) // cbw) - self.mx0) if w else 0
+        self.ncy = (-(-(oy + h) // cbh) - self.my0) if h else 0
         n = self.ncx * self.ncy
         self.incl = TagTree(self.ncx or 1, self.ncy or 1)
         self.msb = TagTree(self.ncx or 1, self.ncy or 1)
         self.lblock = [3] * n
         self.coeffs = None  # decoder: np array filled per block
 
+    def block_rect(self, bx: int, by: int) -> tuple[int, int, int, int]:
+        """(y0, x0, h, w) of code-block (bx, by) in band-LOCAL
+        coordinates, from the canvas-anchored partition."""
+        x_lo = max(self.ox, (self.mx0 + bx) * self.cbw)
+        x_hi = min(self.ox + self.w, (self.mx0 + bx + 1) * self.cbw)
+        y_lo = max(self.oy, (self.my0 + by) * self.cbh)
+        y_hi = min(self.oy + self.h, (self.my0 + by + 1) * self.cbh)
+        return y_lo - self.oy, x_lo - self.ox, y_hi - y_lo, x_hi - x_lo
+
     def block_dims(self, bx: int, by: int) -> tuple[int, int]:
-        w = min(self.cbw, self.w - bx * self.cbw)
-        h = min(self.cbh, self.h - by * self.cbh)
+        _, _, h, w = self.block_rect(bx, by)
         return h, w
 
 
 def _build_bands(
-    h: int, w: int, levels: int, cbw: int, cbh: int, depth: int
+    h: int,
+    w: int,
+    levels: int,
+    cbw: int,
+    cbh: int,
+    depth: int,
+    x0: int = 0,
+    y0: int = 0,
 ) -> list[list[_Band]]:
     """Per-resolution band lists for one component. Resolution 0 is
     the LL_n band; resolution r >= 1 holds HL/LH/HH of level
     n - r + 1. Mb = guard + exponent - 1 with the encoder's
     reversible no-quantization exponents (depth + 2 + gain — the +2
-    headroom covers RCT range growth and 5/3 low-pass expansion)."""
+    headroom covers RCT range growth and 5/3 low-pass expansion).
+
+    ``(x0, y0)`` is the tile's canvas origin; it must be a multiple
+    of 2**levels (the caller gates this), so each band's origin in
+    band coordinates is the exact shift ``x0 >> level`` and the
+    canvas-anchored code-block partition (T.800 B.7) is well
+    defined."""
     (llh, llw), per_level = subband_dims(h, w, levels)
 
-    def mk(btype, bh, bw):
+    def mk(btype, bh, bw, lvl):
         eps = depth + 2 + _BAND_GAIN[btype]
-        return _Band(btype, bh, bw, cbw, cbh, _GUARD_BITS + eps - 1)
+        return _Band(
+            btype,
+            bh,
+            bw,
+            cbw,
+            cbh,
+            _GUARD_BITS + eps - 1,
+            ox=x0 >> lvl,
+            oy=y0 >> lvl,
+        )
 
-    out = [[mk("LL", llh, llw)]]
-    for (hl, lh, hh) in per_level:
+    out = [[mk("LL", llh, llw, levels)]]
+    # per_level[0] is the coarsest detail level (= levels), matching
+    # resolution 1; level drops as resolution rises
+    for i, (hl, lh, hh) in enumerate(per_level):
+        lvl = levels - i
         out.append(
             [
-                mk("HL", hl[0], hl[1]),
-                mk("LH", lh[0], lh[1]),
-                mk("HH", hh[0], hh[1]),
+                mk("HL", hl[0], hl[1], lvl),
+                mk("LH", lh[0], lh[1], lvl),
+                mk("HH", hh[0], hh[1], lvl),
             ]
         )
     return out
@@ -1024,6 +1077,37 @@ def _packet_sequence(prog: int, nres: int, ncomp: int):
 
 
 # ------------------------------------------------------------ encoder
+
+
+def _check_tile_geometry(
+    xsiz: int, ysiz: int, xt: int, yt: int, levels: int, err: type
+) -> None:
+    """Geometry this codec models exactly; anything else gates.
+
+    - Multi-tile grids must align to 2**levels: T.800 computes
+      subband bounds from CANVAS coordinates, and only for aligned
+      origins do the tile-local DWT sizes/parities match them (the
+      code-block partition anchor is handled separately, per band).
+    - One default precinct (2**15, anchored at 0) per tile-resolution:
+      a tile-resolution straddling a 2**15 boundary would emit
+      multiple packets per (resolution, component), which this
+      single-precinct parser does not model. Power-of-two tile sizes
+      (what scanners write) always satisfy this.
+    """
+    step = 1 << levels
+    if (xt < xsiz or yt < ysiz) and (xt % step or yt % step):
+        raise err(
+            f"tile grid {xt}x{yt} is not aligned to 2^levels={step}; "
+            "canvas-coordinate subbands would desync"
+        )
+    p15 = 1 << 15
+    if (xsiz > p15 and (xt >= xsiz or p15 % xt)) or (
+        ysiz > p15 and (yt >= ysiz or p15 % yt)
+    ):
+        raise err(
+            "a tile-resolution spans multiple default (2^15) "
+            "precincts; multi-precinct packets are not supported"
+        )
 
 
 def _tile_rects(xsiz: int, ysiz: int, xt: int, yt: int):
@@ -1079,6 +1163,7 @@ def encode_j2k(
     xt, yt = tile if tile else (w, h)
     if xt < 1 or yt < 1:
         raise J2kParseError(f"invalid tile size {tile}")
+    _check_tile_geometry(w, h, xt, yt, levels, J2kParseError)
 
     planes = [img[:, :, c].astype(np.int64) - (1 << (depth - 1)) for c in range(nc)]
     if mct:
@@ -1100,6 +1185,8 @@ def encode_j2k(
                 cbh,
                 depth,
                 prog,
+                x0,
+                y0,
             )
         )
 
@@ -1152,13 +1239,16 @@ def _encode_tile(
     cbh: int,
     depth: int,
     prog: int,
+    x0: int = 0,
+    y0: int = 0,
 ) -> bytes:
     """Tier-1 + Tier-2 encode one tile's (already level-shifted /
-    MCT'd) component planes into its packet byte stream."""
+    MCT'd) component planes into its packet byte stream. ``(x0, y0)``
+    is the tile's canvas origin (anchors the code-block partition)."""
     comps = []
     for plane in planes:
         pyr = dwt_forward(plane, levels)
-        bands = _build_bands(h, w, levels, cbw, cbh, depth)
+        bands = _build_bands(h, w, levels, cbw, cbh, depth, x0, y0)
         # attach coefficient arrays: resolution 0 = LL, then per level
         bands[0][0].coeffs = pyr[0]
         for r, (hl, lh, hh) in enumerate(pyr[1:], start=1):
@@ -1174,10 +1264,9 @@ def _encode_tile(
             for bi, band in enumerate(blist):
                 for by in range(band.ncy):
                     for bx in range(band.ncx):
-                        bh, bw = band.block_dims(bx, by)
+                        y0b, x0b, bh, bw = band.block_rect(bx, by)
                         blk = band.coeffs[
-                            by * band.cbh : by * band.cbh + bh,
-                            bx * band.cbw : bx * band.cbw + bw,
+                            y0b : y0b + bh, x0b : x0b + bw
                         ].astype(np.int32)
                         data, nplanes, npasses = t1_encode_block(
                             blk, band.btype
@@ -1282,7 +1371,8 @@ def _parse_main_header(data: bytes):
 
 
 def decode_j2k(data: bytes) -> np.ndarray:
-    """Single-tile lossless codestream -> (h, w, nc) uint8/uint16.
+    """Lossless codestream (single-tile or a regular multi-tile
+    grid) -> (h, w, nc) uint8/uint16.
 
     All malformed-stream failure modes surface as :class:`J2kParseError`
     (out-of-scope features as :class:`J2kUnsupported`) so callers like
@@ -1310,6 +1400,12 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         raise J2kUnsupported("nonzero image/tile grid offsets")
     if not xt or not yt:
         raise J2kParseError("zero tile dimensions")
+    ntiles = (-(-xsiz // xt)) * (-(-ysiz // yt))
+    if ntiles > 1 << 20:
+        # crafted Xsiz/Ysiz with a tiny XTsiz would otherwise
+        # materialize billions of rects before any tile data is read
+        # (this decoder sits on the binaryFile ingest path)
+        raise J2kParseError(f"{ntiles} tiles exceeds the 2^20 cap")
     if len(siz) < 36 + 3 * nc:
         raise J2kParseError("SIZ shorter than its component table")
     depths, signs = [], []
@@ -1351,6 +1447,8 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     if len(exps) < n_bands:
         raise J2kParseError("QCD exponent table shorter than band count")
 
+    _check_tile_geometry(xsiz, ysiz, xt, yt, levels, J2kUnsupported)
+
     # tile loop — each SOT/SOD tile-part is an independent DWT domain
     # placed into its grid rectangle (tiles may appear in any order)
     rects = _tile_rects(xsiz, ysiz, xt, yt)
@@ -1391,6 +1489,8 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             prog,
             use_sop,
             use_eph,
+            x0,
+            y0,
         )
         for ci in range(nc):
             planes[ci][y0:y1, x0:x1] = tplanes[ci]
@@ -1437,13 +1537,17 @@ def _decode_tile_planes(
     prog: int,
     use_sop: bool,
     use_eph: bool,
+    x0: int = 0,
+    y0: int = 0,
 ) -> list:
     """Tier-2 + Tier-1 + inverse DWT for one tile's byte stream ->
     per-component (th, tw) int64 planes (still level-shifted /
-    MCT'd — the caller finishes those globally, they are pointwise)."""
+    MCT'd — the caller finishes those globally, they are pointwise).
+    ``(x0, y0)`` is the tile's canvas origin (anchors the code-block
+    partition per T.800 B.7)."""
     comps = []
     for ci in range(nc):
-        bands = _build_bands(th, tw, levels, cbw, cbh, depths[ci])
+        bands = _build_bands(th, tw, levels, cbw, cbh, depths[ci], x0, y0)
         k = 0
         for blist in bands:
             for band in blist:
@@ -1487,7 +1591,7 @@ def _decode_tile_planes(
             if len(seg) != seg_len:
                 raise J2kParseError("code-block segment overruns tile")
             tpos += seg_len
-            bh, bw = band.block_dims(bx, by)
+            y0b, x0b, bh, bw = band.block_rect(bx, by)
             nplanes = band.mb - p
             if nplanes <= 0:
                 raise J2kParseError(
@@ -1496,10 +1600,7 @@ def _decode_tile_planes(
             blk = t1_decode_block(
                 seg, bw, bh, band.btype, nplanes, npasses
             )
-            band.coeffs[
-                by * band.cbh : by * band.cbh + bh,
-                bx * band.cbw : bx * band.cbw + bw,
-            ] = blk
+            band.coeffs[y0b : y0b + bh, x0b : x0b + bw] = blk
 
     # inverse DWT per component
     planes = []

@@ -659,7 +659,7 @@ def _decode_progressive(data: bytes, sof: dict, scans: list) -> dict:
 
 def decode_jpeg(data: bytes, tables_stream: bytes | None = None) -> np.ndarray:
     """Sequential or progressive JPEG stream -> (height, width,
-    n_components) uint8.
+    n_components); uint8 for 8-bit frames, uint16 for 12-bit.
 
     ``tables_stream`` pre-loads DQT/DHT (TIFF JPEGTables, tag 347);
     segments in ``data`` override them per T.81. 3-component output
@@ -870,6 +870,8 @@ def encode_jpeg(
     exercise the decoder's restart path). ``precision=12`` takes a
     2-D uint16 array (values < 4096) and emits an extended-sequential
     SOF1 frame — the 12-bit layout scientific instruments write."""
+    if precision not in (8, 12):
+        raise JpegParseError(f"precision must be 8 or 12, not {precision}")
     if precision == 12:
         if img.dtype != np.uint16 or img.ndim != 2:
             raise JpegParseError("12-bit encoder takes a 2-D uint16 array")

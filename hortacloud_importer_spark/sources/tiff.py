@@ -205,13 +205,17 @@ def _page_dtype(ec: str, ifd: dict[int, list]) -> tuple[np.dtype, int]:
     bits = ifd.get(_TAG_BITS, [8])
     if len(set(bits)) != 1 or bits[0] not in (8, 12, 16):
         raise TiffParseError(f"unsupported BitsPerSample {bits}")
-    if bits[0] == 12 and ifd.get(_TAG_COMPRESSION, [1])[0] not in (
-        _COMP_JPEG,
-        _COMP_OLDJPEG,
-    ):
+    comp = ifd.get(_TAG_COMPRESSION, [1])[0]
+    if bits[0] == 12 and comp not in (_COMP_JPEG, _COMP_OLDJPEG):
         # 12-bit non-JPEG pages are bit-packed raster — out of scope
         raise TiffParseError(
             "12-bit samples are supported only under JPEG compression"
+        )
+    if bits[0] == 16 and comp in (_COMP_JPEG, _COMP_OLDJPEG):
+        # T.81 has no 16-bit mode; gate per page, before any strip is
+        # fetched or entropy-decoded
+        raise TiffParseError(
+            "JPEG compression with BitsPerSample 16 unsupported"
         )
     if ifd.get(_TAG_SAMPLE_FORMAT, [1])[0] != 1:
         raise TiffParseError("only unsigned-integer samples supported")
@@ -265,12 +269,7 @@ def _decode_block(
                 f"JPEG block at {off} is {arr.shape[0]}x{arr.shape[1]}, "
                 f"smaller than its {rows}x{cols} grid cell"
             )
-        if bits == 16:
-            # T.81 has no 16-bit mode; a 16-bit page under JPEG
-            # compression is either mislabeled or non-standard
-            raise TiffParseError(
-                "JPEG compression with BitsPerSample 16 unsupported"
-            )
+        # bits==16 under JPEG is rejected per-page in _page_dtype
         if (arr.dtype == np.uint8) != (bits == 8):
             raise TiffParseError(
                 f"JPEG block at {off} decodes {arr.dtype.name} samples, "

@@ -285,8 +285,13 @@ def test_multitile_roundtrip_grids():
     cases = [
         ((100, 140), (64, 64), np.uint8, 2),
         ((65, 64), (32, 32), np.uint16, 1),
+        # levels=0: any tile size is 2^0-aligned, and the (50, 17)
+        # grid forces short anchored code-blocks at tile origins
         ((50, 50), (50, 17), np.uint8, 0),
-        ((81, 77), (27, 40), np.uint16, 3),
+        ((81, 77), (32, 40), np.uint16, 3),
+        # aligned but non-multiple-of-cbw origins: tile x origin 48
+        # splits the first block row of every band
+        ((70, 100), (48, 32), np.uint8, 2),
     ]
     for shape, tile, dt, levels in cases:
         a = rng.integers(0, np.iinfo(dt).max, shape, dtype=dt)
@@ -324,3 +329,26 @@ def test_multitile_out_of_order_and_coverage():
     # a duplicated tile index is a hard error
     with pytest.raises(J2kParseError, match="bad tile index"):
         decode_j2k(head + b"".join(sots + [sots[0]]) + b"\xff\xd9")
+
+
+def test_anchored_block_partition_and_alignment_gate():
+    """T.800 B.7: code-blocks anchor at canvas (0,0), so a tile whose
+    band origin is not a block multiple starts with a short block;
+    misaligned multi-tile grids gate instead of desyncing."""
+    from hortacloud_importer_spark.sources.j2k import _Band
+
+    # band 89 wide at origin 25 under 64-wide blocks: anchored grid
+    # is [25,64),[64,89+25=114) -> widths 39 and 50
+    b = _Band("HL", 10, 89, 64, 64, 10, ox=25, oy=0)
+    assert (b.ncx, b.ncy) == (2, 1)
+    assert b.block_rect(0, 0) == (0, 0, 10, 39)
+    assert b.block_rect(1, 0) == (0, 39, 10, 50)
+    # origin at a block multiple reduces to the plain grid
+    b0 = _Band("HL", 10, 89, 64, 64, 10, ox=128, oy=0)
+    assert (b0.ncx, b0.ncy) == (2, 1)
+    assert b0.block_rect(0, 0) == (0, 0, 10, 64)
+
+    # multi-tile grid not aligned to 2^levels gates honestly
+    img = np.zeros((64, 64), dtype=np.uint8)
+    with pytest.raises(J2kParseError, match="aligned to 2\\^levels"):
+        encode_j2k(img, tile=(27, 40), levels=3)

@@ -61,7 +61,7 @@ def _encode_payload(fmt: str, seed: int, dims: tuple[int, int]) -> bytes:
     noise = rng.normal(0, 0.03, (h, w))
     unit = np.clip(base + noise, 0, 1)
 
-    if fmt in ("jpeg", "jpeg_prog", "png", "tiff_u8"):
+    if fmt in ("jpeg", "jpeg_prog", "png"):
         img8 = (unit * 255).astype(np.uint8)
     if fmt == "jpeg":
         from hortacloud_importer_spark.sources.jpeg import encode_jpeg
@@ -328,7 +328,11 @@ def _write_md(r: dict) -> None:
     text = ""
     if os.path.exists(path):
         text = open(path).read()
-        start = text.find("\n# MEDIA SOAK")
+        start = (
+            0
+            if text.startswith("# MEDIA SOAK")
+            else text.find("\n# MEDIA SOAK")
+        )
         if start >= 0:
             # replace the existing media section (ends at the next
             # top-level '# ' heading or EOF)
