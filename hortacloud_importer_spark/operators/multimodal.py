@@ -71,28 +71,36 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
             arr = arr[..., None] if arr.shape[-1] > 8 else arr[None, ...]
         return arr
     if fmt in ("jpeg", "jpg"):
-        # clean-room T.81 decoder (sources/jpeg.py): grayscale + YCbCr,
-        # sequential AND progressive Huffman, 8- and 12-bit. Preferred
-        # even when Pillow is importable: PIL cannot open 12-bit
-        # SOF1/SOF2 streams, so routing through it first would crash on
-        # exactly the payloads only the clean-room path covers. PIL
-        # remains the fallback for streams outside the clean-room scope
-        # (arithmetic coding, CMYK, ...).
+        # Dispatch by the frame's precision byte: 8-bit streams go to
+        # Pillow when importable (libjpeg speed); 12-bit SOF1/SOF2 —
+        # which PIL cannot open — and bindingless environments use the
+        # clean-room T.81 decoder (sources/jpeg.py: grayscale + YCbCr,
+        # sequential AND progressive Huffman, 8- and 12-bit).
         from hortacloud_importer_spark.sources.jpeg import (
             JpegParseError,
             decode_jpeg,
+            sniff_sof_precision,
         )
 
-        try:
-            return decode_jpeg(bytes(payload))[None, ...]
-        except JpegParseError as parse_exc:
+        use_clean = True
+        if sniff_sof_precision(bytes(payload)) == 8:
             try:
                 import PIL.Image  # noqa: F401
+
+                use_clean = False  # generic PIL tail below
             except ImportError:
-                # corrupt/out-of-scope stream and no binding: the parse
-                # error is the honest answer, not "needs codec"
-                raise parse_exc from None
-            # PIL present: fall through to the generic tail below
+                pass
+        if use_clean:
+            try:
+                return decode_jpeg(bytes(payload))[None, ...]
+            except JpegParseError as parse_exc:
+                try:
+                    import PIL.Image  # noqa: F401
+                except ImportError:
+                    # corrupt/out-of-scope stream and no binding: the
+                    # parse error is the honest answer, not "needs codec"
+                    raise parse_exc from None
+                # PIL present: fall through to the generic tail below
     if fmt == "png":
         try:
             import PIL.Image  # noqa: F401

@@ -1008,10 +1008,6 @@ class _Band:
         y_hi = min(self.oy + self.h, (self.my0 + by + 1) * self.cbh)
         return y_lo - self.oy, x_lo - self.ox, y_hi - y_lo, x_hi - x_lo
 
-    def block_dims(self, bx: int, by: int) -> tuple[int, int]:
-        _, _, h, w = self.block_rect(bx, by)
-        return h, w
-
 
 def _build_bands(
     h: int,
@@ -1095,7 +1091,9 @@ def _check_tile_geometry(
       (what scanners write) always satisfy this.
     """
     step = 1 << levels
-    if (xt < xsiz or yt < ysiz) and (xt % step or yt % step):
+    # per-axis: a stripe layout (xt >= xsiz) has every x-origin at 0,
+    # so only axes that actually tile need the alignment
+    if (xt < xsiz and xt % step) or (yt < ysiz and yt % step):
         raise err(
             f"tile grid {xt}x{yt} is not aligned to 2^levels={step}; "
             "canvas-coordinate subbands would desync"
@@ -1406,6 +1404,14 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         # materialize billions of rects before any tile data is read
         # (this decoder sits on the binaryFile ingest path)
         raise J2kParseError(f"{ntiles} tiles exceeds the 2^20 cap")
+    if xsiz * ysiz > 1 << 28:
+        # ~2 GiB of int64 per component plane; a crafted SIZ would
+        # otherwise OOM the executor before any tile data is checked.
+        # Genuinely larger slices need windowed decode, not this
+        # whole-image path.
+        raise J2kParseError(
+            f"{xsiz}x{ysiz} exceeds the 2^28-pixel in-memory decode cap"
+        )
     if len(siz) < 36 + 3 * nc:
         raise J2kParseError("SIZ shorter than its component table")
     depths, signs = [], []

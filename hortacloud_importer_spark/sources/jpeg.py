@@ -242,12 +242,19 @@ def _parse_segments(data: bytes, tables: _Tables):
                 raise JpegParseError("baseline (SOF0) must be 8-bit")
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
+            if nc == 0 or len(seg) < 6 + 3 * nc:
+                raise JpegParseError(f"SOF declares {nc} components")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
-                )
+                hs, vs = hv >> 4, hv & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    # T.81 B.2.2: Hi/Vi in 1..4; zero would divide by
+                    # zero in the geometry math downstream
+                    raise JpegParseError(
+                        f"component {cid} sampling {hs}x{vs} out of range"
+                    )
+                comps.append({"id": cid, "h": hs, "v": vs, "tq": tq})
             sof = {
                 "h": h,
                 "w": w,
@@ -314,6 +321,35 @@ def _cached_tables(stream: bytes) -> _Tables:
     t = _Tables()
     _parse_segments(stream, t)
     return t
+
+
+def sniff_sof_precision(data: bytes) -> int | None:
+    """Walk marker segments to the first SOF and return its precision
+    byte (8/12), or None if no SOF appears before the first scan/EOI.
+    A cheap header sniff for dispatch decisions (e.g. route 8-bit
+    streams to a native binding, 12-bit to the clean-room decoder) —
+    no table parsing, no validation."""
+    if data[:2] != b"\xff\xd8":
+        return None
+    pos, n = 2, len(data)
+    while pos + 1 < n:
+        if data[pos] != 0xFF:
+            return None
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD9, 0xDA):
+            return None
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > n:
+            return None
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return data[pos + 2] if pos + 2 < n else None
+        pos += seglen
+    return None
 
 
 def _frame_geometry(sof: dict):
@@ -676,6 +712,13 @@ def decode_jpeg(data: bytes, tables_stream: bytes | None = None) -> np.ndarray:
         raise JpegParseError("no SOF frame header before scan")
     if not scans:
         raise JpegParseError("no SOS scan in stream")
+    frame_ids = {c["id"] for c in sof["comps"]}
+    for hdr, _, _ in scans:
+        for s in hdr["comps"]:
+            if s["cs"] not in frame_ids:
+                raise JpegParseError(
+                    f"scan references component {s['cs']} not in the frame"
+                )
     hmax, vmax, _, _ = _frame_geometry(sof)
     if sof.get("progressive"):
         store = _decode_progressive(data, sof, scans)
