@@ -408,6 +408,75 @@ def scan_jp2_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_tiff_stack_12bit",
+    "A1+A2",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT z,
+       AVG(v) AS mean_intensity,
+       CAST(MIN(v) AS INTEGER) AS min_intensity,
+       CAST(MAX(v) AS INTEGER) AS max_intensity
+FROM (
+  SELECT t1.range AS z,
+         (173 * (t2.range + 1) * (t1.range + 2)) % 4093 AS v
+  FROM range(4) t1, range(4) t2
+)
+GROUP BY z
+""",
+)
+def scan_tiff_stack_12bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 over 12-bit JPEG-in-TIFF slices (BitsPerSample 12,
+    SOF1, Pq=1 DQT — the layout 12-bit scientific cameras write),
+    oracle-EXACT despite JPEG being lossy in general: every 8x8 block
+    of the fixture is constant, so its DCT is a lone DC coefficient
+    that survives quantize(1)/dequantize bit-exactly. Each 16x16
+    slice is a 2x2 grid of constant blocks with
+    v = (173*(b+1)*(z+2)) % 4093; the DuckDB oracle regenerates that
+    formula, so the per-slice mean (sum of 4 values / 4 — exact in
+    both engines) hashes only if the 12-bit decode chain is
+    bit-perfect."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import media_features
+    from hortacloud_importer_spark.sources.tiff import encode_tiff
+
+    workdir = tempfile.mkdtemp(prefix="tiff12_stack_")
+    for z in range(4):
+        page = np.zeros((16, 16), dtype=np.uint16)
+        for b in range(4):
+            by, bx = divmod(b, 2)
+            page[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                173 * (b + 1) * (z + 2)
+            ) % 4093
+        with open(f"{workdir}/default.0.{z:03d}.tif", "wb") as fh:
+            fh.write(encode_tiff(page[None, ...], compression="jpeg"))
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*.tif")
+        .select(
+            F.regexp_extract(F.col("path"), r"\.(\d{3})\.tif$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.lit("tiff").alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 16, 'width', 16, 'channels', 1,"
+                " 'sample_rate', 0, 'n_frames', 1)"
+            ).alias("meta"),
+        )
+    )
+    return media_features(media).select(
+        F.col("media_id").alias("z"),
+        "mean_intensity",
+        "min_intensity",
+        "max_intensity",
+    )
+
+
+@register(
     "scan_n5_datasource",
     "A1+A3+A4",
     oracle="""
