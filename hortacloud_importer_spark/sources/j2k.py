@@ -23,11 +23,17 @@ with no external codec:
   with the spec's ceil/floor subband size rules.
 - **Reversible color transform** (RCT, Annex G) and DC level shift.
 
-Honest gates (raised as :class:`J2kUnsupported`): multiple
-tile-parts per tile, layers > 1, the 9/7 irreversible transform,
-non-unit component subsampling, signed components, custom precincts,
-code-block style flags (bypass/reset/termall/vsc/segsym), the
-RGN/POC/PPM markers, and the PCRL progression. The
+Tile-parts (TPsot/TNsot — how Kakadu/OpenJPEG split a tile across
+SOT segments) reassemble by concatenation in TPsot order, with
+PLT/COM tile-part header markers skipped. All five progression
+orders decode (PCRL degenerates to CPRL's sequence under one
+precinct per tile-resolution).
+
+Honest gates (raised as :class:`J2kUnsupported`): layers > 1, the
+9/7 irreversible transform, non-unit component subsampling, signed
+components, custom precincts, code-block style flags
+(bypass/reset/termall/vsc/segsym), the RGN/POC/PPM/PPT markers, and
+per-tile COD/QCD overrides. The
 scope covers what a lossless microscopy slice store actually writes;
 everything else still routes to the optional OpenJPEG bindings in
 sources/jp2.py.
@@ -917,6 +923,7 @@ COD = 0xFF52
 COC = 0xFF53
 QCD = 0xFF5C
 QCC = 0xFF5D
+PLT = 0xFF58
 RGN = 0xFF5E
 POC = 0xFF5F
 PPM = 0xFF60
@@ -1062,12 +1069,14 @@ def _build_bands(
 
 def _packet_sequence(prog: int, nres: int, ncomp: int):
     """(resolution, component) visit order for single-layer,
-    single-precinct codestreams. LRCP/RLCP/RPCL are resolution-major,
-    CPRL is component-major; PCRL interleaves by spatial position and
-    is gated."""
+    single-precinct codestreams. LRCP/RLCP/RPCL are resolution-major;
+    CPRL is component-major. PCRL (position -> component ->
+    resolution) degenerates to CPRL's order here: with one precinct
+    per tile-resolution every precinct sits at the same position, so
+    only the c -> r tail of the loop nest survives."""
     if prog in (0, 1, 2):
         return [(r, c) for r in range(nres) for c in range(ncomp)]
-    if prog == 4:
+    if prog in (3, 4):
         return [(r, c) for c in range(ncomp) for r in range(nres)]
     raise J2kUnsupported(f"progression order {prog} is not supported")
 
@@ -1134,11 +1143,15 @@ def encode_j2k(
     mct: bool | None = None,
     prog: int = 0,
     tile: tuple[int, int] | None = None,
+    tile_parts: int = 1,
 ) -> bytes:
     """(h, w[, nc]) uint8/uint16 -> lossless (5/3) codestream.
     ``tile=(xt, yt)`` splits the image into an XTsiz x YTsiz grid of
     independently coded tiles (the layout real scanner JP2s use);
-    default is one tile covering the image. The fixture/roundtrip
+    default is one tile covering the image. ``tile_parts`` splits
+    each tile's packet stream across that many SOT segments at packet
+    boundaries (T.800 A.4.2 — how Kakadu/OpenJPEG emit per-resolution
+    tile-parts), capped at the packet count. The fixture/roundtrip
     writer dual of :func:`decode_j2k`; output is spec-shaped
     (markers, tag trees, MQ codewords), so any conforming decoder
     reads it."""
@@ -1216,13 +1229,24 @@ def encode_j2k(
             exps.append(depth + 2 + _BAND_GAIN[btype])
     spqcd = bytes(e << 3 for e in exps)
     out += struct.pack(">H", QCD) + struct.pack(">H", 3 + n_bands) + sqcd + spqcd
-    for isot, tbytes in enumerate(tiles):
-        psot = 12 + 2 + len(tbytes)
-        out += struct.pack(">H", SOT) + struct.pack(
-            ">HHIBB", 10, isot, psot, 0, 1
+    if tile_parts < 1:
+        raise J2kParseError(f"tile_parts must be >= 1, not {tile_parts}")
+    for isot, packets in enumerate(tiles):
+        nparts = max(1, min(tile_parts, len(packets)))
+        per = -(-len(packets) // nparts) if packets else 0
+        groups = (
+            [packets[i : i + per] for i in range(0, len(packets), per)]
+            if packets
+            else [[]]
         )
-        out += struct.pack(">H", SOD)
-        out += tbytes
+        for tpsot, group in enumerate(groups):
+            body = b"".join(group)
+            psot = 12 + 2 + len(body)
+            out += struct.pack(">H", SOT) + struct.pack(
+                ">HHIBB", 10, isot, psot, tpsot, len(groups)
+            )
+            out += struct.pack(">H", SOD)
+            out += body
     out += struct.pack(">H", EOC)
     return bytes(out)
 
@@ -1283,8 +1307,9 @@ def _encode_tile(
                 band.incl.finalize()
                 band.msb.finalize()
 
-    # packets
-    tile = bytearray()
+    # packets (returned individually so the caller can split the tile
+    # into tile-parts at packet boundaries, T.800 A.4.2)
+    packets: list[bytes] = []
     nres = levels + 1
     for r, c in _packet_sequence(prog, nres, nc):
         wr = PackBitWriter()
@@ -1298,7 +1323,7 @@ def _encode_tile(
         )
         if not any_incl:
             wr.put(0)
-            tile += wr.flush()
+            packets.append(wr.flush())
             continue
         wr.put(1)
         for bi, band in enumerate(blist):
@@ -1322,9 +1347,9 @@ def _encode_tile(
                     band.lblock[by * band.ncx + bx] = lb
                     wr.put_bits(len(data), lb + k)
                     body += data
-        tile += wr.flush() + body
+        packets.append(wr.flush() + bytes(body))
 
-    return bytes(tile)
+    return packets
 
 
 # ------------------------------------------------------------ decoder
@@ -1455,11 +1480,16 @@ def _decode_j2k(data: bytes) -> np.ndarray:
 
     _check_tile_geometry(xsiz, ysiz, xt, yt, levels, J2kUnsupported)
 
-    # tile loop — each SOT/SOD tile-part is an independent DWT domain
-    # placed into its grid rectangle (tiles may appear in any order)
+    # tile-part loop — collect every SOT..SOD..data segment (parts of
+    # one tile may interleave with other tiles and arrive in any
+    # order), then decode each tile from its TPsot-ordered
+    # concatenation: T.800 A.4.2 splits a tile's packet stream across
+    # tile-parts at packet boundaries, so the concatenation is the
+    # original stream. Informational tile-part header markers
+    # (PLT/COM) are skipped; PPT (packed headers) gates.
     rects = _tile_rects(xsiz, ysiz, xt, yt)
     planes = [np.zeros((ysiz, xsiz), dtype=np.int64) for _ in range(nc)]
-    seen: set[int] = set()
+    parts: dict[int, list[tuple[int, bytes]]] = {}
     while True:
         if pos + 2 > len(data):
             raise J2kParseError("codestream ends without EOC")
@@ -1470,19 +1500,46 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         )
         if marker != SOT or lsot != 10:
             raise J2kParseError(f"expected SOT at offset {pos}")
-        if tpsot != 0 or tnsot not in (0, 1):
-            raise J2kUnsupported("multiple tile-parts per tile")
-        if isot >= len(rects) or isot in seen:
+        if isot >= len(rects):
             raise J2kParseError(f"bad tile index {isot}")
-        sod_at = pos + 12
-        if data[sod_at : sod_at + 2] != b"\xff\x93":
-            raise J2kUnsupported(
-                "tile-part header markers are not supported"
+        if tnsot and tpsot >= tnsot:
+            raise J2kParseError(
+                f"tile {isot}: TPsot {tpsot} >= TNsot {tnsot}"
             )
+        sod_at = pos + 12
+        while data[sod_at : sod_at + 2] != b"\xff\x93":  # until SOD
+            if sod_at + 4 > len(data):
+                raise J2kParseError("tile-part header ends without SOD")
+            (tmarker,) = struct.unpack(">H", data[sod_at : sod_at + 2])
+            (tlen,) = struct.unpack(">H", data[sod_at + 2 : sod_at + 4])
+            if tmarker in (PLT, COM):
+                sod_at += 2 + tlen  # informational: skip
+            else:
+                # COD/QCD/COC/QCC overrides or PPT would change decode
+                # semantics; anything else here is out of scope
+                raise J2kUnsupported(
+                    f"tile-part header marker 0x{tmarker:04x} "
+                    "is not supported"
+                )
         tile_end = pos + psot if psot else len(data) - 2
+        parts.setdefault(isot, []).append(
+            (tpsot, data[sod_at + 2 : tile_end])
+        )
+        pos = tile_end
+    if len(parts) != len(rects):
+        raise J2kParseError(
+            f"codestream holds {len(parts)} of {len(rects)} tiles"
+        )
+    for isot, plist in parts.items():
+        plist.sort(key=lambda t: t[0])
+        if [t[0] for t in plist] != list(range(len(plist))):
+            raise J2kParseError(
+                f"tile {isot}: tile-part indexes "
+                f"{[t[0] for t in plist]} are not contiguous from 0"
+            )
         x0, y0, x1, y1 = rects[isot]
         tplanes = _decode_tile_planes(
-            data[sod_at + 2 : tile_end],
+            b"".join(t[1] for t in plist),
             y1 - y0,
             x1 - x0,
             nc,
@@ -1500,12 +1557,6 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         )
         for ci in range(nc):
             planes[ci][y0:y1, x0:x1] = tplanes[ci]
-        seen.add(isot)
-        pos = tile_end
-    if len(seen) != len(rects):
-        raise J2kParseError(
-            f"codestream holds {len(seen)} of {len(rects)} tiles"
-        )
 
     if mct == 1:
         if nc < 3:

@@ -326,8 +326,8 @@ def test_multitile_out_of_order_and_coverage():
     with pytest.raises(J2kParseError, match="3 of 4 tiles"):
         decode_j2k(head + b"".join(sots[:3]) + b"\xff\xd9")
 
-    # a duplicated tile index is a hard error
-    with pytest.raises(J2kParseError, match="bad tile index"):
+    # a duplicated tile-part (same isot, same tpsot) is a hard error
+    with pytest.raises(J2kParseError, match="not contiguous"):
         decode_j2k(head + b"".join(sots + [sots[0]]) + b"\xff\xd9")
 
 
@@ -352,3 +352,46 @@ def test_anchored_block_partition_and_alignment_gate():
     img = np.zeros((64, 64), dtype=np.uint8)
     with pytest.raises(J2kParseError, match="aligned to 2\\^levels"):
         encode_j2k(img, tile=(27, 40), levels=3)
+
+
+def test_tile_parts_and_pcrl():
+    """Tile-parts (T.800 A.4.2): a tile's packet stream split across
+    SOT segments reassembles by TPsot-ordered concatenation; PLT in
+    a tile-part header is skipped; missing parts hard-error; PCRL
+    decodes via the degenerate single-precinct sequence."""
+    rng = np.random.default_rng(23)
+    a = rng.integers(0, 65535, (60, 90), dtype=np.uint16)
+    for tp in (2, 3, 99):
+        out = decode_j2k(encode_j2k(a, levels=2, tile_parts=tp))
+        assert np.array_equal(out[:, :, 0], a), tp
+    img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    out = decode_j2k(encode_j2k(img, tile=(32, 32), tile_parts=2))
+    assert np.array_equal(out, img)
+    out = decode_j2k(encode_j2k(a, levels=2, prog=3))  # PCRL
+    assert np.array_equal(out[:, :, 0], a)
+
+    # PLT (informational packet lengths) in the tile-part header
+    enc = encode_j2k(a, levels=1)
+    i = enc.find(b"\xff\x90")
+    plt = b"\xff\x58" + struct.pack(">H", 4) + b"\x00\x05"
+    psot = struct.unpack(">I", enc[i + 6 : i + 10])[0]
+    patched = bytearray(enc[: i + 12] + plt + enc[i + 12 :])
+    struct.pack_into(">I", patched, i + 6, psot + len(plt))
+    assert np.array_equal(decode_j2k(bytes(patched))[:, :, 0], a)
+
+    # dropping a middle tile-part is a contiguity parse error
+    enc3 = encode_j2k(a, levels=2, tile_parts=3)
+    sots = []
+    p = enc3.find(b"\xff\x90")
+    while p != -1:
+        ps = struct.unpack(">I", enc3[p + 6 : p + 10])[0]
+        sots.append((p, ps))
+        p = enc3.find(b"\xff\x90", p + ps)
+    assert len(sots) == 3
+    cut = (
+        enc3[: sots[1][0]]
+        + enc3[sots[2][0] : sots[2][0] + sots[2][1]]
+        + b"\xff\xd9"
+    )
+    with pytest.raises(J2kParseError, match="not contiguous"):
+        decode_j2k(cut)
