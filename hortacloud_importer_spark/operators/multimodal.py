@@ -109,6 +109,13 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
             from hortacloud_importer_spark.sources.png import decode_png
 
             return decode_png(bytes(payload))[None, ...]
+    if fmt == "wav":
+        # clean-room RIFF/WAVE parser (sources/wav.py): integer PCM
+        # and IEEE float, any rate/channel count; compressed tags gate
+        from hortacloud_importer_spark.sources.wav import decode_wav
+
+        samples, _rate = decode_wav(bytes(payload))
+        return samples[None, None, :, :]  # (1 frame, 1, n, channels)
     if fmt in ("jp2", "j2k"):
         # clean-room lossless JPEG 2000 (sources/j2k.py) with the
         # glymur/imageio/PIL fallback chain inside decode_jp2
@@ -216,11 +223,31 @@ def media_features(media: DataFrame) -> DataFrame:
                 # samples bin over the item's own power-of-two dynamic
                 # range — a fixed >> 12 would put every pixel of a
                 # 12-bit (or dim 16-bit microscopy) item into bin 0.
-                if arr.dtype.itemsize == 1:
-                    shift = 4
+                if np.issubdtype(arr.dtype, np.floating):
+                    # float audio: 16 bins over [-1, 1)
+                    binned = np.clip(
+                        ((arr.ravel() + 1.0) * 8.0), 0, 15
+                    ).astype(np.int64)
+                    hist = np.bincount(binned, minlength=16)
+                elif np.issubdtype(arr.dtype, np.signedinteger):
+                    # signed PCM: 16 bins over the symmetric dynamic
+                    # range of the item (power-of-two ceiling)
+                    peak = int(np.abs(arr).max(initial=0))
+                    span = max(256, 1 << peak.bit_length())
+                    binned = np.clip(
+                        (arr.ravel().astype(np.int64) + span) * 8 // span,
+                        0,
+                        15,
+                    )
+                    hist = np.bincount(binned, minlength=16)
                 else:
-                    shift = max(4, int(arr.max(initial=0)).bit_length() - 4)
-                hist = np.bincount(arr.ravel() >> shift, minlength=16)
+                    if arr.dtype.itemsize == 1:
+                        shift = 4
+                    else:
+                        shift = max(
+                            4, int(arr.max(initial=0)).bit_length() - 4
+                        )
+                    hist = np.bincount(arr.ravel() >> shift, minlength=16)
                 out.append(
                     {
                         "media_id": int(row.media_id),

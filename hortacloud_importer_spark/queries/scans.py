@@ -477,6 +477,69 @@ def scan_tiff_stack_12bit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_wav_stack",
+    "A1+K4",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT z,
+       AVG(v) AS mean_amplitude,
+       CAST(MIN(v) AS INTEGER) AS min_amplitude,
+       CAST(MAX(v) AS INTEGER) AS max_amplitude
+FROM (
+  SELECT t1.range AS z,
+         ((t2.range * (t1.range + 1) * 37) % 4001) - 2000 AS v
+  FROM range(4) t1, range(256) t2
+)
+GROUP BY z
+""",
+)
+def scan_wav_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 audio over REAL WAV containers, oracle-exact: four mono
+    16-bit PCM files with v = ((i*(z+1)*37) % 4001) - 2000 are
+    written (sources/wav.py), ingested via binaryFile, and decoded
+    through the executor media kernel; the DuckDB oracle regenerates
+    the sample formula. AVG over 256 samples is sum/2^8 — bit-exact
+    in both engines, so a parse or sign-extension bug anywhere in
+    the RIFF chain breaks the hash."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import media_features
+    from hortacloud_importer_spark.sources.wav import encode_wav
+
+    workdir = tempfile.mkdtemp(prefix="wav_stack_")
+    for z in range(4):
+        v = (
+            (np.arange(256, dtype=np.int64) * (z + 1) * 37) % 4001 - 2000
+        ).astype(np.int16)
+        with open(f"{workdir}/clip.{z:03d}.wav", "wb") as fh:
+            fh.write(encode_wav(v, rate=16000))
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*.wav")
+        .select(
+            F.regexp_extract(F.col("path"), r"\.(\d{3})\.wav$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("audio").alias("kind"),
+            F.lit("wav").alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 1, 'width', 256, 'channels', 1,"
+                " 'sample_rate', 16000, 'n_frames', 1)"
+            ).alias("meta"),
+        )
+    )
+    return media_features(media).select(
+        F.col("media_id").alias("z"),
+        F.col("mean_intensity").alias("mean_amplitude"),
+        F.col("min_intensity").alias("min_amplitude"),
+        F.col("max_intensity").alias("max_amplitude"),
+    )
+
+
+@register(
     "scan_n5_datasource",
     "A1+A3+A4",
     oracle="""

@@ -1,0 +1,142 @@
+"""Clean-room WAV (RIFF/WAVE) codec for the multimodal audio hook
+(SURVEY.md §2.K4).
+
+The media model treats audio as an opaque binary payload with typed
+metadata; until now only raw PCM bytes (``raw8``) decoded. WAV is the
+container real audio corpora actually arrive in, and its format is
+fully public (the RIFF/WAVE layout from the Microsoft/IBM multimedia
+programming specification): a ``RIFF``/``WAVE`` header followed by
+tagged chunks, of which ``fmt `` carries the sample layout and
+``data`` the PCM frames.
+
+Scope: integer PCM (format tag 1) and IEEE float (tag 3), 8-bit
+unsigned / 16-bit / 24-bit / 32-bit signed little-endian, any channel
+count and sample rate; WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) resolves
+through its SubFormat GUID. Compressed formats (ADPCM, MP3-in-WAV,
+a-law/mu-law) raise :class:`WavParseError` naming the tag — the same
+honest-gate contract as every codec in this repo.
+
+Decode returns ``(samples, channels)`` int32/float32 plus the sample
+rate; the encoder is the fixture/writer dual. Both run per-file
+inside executor kernels (``mapInPandas``), the same granularity as
+the image codecs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class WavParseError(ValueError):
+    pass
+
+
+_PCM_DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
+# first 2 bytes of the EXTENSIBLE SubFormat GUID = the format tag
+_TAG_PCM, _TAG_FLOAT, _TAG_EXTENSIBLE = 1, 3, 0xFFFE
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> ((n_samples, n_channels) array, sample_rate).
+
+    8-bit PCM returns uint8 (its native unsigned form), 16/24/32-bit
+    PCM return int32, float returns float32 — no level shifting or
+    normalization, callers get raw sample values.
+    """
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise WavParseError("not a RIFF/WAVE stream")
+    pos, end = 12, len(data)
+    fmt = None
+    pcm = None
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            # a truncated final data chunk is common in the wild;
+            # accept a short data chunk, reject short metadata
+            if cid == b"data":
+                body = body[: len(body)]
+            else:
+                raise WavParseError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            if clen < 16:
+                raise WavParseError("fmt chunk shorter than 16 bytes")
+            tag, nch, rate, _brate, _balign, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if tag == _TAG_EXTENSIBLE:
+                if clen < 26:
+                    raise WavParseError("EXTENSIBLE fmt without SubFormat")
+                (tag,) = struct.unpack("<H", body[24:26])
+            fmt = (tag, nch, rate, bits)
+        elif cid == b"data":
+            pcm = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None:
+        raise WavParseError("no fmt chunk")
+    if pcm is None:
+        raise WavParseError("no data chunk")
+    tag, nch, rate, bits = fmt
+    if nch < 1:
+        raise WavParseError("zero channels")
+    if tag == _TAG_FLOAT:
+        if bits != 32:
+            raise WavParseError(f"float WAV must be 32-bit, not {bits}")
+        arr = np.frombuffer(pcm, dtype="<f4").astype(np.float32)
+    elif tag == _TAG_PCM:
+        if bits == 24:
+            b = np.frombuffer(pcm, dtype=np.uint8)
+            b = b[: len(b) - len(b) % 3].reshape(-1, 3).astype(np.int32)
+            arr = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            arr = (arr << 8) >> 8  # sign-extend 24 -> 32
+        elif bits in _PCM_DTYPES:
+            arr = np.frombuffer(pcm, dtype=_PCM_DTYPES[bits])
+            if bits != 8:
+                arr = arr.astype(np.int32)
+        else:
+            raise WavParseError(f"{bits}-bit PCM unsupported")
+    else:
+        raise WavParseError(
+            f"WAV format tag {tag} needs an audio codec (PCM and "
+            "IEEE-float decode built in)"
+        )
+    n = len(arr) - len(arr) % nch
+    return arr[:n].reshape(-1, nch), rate
+
+
+def encode_wav(
+    samples: np.ndarray, rate: int = 16000
+) -> bytes:
+    """(n[, channels]) uint8/int16/int32/float32 -> WAV bytes — the
+    fixture/writer dual of :func:`decode_wav`."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.ndim != 2:
+        raise WavParseError("samples must be (n,) or (n, channels)")
+    n, nch = samples.shape
+    if samples.dtype == np.uint8:
+        tag, bits, raw = _TAG_PCM, 8, samples.astype(np.uint8)
+    elif samples.dtype == np.int16:
+        tag, bits, raw = _TAG_PCM, 16, samples.astype("<i2")
+    elif samples.dtype == np.int32:
+        tag, bits, raw = _TAG_PCM, 32, samples.astype("<i4")
+    elif samples.dtype == np.float32:
+        tag, bits, raw = _TAG_FLOAT, 32, samples.astype("<f4")
+    else:
+        raise WavParseError(f"unsupported sample dtype {samples.dtype}")
+    pcm = raw.tobytes()
+    balign = nch * bits // 8
+    fmt = struct.pack("<HHIIHH", tag, nch, rate, rate * balign, balign, bits)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body

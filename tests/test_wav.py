@@ -1,0 +1,117 @@
+"""Clean-room WAV codec (sources/wav.py): RIFF chunk walk, PCM and
+float decode, sign extension, EXTENSIBLE resolution, honest gates —
+the K4 audio leg of the multimodal column model."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from hortacloud_importer_spark.sources.wav import (
+    WavParseError,
+    decode_wav,
+    encode_wav,
+)
+
+
+def _container(fmt_body: bytes, pcm: bytes) -> bytes:
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt_body))
+        + fmt_body
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_pcm_roundtrips_all_widths():
+    rng = np.random.default_rng(0)
+    s16 = rng.integers(-32768, 32767, (1000, 2)).astype(np.int16)
+    out, rate = decode_wav(encode_wav(s16, rate=44100))
+    assert rate == 44100 and np.array_equal(out, s16.astype(np.int32))
+
+    s8 = rng.integers(0, 255, 500).astype(np.uint8)
+    out, _ = decode_wav(encode_wav(s8))
+    assert out.dtype == np.uint8 and np.array_equal(out[:, 0], s8)
+
+    s32 = rng.integers(-(2**31), 2**31 - 1, 100).astype(np.int32)
+    out, _ = decode_wav(encode_wav(s32))
+    assert np.array_equal(out[:, 0], s32)
+
+    f = rng.normal(0, 0.3, (300, 1)).astype(np.float32)
+    out, _ = decode_wav(encode_wav(f))
+    assert out.dtype == np.float32 and np.array_equal(out, f)
+
+
+def test_24bit_sign_extension():
+    vals = np.array(
+        [0, 1, -1, 8388607, -8388608, 123456, -123456], dtype=np.int32
+    )
+    pcm = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000 * 3, 3, 24)
+    out, rate = decode_wav(_container(fmt, pcm))
+    assert rate == 8000
+    assert np.array_equal(out[:, 0], vals)
+
+
+def test_extensible_subformat_resolves():
+    fmt = (
+        struct.pack("<HHIIHH", 0xFFFE, 1, 8000, 16000, 2, 16)
+        + struct.pack("<HHI", 22, 16, 0)
+        + struct.pack("<H", 1)
+        + b"\x00" * 14
+    )
+    pcm = np.array([5, -5, 100], dtype="<i2").tobytes()
+    out, _ = decode_wav(_container(fmt, pcm))
+    assert np.array_equal(out[:, 0], [5, -5, 100])
+
+
+def test_gates_and_malformed():
+    with pytest.raises(WavParseError, match="RIFF"):
+        decode_wav(b"nope")
+    # mu-law (tag 7) gates by name
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    with pytest.raises(WavParseError, match="tag 7"):
+        decode_wav(_container(fmt, b"\x00\x00"))
+    # missing data chunk
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 8000, 16000, 2, 16
+    )
+    with pytest.raises(WavParseError, match="no data"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # odd-length chunk word alignment: a 3-byte LIST chunk pads to 4
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    pcm = np.array([7, -7], dtype="<i2").tobytes()
+    body = (
+        b"WAVE"
+        + b"LIST"
+        + struct.pack("<I", 3)
+        + b"abc\x00"  # pad byte
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(pcm))
+        + pcm
+    )
+    out, _ = decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    assert np.array_equal(out[:, 0], [7, -7])
+
+
+def test_media_kernel_decodes_wav():
+    from hortacloud_importer_spark.operators.multimodal import _decode_one
+
+    s = np.array([[100, -100], [7, 8]], dtype=np.int16)
+    arr = _decode_one(
+        "wav",
+        encode_wav(s, rate=8000),
+        {"height": 1, "width": 2, "channels": 2,
+         "sample_rate": 8000, "n_frames": 1},
+    )
+    assert arr.shape == (1, 1, 2, 2)
+    assert np.array_equal(arr[0, 0], s.astype(np.int32))
