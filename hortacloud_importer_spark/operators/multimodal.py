@@ -219,21 +219,40 @@ def media_features(media: DataFrame) -> DataFrame:
             out = []
             for row in pdf.itertuples():
                 arr = _decode_one(row.format, bytes(row.payload), row.meta)
+                if arr.size == 0:
+                    # a legal container with an empty data chunk:
+                    # zero features, not a reduction crash
+                    out.append(
+                        {
+                            "media_id": int(row.media_id),
+                            "n_bytes": 0,
+                            "mean_intensity": 0.0,
+                            "min_intensity": 0,
+                            "max_intensity": 0,
+                            "hist16": np.zeros(16, dtype=np.int64),
+                        }
+                    )
+                    continue
                 # 16 bins. uint8 keeps fixed [0,256) bins (>> 4); wider
                 # samples bin over the item's own power-of-two dynamic
                 # range — a fixed >> 12 would put every pixel of a
                 # 12-bit (or dim 16-bit microscopy) item into bin 0.
                 if np.issubdtype(arr.dtype, np.floating):
-                    # float audio: 16 bins over [-1, 1)
+                    # float audio: 16 bins over [-1, 1); NaN -> bin 0
                     binned = np.clip(
-                        ((arr.ravel() + 1.0) * 8.0), 0, 15
+                        np.nan_to_num((arr.ravel() + 1.0) * 8.0), 0, 15
                     ).astype(np.int64)
                     hist = np.bincount(binned, minlength=16)
                 elif np.issubdtype(arr.dtype, np.signedinteger):
                     # signed PCM: 16 bins over the symmetric dynamic
-                    # range of the item (power-of-two ceiling)
-                    peak = int(np.abs(arr).max(initial=0))
-                    span = max(256, 1 << peak.bit_length())
+                    # range of the item. Peak in int64 (abs(INT32_MIN)
+                    # overflows in int32); span is the power-of-two
+                    # CEILING, so an exact power-of-two peak keeps its
+                    # own span (32768 -> 32768, not 65536).
+                    peak = int(
+                        np.abs(arr.astype(np.int64)).max(initial=0)
+                    )
+                    span = max(256, 1 << (peak - 1).bit_length()) if peak else 256
                     binned = np.clip(
                         (arr.ravel().astype(np.int64) + span) * 8 // span,
                         0,
@@ -248,13 +267,16 @@ def media_features(media: DataFrame) -> DataFrame:
                             4, int(arr.max(initial=0)).bit_length() - 4
                         )
                     hist = np.bincount(arr.ravel() >> shift, minlength=16)
+                stat = arr
+                if np.issubdtype(arr.dtype, np.floating):
+                    stat = np.nan_to_num(arr)  # NaN -> 0 in the stats
                 out.append(
                     {
                         "media_id": int(row.media_id),
                         "n_bytes": int(arr.size),
-                        "mean_intensity": float(arr.mean()),
-                        "min_intensity": int(arr.min()),
-                        "max_intensity": int(arr.max()),
+                        "mean_intensity": float(stat.mean()),
+                        "min_intensity": int(stat.min()),
+                        "max_intensity": int(stat.max()),
                         "hist16": hist.astype(np.int64),
                     }
                 )

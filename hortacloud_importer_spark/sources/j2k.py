@@ -1174,6 +1174,8 @@ def encode_j2k(
     xt, yt = tile if tile else (w, h)
     if xt < 1 or yt < 1:
         raise J2kParseError(f"invalid tile size {tile}")
+    if tile_parts < 1:
+        raise J2kParseError(f"tile_parts must be >= 1, not {tile_parts}")
     _check_tile_geometry(w, h, xt, yt, levels, J2kParseError)
 
     planes = [img[:, :, c].astype(np.int64) - (1 << (depth - 1)) for c in range(nc)]
@@ -1229,8 +1231,6 @@ def encode_j2k(
             exps.append(depth + 2 + _BAND_GAIN[btype])
     spqcd = bytes(e << 3 for e in exps)
     out += struct.pack(">H", QCD) + struct.pack(">H", 3 + n_bands) + sqcd + spqcd
-    if tile_parts < 1:
-        raise J2kParseError(f"tile_parts must be >= 1, not {tile_parts}")
     for isot, packets in enumerate(tiles):
         nparts = max(1, min(tile_parts, len(packets)))
         per = -(-len(packets) // nparts) if packets else 0
@@ -1263,10 +1263,12 @@ def _encode_tile(
     prog: int,
     x0: int = 0,
     y0: int = 0,
-) -> bytes:
+) -> list[bytes]:
     """Tier-1 + Tier-2 encode one tile's (already level-shifted /
-    MCT'd) component planes into its packet byte stream. ``(x0, y0)``
-    is the tile's canvas origin (anchors the code-block partition)."""
+    MCT'd) component planes into its packet stream, returned one
+    bytes object PER PACKET so the caller can split tile-parts at
+    packet boundaries. ``(x0, y0)`` is the tile's canvas origin
+    (anchors the code-block partition)."""
     comps = []
     for plane in planes:
         pyr = dwt_forward(plane, levels)

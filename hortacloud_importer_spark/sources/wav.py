@@ -54,13 +54,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         cid = data[pos : pos + 4]
         (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + clen]
-        if len(body) != clen:
-            # a truncated final data chunk is common in the wild;
-            # accept a short data chunk, reject short metadata
-            if cid == b"data":
-                body = body[: len(body)]
-            else:
-                raise WavParseError(f"truncated {cid!r} chunk")
+        if len(body) != clen and cid != b"data":
+            # a truncated final data chunk is common in the wild and
+            # is trimmed to whole samples below; short metadata is not
+            raise WavParseError(f"truncated {cid!r} chunk")
         if cid == b"fmt ":
             if clen < 16:
                 raise WavParseError("fmt chunk shorter than 16 bytes")
@@ -82,6 +79,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     tag, nch, rate, bits = fmt
     if nch < 1:
         raise WavParseError("zero channels")
+    if bits % 8 or not bits:
+        raise WavParseError(f"{bits}-bit samples unsupported")
+    # trim a mid-sample truncation to whole samples (every width)
+    pcm = pcm[: len(pcm) - len(pcm) % (bits // 8)]
     if tag == _TAG_FLOAT:
         if bits != 32:
             raise WavParseError(f"float WAV must be 32-bit, not {bits}")
@@ -89,7 +90,7 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     elif tag == _TAG_PCM:
         if bits == 24:
             b = np.frombuffer(pcm, dtype=np.uint8)
-            b = b[: len(b) - len(b) % 3].reshape(-1, 3).astype(np.int32)
+            b = b.reshape(-1, 3).astype(np.int32)
             arr = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
             arr = (arr << 8) >> 8  # sign-extend 24 -> 32
         elif bits in _PCM_DTYPES:
