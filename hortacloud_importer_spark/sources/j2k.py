@@ -27,10 +27,13 @@ Tile-parts (TPsot/TNsot — how Kakadu/OpenJPEG split a tile across
 SOT segments) reassemble by concatenation in TPsot order, with
 PLT/COM tile-part header markers skipped. All five progression
 orders decode (PCRL degenerates to CPRL's sequence under one
-precinct per tile-resolution).
+precinct per tile-resolution). Quality layers decode for any layer
+count: per-block contributions accumulate across packets (layered
+inclusion tag-tree thresholds, Lblock growth, chunked codewords)
+and Tier-1 runs once per block on the concatenation.
 
-Honest gates (raised as :class:`J2kUnsupported`): layers > 1, the
-9/7 irreversible transform, non-unit component subsampling, signed
+Honest gates (raised as :class:`J2kUnsupported`): the 9/7
+irreversible transform, non-unit component subsampling, signed
 components, custom precincts, code-block style flags
 (bypass/reset/termall/vsc/segsym), the RGN/POC/PPM/PPT markers, and
 per-tile COD/QCD overrides. The
@@ -1005,6 +1008,9 @@ class _Band:
         self.msb = TagTree(self.ncx or 1, self.ncy or 1)
         self.lblock = [3] * n
         self.coeffs = None  # decoder: np array filled per block
+        # decoder: block index -> [missing-planes p, total passes,
+        # list of codeword chunks] accumulated across quality layers
+        self.contrib: dict[int, list] = {}
 
     def block_rect(self, bx: int, by: int) -> tuple[int, int, int, int]:
         """(y0, x0, h, w) of code-block (bx, by) in band-LOCAL
@@ -1067,17 +1073,41 @@ def _build_bands(
     return out
 
 
-def _packet_sequence(prog: int, nres: int, ncomp: int):
-    """(resolution, component) visit order for single-layer,
-    single-precinct codestreams. LRCP/RLCP/RPCL are resolution-major;
-    CPRL is component-major. PCRL (position -> component ->
-    resolution) degenerates to CPRL's order here: with one precinct
-    per tile-resolution every precinct sits at the same position, so
-    only the c -> r tail of the loop nest survives."""
-    if prog in (0, 1, 2):
-        return [(r, c) for r in range(nres) for c in range(ncomp)]
-    if prog in (3, 4):
-        return [(r, c) for c in range(ncomp) for r in range(nres)]
+def _packet_sequence(prog: int, nres: int, ncomp: int, nlayers: int = 1):
+    """(layer, resolution, component) visit order for single-precinct
+    codestreams (one packet per element). The five T.800 progressions
+    collapse to their layer/resolution/component loop nests here:
+    PCRL (position -> component -> resolution -> layer) degenerates
+    to CPRL's order because with one precinct per tile-resolution
+    every precinct sits at the same position."""
+    if prog == 0:  # LRCP
+        return [
+            (l, r, c)
+            for l in range(nlayers)
+            for r in range(nres)
+            for c in range(ncomp)
+        ]
+    if prog == 1:  # RLCP
+        return [
+            (l, r, c)
+            for r in range(nres)
+            for l in range(nlayers)
+            for c in range(ncomp)
+        ]
+    if prog == 2:  # RPCL
+        return [
+            (l, r, c)
+            for r in range(nres)
+            for c in range(ncomp)
+            for l in range(nlayers)
+        ]
+    if prog in (3, 4):  # PCRL (degenerate), CPRL
+        return [
+            (l, r, c)
+            for c in range(ncomp)
+            for r in range(nres)
+            for l in range(nlayers)
+        ]
     raise J2kUnsupported(f"progression order {prog} is not supported")
 
 
@@ -1144,6 +1174,7 @@ def encode_j2k(
     prog: int = 0,
     tile: tuple[int, int] | None = None,
     tile_parts: int = 1,
+    layers: int = 1,
 ) -> bytes:
     """(h, w[, nc]) uint8/uint16 -> lossless (5/3) codestream.
     ``tile=(xt, yt)`` splits the image into an XTsiz x YTsiz grid of
@@ -1151,7 +1182,9 @@ def encode_j2k(
     default is one tile covering the image. ``tile_parts`` splits
     each tile's packet stream across that many SOT segments at packet
     boundaries (T.800 A.4.2 — how Kakadu/OpenJPEG emit per-resolution
-    tile-parts), capped at the packet count. The fixture/roundtrip
+    tile-parts), capped at the packet count. ``layers`` emits that
+    many quality layers (blocks assigned round-robin, each fully in
+    its first-inclusion packet). The fixture/roundtrip
     writer dual of :func:`decode_j2k`; output is spec-shaped
     (markers, tag trees, MQ codewords), so any conforming decoder
     reads it."""
@@ -1176,6 +1209,8 @@ def encode_j2k(
         raise J2kParseError(f"invalid tile size {tile}")
     if tile_parts < 1:
         raise J2kParseError(f"tile_parts must be >= 1, not {tile_parts}")
+    if not 1 <= layers <= 65535:
+        raise J2kParseError(f"layers must be 1..65535, not {layers}")
     _check_tile_geometry(w, h, xt, yt, levels, J2kParseError)
 
     planes = [img[:, :, c].astype(np.int64) - (1 << (depth - 1)) for c in range(nc)]
@@ -1200,6 +1235,7 @@ def encode_j2k(
                 prog,
                 x0,
                 y0,
+                layers,
             )
         )
 
@@ -1220,7 +1256,7 @@ def encode_j2k(
         0,  # code-block style: none of the Part-1 mode flags
         1,  # transformation: 5/3 reversible
     )
-    cod = struct.pack(">HBBHB", 12, 0, prog, 1, 1 if mct else 0) + spcod
+    cod = struct.pack(">HBBHB", 12, 0, prog, layers, 1 if mct else 0) + spcod
     out += struct.pack(">H", COD) + cod
     nres = levels + 1
     n_bands = 3 * levels + 1
@@ -1263,12 +1299,16 @@ def _encode_tile(
     prog: int,
     x0: int = 0,
     y0: int = 0,
+    nlayers: int = 1,
 ) -> list[bytes]:
     """Tier-1 + Tier-2 encode one tile's (already level-shifted /
     MCT'd) component planes into its packet stream, returned one
     bytes object PER PACKET so the caller can split tile-parts at
     packet boundaries. ``(x0, y0)`` is the tile's canvas origin
-    (anchors the code-block partition)."""
+    (anchors the code-block partition). With ``nlayers > 1`` blocks
+    are assigned round-robin to quality layers, each carrying all of
+    its passes in its first-inclusion packet — a spec-shaped layered
+    stream that exercises per-layer inclusion coding."""
     comps = []
     for plane in planes:
         pyr = dwt_forward(plane, levels)
@@ -1281,8 +1321,11 @@ def _encode_tile(
             bands[r][2].coeffs = hh
         comps.append(bands)
 
-    # Tier-1 encode every block; build inclusion/msb trees
-    encoded: dict[tuple, tuple[bytes, int]] = {}
+    # Tier-1 encode every block; build inclusion/msb trees. The
+    # inclusion tag-tree value is the block's first-inclusion layer
+    # (nlayers = never included), assigned round-robin over blocks.
+    encoded: dict[tuple, tuple[bytes, int, int]] = {}
+    gidx = 0
     for c, bands in enumerate(comps):
         for r, blist in enumerate(bands):
             for bi, band in enumerate(blist):
@@ -1300,12 +1343,18 @@ def _encode_tile(
                                 f"block needs {nplanes} planes, Mb={band.mb}"
                             )
                         if nplanes == 0:
-                            band.incl.set_value(bx, by, 1)  # never included
+                            band.incl.set_value(bx, by, nlayers)
                             band.msb.set_value(bx, by, 0)
                         else:
-                            band.incl.set_value(bx, by, 0)
+                            lyr = gidx % nlayers
+                            gidx += 1
+                            band.incl.set_value(bx, by, lyr)
                             band.msb.set_value(bx, by, band.mb - nplanes)
-                            encoded[(c, r, bi, bx, by)] = (data, npasses)
+                            encoded[(c, r, bi, bx, by)] = (
+                                data,
+                                npasses,
+                                lyr,
+                            )
                 band.incl.finalize()
                 band.msb.finalize()
 
@@ -1313,15 +1362,14 @@ def _encode_tile(
     # into tile-parts at packet boundaries, T.800 A.4.2)
     packets: list[bytes] = []
     nres = levels + 1
-    for r, c in _packet_sequence(prog, nres, nc):
+    for lyr, r, c in _packet_sequence(prog, nres, nc, nlayers):
         wr = PackBitWriter()
         body = bytearray()
         blist = comps[c][r]
         any_incl = any(
-            (c, r, bi, bx, by) in encoded
-            for bi, band in enumerate(blist)
-            for by in range(band.ncy)
-            for bx in range(band.ncx)
+            e[2] == lyr
+            for key, e in encoded.items()
+            if key[0] == c and key[1] == r
         )
         if not any_incl:
             wr.put(0)
@@ -1331,11 +1379,18 @@ def _encode_tile(
         for bi, band in enumerate(blist):
             for by in range(band.ncy):
                 for bx in range(band.ncx):
-                    band.incl.encode(bx, by, 1, wr.put)
                     key = (c, r, bi, bx, by)
-                    if key not in encoded:
+                    ent = encoded.get(key)
+                    if ent is None or ent[2] > lyr:
+                        # never included, or first inclusion is in a
+                        # later layer: keep coding the tag tree
+                        band.incl.encode(bx, by, lyr + 1, wr.put)
                         continue
-                    data, npasses = encoded[key]
+                    data, npasses, elayer = ent
+                    if elayer < lyr:
+                        wr.put(0)  # included earlier, idle this layer
+                        continue
+                    band.incl.encode(bx, by, lyr + 1, wr.put)
                     p = band.msb.leaf_value(bx, by)
                     band.msb.encode(bx, by, p + 1, wr.put)
                     _put_npasses(wr, npasses)
@@ -1457,8 +1512,8 @@ def _decode_j2k(data: bytes) -> np.ndarray:
 
     scod, prog, nlayers, mct = cod[0], cod[1], struct.unpack(">H", cod[2:4])[0], cod[4]
     levels, xcb, ycb, cbstyle, transform = cod[5:10]
-    if nlayers != 1:
-        raise J2kUnsupported(f"{nlayers} quality layers (single-layer only)")
+    if nlayers < 1:
+        raise J2kParseError("zero quality layers")
     if cbstyle != 0:
         raise J2kUnsupported(f"code-block style 0x{cbstyle:02x}")
     if transform != 1:
@@ -1556,6 +1611,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             use_eph,
             x0,
             y0,
+            nlayers,
         )
         for ci in range(nc):
             planes[ci][y0:y1, x0:x1] = tplanes[ci]
@@ -1598,6 +1654,7 @@ def _decode_tile_planes(
     use_eph: bool,
     x0: int = 0,
     y0: int = 0,
+    nlayers: int = 1,
 ) -> list:
     """Tier-2 + Tier-1 + inverse DWT for one tile's byte stream ->
     per-component (th, tw) int64 planes (still level-shifted /
@@ -1615,8 +1672,12 @@ def _decode_tile_planes(
                 k += 1
         comps.append(bands)
 
+    # Packet parse: per-block contributions accumulate across quality
+    # layers — a block's passes may split over several packets, and
+    # with no termination flags they are chunks of ONE MQ codeword,
+    # so Tier-1 runs once per block on the concatenation at tile end.
     tpos = 0
-    for r, c in _packet_sequence(prog, levels + 1, nc):
+    for lyr, r, c in _packet_sequence(prog, levels + 1, nc, nlayers):
         if use_sop:
             if tile[tpos : tpos + 2] == b"\xff\x91":
                 tpos += 6
@@ -1626,40 +1687,58 @@ def _decode_tile_planes(
             for band in comps[c][r]:
                 for by in range(band.ncy):
                     for bx in range(band.ncx):
-                        if not band.incl.decode(bx, by, 1, rd.bit):
-                            continue
-                        k = 1
-                        while not band.msb.decode(bx, by, k, rd.bit):
-                            k += 1
-                        p = band.msb.leaf_value(bx, by)
-                        npasses = _get_npasses(rd)
                         i = by * band.ncx + bx
+                        st = band.contrib.get(i)
+                        if st is None:
+                            # not yet included: inclusion via the tag
+                            # tree at this layer's threshold
+                            if not band.incl.decode(
+                                bx, by, lyr + 1, rd.bit
+                            ):
+                                continue
+                            k = 1
+                            while not band.msb.decode(bx, by, k, rd.bit):
+                                k += 1
+                            st = [band.msb.leaf_value(bx, by), 0, []]
+                            band.contrib[i] = st
+                        elif not rd.bit():  # included before, idle now
+                            continue
+                        npasses = _get_npasses(rd)
                         while rd.bit():
                             band.lblock[i] += 1
                         nbits = band.lblock[i] + npasses.bit_length() - 1
                         seg_len = rd.bits(nbits)
-                        jobs.append((band, bx, by, p, npasses, seg_len))
+                        jobs.append((st, npasses, seg_len))
         rd.align()
         tpos = rd.pos
         if use_eph:
             if tile[tpos : tpos + 2] != b"\xff\x92":
                 raise J2kParseError("missing EPH after packet header")
             tpos += 2
-        for band, bx, by, p, npasses, seg_len in jobs:
+        for st, npasses, seg_len in jobs:
             seg = tile[tpos : tpos + seg_len]
             if len(seg) != seg_len:
                 raise J2kParseError("code-block segment overruns tile")
             tpos += seg_len
-            y0b, x0b, bh, bw = band.block_rect(bx, by)
-            nplanes = band.mb - p
-            if nplanes <= 0:
-                raise J2kParseError(
-                    f"missing bit-planes {p} >= Mb {band.mb}"
-                )
-            blk = t1_decode_block(
-                seg, bw, bh, band.btype, nplanes, npasses
-            )
-            band.coeffs[y0b : y0b + bh, x0b : x0b + bw] = blk
+            st[1] += npasses
+            st[2].append(seg)
+
+    for bands in comps:
+        for blist in bands:
+            for band in blist:
+                for i, (p, npasses, chunks) in band.contrib.items():
+                    by, bx = divmod(i, band.ncx)
+                    y0b, x0b, bh, bw = band.block_rect(bx, by)
+                    nplanes = band.mb - p
+                    if nplanes <= 0:
+                        raise J2kParseError(
+                            f"missing bit-planes {p} >= Mb {band.mb}"
+                        )
+                    blk = t1_decode_block(
+                        b"".join(chunks), bw, bh, band.btype,
+                        nplanes, npasses,
+                    )
+                    band.coeffs[y0b : y0b + bh, x0b : x0b + bw] = blk
 
     # inverse DWT per component
     planes = []

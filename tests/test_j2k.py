@@ -395,3 +395,30 @@ def test_tile_parts_and_pcrl():
     )
     with pytest.raises(J2kParseError, match="not contiguous"):
         decode_j2k(cut)
+
+
+def test_quality_layers_roundtrip():
+    """Multi-layer codestreams: per-layer inclusion tag-tree
+    thresholds, idle-block bits, and cross-packet contribution
+    accumulation all roundtrip exactly, across progressions and
+    combined with tiling and tile-parts."""
+    rng = np.random.default_rng(29)
+    a = rng.integers(0, 65535, (60, 90), dtype=np.uint16)
+    for layers in (2, 3, 16):
+        for prog in (0, 1, 2, 4):
+            out = decode_j2k(
+                encode_j2k(a, levels=2, layers=layers, prog=prog)
+            )
+            assert np.array_equal(out[:, :, 0], a), (layers, prog)
+    img = rng.integers(0, 255, (64, 96, 3), dtype=np.uint8)
+    out = decode_j2k(
+        encode_j2k(img, tile=(32, 32), layers=3, tile_parts=2)
+    )
+    assert np.array_equal(out, img)
+    # sparse: never-included blocks must stay pending through every
+    # layer's tag-tree threshold without desyncing the headers
+    sp = np.zeros((128, 128), dtype=np.uint16)
+    sp[5, 7] = 9000
+    sp[100, 90] = 123
+    out = decode_j2k(encode_j2k(sp, levels=3, layers=4))
+    assert np.array_equal(out[:, :, 0], sp)
