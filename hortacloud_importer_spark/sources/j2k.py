@@ -1358,6 +1358,12 @@ def _encode_tile(
                 band.incl.finalize()
                 band.msb.finalize()
 
+    # per-(component, resolution): which layers get a first inclusion
+    # (answers the nonempty-packet bit in O(1) per packet)
+    incl_layers: dict[tuple, set] = {}
+    for key, e in encoded.items():
+        incl_layers.setdefault((key[0], key[1]), set()).add(e[2])
+
     # packets (returned individually so the caller can split the tile
     # into tile-parts at packet boundaries, T.800 A.4.2)
     packets: list[bytes] = []
@@ -1366,12 +1372,7 @@ def _encode_tile(
         wr = PackBitWriter()
         body = bytearray()
         blist = comps[c][r]
-        any_incl = any(
-            e[2] == lyr
-            for key, e in encoded.items()
-            if key[0] == c and key[1] == r
-        )
-        if not any_incl:
+        if lyr not in incl_layers.get((c, r), ()):
             wr.put(0)
             packets.append(wr.flush())
             continue

@@ -12,8 +12,10 @@ Clean-room split, mirroring sources/tiff.py's design:
 - :func:`decode_jp2` — full entropy decode. Lossless (reversible
   5/3) codestreams, single-tile or tiled — what a microscopy slice
   store actually writes — decode through the clean-room from-spec
-  codec in sources/j2k.py with no external binding. Features outside
-  that scope (9/7 irreversible, multi-layer …) fall through
+  codec in sources/j2k.py with no external binding (tiled,
+  tile-part-split, and multi-layer streams included). Features
+  outside that scope (9/7 irreversible, subsampled, signed …) fall
+  through
   to an importable OpenJPEG binding (glymur / imageio / Pillow) and,
   when none exists, raise ``NotImplementedError`` naming both the
   unsupported feature and the binding options — the honest-gate
