@@ -32,11 +32,17 @@ count: per-block contributions accumulate across packets (layered
 inclusion tag-tree thresholds, Lblock growth, chunked codewords)
 and Tier-1 runs once per block on the concatenation.
 
-Honest gates (raised as :class:`J2kUnsupported`): the 9/7
-irreversible transform, non-unit component subsampling, signed
-components, custom precincts, code-block style flags
-(bypass/reset/termall/vsc/segsym), the RGN/POC/PPM/PPT markers, and
-per-tile COD/QCD overrides. The
+The 9/7 irreversible transform decodes too: scalar-quantized
+codestreams (QCD styles 1 derived / 2 expounded) dequantize by
+2^(Rb - eps) * (1 + mu/2^11) with midpoint reconstruction, run the
+float 9/7 inverse lifting (normalization pinned by the analysis
+lowpass taps summing to 1), and apply the irreversible BT.601 color
+transform when MCT is declared.
+
+Honest gates (raised as :class:`J2kUnsupported`): non-unit component
+subsampling, signed components, custom precincts, code-block style
+flags (bypass/reset/termall/vsc/segsym), the RGN/POC/PPM/PPT
+markers, and per-tile COD/QCD overrides. The
 scope covers what a lossless microscopy slice store actually writes;
 everything else still routes to the optional OpenJPEG bindings in
 sources/jp2.py.
@@ -902,6 +908,105 @@ def dwt_inverse(pyramid: list) -> np.ndarray:
     return cur
 
 
+# ------------------------------------------- 9/7 irreversible DWT
+# T.800 F.4.8.2 lifting. The scaling placement is pinned by the
+# analysis lowpass taps summing to 1: lifting a constant c yields
+# K*c on the low lane (1 + 2*beta*(1 + 2*alpha) == K), so the
+# forward scales low by 1/K and high by K (det-1 complement).
+
+_A97 = -1.586134342059924
+_B97 = -0.052980118572961
+_G97 = 0.882911075530934
+_D97 = 0.443506852043971
+_K97 = 1.230174104914001
+
+
+def _lift97_odd(even: np.ndarray, odd: np.ndarray, coef: float):
+    """odd[i] += coef * (even[i] + even[i+1]), symmetric edges."""
+    no = odd.shape[-1]
+    even_r = even[..., 1:]
+    if even_r.shape[-1] < no:
+        even_r = np.concatenate([even_r, even[..., -1:]], axis=-1)
+    return odd + coef * (even[..., :no] + even_r)
+
+
+def _lift97_even(even: np.ndarray, odd: np.ndarray, coef: float):
+    """even[i] += coef * (odd[i-1] + odd[i]), symmetric edges."""
+    ne = even.shape[-1]
+    d_l = np.concatenate([odd[..., :1], odd], axis=-1)[..., :ne]
+    d_r = (
+        odd
+        if odd.shape[-1] == ne
+        else np.concatenate([odd, odd[..., -1:]], axis=-1)
+    )
+    return even + coef * (d_l + d_r)
+
+
+def fwd_9x7_1d(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    n = a.shape[-1]
+    if n == 1:
+        return a.astype(np.float64, copy=True), a[..., :0].astype(np.float64)
+    a = a.astype(np.float64, copy=False)
+    s, d = a[..., 0::2], a[..., 1::2]
+    d = _lift97_odd(s, d, _A97)
+    s = _lift97_even(s, d, _B97)
+    d = _lift97_odd(s, d, _G97)
+    s = _lift97_even(s, d, _D97)
+    return s / _K97, d * _K97
+
+
+def inv_9x7_1d(s: np.ndarray, d: np.ndarray) -> np.ndarray:
+    ne, no = s.shape[-1], d.shape[-1]
+    n = ne + no
+    if n == 1:
+        return s.astype(np.float64, copy=True)
+    s = s.astype(np.float64, copy=False) * _K97
+    d = d.astype(np.float64, copy=False) / _K97
+    s = _lift97_even(s, d, -_D97)
+    d = _lift97_odd(s, d, -_G97)
+    s = _lift97_even(s, d, -_B97)
+    d = _lift97_odd(s, d, -_A97)
+    out = np.empty(s.shape[:-1] + (n,), dtype=np.float64)
+    out[..., 0::2] = s
+    out[..., 1::2] = d
+    return out
+
+
+def fwd_9x7_2d(a: np.ndarray):
+    lo_v, hi_v = fwd_9x7_1d(np.swapaxes(a, -1, -2))
+    lo_v = np.swapaxes(lo_v, -1, -2)
+    hi_v = np.swapaxes(hi_v, -1, -2)
+    ll, hl = fwd_9x7_1d(lo_v)
+    lh, hh = fwd_9x7_1d(hi_v)
+    return ll, hl, lh, hh
+
+
+def inv_9x7_2d(ll, hl, lh, hh) -> np.ndarray:
+    lo_v = inv_9x7_1d(ll, hl)
+    hi_v = inv_9x7_1d(lh, hh)
+    both = inv_9x7_1d(
+        np.swapaxes(lo_v, -1, -2), np.swapaxes(hi_v, -1, -2)
+    )
+    return np.swapaxes(both, -1, -2)
+
+
+def dwt_forward97(a: np.ndarray, levels: int) -> list:
+    bands = []
+    cur = a.astype(np.float64, copy=True)
+    for _ in range(levels):
+        ll, hl, lh, hh = fwd_9x7_2d(cur)
+        bands.append((hl, lh, hh))
+        cur = ll
+    return [cur] + list(reversed(bands))
+
+
+def dwt_inverse97(pyramid: list) -> np.ndarray:
+    cur = pyramid[0]
+    for hl, lh, hh in pyramid[1:]:
+        cur = inv_9x7_2d(cur, hl, lh, hh)
+    return cur
+
+
 def subband_dims(h: int, w: int, levels: int):
     """Per-resolution band dims: [(LL_n dims)] then per level n..1 the
     (HL, LH, HH) dims, matching :func:`dwt_forward`."""
@@ -1008,6 +1113,7 @@ class _Band:
         self.msb = TagTree(self.ncx or 1, self.ncy or 1)
         self.lblock = [3] * n
         self.coeffs = None  # decoder: np array filled per block
+        self.step = None  # scalar quantization step (None: reversible)
         # decoder: block index -> [missing-planes p, total passes,
         # list of codeword chunks] accumulated across quality layers
         self.contrib: dict[int, list] = {}
@@ -1175,6 +1281,8 @@ def encode_j2k(
     tile: tuple[int, int] | None = None,
     tile_parts: int = 1,
     layers: int = 1,
+    lossy: bool = False,
+    quant: int = 2,
 ) -> bytes:
     """(h, w[, nc]) uint8/uint16 -> lossless (5/3) codestream.
     ``tile=(xt, yt)`` splits the image into an XTsiz x YTsiz grid of
@@ -1184,7 +1292,11 @@ def encode_j2k(
     boundaries (T.800 A.4.2 — how Kakadu/OpenJPEG emit per-resolution
     tile-parts), capped at the packet count. ``layers`` emits that
     many quality layers (blocks assigned round-robin, each fully in
-    its first-inclusion packet). The fixture/roundtrip
+    its first-inclusion packet). ``lossy=True`` emits the 9/7
+    irreversible transform with scalar quantization at fine steps —
+    near-lossless, for exercising the dequantization decode path;
+    ``quant`` picks the QCD style: 2 = expounded per-band (eps, mu)
+    pairs, 1 = a single derived pair (T.800 E-5). The fixture/roundtrip
     writer dual of :func:`decode_j2k`; output is spec-shaped
     (markers, tag trees, MQ codewords), so any conforming decoder
     reads it."""
@@ -1211,14 +1323,32 @@ def encode_j2k(
         raise J2kParseError(f"tile_parts must be >= 1, not {tile_parts}")
     if not 1 <= layers <= 65535:
         raise J2kParseError(f"layers must be 1..65535, not {layers}")
+    if quant not in (1, 2):
+        raise J2kParseError(f"quant style must be 1 or 2, not {quant}")
     _check_tile_geometry(w, h, xt, yt, levels, J2kParseError)
 
-    planes = [img[:, :, c].astype(np.int64) - (1 << (depth - 1)) for c in range(nc)]
-    if mct:
-        # RCT is pointwise, so applying it before the tile split is
-        # identical to the spec's per-tile-component transform
-        r, g, b = planes
-        planes = [(r + 2 * g + b) >> 2, b - g, r - g]
+    if lossy:
+        planes = [
+            img[:, :, c].astype(np.float64) - (1 << (depth - 1))
+            for c in range(nc)
+        ]
+        if mct:  # irreversible color transform (BT.601 floats)
+            r, g, b = planes
+            planes = [
+                0.299 * r + 0.587 * g + 0.114 * b,
+                -0.168736 * r - 0.331264 * g + 0.5 * b,
+                0.5 * r - 0.418688 * g - 0.081312 * b,
+            ]
+    else:
+        planes = [
+            img[:, :, c].astype(np.int64) - (1 << (depth - 1))
+            for c in range(nc)
+        ]
+        if mct:
+            # RCT is pointwise, so applying it before the tile split
+            # is identical to the spec's per-tile-component transform
+            r, g, b = planes
+            planes = [(r + 2 * g + b) >> 2, b - g, r - g]
 
     tiles = []
     for (x0, y0, x1, y1) in _tile_rects(w, h, xt, yt):
@@ -1236,6 +1366,8 @@ def encode_j2k(
                 x0,
                 y0,
                 layers,
+                lossy,
+                quant,
             )
         )
 
@@ -1254,19 +1386,53 @@ def encode_j2k(
         (cbw.bit_length() - 1) - 2,
         (cbh.bit_length() - 1) - 2,
         0,  # code-block style: none of the Part-1 mode flags
-        1,  # transformation: 5/3 reversible
+        0 if lossy else 1,  # transformation: 9/7 or 5/3
     )
     cod = struct.pack(">HBBHB", 12, 0, prog, layers, 1 if mct else 0) + spcod
     out += struct.pack(">H", COD) + cod
     nres = levels + 1
     n_bands = 3 * levels + 1
-    sqcd = bytes([(_GUARD_BITS << 5) | 0])  # style 0: no quantization
-    exps = [depth + 2 + _BAND_GAIN["LL"]]
-    for r in range(1, nres):
-        for btype in ("HL", "LH", "HH"):
-            exps.append(depth + 2 + _BAND_GAIN[btype])
-    spqcd = bytes(e << 3 for e in exps)
-    out += struct.pack(">H", QCD) + struct.pack(">H", 3 + n_bands) + sqcd + spqcd
+    if lossy and quant == 2:
+        # scalar expounded (style 2): eps_b = Rb + 3 -> step 2^-3
+        sqcd = bytes([(_GUARD_BITS << 5) | 2])
+        spqcd = b""
+        for btype in ["LL"] + ["HL", "LH", "HH"] * levels:
+            eps = depth + _BAND_GAIN[btype] + 3
+            spqcd += struct.pack(">H", eps << 11)
+        out += (
+            struct.pack(">H", QCD)
+            + struct.pack(">H", 3 + 2 * n_bands)
+            + sqcd
+            + spqcd
+        )
+    elif lossy:
+        # scalar derived (style 1): one (eps0, 0) pair; the decoder
+        # derives eps_b = eps0 - r + 1 per resolution (T.800 E-5)
+        eps0 = depth + levels + 5
+        if eps0 > 31:
+            raise J2kParseError(
+                f"derived eps0 {eps0} exceeds 31 (reduce levels)"
+            )
+        sqcd = bytes([(_GUARD_BITS << 5) | 1])
+        out += (
+            struct.pack(">H", QCD)
+            + struct.pack(">H", 5)
+            + sqcd
+            + struct.pack(">H", eps0 << 11)
+        )
+    else:
+        sqcd = bytes([(_GUARD_BITS << 5) | 0])  # style 0: no quantization
+        exps = [depth + 2 + _BAND_GAIN["LL"]]
+        for r in range(1, nres):
+            for btype in ("HL", "LH", "HH"):
+                exps.append(depth + 2 + _BAND_GAIN[btype])
+        spqcd = bytes(e << 3 for e in exps)
+        out += (
+            struct.pack(">H", QCD)
+            + struct.pack(">H", 3 + n_bands)
+            + sqcd
+            + spqcd
+        )
     for isot, packets in enumerate(tiles):
         nparts = max(1, min(tile_parts, len(packets)))
         per = -(-len(packets) // nparts) if packets else 0
@@ -1300,6 +1466,8 @@ def _encode_tile(
     x0: int = 0,
     y0: int = 0,
     nlayers: int = 1,
+    lossy: bool = False,
+    quant: int = 2,
 ) -> list[bytes]:
     """Tier-1 + Tier-2 encode one tile's (already level-shifted /
     MCT'd) component planes into its packet stream, returned one
@@ -1308,11 +1476,24 @@ def _encode_tile(
     (anchors the code-block partition). With ``nlayers > 1`` blocks
     are assigned round-robin to quality layers, each carrying all of
     its passes in its first-inclusion packet — a spec-shaped layered
-    stream that exercises per-layer inclusion coding."""
+    stream that exercises per-layer inclusion coding. ``lossy`` uses
+    the 9/7 transform and quantizes each band by its QCD step (must
+    match the header encode_j2k emits: eps_b = Rb + 3, mu = 0)."""
     comps = []
     for plane in planes:
-        pyr = dwt_forward(plane, levels)
+        pyr = (dwt_forward97 if lossy else dwt_forward)(plane, levels)
         bands = _build_bands(h, w, levels, cbw, cbh, depth, x0, y0)
+        if lossy:
+            for r, blist in enumerate(bands):
+                for band in blist:
+                    rb = depth + _BAND_GAIN[band.btype]
+                    if quant == 2:
+                        eps = rb + 3
+                    else:  # derived: one eps0 shared per E-5
+                        eps0 = depth + levels + 5
+                        eps = eps0 if r == 0 else eps0 - r + 1
+                    band.step = 2.0 ** (rb - eps)
+                    band.mb = _GUARD_BITS + eps - 1
         # attach coefficient arrays: resolution 0 = LL, then per level
         bands[0][0].coeffs = pyr[0]
         for r, (hl, lh, hh) in enumerate(pyr[1:], start=1):
@@ -1332,9 +1513,14 @@ def _encode_tile(
                 for by in range(band.ncy):
                     for bx in range(band.ncx):
                         y0b, x0b, bh, bw = band.block_rect(bx, by)
-                        blk = band.coeffs[
-                            y0b : y0b + bh, x0b : x0b + bw
-                        ].astype(np.int32)
+                        blk = band.coeffs[y0b : y0b + bh, x0b : x0b + bw]
+                        if band.step is not None:
+                            # deadzone quantizer: sign * floor(|x|/step)
+                            blk = (
+                                np.sign(blk)
+                                * np.floor(np.abs(blk) / band.step)
+                            )
+                        blk = blk.astype(np.int32)
                         data, nplanes, npasses = t1_encode_block(
                             blk, band.btype
                         )
@@ -1517,8 +1703,8 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         raise J2kParseError("zero quality layers")
     if cbstyle != 0:
         raise J2kUnsupported(f"code-block style 0x{cbstyle:02x}")
-    if transform != 1:
-        raise J2kUnsupported("9/7 irreversible transform (lossless only)")
+    if transform not in (0, 1):
+        raise J2kParseError(f"unknown transformation {transform}")
     if scod & 0x01:
         raise J2kUnsupported("custom precinct sizes are not supported")
     use_sop = bool(scod & 0x02)
@@ -1527,14 +1713,53 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     if cbw > 64 and cbh > 64 or cbw * cbh > 4096:
         raise J2kParseError(f"illegal code-block size {cbw}x{cbh}")
 
+    # QCD: style 0 = no quantization (reversible 5/3 exponents only),
+    # style 1 = scalar derived (one (eps, mu), per-band values derived
+    # per T.800 E-5), style 2 = scalar expounded (per-band (eps, mu))
     guard = qcd[0] >> 5
     qstyle = qcd[0] & 0x1F
-    if qstyle != 0:
-        raise J2kUnsupported("quantized (lossy) codestreams")
-    exps = [b >> 3 for b in qcd[1:]]
     n_bands = 3 * levels + 1
-    if len(exps) < n_bands:
-        raise J2kParseError("QCD exponent table shorter than band count")
+    if qstyle == 0:
+        if transform != 1:
+            raise J2kParseError("no-quantization QCD with the 9/7 transform")
+        exps = [b >> 3 for b in qcd[1:]]
+        mus = None
+        if len(exps) < n_bands:
+            raise J2kParseError("QCD exponent table shorter than band count")
+    elif qstyle in (1, 2):
+        if transform != 0:
+            raise J2kUnsupported(
+                "scalar quantization with the reversible 5/3 transform"
+            )
+        if qstyle == 1:
+            if len(qcd) < 3:
+                raise J2kParseError("QCD too short for a derived pair")
+            (w16,) = struct.unpack(">H", qcd[1:3])
+            eps0, mu0 = w16 >> 11, w16 & 0x7FF
+            # band at resolution r has decomposition level
+            # levels - r + 1; E-5: eps_b = eps0 - levels + n_b
+            exps, mus = [eps0], [mu0]
+            for r in range(1, levels + 1):
+                e = eps0 - r + 1
+                if e < 0:
+                    raise J2kParseError(
+                        f"derived exponent underflow at resolution {r}"
+                    )
+                exps += [e, e, e]
+                mus += [mu0, mu0, mu0]
+        else:
+            if len(qcd) < 1 + 2 * n_bands:
+                raise J2kParseError(
+                    "QCD expounded table shorter than band count"
+                )
+            vals = [
+                struct.unpack(">H", qcd[1 + 2 * i : 3 + 2 * i])[0]
+                for i in range(n_bands)
+            ]
+            exps = [v >> 11 for v in vals]
+            mus = [v & 0x7FF for v in vals]
+    else:
+        raise J2kUnsupported(f"quantization style {qstyle}")
 
     _check_tile_geometry(xsiz, ysiz, xt, yt, levels, J2kUnsupported)
 
@@ -1546,7 +1771,8 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     # original stream. Informational tile-part header markers
     # (PLT/COM) are skipped; PPT (packed headers) gates.
     rects = _tile_rects(xsiz, ysiz, xt, yt)
-    planes = [np.zeros((ysiz, xsiz), dtype=np.int64) for _ in range(nc)]
+    plane_dtype = np.int64 if transform == 1 else np.float64
+    planes = [np.zeros((ysiz, xsiz), dtype=plane_dtype) for _ in range(nc)]
     parts: dict[int, list[tuple[int, bytes]]] = {}
     while True:
         if pos + 2 > len(data):
@@ -1613,6 +1839,8 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             x0,
             y0,
             nlayers,
+            mus,
+            transform,
         )
         for ci in range(nc):
             planes[ci][y0:y1, x0:x1] = tplanes[ci]
@@ -1621,8 +1849,13 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         if nc < 3:
             raise J2kParseError("MCT declared with fewer than 3 components")
         y, u, v = planes[0], planes[1], planes[2]
-        g = y - ((u + v) >> 2)
-        planes[0], planes[1], planes[2] = v + g, g, u + g
+        if transform == 1:  # reversible color transform (RCT)
+            g = y - ((u + v) >> 2)
+            planes[0], planes[1], planes[2] = v + g, g, u + g
+        else:  # irreversible color transform (ICT, BT.601 floats)
+            planes[0] = y + 1.402 * v
+            planes[1] = y - 0.344136 * u - 0.714136 * v
+            planes[2] = y + 1.772 * u
     elif mct != 0:
         raise J2kUnsupported(f"MCT mode {mct}")
 
@@ -1633,7 +1866,10 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     for ci in range(nc):
         # Components are gated unsigned above, so the inverse DC level
         # shift is unconditional.
-        p = planes[ci] + (1 << (depths[ci] - 1))
+        p = planes[ci]
+        if transform == 0:
+            p = np.rint(p)
+        p = p + (1 << (depths[ci] - 1))
         np.clip(p, 0, (1 << depths[ci]) - 1, out=p)
         out[:, :, ci] = p
     return out
@@ -1656,12 +1892,17 @@ def _decode_tile_planes(
     x0: int = 0,
     y0: int = 0,
     nlayers: int = 1,
+    mus: list | None = None,
+    transform: int = 1,
 ) -> list:
     """Tier-2 + Tier-1 + inverse DWT for one tile's byte stream ->
-    per-component (th, tw) int64 planes (still level-shifted /
-    MCT'd — the caller finishes those globally, they are pointwise).
-    ``(x0, y0)`` is the tile's canvas origin (anchors the code-block
-    partition per T.800 B.7)."""
+    per-component (th, tw) planes (int64 reversible, float64
+    irreversible; still level-shifted / MCT'd — the caller finishes
+    those globally, they are pointwise). ``(x0, y0)`` is the tile's
+    canvas origin (anchors the code-block partition per T.800 B.7).
+    ``mus`` non-None selects the scalar-quantized 9/7 path: each
+    band dequantizes by 2^(Rb - eps) * (1 + mu/2^11) with midpoint
+    reconstruction (T.800 E.1)."""
     comps = []
     for ci in range(nc):
         bands = _build_bands(th, tw, levels, cbw, cbh, depths[ci], x0, y0)
@@ -1669,7 +1910,19 @@ def _decode_tile_planes(
         for blist in bands:
             for band in blist:
                 band.mb = guard + exps[k] - 1
-                band.coeffs = np.zeros((band.h, band.w), dtype=np.int64)
+                if transform == 0:
+                    rb = depths[ci] + _BAND_GAIN[band.btype]
+                    band.step = 2.0 ** (rb - exps[k]) * (
+                        1 + mus[k] / 2048.0
+                    )
+                    band.coeffs = np.zeros(
+                        (band.h, band.w), dtype=np.float64
+                    )
+                else:
+                    band.step = None
+                    band.coeffs = np.zeros(
+                        (band.h, band.w), dtype=np.int64
+                    )
                 k += 1
         comps.append(bands)
 
@@ -1739,9 +1992,20 @@ def _decode_tile_planes(
                         b"".join(chunks), bw, bh, band.btype,
                         nplanes, npasses,
                     )
+                    if band.step is not None:
+                        # midpoint dequantization (r = 1/2, T.800 E.1)
+                        blk = (
+                            np.where(
+                                blk != 0,
+                                np.sign(blk) * (np.abs(blk) + 0.5),
+                                0.0,
+                            )
+                            * band.step
+                        )
                     band.coeffs[y0b : y0b + bh, x0b : x0b + bw] = blk
 
     # inverse DWT per component
+    inv = dwt_inverse if transform == 1 else dwt_inverse97
     planes = []
     for ci in range(nc):
         bands = comps[ci]
@@ -1750,5 +2014,5 @@ def _decode_tile_planes(
             pyr.append(
                 (bands[r][0].coeffs, bands[r][1].coeffs, bands[r][2].coeffs)
             )
-        planes.append(dwt_inverse(pyr))
+        planes.append(inv(pyr))
     return planes

@@ -9,13 +9,12 @@ Clean-room split, mirroring sources/tiff.py's design:
   public ISO/IEC 15444-1 box/marker layout. No codec needed: the
   slice-directory dims probe (one header walk, not a decode) works on
   JP2 stores even in codec-less environments.
-- :func:`decode_jp2` — full entropy decode. Lossless (reversible
-  5/3) codestreams, single-tile or tiled — what a microscopy slice
-  store actually writes — decode through the clean-room from-spec
-  codec in sources/j2k.py with no external binding (tiled,
-  tile-part-split, and multi-layer streams included). Features
-  outside that scope (9/7 irreversible, subsampled, signed …) fall
-  through
+- :func:`decode_jp2` — full entropy decode. Both reversible (5/3
+  lossless) and irreversible (9/7 scalar-quantized) codestreams —
+  single-tile or tiled, tile-part-split, multi-layer — decode
+  through the clean-room from-spec codec in sources/j2k.py with no
+  external binding. Features outside that scope (subsampled,
+  signed, custom precincts …) fall through
   to an importable OpenJPEG binding (glymur / imageio / Pillow) and,
   when none exists, raise ``NotImplementedError`` naming both the
   unsupported feature and the binding options — the honest-gate

@@ -205,8 +205,10 @@ def test_unsupported_features_gate_with_names():
         raise AssertionError("no COD marker")
 
     bad = bytearray(cs)
-    _patch_cod(bad, 11, 0)  # SPcod transformation byte -> 9/7
-    with pytest.raises(J2kUnsupported, match="9/7"):
+    _patch_cod(bad, 11, 0)  # transformation -> 9/7, but QCD stays
+    # style 0: inconsistent header is a parse error (9/7 itself
+    # decodes when scalar quantization is declared)
+    with pytest.raises(J2kParseError, match="no-quantization"):
         decode_j2k(bytes(bad))
 
     bad = bytearray(cs)
@@ -422,3 +424,55 @@ def test_quality_layers_roundtrip():
     sp[100, 90] = 123
     out = decode_j2k(encode_j2k(sp, levels=3, layers=4))
     assert np.array_equal(out[:, :, 0], sp)
+
+
+def test_97_dwt_reconstruction_and_normalization():
+    """Float 9/7 lifting: perfect reconstruction to 1e-8, and the
+    normalization pin — the analysis lowpass taps sum to 1, so a
+    constant input must pass through the low band unscaled."""
+    from hortacloud_importer_spark.sources.j2k import (
+        dwt_forward97,
+        dwt_inverse97,
+        fwd_9x7_1d,
+    )
+
+    rng = np.random.default_rng(31)
+    for shape in [(1, 1), (1, 17), (16, 16), (31, 45), (100, 70)]:
+        for levels in range(4):
+            a = rng.normal(0, 1000, shape)
+            rec = dwt_inverse97(dwt_forward97(a, levels))
+            assert np.abs(rec - a).max() < 1e-8, (shape, levels)
+    s, d = fwd_9x7_1d(np.full((1, 64), 123.0))
+    assert np.abs(s - 123.0).max() < 1e-9
+    assert np.abs(d).max() < 1e-9
+
+
+def test_lossy_97_decode_near_lossless_and_live():
+    """Irreversible (9/7 + scalar quantization) codestreams decode:
+    expounded and derived QCD styles, gray/RGB-ICT, tiles + layers +
+    tile-parts — all within the fine-step error bound; patching the
+    QCD mu must CHANGE the output (proves the dequantization path is
+    live, not a silent lossless fallback)."""
+    rng = np.random.default_rng(37)
+    img = rng.integers(0, 65535, (60, 90), dtype=np.uint16)
+    for quant in (1, 2):
+        out = decode_j2k(encode_j2k(img, levels=3, lossy=True, quant=quant))
+        err = np.abs(out[:, :, 0].astype(int) - img.astype(int)).max()
+        assert err <= 2, (quant, err)
+    rgb = rng.integers(0, 255, (50, 60, 3), dtype=np.uint8)
+    out = decode_j2k(encode_j2k(rgb, lossy=True))
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 3
+    big = rng.integers(0, 65535, (96, 130), dtype=np.uint16)
+    out = decode_j2k(
+        encode_j2k(big, tile=(64, 64), lossy=True, layers=2, tile_parts=2)
+    )
+    assert np.abs(out[:, :, 0].astype(int) - big.astype(int)).max() <= 2
+
+    enc = bytearray(encode_j2k(img, levels=2, lossy=True))
+    i = enc.find(b"\xff\x5c")  # QCD, first band word at i+5
+    w = struct.unpack(">H", enc[i + 5 : i + 7])[0]
+    struct.pack_into(">H", enc, i + 5, w | 0x7FF)  # mu -> max
+    base = decode_j2k(encode_j2k(img, levels=2, lossy=True))
+    assert np.abs(
+        decode_j2k(bytes(enc)).astype(int) - base.astype(int)
+    ).max() > 0

@@ -78,10 +78,11 @@ def test_jp2_shape_rejects_garbage():
     _codec_available(), reason="a JP2 codec is importable here"
 )
 def test_decode_jp2_gate_names_feature_and_options():
-    """Features outside the clean-room lossless scope (here: the 9/7
-    irreversible transform) hit the honest gate naming BOTH the
-    feature and the binding options; a merely-truncated stream is a
-    parse error, not the environment gate."""
+    """Features outside the clean-room scope (here: a code-block
+    style flag — 9/7 now decodes natively) hit the honest gate
+    naming BOTH the feature and the binding options; a
+    merely-truncated stream is a parse error, not the environment
+    gate."""
     import numpy as np
 
     from hortacloud_importer_spark.sources.j2k import encode_j2k
@@ -92,11 +93,11 @@ def test_decode_jp2_gate_names_feature_and_options():
     pos = 2
     while pos < len(cs):
         marker, length = struct.unpack(">HH", cs[pos : pos + 4])
-        if marker == 0xFF52:  # COD: last SPcod byte = transformation
-            cs[pos + 1 + length] = 0  # 0 = 9/7 irreversible
+        if marker == 0xFF52:  # COD: SPcod code-block style byte
+            cs[pos + length] = 0x01  # selective MQ bypass
             break
         pos += 2 + length
-    with pytest.raises(NotImplementedError, match="9/7.*OpenJPEG"):
+    with pytest.raises(NotImplementedError, match="code-block style.*OpenJPEG"):
         decode_jp2(bytes(cs))
     # truncated-inside-SIZ: parse error, not the missing-codec gate
     with pytest.raises(Jp2ParseError):
