@@ -869,43 +869,49 @@ def inv_5x3_1d(s: np.ndarray, d: np.ndarray) -> np.ndarray:
     return out
 
 
-def fwd_5x3_2d(a: np.ndarray):
+def _fwd_2d(a: np.ndarray, fwd1d):
     """One decomposition level: vertical then horizontal lifting ->
     (LL, HL, LH, HH). HL is the horizontally-high-pass band."""
-    lo_v, hi_v = fwd_5x3_1d(np.swapaxes(a, -1, -2))
+    lo_v, hi_v = fwd1d(np.swapaxes(a, -1, -2))
     lo_v = np.swapaxes(lo_v, -1, -2)
     hi_v = np.swapaxes(hi_v, -1, -2)
-    ll, hl = fwd_5x3_1d(lo_v)
-    lh, hh = fwd_5x3_1d(hi_v)
+    ll, hl = fwd1d(lo_v)
+    lh, hh = fwd1d(hi_v)
     return ll, hl, lh, hh
 
 
-def inv_5x3_2d(ll, hl, lh, hh) -> np.ndarray:
-    lo_v = inv_5x3_1d(ll, hl)
-    hi_v = inv_5x3_1d(lh, hh)
-    both = inv_5x3_1d(
-        np.swapaxes(lo_v, -1, -2), np.swapaxes(hi_v, -1, -2)
-    )
+def _inv_2d(ll, hl, lh, hh, inv1d) -> np.ndarray:
+    lo_v = inv1d(ll, hl)
+    hi_v = inv1d(lh, hh)
+    both = inv1d(np.swapaxes(lo_v, -1, -2), np.swapaxes(hi_v, -1, -2))
     return np.swapaxes(both, -1, -2)
 
 
-def dwt_forward(a: np.ndarray, levels: int) -> list:
+def _mallat_forward(a: np.ndarray, levels: int, fwd1d, dtype) -> list:
     """Mallat decomposition: returns [LL_n, (HL_n, LH_n, HH_n), ...,
     (HL_1, LH_1, HH_1)] with spec ceil/floor subband sizes."""
     bands = []
-    cur = a.astype(np.int64, copy=True)
+    cur = a.astype(dtype, copy=True)
     for _ in range(levels):
-        ll, hl, lh, hh = fwd_5x3_2d(cur)
+        ll, hl, lh, hh = _fwd_2d(cur, fwd1d)
         bands.append((hl, lh, hh))
         cur = ll
     return [cur] + list(reversed(bands))
 
 
-def dwt_inverse(pyramid: list) -> np.ndarray:
+def _mallat_inverse(pyramid: list, inv1d) -> np.ndarray:
     cur = pyramid[0]
     for hl, lh, hh in pyramid[1:]:
-        cur = inv_5x3_2d(cur, hl, lh, hh)
+        cur = _inv_2d(cur, hl, lh, hh, inv1d)
     return cur
+
+
+def dwt_forward(a: np.ndarray, levels: int) -> list:
+    return _mallat_forward(a, levels, fwd_5x3_1d, np.int64)
+
+
+def dwt_inverse(pyramid: list) -> np.ndarray:
+    return _mallat_inverse(pyramid, inv_5x3_1d)
 
 
 # ------------------------------------------- 9/7 irreversible DWT
@@ -972,39 +978,12 @@ def inv_9x7_1d(s: np.ndarray, d: np.ndarray) -> np.ndarray:
     return out
 
 
-def fwd_9x7_2d(a: np.ndarray):
-    lo_v, hi_v = fwd_9x7_1d(np.swapaxes(a, -1, -2))
-    lo_v = np.swapaxes(lo_v, -1, -2)
-    hi_v = np.swapaxes(hi_v, -1, -2)
-    ll, hl = fwd_9x7_1d(lo_v)
-    lh, hh = fwd_9x7_1d(hi_v)
-    return ll, hl, lh, hh
-
-
-def inv_9x7_2d(ll, hl, lh, hh) -> np.ndarray:
-    lo_v = inv_9x7_1d(ll, hl)
-    hi_v = inv_9x7_1d(lh, hh)
-    both = inv_9x7_1d(
-        np.swapaxes(lo_v, -1, -2), np.swapaxes(hi_v, -1, -2)
-    )
-    return np.swapaxes(both, -1, -2)
-
-
 def dwt_forward97(a: np.ndarray, levels: int) -> list:
-    bands = []
-    cur = a.astype(np.float64, copy=True)
-    for _ in range(levels):
-        ll, hl, lh, hh = fwd_9x7_2d(cur)
-        bands.append((hl, lh, hh))
-        cur = ll
-    return [cur] + list(reversed(bands))
+    return _mallat_forward(a, levels, fwd_9x7_1d, np.float64)
 
 
 def dwt_inverse97(pyramid: list) -> np.ndarray:
-    cur = pyramid[0]
-    for hl, lh, hh in pyramid[1:]:
-        cur = inv_9x7_2d(cur, hl, lh, hh)
-    return cur
+    return _mallat_inverse(pyramid, inv_9x7_1d)
 
 
 def subband_dims(h: int, w: int, levels: int):
@@ -1327,6 +1306,24 @@ def encode_j2k(
         raise J2kParseError(f"quant style must be 1 or 2, not {quant}")
     _check_tile_geometry(w, h, xt, yt, levels, J2kParseError)
 
+    # one (eps per band) table drives BOTH the QCD header and every
+    # tile's quantizer — a single source of truth (mu is always 0)
+    band_order = ["LL"] + ["HL", "LH", "HH"] * levels
+    lossy_eps = None
+    if lossy and quant == 2:
+        # expounded: eps_b = Rb + 3 -> step 2^-3
+        lossy_eps = [depth + _BAND_GAIN[bt] + 3 for bt in band_order]
+    elif lossy:
+        # derived: single eps0; eps_b = eps0 - r + 1 (T.800 E-5)
+        eps0 = depth + levels + 5
+        if eps0 > 31:
+            raise J2kParseError(
+                f"derived eps0 {eps0} exceeds 31 (reduce levels)"
+            )
+        lossy_eps = [eps0]
+        for r in range(1, levels + 1):
+            lossy_eps += [eps0 - r + 1] * 3
+
     if lossy:
         planes = [
             img[:, :, c].astype(np.float64) - (1 << (depth - 1))
@@ -1366,8 +1363,7 @@ def encode_j2k(
                 x0,
                 y0,
                 layers,
-                lossy,
-                quant,
+                lossy_eps,
             )
         )
 
@@ -1393,12 +1389,11 @@ def encode_j2k(
     nres = levels + 1
     n_bands = 3 * levels + 1
     if lossy and quant == 2:
-        # scalar expounded (style 2): eps_b = Rb + 3 -> step 2^-3
+        # scalar expounded (style 2): per-band words from lossy_eps
         sqcd = bytes([(_GUARD_BITS << 5) | 2])
-        spqcd = b""
-        for btype in ["LL"] + ["HL", "LH", "HH"] * levels:
-            eps = depth + _BAND_GAIN[btype] + 3
-            spqcd += struct.pack(">H", eps << 11)
+        spqcd = b"".join(
+            struct.pack(">H", eps << 11) for eps in lossy_eps
+        )
         out += (
             struct.pack(">H", QCD)
             + struct.pack(">H", 3 + 2 * n_bands)
@@ -1406,19 +1401,13 @@ def encode_j2k(
             + spqcd
         )
     elif lossy:
-        # scalar derived (style 1): one (eps0, 0) pair; the decoder
-        # derives eps_b = eps0 - r + 1 per resolution (T.800 E-5)
-        eps0 = depth + levels + 5
-        if eps0 > 31:
-            raise J2kParseError(
-                f"derived eps0 {eps0} exceeds 31 (reduce levels)"
-            )
+        # scalar derived (style 1): the single eps0 from lossy_eps
         sqcd = bytes([(_GUARD_BITS << 5) | 1])
         out += (
             struct.pack(">H", QCD)
             + struct.pack(">H", 5)
             + sqcd
-            + struct.pack(">H", eps0 << 11)
+            + struct.pack(">H", lossy_eps[0] << 11)
         )
     else:
         sqcd = bytes([(_GUARD_BITS << 5) | 0])  # style 0: no quantization
@@ -1466,8 +1455,7 @@ def _encode_tile(
     x0: int = 0,
     y0: int = 0,
     nlayers: int = 1,
-    lossy: bool = False,
-    quant: int = 2,
+    lossy_eps: list | None = None,
 ) -> list[bytes]:
     """Tier-1 + Tier-2 encode one tile's (already level-shifted /
     MCT'd) component planes into its packet stream, returned one
@@ -1476,22 +1464,22 @@ def _encode_tile(
     (anchors the code-block partition). With ``nlayers > 1`` blocks
     are assigned round-robin to quality layers, each carrying all of
     its passes in its first-inclusion packet — a spec-shaped layered
-    stream that exercises per-layer inclusion coding. ``lossy`` uses
-    the 9/7 transform and quantizes each band by its QCD step (must
-    match the header encode_j2k emits: eps_b = Rb + 3, mu = 0)."""
+    stream that exercises per-layer inclusion coding. ``lossy_eps``
+    (the per-band exponent table encode_j2k also writes into QCD —
+    one source of truth) switches to the 9/7 transform and
+    quantizes each band by 2^(Rb - eps)."""
+    lossy = lossy_eps is not None
     comps = []
     for plane in planes:
         pyr = (dwt_forward97 if lossy else dwt_forward)(plane, levels)
         bands = _build_bands(h, w, levels, cbw, cbh, depth, x0, y0)
         if lossy:
-            for r, blist in enumerate(bands):
+            k = 0
+            for blist in bands:
                 for band in blist:
+                    eps = lossy_eps[k]
+                    k += 1
                     rb = depth + _BAND_GAIN[band.btype]
-                    if quant == 2:
-                        eps = rb + 3
-                    else:  # derived: one eps0 shared per E-5
-                        eps0 = depth + levels + 5
-                        eps = eps0 if r == 0 else eps0 - r + 1
                     band.step = 2.0 ** (rb - eps)
                     band.mb = _GUARD_BITS + eps - 1
         # attach coefficient arrays: resolution 0 = LL, then per level
@@ -1638,8 +1626,9 @@ def _parse_main_header(data: bytes):
 
 
 def decode_j2k(data: bytes) -> np.ndarray:
-    """Lossless codestream (single-tile or a regular multi-tile
-    grid) -> (h, w, nc) uint8/uint16.
+    """Codestream (reversible 5/3 or scalar-quantized 9/7;
+    single-tile or a regular multi-tile grid) -> (h, w, nc)
+    uint8/uint16.
 
     All malformed-stream failure modes surface as :class:`J2kParseError`
     (out-of-scope features as :class:`J2kUnsupported`) so callers like
@@ -1728,7 +1717,9 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             raise J2kParseError("QCD exponent table shorter than band count")
     elif qstyle in (1, 2):
         if transform != 0:
-            raise J2kUnsupported(
+            # non-conformant header pairing, the mirror of the
+            # 9/7+style-0 case above: a parse error, not a gate
+            raise J2kParseError(
                 "scalar quantization with the reversible 5/3 transform"
             )
         if qstyle == 1:
@@ -1993,15 +1984,9 @@ def _decode_tile_planes(
                         nplanes, npasses,
                     )
                     if band.step is not None:
-                        # midpoint dequantization (r = 1/2, T.800 E.1)
-                        blk = (
-                            np.where(
-                                blk != 0,
-                                np.sign(blk) * (np.abs(blk) + 0.5),
-                                0.0,
-                            )
-                            * band.step
-                        )
+                        # midpoint dequantization (r = 1/2, T.800
+                        # E.1); sign(0) == 0 keeps zeros at zero
+                        blk = (blk + 0.5 * np.sign(blk)) * band.step
                     band.coeffs[y0b : y0b + bh, x0b : x0b + bw] = blk
 
     # inverse DWT per component

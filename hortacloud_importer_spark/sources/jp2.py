@@ -227,10 +227,11 @@ def encode_jp2(img: np.ndarray, levels: int = 2, **kw) -> bytes:
 
 def decode_jp2(data: bytes) -> np.ndarray:
     """Full decode -> (pages, height, width, samples), matching
-    tiff.decode_tiff's shape contract. Lossless streams (single-tile
-    or tiled) decode bindinglessly via sources/j2k.py; anything outside that
-    scope needs an OpenJPEG binding (glymur, imageio+plugin, or a
-    Pillow built with JP2)."""
+    tiff.decode_tiff's shape contract. Reversible (5/3) and
+    scalar-quantized irreversible (9/7) streams — single-tile or
+    tiled, tile-part-split, multi-layer — decode bindinglessly via
+    sources/j2k.py; anything outside that scope needs an OpenJPEG
+    binding (glymur, imageio+plugin, or a Pillow built with JP2)."""
     from hortacloud_importer_spark.sources.j2k import (
         J2kParseError,
         J2kUnsupported,
@@ -307,9 +308,10 @@ def decode_jp2(data: bytes) -> np.ndarray:
         )
     raise NotImplementedError(
         f"JP2 decode ({h}x{w}, {nc} component(s)): the codestream uses "
-        f"{unsupported} — outside the clean-room lossless 5/3 scope — and "
-        "no OpenJPEG binding is importable; install glymur, imageio (with "
-        "its JPEG-2000 plugin), or a Pillow built with OpenJPEG"
+        f"{unsupported} — outside the clean-room codec's scope (5/3 "
+        "lossless and scalar-quantized 9/7, tiled/tile-part/layered) — "
+        "and no OpenJPEG binding is importable; install glymur, imageio "
+        "(with its JPEG-2000 plugin), or a Pillow built with OpenJPEG"
     )
 
 
