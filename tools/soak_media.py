@@ -44,6 +44,7 @@ FORMATS = [
     ("jpeg12", 0.5, (256, 256)),
     ("png", 1.0, (256, 256)),
     ("j2k", 0.0625, (256, 256)),
+    ("j2k_lossy", 0.0625, (256, 256)),
     ("tiff", 1.0, (256, 256)),
 ]
 
@@ -87,6 +88,12 @@ def _encode_payload(fmt: str, seed: int, dims: tuple[int, int]) -> bytes:
         return encode_jp2(
             (unit * 65535).astype(np.uint16), levels=2, tile=(128, 128)
         )
+    if fmt == "j2k_lossy":
+        from hortacloud_importer_spark.sources.jp2 import encode_jp2
+
+        return encode_jp2(
+            (unit * 65535).astype(np.uint16), levels=2, lossy=True
+        )
     if fmt == "tiff":
         from hortacloud_importer_spark.sources.tiff import encode_tiff
 
@@ -104,6 +111,7 @@ def _decode_fmt(fmt: str) -> str:
         "jpeg12": "jpeg",
         "png": "png",
         "j2k": "jp2",
+        "j2k_lossy": "jp2",
         "tiff": "tiff",
     }[fmt]
 
@@ -195,20 +203,27 @@ def main() -> int:
     sampler.phase("generate")
     meta_path = f"{WORK}/_soak_meta.json"
     done = f"{WORK}/media.parquet/_SUCCESS"
+    fmt_names = [f[0] for f in FORMATS]
     if os.path.exists(done):
-        stamped = -1
+        stamped = {}
         if os.path.exists(meta_path):
-            stamped = json.load(open(meta_path)).get("per_format", -1)
-        if stamped != args.per_format:
+            stamped = json.load(open(meta_path))
+        if stamped.get("per_format") != args.per_format or stamped.get(
+            "formats"
+        ) != fmt_names:
             raise SystemExit(
-                f"fixture at {WORK} was generated with per_format="
-                f"{stamped}, this run wants {args.per_format}; use a "
-                "fresh SOAK_MEDIA_DIR"
+                f"fixture at {WORK} was generated with "
+                f"{stamped.get('per_format')}/{stamped.get('formats')}, "
+                f"this run wants {args.per_format}/{fmt_names}; use a "
+                "fresh SOAK_MEDIA_DIR (or delete it)"
             )
         report["gen_sec"] = 0.0
     else:
         report["gen_sec"] = round(_gen_corpus(spark, args.per_format), 1)
-        json.dump({"per_format": args.per_format}, open(meta_path, "w"))
+        json.dump(
+            {"per_format": args.per_format, "formats": fmt_names},
+            open(meta_path, "w"),
+        )
 
     from hortacloud_importer_spark.operators.multimodal import (
         META_SCHEMA,
