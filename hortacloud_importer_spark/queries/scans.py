@@ -715,6 +715,32 @@ def scan_zarr_blosc(spark: SparkSession, sf_dir: str) -> DataFrame:
     window. Proves the codec matrix end-to-end at the driver level:
     blosc header parse, split-stream lz4 decode, per-block byte
     unshuffle, edge-chunk clipping."""
+    return _zarr_blosc_query(spark, cname="lz4", shuffle=1)
+
+
+@register(
+    "scan_zarr_blosclz",
+    "A1+A3",
+    oracle="""
+SELECT t1.range AS z, t2.range AS y, t3.range AS x,
+       (11 * (t1.range * 30 + t2.range * 6 + t3.range)) % 65521 AS intensity
+FROM range(5) t1, range(5) t2, range(6) t3
+WHERE t1.range >= 1 AND t2.range < 4
+""",
+    driver=False,
+)
+def scan_zarr_blosclz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3, same window and oracle as ``scan_zarr_blosc`` but the
+    store is written with blosc's OTHER default — the built-in
+    blosclz codec (``cname="blosclz"``) under the bit-shuffle filter
+    (``shuffle=2``) — exercising the clean-room FastLZ-family decoder
+    and the vectorized bit-matrix transpose end-to-end."""
+    return _zarr_blosc_query(spark, cname="blosclz", shuffle=2)
+
+
+def _zarr_blosc_query(
+    spark: SparkSession, cname: str, shuffle: int
+) -> DataFrame:
     import json
     import os
     import tempfile
@@ -743,9 +769,9 @@ def scan_zarr_blosc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dtype": "<u2",
                 "compressor": {
                     "id": "blosc",
-                    "cname": "lz4",
+                    "cname": cname,
                     "clevel": 5,
-                    "shuffle": 1,
+                    "shuffle": shuffle,
                     "blocksize": 0,
                 },
                 "order": "C",
@@ -754,6 +780,8 @@ def scan_zarr_blosc(spark: SparkSession, sf_dir: str) -> DataFrame:
             },
             fh,
         )
+    # numcodecs shuffle enum: 0 = none, 1 = byte, 2 = bit
+    shuffle_arg: bool | str = {0: False, 1: True, 2: "bit"}[shuffle]
     for gz_i in range((dz + cz - 1) // cz):
         for gy in range((dy + cy - 1) // cy):
             for gx in range((dx + cx - 1) // cx):
@@ -765,7 +793,14 @@ def scan_zarr_blosc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
                 full[: blk.shape[0], : blk.shape[1], : blk.shape[2]] = blk
                 with open(f"{root}/{gz_i}.{gy}.{gx}", "wb") as fh:
-                    fh.write(blosc_compress(full.tobytes(), typesize=2))
+                    fh.write(
+                        blosc_compress(
+                            full.tobytes(),
+                            typesize=2,
+                            cname=cname,
+                            shuffle=shuffle_arg,
+                        )
+                    )
     return (
         spark.read.format("zarr_volume")
         .load(root)

@@ -24,9 +24,10 @@ codecs, stdlib zlib/bz2/lzma) — no new dependencies:
   ``{"id": "blosc", "cname": "lz4", ...}``): 16-byte header, block
   index, per-block split streams, byte-shuffle filter. The header is
   self-describing (typesize, flags, inner codec), so decode needs no
-  metadata beyond the payload. Inner codecs lz4/zlib/zstd/snappy are
-  supported; blosclz and the bit-shuffle filter raise the honest
-  gate (FIXTURES.md codec rule).
+  metadata beyond the payload. Inner codecs
+  blosclz/lz4/zlib/zstd/snappy and both shuffle filters (byte and
+  bit) are supported — blosclz via the clean-room FastLZ-family
+  decoder below, bit-shuffle via a vectorized bit-matrix transpose.
 - **zstd / bzip2 / xz-lzma / gzip / zlib**: self-framed, dispatched
   to pyarrow / stdlib.
 
@@ -285,6 +286,198 @@ def numcodecs_lz4_decompress(data: bytes) -> bytes:
     return _lz4_block_decompress(data[4:], dlen)
 
 
+# ----------------------------------------------------------- blosclz
+
+_BLOSCLZ_MAX_DIST = 8191  # short-form match window (13-bit distance)
+_BLOSCLZ_MAX_FAR = 8192 + 65535  # far-form escape adds a 16-bit offset
+
+
+def blosclz_decompress(data: bytes, dlen: int) -> bytes:
+    """Clean-room blosclz stream decoder (c-blosc's built-in
+    FastLZ-family codec; the format is fixed by the public c-blosc1
+    container spec). Token grammar, driven by each control byte's top
+    3 bits:
+
+    - ``ctrl < 32``: literal run — copy ``ctrl + 1`` input bytes.
+      The very first control byte is always a literal run and only
+      its low 5 bits are significant.
+    - ``ctrl >= 32``: match of ``(ctrl >> 5) + 2`` bytes at distance
+      ``((ctrl & 31) << 8) + next + 1``. A top field of 7 switches to
+      the long form: extension bytes each add their value to the
+      length (continuing while an extension byte is 255, so a run of
+      255s followed by a sub-255 terminator encodes any length). A
+      distance byte of 255 under a maxed high field (``ctrl & 31 ==
+      31``) is the far-match escape: two more big-endian bytes carry
+      ``distance - 8192``.
+
+    Matches may overlap their own output (RLE-style), so the copy
+    grows left-to-right, doubling the copied span each pass instead
+    of looping per byte.
+    """
+    if dlen == 0:
+        return b""
+    out = bytearray()
+    n = len(data)
+    if n == 0:
+        raise CodecError("blosclz: empty stream")
+    pos = 0
+    ctrl = data[pos] & 31
+    pos += 1
+    first = True
+    while True:
+        if first or ctrl < 32:
+            run = (ctrl & 31) + 1
+            if pos + run > n:
+                raise CodecError("blosclz: truncated literal run")
+            out += data[pos : pos + run]
+            pos += run
+        else:
+            length = (ctrl >> 5) + 2
+            if ctrl >> 5 == 7:
+                length = 9
+                while True:
+                    if pos >= n:
+                        raise CodecError("blosclz: truncated length extension")
+                    code = data[pos]
+                    pos += 1
+                    length += code
+                    if code != 255:
+                        break
+            if pos >= n:
+                raise CodecError("blosclz: truncated match distance")
+            code = data[pos]
+            pos += 1
+            if code == 255 and ctrl & 31 == 31:
+                if pos + 2 > n:
+                    raise CodecError("blosclz: truncated far-match offset")
+                dist = 8192 + (data[pos] << 8) + data[pos + 1]
+                pos += 2
+            else:
+                dist = ((ctrl & 31) << 8) + code + 1
+            if dist > len(out):
+                raise CodecError(
+                    f"blosclz: match distance {dist} exceeds {len(out)} "
+                    "decoded bytes"
+                )
+            start = len(out) - dist
+            while length > 0:
+                span = min(length, len(out) - start)
+                out += out[start : start + span]
+                length -= span
+            if len(out) > dlen:
+                raise CodecError("blosclz: output overruns declared size")
+        first = False
+        if len(out) == dlen:
+            if pos != n:
+                raise CodecError(
+                    f"blosclz: {n - pos} trailing bytes after full output"
+                )
+            return bytes(out)
+        if pos >= n:
+            raise CodecError(
+                f"blosclz decoded {len(out)} bytes, wanted {dlen}"
+            )
+        ctrl = data[pos]
+        pos += 1
+
+
+def blosclz_compress(data: bytes) -> bytes:
+    """Greedy blosclz encoder (fixtures, roundtrips, and a working
+    blosc-container write path): hash-table match finder over 4-byte
+    prefixes, literal runs of <=32, short- and far-form distances.
+    Every construct emitted is one the decoder above accepts, and the
+    format is the public one, so c-blosc decodes the output too."""
+    n = len(data)
+    if n == 0:
+        return b""
+    out = bytearray()
+    table: dict[bytes, int] = {}
+    lit_start = 0
+    i = 0
+
+    def flush_literals(end: int) -> None:
+        nonlocal out
+        s = lit_start
+        while s < end:
+            run = min(32, end - s)
+            out.append(run - 1)
+            out += data[s : s + run]
+            s += run
+
+    # a match needs 3+ bytes of lookahead and can't start at 0
+    while i + 4 <= n:
+        if i == 0:
+            table[data[0:4]] = 0
+            i = 1
+            continue
+        key = data[i : i + 4]
+        cand = table.get(key)
+        table[key] = i
+        if cand is None or i - cand > _BLOSCLZ_MAX_FAR:
+            i += 1
+            continue
+        length = 4
+        limit = n - i
+        while length < limit and data[cand + length] == data[i + length]:
+            length += 1
+        dist = i - cand
+        flush_literals(i)
+        lit = length
+        d = dist - 1
+        if dist <= _BLOSCLZ_MAX_DIST:
+            hi, rest = d >> 8, [d & 0xFF]
+        else:
+            far = dist - 8192
+            hi, rest = 31, [255, far >> 8, far & 0xFF]
+        if lit <= 8:
+            out.append(((lit - 2) << 5) | hi)
+        else:
+            out.append((7 << 5) | hi)
+            rem = lit - 9
+            while rem >= 255:
+                out.append(255)
+                rem -= 255
+            out.append(rem)
+        out += bytes(rest)
+        i += length
+        lit_start = i
+    flush_literals(n)
+    return bytes(out)
+
+
+# --------------------------------------------------------- bitshuffle
+
+
+def bitshuffle(block: bytes, typesize: int) -> bytes:
+    """Bit-transpose filter (blosc ``shuffle=BITSHUFFLE``): view the
+    block as ``n`` elements of ``typesize`` bytes and group bit ``k``
+    of byte ``b`` of every element into bit-plane ``b*8 + k``, each
+    plane packing its ``n`` bits LSB-first. Pure reshape/transpose
+    over numpy's little-endian packbits — no Python loop. Applies
+    only when the block is a whole number of 8-element groups; the
+    caller falls back to a plain copy otherwise (mirroring c-blosc's
+    per-block divisibility rule)."""
+    group = 8 * typesize
+    if len(block) % group:
+        raise CodecError(
+            f"bitshuffle needs a multiple of {group} bytes, got {len(block)}"
+        )
+    arr = np.frombuffer(block, dtype=np.uint8).reshape(-1, typesize)
+    bits = np.unpackbits(arr, axis=1, bitorder="little")  # (n, 8*typesize)
+    return np.packbits(bits.T, axis=1, bitorder="little").tobytes()
+
+
+def bit_unshuffle(block: bytes, typesize: int) -> bytes:
+    group = 8 * typesize
+    if len(block) % group:
+        raise CodecError(
+            f"bit-unshuffle needs a multiple of {group} bytes, got {len(block)}"
+        )
+    planes = np.frombuffer(block, dtype=np.uint8).reshape(8 * typesize, -1)
+    bits = np.unpackbits(planes, axis=1, bitorder="little")  # (8*t, n)
+    return np.packbits(bits.T, axis=1, bitorder="little").tobytes()
+
+
 # -------------------------------------------------------------- blosc
 
 _BLOSC_BLOSCLZ = 0
@@ -302,6 +495,8 @@ _F_BIT_SHUFFLE = 0x4
 
 
 def _blosc_inner_decompress(comp: bytes, dlen: int, compcode: int) -> bytes:
+    if compcode == _BLOSC_BLOSCLZ:
+        return blosclz_decompress(comp, dlen)
     if compcode == _BLOSC_LZ4:
         return _lz4_block_decompress(comp, dlen)
     if compcode == _BLOSC_ZLIB:
@@ -311,13 +506,14 @@ def _blosc_inner_decompress(comp: bytes, dlen: int, compcode: int) -> bytes:
     if compcode == _BLOSC_SNAPPY:
         return _pa_codec("snappy").decompress(comp, dlen, asbytes=True)
     raise CodecError(
-        "blosc inner codec "
-        f"{'blosclz' if compcode == _BLOSC_BLOSCLZ else compcode!r} is not "
-        "supported (lz4/zlib/zstd/snappy are); re-encode or install blosc"
+        f"blosc inner codec code {compcode!r} is not supported "
+        "(blosclz/lz4/zlib/zstd/snappy are)"
     )
 
 
 def _blosc_inner_compress(raw: bytes, compcode: int) -> bytes:
+    if compcode == _BLOSC_BLOSCLZ:
+        return blosclz_compress(raw)
     if compcode == _BLOSC_LZ4:
         return _lz4_block_compress(raw)
     if compcode == _BLOSC_ZLIB:
@@ -412,11 +608,6 @@ def blosc_decompress(data: bytes) -> bytes:
         if cbytes != nbytes + _BLOSC_MAX_OVERHEAD:
             raise CodecError("blosc memcpy container length mismatch")
         return bytes(data[16 : 16 + nbytes])
-    if flags & _F_BIT_SHUFFLE:
-        raise CodecError(
-            "blosc bit-shuffle filter is not supported (byte shuffle is); "
-            "re-encode with shuffle=SHUFFLE"
-        )
     compcode = (flags >> 5) & 0x7
     typesize = max(1, typesize)
     if blocksize <= 0:
@@ -463,7 +654,12 @@ def blosc_decompress(data: bytes) -> bytes:
             block = provisional
         if block is None:
             raise err if err is not None else CodecError("blosc: empty block")
-        if shuffle:
+        if flags & _F_BIT_SHUFFLE:
+            # c-blosc skips the bit filter on blocks that aren't a
+            # whole number of 8-element groups (the final leftover)
+            if len(block) % (8 * typesize) == 0:
+                block = bit_unshuffle(block, typesize)
+        elif shuffle:
             block = _byte_unshuffle(block, typesize)
         out += block
     if len(out) != nbytes:
@@ -475,18 +671,18 @@ def blosc_compress(
     data: bytes,
     typesize: int = 1,
     cname: str = "lz4",
-    shuffle: bool = True,
+    shuffle: bool | str = True,
     blocksize: int = 0,
 ) -> bytes:
     """c-blosc1 container writer (fixtures, roundtrips, and a working
     Zarr-default-compressor write path). Follows the same split rule
-    the decoder verifies, so output parses under c-blosc semantics."""
+    the decoder verifies, so output parses under c-blosc semantics.
+    ``shuffle`` is False, True (byte shuffle), or ``"bit"``."""
     if cname not in _BLOSC_CNAME:
         raise CodecError(f"unknown blosc cname {cname!r}")
     compcode = _BLOSC_CNAME[cname]
-    if compcode == _BLOSC_BLOSCLZ:
-        raise CodecError("blosclz is not supported; use lz4/zlib/zstd/snappy")
     typesize = max(1, typesize)
+    bitshuf = shuffle == "bit"
     nbytes = len(data)
     version_header = bytes([2, 1])
     if nbytes == 0:
@@ -497,17 +693,27 @@ def blosc_compress(
         )
     if blocksize <= 0:
         blocksize = min(nbytes, 1 << 18)
-    blocksize -= blocksize % typesize
-    blocksize = max(blocksize, typesize)
+    grain = 8 * typesize if bitshuf else typesize
+    blocksize -= blocksize % grain
+    blocksize = max(blocksize, grain)
     nblocks = (nbytes + blocksize - 1) // blocksize
-    flags = (compcode << 5) | (_F_BYTE_SHUFFLE if shuffle else 0)
+    if bitshuf:
+        filter_flag = _F_BIT_SHUFFLE
+    elif shuffle:
+        filter_flag = _F_BYTE_SHUFFLE
+    else:
+        filter_flag = 0
+    flags = (compcode << 5) | filter_flag
     body = bytearray()
     bstarts = []
     base = 16 + 4 * nblocks
     for j in range(nblocks):
         raw = data[j * blocksize : (j + 1) * blocksize]
         bsize = len(raw)
-        if shuffle:
+        if bitshuf:
+            if bsize % (8 * typesize) == 0:
+                raw = bitshuffle(raw, typesize)
+        elif shuffle:
             raw = _byte_shuffle(raw, typesize)
         leftover = bsize != blocksize or bsize % typesize
         if _blosc_split(compcode, typesize, blocksize) and not leftover:

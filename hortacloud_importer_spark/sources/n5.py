@@ -24,8 +24,8 @@ streams, xz) and the Zarr-v2 numcodecs set (blosc — the Zarr
 default — lz4, zstd, gzip, zlib, bz2, lzma). The two ``lz4`` ids are
 DIFFERENT formats (N5 wraps chunks in lz4-java block streams, Zarr's
 numcodecs prefixes one raw LZ4 block with its size), which is why the
-dispatch is per-container. Only blosc's blosclz inner codec and
-bit-shuffle filter remain gated with a clear error.
+dispatch is per-container. The full blosc matrix decodes in-container:
+blosclz, lz4, zlib, zstd, snappy with byte- or bit-shuffle.
 """
 
 from __future__ import annotations

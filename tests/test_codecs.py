@@ -93,9 +93,9 @@ def test_numcodecs_lz4_roundtrip_and_prefix():
         C.numcodecs_lz4_decompress(b"\x01")
 
 
-@pytest.mark.parametrize("cname", ["lz4", "zlib", "zstd", "snappy"])
+@pytest.mark.parametrize("cname", ["blosclz", "lz4", "zlib", "zstd", "snappy"])
 @pytest.mark.parametrize("typesize", [1, 2, 4])
-@pytest.mark.parametrize("shuffle", [True, False])
+@pytest.mark.parametrize("shuffle", [True, False, "bit"])
 def test_blosc_roundtrip(cname, typesize, shuffle):
     rng = np.random.default_rng(13)
     for n in (0, 1, 100, 4096, 70_001):
@@ -170,22 +170,115 @@ def test_blosc_split_streams_hand_built():
     assert C.blosc_decompress(container) == raw
 
 
-def test_blosc_gates_are_honest():
-    with pytest.raises(C.CodecError, match="bit-shuffle"):
-        C.blosc_decompress(
-            bytes([2, 1, 0x4, 1]) + struct.pack("<iii", 10, 10, 30) + b"\x00" * 14
-        )
+def test_blosc_corrupt_containers_raise():
+    with pytest.raises(C.CodecError):
+        C.blosc_decompress(b"\x02\x01")  # truncated header
+    # a blosclz stream that runs out of input before the declared size
+    body = struct.pack("<i", 3) + b"\x01\x02\x03"
     with pytest.raises(C.CodecError, match="blosclz"):
-        # compressor code 0 = blosclz
-        body = struct.pack("<i", 3) + b"\x01\x02\x03"
         C.blosc_decompress(
             bytes([2, 1, 0, 1])
             + struct.pack("<iii", 10, 10, 16 + 4 + len(body))
             + struct.pack("<i", 20)
             + body
         )
-    with pytest.raises(C.CodecError):
-        C.blosc_decompress(b"\x02\x01")  # truncated header
+
+
+# ------------------------------------------------------------ blosclz
+
+
+def test_blosclz_hand_built_streams():
+    """Token streams assembled BY HAND from the blosclz grammar
+    (FastLZ family, fixed by the public c-blosc1 format): a format
+    drift fails against spec-shaped bytes, not just a roundtrip."""
+    # literal run only: first ctrl's low 5 bits = run length - 1
+    assert C.blosclz_decompress(bytes([2, 65, 66, 67]), 3) == b"ABC"
+    # short match: ctrl 001xxxxx -> len (ctrl>>5)+2 = 3, dist ofs+code+1
+    s = bytes([1, 65, 66, (1 << 5) | 0, 1])  # 'AB' then 3 bytes at dist 2
+    assert C.blosclz_decompress(s, 5) == b"ABABA"
+    # long match: top field 7, one extension byte; len = 9 + ext
+    s = bytes([1, 97, 98, (7 << 5) | 0, 1, 1])  # 'ab' + 10 bytes at dist 2
+    assert C.blosclz_decompress(s, 12) == b"ab" * 6
+    # 255-chained extension: len = 9 + 255 + 0 = 264
+    s = bytes([0, 120, (7 << 5) | 0, 255, 0, 0])  # 'x' + 264 at dist 1
+    assert C.blosclz_decompress(s, 265) == b"x" * 265
+    # far match: hi field 31 + code 255 escape, 16-bit extra offset
+    prefix = b"Z" + b"." * 8191  # put the target 8192 back
+    lits = bytearray([0, ord("Z")])
+    for i in range(0, 8191, 32):
+        run = min(32, 8191 - i)
+        lits += bytes([run - 1]) + b"." * run
+    far = bytes([(1 << 5) | 31, 255, 0, 0])  # len 3, dist 8192+0
+    out = C.blosclz_decompress(bytes(lits) + far, len(prefix) + 3)
+    assert out == prefix + b"Z.."
+
+
+def test_blosclz_roundtrip_payload_shapes():
+    rng = np.random.default_rng(29)
+    payloads = [
+        b"",
+        b"a",
+        b"abc" * 1000,
+        bytes(range(256)) * 40,
+        bytes(rng.integers(0, 256, 10_000, dtype=np.uint8)),  # incompressible
+        b"\x00" * 100_000,
+        bytes(rng.integers(0, 4, 50_000, dtype=np.uint8)),
+        bytes(rng.integers(0, 256, 9_000, dtype=np.uint8)) * 12,  # far matches
+    ]
+    for p in payloads:
+        enc = C.blosclz_compress(p)
+        assert C.blosclz_decompress(enc, len(p)) == p
+
+
+def test_blosclz_errors():
+    with pytest.raises(C.CodecError, match="truncated literal"):
+        C.blosclz_decompress(bytes([5, 1, 2]), 6)
+    with pytest.raises(C.CodecError, match="distance"):
+        # match at dist 4 with only 1 decoded byte
+        C.blosclz_decompress(bytes([0, 65, (1 << 5) | 0, 3]), 4)
+    with pytest.raises(C.CodecError, match="trailing"):
+        C.blosclz_decompress(bytes([0, 65, 0, 66]), 1)
+    with pytest.raises(C.CodecError, match="wanted"):
+        C.blosclz_decompress(bytes([0, 65]), 9)
+
+
+# --------------------------------------------------------- bitshuffle
+
+
+def test_bitshuffle_pinned_plane_layout():
+    """Pin the bit-plane layout: plane b*8+k holds bit k of byte b of
+    every element, bits packed LSB-first (the bitshuffle library's
+    scalar reference ordering, which blosc's BITSHUFFLE uses)."""
+    # 8 one-byte elements, all with bit 0 set -> plane 0 = 0xFF
+    assert C.bitshuffle(bytes([1] * 8), 1) == bytes([0xFF] + [0] * 7)
+    # alternating elements -> plane 0 packs 0b01010101 (elem 0 = LSB)
+    assert C.bitshuffle(bytes([1, 0] * 4), 1) == bytes([0b01010101] + [0] * 7)
+    # typesize 2: bit 0 of byte 1 lands in plane 8
+    elems = np.array([0x0100] * 8, dtype="<u2").tobytes()
+    out = C.bitshuffle(elems, 2)
+    assert out[8] == 0xFF and sum(out) == 0xFF
+
+
+def test_bitshuffle_involution_and_gate():
+    rng = np.random.default_rng(31)
+    for t in (1, 2, 4, 8):
+        raw = bytes(rng.integers(0, 256, 8 * t * 37, dtype=np.uint8))
+        assert C.bit_unshuffle(C.bitshuffle(raw, t), t) == raw
+    with pytest.raises(C.CodecError, match="multiple"):
+        C.bitshuffle(b"\x00" * 12, 2)
+
+
+def test_blosc_bitshuffle_leftover_block_unfiltered():
+    """The final block of a bit-shuffled container that is not a
+    whole number of 8-element groups is stored unfiltered (c-blosc's
+    per-block divisibility rule) — roundtrip across that boundary."""
+    rng = np.random.default_rng(37)
+    data = bytes(rng.integers(0, 9, 4096 + 13, dtype=np.uint8))
+    enc = C.blosc_compress(
+        data, typesize=2, cname="blosclz", shuffle="bit", blocksize=4096
+    )
+    assert enc[2] & 0x4  # bit-shuffle flag set
+    assert C.blosc_decompress(enc) == data
 
 
 def test_n5_dispatch_full_codec_set():

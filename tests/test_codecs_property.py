@@ -27,8 +27,8 @@ def test_lz4java_roundtrip_property(data, block_pow):
 @given(
     data=st.binary(min_size=0, max_size=5000),
     typesize=st.sampled_from([1, 2, 3, 4, 8, 16]),
-    cname=st.sampled_from(["lz4", "zlib", "zstd", "snappy"]),
-    shuffle=st.booleans(),
+    cname=st.sampled_from(["blosclz", "lz4", "zlib", "zstd", "snappy"]),
+    shuffle=st.sampled_from([False, True, "bit"]),
     blocksize=st.sampled_from([0, 256, 1024, 1 << 14]),
 )
 def test_blosc_roundtrip_property(data, typesize, cname, shuffle, blocksize):
