@@ -109,6 +109,19 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
             from hortacloud_importer_spark.sources.png import decode_png
 
             return decode_png(bytes(payload))[None, ...]
+    if fmt == "gif":
+        # clean-room GIF87a/89a (sources/gif.py): LZW, interlace,
+        # animation compositing with 89a disposal — the one built-in
+        # format carrying REAL multi-frame payloads, so video-style
+        # frame sampling runs against genuine animation data
+        from hortacloud_importer_spark.sources.gif import decode_gif
+
+        return decode_gif(bytes(payload))
+    if fmt == "bmp":
+        # clean-room BMP (sources/bmp.py): 8/24/32-bit BI_RGB
+        from hortacloud_importer_spark.sources.bmp import decode_bmp
+
+        return decode_bmp(bytes(payload))[None, ...]
     if fmt == "wav":
         # clean-room RIFF/WAVE parser (sources/wav.py): integer PCM
         # and IEEE float, any rate/channel count; compressed tags gate
@@ -127,8 +140,8 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
     except ImportError as exc:  # codec libs absent in this container
         raise NotImplementedError(
             f"format {fmt!r} needs an image codec (PIL); built-in "
-            "clean-room decoders cover raw8, tiff, jpeg, png, and "
-            "lossless jp2"
+            "clean-room decoders cover raw8, tiff, jpeg, png, gif, "
+            "bmp, wav, and jp2"
         ) from exc
     import io
 

@@ -540,6 +540,88 @@ def scan_wav_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_gif_bmp_media",
+    "A1+K4",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT fmt, z, AVG(v) AS mean_val,
+       CAST(MIN(v) AS INTEGER) AS min_val,
+       CAST(MAX(v) AS INTEGER) AS max_val
+FROM (
+  SELECT 'gif' AS fmt, t1.range AS z,
+         (t2.range * (t1.range + 1) * 11) % 251 AS v
+  FROM range(4) t1, range(768) t2
+  UNION ALL
+  SELECT 'bmp' AS fmt, t1.range AS z,
+         (t2.range * (t1.range + 1) * 7) % 256 AS v
+  FROM range(4) t1, range(768) t2
+)
+GROUP BY fmt, z
+""",
+)
+def scan_gif_bmp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 web-image formats over REAL containers, oracle-exact: four
+    3-frame animated GIFs (grayscale palette, one interlaced, pixel
+    index = (t*(z+1)*11) mod 251 for t = frame*256 + row*16 + col)
+    and four 24-bit BMPs (value = (k*(z+1)*7) mod 256 for the k-th
+    RGB byte) are written by the clean-room encoders, ingested via
+    binaryFile, and decoded through the executor media kernel
+    (sources/gif.py LZW + compositing, sources/bmp.py BGR/stride
+    handling). A grayscale palette replicates each index across RGB,
+    so mean/min/max equal the index-level stats and the DuckDB
+    oracle regenerates both formulas closed-form; AVG is an exact
+    integer sum over 2304 (GIF) / 768 (BMP) samples divided once, so
+    any LZW, interlace, palette, channel-order, or row-padding bug
+    breaks the hash."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import media_features
+    from hortacloud_importer_spark.sources.bmp import encode_bmp
+    from hortacloud_importer_spark.sources.gif import encode_gif
+
+    workdir = tempfile.mkdtemp(prefix="gif_bmp_media_")
+    gray = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
+    for z in range(4):
+        t = np.arange(3 * 256, dtype=np.int64)
+        frames = ((t * (z + 1) * 11) % 251).astype(np.uint8).reshape(3, 16, 16)
+        with open(f"{workdir}/anim.{z:03d}.gif", "wb") as fh:
+            fh.write(encode_gif(frames, gray, interlace=(z == 0)))
+        k = np.arange(768, dtype=np.int64)
+        img = ((k * (z + 1) * 7) % 256).astype(np.uint8).reshape(16, 16, 3)
+        with open(f"{workdir}/shot.{z:03d}.bmp", "wb") as fh:
+            fh.write(encode_bmp(img))
+    fmt_col = F.element_at(F.split(F.col("path"), r"\."), -1)
+    z_col = F.regexp_extract(F.col("path"), r"\.(\d{3})\.\w+$", 1).cast("long")
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*")
+        .select(
+            # media_id stays unique across formats: gif z, bmp z+4
+            (z_col + F.when(fmt_col == "bmp", F.lit(4)).otherwise(F.lit(0)))
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            fmt_col.alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 16, 'width', 16, 'channels', 3,"
+                " 'sample_rate', 0, 'n_frames', 3)"
+            ).alias("meta"),
+        )
+    )
+    return media_features(media).select(
+        F.when(F.col("media_id") < 4, F.lit("gif"))
+        .otherwise(F.lit("bmp"))
+        .alias("fmt"),
+        (F.col("media_id") % 4).alias("z"),
+        F.col("mean_intensity").alias("mean_val"),
+        F.col("min_intensity").alias("min_val"),
+        F.col("max_intensity").alias("max_val"),
+    )
+
+
+@register(
     "scan_n5_datasource",
     "A1+A3+A4",
     oracle="""

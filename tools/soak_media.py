@@ -46,6 +46,8 @@ FORMATS = [
     ("j2k", 0.0625, (256, 256)),
     ("j2k_lossy", 0.0625, (256, 256)),
     ("tiff", 1.0, (256, 256)),
+    ("gif", 0.5, (256, 256)),  # 3-frame animation per item
+    ("bmp", 1.0, (256, 256)),
 ]
 
 
@@ -100,6 +102,20 @@ def _encode_payload(fmt: str, seed: int, dims: tuple[int, int]) -> bytes:
         return encode_tiff(
             (unit * 65535).astype(np.uint16)[None, ...], compression="zlib"
         )
+    if fmt == "gif":
+        from hortacloud_importer_spark.sources.gif import encode_gif
+
+        gray = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
+        img8 = (unit * 255).astype(np.uint8)
+        frames = np.stack(
+            [np.roll(img8, 7 * f, axis=1) for f in range(3)]
+        )
+        return encode_gif(frames, gray)
+    if fmt == "bmp":
+        from hortacloud_importer_spark.sources.bmp import encode_bmp
+
+        img8 = (unit * 255).astype(np.uint8)
+        return encode_bmp(np.stack([img8] * 3, axis=-1))
     raise ValueError(fmt)
 
 
@@ -113,6 +129,8 @@ def _decode_fmt(fmt: str) -> str:
         "j2k": "jp2",
         "j2k_lossy": "jp2",
         "tiff": "tiff",
+        "gif": "gif",
+        "bmp": "bmp",
     }[fmt]
 
 
