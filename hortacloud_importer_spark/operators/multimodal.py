@@ -122,6 +122,12 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
         from hortacloud_importer_spark.sources.bmp import decode_bmp
 
         return decode_bmp(bytes(payload))[None, ...]
+    if fmt == "avi":
+        # clean-room RIFF/AVI container (sources/avi.py): MJPG frames
+        # through the T.81 decoder, uncompressed DIB frames byte-exact
+        from hortacloud_importer_spark.sources.avi import decode_avi
+
+        return decode_avi(bytes(payload))
     if fmt == "wav":
         # clean-room RIFF/WAVE parser (sources/wav.py): integer PCM
         # and IEEE float, any rate/channel count; compressed tags gate
@@ -141,7 +147,7 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
         raise NotImplementedError(
             f"format {fmt!r} needs an image codec (PIL); built-in "
             "clean-room decoders cover raw8, tiff, jpeg, png, gif, "
-            "bmp, wav, and jp2"
+            "bmp, avi, wav, and jp2"
         ) from exc
     import io
 

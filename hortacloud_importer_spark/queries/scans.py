@@ -622,6 +622,76 @@ def scan_gif_bmp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_avi_frames",
+    "A1+K4+J4",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT z, f, AVG(v) AS mean_val,
+       CAST(MIN(v) AS INTEGER) AS min_val,
+       CAST(MAX(v) AS INTEGER) AS max_val
+FROM (
+  SELECT t1.range AS z, t2.range AS f,
+         ((t2.range * 256 + t3.range) * (t1.range + 1) * 13) % 256 AS v
+  FROM range(4) t1, range(0, 3, 2) t2, range(256) t3
+)
+GROUP BY z, f
+""",
+)
+def scan_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 video over REAL AVI containers, oracle-exact, through the
+    1->N frame-sampling UDTF (J4): four 3-frame RIFF/AVI files with
+    uncompressed gray DIB frames (pixel value = ((f*256 + t)*(z+1)*13)
+    mod 256 for t = row*16 + col) are written by the clean-room
+    encoder, ingested via binaryFile, frame-sampled at stride 2
+    (frames 0 and 2), and each sampled frame reduced by the media
+    kernel. The gray palette replicates values across RGB so
+    mean/min/max equal the index-level stats, and the DuckDB oracle
+    regenerates the formula over exactly the sampled frames — a RIFF
+    chunk-walk, DIB row-order/stride, palette, or sampling-stride bug
+    all break the hash."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import (
+        media_features,
+        sample_frames,
+    )
+    from hortacloud_importer_spark.sources.avi import encode_avi
+
+    workdir = tempfile.mkdtemp(prefix="avi_frames_")
+    for z in range(4):
+        t = np.arange(3 * 256, dtype=np.int64)
+        frames = ((t * (z + 1) * 13) % 256).astype(np.uint8).reshape(3, 16, 16)
+        with open(f"{workdir}/clip.{z:03d}.avi", "wb") as fh:
+            fh.write(encode_avi(frames, codec="DIB"))
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*.avi")
+        .select(
+            F.regexp_extract(F.col("path"), r"\.(\d{3})\.avi$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.lit("avi").alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 16, 'width', 16, 'channels', 3,"
+                " 'sample_rate', 0, 'n_frames', 3)"
+            ).alias("meta"),
+        )
+    )
+    # sample_frames re-keys each frame as media_id*1000 + frame_index
+    return media_features(sample_frames(media, 2)).select(
+        (F.col("media_id") / 1000).cast("long").alias("z"),
+        (F.col("media_id") % 1000).alias("f"),
+        F.col("mean_intensity").alias("mean_val"),
+        F.col("min_intensity").alias("min_val"),
+        F.col("max_intensity").alias("max_val"),
+    )
+
+
+@register(
     "scan_n5_datasource",
     "A1+A3+A4",
     oracle="""
