@@ -229,15 +229,89 @@ FEATURES_SCHEMA = (
 )
 
 
-def media_features(media: DataFrame) -> DataFrame:
+def _decode_error_types() -> tuple[type, ...]:
+    """Every named decode failure the clean-room codecs raise. A
+    skip/tag kernel catches exactly these — anything else (a bug, not
+    a corrupt payload) still fails the task loudly."""
+    from hortacloud_importer_spark.sources.avi import AviParseError
+    from hortacloud_importer_spark.sources.bmp import BmpParseError
+    from hortacloud_importer_spark.sources.codecs import CodecError
+    from hortacloud_importer_spark.sources.gif import GifParseError
+    from hortacloud_importer_spark.sources.jp2 import Jp2ParseError
+    from hortacloud_importer_spark.sources.jpeg import JpegParseError
+    from hortacloud_importer_spark.sources.png import PngParseError
+    from hortacloud_importer_spark.sources.tiff import TiffParseError
+    from hortacloud_importer_spark.sources.wav import WavParseError
+
+    named: tuple[type, ...] = (
+        AviParseError,
+        BmpParseError,
+        CodecError,
+        GifParseError,
+        Jp2ParseError,
+        JpegParseError,
+        PngParseError,
+        TiffParseError,
+        WavParseError,
+        # the honest format gates (needs-a-binding / out-of-scope)
+        NotImplementedError,
+    )
+    try:  # when the optional PIL tail is live, its parse failure too
+        from PIL import UnidentifiedImageError
+
+        named += (UnidentifiedImageError,)
+    except ImportError:
+        pass
+    return named
+
+
+def media_features(media: DataFrame, errors: str = "raise") -> DataFrame:
     """Feature extraction: per-item intensity stats + 16-bin histogram,
-    one Arrow batch at a time (J2's batched-kernel pattern)."""
+    one Arrow batch at a time (J2's batched-kernel pattern).
+
+    ``errors`` is the 100 TB crawl knob — a billion-image corpus
+    always carries bit-rotted payloads, and one of them must not kill
+    the stage (Spark retries the task, hits the same bytes, and fails
+    the job after 4 attempts):
+
+    - ``"raise"`` (default): any decode failure fails the task —
+      right for curated stores, and keeps oracle runs strict;
+    - ``"skip"``: rows whose payload raises a NAMED parse error are
+      dropped; unexpected exception types still propagate;
+    - ``"tag"``: like skip, but corrupt rows are kept with zeroed
+      features and the error text in an extra ``decode_error`` column
+      (NULL for clean rows), so the pipeline can count/quarantine
+      bad payloads downstream instead of losing them silently.
+    """
+    if errors not in ("raise", "skip", "tag"):
+        raise ValueError(f"errors must be raise/skip/tag, got {errors!r}")
+    schema = FEATURES_SCHEMA
+    if errors == "tag":
+        schema = FEATURES_SCHEMA + ", decode_error string"
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        catchable = _decode_error_types() if errors != "raise" else ()
         for pdf in batches:
             out = []
             for row in pdf.itertuples():
-                arr = _decode_one(row.format, bytes(row.payload), row.meta)
+                try:
+                    arr = _decode_one(row.format, bytes(row.payload), row.meta)
+                except catchable as exc:
+                    if errors == "tag":
+                        out.append(
+                            {
+                                "media_id": int(row.media_id),
+                                "n_bytes": 0,
+                                "mean_intensity": 0.0,
+                                "min_intensity": 0,
+                                "max_intensity": 0,
+                                "hist16": np.zeros(16, dtype=np.int64),
+                                "decode_error": (
+                                    f"{type(exc).__name__}: {exc}"
+                                ),
+                            }
+                        )
+                    continue
                 if arr.size == 0:
                     # a legal container with an empty data chunk:
                     # zero features, not a reduction crash
@@ -299,9 +373,23 @@ def media_features(media: DataFrame) -> DataFrame:
                         "hist16": hist.astype(np.int64),
                     }
                 )
-            yield pd.DataFrame(out)
+            if errors == "tag":
+                for rec in out:
+                    rec.setdefault("decode_error", None)
+            if out:
+                yield pd.DataFrame(out)
+            else:
+                # a batch where every row was skipped still needs the
+                # declared columns (object dtype so Arrow maps the
+                # empty hist16 column to list<int64>, not float64)
+                yield pd.DataFrame(
+                    {
+                        c.strip().split(" ")[0]: pd.Series([], dtype=object)
+                        for c in schema.split(", ")
+                    }
+                )
 
-    return media.mapInPandas(feats, FEATURES_SCHEMA)
+    return media.mapInPandas(feats, schema)
 
 
 def resize_images(media: DataFrame, th: int, tw: int) -> DataFrame:

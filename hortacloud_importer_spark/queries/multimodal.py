@@ -82,6 +82,75 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(sample_frames(media, 2))
 
 
+@register(
+    "mm_decode_errors",
+    "K4",
+    driver=False,
+    oracle="""
+SELECT fmt, status, n FROM (VALUES
+  ('gif', 'ok', 4), ('gif', 'error', 2),
+  ('bmp', 'ok', 3), ('bmp', 'error', 1),
+  ('webp', 'error', 2)
+) AS t(fmt, status, n)
+""",
+)
+def mm_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 corrupt-payload accounting, oracle-exact: a mixed corpus of
+    good GIFs/BMPs, bit-rot-truncated variants, and gated webp
+    payloads runs through ``media_features(errors="tag")`` — the
+    100 TB crawl mode where a corrupt file becomes a counted row
+    instead of a failed stage. The oracle pins the exact ok/error
+    split per format, so a decoder that starts silently accepting
+    truncated streams (or a kernel that drops clean rows) breaks the
+    hash."""
+    import numpy as np
+
+    rng = np.random.default_rng(53)
+    from hortacloud_importer_spark.sources.bmp import encode_bmp
+    from hortacloud_importer_spark.sources.gif import encode_gif
+
+    pal = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
+    rows = []
+    for i in range(4):  # media_id decade 0x: clean GIFs
+        img = rng.integers(0, 256, (12, 12), dtype=np.uint8)
+        rows.append((i, "gif", bytearray(encode_gif(img, pal))))
+    for i in range(2):  # decade 1x: GIFs truncated mid-LZW
+        img = rng.integers(0, 256, (12, 12), dtype=np.uint8)
+        g = encode_gif(img, pal)
+        rows.append((10 + i, "gif", bytearray(g[: len(g) // 2])))
+    for i in range(3):  # decade 2x: clean BMPs
+        img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+        rows.append((20 + i, "bmp", bytearray(encode_bmp(img))))
+    # decade 3x: BMP with its pixel data sheared off
+    img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    rows.append((30, "bmp", bytearray(encode_bmp(img)[:60])))
+    for i in range(2):  # decade 4x: webp is a gated format
+        rows.append((40 + i, "webp", bytearray(b"RIFF\x10\x00\x00\x00WEBPVP8 ")))
+    media = spark.createDataFrame(
+        [
+            (mid, "image", fmt, payload, (12, 12, 3, 0, 1))
+            for mid, fmt, payload in rows
+        ],
+        "media_id long, kind string, format string, payload binary, "
+        "meta struct<height:int,width:int,channels:int,"
+        "sample_rate:int,n_frames:int>",
+    )
+    feats = media_features(media, errors="tag")
+    return (
+        feats.select(
+            F.when(F.col("media_id") < 20, F.lit("gif"))
+            .when(F.col("media_id") < 40, F.lit("bmp"))
+            .otherwise(F.lit("webp"))
+            .alias("fmt"),
+            F.when(F.col("decode_error").isNull(), F.lit("ok"))
+            .otherwise(F.lit("error"))
+            .alias("status"),
+        )
+        .groupBy("fmt", "status")
+        .agg(F.count("*").cast("int").alias("n"))
+    )
+
+
 def _feat_tagged(df: DataFrame, facet: str) -> DataFrame:
     """FEATURES_SCHEMA -> scalar-only driver schema (hist16 -> CSV)."""
     return df.select(

@@ -45,6 +45,13 @@ class GifParseError(ValueError):
     pass
 
 
+# Decompression-bomb guards for skip-on-error crawl kernels: a few
+# corrupt header bytes must not demand a 12 GiB canvas (65535^2 RGB)
+# or an unbounded frame list before the LZW data is even touched.
+# 64 Mpx/frame and 128 Mpx total are far beyond any real GIF.
+MAX_PIXELS = 1 << 26
+MAX_TOTAL_PIXELS = 1 << 27
+
 _INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
@@ -145,6 +152,11 @@ def decode_gif(data: bytes) -> np.ndarray:
     )
     if width == 0 or height == 0:
         raise GifParseError("zero-sized logical screen")
+    if width * height > MAX_PIXELS:
+        raise GifParseError(
+            f"logical screen {width}x{height} exceeds the "
+            f"{MAX_PIXELS}-pixel decode guard"
+        )
     pos = 13
     gct: np.ndarray | None = None
     if packed & 0x80:
@@ -217,6 +229,11 @@ def decode_gif(data: bytes) -> np.ndarray:
         if idx.max() >= len(palette):
             raise GifParseError("pixel index outside the color table")
 
+        if (len(frames) + 1) * width * height > MAX_TOTAL_PIXELS:
+            raise GifParseError(
+                f"animation exceeds the {MAX_TOTAL_PIXELS}-pixel "
+                "total decode guard"
+            )
         saved = None
         if disposal == 3:
             saved = canvas[top : top + fh, left : left + fw].copy()

@@ -53,6 +53,11 @@ import struct
 import numpy as np
 
 
+# max h*w*components a SOF may declare (decompression-bomb guard;
+# 2^28 samples = a 256-megapixel grayscale or ~85 Mpx color frame)
+MAX_SAMPLES = 1 << 28
+
+
 class JpegParseError(ValueError):
     pass
 
@@ -244,6 +249,14 @@ def _parse_segments(data: bytes, tables: _Tables):
             nc = seg[5]
             if nc == 0 or len(seg) < 6 + 3 * nc:
                 raise JpegParseError(f"SOF declares {nc} components")
+            if h * w * nc > MAX_SAMPLES:
+                # decompression-bomb guard for skip-on-error crawl
+                # kernels: corrupt SOF dims must not demand a
+                # multi-GiB allocation before entropy decode starts
+                raise JpegParseError(
+                    f"SOF {w}x{h}x{nc} exceeds the {MAX_SAMPLES}-sample "
+                    "decode guard"
+                )
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
@@ -700,7 +713,33 @@ def decode_jpeg(data: bytes, tables_stream: bytes | None = None) -> np.ndarray:
     ``tables_stream`` pre-loads DQT/DHT (TIFF JPEGTables, tag 347);
     segments in ``data`` override them per T.81. 3-component output
     is converted YCbCr->RGB (BT.601) unless Adobe APP14 declares
-    transform=0 (already RGB)."""
+    transform=0 (already RGB).
+
+    Corrupt streams always raise :class:`JpegParseError`: crawled
+    corpora carry bit-rotted payloads, and a kernel skipping decode
+    failures must be able to catch ONE named error instead of
+    whatever IndexError/OverflowError a mangled length field trips
+    deep in the entropy decoder."""
+    try:
+        return _decode_jpeg_checked(data, tables_stream)
+    except JpegParseError:
+        raise
+    except (
+        IndexError,
+        KeyError,
+        OverflowError,
+        ZeroDivisionError,
+        ValueError,
+        struct.error,
+    ) as exc:
+        raise JpegParseError(
+            f"malformed JPEG stream: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _decode_jpeg_checked(
+    data: bytes, tables_stream: bytes | None = None
+) -> np.ndarray:
     tables = _Tables()
     if tables_stream:
         try:

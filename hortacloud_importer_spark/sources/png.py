@@ -40,6 +40,9 @@ PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 # color type -> samples per pixel
 _SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# max w*h*samples an IHDR may declare (decompression-bomb guard)
+MAX_SAMPLES = 1 << 28
+
 # Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
 _ADAM7 = (
     (0, 0, 8, 8),
@@ -293,6 +296,12 @@ def decode_png(data: bytes) -> np.ndarray:
     w, h, depth, color, interlace = ihdr
     if color not in _SAMPLES:
         raise PngParseError(f"unknown color type {color}")
+    if w * h * _SAMPLES[color] > MAX_SAMPLES:
+        # decompression-bomb guard for skip-on-error crawl kernels:
+        # corrupt IHDR dims must not demand a multi-GiB allocation
+        raise PngParseError(
+            f"IHDR {w}x{h} exceeds the {MAX_SAMPLES}-sample decode guard"
+        )
     if color == 3:
         if depth not in (1, 2, 4, 8):
             raise PngParseError(f"palette bit depth {depth} invalid")

@@ -72,6 +72,14 @@ _COMP_PACKBITS = 32773
 _TAG_JPEG_TABLES = 347
 
 
+# max width*length*samples one IFD may declare. TIFF dims are 32-bit
+# and gigapixel microscopy slices are real, so this guard is generous
+# (2^32 samples = an 8.6 GiB uint16 page); it exists to reject the
+# ~10^19-sample claims corrupt 32-bit dim fields produce, which would
+# otherwise hit a multi-exabyte np.zeros before any strip is read.
+MAX_SAMPLES = 1 << 32
+
+
 class TiffParseError(ValueError):
     pass
 
@@ -348,6 +356,13 @@ def _decode_page(
     width = _required(ifd, _TAG_WIDTH, "ImageWidth")[0]
     length = _required(ifd, _TAG_LENGTH, "ImageLength")[0]
     spp = ifd.get(_TAG_SAMPLES_PER_PIXEL, [1])[0]
+    if width * length * max(spp, 1) > MAX_SAMPLES:
+        # decompression-bomb guard for skip-on-error crawl kernels:
+        # corrupt IFD dims must not demand a multi-GiB page allocation
+        raise TiffParseError(
+            f"page {width}x{length}x{spp} exceeds the "
+            f"{MAX_SAMPLES}-sample decode guard"
+        )
     if spp > 1 and ifd.get(_TAG_PLANAR_CONFIG, [1])[0] != 1:
         # Planar (separate-plane) layout would decode to silently wrong
         # pixels if treated as chunky; reject it explicitly.
@@ -430,7 +445,29 @@ def _parse_header(data: bytes) -> tuple[str, int, bool]:
 
 
 def decode_tiff(data: bytes) -> np.ndarray:
-    """bytes -> (pages, height, width, samples) uint8/uint16 array."""
+    """bytes -> (pages, height, width, samples) uint8/uint16 array.
+
+    Corrupt streams always raise :class:`TiffParseError` (a mangled
+    offset/count field otherwise trips a raw struct.error deep in the
+    IFD walk — skip-on-error kernels need ONE named error)."""
+    try:
+        return _decode_tiff_checked(data)
+    except TiffParseError:
+        raise
+    except (
+        IndexError,
+        KeyError,
+        OverflowError,
+        ValueError,
+        struct.error,
+        zlib.error,
+    ) as exc:
+        raise TiffParseError(
+            f"malformed TIFF stream: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
+def _decode_tiff_checked(data: bytes) -> np.ndarray:
     ec, pos, big = _parse_header(data)
     pages = []
     while pos:
