@@ -122,6 +122,12 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
         from hortacloud_importer_spark.sources.bmp import decode_bmp
 
         return decode_bmp(bytes(payload))[None, ...]
+    if fmt == "webp":
+        # clean-room lossless VP8L (sources/webp.py); lossy VP8 and
+        # VP8X containers raise the named WebpParseError gate
+        from hortacloud_importer_spark.sources.webp import decode_webp
+
+        return decode_webp(bytes(payload))[None, ...]
     if fmt == "avi":
         # clean-room RIFF/AVI container (sources/avi.py): MJPG frames
         # through the T.81 decoder, uncompressed DIB frames byte-exact
@@ -147,7 +153,7 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
         raise NotImplementedError(
             f"format {fmt!r} needs an image codec (PIL); built-in "
             "clean-room decoders cover raw8, tiff, jpeg, png, gif, "
-            "bmp, avi, wav, and jp2"
+            "bmp, webp (lossless), avi, wav, and jp2"
         ) from exc
     import io
 
@@ -242,6 +248,7 @@ def _decode_error_types() -> tuple[type, ...]:
     from hortacloud_importer_spark.sources.png import PngParseError
     from hortacloud_importer_spark.sources.tiff import TiffParseError
     from hortacloud_importer_spark.sources.wav import WavParseError
+    from hortacloud_importer_spark.sources.webp import WebpParseError
 
     named: tuple[type, ...] = (
         AviParseError,
@@ -253,6 +260,7 @@ def _decode_error_types() -> tuple[type, ...]:
         PngParseError,
         TiffParseError,
         WavParseError,
+        WebpParseError,
         # the honest format gates (needs-a-binding / out-of-scope)
         NotImplementedError,
     )

@@ -555,6 +555,10 @@ FROM (
   SELECT 'bmp' AS fmt, t1.range AS z,
          (t2.range * (t1.range + 1) * 7) % 256 AS v
   FROM range(4) t1, range(768) t2
+  UNION ALL
+  SELECT 'webp' AS fmt, t1.range AS z,
+         (t2.range * (t1.range + 1) * 17) % 256 AS v
+  FROM range(4) t1, range(768) t2
 )
 GROUP BY fmt, z
 """,
@@ -562,17 +566,18 @@ GROUP BY fmt, z
 def scan_gif_bmp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 web-image formats over REAL containers, oracle-exact: four
     3-frame animated GIFs (grayscale palette, one interlaced, pixel
-    index = (t*(z+1)*11) mod 251 for t = frame*256 + row*16 + col)
-    and four 24-bit BMPs (value = (k*(z+1)*7) mod 256 for the k-th
-    RGB byte) are written by the clean-room encoders, ingested via
-    binaryFile, and decoded through the executor media kernel
-    (sources/gif.py LZW + compositing, sources/bmp.py BGR/stride
-    handling). A grayscale palette replicates each index across RGB,
-    so mean/min/max equal the index-level stats and the DuckDB
-    oracle regenerates both formulas closed-form; AVG is an exact
-    integer sum over 2304 (GIF) / 768 (BMP) samples divided once, so
-    any LZW, interlace, palette, channel-order, or row-padding bug
-    breaks the hash."""
+    index = (t*(z+1)*11) mod 251 for t = frame*256 + row*16 + col),
+    four 24-bit BMPs (value = (k*(z+1)*7) mod 256 for the k-th RGB
+    byte), and four lossless WebPs (VP8L, value = (k*(z+1)*17) mod
+    256, one behind subtract-green) are written by the clean-room
+    encoders, ingested via binaryFile, and decoded through the
+    executor media kernel (sources/gif.py LZW + compositing,
+    sources/bmp.py BGR/stride handling, sources/webp.py prefix
+    coding). A grayscale GIF palette replicates each index across
+    RGB, so mean/min/max equal the index-level stats and the DuckDB
+    oracle regenerates all three formulas closed-form; AVG is an
+    exact integer sum divided once, so any LZW, interlace, palette,
+    channel-order, row-padding, or prefix-code bug breaks the hash."""
     import tempfile
 
     import numpy as np
@@ -580,6 +585,7 @@ def scan_gif_bmp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hortacloud_importer_spark.operators.multimodal import media_features
     from hortacloud_importer_spark.sources.bmp import encode_bmp
     from hortacloud_importer_spark.sources.gif import encode_gif
+    from hortacloud_importer_spark.sources.webp import encode_webp
 
     workdir = tempfile.mkdtemp(prefix="gif_bmp_media_")
     gray = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
@@ -592,15 +598,23 @@ def scan_gif_bmp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         img = ((k * (z + 1) * 7) % 256).astype(np.uint8).reshape(16, 16, 3)
         with open(f"{workdir}/shot.{z:03d}.bmp", "wb") as fh:
             fh.write(encode_bmp(img))
+        wimg = ((k * (z + 1) * 17) % 256).astype(np.uint8).reshape(16, 16, 3)
+        with open(f"{workdir}/web.{z:03d}.webp", "wb") as fh:
+            fh.write(encode_webp(wimg, subtract_green=(z == 1)))
     fmt_col = F.element_at(F.split(F.col("path"), r"\."), -1)
     z_col = F.regexp_extract(F.col("path"), r"\.(\d{3})\.\w+$", 1).cast("long")
     media = (
         spark.read.format("binaryFile")
         .load(f"file://{workdir}/*")
         .select(
-            # media_id stays unique across formats: gif z, bmp z+4
-            (z_col + F.when(fmt_col == "bmp", F.lit(4)).otherwise(F.lit(0)))
-            .alias("media_id"),
+            # media_id stays unique across formats: gif z, bmp z+4,
+            # webp z+8
+            (
+                z_col
+                + F.when(fmt_col == "bmp", F.lit(4))
+                .when(fmt_col == "webp", F.lit(8))
+                .otherwise(F.lit(0))
+            ).alias("media_id"),
             F.lit("image").alias("kind"),
             fmt_col.alias("format"),
             F.col("content").alias("payload"),
@@ -612,7 +626,8 @@ def scan_gif_bmp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return media_features(media).select(
         F.when(F.col("media_id") < 4, F.lit("gif"))
-        .otherwise(F.lit("bmp"))
+        .when(F.col("media_id") < 8, F.lit("bmp"))
+        .otherwise(F.lit("webp"))
         .alias("fmt"),
         (F.col("media_id") % 4).alias("z"),
         F.col("mean_intensity").alias("mean_val"),

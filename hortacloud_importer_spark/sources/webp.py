@@ -1,0 +1,707 @@
+"""Clean-room WebP lossless (VP8L) decoder.
+
+§2.K4: WebP is the fourth web-crawl image format next to JPEG, PNG,
+and GIF (all of which already decode clean-room here). This module
+implements the LOSSLESS half of WebP from the public bitstream
+specification (RFC 9649 / the WebP Lossless Bitstream Specification):
+the 'VP8L' chunk with canonical prefix coding, LZ77 backward
+references with the 2D distance mapping, color-cache codes, and all
+four transforms (predictor, cross-color, subtract-green, and
+color-indexing with sub-byte pixel bundling).
+
+Lossy WebP ('VP8 ' chunks — a VP8 intra keyframe with boolean
+arithmetic coding and loop filtering) and extended-container features
+('VP8X' animation/alpha chunks) are OUT OF SCOPE and gate with
+:class:`WebpParseError`; a crawl kernel running ``errors="tag"``
+counts them instead of failing the stage.
+
+Layout notes (all from the spec):
+
+- the bitstream is read LSB-first within bytes; canonical prefix
+  codes are consumed bit-by-bit starting at the root (first bit =
+  most significant bit of the code);
+- each prefix-code group holds 5 codes: green+length+cache (alphabet
+  256 + 24 + cache_size), red, blue, alpha (256 each), distance (40);
+- code lengths are themselves prefix-coded with the 19-symbol
+  code-length code in the fixed order 17, 18, 0, 1, ..., 16 (16
+  repeats the previous nonzero length, 17/18 emit zero runs);
+- distances 1..120 map through the 2D neighbor table below, larger
+  codes are ``code - 120`` linear distances;
+- transforms are read in stream order (each may appear once) and
+  inverted in reverse order after pixel decode; color-indexing
+  reduces the coded width when the palette has <= 16 entries
+  (8/4/2/1 pixels bundled per green byte).
+
+The encoder writes spec-shaped fixtures: no-transform or
+subtract-green literal streams with flat 8-bit literal codes (the
+code-length code exercising repeat-zero runs), simple-code channels
+for constant planes, and the uncompressed RIFF container. Decoder
+paths the encoder does not emit (backrefs, cache, palette,
+predictor, cross-color) are pinned by hand-built streams in
+tests/test_webp.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class WebpParseError(ValueError):
+    pass
+
+
+# max w*h*4 samples a VP8L header may declare (decompression-bomb
+# guard; 14-bit dims cap at 16384^2 = 1 Gpx = 4 GiB RGBA)
+MAX_PIXELS = 1 << 26
+
+_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+# 2D distance mapping (spec: codes 1..120 address near neighbors)
+_DIST_MAP = (
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
+)
+
+
+class _BitReader:
+    """LSB-first bit reader over the VP8L payload."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        end = self.pos + n
+        if end > 8 * len(self.data):
+            raise WebpParseError("VP8L stream exhausted")
+        out = 0
+        shift = 0
+        pos = self.pos
+        data = self.data
+        while shift < n:
+            byte = data[pos >> 3] >> (pos & 7)
+            take = min(8 - (pos & 7), n - shift)
+            out |= (byte & ((1 << take) - 1)) << shift
+            shift += take
+            pos += take
+        self.pos = end
+        return out
+
+
+class _Huffman:
+    """Canonical prefix decoder: codes assigned in (length, symbol)
+    order, consumed MSB-first bit-by-bit."""
+
+    __slots__ = ("counts", "symbols", "single")
+
+    def __init__(self, lengths: list[int]) -> None:
+        nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+        if not nz:
+            raise WebpParseError("prefix code with no symbols")
+        if len(nz) == 1:
+            self.single = nz[0][1]
+            self.counts = self.symbols = None
+            return
+        self.single = None
+        max_len = max(ln for ln, _ in nz)
+        if max_len > 15:
+            raise WebpParseError(f"prefix length {max_len} > 15")
+        counts = [0] * (max_len + 1)
+        for ln, _ in nz:
+            counts[ln] += 1
+        # completeness (Kraft equality) — an over- or under-subscribed
+        # code is corrupt
+        kraft = sum(c << (max_len - ln) for ln, c in enumerate(counts) if ln)
+        if kraft != 1 << max_len:
+            raise WebpParseError("prefix code lengths are not complete")
+        self.counts = counts
+        self.symbols = [sym for _, sym in sorted(nz)]
+
+    def decode(self, br: _BitReader) -> int:
+        if self.single is not None:
+            return self.single
+        code = 0
+        first = 0  # first canonical code of this length
+        index = 0  # symbols consumed by shorter lengths
+        for ln in range(1, len(self.counts)):
+            code = (code << 1) | br.read(1)
+            count = self.counts[ln]
+            if code - first < count:
+                return self.symbols[index + code - first]
+            index += count
+            first = (first + count) << 1
+        raise WebpParseError("invalid prefix code")
+
+
+def _simple_code(br: _BitReader, alphabet: int) -> _Huffman:
+    num = br.read(1) + 1
+    first_8bit = br.read(1)
+    s0 = br.read(8 if first_8bit else 1)
+    syms = [s0]
+    if num == 2:
+        syms.append(br.read(8))
+    lengths = [0] * alphabet
+    for s in syms:
+        if s >= alphabet:
+            raise WebpParseError(f"simple-code symbol {s} >= {alphabet}")
+    if num == 1:
+        lengths[syms[0]] = 1  # placeholder; decoded as zero-bit single
+        h = _Huffman.__new__(_Huffman)
+        h.single = syms[0]
+        h.counts = h.symbols = None
+        return h
+    if syms[0] == syms[1]:
+        raise WebpParseError("simple code repeats a symbol")
+    for s in syms:
+        lengths[s] = 1
+    return _Huffman(lengths)
+
+
+def _read_code_lengths(
+    br: _BitReader, cl_huff: _Huffman, alphabet: int, max_symbol: int
+) -> list[int]:
+    lengths = [0] * alphabet
+    prev = 8
+    symbol = 0
+    while symbol < alphabet:
+        if max_symbol == 0:
+            break
+        max_symbol -= 1
+        cl = cl_huff.decode(br)
+        if cl < 16:
+            lengths[symbol] = cl
+            symbol += 1
+            if cl:
+                prev = cl
+        else:
+            if cl == 16:
+                repeat, fill = 3 + br.read(2), prev
+            elif cl == 17:
+                repeat, fill = 3 + br.read(3), 0
+            elif cl == 18:
+                repeat, fill = 11 + br.read(7), 0
+            else:
+                raise WebpParseError(f"code-length symbol {cl}")
+            if symbol + repeat > alphabet:
+                raise WebpParseError("code-length repeat overruns alphabet")
+            for _ in range(repeat):
+                lengths[symbol] = fill
+                symbol += 1
+    return lengths
+
+
+def _read_prefix_code(br: _BitReader, alphabet: int) -> _Huffman:
+    if br.read(1):
+        return _simple_code(br, alphabet)
+    num_cl = 4 + br.read(4)
+    cl_lengths = [0] * 19
+    for i in range(num_cl):
+        cl_lengths[_ORDER[i]] = br.read(3)
+    cl_huff = _Huffman(cl_lengths)
+    if br.read(1):
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+        if max_symbol > alphabet:
+            raise WebpParseError(
+                f"max_symbol {max_symbol} exceeds alphabet {alphabet}"
+            )
+    else:
+        max_symbol = alphabet
+    return _Huffman(_read_code_lengths(br, cl_huff, alphabet, max_symbol))
+
+
+def _prefix_value(code: int, br: _BitReader) -> int:
+    """Length/distance prefix decoding: 40-entry alphabet of
+    (2 + (code & 1)) << extra_bits ranges."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _decode_image(
+    br: _BitReader, w: int, h: int, allow_meta: bool
+) -> np.ndarray:
+    """One entropy-coded VP8L image -> (h*w,) uint32 ARGB pixels."""
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise WebpParseError(f"color cache bits {cache_bits}")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+
+    meta = None
+    meta_w = hbits = 0
+    num_groups = 1
+    if allow_meta and br.read(1):
+        hbits = br.read(3) + 2
+        meta_w = (w + (1 << hbits) - 1) >> hbits
+        meta_h = (h + (1 << hbits) - 1) >> hbits
+        meta_img = _decode_image(br, meta_w, meta_h, False)
+        meta = ((meta_img >> 8) & 0xFFFF).astype(np.int64)
+        num_groups = int(meta.max()) + 1
+
+    green_alpha = 256 + 24 + cache_size
+    groups = []
+    for _ in range(num_groups):
+        groups.append(
+            (
+                _read_prefix_code(br, green_alpha),
+                _read_prefix_code(br, 256),  # red
+                _read_prefix_code(br, 256),  # blue
+                _read_prefix_code(br, 256),  # alpha
+                _read_prefix_code(br, 40),  # distance
+            )
+        )
+
+    n = w * h
+    pixels = np.zeros(n, dtype=np.uint32)
+    cache = [0] * cache_size
+    pos = 0
+    g_green, g_red, g_blue, g_alpha, g_dist = groups[0]
+    multi = meta is not None or num_groups > 1
+    while pos < n:
+        if multi and meta is not None:
+            gx = (pos % w) >> hbits
+            gy = (pos // w) >> hbits
+            g_green, g_red, g_blue, g_alpha, g_dist = groups[
+                int(meta[gy * meta_w + gx])
+            ]
+        s = g_green.decode(br)
+        if s < 256:
+            red = g_red.decode(br)
+            blue = g_blue.decode(br)
+            alpha = g_alpha.decode(br)
+            px = (alpha << 24) | (red << 16) | (s << 8) | blue
+            pixels[pos] = px
+            pos += 1
+            if cache_size:
+                cache[(0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)] = px
+        elif s < 280:
+            length = _prefix_value(s - 256, br)
+            dist_code = _prefix_value(g_dist.decode(br), br)
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _DIST_MAP[dist_code - 1]
+                dist = dy * w + dx
+                if dist < 1:
+                    dist = 1
+            if dist > pos:
+                raise WebpParseError(
+                    f"backward reference distance {dist} at pixel {pos}"
+                )
+            if pos + length > n:
+                raise WebpParseError("backward reference overruns image")
+            src = pos - dist
+            if cache_size:
+                for _ in range(length):
+                    px = int(pixels[src])
+                    pixels[pos] = px
+                    cache[
+                        (0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)
+                    ] = px
+                    src += 1
+                    pos += 1
+            else:
+                while length > 0:
+                    span = min(length, pos - src)
+                    pixels[pos : pos + span] = pixels[src : src + span]
+                    pos += span
+                    length -= span
+        else:
+            idx = s - 280
+            if idx >= cache_size:
+                raise WebpParseError(f"color cache index {idx}")
+            pixels[pos] = cache[idx]
+            pos += 1
+    return pixels
+
+
+# ------------------------------------------------------- transforms
+
+
+def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return (a.astype(np.uint16) + b.astype(np.uint16)) >> 1
+
+
+def _predict(mode: int, left, top, topleft, topright) -> np.ndarray:
+    """One of the 14 spatial predictors over (4,) uint8 channel
+    vectors [A, R, G, B]."""
+    if mode == 0:
+        return np.array([255, 0, 0, 0], dtype=np.uint8)
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 3:
+        return topright
+    if mode == 4:
+        return topleft
+    if mode == 5:
+        return _avg2(_avg2(left, topright), top).astype(np.uint8)
+    if mode == 6:
+        return _avg2(left, topleft).astype(np.uint8)
+    if mode == 7:
+        return _avg2(left, top).astype(np.uint8)
+    if mode == 8:
+        return _avg2(topleft, top).astype(np.uint8)
+    if mode == 9:
+        return _avg2(top, topright).astype(np.uint8)
+    if mode == 10:
+        return _avg2(_avg2(left, topleft), _avg2(top, topright)).astype(
+            np.uint8
+        )
+    if mode == 11:  # Select
+        p = left.astype(int) + top.astype(int) - topleft.astype(int)
+        p_left = int(np.abs(p - left).sum())
+        p_top = int(np.abs(p - top).sum())
+        return left if p_left < p_top else top
+    if mode == 12:  # ClampAddSubtractFull
+        full = left.astype(int) + top.astype(int) - topleft.astype(int)
+        return np.clip(full, 0, 255).astype(np.uint8)
+    if mode == 13:  # ClampAddSubtractHalf
+        ave = _avg2(left, top).astype(int)
+        diff = ave - topleft.astype(int)
+        half = ave + np.trunc(diff / 2).astype(int)
+        return np.clip(half, 0, 255).astype(np.uint8)
+    raise WebpParseError(f"predictor mode {mode}")
+
+
+def _inverse_predictor(
+    argb: np.ndarray, w: int, h: int, size_bits: int, modes: np.ndarray
+) -> None:
+    """In-place inverse of the predictor transform. argb is (h, w, 4)
+    uint8 channel-order [A, R, G, B] holding residuals on entry."""
+    bs = 1 << size_bits
+    mode_w = (w + bs - 1) >> size_bits
+    mode_green = ((modes >> 8) & 0xFF).astype(np.int64)
+    black = np.array([255, 0, 0, 0], dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            if x == 0 and y == 0:
+                pred = black
+            elif y == 0:
+                pred = argb[0, x - 1]
+            elif x == 0:
+                pred = argb[y - 1, 0]
+            else:
+                mode = int(
+                    mode_green[(y >> size_bits) * mode_w + (x >> size_bits)]
+                )
+                tr = argb[y - 1, x + 1] if x + 1 < w else argb[y - 1, 0]
+                pred = _predict(
+                    mode, argb[y, x - 1], argb[y - 1, x], argb[y - 1, x - 1], tr
+                )
+            argb[y, x] = argb[y, x] + pred  # uint8 wraps mod 256
+
+
+def _ct_delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """ColorTransformDelta over arrays: (int8(t) * int8(c)) >> 5 with
+    arithmetic shift."""
+    prod = t.astype(np.int8).astype(np.int32) * c.astype(np.int8).astype(
+        np.int32
+    )
+    return prod >> 5
+
+
+def _inverse_color_transform(
+    argb: np.ndarray, w: int, h: int, size_bits: int, elements: np.ndarray
+) -> None:
+    """In-place inverse cross-color transform. Element pixel fields:
+    red = red_to_blue, green = green_to_blue, blue = green_to_red."""
+    bs = 1 << size_bits
+    ew = (w + bs - 1) >> size_bits
+    elems = elements.reshape(-1)
+    bx = np.arange(w) >> size_bits
+    for y in range(h):
+        row = argb[y]
+        e = elems[(y >> size_bits) * ew + bx]
+        g2r = (e >> 0) & 0xFF  # blue field
+        g2b = (e >> 8) & 0xFF  # green field
+        r2b = (e >> 16) & 0xFF  # red field
+        green = row[:, 2]
+        red = (
+            row[:, 1].astype(np.int32) + _ct_delta(g2r, green)
+        ) & 0xFF
+        blue = (
+            row[:, 3].astype(np.int32)
+            + _ct_delta(g2b, green)
+            + _ct_delta(r2b, red.astype(np.uint8))
+        ) & 0xFF
+        row[:, 1] = red.astype(np.uint8)
+        row[:, 3] = blue.astype(np.uint8)
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """WebP bytes -> (h, w, 3|4) uint8 (RGB when fully opaque)."""
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise WebpParseError("not a RIFF/WEBP stream")
+    pos = 12
+    payload = None
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8L":
+            payload = body
+            break
+        if fourcc == b"VP8 ":
+            raise WebpParseError(
+                "lossy WebP (VP8 intra-frame coding) is not supported; "
+                "the clean-room decoder covers lossless VP8L"
+            )
+        if fourcc == b"VP8X":
+            raise WebpParseError(
+                "extended WebP (VP8X animation/alpha container) is not "
+                "supported"
+            )
+        pos += 8 + size + (size & 1)
+    if payload is None:
+        raise WebpParseError("no VP8L chunk in container")
+    if not payload or payload[0] != 0x2F:
+        raise WebpParseError("bad VP8L signature byte")
+    br = _BitReader(payload[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha-is-used hint
+    version = br.read(3)
+    if version != 0:
+        raise WebpParseError(f"VP8L version {version}")
+    if w * h > MAX_PIXELS:
+        raise WebpParseError(
+            f"{w}x{h} exceeds the {MAX_PIXELS}-pixel decode guard"
+        )
+
+    # transforms are read in stream order at the then-current width
+    cur_w = w
+    transforms: list[tuple] = []
+    seen = set()
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype in seen:
+            raise WebpParseError(f"transform {ttype} appears twice")
+        seen.add(ttype)
+        if ttype == 0:  # predictor
+            size_bits = br.read(3) + 2
+            tw = (cur_w + (1 << size_bits) - 1) >> size_bits
+            th = (h + (1 << size_bits) - 1) >> size_bits
+            modes = _decode_image(br, tw, th, False)
+            transforms.append(("predictor", size_bits, modes))
+        elif ttype == 1:  # cross-color
+            size_bits = br.read(3) + 2
+            tw = (cur_w + (1 << size_bits) - 1) >> size_bits
+            th = (h + (1 << size_bits) - 1) >> size_bits
+            elems = _decode_image(br, tw, th, False)
+            transforms.append(("color", size_bits, elems))
+        elif ttype == 2:  # subtract green
+            transforms.append(("subtract_green",))
+        else:  # color indexing
+            n_colors = br.read(8) + 1
+            deltas = _decode_image(br, n_colors, 1, False)
+            palette = np.cumsum(
+                deltas.view(np.uint8).reshape(-1, 4).astype(np.uint32),
+                axis=0,
+                dtype=np.uint32,
+            ).astype(np.uint8)
+            if n_colors <= 2:
+                width_bits = 3
+            elif n_colors <= 4:
+                width_bits = 2
+            elif n_colors <= 16:
+                width_bits = 1
+            else:
+                width_bits = 0
+            transforms.append(
+                ("indexing", width_bits, palette, n_colors, cur_w)
+            )
+            cur_w = (cur_w + (1 << width_bits) - 1) >> width_bits
+
+    pixels = _decode_image(br, cur_w, h, True)
+    # (h*w,) uint32 ARGB -> (h, w, 4) uint8 [A, R, G, B]
+    le = pixels.view(np.uint8).reshape(h, cur_w, 4)  # [B, G, R, A] LE
+    argb = le[:, :, [3, 2, 1, 0]].copy()
+
+    for t in reversed(transforms):
+        if t[0] == "indexing":
+            _, width_bits, palette, n_colors, orig_w = t
+            if width_bits:
+                bpp = 8 >> width_bits
+                mask = (1 << bpp) - 1
+                xs = np.arange(orig_w)
+                packed_green = argb[:, xs >> width_bits, 2]
+                idx = (packed_green >> ((xs & ((1 << width_bits) - 1)) * bpp)) & mask
+            else:
+                idx = argb[:, :, 2].astype(np.int64)
+            if int(idx.max(initial=0)) >= n_colors:
+                raise WebpParseError("palette index outside the color table")
+            argb = palette[idx][:, :, [3, 2, 1, 0]]  # stored LE BGRA
+        elif t[0] == "predictor":
+            _inverse_predictor(argb, argb.shape[1], h, t[1], t[2])
+        elif t[0] == "color":
+            _inverse_color_transform(argb, argb.shape[1], h, t[1], t[2])
+        else:  # subtract_green
+            g = argb[:, :, 2]
+            argb[:, :, 1] = argb[:, :, 1] + g  # uint8 wraps
+            argb[:, :, 3] = argb[:, :, 3] + g
+
+    rgba = argb[:, :, [1, 2, 3, 0]]
+    if (rgba[:, :, 3] == 255).all():
+        return np.ascontiguousarray(rgba[:, :, :3])
+    return np.ascontiguousarray(rgba)
+
+
+# ------------------------------------------------------------ encoder
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        """LSB-first field write (header fields, extra bits)."""
+        self.acc |= (value & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def write_code(self, code: int, n: int) -> None:
+        """Prefix-code write: bits MSB-first (how decoders walk the
+        tree), each as a 1-bit LSB-first field."""
+        for i in range(n - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def bytes(self) -> bytes:
+        out = bytes(self.out)
+        if self.nbits:
+            out += bytes([self.acc & 0xFF])
+        return out
+
+
+def _write_flat_literal_code(bw: _BitWriter, alphabet: int) -> None:
+    """Emit a 'normal' prefix code where symbols 0..255 all have
+    length 8 (a complete flat code) and the rest of the alphabet is
+    absent — via the code-length code, exercising its zero-run path."""
+    bw.write(0, 1)  # not a simple code
+    # code-length code: symbol 8 -> 1 bit, symbols 17/18 -> 2 bits
+    # (order is 17, 18, 0..7, 8 -> 11 slots)
+    bw.write(11 - 4, 4)
+    for sym_len in (2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 1):
+        bw.write(sym_len, 3)
+    bw.write(0, 1)  # no max_symbol cap
+    # canonical CL codes: 8 -> '0'; 17 -> '10'; 18 -> '11'
+    for _ in range(256):
+        bw.write_code(0b0, 1)  # length 8
+    rest = alphabet - 256
+    while rest > 0:
+        run = min(rest, 138)
+        if run < 11:
+            bw.write_code(0b10, 2)  # 17: 3 + ReadBits(3) zeros
+            bw.write(run - 3, 3)
+        else:
+            bw.write_code(0b11, 2)  # 18: 11 + ReadBits(7) zeros
+            bw.write(run - 11, 7)
+        rest -= run
+
+
+def _write_single_symbol_code(bw: _BitWriter, symbol: int) -> None:
+    bw.write(1, 1)  # simple
+    bw.write(0, 1)  # one symbol
+    bw.write(1, 1)  # 8-bit symbol
+    bw.write(symbol, 8)
+
+
+def encode_webp(img: np.ndarray, subtract_green: bool = False) -> bytes:
+    """(h, w), (h, w, 3) or (h, w, 4) uint8 -> lossless WebP bytes.
+
+    Fixture writer: literal-only VP8L (flat 8-bit codes; constant
+    channels collapse to zero-bit simple codes), optionally behind the
+    subtract-green transform. No LZ77/cache/palette — those decoder
+    paths are pinned by hand-built streams in the tests."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise WebpParseError(f"dims {w}x{h} outside VP8L's 14-bit range")
+    if c == 1:
+        img = np.repeat(img, 3, axis=2)
+        c = 3
+    if c == 3:
+        alpha = np.full((h, w), 255, dtype=np.uint8)
+        rgb = img
+    elif c == 4:
+        alpha = img[:, :, 3]
+        rgb = img[:, :, :3]
+    else:
+        raise WebpParseError(f"unsupported channel count {c}")
+    red = rgb[:, :, 0].astype(np.int32)
+    green = rgb[:, :, 1].astype(np.int32)
+    blue = rgb[:, :, 2].astype(np.int32)
+    if subtract_green:
+        red = (red - green) & 0xFF
+        blue = (blue - green) & 0xFF
+
+    bw = _BitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(int((alpha != 255).any()), 1)
+    bw.write(0, 3)  # version
+    if subtract_green:
+        bw.write(1, 1)  # a transform follows
+        bw.write(2, 2)  # subtract-green
+    bw.write(0, 1)  # no more transforms
+    bw.write(0, 1)  # no color cache
+    bw.write(0, 1)  # no meta-prefix image
+
+    planes = [green, red, blue, alpha.astype(np.int32)]
+    codes = []
+    for i, plane in enumerate(planes):
+        alphabet = 256 + 24 if i == 0 else 256
+        const = plane.min() == plane.max()
+        if const and i != 0:
+            _write_single_symbol_code(bw, int(plane.flat[0]))
+            codes.append(None)
+        else:
+            _write_flat_literal_code(bw, alphabet)
+            codes.append("flat")
+    _write_single_symbol_code(bw, 0)  # distance code (never used)
+
+    g, r, b, a = (p.ravel() for p in planes)
+    for i in range(h * w):
+        bw.write_code(int(g[i]), 8)
+        if codes[1] == "flat":
+            bw.write_code(int(r[i]), 8)
+        if codes[2] == "flat":
+            bw.write_code(int(b[i]), 8)
+        if codes[3] == "flat":
+            bw.write_code(int(a[i]), 8)
+
+    payload = b"\x2f" + bw.bytes()
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        chunk += b"\x00"
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff

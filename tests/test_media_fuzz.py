@@ -15,7 +15,16 @@ import zlib
 import numpy as np
 import pytest
 
-from hortacloud_importer_spark.sources import avi, bmp, gif, jpeg, png, tiff, wav
+from hortacloud_importer_spark.sources import (
+    avi,
+    bmp,
+    gif,
+    jpeg,
+    png,
+    tiff,
+    wav,
+    webp,
+)
 from hortacloud_importer_spark.sources.j2k import J2kUnsupported
 from hortacloud_importer_spark.sources.jp2 import Jp2ParseError, decode_jp2, encode_jp2
 
@@ -67,6 +76,7 @@ def _fixture_payloads():
             lambda b: wav.decode_wav(b)[0],
             (wav.WavParseError,),
         ),
+        ("webp", webp.encode_webp(rgb), webp.decode_webp, (webp.WebpParseError,)),
     ]
 
 

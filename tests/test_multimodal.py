@@ -76,10 +76,19 @@ def test_binary_file_source(spark, tmp_path):
 
 
 def test_compressed_format_gated():
-    # jpeg/png now have built-in clean-room decoders; webp stays gated
+    # jpeg/png/gif/bmp/webp-lossless decode clean-room; heic stays gated
     with pytest.raises(NotImplementedError):
         _decode_one(
-            "webp", b"RIFF....WEBP", {"height": 1, "width": 1, "channels": 1, "n_frames": 1}
+            "heic", b"\x00\x00\x00\x18ftypheic", {"height": 1, "width": 1, "channels": 1, "n_frames": 1}
+        )
+    # lossy VP8 webp gates with its named parse error
+    from hortacloud_importer_spark.sources.webp import WebpParseError
+
+    with pytest.raises(WebpParseError, match="lossy"):
+        _decode_one(
+            "webp",
+            b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00",
+            {"height": 1, "width": 1, "channels": 1, "n_frames": 1},
         )
     # corrupt payloads fail with parse errors, not silent results
     with pytest.raises(Exception, match="truncated|marker"):

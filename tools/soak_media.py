@@ -48,6 +48,7 @@ FORMATS = [
     ("tiff", 1.0, (256, 256)),
     ("gif", 0.5, (256, 256)),  # 3-frame animation per item
     ("bmp", 1.0, (256, 256)),
+    ("webp", 0.25, (256, 256)),  # VP8L prefix decode is bit-serial
 ]
 
 
@@ -116,6 +117,11 @@ def _encode_payload(fmt: str, seed: int, dims: tuple[int, int]) -> bytes:
 
         img8 = (unit * 255).astype(np.uint8)
         return encode_bmp(np.stack([img8] * 3, axis=-1))
+    if fmt == "webp":
+        from hortacloud_importer_spark.sources.webp import encode_webp
+
+        img8 = (unit * 255).astype(np.uint8)
+        return encode_webp(np.stack([img8] * 3, axis=-1))
     raise ValueError(fmt)
 
 
@@ -131,6 +137,7 @@ def _decode_fmt(fmt: str) -> str:
         "tiff": "tiff",
         "gif": "gif",
         "bmp": "bmp",
+        "webp": "webp",
     }[fmt]
 
 
