@@ -386,32 +386,134 @@ def _predict(mode: int, left, top, topleft, topright) -> np.ndarray:
     raise WebpParseError(f"predictor mode {mode}")
 
 
+# predictor modes whose value does not involve the LEFT neighbor:
+# within a row these have no serial dependency, so whole block-width
+# segments vectorize (the left-dependent modes 1, 5, 6, 7, 10-13 stay
+# per-pixel — the dependency is inherent to the inverse)
+_TOP_ONLY_MODES = frozenset((0, 2, 3, 4, 8, 9))
+
+
+def _predict_int(mode, left, top, topleft, topright):
+    """Scalar predictor over 4-int [A, R, G, B] sequences — the
+    serial path avoids per-pixel numpy overhead (~20x faster)."""
+    if mode == 1:
+        return left
+    if mode == 2:
+        return top
+    if mode == 0:
+        return (255, 0, 0, 0)
+    if mode == 3:
+        return topright
+    if mode == 4:
+        return topleft
+    if mode == 5:
+        return [
+            ((((left[c] + topright[c]) >> 1) + top[c]) >> 1) for c in range(4)
+        ]
+    if mode == 6:
+        return [(left[c] + topleft[c]) >> 1 for c in range(4)]
+    if mode == 7:
+        return [(left[c] + top[c]) >> 1 for c in range(4)]
+    if mode == 8:
+        return [(topleft[c] + top[c]) >> 1 for c in range(4)]
+    if mode == 9:
+        return [(top[c] + topright[c]) >> 1 for c in range(4)]
+    if mode == 10:
+        return [
+            (((left[c] + topleft[c]) >> 1) + ((top[c] + topright[c]) >> 1))
+            >> 1
+            for c in range(4)
+        ]
+    if mode == 11:  # Select
+        p = [left[c] + top[c] - topleft[c] for c in range(4)]
+        p_left = sum(abs(p[c] - left[c]) for c in range(4))
+        p_top = sum(abs(p[c] - top[c]) for c in range(4))
+        return left if p_left < p_top else top
+    if mode == 12:  # ClampAddSubtractFull
+        return [
+            min(255, max(0, left[c] + top[c] - topleft[c])) for c in range(4)
+        ]
+    if mode == 13:  # ClampAddSubtractHalf (C-truncating /2)
+        out = []
+        for c in range(4):
+            ave = (left[c] + top[c]) >> 1
+            diff = ave - topleft[c]
+            half = ave + (diff // 2 if diff >= 0 else -((-diff) // 2))
+            out.append(min(255, max(0, half)))
+        return out
+    raise WebpParseError(f"predictor mode {mode}")
+
+
 def _inverse_predictor(
     argb: np.ndarray, w: int, h: int, size_bits: int, modes: np.ndarray
 ) -> None:
     """In-place inverse of the predictor transform. argb is (h, w, 4)
-    uint8 channel-order [A, R, G, B] holding residuals on entry."""
-    bs = 1 << size_bits
-    mode_w = (w + bs - 1) >> size_bits
+    uint8 channel-order [A, R, G, B] holding residuals on entry.
+
+    Rows whose blocks all use top-only predictors (no left
+    dependency) invert as vectorized segment ops; rows containing a
+    left-dependent mode run the serial chain in plain-int Python
+    (the dependency is inherent to the inverse)."""
+    mode_w = (w + (1 << size_bits) - 1) >> size_bits
     mode_green = ((modes >> 8) & 0xFF).astype(np.int64)
     black = np.array([255, 0, 0, 0], dtype=np.uint8)
-    for y in range(h):
-        for x in range(w):
-            if x == 0 and y == 0:
-                pred = black
-            elif y == 0:
-                pred = argb[0, x - 1]
-            elif x == 0:
-                pred = argb[y - 1, 0]
-            else:
-                mode = int(
-                    mode_green[(y >> size_bits) * mode_w + (x >> size_bits)]
+    # row 0: pixel 0 adds the 0xff000000 base, the rest chain on the
+    # left neighbor = cumulative sum mod 256
+    argb[0, 0] = argb[0, 0] + black
+    argb[0] = np.cumsum(argb[0].astype(np.uint32), axis=0).astype(np.uint8)
+    n_blocks = (w + (1 << size_bits) - 1) >> size_bits
+    for y in range(1, h):
+        row = argb[y]
+        prev = argb[y - 1]
+        blocks = mode_green[
+            (y >> size_bits) * mode_w : (y >> size_bits) * mode_w + n_blocks
+        ]
+        if all(int(m) in _TOP_ONLY_MODES for m in blocks):
+            row[0] = row[0] + prev[0]  # col 0 predicts from above
+            x = 1
+            while x < w:
+                mode = int(blocks[x >> size_bits])
+                seg_end = min(((x >> size_bits) + 1) << size_bits, w)
+                top = prev[x:seg_end].astype(np.uint16)
+                if mode == 0:
+                    pred = np.broadcast_to(black, top.shape)
+                elif mode == 2:
+                    pred = top
+                elif mode == 3:
+                    # TR of the rightmost column is the leftmost pixel
+                    # of the CURRENT row (spec addressing rule), which
+                    # the col-0 step above already reconstructed
+                    tr = prev[x + 1 : seg_end + 1]
+                    if seg_end == w:
+                        tr = np.concatenate([tr, row[:1]])
+                    pred = tr
+                elif mode == 4:
+                    pred = prev[x - 1 : seg_end - 1]
+                elif mode == 8:
+                    pred = _avg2(prev[x - 1 : seg_end - 1], prev[x:seg_end])
+                else:  # 9: Average2(T, TR)
+                    tr = prev[x + 1 : seg_end + 1]
+                    if seg_end == w:
+                        tr = np.concatenate([tr, row[:1]])
+                    pred = _avg2(prev[x:seg_end], tr)
+                row[x:seg_end] = row[x:seg_end] + pred.astype(np.uint8)
+                x = seg_end
+        else:
+            prev_l = prev.tolist()
+            res_l = row.tolist()
+            first = [
+                (res_l[0][c] + prev_l[0][c]) & 0xFF for c in range(4)
+            ]
+            out = [first]
+            left = first
+            for x in range(1, w):
+                tr = prev_l[x + 1] if x + 1 < w else out[0]
+                pred = _predict_int(
+                    int(blocks[x >> size_bits]), left, prev_l[x], prev_l[x - 1], tr
                 )
-                tr = argb[y - 1, x + 1] if x + 1 < w else argb[y - 1, 0]
-                pred = _predict(
-                    mode, argb[y, x - 1], argb[y - 1, x], argb[y - 1, x - 1], tr
-                )
-            argb[y, x] = argb[y, x] + pred  # uint8 wraps mod 256
+                left = [(res_l[x][c] + pred[c]) & 0xFF for c in range(4)]
+                out.append(left)
+            row[:] = np.asarray(out, dtype=np.uint8)
 
 
 def _ct_delta(t: np.ndarray, c: np.ndarray) -> np.ndarray:

@@ -333,6 +333,53 @@ def test_hand_built_predictor_transform():
     assert np.array_equal(out[1, 1], [16, 26, 36])
 
 
+def test_inverse_predictor_matches_reference():
+    """The segment-vectorized inverse predictor must match a direct
+    per-pixel transcription of the spec (incl. the rule that TR of
+    the rightmost column is the CURRENT row's leftmost pixel), for
+    every mode and across block boundaries."""
+    from hortacloud_importer_spark.sources.webp import (
+        _inverse_predictor,
+        _predict,
+    )
+
+    def reference(res, size_bits, mode_green, w, h, mode_w):
+        out = res.copy()
+        black = np.array([255, 0, 0, 0], dtype=np.uint8)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = black
+                elif y == 0:
+                    pred = out[0, x - 1]
+                elif x == 0:
+                    pred = out[y - 1, 0]
+                else:
+                    m = int(
+                        mode_green[(y >> size_bits) * mode_w + (x >> size_bits)]
+                    )
+                    tr = out[y - 1, x + 1] if x + 1 < w else out[y, 0]
+                    pred = _predict(
+                        m, out[y, x - 1], out[y - 1, x], out[y - 1, x - 1], tr
+                    )
+                out[y, x] = out[y, x] + pred
+        return out
+
+    rng = np.random.default_rng(61)
+    size_bits = 2  # 4x4 blocks
+    for w, h in [(11, 9), (4, 4), (1, 7), (13, 1)]:
+        mode_w = (w + 3) >> size_bits
+        mode_h = (h + 3) >> size_bits
+        for trial in range(6):
+            res = rng.integers(0, 256, (h, w, 4), dtype=np.uint8)
+            mode_green = rng.integers(0, 14, mode_w * mode_h)
+            modes_px = (mode_green.astype(np.uint32) << 8)
+            got = res.copy()
+            _inverse_predictor(got, w, h, size_bits, modes_px)
+            want = reference(res, size_bits, mode_green, w, h, mode_w)
+            assert np.array_equal(got, want), (w, h, trial)
+
+
 def test_hand_built_cross_color_transform():
     """1x1 cross-color element (g2r=16, g2b=0, r2b=0): red +=
     (int8(16) * int8(g)) >> 5."""
