@@ -84,9 +84,12 @@ def _lz4_block_compress(data: bytes) -> bytes:
 
 
 def _lz4_block_decompress(data: bytes, decompressed_size: int) -> bytes:
-    return _pa_codec("lz4_raw").decompress(
-        data, decompressed_size, asbytes=True
-    )
+    try:
+        return _pa_codec("lz4_raw").decompress(
+            data, decompressed_size, asbytes=True
+        )
+    except (OSError, ValueError) as exc:  # pyarrow's corruption errors
+        raise CodecError(f"corrupt LZ4 block: {exc}") from exc
 
 
 def xxh32(data: bytes, seed: int = 0) -> int:
@@ -495,16 +498,23 @@ _F_BIT_SHUFFLE = 0x4
 
 
 def _blosc_inner_decompress(comp: bytes, dlen: int, compcode: int) -> bytes:
-    if compcode == _BLOSC_BLOSCLZ:
-        return blosclz_decompress(comp, dlen)
-    if compcode == _BLOSC_LZ4:
-        return _lz4_block_decompress(comp, dlen)
-    if compcode == _BLOSC_ZLIB:
-        return zlib.decompress(comp)
-    if compcode == _BLOSC_ZSTD:
-        return _pa_codec("zstd").decompress(comp, dlen, asbytes=True)
-    if compcode == _BLOSC_SNAPPY:
-        return _pa_codec("snappy").decompress(comp, dlen, asbytes=True)
+    try:
+        if compcode == _BLOSC_BLOSCLZ:
+            return blosclz_decompress(comp, dlen)
+        if compcode == _BLOSC_LZ4:
+            return _lz4_block_decompress(comp, dlen)
+        if compcode == _BLOSC_ZLIB:
+            return zlib.decompress(comp)
+        if compcode == _BLOSC_ZSTD:
+            return _pa_codec("zstd").decompress(comp, dlen, asbytes=True)
+        if compcode == _BLOSC_SNAPPY:
+            return _pa_codec("snappy").decompress(comp, dlen, asbytes=True)
+    except CodecError:
+        raise
+    except (OSError, ValueError, zlib.error) as exc:
+        # pyarrow raises OSError, zlib its own error — corrupt chunks
+        # must surface as the ONE named error skip-kernels catch
+        raise CodecError(f"corrupt blosc stream: {exc}") from exc
     raise CodecError(
         f"blosc inner codec code {compcode!r} is not supported "
         "(blosclz/lz4/zlib/zstd/snappy are)"
@@ -762,16 +772,21 @@ def n5_decompress(payload: bytes, codec: str, verify: bool = False) -> bytes:
     carry their own integrity checks that the stdlib verifies."""
     if codec in ("raw", "null", "none"):
         return payload
-    if codec == "gzip":
-        return gzip.decompress(payload)
-    if codec == "zlib":
-        return zlib.decompress(payload)
-    if codec == "bzip2":
-        return bz2.decompress(payload)
-    if codec == "lz4":
-        return lz4java_block_decompress(payload, verify=verify)
-    if codec == "xz":
-        return lzma.decompress(payload)
+    try:
+        if codec == "gzip":
+            return gzip.decompress(payload)
+        if codec == "zlib":
+            return zlib.decompress(payload)
+        if codec == "bzip2":
+            return bz2.decompress(payload)
+        if codec == "lz4":
+            return lz4java_block_decompress(payload, verify=verify)
+        if codec == "xz":
+            return lzma.decompress(payload)
+    except CodecError:
+        raise
+    except (OSError, EOFError, ValueError, zlib.error, lzma.LZMAError) as exc:
+        raise CodecError(f"corrupt {codec} N5 chunk: {exc}") from exc
     raise CodecError(
         f"unsupported N5 compression type {codec!r} "
         "(raw/gzip/zlib/bzip2/lz4/xz are built in)"
@@ -783,22 +798,27 @@ def zarr_decompress(payload: bytes, codec: str) -> bytes:
     gzip, zlib, bz2, lzma/xz, raw."""
     if codec in ("raw", "null", "none"):
         return payload
-    if codec == "blosc":
-        return blosc_decompress(payload)
-    if codec == "lz4":
-        return numcodecs_lz4_decompress(payload)
-    if codec == "zstd":
-        # numcodecs Zstd writes standard frames; stream-decode so
-        # frames without a content-size field also work
-        return _pa_stream_decompress(payload, "zstd")
-    if codec == "gzip":
-        return gzip.decompress(payload)
-    if codec == "zlib":
-        return zlib.decompress(payload)
-    if codec == "bz2":
-        return bz2.decompress(payload)
-    if codec in ("lzma", "xz"):
-        return lzma.decompress(payload)
+    try:
+        if codec == "blosc":
+            return blosc_decompress(payload)
+        if codec == "lz4":
+            return numcodecs_lz4_decompress(payload)
+        if codec == "zstd":
+            # numcodecs Zstd writes standard frames; stream-decode so
+            # frames without a content-size field also work
+            return _pa_stream_decompress(payload, "zstd")
+        if codec == "gzip":
+            return gzip.decompress(payload)
+        if codec == "zlib":
+            return zlib.decompress(payload)
+        if codec == "bz2":
+            return bz2.decompress(payload)
+        if codec in ("lzma", "xz"):
+            return lzma.decompress(payload)
+    except CodecError:
+        raise
+    except (OSError, EOFError, ValueError, zlib.error, lzma.LZMAError) as exc:
+        raise CodecError(f"corrupt {codec} Zarr chunk: {exc}") from exc
     raise CodecError(
         f"unsupported Zarr compressor id {codec!r} "
         "(blosc/lz4/zstd/gzip/zlib/bz2/lzma are built in)"

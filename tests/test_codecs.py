@@ -281,6 +281,61 @@ def test_blosc_bitshuffle_leftover_block_unfiltered():
     assert C.blosc_decompress(enc) == data
 
 
+def test_fuzzed_containers_raise_codec_error_only():
+    """At 100 TB, bit-rotted chunks are a certainty; every container
+    decode confronted with ARBITRARY corruption must succeed or raise
+    CodecError — never a raw pyarrow OSError / zlib.error a
+    skip-on-error reader could not distinguish from an engine bug.
+    Seeded and bounded for determinism."""
+    import random
+
+    rng = np.random.default_rng(5)
+    data = bytes(rng.integers(0, 40, 60_000, dtype=np.uint8))
+    cases = [
+        ("blosc-lz4", C.blosc_compress(data, typesize=2), C.blosc_decompress),
+        (
+            "blosc-blosclz-bit",
+            C.blosc_compress(data, typesize=2, cname="blosclz", shuffle="bit"),
+            C.blosc_decompress,
+        ),
+        (
+            "blosc-zstd",
+            C.blosc_compress(data, typesize=4, cname="zstd"),
+            C.blosc_decompress,
+        ),
+        ("lz4java", C.lz4java_block_compress(data), C.lz4java_block_decompress),
+        (
+            "numcodecs-lz4",
+            C.numcodecs_lz4_compress(data),
+            C.numcodecs_lz4_decompress,
+        ),
+    ]
+    for name, payload, decode in cases:
+        rnd = random.Random(zlib.crc32(name.encode()))
+        for trial in range(800):
+            b = bytearray(payload)
+            mode = trial % 3
+            if mode == 0:
+                b = b[: rnd.randrange(len(b))]
+            elif mode == 1:
+                for _ in range(rnd.randrange(1, 5)):
+                    b[rnd.randrange(len(b))] = rnd.randrange(256)
+            else:
+                at = rnd.randrange(len(b))
+                b[at : at + 8] = bytes(rnd.randrange(256) for _ in range(8))
+            try:
+                decode(bytes(b))
+            except C.CodecError:
+                pass
+    # dispatch level: corrupt payloads under every codec id
+    for codec in ("gzip", "zlib", "bzip2", "lz4", "xz"):
+        with pytest.raises(C.CodecError):
+            C.n5_decompress(b"\x13\x37" * 40, codec)
+    for codec in ("blosc", "lz4", "zstd", "gzip", "zlib", "bz2", "lzma"):
+        with pytest.raises(C.CodecError):
+            C.zarr_decompress(b"\x13\x37" * 40, codec)
+
+
 def test_n5_dispatch_full_codec_set():
     data = b"n5 chunk payload " * 100
     cases = {
