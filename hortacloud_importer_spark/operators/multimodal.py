@@ -273,6 +273,19 @@ def _decode_error_types() -> tuple[type, ...]:
     return named
 
 
+def _empty_batch(schema: str) -> pd.DataFrame:
+    """An all-skipped batch still needs the declared columns (object
+    dtype so Arrow maps empty array/struct columns correctly)."""
+    return pd.DataFrame(
+        {c.strip().split(" ")[0]: pd.Series([], dtype=object) for c in schema.split(", ")}
+    )
+
+
+def _check_errors_mode(errors: str, allowed: tuple[str, ...]) -> None:
+    if errors not in allowed:
+        raise ValueError(f"errors must be {'/'.join(allowed)}, got {errors!r}")
+
+
 def media_features(media: DataFrame, errors: str = "raise") -> DataFrame:
     """Feature extraction: per-item intensity stats + 16-bin histogram,
     one Arrow batch at a time (J2's batched-kernel pattern).
@@ -291,8 +304,7 @@ def media_features(media: DataFrame, errors: str = "raise") -> DataFrame:
       (NULL for clean rows), so the pipeline can count/quarantine
       bad payloads downstream instead of losing them silently.
     """
-    if errors not in ("raise", "skip", "tag"):
-        raise ValueError(f"errors must be raise/skip/tag, got {errors!r}")
+    _check_errors_mode(errors, ("raise", "skip", "tag"))
     schema = FEATURES_SCHEMA
     if errors == "tag":
         schema = FEATURES_SCHEMA + ", decode_error string"
@@ -384,31 +396,29 @@ def media_features(media: DataFrame, errors: str = "raise") -> DataFrame:
             if errors == "tag":
                 for rec in out:
                     rec.setdefault("decode_error", None)
-            if out:
-                yield pd.DataFrame(out)
-            else:
-                # a batch where every row was skipped still needs the
-                # declared columns (object dtype so Arrow maps the
-                # empty hist16 column to list<int64>, not float64)
-                yield pd.DataFrame(
-                    {
-                        c.strip().split(" ")[0]: pd.Series([], dtype=object)
-                        for c in schema.split(", ")
-                    }
-                )
+            yield pd.DataFrame(out) if out else _empty_batch(schema)
 
     return media.mapInPandas(feats, schema)
 
 
-def resize_images(media: DataFrame, th: int, tw: int) -> DataFrame:
+def resize_images(
+    media: DataFrame, th: int, tw: int, errors: str = "raise"
+) -> DataFrame:
     """Nearest-neighbor resize (real for raw8): new payload + meta.
-    Same MEDIA_SCHEMA out, so resizes compose/pipeline."""
+    Same MEDIA_SCHEMA out, so resizes compose/pipeline. ``errors=
+    "skip"`` drops rows whose payload raises a named parse error
+    (the crawl knob — see :func:`media_features`)."""
+    _check_errors_mode(errors, ("raise", "skip"))
 
     def rs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        catchable = _decode_error_types() if errors == "skip" else ()
         for pdf in batches:
             out = []
             for row in pdf.itertuples():
-                arr = _decode_one(row.format, bytes(row.payload), row.meta)[0]
+                try:
+                    arr = _decode_one(row.format, bytes(row.payload), row.meta)[0]
+                except catchable:
+                    continue
                 h, w, c = arr.shape
                 ys = (np.arange(th) * h) // th
                 xs = (np.arange(tw) * w) // tw
@@ -428,7 +438,7 @@ def resize_images(media: DataFrame, th: int, tw: int) -> DataFrame:
                         },
                     }
                 )
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(out) if out else _empty_batch(MEDIA_SCHEMA)
 
     return media.mapInPandas(rs, MEDIA_SCHEMA)
 
@@ -478,16 +488,27 @@ def retile_tiff(media: DataFrame, tile: tuple[int, int] = (256, 256)) -> DataFra
     return media.mapInPandas(rt, MEDIA_SCHEMA)
 
 
-def sample_frames(media: DataFrame, stride: int) -> DataFrame:
+def sample_frames(
+    media: DataFrame, stride: int, errors: str = "raise"
+) -> DataFrame:
     """Video -> image rows, every ``stride``-th frame (a 1->N UDTF,
     J4): the batch shape stays bounded because each output row is a
-    single frame."""
+    single frame. ``errors="skip"`` drops videos whose payload raises
+    a named parse error (the crawl knob — see
+    :func:`media_features`)."""
+    _check_errors_mode(errors, ("raise", "skip"))
 
     def fs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        catchable = _decode_error_types() if errors == "skip" else ()
         for pdf in batches:
             out = []
             for row in pdf.itertuples():
-                frames = _decode_one(row.format, bytes(row.payload), row.meta)
+                try:
+                    frames = _decode_one(
+                        row.format, bytes(row.payload), row.meta
+                    )
+                except catchable:
+                    continue
                 for fi in range(0, frames.shape[0], stride):
                     out.append(
                         {
@@ -504,6 +525,6 @@ def sample_frames(media: DataFrame, stride: int) -> DataFrame:
                             },
                         }
                     )
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(out) if out else _empty_batch(MEDIA_SCHEMA)
 
     return media.mapInPandas(fs, MEDIA_SCHEMA)

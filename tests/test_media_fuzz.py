@@ -141,6 +141,37 @@ def test_media_features_error_modes(spark):
         media_features(media, errors="quarantine")
 
 
+def test_resize_and_frame_sample_skip_modes(spark):
+    """The composable kernels get the same crawl knob: skip drops the
+    corrupt row, raise (default) fails the stage."""
+    from hortacloud_importer_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+    from hortacloud_importer_spark.sources.avi import encode_avi
+
+    rng = np.random.default_rng(13)
+    fr = rng.integers(0, 256, (4, 6, 6, 3), dtype=np.uint8)
+    good = encode_avi(fr, codec="DIB")
+    media = spark.createDataFrame(
+        [
+            (1, "video", "avi", bytearray(good), (6, 6, 3, 0, 4)),
+            (2, "video", "avi", bytearray(good[:50]), (6, 6, 3, 0, 4)),
+        ],
+        "media_id long, kind string, format string, payload binary, "
+        "meta struct<height:int,width:int,channels:int,"
+        "sample_rate:int,n_frames:int>",
+    )
+    rows = sample_frames(media, 2, errors="skip").collect()
+    assert sorted(r["media_id"] for r in rows) == [1000, 1002]
+    rows = resize_images(media, 3, 3, errors="skip").collect()
+    assert [r["media_id"] for r in rows] == [1]
+    with pytest.raises(Exception):
+        sample_frames(media, 2).collect()
+    with pytest.raises(ValueError, match="raise/skip"):
+        resize_images(media, 3, 3, errors="tag")
+
+
 def test_media_features_skip_all_rows_batch(spark):
     """A batch where EVERY row is corrupt still yields the declared
     schema (the empty-DataFrame path in the kernel)."""
