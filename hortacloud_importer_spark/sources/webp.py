@@ -343,49 +343,6 @@ def _avg2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return (a.astype(np.uint16) + b.astype(np.uint16)) >> 1
 
 
-def _predict(mode: int, left, top, topleft, topright) -> np.ndarray:
-    """One of the 14 spatial predictors over (4,) uint8 channel
-    vectors [A, R, G, B]."""
-    if mode == 0:
-        return np.array([255, 0, 0, 0], dtype=np.uint8)
-    if mode == 1:
-        return left
-    if mode == 2:
-        return top
-    if mode == 3:
-        return topright
-    if mode == 4:
-        return topleft
-    if mode == 5:
-        return _avg2(_avg2(left, topright), top).astype(np.uint8)
-    if mode == 6:
-        return _avg2(left, topleft).astype(np.uint8)
-    if mode == 7:
-        return _avg2(left, top).astype(np.uint8)
-    if mode == 8:
-        return _avg2(topleft, top).astype(np.uint8)
-    if mode == 9:
-        return _avg2(top, topright).astype(np.uint8)
-    if mode == 10:
-        return _avg2(_avg2(left, topleft), _avg2(top, topright)).astype(
-            np.uint8
-        )
-    if mode == 11:  # Select
-        p = left.astype(int) + top.astype(int) - topleft.astype(int)
-        p_left = int(np.abs(p - left).sum())
-        p_top = int(np.abs(p - top).sum())
-        return left if p_left < p_top else top
-    if mode == 12:  # ClampAddSubtractFull
-        full = left.astype(int) + top.astype(int) - topleft.astype(int)
-        return np.clip(full, 0, 255).astype(np.uint8)
-    if mode == 13:  # ClampAddSubtractHalf
-        ave = _avg2(left, top).astype(int)
-        diff = ave - topleft.astype(int)
-        half = ave + np.trunc(diff / 2).astype(int)
-        return np.clip(half, 0, 255).astype(np.uint8)
-    raise WebpParseError(f"predictor mode {mode}")
-
-
 # predictor modes whose value does not involve the LEFT neighbor:
 # within a row these have no serial dependency, so whole block-width
 # segments vectorize (the left-dependent modes 1, 5, 6, 7, 10-13 stay
