@@ -321,6 +321,62 @@ def main() -> int:
         assert agg["n"] == n, (fmt, agg["n"], n)
         print(json.dumps(results[-1]))
 
+    # crawl-knob phase: flip one byte in ~2% of payloads (and truncate
+    # another ~1%) across EVERY format at once, then run the kernel in
+    # errors="tag" mode — measures that a corrupt fraction at soak
+    # scale becomes counted rows, not a failed stage, and what the
+    # tagging costs relative to the per-format clean runs above
+    sampler.phase("corrupt_tag")
+    corrupt = (
+        media.withColumn("kind", F.lit("image"))
+        .withColumn(
+            "meta",
+            F.struct(
+                F.col("h").alias("height"),
+                F.col("w").alias("width"),
+                F.lit(1).alias("channels"),
+                F.lit(0).alias("sample_rate"),
+                F.lit(1).alias("n_frames"),
+            ),
+        )
+        .withColumn(
+            "payload",
+            F.when(
+                F.col("media_id") % 100 < 2,
+                # clobber a mid-stream byte: concat(prefix, X, suffix)
+                F.concat(
+                    F.expr("substring(payload, 1, 64)"),
+                    F.lit(bytearray(b"\xa5")),
+                    F.expr("substring(payload, 66, length(payload))"),
+                ),
+            )
+            .when(
+                F.col("media_id") % 100 == 2,
+                F.expr("substring(payload, 1, cast(length(payload) / 2 as int))"),
+            )
+            .otherwise(F.col("payload")),
+        )
+        .select("media_id", "kind", "format", "payload", "meta")
+    )
+    t0 = time.monotonic()
+    tagged = (
+        media_features(corrupt, errors="tag")
+        .agg(
+            F.count("*").alias("n"),
+            F.count("decode_error").alias("n_error"),
+        )
+        .collect()[0]
+    )
+    wall = time.monotonic() - t0
+    report["corrupt_tag"] = {
+        "rows": int(tagged["n"]),
+        "errors": int(tagged["n_error"]),
+        "wall_sec": round(wall, 2),
+    }
+    # every row must come back — corruption must never drop or fail
+    assert tagged["n"] == sum(n for n, _ in sizes.values())
+    print(json.dumps({"corrupt_tag": report["corrupt_tag"]}))
+
     sampler.stop()
     report["peak_rss_gib"] = round(sampler.peak / 2**20, 2)
     report["peak_rss_phase"] = sampler.peak_at
@@ -348,6 +404,16 @@ def _write_md(r: dict) -> None:
             f"{x['shuffle_mb']} |"
         )
     lines += [
+        "",
+        "## Corrupt-fraction crawl mode",
+        "",
+        f"~3% of all payloads (every format) are bit-flipped or "
+        f"truncated, then the whole corpus runs through "
+        f"`media_features(errors=\"tag\")`: "
+        f"{r['corrupt_tag']['rows']} rows back, "
+        f"{r['corrupt_tag']['errors']} tagged `decode_error`, 0 failed "
+        f"tasks, {r['corrupt_tag']['wall_sec']}s wall — at crawl scale "
+        "a bit-rotted payload is a counted row, not a dead stage.",
         "",
         f"- Peak process-tree RSS {r['peak_rss_gib']} GiB "
         f"(phase `{r['peak_rss_phase']}`); fixture generation "
