@@ -122,6 +122,11 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
         from hortacloud_importer_spark.sources.bmp import decode_bmp
 
         return decode_bmp(bytes(payload))[None, ...]
+    if fmt in ("pgm", "ppm", "pbm", "pnm"):
+        # clean-room netpbm (sources/pnm.py): P1-P6, 8/16-bit
+        from hortacloud_importer_spark.sources.pnm import decode_pnm
+
+        return decode_pnm(bytes(payload))[None, ...]
     if fmt == "webp":
         # clean-room lossless VP8L (sources/webp.py); lossy VP8 and
         # VP8X containers raise the named WebpParseError gate
@@ -153,7 +158,7 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
         raise NotImplementedError(
             f"format {fmt!r} needs an image codec (PIL); built-in "
             "clean-room decoders cover raw8, tiff, jpeg, png, gif, "
-            "bmp, webp (lossless), avi, wav, and jp2"
+            "bmp, webp (lossless), pnm/pgm/ppm, avi, wav, and jp2"
         ) from exc
     import io
 
@@ -246,6 +251,7 @@ def _decode_error_types() -> tuple[type, ...]:
     from hortacloud_importer_spark.sources.jp2 import Jp2ParseError
     from hortacloud_importer_spark.sources.jpeg import JpegParseError
     from hortacloud_importer_spark.sources.png import PngParseError
+    from hortacloud_importer_spark.sources.pnm import PnmParseError
     from hortacloud_importer_spark.sources.tiff import TiffParseError
     from hortacloud_importer_spark.sources.wav import WavParseError
     from hortacloud_importer_spark.sources.webp import WebpParseError
@@ -258,6 +264,7 @@ def _decode_error_types() -> tuple[type, ...]:
         Jp2ParseError,
         JpegParseError,
         PngParseError,
+        PnmParseError,
         TiffParseError,
         WavParseError,
         WebpParseError,
