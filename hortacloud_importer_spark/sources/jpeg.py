@@ -83,7 +83,10 @@ for _k in range(8):
 
 def _build_huff_lut(bits: list[int], vals: list[int]):
     """Canonical Huffman table -> flat 16-bit peek LUT:
-    ``sym[peek16]``/``length[peek16]``. length 0 marks invalid."""
+    ``sym[peek16]``/``length[peek16]``. length 0 marks invalid.
+    Built in numpy (fast fills), returned as ``bytes`` — the decode
+    loop runs one C-level bytes index per symbol, roughly 3x faster
+    than numpy scalar indexing there."""
     sym = np.zeros(1 << 16, dtype=np.uint8)
     length = np.zeros(1 << 16, dtype=np.uint8)
     code = 0
@@ -101,7 +104,7 @@ def _build_huff_lut(bits: list[int], vals: list[int]):
             code += 1
             k += 1
         code <<= 1
-    return sym, length
+    return sym.tobytes(), length.tobytes()
 
 
 class _BitReader:
@@ -118,13 +121,19 @@ class _BitReader:
         self.nbits = 0
 
     def _fill(self, need: int) -> None:
+        # top up 4 bytes at a time — one int.from_bytes beats four
+        # byte-by-byte shifts in the per-symbol hot loop
         while self.nbits < need:
-            if self.pos < len(self.data):
-                self.buf = (self.buf << 8) | self.data[self.pos]
-                self.pos += 1
+            chunk = self.data[self.pos : self.pos + 4]
+            if chunk:
+                self.buf = (self.buf << (8 * len(chunk))) | int.from_bytes(
+                    chunk, "big"
+                )
+                self.pos += len(chunk)
+                self.nbits += 8 * len(chunk)
             else:
                 self.buf <<= 8  # zero-pad past the end (T.81 F.2.2.5)
-            self.nbits += 8
+                self.nbits += 8
 
     def peek16(self) -> int:
         self._fill(16)
@@ -536,8 +545,8 @@ def _huff_decode(reader: _BitReader, lut) -> int:
     ln = length[p16]
     if ln == 0:
         raise JpegParseError("bad Huffman code")
-    reader.skip(int(ln))
-    return int(sym[p16])
+    reader.skip(ln)
+    return sym[p16]
 
 
 def _check_scan_coverage(done: int, total: int):
