@@ -637,15 +637,15 @@ def _prog_ac_refine(units, segments, hdr):
     per_seg = hdr["ri"] or len(units)
     done = 0
 
-    def _correct(blk, k, reader):
-        if reader.receive(1) and not (int(blk[k]) & p1):
-            blk[k] += p1 if blk[k] > 0 else m1
-
     for seg in segments:
         reader = _BitReader(_unstuff(seg))
+        receive = reader.receive
         eobrun = 0
         for unit in units[done : done + per_seg]:
             blk = unit[0][1]
+            # the per-coefficient loop runs on a plain-int list —
+            # numpy scalar reads/writes here cost ~4x the whole pass
+            vals = blk.tolist()
             k = ss
             if eobrun == 0:
                 while k <= se:
@@ -654,7 +654,7 @@ def _prog_ac_refine(units, segments, hdr):
                     newval = 0
                     if s_ == 0:
                         if r < 15:
-                            eobrun = (1 << r) + reader.receive(r)
+                            eobrun = (1 << r) + receive(r)
                             break
                         # ZRL: skip 16 zero-history positions
                     else:
@@ -662,24 +662,28 @@ def _prog_ac_refine(units, segments, hdr):
                             raise JpegParseError(
                                 "AC refinement size must be 1"
                             )
-                        newval = p1 if reader.receive(1) else m1
+                        newval = p1 if receive(1) else m1
                     while k <= se:
-                        if blk[k] != 0:
-                            _correct(blk, k, reader)
+                        v = vals[k]
+                        if v != 0:
+                            if receive(1) and not (v & p1):
+                                vals[k] = v + (p1 if v > 0 else m1)
                         else:
                             if r == 0:
                                 break
                             r -= 1
                         k += 1
                     if newval and k <= se:
-                        blk[k] = newval
+                        vals[k] = newval
                     k += 1
             if eobrun > 0:
                 while k <= se:  # corrections under the EOB run
-                    if blk[k] != 0:
-                        _correct(blk, k, reader)
+                    v = vals[k]
+                    if v != 0 and receive(1) and not (v & p1):
+                        vals[k] = v + (p1 if v > 0 else m1)
                     k += 1
                 eobrun -= 1
+            blk[ss : se + 1] = vals[ss : se + 1]
         done += per_seg
         if done >= len(units):
             break
