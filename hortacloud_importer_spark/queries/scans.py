@@ -637,6 +637,77 @@ def scan_gif_bmp_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_pnm_media",
+    "A1+K4",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT fmt, z, AVG(v) AS mean_val,
+       CAST(MIN(v) AS INTEGER) AS min_val,
+       CAST(MAX(v) AS INTEGER) AS max_val
+FROM (
+  SELECT 'pgm' AS fmt, t1.range AS z,
+         (t2.range * (t1.range + 1) * 257) % 65521 AS v
+  FROM range(4) t1, range(256) t2
+  UNION ALL
+  SELECT 'ppm' AS fmt, t1.range AS z,
+         (t2.range * (t1.range + 1) * 19) % 256 AS v
+  FROM range(4) t1, range(768) t2
+)
+GROUP BY fmt, z
+""",
+)
+def scan_pnm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 netpbm over REAL containers, oracle-exact: four 16-bit P5
+    grayscale files (value = (t*(z+1)*257) mod 65521 — exercising the
+    spec's big-endian 16-bit samples) and four 8-bit P6 RGB files
+    (value = (k*(z+1)*19) mod 256), decoded through the executor
+    media kernel against closed-form DuckDB formulas."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import media_features
+    from hortacloud_importer_spark.sources.pnm import encode_pnm
+
+    workdir = tempfile.mkdtemp(prefix="pnm_media_")
+    for z in range(4):
+        t = np.arange(256, dtype=np.int64)
+        gray = ((t * (z + 1) * 257) % 65521).astype(np.uint16).reshape(16, 16)
+        with open(f"{workdir}/deep.{z:03d}.pgm", "wb") as fh:
+            fh.write(encode_pnm(gray))
+        k = np.arange(768, dtype=np.int64)
+        rgb = ((k * (z + 1) * 19) % 256).astype(np.uint8).reshape(16, 16, 3)
+        with open(f"{workdir}/color.{z:03d}.ppm", "wb") as fh:
+            fh.write(encode_pnm(rgb, ascii_format=(z == 3)))
+    fmt_col = F.element_at(F.split(F.col("path"), r"\."), -1)
+    z_col = F.regexp_extract(F.col("path"), r"\.(\d{3})\.\w+$", 1).cast("long")
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*")
+        .select(
+            (z_col + F.when(fmt_col == "ppm", F.lit(4)).otherwise(F.lit(0)))
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            fmt_col.alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 16, 'width', 16, 'channels', 3,"
+                " 'sample_rate', 0, 'n_frames', 1)"
+            ).alias("meta"),
+        )
+    )
+    return media_features(media).select(
+        F.when(F.col("media_id") < 4, F.lit("pgm"))
+        .otherwise(F.lit("ppm"))
+        .alias("fmt"),
+        (F.col("media_id") % 4).alias("z"),
+        F.col("mean_intensity").alias("mean_val"),
+        F.col("min_intensity").alias("min_val"),
+        F.col("max_intensity").alias("max_val"),
+    )
+
+
+@register(
     "scan_avi_frames",
     "A1+K4+J4",
     driver=False,  # the external driver set is frozen at 50
