@@ -7,13 +7,14 @@ payload with typed header metadata, ktx/__init__.py:139-158). All
 compute is ``mapInPandas`` over Arrow batches: bytes stay on
 executors, the driver only sees aggregates.
 
-Decode honesty (per the build contract): the container has no image/
-audio codecs, so
-- ``raw8`` (plain uint8 H*W*C / frame-stacked / PCM bytes) decode is
-  REAL and fully tested;
-- compressed formats (jpeg/png/...) are gated behind an import-try of
-  PIL and raise ``NotImplementedError`` when absent — the Spark-side
-  plumbing (schema, batching, partitioning) is identical either way.
+Decode is REAL for the whole crawl-format set — clean-room codecs in
+sources/ cover tiff, jpeg (baseline/progressive/12-bit), png, gif,
+bmp, webp-lossless, netpbm, avi (MJPG + DIB), wav, and jp2, with
+``raw8`` as the plain-bytes fast path. PIL, when importable, takes
+over 8-bit jpeg and the long tail of exotic formats; when absent only
+genuinely-uncovered formats raise ``NotImplementedError``. Every
+decoder raises its named ParseError on corrupt payloads (fuzz-pinned),
+which is what the kernels' ``errors="skip"/"tag"`` crawl modes catch.
 """
 
 from __future__ import annotations
