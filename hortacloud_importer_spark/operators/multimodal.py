@@ -281,6 +281,123 @@ def _decode_error_types() -> tuple[type, ...]:
     return named
 
 
+PROBE_SCHEMA = (
+    "media_id long, format string, n_bytes long, height int, width int,"
+    " channels int, n_frames int, sample_rate int"
+)
+
+
+def _probe_one(fmt: str, payload: bytes, meta) -> dict:
+    """Header-only metadata: (height, width, channels, n_frames,
+    sample_rate) WITHOUT decoding any pixel/sample data. The cheap
+    first pass of a crawl pipeline — at 100 TB you schema-scan
+    everything and decode selectively, so this must cost header reads
+    (a few KiB per file), not decode CPU. Dimensions parse even for
+    formats whose pixels gate (lossy/extended WebP)."""
+    h = w = c = 0
+    nf = 1
+    rate = 0
+    if fmt == "raw8":
+        h, w, c = int(meta["height"]), int(meta["width"]), int(meta["channels"])
+        nf = max(1, int(meta["n_frames"] or 1))
+    elif fmt in ("tiff", "tif"):
+        from hortacloud_importer_spark.sources.tiff import tiff_probe
+
+        nf, h, w, c = tiff_probe(payload)
+    elif fmt in ("jpeg", "jpg"):
+        from hortacloud_importer_spark.sources.jpeg import jpeg_probe
+
+        h, w, c = jpeg_probe(payload)
+    elif fmt == "png":
+        from hortacloud_importer_spark.sources.png import png_probe
+
+        h, w, c = png_probe(payload)
+    elif fmt == "gif":
+        from hortacloud_importer_spark.sources.gif import gif_probe
+
+        h, w, nf = gif_probe(payload)
+        c = 3
+    elif fmt == "bmp":
+        from hortacloud_importer_spark.sources.bmp import bmp_probe
+
+        h, w, c = bmp_probe(payload)
+    elif fmt == "webp":
+        from hortacloud_importer_spark.sources.webp import webp_probe
+
+        h, w, _variant = webp_probe(payload)
+        c = 3
+    elif fmt in ("pgm", "ppm", "pbm", "pnm"):
+        from hortacloud_importer_spark.sources.pnm import pnm_probe
+
+        h, w, c = pnm_probe(payload)
+    elif fmt == "avi":
+        from hortacloud_importer_spark.sources.avi import avi_probe
+
+        h, w, nf = avi_probe(payload)
+        c = 3
+    elif fmt == "wav":
+        from hortacloud_importer_spark.sources.wav import wav_probe
+
+        n_samples, c, rate = wav_probe(payload)
+        h, w = 1, n_samples
+    elif fmt in ("jp2", "j2k"):
+        from hortacloud_importer_spark.sources.jp2 import jp2_shape
+
+        h, w, c = jp2_shape(payload)
+    else:
+        raise NotImplementedError(f"no header probe for format {fmt!r}")
+    return {
+        "height": int(h),
+        "width": int(w),
+        "channels": int(c),
+        "n_frames": int(nf),
+        "sample_rate": int(rate),
+    }
+
+
+def media_probe(media: DataFrame, errors: str = "raise") -> DataFrame:
+    """Metadata extraction over MEDIA_SCHEMA rows: per-payload header
+    probe (no decode) -> one typed row per item. Same ``errors``
+    contract as :func:`media_features` (``tag`` adds a
+    ``probe_error`` column)."""
+    _check_errors_mode(errors, ("raise", "skip", "tag"))
+    schema = PROBE_SCHEMA
+    if errors == "tag":
+        schema = PROBE_SCHEMA + ", probe_error string"
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        catchable = _decode_error_types() if errors != "raise" else ()
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                payload = bytes(row.payload)
+                rec = {
+                    "media_id": int(row.media_id),
+                    "format": row.format,
+                    "n_bytes": len(payload),
+                }
+                try:
+                    rec.update(_probe_one(row.format, payload, row.meta))
+                except catchable as exc:
+                    if errors == "tag":
+                        rec.update(
+                            height=0,
+                            width=0,
+                            channels=0,
+                            n_frames=0,
+                            sample_rate=0,
+                            probe_error=f"{type(exc).__name__}: {exc}",
+                        )
+                        out.append(rec)
+                    continue
+                if errors == "tag":
+                    rec["probe_error"] = None
+                out.append(rec)
+            yield pd.DataFrame(out) if out else _empty_batch(schema)
+
+    return media.mapInPandas(probe, schema)
+
+
 def _empty_batch(schema: str) -> pd.DataFrame:
     """An all-skipped batch still needs the declared columns (object
     dtype so Arrow maps empty array/struct columns correctly)."""

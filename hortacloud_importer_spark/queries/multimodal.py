@@ -151,6 +151,97 @@ def mm_decode_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_probe",
+    "K4",
+    driver=False,
+    oracle="""
+SELECT media_id, fmt, height, width, channels, n_frames, sample_rate
+FROM (VALUES
+  (0, 'gif',  16, 16, 3, 3, 0),
+  (1, 'bmp',   9, 11, 3, 1, 0),
+  (2, 'webp', 10, 14, 3, 1, 0),
+  (3, 'webp', 24, 33, 3, 1, 0),
+  (4, 'pgm',  16, 16, 1, 1, 0),
+  (5, 'wav',   1, 256, 2, 1, 8000),
+  (6, 'avi',   6,  6, 3, 4, 0)
+) AS t(media_id, fmt, height, width, channels, n_frames, sample_rate)
+""",
+)
+def mm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 metadata pass, oracle-exact: header-only probe (media_probe,
+    NO pixel/sample decode) over one payload per format — including a
+    hand-built LOSSY WebP whose pixels gate but whose dimensions
+    still parse from the public VP8 keyframe header (media_id 3).
+    The oracle pins every dimension/frame-count/rate, so a header
+    walk that silently drifts breaks the hash."""
+    import struct
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import media_probe
+    from hortacloud_importer_spark.sources.avi import encode_avi
+    from hortacloud_importer_spark.sources.bmp import encode_bmp
+    from hortacloud_importer_spark.sources.gif import encode_gif
+    from hortacloud_importer_spark.sources.pnm import encode_pnm
+    from hortacloud_importer_spark.sources.wav import encode_wav
+    from hortacloud_importer_spark.sources.webp import encode_webp
+
+    rng = np.random.default_rng(67)
+    pal = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
+    gif_p = encode_gif(
+        rng.integers(0, 256, (3, 16, 16), dtype=np.uint8), pal
+    )
+    bmp_p = encode_bmp(rng.integers(0, 256, (9, 11, 3), dtype=np.uint8))
+    webp_p = encode_webp(rng.integers(0, 256, (10, 14, 3), dtype=np.uint8))
+    # lossy VP8 with only the public keyframe header populated: the
+    # probe reads 24x33 from it; decode_webp would raise the gate
+    vp8_hdr = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 33, 24)
+    lossy_p = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(vp8_hdr))
+        + b"WEBPVP8 "
+        + struct.pack("<I", len(vp8_hdr))
+        + vp8_hdr
+    )
+    pgm_p = encode_pnm(
+        rng.integers(0, 65536, (16, 16)).astype(np.uint16)
+    )
+    wav_p = encode_wav(
+        rng.integers(-2000, 2000, (256, 2), dtype=np.int16), rate=8000
+    )
+    avi_p = encode_avi(
+        rng.integers(0, 256, (4, 6, 6, 3), dtype=np.uint8), codec="DIB"
+    )
+    rows = [
+        (0, "gif", gif_p),
+        (1, "bmp", bmp_p),
+        (2, "webp", webp_p),
+        (3, "webp", lossy_p),
+        (4, "pgm", pgm_p),
+        (5, "wav", wav_p),
+        (6, "avi", avi_p),
+    ]
+    media = spark.createDataFrame(
+        [
+            (mid, "media", fmt, bytearray(p), (0, 0, 0, 0, 1))
+            for mid, fmt, p in rows
+        ],
+        "media_id long, kind string, format string, payload binary, "
+        "meta struct<height:int,width:int,channels:int,"
+        "sample_rate:int,n_frames:int>",
+    )
+    return media_probe(media).select(
+        "media_id",
+        F.col("format").alias("fmt"),
+        "height",
+        "width",
+        "channels",
+        "n_frames",
+        "sample_rate",
+    )
+
+
 def _feat_tagged(df: DataFrame, facet: str) -> DataFrame:
     """FEATURES_SCHEMA -> scalar-only driver schema (hist16 -> CSV)."""
     return df.select(

@@ -169,6 +169,27 @@ def decode_avi(data: bytes) -> np.ndarray:
     )
 
 
+def avi_probe(data: bytes) -> tuple[int, int, int]:
+    """(height, width, n_frames) from the avih main header only."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise AviParseError("not a RIFF/AVI stream")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    end = min(len(data), 8 + riff_size)
+    stack = [(12, end)]
+    while stack:
+        pos, stop = stack.pop()
+        for fourcc, body, size in _chunks(data, pos, stop):
+            if fourcc == b"LIST":
+                stack.append((body + 4, body + size))
+            elif fourcc == b"avih":
+                if size < 40:
+                    raise AviParseError("short avih header")
+                total = struct.unpack("<I", data[body + 16 : body + 20])[0]
+                w, h = struct.unpack("<II", data[body + 32 : body + 40])
+                return h, w, total
+    raise AviParseError("no avih header")
+
+
 # ------------------------------------------------------------ encoder
 
 

@@ -30,6 +30,19 @@ class BmpParseError(ValueError):
     pass
 
 
+def bmp_probe(data: bytes) -> tuple[int, int, int]:
+    """(height, width, channels) from the info header only."""
+    if len(data) < 30 or data[:2] != b"BM":
+        raise BmpParseError("not a BMP stream")
+    width, height = struct.unpack("<ii", data[18:26])
+    (bpp,) = struct.unpack("<H", data[28:30])
+    if width <= 0 or height == 0:
+        raise BmpParseError(f"bad dimensions {width}x{height}")
+    if bpp not in (8, 24, 32):
+        raise BmpParseError(f"{bpp}-bit BMP is not supported (8/24/32 are)")
+    return abs(height), width, 3 if bpp == 8 else bpp // 8
+
+
 def decode_bmp(data: bytes) -> np.ndarray:
     """BMP bytes -> (h, w, c) uint8, RGB(A) channel order."""
     if len(data) < 54 or data[:2] != b"BM":

@@ -257,6 +257,42 @@ def decode_gif(data: bytes) -> np.ndarray:
     return np.stack(frames)
 
 
+def gif_probe(data: bytes) -> tuple[int, int, int]:
+    """(height, width, n_frames) from the block structure only — the
+    sub-block length framing lets the walk skip every LZW byte run
+    without decoding, so a crawl metadata pass costs header reads."""
+    if len(data) < 13 or data[:4] != b"GIF8" or data[4:6] not in (b"7a", b"9a"):
+        raise GifParseError("not a GIF87a/GIF89a stream")
+    width, height, packed = struct.unpack("<HHB", data[6:11])
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 << (packed & 0x07))
+    frames = 0
+    while pos < len(data):
+        block = data[pos]
+        pos += 1
+        if block == 0x3B:
+            break
+        if block == 0x21:
+            pos += 1
+            _, pos = _sub_blocks(data, pos)
+        elif block == 0x2C:
+            if pos + 9 > len(data):
+                raise GifParseError("truncated image descriptor")
+            fpacked = data[pos + 8]
+            pos += 9
+            if fpacked & 0x80:
+                pos += 3 * (2 << (fpacked & 0x07))
+            pos += 1  # LZW minimum code size
+            _, pos = _sub_blocks(data, pos)
+            frames += 1
+        else:
+            raise GifParseError(f"unknown block introducer 0x{block:02x}")
+    if frames == 0:
+        raise GifParseError("GIF contains no image frames")
+    return height, width, frames
+
+
 # ------------------------------------------------------------ encoder
 
 

@@ -345,6 +345,35 @@ def _cached_tables(stream: bytes) -> _Tables:
     return t
 
 
+def jpeg_probe(data: bytes) -> tuple[int, int, int]:
+    """(height, width, n_components) from the first SOF header only —
+    a marker walk with no table parsing or entropy decode."""
+    if data[:2] != b"\xff\xd8":
+        raise JpegParseError("missing SOI marker")
+    pos, n = 2, len(data)
+    while pos + 1 < n:
+        if data[pos] != 0xFF:
+            raise JpegParseError("marker sync lost in header walk")
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD9, 0xDA):
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > n:
+            break
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 8 > n:
+                raise JpegParseError("truncated SOF segment")
+            h, w = struct.unpack(">HH", data[pos + 3 : pos + 7])
+            return h, w, data[pos + 7]
+        pos += seglen
+    raise JpegParseError("no SOF frame header before scan")
+
+
 def sniff_sof_precision(data: bytes) -> int | None:
     """Walk marker segments to the first SOF and return its precision
     byte (8/12), or None if no SOF appears before the first scan/EOI.

@@ -261,6 +261,21 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+def png_probe(data: bytes) -> tuple[int, int, int]:
+    """(height, width, samples) from the IHDR chunk only — no
+    inflate, no filter pass."""
+    for ctype, payload in _chunks(data):
+        if ctype != b"IHDR":
+            raise PngParseError("first chunk is not IHDR")
+        if len(payload) != 13:
+            raise PngParseError(f"IHDR payload is {len(payload)} bytes")
+        w, h, _depth, color = struct.unpack(">IIBB", payload[:10])
+        if color not in _SAMPLES:
+            raise PngParseError(f"unknown color type {color}")
+        return h, w, _SAMPLES[color]
+    raise PngParseError("no chunks")
+
+
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes -> (height, width, channels) uint8 or uint16."""
     ihdr = None

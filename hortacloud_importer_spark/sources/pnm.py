@@ -55,6 +55,18 @@ def _header_tokens(data: bytes, count: int) -> tuple[list[int], int]:
     return vals, pos + 1
 
 
+def pnm_probe(data: bytes) -> tuple[int, int, int]:
+    """(height, width, channels) from the header tokens only."""
+    if len(data) < 2 or data[0:1] != b"P" or data[1] not in b"123456":
+        raise PnmParseError("not a netpbm stream")
+    kind = data[1] - ord("0")
+    channels = 3 if kind in (3, 6) else 1
+    vals, _ = _header_tokens(data, 2 if kind in (1, 4) else 3)
+    if vals[0] <= 0 or vals[1] <= 0:
+        raise PnmParseError(f"bad dimensions {vals[0]}x{vals[1]}")
+    return vals[1], vals[0], channels
+
+
 def decode_pnm(data: bytes) -> np.ndarray:
     """netpbm bytes -> (h, w, c) uint8/uint16."""
     if len(data) < 2 or data[0:1] != b"P" or data[1] not in b"123456":

@@ -482,6 +482,16 @@ def _decode_tiff_checked(data: bytes) -> np.ndarray:
     return np.stack(pages)
 
 
+def tiff_probe(data: bytes) -> tuple[int, int, int, int]:
+    """(pages, height, width, samples_per_pixel) from the IFD chain
+    only — tiff_shape plus the channel count, for metadata-pass
+    kernels that must not decode."""
+    pages, h, w = tiff_shape(data)
+    ec, pos, big = _parse_header(data)
+    ifd, _ = _parse_ifd(data, ec, pos, big)
+    return pages, h, w, ifd.get(_TAG_SAMPLES_PER_PIXEL, [1])[0]
+
+
 def tiff_shape(data: bytes) -> tuple[int, int, int]:
     """bytes -> (pages, height, width) from the IFD chain ONLY.
 

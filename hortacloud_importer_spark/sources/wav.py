@@ -38,6 +38,37 @@ _PCM_DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
 _TAG_PCM, _TAG_FLOAT, _TAG_EXTENSIBLE = 1, 3, 0xFFFE
 
 
+def wav_probe(data: bytes) -> tuple[int, int, int]:
+    """(n_samples, n_channels, sample_rate) from the fmt/data chunk
+    headers only — no sample conversion."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise WavParseError("not a RIFF/WAVE stream")
+    pos, end = 12, len(data)
+    fmt = None
+    data_len = None
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            if clen < 16 or pos + 24 > end:
+                raise WavParseError("fmt chunk shorter than 16 bytes")
+            _tag, nch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", data[pos + 8 : pos + 24]
+            )
+            fmt = (nch, rate, bits)
+        elif cid == b"data":
+            data_len = min(clen, end - pos - 8)
+        pos += 8 + clen + (clen & 1)
+    if fmt is None:
+        raise WavParseError("no fmt chunk")
+    if data_len is None:
+        raise WavParseError("no data chunk")
+    nch, rate, bits = fmt
+    if nch < 1 or bits % 8 or not bits:
+        raise WavParseError(f"bad fmt ({nch} channels, {bits}-bit)")
+    return data_len // (bits // 8) // nch, nch, rate
+
+
 def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> ((n_samples, n_channels) array, sample_rate).
 

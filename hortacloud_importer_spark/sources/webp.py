@@ -628,6 +628,43 @@ def decode_webp(data: bytes) -> np.ndarray:
     return np.ascontiguousarray(rgba)
 
 
+def webp_probe(data: bytes) -> tuple[int, int, str]:
+    """(height, width, variant) from container headers only, for ALL
+    three WebP variants — including lossy 'VP8 ' and extended 'VP8X',
+    whose PIXELS gate: a crawl metadata pass still gets dimensions
+    from the public frame/canvas headers."""
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise WebpParseError("not a RIFF/WEBP stream")
+    pos = 12
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8L":
+            if len(body) < 5 or body[0] != 0x2F:
+                raise WebpParseError("bad VP8L signature byte")
+            bits = int.from_bytes(body[1:5], "little")
+            return ((bits >> 14) & 0x3FFF) + 1, (bits & 0x3FFF) + 1, "lossless"
+        if fourcc == b"VP8 ":
+            # VP8 keyframe: 3-byte frame tag, 0x9d012a start code,
+            # then 14-bit LE width/height
+            if len(body) < 10 or body[3:6] != b"\x9d\x01\x2a":
+                raise WebpParseError("bad VP8 keyframe header")
+            if body[0] & 0x1:
+                raise WebpParseError("VP8 stream starts with an interframe")
+            w = int.from_bytes(body[6:8], "little") & 0x3FFF
+            h = int.from_bytes(body[8:10], "little") & 0x3FFF
+            return h, w, "lossy"
+        if fourcc == b"VP8X":
+            if len(body) < 10:
+                raise WebpParseError("short VP8X header")
+            w = int.from_bytes(body[4:7], "little") + 1
+            h = int.from_bytes(body[7:10], "little") + 1
+            return h, w, "extended"
+        pos += 8 + size + (size & 1)
+    raise WebpParseError("no VP8/VP8L/VP8X chunk in container")
+
+
 # ------------------------------------------------------------ encoder
 
 

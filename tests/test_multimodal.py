@@ -205,3 +205,94 @@ def test_decode_one_jpeg_via_builtin_codec():
     arr = _decode_one("jpeg", encode_jpeg(img), {})
     assert arr.shape == (1, 16, 24, 1)
     assert np.abs(arr[0, :, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_media_probe_matches_decode_dims():
+    """Header-only probes must agree with the full decoders on every
+    format (probe reads headers; decode is the ground truth)."""
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import (
+        _decode_one,
+        _probe_one,
+    )
+    from hortacloud_importer_spark.sources import avi, bmp, gif, jpeg
+    from hortacloud_importer_spark.sources import pnm as pnm_mod
+    from hortacloud_importer_spark.sources import png, tiff, wav, webp
+
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, (12, 18), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (12, 18, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    frames = rng.integers(0, 256, (3, 8, 10, 3), dtype=np.uint8)
+    pcm = rng.integers(-500, 500, (200, 2), dtype=np.int16)
+    cases = [
+        ("jpeg", jpeg.encode_jpeg(img)),
+        ("png", png.encode_png(img)),
+        ("gif", gif.encode_gif(np.stack([img % 256] * 2), pal)),
+        ("bmp", bmp.encode_bmp(rgb)),
+        ("webp", webp.encode_webp(rgb)),
+        ("ppm", pnm_mod.encode_pnm(rgb)),
+        ("tiff", tiff.encode_tiff(img[None, ...].astype(np.uint16))),
+        ("avi", avi.encode_avi(frames, codec="DIB")),
+        ("wav", wav.encode_wav(pcm, rate=16000)),
+    ]
+    for fmt, payload in cases:
+        meta = _probe_one(fmt, payload, {})
+        arr = _decode_one(fmt, payload, {})
+        assert meta["n_frames"] == arr.shape[0], fmt
+        if fmt == "wav":
+            assert meta["width"] == arr.shape[2], fmt
+            assert meta["channels"] == arr.shape[3], fmt
+            assert meta["sample_rate"] == 16000
+        else:
+            assert meta["height"] == arr.shape[1], fmt
+            assert meta["width"] == arr.shape[2], fmt
+
+
+def test_media_probe_lossy_webp_dims_without_decode():
+    """Lossy WebP pixels gate, but the probe reads dimensions from
+    the public VP8 keyframe header."""
+    import struct
+
+    import pytest as _pytest
+
+    from hortacloud_importer_spark.operators.multimodal import (
+        _decode_one,
+        _probe_one,
+    )
+
+    hdr = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", 640, 480)
+    payload = (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(hdr))
+        + b"WEBPVP8 "
+        + struct.pack("<I", len(hdr))
+        + hdr
+    )
+    meta = _probe_one("webp", payload, {})
+    assert (meta["height"], meta["width"]) == (480, 640)
+    with _pytest.raises(Exception, match="lossy"):
+        _decode_one("webp", payload, {})
+
+
+def test_media_probe_error_modes(spark):
+    from hortacloud_importer_spark.operators.multimodal import media_probe
+    from hortacloud_importer_spark.sources.bmp import encode_bmp
+
+    rng = np.random.default_rng(73)
+    good = encode_bmp(rng.integers(0, 256, (4, 4, 3), dtype=np.uint8))
+    media = spark.createDataFrame(
+        [
+            (1, "image", "bmp", bytearray(good), (0, 0, 0, 0, 1)),
+            (2, "image", "bmp", bytearray(good[:20]), (0, 0, 0, 0, 1)),
+        ],
+        "media_id long, kind string, format string, payload binary, "
+        "meta struct<height:int,width:int,channels:int,"
+        "sample_rate:int,n_frames:int>",
+    )
+    rows = media_probe(media, errors="skip").collect()
+    assert [r["media_id"] for r in rows] == [1]
+    rows = {r["media_id"]: r for r in media_probe(media, errors="tag").collect()}
+    assert rows[1]["probe_error"] is None and rows[1]["height"] == 4
+    assert "BmpParseError" in rows[2]["probe_error"]
