@@ -487,8 +487,11 @@ def tiff_probe(data: bytes) -> tuple[int, int, int, int]:
     only — tiff_shape plus the channel count, for metadata-pass
     kernels that must not decode."""
     pages, h, w = tiff_shape(data)
-    ec, pos, big = _parse_header(data)
-    ifd, _ = _parse_ifd(data, ec, pos, big)
+    try:
+        ec, pos, big = _parse_header(data)
+        ifd, _ = _parse_ifd(data, ec, pos, big)
+    except (IndexError, KeyError, OverflowError, ValueError, struct.error) as exc:
+        raise TiffParseError(f"malformed TIFF header: {exc}") from exc
     return pages, h, w, ifd.get(_TAG_SAMPLES_PER_PIXEL, [1])[0]
 
 
@@ -498,7 +501,17 @@ def tiff_shape(data: bytes) -> tuple[int, int, int]:
     No strip/tile payload is touched, so probing a block's extent
     costs a header walk, not a decode — the metadata-read analog of
     the reference inferring geometry from one file header
-    (tiff2octree.py:653-691)."""
+    (tiff2octree.py:653-691). Corruption raises TiffParseError, same
+    contract as decode_tiff."""
+    try:
+        return _tiff_shape_checked(data)
+    except TiffParseError:
+        raise
+    except (IndexError, KeyError, OverflowError, ValueError, struct.error) as exc:
+        raise TiffParseError(f"malformed TIFF header: {exc}") from exc
+
+
+def _tiff_shape_checked(data: bytes) -> tuple[int, int, int]:
     ec, pos, big = _parse_header(data)
     n_pages = 0
     hw: tuple[int, int] | None = None

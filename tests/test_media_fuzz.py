@@ -186,3 +186,51 @@ def test_media_features_skip_all_rows_batch(spark):
     out = media_features(media, errors="skip")
     assert out.count() == 0
     assert out.columns[0] == "media_id"
+
+
+def test_fuzzed_probes_raise_named_errors():
+    """Header probes obey the same corruption contract as the full
+    decoders — named errors only, never raw struct/Index errors."""
+    from hortacloud_importer_spark.sources.jp2 import Jp2ParseError
+    from hortacloud_importer_spark.sources.pnm import (
+        PnmParseError,
+        encode_pnm,
+        pnm_probe,
+    )
+    from hortacloud_importer_spark.sources.webp import webp_probe
+
+    rng = np.random.default_rng(101)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    frames = rng.integers(0, 256, (3, 8, 8, 3), dtype=np.uint8)
+    pcm = rng.integers(-2000, 2000, (256,), dtype=np.int16)
+    img16 = rng.integers(0, 65535, (16, 16), dtype=np.uint16)
+    cases = [
+        ("gif", gif.encode_gif(img, pal), gif.gif_probe, (gif.GifParseError,)),
+        ("bmp", bmp.encode_bmp(rgb), bmp.bmp_probe, (bmp.BmpParseError,)),
+        (
+            "avi",
+            avi.encode_avi(frames, codec="DIB"),
+            avi.avi_probe,
+            (avi.AviParseError,),
+        ),
+        ("png", png.encode_png(img), png.png_probe, (png.PngParseError,)),
+        ("jpeg", jpeg.encode_jpeg(img), jpeg.jpeg_probe, (jpeg.JpegParseError,)),
+        (
+            "tiff",
+            tiff.encode_tiff(img16[None, ...], compression="zlib"),
+            tiff.tiff_probe,
+            (tiff.TiffParseError,),
+        ),
+        ("wav", wav.encode_wav(pcm, rate=8000), wav.wav_probe, (wav.WavParseError,)),
+        ("webp", webp.encode_webp(rgb), webp_probe, (webp.WebpParseError,)),
+        ("pnm", encode_pnm(rgb), pnm_probe, (PnmParseError,)),
+    ]
+    for name, payload, probe, allowed in cases:
+        seed = zlib.crc32(f"probe-{name}".encode()) & 0xFFFF
+        for mutated in _mutations(payload, 400, seed=seed):
+            try:
+                probe(mutated)
+            except allowed:
+                pass

@@ -377,6 +377,45 @@ def main() -> int:
     assert tagged["n"] == sum(n for n, _ in sizes.values())
     print(json.dumps({"corrupt_tag": report["corrupt_tag"]}))
 
+    # metadata pass: header-only probe over the whole mixed corpus —
+    # the crawl schema-scan that must cost header reads, not decode
+    from hortacloud_importer_spark.operators.multimodal import media_probe
+
+    sampler.phase("probe")
+    all_media = (
+        media.withColumn("kind", F.lit("image"))
+        .withColumn(
+            "meta",
+            F.struct(
+                F.col("h").alias("height"),
+                F.col("w").alias("width"),
+                F.lit(1).alias("channels"),
+                F.lit(0).alias("sample_rate"),
+                F.lit(1).alias("n_frames"),
+            ),
+        )
+        .select("media_id", "kind", "format", "payload", "meta")
+    )
+    total_mb = sum(mb for _, mb in sizes.values())
+    t0 = time.monotonic()
+    probed = (
+        media_probe(all_media)
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("height").cast("long") * F.col("width")).alias("px"),
+        )
+        .collect()[0]
+    )
+    wall = time.monotonic() - t0
+    report["probe"] = {
+        "items": int(probed["n"]),
+        "wall_sec": round(wall, 2),
+        "items_per_sec": round(probed["n"] / wall),
+        "mib_per_sec": round(total_mb / wall, 1),
+    }
+    assert probed["n"] == sum(n for n, _ in sizes.values())
+    print(json.dumps({"probe": report["probe"]}))
+
     sampler.stop()
     report["peak_rss_gib"] = round(sampler.peak / 2**20, 2)
     report["peak_rss_phase"] = sampler.peak_at
@@ -414,6 +453,16 @@ def _write_md(r: dict) -> None:
         f"{r['corrupt_tag']['errors']} tagged `decode_error`, 0 failed "
         f"tasks, {r['corrupt_tag']['wall_sec']}s wall — at crawl scale "
         "a bit-rotted payload is a counted row, not a dead stage.",
+        "",
+        "",
+        "## Metadata pass (media_probe)",
+        "",
+        f"Header-only probe over the whole mixed corpus: "
+        f"{r['probe']['items']} items in {r['probe']['wall_sec']}s = "
+        f"{r['probe']['items_per_sec']} items/s, "
+        f"{r['probe']['mib_per_sec']} MiB/s of payload covered without "
+        "decoding a pixel — the cheap schema-scan that gates which "
+        "payloads are worth full decode at 100 TB.",
         "",
         f"- Peak process-tree RSS {r['peak_rss_gib']} GiB "
         f"(phase `{r['peak_rss_phase']}`); fixture generation "
