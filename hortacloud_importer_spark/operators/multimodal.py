@@ -128,6 +128,11 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
         from hortacloud_importer_spark.sources.pnm import decode_pnm
 
         return decode_pnm(bytes(payload))[None, ...]
+    if fmt == "tga":
+        # clean-room TARGA (sources/tga.py): types 1/2/3 + RLE
+        from hortacloud_importer_spark.sources.tga import decode_tga
+
+        return decode_tga(bytes(payload))[None, ...]
     if fmt == "webp":
         # clean-room lossless VP8L (sources/webp.py); lossy VP8 and
         # VP8X containers raise the named WebpParseError gate
@@ -159,7 +164,7 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
         raise NotImplementedError(
             f"format {fmt!r} needs an image codec (PIL); built-in "
             "clean-room decoders cover raw8, tiff, jpeg, png, gif, "
-            "bmp, webp (lossless), pnm/pgm/ppm, avi, wav, and jp2"
+            "bmp, webp (lossless), pnm/pgm/ppm, tga, avi, wav, and jp2"
         ) from exc
     import io
 
@@ -253,6 +258,7 @@ def _decode_error_types() -> tuple[type, ...]:
     from hortacloud_importer_spark.sources.jpeg import JpegParseError
     from hortacloud_importer_spark.sources.png import PngParseError
     from hortacloud_importer_spark.sources.pnm import PnmParseError
+    from hortacloud_importer_spark.sources.tga import TgaParseError
     from hortacloud_importer_spark.sources.tiff import TiffParseError
     from hortacloud_importer_spark.sources.wav import WavParseError
     from hortacloud_importer_spark.sources.webp import WebpParseError
@@ -266,6 +272,7 @@ def _decode_error_types() -> tuple[type, ...]:
         JpegParseError,
         PngParseError,
         PnmParseError,
+        TgaParseError,
         TiffParseError,
         WavParseError,
         WebpParseError,
@@ -330,6 +337,10 @@ def _probe_one(fmt: str, payload: bytes, meta) -> dict:
         from hortacloud_importer_spark.sources.pnm import pnm_probe
 
         h, w, c = pnm_probe(payload)
+    elif fmt == "tga":
+        from hortacloud_importer_spark.sources.tga import tga_probe
+
+        h, w, c = tga_probe(payload)
     elif fmt == "avi":
         from hortacloud_importer_spark.sources.avi import avi_probe
 
