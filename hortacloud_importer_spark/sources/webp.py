@@ -104,12 +104,31 @@ class _BitReader:
         self.pos = end
         return out
 
+    def peek(self, n: int) -> int:
+        """Non-consuming LSB-first peek, zero-padded past the end —
+        the prefix-LUT fast path reads up to max_len bits at once and
+        then skips only the decoded code's length."""
+        pos = self.pos
+        byte0 = pos >> 3
+        data = self.data
+        chunk = data[byte0 : byte0 + ((n + (pos & 7) + 7) >> 3)]
+        return (int.from_bytes(chunk, "little") >> (pos & 7)) & ((1 << n) - 1)
+
+    def skip(self, n: int) -> None:
+        self.pos += n
+        if self.pos > 8 * len(self.data):
+            raise WebpParseError("VP8L stream exhausted")
+
 
 class _Huffman:
     """Canonical prefix decoder: codes assigned in (length, symbol)
-    order, consumed MSB-first bit-by-bit."""
+    order, consumed MSB-first bit-by-bit from the LSB-first stream.
+    Decode runs on a flat peek LUT (one peek + one skip per symbol):
+    a code ``c`` of length ``l`` matches every max_len-bit peek whose
+    LOW ``l`` bits equal ``c`` bit-reversed, so the table fills with
+    numpy stride writes at build time."""
 
-    __slots__ = ("counts", "symbols", "single")
+    __slots__ = ("single", "max_len", "lut_sym", "lut_len")
 
     def __init__(self, lengths: list[int]) -> None:
         nz = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
@@ -117,7 +136,6 @@ class _Huffman:
             raise WebpParseError("prefix code with no symbols")
         if len(nz) == 1:
             self.single = nz[0][1]
-            self.counts = self.symbols = None
             return
         self.single = None
         max_len = max(ln for ln, _ in nz)
@@ -131,23 +149,31 @@ class _Huffman:
         kraft = sum(c << (max_len - ln) for ln, c in enumerate(counts) if ln)
         if kraft != 1 << max_len:
             raise WebpParseError("prefix code lengths are not complete")
-        self.counts = counts
-        self.symbols = [sym for _, sym in sorted(nz)]
+        self.max_len = max_len
+        size = 1 << max_len
+        sym_arr = np.zeros(size, dtype=np.uint16)
+        len_arr = np.zeros(size, dtype=np.uint8)
+        code = 0
+        prev_len = 0
+        for ln, sym in sorted(nz):
+            code <<= ln - prev_len
+            prev_len = ln
+            rev = int(f"{code:0{ln}b}"[::-1], 2)
+            sym_arr[rev :: 1 << ln] = sym
+            len_arr[rev :: 1 << ln] = ln
+            code += 1
+        self.lut_sym = sym_arr.tolist()
+        self.lut_len = len_arr.tobytes()
 
     def decode(self, br: _BitReader) -> int:
         if self.single is not None:
             return self.single
-        code = 0
-        first = 0  # first canonical code of this length
-        index = 0  # symbols consumed by shorter lengths
-        for ln in range(1, len(self.counts)):
-            code = (code << 1) | br.read(1)
-            count = self.counts[ln]
-            if code - first < count:
-                return self.symbols[index + code - first]
-            index += count
-            first = (first + count) << 1
-        raise WebpParseError("invalid prefix code")
+        p = br.peek(self.max_len)
+        ln = self.lut_len[p]
+        if ln == 0:
+            raise WebpParseError("invalid prefix code")
+        br.skip(ln)
+        return self.lut_sym[p]
 
 
 def _simple_code(br: _BitReader, alphabet: int) -> _Huffman:
@@ -162,10 +188,8 @@ def _simple_code(br: _BitReader, alphabet: int) -> _Huffman:
         if s >= alphabet:
             raise WebpParseError(f"simple-code symbol {s} >= {alphabet}")
     if num == 1:
-        lengths[syms[0]] = 1  # placeholder; decoded as zero-bit single
         h = _Huffman.__new__(_Huffman)
-        h.single = syms[0]
-        h.counts = h.symbols = None
+        h.single = syms[0]  # zero-bit code: decode consumes nothing
         return h
     if syms[0] == syms[1]:
         raise WebpParseError("simple code repeats a symbol")
@@ -273,13 +297,15 @@ def _decode_image(
         )
 
     n = w * h
-    pixels = np.zeros(n, dtype=np.uint32)
+    # plain-int list in the hot loop — per-pixel numpy scalar writes
+    # cost several times the whole decode
+    pixels: list[int] = [0] * n
     cache = [0] * cache_size
     pos = 0
     g_green, g_red, g_blue, g_alpha, g_dist = groups[0]
-    multi = meta is not None or num_groups > 1
+    multi = meta is not None
     while pos < n:
-        if multi and meta is not None:
+        if multi:
             gx = (pos % w) >> hbits
             gy = (pos // w) >> hbits
             g_green, g_red, g_blue, g_alpha, g_dist = groups[
@@ -314,7 +340,7 @@ def _decode_image(
             src = pos - dist
             if cache_size:
                 for _ in range(length):
-                    px = int(pixels[src])
+                    px = pixels[src]
                     pixels[pos] = px
                     cache[
                         (0x1E35A7BD * px & 0xFFFFFFFF) >> (32 - cache_bits)
@@ -333,7 +359,7 @@ def _decode_image(
                 raise WebpParseError(f"color cache index {idx}")
             pixels[pos] = cache[idx]
             pos += 1
-    return pixels
+    return np.array(pixels, dtype=np.uint32)
 
 
 # ------------------------------------------------------- transforms
