@@ -708,6 +708,65 @@ def scan_pnm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_tga_media",
+    "A1+K4",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT z, AVG(v) AS mean_val,
+       CAST(MIN(v) AS INTEGER) AS min_val,
+       CAST(MAX(v) AS INTEGER) AS max_val
+FROM (
+  SELECT t1.range AS z,
+         (t2.range * (t1.range + 1) * 23) % 256 AS v
+  FROM range(4) t1, range(768) t2
+)
+GROUP BY z
+""",
+)
+def scan_tga_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 TARGA over REAL containers, oracle-exact: four 16x16 RGB
+    TGAs (value = (k*(z+1)*23) mod 256 for the k-th RGB byte), two
+    RLE-compressed and one top-down, decoded through the executor
+    media kernel against the closed-form DuckDB formula — BGR order,
+    RLE packet, and row-order bugs all break the hash."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import media_features
+    from hortacloud_importer_spark.sources.tga import encode_tga
+
+    workdir = tempfile.mkdtemp(prefix="tga_media_")
+    for z in range(4):
+        k = np.arange(768, dtype=np.int64)
+        img = ((k * (z + 1) * 23) % 256).astype(np.uint8).reshape(16, 16, 3)
+        with open(f"{workdir}/tex.{z:03d}.tga", "wb") as fh:
+            fh.write(encode_tga(img, rle=(z % 2 == 0), top_down=(z == 1)))
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*.tga")
+        .select(
+            F.regexp_extract(F.col("path"), r"\.(\d{3})\.tga$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.lit("tga").alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 16, 'width', 16, 'channels', 3,"
+                " 'sample_rate', 0, 'n_frames', 1)"
+            ).alias("meta"),
+        )
+    )
+    return media_features(media).select(
+        F.col("media_id").alias("z"),
+        F.col("mean_intensity").alias("mean_val"),
+        F.col("min_intensity").alias("min_val"),
+        F.col("max_intensity").alias("max_val"),
+    )
+
+
+@register(
     "scan_avi_frames",
     "A1+K4+J4",
     driver=False,  # the external driver set is frozen at 50
