@@ -708,6 +708,72 @@ def scan_pnm_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_gif_frames",
+    "A1+K4+J4",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT z, f, AVG(v) AS mean_val,
+       CAST(MIN(v) AS INTEGER) AS min_val,
+       CAST(MAX(v) AS INTEGER) AS max_val
+FROM (
+  SELECT t1.range AS z, t2.range AS f,
+         ((t2.range * 256 + t3.range) * (t1.range + 1) * 29) % 251 AS v
+  FROM range(4) t1, range(0, 3, 2) t2, range(256) t3
+)
+GROUP BY z, f
+""",
+)
+def scan_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 animation through the 1->N frame-sampling UDTF (J4),
+    oracle-exact — the GIF twin of ``scan_avi_frames``: four 3-frame
+    animated GIFs (grayscale palette, full-rect frames so each
+    composited frame equals its own indices; pixel index =
+    ((f*256 + t)*(z+1)*29) mod 251) are frame-sampled at stride 2 and
+    each sampled frame reduced by the media kernel; the DuckDB oracle
+    regenerates the formula over exactly frames 0 and 2."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import (
+        media_features,
+        sample_frames,
+    )
+    from hortacloud_importer_spark.sources.gif import encode_gif
+
+    workdir = tempfile.mkdtemp(prefix="gif_frames_")
+    gray = np.repeat(np.arange(256, dtype=np.uint8), 3).reshape(256, 3)
+    for z in range(4):
+        t = np.arange(3 * 256, dtype=np.int64)
+        frames = ((t * (z + 1) * 29) % 251).astype(np.uint8).reshape(3, 16, 16)
+        with open(f"{workdir}/anim.{z:03d}.gif", "wb") as fh:
+            fh.write(encode_gif(frames, gray))
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*.gif")
+        .select(
+            F.regexp_extract(F.col("path"), r"\.(\d{3})\.gif$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.lit("gif").alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 16, 'width', 16, 'channels', 3,"
+                " 'sample_rate', 0, 'n_frames', 3)"
+            ).alias("meta"),
+        )
+    )
+    return media_features(sample_frames(media, 2)).select(
+        (F.col("media_id") / 1000).cast("long").alias("z"),
+        (F.col("media_id") % 1000).alias("f"),
+        F.col("mean_intensity").alias("mean_val"),
+        F.col("min_intensity").alias("min_val"),
+        F.col("max_intensity").alias("max_val"),
+    )
+
+
+@register(
     "scan_tga_media",
     "A1+K4",
     driver=False,  # the external driver set is frozen at 50
