@@ -35,6 +35,27 @@ MEDIA_SCHEMA = (
 )
 
 
+class MediaDecodeError(ValueError):
+    """Named wrapper for parse failures raised by the OPTIONAL library
+    tail (PIL / tifffile / imageio). Those libraries signal corrupt
+    payloads with OSError ('broken data stream'), SyntaxError, or
+    ValueError — types too broad to catch globally in a skip/tag
+    kernel — so the library calls are wrapped and re-raised as this
+    named error, keeping the corruption contract uniform whether a
+    binding is installed or not."""
+
+
+_LIB_DECODE_ERRORS = (OSError, SyntaxError, ValueError, KeyError, IndexError)
+
+
+def _lib_decode(fn, what: str) -> np.ndarray:
+    """Run an optional-library decode, renaming its parse failures."""
+    try:
+        return fn()
+    except _LIB_DECODE_ERRORS as exc:
+        raise MediaDecodeError(f"{what}: {type(exc).__name__}: {exc}") from exc
+
+
 def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
     """payload -> ndarray. raw8 is real; tiff/compressed are gated on
     codec libs (absent in this container — probe recorded in
@@ -62,7 +83,10 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
                 return decode_tiff(bytes(payload))
         import io as _io
 
-        arr = np.asarray(tifffile.imread(_io.BytesIO(payload)))
+        arr = _lib_decode(
+            lambda: np.asarray(tifffile.imread(_io.BytesIO(payload))),
+            "tifffile",
+        )
         # normalize to (frames, h, w, channels)
         if arr.ndim == 2:  # single grayscale page
             arr = arr[None, :, :, None]
@@ -170,7 +194,9 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
 
     import PIL.Image as Image
 
-    arr = np.asarray(Image.open(io.BytesIO(payload)))
+    arr = _lib_decode(
+        lambda: np.asarray(Image.open(io.BytesIO(payload))), "PIL"
+    )
     if arr.ndim == 2:
         arr = arr[:, :, None]
     return arr[None, ...]
@@ -278,6 +304,9 @@ def _decode_error_types() -> tuple[type, ...]:
         WebpParseError,
         # the honest format gates (needs-a-binding / out-of-scope)
         NotImplementedError,
+        # optional-library (PIL/tifffile) parse failures, renamed by
+        # _lib_decode so OSError etc. never need catching globally
+        MediaDecodeError,
     )
     try:  # when the optional PIL tail is live, its parse failure too
         from PIL import UnidentifiedImageError
@@ -411,10 +440,22 @@ def media_probe(media: DataFrame, errors: str = "raise") -> DataFrame:
 
 def _empty_batch(schema: str) -> pd.DataFrame:
     """An all-skipped batch still needs the declared columns (object
-    dtype so Arrow maps empty array/struct columns correctly)."""
-    return pd.DataFrame(
-        {c.strip().split(" ")[0]: pd.Series([], dtype=object) for c in schema.split(", ")}
-    )
+    dtype so Arrow maps empty array/struct columns correctly). Column
+    names come from splitting on TOP-LEVEL commas only — struct types
+    (META_SCHEMA) contain ', ' inside their angle brackets, and this
+    runs inside a Python worker where the JVM DDL parser (StructType
+    .fromDDL) is unreachable."""
+    names, depth, start = [], 0, 0
+    for i, ch in enumerate(schema):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            names.append(schema[start:i].strip().split(" ")[0])
+            start = i + 1
+    names.append(schema[start:].strip().split(" ")[0])
+    return pd.DataFrame({n: pd.Series([], dtype=object) for n in names})
 
 
 def _check_errors_mode(errors: str, allowed: tuple[str, ...]) -> None:
@@ -454,10 +495,14 @@ def media_features(media: DataFrame, errors: str = "raise") -> DataFrame:
                     arr = _decode_one(row.format, bytes(row.payload), row.meta)
                 except catchable as exc:
                     if errors == "tag":
+                        # n_bytes is a payload property, not a decoded
+                        # feature — keep the true length so quarantine
+                        # queries can size the corrupt set (matches
+                        # media_probe's tag-mode accounting)
                         out.append(
                             {
                                 "media_id": int(row.media_id),
-                                "n_bytes": 0,
+                                "n_bytes": len(bytes(row.payload)),
                                 "mean_intensity": 0.0,
                                 "min_intensity": 0,
                                 "max_intensity": 0,

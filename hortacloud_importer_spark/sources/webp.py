@@ -135,6 +135,15 @@ class _Huffman:
         if not nz:
             raise WebpParseError("prefix code with no symbols")
         if len(nz) == 1:
+            # A one-symbol code consumes zero bits, which is only
+            # well-formed when the declared length is 1 (the simple
+            # path always writes 1; libwebp's code-length path special-
+            # cases exactly that). A lone symbol of length >1 would
+            # bypass the Kraft check below on a corrupt stream.
+            if nz[0][0] != 1:
+                raise WebpParseError(
+                    f"single-symbol prefix code with length {nz[0][0]} != 1"
+                )
             self.single = nz[0][1]
             return
         self.single = None

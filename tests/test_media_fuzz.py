@@ -136,7 +136,9 @@ def test_media_features_error_modes(spark):
     rows = {r["media_id"]: r for r in media_features(media, errors="tag").collect()}
     assert rows[1]["decode_error"] is None and rows[1]["n_bytes"] > 0
     assert "GifParseError" in rows[2]["decode_error"]
-    assert rows[2]["n_bytes"] == 0
+    # n_bytes is a payload property — the tagged row keeps the true
+    # length (quarantine queries size the corrupt set with it)
+    assert rows[2]["n_bytes"] == len(bad)
     with pytest.raises(ValueError, match="raise/skip/tag"):
         media_features(media, errors="quarantine")
 
@@ -186,6 +188,53 @@ def test_media_features_skip_all_rows_batch(spark):
     out = media_features(media, errors="skip")
     assert out.count() == 0
     assert out.columns[0] == "media_id"
+
+
+def test_media_schema_kernels_skip_all_rows_batch(spark):
+    """All-skipped batches through the MEDIA_SCHEMA kernels (resize,
+    sample_frames) must produce exactly the declared five columns —
+    the empty-batch column parser has to split only TOP-LEVEL commas,
+    because META_SCHEMA's struct type contains ', ' internally."""
+    from hortacloud_importer_spark.operators.multimodal import (
+        resize_images,
+        sample_frames,
+    )
+
+    media = spark.createDataFrame(
+        [(1, "video", "avi", bytearray(b"RIFFjunk"), (1, 1, 1, 0, 1))],
+        "media_id long, kind string, format string, payload binary, "
+        "meta struct<height:int,width:int,channels:int,"
+        "sample_rate:int,n_frames:int>",
+    ).coalesce(1)
+    for out in (
+        resize_images(media, 2, 2, errors="skip"),
+        sample_frames(media, 1, errors="skip"),
+    ):
+        rows = out.collect()
+        assert rows == []
+        assert out.columns == ["media_id", "kind", "format", "payload", "meta"]
+
+
+def test_empty_batch_column_names_nested_types():
+    """The worker-side empty-batch builder handles nested struct/array
+    types without the JVM DDL parser."""
+    from hortacloud_importer_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _empty_batch,
+    )
+
+    assert list(_empty_batch(MEDIA_SCHEMA).columns) == [
+        "media_id",
+        "kind",
+        "format",
+        "payload",
+        "meta",
+    ]
+    assert list(
+        _empty_batch(
+            "a int, b map<string, array<struct<x:int, y:int>>>, c string"
+        ).columns
+    ) == ["a", "b", "c"]
 
 
 def test_fuzzed_probes_raise_named_errors():
