@@ -9,7 +9,7 @@ executors, the driver only sees aggregates.
 
 Decode is REAL for the whole crawl-format set — clean-room codecs in
 sources/ cover tiff, jpeg (baseline/progressive/12-bit), png, gif,
-bmp, webp-lossless, netpbm, avi (MJPG + DIB), wav, and jp2, with
+bmp, webp (lossy VP8 + lossless VP8L), netpbm, avi (MJPG + DIB), wav, and jp2, with
 ``raw8`` as the plain-bytes fast path. PIL, when importable, takes
 over 8-bit jpeg and the long tail of exotic formats; when absent only
 genuinely-uncovered formats raise ``NotImplementedError``. Every
@@ -158,8 +158,9 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
 
         return decode_tga(bytes(payload))[None, ...]
     if fmt == "webp":
-        # clean-room lossless VP8L (sources/webp.py); lossy VP8 and
-        # VP8X containers raise the named WebpParseError gate
+        # clean-room lossless VP8L (sources/webp.py) AND lossy VP8
+        # keyframes (sources/vp8.py, libwebp-parity-pinned); VP8X
+        # stills route to the inner chunk, ANIM/ALPH gate by name
         from hortacloud_importer_spark.sources.webp import decode_webp
 
         return decode_webp(bytes(payload))[None, ...]
@@ -188,7 +189,7 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
         raise NotImplementedError(
             f"format {fmt!r} needs an image codec (PIL); built-in "
             "clean-room decoders cover raw8, tiff, jpeg, png, gif, "
-            "bmp, webp (lossless), pnm/pgm/ppm, tga, avi, wav, and jp2"
+            "bmp, webp, pnm/pgm/ppm, tga, avi, wav, and jp2"
         ) from exc
     import io
 

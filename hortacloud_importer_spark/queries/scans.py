@@ -774,6 +774,74 @@ def scan_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_webp_lossy",
+    "A1+K4",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT z,
+       AVG(g) AS mean_intensity,
+       CAST(MIN(g) AS INTEGER) AS min_intensity,
+       CAST(MAX(g) AS INTEGER) AS max_intensity
+FROM (
+  SELECT t1.range AS z,
+         LEAST(255, (298 * ((37 * (t2.range + 1) * (t1.range + 2)) % 220)
+                     + 128) // 256) AS g
+  FROM range(4) t1, range(4) t2
+)
+GROUP BY z
+""",
+)
+def scan_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 LOSSY WebP over REAL containers, oracle-exact despite VP8
+    being a lossy codec: each file is a 2x2-macroblock VP8 keyframe
+    whose per-MB luma constants v = 16 + (37*(m+1)*(z+2)) mod 220
+    survive the quantize/WHT/iDCT/DC_PRED chain bit-perfectly at
+    q_index 0 (sources/vp8.py encode_vp8 docstring derives why), and
+    the engine's documented BT.601 luma expansion g = (298*(v-16)+
+    128)>>8 is integer math DuckDB reproduces exactly. The decode
+    itself — boolean coder, token trees, dequant, inverse transforms,
+    prediction — is additionally pinned bit-for-bit against libwebp
+    by tests/test_vp8_parity.py; this query proves the Spark-side
+    plumbing end to end (binaryFile scan -> executor VP8 decode ->
+    YUV->RGB -> intensity accounting)."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import media_features
+    from hortacloud_importer_spark.sources.vp8 import encode_webp_lossy
+
+    workdir = tempfile.mkdtemp(prefix="webp_lossy_")
+    for z in range(4):
+        m = np.arange(4, dtype=np.int64)
+        vals = (16 + (37 * (m + 1) * (z + 2)) % 220).reshape(2, 2)
+        with open(f"{workdir}/pic.{z:03d}.webp", "wb") as fh:
+            fh.write(encode_webp_lossy(vals.astype(np.uint8)))
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*.webp")
+        .select(
+            F.regexp_extract(F.col("path"), r"\.(\d{3})\.webp$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.lit("webp").alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 32, 'width', 32, 'channels', 3,"
+                " 'sample_rate', 0, 'n_frames', 1)"
+            ).alias("meta"),
+        )
+    )
+    return media_features(media).select(
+        F.col("media_id").alias("z"),
+        "mean_intensity",
+        "min_intensity",
+        "max_intensity",
+    )
+
+
+@register(
     "scan_tga_media",
     "A1+K4",
     driver=False,  # the external driver set is frozen at 50

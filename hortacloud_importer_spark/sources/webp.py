@@ -1,4 +1,5 @@
-"""Clean-room WebP lossless (VP8L) decoder.
+"""Clean-room WebP decoder: lossless (VP8L) here, lossy (VP8) via
+sources/vp8.py.
 
 §2.K4: WebP is the fourth web-crawl image format next to JPEG, PNG,
 and GIF (all of which already decode clean-room here). This module
@@ -10,10 +11,12 @@ four transforms (predictor, cross-color, subtract-green, and
 color-indexing with sub-byte pixel bundling).
 
 Lossy WebP ('VP8 ' chunks — a VP8 intra keyframe with boolean
-arithmetic coding and loop filtering) and extended-container features
-('VP8X' animation/alpha chunks) are OUT OF SCOPE and gate with
-:class:`WebpParseError`; a crawl kernel running ``errors="tag"``
-counts them instead of failing the stage.
+arithmetic coding and loop filtering) dispatches to the clean-room
+RFC 6386 decoder in sources/vp8.py; still images inside a 'VP8X'
+extended container decode through their inner VP8/VP8L chunk, while
+animation (ANIM) and alpha (ALPH) gate with :class:`WebpParseError`
+so a crawl kernel running ``errors="tag"`` counts them instead of
+failing the stage.
 
 Layout notes (all from the spec):
 
@@ -559,18 +562,41 @@ def decode_webp(data: bytes) -> np.ndarray:
             payload = body
             break
         if fourcc == b"VP8 ":
-            raise WebpParseError(
-                "lossy WebP (VP8 intra-frame coding) is not supported; "
-                "the clean-room decoder covers lossless VP8L"
+            # lossy still image: a single VP8 intra keyframe
+            # (clean-room decoder in sources/vp8.py, RFC 6386)
+            from hortacloud_importer_spark.sources.vp8 import (
+                Vp8ParseError,
+                decode_vp8,
+                yuv_to_rgb,
             )
+
+            try:
+                y, u, v = decode_vp8(bytes(body))
+            except Vp8ParseError as exc:
+                raise WebpParseError(f"VP8: {exc}") from exc
+            return yuv_to_rgb(y, u, v)
         if fourcc == b"VP8X":
-            raise WebpParseError(
-                "extended WebP (VP8X animation/alpha container) is not "
-                "supported"
-            )
+            # extended container: flags byte is RR I L E X A R
+            # (MSB-first). Animation and alpha need compositing /
+            # an ALPH-chunk decode this engine gates by name; a
+            # plain still image inside VP8X decodes via the inner
+            # VP8 / VP8L chunk.
+            if len(body) < 10:
+                raise WebpParseError("short VP8X header")
+            flags = body[0]
+            if flags & 0x02:
+                raise WebpParseError(
+                    "animated WebP (VP8X ANIM) is not supported"
+                )
+            if flags & 0x10:
+                raise WebpParseError(
+                    "WebP alpha channel (VP8X ALPH) is not supported"
+                )
+            pos += 8 + size + (size & 1)
+            continue
         pos += 8 + size + (size & 1)
     if payload is None:
-        raise WebpParseError("no VP8L chunk in container")
+        raise WebpParseError("no VP8/VP8L chunk in container")
     if not payload or payload[0] != 0x2F:
         raise WebpParseError("bad VP8L signature byte")
     br = _BitReader(payload[1:])

@@ -81,10 +81,10 @@ def test_compressed_format_gated():
         _decode_one(
             "heic", b"\x00\x00\x00\x18ftypheic", {"height": 1, "width": 1, "channels": 1, "n_frames": 1}
         )
-    # lossy VP8 webp gates with its named parse error
+    # a truncated lossy VP8 chunk fails with the named parse error
     from hortacloud_importer_spark.sources.webp import WebpParseError
 
-    with pytest.raises(WebpParseError, match="lossy"):
+    with pytest.raises(WebpParseError, match="VP8"):
         _decode_one(
             "webp",
             b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00",
@@ -251,8 +251,10 @@ def test_media_probe_matches_decode_dims():
 
 
 def test_media_probe_lossy_webp_dims_without_decode():
-    """Lossy WebP pixels gate, but the probe reads dimensions from
-    the public VP8 keyframe header."""
+    """The probe reads dimensions from the public VP8 keyframe header
+    without running the (now real) pixel decode; a header-only
+    payload with an empty first partition still fails decode by
+    name."""
     import struct
 
     import pytest as _pytest
@@ -272,7 +274,7 @@ def test_media_probe_lossy_webp_dims_without_decode():
     )
     meta = _probe_one("webp", payload, {})
     assert (meta["height"], meta["width"]) == (480, 640)
-    with _pytest.raises(Exception, match="lossy"):
+    with _pytest.raises(Exception, match="partition"):
         _decode_one("webp", payload, {})
 
 

@@ -471,7 +471,8 @@ def test_hand_built_meta_prefix_groups():
 def test_gates_and_corruption():
     with pytest.raises(WebpParseError, match="not a RIFF"):
         decode_webp(b"RIFF\x04\x00\x00\x00WAVE")
-    with pytest.raises(WebpParseError, match="lossy"):
+    with pytest.raises(WebpParseError, match="VP8"):
+        # truncated lossy chunk: the VP8 decoder's named gate
         decode_webp(
             b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00\x00\x00\x00\x00"
         )
