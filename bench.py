@@ -69,6 +69,44 @@ HEADLINE = [
 ]
 
 
+def _host_fingerprint() -> dict:
+    """Identify the machine state a bench run executed under, so a
+    round-over-round delta can be attributed to code vs host (round 8
+    burned hours proving a 12% 'regression' was a mid-round reboot).
+    boot_id changes on every reboot; the calibration microbench is a
+    fixed single-threaded CPU workload whose time moves with governor
+    / contention, independent of any Spark code."""
+    fp: dict = {}
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as fh:
+            fp["boot_id"] = fh.read().strip()
+    except OSError:
+        fp["boot_id"] = None
+    try:
+        with open("/proc/loadavg") as fh:
+            fp["loadavg_1m"] = float(fh.read().split()[0])
+    except (OSError, ValueError):
+        fp["loadavg_1m"] = None
+    try:
+        with open(
+            "/sys/devices/system/cpu/cpu0/cpufreq/scaling_governor"
+        ) as fh:
+            fp["cpu_governor"] = fh.read().strip()
+    except OSError:
+        fp["cpu_governor"] = None
+    fp["cpus"] = os.cpu_count()
+    # ~1-2 s fixed integer workload; best-of-3 to shed one-off stalls
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+        best = min(best, time.perf_counter() - t0)
+    fp["calib_spin_sec"] = round(best, 4)
+    return fp
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -114,6 +152,7 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "agg": "min",
+                "host": _host_fingerprint(),
             }
         )
     )
