@@ -774,6 +774,67 @@ def scan_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_tiff_float",
+    "A1+A2",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT z,
+       AVG(k) AS mean_intensity,
+       CAST(MIN(k) AS INTEGER) AS min_intensity,
+       CAST(MAX(k) AS INTEGER) AS max_intensity
+FROM (
+  SELECT t1.range AS z,
+         CASE WHEN t2.range = 1 THEN 0
+              ELSE (t2.range * (t1.range + 1) * 97) % 65011 END AS k
+  FROM range(4) t1, range(64) t2
+)
+GROUP BY z
+""",
+)
+def scan_tiff_float(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 over FLOAT32 TIFF slices (SampleFormat 3 — the
+    reference's float stack input, tiff2octree.py:250-251),
+    oracle-exact: pixel values k/65535 requantize back to exactly k
+    through the voxel boundary's ``float_mode='requant'`` (skimage
+    img_as_uint semantics: round-half-even x65535; float32's 2^-24
+    relative error stays far below the rounding threshold), and a
+    planted NaN maps to 0 per the zeros-are-missing convention
+    (ktx/util.py:151-158). The scan runs through the ``tiff_volume``
+    DataSource — executor-side decode, no payload on the driver."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.sources.datasource import (
+        register_volume_sources,
+    )
+    from hortacloud_importer_spark.sources.tiff import encode_tiff
+
+    workdir = tempfile.mkdtemp(prefix="tiff_float_")
+    for z in range(4):
+        k = (np.arange(64, dtype=np.int64) * (z + 1) * 97) % 65011
+        v = (k / 65535.0).astype(np.float32)
+        v[1] = np.nan  # "no data" -> requants to 0
+        with open(f"{workdir}/default.0.{z:03d}.tif", "wb") as fh:
+            fh.write(encode_tiff(v.reshape(1, 8, 8), compression="zlib"))
+    register_volume_sources(spark)
+    vox = (
+        spark.read.format("tiff_volume")
+        .option("float_mode", "requant")
+        .load(workdir)
+    )
+    return (
+        vox.groupBy("z")
+        .agg(
+            F.avg("intensity").alias("mean_intensity"),
+            F.min("intensity").cast("int").alias("min_intensity"),
+            F.max("intensity").cast("int").alias("max_intensity"),
+        )
+        .select("z", "mean_intensity", "min_intensity", "max_intensity")
+    )
+
+
+@register(
     "scan_webp_lossy",
     "A1+K4",
     driver=False,  # the external driver set is frozen at 50

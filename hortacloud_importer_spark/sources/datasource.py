@@ -433,19 +433,38 @@ def _sorted_slices(root: str, suffix: str, channel: str | None = None) -> list[s
     return sorted(files)
 
 
-def _decode_slice_pages(data: bytes, path: str) -> np.ndarray:
+def _requant_float_pages(pages: np.ndarray) -> np.ndarray:
+    """float32 [0,1] pages -> uint16, skimage ``img_as_uint``
+    semantics (the conversion the reference's float32 branch rides,
+    tiff2octree.py:250-251): scale by 65535 with round-half-even;
+    out-of-range values clip instead of raising (crawl data carries
+    them), NaN means "no data" and maps to 0 like the reference's
+    zeros-are-missing convention (ktx/util.py:151-158)."""
+    v = np.nan_to_num(pages, nan=0.0, posinf=1.0, neginf=0.0)
+    return np.rint(np.clip(v, 0.0, 1.0) * 65535.0).astype(np.uint16)
+
+
+def _decode_slice_pages(
+    data: bytes, path: str, float_mode: str = "raise"
+) -> np.ndarray:
     """One slice file -> (pages, h, w, samples), dispatched on the
     file extension: TIFF via the built-in clean-room codec, JPEG 2000
     via the gated OpenJPEG hook (sources/jp2.py; the reference reads
-    .jp2 slices through rasterio, tiff2octree.py:673-678)."""
+    .jp2 slices through rasterio, tiff2octree.py:673-678).
+
+    ``float_mode`` is the voxel-boundary policy for float32 pages
+    (TIFF SampleFormat 3 — the reference accepts float32 stacks,
+    tiff2octree.py:250-251): ``"requant"`` converts them to uint16 at
+    ingest via :func:`_requant_float_pages`; the ``"raise"`` default
+    keeps the integer voxel model strict and names the knob."""
     if path.lower().endswith((".jp2", ".j2k", ".jpf")):
         from hortacloud_importer_spark.sources.jp2 import decode_jp2
 
         pages = decode_jp2(data)
         # executor-side dual of the plan-time check_jp2_uint16 probe:
         # whatever the codec returned must FIT the uint16 voxel model
-        # (TIFF ingest gets this for free from _page_dtype) — reject
-        # rather than wrap
+        # (TIFF ingest gets this from _page_dtype + the float gate
+        # below) — reject rather than wrap
         if pages.dtype.kind != "u" or pages.dtype.itemsize > 2:
             raise ValueError(
                 f"{path}: decoded JP2 samples are {pages.dtype}; "
@@ -454,11 +473,21 @@ def _decode_slice_pages(data: bytes, path: str) -> np.ndarray:
         return pages
     from hortacloud_importer_spark.sources.tiff import decode_tiff
 
-    return decode_tiff(data)
+    pages = decode_tiff(data)
+    if pages.dtype.kind == "f":
+        if float_mode == "requant":
+            return _requant_float_pages(pages)
+        raise ValueError(
+            f"{path}: float32 samples need float_mode='requant' "
+            "(uint16 requant at ingest); the voxel model is integer"
+        )
+    return pages
 
 
-def _slice_axes(data: bytes, z: int, path: str = ".tif"):
-    pages = _decode_slice_pages(data, path)  # (pages, height, width, samples)
+def _slice_axes(data: bytes, z: int, path: str = ".tif",
+                float_mode: str = "raise"):
+    # (pages, height, width, samples)
+    pages = _decode_slice_pages(data, path, float_mode)
     if pages.shape[0] != 1 or pages.shape[3] != 1:
         raise ValueError(
             f"slice file has shape {pages.shape}; one single-sample z-slice "
@@ -474,10 +503,11 @@ def _slice_axes(data: bytes, z: int, path: str = ".tif"):
     )
 
 
-def _slice_array(data: bytes, path: str = ".tif") -> np.ndarray:
+def _slice_array(data: bytes, path: str = ".tif",
+                 float_mode: str = "raise") -> np.ndarray:
     """One z-slice file -> its 2-D page (validation shared with
     :func:`_slice_axes`)."""
-    pages = _decode_slice_pages(data, path)
+    pages = _decode_slice_pages(data, path, float_mode)
     if pages.shape[0] != 1 or pages.shape[3] != 1:
         raise ValueError(
             f"slice file has shape {pages.shape}; one single-sample z-slice "
@@ -511,6 +541,7 @@ class _TiffSliceReaderNoPushdown(DataSourceReader):
         self.channel = options.get("channel")
         self.per_partition = int(options.get("slices_per_partition", 1))
         self.emit = options.get("emit", "voxels")
+        self.float_mode = options.get("float_mode", "raise")
         self.bounds = _Bounds()
 
     def partitions(self):
@@ -528,9 +559,13 @@ class _TiffSliceReaderNoPushdown(DataSourceReader):
     def read(self, partition: _SlicePartition):
         for path, z in partition.slices:
             if self.emit == "slices":
-                yield _slice_batch(z, _slice_array(_read_bytes(path), path))
+                yield _slice_batch(
+                    z, _slice_array(_read_bytes(path), path, self.float_mode)
+                )
             else:
-                yield _voxel_batch(*_slice_axes(_read_bytes(path), z, path))
+                yield _voxel_batch(
+                    *_slice_axes(_read_bytes(path), z, path, self.float_mode)
+                )
 
 
 class _TiffSliceReader(_PushdownMixin, _TiffSliceReaderNoPushdown):
@@ -555,6 +590,7 @@ class _TiffSliceStreamReader(DataSourceStreamReader):
         self.channel = options.get("channel")
         self.per_batch = int(options.get("max_slices_per_batch", 8))
         self.emit = options.get("emit", "voxels")
+        self.float_mode = options.get("float_mode", "raise")
         # High-water mark already offered to Spark; keeps each
         # micro-batch bounded to per_batch slices no matter how large
         # the directory backlog is.
@@ -587,9 +623,13 @@ class _TiffSliceStreamReader(DataSourceStreamReader):
     def read(self, partition: _SlicePartition):
         for path, z in partition.slices:
             if self.emit == "slices":
-                yield _slice_batch(z, _slice_array(_read_bytes(path), path))
+                yield _slice_batch(
+                    z, _slice_array(_read_bytes(path), path, self.float_mode)
+                )
             else:
-                yield _voxel_batch(*_slice_axes(_read_bytes(path), z, path))
+                yield _voxel_batch(
+                    *_slice_axes(_read_bytes(path), z, path, self.float_mode)
+                )
 
     def commit(self, end: dict) -> None:
         # restart path: Spark commits recovered batches before asking

@@ -211,9 +211,31 @@ def _parse_ifd(
 
 def _page_dtype(ec: str, ifd: dict[int, list]) -> tuple[np.dtype, int]:
     bits = ifd.get(_TAG_BITS, [8])
-    if len(set(bits)) != 1 or bits[0] not in (8, 12, 16):
+    if len(set(bits)) != 1 or bits[0] not in (8, 12, 16, 32):
         raise TiffParseError(f"unsupported BitsPerSample {bits}")
     comp = ifd.get(_TAG_COMPRESSION, [1])[0]
+    fmt = ifd.get(_TAG_SAMPLE_FORMAT, [1])[0]
+    if fmt == 3:
+        # IEEE float pages (the reference's float32 stack input,
+        # tiff2octree.py:250-251). Entropy codecs stay integer-only.
+        if bits[0] != 32:
+            raise TiffParseError(
+                f"float samples supported at 32 bits only, got {bits[0]}"
+            )
+        if comp in (_COMP_JPEG, _COMP_OLDJPEG):
+            raise TiffParseError("JPEG compression excludes float samples")
+        if ifd.get(_TAG_PREDICTOR, [1])[0] != 1:
+            # predictor 2 is integer differencing; predictor 3
+            # (float-split) is out of scope
+            raise TiffParseError("predictors unsupported for float pages")
+        return np.dtype(("<" if ec == "<" else ">") + "f4"), 32
+    if fmt != 1:
+        raise TiffParseError(
+            "only unsigned-integer (SampleFormat 1) or IEEE-float "
+            "(SampleFormat 3) samples supported"
+        )
+    if bits[0] == 32:
+        raise TiffParseError("32-bit integer samples unsupported")
     if bits[0] == 12 and comp not in (_COMP_JPEG, _COMP_OLDJPEG):
         # 12-bit non-JPEG pages are bit-packed raster — out of scope
         raise TiffParseError(
@@ -225,8 +247,6 @@ def _page_dtype(ec: str, ifd: dict[int, list]) -> tuple[np.dtype, int]:
         raise TiffParseError(
             "JPEG compression with BitsPerSample 16 unsupported"
         )
-    if ifd.get(_TAG_SAMPLE_FORMAT, [1])[0] != 1:
-        raise TiffParseError("only unsigned-integer samples supported")
     return np.dtype(("<" if ec == "<" else ">") + ("u1" if bits[0] == 8 else "u2")), bits[0]
 
 
@@ -445,7 +465,8 @@ def _parse_header(data: bytes) -> tuple[str, int, bool]:
 
 
 def decode_tiff(data: bytes) -> np.ndarray:
-    """bytes -> (pages, height, width, samples) uint8/uint16 array.
+    """bytes -> (pages, height, width, samples) uint8/uint16/float32
+    array (float32 = SampleFormat 3, raw or zlib).
 
     Corrupt streams always raise :class:`TiffParseError` (a mangled
     offset/count field otherwise trips a raw struct.error deep in the
@@ -647,12 +668,15 @@ def encode_tiff(
     if pages.ndim == 3:
         pages = pages[..., None]
     npages, h, w, spp = pages.shape
-    if pages.dtype not in (np.uint8, np.uint16):
-        raise ValueError("uint8/uint16 only")
+    is_float = pages.dtype == np.float32
+    if pages.dtype not in (np.uint8, np.uint16) and not is_float:
+        raise ValueError("uint8/uint16/float32 only")
     if compression not in (None, "zlib", "jpeg"):
         raise ValueError("compression must be None, 'zlib', or 'jpeg'")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 or 2")
+    if is_float and (compression == "jpeg" or predictor != 1):
+        raise ValueError("float32 pages take raw/zlib and no predictor")
     jpeg_precision = 8
     if compression == "jpeg":
         if pages.dtype == np.uint16:
@@ -685,7 +709,10 @@ def encode_tiff(
         out += struct.pack("<I", 0)  # next-IFD pointer, patched per page
         next_ptr_pos = 4
     for pi in range(npages):
-        arr = pages[pi].astype("<u1" if bits == 8 else "<u2")
+        if is_float:
+            arr = pages[pi].astype("<f4")
+        else:
+            arr = pages[pi].astype("<u1" if bits == 8 else "<u2")
         if tile:
             tl, tw = tile
             blocks = []
@@ -729,6 +756,8 @@ def encode_tiff(
         ]
         if predictor == 2:
             tags.append((_TAG_PREDICTOR, 3, [2]))
+        if is_float:
+            tags.append((_TAG_SAMPLE_FORMAT, 3, [3]))
         if jpeg_tables_stream is not None:
             tags.append(
                 (_TAG_JPEG_TABLES, 7, list(jpeg_tables_stream))

@@ -17,6 +17,7 @@ from hortacloud_importer_spark.sources.tiff import (
     decode_tiff,
     decode_tiff_window,
     encode_tiff,
+    tiff_probe,
 )
 
 
@@ -612,3 +613,44 @@ def test_stack_voxels_ignores_hidden_files_and_expands_braces(spark, tmp_path):
     (d2 / ".hidden.tif").write_bytes(b"junk")
     _, dims2 = stack_voxels(spark, str(d2))
     assert dims2 == (2, 3, 4)
+
+
+def test_float32_tiff_roundtrip_and_gates():
+    """SampleFormat-3 float32 pages (the reference's float stack
+    input, tiff2octree.py:250-251): raw + zlib roundtrip NaN-exactly;
+    entropy codecs, predictors, and non-32-bit floats gate by name."""
+    import struct as _struct
+
+    rng = np.random.default_rng(6)
+    a = rng.random((2, 5, 9)).astype(np.float32)
+    a[0, 0, 0] = np.nan
+    a[1, 4, 8] = 0.0
+    for comp in (None, "zlib"):
+        back = decode_tiff(encode_tiff(a, compression=comp))
+        assert back.dtype == np.float32
+        assert np.array_equal(back[:, :, :, 0], a, equal_nan=True)
+    assert tiff_probe(encode_tiff(a)) == (2, 5, 9, 1)
+    with pytest.raises(ValueError, match="float32"):
+        encode_tiff(a, compression="jpeg")
+    with pytest.raises(ValueError, match="float32"):
+        encode_tiff(a, predictor=2)
+    # SampleFormat 2 (signed int) stays gated with the named error
+    blob = bytearray(encode_tiff(a))
+    i = blob.find(_struct.pack("<HH", 339, 3))
+    _struct.pack_into("<I", blob, i + 8, 2)
+    with pytest.raises(TiffParseError, match="SampleFormat"):
+        decode_tiff(bytes(blob))
+
+
+def test_float32_voxel_boundary_requires_explicit_requant():
+    from hortacloud_importer_spark.sources.datasource import (
+        _decode_slice_pages,
+    )
+
+    a = np.array([[[0.0, 0.5], [1.0, np.nan]]], dtype=np.float32)
+    data = encode_tiff(a)
+    with pytest.raises(ValueError, match="float_mode"):
+        _decode_slice_pages(data, "x.tif")
+    pages = _decode_slice_pages(data, "x.tif", float_mode="requant")
+    assert pages.dtype == np.uint16
+    assert pages[0, :, :, 0].tolist() == [[0, 32768], [65535, 0]]

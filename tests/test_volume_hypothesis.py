@@ -153,3 +153,65 @@ def test_halve_first_boundary_property(filter_, bdims, seed, present_mask, zero_
             ox * hx : (ox + 1) * hx,
         ] = np_halve(s, filter_)
     assert np.array_equal(got, want), (bdims, seed, present_mask)
+
+
+@given(
+    dims=dims_st,
+    seed=st.integers(0, 2**31 - 1),
+    nan_p=st.floats(0.0, 0.5),
+    zero_p=st.floats(0.0, 0.5),
+)
+@settings(max_examples=40, deadline=None)
+def test_float_requant_img_as_uint_semantics(dims, seed, nan_p, zero_p):
+    """The voxel boundary's float32 requant reproduces skimage
+    img_as_uint semantics — round-half-even x65535 — with NaN -> 0
+    (the reference's zeros-are-missing convention, ktx/util.py:151-
+    158) and out-of-range values clipped instead of raising."""
+    from hortacloud_importer_spark.sources.datasource import (
+        _requant_float_pages,
+    )
+
+    rng = np.random.default_rng(seed)
+    vol = rng.random(size=dims).astype(np.float32)
+    vol[rng.random(size=dims) < zero_p] = 0.0
+    vol[rng.random(size=dims) < nan_p] = np.nan
+    vol.ravel()[0] = 1.5   # clips to 65535
+    if vol.size > 1:
+        vol.ravel()[1] = -0.25  # clips to 0
+    got = _requant_float_pages(vol)
+    assert got.dtype == np.uint16
+    ref = np.rint(np.clip(np.nan_to_num(vol), 0.0, 1.0) * 65535.0)
+    assert np.array_equal(got, ref.astype(np.uint16))
+    # exactness of the k/65535 grid: requant inverts it bit-perfectly
+    k = rng.integers(0, 65536, size=dims)
+    assert np.array_equal(
+        _requant_float_pages((k / 65535.0).astype(np.float32)), k
+    )
+
+
+@given(dims=dims_st, seed=st.integers(0, 2**31 - 1), nan_p=st.floats(0.0, 0.6))
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_float_ingest_then_mean_downsample_matches_nanmean(
+    spark, dims, seed, nan_p
+):
+    """End-to-end float semantics: float32 volume -> requant-at-ingest
+    -> Spark mean downsample equals the reference's float nan-mean
+    formula (zeros/NaN excluded, truncating back to int) applied to
+    the requantized volume."""
+    rng = np.random.default_rng(seed)
+    volf = rng.random(size=dims).astype(np.float32)
+    volf[rng.random(size=dims) < nan_p] = np.nan
+    from hortacloud_importer_spark.sources.datasource import (
+        _requant_float_pages,
+    )
+
+    vol = _requant_float_pages(volf).astype(np.int64)
+    got = df_to_vol(
+        downsample_voxels(vol_to_df(spark, vol), dims, "mean"),
+        tuple(mipmap_dimension(1, d) for d in dims),
+    )
+    assert np.array_equal(got, np_downsample(vol, "mean")), (dims, seed)
