@@ -774,6 +774,72 @@ def scan_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_tiff_ccitt",
+    "A1+A2+K4",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT z,
+       AVG(v) AS mean_intensity,
+       CAST(MIN(v) AS INTEGER) AS min_intensity,
+       CAST(MAX(v) AS INTEGER) AS max_intensity
+FROM (
+  SELECT t1.range AS z,
+         CASE WHEN (t2.range * (t1.range + 2)) % 5 = 0 THEN 1 ELSE 0 END AS v
+  FROM range(4) t1, range(256) t2
+)
+GROUP BY z
+""",
+)
+def scan_tiff_ccitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/K4 over CCITT fax TIFFs — the scanned-document corpus
+    format — oracle-exact: four 16x16 bilevel pages with ink bit
+    (i*(z+2)) mod 5 == 0, two Group 4 (T.6) and two byte-aligned MH
+    (compression 2), encoded by the clean-room writer and decoded by
+    the clean-room T.4/T.6 decoder (sources/ccitt.py) inside the
+    executor media kernel. The DuckDB oracle regenerates the ink
+    formula (AVG of 256 0/1 samples = count/2^8, exact in both
+    engines); run-table or 2-D-mode bugs break the hash. Decoder
+    conformance is additionally pinned against the JDK's independent
+    TIFF plugin in tests/test_ccitt.py."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import media_features
+    from hortacloud_importer_spark.sources.tiff import encode_tiff
+
+    workdir = tempfile.mkdtemp(prefix="tiff_ccitt_")
+    for z in range(4):
+        i = np.arange(256, dtype=np.int64)
+        ink = ((i * (z + 2)) % 5 == 0).astype(np.uint8).reshape(16, 16)
+        comp = "g4" if z % 2 == 0 else "ccitt_rle"
+        with open(f"{workdir}/doc.{z:03d}.tif", "wb") as fh:
+            fh.write(encode_tiff(ink[None, ...], compression=comp))
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*.tif")
+        .select(
+            F.regexp_extract(F.col("path"), r"\.(\d{3})\.tif$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.lit("tiff").alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 16, 'width', 16, 'channels', 1,"
+                " 'sample_rate', 0, 'n_frames', 1)"
+            ).alias("meta"),
+        )
+    )
+    return media_features(media).select(
+        F.col("media_id").alias("z"),
+        "mean_intensity",
+        "min_intensity",
+        "max_intensity",
+    )
+
+
+@register(
     "scan_tiff_float",
     "A1+A2",
     driver=False,  # the external driver set is frozen at 50

@@ -15,9 +15,12 @@ LZW (tag 5, early-change) and PackBits RLE (tag 32773) decode,
 baseline "new-style" JPEG (tag 7, clean-room T.81 decoder in
 sources/jpeg.py with JPEGTables-tag support — TIFF TechNote 2),
 horizontal predictor (tag 317), grayscale or contiguous multi-sample,
-8/16-bit unsigned. Formats beyond that (old-style JPEG tag 6, CCITT)
-require a codec library (tifffile/imageio, absent here — probe in
-FIXTURES.md) and raise ``TiffParseError``.
+8/16-bit unsigned, 32-bit IEEE float (SampleFormat 3), and bilevel
+CCITT fax pages (compressions 2/3/4 — T.4 MH, full Group 3, and
+Group 4, clean-room in sources/ccitt.py). Formats beyond that
+(old-style pointer-tag JPEG 6, JBIG, ...) require a codec library
+(tifffile/imageio, absent here — probe in FIXTURES.md) and raise
+``TiffParseError``.
 
 Spark-side use: ``binaryFile`` scan -> ``decode_tiff`` inside a
 ``mapInPandas`` kernel (operators/multimodal.py routes ``format in
@@ -65,6 +68,14 @@ _TAG_SAMPLE_FORMAT = 339
 # deflate (the original tag) — both are raw zlib streams; 5 = LZW and
 # 32773 = PackBits are implemented below from the public TIFF 6.0 spec.
 _ZLIB_CODES = (8, 32946)
+_COMP_CCITT_RLE = 2  # T.4 1-D Modified Huffman, rows byte-aligned
+_COMP_G3 = 3  # full Group 3 (EOL-framed; 1-D flavor supported)
+_COMP_G4 = 4  # Group 4 / T.6 two-dimensional
+_CCITT_CODES = (_COMP_CCITT_RLE, _COMP_G3, _COMP_G4)
+_TAG_PHOTOMETRIC = 262
+_TAG_FILL_ORDER = 266
+_TAG_T4_OPTIONS = 292
+_TAG_T6_OPTIONS = 293
 _COMP_LZW = 5
 _COMP_OLDJPEG = 6  # TIFF 6.0 original JPEG (deprecated by TechNote 2)
 _COMP_JPEG = 7  # "new-style" JPEG (TIFF TechNote 2)
@@ -210,10 +221,30 @@ def _parse_ifd(
 
 
 def _page_dtype(ec: str, ifd: dict[int, list]) -> tuple[np.dtype, int]:
+    comp = ifd.get(_TAG_COMPRESSION, [1])[0]
+    if comp in _CCITT_CODES:
+        # bilevel fax page: BitsPerSample defaults to (and must be) 1
+        bits = ifd.get(_TAG_BITS, [1])
+        if bits != [1]:
+            raise TiffParseError(
+                f"CCITT pages are 1-bit, got BitsPerSample {bits}"
+            )
+        if ifd.get(_TAG_SAMPLE_FORMAT, [1])[0] != 1:
+            raise TiffParseError("CCITT pages take SampleFormat 1")
+        if comp == _COMP_G3 and ifd.get(_TAG_T4_OPTIONS, [0])[0] & 2:
+            raise TiffParseError(
+                "T.4 uncompressed mode (T4Options bit 1) unsupported"
+            )
+        if comp == _COMP_G4 and ifd.get(_TAG_T6_OPTIONS, [0])[0] & 2:
+            raise TiffParseError(
+                "T.6 uncompressed mode (T6Options bit 1) unsupported"
+            )
+        if ifd.get(_TAG_FILL_ORDER, [1])[0] not in (1, 2):
+            raise TiffParseError("bad FillOrder")
+        return np.dtype("u1"), 1
     bits = ifd.get(_TAG_BITS, [8])
     if len(set(bits)) != 1 or bits[0] not in (8, 12, 16, 32):
         raise TiffParseError(f"unsupported BitsPerSample {bits}")
-    comp = ifd.get(_TAG_COMPRESSION, [1])[0]
     fmt = ifd.get(_TAG_SAMPLE_FORMAT, [1])[0]
     if fmt == 3:
         # IEEE float pages (the reference's float32 stack input,
@@ -261,9 +292,44 @@ def _decode_block(
     spp: int,
     jpeg_tables: bytes | None = None,
     bits: int = 8,
+    ccitt: tuple[int, int, int] = (0, 0, 1),
 ) -> np.ndarray:
     """One strip/tile payload -> (rows, cols, spp), codec + predictor
     undone (``off`` is for error messages only)."""
+    if compression in _CCITT_CODES:
+        # bilevel fax strip (sources/ccitt.py). FillOrder 2 streams
+        # store bits LSB-first within bytes: reverse per byte up front.
+        from hortacloud_importer_spark.sources.ccitt import (
+            CcittParseError,
+            decode_g3,
+            decode_g4,
+            decode_mh,
+        )
+
+        photometric, t4opts, fill_order = ccitt
+        if fill_order == 2:
+            raw = np.packbits(
+                np.unpackbits(
+                    np.frombuffer(raw, np.uint8), bitorder="little"
+                )
+            ).tobytes()
+        try:
+            if compression == _COMP_G4:
+                ink = decode_g4(raw, cols, rows)
+            elif compression == _COMP_G3:
+                if t4opts & 1:  # 2-D-capable G3: per-line mode bit
+                    ink = decode_g3(raw, cols, rows)
+                else:
+                    ink = decode_mh(raw, cols, rows, eol=True)
+            else:
+                ink = decode_mh(raw, cols, rows)
+        except CcittParseError as exc:
+            raise TiffParseError(f"CCITT block at {off}: {exc}") from exc
+        # ink (1 = black) -> sample values per photometric: under
+        # WhiteIsZero (0) paper is sample 0; under BlackIsZero paper
+        # is the max value (1).
+        samples = ink if photometric == 0 else (1 - ink)
+        return samples.reshape(rows, cols, 1)
     if compression == _COMP_OLDJPEG and raw[:2] == b"\xff\xd8":
         # TIFF 6.0 old-style JPEG is a mess of interchange variants,
         # but the most common real-world form stores a COMPLETE JPEG
@@ -424,6 +490,11 @@ def _decode_page(
                 fetch(offsets[i], counts[i]), offsets[i], compression,
                 predictor, dtype, rows, bcols, spp,
                 jpeg_tables=jpeg_tables, bits=_bits,
+                ccitt=(
+                    ifd.get(_TAG_PHOTOMETRIC, [0])[0],
+                    ifd.get(_TAG_T4_OPTIONS, [0])[0],
+                    ifd.get(_TAG_FILL_ORDER, [1])[0],
+                ),
             )
             oy, ox = (by - by0) * brows, (bx - bx0) * bcols
             out[oy : oy + rows, ox : ox + bcols] = block
@@ -479,6 +550,7 @@ def decode_tiff(data: bytes) -> np.ndarray:
         IndexError,
         KeyError,
         OverflowError,
+        TypeError,  # corrupt IFD field types decode tags as floats
         ValueError,
         struct.error,
         zlib.error,
@@ -511,7 +583,7 @@ def tiff_probe(data: bytes) -> tuple[int, int, int, int]:
     try:
         ec, pos, big = _parse_header(data)
         ifd, _ = _parse_ifd(data, ec, pos, big)
-    except (IndexError, KeyError, OverflowError, ValueError, struct.error) as exc:
+    except (IndexError, KeyError, OverflowError, TypeError, ValueError, struct.error) as exc:
         raise TiffParseError(f"malformed TIFF header: {exc}") from exc
     return pages, h, w, ifd.get(_TAG_SAMPLES_PER_PIXEL, [1])[0]
 
@@ -528,7 +600,7 @@ def tiff_shape(data: bytes) -> tuple[int, int, int]:
         return _tiff_shape_checked(data)
     except TiffParseError:
         raise
-    except (IndexError, KeyError, OverflowError, ValueError, struct.error) as exc:
+    except (IndexError, KeyError, OverflowError, TypeError, ValueError, struct.error) as exc:
         raise TiffParseError(f"malformed TIFF header: {exc}") from exc
 
 
@@ -671,8 +743,18 @@ def encode_tiff(
     is_float = pages.dtype == np.float32
     if pages.dtype not in (np.uint8, np.uint16) and not is_float:
         raise ValueError("uint8/uint16/float32 only")
-    if compression not in (None, "zlib", "jpeg"):
-        raise ValueError("compression must be None, 'zlib', or 'jpeg'")
+    if compression not in (None, "zlib", "jpeg", "g4", "ccitt_rle"):
+        raise ValueError(
+            "compression must be None, 'zlib', 'jpeg', 'g4', or 'ccitt_rle'"
+        )
+    if compression in ("g4", "ccitt_rle"):
+        # bilevel fax page: samples must be ink bits (0/1), written
+        # with PhotometricInterpretation 0 (white paper = sample 0,
+        # so the stored sample IS the ink bit)
+        if spp != 1 or pages.dtype != np.uint8 or pages.max(initial=0) > 1:
+            raise ValueError("CCITT compression takes 0/1 uint8 ink bits")
+        if predictor != 1 or tile is not None:
+            raise ValueError("CCITT compression excludes predictor/tiles")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 or 2")
     if is_float and (compression == "jpeg" or predictor != 1):
@@ -693,8 +775,13 @@ def encode_tiff(
             raise ValueError("JPEG compression takes 1 or 3 samples/pixel")
         if predictor != 1:
             raise ValueError("JPEG compression excludes the predictor")
-    comp_code = {None: 1, "zlib": 8, "jpeg": _COMP_JPEG}[compression]
+    comp_code = {
+        None: 1, "zlib": 8, "jpeg": _COMP_JPEG,
+        "g4": _COMP_G4, "ccitt_rle": _COMP_CCITT_RLE,
+    }[compression]
     bits = 12 if jpeg_precision == 12 else pages.dtype.itemsize * 8
+    if comp_code in _CCITT_CODES:
+        bits = 1
     # classic: 8-byte header, 12-byte entries, 4-byte offsets;
     # BigTIFF: 16-byte header, 20-byte entries, 8-byte offsets
     head, esize, off_fmt, off_type = (
@@ -743,6 +830,14 @@ def encode_tiff(
                 )
                 jpeg_tables_stream = tbl  # identical across blocks
                 payloads.append(scan)
+        elif comp_code in _CCITT_CODES:
+            from hortacloud_importer_spark.sources.ccitt import (
+                encode_g4,
+                encode_mh,
+            )
+
+            enc = encode_g4 if comp_code == _COMP_G4 else encode_mh
+            payloads = [enc(b[:, :, 0]) for b in blocks]
         else:
             payloads = [b.tobytes() for b in blocks]
             if comp_code == 8:
@@ -758,6 +853,8 @@ def encode_tiff(
             tags.append((_TAG_PREDICTOR, 3, [2]))
         if is_float:
             tags.append((_TAG_SAMPLE_FORMAT, 3, [3]))
+        if comp_code in _CCITT_CODES:
+            tags.append((_TAG_PHOTOMETRIC, 3, [0]))
         if jpeg_tables_stream is not None:
             tags.append(
                 (_TAG_JPEG_TABLES, 7, list(jpeg_tables_stream))
