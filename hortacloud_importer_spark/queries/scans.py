@@ -408,6 +408,73 @@ def scan_jp2_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_jp2_ppt",
+    "A1+A2",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT z,
+       AVG(v) AS mean_intensity,
+       CAST(MIN(v) AS INTEGER) AS min_intensity,
+       CAST(MAX(v) AS INTEGER) AS max_intensity
+FROM (
+  SELECT t1.range AS z, (t2.range * (t1.range + 3)) % 241 AS v
+  FROM range(4) t1, range(64) t2
+)
+GROUP BY z
+""",
+)
+def scan_jp2_ppt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 over JPEG 2000 slices whose packet headers are PACKED
+    into PPT tile-part segments (T.800 A.7.5 — the layout document
+    scanners and Kakadu emit), oracle-exact: same accounting pattern
+    as scan_jp2_stack, multi-tile-part fixtures, closed-form pixel
+    formula regenerated by DuckDB. A packed-header framing bug
+    (Zppt ordering, Nppm chunk mapping, header/body stream split)
+    breaks the hash."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import media_features
+    from hortacloud_importer_spark.sources.jp2 import encode_jp2
+
+    workdir = tempfile.mkdtemp(prefix="jp2_ppt_")
+    h = w = 8
+    for z in range(4):
+        vals = ((np.arange(h * w).reshape(h, w) * (z + 3)) % 241).astype(
+            np.uint8
+        )
+        with open(f"{workdir}/default.0.{z:03d}.jp2", "wb") as fh:
+            fh.write(
+                encode_jp2(
+                    vals, levels=1, tile_parts=2, packed_headers="ppt"
+                )
+            )
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*.jp2")
+        .select(
+            F.regexp_extract(F.col("path"), r"\.(\d{3})\.jp2$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.lit("jp2").alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 8, 'width', 8, 'channels', 1,"
+                " 'sample_rate', 0, 'n_frames', 1)"
+            ).alias("meta"),
+        )
+    )
+    return media_features(media).select(
+        F.col("media_id").alias("z"),
+        "mean_intensity",
+        "min_intensity",
+        "max_intensity",
+    )
+
+
+@register(
     "scan_tiff_stack_12bit",
     "A1+A2",
     driver=False,  # the external driver set is frozen at 50

@@ -39,10 +39,14 @@ float 9/7 inverse lifting (normalization pinned by the analysis
 lowpass taps summing to 1), and apply the irreversible BT.601 color
 transform when MCT is declared.
 
-Honest gates (raised as :class:`J2kUnsupported`): non-unit component
-subsampling, signed components, custom precincts, code-block style
-flags (bypass/reset/termall/vsc/segsym), the RGN/POC/PPM/PPT
-markers, and per-tile COD/QCD overrides. The
+Packed packet headers decode in both flavors — main-header PPM
+(Nppm-framed per-tile-part chunks, T.800 A.7.4) and tile-part PPT
+(Zppt-ordered per-tile segments, A.7.5) — and the fixture encoder
+emits them via ``packed_headers=``. Honest gates (raised as
+:class:`J2kUnsupported`): non-unit component subsampling, signed
+components, custom precincts, code-block style flags
+(bypass/reset/termall/vsc/segsym), the RGN/POC markers, and
+per-tile COD/QCD overrides. The
 scope covers what a lossless microscopy slice store actually writes;
 everything else still routes to the optional OpenJPEG bindings in
 sources/jp2.py.
@@ -1014,6 +1018,7 @@ PLT = 0xFF58
 RGN = 0xFF5E
 POC = 0xFF5F
 PPM = 0xFF60
+PPT = 0xFF61
 COM = 0xFF64
 SOT = 0xFF90
 SOP = 0xFF91
@@ -1262,6 +1267,7 @@ def encode_j2k(
     layers: int = 1,
     lossy: bool = False,
     quant: int = 2,
+    packed_headers: str | None = None,
 ) -> bytes:
     """(h, w[, nc]) uint8/uint16 -> lossless (5/3) codestream.
     ``tile=(xt, yt)`` splits the image into an XTsiz x YTsiz grid of
@@ -1278,7 +1284,11 @@ def encode_j2k(
     pairs, 1 = a single derived pair (T.800 E-5). The fixture/roundtrip
     writer dual of :func:`decode_j2k`; output is spec-shaped
     (markers, tag trees, MQ codewords), so any conforming decoder
-    reads it."""
+    reads it. ``packed_headers`` moves every packet header out of the
+    bitstream body: ``"ppt"`` into per-tile-part PPT marker segments
+    (T.800 A.7.5), ``"ppm"`` into one main-header PPM segment with
+    per-tile-part Nppm-framed chunks (A.7.4) — the layouts document
+    scanners and Kakadu emit."""
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, nc = img.shape
@@ -1300,6 +1310,8 @@ def encode_j2k(
         raise J2kParseError(f"invalid tile size {tile}")
     if tile_parts < 1:
         raise J2kParseError(f"tile_parts must be >= 1, not {tile_parts}")
+    if packed_headers not in (None, "ppt", "ppm"):
+        raise J2kParseError("packed_headers must be None, 'ppt', or 'ppm'")
     if not 1 <= layers <= 65535:
         raise J2kParseError(f"layers must be 1..65535, not {layers}")
     if quant not in (1, 2):
@@ -1422,6 +1434,8 @@ def encode_j2k(
             + sqcd
             + spqcd
         )
+    tile_bytes = bytearray()
+    ppm_stream = bytearray()
     for isot, packets in enumerate(tiles):
         nparts = max(1, min(tile_parts, len(packets)))
         per = -(-len(packets) // nparts) if packets else 0
@@ -1431,13 +1445,39 @@ def encode_j2k(
             else [[]]
         )
         for tpsot, group in enumerate(groups):
-            body = b"".join(group)
-            psot = 12 + 2 + len(body)
-            out += struct.pack(">H", SOT) + struct.pack(
+            if packed_headers is None:
+                hdr_markers = b""
+                body = b"".join(h + b for h, b in group)
+            else:
+                packed = b"".join(h for h, _ in group)
+                body = b"".join(b for _, b in group)
+                if packed_headers == "ppt":
+                    hdr_markers = (
+                        struct.pack(">HH", PPT, 3 + len(packed))
+                        + b"\x00"  # Zppt
+                        + packed
+                    )
+                else:  # ppm: Nppm-framed chunk per tile-part
+                    hdr_markers = b""
+                    ppm_stream += struct.pack(">I", len(packed)) + packed
+            psot = 12 + len(hdr_markers) + 2 + len(body)
+            tile_bytes += struct.pack(">H", SOT) + struct.pack(
                 ">HHIBB", 10, isot, psot, tpsot, len(groups)
             )
-            out += struct.pack(">H", SOD)
-            out += body
+            tile_bytes += hdr_markers
+            tile_bytes += struct.pack(">H", SOD)
+            tile_bytes += body
+    if packed_headers == "ppm":
+        # single PPM segment (Zppm 0); 64 KiB marker limit is plenty
+        # for fixture streams — gate rather than mis-frame
+        if len(ppm_stream) + 3 > 0xFFFF:
+            raise J2kParseError("PPM stream exceeds one marker segment")
+        out += (
+            struct.pack(">HH", PPM, 3 + len(ppm_stream))
+            + b"\x00"
+            + ppm_stream
+        )
+    out += tile_bytes
     out += struct.pack(">H", EOC)
     return bytes(out)
 
@@ -1548,7 +1588,7 @@ def _encode_tile(
         blist = comps[c][r]
         if lyr not in incl_layers.get((c, r), ()):
             wr.put(0)
-            packets.append(wr.flush())
+            packets.append((wr.flush(), b""))
             continue
         wr.put(1)
         for bi, band in enumerate(blist):
@@ -1579,7 +1619,7 @@ def _encode_tile(
                     band.lblock[by * band.ncx + bx] = lb
                     wr.put_bits(len(data), lb + k)
                     body += data
-        packets.append(wr.flush() + bytes(body))
+        packets.append((wr.flush(), bytes(body)))
 
     return packets
 
@@ -1592,6 +1632,7 @@ def _parse_main_header(data: bytes):
         raise J2kParseError("no SOC marker")
     pos = 2
     siz = cod = qcd = None
+    ppm_segs: list[tuple[int, bytes]] = []
     while pos + 4 <= len(data):
         marker = struct.unpack(">H", data[pos : pos + 2])[0]
         if marker == SOT:
@@ -1612,17 +1653,25 @@ def _parse_main_header(data: bytes):
             raise J2kUnsupported(
                 "per-component COC/QCC overrides are not supported"
             )
-        elif marker in (RGN, POC, PPM):
+        elif marker == PPM:
+            # packed packet headers, main-header flavor (T.800
+            # A.7.4): Zppm-ordered segments concatenate into a stream
+            # of Nppm-framed per-tile-part chunks
+            if not seg:
+                raise J2kParseError("empty PPM segment")
+            ppm_segs.append((seg[0], seg[1:]))
+        elif marker in (RGN, POC):
             # Each of these changes how packets/coefficients must be
             # interpreted; skipping them would silently misdecode.
             raise J2kUnsupported(
-                f"marker 0x{marker:04x} (RGN/POC/PPM) is not supported"
+                f"marker 0x{marker:04x} (RGN/POC) is not supported"
             )
         # COM/TLM/PLM and anything else informational: skip
         pos += 2 + length
     if siz is None or cod is None or qcd is None:
         raise J2kParseError("missing SIZ/COD/QCD before the tile")
-    return siz, cod, qcd, pos
+    ppm_segs.sort(key=lambda t: t[0])
+    return siz, cod, qcd, pos, b"".join(seg for _, seg in ppm_segs)
 
 
 def decode_j2k(data: bytes) -> np.ndarray:
@@ -1645,7 +1694,7 @@ def decode_j2k(data: bytes) -> np.ndarray:
 
 
 def _decode_j2k(data: bytes) -> np.ndarray:
-    siz, cod, qcd, pos = _parse_main_header(data)
+    siz, cod, qcd, pos, ppm_stream = _parse_main_header(data)
     if len(siz) < 36:
         raise J2kParseError("SIZ shorter than its fixed fields")
     (rsiz, xsiz, ysiz, xo, yo, xt, yt, xto, yto, nc) = struct.unpack(
@@ -1765,6 +1814,8 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     plane_dtype = np.int64 if transform == 1 else np.float64
     planes = [np.zeros((ysiz, xsiz), dtype=plane_dtype) for _ in range(nc)]
     parts: dict[int, list[tuple[int, bytes]]] = {}
+    ppt_segs: dict[int, list[tuple[int, bytes]]] = {}
+    tp_order: list[tuple[int, int]] = []  # (isot, tpsot) encounter order
     while True:
         if pos + 2 > len(data):
             raise J2kParseError("codestream ends without EOC")
@@ -1789,8 +1840,16 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             (tlen,) = struct.unpack(">H", data[sod_at + 2 : sod_at + 4])
             if tmarker in (PLT, COM):
                 sod_at += 2 + tlen  # informational: skip
+            elif tmarker == PPT:
+                # packed packet headers, tile-part flavor (T.800
+                # A.7.5): Zppt-ordered segments concatenate per tile
+                seg = data[sod_at + 4 : sod_at + 2 + tlen]
+                if len(seg) != tlen - 2 or not seg:
+                    raise J2kParseError("truncated PPT segment")
+                ppt_segs.setdefault(isot, []).append((seg[0], seg[1:]))
+                sod_at += 2 + tlen
             else:
-                # COD/QCD/COC/QCC overrides or PPT would change decode
+                # COD/QCD/COC/QCC overrides would change decode
                 # semantics; anything else here is out of scope
                 raise J2kUnsupported(
                     f"tile-part header marker 0x{tmarker:04x} "
@@ -1800,11 +1859,37 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         parts.setdefault(isot, []).append(
             (tpsot, data[sod_at + 2 : tile_end])
         )
+        tp_order.append((isot, tpsot))
         pos = tile_end
     if len(parts) != len(rects):
         raise J2kParseError(
             f"codestream holds {len(parts)} of {len(rects)} tiles"
         )
+    if ppm_stream and ppt_segs:
+        raise J2kParseError("PPM and PPT are mutually exclusive (T.800)")
+    packed_by_tile: dict[int, bytes] = {}
+    if ppm_stream:
+        # Nppm-framed chunks map to tile-parts in codestream order;
+        # regroup per tile in TPsot order (matching the body regroup)
+        chunks: dict[tuple[int, int], bytes] = {}
+        ppos = 0
+        for key in tp_order:
+            if ppos + 4 > len(ppm_stream):
+                raise J2kParseError("PPM stream shorter than tile-parts")
+            (n,) = struct.unpack(">I", ppm_stream[ppos : ppos + 4])
+            chunk = ppm_stream[ppos + 4 : ppos + 4 + n]
+            if len(chunk) != n:
+                raise J2kParseError("truncated PPM chunk")
+            chunks[key] = chunk
+            ppos += 4 + n
+        for isot in parts:
+            packed_by_tile[isot] = b"".join(
+                chunks[(isot, tp)] for tp, _ in sorted(parts[isot])
+            )
+    elif ppt_segs:
+        for isot, segs in ppt_segs.items():
+            segs.sort(key=lambda t: t[0])
+            packed_by_tile[isot] = b"".join(seg for _, seg in segs)
     for isot, plist in parts.items():
         plist.sort(key=lambda t: t[0])
         if [t[0] for t in plist] != list(range(len(plist))):
@@ -1832,6 +1917,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             nlayers,
             mus,
             transform,
+            packed=packed_by_tile.get(isot),
         )
         for ci in range(nc):
             planes[ci][y0:y1, x0:x1] = tplanes[ci]
@@ -1885,6 +1971,7 @@ def _decode_tile_planes(
     nlayers: int = 1,
     mus: list | None = None,
     transform: int = 1,
+    packed: bytes | None = None,
 ) -> list:
     """Tier-2 + Tier-1 + inverse DWT for one tile's byte stream ->
     per-component (th, tw) planes (int64 reversible, float64
@@ -1893,7 +1980,10 @@ def _decode_tile_planes(
     canvas origin (anchors the code-block partition per T.800 B.7).
     ``mus`` non-None selects the scalar-quantized 9/7 path: each
     band dequantizes by 2^(Rb - eps) * (1 + mu/2^11) with midpoint
-    reconstruction (T.800 E.1)."""
+    reconstruction (T.800 E.1). ``packed`` non-None supplies the
+    tile's PPM/PPT packed packet headers (T.800 A.7.4/A.7.5): header
+    bits then read from it while only SOP markers and code-block
+    body bytes remain in ``tile``."""
     comps = []
     for ci in range(nc):
         bands = _build_bands(th, tw, levels, cbw, cbh, depths[ci], x0, y0)
@@ -1922,11 +2012,14 @@ def _decode_tile_planes(
     # with no termination flags they are chunks of ONE MQ codeword,
     # so Tier-1 runs once per block on the concatenation at tile end.
     tpos = 0
+    hpos = 0  # header-bit cursor in the packed stream, when present
     for lyr, r, c in _packet_sequence(prog, levels + 1, nc, nlayers):
         if use_sop:
             if tile[tpos : tpos + 2] == b"\xff\x91":
                 tpos += 6
-        rd = PackBitReader(tile, tpos)
+        rd = PackBitReader(packed, hpos) if packed is not None else (
+            PackBitReader(tile, tpos)
+        )
         jobs = []
         if rd.bit():
             for band in comps[c][r]:
@@ -1955,11 +2048,18 @@ def _decode_tile_planes(
                         seg_len = rd.bits(nbits)
                         jobs.append((st, npasses, seg_len))
         rd.align()
-        tpos = rd.pos
-        if use_eph:
-            if tile[tpos : tpos + 2] != b"\xff\x92":
-                raise J2kParseError("missing EPH after packet header")
-            tpos += 2
+        if packed is not None:
+            hpos = rd.pos
+            if use_eph:
+                if packed[hpos : hpos + 2] != b"\xff\x92":
+                    raise J2kParseError("missing EPH after packet header")
+                hpos += 2
+        else:
+            tpos = rd.pos
+            if use_eph:
+                if tile[tpos : tpos + 2] != b"\xff\x92":
+                    raise J2kParseError("missing EPH after packet header")
+                tpos += 2
         for st, npasses, seg_len in jobs:
             seg = tile[tpos : tpos + seg_len]
             if len(seg) != seg_len:

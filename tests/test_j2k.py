@@ -476,3 +476,72 @@ def test_lossy_97_decode_near_lossless_and_live():
     assert np.abs(
         decode_j2k(bytes(enc)).astype(int) - base.astype(int)
     ).max() > 0
+
+
+@pytest.mark.parametrize("ph", ["ppt", "ppm"])
+def test_packed_headers_roundtrip(ph):
+    """PPM/PPT packed packet headers (T.800 A.7.4/A.7.5): the same
+    pixels decode whether headers are inline, in per-tile-part PPT
+    segments, or in one Nppm-framed main-header PPM segment — across
+    tiles, tile-parts, layers, progressions, and the 9/7 path."""
+    rng = np.random.default_rng(17)
+    for kw in (
+        {},
+        {"tile": (16, 16)},
+        {"tile_parts": 3},
+        {"layers": 2},
+        {"prog": 2},
+        {"tile": (16, 16), "tile_parts": 2, "layers": 2},
+    ):
+        img = rng.integers(0, 256, (24, 31), dtype=np.uint8)
+        plain = decode_j2k(encode_j2k(img, levels=2, **kw))
+        packed = decode_j2k(encode_j2k(img, levels=2, **kw, packed_headers=ph))
+        assert np.array_equal(packed, plain)
+        assert np.array_equal(packed[:, :, 0], img)
+    # lossy 9/7 with packed headers
+    img = rng.integers(0, 256, (20, 20), dtype=np.uint8)
+    out = decode_j2k(encode_j2k(img, levels=1, lossy=True, packed_headers=ph))
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 2
+
+
+def test_ppm_ppt_mutually_exclusive():
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    ppm = encode_j2k(img, levels=1, packed_headers="ppm")
+    ppt = encode_j2k(img, levels=1, packed_headers="ppt")
+    # splice the PPM segment of one stream into the other's main header
+    i = ppm.find(b"\xff\x60")
+    ln = struct.unpack(">H", ppm[i + 2 : i + 4])[0]
+    seg = ppm[i : i + 2 + ln]
+    k = ppt.find(b"\xff\x90")
+    hybrid = ppt[:k] + seg + ppt[k:]
+    with pytest.raises(J2kParseError, match="mutually exclusive"):
+        decode_j2k(hybrid)
+
+
+def test_packed_headers_corruption_contract_fuzz():
+    """The named-error contract extends over the PPM/PPT surfaces."""
+    rng = np.random.default_rng(0x99A)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    for ph in ("ppt", "ppm"):
+        payload = encode_j2k(
+            img, levels=1, tile=(16, 16), tile_parts=2, packed_headers=ph
+        )
+        for _ in range(120):
+            buf = bytearray(payload)
+            kind = rng.integers(0, 3)
+            if kind == 0 and len(buf) > 12:
+                buf = buf[: int(rng.integers(10, len(buf)))]
+            elif kind == 1:
+                for _ in range(int(rng.integers(1, 5))):
+                    buf[int(rng.integers(0, len(buf)))] = int(
+                        rng.integers(0, 256)
+                    )
+            else:
+                buf[int(rng.integers(0, len(buf)))] ^= 1 << int(
+                    rng.integers(0, 8)
+                )
+            try:
+                decode_j2k(bytes(buf))
+            except J2kParseError:
+                pass  # J2kUnsupported subclasses it
