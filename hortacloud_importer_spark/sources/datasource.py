@@ -70,9 +70,15 @@ _DEFAULT_PARTITION_BYTES = 128 * 1024 * 1024
 
 
 def _pa_fs(path: str):
-    """pyarrow filesystem + normalized path for local or URI paths."""
+    """pyarrow filesystem + normalized path for local or URI paths.
+
+    ``s3a://`` (the Hadoop spelling every cluster writes in configs)
+    aliases to pyarrow's ``s3://`` — the same store; executors would
+    otherwise reject the URI form the JVM side accepts."""
     from pyarrow import fs as pafs
 
+    if path.startswith("s3a://"):
+        path = "s3://" + path[6:]
     if "://" in path:
         return pafs.FileSystem.from_uri(path)
     return pafs.LocalFileSystem(), path
@@ -98,8 +104,17 @@ def _list_files(root: str) -> list[str]:
 
     filesystem, base = _pa_fs(root)
     infos = filesystem.get_file_info(pafs.FileSelector(base, recursive=True))
-    prefix = root[: len(root) - len(base)]  # scheme, if any
-    return [prefix + i.path for i in infos if i.type == pafs.FileType.File]
+    # scheme prefix, with any ?opts query (pyarrow filesystem options
+    # like s3 endpoint_override ride in the URI query and must follow
+    # every child path so executor-side _pa_fs calls reconstruct the
+    # same filesystem)
+    bare, sep, query = root.partition("?")
+    prefix = bare[: len(bare) - len(base)]
+    return [
+        prefix + i.path + sep + query
+        for i in infos
+        if i.type == pafs.FileType.File
+    ]
 
 
 @dataclass
@@ -426,10 +441,16 @@ def _sorted_slices(root: str, suffix: str, channel: str | None = None) -> list[s
     the reference's ``default.{ch}.{z}`` naming — without it a
     2-channel directory would sort channel-major and assign wrong z
     indices to the second channel's files."""
-    files = (p for p in _list_files(root) if p.endswith(suffix))
+    files = (
+        p for p in _list_files(root)
+        if p.partition("?")[0].endswith(suffix)
+    )
     if channel is not None:
         prefix = f"default.{channel}."
-        files = (p for p in files if p.rsplit("/", 1)[-1].startswith(prefix))
+        files = (
+            p for p in files
+            if p.partition("?")[0].rsplit("/", 1)[-1].startswith(prefix)
+        )
     return sorted(files)
 
 
@@ -457,7 +478,7 @@ def _decode_slice_pages(
     tiff2octree.py:250-251): ``"requant"`` converts them to uint16 at
     ingest via :func:`_requant_float_pages`; the ``"raise"`` default
     keeps the integer voxel model strict and names the knob."""
-    if path.lower().endswith((".jp2", ".j2k", ".jpf")):
+    if path.partition("?")[0].lower().endswith((".jp2", ".j2k", ".jpf")):
         from hortacloud_importer_spark.sources.jp2 import decode_jp2
 
         pages = decode_jp2(data)
