@@ -285,12 +285,24 @@ def vol_ktx_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from hortacloud_importer_spark.volume import synthetic_volume
 
-    store = f"{tempfile.gettempdir()}/spark_graft_ktxbench_32_2/store"
+    base = f"{tempfile.gettempdir()}/spark_graft_ktxbench_32_2"
+    store = f"{base}/store"
     if not os.path.exists(f"{store}/transform.txt"):
+        # Build under a unique scratch dir, then atomically rename into
+        # place, so a concurrent bench invocation can never observe (or
+        # write into) a half-built store: whichever rename wins becomes
+        # the shared store, the loser discards its copy.
+        scratch = tempfile.mkdtemp(prefix="ktxbench_build_") + "/store"
         v = synthetic_volume(spark, 32, 32, 32, zero_fraction_mod=5)
         build_octree(
-            spark, v, store, nlevels=2, filter_="arthur", dims=(32, 32, 32)
+            spark, v, scratch, nlevels=2, filter_="arthur", dims=(32, 32, 32)
         )
+        os.makedirs(base, exist_ok=True)
+        try:
+            os.rename(scratch, store)
+        except OSError:
+            if not os.path.exists(f"{store}/transform.txt"):
+                raise
     out = tempfile.mkdtemp(prefix="ktx_bench_") + "/ktx"
     return tiff_octree_to_ktx(
         spark,

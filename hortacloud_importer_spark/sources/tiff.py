@@ -81,6 +81,8 @@ _COMP_OLDJPEG = 6  # TIFF 6.0 original JPEG (deprecated by TechNote 2)
 _COMP_JPEG = 7  # "new-style" JPEG (TIFF TechNote 2)
 _COMP_PACKBITS = 32773
 _TAG_JPEG_TABLES = 347
+_TAG_JIF = 513  # JPEGInterchangeFormat (old-style JPEG pointer)
+_TAG_JIF_LENGTH = 514  # JPEGInterchangeFormatLength
 
 
 # max width*length*samples one IFD may declare. TIFF dims are 32-bit
@@ -423,6 +425,75 @@ def _block_grid(ifd: dict[int, list]) -> tuple[bool, int, int, int, int]:
     return False, rps, width, 1, -(-length // rps)
 
 
+def _decode_oldjpeg_interchange(
+    fetch,
+    ifd: dict[int, list],
+    dtype: np.dtype,
+    length: int,
+    width: int,
+    spp: int,
+    bits: int,
+    window: tuple[int, int, int, int] | None = None,
+    stats: dict | None = None,
+) -> np.ndarray:
+    """Decode a compression-6 page whose pixels live in the single
+    JPEGInterchangeFormat (513) stream. The abbreviated variants that
+    scatter tables across JPEGQTables/JPEGDCTables/JPEGACTables
+    (519-521) with bare entropy strips stay gated: their strip
+    payloads lack frame headers entirely and real-world writers
+    disagreed on restart semantics, so a named error beats a wrong
+    decode."""
+    from hortacloud_importer_spark.sources.jpeg import (
+        JpegParseError,
+        decode_jpeg,
+    )
+
+    jif = ifd[_TAG_JIF][0]
+    jlen = ifd.get(_TAG_JIF_LENGTH, [0])[0]
+    if jlen <= 0:
+        raise TiffParseError(
+            "old-style JPEG: JPEGInterchangeFormat without a usable "
+            "JPEGInterchangeFormatLength"
+        )
+    raw = fetch(jif, jlen)
+    if raw[:2] != b"\xff\xd8":
+        raise TiffParseError(
+            "old-style JPEG: JPEGInterchangeFormat stream lacks SOI "
+            "(abbreviated tag-519/520/521 table layout is unsupported)"
+        )
+    try:
+        arr = decode_jpeg(raw)
+    except JpegParseError as exc:
+        raise TiffParseError(
+            f"bad old-style JPEG interchange stream at {jif}: {exc}"
+        ) from exc
+    if arr.shape[2] != spp:
+        raise TiffParseError(
+            f"old-style JPEG stream decodes {arr.shape[2]} samples/pixel, "
+            f"page declares {spp}"
+        )
+    if arr.shape[0] < length or arr.shape[1] < width:
+        raise TiffParseError(
+            f"old-style JPEG stream is {arr.shape[0]}x{arr.shape[1]}, "
+            f"smaller than the declared {length}x{width} page"
+        )
+    if (arr.dtype == np.uint8) != (bits == 8):
+        raise TiffParseError(
+            f"old-style JPEG stream decodes {arr.dtype.name} samples, "
+            f"page declares BitsPerSample {bits}"
+        )
+    if stats is not None:
+        stats["blocks_decoded"] = stats.get("blocks_decoded", 0) + 1
+        stats["blocks_total"] = stats.get("blocks_total", 0) + 1
+    arr = arr[:length, :width].astype(dtype.newbyteorder("="))
+    y0, y1, x0, x1 = window if window else (0, length, 0, width)
+    y0, y1 = max(0, y0), min(length, y1)
+    x0, x1 = max(0, x0), min(width, x1)
+    if y0 >= y1 or x0 >= x1:
+        return np.zeros((0, 0, spp), dtype=dtype.newbyteorder("="))
+    return arr[y0:y1, x0:x1]
+
+
 def _decode_page(
     fetch,
     ec: str,
@@ -457,6 +528,17 @@ def _decode_page(
             "(only 1 = chunky)"
         )
     dtype, _bits = _page_dtype(ec, ifd)
+    if compression == _COMP_OLDJPEG and _TAG_JIF in ifd:
+        # TIFF 6.0 old-style JPEG, pointer flavor: tags 513/514 locate
+        # ONE complete interchange stream covering the whole page (the
+        # layout early scanner software wrote; TechNote 2 deprecated
+        # the whole tag-6 family). Strip tables in these files are
+        # frequently absent or bogus, so this path must run before the
+        # strip-table requirement below.
+        return _decode_oldjpeg_interchange(
+            fetch, ifd, dtype, length, width, spp, _bits,
+            window=window, stats=stats,
+        )
     tiled, brows, bcols, across, down = _block_grid(ifd)
     if tiled:
         offsets = _required(ifd, _TAG_TILE_OFFSETS, "TileOffsets")

@@ -266,6 +266,68 @@ def test_oldstyle_jpeg_with_full_stream_decodes():
     assert np.abs(got[..., 0].astype(int) - img.astype(int)).max() <= 1
 
 
+def _oldjpeg_pointer_tiff(stream: bytes, width: int, length: int,
+                          jif_len: int | None = None) -> bytes:
+    """Hand-assemble a compression-6 TIFF whose pixels live only in
+    the JPEGInterchangeFormat (513) stream — no strip tables at all,
+    the layout early scanner software wrote."""
+    entries = []
+
+    def e(tag, ftype, count, value4):
+        entries.append(struct.pack("<HHI", tag, ftype, count) + value4)
+
+    n = 8
+    jif_off = 8 + 2 + n * 12 + 4
+    e(256, 4, 1, struct.pack("<I", width))
+    e(257, 4, 1, struct.pack("<I", length))
+    e(258, 3, 1, struct.pack("<HH", 8, 0))
+    e(259, 3, 1, struct.pack("<HH", 6, 0))          # old-style JPEG
+    e(262, 3, 1, struct.pack("<HH", 1, 0))          # BlackIsZero
+    e(277, 3, 1, struct.pack("<HH", 1, 0))
+    e(513, 4, 1, struct.pack("<I", jif_off))        # JPEGInterchangeFormat
+    e(514, 4, 1, struct.pack("<I",
+                             len(stream) if jif_len is None else jif_len))
+    return (
+        b"II*\x00" + struct.pack("<I", 8) + struct.pack("<H", n)
+        + b"".join(entries) + struct.pack("<I", 0) + stream
+    )
+
+
+def test_oldstyle_jpeg_interchange_pointer_decodes():
+    """The tag-513/514 pointer flavor: one interchange stream for the
+    whole page, strip tables absent. tifffile and libtiff both decode
+    this layout; the abbreviated tag-519/520/521 variants stay gated."""
+    from hortacloud_importer_spark.sources.jpeg import encode_jpeg_gray
+
+    rng = np.random.default_rng(37)
+    img = rng.integers(0, 256, (24, 32), dtype=np.uint8)
+    stream = encode_jpeg_gray(img)
+    blob = _oldjpeg_pointer_tiff(stream, 32, 24)
+    got = decode_tiff(blob)
+    assert got.shape == (1, 24, 32, 1)
+    flat = got.reshape(24, 32)
+    assert np.abs(flat.astype(int) - img.astype(int)).max() <= 1
+    # windowed read takes the same path
+    from hortacloud_importer_spark.sources.tiff import decode_tiff_window
+
+    win = decode_tiff_window(blob, 0, y=(4, 20), x=(8, 30))
+    assert np.array_equal(win.reshape(16, 22), flat[4:20, 8:30])
+
+
+def test_oldstyle_jpeg_pointer_gates_stay_named():
+    """Zero-length 514 and a non-SOI payload raise TiffParseError with
+    the old-style JPEG wording, not a crash or a silent wrong decode."""
+    from hortacloud_importer_spark.sources.jpeg import encode_jpeg_gray
+
+    img = np.full((8, 8), 55, dtype=np.uint8)
+    stream = encode_jpeg_gray(img)
+    with pytest.raises(TiffParseError, match="JPEGInterchangeFormatLength"):
+        decode_tiff(_oldjpeg_pointer_tiff(stream, 8, 8, jif_len=0))
+    bad = _oldjpeg_pointer_tiff(b"\x00\x00" + stream[2:], 8, 8)
+    with pytest.raises(TiffParseError, match="lacks SOI"):
+        decode_tiff(bad)
+
+
 # ---------------------------------------------- progressive (SOF2)
 
 
