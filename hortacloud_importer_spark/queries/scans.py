@@ -1036,6 +1036,74 @@ def scan_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_jpeg_arith",
+    "A1+K4",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT z,
+       AVG(v) AS mean_intensity,
+       CAST(MIN(v) AS INTEGER) AS min_intensity,
+       CAST(MAX(v) AS INTEGER) AS max_intensity
+FROM (
+  SELECT t1.range AS z, (11 * (t1.range + 1) * (t2.range + 3)) % 256 AS v
+  FROM range(4) t1, range(4) t2
+)
+GROUP BY z
+""",
+)
+def scan_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 ARITHMETIC-coded JPEG (T.81 SOF9) over REAL containers,
+    oracle-exact despite JPEG being lossy: each file is a 16x16
+    grayscale frame of four constant 8x8 blocks v = (11*(z+1)*(b+3))
+    mod 256 — a constant block survives DCT/quantize(q=1)/IDCT
+    bit-perfectly (DC-only, zero ACs), so the decoded pixels equal
+    the closed-form DuckDB values exactly. The QM entropy layer
+    (sources/jpeg_arith.py) is additionally pinned bit-for-bit
+    against libjpeg by tests/test_jpeg_arith.py; this query proves
+    the Spark plumbing: binaryFile scan -> executor arithmetic decode
+    -> intensity accounting."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import media_features
+    from hortacloud_importer_spark.sources.jpeg_arith import encode_jpeg_arith
+
+    workdir = tempfile.mkdtemp(prefix="jpeg_arith_")
+    for z in range(4):
+        b = np.arange(4, dtype=np.int64)
+        vals = ((11 * (z + 1) * (b + 3)) % 256).astype(np.uint8)
+        img = np.zeros((16, 16), dtype=np.uint8)
+        for i in range(2):
+            for j in range(2):
+                img[8 * i : 8 * i + 8, 8 * j : 8 * j + 8] = vals[2 * i + j]
+        with open(f"{workdir}/doc.{z:03d}.jpg", "wb") as fh:
+            fh.write(encode_jpeg_arith(img, restart_interval=2))
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*.jpg")
+        .select(
+            F.regexp_extract(F.col("path"), r"\.(\d{3})\.jpg$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.lit("jpeg").alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 16, 'width', 16, 'channels', 1,"
+                " 'sample_rate', 0, 'n_frames', 1)"
+            ).alias("meta"),
+        )
+    )
+    return media_features(media).select(
+        F.col("media_id").alias("z"),
+        "mean_intensity",
+        "min_intensity",
+        "max_intensity",
+    )
+
+
+@register(
     "scan_tga_media",
     "A1+K4",
     driver=False,  # the external driver set is frozen at 50

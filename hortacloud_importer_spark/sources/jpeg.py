@@ -35,8 +35,11 @@ off the frame's precision byte, and the Pq=1 wide-DQT form parses.
 TIFF pages declaring BitsPerSample 12 under compression 7 route
 through it; the fixture encoder emits it with ``precision=12``.
 
-Out of scope, gated with clear errors: arithmetic coding,
-hierarchical, lossless (SOF3), 16-bit samples (no T.81 mode).
+Arithmetic-coded frames (SOF9 sequential, SOF10 progressive) decode
+through the QM-coder entropy layer in sources/jpeg_arith.py — the
+marker walk, coefficient stores, and IDCT tail here are shared.
+Out of scope, gated with clear errors: hierarchical, lossless
+(SOF3), 16-bit samples (no T.81 mode).
 
 TIFF integration (sources/tiff.py): a compression-7 strip/tile is a
 complete JPEG stream that may omit its tables; the page-level
@@ -171,6 +174,9 @@ class _Tables:
         self.ac: dict[int, tuple] = {}
         self.restart_interval = 0
         self.adobe_transform: int | None = None
+        # DAC conditioning (T.81 B.2.4.3): table id -> (L, U) / Kx
+        self.arith_dc: dict[int, tuple[int, int]] = {}
+        self.arith_ac: dict[int, int] = {}
 
 
 def _entropy_end(data: bytes, start: int) -> int:
@@ -248,7 +254,8 @@ def _parse_segments(data: bytes, tables: _Tables):
                 p += 17 + n
         elif marker == 0xDD:  # DRI
             (tables.restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1/SOF2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1/2 (Huffman) and SOF9/10 (arithmetic)
             prec = seg[0]
             if prec not in (8, 12):
                 raise JpegParseError(f"{prec}-bit precision unsupported")
@@ -282,15 +289,33 @@ def _parse_segments(data: bytes, tables: _Tables):
                 "w": w,
                 "prec": prec,
                 "comps": comps,
-                "progressive": marker == 0xC2,
+                "progressive": marker in (0xC2, 0xCA),
+                "arith": marker in (0xC9, 0xCA),
             }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegParseError(
                 f"SOF{marker - 0xC0}: only baseline/extended-sequential/"
-                "progressive Huffman JPEG is supported (no arithmetic/"
-                "lossless/hierarchical)"
+                "progressive frames, Huffman- or arithmetic-coded, are "
+                "supported (no lossless/differential/hierarchical)"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            p = 0
+            while p + 1 < len(seg):
+                tc, tb = seg[p] >> 4, seg[p] & 0xF
+                cs = seg[p + 1]
+                p += 2
+                if tc == 0:
+                    low, up = cs & 0xF, cs >> 4
+                    if low > up or up > 15:
+                        raise JpegParseError(
+                            f"DAC DC conditioning L={low} U={up} invalid"
+                        )
+                    tables.arith_dc[tb] = (low, up)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise JpegParseError(f"DAC AC Kx={cs} invalid")
+                    tables.arith_ac[tb] = cs
         elif marker == 0xDA:  # SOS
             ns = seg[0]
             scomps = []
@@ -304,9 +329,11 @@ def _parse_segments(data: bytes, tables: _Tables):
                 "se": se,
                 "ah": ahl >> 4,
                 "al": ahl & 0xF,
-                # snapshot: later DHT/DRI may redefine these
+                # snapshot: later DHT/DRI/DAC may redefine these
                 "dc": {s["td"]: tables.dc.get(s["td"]) for s in scomps},
                 "ac": {s["ta"]: tables.ac.get(s["ta"]) for s in scomps},
+                "arith_dc": dict(tables.arith_dc),
+                "arith_ac": dict(tables.arith_ac),
                 "ri": tables.restart_interval,
             }
             start = pos + seglen
@@ -801,7 +828,23 @@ def _decode_jpeg_checked(
                     f"scan references component {s['cs']} not in the frame"
                 )
     hmax, vmax, _, _ = _frame_geometry(sof)
-    if sof.get("progressive"):
+    if sof.get("arith"):
+        from hortacloud_importer_spark.sources.jpeg_arith import (
+            decode_arith_progressive,
+            decode_arith_seq,
+        )
+
+        if sof.get("progressive"):
+            store = decode_arith_progressive(data, sof, scans)
+        else:
+            hdr, start, end = scans[0]
+            if len(hdr["comps"]) != len(sof["comps"]):
+                raise JpegParseError(
+                    "non-interleaved multi-scan sequential JPEG is not "
+                    "supported (one interleaved SOS expected)"
+                )
+            store = decode_arith_seq(data, hdr, start, end, sof)
+    elif sof.get("progressive"):
         store = _decode_progressive(data, sof, scans)
     else:
         hdr, start, end = scans[0]

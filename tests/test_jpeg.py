@@ -103,8 +103,8 @@ def test_decoder_rejects_unsupported_processes():
     img = np.zeros((8, 8), dtype=np.uint8)
     blob = bytearray(encode_jpeg(img))
     i = blob.find(b"\xff\xc0")
-    blob[i + 1] = 0xC9  # flip SOF0 -> SOF9 (arithmetic sequential)
-    with pytest.raises(JpegParseError, match="arithmetic|SOF"):
+    blob[i + 1] = 0xC3  # flip SOF0 -> SOF3 (lossless, still gated)
+    with pytest.raises(JpegParseError, match="lossless|SOF"):
         decode_jpeg(bytes(blob))
     # SOF2 with a baseline scan header is malformed progressive
     # (a Ss=0 scan must have Se=0), not an unsupported process

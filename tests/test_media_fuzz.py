@@ -20,6 +20,7 @@ from hortacloud_importer_spark.sources import (
     bmp,
     gif,
     jpeg,
+    jpeg_arith,
     png,
     tiff,
     wav,
@@ -64,6 +65,12 @@ def _fixture_payloads():
         ),
         ("png", png.encode_png(img), png.decode_png, (png.PngParseError,)),
         ("jpeg", jpeg.encode_jpeg(img), jpeg.decode_jpeg, (jpeg.JpegParseError,)),
+        (
+            "jpeg_arith",
+            jpeg_arith.encode_jpeg_arith(img),
+            jpeg.decode_jpeg,
+            (jpeg.JpegParseError,),
+        ),
         (
             "tiff",
             tiff.encode_tiff(img16[None, ...], compression="zlib"),
