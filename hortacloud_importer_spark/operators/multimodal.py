@@ -183,6 +183,14 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
         from hortacloud_importer_spark.sources.jp2 import decode_jp2
 
         return decode_jp2(bytes(payload))
+    if fmt in ("heic", "heif", "avif", "mp4", "mov", "m4a", "m4v"):
+        # ISOBMFF containers parse header-only (media_probe); the
+        # coded HEVC/AV1/AAC payload is an honest codec-binding gate
+        from hortacloud_importer_spark.sources.isobmff import (
+            decode_isobmff,
+        )
+
+        return decode_isobmff(bytes(payload))
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:  # codec libs absent in this container
@@ -281,6 +289,7 @@ def _decode_error_types() -> tuple[type, ...]:
     from hortacloud_importer_spark.sources.bmp import BmpParseError
     from hortacloud_importer_spark.sources.codecs import CodecError
     from hortacloud_importer_spark.sources.gif import GifParseError
+    from hortacloud_importer_spark.sources.isobmff import IsobmffParseError
     from hortacloud_importer_spark.sources.jp2 import Jp2ParseError
     from hortacloud_importer_spark.sources.jpeg import JpegParseError
     from hortacloud_importer_spark.sources.png import PngParseError
@@ -295,6 +304,7 @@ def _decode_error_types() -> tuple[type, ...]:
         BmpParseError,
         CodecError,
         GifParseError,
+        IsobmffParseError,
         Jp2ParseError,
         JpegParseError,
         PngParseError,
@@ -385,6 +395,10 @@ def _probe_one(fmt: str, payload: bytes, meta) -> dict:
         from hortacloud_importer_spark.sources.jp2 import jp2_shape
 
         h, w, c = jp2_shape(payload)
+    elif fmt in ("heic", "heif", "avif", "mp4", "mov", "m4a", "m4v"):
+        from hortacloud_importer_spark.sources.isobmff import isobmff_probe
+
+        _kind, h, w, c, nf, rate = isobmff_probe(payload)
     else:
         raise NotImplementedError(f"no header probe for format {fmt!r}")
     return {

@@ -164,7 +164,9 @@ FROM (VALUES
   (3, 'webp', 24, 33, 3, 1, 0),
   (4, 'pgm',  16, 16, 1, 1, 0),
   (5, 'wav',   1, 256, 2, 1, 8000),
-  (6, 'avi',   6,  6, 3, 4, 0)
+  (6, 'avi',   6,  6, 3, 4, 0),
+  (7, 'heic', 480, 640, 3, 1, 0),
+  (8, 'mp4', 720, 1280, 3, 90, 48000)
 ) AS t(media_id, fmt, height, width, channels, n_frames, sample_rate)
 """,
 )
@@ -213,6 +215,63 @@ def mm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     avi_p = encode_avi(
         rng.integers(0, 256, (4, 6, 6, 3), dtype=np.uint8), codec="DIB"
     )
+
+    # hand-assembled ISOBMFF containers (the coded payload gates;
+    # only the box-tree metadata is under test — sources/isobmff.py)
+    def _box(t: bytes, payload: bytes = b"") -> bytes:
+        return struct.pack(">I", len(payload) + 8) + t + payload
+
+    def _full(t: bytes, payload: bytes) -> bytes:
+        return _box(t, b"\x00\x00\x00\x00" + payload)
+
+    heic_p = (
+        _box(b"ftyp", b"heic\x00\x00\x00\x00mif1")
+        + _full(
+            b"meta",
+            _full(b"pitm", struct.pack(">H", 1))
+            + _box(
+                b"iprp",
+                _box(
+                    b"ipco",
+                    _full(b"ispe", struct.pack(">II", 640, 480))
+                    + _full(b"ispe", struct.pack(">II", 160, 120)),
+                ),
+            )
+            + _full(
+                b"ipma",
+                struct.pack(">I", 1) + struct.pack(">HB", 1, 1) + b"\x01",
+            ),
+        )
+    )
+    _tkhd0 = b"\x00" * 20 + b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36
+    mp4_p = (
+        _box(b"ftyp", b"isom\x00\x00\x00\x00mp42")
+        + _box(
+            b"moov",
+            _box(
+                b"trak",
+                _full(b"tkhd", _tkhd0 + struct.pack(">II", 1280 << 16, 720 << 16))
+                + _box(
+                    b"mdia",
+                    _full(b"mdhd", struct.pack(">IIII", 0, 0, 30000, 0) + b"\x00" * 4)
+                    + _box(
+                        b"minf",
+                        _box(b"stbl", _full(b"stsz", struct.pack(">II", 0, 90))),
+                    ),
+                ),
+            )
+            + _box(
+                b"trak",
+                _full(b"tkhd", _tkhd0 + struct.pack(">II", 0, 0))
+                + _box(
+                    b"mdia",
+                    _full(
+                        b"mdhd", struct.pack(">IIII", 0, 0, 48000, 0) + b"\x00" * 4
+                    ),
+                ),
+            ),
+        )
+    )
     rows = [
         (0, "gif", gif_p),
         (1, "bmp", bmp_p),
@@ -221,6 +280,8 @@ def mm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (4, "pgm", pgm_p),
         (5, "wav", wav_p),
         (6, "avi", avi_p),
+        (7, "heic", heic_p),
+        (8, "mp4", mp4_p),
     ]
     media = spark.createDataFrame(
         [

@@ -1,0 +1,261 @@
+"""Clean-room ISO Base Media File Format box parser (ISO/IEC
+14496-12) — the container behind MP4/MOV video and HEIF/HEIC/AVIF
+images, which dominate modern crawls alongside JPEG/WebP.
+
+Header-only by design: the probe walks the box tree and reads the
+spatial-extents / track-header metadata a crawl pipeline needs to
+schedule work (`media_probe`'s schema-scan-then-decode-selectively
+posture). PIXEL decode of the embedded HEVC/AV1 payloads is a gated
+NotImplementedError — codec bindings belong behind the same optional
+import tail as PIL, and shipping a wrong decode would be worse than
+an honest gate.
+
+What the probe extracts:
+- HEIF/HEIC/AVIF (`ftyp` brands mif1/heic/heix/avif/avis):
+  `meta/iprp/ipco/ispe` image spatial extents; the PRIMARY item is
+  resolved via `pitm` + `ipma` when present, else the largest extent
+  (thumbnails are smaller by construction).
+- MP4/MOV (`isom`/`mp4*`/`qt  ` and friends): per-track `tkhd` pixel
+  dimensions (16.16 fixed point), `mdhd` timescale, `stsz`/`stts`
+  sample counts — video dims + frame count, audio sample rate.
+
+Bomb-guarded like every other codec here: declared box sizes are
+checked against the payload, recursion depth and box counts are
+capped, and every malformed structure raises
+:class:`IsobmffParseError` (the one named error crawl kernels catch).
+
+Reference parity: the reference repo has no ISOBMFF path (its corpora
+are TIFF stacks); this extends the K4 multimodal surface the same way
+webp/gif/avi did.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = [
+    "IsobmffParseError",
+    "isobmff_probe",
+    "isobmff_boxes",
+    "decode_isobmff",
+]
+
+_MAX_BOXES = 100_000
+_MAX_DEPTH = 16
+
+# containers we recurse into (plain concatenations of child boxes)
+_CONTAINERS = {
+    b"moov", b"trak", b"mdia", b"minf", b"stbl", b"iprp", b"ipco",
+    b"edts", b"mvex", b"moof", b"traf",
+}
+# full-box containers: 4 bytes of version/flags precede the children
+_FULLBOX_CONTAINERS = {b"meta"}
+
+_HEIF_BRANDS = {
+    b"mif1", b"msf1", b"heic", b"heix", b"hevc", b"heim", b"heis",
+    b"avif", b"avis",
+}
+
+
+class IsobmffParseError(ValueError):
+    """Malformed or truncated ISOBMFF container."""
+
+
+def _walk(data: bytes, start: int, end: int, depth: int, out: list,
+          path: tuple):
+    if depth > _MAX_DEPTH:
+        raise IsobmffParseError("box nesting exceeds the depth cap")
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise IsobmffParseError(f"truncated box header at {pos}")
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8]
+        hdr = 8
+        if size == 1:  # 64-bit largesize
+            if pos + 16 > end:
+                raise IsobmffParseError(f"truncated largesize at {pos}")
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            hdr = 16
+        elif size == 0:  # box runs to end of enclosing scope
+            size = end - pos
+        if size < hdr or pos + size > end:
+            raise IsobmffParseError(
+                f"box {btype!r} at {pos} declares {size} bytes, "
+                f"scope has {end - pos}"
+            )
+        out.append((path + (btype,), pos + hdr, pos + size))
+        if len(out) > _MAX_BOXES:
+            raise IsobmffParseError("box count exceeds the cap")
+        if btype in _CONTAINERS:
+            _walk(data, pos + hdr, pos + size, depth + 1, out,
+                  path + (btype,))
+        elif btype in _FULLBOX_CONTAINERS:
+            if size < hdr + 4:
+                raise IsobmffParseError(f"full box {btype!r} too short")
+            _walk(data, pos + hdr + 4, pos + size, depth + 1, out,
+                  path + (btype,))
+        pos += size
+
+
+def isobmff_boxes(data: bytes) -> list[tuple[tuple, int, int]]:
+    """-> [(path, body_start, body_end)] for every box, depth-first.
+    ``path`` is the tuple of 4CCs from the root down to the box."""
+    if len(data) < 8:
+        raise IsobmffParseError("shorter than one box header")
+    out: list = []
+    _walk(data, 0, len(data), 0, out, ())
+    return out
+
+
+def _u(data: bytes, off: int, n: int) -> int:
+    if off + n > len(data):
+        raise IsobmffParseError("field overruns its box")
+    return int.from_bytes(data[off : off + n], "big")
+
+
+def _heif_dims(data: bytes, boxes) -> tuple[int, int]:
+    """Primary-item width/height: resolve pitm -> ipma association to
+    its ispe when both parse, else the largest ispe extent."""
+    ispes = []  # (body_start, w, h), in ipco order
+    for path, a, b in boxes:
+        if path[-1] == b"ispe" and b"ipco" in path:
+            if b - a < 12:
+                raise IsobmffParseError("ispe too short")
+            w = _u(data, a + 4, 4)
+            h = _u(data, a + 8, 4)
+            ispes.append((w, h))
+    if not ispes:
+        raise IsobmffParseError("no ispe (image spatial extents) box")
+    primary = None
+    try:
+        pitm = next(
+            (a, b) for path, a, b in boxes if path[-1] == b"pitm"
+        )
+        ver = _u(data, pitm[0], 1)
+        item_id = _u(
+            data, pitm[0] + 4, 2 if ver == 0 else 4
+        )
+        ipma = next(
+            (a, b) for path, a, b in boxes if path[-1] == b"ipma"
+        )
+        primary = _ipma_first_ispe(data, ipma, item_id, len(ispes))
+    except (StopIteration, IsobmffParseError):
+        pass
+    if primary is not None:
+        return ispes[primary]
+    return max(ispes, key=lambda wh: wh[0] * wh[1])
+
+
+def _ipma_first_ispe(data, ipma, item_id, n_props) -> int | None:
+    """Index (0-based, ipco order) of the first property associated
+    with item_id in the ipma box — callers verify it names an ispe by
+    construction (we only use it to pick among ispes, and a non-ispe
+    association falls back to the largest-extent rule)."""
+    a, b = ipma
+    ver = _u(data, a, 1)
+    flags = _u(data, a + 1, 3)
+    pos = a + 4
+    count = _u(data, pos, 4)
+    pos += 4
+    for _ in range(count):
+        iid = _u(data, pos, 2 if ver < 1 else 4)
+        pos += 2 if ver < 1 else 4
+        assoc_n = _u(data, pos, 1)
+        pos += 1
+        first = None
+        for _ in range(assoc_n):
+            if flags & 1:
+                v = _u(data, pos, 2)
+                idx = v & 0x7FFF
+                pos += 2
+            else:
+                v = _u(data, pos, 1)
+                idx = v & 0x7F
+                pos += 1
+            if first is None and idx > 0:
+                first = idx - 1  # 1-based in the file
+        if iid == item_id:
+            if first is not None and first < n_props:
+                return first
+            return None
+    return None
+
+
+def isobmff_probe(data: bytes) -> tuple[str, int, int, int, int, int]:
+    """-> (kind, height, width, channels, n_frames, sample_rate)
+    without touching any coded payload. ``kind`` is 'image' for
+    HEIF-family brands, 'video' when a sized video track exists,
+    else 'audio'."""
+    try:
+        boxes = isobmff_boxes(data)
+    except RecursionError as exc:  # pathological nesting
+        raise IsobmffParseError(f"box recursion: {exc}") from exc
+    if not boxes or boxes[0][0][-1] != b"ftyp":
+        raise IsobmffParseError("first box is not ftyp")
+    a, b = boxes[0][1], boxes[0][2]
+    if b - a < 8:
+        raise IsobmffParseError("ftyp too short")
+    brands = {data[a : a + 4]} | {
+        data[i : i + 4] for i in range(a + 8, b - 3, 4)
+    }
+
+    if brands & _HEIF_BRANDS:
+        w, h = _heif_dims(data, boxes)
+        if not (0 < w <= 1 << 20 and 0 < h <= 1 << 20):
+            raise IsobmffParseError(f"ispe extents {w}x{h} out of range")
+        return "image", h, w, 3, 1, 0
+
+    # MP4/MOV: scan tracks for video dims + frame count, audio rate
+    h = w = 0
+    n_frames = 0
+    rate = 0
+    cur_dims = None
+    for path, a, b in boxes:
+        leaf = path[-1]
+        if leaf == b"tkhd":
+            ver = _u(data, a, 1)
+            base = a + 4 + (32 if ver == 1 else 20)
+            # reserved(8) layer(2) alternate_group(2) volume(2)
+            # reserved(2) matrix(36) then width/height as 16.16
+            wh = base + 8 + 8 + 36
+            tw = _u(data, wh, 4) >> 16
+            th = _u(data, wh + 4, 4) >> 16
+            cur_dims = (tw, th)
+            if tw and th and tw * th > w * h:
+                w, h = tw, th
+        elif leaf == b"mdhd":
+            ver = _u(data, a, 1)
+            ts_off = a + 4 + (16 if ver == 1 else 8)
+            ts = _u(data, ts_off, 4)
+            if cur_dims in (None, (0, 0)) and rate == 0 and ts:
+                rate = ts  # audio track: timescale = sample rate
+        elif leaf == b"stsz":
+            cnt = _u(data, a + 8, 4)
+            if cur_dims and cur_dims != (0, 0):
+                n_frames = max(n_frames, cnt)
+        elif leaf == b"stts" and n_frames == 0:
+            entries = _u(data, a + 4, 4)
+            total = 0
+            pos = a + 8
+            for _ in range(min(entries, 10_000)):
+                total += _u(data, pos, 4)
+                pos += 8
+            if cur_dims and cur_dims != (0, 0):
+                n_frames = max(n_frames, total)
+    if w and h:
+        return "video", h, w, 3, max(n_frames, 1), rate
+    if rate:
+        return "audio", 0, 0, 1, max(n_frames, 1), rate
+    raise IsobmffParseError("no sized video track, audio track, or ispe")
+
+
+def decode_isobmff(data: bytes):
+    """Pixel/sample decode is a codec-binding problem (HEVC, AV1,
+    AAC): gated, not faked."""
+    kind, h, w, *_ = isobmff_probe(data)
+    raise NotImplementedError(
+        f"ISOBMFF {kind} payload ({w}x{h}): coded-stream decode needs "
+        "a codec binding (HEVC/AV1/AAC) — header metadata is available "
+        "via isobmff_probe/media_probe"
+    )

@@ -1,0 +1,221 @@
+"""ISOBMFF header probe (sources/isobmff.py): HEIF/HEIC/AVIF spatial
+extents, MP4/MOV track metadata — hand-assembled golden containers
+(no encoder in the loop), plus the crawl-kernel error contract."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from hortacloud_importer_spark.sources.isobmff import (
+    IsobmffParseError,
+    decode_isobmff,
+    isobmff_boxes,
+    isobmff_probe,
+)
+
+
+def box(t: bytes, payload: bytes = b"") -> bytes:
+    return struct.pack(">I", len(payload) + 8) + t + payload
+
+
+def full(t: bytes, payload: bytes, ver: int = 0, flags: int = 0) -> bytes:
+    return box(t, bytes([ver]) + flags.to_bytes(3, "big") + payload)
+
+
+def ftyp(major: bytes, *compat: bytes) -> bytes:
+    return box(b"ftyp", major + b"\x00\x00\x00\x00" + b"".join(compat))
+
+
+def ispe(w: int, h: int) -> bytes:
+    return full(b"ispe", struct.pack(">II", w, h))
+
+
+def _heif(primary_first: bool) -> bytes:
+    """heic with TWO ispes (primary 640x480, thumb 160x120); pitm/ipma
+    associate item 1 with the primary extent."""
+    idx_primary = 1 if primary_first else 2
+    props = (
+        ispe(640, 480) + ispe(160, 120)
+        if primary_first
+        else ispe(160, 120) + ispe(640, 480)
+    )
+    ipco = box(b"ipco", props)
+    pitm = full(b"pitm", struct.pack(">H", 1))
+    # one entry: item 1 -> property index idx_primary (1-based, 7-bit)
+    ipma = full(
+        b"ipma",
+        struct.pack(">I", 1) + struct.pack(">HB", 1, 1) + bytes([idx_primary]),
+    )
+    meta = full(b"meta", pitm + box(b"iprp", ipco) + ipma)
+    return ftyp(b"heic", b"mif1") + meta + box(b"mdat", b"\x00" * 16)
+
+
+def _mp4(w: int, h: int, frames: int, rate: int) -> bytes:
+    def tkhd(tw, th):
+        body = (
+            b"\x00" * 20  # creation/mod/track/reserved/duration
+            + b"\x00" * 8  # reserved
+            + b"\x00" * 8  # layer/alt/volume/reserved
+            + b"\x00" * 36  # matrix
+            + struct.pack(">II", tw << 16, th << 16)
+        )
+        return full(b"tkhd", body)
+
+    def mdhd(ts):
+        return full(b"mdhd", struct.pack(">IIII", 0, 0, ts, 0) + b"\x00\x00\x00\x00")
+
+    def stsz(n):
+        return full(b"stsz", struct.pack(">II", 0, n))
+
+    video = box(
+        b"trak",
+        tkhd(w, h)
+        + box(
+            b"mdia",
+            mdhd(30_000)
+            + box(b"minf", box(b"stbl", stsz(frames))),
+        ),
+    )
+    audio = box(
+        b"trak",
+        tkhd(0, 0)
+        + box(b"mdia", mdhd(rate) + box(b"minf", box(b"stbl", stsz(999)))),
+    )
+    return ftyp(b"isom", b"mp42") + box(b"moov", video + audio) + box(
+        b"mdat", b"\x00" * 32
+    )
+
+
+def test_heif_primary_item_via_pitm_ipma():
+    for first in (True, False):
+        kind, h, w, c, nf, rate = isobmff_probe(_heif(first))
+        assert (kind, h, w, c, nf, rate) == ("image", 480, 640, 3, 1, 0)
+
+
+def test_heif_largest_extent_fallback_without_pitm():
+    props = ispe(160, 120) + ispe(1920, 1080)
+    meta = full(b"meta", box(b"iprp", box(b"ipco", props)))
+    blob = ftyp(b"avif") + meta
+    kind, h, w, *_ = isobmff_probe(blob)
+    assert (kind, h, w) == ("image", 1080, 1920)
+
+
+def test_mp4_video_track_dims_frames_and_audio_rate():
+    kind, h, w, c, nf, rate = isobmff_probe(_mp4(1280, 720, 240, 48000))
+    assert (kind, h, w, nf, rate) == ("video", 720, 1280, 240, 48000)
+
+
+def test_m4a_audio_only():
+    blob = ftyp(b"isom") + box(
+        b"moov",
+        box(
+            b"trak",
+            full(
+                b"tkhd",
+                b"\x00" * 20 + b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36
+                + struct.pack(">II", 0, 0),
+            )
+            + box(
+                b"mdia",
+                full(b"mdhd", struct.pack(">IIII", 0, 0, 44100, 0) + b"\x00" * 4),
+            ),
+        ),
+    )
+    kind, h, w, c, nf, rate = isobmff_probe(blob)
+    assert (kind, rate) == ("audio", 44100)
+
+
+def test_largesize_and_size_zero_boxes_parse():
+    payload = b"x" * 10
+    large = struct.pack(">I", 1) + b"free" + struct.pack(">Q", 16 + 10) + payload
+    tail = struct.pack(">I", 0) + b"mdat" + b"y" * 5  # runs to EOF
+    blob = ftyp(b"isom") + large + tail
+    paths = [p[-1] for p, _, _ in isobmff_boxes(blob)]
+    assert paths == [b"ftyp", b"free", b"mdat"]
+
+
+def test_decode_is_an_honest_gate():
+    with pytest.raises(NotImplementedError, match="codec binding"):
+        decode_isobmff(_heif(True))
+    with pytest.raises(NotImplementedError, match="codec binding"):
+        decode_isobmff(_mp4(320, 240, 10, 8000))
+
+
+def test_corrupt_containers_raise_named_error_only():
+    rng = np.random.default_rng(53)
+    for base in (_heif(True), _mp4(640, 360, 30, 22050)):
+        for _ in range(200):
+            b = bytearray(base)
+            mode = rng.integers(0, 3)
+            if mode == 0:
+                b = b[: int(rng.integers(1, len(b)))]
+            elif mode == 1:
+                i = int(rng.integers(0, len(b)))
+                b[i] ^= 1 << int(rng.integers(0, 8))
+            else:
+                i = int(rng.integers(0, len(b)))
+                b[i : i + 4] = bytes(rng.integers(0, 256, 4).tolist())
+            try:
+                isobmff_probe(bytes(b))
+            except (IsobmffParseError, NotImplementedError):
+                pass  # named errors only — never IndexError/struct.error
+
+
+def test_bomb_guards():
+    # a box declaring more bytes than the buffer has
+    bad = struct.pack(">I", 1 << 30) + b"moov" + b"\x00" * 16
+    with pytest.raises(IsobmffParseError, match="declares"):
+        isobmff_boxes(ftyp(b"isom") + bad)
+    # pathological nesting beyond the depth cap
+    blob = b""
+    for _ in range(32):
+        blob = box(b"moov", blob)
+    with pytest.raises(IsobmffParseError, match="depth"):
+        isobmff_boxes(ftyp(b"isom") + blob)
+
+
+def test_media_probe_routes_isobmff(spark):
+    from pyspark.sql import functions as F
+
+    from hortacloud_importer_spark.operators.multimodal import media_probe
+
+    rows = [
+        (1, "image", "heic", bytearray(_heif(True))),
+        (2, "video", "mp4", bytearray(_mp4(1920, 1080, 120, 44100))),
+        (3, "image", "avif", bytearray(_heif(False))),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, format string, payload binary"
+    ).withColumn(
+        "meta",
+        F.expr(
+            "named_struct('height', 0, 'width', 0, 'channels', 0,"
+            " 'sample_rate', 0, 'n_frames', 0)"
+        ),
+    )
+    got = {r["media_id"]: r for r in media_probe(media).collect()}
+    assert (got[1]["height"], got[1]["width"]) == (480, 640)
+    assert (got[2]["height"], got[2]["width"], got[2]["n_frames"]) == (
+        1080, 1920, 120,
+    )
+    assert got[2]["sample_rate"] == 44100
+    assert (got[3]["height"], got[3]["width"]) == (480, 640)
+    # a corrupt payload in tag mode is a counted row, not a dead stage
+    bad = bytearray(_heif(True))
+    bad[4:8] = b"xxxx"  # ftyp gone
+    media_bad = spark.createDataFrame(
+        [(9, "image", "heic", bad)],
+        "media_id long, kind string, format string, payload binary",
+    ).withColumn(
+        "meta",
+        F.expr(
+            "named_struct('height', 0, 'width', 0, 'channels', 0,"
+            " 'sample_rate', 0, 'n_frames', 0)"
+        ),
+    )
+    tagged = media_probe(media_bad, errors="tag").collect()
+    assert len(tagged) == 1
+    assert "IsobmffParseError" in tagged[0]["probe_error"]

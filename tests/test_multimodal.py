@@ -76,10 +76,23 @@ def test_binary_file_source(spark, tmp_path):
 
 
 def test_compressed_format_gated():
-    # jpeg/png/gif/bmp/webp-lossless decode clean-room; heic stays gated
-    with pytest.raises(NotImplementedError):
+    # jpeg/png/gif/bmp/webp-lossless decode clean-room; a WELL-FORMED
+    # heic container probes its box tree but pixel decode stays gated
+    # (coded HEVC payload needs a codec binding); a malformed one
+    # raises the named parse error instead
+    from tests.test_isobmff import _heif
+
+    with pytest.raises(NotImplementedError, match="codec binding"):
         _decode_one(
-            "heic", b"\x00\x00\x00\x18ftypheic", {"height": 1, "width": 1, "channels": 1, "n_frames": 1}
+            "heic", _heif(True),
+            {"height": 1, "width": 1, "channels": 1, "n_frames": 1},
+        )
+    from hortacloud_importer_spark.sources.isobmff import IsobmffParseError
+
+    with pytest.raises(IsobmffParseError):
+        _decode_one(
+            "heic", b"\x00\x00\x00\x18ftypheic",
+            {"height": 1, "width": 1, "channels": 1, "n_frames": 1},
         )
     # a truncated lossy VP8 chunk fails with the named parse error
     from hortacloud_importer_spark.sources.webp import WebpParseError

@@ -49,6 +49,16 @@ N_DOCS = int(os.environ.get("SOAK_CORPUS_DOCS", "500000"))
 N_VECS = N_DOCS
 DIM = 64
 WORDS_PER_DOC = 120
+# --boilerplate FRAC: that fraction of docs (id digits 1..6, so the
+# planted dup structure on digits 0/7/8/9 is untouched) get their
+# first 20 words replaced by ONE fixed sentence — the adversarial
+# common-prefix corpus (cookie banners, newsletter footers) whose
+# shingles would pair-bomb an uncapped inverted-index join.
+BOILERPLATE = 0.0
+_BOILER_WORDS = (
+    "subscribe to our newsletter for the latest updates and accept "
+    "all cookies to continue reading this article on our site"
+).split()
 
 # the queries to soak, in registry order: (name, what the stage
 # metrics should show)
@@ -144,6 +154,9 @@ def _gen_corpus(spark) -> float:
                     )
                 else:
                     w = words_for(did)
+                if BOILERPLATE and 1 <= last <= int(BOILERPLATE * 10):
+                    w = w.copy()
+                    w[: len(_BOILER_WORDS)] = _BOILER_WORDS
                 text = " ".join(w.tolist())
                 out.append(
                     {
@@ -200,15 +213,33 @@ def _gen_corpus(spark) -> float:
 
 
 def main() -> int:
-    global N_DOCS, N_VECS
+    global N_DOCS, N_VECS, BOILERPLATE
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--docs", type=int, default=N_DOCS,
         help="corpus size (also SOAK_CORPUS_DOCS); a changed size needs "
         "a fresh fixture dir",
     )
+    ap.add_argument(
+        "--boilerplate", type=float, default=0.0,
+        help="fraction of docs (multiples of 0.1, max 0.6) that share "
+        "one fixed 20-word prefix — the adversarial common-prefix "
+        "corpus; changes the fixture, so use a fresh SOAK_CORPUS_DIR",
+    )
+    ap.add_argument(
+        "--queries", type=str, default="",
+        help="comma-separated subset of the soak queries to run",
+    )
     args = ap.parse_args()
     N_DOCS = N_VECS = args.docs
+    BOILERPLATE = args.boilerplate
+    queries = QUERIES
+    if args.queries:
+        wanted = set(args.queries.split(","))
+        unknown = wanted - {q for q, _ in QUERIES}
+        if unknown:
+            raise SystemExit(f"unknown queries: {sorted(unknown)}")
+        queries = [(q, c) for q, c in QUERIES if q in wanted]
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     from pyspark.sql import SparkSession
@@ -235,6 +266,7 @@ def main() -> int:
     report: dict = {
         "n_docs": N_DOCS,
         "n_vecs": N_VECS,
+        "boilerplate": BOILERPLATE,
         "cpus": int(cpus),
         "baseline_rss_gib": round(sampler._total_rss_kb() / 2**20, 2),
     }
@@ -243,19 +275,26 @@ def main() -> int:
     meta_path = f"{WORK}/_soak_meta.json"
     done_marker = f"{WORK}/documents.parquet/_SUCCESS"
     if os.path.exists(done_marker):
-        stamped = -1
+        stamped, stamped_bp = -1, -1.0
         if os.path.exists(meta_path):
-            stamped = json.load(open(meta_path)).get("n_docs", -1)
-        if stamped != N_DOCS:
+            meta = json.load(open(meta_path))
+            stamped = meta.get("n_docs", -1)
+            stamped_bp = meta.get("boilerplate", 0.0)
+        if stamped != N_DOCS or stamped_bp != BOILERPLATE:
             raise SystemExit(
-                f"fixture at {WORK} holds {stamped} docs but this run "
-                f"wants {N_DOCS}; use a fresh SOAK_CORPUS_DIR (reusing "
-                "it would publish mislabeled measurements)"
+                f"fixture at {WORK} holds {stamped} docs "
+                f"(boilerplate={stamped_bp}) but this run wants "
+                f"{N_DOCS} (boilerplate={BOILERPLATE}); use a fresh "
+                "SOAK_CORPUS_DIR (reusing it would publish mislabeled "
+                "measurements)"
             )
         report["gen_sec"] = 0.0
     else:
         report["gen_sec"] = round(_gen_corpus(spark), 1)
-        json.dump({"n_docs": N_DOCS}, open(meta_path, "w"))
+        json.dump(
+            {"n_docs": N_DOCS, "boilerplate": BOILERPLATE},
+            open(meta_path, "w"),
+        )
     report["corpus_mb"] = round(
         sum(
             os.path.getsize(os.path.join(dp, f))
@@ -268,7 +307,7 @@ def main() -> int:
 
     phases = []
     topk_rows: dict = {}
-    for name, claim in QUERIES:
+    for name, claim in queries:
         spec = registry[name]
         sampler.phase(name)
         before = {s["stageId"] for s in _stages(spark)}
@@ -329,9 +368,13 @@ def main() -> int:
 
 def _write_md(r: dict) -> None:
     n = r["n_docs"]
+    bp = r.get("boilerplate", 0.0)
+    tag = (
+        f", ADVERSARIAL {int(bp * 100)}% boilerplate" if bp else ""
+    )
     lines = [
         f"# CORPUS SOAK RUN — {n:,} documents "
-        f"(~{max(1, n // 5000)}x the bench corpus)",
+        f"(~{max(1, n // 5000)}x the bench corpus){tag}",
         "",
         f"Generated by `tools/soak_corpus.py` on local[{r['cpus']}]: "
         f"**{n:,} documents** ({WORDS_PER_DOC} words each, "
@@ -342,6 +385,21 @@ def _write_md(r: dict) -> None:
         "at the big corpus. Planted structure at THIS scale: "
         f"{n // 10:,} exact + {n // 10:,} near dups -> jaccard finds "
         f"exactly {n // 5:,} pairs.",
+        *(
+            [
+                f"Adversarial twist: {int(bp * 100)}% of docs "
+                f"({int(n * bp):,}) share ONE fixed 20-word prefix "
+                "(cookie-banner boilerplate). Every shingle of that "
+                "prefix has document frequency ~"
+                f"{int(n * bp / 10):,}x the DF cap (64): an uncapped "
+                "inverted-index join would emit ~"
+                f"{int((n * bp) ** 2 / 2):.0e} candidate pairs from the "
+                "boilerplate alone. The capped join must drop those "
+                "postings and still find exactly the planted pairs.",
+            ]
+            if bp
+            else []
+        ),
         "",
         "| query | claim under test | rows | wall s | input MiB "
         "| shuffle write MiB | shuffle read MiB |",
