@@ -160,10 +160,13 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
     if fmt == "webp":
         # clean-room lossless VP8L (sources/webp.py) AND lossy VP8
         # keyframes (sources/vp8.py, libwebp-parity-pinned); VP8X
-        # stills route to the inner chunk, ANIM/ALPH gate by name
-        from hortacloud_importer_spark.sources.webp import decode_webp
+        # stills route to the inner chunk; ANIM containers composite
+        # per the container spec (blend/dispose/offsets); ALPH gates
+        from hortacloud_importer_spark.sources.webp import (
+            decode_webp_frames,
+        )
 
-        return decode_webp(bytes(payload))[None, ...]
+        return decode_webp_frames(bytes(payload))
     if fmt == "avi":
         # clean-room RIFF/AVI container (sources/avi.py): MJPG frames
         # through the T.81 decoder, uncompressed DIB frames byte-exact
@@ -369,9 +372,14 @@ def _probe_one(fmt: str, payload: bytes, meta) -> dict:
 
         h, w, c = bmp_probe(payload)
     elif fmt == "webp":
-        from hortacloud_importer_spark.sources.webp import webp_probe
+        from hortacloud_importer_spark.sources.webp import (
+            webp_frame_count,
+            webp_probe,
+        )
 
-        h, w, _variant = webp_probe(payload)
+        h, w, variant = webp_probe(payload)
+        if variant == "animated":
+            nf = webp_frame_count(payload)
         c = 3
     elif fmt in ("pgm", "ppm", "pbm", "pnm"):
         from hortacloud_importer_spark.sources.pnm import pnm_probe

@@ -1036,6 +1036,68 @@ def scan_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_webp_anim",
+    "A1+K4+J4",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT z,
+       AVG(v) AS mean_intensity,
+       CAST(MIN(v) AS INTEGER) AS min_intensity,
+       CAST(MAX(v) AS INTEGER) AS max_intensity
+FROM (
+  SELECT t1.range AS z, (13 * (t1.range + 2) * (t2.range + 5)) % 256 AS v
+  FROM range(4) t1, range(3) t2
+)
+GROUP BY z
+""",
+)
+def scan_webp_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 ANIMATED WebP over REAL containers, oracle-exact: each file
+    is a 3-frame VP8X/ANIM/ANMF animation of full-canvas constant
+    VP8L (lossless) frames v = (13*(z+2)*(m+5)) mod 256, composited
+    by decode_webp_frames and accounted per item by media_features —
+    offset math, blend flags, or frame-count bugs all break the
+    closed-form DuckDB hash."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import media_features
+    from hortacloud_importer_spark.sources.webp import encode_webp_anim
+
+    workdir = tempfile.mkdtemp(prefix="webp_anim_")
+    for z in range(4):
+        frames = [
+            np.full((6, 8, 3), (13 * (z + 2) * (m + 5)) % 256, np.uint8)
+            for m in range(3)
+        ]
+        with open(f"{workdir}/anim.{z:03d}.webp", "wb") as fh:
+            fh.write(encode_webp_anim(frames))
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*.webp")
+        .select(
+            F.regexp_extract(F.col("path"), r"\.(\d{3})\.webp$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.lit("webp").alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 6, 'width', 8, 'channels', 3,"
+                " 'sample_rate', 0, 'n_frames', 3)"
+            ).alias("meta"),
+        )
+    )
+    return media_features(media).select(
+        F.col("media_id").alias("z"),
+        "mean_intensity",
+        "min_intensity",
+        "max_intensity",
+    )
+
+
+@register(
     "scan_jpeg_arith",
     "A1+K4",
     driver=False,  # the external driver set is frozen at 50

@@ -13,10 +13,12 @@ color-indexing with sub-byte pixel bundling).
 Lossy WebP ('VP8 ' chunks — a VP8 intra keyframe with boolean
 arithmetic coding and loop filtering) dispatches to the clean-room
 RFC 6386 decoder in sources/vp8.py; still images inside a 'VP8X'
-extended container decode through their inner VP8/VP8L chunk, while
-animation (ANIM) and alpha (ALPH) gate with :class:`WebpParseError`
-so a crawl kernel running ``errors="tag"`` counts them instead of
-failing the stage.
+extended container decode through their inner VP8/VP8L chunk; and
+animated containers (ANIM/ANMF) composite through
+:func:`decode_webp_frames` — per-frame offsets, alpha-blend vs
+overwrite, dispose-to-background. Only the alpha sidecar (ALPH)
+still gates with :class:`WebpParseError`, so a crawl kernel running
+``errors="tag"`` counts it instead of failing the stage.
 
 Layout notes (all from the spec):
 
@@ -586,7 +588,8 @@ def decode_webp(data: bytes) -> np.ndarray:
             flags = body[0]
             if flags & 0x02:
                 raise WebpParseError(
-                    "animated WebP (VP8X ANIM) is not supported"
+                    "animated WebP: decode_webp is the still-image "
+                    "API; use decode_webp_frames"
                 )
             if flags & 0x10:
                 raise WebpParseError(
@@ -721,9 +724,202 @@ def webp_probe(data: bytes) -> tuple[int, int, str]:
                 raise WebpParseError("short VP8X header")
             w = int.from_bytes(body[4:7], "little") + 1
             h = int.from_bytes(body[7:10], "little") + 1
-            return h, w, "extended"
+            variant = "animated" if body[0] & 0x02 else "extended"
+            return h, w, variant
         pos += 8 + size + (size & 1)
     raise WebpParseError("no VP8/VP8L/VP8X chunk in container")
+
+
+def webp_frame_count(data: bytes) -> int:
+    """Number of ANMF frames (1 for stills) — header walk only."""
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise WebpParseError("not a RIFF/WEBP stream")
+    pos = 12
+    n = 0
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if fourcc == b"ANMF":
+            n += 1
+        pos += 8 + size + (size & 1)
+    return max(n, 1)
+
+
+def decode_webp_frames(data: bytes) -> np.ndarray:
+    """WebP bytes -> (n_frames, canvas_h, canvas_w, 3) uint8 RGB.
+
+    Stills (simple VP8/VP8L, or VP8X without the ANIM flag) come back
+    as one frame. Animated VP8X containers composite every ANMF frame
+    onto the canvas per the container spec: frames place at their
+    (x, y) offsets, the blend flag selects alpha-over vs overwrite
+    (integer blend, round-half-up), and dispose-to-background refills
+    the frame rectangle with the declared ANIM background color after
+    the frame is snapshotted. Frame payloads are the same clean-room
+    VP8 / VP8L decoders as stills; an ALPH subchunk gates by name."""
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise WebpParseError("not a RIFF/WEBP stream")
+    pos = 12
+    vp8x = None
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if fourcc == b"VP8X":
+            vp8x = data[pos + 8 : pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+    if vp8x is None or len(vp8x) < 10 or not vp8x[0] & 0x02:
+        arr = decode_webp(data)  # still (raises the ALPH gate itself)
+        return arr[None, :, :, :3] if arr.shape[2] >= 3 else arr[None]
+    cw = int.from_bytes(vp8x[4:7], "little") + 1
+    ch = int.from_bytes(vp8x[7:10], "little") + 1
+    if cw * ch > MAX_PIXELS:
+        raise WebpParseError(
+            f"canvas {cw}x{ch} exceeds the {MAX_PIXELS}-pixel guard"
+        )
+
+    bg = np.zeros(3, dtype=np.uint8)
+    canvas = None
+    frames: list[np.ndarray] = []
+    pos += 8 + len(vp8x) + (len(vp8x) & 1)
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if len(body) < size:
+            raise WebpParseError(f"truncated {fourcc!r} chunk")
+        pos += 8 + size + (size & 1)
+        if fourcc == b"ANIM":
+            if len(body) < 6:
+                raise WebpParseError("short ANIM chunk")
+            # background color is [B, G, R, A] byte order
+            bg = np.array([body[2], body[1], body[0]], dtype=np.uint8)
+            canvas = np.broadcast_to(bg, (ch, cw, 3)).copy()
+        elif fourcc == b"ANMF":
+            if canvas is None:
+                raise WebpParseError("ANMF before ANIM chunk")
+            if len(body) < 16:
+                raise WebpParseError("short ANMF header")
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            flags = body[15]
+            no_blend = bool(flags & 0x02)
+            dispose_bg = bool(flags & 0x01)
+            if fx + fw > cw or fy + fh > ch:
+                raise WebpParseError(
+                    f"frame {fw}x{fh}@{fx},{fy} exceeds the "
+                    f"{cw}x{ch} canvas"
+                )
+            sub = _anmf_payload(body[16:])
+            if sub.shape[:2] != (fh, fw):
+                raise WebpParseError(
+                    f"frame payload is {sub.shape[1]}x{sub.shape[0]}, "
+                    f"ANMF declares {fw}x{fh}"
+                )
+            rect = canvas[fy : fy + fh, fx : fx + fw]
+            if sub.shape[2] == 4 and not no_blend:
+                a = sub[:, :, 3:].astype(np.uint16)
+                mixed = (
+                    a * sub[:, :, :3].astype(np.uint16)
+                    + (255 - a) * rect.astype(np.uint16)
+                    + 127
+                ) // 255
+                rect[:] = mixed.astype(np.uint8)
+            else:
+                rect[:] = sub[:, :, :3]
+            frames.append(canvas.copy())
+            if dispose_bg:
+                rect[:] = bg
+            if len(frames) * ch * cw > MAX_PIXELS * 4:
+                raise WebpParseError(
+                    "animation exceeds the total-pixel decode guard"
+                )
+    if not frames:
+        raise WebpParseError("ANIM container with no ANMF frames")
+    return np.stack(frames)
+
+
+def _anmf_payload(body: bytes) -> np.ndarray:
+    """Decode the frame subchunks inside one ANMF body -> (h, w, 3|4).
+    VP8L frames may carry alpha natively; a separate ALPH subchunk
+    (lossy frames with transparency) gates by name."""
+    pos = 0
+    while pos + 8 <= len(body):
+        fourcc = body[pos : pos + 4]
+        (size,) = struct.unpack("<I", body[pos + 4 : pos + 8])
+        chunk = body[pos + 8 : pos + 8 + size]
+        if fourcc == b"ALPH":
+            raise WebpParseError(
+                "WebP alpha channel (ANMF ALPH subchunk) is not supported"
+            )
+        if fourcc in (b"VP8 ", b"VP8L"):
+            shell = (
+                b"RIFF"
+                + struct.pack("<I", 4 + 8 + len(chunk) + (len(chunk) & 1))
+                + b"WEBP"
+                + fourcc
+                + struct.pack("<I", len(chunk))
+                + chunk
+                + (b"\x00" if len(chunk) & 1 else b"")
+            )
+            return decode_webp(shell)
+        pos += 8 + size + (size & 1)
+    raise WebpParseError("ANMF frame without a VP8/VP8L payload")
+
+
+def encode_webp_anim(
+    frames: "list[np.ndarray]",
+    offsets: "list[tuple[int, int]] | None" = None,
+    canvas: tuple[int, int] | None = None,
+    bg: tuple[int, int, int] = (0, 0, 0),
+    no_blend: bool = True,
+    dispose_bg: bool = False,
+) -> bytes:
+    """Fixture encoder: RGB frames -> animated WebP (VP8X + ANIM +
+    one lossless VP8L ANMF per frame). Offsets must be even (the
+    container stores x/2, y/2)."""
+    if not frames:
+        raise WebpParseError("need at least one frame")
+    offsets = offsets or [(0, 0)] * len(frames)
+    if canvas is None:
+        ch = max(y + f.shape[0] for (x, y), f in zip(offsets, frames))
+        cw = max(x + f.shape[1] for (x, y), f in zip(offsets, frames))
+    else:
+        cw, ch = canvas
+    chunks = []
+    flags = 0x02  # ANIM
+    vp8x = bytes([flags, 0, 0, 0]) + (cw - 1).to_bytes(3, "little") + (
+        ch - 1
+    ).to_bytes(3, "little")
+    chunks.append(b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x)
+    anim = bytes([bg[2], bg[1], bg[0], 0xFF]) + struct.pack("<H", 0)
+    chunks.append(b"ANIM" + struct.pack("<I", len(anim)) + anim)
+    for (x, y), frame in zip(offsets, frames):
+        if x % 2 or y % 2:
+            raise WebpParseError("frame offsets must be even")
+        payload = encode_webp(frame)
+        vp8l_off = payload.index(b"VP8L")
+        (vp8l_len,) = struct.unpack(
+            "<I", payload[vp8l_off + 4 : vp8l_off + 8]
+        )
+        vp8l = payload[vp8l_off : vp8l_off + 8 + vp8l_len + (vp8l_len & 1)]
+        fl = (0x02 if no_blend else 0) | (0x01 if dispose_bg else 0)
+        body = (
+            (x // 2).to_bytes(3, "little")
+            + (y // 2).to_bytes(3, "little")
+            + (frame.shape[1] - 1).to_bytes(3, "little")
+            + (frame.shape[0] - 1).to_bytes(3, "little")
+            + (100).to_bytes(3, "little")  # duration ms
+            + bytes([fl])
+            + vp8l
+        )
+        chunks.append(
+            b"ANMF" + struct.pack("<I", len(body)) + body
+            + (b"\x00" if len(body) & 1 else b"")
+        )
+    inner = b"WEBP" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(inner)) + inner
 
 
 # ------------------------------------------------------------ encoder

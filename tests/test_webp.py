@@ -520,3 +520,130 @@ def test_multimodal_kernel_routes_webp():
     arr = _decode_one("webp", encode_webp(img), {})
     assert arr.shape == (1, 10, 14, 3)
     assert np.array_equal(arr[0], img)
+
+
+# --------------------------------------------- animation (ANIM/ANMF)
+
+
+def test_anim_composites_offsets_and_background():
+    from hortacloud_importer_spark.sources.webp import (
+        decode_webp_frames,
+        encode_webp_anim,
+        webp_frame_count,
+        webp_probe,
+    )
+
+    rng = np.random.default_rng(31)
+    f0 = rng.integers(0, 256, (8, 10, 3), dtype=np.uint8)
+    f1 = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    blob = encode_webp_anim([f0, f1], offsets=[(0, 0), (2, 2)], bg=(9, 8, 7))
+    assert webp_probe(blob) == (8, 10, "animated")
+    assert webp_frame_count(blob) == 2
+    frames = decode_webp_frames(blob)
+    assert frames.shape == (2, 8, 10, 3)
+    want0 = np.broadcast_to(
+        np.array([9, 8, 7], np.uint8), (8, 10, 3)
+    ).copy()
+    want0[0:8, 0:10] = f0
+    assert np.array_equal(frames[0], want0)
+    want1 = want0.copy()
+    want1[2:6, 2:8] = f1
+    assert np.array_equal(frames[1], want1)
+
+
+def test_anim_dispose_to_background():
+    from hortacloud_importer_spark.sources.webp import (
+        decode_webp_frames,
+        encode_webp_anim,
+    )
+
+    rng = np.random.default_rng(37)
+    f = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    blob = encode_webp_anim(
+        [f, f], offsets=[(2, 2), (2, 2)], bg=(1, 2, 3), dispose_bg=True
+    )
+    frames = decode_webp_frames(blob)
+    canvas = np.broadcast_to(
+        np.array([1, 2, 3], np.uint8), frames.shape[1:]
+    ).copy()
+    canvas[2:6, 2:8] = f
+    # every snapshot shows the freshly drawn frame; the dispose only
+    # affects what the NEXT frame starts from (identical here)
+    assert np.array_equal(frames[0], canvas)
+    assert np.array_equal(frames[1], canvas)
+
+
+def test_anim_stills_pass_through_and_errors_are_named():
+    import pytest
+
+    from hortacloud_importer_spark.sources.webp import (
+        decode_webp_frames,
+        encode_webp_anim,
+    )
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, (6, 6, 3), dtype=np.uint8)
+    still = decode_webp_frames(encode_webp(img))
+    assert still.shape == (1, 6, 6, 3)
+    assert np.array_equal(still[0], img)
+    # frame overrunning the canvas is a named error, not a crash
+    blob = bytearray(
+        encode_webp_anim([img], offsets=[(0, 0)], canvas=(6, 6))
+    )
+    i = blob.find(b"ANMF")
+    blob[i + 8 + 6 : i + 8 + 9] = (9).to_bytes(3, "little")  # width-1=9
+    with pytest.raises(WebpParseError, match="canvas|declares"):
+        decode_webp_frames(bytes(blob))
+    # old still API keeps refusing animations by name
+    anim = encode_webp_anim([img, img])
+    with pytest.raises(WebpParseError, match="decode_webp_frames"):
+        decode_webp(anim)
+
+
+def test_anim_fuzz_raises_named_error_only():
+    import random
+
+    from hortacloud_importer_spark.sources.webp import (
+        decode_webp_frames,
+        encode_webp_anim,
+    )
+
+    rng = np.random.default_rng(43)
+    frames = [
+        rng.integers(0, 256, (6, 8, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    payload = encode_webp_anim(frames, dispose_bg=True)
+    rnd = random.Random(0xA11)
+    for trial in range(500):
+        b = bytearray(payload)
+        mode = trial % 3
+        if mode == 0:
+            b = b[: rnd.randrange(len(b))]
+        elif mode == 1:
+            for _ in range(rnd.randrange(1, 5)):
+                b[rnd.randrange(len(b))] = rnd.randrange(256)
+        else:
+            at = rnd.randrange(len(b))
+            b[at : at + 8] = bytes(rnd.randrange(256) for _ in range(8))
+        try:
+            decode_webp_frames(bytes(b))
+        except WebpParseError:
+            pass
+
+
+def test_multimodal_kernel_routes_animated_webp():
+    from hortacloud_importer_spark.operators.multimodal import (
+        _decode_one,
+        _probe_one,
+    )
+    from hortacloud_importer_spark.sources.webp import encode_webp_anim
+
+    rng = np.random.default_rng(47)
+    frames = [
+        rng.integers(0, 256, (6, 8, 3), dtype=np.uint8) for _ in range(4)
+    ]
+    blob = encode_webp_anim(frames)
+    arr = _decode_one("webp", blob, {})
+    assert arr.shape == (4, 6, 8, 3)
+    meta = _probe_one("webp", blob, {})
+    assert (meta["height"], meta["width"], meta["n_frames"]) == (6, 8, 4)
