@@ -16,9 +16,12 @@ RFC 6386 decoder in sources/vp8.py; still images inside a 'VP8X'
 extended container decode through their inner VP8/VP8L chunk; and
 animated containers (ANIM/ANMF) composite through
 :func:`decode_webp_frames` — per-frame offsets, alpha-blend vs
-overwrite, dispose-to-background. Only the alpha sidecar (ALPH)
-still gates with :class:`WebpParseError`, so a crawl kernel running
-``errors="tag"`` counts it instead of failing the stage.
+overwrite, dispose-to-background. The ALPH alpha sidecar decodes
+too (raw and lossless compression, all four filters), so every
+variant of the format a crawl encounters — lossless, lossy, lossy
+with alpha, extended stills, animations — decodes clean-room;
+corrupt streams raise :class:`WebpParseError` for the
+``errors="tag"`` crawl kernels.
 
 Layout notes (all from the spec):
 
@@ -61,7 +64,7 @@ class WebpParseError(ValueError):
 # guard; 14-bit dims cap at 16384^2 = 1 Gpx = 4 GiB RGBA)
 MAX_PIXELS = 1 << 26
 
-_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
 
 # 2D distance mapping (spec: codes 1..120 address near neighbors)
 _DIST_MAP = (
@@ -550,70 +553,11 @@ def _inverse_color_transform(
         row[:, 3] = blue.astype(np.uint8)
 
 
-def decode_webp(data: bytes) -> np.ndarray:
-    """WebP bytes -> (h, w, 3|4) uint8 (RGB when fully opaque)."""
-    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
-        raise WebpParseError("not a RIFF/WEBP stream")
-    pos = 12
-    payload = None
-    while pos + 8 <= len(data):
-        fourcc = data[pos : pos + 4]
-        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-        body = data[pos + 8 : pos + 8 + size]
-        if fourcc == b"VP8L":
-            payload = body
-            break
-        if fourcc == b"VP8 ":
-            # lossy still image: a single VP8 intra keyframe
-            # (clean-room decoder in sources/vp8.py, RFC 6386)
-            from hortacloud_importer_spark.sources.vp8 import (
-                Vp8ParseError,
-                decode_vp8,
-                yuv_to_rgb,
-            )
-
-            try:
-                y, u, v = decode_vp8(bytes(body))
-            except Vp8ParseError as exc:
-                raise WebpParseError(f"VP8: {exc}") from exc
-            return yuv_to_rgb(y, u, v)
-        if fourcc == b"VP8X":
-            # extended container: flags byte is RR I L E X A R
-            # (MSB-first). Animation and alpha need compositing /
-            # an ALPH-chunk decode this engine gates by name; a
-            # plain still image inside VP8X decodes via the inner
-            # VP8 / VP8L chunk.
-            if len(body) < 10:
-                raise WebpParseError("short VP8X header")
-            flags = body[0]
-            if flags & 0x02:
-                raise WebpParseError(
-                    "animated WebP: decode_webp is the still-image "
-                    "API; use decode_webp_frames"
-                )
-            if flags & 0x10:
-                raise WebpParseError(
-                    "WebP alpha channel (VP8X ALPH) is not supported"
-                )
-            pos += 8 + size + (size & 1)
-            continue
-        pos += 8 + size + (size & 1)
-    if payload is None:
-        raise WebpParseError("no VP8/VP8L chunk in container")
-    if not payload or payload[0] != 0x2F:
-        raise WebpParseError("bad VP8L signature byte")
-    br = _BitReader(payload[1:])
-    w = br.read(14) + 1
-    h = br.read(14) + 1
-    br.read(1)  # alpha-is-used hint
-    version = br.read(3)
-    if version != 0:
-        raise WebpParseError(f"VP8L version {version}")
-    if w * h > MAX_PIXELS:
-        raise WebpParseError(
-            f"{w}x{h} exceeds the {MAX_PIXELS}-pixel decode guard"
-        )
-
+def _decode_vp8l_body(br: _BitReader, w: int, h: int) -> np.ndarray:
+    """Post-header VP8L stream (transform loop + entropy-coded
+    image + inverse transforms) -> (h, w, 4) uint8 RGBA. Shared by
+    still/animated pixel decode and the headerless ALPH alpha
+    stream (which stores alpha in the green channel)."""
     # transforms are read in stream order at the then-current width
     cur_w = w
     transforms: list[tuple] = []
@@ -686,10 +630,143 @@ def decode_webp(data: bytes) -> np.ndarray:
             argb[:, :, 1] = argb[:, :, 1] + g  # uint8 wraps
             argb[:, :, 3] = argb[:, :, 3] + g
 
-    rgba = argb[:, :, [1, 2, 3, 0]]
+    return np.ascontiguousarray(argb[:, :, [1, 2, 3, 0]])
+
+
+def _decode_alph(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk -> (h, w) uint8 alpha plane. Method byte packs
+    rsrv(2) P(2) F(2) C(2); C=0 is a raw w*h plane, C=1 a headerless
+    VP8L stream of implicit dimensions whose GREEN channel carries
+    alpha (transform loop included — libwebp emits a predictor
+    transform on smooth planes). Filtering (F) is inverted per the
+    container spec: row 0 left-chains, later rows predict the first
+    pixel from above and the rest from left / above / the clamped
+    gradient. Level-reduction preprocessing (P=1) is a lossy encoder
+    step with no inverse."""
+    if not body:
+        raise WebpParseError("empty ALPH chunk")
+    method = body[0]
+    if method >> 6:
+        raise WebpParseError("reserved ALPH bits set")
+    filt = (method >> 2) & 3
+    comp = method & 3
+    if comp == 0:
+        if len(body) - 1 < w * h:
+            raise WebpParseError(
+                f"raw ALPH holds {len(body) - 1} bytes for {w * h} pixels"
+            )
+        alpha = np.frombuffer(
+            body, dtype=np.uint8, count=w * h, offset=1
+        ).reshape(h, w).copy()
+    elif comp == 1:
+        rgba = _decode_vp8l_body(_BitReader(body[1:]), w, h)
+        alpha = rgba[:, :, 1].copy()  # green channel
+    else:
+        raise WebpParseError(f"ALPH compression method {comp} invalid")
+    if filt == 0:
+        return alpha
+    a = alpha.astype(np.int64)
+    if filt == 1:  # horizontal: cumulative left; rows>0 seed from above
+        a[0] = np.cumsum(a[0]) & 0xFF
+        for y in range(1, h):
+            a[y, 0] = (a[y, 0] + a[y - 1, 0]) & 0xFF
+            a[y] = np.cumsum(a[y]) & 0xFF
+    elif filt == 2:  # vertical: row 0 left-chains, then add above
+        a[0] = np.cumsum(a[0]) & 0xFF
+        a = np.cumsum(a, axis=0) & 0xFF
+    else:  # gradient
+        a[0] = np.cumsum(a[0]) & 0xFF
+        for y in range(1, h):
+            left = int(a[y - 1, 0])
+            top_left = left
+            row = a[y]
+            prev = a[y - 1]
+            for x in range(w):
+                top = int(prev[x])
+                pred = min(255, max(0, left + top - top_left))
+                left = (int(row[x]) + pred) & 0xFF
+                top_left = top
+                row[x] = left
+    return a.astype(np.uint8)
+
+
+def decode_webp(data: bytes) -> np.ndarray:
+    """WebP bytes -> (h, w, 3|4) uint8 (RGB when fully opaque)."""
+    if len(data) < 20 or data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise WebpParseError("not a RIFF/WEBP stream")
+    pos = 12
+    payload = None
+    alph_body = None
+    while pos + 8 <= len(data):
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if fourcc == b"VP8L":
+            payload = body
+            break
+        if fourcc == b"ALPH":
+            # alpha sidecar for the following lossy VP8 chunk
+            alph_body = bytes(body)
+            pos += 8 + size + (size & 1)
+            continue
+        if fourcc == b"VP8 ":
+            # lossy still image: a single VP8 intra keyframe
+            # (clean-room decoder in sources/vp8.py, RFC 6386)
+            from hortacloud_importer_spark.sources.vp8 import (
+                Vp8ParseError,
+                decode_vp8,
+                yuv_to_rgb,
+            )
+
+            try:
+                y, u, v = decode_vp8(bytes(body))
+            except Vp8ParseError as exc:
+                raise WebpParseError(f"VP8: {exc}") from exc
+            rgb = yuv_to_rgb(y, u, v)
+            if alph_body is None:
+                return rgb
+            alpha = _decode_alph(
+                alph_body, rgb.shape[1], rgb.shape[0]
+            )
+            return np.ascontiguousarray(
+                np.dstack([rgb, alpha])
+            )
+        if fourcc == b"VP8X":
+            # extended container: flags byte is RR I L E X A R
+            # (MSB-first). Stills (with or without an ALPH sidecar)
+            # decode through the inner chunks; animations route via
+            # decode_webp_frames.
+            if len(body) < 10:
+                raise WebpParseError("short VP8X header")
+            flags = body[0]
+            if flags & 0x02:
+                raise WebpParseError(
+                    "animated WebP: decode_webp is the still-image "
+                    "API; use decode_webp_frames"
+                )
+            pos += 8 + size + (size & 1)
+            continue
+        pos += 8 + size + (size & 1)
+    if payload is None:
+        raise WebpParseError("no VP8/VP8L chunk in container")
+    if not payload or payload[0] != 0x2F:
+        raise WebpParseError("bad VP8L signature byte")
+    br = _BitReader(payload[1:])
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha-is-used hint
+    version = br.read(3)
+    if version != 0:
+        raise WebpParseError(f"VP8L version {version}")
+    if w * h > MAX_PIXELS:
+        raise WebpParseError(
+            f"{w}x{h} exceeds the {MAX_PIXELS}-pixel decode guard"
+        )
+
+    rgba = _decode_vp8l_body(br, w, h)
     if (rgba[:, :, 3] == 255).all():
         return np.ascontiguousarray(rgba[:, :, :3])
-    return np.ascontiguousarray(rgba)
+    return rgba
 
 
 def webp_probe(data: bytes) -> tuple[int, int, str]:
@@ -842,30 +919,78 @@ def decode_webp_frames(data: bytes) -> np.ndarray:
 
 def _anmf_payload(body: bytes) -> np.ndarray:
     """Decode the frame subchunks inside one ANMF body -> (h, w, 3|4).
-    VP8L frames may carry alpha natively; a separate ALPH subchunk
-    (lossy frames with transparency) gates by name."""
+    VP8L frames carry alpha natively; lossy frames pair a VP8 chunk
+    with an ALPH sidecar — both rewrap into a still container so the
+    whole still path (including alpha) is reused."""
     pos = 0
+    chunks = []
     while pos + 8 <= len(body):
         fourcc = body[pos : pos + 4]
         (size,) = struct.unpack("<I", body[pos + 4 : pos + 8])
         chunk = body[pos + 8 : pos + 8 + size]
-        if fourcc == b"ALPH":
-            raise WebpParseError(
-                "WebP alpha channel (ANMF ALPH subchunk) is not supported"
-            )
-        if fourcc in (b"VP8 ", b"VP8L"):
-            shell = (
-                b"RIFF"
-                + struct.pack("<I", 4 + 8 + len(chunk) + (len(chunk) & 1))
-                + b"WEBP"
-                + fourcc
+        if fourcc in (b"ALPH", b"VP8 ", b"VP8L"):
+            chunks.append(
+                fourcc
                 + struct.pack("<I", len(chunk))
                 + chunk
                 + (b"\x00" if len(chunk) & 1 else b"")
             )
-            return decode_webp(shell)
+            if fourcc != b"ALPH":
+                inner = b"WEBP" + b"".join(chunks)
+                return decode_webp(
+                    b"RIFF" + struct.pack("<I", len(inner)) + inner
+                )
         pos += 8 + size + (size & 1)
     raise WebpParseError("ANMF frame without a VP8/VP8L payload")
+
+
+def encode_webp_alpha(
+    mb_vals,
+    alpha: np.ndarray,
+    filt: int = 0,
+) -> bytes:
+    """Fixture encoder: a VP8X still pairing a lossy VP8 frame
+    (sources/vp8.py per-macroblock luma constants) with a raw
+    (compression 0) ALPH plane under filter ``filt`` (0..3) —
+    exercising the decoder's unfilter paths without libwebp."""
+    from hortacloud_importer_spark.sources.vp8 import encode_vp8
+
+    h, w = alpha.shape
+    if filt not in (0, 1, 2, 3):
+        raise WebpParseError(f"ALPH filter {filt} invalid")
+    a = alpha.astype(np.int64)
+    res = a.copy()
+    if filt == 1:  # horizontal
+        res[:, 1:] = a[:, 1:] - a[:, :-1]
+        res[1:, 0] = a[1:, 0] - a[:-1, 0]
+    elif filt == 2:  # vertical (row 0 horizontal)
+        res[0, 1:] = a[0, 1:] - a[0, :-1]
+        res[1:] = a[1:] - a[:-1]
+    elif filt == 3:  # gradient (row 0 horizontal)
+        res[0, 1:] = a[0, 1:] - a[0, :-1]
+        for y in range(1, h):
+            for x in range(w):
+                left = int(a[y, x - 1]) if x else int(a[y - 1, 0])
+                top = int(a[y - 1, x])
+                top_left = int(a[y - 1, x - 1]) if x else top
+                res[y, x] = a[y, x] - min(255, max(0, left + top - top_left))
+    alph = bytes([filt << 2]) + (res & 0xFF).astype(np.uint8).tobytes()
+    vp8 = encode_vp8(mb_vals)
+    chunks = []
+    vp8x = bytes([0x10, 0, 0, 0]) + (w - 1).to_bytes(3, "little") + (
+        h - 1
+    ).to_bytes(3, "little")
+    chunks.append(b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x)
+    chunks.append(
+        b"ALPH" + struct.pack("<I", len(alph)) + alph
+        + (b"\x00" if len(alph) & 1 else b"")
+    )
+    chunks.append(
+        b"VP8 " + struct.pack("<I", len(vp8)) + vp8
+        + (b"\x00" if len(vp8) & 1 else b"")
+    )
+    inner = b"WEBP" + b"".join(chunks)
+    return b"RIFF" + struct.pack("<I", len(inner)) + inner
 
 
 def encode_webp_anim(
@@ -959,9 +1084,10 @@ def _write_flat_literal_code(bw: _BitWriter, alphabet: int) -> None:
     absent — via the code-length code, exercising its zero-run path."""
     bw.write(0, 1)  # not a simple code
     # code-length code: symbol 8 -> 1 bit, symbols 17/18 -> 2 bits
-    # (order is 17, 18, 0..7, 8 -> 11 slots)
-    bw.write(11 - 4, 4)
-    for sym_len in (2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 1):
+    # (spec slot order 17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8 -> 12
+    # slots to reach symbol 8)
+    bw.write(12 - 4, 4)
+    for sym_len in (2, 2, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1):
         bw.write(sym_len, 3)
     bw.write(0, 1)  # no max_symbol cap
     # canonical CL codes: 8 -> '0'; 17 -> '10'; 18 -> '11'

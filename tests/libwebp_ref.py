@@ -37,8 +37,68 @@ def load():
         ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
     ]
+    lib.WebPEncodeLosslessRGB.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGB.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeLosslessRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+    lib.WebPEncodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+    ]
+    lib.WebPDecodeRGBA.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
     lib.WebPFree.argtypes = [ctypes.c_void_p]
     return lib
+
+
+def encode_lossless(lib, img: np.ndarray) -> bytes:
+    """Lossless VP8L encode of (h, w, 3|4) uint8 via libwebp."""
+    h, w, c = img.shape
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    fn = lib.WebPEncodeLosslessRGB if c == 3 else lib.WebPEncodeLosslessRGBA
+    n = fn(np.ascontiguousarray(img).tobytes(), w, h, w * c,
+           ctypes.byref(out))
+    if n == 0:
+        raise RuntimeError("libwebp lossless encode failed")
+    data = ctypes.string_at(out, n)
+    lib.WebPFree(out)
+    return data
+
+
+def encode_rgba(lib, rgba: np.ndarray, quality: float) -> bytes:
+    """Lossy VP8 + lossless ALPH encode of (h, w, 4) uint8."""
+    h, w, _ = rgba.shape
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeRGBA(
+        np.ascontiguousarray(rgba).tobytes(), w, h, w * 4,
+        ctypes.c_float(quality), ctypes.byref(out),
+    )
+    if n == 0:
+        raise RuntimeError("libwebp RGBA encode failed")
+    data = ctypes.string_at(out, n)
+    lib.WebPFree(out)
+    return data
+
+
+def decode_rgba(lib, data: bytes) -> np.ndarray:
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = lib.WebPDecodeRGBA(data, len(data), ctypes.byref(w), ctypes.byref(h))
+    if not p:
+        raise RuntimeError("libwebp RGBA decode failed")
+    arr = np.ctypeslib.as_array(p, (h.value, w.value, 4)).copy()
+    lib.WebPFree(p)
+    return arr
 
 
 def encode_rgb(lib, rgb: np.ndarray, quality: float) -> bytes:

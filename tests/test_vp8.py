@@ -94,12 +94,16 @@ def test_vp8x_still_image_routes_to_inner_chunk():
     data = b"RIFF" + struct.pack("<I", len(payload)) + payload
     rgb = decode_webp(data)
     assert rgb.shape == (16, 16, 3)
-    # animation / alpha flags gate by name
-    for flag, msg in ((0x02, "animated"), (0x10, "alpha")):
-        bad = bytearray(data)
-        bad[20] = flag
-        with pytest.raises(WebpParseError, match=msg):
-            decode_webp(bytes(bad))
+    # the animation flag routes the still API to decode_webp_frames
+    bad = bytearray(data)
+    bad[20] = 0x02
+    with pytest.raises(WebpParseError, match="decode_webp_frames"):
+        decode_webp(bytes(bad))
+    # the alpha flag alone (no ALPH chunk present) is informative —
+    # the still decodes opaque through the inner VP8 chunk
+    flagged = bytearray(data)
+    flagged[20] = 0x10
+    assert np.array_equal(decode_webp(bytes(flagged)), rgb)
 
 
 def _mutations(payload: bytes, n: int, seed: int):
