@@ -556,6 +556,77 @@ def _decode_scan(data: bytes, hdr: dict, start: int, end: int, sof: dict):
     return store
 
 
+def _decode_scan_set(data: bytes, scans: list, sof: dict):
+    """Sequential MULTI-scan path (T.81 A.2): each SOS codes a subset
+    of the frame's components — fully non-interleaved (one scan per
+    component, blocks in the component's own raster) or partly
+    interleaved (2-3 components share a scan's MCU grid). Every
+    component must be coded exactly once. The single interleaved-scan
+    fast path stays in _decode_scan."""
+    comps = sof["comps"]
+    frame_ids = {c["id"] for c in comps}
+    hmax, vmax, mcux, mcuy = _frame_geometry(sof)
+    del hmax, vmax
+    store = _alloc_store(sof, mcux, mcuy)
+    seen: set = set()
+    for hdr, start, end in scans:
+        scomps = hdr["comps"]
+        for s in scomps:
+            if s["cs"] in seen:
+                raise JpegParseError(
+                    f"component {s['cs']} coded by two sequential scans"
+                )
+            seen.add(s["cs"])
+        huff = {}
+        for s in scomps:
+            dc_t, ac_t = hdr["dc"][s["td"]], hdr["ac"][s["ta"]]
+            if dc_t is None or ac_t is None:
+                raise JpegParseError(
+                    f"scan component {s['cs']} references undefined "
+                    "Huffman tables"
+                )
+            huff[s["cs"]] = (dc_t, ac_t)
+        units = _scan_blocks(sof, scomps, store)
+        segments = _restart_segments(data[start:end], hdr["ri"])
+        per_seg = hdr["ri"] or len(units)
+        pos = 0
+        for seg in segments:
+            reader = _BitReader(_unstuff(seg))
+            pred = {c["id"]: 0 for c in comps}
+            for unit in units[pos : pos + per_seg]:
+                for comp, blk in unit:
+                    dc_lut, ac_lut = huff[comp["id"]]
+                    t = _huff_decode(reader, dc_lut)
+                    diff = _extend(reader.receive(t), t)
+                    pred[comp["id"]] += diff
+                    blk[0] = pred[comp["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = _huff_decode(reader, ac_lut)
+                        r, s_ = rs >> 4, rs & 0xF
+                        if s_ == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise JpegParseError("AC run past block end")
+                        blk[k] = _extend(reader.receive(s_), s_)
+                        k += 1
+            pos += min(per_seg, len(units) - pos)
+        if pos < len(units):
+            raise JpegParseError(
+                f"scan ended after {pos} of {len(units)} data units"
+            )
+    if seen != frame_ids:
+        raise JpegParseError(
+            f"sequential scans never coded components "
+            f"{sorted(frame_ids - seen)}"
+        )
+    return store
+
+
 # ------------------------------------------- progressive (SOF2) scans
 # T.81 Annex G: four pass types accumulating into the coefficient
 # grids. Spectral-selection indexes are zigzag positions — the same
@@ -836,24 +907,26 @@ def _decode_jpeg_checked(
 
         if sof.get("progressive"):
             store = decode_arith_progressive(data, sof, scans)
-        else:
+        elif (
+            len(scans) == 1
+            and len(scans[0][0]["comps"]) == len(sof["comps"])
+        ):
             hdr, start, end = scans[0]
-            if len(hdr["comps"]) != len(sof["comps"]):
-                raise JpegParseError(
-                    "non-interleaved multi-scan sequential JPEG is not "
-                    "supported (one interleaved SOS expected)"
-                )
             store = decode_arith_seq(data, hdr, start, end, sof)
+        else:
+            from hortacloud_importer_spark.sources.jpeg_arith import (
+                decode_arith_scan_set,
+            )
+
+            store = decode_arith_scan_set(data, scans, sof)
     elif sof.get("progressive"):
         store = _decode_progressive(data, sof, scans)
-    else:
+    elif len(scans) == 1 and len(scans[0][0]["comps"]) == len(sof["comps"]):
         hdr, start, end = scans[0]
-        if len(hdr["comps"]) != len(sof["comps"]):
-            raise JpegParseError(
-                "non-interleaved multi-scan sequential JPEG is not "
-                "supported (one interleaved SOS expected)"
-            )
         store = _decode_scan(data, hdr, start, end, sof)
+    else:
+        # non-interleaved / partly-interleaved sequential multi-scan
+        store = _decode_scan_set(data, scans, sof)
     planes = _idct_planes(store, sof, tables)
 
     h, w = sof["h"], sof["w"]
@@ -1146,6 +1219,86 @@ def encode_jpeg(
         scan_stream = b"\xff\xd8" + dri + sof + sos + entropy + b"\xff\xd9"
         return tables_stream, scan_stream
     return b"\xff\xd8" + tables_blob + dri + sof + sos + entropy + b"\xff\xd9"
+
+
+def encode_jpeg_noninterleaved(
+    img: np.ndarray, qtable: np.ndarray | None = None
+) -> bytes:
+    """Fixture encoder for the sequential MULTI-scan layout
+    (T.81 A.2): (h, w, 3) RGB, 4:4:4, ONE full scan per component —
+    the stream shape some medical/scientific writers emit and
+    _decode_scan_set exists for. Tables/quality match encode_jpeg,
+    so decode(noninterleaved) must equal decode(interleaved)."""
+    if img.dtype != np.uint8 or img.ndim != 3 or img.shape[2] != 3:
+        raise JpegParseError(
+            "non-interleaved fixture encoder takes (h, w, 3) RGB"
+        )
+    if qtable is None:
+        qtable = np.ones(64, dtype=np.int32)
+    ycc = _rgb_to_ycbcr(img)
+    h, w = img.shape[:2]
+    zz_per_comp = [
+        _plane_zigzag_blocks(ycc[:, :, i], qtable) for i in range(3)
+    ]
+    dc_codes = _huff_code_map(_STD_DC_BITS, _STD_DC_VALS)
+    ac_codes = _huff_code_map(_STD_AC_BITS, _STD_AC_VALS)
+
+    def put_magnitude(v: int) -> tuple[int, int]:
+        t = 0 if v == 0 else int(abs(v)).bit_length()
+        return t, v if v >= 0 else v + (1 << t) - 1
+
+    scan_parts = []
+    for ci, zz in enumerate(zz_per_comp):
+        wtr = _BitWriter()
+        pred = 0
+        for blk in zz:
+            diff = int(blk[0]) - pred
+            pred = int(blk[0])
+            t, mag = put_magnitude(diff)
+            c, ln = dc_codes[t]
+            wtr.put(c, ln)
+            if t:
+                wtr.put(mag, t)
+            run = 0
+            last_nz = (
+                int(np.nonzero(blk[1:])[0][-1]) + 1
+                if np.any(blk[1:])
+                else 0
+            )
+            for k in range(1, last_nz + 1):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[0xF0]
+                    wtr.put(c, ln)
+                    run -= 16
+                t, mag = put_magnitude(v)
+                c, ln = ac_codes[(run << 4) | t]
+                wtr.put(c, ln)
+                wtr.put(mag, t)
+                run = 0
+            if last_nz < 63:
+                c, ln = ac_codes[0x00]
+                wtr.put(c, ln)
+        sos = _seg(0xDA, bytes([1, ci + 1, 0x00, 0, 63, 0]))
+        scan_parts.append(sos + wtr.flush())
+
+    sof = _seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3])
+        + b"".join(bytes([i + 1, 0x11, 0]) for i in range(3)),
+    )
+    return (
+        b"\xff\xd8"
+        + _table_segments(qtable)
+        + sof
+        + b"".join(scan_parts)
+        + b"\xff\xd9"
+    )
 
 
 def encode_jpeg_gray(

@@ -394,6 +394,70 @@ def decode_arith_seq(data: bytes, hdr: dict, start: int, end: int,
     return store
 
 
+def decode_arith_scan_set(data: bytes, scans: list, sof: dict):
+    """Sequential arithmetic MULTI-scan (the QM analog of
+    jpeg._decode_scan_set): each SOS codes a disjoint component
+    subset with its own decoder, statistics, predictions, and
+    conditioning; restart markers reset all four."""
+    from hortacloud_importer_spark.sources.jpeg import (
+        _alloc_store,
+        _frame_geometry,
+        _restart_segments,
+        _scan_blocks,
+        _unstuff,
+    )
+
+    comps = sof["comps"]
+    frame_ids = {c["id"] for c in comps}
+    _, _, mcux, mcuy = _frame_geometry(sof)
+    store = _alloc_store(sof, mcux, mcuy)
+    seen: set = set()
+    for hdr, start, end in scans:
+        for s in hdr["comps"]:
+            if s["cs"] in seen:
+                raise JpegParseError(
+                    f"component {s['cs']} coded by two sequential scans"
+                )
+            seen.add(s["cs"])
+        units = _scan_blocks(sof, hdr["comps"], store)
+        segments = _restart_segments(data[start:end], hdr["ri"])
+        per_seg = hdr["ri"] or len(units)
+        pos = 0
+        for seg in segments:
+            dec = _QmDecoder(_unstuff(seg))
+            dcs_t, acs_t, fixed, dc_cond, ac_kx = _new_stats(hdr)
+            sel = {
+                s["cs"]: (dcs_t[s["td"]], acs_t[s["ta"]])
+                for s in hdr["comps"]
+            }
+            pred = {c["id"]: 0 for c in comps}
+            dc_ctx = {c["id"]: 0 for c in comps}
+            for unit in units[pos : pos + per_seg]:
+                for comp, blk in unit:
+                    cid = comp["id"]
+                    dcs, acs = sel[cid]
+                    diff, dc_ctx[cid] = _decode_dc_diff(
+                        dec, dcs, dc_ctx[cid], dc_cond[cid]
+                    )
+                    pred[cid] += diff
+                    blk[0] = pred[cid]
+                    _decode_ac_band(
+                        dec, acs, fixed, blk, 1, 63, ac_kx[cid]
+                    )
+            pos += min(per_seg, len(units) - pos)
+        if pos < len(units):
+            raise JpegParseError(
+                f"arithmetic scan ended after {pos} of {len(units)} "
+                "data units"
+            )
+    if seen != frame_ids:
+        raise JpegParseError(
+            f"sequential scans never coded components "
+            f"{sorted(frame_ids - seen)}"
+        )
+    return store
+
+
 def decode_arith_progressive(data: bytes, sof: dict, scans: list):
     """Progressive (SOF10) frame: run every scan's pass type into
     shared coefficient grids (the arithmetic analog of

@@ -86,7 +86,20 @@ static int do_encode(const char *in, const char *out, int quality,
   jpeg_set_defaults(&cinfo);
   jpeg_set_quality(&cinfo, quality, TRUE);
   cinfo.arith_code = arith ? TRUE : FALSE;
-  if (prog) jpeg_simple_progression(&cinfo);
+  if (prog == 1) jpeg_simple_progression(&cinfo);
+  else if (prog == 2 && nc > 1) {
+    /* non-interleaved sequential: one full scan per component */
+    static jpeg_scan_info scans[4];
+    int ci;
+    for (ci = 0; ci < nc; ci++) {
+      scans[ci].comps_in_scan = 1;
+      scans[ci].component_index[0] = ci;
+      scans[ci].Ss = 0; scans[ci].Se = 63;
+      scans[ci].Ah = 0; scans[ci].Al = 0;
+    }
+    cinfo.scan_info = scans;
+    cinfo.num_scans = nc;
+  }
   if (nc > 1) {
     cinfo.comp_info[0].h_samp_factor = hs;
     cinfo.comp_info[0].v_samp_factor = vs;

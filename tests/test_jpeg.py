@@ -452,3 +452,41 @@ def test_progressive_truncated_scan_hard_errors():
     cut = blob[:i] + dri + blob[i:]
     with pytest.raises(JpegParseError, match="ended after"):
         decode_jpeg(cut)
+
+
+# -------------------------------------- sequential multi-scan (A.2)
+
+
+def test_noninterleaved_sequential_equals_interleaved():
+    """One full scan per component (T.81 A.2 non-interleaved layout)
+    must decode bit-identically to the interleaved stream of the same
+    image — same coefficients, same IDCT tail."""
+    from hortacloud_importer_spark.sources.jpeg import (
+        encode_jpeg_noninterleaved,
+    )
+
+    rng = np.random.default_rng(71)
+    for shape in [(16, 16, 3), (37, 53, 3), (64, 80, 3)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        ni = decode_jpeg(encode_jpeg_noninterleaved(img))
+        il = decode_jpeg(encode_jpeg(img))
+        assert np.array_equal(ni, il)
+
+
+def test_noninterleaved_scan_coverage_is_validated():
+    from hortacloud_importer_spark.sources.jpeg import (
+        encode_jpeg_noninterleaved,
+    )
+
+    rng = np.random.default_rng(73)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    blob = encode_jpeg_noninterleaved(img)
+    # duplicate component: rewrite scan 3's selector to component 1
+    i = blob.rfind(b"\xff\xda")
+    dup = blob[: i + 5] + bytes([1]) + blob[i + 6 :]
+    with pytest.raises(JpegParseError, match="coded by two"):
+        decode_jpeg(dup)
+    # drop the last scan entirely: a component is never coded
+    short = blob[:i] + b"\xff\xd9"
+    with pytest.raises(JpegParseError, match="never coded"):
+        decode_jpeg(short)

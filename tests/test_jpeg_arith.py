@@ -192,3 +192,21 @@ def test_libjpeg_decodes_our_arith_streams():
     a = jpeg_ref.decode(encode_jpeg_arith(img, restart_interval=5))
     h = jpeg_ref.decode(encode_jpeg(img))
     assert np.array_equal(a, h)
+
+
+@needs_libjpeg
+@pytest.mark.parametrize("arith", [0, 1], ids=["huffman", "arith"])
+@pytest.mark.parametrize(
+    "kw",
+    [dict(), dict(hs=2, vs=2), dict(ri=3)],
+    ids=["444", "420", "ri3"],
+)
+def test_noninterleaved_multiscan_parity(arith, kw):
+    """libjpeg scan scripts (one sequential scan per component) must
+    decode bit-identically to the interleaved stream — for both
+    entropy coders, subsampled and restart-interval variants."""
+    rng = np.random.default_rng(79)
+    img = rng.integers(0, 256, (48, 64, 3), dtype=np.uint8)
+    ni = decode_jpeg(jpeg_ref.encode(img, arith=arith, prog=2, **kw))
+    il = decode_jpeg(jpeg_ref.encode(img, arith=arith, prog=0, **kw))
+    assert np.array_equal(ni, il)
