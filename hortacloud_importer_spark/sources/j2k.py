@@ -42,10 +42,13 @@ transform when MCT is declared.
 Packed packet headers decode in both flavors — main-header PPM
 (Nppm-framed per-tile-part chunks, T.800 A.7.4) and tile-part PPT
 (Zppt-ordered per-tile segments, A.7.5) — and the fixture encoder
-emits them via ``packed_headers=``. Honest gates (raised as
+emits them via ``packed_headers=``. Per-component QCC quantization
+overrides decode (and the encoder emits them via ``qcc_eps_delta``);
+COC stays gated because per-component coding parameters change the
+packet walk itself. Honest gates (raised as
 :class:`J2kUnsupported`): non-unit component subsampling, signed
 components, custom precincts, code-block style flags
-(bypass/reset/termall/vsc/segsym), the RGN/POC markers, and
+(bypass/reset/termall/vsc/segsym), the COC/RGN/POC markers, and
 per-tile COD/QCD overrides. The
 scope covers what a lossless microscopy slice store actually writes;
 everything else still routes to the optional OpenJPEG bindings in
@@ -1268,6 +1271,7 @@ def encode_j2k(
     lossy: bool = False,
     quant: int = 2,
     packed_headers: str | None = None,
+    qcc_eps_delta: "dict[int, int] | None" = None,
 ) -> bytes:
     """(h, w[, nc]) uint8/uint16 -> lossless (5/3) codestream.
     ``tile=(xt, yt)`` splits the image into an XTsiz x YTsiz grid of
@@ -1336,6 +1340,24 @@ def encode_j2k(
         for r in range(1, levels + 1):
             lossy_eps += [eps0 - r + 1] * 3
 
+    eps_tabs = None
+    if qcc_eps_delta:
+        # per-component quantization overrides -> QCC markers; the
+        # expounded table is the only style where per-band deltas
+        # stay expressible
+        if not (lossy and quant == 2):
+            raise J2kParseError(
+                "qcc_eps_delta needs lossy=True, quant=2"
+            )
+        if any(not 0 <= c < nc for c in qcc_eps_delta):
+            raise J2kParseError("qcc_eps_delta names a missing component")
+        eps_tabs = [
+            [e + qcc_eps_delta.get(ci, 0) for e in lossy_eps]
+            for ci in range(nc)
+        ]
+        if any(not 0 < e <= 31 for tab in eps_tabs for e in tab):
+            raise J2kParseError("qcc_eps_delta drives eps out of 1..31")
+
     if lossy:
         planes = [
             img[:, :, c].astype(np.float64) - (1 << (depth - 1))
@@ -1375,7 +1397,7 @@ def encode_j2k(
                 x0,
                 y0,
                 layers,
-                lossy_eps,
+                eps_tabs if eps_tabs is not None else lossy_eps,
             )
         )
 
@@ -1412,6 +1434,18 @@ def encode_j2k(
             + sqcd
             + spqcd
         )
+        if qcc_eps_delta:
+            for ci in sorted(qcc_eps_delta):
+                spqcc = b"".join(
+                    struct.pack(">H", eps << 11) for eps in eps_tabs[ci]
+                )
+                out += (
+                    struct.pack(">H", QCC)
+                    + struct.pack(">H", 4 + 2 * n_bands)
+                    + bytes([ci])
+                    + sqcd
+                    + spqcc
+                )
     elif lossy:
         # scalar derived (style 1): the single eps0 from lossy_eps
         sqcd = bytes([(_GUARD_BITS << 5) | 1])
@@ -1510,14 +1544,21 @@ def _encode_tile(
     quantizes each band by 2^(Rb - eps)."""
     lossy = lossy_eps is not None
     comps = []
-    for plane in planes:
+    for ci, plane in enumerate(planes):
         pyr = (dwt_forward97 if lossy else dwt_forward)(plane, levels)
         bands = _build_bands(h, w, levels, cbw, cbh, depth, x0, y0)
         if lossy:
+            # lossy_eps: one shared table, or one per component (the
+            # QCC case — encode_j2k writes the matching QCC markers)
+            etab = (
+                lossy_eps[ci]
+                if lossy_eps and isinstance(lossy_eps[0], list)
+                else lossy_eps
+            )
             k = 0
             for blist in bands:
                 for band in blist:
-                    eps = lossy_eps[k]
+                    eps = etab[k]
                     k += 1
                     rb = depth + _BAND_GAIN[band.btype]
                     band.step = 2.0 ** (rb - eps)
@@ -1633,6 +1674,7 @@ def _parse_main_header(data: bytes):
     pos = 2
     siz = cod = qcd = None
     ppm_segs: list[tuple[int, bytes]] = []
+    qcc_segs: list[bytes] = []
     while pos + 4 <= len(data):
         marker = struct.unpack(">H", data[pos : pos + 2])[0]
         if marker == SOT:
@@ -1649,9 +1691,15 @@ def _parse_main_header(data: bytes):
             cod = seg
         elif marker == QCD:
             qcd = seg
-        elif marker in (COC, QCC):
+        elif marker == QCC:
+            # per-component quantization override; resolved against
+            # SIZ's component count in decode_j2k
+            qcc_segs.append(seg)
+        elif marker == COC:
+            # per-component CODING overrides change resolution counts
+            # and code-block geometry inside the packet walk itself
             raise J2kUnsupported(
-                "per-component COC/QCC overrides are not supported"
+                "per-component COC overrides are not supported"
             )
         elif marker == PPM:
             # packed packet headers, main-header flavor (T.800
@@ -1671,7 +1719,10 @@ def _parse_main_header(data: bytes):
     if siz is None or cod is None or qcd is None:
         raise J2kParseError("missing SIZ/COD/QCD before the tile")
     ppm_segs.sort(key=lambda t: t[0])
-    return siz, cod, qcd, pos, b"".join(seg for _, seg in ppm_segs)
+    return (
+        siz, cod, qcd, pos,
+        b"".join(seg for _, seg in ppm_segs), qcc_segs,
+    )
 
 
 def decode_j2k(data: bytes) -> np.ndarray:
@@ -1694,7 +1745,7 @@ def decode_j2k(data: bytes) -> np.ndarray:
 
 
 def _decode_j2k(data: bytes) -> np.ndarray:
-    siz, cod, qcd, pos, ppm_stream = _parse_main_header(data)
+    siz, cod, qcd, pos, ppm_stream, qcc_segs = _parse_main_header(data)
     if len(siz) < 36:
         raise J2kParseError("SIZ shorter than its fixed fields")
     (rsiz, xsiz, ysiz, xo, yo, xt, yt, xto, yto, nc) = struct.unpack(
@@ -1751,55 +1802,27 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     if cbw > 64 and cbh > 64 or cbw * cbh > 4096:
         raise J2kParseError(f"illegal code-block size {cbw}x{cbh}")
 
-    # QCD: style 0 = no quantization (reversible 5/3 exponents only),
+    # QCD per frame, optionally overridden per component by QCC:
+    # style 0 = no quantization (reversible 5/3 exponents only),
     # style 1 = scalar derived (one (eps, mu), per-band values derived
     # per T.800 E-5), style 2 = scalar expounded (per-band (eps, mu))
-    guard = qcd[0] >> 5
-    qstyle = qcd[0] & 0x1F
-    n_bands = 3 * levels + 1
-    if qstyle == 0:
-        if transform != 1:
-            raise J2kParseError("no-quantization QCD with the 9/7 transform")
-        exps = [b >> 3 for b in qcd[1:]]
-        mus = None
-        if len(exps) < n_bands:
-            raise J2kParseError("QCD exponent table shorter than band count")
-    elif qstyle in (1, 2):
-        if transform != 0:
-            # non-conformant header pairing, the mirror of the
-            # 9/7+style-0 case above: a parse error, not a gate
-            raise J2kParseError(
-                "scalar quantization with the reversible 5/3 transform"
-            )
-        if qstyle == 1:
-            if len(qcd) < 3:
-                raise J2kParseError("QCD too short for a derived pair")
-            (w16,) = struct.unpack(">H", qcd[1:3])
-            eps0, mu0 = w16 >> 11, w16 & 0x7FF
-            # band at resolution r has decomposition level
-            # levels - r + 1; E-5: eps_b = eps0 - levels + n_b
-            exps, mus = [eps0], [mu0]
-            for r in range(1, levels + 1):
-                e = eps0 - r + 1
-                if e < 0:
-                    raise J2kParseError(
-                        f"derived exponent underflow at resolution {r}"
-                    )
-                exps += [e, e, e]
-                mus += [mu0, mu0, mu0]
+    guard, exps, mus = _parse_quant(qcd, transform, levels, "QCD")
+    guard_c = [guard] * nc
+    exps_c = [exps] * nc
+    mus_c = [mus] * nc
+    for seg in qcc_segs:
+        if not seg:
+            raise J2kParseError("empty QCC segment")
+        if nc < 257:
+            cqcc, body = seg[0], seg[1:]
         else:
-            if len(qcd) < 1 + 2 * n_bands:
-                raise J2kParseError(
-                    "QCD expounded table shorter than band count"
-                )
-            vals = [
-                struct.unpack(">H", qcd[1 + 2 * i : 3 + 2 * i])[0]
-                for i in range(n_bands)
-            ]
-            exps = [v >> 11 for v in vals]
-            mus = [v & 0x7FF for v in vals]
-    else:
-        raise J2kUnsupported(f"quantization style {qstyle}")
+            if len(seg) < 2:
+                raise J2kParseError("QCC shorter than its Cqcc field")
+            cqcc, body = struct.unpack(">H", seg[:2])[0], seg[2:]
+        if cqcc >= nc:
+            raise J2kParseError(f"QCC names component {cqcc} of {nc}")
+        g, e, m = _parse_quant(body, transform, levels, "QCC")
+        guard_c[cqcc], exps_c[cqcc], mus_c[cqcc] = g, e, m
 
     _check_tile_geometry(xsiz, ysiz, xt, yt, levels, J2kUnsupported)
 
@@ -1907,15 +1930,15 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             cbw,
             cbh,
             depths,
-            guard,
-            exps,
+            guard_c,
+            exps_c,
             prog,
             use_sop,
             use_eph,
             x0,
             y0,
             nlayers,
-            mus,
+            mus_c,
             transform,
             packed=packed_by_tile.get(isot),
         )
@@ -1952,6 +1975,66 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     return out
 
 
+def _parse_quant(body: bytes, transform: int, levels: int,
+                 what: str) -> tuple[int, list, list | None]:
+    """Sqcd/SPqcd (or Sqcc/SPqcc) bytes -> (guard, exps, mus). The
+    same grammar serves QCD and per-component QCC overrides."""
+    if not body:
+        raise J2kParseError(f"empty {what} body")
+    guard = body[0] >> 5
+    qstyle = body[0] & 0x1F
+    n_bands = 3 * levels + 1
+    if qstyle == 0:
+        if transform != 1:
+            raise J2kParseError(
+                f"no-quantization {what} with the 9/7 transform"
+            )
+        exps = [b >> 3 for b in body[1:]]
+        mus = None
+        if len(exps) < n_bands:
+            raise J2kParseError(
+                f"{what} exponent table shorter than band count"
+            )
+    elif qstyle in (1, 2):
+        if transform != 0:
+            # non-conformant header pairing, the mirror of the
+            # 9/7+style-0 case above: a parse error, not a gate
+            raise J2kParseError(
+                f"scalar quantization {what} with the reversible "
+                "5/3 transform"
+            )
+        if qstyle == 1:
+            if len(body) < 3:
+                raise J2kParseError(f"{what} too short for a derived pair")
+            (w16,) = struct.unpack(">H", body[1:3])
+            eps0, mu0 = w16 >> 11, w16 & 0x7FF
+            # band at resolution r has decomposition level
+            # levels - r + 1; E-5: eps_b = eps0 - levels + n_b
+            exps, mus = [eps0], [mu0]
+            for r in range(1, levels + 1):
+                e = eps0 - r + 1
+                if e < 0:
+                    raise J2kParseError(
+                        f"derived exponent underflow at resolution {r}"
+                    )
+                exps += [e, e, e]
+                mus += [mu0, mu0, mu0]
+        else:
+            if len(body) < 1 + 2 * n_bands:
+                raise J2kParseError(
+                    f"{what} expounded table shorter than band count"
+                )
+            vals = [
+                struct.unpack(">H", body[1 + 2 * i : 3 + 2 * i])[0]
+                for i in range(n_bands)
+            ]
+            exps = [v >> 11 for v in vals]
+            mus = [v & 0x7FF for v in vals]
+    else:
+        raise J2kUnsupported(f"quantization style {qstyle}")
+    return guard, exps, mus
+
+
 def _decode_tile_planes(
     tile: bytes,
     th: int,
@@ -1961,15 +2044,15 @@ def _decode_tile_planes(
     cbw: int,
     cbh: int,
     depths: list,
-    guard: int,
-    exps: list,
+    guard_c: list,
+    exps_c: list,
     prog: int,
     use_sop: bool,
     use_eph: bool,
     x0: int = 0,
     y0: int = 0,
     nlayers: int = 1,
-    mus: list | None = None,
+    mus_c: list | None = None,
     transform: int = 1,
     packed: bytes | None = None,
 ) -> list:
@@ -1986,6 +2069,9 @@ def _decode_tile_planes(
     body bytes remain in ``tile``."""
     comps = []
     for ci in range(nc):
+        guard = guard_c[ci]
+        exps = exps_c[ci]
+        mus = mus_c[ci] if mus_c is not None else None
         bands = _build_bands(th, tw, levels, cbw, cbh, depths[ci], x0, y0)
         k = 0
         for blist in bands:

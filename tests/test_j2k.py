@@ -545,3 +545,83 @@ def test_packed_headers_corruption_contract_fuzz():
                 decode_j2k(bytes(buf))
             except J2kParseError:
                 pass  # J2kUnsupported subclasses it
+
+
+# ---------------------------------------- QCC component overrides
+
+
+def test_qcc_per_component_quantization_round_trip():
+    """QCC markers override QCD per component: coarsening ONE
+    component's table (eps-4 => 16x coarser steps) must degrade that
+    component alone — proving the decoder binds each QCC to its
+    component, not just parses it."""
+    from hortacloud_importer_spark.sources.j2k import decode_j2k, encode_j2k
+
+    rng = np.random.default_rng(83)
+    img = rng.integers(0, 256, (48, 48, 3), dtype=np.uint8)
+    for target in (0, 1, 2):
+        blob = encode_j2k(
+            img, lossy=True, quant=2, mct=False,
+            qcc_eps_delta={target: -4},
+        )
+        assert b"\xff\x5d" in blob  # QCC marker emitted
+        out = decode_j2k(blob)
+        for c in range(3):
+            err = int(
+                np.abs(out[:, :, c].astype(int) - img[:, :, c].astype(int)).max()
+            )
+            if c == target:
+                assert 1 <= err <= 16, (target, c, err)
+            else:
+                assert err == 0, (target, c, err)
+
+
+def test_qcc_degenerate_override_matches_no_qcc():
+    from hortacloud_importer_spark.sources.j2k import decode_j2k, encode_j2k
+
+    rng = np.random.default_rng(89)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    plain = decode_j2k(encode_j2k(img, lossy=True, quant=2, mct=False))
+    with_qcc = decode_j2k(
+        encode_j2k(
+            img, lossy=True, quant=2, mct=False,
+            qcc_eps_delta={0: 0, 1: 0, 2: 0},
+        )
+    )
+    assert np.array_equal(plain, with_qcc)
+
+
+def test_qcc_errors_are_named():
+    from hortacloud_importer_spark.sources.j2k import (
+        J2kParseError,
+        decode_j2k,
+        encode_j2k,
+    )
+
+    rng = np.random.default_rng(97)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    with pytest.raises(J2kParseError, match="lossy"):
+        encode_j2k(img, qcc_eps_delta={0: 1})
+    with pytest.raises(J2kParseError, match="missing component"):
+        encode_j2k(img, lossy=True, qcc_eps_delta={7: 1})
+    blob = bytearray(
+        encode_j2k(img, lossy=True, quant=2, mct=False,
+                   qcc_eps_delta={1: -2})
+    )
+    i = blob.find(b"\xff\x5d")
+    b = bytearray(blob)
+    b[i + 4] = 9  # Cqcc -> missing component
+    with pytest.raises(J2kParseError, match="names component"):
+        decode_j2k(bytes(b))
+    # corruption inside the QCC body stays a named error
+    import random
+
+    rnd = random.Random(0x9CC)
+    for _ in range(150):
+        b = bytearray(blob)
+        at = rnd.randrange(i, min(i + 40, len(b)))
+        b[at] = rnd.randrange(256)
+        try:
+            decode_j2k(bytes(b))
+        except J2kParseError:
+            pass

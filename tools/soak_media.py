@@ -49,6 +49,8 @@ FORMATS = [
     ("gif", 0.5, (256, 256)),  # 3-frame animation per item
     ("bmp", 1.0, (256, 256)),
     ("webp", 0.25, (256, 256)),  # VP8L prefix decode is bit-serial
+    ("jpeg_arith", 0.5, (256, 256)),  # QM coder is bit-serial
+    ("webp_anim", 0.125, (256, 256)),  # 3 VP8L frames + compositing
 ]
 
 
@@ -122,6 +124,21 @@ def _encode_payload(fmt: str, seed: int, dims: tuple[int, int]) -> bytes:
 
         img8 = (unit * 255).astype(np.uint8)
         return encode_webp(np.stack([img8] * 3, axis=-1))
+    if fmt == "jpeg_arith":
+        from hortacloud_importer_spark.sources.jpeg_arith import (
+            encode_jpeg_arith,
+        )
+
+        return encode_jpeg_arith((unit * 255).astype(np.uint8))
+    if fmt == "webp_anim":
+        from hortacloud_importer_spark.sources.webp import encode_webp_anim
+
+        img8 = (unit * 255).astype(np.uint8)
+        frames = [
+            np.stack([np.roll(img8, 7 * f, axis=1)] * 3, axis=-1)
+            for f in range(3)
+        ]
+        return encode_webp_anim(frames)
     raise ValueError(fmt)
 
 
@@ -131,6 +148,8 @@ def _decode_fmt(fmt: str) -> str:
         "jpeg": "jpeg",
         "jpeg_prog": "jpeg",
         "jpeg12": "jpeg",
+        "jpeg_arith": "jpeg",
+        "webp_anim": "webp",
         "png": "png",
         "j2k": "jp2",
         "j2k_lossy": "jp2",
