@@ -86,6 +86,16 @@ _QE = (
 # Statistics bins are bytearrays of packed (state_index << 1) | MPS.
 _FIXED = 113 << 1  # non-adaptive state: Qe ~ 0.5, self-looping
 
+# Flattened transition tables over the packed (index << 1) | MPS byte:
+# Qe per packed state, and the packed successor after an MPS / LPS
+# decision (the LPS table folds the switch-MPS flip in).
+_QE_Q = tuple(_QE[s >> 1][0] for s in range(228))
+_NEXT_MPS = bytes((_QE[s >> 1][2] << 1) | (s & 1) for s in range(228))
+_NEXT_LPS = bytes(
+    (_QE[s >> 1][1] << 1) | ((s & 1) ^ 1 if _QE[s >> 1][3] else (s & 1))
+    for s in range(228)
+)
+
 _DC_BINS = 64
 _AC_BINS = 256
 _DC_DEFAULT_COND = (0, 1)  # (L, U) when no DAC segment names the table
@@ -121,48 +131,44 @@ class _QmDecoder:
         return 0
 
     def decode(self, stats: bytearray, i: int) -> int:
+        # Hot path first: an MPS decision needing no renormalization
+        # touches only A (the overwhelmingly common case — the state
+        # machine drives Qe small for skewed contexts).
         s = stats[i]
-        mps = s & 1
-        qe, nlps, nmps, switch = _QE[s >> 1]
+        qe = _QE_Q[s]
         a = self.a - qe
-        if (self.c >> 16) < a:
+        c = self.c
+        if (c >> 16) < a:
             # bottom sub-interval (size A - Qe): MPS unless exchanged
             if a & 0x8000:
                 self.a = a
-                return mps
+                return s & 1
             if a < qe:  # conditional exchange: bottom belongs to LPS
-                d = mps ^ 1
-                if switch:
-                    mps ^= 1
-                stats[i] = (nlps << 1) | mps
+                d = (s & 1) ^ 1
+                stats[i] = _NEXT_LPS[s]
             else:
-                d = mps
-                stats[i] = (nmps << 1) | mps
-            self.a = a
+                d = s & 1
+                stats[i] = _NEXT_MPS[s]
         else:
             # top sub-interval (size Qe): LPS unless exchanged
-            self.c = (self.c - (a << 16)) & 0xFFFFFFFF
+            c -= a << 16
             if a < qe:  # conditional exchange: top belongs to MPS
-                d = mps
-                stats[i] = (nmps << 1) | mps
+                d = s & 1
+                stats[i] = _NEXT_MPS[s]
             else:
-                d = mps ^ 1
-                if switch:
-                    mps ^= 1
-                stats[i] = (nlps << 1) | mps
-            self.a = qe
+                d = (s & 1) ^ 1
+                stats[i] = _NEXT_LPS[s]
+            a = qe
         # renormalize
-        a = self.a
-        c = self.c
         ct = self.ct
+        data = self.data
+        pos = self.pos
+        n = len(data)
         while a < 0x8000:
             if ct == 0:
-                if self.pos < len(self.data):
-                    b = self.data[self.pos]
-                    self.pos += 1
-                else:
-                    b = 0
-                c = (c + (b << 8)) & 0xFFFFFFFF
+                if pos < n:
+                    c += data[pos] << 8
+                    pos += 1
                 ct = 8
             a <<= 1
             c = (c << 1) & 0xFFFFFFFF
@@ -170,6 +176,7 @@ class _QmDecoder:
         self.a = a
         self.c = c
         self.ct = ct
+        self.pos = pos
         return d
 
 
@@ -301,23 +308,24 @@ def _decode_dc_diff(dec, dcs, ctx, cond):
 def _decode_ac_band(dec, acs, fixed, blk, ss, se, kx, shift=0):
     """F.2.4.2 Decode_AC_coefficients over zigzag band [ss, se];
     writes (value << shift) into the zigzag-ordered block vector."""
+    decode = dec.decode  # hot loop: bind the method once
     k = ss
     while k <= se:
         st = 3 * (k - 1)
-        if dec.decode(acs, st):
+        if decode(acs, st):
             return  # end of block
-        while not dec.decode(acs, st + 1):
+        while not decode(acs, st + 1):
             st += 3
             k += 1
             if k > se:
                 raise JpegParseError("arithmetic AC run past band end")
-        sign = dec.decode(fixed, 0)
+        sign = decode(fixed, 0)
         st += 2
-        m = dec.decode(acs, st)
-        if m and dec.decode(acs, st):
+        m = decode(acs, st)
+        if m and decode(acs, st):
             m = 2
             st = 189 if k <= kx else 217  # X2 chains (Table F.5)
-            while dec.decode(acs, st):
+            while decode(acs, st):
                 m <<= 1
                 if m == 0x8000:
                     raise JpegParseError(
@@ -328,7 +336,7 @@ def _decode_ac_band(dec, acs, fixed, blk, ss, se, kx, shift=0):
         st += 14
         m >>= 1
         while m:
-            if dec.decode(acs, st):
+            if decode(acs, st):
                 v |= m
             m >>= 1
         v += 1
