@@ -112,6 +112,20 @@ _CTX_INIT[0] = (4, 0)
 _CTX_INIT[CTX_RL] = (3, 0)
 _CTX_INIT[CTX_UNI] = (46, 0)
 
+# Decoder-side flattened state machine over packed (index << 1) | MPS
+# bytes: Qe per packed state and the packed successor after an MPS /
+# LPS decision (the switch-MPS flip folded into the LPS table) — one
+# index each in the hot loop instead of a tuple unpack + two lists.
+_MQ_Q = tuple(_MQ_TABLE[t >> 1][0] for t in range(2 * len(_MQ_TABLE)))
+_MQ_NEXT_MPS = bytes(
+    (_MQ_TABLE[t >> 1][1] << 1) | (t & 1) for t in range(2 * len(_MQ_TABLE))
+)
+_MQ_NEXT_LPS = bytes(
+    (_MQ_TABLE[t >> 1][2] << 1)
+    | ((t & 1) ^ 1 if _MQ_TABLE[t >> 1][3] else (t & 1))
+    for t in range(2 * len(_MQ_TABLE))
+)
+
 
 class MQDecoder:
     """Annex C.3 software-convention decoder. Reads past the end of
@@ -120,8 +134,9 @@ class MQDecoder:
 
     def __init__(self, data: bytes, n_ctx: int = N_CTX):
         self.data = data
-        self.idx = [i for i, _ in _CTX_INIT[:n_ctx]]
-        self.mps = [m for _, m in _CTX_INIT[:n_ctx]]
+        self.st = bytearray(
+            (i << 1) | m for i, m in _CTX_INIT[:n_ctx]
+        )
         self.bp = 0
         b = data[0] if data else 0xFF
         self.c = b << 16
@@ -149,45 +164,50 @@ class MQDecoder:
             self.ct = 8
 
     def decode(self, cx: int) -> int:
-        qe, nmps, nlps, sw = _MQ_TABLE[self.idx[cx]]
-        mps = self.mps[cx]
-        self.a -= qe
-        if ((self.c >> 16) & 0xFFFF) < qe:
-            if self.a < qe:  # conditional exchange: MPS decoded
-                d = mps
-                self.idx[cx] = nmps
+        # Hot path first: an MPS decision needing no renormalization
+        # touches only A and C (the overwhelmingly common case).
+        st = self.st
+        t = st[cx]
+        qe = _MQ_Q[t]
+        a = self.a - qe
+        c = self.c
+        if ((c >> 16) & 0xFFFF) < qe:
+            if a < qe:  # conditional exchange: MPS decoded
+                d = t & 1
+                st[cx] = _MQ_NEXT_MPS[t]
             else:
-                d = 1 - mps
-                if sw:
-                    self.mps[cx] = 1 - mps
-                self.idx[cx] = nlps
-            self.a = qe
-            self._renorm()
+                d = (t & 1) ^ 1
+                st[cx] = _MQ_NEXT_LPS[t]
+            a = qe
         else:
-            self.c -= qe << 16
-            if self.a & 0x8000 == 0:
-                if self.a < qe:  # conditional exchange: LPS decoded
-                    d = 1 - mps
-                    if sw:
-                        self.mps[cx] = 1 - mps
-                    self.idx[cx] = nlps
-                else:
-                    d = mps
-                    self.idx[cx] = nmps
-                self._renorm()
+            c -= qe << 16
+            if a & 0x8000:
+                self.a = a
+                self.c = c
+                return t & 1
+            if a < qe:  # conditional exchange: LPS decoded
+                d = (t & 1) ^ 1
+                st[cx] = _MQ_NEXT_LPS[t]
             else:
-                d = mps
-        return d
-
-    def _renorm(self):
+                d = t & 1
+                st[cx] = _MQ_NEXT_MPS[t]
+        # renormalize (a < 0x8000 here)
+        ct = self.ct
         while True:
-            if self.ct == 0:
+            if ct == 0:
+                self.c = c
                 self._bytein()
-            self.a = (self.a << 1) & 0xFFFF
-            self.c = (self.c << 1) & 0xFFFFFFFF
-            self.ct -= 1
-            if self.a & 0x8000:
-                return
+                c = self.c
+                ct = self.ct
+            a = (a << 1) & 0xFFFF
+            c = (c << 1) & 0xFFFFFFFF
+            ct -= 1
+            if a & 0x8000:
+                break
+        self.a = a
+        self.c = c
+        self.ct = ct
+        return d
 
 
 class MQEncoder:
