@@ -217,6 +217,12 @@ def _gen_corpus(spark, per_format: int) -> float:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--per-format", type=int, default=2048)
+    ap.add_argument(
+        "--reps", type=int, default=3,
+        help="repetitions per format; min wall is recorded (the same "
+        "estimator bench.py uses — this shared box shows 2-5x "
+        "wall swings from host noise on short phases)",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
@@ -240,6 +246,7 @@ def main() -> int:
     sampler.start()
     report: dict = {
         "per_format": args.per_format,
+        "reps": max(1, args.reps),
         "cpus": int(cpus),
         "baseline_rss_gib": round(sampler._total_rss_kb() / 2**20, 2),
     }
@@ -305,17 +312,20 @@ def main() -> int:
         )
         # no repartition: the scan's split partitioning feeds the
         # decode kernel directly — payload bytes must never shuffle
-        before = {s["stageId"]: s for s in _stages(spark)}
-        t0 = time.monotonic()
-        agg = media_features(sub).agg(
-            F.count("*").alias("n"),
-            F.sum("n_bytes").alias("px"),
-            F.avg("mean_intensity").alias("mean"),
-        ).collect()[0]
-        wall = time.monotonic() - t0
-        new_stages = [
-            s for s in _stages(spark) if s["stageId"] not in before
-        ]
+        wall = None
+        for _rep in range(max(1, args.reps)):
+            before = {s["stageId"]: s for s in _stages(spark)}
+            t0 = time.monotonic()
+            agg = media_features(sub).agg(
+                F.count("*").alias("n"),
+                F.sum("n_bytes").alias("px"),
+                F.avg("mean_intensity").alias("mean"),
+            ).collect()[0]
+            rep_wall = time.monotonic() - t0
+            wall = rep_wall if wall is None else min(wall, rep_wall)
+            new_stages = [
+                s for s in _stages(spark) if s["stageId"] not in before
+            ]
         shuf_mb = round(
             sum(
                 s.get("shuffleReadBytes", 0) + s.get("shuffleWriteBytes", 0)
@@ -450,7 +460,10 @@ def _write_md(r: dict) -> None:
         "",
         f"Generated by `tools/soak_media.py` on local[{r['cpus']}] "
         f"(per_format={r['per_format']}, 256x256 payloads, "
-        "production `media_features` kernel over Arrow batches).",
+        "production `media_features` kernel over Arrow batches; wall "
+        f"= min of {r.get('reps', 1)} reps per format — this shared "
+        "box shows 2-5x single-run swings from host noise, the same "
+        "reason bench.py min-aggregates).",
         "",
         "| format | items | payload MiB | wall s | Mpx/s | MiB/s | shuffle MiB |",
         "|---|---|---|---|---|---|---|",
