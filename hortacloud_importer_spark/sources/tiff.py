@@ -14,7 +14,8 @@ assembly, zlib/deflate codecs
 LZW (tag 5, early-change) and PackBits RLE (tag 32773) decode,
 baseline "new-style" JPEG (tag 7, clean-room T.81 decoder in
 sources/jpeg.py with JPEGTables-tag support — TIFF TechNote 2),
-horizontal predictor (tag 317), grayscale or contiguous multi-sample,
+horizontal predictor (tag 317), grayscale or multi-sample pages in
+both chunky and separate-plane layouts (PlanarConfiguration 1/2),
 8/16-bit unsigned, 32-bit IEEE float (SampleFormat 3), and bilevel
 CCITT fax pages (compressions 2/3/4 — T.4 MH, full Group 3, and
 Group 4, clean-room in sources/ccitt.py). Formats beyond that
@@ -520,12 +521,11 @@ def _decode_page(
             f"page {width}x{length}x{spp} exceeds the "
             f"{MAX_SAMPLES}-sample decode guard"
         )
-    if spp > 1 and ifd.get(_TAG_PLANAR_CONFIG, [1])[0] != 1:
-        # Planar (separate-plane) layout would decode to silently wrong
-        # pixels if treated as chunky; reject it explicitly.
+    planar = ifd.get(_TAG_PLANAR_CONFIG, [1])[0]
+    if spp > 1 and planar not in (1, 2):
         raise TiffParseError(
-            f"PlanarConfiguration {ifd[_TAG_PLANAR_CONFIG][0]} unsupported "
-            "(only 1 = chunky)"
+            f"PlanarConfiguration {planar} unsupported (1 = chunky, "
+            "2 = separate planes)"
         )
     dtype, _bits = _page_dtype(ec, ifd)
     if compression == _COMP_OLDJPEG and _TAG_JIF in ifd:
@@ -546,11 +546,64 @@ def _decode_page(
     else:
         offsets = _required(ifd, _TAG_STRIP_OFFSETS, "StripOffsets")
         counts = _required(ifd, _TAG_STRIP_COUNTS, "StripByteCounts")
+    if spp > 1 and planar == 2:
+        # Separate planes (TIFF 6.0 PlanarConfiguration 2): the block
+        # tables hold all of sample 0's blocks, then sample 1's, ...
+        # — decode each plane as a 1-sample grid and stack.
+        per_plane = across * down
+        if len(offsets) < spp * per_plane or len(counts) < spp * per_plane:
+            raise TiffParseError(
+                f"planar {'tile' if tiled else 'strip'} table too "
+                f"short: {len(offsets)} offsets for {spp} planes of "
+                f"{down}x{across}"
+            )
+        planes = [
+            _decode_block_grid(
+                fetch, ifd,
+                offsets[si * per_plane : (si + 1) * per_plane],
+                counts[si * per_plane : (si + 1) * per_plane],
+                compression, predictor, dtype, 1, _bits, jpeg_tables,
+                tiled, brows, bcols, across, down, length, width,
+                window, stats,
+            )
+            for si in range(spp)
+        ]
+        return np.concatenate(planes, axis=2)
     if len(offsets) < across * down or len(counts) < across * down:
         raise TiffParseError(
             f"{'tile' if tiled else 'strip'} table too short: "
             f"{len(offsets)} offsets for a {down}x{across} grid"
         )
+    return _decode_block_grid(
+        fetch, ifd, offsets, counts, compression, predictor, dtype,
+        spp, _bits, jpeg_tables, tiled, brows, bcols, across, down,
+        length, width, window, stats,
+    )
+
+
+def _decode_block_grid(
+    fetch,
+    ifd: dict[int, list],
+    offsets: list,
+    counts: list,
+    compression: int,
+    predictor: int,
+    dtype: np.dtype,
+    spp: int,
+    _bits: int,
+    jpeg_tables: bytes | None,
+    tiled: bool,
+    brows: int,
+    bcols: int,
+    across: int,
+    down: int,
+    length: int,
+    width: int,
+    window: tuple[int, int, int, int] | None,
+    stats: dict | None,
+) -> np.ndarray:
+    """Decode (a window of) one block grid — a chunky page, or one
+    plane of a PlanarConfiguration-2 page."""
     y0, y1, x0, x1 = window if window else (0, length, 0, width)
     y0, y1 = max(0, y0), min(length, y1)
     x0, x1 = max(0, x0), min(width, x1)
