@@ -130,10 +130,13 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
         try:
             import PIL.Image  # noqa: F401
         except ImportError:
-            # clean-room PNG (sources/png.py): stdlib zlib + filters
-            from hortacloud_importer_spark.sources.png import decode_png
+            # clean-room PNG (sources/png.py): stdlib zlib + filters;
+            # APNG animations composite to real multi-frame output
+            from hortacloud_importer_spark.sources.png import (
+                decode_png_frames,
+            )
 
-            return decode_png(bytes(payload))[None, ...]
+            return decode_png_frames(bytes(payload))
     if fmt == "gif":
         # clean-room GIF87a/89a (sources/gif.py): LZW, interlace,
         # animation compositing with 89a disposal — the one built-in
@@ -359,9 +362,13 @@ def _probe_one(fmt: str, payload: bytes, meta) -> dict:
 
         h, w, c = jpeg_probe(payload)
     elif fmt == "png":
-        from hortacloud_importer_spark.sources.png import png_probe
+        from hortacloud_importer_spark.sources.png import (
+            png_frame_count,
+            png_probe,
+        )
 
         h, w, c = png_probe(payload)
+        nf = png_frame_count(payload)
     elif fmt == "gif":
         from hortacloud_importer_spark.sources.gif import gif_probe
 

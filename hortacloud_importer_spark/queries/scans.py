@@ -1036,6 +1036,68 @@ def scan_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_apng_frames",
+    "A1+K4+J4",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT z,
+       AVG(v) AS mean_intensity,
+       CAST(MIN(v) AS INTEGER) AS min_intensity,
+       CAST(MAX(v) AS INTEGER) AS max_intensity
+FROM (
+  SELECT t1.range AS z, (17 * (t1.range + 3) * (t2.range + 2)) % 256 AS v
+  FROM range(4) t1, range(3) t2
+)
+GROUP BY z
+""",
+)
+def scan_apng_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 ANIMATED PNG over REAL containers, oracle-exact: each file
+    is a 3-frame APNG (acTL/fcTL/fdAT) of full-canvas constant frames
+    v = (17*(z+3)*(m+2)) mod 256 — PNG is lossless, so the composited
+    snapshots match the closed-form DuckDB values exactly; sequence
+    numbering, fdAT re-wrapping, or compositing bugs all break the
+    hash."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import media_features
+    from hortacloud_importer_spark.sources.png import encode_apng
+
+    workdir = tempfile.mkdtemp(prefix="apng_")
+    for z in range(4):
+        frames = [
+            np.full((6, 8, 3), (17 * (z + 3) * (m + 2)) % 256, np.uint8)
+            for m in range(3)
+        ]
+        with open(f"{workdir}/anim.{z:03d}.png", "wb") as fh:
+            fh.write(encode_apng(frames))
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*.png")
+        .select(
+            F.regexp_extract(F.col("path"), r"\.(\d{3})\.png$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.lit("png").alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 6, 'width', 8, 'channels', 3,"
+                " 'sample_rate', 0, 'n_frames', 3)"
+            ).alias("meta"),
+        )
+    )
+    return media_features(media).select(
+        F.col("media_id").alias("z"),
+        "mean_intensity",
+        "min_intensity",
+        "max_intensity",
+    )
+
+
+@register(
     "scan_webp_anim",
     "A1+K4+J4",
     driver=False,  # the external driver set is frozen at 50

@@ -16,7 +16,10 @@ on an external library:
   ones a plain-int loop);
 - both interlace methods: null (0) and Adam7 (1) — the seven
   sub-images decode from one zlib stream and scatter onto the pass
-  grid.
+  grid;
+- APNG animation (acTL/fcTL/fdAT): frames re-wrap as standalone PNGs
+  through the same still path and composite with the spec's dispose
+  (none/background/previous) and blend (source/over) operations.
 
 A matching encoder (filter 0, one IDAT) exists so tests are
 spec-shaped files, with marker/CRC-level assertions, rather than
@@ -436,3 +439,243 @@ def encode_png(img: np.ndarray) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(lines), 6))
         + chunk(b"IEND", b"")
     )
+
+
+# ------------------------------------------------ APNG (animation)
+# Animated PNG per the public APNG specification (now PNG Third
+# Edition): acTL declares the frame count, each frame is an fcTL
+# control chunk plus IDAT (first frame only, when fcTL precedes
+# IDAT) or fdAT chunks whose payloads are IDAT bytes prefixed with a
+# sequence number. Frames composite onto an initially-transparent
+# canvas with per-frame dispose (none/background/previous) and blend
+# (source/over) operations.
+
+
+def png_frame_count(data: bytes) -> int:
+    """Animation frame count from acTL (1 for stills) — header walk
+    only, no inflate."""
+    for ctype, payload in _chunks(data):
+        if ctype == b"acTL":
+            if len(payload) < 8:
+                raise PngParseError("acTL shorter than 8 bytes")
+            return max(1, struct.unpack(">I", payload[:4])[0])
+        if ctype in (b"IDAT", b"IEND"):
+            break
+    return 1
+
+
+def decode_png_frames(data: bytes) -> np.ndarray:
+    """PNG bytes -> (n_frames, height, width, channels); animations
+    composite to uint8, stills keep their native dtype.
+
+    Stills come back as one frame (any depth/color type, via
+    :func:`decode_png`). Animated PNGs composite every frame onto the
+    canvas: each frame's pixel data is re-wrapped as a standalone PNG
+    (same IHDR parameters at the frame's dimensions, shared
+    PLTE/tRNS) and decoded through the normal still path, so filters,
+    interlace, palettes, and transparency all behave identically.
+    16-bit animations gate by name (the canvas model is 8-bit)."""
+    chunks = list(_chunks(data))
+    has_actl = any(c == b"acTL" for c, _ in chunks)
+    if not has_actl:
+        arr = decode_png(data)  # stills keep their native dtype
+        return arr[None]
+
+    ihdr = next((p for c, p in chunks if c == b"IHDR"), None)
+    if ihdr is None or len(ihdr) != 13:
+        raise PngParseError("no IHDR chunk")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth == 16:
+        raise PngParseError(
+            "16-bit APNG is not supported (8-bit canvas model)"
+        )
+    actl = next(p for c, p in chunks if c == b"acTL")
+    if len(actl) < 8:
+        raise PngParseError("acTL shorter than 8 bytes")
+    (n_frames,) = struct.unpack(">I", actl[:4])
+    if not 1 <= n_frames <= 4096:
+        raise PngParseError(f"acTL declares {n_frames} frames")
+    if w * h * n_frames > MAX_SAMPLES:
+        raise PngParseError(
+            f"{n_frames} frames of {w}x{h} exceed the "
+            f"{MAX_SAMPLES}-sample decode guard"
+        )
+
+    aux = b"".join(
+        struct.pack(">I", len(p)) + c + p
+        + struct.pack(">I", zlib.crc32(c + p) & 0xFFFFFFFF)
+        for c, p in chunks
+        if c in (b"PLTE", b"tRNS")
+    )
+
+    # gather (fcTL, [data chunks]) in stream order with sequence check
+    frames: list[tuple[bytes, list[bytes]]] = []
+    idat_in_animation = False
+    seq_expected = 0
+    seen_idat = False
+    for ctype, payload in chunks:
+        if ctype == b"fcTL":
+            if len(payload) != 26:
+                raise PngParseError("fcTL payload is not 26 bytes")
+            (seq,) = struct.unpack(">I", payload[:4])
+            if seq != seq_expected:
+                raise PngParseError(
+                    f"APNG sequence number {seq}, expected {seq_expected}"
+                )
+            seq_expected += 1
+            frames.append((payload, []))
+            if not seen_idat:
+                idat_in_animation = True
+        elif ctype == b"IDAT":
+            seen_idat = True
+            if frames and idat_in_animation and len(frames) == 1:
+                frames[0][1].append(payload)
+        elif ctype == b"fdAT":
+            if len(payload) < 4:
+                raise PngParseError("fdAT shorter than its sequence field")
+            (seq,) = struct.unpack(">I", payload[:4])
+            if seq != seq_expected:
+                raise PngParseError(
+                    f"APNG sequence number {seq}, expected {seq_expected}"
+                )
+            seq_expected += 1
+            if not frames:
+                raise PngParseError("fdAT before any fcTL")
+            frames[-1][1].append(payload[4:])
+    if len(frames) != n_frames:
+        raise PngParseError(
+            f"acTL declares {n_frames} frames, stream holds {len(frames)}"
+        )
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    canvas = np.zeros((h, w, 4), dtype=np.uint8)  # transparent start
+    out = []
+    for fctl, datas in frames:
+        fw, fh, fx, fy = struct.unpack(">IIII", fctl[4:20])
+        dispose, blend = fctl[24], fctl[25]
+        if fx + fw > w or fy + fh > h or not fw or not fh:
+            raise PngParseError(
+                f"frame {fw}x{fh}@{fx},{fy} exceeds the {w}x{h} canvas"
+            )
+        if dispose > 2 or blend > 1:
+            raise PngParseError(
+                f"APNG dispose {dispose} / blend {blend} invalid"
+            )
+        if not datas:
+            raise PngParseError("APNG frame without pixel data")
+        sub_ihdr = struct.pack(
+            ">IIBBBBB", fw, fh, depth, color, comp, filt, interlace
+        )
+        sub_png = (
+            PNG_SIGNATURE
+            + chunk(b"IHDR", sub_ihdr)
+            + aux
+            + b"".join(chunk(b"IDAT", d) for d in datas)
+            + chunk(b"IEND", b"")
+        )
+        arr = decode_png(sub_png)
+        if arr.ndim == 2:
+            arr = arr[:, :, None]
+        if arr.shape[2] == 1:  # gray -> RGB
+            arr = np.repeat(arr, 3, axis=2)
+        elif arr.shape[2] == 2:  # gray+alpha
+            arr = np.dstack([np.repeat(arr[:, :, :1], 3, axis=2),
+                             arr[:, :, 1]])
+        if arr.shape[2] == 3:
+            arr = np.dstack(
+                [arr, np.full((fh, fw), 255, dtype=np.uint8)]
+            )
+        rect = canvas[fy : fy + fh, fx : fx + fw]
+        saved = rect.copy() if dispose == 2 else None
+        if blend == 0:  # source: replace including alpha
+            rect[:] = arr
+        else:  # over: integer alpha composite, round-half-up
+            a = arr[:, :, 3:].astype(np.uint16)
+            inv = 255 - a
+            mixed = (
+                a * arr[:, :, :3].astype(np.uint16)
+                + inv * rect[:, :, :3].astype(np.uint16)
+                + 127
+            ) // 255
+            out_a = a + (inv * rect[:, :, 3:].astype(np.uint16) + 127) // 255
+            rect[:, :, :3] = mixed.astype(np.uint8)
+            rect[:, :, 3:] = out_a.astype(np.uint8)
+        out.append(canvas.copy())
+        if dispose == 1:  # background: clear region to transparent
+            rect[:] = 0
+        elif dispose == 2:  # previous: revert region
+            rect[:] = saved
+    result = np.stack(out)
+    if (result[:, :, :, 3] == 255).all():
+        return np.ascontiguousarray(result[:, :, :, :3])
+    return result
+
+
+def encode_apng(
+    frames: "list[np.ndarray]",
+    offsets: "list[tuple[int, int]] | None" = None,
+    canvas: tuple[int, int] | None = None,
+    dispose: int = 0,
+    blend: int = 0,
+) -> bytes:
+    """Fixture encoder: uint8 RGB/RGBA frames -> APNG (acTL + fcTL +
+    IDAT/fdAT). The first frame is part of the animation (fcTL
+    precedes IDAT)."""
+    if not frames:
+        raise PngParseError("need at least one frame")
+    offsets = offsets or [(0, 0)] * len(frames)
+    c = frames[0].shape[2]
+    if any(f.dtype != np.uint8 or f.ndim != 3 or f.shape[2] != c
+           for f in frames):
+        raise PngParseError("frames must share one uint8 (h, w, c) shape")
+    if canvas is None:
+        ch = max(y + f.shape[0] for (x, y), f in zip(offsets, frames))
+        cw = max(x + f.shape[1] for (x, y), f in zip(offsets, frames))
+    else:
+        cw, ch = canvas
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    def idat_of(img: np.ndarray) -> bytes:
+        blob = encode_png(img)
+        out = b""
+        for ctype, payload in _chunks(blob):
+            if ctype == b"IDAT":
+                out += payload
+        return out
+
+    color = {3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", cw, ch, 8, color, 0, 0, 0)
+    parts = [PNG_SIGNATURE, chunk(b"IHDR", ihdr)]
+    parts.append(
+        chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    )
+    seq = 0
+    for i, ((x, y), frame) in enumerate(zip(offsets, frames)):
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, frame.shape[1], frame.shape[0],
+            x, y, 1, 10, dispose, blend,
+        )
+        parts.append(chunk(b"fcTL", fctl))
+        seq += 1
+        data = idat_of(frame)
+        if i == 0:
+            parts.append(chunk(b"IDAT", data))
+        else:
+            parts.append(
+                chunk(b"fdAT", struct.pack(">I", seq) + data)
+            )
+            seq += 1
+    parts.append(chunk(b"IEND", b""))
+    return b"".join(parts)

@@ -64,6 +64,12 @@ def _fixture_payloads():
             (avi.AviParseError, jpeg.JpegParseError),
         ),
         ("png", png.encode_png(img), png.decode_png, (png.PngParseError,)),
+        (
+            "apng",
+            png.encode_apng([rgb, rgb], dispose=1),
+            png.decode_png_frames,
+            (png.PngParseError,),
+        ),
         ("jpeg", jpeg.encode_jpeg(img), jpeg.decode_jpeg, (jpeg.JpegParseError,)),
         (
             "jpeg_arith",

@@ -319,3 +319,149 @@ def test_unfilter_wavefront_paeth_heavy_decode():
     assert h * (w * 3) >= P._WAVEFRONT_MIN_BYTES
     blob = _hand_png(w, h, 8, 2, raw)
     assert np.array_equal(decode_png(blob), img)
+
+
+# ------------------------------------------------ APNG (animation)
+
+
+def test_apng_composites_frames_offsets_blend_dispose():
+    from hortacloud_importer_spark.sources.png import (
+        decode_png_frames,
+        encode_apng,
+        png_frame_count,
+    )
+
+    rng = np.random.default_rng(109)
+    f0 = rng.integers(0, 256, (8, 10, 3), dtype=np.uint8)
+    f1 = rng.integers(0, 256, (4, 6, 3), dtype=np.uint8)
+    blob = encode_apng([f0, f1], offsets=[(0, 0), (2, 2)])
+    assert png_frame_count(blob) == 2
+    fr = decode_png_frames(blob)
+    assert fr.shape == (2, 8, 10, 3)
+    assert np.array_equal(fr[0], f0)
+    want1 = f0.copy()
+    want1[2:6, 2:8] = f1
+    assert np.array_equal(fr[1], want1)
+
+    # over-blend with RGBA frames: integer alpha composite
+    f0a = np.dstack([f0, np.full((8, 10), 255, np.uint8)])
+    fa = np.dstack([f1, np.full((4, 6), 128, np.uint8)])
+    fr2 = decode_png_frames(
+        encode_apng([f0a, fa], offsets=[(0, 0), (2, 2)], blend=1)
+    )
+    a = 128
+    exp = (
+        (a * f1.astype(np.uint16)
+         + (255 - a) * f0[2:6, 2:8].astype(np.uint16) + 127) // 255
+    ).astype(np.uint8)
+    assert np.array_equal(fr2[1, 2:6, 2:8, :3], exp)
+
+    # dispose-to-background leaves a transparent hole for later frames
+    f2 = rng.integers(0, 256, (2, 2, 3), dtype=np.uint8)
+    fr3 = decode_png_frames(
+        encode_apng([f0, f1, f2], offsets=[(0, 0), (2, 2), (0, 0)],
+                    dispose=1)
+    )
+    assert fr3.shape[3] == 4
+    assert (fr3[2, 2:6, 2:8, 3] == 0).all()
+
+    # dispose-previous reverts each frame's region after its snapshot
+    fr4 = decode_png_frames(
+        encode_apng([f0, f1, f2], offsets=[(0, 0), (2, 2), (0, 0)],
+                    dispose=2)
+    )
+    assert np.array_equal(fr4[2, 0:2, 0:2, :3], f2)
+    assert (fr4[2, 4:, :, 3] == 0).all()
+
+
+def test_apng_stills_pass_through_with_native_dtype():
+    from hortacloud_importer_spark.sources.png import decode_png_frames
+
+    rng = np.random.default_rng(113)
+    img8 = rng.integers(0, 256, (6, 7, 3), dtype=np.uint8)
+    fr = decode_png_frames(encode_png(img8))
+    assert fr.shape == (1, 6, 7, 3) and np.array_equal(fr[0], img8)
+    img16 = rng.integers(0, 65536, (6, 7)).astype(np.uint16)
+    fr = decode_png_frames(encode_png(img16))
+    assert fr.dtype == np.uint16
+    assert np.array_equal(fr[0, :, :, 0], img16)
+
+
+def test_apng_errors_are_named():
+    from hortacloud_importer_spark.sources.png import (
+        decode_png_frames,
+        encode_apng,
+    )
+
+    rng = np.random.default_rng(127)
+    f = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    blob = bytearray(encode_apng([f, f]))
+    # out-of-order sequence number
+    i = blob.find(b"fdAT")
+    b = bytearray(blob)
+    b[i + 4 : i + 8] = (9).to_bytes(4, "big")
+    import zlib as _z
+    # fix the CRC so the chunk walk accepts the mutated payload
+    ln = int.from_bytes(b[i - 4 : i], "big")
+    crc = _z.crc32(bytes(b[i : i + 4 + ln])) & 0xFFFFFFFF
+    b[i + 4 + ln : i + 8 + ln] = crc.to_bytes(4, "big")
+    with pytest.raises(PngParseError, match="sequence"):
+        decode_png_frames(bytes(b))
+    # frame rectangle outside the canvas
+    i = blob.find(b"fcTL")
+    b = bytearray(blob)
+    b[i + 8 : i + 12] = (99).to_bytes(4, "big")  # frame width 99
+    ln = int.from_bytes(b[i - 4 : i], "big")
+    crc = _z.crc32(bytes(b[i : i + 4 + ln])) & 0xFFFFFFFF
+    b[i + 4 + ln : i + 8 + ln] = crc.to_bytes(4, "big")
+    with pytest.raises(PngParseError, match="canvas"):
+        decode_png_frames(bytes(b))
+
+
+def test_apng_fuzz_raises_named_error_only():
+    import random
+
+    from hortacloud_importer_spark.sources.png import (
+        decode_png_frames,
+        encode_apng,
+    )
+
+    rng = np.random.default_rng(131)
+    frames = [
+        rng.integers(0, 256, (6, 8, 3), dtype=np.uint8) for _ in range(3)
+    ]
+    payload = encode_apng(frames, dispose=1)
+    rnd = random.Random(0xA9)
+    for trial in range(400):
+        b = bytearray(payload)
+        mode = trial % 3
+        if mode == 0:
+            b = b[: rnd.randrange(len(b))]
+        elif mode == 1:
+            for _ in range(rnd.randrange(1, 5)):
+                b[rnd.randrange(len(b))] = rnd.randrange(256)
+        else:
+            at = rnd.randrange(len(b))
+            b[at : at + 8] = bytes(rnd.randrange(256) for _ in range(8))
+        try:
+            decode_png_frames(bytes(b))
+        except PngParseError:
+            pass
+
+
+def test_multimodal_kernel_routes_apng():
+    from hortacloud_importer_spark.operators.multimodal import (
+        _decode_one,
+        _probe_one,
+    )
+    from hortacloud_importer_spark.sources.png import encode_apng
+
+    rng = np.random.default_rng(137)
+    frames = [
+        rng.integers(0, 256, (6, 8, 3), dtype=np.uint8) for _ in range(4)
+    ]
+    blob = encode_apng(frames)
+    arr = _decode_one("png", blob, {})
+    assert arr.shape == (4, 6, 8, 3)
+    meta = _probe_one("png", blob, {})
+    assert (meta["height"], meta["width"], meta["n_frames"]) == (6, 8, 4)
