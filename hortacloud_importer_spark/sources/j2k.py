@@ -45,11 +45,14 @@ Packed packet headers decode in both flavors — main-header PPM
 emits them via ``packed_headers=``. Per-component QCC quantization
 overrides decode (and the encoder emits them via ``qcc_eps_delta``);
 COC stays gated because per-component coding parameters change the
-packet walk itself. Honest gates (raised as
-:class:`J2kUnsupported`): non-unit component subsampling, signed
+packet walk itself. Maxshift
+region-of-interest (RGN, T.800 Annex H) decodes — ROI-upshifted
+coefficients classify by magnitude and scale back after Tier-1 —
+within the 31-coded-bit-plane integer domain. Honest gates (raised
+as :class:`J2kUnsupported`): non-unit component subsampling, signed
 components, custom precincts, code-block style flags
-(bypass/reset/termall/vsc/segsym), the COC/RGN/POC markers, and
-per-tile COD/QCD overrides. The
+(bypass/reset/termall/vsc/segsym), explicit-style RGN, the COC/POC
+markers, and per-tile COD/QCD overrides. The
 scope covers what a lossless microscopy slice store actually writes;
 everything else still routes to the optional OpenJPEG bindings in
 sources/jp2.py.
@@ -1292,6 +1295,8 @@ def encode_j2k(
     quant: int = 2,
     packed_headers: str | None = None,
     qcc_eps_delta: "dict[int, int] | None" = None,
+    roi: tuple[int, int, int, int] | None = None,
+    roi_shift: int = 0,
 ) -> bytes:
     """(h, w[, nc]) uint8/uint16 -> lossless (5/3) codestream.
     ``tile=(xt, yt)`` splits the image into an XTsiz x YTsiz grid of
@@ -1360,6 +1365,11 @@ def encode_j2k(
         for r in range(1, levels + 1):
             lossy_eps += [eps0 - r + 1] * 3
 
+    if (roi is None) != (roi_shift == 0):
+        raise J2kParseError("roi and roi_shift must be given together")
+    if roi_shift and not 1 <= roi_shift <= 37:
+        raise J2kParseError(f"roi_shift {roi_shift} out of 1..37")
+
     eps_tabs = None
     if qcc_eps_delta:
         # per-component quantization overrides -> QCC markers; the
@@ -1403,6 +1413,13 @@ def encode_j2k(
 
     tiles = []
     for (x0, y0, x1, y1) in _tile_rects(w, h, xt, yt):
+        tile_roi = None
+        if roi is not None:
+            ry0, ry1, rx0, rx1 = roi
+            iy0, iy1 = max(ry0, y0), min(ry1, y1)
+            ix0, ix1 = max(rx0, x0), min(rx1, x1)
+            if iy0 < iy1 and ix0 < ix1:
+                tile_roi = (iy0 - y0, iy1 - y0, ix0 - x0, ix1 - x0)
         tiles.append(
             _encode_tile(
                 [p[y0:y1, x0:x1] for p in planes],
@@ -1418,6 +1435,8 @@ def encode_j2k(
                 y0,
                 layers,
                 eps_tabs if eps_tabs is not None else lossy_eps,
+                roi=tile_roi,
+                roi_shift=roi_shift,
             )
         )
 
@@ -1488,6 +1507,9 @@ def encode_j2k(
             + sqcd
             + spqcd
         )
+    if roi_shift:
+        for ci in range(nc):
+            out += struct.pack(">HH", RGN, 5) + bytes([ci, 0, roi_shift])
     tile_bytes = bytearray()
     ppm_stream = bytearray()
     for isot, packets in enumerate(tiles):
@@ -1550,6 +1572,8 @@ def _encode_tile(
     y0: int = 0,
     nlayers: int = 1,
     lossy_eps: list | None = None,
+    roi: tuple[int, int, int, int] | None = None,
+    roi_shift: int = 0,
 ) -> list[bytes]:
     """Tier-1 + Tier-2 encode one tile's (already level-shifted /
     MCT'd) component planes into its packet stream, returned one
@@ -1589,6 +1613,28 @@ def _encode_tile(
             bands[r][0].coeffs = hl
             bands[r][1].coeffs = lh
             bands[r][2].coeffs = hh
+        if roi_shift:
+            # maxshift ROI (T.800 H.2): more coded bit-planes, and the
+            # tile-local rect mapped into each band's coefficient grid
+            ry0, ry1, rx0, rx1 = roi if roi is not None else (0, 0, 0, 0)
+            for r, blist in enumerate(bands):
+                sb = levels if r == 0 else levels - r + 1
+                for band in blist:
+                    band.mb += roi_shift
+                    if band.mb > 31:
+                        raise J2kUnsupported(
+                            f"maxshift ROI needs {band.mb} coded "
+                            "bit-planes; the integer Tier-1 domain "
+                            "caps at 31 (use <= 8-bit imagery or a "
+                            "smaller shift)"
+                        )
+                    if roi is not None:
+                        band.roi_rect = (
+                            ry0 >> sb,
+                            (ry1 + (1 << sb) - 1) >> sb,
+                            rx0 >> sb,
+                            (rx1 + (1 << sb) - 1) >> sb,
+                        )
         comps.append(bands)
 
     # Tier-1 encode every block; build inclusion/msb trees. The
@@ -1610,6 +1656,26 @@ def _encode_tile(
                                 * np.floor(np.abs(blk) / band.step)
                             )
                         blk = blk.astype(np.int32)
+                        rect = getattr(band, "roi_rect", None)
+                        if roi_shift:
+                            mask = np.zeros(blk.shape, dtype=bool)
+                            if rect is not None:
+                                my0 = max(rect[0] - y0b, 0)
+                                my1 = min(rect[1] - y0b, bh)
+                                mx0 = max(rect[2] - x0b, 0)
+                                mx1 = min(rect[3] - x0b, bw)
+                                if my0 < my1 and mx0 < mx1:
+                                    mask[my0:my1, mx0:mx1] = True
+                            bg_max = int(
+                                np.abs(blk[~mask]).max(initial=0)
+                            )
+                            if bg_max >= 1 << roi_shift:
+                                raise J2kParseError(
+                                    f"roi_shift {roi_shift} too small: "
+                                    f"background magnitude {bg_max} "
+                                    "would classify as ROI"
+                                )
+                            blk = np.where(mask, blk << roi_shift, blk)
                         data, nplanes, npasses = t1_encode_block(
                             blk, band.btype
                         )
@@ -1695,6 +1761,7 @@ def _parse_main_header(data: bytes):
     siz = cod = qcd = None
     ppm_segs: list[tuple[int, bytes]] = []
     qcc_segs: list[bytes] = []
+    rgn_segs: list[bytes] = []
     while pos + 4 <= len(data):
         marker = struct.unpack(">H", data[pos : pos + 2])[0]
         if marker == SOT:
@@ -1728,11 +1795,14 @@ def _parse_main_header(data: bytes):
             if not seg:
                 raise J2kParseError("empty PPM segment")
             ppm_segs.append((seg[0], seg[1:]))
-        elif marker in (RGN, POC):
-            # Each of these changes how packets/coefficients must be
-            # interpreted; skipping them would silently misdecode.
+        elif marker == RGN:
+            # maxshift region-of-interest (T.800 Annex H); resolved
+            # against SIZ's component count in decode_j2k
+            rgn_segs.append(seg)
+        elif marker == POC:
+            # progression-order changes rewrite the packet walk
             raise J2kUnsupported(
-                f"marker 0x{marker:04x} (RGN/POC) is not supported"
+                f"marker 0x{marker:04x} (POC) is not supported"
             )
         # COM/TLM/PLM and anything else informational: skip
         pos += 2 + length
@@ -1741,7 +1811,7 @@ def _parse_main_header(data: bytes):
     ppm_segs.sort(key=lambda t: t[0])
     return (
         siz, cod, qcd, pos,
-        b"".join(seg for _, seg in ppm_segs), qcc_segs,
+        b"".join(seg for _, seg in ppm_segs), qcc_segs, rgn_segs,
     )
 
 
@@ -1765,7 +1835,9 @@ def decode_j2k(data: bytes) -> np.ndarray:
 
 
 def _decode_j2k(data: bytes) -> np.ndarray:
-    siz, cod, qcd, pos, ppm_stream, qcc_segs = _parse_main_header(data)
+    (
+        siz, cod, qcd, pos, ppm_stream, qcc_segs, rgn_segs,
+    ) = _parse_main_header(data)
     if len(siz) < 36:
         raise J2kParseError("SIZ shorter than its fixed fields")
     (rsiz, xsiz, ysiz, xo, yo, xt, yt, xto, yto, nc) = struct.unpack(
@@ -1843,6 +1915,23 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             raise J2kParseError(f"QCC names component {cqcc} of {nc}")
         g, e, m = _parse_quant(body, transform, levels, "QCC")
         guard_c[cqcc], exps_c[cqcc], mus_c[cqcc] = g, e, m
+    rgn_c = [0] * nc
+    for seg in rgn_segs:
+        need = 3 if nc < 257 else 4
+        if len(seg) < need:
+            raise J2kParseError("RGN segment too short")
+        if nc < 257:
+            crgn, srgn, sprgn = seg[0], seg[1], seg[2]
+        else:
+            crgn = struct.unpack(">H", seg[:2])[0]
+            srgn, sprgn = seg[2], seg[3]
+        if crgn >= nc:
+            raise J2kParseError(f"RGN names component {crgn} of {nc}")
+        if srgn != 0:
+            raise J2kUnsupported(f"RGN style {srgn} (only 0 = maxshift)")
+        if sprgn > 37:
+            raise J2kParseError(f"RGN shift {sprgn} exceeds 37")
+        rgn_c[crgn] = sprgn
 
     _check_tile_geometry(xsiz, ysiz, xt, yt, levels, J2kUnsupported)
 
@@ -1961,6 +2050,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             mus_c,
             transform,
             packed=packed_by_tile.get(isot),
+            rgn_c=rgn_c,
         )
         for ci in range(nc):
             planes[ci][y0:y1, x0:x1] = tplanes[ci]
@@ -2075,6 +2165,7 @@ def _decode_tile_planes(
     mus_c: list | None = None,
     transform: int = 1,
     packed: bytes | None = None,
+    rgn_c: list | None = None,
 ) -> list:
     """Tier-2 + Tier-1 + inverse DWT for one tile's byte stream ->
     per-component (th, tw) planes (int64 reversible, float64
@@ -2092,11 +2183,21 @@ def _decode_tile_planes(
         guard = guard_c[ci]
         exps = exps_c[ci]
         mus = mus_c[ci] if mus_c is not None else None
+        rgn = rgn_c[ci] if rgn_c is not None else 0
         bands = _build_bands(th, tw, levels, cbw, cbh, depths[ci], x0, y0)
         k = 0
         for blist in bands:
             for band in blist:
-                band.mb = guard + exps[k] - 1
+                # maxshift ROI raises the coded bit-plane count
+                # (T.800 H.2); the downshift happens after Tier-1
+                band.mb = guard + exps[k] - 1 + rgn
+                if rgn and band.mb > 31:
+                    raise J2kUnsupported(
+                        f"maxshift ROI needs {band.mb} coded "
+                        "bit-planes; the integer Tier-1 domain caps "
+                        "at 31"
+                    )
+                band.rgn = rgn
                 if transform == 0:
                     rb = depths[ci] + _BAND_GAIN[band.btype]
                     band.step = 2.0 ** (rb - exps[k]) * (
@@ -2189,6 +2290,16 @@ def _decode_tile_planes(
                         b"".join(chunks), bw, bh, band.btype,
                         nplanes, npasses,
                     )
+                    rgn = getattr(band, "rgn", 0)
+                    if rgn:
+                        # maxshift: magnitudes >= 2^s are ROI
+                        # coefficients, scaled back down (T.800 H.2)
+                        mag = np.abs(blk)
+                        blk = np.where(
+                            mag >= (1 << rgn),
+                            np.sign(blk) * (mag >> rgn),
+                            blk,
+                        )
                     if band.step is not None:
                         # midpoint dequantization (r = 1/2, T.800
                         # E.1); sign(0) == 0 keeps zeros at zero

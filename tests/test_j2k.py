@@ -254,10 +254,11 @@ def test_review_gates_signed_rgn_and_error_contract():
     with pytest.raises(J2kUnsupported, match="signed"):
         decode_j2k(bytes(ba))
 
-    # RGN in the main header -> gate (previously skipped => misdecode)
-    rgn = b"\xff\x5e" + struct.pack(">H", 5) + b"\x00\x00\x05"
+    # RGN maxshift now DECODES (test_rgn_maxshift_roi_round_trip);
+    # the explicit-ROI style (Srgn != 0) still gates by name
+    rgn = b"\xff\x5e" + struct.pack(">H", 5) + b"\x00\x01\x05"
     k = enc.find(b"\xff\x90")
-    with pytest.raises(J2kUnsupported, match="RGN"):
+    with pytest.raises(J2kUnsupported, match="maxshift"):
         decode_j2k(enc[:k] + rgn + enc[k:])
 
     # short-but-self-consistent COD (Lcod admits 5 bytes): the inner
@@ -625,3 +626,59 @@ def test_qcc_errors_are_named():
             decode_j2k(bytes(b))
         except J2kParseError:
             pass
+
+
+# ------------------------------------------- RGN (maxshift ROI)
+
+
+def test_rgn_maxshift_roi_round_trip():
+    """T.800 Annex H maxshift: ROI-upshifted coefficients decode
+    losslessly alongside the background — reversible 5/3, tiled
+    multi-component, and the scalar-quantized 9/7 path."""
+    from hortacloud_importer_spark.sources.j2k import decode_j2k, encode_j2k
+
+    rng = np.random.default_rng(139)
+    img = rng.integers(0, 256, (64, 64, 3)).astype(np.uint8)
+    blob = encode_j2k(
+        img, tile=(32, 32), roi=(10, 40, 20, 50), roi_shift=12, mct=False
+    )
+    assert b"\xff\x5e" in blob  # RGN markers emitted
+    assert np.array_equal(decode_j2k(blob), img)
+    # lossy path: step fine enough that the roundtrip stays exact
+    blob = encode_j2k(
+        img, lossy=True, quant=2, mct=False,
+        roi=(10, 40, 20, 50), roi_shift=14,
+    )
+    assert np.array_equal(decode_j2k(blob), img)
+
+
+def test_rgn_gates_and_errors_are_named():
+    from hortacloud_importer_spark.sources.j2k import (
+        J2kParseError,
+        J2kUnsupported,
+        decode_j2k,
+        encode_j2k,
+    )
+
+    rng = np.random.default_rng(149)
+    img = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    # a shift too small to separate ROI from background
+    with pytest.raises(J2kParseError, match="too small"):
+        encode_j2k(img, roi=(8, 24, 8, 24), roi_shift=2)
+    # >31 coded bit-planes gate (16-bit imagery)
+    img16 = rng.integers(0, 65536, (32, 32)).astype(np.uint16)
+    with pytest.raises(J2kUnsupported, match="bit-planes"):
+        encode_j2k(img16, roi=(8, 24, 8, 24), roi_shift=20)
+    # decoder-side validation of the marker fields
+    blob = bytearray(
+        encode_j2k(img, roi=(8, 24, 8, 24), roi_shift=12)
+    )
+    i = blob.find(b"\xff\x5e")
+    b = bytearray(blob)
+    b[i + 5] = 1  # Srgn = 1 (explicit ROI) gates by name
+    with pytest.raises(J2kUnsupported, match="maxshift"):
+        decode_j2k(bytes(b))
+    b = bytearray(blob)
+    b[i + 4] = 9  # Crgn names a missing component
+    with pytest.raises(J2kParseError, match="names component"):
+        decode_j2k(bytes(b))
