@@ -115,19 +115,25 @@ def _u(data: bytes, off: int, n: int) -> int:
 
 
 def _heif_dims(data: bytes, boxes) -> tuple[int, int]:
-    """Primary-item width/height: resolve pitm -> ipma association to
-    its ispe when both parse, else the largest ispe extent."""
-    ispes = []  # (body_start, w, h), in ipco order
+    """Primary-item width/height: resolve pitm -> ipma to the first
+    associated property that IS an ispe; else the largest ispe.
+    Association indices are 1-based over ALL ipco children, so
+    non-ispe properties (hvcC/av1C/colr — typically listed before the
+    ispe in real HEIC/AVIF) must be counted when mapping them."""
+    children: list = []  # (type_4cc, (w, h) | None), in ipco order
     for path, a, b in boxes:
-        if path[-1] == b"ispe" and b"ipco" in path:
-            if b - a < 12:
-                raise IsobmffParseError("ispe too short")
-            w = _u(data, a + 4, 4)
-            h = _u(data, a + 8, 4)
-            ispes.append((w, h))
+        if len(path) >= 2 and path[-2] == b"ipco":
+            if path[-1] == b"ispe":
+                if b - a < 12:
+                    raise IsobmffParseError("ispe too short")
+                children.append(
+                    (b"ispe", (_u(data, a + 4, 4), _u(data, a + 8, 4)))
+                )
+            else:
+                children.append((path[-1], None))
+    ispes = [dims for t, dims in children if t == b"ispe"]
     if not ispes:
         raise IsobmffParseError("no ispe (image spatial extents) box")
-    primary = None
     try:
         pitm = next(
             (a, b) for path, a, b in boxes if path[-1] == b"pitm"
@@ -139,19 +145,18 @@ def _heif_dims(data: bytes, boxes) -> tuple[int, int]:
         ipma = next(
             (a, b) for path, a, b in boxes if path[-1] == b"ipma"
         )
-        primary = _ipma_first_ispe(data, ipma, item_id, len(ispes))
+        for idx in _ipma_assocs(data, ipma, item_id):
+            if idx < len(children) and children[idx][0] == b"ispe":
+                return children[idx][1]
     except (StopIteration, IsobmffParseError):
         pass
-    if primary is not None:
-        return ispes[primary]
     return max(ispes, key=lambda wh: wh[0] * wh[1])
 
 
-def _ipma_first_ispe(data, ipma, item_id, n_props) -> int | None:
-    """Index (0-based, ipco order) of the first property associated
-    with item_id in the ipma box — callers verify it names an ispe by
-    construction (we only use it to pick among ispes, and a non-ispe
-    association falls back to the largest-extent rule)."""
+def _ipma_assocs(data, ipma, item_id) -> list:
+    """0-based ipco indices of every property associated with
+    ``item_id``, in association order (essential bit stripped).
+    Empty when the item has no entry."""
     a, b = ipma
     ver = _u(data, a, 1)
     flags = _u(data, a + 1, 3)
@@ -163,23 +168,19 @@ def _ipma_first_ispe(data, ipma, item_id, n_props) -> int | None:
         pos += 2 if ver < 1 else 4
         assoc_n = _u(data, pos, 1)
         pos += 1
-        first = None
+        idxs = []
         for _ in range(assoc_n):
             if flags & 1:
-                v = _u(data, pos, 2)
-                idx = v & 0x7FFF
+                idx = _u(data, pos, 2) & 0x7FFF
                 pos += 2
             else:
-                v = _u(data, pos, 1)
-                idx = v & 0x7F
+                idx = _u(data, pos, 1) & 0x7F
                 pos += 1
-            if first is None and idx > 0:
-                first = idx - 1  # 1-based in the file
+            if idx > 0:
+                idxs.append(idx - 1)  # 1-based in the file
         if iid == item_id:
-            if first is not None and first < n_props:
-                return first
-            return None
-    return None
+            return idxs
+    return []
 
 
 def isobmff_probe(data: bytes) -> tuple[str, int, int, int, int, int]:

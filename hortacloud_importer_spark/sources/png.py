@@ -596,17 +596,24 @@ def decode_png_frames(data: bytes) -> np.ndarray:
         saved = rect.copy() if dispose == 2 else None
         if blend == 0:  # source: replace including alpha
             rect[:] = arr
-        else:  # over: integer alpha composite, round-half-up
-            a = arr[:, :, 3:].astype(np.uint16)
+        else:  # over: full straight-alpha Porter-Duff, round-half-up
+            # Co = (as*Cs + (1-as)*ad*Cd) / ao with ao = as + (1-as)*ad
+            # — the destination term is weighted by ITS alpha and the
+            # result unpremultiplied by ao, so compositing onto
+            # partially transparent canvas (initial canvas, dispose-
+            # to-background holes) matches the spec's over operator.
+            a = arr[:, :, 3:].astype(np.uint32)
             inv = 255 - a
-            mixed = (
-                a * arr[:, :, :3].astype(np.uint16)
-                + inv * rect[:, :, :3].astype(np.uint16)
-                + 127
-            ) // 255
-            out_a = a + (inv * rect[:, :, 3:].astype(np.uint16) + 127) // 255
-            rect[:, :, :3] = mixed.astype(np.uint8)
-            rect[:, :, 3:] = out_a.astype(np.uint8)
+            ad = rect[:, :, 3:].astype(np.uint32)
+            den = a * 255 + inv * ad  # = ao * 255**2 (exact integer)
+            num = (
+                a * 255 * arr[:, :, :3].astype(np.uint32)
+                + inv * ad * rect[:, :, :3].astype(np.uint32)
+            )
+            safe = np.maximum(den, 1)
+            mixed = (2 * num + safe) // (2 * safe)
+            rect[:, :, :3] = np.where(den == 0, 0, mixed).astype(np.uint8)
+            rect[:, :, 3:] = ((den + 127) // 255).astype(np.uint8)
         out.append(canvas.copy())
         if dispose == 1:  # background: clear region to transparent
             rect[:] = 0

@@ -823,10 +823,11 @@ def webp_frame_count(data: bytes) -> int:
 
 
 def decode_webp_frames(data: bytes) -> np.ndarray:
-    """WebP bytes -> (n_frames, canvas_h, canvas_w, 3) uint8 RGB.
+    """WebP bytes -> (n_frames, h, w, 3|4) uint8.
 
     Stills (simple VP8/VP8L, or VP8X without the ANIM flag) come back
-    as one frame. Animated VP8X containers composite every ANMF frame
+    as one frame with their native channel count (RGBA preserved).
+    Animated containers composite to (n, canvas_h, canvas_w, 3) RGB. Animated VP8X containers composite every ANMF frame
     onto the canvas per the container spec: frames place at their
     (x, y) offsets, the blend flag selects alpha-over vs overwrite
     (integer blend, round-half-up), and dispose-to-background refills
@@ -845,8 +846,10 @@ def decode_webp_frames(data: bytes) -> np.ndarray:
             break
         pos += 8 + size + (size & 1)
     if vp8x is None or len(vp8x) < 10 or not vp8x[0] & 0x02:
-        arr = decode_webp(data)  # still (raises the ALPH gate itself)
-        return arr[None, :, :, :3] if arr.shape[2] >= 3 else arr[None]
+        # stills keep their native channel count — RGBA VP8L and
+        # ALPH-paired lossy stills surface transparency (mirroring
+        # decode_png_frames); only ANMF frames composite to RGB.
+        return decode_webp(data)[None]
     cw = int.from_bytes(vp8x[4:7], "little") + 1
     ch = int.from_bytes(vp8x[7:10], "little") + 1
     if cw * ch > MAX_PIXELS:

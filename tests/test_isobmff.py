@@ -95,6 +95,41 @@ def test_heif_primary_item_via_pitm_ipma():
         assert (kind, h, w, c, nf, rate) == ("image", 480, 640, 3, 1, 0)
 
 
+def test_heif_ipma_skips_non_ispe_properties():
+    """Real HEIC layout: ipco = [hvcC, thumb ispe, primary ispe];
+    the primary item's associations are [hvcC, primary ispe]. The
+    probe must map association indices over ALL ipco children and
+    return the primary's ispe, not the thumbnail's."""
+    props = box(b"hvcC", b"\x01" + b"\x00" * 22) + ispe(160, 120) + ispe(640, 480)
+    ipco = box(b"ipco", props)
+    pitm = full(b"pitm", struct.pack(">H", 1))
+    # item 1 -> properties 1 (hvcC, essential) and 3 (primary ispe)
+    ipma = full(
+        b"ipma",
+        struct.pack(">I", 1) + struct.pack(">HB", 1, 2) + bytes([0x81, 3]),
+    )
+    meta = full(b"meta", pitm + box(b"iprp", ipco) + ipma)
+    blob = ftyp(b"heic", b"mif1") + meta + box(b"mdat", b"\x00" * 16)
+    kind, h, w, *_ = isobmff_probe(blob)
+    assert (kind, h, w) == ("image", 480, 640)
+
+
+def test_heif_non_ispe_only_association_falls_back_to_largest():
+    """When the primary item's associations name no ispe at all, the
+    probe falls back to the largest extent instead of mis-indexing."""
+    props = box(b"hvcC", b"\x01" + b"\x00" * 22) + ispe(160, 120) + ispe(1920, 1080)
+    ipco = box(b"ipco", props)
+    pitm = full(b"pitm", struct.pack(">H", 1))
+    ipma = full(
+        b"ipma",
+        struct.pack(">I", 1) + struct.pack(">HB", 1, 1) + bytes([1]),
+    )
+    meta = full(b"meta", pitm + box(b"iprp", ipco) + ipma)
+    blob = ftyp(b"avif") + meta
+    kind, h, w, *_ = isobmff_probe(blob)
+    assert (kind, h, w) == ("image", 1080, 1920)
+
+
 def test_heif_largest_extent_fallback_without_pitm():
     props = ispe(160, 120) + ispe(1920, 1080)
     meta = full(b"meta", box(b"iprp", box(b"ipco", props)))

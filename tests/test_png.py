@@ -374,6 +374,41 @@ def test_apng_composites_frames_offsets_blend_dispose():
     assert (fr4[2, 4:, :, 3] == 0).all()
 
 
+def test_apng_over_blend_onto_transparent_canvas():
+    """Porter-Duff over with a partially transparent destination: the
+    destination term is weighted by dst alpha and the result is
+    unpremultiplied by the output alpha (not the opaque-dst shortcut)."""
+    from hortacloud_importer_spark.sources.png import (
+        decode_png_frames,
+        encode_apng,
+    )
+
+    rng = np.random.default_rng(131)
+    base_rgb = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+    for ad in (0, 64, 200):
+        f0 = np.dstack([base_rgb, np.full((4, 4), ad, np.uint8)])
+        top_rgb = rng.integers(0, 256, (4, 4, 3), dtype=np.uint8)
+        for a in (0, 1, 128, 254):
+            f1 = np.dstack([top_rgb, np.full((4, 4), a, np.uint8)])
+            fr = decode_png_frames(encode_apng([f0, f1], blend=1))
+            got = fr[1]
+            den = a * 255 + (255 - a) * ad
+            num = (
+                a * 255 * top_rgb.astype(np.int64)
+                + (255 - a) * ad * base_rgb.astype(np.int64)
+            )
+            if den == 0:
+                exp_rgb = np.zeros_like(base_rgb)
+            else:
+                exp_rgb = ((2 * num + den) // (2 * den)).astype(np.uint8)
+            exp_a = (den + 127) // 255
+            assert np.array_equal(got[:, :, :3], exp_rgb), (ad, a)
+            assert (got[:, :, 3] == exp_a).all(), (ad, a)
+            # spec sanity: src over transparent dst returns src exactly
+            if ad == 0 and a > 0:
+                assert np.array_equal(got[:, :, :3], top_rgb)
+
+
 def test_apng_stills_pass_through_with_native_dtype():
     from hortacloud_importer_spark.sources.png import decode_png_frames
 

@@ -57,6 +57,27 @@ def test_alph_constant_and_extreme_planes():
             assert np.array_equal(got[:, :, 3], alpha)
 
 
+def test_stills_keep_alpha_through_frames_api():
+    """decode_webp_frames must surface RGBA for ALPH-paired lossy
+    stills and VP8L RGBA stills, matching the single-image API —
+    the multimodal decode path routes through the frames API."""
+    from hortacloud_importer_spark.sources.webp import encode_webp
+
+    alpha = _alpha_plane()
+    blob = encode_webp_alpha(_mb_vals(), alpha, filt=0)
+    still = decode_webp(blob)
+    frames = decode_webp_frames(blob)
+    assert frames.shape == (1,) + still.shape and still.shape[2] == 4
+    assert np.array_equal(frames[0], still)
+
+    rng = np.random.default_rng(67)
+    rgba = rng.integers(0, 256, (8, 9, 4), dtype=np.uint8)
+    blob = encode_webp(rgba)
+    frames = decode_webp_frames(blob)
+    assert frames.shape == (1, 8, 9, 4)
+    assert np.array_equal(frames[0], decode_webp(blob))
+
+
 def test_alph_errors_are_named():
     alpha = _alpha_plane()
     blob = bytearray(encode_webp_alpha(_mb_vals(), alpha, filt=0))

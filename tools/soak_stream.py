@@ -9,7 +9,9 @@ processing-time trigger and the parent kills the WHOLE process group
 with SIGKILL once a few micro-batches have committed (typically
 mid-batch, leaving orphan part-files in the sink and a torn state
 snapshot attempt in the checkpoint). Phase B restarts from the same
-checkpoint with availableNow and drains. The verdict requires:
+checkpoint on a 200 ms processing-time trigger and drains by polling
+the Spark-visible sink (Python micro-batch sources lack
+Trigger.AvailableNow). The verdict requires:
 
 - every (level, z) daughter slice of the full pyramid present EXACTLY
   once in the Spark-visible sink (file-sink _spark_metadata dedupe),
@@ -278,8 +280,10 @@ def main() -> int:
         "Generated by `tools/soak_stream.py`: the `tiff_volume` stream "
         "source + stateful mipmap cascade (applyInPandasWithState) run "
         "as a separate driver process, SIGKILLed (whole process group, "
-        "no flush) mid-stream, then resumed from the checkpoint with "
-        "`availableNow` in a fresh process.",
+        "no flush) mid-stream, then resumed from the checkpoint in a "
+        "fresh process on a 200 ms processing-time trigger, drained by "
+        "polling the Spark-visible sink (Python micro-batch sources "
+        "lack Trigger.AvailableNow).",
         "",
         f"- Volume: {DIMS[0]} z-slices x {DIMS[1]}x{DIMS[2]} uint16 "
         f"ZLIB TIFFs, {PER_BATCH} slices per micro-batch "
