@@ -107,9 +107,51 @@ def _host_fingerprint() -> dict:
     return fp
 
 
+def _read_loadavg() -> float | None:
+    try:
+        with open("/proc/loadavg") as fh:
+            return float(fh.read().split()[0])
+    except (OSError, ValueError):
+        return None
+
+
+def _await_idle() -> tuple[float | None, float, bool]:
+    """Pre-flight gate: spin-wait until the 1-min load drops below
+    $SPARK_GRAFT_BENCH_MAXLOAD (default 2.0) or the wait exceeds
+    $SPARK_GRAFT_BENCH_IDLE_TIMEOUT seconds (default 600). Returns
+    (load_at_release, waited_sec, gate_satisfied). Makes the artifact
+    self-validating: a capture that started under contention says so
+    in its own fingerprint instead of reading as a fake regression
+    (rounds 7-9 each burned hours proving exactly that)."""
+    threshold = float(os.environ.get("SPARK_GRAFT_BENCH_MAXLOAD", "2.0"))
+    timeout = float(os.environ.get("SPARK_GRAFT_BENCH_IDLE_TIMEOUT", "600"))
+    t0 = time.time()
+    while True:
+        load = _read_loadavg()
+        if load is None:
+            return None, round(time.time() - t0, 1), False
+        if load < threshold:
+            return load, round(time.time() - t0, 1), True
+        if time.time() - t0 > timeout:
+            return load, round(time.time() - t0, 1), False
+        print(
+            f"bench: waiting for idle host (load {load:.2f} >= "
+            f"{threshold})",
+            file=sys.stderr,
+        )
+        time.sleep(10.0)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    loadavg_pre, idle_wait, idle_ok = _await_idle()
+    # Fingerprint BEFORE rep 1 so the recorded load/calibration reflect
+    # the state the timings actually ran under, not the post-run state.
+    host = _host_fingerprint()
+    host["loadavg_pre"] = loadavg_pre
+    host["idle_wait_sec"] = idle_wait
+    host["idle_gate_ok"] = idle_ok
     spark = get_spark("bench")
     specs = all_queries()
     names = sys.argv[1:] or [n for n in HEADLINE if n in specs]
@@ -141,6 +183,7 @@ def main() -> None:
             timings[name] = min(timings[name], time.time() - t0)
     timings = {name: round(t, 3) for name, t in timings.items()}
 
+    host["loadavg_post"] = _read_loadavg()
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -152,7 +195,7 @@ def main() -> None:
                 "sf": sf,
                 "reps": reps,
                 "agg": "min",
-                "host": _host_fingerprint(),
+                "host": host,
             }
         )
     )
