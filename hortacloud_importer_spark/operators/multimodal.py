@@ -9,7 +9,8 @@ executors, the driver only sees aggregates.
 
 Decode is REAL for the whole crawl-format set — clean-room codecs in
 sources/ cover tiff, jpeg (baseline/progressive/12-bit), png, gif,
-bmp, webp (lossy VP8 + lossless VP8L), netpbm, avi (MJPG + DIB), wav, and jp2, with
+bmp, webp (lossy VP8 + lossless VP8L), netpbm, avi (MJPG + DIB),
+wav, flac, and jp2, with
 ``raw8`` as the plain-bytes fast path. PIL, when importable, takes
 over 8-bit jpeg and the long tail of exotic formats; when absent only
 genuinely-uncovered formats raise ``NotImplementedError``. Every
@@ -183,6 +184,13 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
 
         samples, _rate = decode_wav(bytes(payload))
         return samples[None, None, :, :]  # (1 frame, 1, n, channels)
+    if fmt == "flac":
+        # clean-room FLAC (sources/flac.py): all subframe types, Rice
+        # residuals, stereo decorrelation, CRC + MD5 verified
+        from hortacloud_importer_spark.sources.flac import decode_flac
+
+        samples, _rate = decode_flac(bytes(payload))
+        return samples[None, None, :, :]  # (1 frame, 1, n, channels)
     if fmt in ("jp2", "j2k"):
         # clean-room lossless JPEG 2000 (sources/j2k.py) with the
         # glymur/imageio/PIL fallback chain inside decode_jp2
@@ -203,7 +211,7 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
         raise NotImplementedError(
             f"format {fmt!r} needs an image codec (PIL); built-in "
             "clean-room decoders cover raw8, tiff, jpeg, png, gif, "
-            "bmp, webp, pnm/pgm/ppm, tga, avi, wav, and jp2"
+            "bmp, webp, pnm/pgm/ppm, tga, avi, wav, flac, and jp2"
         ) from exc
     import io
 
@@ -294,6 +302,7 @@ def _decode_error_types() -> tuple[type, ...]:
     from hortacloud_importer_spark.sources.avi import AviParseError
     from hortacloud_importer_spark.sources.bmp import BmpParseError
     from hortacloud_importer_spark.sources.codecs import CodecError
+    from hortacloud_importer_spark.sources.flac import FlacParseError
     from hortacloud_importer_spark.sources.gif import GifParseError
     from hortacloud_importer_spark.sources.isobmff import IsobmffParseError
     from hortacloud_importer_spark.sources.jp2 import Jp2ParseError
@@ -309,6 +318,7 @@ def _decode_error_types() -> tuple[type, ...]:
         AviParseError,
         BmpParseError,
         CodecError,
+        FlacParseError,
         GifParseError,
         IsobmffParseError,
         Jp2ParseError,
@@ -405,6 +415,11 @@ def _probe_one(fmt: str, payload: bytes, meta) -> dict:
         from hortacloud_importer_spark.sources.wav import wav_probe
 
         n_samples, c, rate = wav_probe(payload)
+        h, w = 1, n_samples
+    elif fmt == "flac":
+        from hortacloud_importer_spark.sources.flac import flac_probe
+
+        n_samples, c, rate, _bps = flac_probe(payload)
         h, w = 1, n_samples
     elif fmt in ("jp2", "j2k"):
         from hortacloud_importer_spark.sources.jp2 import jp2_shape

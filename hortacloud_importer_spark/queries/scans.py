@@ -1623,3 +1623,81 @@ def _zarr_blosc_query(
         .load(root)
         .filter((F.col("z") >= 1) & (F.col("y") < 4))
     )
+
+
+@register(
+    "scan_flac_stack",
+    "A1+K4",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT z,
+       AVG(v) AS mean_amplitude,
+       CAST(MIN(v) AS INTEGER) AS min_amplitude,
+       CAST(MAX(v) AS INTEGER) AS max_amplitude
+FROM (
+  SELECT t1.range AS z,
+         ((t2.range * (t1.range + 1) * 53) % 4001) - 2000 AS v
+  FROM range(4) t1, range(256) t2
+  UNION ALL
+  SELECT t1.range AS z,
+         ((t2.range * (t1.range + 3) * 29) % 4001) - 2000 AS v
+  FROM range(4) t1, range(256) t2
+)
+GROUP BY z
+""",
+)
+def scan_flac_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 compressed audio over REAL FLAC containers, oracle-exact
+    because FLAC is lossless: four stereo 16-bit files with
+    left = ((i*(z+1)*53) mod 4001) - 2000 and
+    right = ((i*(z+3)*29) mod 4001) - 2000 are written by the
+    clean-room encoder (sources/flac.py) under MID/SIDE decorrelation
+    with 192-sample blocks (so each file carries two frames and the
+    stereo reconstruction runs end to end), ingested via binaryFile,
+    and decoded through the executor media kernel — Rice residuals,
+    CRC-8/16, and the STREAMINFO MD5 all verify in-path. AVG over 512
+    samples is sum/2^9, bit-exact in both engines."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import media_features
+    from hortacloud_importer_spark.sources.flac import encode_flac
+
+    workdir = tempfile.mkdtemp(prefix="flac_stack_")
+    i = np.arange(256, dtype=np.int64)
+    for z in range(4):
+        left = (i * (z + 1) * 53) % 4001 - 2000
+        right = (i * (z + 3) * 29) % 4001 - 2000
+        with open(f"{workdir}/clip.{z:03d}.flac", "wb") as fh:
+            fh.write(
+                encode_flac(
+                    np.stack([left, right], axis=1),
+                    rate=16000,
+                    bits=16,
+                    block_size=192,
+                    stereo="mid_side",
+                )
+            )
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*.flac")
+        .select(
+            F.regexp_extract(F.col("path"), r"\.(\d{3})\.flac$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("audio").alias("kind"),
+            F.lit("flac").alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 1, 'width', 256, 'channels', 2,"
+                " 'sample_rate', 16000, 'n_frames', 1)"
+            ).alias("meta"),
+        )
+    )
+    return media_features(media).select(
+        F.col("media_id").alias("z"),
+        F.col("mean_intensity").alias("mean_amplitude"),
+        F.col("min_intensity").alias("min_amplitude"),
+        F.col("max_intensity").alias("max_amplitude"),
+    )

@@ -18,6 +18,7 @@ import pytest
 from hortacloud_importer_spark.sources import (
     avi,
     bmp,
+    flac,
     gif,
     jpeg,
     jpeg_arith,
@@ -88,6 +89,14 @@ def _fixture_payloads():
             wav.encode_wav(pcm, rate=8000),
             lambda b: wav.decode_wav(b)[0],
             (wav.WavParseError,),
+        ),
+        (
+            "flac",
+            flac.encode_flac(
+                pcm.astype(np.int64), rate=8000, block_size=192
+            ),
+            lambda b: flac.decode_flac(b)[0],
+            (flac.FlacParseError,),
         ),
         ("webp", webp.encode_webp(rgb), webp.decode_webp, (webp.WebpParseError,)),
     ]
@@ -286,6 +295,12 @@ def test_fuzzed_probes_raise_named_errors():
             (tiff.TiffParseError,),
         ),
         ("wav", wav.encode_wav(pcm, rate=8000), wav.wav_probe, (wav.WavParseError,)),
+        (
+            "flac",
+            flac.encode_flac(pcm.astype(np.int64), rate=8000),
+            flac.flac_probe,
+            (flac.FlacParseError,),
+        ),
         ("webp", webp.encode_webp(rgb), webp_probe, (webp.WebpParseError,)),
         ("pnm", encode_pnm(rgb), pnm_probe, (PnmParseError,)),
     ]

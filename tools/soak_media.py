@@ -51,6 +51,7 @@ FORMATS = [
     ("webp", 0.25, (256, 256)),  # VP8L prefix decode is bit-serial
     ("jpeg_arith", 0.5, (256, 256)),  # QM coder is bit-serial
     ("webp_anim", 0.125, (256, 256)),  # 3 VP8L frames + compositing
+    ("flac", 1.0, (1, 65536)),  # 64k-sample stereo, mid/side + Rice
 ]
 
 
@@ -139,6 +140,21 @@ def _encode_payload(fmt: str, seed: int, dims: tuple[int, int]) -> bytes:
             for f in range(3)
         ]
         return encode_webp_anim(frames)
+    if fmt == "flac":
+        from hortacloud_importer_spark.sources.flac import encode_flac
+
+        n = dims[1]
+        i = np.arange(n, dtype=np.int64)
+        left = (i * 37 + seed) % 4001 - 2000
+        right = (i * 53 + seed * 7) % 4001 - 2000
+        return encode_flac(
+            np.stack([left, right], axis=1),
+            rate=44100,
+            bits=16,
+            block_size=4096,
+            stereo="mid_side",
+            partition_order=2,
+        )
     raise ValueError(fmt)
 
 
@@ -157,6 +173,7 @@ def _decode_fmt(fmt: str) -> str:
         "gif": "gif",
         "bmp": "bmp",
         "webp": "webp",
+        "flac": "flac",
     }[fmt]
 
 
