@@ -191,6 +191,12 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
 
         samples, _rate = decode_flac(bytes(payload))
         return samples[None, None, :, :]  # (1 frame, 1, n, channels)
+    if fmt == "mp3":
+        # header walk validates the container; sample decode is an
+        # honest codec-binding gate (sources/mp3.py)
+        from hortacloud_importer_spark.sources.mp3 import decode_mp3
+
+        return decode_mp3(bytes(payload))
     if fmt in ("jp2", "j2k"):
         # clean-room lossless JPEG 2000 (sources/j2k.py) with the
         # glymur/imageio/PIL fallback chain inside decode_jp2
@@ -307,6 +313,7 @@ def _decode_error_types() -> tuple[type, ...]:
     from hortacloud_importer_spark.sources.isobmff import IsobmffParseError
     from hortacloud_importer_spark.sources.jp2 import Jp2ParseError
     from hortacloud_importer_spark.sources.jpeg import JpegParseError
+    from hortacloud_importer_spark.sources.mp3 import Mp3ParseError
     from hortacloud_importer_spark.sources.png import PngParseError
     from hortacloud_importer_spark.sources.pnm import PnmParseError
     from hortacloud_importer_spark.sources.tga import TgaParseError
@@ -323,6 +330,7 @@ def _decode_error_types() -> tuple[type, ...]:
         IsobmffParseError,
         Jp2ParseError,
         JpegParseError,
+        Mp3ParseError,
         PngParseError,
         PnmParseError,
         TgaParseError,
@@ -420,6 +428,11 @@ def _probe_one(fmt: str, payload: bytes, meta) -> dict:
         from hortacloud_importer_spark.sources.flac import flac_probe
 
         n_samples, c, rate, _bps = flac_probe(payload)
+        h, w = 1, n_samples
+    elif fmt == "mp3":
+        from hortacloud_importer_spark.sources.mp3 import mp3_probe
+
+        n_samples, c, rate, nf = mp3_probe(payload)
         h, w = 1, n_samples
     elif fmt in ("jp2", "j2k"):
         from hortacloud_importer_spark.sources.jp2 import jp2_shape

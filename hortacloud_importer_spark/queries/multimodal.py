@@ -166,7 +166,9 @@ FROM (VALUES
   (5, 'wav',   1, 256, 2, 1, 8000),
   (6, 'avi',   6,  6, 3, 4, 0),
   (7, 'heic', 480, 640, 3, 1, 0),
-  (8, 'mp4', 720, 1280, 3, 90, 48000)
+  (8, 'mp4', 720, 1280, 3, 90, 48000),
+  (9, 'flac', 1, 256, 2, 1, 8000),
+  (10, 'mp3', 1, 11520, 2, 10, 44100)
 ) AS t(media_id, fmt, height, width, channels, n_frames, sample_rate)
 """,
 )
@@ -184,7 +186,9 @@ def mm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hortacloud_importer_spark.operators.multimodal import media_probe
     from hortacloud_importer_spark.sources.avi import encode_avi
     from hortacloud_importer_spark.sources.bmp import encode_bmp
+    from hortacloud_importer_spark.sources.flac import encode_flac
     from hortacloud_importer_spark.sources.gif import encode_gif
+    from hortacloud_importer_spark.sources.mp3 import encode_mp3_headers
     from hortacloud_importer_spark.sources.pnm import encode_pnm
     from hortacloud_importer_spark.sources.wav import encode_wav
     from hortacloud_importer_spark.sources.webp import encode_webp
@@ -215,6 +219,14 @@ def mm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     avi_p = encode_avi(
         rng.integers(0, 256, (4, 6, 6, 3), dtype=np.uint8), codec="DIB"
     )
+    flac_p = encode_flac(
+        rng.integers(-2000, 2000, (256, 2)).astype(np.int64),
+        rate=8000,
+        bits=16,
+        block_size=192,
+        stereo="left_side",
+    )
+    mp3_p = encode_mp3_headers(10, rate=44100, kbps=128, channels=2)
 
     # hand-assembled ISOBMFF containers (the coded payload gates;
     # only the box-tree metadata is under test — sources/isobmff.py)
@@ -282,6 +294,8 @@ def mm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (6, "avi", avi_p),
         (7, "heic", heic_p),
         (8, "mp4", mp4_p),
+        (9, "flac", flac_p),
+        (10, "mp3", mp3_p),
     ]
     media = spark.createDataFrame(
         [
