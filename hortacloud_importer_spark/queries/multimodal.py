@@ -354,3 +354,173 @@ def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frames",
     )
     return doc.unionByName(rs).unionByName(fr)
+
+
+def _frame_index_fixtures() -> "list[tuple[int, bytes]]":
+    """Two hand-assembled ISOBMFF containers for the frame-index path:
+    (0) an unfragmented MP4 — interleaved video/audio chunks, a two-run
+    stts, an stss sync table — and (1) a fragmented MP4 — moof with
+    tfhd defaults, tfdt, and two truns (data-offset + per-sample sizes,
+    first-sample-flags on one, per-sample flags on the other)."""
+    import struct
+
+    def box(t: bytes, payload: bytes = b"") -> bytes:
+        return struct.pack(">I", len(payload) + 8) + t + payload
+
+    def full(t: bytes, payload: bytes, ver: int = 0, fl: int = 0) -> bytes:
+        return box(t, bytes([ver]) + fl.to_bytes(3, "big") + payload)
+
+    def tkhd(track_id: int) -> bytes:
+        return full(
+            b"tkhd",
+            struct.pack(">II", 0, 0) + struct.pack(">I", track_id)
+            + b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 8 + b"\x00" * 36
+            + struct.pack(">II", 0, 0),
+        )
+
+    def mdhd(timescale: int) -> bytes:
+        return full(
+            b"mdhd",
+            struct.pack(">IIII", 0, 0, timescale, 0) + b"\x00" * 4,
+        )
+
+    def u32s(*vals: int) -> bytes:
+        return b"".join(struct.pack(">I", v) for v in vals)
+
+    # ---------- unfragmented: video(6 samples) + audio(4), one mdat
+    vid_sizes = [100, 101, 102, 103, 104, 105]
+    aud_size, aud_n = 50, 4
+
+    def moov_unfrag(mdat0: int) -> bytes:
+        v_stbl = (
+            full(b"stts", u32s(2, 4, 1001, 2, 1500))
+            + full(b"stsc", u32s(1, 1, 3, 1))
+            + full(b"stsz", u32s(0, 6, *vid_sizes))
+            + full(b"stco", u32s(2, mdat0 + 0, mdat0 + 503))
+            + full(b"stss", u32s(2, 1, 4))
+        )
+        a_stbl = (
+            full(b"stts", u32s(1, 4, 1024))
+            + full(b"stsc", u32s(1, 1, 4, 1))
+            + full(b"stsz", u32s(aud_size, aud_n))
+            + full(b"stco", u32s(1, mdat0 + 303))
+        )
+        return box(
+            b"moov",
+            box(b"trak", tkhd(1) + box(b"mdia", mdhd(30000)
+                + box(b"minf", box(b"stbl", v_stbl))))
+            + box(b"trak", tkhd(2) + box(b"mdia", mdhd(48000)
+                + box(b"minf", box(b"stbl", a_stbl)))),
+        )
+
+    ftyp = box(b"ftyp", b"isom\x00\x00\x00\x00mp42")
+    mdat0 = len(ftyp) + len(moov_unfrag(0)) + 8
+    payload = bytes((i * 7) & 0xFF for i in range(815))
+    unfrag = ftyp + moov_unfrag(mdat0) + box(b"mdat", payload)
+
+    # ---------- fragmented: empty moov stbl, one moof, two truns
+    moov_frag = box(
+        b"moov",
+        box(b"trak", tkhd(1) + box(b"mdia", mdhd(1000)
+            + box(b"minf", box(b"stbl", b"")))),
+    )
+
+    def moof(data_off: int) -> bytes:
+        tfhd = full(
+            b"tfhd",
+            struct.pack(">I", 1) + struct.pack(">I", 40),
+            fl=0x020008,  # default-base-is-moof + default-duration
+        )
+        tfdt = full(b"tfdt", struct.pack(">I", 0))
+        trun1 = full(
+            b"trun",
+            u32s(3, data_off, 0, 10, 20, 30),
+            fl=0x000205,  # data-offset + first-sample-flags + sizes
+        )
+        trun2 = full(
+            b"trun",
+            u32s(3, data_off + 60)
+            + u32s(40, 0, 50, 0x00010000, 60, 0),
+            fl=0x000601,  # data-offset + sizes + per-sample flags
+        )
+        return box(b"moof", box(b"traf", tfhd + tfdt + trun1 + trun2))
+
+    doff = len(moof(0)) + 8  # mdat body starts right after the moof
+    frag = (
+        ftyp + moov_frag + moof(doff)
+        + box(b"mdat", bytes((i * 3) & 0xFF for i in range(210)))
+    )
+    return [(0, unfrag), (1, frag)]
+
+
+@register(
+    "mm_frame_index",
+    "K4",
+    driver=False,
+    oracle="""
+SELECT media_id, track_id, sample_idx, rel_offset, byte_size,
+       dts, duration, timescale, is_sync
+FROM (VALUES
+  (0, 1, 0,   0, 100,    0, 1001, 30000, TRUE),
+  (0, 1, 1, 100, 101, 1001, 1001, 30000, FALSE),
+  (0, 1, 2, 201, 102, 2002, 1001, 30000, FALSE),
+  (0, 1, 3, 503, 103, 3003, 1001, 30000, TRUE),
+  (0, 1, 4, 606, 104, 4004, 1500, 30000, FALSE),
+  (0, 1, 5, 710, 105, 5504, 1500, 30000, FALSE),
+  (0, 2, 0, 303,  50,    0, 1024, 48000, TRUE),
+  (0, 2, 1, 353,  50, 1024, 1024, 48000, TRUE),
+  (0, 2, 2, 403,  50, 2048, 1024, 48000, TRUE),
+  (0, 2, 3, 453,  50, 3072, 1024, 48000, TRUE),
+  (1, 1, 0,   0,  10,    0,   40,  1000, TRUE),
+  (1, 1, 1,  10,  20,   40,   40,  1000, TRUE),
+  (1, 1, 2,  30,  30,   80,   40,  1000, TRUE),
+  (1, 1, 3,  60,  40,  120,   40,  1000, TRUE),
+  (1, 1, 4, 100,  50,  160,   40,  1000, FALSE),
+  (1, 1, 5, 150,  60,  200,   40,  1000, TRUE)
+) AS t(media_id, track_id, sample_idx, rel_offset, byte_size,
+       dts, duration, timescale, is_sync)
+""",
+)
+def mm_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 video sample-table enumeration, oracle-exact: per-frame
+    byte ranges + decode timestamps from hand-assembled unfragmented
+    (stts/stsc/stco/stsz/stss, interleaved chunks) and fragmented
+    (moof/tfhd/tfdt/trun) MP4s — the metadata pass that lets a crawl
+    scheduler range-read selected frames (sync samples) from object
+    storage without shipping mdat payloads. Offsets are reported
+    relative to each file's first sample so the oracle VALUES stay
+    layout-independent; every dts/duration/size/sync bit is pinned."""
+    from pyspark.sql.window import Window
+
+    from hortacloud_importer_spark.operators.multimodal import (
+        media_frame_index,
+    )
+
+    rows = [
+        (mid, "video", "mp4", bytearray(blob))
+        for mid, blob in _frame_index_fixtures()
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, format string, payload binary"
+    ).withColumn(
+        "meta",
+        F.expr(
+            "named_struct('height', 0, 'width', 0, 'channels', 0,"
+            " 'sample_rate', 0, 'n_frames', 0)"
+        ),
+    )
+    idx = media_frame_index(media)
+    w = Window.partitionBy("media_id")
+    return idx.select(
+        F.col("media_id").cast("int").alias("media_id"),
+        "track_id",
+        "sample_idx",
+        (F.col("byte_offset") - F.min("byte_offset").over(w))
+        .cast("int")
+        .alias("rel_offset"),
+        F.col("byte_size").cast("int").alias("byte_size"),
+        F.col("dts").cast("int").alias("dts"),
+        F.col("duration").cast("int").alias("duration"),
+        "timescale",
+        "is_sync",
+    )

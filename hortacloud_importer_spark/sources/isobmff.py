@@ -260,3 +260,287 @@ def decode_isobmff(data: bytes):
         "a codec binding (HEVC/AV1/AAC) — header metadata is available "
         "via isobmff_probe/media_probe"
     )
+
+
+# ------------------------------------------------- sample-table index
+
+_MAX_INDEX_SAMPLES = 1 << 22
+
+
+def isobmff_frame_index(data: bytes) -> list:
+    """Enumerate every sample (frame) of every track WITHOUT touching
+    coded payloads: -> [(track_id, sample_idx, byte_offset, byte_size,
+    dts, duration, timescale, is_sync)], unfragmented tracks first
+    (stsd/stts/stsc/stco|co64/stsz/stss), then movie fragments
+    (moof: tfhd/tfdt/trun) in file order.
+
+    This is the crawl pipeline's video analog of chunk pruning: with
+    per-frame byte ranges + timestamps a scheduler can range-read
+    every k-th keyframe from object storage without shipping the
+    mdat, exactly how the windowed-region reader prunes chunks
+    (sources/datasource.py pushFilters). Decode stays codec-gated."""
+    boxes = isobmff_boxes(data)
+    out: list = []
+    timescales: dict = {}
+    next_dts: dict = {}
+    next_idx: dict = {}
+
+    traks = [(a, b) for path, a, b in boxes if path[-1] == b"trak"]
+    for ta, tb in traks:
+        sub = [(p, a, b) for p, a, b in boxes if ta <= a and b <= tb]
+
+        def _find(leaf, sub=sub):
+            return next(
+                ((a, b) for p, a, b in sub if p[-1] == leaf), None
+            )
+
+        tkhd = _find(b"tkhd")
+        mdhd = _find(b"mdhd")
+        if tkhd is None or mdhd is None:
+            raise IsobmffParseError("trak without tkhd/mdhd")
+        ver = _u(data, tkhd[0], 1)
+        track_id = _u(data, tkhd[0] + (4 + 16 if ver else 4 + 8), 4)
+        mver = _u(data, mdhd[0], 1)
+        timescale = _u(data, mdhd[0] + (4 + 16 if mver else 4 + 8), 4)
+        if timescale == 0:
+            raise IsobmffParseError("mdhd timescale is zero")
+        timescales[track_id] = timescale
+        next_dts[track_id] = 0
+        next_idx[track_id] = 0
+
+        stsz = _find(b"stsz")
+        stts = _find(b"stts")
+        stsc = _find(b"stsc")
+        stco = _find(b"stco")
+        co64 = _find(b"co64")
+        if stsz is None or stts is None or stsc is None or (
+            stco is None and co64 is None
+        ):
+            continue  # metadata-only track (no sample table)
+
+        # stsz: uniform size or per-sample table
+        a, b = stsz
+        uniform = _u(data, a + 4, 4)
+        n = _u(data, a + 8, 4)
+        if n > _MAX_INDEX_SAMPLES:
+            raise IsobmffParseError("stsz sample count exceeds the cap")
+        if uniform:
+            sizes = [uniform] * n
+        else:
+            if b - a < 12 + 4 * n:
+                raise IsobmffParseError("stsz table truncated")
+            sizes = [_u(data, a + 12 + 4 * i, 4) for i in range(n)]
+
+        # stts: (count, delta) runs -> per-sample durations
+        a, b = stts
+        n_ent = _u(data, a + 4, 4)
+        if b - a < 8 + 8 * n_ent:
+            raise IsobmffParseError("stts table truncated")
+        durations: list = []
+        for i in range(n_ent):
+            cnt = _u(data, a + 8 + 8 * i, 4)
+            delta = _u(data, a + 12 + 8 * i, 4)
+            if len(durations) + cnt > n:
+                raise IsobmffParseError("stts covers more samples than stsz")
+            durations.extend([delta] * cnt)
+        if len(durations) != n:
+            raise IsobmffParseError(
+                f"stts covers {len(durations)} samples, stsz has {n}"
+            )
+
+        # chunk offsets
+        if stco is not None:
+            a, b = stco
+            n_chunks = _u(data, a + 4, 4)
+            if b - a < 8 + 4 * n_chunks:
+                raise IsobmffParseError("stco table truncated")
+            chunk_offs = [_u(data, a + 8 + 4 * i, 4) for i in range(n_chunks)]
+        else:
+            a, b = co64
+            n_chunks = _u(data, a + 4, 4)
+            if b - a < 8 + 8 * n_chunks:
+                raise IsobmffParseError("co64 table truncated")
+            chunk_offs = [_u(data, a + 8 + 8 * i, 8) for i in range(n_chunks)]
+
+        # stsc: (first_chunk, samples_per_chunk, desc) runs
+        a, b = stsc
+        n_ent = _u(data, a + 4, 4)
+        if b - a < 8 + 12 * n_ent:
+            raise IsobmffParseError("stsc table truncated")
+        runs = []
+        for i in range(n_ent):
+            first = _u(data, a + 8 + 12 * i, 4)
+            per = _u(data, a + 12 + 12 * i, 4)
+            if first < 1 or per < 1:
+                raise IsobmffParseError("stsc run out of range")
+            runs.append((first, per))
+        if not runs or runs[0][0] != 1:
+            raise IsobmffParseError("stsc does not start at chunk 1")
+
+        # stss: sync table (absent -> every sample is sync)
+        stss = _find(b"stss")
+        sync: set | None = None
+        if stss is not None:
+            a, b = stss
+            n_ent = _u(data, a + 4, 4)
+            if b - a < 8 + 4 * n_ent:
+                raise IsobmffParseError("stss table truncated")
+            sync = {
+                _u(data, a + 8 + 4 * i, 4) for i in range(n_ent)
+            }
+
+        dts = 0
+        si = 0
+        for ci in range(n_chunks):
+            per = next(
+                runs[ri][1]
+                for ri in range(len(runs) - 1, -1, -1)
+                if runs[ri][0] <= ci + 1
+            )
+            off = chunk_offs[ci]
+            for _ in range(per):
+                if si >= n:
+                    break
+                if off + sizes[si] > len(data):
+                    raise IsobmffParseError(
+                        f"sample {si} overruns the payload"
+                    )
+                out.append(
+                    (
+                        track_id, si, off, sizes[si], dts,
+                        durations[si], timescale,
+                        sync is None or (si + 1) in sync,
+                    )
+                )
+                off += sizes[si]
+                dts += durations[si]
+                si += 1
+        if si != n:
+            raise IsobmffParseError(
+                f"chunk map places {si} of {n} samples"
+            )
+        next_dts[track_id] = dts
+        next_idx[track_id] = n
+
+    # ---- movie fragments: moof header starts from a top-level scan
+    moof_starts = []
+    pos = 0
+    while pos + 8 <= len(data):
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8]
+        if size == 1:
+            size = _u(data, pos + 8, 8)
+        elif size == 0:
+            size = len(data) - pos
+        if btype == b"moof":
+            moof_starts.append((pos, pos + size))
+        pos += size
+
+    for ms, me in moof_starts:
+        trafs = [
+            (a, b)
+            for path, a, b in boxes
+            if path[-1] == b"traf" and ms <= a and b <= me
+        ]
+        for fa, fb in trafs:
+            fsub = [(p, a, b) for p, a, b in boxes if fa <= a and b <= fb]
+            tfhd = next(
+                ((a, b) for p, a, b in fsub if p[-1] == b"tfhd"), None
+            )
+            if tfhd is None:
+                raise IsobmffParseError("traf without tfhd")
+            a, _ = tfhd
+            flags = _u(data, a + 1, 3)
+            track_id = _u(data, a + 4, 4)
+            p = a + 8
+            base = ms
+            if flags & 0x000001:
+                base = _u(data, p, 8)
+                p += 8
+            if flags & 0x000002:
+                p += 4
+            def_dur = def_size = None
+            if flags & 0x000008:
+                def_dur = _u(data, p, 4)
+                p += 4
+            if flags & 0x000010:
+                def_size = _u(data, p, 4)
+                p += 4
+            timescale = timescales.get(track_id)
+            if timescale is None:
+                raise IsobmffParseError(
+                    f"fragment for unknown track {track_id}"
+                )
+            dts = next_dts.get(track_id, 0)
+            tfdt = next(
+                ((a, b) for p2, a, b in fsub if p2[-1] == b"tfdt"), None
+            )
+            if tfdt is not None:
+                tver = _u(data, tfdt[0], 1)
+                dts = _u(data, tfdt[0] + 4, 8 if tver else 4)
+            si = next_idx.get(track_id, 0)
+            for p2, a2, b2 in fsub:
+                if p2[-1] != b"trun":
+                    continue
+                tflags = _u(data, a2 + 1, 3)
+                cnt = _u(data, a2 + 4, 4)
+                if cnt > _MAX_INDEX_SAMPLES:
+                    raise IsobmffParseError("trun count exceeds the cap")
+                q = a2 + 8
+                off = base
+                if tflags & 0x000001:
+                    doff = _u(data, q, 4)
+                    if doff >> 31:
+                        doff -= 1 << 32
+                    off = base + doff
+                    q += 4
+                first_flags = None
+                if tflags & 0x000004:
+                    first_flags = _u(data, q, 4)
+                    q += 4
+                for k in range(cnt):
+                    dur = def_dur
+                    if tflags & 0x000100:
+                        dur = _u(data, q, 4)
+                        q += 4
+                    sz = def_size
+                    if tflags & 0x000200:
+                        sz = _u(data, q, 4)
+                        q += 4
+                    sflags = None
+                    if tflags & 0x000400:
+                        sflags = _u(data, q, 4)
+                        q += 4
+                    if tflags & 0x000800:
+                        q += 4  # composition offset: not indexed
+                    if k == 0 and first_flags is not None:
+                        sflags = first_flags
+                    if dur is None or sz is None:
+                        raise IsobmffParseError(
+                            "trun sample lacks duration/size and no "
+                            "tfhd default applies"
+                        )
+                    if off + sz > len(data):
+                        raise IsobmffParseError(
+                            f"fragment sample {si} overruns the payload"
+                        )
+                    is_sync = (
+                        not (sflags & 0x00010000) if sflags is not None
+                        else True
+                    )
+                    out.append(
+                        (track_id, si, off, sz, dts, dur, timescale,
+                         is_sync)
+                    )
+                    off += sz
+                    dts += dur
+                    si += 1
+                    if len(out) > _MAX_INDEX_SAMPLES:
+                        raise IsobmffParseError(
+                            "total sample count exceeds the cap"
+                        )
+            next_dts[track_id] = dts
+            next_idx[track_id] = si
+    if not out:
+        raise IsobmffParseError("no sample tables or fragments")
+    return out

@@ -254,3 +254,149 @@ def test_media_probe_routes_isobmff(spark):
     tagged = media_probe(media_bad, errors="tag").collect()
     assert len(tagged) == 1
     assert "IsobmffParseError" in tagged[0]["probe_error"]
+
+
+# -------------------------------------------- sample-table frame index
+
+
+def test_frame_index_unfragmented_and_fragmented_golden():
+    from hortacloud_importer_spark.queries.multimodal import (
+        _frame_index_fixtures,
+    )
+    from hortacloud_importer_spark.sources.isobmff import (
+        isobmff_frame_index,
+    )
+
+    fx = dict(_frame_index_fixtures())
+    idx = isobmff_frame_index(fx[0])
+    assert len(idx) == 10
+    vid = [r for r in idx if r[0] == 1]
+    aud = [r for r in idx if r[0] == 2]
+    assert [r[4] for r in vid] == [0, 1001, 2002, 3003, 4004, 5504]
+    assert [r[7] for r in vid] == [True, False, False, True, False, False]
+    assert [r[3] for r in aud] == [50] * 4
+    # audio chunk is interleaved between the two video chunks
+    assert vid[2][2] < aud[0][2] < vid[3][2]
+    # offsets within a chunk are contiguous sums of sizes
+    assert vid[1][2] - vid[0][2] == 100
+    assert aud[3][2] - aud[0][2] == 150
+
+    idx = isobmff_frame_index(fx[1])
+    assert [r[3] for r in idx] == [10, 20, 30, 40, 50, 60]
+    assert [r[4] for r in idx] == [0, 40, 80, 120, 160, 200]
+    assert [r[7] for r in idx] == [True, True, True, True, False, True]
+
+
+def test_frame_index_multi_moof_continues_dts_and_indices():
+    """A second moof with tfdt resumes timestamps; sample indices keep
+    counting per track."""
+    from hortacloud_importer_spark.sources.isobmff import (
+        isobmff_frame_index,
+    )
+
+    def u32s(*vals):
+        return b"".join(struct.pack(">I", v) for v in vals)
+
+    moov = box(
+        b"moov",
+        box(
+            b"trak",
+            full(
+                b"tkhd",
+                struct.pack(">III", 0, 0, 7) + b"\x00" * 60
+                + struct.pack(">II", 0, 0),
+            )
+            + box(
+                b"mdia",
+                full(b"mdhd", struct.pack(">IIII", 0, 0, 600, 0) + b"\x00" * 4)
+                + box(b"minf", box(b"stbl", b"")),
+            ),
+        ),
+    )
+
+    def moof(doff, base_dts, sizes):
+        tfhd = full(b"tfhd", u32s(7, 25), flags=0x020008)
+        tfdt = full(b"tfdt", struct.pack(">Q", base_dts), ver=1)
+        trun = full(b"trun", u32s(len(sizes), doff, *sizes), flags=0x000201)
+        return box(b"moof", box(b"traf", tfhd + tfdt + trun))
+
+    ft = ftyp(b"isom", b"mp42")
+    m1 = moof(len(moof(0, 0, [5, 6])) + 8, 0, [5, 6])
+    md1 = box(b"mdat", bytes(11))
+    m2 = moof(len(moof(0, 0, [7])) + 8, 50, [7])
+    md2 = box(b"mdat", bytes(7))
+    idx = isobmff_frame_index(ft + moov + m1 + md1 + m2 + md2)
+    assert [(r[1], r[4], r[3]) for r in idx] == [
+        (0, 0, 5), (1, 25, 6), (2, 50, 7),
+    ]
+    # second fragment's offset lands in the second mdat's body
+    start2 = len(ft + moov + m1 + md1 + m2) + 8
+    assert idx[2][2] == start2
+
+
+def test_frame_index_co64_offsets():
+    from hortacloud_importer_spark.sources.isobmff import (
+        isobmff_frame_index,
+    )
+
+    def u32s(*vals):
+        return b"".join(struct.pack(">I", v) for v in vals)
+
+    def moov(mdat0):
+        stbl = (
+            full(b"stts", u32s(1, 2, 100))
+            + full(b"stsc", u32s(1, 1, 2, 1))
+            + full(b"stsz", u32s(9, 2))
+            + full(b"co64", u32s(1) + struct.pack(">Q", mdat0))
+        )
+        return box(
+            b"moov",
+            box(
+                b"trak",
+                full(
+                    b"tkhd",
+                    struct.pack(">III", 0, 0, 3) + b"\x00" * 60
+                    + struct.pack(">II", 0, 0),
+                )
+                + box(
+                    b"mdia",
+                    full(b"mdhd", struct.pack(">IIII", 0, 0, 90, 0) + b"\x00" * 4)
+                    + box(b"minf", box(b"stbl", stbl)),
+                ),
+            ),
+        )
+
+    ft = ftyp(b"isom")
+    mdat0 = len(ft) + len(moov(0)) + 8
+    blob = ft + moov(mdat0) + box(b"mdat", bytes(18))
+    idx = isobmff_frame_index(blob)
+    assert [(r[2], r[3], r[4]) for r in idx] == [
+        (mdat0, 9, 0), (mdat0 + 9, 9, 100),
+    ]
+
+
+def test_frame_index_corruption_raises_named_error_only():
+    from hortacloud_importer_spark.queries.multimodal import (
+        _frame_index_fixtures,
+    )
+    from hortacloud_importer_spark.sources.isobmff import (
+        isobmff_frame_index,
+    )
+
+    rng = np.random.default_rng(71)
+    for _mid, base in _frame_index_fixtures():
+        for _ in range(250):
+            b = bytearray(base)
+            mode = rng.integers(0, 3)
+            if mode == 0:
+                b = b[: int(rng.integers(1, len(b)))]
+            elif mode == 1:
+                i = int(rng.integers(0, len(b)))
+                b[i] ^= 1 << int(rng.integers(0, 8))
+            else:
+                i = int(rng.integers(0, len(b)))
+                b[i : i + 4] = bytes(rng.integers(0, 256, 4).tolist())
+            try:
+                isobmff_frame_index(bytes(b))
+            except IsobmffParseError:
+                pass  # the named contract
