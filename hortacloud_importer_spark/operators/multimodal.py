@@ -105,11 +105,15 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
         from hortacloud_importer_spark.sources.jpeg import (
             JpegParseError,
             decode_jpeg,
+            sniff_sof_marker,
             sniff_sof_precision,
         )
 
         use_clean = True
-        if sniff_sof_precision(bytes(payload)) == 8:
+        if (
+            sniff_sof_precision(bytes(payload)) == 8
+            and sniff_sof_marker(bytes(payload)) != 0xC3  # PIL: no SOF3
+        ):
             try:
                 import PIL.Image  # noqa: F401
 

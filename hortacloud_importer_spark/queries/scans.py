@@ -1701,3 +1701,68 @@ def scan_flac_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_intensity").alias("min_amplitude"),
         F.col("max_intensity").alias("max_amplitude"),
     )
+
+
+@register(
+    "scan_jpeg_lossless",
+    "A1+K4",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT z,
+       AVG(v) AS mean_intensity,
+       CAST(MIN(v) AS INTEGER) AS min_intensity,
+       CAST(MAX(v) AS INTEGER) AS max_intensity
+FROM (
+  SELECT t1.range AS z, (t2.range * (t1.range + 2) * 31) % 4096 AS v
+  FROM range(4) t1, range(256) t2
+)
+GROUP BY z
+""",
+)
+def scan_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 LOSSLESS JPEG (SOF3, T.81 Annex H) over REAL streams,
+    oracle-exact because the DPCM chain is lossless: four 12-bit
+    16x16 grayscale files with v = (i*(z+2)*31) mod 4096, each under
+    a DIFFERENT spatial predictor (1, 4, 7, 2), ingested via
+    binaryFile and decoded through the executor media kernel. AVG
+    over 256 samples is sum/2^8 — bit-exact in both engines, so a
+    predictor, modulo-arithmetic, or category decode bug anywhere in
+    the Annex-H path breaks the hash."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import media_features
+    from hortacloud_importer_spark.sources.jpeg import encode_jpeg_lossless
+
+    workdir = tempfile.mkdtemp(prefix="jpegll_stack_")
+    preds = [1, 4, 7, 2]
+    i = np.arange(256, dtype=np.int64)
+    for z in range(4):
+        v = ((i * (z + 2) * 31) % 4096).reshape(16, 16).astype(np.uint16)
+        with open(f"{workdir}/pic.{z:03d}.jls", "wb") as fh:
+            fh.write(
+                encode_jpeg_lossless(v, predictor=preds[z], precision=12)
+            )
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*.jls")
+        .select(
+            F.regexp_extract(F.col("path"), r"\.(\d{3})\.jls$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.lit("jpeg").alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 16, 'width', 16, 'channels', 1,"
+                " 'sample_rate', 0, 'n_frames', 1)"
+            ).alias("meta"),
+        )
+    )
+    return media_features(media).select(
+        F.col("media_id").alias("z"),
+        "mean_intensity",
+        "min_intensity",
+        "max_intensity",
+    )

@@ -38,8 +38,13 @@ through it; the fixture encoder emits it with ``precision=12``.
 Arithmetic-coded frames (SOF9 sequential, SOF10 progressive) decode
 through the QM-coder entropy layer in sources/jpeg_arith.py — the
 marker walk, coefficient stores, and IDCT tail here are shared.
-Out of scope, gated with clear errors: hierarchical, lossless
-(SOF3), 16-bit samples (no T.81 mode).
+
+Lossless (SOF3, T.81 Annex H) decodes too: per-sample Huffman DPCM
+against the seven spatial predictors, modulo-2^16 arithmetic, point
+transform, category-16 differences, restart-reset prediction, and
+2-16-bit precision (DNG/DICOM territory). Out of scope, gated with
+clear errors: hierarchical/differential frames and arithmetic-coded
+lossless.
 
 TIFF integration (sources/tiff.py): a compression-7 strip/tile is a
 complete JPEG stream that may omit its tables; the page-level
@@ -254,10 +259,15 @@ def _parse_segments(data: bytes, tables: _Tables):
                 p += 17 + n
         elif marker == 0xDD:  # DRI
             (tables.restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
-            # SOF0/1/2 (Huffman) and SOF9/10 (arithmetic)
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/1/2 (Huffman), SOF3 (lossless), SOF9/10 (arithmetic)
             prec = seg[0]
-            if prec not in (8, 12):
+            if marker == 0xC3:
+                if not 2 <= prec <= 16:
+                    raise JpegParseError(
+                        f"lossless precision {prec} outside 2-16"
+                    )
+            elif prec not in (8, 12):
                 raise JpegParseError(f"{prec}-bit precision unsupported")
             if prec == 12 and marker == 0xC0:
                 raise JpegParseError("baseline (SOF0) must be 8-bit")
@@ -291,13 +301,15 @@ def _parse_segments(data: bytes, tables: _Tables):
                 "comps": comps,
                 "progressive": marker in (0xC2, 0xCA),
                 "arith": marker in (0xC9, 0xCA),
+                "lossless": marker == 0xC3,
             }
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegParseError(
                 f"SOF{marker - 0xC0}: only baseline/extended-sequential/"
-                "progressive frames, Huffman- or arithmetic-coded, are "
-                "supported (no lossless/differential/hierarchical)"
+                "progressive/lossless frames, Huffman- or arithmetic-"
+                "coded, are supported (no differential/hierarchical/"
+                "arithmetic-lossless)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             p = 0
@@ -898,6 +910,8 @@ def _decode_jpeg_checked(
                 raise JpegParseError(
                     f"scan references component {s['cs']} not in the frame"
                 )
+    if sof.get("lossless"):
+        return _decode_lossless(data, sof, scans)
     hmax, vmax, _, _ = _frame_geometry(sof)
     if sof.get("arith"):
         from hortacloud_importer_spark.sources.jpeg_arith import (
@@ -1509,3 +1523,295 @@ def encode_jpeg_progressive(
                 out += wtr.flush()
     out += b"\xff\xd9"
     return bytes(out)
+
+
+# ------------------------------------------------ lossless (SOF3)
+
+
+def _lossless_restarts(n_mcu: int, ri: int) -> set:
+    """Raster positions where prediction resets (scan start + each
+    restart boundary)."""
+    if not ri:
+        return {0}
+    return set(range(0, n_mcu, ri))
+
+
+def _reconstruct_lossless(
+    d: np.ndarray, sel: int, default_pred: int, restarts: set
+) -> np.ndarray:
+    """Differences -> samples for one component plane (T.81 H.1.2):
+    predictor ``sel`` 1-7, modulo-2^16 arithmetic, first-line /
+    first-column / restart special cases."""
+    h, w = d.shape
+    s = np.zeros((h, w), np.int64)
+    k = 0
+    for y in range(h):
+        row = s[y]
+        drow = d[y]
+        prev = s[y - 1] if y else None
+        for x in range(w):
+            if k in restarts:
+                p = default_pred
+            elif y == 0:
+                p = row[x - 1]
+            elif x == 0:
+                p = prev[0]
+            else:
+                a = row[x - 1]
+                b = prev[x]
+                c = prev[x - 1]
+                if sel == 1:
+                    p = a
+                elif sel == 2:
+                    p = b
+                elif sel == 3:
+                    p = c
+                elif sel == 4:
+                    p = a + b - c
+                elif sel == 5:
+                    p = a + ((b - c) >> 1)
+                elif sel == 6:
+                    p = b + ((a - c) >> 1)
+                else:
+                    p = (a + b) >> 1
+            row[x] = (p + drow[x]) & 0xFFFF
+            k += 1
+    return s
+
+
+def _decode_lossless(data: bytes, sof: dict, scans: list) -> np.ndarray:
+    """Lossless (SOF3) frame -> (h, w, nc); uint8 when precision <= 8
+    else uint16. Spatial-domain DPCM: per-sample Huffman category +
+    magnitude bits give a difference against one of the seven spatial
+    predictors; no DCT, no quantization (T.81 Annex H)."""
+    h, w = sof["h"], sof["w"]
+    comps = sof["comps"]
+    prec = sof["prec"]
+    if len(comps) > 1 and any(
+        c["h"] != 1 or c["v"] != 1 for c in comps
+    ):
+        raise JpegParseError(
+            "subsampled lossless frames are not supported (1x1 only)"
+        )
+    planes: dict = {}
+    for hdr, start, end in scans:
+        scomps = hdr["comps"]
+        sel = hdr["ss"]
+        if not 1 <= sel <= 7:
+            raise JpegParseError(
+                f"lossless predictor selector {sel} outside 1-7"
+            )
+        pt = hdr["al"]
+        if pt >= prec:
+            raise JpegParseError(
+                f"point transform {pt} consumes the {prec}-bit sample"
+            )
+        luts = []
+        for s in scomps:
+            lut = hdr["dc"][s["td"]]
+            if lut is None:
+                raise JpegParseError(
+                    f"scan component {s['cs']} references an undefined "
+                    "Huffman table"
+                )
+            luts.append(lut)
+        ids = [s["cs"] for s in scomps]
+        ri = hdr["ri"]
+        n_mcu = h * w
+        diffs = {cid: np.empty(n_mcu, np.int64) for cid in ids}
+        mcu = 0
+        for seg in _restart_segments(data[start:end], ri):
+            reader = _BitReader(_unstuff(seg))
+            cnt = min(ri or n_mcu, n_mcu - mcu)
+            for _ in range(cnt):
+                for cid, lut in zip(ids, luts):
+                    t = _huff_decode(reader, lut)
+                    if t > 16:
+                        raise JpegParseError(
+                            f"lossless difference category {t} invalid"
+                        )
+                    if t == 16:  # T.81 H.1.2.2: no magnitude bits
+                        diff = 32768
+                    else:
+                        diff = _extend(reader.receive(t), t)
+                    diffs[cid][mcu] = diff
+                mcu += 1
+        if mcu != n_mcu:
+            raise JpegParseError(
+                f"lossless scan ended after {mcu} of {n_mcu} samples"
+            )
+        default_pred = 1 << (prec - pt - 1)
+        restarts = _lossless_restarts(n_mcu, ri)
+        for cid in ids:
+            plane = _reconstruct_lossless(
+                diffs[cid].reshape(h, w), sel, default_pred, restarts
+            )
+            planes[cid] = plane << pt
+    out = np.zeros(
+        (h, w, len(comps)), dtype=np.uint8 if prec <= 8 else np.uint16
+    )
+    for i, c in enumerate(comps):
+        if c["id"] not in planes:
+            raise JpegParseError(
+                f"no scan coded lossless component {c['id']}"
+            )
+        out[:, :, i] = planes[c["id"]]
+    return out
+
+
+# 17 symbols (categories 0-16) all at 5 bits: a valid canonical code
+# any conforming decoder reads — coverage over compression, like the
+# other fixture tables above
+_LL_DC_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_LL_DC_VALS = list(range(17))
+
+
+def encode_jpeg_lossless(
+    img: np.ndarray,
+    predictor: int = 1,
+    pt: int = 0,
+    precision: int | None = None,
+    ri: int = 0,
+) -> bytes:
+    """Fixture encoder: (h, w) or (h, w, c) unsigned ints -> a
+    lossless SOF3 stream (predictor 1-7, optional point transform and
+    restart interval). Round-trips bit-exactly through
+    :func:`decode_jpeg` by construction; the golden layout tests pin
+    the bit-level format independently."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.ndim != 3:
+        raise JpegParseError("image must be (h, w) or (h, w, c)")
+    h, w, nc = img.shape
+    if not 1 <= predictor <= 7:
+        raise JpegParseError(f"predictor {predictor} outside 1-7")
+    if precision is None:
+        precision = 8 if img.dtype == np.uint8 else 16
+    if not 2 <= precision <= 16:
+        raise JpegParseError(f"precision {precision} outside 2-16")
+    if pt >= precision:
+        raise JpegParseError("point transform consumes the sample")
+    s64 = img.astype(np.int64)
+    if s64.min() < 0 or s64.max() >= (1 << precision):
+        raise JpegParseError(f"samples exceed {precision}-bit range")
+    if pt and np.any(s64 & ((1 << pt) - 1)):
+        raise JpegParseError(
+            f"samples must carry {pt} zero low bits for an exact "
+            "point-transform round trip"
+        )
+    coded = s64 >> pt
+
+    out = bytearray(b"\xff\xd8")
+    dht = bytes([0x00]) + bytes(_LL_DC_BITS) + bytes(_LL_DC_VALS)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    sofp = bytes([precision]) + struct.pack(">HH", h, w) + bytes([nc])
+    for i in range(nc):
+        sofp += bytes([i + 1, 0x11, 0])
+    out += b"\xff\xc3" + struct.pack(">H", 2 + len(sofp)) + sofp
+    if ri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, ri)
+    sosp = bytes([nc])
+    for i in range(nc):
+        sosp += bytes([i + 1, 0x00])
+    sosp += bytes([predictor, 0, pt])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sosp)) + sosp
+
+    # canonical codes for the all-5-bit table: code(k) = k
+    def emit(bw, t):
+        bw.append(t, 5)
+
+    class _BW:
+        def __init__(self):
+            self.bytes_ = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def append(self, v, nb):
+            self.acc = (self.acc << nb) | (v & ((1 << nb) - 1))
+            self.n += nb
+            while self.n >= 8:
+                self.n -= 8
+                b = (self.acc >> self.n) & 0xFF
+                self.bytes_.append(b)
+                if b == 0xFF:
+                    self.bytes_.append(0x00)  # stuffing
+            self.acc &= (1 << self.n) - 1
+
+        def flush(self):
+            if self.n:
+                pad = 8 - self.n
+                self.append((1 << pad) - 1, pad)  # 1-fill (B.1.1.5)
+
+    default_pred = 1 << (precision - pt - 1)
+    n_mcu = h * w
+    restarts = _lossless_restarts(n_mcu, ri)
+    # per-component predictions mirror _reconstruct_lossless exactly
+    bw = _BW()
+    rst = 0
+    for k in range(n_mcu):
+        if ri and k and k % ri == 0:
+            bw.flush()
+            out += bytes(bw.bytes_)
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            rst += 1
+            bw = _BW()
+        y, x = divmod(k, w)
+        for ci in range(nc):
+            plane = coded[:, :, ci]
+            if k in restarts:
+                p = default_pred
+            elif y == 0:
+                p = plane[0, x - 1]
+            elif x == 0:
+                p = plane[y - 1, 0]
+            else:
+                a = plane[y, x - 1]
+                b = plane[y - 1, x]
+                c = plane[y - 1, x - 1]
+                p = [
+                    a, b, c, a + b - c, a + ((b - c) >> 1),
+                    b + ((a - c) >> 1), (a + b) >> 1,
+                ][predictor - 1]
+            d = (int(plane[y, x]) - int(p)) & 0xFFFF
+            if d >= 0x8000 and d != 0x8000:
+                d -= 0x10000
+            if d == 0x8000:  # category 16: no magnitude bits
+                emit(bw, 16)
+                continue
+            t = abs(d).bit_length()
+            emit(bw, t)
+            if t:
+                v = d if d > 0 else d + (1 << t) - 1
+                bw.append(v, t)
+    bw.flush()
+    out += bytes(bw.bytes_)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def sniff_sof_marker(data: bytes) -> int | None:
+    """Marker byte (0xC0-0xCF) of the first SOF, or None — the
+    dispatch sniff that keeps lossless (SOF3) streams on the
+    clean-room path even when a binding covers baseline 8-bit."""
+    if data[:2] != b"\xff\xd8":
+        return None
+    pos, n = 2, len(data)
+    while pos + 1 < n:
+        if data[pos] != 0xFF:
+            return None
+        while pos + 1 < n and data[pos + 1] == 0xFF:
+            pos += 1
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD9, 0xDA):
+            return None
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        if pos + 2 > n:
+            return None
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            return marker
+        pos += seglen
+    return None

@@ -490,3 +490,123 @@ def test_noninterleaved_scan_coverage_is_validated():
     short = blob[:i] + b"\xff\xd9"
     with pytest.raises(JpegParseError, match="never coded"):
         decode_jpeg(short)
+
+
+# ----------------------------------------------- lossless (SOF3)
+
+
+def _ll_bits_to_bytes(bits: str) -> bytes:
+    bits += "1" * (-len(bits) % 8)  # 1-fill padding (B.1.1.5)
+    return bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+
+
+def _ll_stream(entropy: bytes, h: int, w: int, prec: int = 8,
+               predictor: int = 1, pt: int = 0) -> bytes:
+    """Hand-assembled SOF3 stream with the all-5-bit category table —
+    built with the test's own bit math, independent of the encoder."""
+    dht = bytes([0x00]) + bytes(
+        [0, 0, 0, 0, 17] + [0] * 11
+    ) + bytes(range(17))
+    sofp = bytes([prec]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    sosp = bytes([1, 1, 0x00, predictor, 0, pt])
+    return (
+        b"\xff\xd8"
+        + b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+        + b"\xff\xc3" + struct.pack(">H", 2 + len(sofp)) + sofp
+        + b"\xff\xda" + struct.pack(">H", 2 + len(sosp)) + sosp
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+def test_lossless_golden_hand_built_bitstream():
+    """2x2, predictor 1: samples 130, 128, 131, 132. Differences
+    against (scan-start 128, left, above-for-col0, left) are
+    +2, -2, +1, +1. With code(k)=k at 5 bits: cat 2 '00010'+'10',
+    cat 2 '00010'+'01' (negative: v = d + 2^t - 1 = 1), cat 1
+    '00001'+'1', cat 1 '00001'+'1'."""
+    bits = "00010" + "10" + "00010" + "01" + "00001" + "1" + "00001" + "1"
+    blob = _ll_stream(_ll_bits_to_bytes(bits), 2, 2)
+    got = decode_jpeg(blob)
+    assert got.dtype == np.uint8
+    assert got[:, :, 0].tolist() == [[130, 128], [131, 132]]
+
+
+def test_lossless_golden_category_16_wraps_modulo():
+    """Category 16 codes a difference of exactly 32768 with NO
+    magnitude bits (T.81 H.1.2.2); arithmetic is modulo 2^16."""
+    # 16-bit, predictor 1: start pred = 32768; cat16 -> s0 = 0;
+    # then +5 -> 5
+    bits = "10000" + "00011" + "101"
+    blob = _ll_stream(_ll_bits_to_bytes(bits), 1, 2, prec=16)
+    got = decode_jpeg(blob)
+    assert got.dtype == np.uint16
+    assert got[0, :, 0].tolist() == [0, 5]
+
+
+def test_lossless_roundtrip_all_predictors_and_precisions():
+    from hortacloud_importer_spark.sources.jpeg import (
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(61)
+    for prec, dtype in ((8, np.uint8), (12, np.uint16), (16, np.uint16)):
+        img = rng.integers(0, 1 << prec, (13, 17)).astype(dtype)
+        for pred in range(1, 8):
+            blob = encode_jpeg_lossless(img, predictor=pred,
+                                        precision=prec)
+            got = decode_jpeg(blob)
+            assert got.dtype == dtype
+            assert np.array_equal(got[:, :, 0], img), (prec, pred)
+
+
+def test_lossless_rgb_point_transform_and_restarts():
+    from hortacloud_importer_spark.sources.jpeg import (
+        encode_jpeg_lossless,
+        jpeg_probe,
+        sniff_sof_marker,
+    )
+
+    rng = np.random.default_rng(67)
+    rgb = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+    blob = encode_jpeg_lossless(rgb, predictor=4)
+    assert sniff_sof_marker(blob) == 0xC3
+    assert jpeg_probe(blob) == (9, 11, 3)
+    assert np.array_equal(decode_jpeg(blob), rgb)
+    # point transform drops (and restores) low bits; restart interval
+    # resets the prediction chain mid-scan
+    img = (rng.integers(0, 4096, (8, 8)) & ~3).astype(np.uint16)
+    blob = encode_jpeg_lossless(img, predictor=7, pt=2, precision=12,
+                                ri=10)
+    assert np.array_equal(decode_jpeg(blob)[:, :, 0], img)
+
+
+def test_lossless_named_gates_and_fuzz():
+    from hortacloud_importer_spark.sources.jpeg import (
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, (8, 8), dtype=np.uint8)
+    base = encode_jpeg_lossless(img, predictor=2)
+    # predictor selector 0 is differential-only -> named error
+    b = bytearray(base)
+    i = b.find(b"\xff\xda")
+    b[i + 7] = 0  # ss byte: marker(2) + len(2) + ns(1) + comp(2)
+    with pytest.raises(JpegParseError, match="predictor"):
+        decode_jpeg(bytes(b))
+    for _ in range(300):
+        b = bytearray(base)
+        mode = rng.integers(0, 3)
+        if mode == 0:
+            b = b[: int(rng.integers(1, len(b)))]
+        elif mode == 1:
+            i = int(rng.integers(0, len(b)))
+            b[i] ^= 1 << int(rng.integers(0, 8))
+        else:
+            i = int(rng.integers(0, len(b)))
+            b[i : i + 4] = bytes(rng.integers(0, 256, 4).tolist())
+        try:
+            decode_jpeg(bytes(b))
+        except JpegParseError:
+            pass  # the one named error
