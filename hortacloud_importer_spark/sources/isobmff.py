@@ -253,8 +253,18 @@ def isobmff_probe(data: bytes) -> tuple[str, int, int, int, int, int]:
 
 def decode_isobmff(data: bytes):
     """Pixel/sample decode is a codec-binding problem (HEVC, AV1,
-    AAC): gated, not faked."""
+    AAC). HEIF-family images route through the optional system
+    libheif binding (sources/heif.py — de265/dav1d, the jp2-style
+    fallback chain); video/audio payloads and bindingless
+    environments raise the honest gate."""
     kind, h, w, *_ = isobmff_probe(data)
+    if kind == "image":
+        from hortacloud_importer_spark.sources.heif import decode_heif
+
+        try:
+            return decode_heif(data)[None]
+        except NotImplementedError:
+            pass  # no binding: fall through to the named gate
     raise NotImplementedError(
         f"ISOBMFF {kind} payload ({w}x{h}): coded-stream decode needs "
         "a codec binding (HEVC/AV1/AAC) — header metadata is available "

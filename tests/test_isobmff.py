@@ -173,8 +173,18 @@ def test_largesize_and_size_zero_boxes_parse():
 
 
 def test_decode_is_an_honest_gate():
-    with pytest.raises(NotImplementedError, match="codec binding"):
-        decode_isobmff(_heif(True))
+    from hortacloud_importer_spark.sources.heif import load_libheif
+
+    if load_libheif() is None:
+        # bindingless: the named gate
+        with pytest.raises(NotImplementedError, match="codec binding"):
+            decode_isobmff(_heif(True))
+    else:
+        # binding present: a payload-less container is a PARSE error
+        # from libheif, renamed — never a crash, never fake pixels
+        with pytest.raises(IsobmffParseError):
+            decode_isobmff(_heif(True))
+    # video/audio payloads stay gated either way (no AAC/AVC path)
     with pytest.raises(NotImplementedError, match="codec binding"):
         decode_isobmff(_mp4(320, 240, 10, 8000))
 

@@ -82,7 +82,16 @@ def test_compressed_format_gated():
     # raises the named parse error instead
     from tests.test_isobmff import _heif
 
-    with pytest.raises(NotImplementedError, match="codec binding"):
+    from hortacloud_importer_spark.sources.heif import load_libheif
+
+    expected = (
+        NotImplementedError if load_libheif() is None
+        else __import__(
+            "hortacloud_importer_spark.sources.isobmff",
+            fromlist=["IsobmffParseError"],
+        ).IsobmffParseError
+    )
+    with pytest.raises(expected):
         _decode_one(
             "heic", _heif(True),
             {"height": 1, "width": 1, "channels": 1, "n_frames": 1},
