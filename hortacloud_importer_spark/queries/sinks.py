@@ -177,12 +177,29 @@ def vol_kernel_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("vol_octree_build", "A6+A11+D13", oracle=None, driver=False)
+@register(
+    "vol_octree_build",
+    "A6+A11+D13",
+    driver=False,
+    oracle="""
+SELECT CAST(level AS INTEGER) AS level,
+       CAST(n_blocks_written AS BIGINT) AS n_blocks_written,
+       CAST(n_voxels AS BIGINT) AS n_voxels
+FROM (VALUES (0, 64, 32768), (1, 8, 4096), (2, 1, 512))
+  AS t(level, n_blocks_written, n_voxels)
+""",
+)
 def vol_octree_build(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bench-only throughput probe: the full build_octree pipeline
-    (pipelines/octree.py — scan-free synthetic leaf, 3-level pyramid,
-    octree ZLIB-TIFF sink with manifest) over a 32^3 volume. The e2e
-    correctness of the same composition is pinned file-by-file in
+    """Throughput probe AND oracle-exact accounting: the full
+    build_octree pipeline (pipelines/octree.py — scan-free synthetic
+    leaf, 3-level pyramid, octree ZLIB-TIFF sink with manifest) over
+    a 32^3 volume. The returned per-level manifest accounting is a
+    fixed constant — the synthetic volume is a seeded deterministic
+    hash, so every run writes exactly 64/8/1 non-empty 8^3 blocks
+    carrying 32768/4096/512 voxels — and the VALUES oracle pins it:
+    a skip-empty regression, a lost pyramid level, or a manifest
+    commit bug all break the hash. Voxel-level correctness of the
+    same composition is pinned file-by-file in
     tests/test_octree_pipeline.py."""
     from hortacloud_importer_spark.pipelines import build_octree
     from hortacloud_importer_spark.volume import synthetic_volume
@@ -265,9 +282,22 @@ GROUP BY 2, 3, 4
 """
 
 
-@register("vol_ktx_convert", "A8+D4+D10+J1", oracle=None, driver=False)
+@register(
+    "vol_ktx_convert",
+    "A8+D4+D10+J1",
+    driver=False,
+    oracle="""
+SELECT CAST(n_files AS BIGINT) AS n_files,
+       CAST(n_blocks AS BIGINT) AS n_blocks,
+       CAST(n_mips AS INTEGER) AS n_mips
+FROM (VALUES (9, 9, 3)) AS t(n_files, n_blocks, n_mips)
+""",
+)
 def vol_ktx_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bench-only throughput probe: the full tiff_octree_to_ktx pass
+    """Throughput probe AND oracle-exact accounting (the two-level
+    32^3 store converts every run to exactly 9 committed KTX blocks —
+    8 leaves + 1 root — with 3-mip chains; the VALUES oracle pins the
+    manifest commit count): the full tiff_octree_to_ktx pass
     (pipelines/ktx.py) over a 32^3 two-level octree store — store scan
     + clean-room TIFF decode, per-(block, channel) histogram/percentile
     statistics, uint16->uint8 requantization, per-block mip chains,
