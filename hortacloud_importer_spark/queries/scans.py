@@ -1766,3 +1766,128 @@ def scan_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_intensity",
         "max_intensity",
     )
+
+
+@register(
+    "scan_mp4_frames",
+    "A1+K4+J4",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT z, f, AVG(v) AS mean_val,
+       CAST(MIN(v) AS INTEGER) AS min_val,
+       CAST(MAX(v) AS INTEGER) AS max_val
+FROM (
+  SELECT t1.range AS z, t2.range AS f,
+         ((t2.range * 4 + t3.range) * (t1.range + 2) * 19) % 256 AS v
+  FROM range(4) t1, range(0, 3, 2) t2, range(4) t3
+)
+GROUP BY z, f
+""",
+)
+def scan_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 video over REAL MP4 containers, oracle-exact, through the
+    1->N frame-sampling UDTF (J4): four 3-frame MJPEG-in-MP4 files —
+    every sample a complete T.81 stream whose 16x16 gray frame holds
+    per-8x8-block CONSTANTS v = ((f*4 + b)*(z+2)*19) mod 256, which
+    survive the flat-quant DCT chain bit-exactly (a constant block is
+    DC-only) — are enumerated via the sample table
+    (sources/isobmff.py isobmff_frame_index + stsd codec dispatch),
+    frame-sampled at stride 2, and each sampled frame reduced by the
+    media kernel. AVG over four block constants is sum/4 (exact in
+    doubles); a sample-table offset, stsd dispatch, or stride bug
+    breaks the hash."""
+    import struct
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import (
+        media_features,
+        sample_frames,
+    )
+    from hortacloud_importer_spark.sources.jpeg import encode_jpeg
+
+    def u32s(*vals):
+        return b"".join(struct.pack(">I", v) for v in vals)
+
+    def _box(t, p=b""):
+        return struct.pack(">I", len(p) + 8) + t + p
+
+    def _full(t, p):
+        return _box(t, b"\x00" * 4 + p)
+
+    def mjpeg_mp4(payloads):
+        entry = (
+            struct.pack(">I", 86) + b"jpeg" + b"\x00" * 6
+            + b"\x00\x01" + bytes(70)
+        )
+        sizes = [len(p) for p in payloads]
+
+        def moov(mdat0):
+            stbl = (
+                _full(b"stsd", u32s(1) + entry)
+                + _full(b"stts", u32s(1, len(payloads), 100))
+                + _full(b"stsc", u32s(1, 1, len(payloads), 1))
+                + _full(b"stsz", u32s(0, len(payloads), *sizes))
+                + _full(b"stco", u32s(1, mdat0))
+            )
+            return _box(
+                b"moov",
+                _box(
+                    b"trak",
+                    _full(
+                        b"tkhd",
+                        struct.pack(">III", 0, 0, 1) + b"\x00" * 60
+                        + struct.pack(">II", 16 << 16, 16 << 16),
+                    )
+                    + _box(
+                        b"mdia",
+                        _full(
+                            b"mdhd",
+                            struct.pack(">IIII", 0, 0, 3000, 0) + b"\x00" * 4,
+                        )
+                        + _box(b"minf", _box(b"stbl", stbl)),
+                    ),
+                ),
+            )
+
+        ft = _box(b"ftyp", b"isom\x00\x00\x00\x00mp42")
+        mdat0 = len(ft) + len(moov(0)) + 8
+        return ft + moov(mdat0) + _box(b"mdat", b"".join(payloads))
+
+    workdir = tempfile.mkdtemp(prefix="mp4_frames_")
+    for z in range(4):
+        payloads = []
+        for f in range(3):
+            frame = np.zeros((16, 16), np.uint8)
+            for b in range(4):
+                v = ((f * 4 + b) * (z + 2) * 19) % 256
+                by, bx = divmod(b, 2)
+                frame[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = v
+            payloads.append(encode_jpeg(frame))
+        with open(f"{workdir}/vid.{z:03d}.mp4", "wb") as fh:
+            fh.write(mjpeg_mp4(payloads))
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*.mp4")
+        .select(
+            F.regexp_extract(F.col("path"), r"\.(\d{3})\.mp4$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("video").alias("kind"),
+            F.lit("mp4").alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 16, 'width', 16, 'channels', 1,"
+                " 'sample_rate', 0, 'n_frames', 3)"
+            ).alias("meta"),
+        )
+    )
+    sampled = sample_frames(media, stride=2)
+    return media_features(sampled).select(
+        (F.col("media_id") / 1000).cast("long").alias("z"),
+        (F.col("media_id") % 1000).cast("long").alias("f"),
+        F.col("mean_intensity").alias("mean_val"),
+        F.col("min_intensity").alias("min_val"),
+        F.col("max_intensity").alias("max_val"),
+    )

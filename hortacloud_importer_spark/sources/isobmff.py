@@ -2,10 +2,16 @@
 14496-12) — the container behind MP4/MOV video and HEIF/HEIC/AVIF
 images, which dominate modern crawls alongside JPEG/WebP.
 
-Header-only by design: the probe walks the box tree and reads the
+Metadata-first by design: the probe walks the box tree and reads the
 spatial-extents / track-header metadata a crawl pipeline needs to
 schedule work (`media_probe`'s schema-scan-then-decode-selectively
-posture). PIXEL decode of the embedded HEVC/AV1 payloads is a gated
+posture), and ``isobmff_frame_index`` enumerates per-sample byte
+ranges + timestamps from the sample tables (stbl) and movie
+fragments (moof) so frames can be range-read without shipping mdat.
+Pixel decode: MJPEG-coded video tracks decode CLEAN-ROOM (every
+sample is a complete T.81 stream -> sources/jpeg.py); HEIF-family
+images decode through the optional system libheif binding
+(sources/heif.py); HEVC/AV1/AAC tracks stay a gated
 NotImplementedError — codec bindings belong behind the same optional
 import tail as PIL, and shipping a wrong decode would be worse than
 an honest gate.
@@ -265,6 +271,11 @@ def decode_isobmff(data: bytes):
             return decode_heif(data)[None]
         except NotImplementedError:
             pass  # no binding: fall through to the named gate
+    elif kind == "video":
+        try:
+            return decode_isobmff_mjpeg(data)  # clean-room, no binding
+        except NotImplementedError:
+            pass  # non-JPEG codec: fall through to the named gate
     raise NotImplementedError(
         f"ISOBMFF {kind} payload ({w}x{h}): coded-stream decode needs "
         "a codec binding (HEVC/AV1/AAC) — header metadata is available "
@@ -554,3 +565,72 @@ def isobmff_frame_index(data: bytes) -> list:
     if not out:
         raise IsobmffParseError("no sample tables or fragments")
     return out
+
+
+def isobmff_track_codecs(data: bytes) -> dict:
+    """track_id -> sample-entry 4CC (the stsd codec tag, e.g. b'avc1',
+    b'hvc1', b'jpeg', b'mp4a') — header walk only."""
+    boxes = isobmff_boxes(data)
+    out: dict = {}
+    for path, ta, tb in boxes:
+        if path[-1] != b"trak":
+            continue
+        sub = [(p, a, b) for p, a, b in boxes if ta <= a and b <= tb]
+        tkhd = next(((a, b) for p, a, b in sub if p[-1] == b"tkhd"), None)
+        stsd = next(((a, b) for p, a, b in sub if p[-1] == b"stsd"), None)
+        if tkhd is None or stsd is None:
+            continue
+        ver = _u(data, tkhd[0], 1)
+        track_id = _u(data, tkhd[0] + (4 + 16 if ver else 4 + 8), 4)
+        a, b = stsd
+        if b - a < 16:
+            raise IsobmffParseError("stsd too short")
+        n = _u(data, a + 4, 4)
+        if n < 1:
+            continue
+        entry_size = _u(data, a + 8, 4)
+        if entry_size < 8 or a + 8 + entry_size > b:
+            raise IsobmffParseError("stsd entry overruns its box")
+        out[track_id] = data[a + 12 : a + 16]
+    return out
+
+
+_MJPEG_TAGS = {b"jpeg", b"mjpa", b"mjpb", b"mjpg", b"MJPG"}
+
+
+def decode_isobmff_mjpeg(data: bytes) -> "object":
+    """MJPEG-in-MP4/MOV -> (n_frames, h, w, c) uint8: every sample of
+    the first JPEG-coded video track is a complete T.81 stream, so
+    the sample-table frame index + the clean-room JPEG decoder give
+    REAL video pixel decode with no external binding — the same
+    composition the AVI path uses (sources/avi.py), on the modern
+    container. Non-JPEG tracks raise NotImplementedError (the codec
+    gate); structural problems raise IsobmffParseError."""
+    import numpy as np
+
+    from hortacloud_importer_spark.sources.jpeg import decode_jpeg
+
+    codecs = isobmff_track_codecs(data)
+    track = next(
+        (tid for tid, cc in codecs.items() if cc in _MJPEG_TAGS), None
+    )
+    if track is None:
+        raise NotImplementedError(
+            f"no MJPEG video track (codecs: "
+            f"{sorted(cc.decode('latin1') for cc in codecs.values())})"
+        )
+    idx = [r for r in isobmff_frame_index(data) if r[0] == track]
+    if not idx:
+        raise IsobmffParseError("MJPEG track has no samples")
+    frames = []
+    shape = None
+    for (_tid, _si, off, sz, _dts, _dur, _ts, _sync) in idx:
+        arr = decode_jpeg(data[off : off + sz])
+        if shape is None:
+            shape = arr.shape
+        elif arr.shape != shape:
+            raise IsobmffParseError(
+                f"frame size changes mid-track: {arr.shape} vs {shape}"
+            )
+        frames.append(arr)
+    return np.stack(frames)

@@ -410,3 +410,95 @@ def test_frame_index_corruption_raises_named_error_only():
                 isobmff_frame_index(bytes(b))
             except IsobmffParseError:
                 pass  # the named contract
+
+
+# ----------------------------------------------- MJPEG-in-MP4 decode
+
+
+def _mjpeg_mp4(payloads: "list[bytes]", codec: bytes = b"jpeg") -> bytes:
+    """MP4 with one video track whose samples are the given complete
+    JPEG streams — stsd carries the codec tag, stsz/stco point into
+    one mdat (two-pass offset patch)."""
+    def u32s(*vals):
+        return b"".join(struct.pack(">I", v) for v in vals)
+
+    entry = struct.pack(">I", 86) + codec + b"\x00" * 6 + b"\x00\x01" + bytes(70)
+    sizes = [len(p) for p in payloads]
+
+    def moov(mdat0):
+        stbl = (
+            full(b"stsd", u32s(1) + entry)
+            + full(b"stts", u32s(1, len(payloads), 100))
+            + full(b"stsc", u32s(1, 1, len(payloads), 1))
+            + full(b"stsz", u32s(0, len(payloads), *sizes))
+            + full(b"stco", u32s(1, mdat0))
+        )
+        return box(
+            b"moov",
+            box(
+                b"trak",
+                full(
+                    b"tkhd",
+                    struct.pack(">III", 0, 0, 1) + b"\x00" * 60
+                    + struct.pack(">II", 16 << 16, 16 << 16),
+                )
+                + box(
+                    b"mdia",
+                    full(b"mdhd", struct.pack(">IIII", 0, 0, 3000, 0) + b"\x00" * 4)
+                    + box(b"minf", box(b"stbl", stbl)),
+                ),
+            ),
+        )
+
+    ft = ftyp(b"isom", b"mp42")
+    mdat0 = len(ft) + len(moov(0)) + 8
+    return ft + moov(mdat0) + box(b"mdat", b"".join(payloads))
+
+
+def test_mjpeg_mp4_decodes_through_the_t81_decoder():
+    from hortacloud_importer_spark.sources.isobmff import (
+        decode_isobmff_mjpeg,
+        isobmff_track_codecs,
+    )
+    from hortacloud_importer_spark.sources.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(79)
+    frames = [
+        rng.integers(0, 256, (16, 16), dtype=np.uint8) for _ in range(3)
+    ]
+    payloads = [encode_jpeg(f) for f in frames]
+    blob = _mjpeg_mp4(payloads)
+    assert isobmff_track_codecs(blob) == {1: b"jpeg"}
+    got = decode_isobmff_mjpeg(blob)
+    assert got.shape == (3, 16, 16, 1)
+    for i, p in enumerate(payloads):
+        assert np.array_equal(got[i], decode_jpeg(p))
+    # the general decode entry point routes video -> MJPEG path
+    assert np.array_equal(decode_isobmff(blob), got)
+
+
+def test_mjpeg_gate_for_other_codecs_and_errors():
+    from hortacloud_importer_spark.sources.isobmff import (
+        decode_isobmff_mjpeg,
+    )
+    from hortacloud_importer_spark.sources.jpeg import encode_jpeg
+
+    rng = np.random.default_rng(83)
+    p = encode_jpeg(rng.integers(0, 256, (8, 8), dtype=np.uint8))
+    # an avc1-coded track stays honestly gated
+    blob = _mjpeg_mp4([p], codec=b"avc1")
+    with pytest.raises(NotImplementedError, match="avc1"):
+        decode_isobmff_mjpeg(blob)
+    with pytest.raises(NotImplementedError, match="codec binding"):
+        decode_isobmff(blob)
+    # corruption inside a sample surfaces as a named error
+    blob = bytearray(_mjpeg_mp4([p, p]))
+    from hortacloud_importer_spark.sources.jpeg import JpegParseError
+
+    i = blob.rfind(b"\xff\xc4")  # DHT marker inside the LAST payload
+    blob[i + 1] = 0x00
+    with pytest.raises((IsobmffParseError, JpegParseError)):
+        decode_isobmff_mjpeg(bytes(blob))
