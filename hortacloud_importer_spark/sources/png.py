@@ -474,7 +474,8 @@ def decode_png_frames(data: bytes) -> np.ndarray:
     (same IHDR parameters at the frame's dimensions, shared
     PLTE/tRNS) and decoded through the normal still path, so filters,
     interlace, palettes, and transparency all behave identically.
-    16-bit animations gate by name (the canvas model is 8-bit)."""
+    16-bit animations composite on a uint16 canvas (same Porter-Duff
+    over, max value 65535)."""
     chunks = list(_chunks(data))
     has_actl = any(c == b"acTL" for c, _ in chunks)
     if not has_actl:
@@ -487,10 +488,6 @@ def decode_png_frames(data: bytes) -> np.ndarray:
     w, h, depth, color, comp, filt, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if depth == 16:
-        raise PngParseError(
-            "16-bit APNG is not supported (8-bit canvas model)"
-        )
     actl = next(p for c, p in chunks if c == b"acTL")
     if len(actl) < 8:
         raise PngParseError("acTL shorter than 8 bytes")
@@ -555,7 +552,12 @@ def decode_png_frames(data: bytes) -> np.ndarray:
             + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
         )
 
-    canvas = np.zeros((h, w, 4), dtype=np.uint8)  # transparent start
+    # 16-bit color types composite on a uint16 canvas (palette stays
+    # 8-bit: PLTE entries are bytes regardless of bit depth)
+    wide = depth == 16 and color != 3
+    cdt = np.uint16 if wide else np.uint8
+    m = np.uint32(65535 if wide else 255)
+    canvas = np.zeros((h, w, 4), dtype=cdt)  # transparent start
     out = []
     for fctl, datas in frames:
         fw, fh, fx, fy = struct.unpack(">IIII", fctl[4:20])
@@ -588,10 +590,10 @@ def decode_png_frames(data: bytes) -> np.ndarray:
         elif arr.shape[2] == 2:  # gray+alpha
             arr = np.dstack([np.repeat(arr[:, :, :1], 3, axis=2),
                              arr[:, :, 1]])
+        if arr.dtype != cdt:
+            raise PngParseError("frame dtype diverges from the canvas")
         if arr.shape[2] == 3:
-            arr = np.dstack(
-                [arr, np.full((fh, fw), 255, dtype=np.uint8)]
-            )
+            arr = np.dstack([arr, np.full((fh, fw), m, dtype=cdt)])
         rect = canvas[fy : fy + fh, fx : fx + fw]
         saved = rect.copy() if dispose == 2 else None
         if blend == 0:  # source: replace including alpha
@@ -602,25 +604,25 @@ def decode_png_frames(data: bytes) -> np.ndarray:
             # result unpremultiplied by ao, so compositing onto
             # partially transparent canvas (initial canvas, dispose-
             # to-background holes) matches the spec's over operator.
-            a = arr[:, :, 3:].astype(np.uint32)
-            inv = 255 - a
-            ad = rect[:, :, 3:].astype(np.uint32)
-            den = a * 255 + inv * ad  # = ao * 255**2 (exact integer)
+            a = arr[:, :, 3:].astype(np.uint64)
+            inv = m - a
+            ad = rect[:, :, 3:].astype(np.uint64)
+            den = a * m + inv * ad  # = ao * m**2 (exact integer)
             num = (
-                a * 255 * arr[:, :, :3].astype(np.uint32)
-                + inv * ad * rect[:, :, :3].astype(np.uint32)
+                a * m * arr[:, :, :3].astype(np.uint64)
+                + inv * ad * rect[:, :, :3].astype(np.uint64)
             )
             safe = np.maximum(den, 1)
             mixed = (2 * num + safe) // (2 * safe)
-            rect[:, :, :3] = np.where(den == 0, 0, mixed).astype(np.uint8)
-            rect[:, :, 3:] = ((den + 127) // 255).astype(np.uint8)
+            rect[:, :, :3] = np.where(den == 0, 0, mixed).astype(cdt)
+            rect[:, :, 3:] = ((den + m // 2) // m).astype(cdt)
         out.append(canvas.copy())
         if dispose == 1:  # background: clear region to transparent
             rect[:] = 0
         elif dispose == 2:  # previous: revert region
             rect[:] = saved
     result = np.stack(out)
-    if (result[:, :, :, 3] == 255).all():
+    if (result[:, :, :, 3] == m).all():
         return np.ascontiguousarray(result[:, :, :, :3])
     return result
 
@@ -632,16 +634,19 @@ def encode_apng(
     dispose: int = 0,
     blend: int = 0,
 ) -> bytes:
-    """Fixture encoder: uint8 RGB/RGBA frames -> APNG (acTL + fcTL +
-    IDAT/fdAT). The first frame is part of the animation (fcTL
-    precedes IDAT)."""
+    """Fixture encoder: uint8 or uint16 RGB/RGBA frames -> APNG
+    (acTL + fcTL + IDAT/fdAT). The first frame is part of the
+    animation (fcTL precedes IDAT)."""
     if not frames:
         raise PngParseError("need at least one frame")
     offsets = offsets or [(0, 0)] * len(frames)
     c = frames[0].shape[2]
-    if any(f.dtype != np.uint8 or f.ndim != 3 or f.shape[2] != c
+    dt = frames[0].dtype
+    if dt not in (np.uint8, np.uint16):
+        raise PngParseError("frames must be uint8 or uint16")
+    if any(f.dtype != dt or f.ndim != 3 or f.shape[2] != c
            for f in frames):
-        raise PngParseError("frames must share one uint8 (h, w, c) shape")
+        raise PngParseError("frames must share one (h, w, c) dtype/shape")
     if canvas is None:
         ch = max(y + f.shape[0] for (x, y), f in zip(offsets, frames))
         cw = max(x + f.shape[1] for (x, y), f in zip(offsets, frames))
@@ -663,7 +668,8 @@ def encode_apng(
         return out
 
     color = {3: 2, 4: 6}[c]
-    ihdr = struct.pack(">IIBBBBB", cw, ch, 8, color, 0, 0, 0)
+    depth = 16 if dt == np.uint16 else 8
+    ihdr = struct.pack(">IIBBBBB", cw, ch, depth, color, 0, 0, 0)
     parts = [PNG_SIGNATURE, chunk(b"IHDR", ihdr)]
     parts.append(
         chunk(b"acTL", struct.pack(">II", len(frames), 0))

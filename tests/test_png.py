@@ -500,3 +500,52 @@ def test_multimodal_kernel_routes_apng():
     assert arr.shape == (4, 6, 8, 3)
     meta = _probe_one("png", blob, {})
     assert (meta["height"], meta["width"], meta["n_frames"]) == (6, 8, 4)
+
+
+def test_apng_16bit_composites_on_uint16_canvas():
+    """16-bit truecolor APNG: source-blend replace, over-blend with
+    m = 65535 arithmetic, and dispose-to-background holes — the
+    formerly-gated depth now composites exactly."""
+    from hortacloud_importer_spark.sources.png import (
+        decode_png_frames,
+        encode_apng,
+    )
+
+    rng = np.random.default_rng(137)
+    f0 = rng.integers(0, 65536, (6, 8, 3)).astype(np.uint16)
+    f1 = rng.integers(0, 65536, (3, 4, 3)).astype(np.uint16)
+    fr = decode_png_frames(encode_apng([f0, f1], offsets=[(0, 0), (2, 2)]))
+    assert fr.dtype == np.uint16
+    assert fr.shape == (2, 6, 8, 3)
+    assert np.array_equal(fr[0], f0)
+    want = f0.copy()
+    want[2:5, 2:6] = f1
+    assert np.array_equal(fr[1], want)
+
+    # over-blend with RGBA: integer Porter-Duff at m = 65535
+    m = 65535
+    a_val = 30000
+    f0a = np.dstack([f0, np.full((6, 8), m, np.uint16)])
+    f1a = np.dstack([f1, np.full((3, 4), a_val, np.uint16)])
+    fr2 = decode_png_frames(
+        encode_apng([f0a, f1a], offsets=[(0, 0), (2, 2)], blend=1)
+    )
+    num = (
+        a_val * m * f1.astype(np.int64)
+        + (m - a_val) * m * f0[2:5, 2:6].astype(np.int64)
+    )
+    den = a_val * m + (m - a_val) * m
+    exp = ((2 * num + den) // (2 * den)).astype(np.uint16)
+    assert np.array_equal(fr2[1, 2:5, 2:6, :3], exp)
+    # every pixel stays opaque (out alpha = m exactly), so the result
+    # strips to 3 channels — the uint16 twin of the 8-bit behavior
+    assert fr2.shape[3] == 3
+
+    # dispose-to-background leaves a transparent uint16 hole
+    f2 = rng.integers(0, 65536, (2, 2, 3)).astype(np.uint16)
+    fr3 = decode_png_frames(
+        encode_apng([f0, f1, f2], offsets=[(0, 0), (2, 2), (0, 0)],
+                    dispose=1)
+    )
+    assert fr3.dtype == np.uint16 and fr3.shape[3] == 4
+    assert (fr3[2, 2:5, 2:6, 3] == 0).all()
