@@ -43,16 +43,18 @@ Packed packet headers decode in both flavors — main-header PPM
 (Nppm-framed per-tile-part chunks, T.800 A.7.4) and tile-part PPT
 (Zppt-ordered per-tile segments, A.7.5) — and the fixture encoder
 emits them via ``packed_headers=``. Per-component QCC quantization
-overrides decode (and the encoder emits them via ``qcc_eps_delta``);
-COC stays gated because per-component coding parameters change the
-packet walk itself. Maxshift
+overrides decode (and the encoder emits them via ``qcc_eps_delta``).
+Maxshift
 region-of-interest (RGN, T.800 Annex H) decodes — ROI-upshifted
 coefficients classify by magnitude and scale back after Tier-1 —
 within the 31-coded-bit-plane integer domain. Honest gates (raised
-as :class:`J2kUnsupported`): non-unit component subsampling, signed
-components, custom precincts, code-block style flags
-(bypass/reset/termall/vsc/segsym), explicit-style RGN, the COC/POC
-markers, and per-tile COD/QCD overrides. The
+as :class:`J2kUnsupported`): non-unit component subsampling, custom
+precincts, code-block style flags
+(bypass/reset/termall/vsc/segsym), explicit-style RGN, the POC
+marker, and per-tile COD/QCD overrides. Signed components decode
+(no DC level shift, int8/int16 output) and main-header COC
+per-component overrides (decomposition levels, code-block geometry,
+transform) drive the packet walk per T.800 B.12. The
 scope covers what a lossless microscopy slice store actually writes;
 everything else still routes to the optional OpenJPEG bindings in
 sources/jp2.py.
@@ -1189,39 +1191,48 @@ def _build_bands(
     return out
 
 
-def _packet_sequence(prog: int, nres: int, ncomp: int, nlayers: int = 1):
+def _packet_sequence(prog: int, nres, ncomp: int, nlayers: int = 1):
     """(layer, resolution, component) visit order for single-precinct
-    codestreams (one packet per element). The five T.800 progressions
-    collapse to their layer/resolution/component loop nests here:
-    PCRL (position -> component -> resolution -> layer) degenerates
-    to CPRL's order because with one precinct per tile-resolution
-    every precinct sits at the same position."""
+    codestreams (one packet per element). ``nres`` may be a single
+    resolution count or one per component (the COC case): a packet
+    exists only while r < nres[c], exactly T.800 B.12's rule that
+    resolution loops skip components with fewer decomposition levels.
+    The five T.800 progressions collapse to their layer/resolution/
+    component loop nests here: PCRL (position -> component ->
+    resolution -> layer) degenerates to CPRL's order because with one
+    precinct per tile-resolution every precinct sits at the same
+    position."""
+    nres_c = [nres] * ncomp if isinstance(nres, int) else list(nres)
+    nmax = max(nres_c)
     if prog == 0:  # LRCP
         return [
             (l, r, c)
             for l in range(nlayers)
-            for r in range(nres)
+            for r in range(nmax)
             for c in range(ncomp)
+            if r < nres_c[c]
         ]
     if prog == 1:  # RLCP
         return [
             (l, r, c)
-            for r in range(nres)
+            for r in range(nmax)
             for l in range(nlayers)
             for c in range(ncomp)
+            if r < nres_c[c]
         ]
     if prog == 2:  # RPCL
         return [
             (l, r, c)
-            for r in range(nres)
+            for r in range(nmax)
             for c in range(ncomp)
+            if r < nres_c[c]
             for l in range(nlayers)
         ]
     if prog in (3, 4):  # PCRL (degenerate), CPRL
         return [
             (l, r, c)
             for c in range(ncomp)
-            for r in range(nres)
+            for r in range(nres_c[c])
             for l in range(nlayers)
         ]
     raise J2kUnsupported(f"progression order {prog} is not supported")
@@ -1297,6 +1308,7 @@ def encode_j2k(
     qcc_eps_delta: "dict[int, int] | None" = None,
     roi: tuple[int, int, int, int] | None = None,
     roi_shift: int = 0,
+    coc: "dict[int, dict] | None" = None,
 ) -> bytes:
     """(h, w[, nc]) uint8/uint16 -> lossless (5/3) codestream.
     ``tile=(xt, yt)`` splits the image into an XTsiz x YTsiz grid of
@@ -1322,11 +1334,17 @@ def encode_j2k(
         img = img[:, :, None]
     h, w, nc = img.shape
     if img.dtype == np.uint8:
-        depth = 8
+        depth, signed = 8, False
     elif img.dtype == np.uint16:
-        depth = 16
+        depth, signed = 16, False
+    elif img.dtype == np.int8:
+        depth, signed = 8, True
+    elif img.dtype == np.int16:
+        depth, signed = 16, True
     else:
-        raise J2kParseError("uint8/uint16 components only")
+        raise J2kParseError(
+            "uint8/uint16 (unsigned) or int8/int16 (signed) only"
+        )
     cbw, cbh = cb
     if cbw < 4 or cbh < 4 or cbw * cbh > 4096 or cbw & (cbw - 1) or cbh & (cbh - 1):
         raise J2kParseError(f"invalid code-block size {cb}")
@@ -1345,7 +1363,25 @@ def encode_j2k(
         raise J2kParseError(f"layers must be 1..65535, not {layers}")
     if quant not in (1, 2):
         raise J2kParseError(f"quant style must be 1 or 2, not {quant}")
-    _check_tile_geometry(w, h, xt, yt, levels, J2kParseError)
+    # per-component coding overrides -> COC (+ matching style-0 QCC)
+    levels_c = [levels] * nc
+    cbw_c = [cbw] * nc
+    cbh_c = [cbh] * nc
+    if coc:
+        if lossy:
+            raise J2kParseError("coc overrides support lossless only")
+        for ci, over in coc.items():
+            if not 0 <= ci < nc:
+                raise J2kParseError(f"coc names component {ci} of {nc}")
+            levels_c[ci] = over.get("levels", levels)
+            ow, oh = over.get("cb", (cbw_c[ci], cbh_c[ci]))
+            if (
+                ow < 4 or oh < 4 or ow * oh > 4096
+                or ow & (ow - 1) or oh & (oh - 1)
+            ):
+                raise J2kParseError(f"invalid COC code-block size {over}")
+            cbw_c[ci], cbh_c[ci] = ow, oh
+    _check_tile_geometry(w, h, xt, yt, max(levels_c), J2kParseError)
 
     # one (eps per band) table drives BOTH the QCD header and every
     # tile's quantizer — a single source of truth (mu is always 0)
@@ -1388,10 +1424,12 @@ def encode_j2k(
         if any(not 0 < e <= 31 for tab in eps_tabs for e in tab):
             raise J2kParseError("qcc_eps_delta drives eps out of 1..31")
 
+    # signed components carry no DC level shift (T.800 B.1 — they are
+    # already centered on zero); unsigned ones shift by 2^(depth-1)
+    dc = 0 if signed else 1 << (depth - 1)
     if lossy:
         planes = [
-            img[:, :, c].astype(np.float64) - (1 << (depth - 1))
-            for c in range(nc)
+            img[:, :, c].astype(np.float64) - dc for c in range(nc)
         ]
         if mct:  # irreversible color transform (BT.601 floats)
             r, g, b = planes
@@ -1402,8 +1440,7 @@ def encode_j2k(
             ]
     else:
         planes = [
-            img[:, :, c].astype(np.int64) - (1 << (depth - 1))
-            for c in range(nc)
+            img[:, :, c].astype(np.int64) - dc for c in range(nc)
         ]
         if mct:
             # RCT is pointwise, so applying it before the tile split
@@ -1426,9 +1463,9 @@ def encode_j2k(
                 y1 - y0,
                 x1 - x0,
                 nc,
-                levels,
-                cbw,
-                cbh,
+                levels_c,
+                cbw_c,
+                cbh_c,
                 depth,
                 prog,
                 x0,
@@ -1447,7 +1484,8 @@ def encode_j2k(
         ">HHIIIIIIIIH", 38 + 3 * nc, 0, w, h, 0, 0, xt, yt, 0, 0, nc
     )
     for _ in range(nc):
-        siz += struct.pack(">BBB", depth - 1, 1, 1)
+        ssiz = (depth - 1) | (0x80 if signed else 0)
+        siz += struct.pack(">BBB", ssiz, 1, 1)
     out += struct.pack(">H", SIZ) + siz
     spcod = struct.pack(
         ">BBBBB",
@@ -1459,6 +1497,22 @@ def encode_j2k(
     )
     cod = struct.pack(">HBBHB", 12, 0, prog, layers, 1 if mct else 0) + spcod
     out += struct.pack(">H", COD) + cod
+    if coc:
+        for ci in sorted(coc):
+            spcoc = struct.pack(
+                ">BBBBB",
+                levels_c[ci],
+                (cbw_c[ci].bit_length() - 1) - 2,
+                (cbh_c[ci].bit_length() - 1) - 2,
+                0,
+                0 if lossy else 1,
+            )
+            out += (
+                struct.pack(">H", COC)
+                + struct.pack(">H", 2 + 1 + 1 + 5)
+                + bytes([ci, 0])  # Ccoc, Scoc (no custom precincts)
+                + spcoc
+            )
     nres = levels + 1
     n_bands = 3 * levels + 1
     if lossy and quant == 2:
@@ -1507,6 +1561,19 @@ def encode_j2k(
             + sqcd
             + spqcd
         )
+        if coc:
+            for ci in sorted(coc):
+                exps_ci = [depth + 2 + _BAND_GAIN["LL"]]
+                for r in range(1, levels_c[ci] + 1):
+                    for btype in ("HL", "LH", "HH"):
+                        exps_ci.append(depth + 2 + _BAND_GAIN[btype])
+                out += (
+                    struct.pack(">H", QCC)
+                    + struct.pack(">H", 4 + len(exps_ci))
+                    + bytes([ci])
+                    + sqcd
+                    + bytes(e << 3 for e in exps_ci)
+                )
     if roi_shift:
         for ci in range(nc):
             out += struct.pack(">HH", RGN, 5) + bytes([ci, 0, roi_shift])
@@ -1563,9 +1630,9 @@ def _encode_tile(
     h: int,
     w: int,
     nc: int,
-    levels: int,
-    cbw: int,
-    cbh: int,
+    levels_c: "list | int",
+    cbw_c: "list | int",
+    cbh_c: "list | int",
     depth: int,
     prog: int,
     x0: int = 0,
@@ -1587,10 +1654,20 @@ def _encode_tile(
     one source of truth) switches to the 9/7 transform and
     quantizes each band by 2^(Rb - eps)."""
     lossy = lossy_eps is not None
+    if isinstance(levels_c, int):
+        levels_c = [levels_c] * nc
+    if isinstance(cbw_c, int):
+        cbw_c = [cbw_c] * nc
+    if isinstance(cbh_c, int):
+        cbh_c = [cbh_c] * nc
     comps = []
     for ci, plane in enumerate(planes):
-        pyr = (dwt_forward97 if lossy else dwt_forward)(plane, levels)
-        bands = _build_bands(h, w, levels, cbw, cbh, depth, x0, y0)
+        pyr = (dwt_forward97 if lossy else dwt_forward)(
+            plane, levels_c[ci]
+        )
+        bands = _build_bands(
+            h, w, levels_c[ci], cbw_c[ci], cbh_c[ci], depth, x0, y0
+        )
         if lossy:
             # lossy_eps: one shared table, or one per component (the
             # QCC case — encode_j2k writes the matching QCC markers)
@@ -1618,7 +1695,9 @@ def _encode_tile(
             # tile-local rect mapped into each band's coefficient grid
             ry0, ry1, rx0, rx1 = roi if roi is not None else (0, 0, 0, 0)
             for r, blist in enumerate(bands):
-                sb = levels if r == 0 else levels - r + 1
+                sb = (
+                    levels_c[ci] if r == 0 else levels_c[ci] - r + 1
+                )
                 for band in blist:
                     band.mb += roi_shift
                     if band.mb > 31:
@@ -1708,8 +1787,9 @@ def _encode_tile(
     # packets (returned individually so the caller can split the tile
     # into tile-parts at packet boundaries, T.800 A.4.2)
     packets: list[bytes] = []
-    nres = levels + 1
-    for lyr, r, c in _packet_sequence(prog, nres, nc, nlayers):
+    for lyr, r, c in _packet_sequence(
+        prog, [lv + 1 for lv in levels_c], nc, nlayers
+    ):
         wr = PackBitWriter()
         body = bytearray()
         blist = comps[c][r]
@@ -1762,6 +1842,7 @@ def _parse_main_header(data: bytes):
     ppm_segs: list[tuple[int, bytes]] = []
     qcc_segs: list[bytes] = []
     rgn_segs: list[bytes] = []
+    coc_segs: list[bytes] = []
     while pos + 4 <= len(data):
         marker = struct.unpack(">H", data[pos : pos + 2])[0]
         if marker == SOT:
@@ -1783,11 +1864,9 @@ def _parse_main_header(data: bytes):
             # SIZ's component count in decode_j2k
             qcc_segs.append(seg)
         elif marker == COC:
-            # per-component CODING overrides change resolution counts
-            # and code-block geometry inside the packet walk itself
-            raise J2kUnsupported(
-                "per-component COC overrides are not supported"
-            )
+            # per-component coding overrides (decomposition levels,
+            # code-block geometry, transform); resolved in decode_j2k
+            coc_segs.append(seg)
         elif marker == PPM:
             # packed packet headers, main-header flavor (T.800
             # A.7.4): Zppm-ordered segments concatenate into a stream
@@ -1812,6 +1891,7 @@ def _parse_main_header(data: bytes):
     return (
         siz, cod, qcd, pos,
         b"".join(seg for _, seg in ppm_segs), qcc_segs, rgn_segs,
+        coc_segs,
     )
 
 
@@ -1836,7 +1916,7 @@ def decode_j2k(data: bytes) -> np.ndarray:
 
 def _decode_j2k(data: bytes) -> np.ndarray:
     (
-        siz, cod, qcd, pos, ppm_stream, qcc_segs, rgn_segs,
+        siz, cod, qcd, pos, ppm_stream, qcc_segs, rgn_segs, coc_segs,
     ) = _parse_main_header(data)
     if len(siz) < 36:
         raise J2kParseError("SIZ shorter than its fixed fields")
@@ -1873,10 +1953,6 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         signs.append(bool(ssiz & 0x80))
     if max(depths) > 16:
         raise J2kUnsupported(">16-bit components are not supported")
-    if any(signs):
-        # An unsigned output buffer would clip every negative sample to
-        # zero — gate instead of silently corrupting.
-        raise J2kUnsupported("signed components are not supported")
 
     scod, prog, nlayers, mct = cod[0], cod[1], struct.unpack(">H", cod[2:4])[0], cod[4]
     levels, xcb, ycb, cbstyle, transform = cod[5:10]
@@ -1894,14 +1970,52 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     if cbw > 64 and cbh > 64 or cbw * cbh > 4096:
         raise J2kParseError(f"illegal code-block size {cbw}x{cbh}")
 
-    # QCD per frame, optionally overridden per component by QCC:
+    # per-component coding parameters: COD defaults, COC overrides
+    # (T.800 A.6.2 — decomposition levels, code-block geometry, and
+    # transform may all differ per component)
+    levels_c = [levels] * nc
+    cbw_c = [cbw] * nc
+    cbh_c = [cbh] * nc
+    transform_c = [transform] * nc
+    for seg in coc_segs:
+        if nc < 257:
+            if len(seg) < 7:
+                raise J2kParseError("COC shorter than its SPcoc")
+            ccoc, body = seg[0], seg[1:]
+        else:
+            if len(seg) < 8:
+                raise J2kParseError("COC shorter than its SPcoc")
+            ccoc, body = struct.unpack(">H", seg[:2])[0], seg[2:]
+        if ccoc >= nc:
+            raise J2kParseError(f"COC names component {ccoc} of {nc}")
+        scoc = body[0]
+        if scoc & 0x01:
+            raise J2kUnsupported(
+                "custom precinct sizes (COC) are not supported"
+            )
+        lv, xcb2, ycb2, cbsty2, tr2 = body[1:6]
+        if cbsty2 != 0:
+            raise J2kUnsupported(f"code-block style 0x{cbsty2:02x} (COC)")
+        if tr2 not in (0, 1):
+            raise J2kParseError(f"unknown transformation {tr2} (COC)")
+        w2, h2 = 1 << (xcb2 + 2), 1 << (ycb2 + 2)
+        if w2 > 64 and h2 > 64 or w2 * h2 > 4096:
+            raise J2kParseError(f"illegal code-block size {w2}x{h2}")
+        levels_c[ccoc] = lv
+        cbw_c[ccoc], cbh_c[ccoc] = w2, h2
+        transform_c[ccoc] = tr2
+    if mct == 1 and len(set(transform_c[:3])) > 1:
+        raise J2kUnsupported(
+            "MCT with per-component transform overrides"
+        )
+
+    # QCD per component (band count follows that component's levels),
+    # optionally overridden per component by QCC:
     # style 0 = no quantization (reversible 5/3 exponents only),
     # style 1 = scalar derived (one (eps, mu), per-band values derived
     # per T.800 E-5), style 2 = scalar expounded (per-band (eps, mu))
-    guard, exps, mus = _parse_quant(qcd, transform, levels, "QCD")
-    guard_c = [guard] * nc
-    exps_c = [exps] * nc
-    mus_c = [mus] * nc
+    guard_c, exps_c, mus_c = [None] * nc, [None] * nc, [None] * nc
+    has_qcc = [False] * nc
     for seg in qcc_segs:
         if not seg:
             raise J2kParseError("empty QCC segment")
@@ -1913,8 +2027,18 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             cqcc, body = struct.unpack(">H", seg[:2])[0], seg[2:]
         if cqcc >= nc:
             raise J2kParseError(f"QCC names component {cqcc} of {nc}")
-        g, e, m = _parse_quant(body, transform, levels, "QCC")
+        g, e, m = _parse_quant(
+            body, transform_c[cqcc], levels_c[cqcc], "QCC"
+        )
         guard_c[cqcc], exps_c[cqcc], mus_c[cqcc] = g, e, m
+        has_qcc[cqcc] = True
+    for ci in range(nc):
+        # a QCC override fully replaces QCD for its component — QCD
+        # may legitimately be too short for a COC-deepened component
+        if not has_qcc[ci]:
+            guard_c[ci], exps_c[ci], mus_c[ci] = _parse_quant(
+                qcd, transform_c[ci], levels_c[ci], "QCD"
+            )
     rgn_c = [0] * nc
     for seg in rgn_segs:
         need = 3 if nc < 257 else 4
@@ -1933,7 +2057,9 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             raise J2kParseError(f"RGN shift {sprgn} exceeds 37")
         rgn_c[crgn] = sprgn
 
-    _check_tile_geometry(xsiz, ysiz, xt, yt, levels, J2kUnsupported)
+    _check_tile_geometry(
+        xsiz, ysiz, xt, yt, max(levels_c), J2kUnsupported
+    )
 
     # tile-part loop — collect every SOT..SOD..data segment (parts of
     # one tile may interleave with other tiles and arrive in any
@@ -1943,8 +2069,13 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     # original stream. Informational tile-part header markers
     # (PLT/COM) are skipped; PPT (packed headers) gates.
     rects = _tile_rects(xsiz, ysiz, xt, yt)
-    plane_dtype = np.int64 if transform == 1 else np.float64
-    planes = [np.zeros((ysiz, xsiz), dtype=plane_dtype) for _ in range(nc)]
+    planes = [
+        np.zeros(
+            (ysiz, xsiz),
+            dtype=np.int64 if transform_c[ci] == 1 else np.float64,
+        )
+        for ci in range(nc)
+    ]
     parts: dict[int, list[tuple[int, bytes]]] = {}
     ppt_segs: dict[int, list[tuple[int, bytes]]] = {}
     tp_order: list[tuple[int, int]] = []  # (isot, tpsot) encounter order
@@ -2035,9 +2166,9 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             y1 - y0,
             x1 - x0,
             nc,
-            levels,
-            cbw,
-            cbh,
+            levels_c,
+            cbw_c,
+            cbh_c,
             depths,
             guard_c,
             exps_c,
@@ -2048,7 +2179,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             y0,
             nlayers,
             mus_c,
-            transform,
+            transform_c,
             packed=packed_by_tile.get(isot),
             rgn_c=rgn_c,
         )
@@ -2059,7 +2190,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         if nc < 3:
             raise J2kParseError("MCT declared with fewer than 3 components")
         y, u, v = planes[0], planes[1], planes[2]
-        if transform == 1:  # reversible color transform (RCT)
+        if transform_c[0] == 1:  # reversible color transform (RCT)
             g = y - ((u + v) >> 2)
             planes[0], planes[1], planes[2] = v + g, g, u + g
         else:  # irreversible color transform (ICT, BT.601 floats)
@@ -2069,18 +2200,28 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     elif mct != 0:
         raise J2kUnsupported(f"MCT mode {mct}")
 
-    out = np.zeros(
-        (ysiz, xsiz, nc),
-        dtype=np.uint16 if max(depths) > 8 else np.uint8,
-    )
+    if any(signs):
+        # signed output: int8/int16 when every component is signed,
+        # one tier wider when unsigned components mix in (their full
+        # range would not fit the same-width signed dtype)
+        if all(signs):
+            odt = np.int8 if max(depths) <= 8 else np.int16
+        else:
+            odt = np.int16 if max(depths) <= 8 else np.int32
+    else:
+        odt = np.uint16 if max(depths) > 8 else np.uint8
+    out = np.zeros((ysiz, xsiz, nc), dtype=odt)
     for ci in range(nc):
-        # Components are gated unsigned above, so the inverse DC level
-        # shift is unconditional.
         p = planes[ci]
-        if transform == 0:
+        if transform_c[ci] == 0:
             p = np.rint(p)
-        p = p + (1 << (depths[ci] - 1))
-        np.clip(p, 0, (1 << depths[ci]) - 1, out=p)
+        if signs[ci]:
+            # no DC level shift (T.800 B.1): already centered on zero
+            lo, hi = -(1 << (depths[ci] - 1)), (1 << (depths[ci] - 1)) - 1
+        else:
+            p = p + (1 << (depths[ci] - 1))
+            lo, hi = 0, (1 << depths[ci]) - 1
+        np.clip(p, lo, hi, out=p)
         out[:, :, ci] = p
     return out
 
@@ -2150,20 +2291,20 @@ def _decode_tile_planes(
     th: int,
     tw: int,
     nc: int,
-    levels: int,
-    cbw: int,
-    cbh: int,
-    depths: list,
-    guard_c: list,
-    exps_c: list,
-    prog: int,
-    use_sop: bool,
-    use_eph: bool,
+    levels_c: "list | int",
+    cbw_c: "list | int",
+    cbh_c: "list | int",
+    depths: list = None,
+    guard_c: list = None,
+    exps_c: list = None,
+    prog: int = 0,
+    use_sop: bool = False,
+    use_eph: bool = False,
     x0: int = 0,
     y0: int = 0,
     nlayers: int = 1,
     mus_c: list | None = None,
-    transform: int = 1,
+    transform_c: "list | int" = 1,
     packed: bytes | None = None,
     rgn_c: list | None = None,
 ) -> list:
@@ -2178,13 +2319,24 @@ def _decode_tile_planes(
     tile's PPM/PPT packed packet headers (T.800 A.7.4/A.7.5): header
     bits then read from it while only SOP markers and code-block
     body bytes remain in ``tile``."""
+    if isinstance(levels_c, int):
+        levels_c = [levels_c] * nc
+    if isinstance(cbw_c, int):
+        cbw_c = [cbw_c] * nc
+    if isinstance(cbh_c, int):
+        cbh_c = [cbh_c] * nc
+    if isinstance(transform_c, int):
+        transform_c = [transform_c] * nc
     comps = []
     for ci in range(nc):
         guard = guard_c[ci]
         exps = exps_c[ci]
         mus = mus_c[ci] if mus_c is not None else None
         rgn = rgn_c[ci] if rgn_c is not None else 0
-        bands = _build_bands(th, tw, levels, cbw, cbh, depths[ci], x0, y0)
+        bands = _build_bands(
+            th, tw, levels_c[ci], cbw_c[ci], cbh_c[ci], depths[ci],
+            x0, y0,
+        )
         k = 0
         for blist in bands:
             for band in blist:
@@ -2198,7 +2350,7 @@ def _decode_tile_planes(
                         "at 31"
                     )
                 band.rgn = rgn
-                if transform == 0:
+                if transform_c[ci] == 0:
                     rb = depths[ci] + _BAND_GAIN[band.btype]
                     band.step = 2.0 ** (rb - exps[k]) * (
                         1 + mus[k] / 2048.0
@@ -2220,7 +2372,10 @@ def _decode_tile_planes(
     # so Tier-1 runs once per block on the concatenation at tile end.
     tpos = 0
     hpos = 0  # header-bit cursor in the packed stream, when present
-    for lyr, r, c in _packet_sequence(prog, levels + 1, nc, nlayers):
+    seq = _packet_sequence(
+        prog, [lv + 1 for lv in levels_c], nc, nlayers
+    )
+    for lyr, r, c in seq:
         if use_sop:
             if tile[tpos : tpos + 2] == b"\xff\x91":
                 tpos += 6
@@ -2306,13 +2461,13 @@ def _decode_tile_planes(
                         blk = (blk + 0.5 * np.sign(blk)) * band.step
                     band.coeffs[y0b : y0b + bh, x0b : x0b + bw] = blk
 
-    # inverse DWT per component
-    inv = dwt_inverse if transform == 1 else dwt_inverse97
+    # inverse DWT per component (each with its own transform/levels)
     planes = []
     for ci in range(nc):
+        inv = dwt_inverse if transform_c[ci] == 1 else dwt_inverse97
         bands = comps[ci]
         pyr = [bands[0][0].coeffs]
-        for r in range(1, levels + 1):
+        for r in range(1, levels_c[ci] + 1):
             pyr.append(
                 (bands[r][0].coeffs, bands[r][1].coeffs, bands[r][2].coeffs)
             )

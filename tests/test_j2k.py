@@ -247,12 +247,18 @@ def test_review_gates_signed_rgn_and_error_contract():
     img = rng.integers(0, 65535, (21, 34), dtype=np.uint16)
     enc = encode_j2k(img)
 
-    # Ssiz sign bit -> gate (previously clipped all negatives to 0)
+    # Ssiz sign bit: signed components now DECODE (round-trip pinned
+    # in test_signed_components_round_trip); flipping the bit on an
+    # unsigned stream is a pure reinterpretation — same coefficients,
+    # no DC level shift, int16 output
     i = enc.find(b"\xff\x51")
     ba = bytearray(enc)
     ba[i + 4 + 36] |= 0x80  # first component's Ssiz
-    with pytest.raises(J2kUnsupported, match="signed"):
-        decode_j2k(bytes(ba))
+    reint = decode_j2k(bytes(ba))
+    assert reint.dtype == np.int16
+    assert np.array_equal(
+        reint[:, :, 0].astype(np.int64), img.astype(np.int64) - 32768
+    )
 
     # RGN maxshift now DECODES (test_rgn_maxshift_roi_round_trip);
     # the explicit-ROI style (Srgn != 0) still gates by name
@@ -681,4 +687,66 @@ def test_rgn_gates_and_errors_are_named():
     b = bytearray(blob)
     b[i + 4] = 9  # Crgn names a missing component
     with pytest.raises(J2kParseError, match="names component"):
+        decode_j2k(bytes(b))
+
+
+def test_signed_components_round_trip():
+    """Signed components (Ssiz bit 7): no DC level shift, int8/int16
+    output, exact through 5/3 — incl. the RCT and lossy 9/7 paths."""
+    rng = np.random.default_rng(89)
+    for dt, lo, hi in ((np.int8, -128, 128), (np.int16, -32768, 32768)):
+        img = rng.integers(lo, hi, (33, 29)).astype(dt)
+        out = decode_j2k(encode_j2k(img, levels=2))
+        assert out.dtype == dt
+        assert np.array_equal(out[:, :, 0], img)
+    rgb = rng.integers(-128, 128, (16, 16, 3)).astype(np.int8)
+    assert np.array_equal(decode_j2k(encode_j2k(rgb, levels=1)), rgb)
+    deep = rng.integers(-2000, 2000, (32, 32)).astype(np.int16)
+    out = decode_j2k(encode_j2k(deep, levels=2, lossy=True))
+    assert out.dtype == np.int16
+    assert np.abs(out[:, :, 0].astype(np.int64) - deep).max() <= 2
+
+
+def test_coc_per_component_overrides_round_trip():
+    """Main-header COC: per-component decomposition levels, code-block
+    geometry, and the T.800 B.12 packet walk that skips resolutions a
+    component does not have — across every progression order, tiles,
+    and layers. A deepened component ships its own style-0 QCC."""
+    rng = np.random.default_rng(97)
+    img = rng.integers(0, 256, (64, 48, 3), dtype=np.uint8)
+    for prog in (0, 1, 2, 3, 4):
+        blob = encode_j2k(
+            img, levels=3, prog=prog,
+            coc={1: {"levels": 1, "cb": (16, 16)}, 2: {"levels": 2}},
+        )
+        assert np.array_equal(decode_j2k(blob), img), prog
+    # COC may also DEEPEN a component beyond the COD default
+    blob = encode_j2k(img, levels=1, coc={2: {"levels": 3}})
+    assert b"\xff\x53" in blob  # a real COC marker is on the wire
+    assert np.array_equal(decode_j2k(blob), img)
+    # multi-tile + quality layers + COC together
+    blob = encode_j2k(
+        img, levels=2, tile=(32, 32), layers=3, coc={1: {"levels": 1}}
+    )
+    assert np.array_equal(decode_j2k(blob), img)
+    # signed + COC compose
+    si = rng.integers(-3000, 3000, (32, 32, 2)).astype(np.int16)
+    blob = encode_j2k(si, levels=2, mct=False, coc={1: {"levels": 1}})
+    assert np.array_equal(decode_j2k(blob), si)
+
+
+def test_coc_gates_stay_named():
+    rng = np.random.default_rng(101)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    enc = encode_j2k(img, levels=1, coc={0: {"levels": 2}})
+    i = enc.find(b"\xff\x53")
+    # Scoc custom-precinct bit -> named gate
+    b = bytearray(enc)
+    b[i + 5] |= 0x01
+    with pytest.raises(J2kUnsupported, match="precinct"):
+        decode_j2k(bytes(b))
+    # COC naming a missing component -> parse error
+    b = bytearray(enc)
+    b[i + 4] = 7
+    with pytest.raises(J2kParseError, match="COC names"):
         decode_j2k(bytes(b))
