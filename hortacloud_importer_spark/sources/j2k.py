@@ -48,13 +48,16 @@ Maxshift
 region-of-interest (RGN, T.800 Annex H) decodes — ROI-upshifted
 coefficients classify by magnitude and scale back after Tier-1 —
 within the 31-coded-bit-plane integer domain. Honest gates (raised
-as :class:`J2kUnsupported`): non-unit component subsampling, custom
-precincts, code-block style flags
-(bypass/reset/termall/vsc/segsym), explicit-style RGN, the POC
-marker, and per-tile COD/QCD overrides. Signed components decode
-(no DC level shift, int8/int16 output) and main-header COC
-per-component overrides (decomposition levels, code-block geometry,
-transform) drive the packet walk per T.800 B.12. The
+as :class:`J2kUnsupported`): custom precincts, code-block style
+flags (bypass/reset/termall/vsc/segsym), explicit-style RGN, the POC
+marker, per-tile COD/QCD overrides, and subsampling combined with a
+multi-tile grid. Signed components decode (no DC level shift,
+int8/int16 output), main-header COC per-component overrides
+(decomposition levels, code-block geometry, transform) drive the
+packet walk per T.800 B.12, and non-unit XRsiz/YRsiz component
+subsampling decodes on the per-component sample grid (single-tile),
+upsampled back to the reference grid by nearest-neighbor
+replication — the JPEG chroma convention. The
 scope covers what a lossless microscopy slice store actually writes;
 everything else still routes to the optional OpenJPEG bindings in
 sources/jp2.py.
@@ -1309,6 +1312,7 @@ def encode_j2k(
     roi: tuple[int, int, int, int] | None = None,
     roi_shift: int = 0,
     coc: "dict[int, dict] | None" = None,
+    subsampling: "dict[int, tuple] | None" = None,
 ) -> bytes:
     """(h, w[, nc]) uint8/uint16 -> lossless (5/3) codestream.
     ``tile=(xt, yt)`` splits the image into an XTsiz x YTsiz grid of
@@ -1363,6 +1367,25 @@ def encode_j2k(
         raise J2kParseError(f"layers must be 1..65535, not {layers}")
     if quant not in (1, 2):
         raise J2kParseError(f"quant style must be 1 or 2, not {quant}")
+    xr_c = [1] * nc
+    yr_c = [1] * nc
+    if subsampling:
+        if tile is not None:
+            raise J2kParseError("subsampling supports single-tile only")
+        if roi_shift:
+            raise J2kParseError("subsampling and ROI do not compose here")
+        for ci, (sxr, syr) in subsampling.items():
+            if not 0 <= ci < nc:
+                raise J2kParseError(
+                    f"subsampling names component {ci} of {nc}"
+                )
+            if not (1 <= sxr <= 255 and 1 <= syr <= 255):
+                raise J2kParseError(f"subsampling rate {sxr}x{syr}")
+            xr_c[ci], yr_c[ci] = sxr, syr
+        if mct and len({(xr_c[i], yr_c[i]) for i in range(3)}) > 1:
+            raise J2kParseError(
+                "MCT needs identical sampling on components 0-2"
+            )
     # per-component coding overrides -> COC (+ matching style-0 QCC)
     levels_c = [levels] * nc
     cbw_c = [cbw] * nc
@@ -1448,6 +1471,10 @@ def encode_j2k(
             r, g, b = planes
             planes = [(r + 2 * g + b) >> 2, b - g, r - g]
 
+    if subsampling:
+        planes = [
+            planes[ci][:: yr_c[ci], :: xr_c[ci]] for ci in range(nc)
+        ]
     tiles = []
     for (x0, y0, x1, y1) in _tile_rects(w, h, xt, yt):
         tile_roi = None
@@ -1457,11 +1484,16 @@ def encode_j2k(
             ix0, ix1 = max(rx0, x0), min(rx1, x1)
             if iy0 < iy1 and ix0 < ix1:
                 tile_roi = (iy0 - y0, iy1 - y0, ix0 - x0, ix1 - x0)
+        tps = (
+            planes
+            if subsampling
+            else [p[y0:y1, x0:x1] for p in planes]
+        )
         tiles.append(
             _encode_tile(
-                [p[y0:y1, x0:x1] for p in planes],
-                y1 - y0,
-                x1 - x0,
+                tps,
+                [p.shape[0] for p in tps],
+                [p.shape[1] for p in tps],
                 nc,
                 levels_c,
                 cbw_c,
@@ -1483,9 +1515,9 @@ def encode_j2k(
     siz = struct.pack(
         ">HHIIIIIIIIH", 38 + 3 * nc, 0, w, h, 0, 0, xt, yt, 0, 0, nc
     )
-    for _ in range(nc):
+    for ci in range(nc):
         ssiz = (depth - 1) | (0x80 if signed else 0)
-        siz += struct.pack(">BBB", ssiz, 1, 1)
+        siz += struct.pack(">BBB", ssiz, xr_c[ci], yr_c[ci])
     out += struct.pack(">H", SIZ) + siz
     spcod = struct.pack(
         ">BBBBB",
@@ -1627,8 +1659,8 @@ def encode_j2k(
 
 def _encode_tile(
     planes: list,
-    h: int,
-    w: int,
+    h,
+    w,
     nc: int,
     levels_c: "list | int",
     cbw_c: "list | int",
@@ -1654,6 +1686,8 @@ def _encode_tile(
     one source of truth) switches to the 9/7 transform and
     quantizes each band by 2^(Rb - eps)."""
     lossy = lossy_eps is not None
+    h_c = [h] * nc if isinstance(h, int) else list(h)
+    w_c = [w] * nc if isinstance(w, int) else list(w)
     if isinstance(levels_c, int):
         levels_c = [levels_c] * nc
     if isinstance(cbw_c, int):
@@ -1666,7 +1700,8 @@ def _encode_tile(
             plane, levels_c[ci]
         )
         bands = _build_bands(
-            h, w, levels_c[ci], cbw_c[ci], cbh_c[ci], depth, x0, y0
+            h_c[ci], w_c[ci], levels_c[ci], cbw_c[ci], cbh_c[ci],
+            depth, x0, y0,
         )
         if lossy:
             # lossy_eps: one shared table, or one per component (the
@@ -1944,13 +1979,20 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         )
     if len(siz) < 36 + 3 * nc:
         raise J2kParseError("SIZ shorter than its component table")
-    depths, signs = [], []
+    depths, signs, xr_c, yr_c = [], [], [], []
     for ci in range(nc):
         ssiz, xr, yr = siz[36 + 3 * ci : 39 + 3 * ci]
-        if xr != 1 or yr != 1:
-            raise J2kUnsupported("component subsampling is not supported")
+        if xr < 1 or yr < 1:
+            raise J2kParseError("zero component subsampling rate")
+        xr_c.append(xr)
+        yr_c.append(yr)
         depths.append((ssiz & 0x7F) + 1)
         signs.append(bool(ssiz & 0x80))
+    subsampled = any(r != 1 for r in xr_c + yr_c)
+    if subsampled and ntiles > 1:
+        raise J2kUnsupported(
+            "component subsampling with a multi-tile grid"
+        )
     if max(depths) > 16:
         raise J2kUnsupported(">16-bit components are not supported")
 
@@ -2069,9 +2111,12 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     # original stream. Informational tile-part header markers
     # (PLT/COM) are skipped; PPT (packed headers) gates.
     rects = _tile_rects(xsiz, ysiz, xt, yt)
+    comp_dims = [
+        (-(-ysiz // yr_c[ci]), -(-xsiz // xr_c[ci])) for ci in range(nc)
+    ]
     planes = [
         np.zeros(
-            (ysiz, xsiz),
+            comp_dims[ci],
             dtype=np.int64 if transform_c[ci] == 1 else np.float64,
         )
         for ci in range(nc)
@@ -2161,10 +2206,17 @@ def _decode_j2k(data: bytes) -> np.ndarray:
                 f"{[t[0] for t in plist]} are not contiguous from 0"
             )
         x0, y0, x1, y1 = rects[isot]
+        crects = [
+            (
+                -(-x0 // xr_c[ci]), -(-y0 // yr_c[ci]),
+                -(-x1 // xr_c[ci]), -(-y1 // yr_c[ci]),
+            )
+            for ci in range(nc)
+        ]
         tplanes = _decode_tile_planes(
             b"".join(t[1] for t in plist),
-            y1 - y0,
-            x1 - x0,
+            [cy1 - cy0 for _, cy0, _, cy1 in crects],
+            [cx1 - cx0 for cx0, _, cx1, _ in crects],
             nc,
             levels_c,
             cbw_c,
@@ -2184,11 +2236,16 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             rgn_c=rgn_c,
         )
         for ci in range(nc):
-            planes[ci][y0:y1, x0:x1] = tplanes[ci]
+            cx0, cy0, cx1, cy1 = crects[ci]
+            planes[ci][cy0:cy1, cx0:cx1] = tplanes[ci]
 
     if mct == 1:
         if nc < 3:
             raise J2kParseError("MCT declared with fewer than 3 components")
+        if len({comp_dims[ci] for ci in range(3)}) > 1:
+            raise J2kUnsupported(
+                "MCT across differently-subsampled components"
+            )
         y, u, v = planes[0], planes[1], planes[2]
         if transform_c[0] == 1:  # reversible color transform (RCT)
             g = y - ((u + v) >> 2)
@@ -2213,6 +2270,12 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     out = np.zeros((ysiz, xsiz, nc), dtype=odt)
     for ci in range(nc):
         p = planes[ci]
+        if xr_c[ci] != 1 or yr_c[ci] != 1:
+            # nearest-neighbor replication back to the reference grid
+            # (the JPEG chroma convention; exact per component)
+            p = np.repeat(
+                np.repeat(p, yr_c[ci], axis=0), xr_c[ci], axis=1
+            )[:ysiz, :xsiz]
         if transform_c[ci] == 0:
             p = np.rint(p)
         if signs[ci]:
@@ -2288,8 +2351,8 @@ def _parse_quant(body: bytes, transform: int, levels: int,
 
 def _decode_tile_planes(
     tile: bytes,
-    th: int,
-    tw: int,
+    th,
+    tw,
     nc: int,
     levels_c: "list | int",
     cbw_c: "list | int",
@@ -2319,6 +2382,8 @@ def _decode_tile_planes(
     tile's PPM/PPT packed packet headers (T.800 A.7.4/A.7.5): header
     bits then read from it while only SOP markers and code-block
     body bytes remain in ``tile``."""
+    th_c = [th] * nc if isinstance(th, int) else list(th)
+    tw_c = [tw] * nc if isinstance(tw, int) else list(tw)
     if isinstance(levels_c, int):
         levels_c = [levels_c] * nc
     if isinstance(cbw_c, int):
@@ -2334,8 +2399,8 @@ def _decode_tile_planes(
         mus = mus_c[ci] if mus_c is not None else None
         rgn = rgn_c[ci] if rgn_c is not None else 0
         bands = _build_bands(
-            th, tw, levels_c[ci], cbw_c[ci], cbh_c[ci], depths[ci],
-            x0, y0,
+            th_c[ci], tw_c[ci], levels_c[ci], cbw_c[ci], cbh_c[ci],
+            depths[ci], x0, y0,
         )
         k = 0
         for blist in bands:

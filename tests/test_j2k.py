@@ -750,3 +750,54 @@ def test_coc_gates_stay_named():
     b[i + 4] = 7
     with pytest.raises(J2kParseError, match="COC names"):
         decode_j2k(bytes(b))
+
+
+def test_component_subsampling_round_trip():
+    """Non-unit XRsiz/YRsiz: each component codes on its own sample
+    grid (ceil division, odd dims included) and the decoder upsamples
+    back to the reference grid by nearest-neighbor replication —
+    exact per component because coding is lossless."""
+    rng = np.random.default_rng(103)
+    img = rng.integers(0, 256, (32, 48, 3), dtype=np.uint8)
+    blob = encode_j2k(
+        img, levels=2, mct=False, subsampling={1: (2, 2), 2: (2, 1)}
+    )
+    out = decode_j2k(blob)
+    assert out.shape == (32, 48, 3)
+    assert np.array_equal(out[:, :, 0], img[:, :, 0])
+    d1 = np.repeat(np.repeat(img[::2, ::2, 1], 2, 0), 2, 1)[:32, :48]
+    assert np.array_equal(out[:, :, 1], d1)
+    d2 = np.repeat(img[:, ::2, 2], 2, 1)[:32, :48]
+    assert np.array_equal(out[:, :, 2], d2)
+
+    # odd reference dims + rate 3, and composition with COC
+    img = rng.integers(0, 65536, (33, 29, 2)).astype(np.uint16)
+    blob = encode_j2k(img, levels=1, mct=False, subsampling={1: (3, 2)})
+    out = decode_j2k(blob)
+    d1 = np.repeat(np.repeat(img[::2, ::3, 1], 2, 0), 3, 1)[:33, :29]
+    assert np.array_equal(out[:, :, 0], img[:, :, 0])
+    assert np.array_equal(out[:, :, 1], d1)
+    blob = encode_j2k(
+        img, levels=2, mct=False, subsampling={1: (2, 2)},
+        coc={1: {"levels": 1}},
+    )
+    d1 = np.repeat(np.repeat(img[::2, ::2, 1], 2, 0), 2, 1)[:33, :29]
+    assert np.array_equal(decode_j2k(blob)[:, :, 1], d1)
+
+
+def test_subsampling_gates_stay_named():
+    rng = np.random.default_rng(107)
+    img = rng.integers(0, 256, (16, 16, 2), dtype=np.uint8)
+    enc = encode_j2k(img, levels=1, mct=False, subsampling={1: (2, 2)})
+    # multi-tile + subsampling: named gate (geometry is per-tile
+    # component rects this single-precinct model does not cover)
+    i = enc.find(b"\xff\x51")
+    b = bytearray(enc)
+    b[i + 4 + 14 : i + 4 + 18] = struct.pack(">I", 8)  # XTsiz = 8
+    with pytest.raises((J2kUnsupported, J2kParseError)):
+        decode_j2k(bytes(b))
+    # zero rate is a parse error
+    b = bytearray(enc)
+    b[i + 4 + 36 + 1] = 0  # first component XRsiz = 0
+    with pytest.raises(J2kParseError, match="zero component"):
+        decode_j2k(bytes(b))
