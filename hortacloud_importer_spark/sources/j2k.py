@@ -49,9 +49,12 @@ region-of-interest (RGN, T.800 Annex H) decodes — ROI-upshifted
 coefficients classify by magnitude and scale back after Tier-1 —
 within the 31-coded-bit-plane integer domain. Honest gates (raised
 as :class:`J2kUnsupported`): custom precincts, code-block style
-flags (bypass/reset/termall/vsc/segsym), explicit-style RGN, the POC
-marker, per-tile COD/QCD overrides, and subsampling combined with a
-multi-tile grid. Signed components decode (no DC level shift,
+flags (bypass/reset/termall/vsc/segsym), explicit-style RGN,
+per-tile COD/QCD overrides, and subsampling combined with a
+multi-tile grid. Progression-order changes (POC, T.800 A.6.6)
+decode: each entry contributes its progression nest over its
+resolution/component/layer bounds with the standard continuation
+rule, and the header is required to cover every packet. Signed components decode (no DC level shift,
 int8/int16 output), main-header COC per-component overrides
 (decomposition levels, code-block geometry, transform) drive the
 packet walk per T.800 B.12, and non-unit XRsiz/YRsiz component
@@ -1241,6 +1244,58 @@ def _packet_sequence(prog: int, nres, ncomp: int, nlayers: int = 1):
     raise J2kUnsupported(f"progression order {prog} is not supported")
 
 
+def _poc_sequence(entries, nres_c, ncomp: int, nlayers: int):
+    """Packet order under progression-order changes (POC, T.800
+    A.6.6): each entry contributes its progression's (layer,
+    resolution, component) nest over [RSpoc, REpoc) x [CSpoc, CEpoc)
+    x [0, LYEpoc), skipping packets an earlier entry already emitted
+    (the standard continuation rule). The caller checks coverage."""
+    seen: set = set()
+    out: list = []
+    for (rs, cs, lye, re_, ce, pp) in entries:
+        re_ = min(re_, max(nres_c))
+        ce = min(ce, ncomp)
+        lye = min(lye, nlayers)
+        if rs >= re_ or cs >= ce or lye <= 0:
+            continue
+        if pp == 0:  # LRCP
+            gen = (
+                (l, r, c)
+                for l in range(lye)
+                for r in range(rs, re_)
+                for c in range(cs, ce)
+            )
+        elif pp == 1:  # RLCP
+            gen = (
+                (l, r, c)
+                for r in range(rs, re_)
+                for l in range(lye)
+                for c in range(cs, ce)
+            )
+        elif pp == 2:  # RPCL
+            gen = (
+                (l, r, c)
+                for r in range(rs, re_)
+                for c in range(cs, ce)
+                for l in range(lye)
+            )
+        elif pp in (3, 4):  # PCRL (degenerate) / CPRL
+            gen = (
+                (l, r, c)
+                for c in range(cs, ce)
+                for r in range(rs, re_)
+                for l in range(lye)
+            )
+        else:
+            raise J2kUnsupported(f"POC progression {pp}")
+        for t in gen:
+            if t[1] >= nres_c[t[2]] or t in seen:
+                continue
+            seen.add(t)
+            out.append(t)
+    return out
+
+
 # ------------------------------------------------------------ encoder
 
 
@@ -1313,6 +1368,7 @@ def encode_j2k(
     roi_shift: int = 0,
     coc: "dict[int, dict] | None" = None,
     subsampling: "dict[int, tuple] | None" = None,
+    poc: list | None = None,
 ) -> bytes:
     """(h, w[, nc]) uint8/uint16 -> lossless (5/3) codestream.
     ``tile=(xt, yt)`` splits the image into an XTsiz x YTsiz grid of
@@ -1506,6 +1562,7 @@ def encode_j2k(
                 eps_tabs if eps_tabs is not None else lossy_eps,
                 roi=tile_roi,
                 roi_shift=roi_shift,
+                poc=poc,
             )
         )
 
@@ -1545,6 +1602,16 @@ def encode_j2k(
                 + bytes([ci, 0])  # Ccoc, Scoc (no custom precincts)
                 + spcoc
             )
+    if poc:
+        for e in poc:
+            if len(e) != 6:
+                raise J2kParseError("poc entries are 6-tuples")
+        body = b""
+        for rs, cs, lye, re_, ce, pp in poc:
+            body += struct.pack(
+                ">BBHBBB", rs, cs, lye, re_, ce if ce < 256 else 0, pp
+            )
+        out += struct.pack(">HH", POC, 2 + len(body)) + body
     nres = levels + 1
     n_bands = 3 * levels + 1
     if lossy and quant == 2:
@@ -1673,6 +1740,7 @@ def _encode_tile(
     lossy_eps: list | None = None,
     roi: tuple[int, int, int, int] | None = None,
     roi_shift: int = 0,
+    poc: list | None = None,
 ) -> list[bytes]:
     """Tier-1 + Tier-2 encode one tile's (already level-shifted /
     MCT'd) component planes into its packet stream, returned one
@@ -1822,9 +1890,15 @@ def _encode_tile(
     # packets (returned individually so the caller can split the tile
     # into tile-parts at packet boundaries, T.800 A.4.2)
     packets: list[bytes] = []
-    for lyr, r, c in _packet_sequence(
-        prog, [lv + 1 for lv in levels_c], nc, nlayers
-    ):
+    nres_c = [lv + 1 for lv in levels_c]
+    pseq = (
+        _poc_sequence(poc, nres_c, nc, nlayers)
+        if poc
+        else _packet_sequence(prog, nres_c, nc, nlayers)
+    )
+    if poc and len(pseq) != nlayers * sum(nres_c):
+        raise J2kParseError("poc entries do not cover every packet")
+    for lyr, r, c in pseq:
         wr = PackBitWriter()
         body = bytearray()
         blist = comps[c][r]
@@ -1878,6 +1952,7 @@ def _parse_main_header(data: bytes):
     qcc_segs: list[bytes] = []
     rgn_segs: list[bytes] = []
     coc_segs: list[bytes] = []
+    poc_segs: list[bytes] = []
     while pos + 4 <= len(data):
         marker = struct.unpack(">H", data[pos : pos + 2])[0]
         if marker == SOT:
@@ -1914,10 +1989,8 @@ def _parse_main_header(data: bytes):
             # against SIZ's component count in decode_j2k
             rgn_segs.append(seg)
         elif marker == POC:
-            # progression-order changes rewrite the packet walk
-            raise J2kUnsupported(
-                f"marker 0x{marker:04x} (POC) is not supported"
-            )
+            # progression-order changes; resolved in decode_j2k
+            poc_segs.append(seg)
         # COM/TLM/PLM and anything else informational: skip
         pos += 2 + length
     if siz is None or cod is None or qcd is None:
@@ -1926,7 +1999,7 @@ def _parse_main_header(data: bytes):
     return (
         siz, cod, qcd, pos,
         b"".join(seg for _, seg in ppm_segs), qcc_segs, rgn_segs,
-        coc_segs,
+        coc_segs, poc_segs,
     )
 
 
@@ -1952,6 +2025,7 @@ def decode_j2k(data: bytes) -> np.ndarray:
 def _decode_j2k(data: bytes) -> np.ndarray:
     (
         siz, cod, qcd, pos, ppm_stream, qcc_segs, rgn_segs, coc_segs,
+        poc_segs,
     ) = _parse_main_header(data)
     if len(siz) < 36:
         raise J2kParseError("SIZ shorter than its fixed fields")
@@ -2050,6 +2124,38 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         raise J2kUnsupported(
             "MCT with per-component transform overrides"
         )
+
+    poc_entries: list = []
+    for seg in poc_segs:
+        esz = 7 if nc < 257 else 9
+        if not seg or len(seg) % esz:
+            raise J2kParseError(f"POC length {len(seg)} not {esz}-aligned")
+        for i in range(0, len(seg), esz):
+            e = seg[i : i + esz]
+            if nc < 257:
+                rs, cs = e[0], e[1]
+                (lye,) = struct.unpack(">H", e[2:4])
+                re_, ce, pp = e[4], e[5], e[6]
+                if ce == 0:
+                    ce = 256  # T.800: 0 encodes 256 in the byte form
+            else:
+                rs = e[0]
+                (cs,) = struct.unpack(">H", e[1:3])
+                (lye,) = struct.unpack(">H", e[3:5])
+                re_ = e[5]
+                (ce,) = struct.unpack(">H", e[6:8])
+                pp = e[8]
+            if pp > 4:
+                raise J2kUnsupported(f"POC progression {pp}")
+            poc_entries.append((rs, cs, lye, re_, ce, pp))
+    if poc_entries:
+        covered = _poc_sequence(
+            poc_entries, [lv + 1 for lv in levels_c], nc, nlayers
+        )
+        if len(covered) != nlayers * sum(lv + 1 for lv in levels_c):
+            raise J2kParseError(
+                "POC entries do not cover every packet"
+            )
 
     # QCD per component (band count follows that component's levels),
     # optionally overridden per component by QCC:
@@ -2234,6 +2340,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             transform_c,
             packed=packed_by_tile.get(isot),
             rgn_c=rgn_c,
+            poc=poc_entries or None,
         )
         for ci in range(nc):
             cx0, cy0, cx1, cy1 = crects[ci]
@@ -2370,6 +2477,7 @@ def _decode_tile_planes(
     transform_c: "list | int" = 1,
     packed: bytes | None = None,
     rgn_c: list | None = None,
+    poc: list | None = None,
 ) -> list:
     """Tier-2 + Tier-1 + inverse DWT for one tile's byte stream ->
     per-component (th, tw) planes (int64 reversible, float64
@@ -2437,8 +2545,11 @@ def _decode_tile_planes(
     # so Tier-1 runs once per block on the concatenation at tile end.
     tpos = 0
     hpos = 0  # header-bit cursor in the packed stream, when present
-    seq = _packet_sequence(
-        prog, [lv + 1 for lv in levels_c], nc, nlayers
+    nres_c = [lv + 1 for lv in levels_c]
+    seq = (
+        _poc_sequence(poc, nres_c, nc, nlayers)
+        if poc
+        else _packet_sequence(prog, nres_c, nc, nlayers)
     )
     for lyr, r, c in seq:
         if use_sop:

@@ -801,3 +801,38 @@ def test_subsampling_gates_stay_named():
     b[i + 4 + 36 + 1] = 0  # first component XRsiz = 0
     with pytest.raises(J2kParseError, match="zero component"):
         decode_j2k(bytes(b))
+
+
+def test_poc_progression_order_changes_round_trip():
+    """POC (T.800 A.6.6): multi-segment progression changes reorder
+    the packet stream; decode follows the same continuation rule.
+    Composes with quality layers and COC per-component levels."""
+    rng = np.random.default_rng(109)
+    img = rng.integers(0, 256, (48, 40, 3), dtype=np.uint8)
+    poc = [(0, 0, 2, 2, 3, 4), (0, 0, 2, 4, 3, 0)]
+    blob = encode_j2k(img, levels=3, layers=2, poc=poc)
+    assert b"\xff\x5f" in blob  # a real POC marker on the wire
+    assert np.array_equal(decode_j2k(blob), img)
+    poc = [(0, 0, 1, 4, 3, 1), (0, 0, 3, 2, 3, 2), (0, 0, 3, 4, 3, 0)]
+    blob = encode_j2k(
+        img, levels=3, layers=3, poc=poc, coc={1: {"levels": 1}}
+    )
+    assert np.array_equal(decode_j2k(blob), img)
+
+
+def test_poc_gates_and_coverage_errors():
+    rng = np.random.default_rng(113)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    enc = encode_j2k(img, levels=2, poc=[(0, 0, 1, 3, 1, 2)])
+    i = enc.find(b"\xff\x5f")
+    # an undercovering POC (REpoc shrunk) is a parse error, not a
+    # silent partial decode
+    b = bytearray(enc)
+    b[i + 8] = 1  # REpoc: only resolution 0
+    with pytest.raises(J2kParseError, match="cover"):
+        decode_j2k(bytes(b))
+    # reserved progression in a POC entry gates by name
+    b = bytearray(enc)
+    b[i + 10] = 7  # Ppoc
+    with pytest.raises(J2kUnsupported, match="POC progression"):
+        decode_j2k(bytes(b))
