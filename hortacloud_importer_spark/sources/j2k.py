@@ -49,9 +49,11 @@ region-of-interest (RGN, T.800 Annex H) decodes — ROI-upshifted
 coefficients classify by magnitude and scale back after Tier-1 —
 within the 31-coded-bit-plane integer domain. Honest gates (raised
 as :class:`J2kUnsupported`): custom precincts, code-block style
-flags (bypass/reset/termall/vsc/segsym), explicit-style RGN,
-per-tile COD/QCD overrides, and subsampling combined with a
-multi-tile grid. Progression-order changes (POC, T.800 A.6.6)
+flags (bypass/reset/termall/vsc/segsym), explicit-style RGN, and
+subsampling combined with a multi-tile grid. Per-tile COD/QCD/COC/
+QCC overrides decode with the T.800 A.6 precedence (tile COC > tile
+COD > main COC > main COD; tile QCC > tile QCD > main QCC > main
+QCD), restricted to a tile's first part. Progression-order changes (POC, T.800 A.6.6)
 decode: each entry contributes its progression nest over its
 resolution/component/layer bounds with the standard continuation
 rule, and the header is required to cover every packet. Signed components decode (no DC level shift,
@@ -1369,6 +1371,7 @@ def encode_j2k(
     coc: "dict[int, dict] | None" = None,
     subsampling: "dict[int, tuple] | None" = None,
     poc: list | None = None,
+    tile_overrides: "dict[int, dict] | None" = None,
 ) -> bytes:
     """(h, w[, nc]) uint8/uint16 -> lossless (5/3) codestream.
     ``tile=(xt, yt)`` splits the image into an XTsiz x YTsiz grid of
@@ -1460,7 +1463,27 @@ def encode_j2k(
             ):
                 raise J2kParseError(f"invalid COC code-block size {over}")
             cbw_c[ci], cbh_c[ci] = ow, oh
-    _check_tile_geometry(w, h, xt, yt, max(levels_c), J2kParseError)
+    if tile_overrides:
+        if lossy or subsampling or poc or coc or packed_headers:
+            raise J2kParseError(
+                "tile_overrides compose with the plain lossless path "
+                "only"
+            )
+        for isot, over in tile_overrides.items():
+            bad = set(over) - {"levels", "cb", "layers", "prog"}
+            if bad:
+                raise J2kParseError(f"unknown tile override keys {bad}")
+    _check_tile_geometry(
+        w, h, xt, yt,
+        max(
+            [max(levels_c)]
+            + [
+                o.get("levels", levels)
+                for o in (tile_overrides or {}).values()
+            ]
+        ),
+        J2kParseError,
+    )
 
     # one (eps per band) table drives BOTH the QCD header and every
     # tile's quantizer — a single source of truth (mu is always 0)
@@ -1532,7 +1555,14 @@ def encode_j2k(
             planes[ci][:: yr_c[ci], :: xr_c[ci]] for ci in range(nc)
         ]
     tiles = []
-    for (x0, y0, x1, y1) in _tile_rects(w, h, xt, yt):
+    tile_cfg: dict[int, tuple] = {}
+    for isot, (x0, y0, x1, y1) in enumerate(_tile_rects(w, h, xt, yt)):
+        over = (tile_overrides or {}).get(isot, {})
+        lv_t = over.get("levels", levels)
+        cw_t, ch_t = over.get("cb", (cbw, cbh))
+        layers_t = over.get("layers", layers)
+        prog_t = over.get("prog", prog)
+        tile_cfg[isot] = (lv_t, cw_t, ch_t, layers_t, prog_t, bool(over))
         tile_roi = None
         if roi is not None:
             ry0, ry1, rx0, rx1 = roi
@@ -1545,20 +1575,23 @@ def encode_j2k(
             if subsampling
             else [p[y0:y1, x0:x1] for p in planes]
         )
+        lvs = [lv_t] * nc if over else levels_c
+        cws = [cw_t] * nc if over else cbw_c
+        chs = [ch_t] * nc if over else cbh_c
         tiles.append(
             _encode_tile(
                 tps,
                 [p.shape[0] for p in tps],
                 [p.shape[1] for p in tps],
                 nc,
-                levels_c,
-                cbw_c,
-                cbh_c,
+                lvs,
+                cws,
+                chs,
                 depth,
-                prog,
+                prog_t,
                 x0,
                 y0,
-                layers,
+                layers_t,
                 eps_tabs if eps_tabs is not None else lossy_eps,
                 roi=tile_roi,
                 roi_shift=roi_shift,
@@ -1679,6 +1712,34 @@ def encode_j2k(
     tile_bytes = bytearray()
     ppm_stream = bytearray()
     for isot, packets in enumerate(tiles):
+        lv_t, cw_t, ch_t, layers_t, prog_t, has_over = tile_cfg[isot]
+        over_markers = b""
+        if has_over:
+            spcod_t = struct.pack(
+                ">BBBBB",
+                lv_t,
+                (cw_t.bit_length() - 1) - 2,
+                (ch_t.bit_length() - 1) - 2,
+                0,
+                1,  # lossless only (validated above)
+            )
+            over_markers += (
+                struct.pack(">H", COD)
+                + struct.pack(
+                    ">HBBHB", 12, 0, prog_t, layers_t, 1 if mct else 0
+                )
+                + spcod_t
+            )
+            exps_t = [depth + 2 + _BAND_GAIN["LL"]]
+            for r in range(1, lv_t + 1):
+                for btype in ("HL", "LH", "HH"):
+                    exps_t.append(depth + 2 + _BAND_GAIN[btype])
+            over_markers += (
+                struct.pack(">H", QCD)
+                + struct.pack(">H", 3 + len(exps_t))
+                + bytes([(_GUARD_BITS << 5) | 0])
+                + bytes(e << 3 for e in exps_t)
+            )
         nparts = max(1, min(tile_parts, len(packets)))
         per = -(-len(packets) // nparts) if packets else 0
         groups = (
@@ -1688,7 +1749,7 @@ def encode_j2k(
         )
         for tpsot, group in enumerate(groups):
             if packed_headers is None:
-                hdr_markers = b""
+                hdr_markers = over_markers if tpsot == 0 else b""
                 body = b"".join(h + b for h, b in group)
             else:
                 packed = b"".join(h for h, _ in group)
@@ -2003,6 +2064,72 @@ def _parse_main_header(data: bytes):
     )
 
 
+def _parse_cod(cod: bytes, what: str):
+    """COD/SPcod fields -> (scod, prog, nlayers, mct, levels, cbw,
+    cbh, transform), with the validation shared by main-header and
+    tile-header COD segments."""
+    if len(cod) < 10:
+        raise J2kParseError(f"{what} shorter than its SPcod")
+    scod, prog = cod[0], cod[1]
+    (nlayers,) = struct.unpack(">H", cod[2:4])
+    mct = cod[4]
+    levels, xcb, ycb, cbstyle, transform = cod[5:10]
+    if nlayers < 1:
+        raise J2kParseError(f"zero quality layers ({what})")
+    if cbstyle != 0:
+        raise J2kUnsupported(f"code-block style 0x{cbstyle:02x} ({what})")
+    if transform not in (0, 1):
+        raise J2kParseError(f"unknown transformation {transform} ({what})")
+    if scod & 0x01:
+        raise J2kUnsupported(f"custom precinct sizes ({what})")
+    cbw, cbh = 1 << (xcb + 2), 1 << (ycb + 2)
+    if cbw > 64 and cbh > 64 or cbw * cbh > 4096:
+        raise J2kParseError(f"illegal code-block size {cbw}x{cbh} ({what})")
+    return scod, prog, nlayers, mct, levels, cbw, cbh, transform
+
+
+def _apply_coc(seg: bytes, nc: int, levels_c: list, cbw_c: list,
+               cbh_c: list, transform_c: list, what: str) -> int:
+    """Apply one COC segment to the per-component arrays in place;
+    returns the component it named. Shared by main and tile COCs."""
+    if nc < 257:
+        if len(seg) < 7:
+            raise J2kParseError(f"{what} shorter than its SPcoc")
+        ccoc, body = seg[0], seg[1:]
+    else:
+        if len(seg) < 8:
+            raise J2kParseError(f"{what} shorter than its SPcoc")
+        ccoc, body = struct.unpack(">H", seg[:2])[0], seg[2:]
+    if ccoc >= nc:
+        raise J2kParseError(f"{what} names component {ccoc} of {nc}")
+    scoc = body[0]
+    if scoc & 0x01:
+        raise J2kUnsupported(f"custom precinct sizes ({what})")
+    lv, xcb2, ycb2, cbsty2, tr2 = body[1:6]
+    if cbsty2 != 0:
+        raise J2kUnsupported(f"code-block style 0x{cbsty2:02x} ({what})")
+    if tr2 not in (0, 1):
+        raise J2kParseError(f"unknown transformation {tr2} ({what})")
+    w2, h2 = 1 << (xcb2 + 2), 1 << (ycb2 + 2)
+    if w2 > 64 and h2 > 64 or w2 * h2 > 4096:
+        raise J2kParseError(f"illegal code-block size {w2}x{h2} ({what})")
+    levels_c[ccoc] = lv
+    cbw_c[ccoc], cbh_c[ccoc] = w2, h2
+    transform_c[ccoc] = tr2
+    return ccoc
+
+
+def _split_qcc(seg: bytes, nc: int, what: str):
+    """QCC segment -> (component index, Sqcc body)."""
+    if not seg:
+        raise J2kParseError(f"empty {what} segment")
+    if nc < 257:
+        return seg[0], seg[1:]
+    if len(seg) < 2:
+        raise J2kParseError(f"{what} shorter than its Cqcc field")
+    return struct.unpack(">H", seg[:2])[0], seg[2:]
+
+
 def decode_j2k(data: bytes) -> np.ndarray:
     """Codestream (reversible 5/3 or scalar-quantized 9/7;
     single-tile or a regular multi-tile grid) -> (h, w, nc)
@@ -2070,21 +2197,11 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     if max(depths) > 16:
         raise J2kUnsupported(">16-bit components are not supported")
 
-    scod, prog, nlayers, mct = cod[0], cod[1], struct.unpack(">H", cod[2:4])[0], cod[4]
-    levels, xcb, ycb, cbstyle, transform = cod[5:10]
-    if nlayers < 1:
-        raise J2kParseError("zero quality layers")
-    if cbstyle != 0:
-        raise J2kUnsupported(f"code-block style 0x{cbstyle:02x}")
-    if transform not in (0, 1):
-        raise J2kParseError(f"unknown transformation {transform}")
-    if scod & 0x01:
-        raise J2kUnsupported("custom precinct sizes are not supported")
+    (
+        scod, prog, nlayers, mct, levels, cbw, cbh, transform,
+    ) = _parse_cod(cod, "COD")
     use_sop = bool(scod & 0x02)
     use_eph = bool(scod & 0x04)
-    cbw, cbh = 1 << (xcb + 2), 1 << (ycb + 2)
-    if cbw > 64 and cbh > 64 or cbw * cbh > 4096:
-        raise J2kParseError(f"illegal code-block size {cbw}x{cbh}")
 
     # per-component coding parameters: COD defaults, COC overrides
     # (T.800 A.6.2 — decomposition levels, code-block geometry, and
@@ -2094,32 +2211,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     cbh_c = [cbh] * nc
     transform_c = [transform] * nc
     for seg in coc_segs:
-        if nc < 257:
-            if len(seg) < 7:
-                raise J2kParseError("COC shorter than its SPcoc")
-            ccoc, body = seg[0], seg[1:]
-        else:
-            if len(seg) < 8:
-                raise J2kParseError("COC shorter than its SPcoc")
-            ccoc, body = struct.unpack(">H", seg[:2])[0], seg[2:]
-        if ccoc >= nc:
-            raise J2kParseError(f"COC names component {ccoc} of {nc}")
-        scoc = body[0]
-        if scoc & 0x01:
-            raise J2kUnsupported(
-                "custom precinct sizes (COC) are not supported"
-            )
-        lv, xcb2, ycb2, cbsty2, tr2 = body[1:6]
-        if cbsty2 != 0:
-            raise J2kUnsupported(f"code-block style 0x{cbsty2:02x} (COC)")
-        if tr2 not in (0, 1):
-            raise J2kParseError(f"unknown transformation {tr2} (COC)")
-        w2, h2 = 1 << (xcb2 + 2), 1 << (ycb2 + 2)
-        if w2 > 64 and h2 > 64 or w2 * h2 > 4096:
-            raise J2kParseError(f"illegal code-block size {w2}x{h2}")
-        levels_c[ccoc] = lv
-        cbw_c[ccoc], cbh_c[ccoc] = w2, h2
-        transform_c[ccoc] = tr2
+        _apply_coc(seg, nc, levels_c, cbw_c, cbh_c, transform_c, "COC")
     if mct == 1 and len(set(transform_c[:3])) > 1:
         raise J2kUnsupported(
             "MCT with per-component transform overrides"
@@ -2162,31 +2254,12 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     # style 0 = no quantization (reversible 5/3 exponents only),
     # style 1 = scalar derived (one (eps, mu), per-band values derived
     # per T.800 E-5), style 2 = scalar expounded (per-band (eps, mu))
-    guard_c, exps_c, mus_c = [None] * nc, [None] * nc, [None] * nc
-    has_qcc = [False] * nc
+    main_qcc_raw: dict = {}
     for seg in qcc_segs:
-        if not seg:
-            raise J2kParseError("empty QCC segment")
-        if nc < 257:
-            cqcc, body = seg[0], seg[1:]
-        else:
-            if len(seg) < 2:
-                raise J2kParseError("QCC shorter than its Cqcc field")
-            cqcc, body = struct.unpack(">H", seg[:2])[0], seg[2:]
+        cqcc, body = _split_qcc(seg, nc, "QCC")
         if cqcc >= nc:
             raise J2kParseError(f"QCC names component {cqcc} of {nc}")
-        g, e, m = _parse_quant(
-            body, transform_c[cqcc], levels_c[cqcc], "QCC"
-        )
-        guard_c[cqcc], exps_c[cqcc], mus_c[cqcc] = g, e, m
-        has_qcc[cqcc] = True
-    for ci in range(nc):
-        # a QCC override fully replaces QCD for its component — QCD
-        # may legitimately be too short for a COC-deepened component
-        if not has_qcc[ci]:
-            guard_c[ci], exps_c[ci], mus_c[ci] = _parse_quant(
-                qcd, transform_c[ci], levels_c[ci], "QCD"
-            )
+        main_qcc_raw[cqcc] = body
     rgn_c = [0] * nc
     for seg in rgn_segs:
         need = 3 if nc < 257 else 4
@@ -2220,13 +2293,10 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     comp_dims = [
         (-(-ysiz // yr_c[ci]), -(-xsiz // xr_c[ci])) for ci in range(nc)
     ]
-    planes = [
-        np.zeros(
-            comp_dims[ci],
-            dtype=np.int64 if transform_c[ci] == 1 else np.float64,
-        )
-        for ci in range(nc)
-    ]
+    tile_cod: dict[int, bytes] = {}
+    tile_qcd: dict[int, bytes] = {}
+    tile_coc: dict[int, list] = {}
+    tile_qcc: dict[int, list] = {}
     parts: dict[int, list[tuple[int, bytes]]] = {}
     ppt_segs: dict[int, list[tuple[int, bytes]]] = {}
     tp_order: list[tuple[int, int]] = []  # (isot, tpsot) encounter order
@@ -2262,9 +2332,33 @@ def _decode_j2k(data: bytes) -> np.ndarray:
                     raise J2kParseError("truncated PPT segment")
                 ppt_segs.setdefault(isot, []).append((seg[0], seg[1:]))
                 sod_at += 2 + tlen
+            elif tmarker in (COD, QCD, COC, QCC):
+                # per-tile coding/quantization overrides (T.800
+                # A.6.1-A.6.5: allowed only in a tile's FIRST part)
+                seg = data[sod_at + 4 : sod_at + 2 + tlen]
+                if len(seg) != tlen - 2:
+                    raise J2kParseError(
+                        f"truncated tile-header 0x{tmarker:04x}"
+                    )
+                if tpsot != 0:
+                    raise J2kParseError(
+                        "COD/QCD-family marker outside tile-part 0"
+                    )
+                if tmarker == COD:
+                    if isot in tile_cod:
+                        raise J2kParseError("duplicate tile COD")
+                    tile_cod[isot] = seg
+                elif tmarker == QCD:
+                    if isot in tile_qcd:
+                        raise J2kParseError("duplicate tile QCD")
+                    tile_qcd[isot] = seg
+                elif tmarker == COC:
+                    tile_coc.setdefault(isot, []).append(seg)
+                else:
+                    tile_qcc.setdefault(isot, []).append(seg)
+                sod_at += 2 + tlen
             else:
-                # COD/QCD/COC/QCC overrides would change decode
-                # semantics; anything else here is out of scope
+                # RGN/POC/anything else here is out of scope
                 raise J2kUnsupported(
                     f"tile-part header marker 0x{tmarker:04x} "
                     "is not supported"
@@ -2304,6 +2398,79 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         for isot, segs in ppt_segs.items():
             segs.sort(key=lambda t: t[0])
             packed_by_tile[isot] = b"".join(seg for _, seg in segs)
+
+    # resolve each tile's coding/quantization parameters with the
+    # T.800 precedence (tile COC > tile COD > main COC > main COD;
+    # tile QCC > tile QCD > main QCC > main QCD)
+    if poc_entries and tile_cod:
+        raise J2kUnsupported("POC combined with per-tile COD overrides")
+    tile_params: dict[int, tuple] = {}
+    for isot in parts:
+        t_cod = tile_cod.get(isot)
+        if t_cod is not None:
+            (
+                scod_t, prog_t, nlayers_t, mct_t, lv0, cw0, ch0, tr0,
+            ) = _parse_cod(t_cod, "tile COD")
+            if mct_t != mct:
+                raise J2kUnsupported("per-tile MCT override")
+            lv_t = [lv0] * nc
+            cw_t = [cw0] * nc
+            ch_t = [ch0] * nc
+            tr_t = [tr0] * nc
+            sop_t, eph_t = bool(scod_t & 0x02), bool(scod_t & 0x04)
+        else:
+            prog_t, nlayers_t = prog, nlayers
+            lv_t, cw_t, ch_t = list(levels_c), list(cbw_c), list(cbh_c)
+            tr_t = list(transform_c)
+            sop_t, eph_t = use_sop, use_eph
+        for seg in tile_coc.get(isot, []):
+            _apply_coc(seg, nc, lv_t, cw_t, ch_t, tr_t, "tile COC")
+        if mct == 1 and tr_t[:3] != transform_c[:3]:
+            raise J2kUnsupported(
+                "per-tile transform override under MCT"
+            )
+        tqcc: dict = {}
+        for seg in tile_qcc.get(isot, []):
+            ci, body = _split_qcc(seg, nc, "tile QCC")
+            if ci >= nc:
+                raise J2kParseError(f"tile QCC names component {ci}")
+            tqcc[ci] = body
+        g_t, e_t, m_t = [None] * nc, [None] * nc, [None] * nc
+        for ci in range(nc):
+            if ci in tqcc:
+                body, what = tqcc[ci], "tile QCC"
+            elif isot in tile_qcd:
+                body, what = tile_qcd[isot], "tile QCD"
+            elif ci in main_qcc_raw:
+                body, what = main_qcc_raw[ci], "QCC"
+            else:
+                body, what = qcd, "QCD"
+            g_t[ci], e_t[ci], m_t[ci] = _parse_quant(
+                body, tr_t[ci], lv_t[ci], what
+            )
+        tile_params[isot] = (
+            lv_t, cw_t, ch_t, tr_t, prog_t, nlayers_t, sop_t, eph_t,
+            g_t, e_t, m_t,
+        )
+        x0, y0, _, _ = rects[isot]
+        if max(lv_t) > max(levels_c):
+            _check_tile_geometry(
+                xsiz, ysiz, xt, yt, max(lv_t), J2kUnsupported
+            )
+
+    # plane dtype: integer only when EVERY tile codes that component
+    # reversibly (a single 9/7 tile forces the float accumulator)
+    planes = [
+        np.zeros(
+            comp_dims[ci],
+            dtype=(
+                np.int64
+                if all(tp[3][ci] == 1 for tp in tile_params.values())
+                else np.float64
+            ),
+        )
+        for ci in range(nc)
+    ]
     for isot, plist in parts.items():
         plist.sort(key=lambda t: t[0])
         if [t[0] for t in plist] != list(range(len(plist))):
@@ -2312,6 +2479,10 @@ def _decode_j2k(data: bytes) -> np.ndarray:
                 f"{[t[0] for t in plist]} are not contiguous from 0"
             )
         x0, y0, x1, y1 = rects[isot]
+        (
+            lv_t, cw_t, ch_t, tr_t, prog_t, nlayers_t, sop_t, eph_t,
+            g_t, e_t, m_t,
+        ) = tile_params[isot]
         crects = [
             (
                 -(-x0 // xr_c[ci]), -(-y0 // yr_c[ci]),
@@ -2324,20 +2495,20 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             [cy1 - cy0 for _, cy0, _, cy1 in crects],
             [cx1 - cx0 for cx0, _, cx1, _ in crects],
             nc,
-            levels_c,
-            cbw_c,
-            cbh_c,
+            lv_t,
+            cw_t,
+            ch_t,
             depths,
-            guard_c,
-            exps_c,
-            prog,
-            use_sop,
-            use_eph,
+            g_t,
+            e_t,
+            prog_t,
+            sop_t,
+            eph_t,
             x0,
             y0,
-            nlayers,
-            mus_c,
-            transform_c,
+            nlayers_t,
+            m_t,
+            tr_t,
             packed=packed_by_tile.get(isot),
             rgn_c=rgn_c,
             poc=poc_entries or None,
@@ -2383,7 +2554,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             p = np.repeat(
                 np.repeat(p, yr_c[ci], axis=0), xr_c[ci], axis=1
             )[:ysiz, :xsiz]
-        if transform_c[ci] == 0:
+        if p.dtype == np.float64:
             p = np.rint(p)
         if signs[ci]:
             # no DC level shift (T.800 B.1): already centered on zero

@@ -836,3 +836,56 @@ def test_poc_gates_and_coverage_errors():
     b[i + 10] = 7  # Ppoc
     with pytest.raises(J2kUnsupported, match="POC progression"):
         decode_j2k(bytes(b))
+
+
+def test_per_tile_cod_qcd_overrides_round_trip():
+    """Tile-header COD/QCD (T.800 A.6 precedence): per-tile
+    decomposition levels, code-block geometry, quality layers, and
+    progression order, each resolved for that tile only."""
+    rng = np.random.default_rng(127)
+    img = rng.integers(0, 65536, (64, 64)).astype(np.uint16)
+    blob = encode_j2k(
+        img, levels=1, tile=(32, 32),
+        tile_overrides={1: {"levels": 3, "cb": (16, 16)},
+                        2: {"layers": 3}, 3: {"prog": 4}},
+    )
+    # real tile-header markers on the wire: a COD after the first SOT
+    sot = blob.find(b"\xff\x90", blob.find(b"\xff\x90") + 2)
+    assert b"\xff\x52" in blob[sot:]
+    assert np.array_equal(decode_j2k(blob)[:, :, 0], img)
+    # MCT + per-tile levels; multi tile-parts with overrides
+    rgb = rng.integers(0, 256, (64, 32, 3), dtype=np.uint8)
+    blob = encode_j2k(rgb, levels=2, tile=(32, 32),
+                      tile_overrides={0: {"levels": 1}})
+    assert np.array_equal(decode_j2k(blob), rgb)
+    blob = encode_j2k(img, levels=2, tile=(32, 32), tile_parts=3,
+                      tile_overrides={2: {"levels": 3, "layers": 2}})
+    assert np.array_equal(decode_j2k(blob)[:, :, 0], img)
+
+
+def test_per_tile_override_placement_rules():
+    rng = np.random.default_rng(131)
+    img = rng.integers(0, 65536, (64, 64)).astype(np.uint16)
+    enc = encode_j2k(img, levels=1, tile=(32, 32), tile_parts=2,
+                     tile_overrides={1: {"levels": 2}})
+    # relocate the tile COD into a LATER tile-part: spec violation,
+    # named parse error. Find tile 1's part-1 SOT and splice a COD in.
+    import struct as _s
+    pos = 2
+    sots = []
+    while True:
+        i = enc.find(b"\xff\x90", pos)
+        if i < 0:
+            break
+        isot, _psot, tpsot = _s.unpack(">HIB", enc[i + 4 : i + 11])
+        sots.append((i, isot, tpsot))
+        pos = i + 2
+    late = next(i for i, isot, tp in sots if isot == 1 and tp == 1)
+    cod = b"\xff\x52" + _s.pack(">HBBHB", 12, 0, 0, 1, 0) + bytes(
+        [1, 4, 4, 0, 1]
+    )
+    bad = enc[: late + 12] + cod + enc[late + 12 :]
+    # psot now lies; either the placement error or a length error is
+    # fine — but it must be the NAMED error type
+    with pytest.raises((J2kParseError, J2kUnsupported)):
+        decode_j2k(bad)
