@@ -889,3 +889,40 @@ def test_per_tile_override_placement_rules():
     # fine — but it must be the NAMED error type
     with pytest.raises((J2kParseError, J2kUnsupported)):
         decode_j2k(bad)
+
+
+def test_round10_feature_streams_fuzz_named_errors_only():
+    """Corruption over streams exercising every round-10 feature
+    (COC, POC, subsampling, tile overrides, signed) must raise
+    J2kParseError (J2kUnsupported is a subclass) — never a raw
+    TypeError/IndexError from the new parse paths."""
+    rng = np.random.default_rng(211)
+    img8 = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    bases = [
+        encode_j2k(img8, levels=2, coc={1: {"levels": 1}}),
+        encode_j2k(img8, levels=2, layers=2, poc=[(0, 0, 2, 3, 3, 2)]),
+        encode_j2k(img8, levels=1, mct=False, subsampling={1: (2, 2)}),
+        encode_j2k(
+            rng.integers(0, 65536, (64, 64)).astype(np.uint16),
+            levels=1, tile=(32, 32), tile_overrides={1: {"levels": 2}},
+        ),
+        encode_j2k(
+            rng.integers(-128, 128, (24, 24)).astype(np.int8), levels=1
+        ),
+    ]
+    for base in bases:
+        for t in range(150):
+            b = bytearray(base)
+            mode = t % 3
+            if mode == 0:
+                b = b[: int(rng.integers(1, len(b)))]
+            elif mode == 1:
+                i = int(rng.integers(0, len(b)))
+                b[i] ^= 1 << int(rng.integers(0, 8))
+            else:
+                i = int(rng.integers(0, len(b)))
+                b[i : i + 4] = bytes(rng.integers(0, 256, 4).tolist())
+            try:
+                decode_j2k(bytes(b))
+            except J2kParseError:
+                pass  # the one named contract
