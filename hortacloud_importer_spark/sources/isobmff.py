@@ -624,6 +624,7 @@ def decode_isobmff_mjpeg(data: bytes) -> "object":
         raise IsobmffParseError("MJPEG track has no samples")
     frames = []
     shape = None
+    total = 0
     for (_tid, _si, off, sz, _dts, _dur, _ts, _sync) in idx:
         arr = decode_jpeg(data[off : off + sz])
         if shape is None:
@@ -631,6 +632,16 @@ def decode_isobmff_mjpeg(data: bytes) -> "object":
         elif arr.shape != shape:
             raise IsobmffParseError(
                 f"frame size changes mid-track: {arr.shape} vs {shape}"
+            )
+        total += arr.size
+        if total > 1 << 28:
+            # whole-video decode guard (same 2^28-sample posture as
+            # the image codecs): longer videos should range-read
+            # selected frames via isobmff_frame_index instead of
+            # materializing every frame in one executor task
+            raise IsobmffParseError(
+                f"{len(idx)} frames of {shape} exceed the full-decode "
+                "guard; use the frame index to range-read a subset"
             )
         frames.append(arr)
     return np.stack(frames)
