@@ -201,6 +201,11 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
         from hortacloud_importer_spark.sources.mp3 import decode_mp3
 
         return decode_mp3(bytes(payload))
+    if fmt == "aac":
+        # same posture for ADTS AAC (sources/adts.py)
+        from hortacloud_importer_spark.sources.adts import decode_adts
+
+        return decode_adts(bytes(payload))
     if fmt in ("jp2", "j2k"):
         # clean-room lossless JPEG 2000 (sources/j2k.py) with the
         # glymur/imageio/PIL fallback chain inside decode_jp2
@@ -309,6 +314,7 @@ def _decode_error_types() -> tuple[type, ...]:
     """Every named decode failure the clean-room codecs raise. A
     skip/tag kernel catches exactly these — anything else (a bug, not
     a corrupt payload) still fails the task loudly."""
+    from hortacloud_importer_spark.sources.adts import AdtsParseError
     from hortacloud_importer_spark.sources.avi import AviParseError
     from hortacloud_importer_spark.sources.bmp import BmpParseError
     from hortacloud_importer_spark.sources.codecs import CodecError
@@ -326,6 +332,7 @@ def _decode_error_types() -> tuple[type, ...]:
     from hortacloud_importer_spark.sources.webp import WebpParseError
 
     named: tuple[type, ...] = (
+        AdtsParseError,
         AviParseError,
         BmpParseError,
         CodecError,
@@ -437,6 +444,11 @@ def _probe_one(fmt: str, payload: bytes, meta) -> dict:
         from hortacloud_importer_spark.sources.mp3 import mp3_probe
 
         n_samples, c, rate, nf = mp3_probe(payload)
+        h, w = 1, n_samples
+    elif fmt == "aac":
+        from hortacloud_importer_spark.sources.adts import adts_probe
+
+        n_samples, c, rate, nf = adts_probe(payload)
         h, w = 1, n_samples
     elif fmt in ("jp2", "j2k"):
         from hortacloud_importer_spark.sources.jp2 import jp2_shape

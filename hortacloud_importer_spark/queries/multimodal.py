@@ -168,7 +168,8 @@ FROM (VALUES
   (7, 'heic', 480, 640, 3, 1, 0),
   (8, 'mp4', 720, 1280, 3, 90, 48000),
   (9, 'flac', 1, 256, 2, 1, 8000),
-  (10, 'mp3', 1, 11520, 2, 10, 44100)
+  (10, 'mp3', 1, 11520, 2, 10, 44100),
+  (11, 'aac', 1, 6144, 2, 6, 48000)
 ) AS t(media_id, fmt, height, width, channels, n_frames, sample_rate)
 """,
 )
@@ -186,6 +187,7 @@ def mm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hortacloud_importer_spark.operators.multimodal import media_probe
     from hortacloud_importer_spark.sources.avi import encode_avi
     from hortacloud_importer_spark.sources.bmp import encode_bmp
+    from hortacloud_importer_spark.sources.adts import encode_adts_headers
     from hortacloud_importer_spark.sources.flac import encode_flac
     from hortacloud_importer_spark.sources.gif import encode_gif
     from hortacloud_importer_spark.sources.mp3 import encode_mp3_headers
@@ -227,6 +229,7 @@ def mm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         stereo="left_side",
     )
     mp3_p = encode_mp3_headers(10, rate=44100, kbps=128, channels=2)
+    aac_p = encode_adts_headers(6, rate=48000, channels=2)
 
     # hand-assembled ISOBMFF containers (the coded payload gates;
     # only the box-tree metadata is under test — sources/isobmff.py)
@@ -296,6 +299,7 @@ def mm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (8, "mp4", mp4_p),
         (9, "flac", flac_p),
         (10, "mp3", mp3_p),
+        (11, "aac", aac_p),
     ]
     media = spark.createDataFrame(
         [

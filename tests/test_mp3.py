@@ -130,3 +130,83 @@ def test_media_probe_routes_mp3(spark):
     assert (got[2]["width"], got[2]["channels"], got[2]["sample_rate"]) == (
         4 * 576, 1, 22050,
     )
+
+
+# --------------------------------------------------- ADTS AAC probe
+
+
+def test_adts_probe_golden_and_gates():
+    from hortacloud_importer_spark.sources.adts import (
+        AdtsParseError,
+        adts_probe,
+        decode_adts,
+        encode_adts_headers,
+    )
+
+    blob = encode_adts_headers(5, rate=44100, channels=2)
+    assert adts_probe(blob) == (5 * 1024, 2, 44100, 5)
+    # multiple raw data blocks per frame multiply the sample count
+    blob = encode_adts_headers(3, rate=48000, channels=6, n_blocks=4)
+    assert adts_probe(blob) == (3 * 4096, 6, 48000, 3)
+    # CRC-present headers are 9 bytes
+    blob = encode_adts_headers(2, rate=8000, channels=1, with_crc=True)
+    assert adts_probe(blob) == (2 * 1024, 1, 8000, 2)
+    # decode is an honest gate on a VALID container
+    with pytest.raises(NotImplementedError, match="binding"):
+        decode_adts(blob)
+    # trailing garbage / mid-stream rate change are named errors
+    with pytest.raises(AdtsParseError):
+        adts_probe(encode_adts_headers(1) + b"\x01\x02")
+    with pytest.raises(AdtsParseError, match="mid-stream"):
+        adts_probe(
+            encode_adts_headers(1, rate=44100)
+            + encode_adts_headers(1, rate=48000)
+        )
+
+
+def test_adts_corruption_raises_named_error_only():
+    from hortacloud_importer_spark.sources.adts import (
+        AdtsParseError,
+        adts_probe,
+        encode_adts_headers,
+    )
+
+    rng = np.random.default_rng(139)
+    base = encode_adts_headers(6, rate=22050, channels=2, n_blocks=2)
+    for _ in range(400):
+        b = bytearray(base)
+        mode = rng.integers(0, 3)
+        if mode == 0:
+            b = b[: int(rng.integers(1, len(b)))]
+        elif mode == 1:
+            i = int(rng.integers(0, len(b)))
+            b[i] ^= 1 << int(rng.integers(0, 8))
+        else:
+            i = int(rng.integers(0, len(b)))
+            b[i : i + 4] = bytes(rng.integers(0, 256, 4).tolist())
+        try:
+            adts_probe(bytes(b))
+        except (AdtsParseError, NotImplementedError):
+            pass
+
+
+def test_media_probe_routes_aac(spark):
+    from pyspark.sql import functions as F
+
+    from hortacloud_importer_spark.operators.multimodal import media_probe
+    from hortacloud_importer_spark.sources.adts import encode_adts_headers
+
+    media = spark.createDataFrame(
+        [(1, "audio", "aac",
+          bytearray(encode_adts_headers(8, rate=32000, channels=2)))],
+        "media_id long, kind string, format string, payload binary",
+    ).withColumn(
+        "meta",
+        F.expr(
+            "named_struct('height', 0, 'width', 0, 'channels', 0,"
+            " 'sample_rate', 0, 'n_frames', 0)"
+        ),
+    )
+    row = media_probe(media).collect()[0]
+    assert (row["width"], row["channels"], row["sample_rate"],
+            row["n_frames"]) == (8 * 1024, 2, 32000, 8)
