@@ -286,3 +286,61 @@ def sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("bigint").alias("extra"),
     )
     return lsh.unionByName(ivf)
+
+
+@register(
+    "dedup_embedding",
+    "K2+K3",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+WITH RECURSIVE
+norms AS (
+  SELECT vec_id, label, embedding,
+         SQRT((SELECT SUM(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+                          * CAST(embedding[CAST(i AS INT)] AS DOUBLE))
+               FROM UNNEST(range(1, len(embedding) + 1)) AS t(i))) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM norms a JOIN norms b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE ROUND(
+          (SELECT SUM(CAST(a.embedding[CAST(i AS INT)] AS DOUBLE)
+                      * CAST(b.embedding[CAST(i AS INT)] AS DOUBLE))
+           FROM UNNEST(range(1, len(a.embedding) + 1)) AS t(i))
+          / (a.nrm * b.nrm), 6) >= 0.25
+),
+edges AS (
+  SELECT vec_a AS a, vec_b AS b FROM pairs
+  UNION
+  SELECT vec_b AS a, vec_a AS b FROM pairs
+),
+reach(node, label) AS (
+  SELECT a, a FROM edges
+  UNION
+  SELECT e.a, r.label FROM edges e JOIN reach r ON r.node = e.b
+)
+SELECT node, MIN(label) AS component,
+       (node = MIN(label)) AS keep
+FROM reach GROUP BY 1
+""",
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup DEDUP (K2+K3), oracle-exact: the
+    cosine candidate pairs of ``sim_pairs_cosine`` (>= 0.25 within a
+    label cell — the coarse-cluster prefilter that keeps the pair
+    join off the full corpus at 100 TB) feed the same iterative
+    min-label connected-components kernel the shingle dedup uses, so
+    each near-dup cluster keeps exactly its minimum-id member. The
+    DuckDB mirror recomputes the pairs and the component fixpoint as
+    a recursive CTE — label choice, cosine rounding, or propagation
+    bugs all break the hash."""
+    from hortacloud_importer_spark.operators.components import (
+        dedup_keep_list,
+    )
+
+    pairs = sim_pairs_cosine(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return dedup_keep_list(pairs)
