@@ -212,12 +212,35 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(d)
 
 
-@register("text_sentences_udtf", "K5+J4", oracle=None, driver=False)
+@register(
+    "text_sentences_udtf",
+    "K5+J4",
+    driver=False,
+    oracle="""
+WITH parts AS (
+  SELECT doc_id, t.i - 1 AS idx, trim(parts[CAST(t.i AS INT)]) AS sentence
+  FROM (SELECT doc_id,
+               string_split(
+                 regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'),
+                 chr(1)) AS parts
+        FROM documents),
+       UNNEST(range(1, len(parts) + 1)) AS t(i)
+)
+SELECT doc_id, CAST(idx AS INT) AS idx, sentence,
+       CAST(len(list_filter(str_split_regex(sentence, '\\s+'),
+                            x -> x != '')) AS INT) AS n_words
+FROM parts WHERE sentence != ''
+""",
+)
 def text_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sentence segmentation via a Python UDTF (J4), rows-only: one
-    row per (doc, sentence) with word counts — Python generator logic
-    where the expansion rule isn't expressible as array built-ins.
-    Validated against a plain-Python re-split in tests."""
+    """Sentence segmentation via a Python UDTF (J4), oracle-exact:
+    one row per (doc, sentence) with word counts. The UDTF splits on
+    the lookbehind (?<=[.!?])\\s+; DuckDB's RE2 has no lookbehind, so
+    the mirror realizes the identical split by rewriting the boundary
+    to a sentinel character and splitting on it — indexes (counted
+    over ALL raw parts, empties included, exactly like the UDTF's
+    enumerate), trimmed sentences, and whitespace-token word counts
+    all hash-match."""
     from hortacloud_importer_spark.operators.udtfs import SplitSentences
 
     d = table(spark, sf_dir, "documents")
