@@ -185,9 +185,18 @@ def winnow_fingerprints(d: DataFrame, k: int = _WINNOW_K, w: int = _WINNOW_W) ->
         F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
         F.slice(words, 3, F.greatest(F.size(words) - 2, F.lit(0))),
     )
+    # hash = first 60 bits of md5 — portable across engines (DuckDB
+    # computes the identical value, which is what makes the oracle
+    # exact; xxhash64 would pin the fingerprints to Spark)
     grams = F.transform(
         F.filter(z, lambda t: t["2"].isNotNull()),
-        lambda t: F.xxhash64(F.concat_ws(" ", t["0"], t["1"], t["2"])),
+        lambda t: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", t["0"], t["1"], t["2"])), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
     )
     hashes = F.col("_hashes")
     minima = F.transform(
@@ -201,13 +210,44 @@ def winnow_fingerprints(d: DataFrame, k: int = _WINNOW_K, w: int = _WINNOW_W) ->
     )
 
 
-@register("text_winnow", "K5+K2", oracle=None, driver=False)
+@register(
+    "text_winnow",
+    "K5+K2",
+    driver=False,
+    oracle=f"""
+WITH words AS (
+  SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+),
+grams AS (
+  SELECT doc_id, t.i AS pos,
+         CAST('0x' || substr(md5(ws[CAST(t.i AS INT)] || ' '
+                                 || ws[CAST(t.i AS INT) + 1] || ' '
+                                 || ws[CAST(t.i AS INT) + 2]), 1, 15)
+              AS BIGINT) AS h
+  FROM words, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= {{k}}
+),
+counts AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY 1),
+minima AS (
+  SELECT g.doc_id,
+         MIN(g2.h) AS fp
+  FROM grams g
+  JOIN counts c ON c.doc_id = g.doc_id
+  JOIN grams g2 ON g2.doc_id = g.doc_id
+             AND g2.pos BETWEEN g.pos AND g.pos + {{w}} - 1
+  WHERE g.pos <= GREATEST(CAST(c.n AS BIGINT) - {{w}}, 0) + 1
+  GROUP BY g.doc_id, g.pos
+)
+SELECT DISTINCT doc_id, fp FROM minima
+""".format(k=_WINNOW_K, w=_WINNOW_W),
+)
 def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Document fingerprinting by winnowing (K5), rows-only: the
-    rolling-hash fingerprint set per document — the dedup-oriented
-    fingerprint (shared substrings -> shared fingerprints), vs
-    text_fingerprint's whole-document digests. Validated against a
-    plain-Python winnower in tests."""
+    """Document fingerprinting by winnowing (K5), oracle-exact: word
+    3-gram hashes (first 60 bits of md5 — engine-portable, so DuckDB
+    reproduces the exact fingerprints) -> per-window minima ->
+    distinct set per document. The MOSS guarantee: any shared run of
+    >= w+k-1 words between two documents shares a fingerprint. Also
+    validated against a plain-Python winnower in tests."""
     d = table(spark, sf_dir, "documents")
     return winnow_fingerprints(d)
 

@@ -3,7 +3,7 @@ shared-substring guarantee."""
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+import hashlib
 
 from hortacloud_importer_spark.queries.text import (
     _WINNOW_K,
@@ -12,23 +12,20 @@ from hortacloud_importer_spark.queries.text import (
 )
 
 
-def _spark_hash_oracle(spark, texts):
-    """xxhash64 isn't reimplementable in pure Python here, so get the
-    per-gram hashes from Spark itself, then winnow in Python."""
-    rows = []
-    for doc_id, text in texts:
-        words = text.split(" ")
-        for i in range(len(words) - _WINNOW_K + 1):
-            rows.append((doc_id, i, " ".join(words[i : i + _WINNOW_K])))
-    df = spark.createDataFrame(rows, "doc_id int, pos int, gram string")
-    hashed = {
-        (r["doc_id"], r["pos"]): r["h"]
-        for r in df.select("doc_id", "pos", F.xxhash64("gram").alias("h")).collect()
-    }
+def _py_oracle(texts):
+    """A fully independent Python winnower: the gram hash (first 60
+    bits of md5) is engine-portable, so no Spark round trip is needed
+    to reproduce it."""
+    def h(gram: str) -> int:
+        return int(hashlib.md5(gram.encode()).hexdigest()[:15], 16)
+
     out = {}
     for doc_id, text in texts:
-        n = len(text.split(" ")) - _WINNOW_K + 1
-        hs = [hashed[(doc_id, i)] for i in range(n)]
+        words = text.split(" ")
+        n = len(words) - _WINNOW_K + 1
+        hs = [
+            h(" ".join(words[i : i + _WINNOW_K])) for i in range(n)
+        ]
         fps = set()
         for i in range(max(1, n - _WINNOW_W + 1)):
             fps.add(min(hs[i : i + _WINNOW_W]))
@@ -46,7 +43,7 @@ def test_winnow_matches_python(spark):
     got = {}
     for r in winnow_fingerprints(df).collect():
         got.setdefault(r["doc_id"], set()).add(r["fp"])
-    want = _spark_hash_oracle(spark, texts)
+    want = _py_oracle(texts)
     assert got == want
 
 
