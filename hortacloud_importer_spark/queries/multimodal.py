@@ -59,11 +59,60 @@ def mm_doc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(_doc_media(spark, sf_dir)).select("media_id", "n_bytes")
 
 
-@register("mm_doc_features", "K4", oracle=None, driver=False)
+@register(
+    "mm_doc_features",
+    "K4",
+    driver=False,
+    oracle="""
+WITH bytes AS (
+  SELECT doc_id,
+         CAST('0x' || substr(hex(encode(text)),
+                             CAST(2 * t.i - 1 AS INT), 2) AS INT) AS v
+  FROM documents,
+       UNNEST(range(1, octet_length(encode(text)) + 1)) AS t(i)
+),
+stats AS (
+  SELECT doc_id, COUNT(*) AS n_bytes, AVG(v) AS mean_intensity,
+         MIN(v) AS min_intensity, MAX(v) AS max_intensity
+  FROM bytes GROUP BY 1
+),
+hist AS (
+  SELECT doc_id, v // 16 AS bin, COUNT(*) AS c FROM bytes GROUP BY 1, 2
+),
+hist_full AS (
+  SELECT s.doc_id, b.range AS bin, COALESCE(h.c, 0) AS c
+  FROM stats s CROSS JOIN range(16) b
+  LEFT JOIN hist h ON h.doc_id = s.doc_id AND h.bin = b.range
+)
+SELECT s.doc_id AS media_id,
+       CAST(s.n_bytes AS INT) AS n_bytes,
+       s.mean_intensity,
+       CAST(s.min_intensity AS INT) AS min_intensity,
+       CAST(s.max_intensity AS INT) AS max_intensity,
+       (SELECT string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin)
+        FROM hist_full h WHERE h.doc_id = s.doc_id) AS hist16_csv
+FROM stats s
+""",
+)
 def mm_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K4 rows-only: full feature extraction (intensity stats + 16-bin
-    histogram) over fixture-derived payloads."""
-    return media_features(_doc_media(spark, sf_dir))
+    """K4 full feature extraction, oracle-exact: intensity stats AND
+    the 16-bin histogram over the documents' UTF-8 payload bytes —
+    DuckDB regenerates every byte via hex(encode(text)) pair
+    extraction, so the whole mapInPandas feature kernel (byte walk,
+    integer mean, uint8 binning v >> 4, zero bins included) is pinned
+    value-for-value. The histogram ships as CSV so the hash compare
+    stays scalar."""
+    feats = media_features(_doc_media(spark, sf_dir))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        "mean_intensity",
+        "min_intensity",
+        "max_intensity",
+        F.array_join(
+            F.transform("hist16", lambda v: v.cast("string")), ","
+        ).alias("hist16_csv"),
+    )
 
 
 @register("mm_resize_features", "K4", oracle=None, driver=False)
