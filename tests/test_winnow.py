@@ -41,7 +41,7 @@ def test_winnow_matches_python(spark):
     ]
     df = spark.createDataFrame(texts, "doc_id int, text string")
     got = {}
-    for r in winnow_fingerprints(df).collect():
+    for r in winnow_fingerprints(df, hash="md5").collect():
         got.setdefault(r["doc_id"], set()).add(r["fp"])
     want = _py_oracle(texts)
     assert got == want
@@ -57,8 +57,10 @@ def test_shared_run_shares_fingerprint(spark):
         (2, "totally different words here entirely now"),
     ]
     df = spark.createDataFrame(texts, "doc_id int, text string")
-    fps = {}
-    for r in winnow_fingerprints(df).collect():
-        fps.setdefault(r["doc_id"], set()).add(r["fp"])
-    assert fps[0] & fps[1], "shared run must share a fingerprint"
-    assert not (fps[0] & fps[2])
+    # the MOSS property is hash-agnostic: check BOTH leaves
+    for h in ("xxhash64", "md5"):
+        fps = {}
+        for r in winnow_fingerprints(df, hash=h).collect():
+            fps.setdefault(r["doc_id"], set()).add(r["fp"])
+        assert fps[0] & fps[1], f"shared run must share a fp ({h})"
+        assert not (fps[0] & fps[2])
