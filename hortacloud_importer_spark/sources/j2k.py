@@ -50,19 +50,21 @@ coefficients classify by magnitude and scale back after Tier-1 —
 within the 31-coded-bit-plane integer domain. Honest gates (raised
 as :class:`J2kUnsupported`): custom precincts, code-block style
 flags (bypass/reset/termall/vsc/segsym), explicit-style RGN, and
-subsampling combined with a multi-tile grid. Per-tile COD/QCD/COC/
-QCC overrides decode with the T.800 A.6 precedence (tile COC > tile
-COD > main COC > main COD; tile QCC > tile QCD > main QCC > main
-QCD), restricted to a tile's first part. Progression-order changes (POC, T.800 A.6.6)
+tile grids misaligned to a subsampled component's rate x 2^levels.
+Per-tile COD/QCD/COC/QCC overrides decode with the T.800 A.6
+precedence (tile COC > tile COD > main COC > main COD; tile QCC >
+tile QCD > main QCC > main QCD), restricted to a tile's first part.
+Subsampled components tile too when every tile origin lands on the
+component grid 2^levels-aligned (per-component band anchors). Progression-order changes (POC, T.800 A.6.6)
 decode: each entry contributes its progression nest over its
 resolution/component/layer bounds with the standard continuation
 rule, and the header is required to cover every packet. Signed components decode (no DC level shift,
 int8/int16 output), main-header COC per-component overrides
 (decomposition levels, code-block geometry, transform) drive the
 packet walk per T.800 B.12, and non-unit XRsiz/YRsiz component
-subsampling decodes on the per-component sample grid (single-tile),
-upsampled back to the reference grid by nearest-neighbor
-replication — the JPEG chroma convention. The
+subsampling decodes on the per-component sample grid (single- or
+aligned multi-tile), upsampled back to the reference grid by
+nearest-neighbor replication — the JPEG chroma convention. The
 scope covers what a lossless microscopy slice store actually writes;
 everything else still routes to the optional OpenJPEG bindings in
 sources/jp2.py.
@@ -1429,8 +1431,6 @@ def encode_j2k(
     xr_c = [1] * nc
     yr_c = [1] * nc
     if subsampling:
-        if tile is not None:
-            raise J2kParseError("subsampling supports single-tile only")
         if roi_shift:
             raise J2kParseError("subsampling and ROI do not compose here")
         for ci, (sxr, syr) in subsampling.items():
@@ -1484,6 +1484,19 @@ def encode_j2k(
         ),
         J2kParseError,
     )
+    if subsampling and (xt < w or yt < h):
+        if tile_overrides:
+            raise J2kParseError(
+                "subsampling + per-tile overrides is out of scope"
+            )
+        for ci in range(nc):
+            sx = xr_c[ci] << levels_c[ci]
+            sy = yr_c[ci] << levels_c[ci]
+            if (xt < w and xt % sx) or (yt < h and yt % sy):
+                raise J2kParseError(
+                    f"tile grid {xt}x{yt} is not aligned to component "
+                    f"{ci}'s rate x 2^levels ({sx}x{sy})"
+                )
 
     # one (eps per band) table drives BOTH the QCD header and every
     # tile's quantizer — a single source of truth (mu is always 0)
@@ -1570,11 +1583,19 @@ def encode_j2k(
             ix0, ix1 = max(rx0, x0), min(rx1, x1)
             if iy0 < iy1 and ix0 < ix1:
                 tile_roi = (iy0 - y0, iy1 - y0, ix0 - x0, ix1 - x0)
-        tps = (
-            planes
-            if subsampling
-            else [p[y0:y1, x0:x1] for p in planes]
-        )
+        if subsampling:
+            tps = [
+                planes[ci][
+                    y0 // yr_c[ci] : -(-y1 // yr_c[ci]),
+                    x0 // xr_c[ci] : -(-x1 // xr_c[ci]),
+                ]
+                for ci in range(nc)
+            ]
+            ax = [x0 // xr_c[ci] for ci in range(nc)]
+            ay = [y0 // yr_c[ci] for ci in range(nc)]
+        else:
+            tps = [p[y0:y1, x0:x1] for p in planes]
+            ax, ay = x0, y0
         lvs = [lv_t] * nc if over else levels_c
         cws = [cw_t] * nc if over else cbw_c
         chs = [ch_t] * nc if over else cbh_c
@@ -1589,8 +1610,8 @@ def encode_j2k(
                 chs,
                 depth,
                 prog_t,
-                x0,
-                y0,
+                ax,
+                ay,
                 layers_t,
                 eps_tabs if eps_tabs is not None else lossy_eps,
                 roi=tile_roi,
@@ -1795,8 +1816,8 @@ def _encode_tile(
     cbh_c: "list | int",
     depth: int,
     prog: int,
-    x0: int = 0,
-    y0: int = 0,
+    x0=0,
+    y0=0,
     nlayers: int = 1,
     lossy_eps: list | None = None,
     roi: tuple[int, int, int, int] | None = None,
@@ -1817,6 +1838,8 @@ def _encode_tile(
     lossy = lossy_eps is not None
     h_c = [h] * nc if isinstance(h, int) else list(h)
     w_c = [w] * nc if isinstance(w, int) else list(w)
+    x0_c = [x0] * nc if isinstance(x0, int) else list(x0)
+    y0_c = [y0] * nc if isinstance(y0, int) else list(y0)
     if isinstance(levels_c, int):
         levels_c = [levels_c] * nc
     if isinstance(cbw_c, int):
@@ -1830,7 +1853,7 @@ def _encode_tile(
         )
         bands = _build_bands(
             h_c[ci], w_c[ci], levels_c[ci], cbw_c[ci], cbh_c[ci],
-            depth, x0, y0,
+            depth, x0_c[ci], y0_c[ci],
         )
         if lossy:
             # lossy_eps: one shared table, or one per component (the
@@ -2190,10 +2213,6 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         depths.append((ssiz & 0x7F) + 1)
         signs.append(bool(ssiz & 0x80))
     subsampled = any(r != 1 for r in xr_c + yr_c)
-    if subsampled and ntiles > 1:
-        raise J2kUnsupported(
-            "component subsampling with a multi-tile grid"
-        )
     if max(depths) > 16:
         raise J2kUnsupported(">16-bit components are not supported")
 
@@ -2452,11 +2471,24 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             lv_t, cw_t, ch_t, tr_t, prog_t, nlayers_t, sop_t, eph_t,
             g_t, e_t, m_t,
         )
-        x0, y0, _, _ = rects[isot]
         if max(lv_t) > max(levels_c):
             _check_tile_geometry(
                 xsiz, ysiz, xt, yt, max(lv_t), J2kUnsupported
             )
+        if subsampled and ntiles > 1:
+            # tiling a subsampled component: every tile origin must
+            # land exactly on the component grid (xt divisible by the
+            # rate) and stay 2^levels-aligned THERE, else the canvas-
+            # coordinate subband math desyncs per tile
+            for ci in range(nc):
+                sx = xr_c[ci] << lv_t[ci]
+                sy = yr_c[ci] << lv_t[ci]
+                if (xt < xsiz and xt % sx) or (yt < ysiz and yt % sy):
+                    raise J2kUnsupported(
+                        f"tile grid {xt}x{yt} is not aligned to "
+                        f"component {ci}'s rate x 2^levels "
+                        f"({sx}x{sy})"
+                    )
 
     # plane dtype: integer only when EVERY tile codes that component
     # reversibly (a single 9/7 tile forces the float accumulator)
@@ -2504,8 +2536,8 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             prog_t,
             sop_t,
             eph_t,
-            x0,
-            y0,
+            [cx0 for cx0, _, _, _ in crects],
+            [cy0 for _, cy0, _, _ in crects],
             nlayers_t,
             m_t,
             tr_t,
@@ -2641,8 +2673,8 @@ def _decode_tile_planes(
     prog: int = 0,
     use_sop: bool = False,
     use_eph: bool = False,
-    x0: int = 0,
-    y0: int = 0,
+    x0=0,
+    y0=0,
     nlayers: int = 1,
     mus_c: list | None = None,
     transform_c: "list | int" = 1,
@@ -2663,6 +2695,8 @@ def _decode_tile_planes(
     body bytes remain in ``tile``."""
     th_c = [th] * nc if isinstance(th, int) else list(th)
     tw_c = [tw] * nc if isinstance(tw, int) else list(tw)
+    x0_c = [x0] * nc if isinstance(x0, int) else list(x0)
+    y0_c = [y0] * nc if isinstance(y0, int) else list(y0)
     if isinstance(levels_c, int):
         levels_c = [levels_c] * nc
     if isinstance(cbw_c, int):
@@ -2679,7 +2713,7 @@ def _decode_tile_planes(
         rgn = rgn_c[ci] if rgn_c is not None else 0
         bands = _build_bands(
             th_c[ci], tw_c[ci], levels_c[ci], cbw_c[ci], cbh_c[ci],
-            depths[ci], x0, y0,
+            depths[ci], x0_c[ci], y0_c[ci],
         )
         k = 0
         for blist in bands:

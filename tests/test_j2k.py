@@ -926,3 +926,29 @@ def test_round10_feature_streams_fuzz_named_errors_only():
                 decode_j2k(bytes(b))
             except J2kParseError:
                 pass  # the one named contract
+
+
+def test_subsampling_with_aligned_multi_tile_grid():
+    """Tiled + subsampled: every tile origin lands on the component
+    grid 2^levels-aligned, per-component band anchors included —
+    partial edge tiles and ceil-divided component rects round-trip."""
+    rng = np.random.default_rng(137)
+    img = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    blob = encode_j2k(img, levels=2, mct=False, tile=(32, 32),
+                      subsampling={1: (2, 2), 2: (2, 2)})
+    out = decode_j2k(blob)
+    assert np.array_equal(out[:, :, 0], img[:, :, 0])
+    for ci in (1, 2):
+        d = np.repeat(np.repeat(img[::2, ::2, ci], 2, 0), 2, 1)
+        assert np.array_equal(out[:, :, ci], d)
+    img = rng.integers(0, 65536, (48, 80, 2)).astype(np.uint16)
+    blob = encode_j2k(img, levels=1, mct=False, tile=(32, 32),
+                      subsampling={1: (2, 2)})
+    out = decode_j2k(blob)
+    assert np.array_equal(out[:, :, 0], img[:, :, 0])
+    d = np.repeat(np.repeat(img[::2, ::2, 1], 2, 0), 2, 1)[:48, :80]
+    assert np.array_equal(out[:, :, 1], d)
+    # a MISALIGNED grid (xt not divisible by rate*2^levels) gates
+    with pytest.raises(J2kParseError, match="aligned"):
+        encode_j2k(img, levels=2, mct=False, tile=(32, 32),
+                   subsampling={1: (3, 2)})
