@@ -48,9 +48,12 @@ Maxshift
 region-of-interest (RGN, T.800 Annex H) decodes — ROI-upshifted
 coefficients classify by magnitude and scale back after Tier-1 —
 within the 31-coded-bit-plane integer domain. Honest gates (raised
-as :class:`J2kUnsupported`): custom precincts, code-block style
-flags (bypass/reset/termall/vsc/segsym), explicit-style RGN, and
-tile grids misaligned to a subsampled component's rate x 2^levels.
+as :class:`J2kUnsupported`): custom precincts, the remaining
+code-block style flags (bypass/reset/vsc/segsym/predictable
+termination — termination-on-each-pass DECODES: per-pass codeword
+segments with shared context state, T.800 D.4.1/B.10.7.5),
+explicit-style RGN, and tile grids misaligned to a subsampled
+component's rate x 2^levels.
 Per-tile COD/QCD/COC/QCC overrides decode with the T.800 A.6
 precedence (tile COC > tile COD > main COC > main COD; tile QCC >
 tile QCD > main QCC > main QCD), restricted to a tile's first part.
@@ -633,19 +636,37 @@ def _stripe_scan(w: int, h: int):
 
 
 def t1_decode_block(
-    data: bytes, w: int, h: int, band: str, nplanes: int, npasses: int
+    data, w: int, h: int, band: str, nplanes: int, npasses: int,
+    termall: bool = False,
 ) -> np.ndarray:
-    """Decode one code-block codeword segment -> signed int32
-    (h, w) coefficients. ``nplanes`` = magnitude bit-planes coded
-    (Mb - missing), ``npasses`` from the packet header."""
+    """Decode one code-block -> signed int32 (h, w) coefficients.
+    ``nplanes`` = magnitude bit-planes coded (Mb - missing),
+    ``npasses`` from the packet header. ``data`` is one codeword
+    segment, or — with ``termall`` (code-block style 0x04,
+    termination on each coding pass) — a LIST of per-pass segments:
+    each pass re-primes the MQ interval registers (INITDEC) while
+    the context states carry across segments (T.800 D.4.1)."""
     st = _T1State(w, h)
-    mq = MQDecoder(data)
+    if termall:
+        if len(data) != npasses:
+            raise J2kParseError(
+                f"termall block has {len(data)} segments for "
+                f"{npasses} passes"
+            )
+        mq = None
+    else:
+        mq = MQDecoder(data)
     mag = [0] * (w * h)
     bp = nplanes - 1
     pass_kind = 2  # the first pass is always a cleanup
-    for _ in range(npasses):
+    for pi in range(npasses):
         if bp < 0:
             raise J2kParseError("more coding passes than bit-planes")
+        if termall:
+            prev_ctx = mq.st if mq is not None else None
+            mq = MQDecoder(data[pi])
+            if prev_ctx is not None:
+                mq.st = prev_ctx
         if pass_kind == 0:
             _spp(st, mq, mag, bp, band, decode=True)
         elif pass_kind == 1:
@@ -666,15 +687,17 @@ def t1_decode_block(
 
 
 def t1_encode_block(
-    coeffs: np.ndarray, band: str
-) -> tuple[bytes, int, int]:
+    coeffs: np.ndarray, band: str, termall: bool = False
+) -> tuple:
     """Encode one code-block of signed ints -> (codeword bytes,
     n_planes_used, n_passes). All-zero blocks return (b"", 0, 0) —
-    the caller excludes them via the inclusion tag tree."""
+    the caller excludes them via the inclusion tag tree. With
+    ``termall`` the first element is a LIST of per-pass codeword
+    segments (each MQ-flushed; context states carry across)."""
     h, w = coeffs.shape
     amax = int(np.abs(coeffs).max(initial=0))
     if amax == 0:
-        return b"", 0, 0
+        return ([] if termall else b""), 0, 0
     nplanes = amax.bit_length()
     st = _T1State(w, h)
     mq = MQEncoder()
@@ -688,6 +711,7 @@ def t1_encode_block(
     npasses = 0
     bp = nplanes - 1
     pass_kind = 2
+    segs: list = []
     while bp >= 0:
         if pass_kind == 0:
             _spp(st, mq, mag, bp, band, decode=False)
@@ -699,6 +723,14 @@ def t1_encode_block(
             st.visited = bytearray(w * h)
         npasses += 1
         pass_kind = (pass_kind + 1) % 3
+        if termall:
+            segs.append(mq.flush())
+            if bp >= 0:
+                nxt = MQEncoder()
+                nxt.idx, nxt.mps = mq.idx, mq.mps  # contexts carry
+                mq = nxt
+    if termall:
+        return segs, nplanes, npasses
     return mq.flush(), nplanes, npasses
 
 
@@ -1374,6 +1406,7 @@ def encode_j2k(
     subsampling: "dict[int, tuple] | None" = None,
     poc: list | None = None,
     tile_overrides: "dict[int, dict] | None" = None,
+    termall: bool = False,
 ) -> bytes:
     """(h, w[, nc]) uint8/uint16 -> lossless (5/3) codestream.
     ``tile=(xt, yt)`` splits the image into an XTsiz x YTsiz grid of
@@ -1463,6 +1496,10 @@ def encode_j2k(
             ):
                 raise J2kParseError(f"invalid COC code-block size {over}")
             cbw_c[ci], cbh_c[ci] = ow, oh
+    if termall and (coc or tile_overrides):
+        raise J2kParseError(
+            "termall composes with uniform code-block style only"
+        )
     if tile_overrides:
         if lossy or subsampling or poc or coc or packed_headers:
             raise J2kParseError(
@@ -1617,6 +1654,7 @@ def encode_j2k(
                 roi=tile_roi,
                 roi_shift=roi_shift,
                 poc=poc,
+                termall=termall,
             )
         )
 
@@ -1635,7 +1673,7 @@ def encode_j2k(
         levels,
         (cbw.bit_length() - 1) - 2,
         (cbh.bit_length() - 1) - 2,
-        0,  # code-block style: none of the Part-1 mode flags
+        0x04 if termall else 0,  # code-block style (0x04 = termall)
         0 if lossy else 1,  # transformation: 9/7 or 5/3
     )
     cod = struct.pack(">HBBHB", 12, 0, prog, layers, 1 if mct else 0) + spcod
@@ -1823,6 +1861,7 @@ def _encode_tile(
     roi: tuple[int, int, int, int] | None = None,
     roi_shift: int = 0,
     poc: list | None = None,
+    termall: bool = False,
 ) -> list[bytes]:
     """Tier-1 + Tier-2 encode one tile's (already level-shifted /
     MCT'd) component planes into its packet stream, returned one
@@ -1943,7 +1982,7 @@ def _encode_tile(
                                 )
                             blk = np.where(mask, blk << roi_shift, blk)
                         data, nplanes, npasses = t1_encode_block(
-                            blk, band.btype
+                            blk, band.btype, termall=termall
                         )
                         if nplanes > band.mb:
                             raise J2kParseError(
@@ -2009,16 +2048,35 @@ def _encode_tile(
                     p = band.msb.leaf_value(bx, by)
                     band.msb.encode(bx, by, p + 1, wr.put)
                     _put_npasses(wr, npasses)
-                    k = npasses.bit_length() - 1
                     lb = band.lblock[by * band.ncx + bx]
-                    need = max(0, len(data).bit_length() - (lb + k))
-                    for _ in range(need):
-                        wr.put(1)
-                    wr.put(0)
-                    lb += need
-                    band.lblock[by * band.ncx + bx] = lb
-                    wr.put_bits(len(data), lb + k)
-                    body += data
+                    if termall:
+                        # one codeword segment per pass: one shared
+                        # lblock bump sized for the LONGEST segment,
+                        # then each length in lblock bits
+                        longest = max(
+                            (len(sg) for sg in data), default=0
+                        )
+                        need = max(0, longest.bit_length() - lb)
+                        for _ in range(need):
+                            wr.put(1)
+                        wr.put(0)
+                        lb += need
+                        band.lblock[by * band.ncx + bx] = lb
+                        for sg in data:
+                            wr.put_bits(len(sg), lb)
+                            body += sg
+                    else:
+                        k = npasses.bit_length() - 1
+                        need = max(
+                            0, len(data).bit_length() - (lb + k)
+                        )
+                        for _ in range(need):
+                            wr.put(1)
+                        wr.put(0)
+                        lb += need
+                        band.lblock[by * band.ncx + bx] = lb
+                        wr.put_bits(len(data), lb + k)
+                        body += data
         packets.append((wr.flush(), bytes(body)))
 
     return packets
@@ -2099,7 +2157,10 @@ def _parse_cod(cod: bytes, what: str):
     levels, xcb, ycb, cbstyle, transform = cod[5:10]
     if nlayers < 1:
         raise J2kParseError(f"zero quality layers ({what})")
-    if cbstyle != 0:
+    if cbstyle & ~0x04:
+        # 0x04 = termination on each coding pass (supported); the
+        # other mode flags (bypass/reset/vsc/segsym/predictable
+        # termination) stay gated
         raise J2kUnsupported(f"code-block style 0x{cbstyle:02x} ({what})")
     if transform not in (0, 1):
         raise J2kParseError(f"unknown transformation {transform} ({what})")
@@ -2108,11 +2169,12 @@ def _parse_cod(cod: bytes, what: str):
     cbw, cbh = 1 << (xcb + 2), 1 << (ycb + 2)
     if cbw > 64 and cbh > 64 or cbw * cbh > 4096:
         raise J2kParseError(f"illegal code-block size {cbw}x{cbh} ({what})")
-    return scod, prog, nlayers, mct, levels, cbw, cbh, transform
+    return scod, prog, nlayers, mct, levels, cbw, cbh, transform, cbstyle
 
 
 def _apply_coc(seg: bytes, nc: int, levels_c: list, cbw_c: list,
-               cbh_c: list, transform_c: list, what: str) -> int:
+               cbh_c: list, transform_c: list, cbsty_c: list,
+               what: str) -> int:
     """Apply one COC segment to the per-component arrays in place;
     returns the component it named. Shared by main and tile COCs."""
     if nc < 257:
@@ -2129,7 +2191,7 @@ def _apply_coc(seg: bytes, nc: int, levels_c: list, cbw_c: list,
     if scoc & 0x01:
         raise J2kUnsupported(f"custom precinct sizes ({what})")
     lv, xcb2, ycb2, cbsty2, tr2 = body[1:6]
-    if cbsty2 != 0:
+    if cbsty2 & ~0x04:
         raise J2kUnsupported(f"code-block style 0x{cbsty2:02x} ({what})")
     if tr2 not in (0, 1):
         raise J2kParseError(f"unknown transformation {tr2} ({what})")
@@ -2139,6 +2201,7 @@ def _apply_coc(seg: bytes, nc: int, levels_c: list, cbw_c: list,
     levels_c[ccoc] = lv
     cbw_c[ccoc], cbh_c[ccoc] = w2, h2
     transform_c[ccoc] = tr2
+    cbsty_c[ccoc] = cbsty2
     return ccoc
 
 
@@ -2217,7 +2280,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         raise J2kUnsupported(">16-bit components are not supported")
 
     (
-        scod, prog, nlayers, mct, levels, cbw, cbh, transform,
+        scod, prog, nlayers, mct, levels, cbw, cbh, transform, cbstyle,
     ) = _parse_cod(cod, "COD")
     use_sop = bool(scod & 0x02)
     use_eph = bool(scod & 0x04)
@@ -2229,8 +2292,11 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     cbw_c = [cbw] * nc
     cbh_c = [cbh] * nc
     transform_c = [transform] * nc
+    cbsty_c = [cbstyle] * nc
     for seg in coc_segs:
-        _apply_coc(seg, nc, levels_c, cbw_c, cbh_c, transform_c, "COC")
+        _apply_coc(
+            seg, nc, levels_c, cbw_c, cbh_c, transform_c, cbsty_c, "COC"
+        )
     if mct == 1 and len(set(transform_c[:3])) > 1:
         raise J2kUnsupported(
             "MCT with per-component transform overrides"
@@ -2429,6 +2495,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         if t_cod is not None:
             (
                 scod_t, prog_t, nlayers_t, mct_t, lv0, cw0, ch0, tr0,
+                cbs0,
             ) = _parse_cod(t_cod, "tile COD")
             if mct_t != mct:
                 raise J2kUnsupported("per-tile MCT override")
@@ -2436,14 +2503,18 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             cw_t = [cw0] * nc
             ch_t = [ch0] * nc
             tr_t = [tr0] * nc
+            cbs_t = [cbs0] * nc
             sop_t, eph_t = bool(scod_t & 0x02), bool(scod_t & 0x04)
         else:
             prog_t, nlayers_t = prog, nlayers
             lv_t, cw_t, ch_t = list(levels_c), list(cbw_c), list(cbh_c)
             tr_t = list(transform_c)
+            cbs_t = list(cbsty_c)
             sop_t, eph_t = use_sop, use_eph
         for seg in tile_coc.get(isot, []):
-            _apply_coc(seg, nc, lv_t, cw_t, ch_t, tr_t, "tile COC")
+            _apply_coc(
+                seg, nc, lv_t, cw_t, ch_t, tr_t, cbs_t, "tile COC"
+            )
         if mct == 1 and tr_t[:3] != transform_c[:3]:
             raise J2kUnsupported(
                 "per-tile transform override under MCT"
@@ -2469,7 +2540,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             )
         tile_params[isot] = (
             lv_t, cw_t, ch_t, tr_t, prog_t, nlayers_t, sop_t, eph_t,
-            g_t, e_t, m_t,
+            g_t, e_t, m_t, cbs_t,
         )
         if max(lv_t) > max(levels_c):
             _check_tile_geometry(
@@ -2513,7 +2584,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         x0, y0, x1, y1 = rects[isot]
         (
             lv_t, cw_t, ch_t, tr_t, prog_t, nlayers_t, sop_t, eph_t,
-            g_t, e_t, m_t,
+            g_t, e_t, m_t, cbs_t,
         ) = tile_params[isot]
         crects = [
             (
@@ -2544,6 +2615,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             packed=packed_by_tile.get(isot),
             rgn_c=rgn_c,
             poc=poc_entries or None,
+            cbsty_c=cbs_t,
         )
         for ci in range(nc):
             cx0, cy0, cx1, cy1 = crects[ci]
@@ -2681,6 +2753,7 @@ def _decode_tile_planes(
     packed: bytes | None = None,
     rgn_c: list | None = None,
     poc: list | None = None,
+    cbsty_c: list | None = None,
 ) -> list:
     """Tier-2 + Tier-1 + inverse DWT for one tile's byte stream ->
     per-component (th, tw) planes (int64 reversible, float64
@@ -2711,6 +2784,7 @@ def _decode_tile_planes(
         exps = exps_c[ci]
         mus = mus_c[ci] if mus_c is not None else None
         rgn = rgn_c[ci] if rgn_c is not None else 0
+        termall = bool(cbsty_c[ci] & 0x04) if cbsty_c else False
         bands = _build_bands(
             th_c[ci], tw_c[ci], levels_c[ci], cbw_c[ci], cbh_c[ci],
             depths[ci], x0_c[ci], y0_c[ci],
@@ -2728,6 +2802,7 @@ def _decode_tile_planes(
                         "at 31"
                     )
                 band.rgn = rgn
+                band.termall = termall
                 if transform_c[ci] == 0:
                     rb = depths[ci] + _BAND_GAIN[band.btype]
                     band.step = 2.0 ** (rb - exps[k]) * (
@@ -2787,8 +2862,19 @@ def _decode_tile_planes(
                         npasses = _get_npasses(rd)
                         while rd.bit():
                             band.lblock[i] += 1
-                        nbits = band.lblock[i] + npasses.bit_length() - 1
-                        seg_len = rd.bits(nbits)
+                        if band.termall:
+                            # one codeword segment PER PASS, each
+                            # length in lblock bits (T.800 B.10.7.5)
+                            seg_len = [
+                                rd.bits(band.lblock[i])
+                                for _ in range(npasses)
+                            ]
+                        else:
+                            nbits = (
+                                band.lblock[i]
+                                + npasses.bit_length() - 1
+                            )
+                            seg_len = rd.bits(nbits)
                         jobs.append((st, npasses, seg_len))
         rd.align()
         if packed is not None:
@@ -2804,12 +2890,24 @@ def _decode_tile_planes(
                     raise J2kParseError("missing EPH after packet header")
                 tpos += 2
         for st, npasses, seg_len in jobs:
-            seg = tile[tpos : tpos + seg_len]
-            if len(seg) != seg_len:
-                raise J2kParseError("code-block segment overruns tile")
-            tpos += seg_len
+            if isinstance(seg_len, list):  # termall: one seg per pass
+                for L in seg_len:
+                    seg = tile[tpos : tpos + L]
+                    if len(seg) != L:
+                        raise J2kParseError(
+                            "code-block segment overruns tile"
+                        )
+                    tpos += L
+                    st[2].append(seg)
+            else:
+                seg = tile[tpos : tpos + seg_len]
+                if len(seg) != seg_len:
+                    raise J2kParseError(
+                        "code-block segment overruns tile"
+                    )
+                tpos += seg_len
+                st[2].append(seg)
             st[1] += npasses
-            st[2].append(seg)
 
     for bands in comps:
         for blist in bands:
@@ -2822,9 +2920,11 @@ def _decode_tile_planes(
                         raise J2kParseError(
                             f"missing bit-planes {p} >= Mb {band.mb}"
                         )
+                    termall = getattr(band, "termall", False)
                     blk = t1_decode_block(
-                        b"".join(chunks), bw, bh, band.btype,
-                        nplanes, npasses,
+                        chunks if termall else b"".join(chunks),
+                        bw, bh, band.btype, nplanes, npasses,
+                        termall=termall,
                     )
                     rgn = getattr(band, "rgn", 0)
                     if rgn:

@@ -952,3 +952,65 @@ def test_subsampling_with_aligned_multi_tile_grid():
     with pytest.raises(J2kParseError, match="aligned"):
         encode_j2k(img, levels=2, mct=False, tile=(32, 32),
                    subsampling={1: (3, 2)})
+
+
+def test_termall_per_pass_segments_round_trip():
+    """Code-block style 0x04 (termination on each coding pass): every
+    pass is its own MQ-flushed codeword segment, lengths signaled one
+    per pass in the packet header, context states carried across
+    segments — composing with tiles, layers, progressions, lossy 9/7,
+    and subsampling."""
+    rng = np.random.default_rng(139)
+    img = rng.integers(0, 65536, (40, 56)).astype(np.uint16)
+    blob = encode_j2k(img, levels=2, termall=True)
+    # the cbstyle byte is really on the wire
+    c = blob.find(b"\xff\x52")
+    assert blob[c + 4 + 8] == 0x04
+    assert np.array_equal(decode_j2k(blob)[:, :, 0], img)
+    rgb = rng.integers(0, 256, (64, 32, 3), dtype=np.uint8)
+    for prog in (0, 2, 4):
+        blob = encode_j2k(rgb, levels=2, tile=(32, 32), layers=3,
+                          prog=prog, termall=True)
+        assert np.array_equal(decode_j2k(blob), rgb), prog
+    blob = encode_j2k(img, levels=2, lossy=True, termall=True)
+    d = np.abs(decode_j2k(blob)[:, :, 0].astype(np.int64) - img)
+    assert d.max() <= 2
+    st = rng.integers(0, 256, (32, 32, 2), dtype=np.uint8)
+    blob = encode_j2k(st, levels=1, mct=False,
+                      subsampling={1: (2, 2)}, termall=True)
+    assert np.array_equal(decode_j2k(blob)[:, :, 0], st[:, :, 0])
+
+
+def test_termall_other_style_flags_stay_gated():
+    rng = np.random.default_rng(149)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    enc = encode_j2k(img, levels=1, termall=True)
+    c = enc.find(b"\xff\x52")
+    for flag in (0x01, 0x02, 0x08, 0x10, 0x20):
+        b = bytearray(enc)
+        b[c + 4 + 8] = 0x04 | flag
+        with pytest.raises(J2kUnsupported, match="code-block style"):
+            decode_j2k(bytes(b))
+
+
+def test_termall_corruption_raises_named_errors_only():
+    rng = np.random.default_rng(151)
+    base = encode_j2k(
+        rng.integers(0, 65536, (24, 24)).astype(np.uint16),
+        levels=2, termall=True,
+    )
+    for t in range(300):
+        b = bytearray(base)
+        mode = t % 3
+        if mode == 0:
+            b = b[: int(rng.integers(1, len(b)))]
+        elif mode == 1:
+            i = int(rng.integers(0, len(b)))
+            b[i] ^= 1 << int(rng.integers(0, 8))
+        else:
+            i = int(rng.integers(0, len(b)))
+            b[i : i + 4] = bytes(rng.integers(0, 256, 4).tolist())
+        try:
+            decode_j2k(bytes(b))
+        except J2kParseError:
+            pass
