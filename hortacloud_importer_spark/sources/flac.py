@@ -256,7 +256,10 @@ def _decode_residual(br: _BitReader, bs: int, order: int) -> np.ndarray:
             f"partition order {po} does not divide block size {bs}"
         )
     psize = bs >> po
-    if psize < order:
+    # RFC 9639 s9.2.7: (block size >> partition order) must be strictly
+    # greater than the predictor order when partitioned — an empty
+    # first partition is nonconforming, not merely zero samples
+    if psize < order or (po > 0 and psize == order):
         raise FlacParseError(
             f"first partition would hold {psize - order} samples"
         )

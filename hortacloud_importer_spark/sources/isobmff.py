@@ -306,6 +306,19 @@ def isobmff_frame_index(data: bytes) -> list:
     next_dts: dict = {}
     next_idx: dict = {}
 
+    # mvex/trex: fragment-wide defaults (ISO 14496-12 8.8.3) — the
+    # fallback when a tfhd carries no per-fragment default
+    trex_defaults: dict = {}
+    for path, a, b in boxes:
+        if path[-1] == b"trex":
+            if b - a < 24:
+                raise IsobmffParseError("trex box truncated")
+            trex_defaults[_u(data, a + 4, 4)] = (
+                _u(data, a + 12, 4),  # default_sample_duration
+                _u(data, a + 16, 4),  # default_sample_size
+                _u(data, a + 20, 4),  # default_sample_flags
+            )
+
     traks = [(a, b) for path, a, b in boxes if path[-1] == b"trak"]
     for ta, tb in traks:
         sub = [(p, a, b) for p, a, b in boxes if ta <= a and b <= tb]
@@ -480,12 +493,18 @@ def isobmff_frame_index(data: bytes) -> list:
                 p += 8
             if flags & 0x000002:
                 p += 4
-            def_dur = def_size = None
+            tdef = trex_defaults.get(track_id)
+            def_dur, def_size, def_flags = tdef if tdef else (
+                None, None, None
+            )
             if flags & 0x000008:
                 def_dur = _u(data, p, 4)
                 p += 4
             if flags & 0x000010:
                 def_size = _u(data, p, 4)
+                p += 4
+            if flags & 0x000020:  # default-sample-flags-present
+                def_flags = _u(data, p, 4)
                 p += 4
             timescale = timescales.get(track_id)
             if timescale is None:
@@ -500,6 +519,8 @@ def isobmff_frame_index(data: bytes) -> list:
                 tver = _u(data, tfdt[0], 1)
                 dts = _u(data, tfdt[0] + 4, 8 if tver else 4)
             si = next_idx.get(track_id, 0)
+            off = base  # truns without data-offset-present continue
+            # after the prior trun's samples (8.8.8.2), not at base
             for p2, a2, b2 in fsub:
                 if p2[-1] != b"trun":
                     continue
@@ -508,7 +529,6 @@ def isobmff_frame_index(data: bytes) -> list:
                 if cnt > _MAX_INDEX_SAMPLES:
                     raise IsobmffParseError("trun count exceeds the cap")
                 q = a2 + 8
-                off = base
                 if tflags & 0x000001:
                     doff = _u(data, q, 4)
                     if doff >> 31:
@@ -536,6 +556,8 @@ def isobmff_frame_index(data: bytes) -> list:
                         q += 4  # composition offset: not indexed
                     if k == 0 and first_flags is not None:
                         sflags = first_flags
+                    elif sflags is None:
+                        sflags = def_flags  # tfhd, else trex default
                     if dur is None or sz is None:
                         raise IsobmffParseError(
                             "trun sample lacks duration/size and no "

@@ -2487,8 +2487,12 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     # resolve each tile's coding/quantization parameters with the
     # T.800 precedence (tile COC > tile COD > main COC > main COD;
     # tile QCC > tile QCD > main QCC > main QCD)
-    if poc_entries and tile_cod:
-        raise J2kUnsupported("POC combined with per-tile COD overrides")
+    # a tile COC can change decomposition levels too, desyncing the
+    # main-header POC coverage check computed from levels_c — gate both
+    if poc_entries and (tile_cod or tile_coc):
+        raise J2kUnsupported(
+            "POC combined with per-tile COD/COC overrides"
+        )
     tile_params: dict[int, tuple] = {}
     for isot in parts:
         t_cod = tile_cod.get(isot)

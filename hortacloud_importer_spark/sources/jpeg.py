@@ -1541,10 +1541,15 @@ def _reconstruct_lossless(
 ) -> np.ndarray:
     """Differences -> samples for one component plane (T.81 H.1.2):
     predictor ``sel`` 1-7, modulo-2^16 arithmetic, first-line /
-    first-column / restart special cases."""
+    first-column / restart special cases. Per H.1.1 a restart is
+    treated like a scan start: the boundary sample takes the default
+    prediction and the REMAINDER OF THAT LINE uses the one-dimensional
+    predictor Ra (selection value 1), regardless of the scan's
+    selected predictor; subsequent lines resume normal prediction."""
     h, w = d.shape
     s = np.zeros((h, w), np.int64)
     k = 0
+    ra_line = -1  # line forced to Ra by a scan/restart boundary
     for y in range(h):
         row = s[y]
         drow = d[y]
@@ -1552,7 +1557,8 @@ def _reconstruct_lossless(
         for x in range(w):
             if k in restarts:
                 p = default_pred
-            elif y == 0:
+                ra_line = y
+            elif y == ra_line:
                 p = row[x - 1]
             elif x == 0:
                 p = prev[0]
@@ -1749,6 +1755,7 @@ def encode_jpeg_lossless(
     # per-component predictions mirror _reconstruct_lossless exactly
     bw = _BW()
     rst = 0
+    ra_line = -1  # line forced to Ra by a scan/restart boundary
     for k in range(n_mcu):
         if ri and k and k % ri == 0:
             bw.flush()
@@ -1757,12 +1764,14 @@ def encode_jpeg_lossless(
             rst += 1
             bw = _BW()
         y, x = divmod(k, w)
+        if k in restarts:
+            ra_line = y
         for ci in range(nc):
             plane = coded[:, :, ci]
             if k in restarts:
                 p = default_pred
-            elif y == 0:
-                p = plane[0, x - 1]
+            elif y == ra_line:
+                p = plane[y, x - 1]
             elif x == 0:
                 p = plane[y - 1, 0]
             else:

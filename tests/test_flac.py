@@ -136,6 +136,42 @@ def test_golden_fixed_order1_rice():
     assert out[:, 0].tolist() == [3, 4, 6, 9]
 
 
+def test_empty_first_partition_is_rejected():
+    """ADVICE r10: RFC 9639 requires (block size >> partition order)
+    STRICTLY greater than the predictor order — a partitioned residual
+    whose first partition holds zero samples is nonconforming and must
+    raise, not decode. FIXED order 2, block 4, partition order 1:
+    psize == order == 2."""
+    hdr = _Bits()
+    hdr.put(0x3FFE, 14)
+    hdr.put(0, 2)
+    hdr.put(0b0110, 4)  # 8-bit block size field
+    hdr.put(0b0100, 4)  # 8 kHz
+    hdr.put(0, 4)
+    hdr.put(0b001, 3)  # 8 bps
+    hdr.put(0, 1)
+    hdr.put(0, 8)
+    hdr.put(3, 8)  # block size 4
+    hbytes = hdr.bytes()
+    body = _Bits()
+    body.put(0, 1)
+    body.put(0b001010, 6)  # FIXED order 2
+    body.put(0, 1)
+    body.put(3, 8)  # warm-up
+    body.put(4, 8)  # warm-up
+    body.put(0b00, 2)  # residual method 0
+    body.put(1, 4)  # partition order 1 -> psize 2 == order: invalid
+    body.put(0, 4)  # k = 0 (first partition, zero samples)
+    body.put(0, 4)  # k = 0 (second partition)
+    for folded in (2, 4):
+        body.put(1, folded + 1)
+    frame = hbytes + bytes([_crc8_ref(hbytes)]) + body.bytes()
+    frame += _crc16_ref(frame).to_bytes(2, "big")
+    blob = _streaminfo(8000, 1, 8, 4, block=4) + frame
+    with pytest.raises(FlacParseError, match="partition"):
+        decode_flac(blob)
+
+
 def test_crc_tables_match_bitwise_reference():
     from hortacloud_importer_spark.sources.flac import _crc8, _crc16
 

@@ -385,6 +385,99 @@ def test_frame_index_co64_offsets():
     ]
 
 
+def _frag_moov(track_id=7, trex=None):
+    """Minimal moov for fragment tests: one trak (no sample table) and
+    an optional mvex/trex carrying fragment-wide defaults."""
+    trak = box(
+        b"trak",
+        full(
+            b"tkhd",
+            struct.pack(">III", 0, 0, track_id) + b"\x00" * 60
+            + struct.pack(">II", 0, 0),
+        )
+        + box(
+            b"mdia",
+            full(b"mdhd", struct.pack(">IIII", 0, 0, 600, 0) + b"\x00" * 4)
+            + box(b"minf", box(b"stbl", b"")),
+        ),
+    )
+    body = trak
+    if trex is not None:
+        dur, size, flags = trex
+        body += box(
+            b"mvex",
+            full(
+                b"trex",
+                struct.pack(">IIIII", track_id, 1, dur, size, flags),
+            ),
+        )
+    return box(b"moov", body)
+
+
+def test_frame_index_dash_default_sample_flags():
+    """ADVICE r10: the DASH/fMP4 pattern — tfhd default-sample-flags
+    marks every sample non-sync, trun first-sample-flags marks the
+    keyframe. Only sample 0 may report is_sync."""
+    from hortacloud_importer_spark.sources.isobmff import (
+        isobmff_frame_index,
+    )
+
+    def u32s(*vals):
+        return b"".join(struct.pack(">I", v) for v in vals)
+
+    moov = _frag_moov()
+    # tfhd: base-is-moof + default dur + size + FLAGS (0x020038)
+    tfhd = full(
+        b"tfhd", u32s(7, 25, 9, 0x00010000), flags=0x020038
+    )
+    # trun: data-offset + first-sample-flags, nothing per-sample
+    def moof(doff):
+        trun = full(b"trun", u32s(3, doff, 0x02000000), flags=0x000005)
+        return box(b"moof", box(b"traf", tfhd + trun))
+
+    ft = ftyp(b"isom", b"mp42")
+    m = moof(len(moof(0)) + 8)
+    blob = ft + moov + m + box(b"mdat", bytes(27))
+    idx = isobmff_frame_index(blob)
+    assert [(r[1], r[3], r[5], r[7]) for r in idx] == [
+        (0, 9, 25, True), (1, 9, 25, False), (2, 9, 25, False),
+    ]
+
+
+def test_frame_index_trex_defaults_and_trun_continuation():
+    """trex supplies duration/size/flags when tfhd has none, and a
+    second trun WITHOUT data-offset-present continues after the prior
+    trun's samples instead of restarting at base."""
+    from hortacloud_importer_spark.sources.isobmff import (
+        isobmff_frame_index,
+    )
+
+    def u32s(*vals):
+        return b"".join(struct.pack(">I", v) for v in vals)
+
+    moov = _frag_moov(trex=(40, 6, 0x00010000))
+    tfhd = full(b"tfhd", u32s(7), flags=0x020000)  # base-is-moof only
+
+    def moof(doff):
+        trun1 = full(b"trun", u32s(2, doff), flags=0x000001)
+        trun2 = full(b"trun", u32s(2), flags=0x000000)  # no data-offset
+        return box(b"moof", box(b"traf", tfhd + trun1 + trun2))
+
+    ft = ftyp(b"isom", b"mp42")
+    m = moof(len(moof(0)) + 8)
+    blob = ft + moov + m + box(b"mdat", bytes(24))
+    idx = isobmff_frame_index(blob)
+    mdat0 = len(ft + moov + m) + 8
+    # trex flags mark non-sync; durations/sizes come from trex; the
+    # second trun's offsets continue where the first ended
+    assert [(r[1], r[2], r[3], r[5], r[7]) for r in idx] == [
+        (0, mdat0, 6, 40, False),
+        (1, mdat0 + 6, 6, 40, False),
+        (2, mdat0 + 12, 6, 40, False),
+        (3, mdat0 + 18, 6, 40, False),
+    ]
+
+
 def test_frame_index_corruption_raises_named_error_only():
     from hortacloud_importer_spark.queries.multimodal import (
         _frame_index_fixtures,

@@ -838,6 +838,28 @@ def test_poc_gates_and_coverage_errors():
         decode_j2k(bytes(b))
 
 
+def test_poc_with_tile_coc_gates_by_name():
+    """ADVICE r10: a tile-header COC can change decomposition levels,
+    desyncing the main-header POC coverage check — POC + per-tile COC
+    must gate like POC + per-tile COD, not mis-walk packets."""
+    import struct as _s
+
+    rng = np.random.default_rng(113)
+    img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    enc = encode_j2k(img, levels=2, poc=[(0, 0, 1, 3, 1, 2)])
+    sot = enc.find(b"\xff\x90")
+    assert sot > 0
+    psot = _s.unpack(">I", enc[sot + 6 : sot + 10])[0]
+    # splice a structurally-valid COC into the tile header (after the
+    # 12-byte SOT segment) and grow Psot to match
+    coc = b"\xff\x53" + _s.pack(">H", 9) + bytes([0, 0, 2, 4, 4, 0, 1])
+    b = bytearray(enc[: sot + 12] + coc + enc[sot + 12 :])
+    if psot:
+        b[sot + 6 : sot + 10] = _s.pack(">I", psot + len(coc))
+    with pytest.raises(J2kUnsupported, match="POC combined"):
+        decode_j2k(bytes(b))
+
+
 def test_per_tile_cod_qcd_overrides_round_trip():
     """Tile-header COD/QCD (T.800 A.6 precedence): per-tile
     decomposition levels, code-block geometry, quality layers, and
