@@ -201,6 +201,14 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
         from hortacloud_importer_spark.sources.mp3 import decode_mp3
 
         return decode_mp3(bytes(payload))
+    if fmt in ("ogg", "oga", "opus"):
+        # clean-room Ogg page walk (sources/ogg.py): FLAC-in-Ogg
+        # decodes REAL samples via sources/flac.py; Vorbis/Opus sample
+        # decode is the honest codec-binding gate
+        from hortacloud_importer_spark.sources.ogg import decode_ogg
+
+        samples, _rate = decode_ogg(bytes(payload))
+        return samples[None, None, :, :]  # (1 frame, 1, n, channels)
     if fmt == "aac":
         # same posture for ADTS AAC (sources/adts.py)
         from hortacloud_importer_spark.sources.adts import decode_adts
@@ -324,6 +332,7 @@ def _decode_error_types() -> tuple[type, ...]:
     from hortacloud_importer_spark.sources.jp2 import Jp2ParseError
     from hortacloud_importer_spark.sources.jpeg import JpegParseError
     from hortacloud_importer_spark.sources.mp3 import Mp3ParseError
+    from hortacloud_importer_spark.sources.ogg import OggParseError
     from hortacloud_importer_spark.sources.png import PngParseError
     from hortacloud_importer_spark.sources.pnm import PnmParseError
     from hortacloud_importer_spark.sources.tga import TgaParseError
@@ -342,6 +351,7 @@ def _decode_error_types() -> tuple[type, ...]:
         Jp2ParseError,
         JpegParseError,
         Mp3ParseError,
+        OggParseError,
         PngParseError,
         PnmParseError,
         TgaParseError,
@@ -449,6 +459,11 @@ def _probe_one(fmt: str, payload: bytes, meta) -> dict:
         from hortacloud_importer_spark.sources.adts import adts_probe
 
         n_samples, c, rate, nf = adts_probe(payload)
+        h, w = 1, n_samples
+    elif fmt in ("ogg", "oga", "opus"):
+        from hortacloud_importer_spark.sources.ogg import ogg_probe
+
+        _codec, n_samples, c, rate, nf = ogg_probe(payload)
         h, w = 1, n_samples
     elif fmt in ("jp2", "j2k"):
         from hortacloud_importer_spark.sources.jp2 import jp2_shape

@@ -218,7 +218,9 @@ FROM (VALUES
   (8, 'mp4', 720, 1280, 3, 90, 48000),
   (9, 'flac', 1, 256, 2, 1, 8000),
   (10, 'mp3', 1, 11520, 2, 10, 44100),
-  (11, 'aac', 1, 6144, 2, 6, 48000)
+  (11, 'aac', 1, 6144, 2, 6, 48000),
+  (12, 'ogg', 1, 8192, 2, 8, 44100),
+  (13, 'opus', 1, 5760, 1, 6, 48000)
 ) AS t(media_id, fmt, height, width, channels, n_frames, sample_rate)
 """,
 )
@@ -279,6 +281,17 @@ def mm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mp3_p = encode_mp3_headers(10, rate=44100, kbps=128, channels=2)
     aac_p = encode_adts_headers(6, rate=48000, channels=2)
+    from hortacloud_importer_spark.sources.ogg import (
+        encode_ogg_opus_headers,
+        encode_ogg_vorbis_headers,
+    )
+
+    ogg_p = encode_ogg_vorbis_headers(
+        8, rate=44100, channels=2, samples_per_packet=1024
+    )
+    opus_p = encode_ogg_opus_headers(
+        6, channels=1, preskip=0, samples_per_packet=960
+    )
 
     # hand-assembled ISOBMFF containers (the coded payload gates;
     # only the box-tree metadata is under test — sources/isobmff.py)
@@ -349,6 +362,8 @@ def mm_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         (9, "flac", flac_p),
         (10, "mp3", mp3_p),
         (11, "aac", aac_p),
+        (12, "ogg", ogg_p),
+        (13, "opus", opus_p),
     ]
     media = spark.createDataFrame(
         [

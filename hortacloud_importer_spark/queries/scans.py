@@ -1891,3 +1891,87 @@ def scan_mp4_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_intensity").alias("min_val"),
         F.col("max_intensity").alias("max_val"),
     )
+
+
+@register(
+    "scan_ogg_stack",
+    "A1+K4",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT z,
+       AVG(v) AS mean_amplitude,
+       CAST(MIN(v) AS INTEGER) AS min_amplitude,
+       CAST(MAX(v) AS INTEGER) AS max_amplitude
+FROM (
+  SELECT t1.range AS z,
+         ((t2.range * (t1.range + 2) * 41) % 4001) - 2000 AS v
+  FROM range(4) t1, range(256) t2
+  UNION ALL
+  SELECT t1.range AS z,
+         ((t2.range * (t1.range + 5) * 23) % 4001) - 2000 AS v
+  FROM range(4) t1, range(256) t2
+)
+GROUP BY z
+""",
+)
+def scan_ogg_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 Ogg containers over REAL FLAC-in-Ogg streams, oracle-exact
+    because the payload codec is lossless: four stereo 16-bit files
+    with left = ((i*(z+2)*41) mod 4001) - 2000 and
+    right = ((i*(z+5)*23) mod 4001) - 2000 are encoded by the
+    clean-room FLAC encoder, wrapped in the Ogg FLAC mapping
+    (sources/ogg.py encode_ogg_flac: one packet per metadata block /
+    frame, sample granule positions, page CRCs), ingested via
+    binaryFile, and decoded through the executor media kernel — the
+    page walk, lacing reassembly, CRC-32 verification, and native
+    stream reconstruction all run in-path before the FLAC chain
+    (Rice residuals, CRC-8/16, STREAMINFO MD5) verifies the samples.
+    AVG over 512 samples is sum/2^9, bit-exact in both engines.
+
+    Vorbis/Opus payloads stay honest named gates (decode needs a codec
+    binding); their header metadata is covered oracle-exact by
+    mm_probe (queries/multimodal.py)."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import media_features
+    from hortacloud_importer_spark.sources.flac import encode_flac
+    from hortacloud_importer_spark.sources.ogg import encode_ogg_flac
+
+    workdir = tempfile.mkdtemp(prefix="ogg_stack_")
+    i = np.arange(256, dtype=np.int64)
+    for z in range(4):
+        left = (i * (z + 2) * 41) % 4001 - 2000
+        right = (i * (z + 5) * 23) % 4001 - 2000
+        native = encode_flac(
+            np.stack([left, right], axis=1),
+            rate=16000,
+            bits=16,
+            block_size=128,
+            stereo="mid_side",
+        )
+        with open(f"{workdir}/clip.{z:03d}.oga", "wb") as fh:
+            fh.write(encode_ogg_flac(native))
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*.oga")
+        .select(
+            F.regexp_extract(F.col("path"), r"\.(\d{3})\.oga$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("audio").alias("kind"),
+            F.lit("ogg").alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 1, 'width', 256, 'channels', 2,"
+                " 'sample_rate', 16000, 'n_frames', 1)"
+            ).alias("meta"),
+        )
+    )
+    return media_features(media).select(
+        F.col("media_id").alias("z"),
+        F.col("mean_intensity").alias("mean_amplitude"),
+        F.col("min_intensity").alias("min_amplitude"),
+        F.col("max_intensity").alias("max_amplitude"),
+    )
