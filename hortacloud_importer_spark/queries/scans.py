@@ -1432,16 +1432,36 @@ def scan_n5_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("vol_n5_throughput", "A1+A3", driver=False, oracle=None)
+@register(
+    "vol_n5_throughput",
+    "A1+A3",
+    driver=False,
+    oracle="""
+SELECT CAST(z//32 AS INTEGER) AS gz, CAST(y//32 AS INTEGER) AS gy,
+       CAST(x//32 AS INTEGER) AS gx,
+       COUNT(*) AS n_vox,
+       CAST(SUM(intensity) AS BIGINT) AS sum_i,
+       CAST(MAX(intensity) AS BIGINT) AS max_i
+FROM (
+  SELECT t1.range AS z, t2.range AS y, t3.range AS x,
+         ((t1.range*9216 + t2.range*96 + t3.range)*7) % 65521 AS intensity
+  FROM range(96) t1, range(96) t2, range(96) t3
+)
+GROUP BY 1, 2, 3
+""",
+)
 def vol_n5_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bench-only decode-throughput probe for the n5_volume DataSource:
-    a 96^3 (884k-voxel) raw N5 store in 32^3 chunks (27 chunk files,
-    built once per machine under /tmp, keyed by content params) is
+    """Decode-throughput probe for the n5_volume DataSource, now
+    ORACLE-EXACT: a 96^3 (884k-voxel) raw N5 store in 32^3 chunks
+    (27 chunk files, built once per machine under /tmp, keyed by
+    content params, intensity = 7*(z*96^2 + y*96 + x) mod 65521) is
     read through spark.read.format("n5_volume") and reduced to
     per-chunk stats. Measures the full front-door pipeline: driver
     chunk planning -> executor pyarrow.fs reads -> NumPy decode ->
-    Arrow batches -> JVM aggregate. rows-only (bench, not a
-    correctness query — scan_n5_datasource is the oracle-exact one)."""
+    Arrow batches -> JVM aggregate — and because the store contents
+    are a closed-form lattice, DuckDB recomputes every per-chunk
+    count/sum/max from the formula: a chunk-grid, header-parse, or
+    byte-order bug anywhere in the N5 read path breaks the hash."""
     import os
 
     import numpy as np

@@ -114,13 +114,33 @@ def vol_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pyr.filter(F.col("level") == 2).select("z", "y", "x", "intensity")
 
 
-@register("vol_pyramid_throughput", "D13+D3", oracle=None, driver=False)
+@register(
+    "vol_pyramid_throughput",
+    "D13+D3",
+    driver=False,
+    oracle="""
+SELECT CAST(level AS INTEGER) AS level,
+       CAST(n_voxels AS BIGINT) AS n_voxels,
+       CAST(checksum AS BIGINT) AS checksum
+FROM (VALUES
+  (0, 262144, 6856243010),
+  (1, 32768, 1548439780),
+  (2, 4096, 231531221),
+  (3, 512, 30536338),
+  (4, 64, 3893735),
+  (5, 8, 490780)
+) AS t(level, n_voxels, checksum)
+""",
+)
 def vol_pyramid_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Volume-engine throughput probe (rows-only): full 6-level arthur
-    pyramid over a 64^3 synthetic volume (262k voxels, sf-independent)
-    — the benchmark's measure of the core downsample cascade. Returns
-    per-level counts + checksums (deterministic input, so the values
-    are stable across runs/engines)."""
+    """Volume-engine throughput probe, now ORACLE-EXACT via the same
+    VALUES pin as vol_octree_build: full 6-level arthur pyramid over a
+    64^3 synthetic volume (262k voxels, sf-independent) — the
+    benchmark's measure of the core downsample cascade. The synthetic
+    volume is a seeded deterministic hash and the 2nd-max cascade is
+    exact integer arithmetic, so the per-level counts AND intensity
+    checksums are fixed constants; a lost level, a wrong kernel, or a
+    voxel drop anywhere in the cascade breaks the hash."""
     from hortacloud_importer_spark.volume import build_pyramid, synthetic_volume
 
     dims = (64, 64, 64)
