@@ -47,13 +47,14 @@ overrides decode (and the encoder emits them via ``qcc_eps_delta``).
 Maxshift
 region-of-interest (RGN, T.800 Annex H) decodes — ROI-upshifted
 coefficients classify by magnitude and scale back after Tier-1 —
-within the 31-coded-bit-plane integer domain. Honest gates (raised
-as :class:`J2kUnsupported`): custom precincts, the remaining
-code-block style flags (bypass/reset/vsc/segsym/predictable
-termination — termination-on-each-pass DECODES: per-pass codeword
-segments with shared context state, T.800 D.4.1/B.10.7.5),
-explicit-style RGN, and tile grids misaligned to a subsampled
-component's rate x 2^levels.
+within the 31-coded-bit-plane integer domain. Code-block styles 0x04 (termination on each coding pass: per-pass
+codeword segments with shared context state, T.800 D.4.1/B.10.7.5)
+and 0x01 (selective arithmetic coding bypass: raw bit-stuffed
+SPP/MRP segments from the 5th bit-plane, D.6) DECODE, alone or
+combined. Honest gates (raised as :class:`J2kUnsupported`): custom
+precincts, the remaining code-block style flags (reset/vsc/segsym/
+predictable termination), explicit-style RGN, and tile grids
+misaligned to a subsampled component's rate x 2^levels.
 Per-tile COD/QCD/COC/QCC overrides decode with the T.800 A.6
 precedence (tile COC > tile COD > main COC > main COD; tile QCC >
 tile QCD > main QCC > main QCD), restricted to a tile's first part.
@@ -320,6 +321,72 @@ class MQEncoder:
         while out and out[-1] == 0xFF:
             out.pop()  # the decoder synthesizes trailing 0xFFs
         return bytes(out)
+
+
+class RawEncoder:
+    """Raw (bypass) codeword segment writer, T.800 D.6: bits pack
+    MSB-first; after an emitted 0xFF byte the next byte carries only
+    7 bits (its MSB stays 0), so no 0xFF90-0xFFFF marker can appear.
+    Exposes the MQEncoder ``encode(ctx, bit)`` surface so the coding
+    passes run unchanged — the context argument is ignored."""
+
+    is_raw = True
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def encode(self, cx: int, bit: int):
+        self.acc = (self.acc << 1) | (bit & 1)
+        self.nbits += 1
+        limit = 7 if self.out and self.out[-1] == 0xFF else 8
+        if self.nbits == limit:
+            self.out.append(self.acc)
+            self.acc = 0
+            self.nbits = 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            limit = 7 if self.out and self.out[-1] == 0xFF else 8
+            self.out.append(self.acc << (limit - self.nbits))
+        if self.out and self.out[-1] == 0xFF:
+            self.out.append(0)  # a segment must not end in 0xFF
+        return bytes(self.out)
+
+
+class RawDecoder:
+    """Raw (bypass) codeword segment reader mirroring
+    :class:`RawEncoder`; exposes the MQDecoder ``decode(ctx)``
+    surface (context ignored)."""
+
+    is_raw = True
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+        self.prev_ff = False
+
+    def decode(self, cx: int) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise J2kParseError("raw segment overruns its length")
+            b = self.data[self.pos]
+            self.pos += 1
+            if self.prev_ff:
+                if b & 0x80:
+                    raise J2kParseError(
+                        "raw stuffing bit set after an 0xFF byte"
+                    )
+                self.nbits = 7
+            else:
+                self.nbits = 8
+            self.acc = b
+            self.prev_ff = b == 0xFF
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
 
 
 # ----------------------------------------------------------- tag trees
@@ -635,23 +702,57 @@ def _stripe_scan(w: int, h: int):
                 yield x, y
 
 
+def _seg_plan(
+    start: int, npasses: int, termall: bool, bypass: bool
+) -> list:
+    """Codeword-segment plan for coding passes [start, start+npasses)
+    of one block -> [(n_passes, is_raw)]. T.800 D.4.1/D.6: ``termall``
+    (style 0x04) terminates every pass; selective bypass (style 0x01)
+    codes SPP+MRP raw from the 5th bit-plane (absolute pass index 10)
+    with terminations around each raw pair and each MQ cleanup. Raw
+    passes exist only under bypass."""
+    plan: list = []
+    for k in range(npasses):
+        p = start + k
+        raw = bypass and p >= 10 and (p - 10) % 3 != 2
+        boundary = (
+            k == 0
+            or termall
+            or (
+                bypass
+                and p >= 10
+                and (p == 10 or (p - 10) % 3 in (0, 2))
+            )
+        )
+        if boundary:
+            plan.append([1, raw])
+        else:
+            plan[-1][0] += 1
+    return [(n, r) for n, r in plan]
+
+
 def t1_decode_block(
     data, w: int, h: int, band: str, nplanes: int, npasses: int,
-    termall: bool = False,
+    termall: bool = False, bypass: bool = False,
 ) -> np.ndarray:
     """Decode one code-block -> signed int32 (h, w) coefficients.
     ``nplanes`` = magnitude bit-planes coded (Mb - missing),
     ``npasses`` from the packet header. ``data`` is one codeword
-    segment, or — with ``termall`` (code-block style 0x04,
-    termination on each coding pass) — a LIST of per-pass segments:
-    each pass re-primes the MQ interval registers (INITDEC) while
-    the context states carry across segments (T.800 D.4.1)."""
+    segment, or — with ``termall`` (style 0x04, termination on each
+    coding pass) and/or ``bypass`` (style 0x01, selective arithmetic
+    coding bypass) — a LIST of per-segment byte strings matching
+    :func:`_seg_plan`: each MQ segment re-primes the interval
+    registers (INITDEC) while the context states carry across
+    segments (T.800 D.4.1); raw segments decode bit-stuffed raw
+    significance/sign/refinement bits (D.6)."""
     st = _T1State(w, h)
-    if termall:
-        if len(data) != npasses:
+    plan = None
+    if termall or bypass:
+        plan = _seg_plan(0, npasses, termall, bypass)
+        if len(data) != len(plan):
             raise J2kParseError(
-                f"termall block has {len(data)} segments for "
-                f"{npasses} passes"
+                f"block has {len(data)} codeword segments, the "
+                f"termall/bypass plan needs {len(plan)}"
             )
         mq = None
     else:
@@ -659,14 +760,25 @@ def t1_decode_block(
     mag = [0] * (w * h)
     bp = nplanes - 1
     pass_kind = 2  # the first pass is always a cleanup
+    seg_i = 0
+    seg_left = 0
+    mq_ctx = None  # carried MQ context states across segments
     for pi in range(npasses):
         if bp < 0:
             raise J2kParseError("more coding passes than bit-planes")
-        if termall:
-            prev_ctx = mq.st if mq is not None else None
-            mq = MQDecoder(data[pi])
-            if prev_ctx is not None:
-                mq.st = prev_ctx
+        if plan is not None:
+            if seg_left == 0:
+                seg_left, raw = plan[seg_i]
+                if not getattr(mq, "is_raw", False) and mq is not None:
+                    mq_ctx = mq.st
+                if raw:
+                    mq = RawDecoder(data[seg_i])
+                else:
+                    mq = MQDecoder(data[seg_i])
+                    if mq_ctx is not None:
+                        mq.st = mq_ctx
+                seg_i += 1
+            seg_left -= 1
         if pass_kind == 0:
             _spp(st, mq, mag, bp, band, decode=True)
         elif pass_kind == 1:
@@ -687,20 +799,23 @@ def t1_decode_block(
 
 
 def t1_encode_block(
-    coeffs: np.ndarray, band: str, termall: bool = False
+    coeffs: np.ndarray, band: str, termall: bool = False,
+    bypass: bool = False,
 ) -> tuple:
     """Encode one code-block of signed ints -> (codeword bytes,
     n_planes_used, n_passes). All-zero blocks return (b"", 0, 0) —
     the caller excludes them via the inclusion tag tree. With
-    ``termall`` the first element is a LIST of per-pass codeword
-    segments (each MQ-flushed; context states carry across)."""
+    ``termall`` and/or ``bypass`` the first element is a LIST of
+    codeword segments matching :func:`_seg_plan` (MQ segments
+    flushed with context states carried across; raw segments
+    bit-stuffed per T.800 D.6)."""
     h, w = coeffs.shape
     amax = int(np.abs(coeffs).max(initial=0))
+    segmented = termall or bypass
     if amax == 0:
-        return ([] if termall else b""), 0, 0
+        return ([] if segmented else b""), 0, 0
     nplanes = amax.bit_length()
     st = _T1State(w, h)
-    mq = MQEncoder()
     mag = [0] * (w * h)
     sgn = st.sign
     flat = coeffs.ravel()
@@ -708,11 +823,26 @@ def t1_encode_block(
         vi = int(v)
         mag[i] = vi if vi >= 0 else -vi
         sgn[i] = 1 if vi < 0 else 0
+    total_passes = 3 * nplanes - 2
+    plan = _seg_plan(0, total_passes, termall, bypass) if segmented else None
     npasses = 0
     bp = nplanes - 1
     pass_kind = 2
     segs: list = []
+    seg_i = 0
+    seg_left = 0
+    mq_idx = mq_mps = None  # carried MQ contexts across segments
+    mq = None if segmented else MQEncoder()
     while bp >= 0:
+        if plan is not None and seg_left == 0:
+            seg_left, raw = plan[seg_i]
+            seg_i += 1
+            if raw:
+                mq = RawEncoder()
+            else:
+                mq = MQEncoder()
+                if mq_idx is not None:
+                    mq.idx, mq.mps = mq_idx, mq_mps
         if pass_kind == 0:
             _spp(st, mq, mag, bp, band, decode=False)
         elif pass_kind == 1:
@@ -723,13 +853,13 @@ def t1_encode_block(
             st.visited = bytearray(w * h)
         npasses += 1
         pass_kind = (pass_kind + 1) % 3
-        if termall:
-            segs.append(mq.flush())
-            if bp >= 0:
-                nxt = MQEncoder()
-                nxt.idx, nxt.mps = mq.idx, mq.mps  # contexts carry
-                mq = nxt
-    if termall:
+        if plan is not None:
+            seg_left -= 1
+            if seg_left == 0:
+                if not getattr(mq, "is_raw", False):
+                    mq_idx, mq_mps = mq.idx, mq.mps  # contexts carry
+                segs.append(mq.flush())
+    if segmented:
         return segs, nplanes, npasses
     return mq.flush(), nplanes, npasses
 
@@ -887,8 +1017,15 @@ def _cup(st: _T1State, mq, mag, bp, band, decode: bool):
 
 
 def _code_sign(st: _T1State, mq, x: int, y: int, decode: bool):
-    ctx, xor = _sc_context(*st.sign_contrib(x, y))
     i = y * st.w + x
+    if getattr(mq, "is_raw", False):
+        # bypass SPP: one raw bit, no neighborhood prediction (D.6)
+        if decode:
+            st.sign[i] = mq.decode(0)
+        else:
+            mq.encode(0, st.sign[i])
+        return
+    ctx, xor = _sc_context(*st.sign_contrib(x, y))
     if decode:
         st.sign[i] = mq.decode(ctx) ^ xor
     else:
@@ -1407,6 +1544,7 @@ def encode_j2k(
     poc: list | None = None,
     tile_overrides: "dict[int, dict] | None" = None,
     termall: bool = False,
+    bypass: bool = False,
 ) -> bytes:
     """(h, w[, nc]) uint8/uint16 -> lossless (5/3) codestream.
     ``tile=(xt, yt)`` splits the image into an XTsiz x YTsiz grid of
@@ -1496,9 +1634,9 @@ def encode_j2k(
             ):
                 raise J2kParseError(f"invalid COC code-block size {over}")
             cbw_c[ci], cbh_c[ci] = ow, oh
-    if termall and (coc or tile_overrides):
+    if (termall or bypass) and (coc or tile_overrides):
         raise J2kParseError(
-            "termall composes with uniform code-block style only"
+            "termall/bypass compose with uniform code-block style only"
         )
     if tile_overrides:
         if lossy or subsampling or poc or coc or packed_headers:
@@ -1655,6 +1793,7 @@ def encode_j2k(
                 roi_shift=roi_shift,
                 poc=poc,
                 termall=termall,
+                bypass=bypass,
             )
         )
 
@@ -1673,7 +1812,8 @@ def encode_j2k(
         levels,
         (cbw.bit_length() - 1) - 2,
         (cbh.bit_length() - 1) - 2,
-        0x04 if termall else 0,  # code-block style (0x04 = termall)
+        (0x04 if termall else 0)
+        | (0x01 if bypass else 0),  # code-block style bits
         0 if lossy else 1,  # transformation: 9/7 or 5/3
     )
     cod = struct.pack(">HBBHB", 12, 0, prog, layers, 1 if mct else 0) + spcod
@@ -1862,6 +2002,7 @@ def _encode_tile(
     roi_shift: int = 0,
     poc: list | None = None,
     termall: bool = False,
+    bypass: bool = False,
 ) -> list[bytes]:
     """Tier-1 + Tier-2 encode one tile's (already level-shifted /
     MCT'd) component planes into its packet stream, returned one
@@ -1982,7 +2123,8 @@ def _encode_tile(
                                 )
                             blk = np.where(mask, blk << roi_shift, blk)
                         data, nplanes, npasses = t1_encode_block(
-                            blk, band.btype, termall=termall
+                            blk, band.btype, termall=termall,
+                            bypass=bypass,
                         )
                         if nplanes > band.mb:
                             raise J2kParseError(
@@ -2049,21 +2191,28 @@ def _encode_tile(
                     band.msb.encode(bx, by, p + 1, wr.put)
                     _put_npasses(wr, npasses)
                     lb = band.lblock[by * band.ncx + bx]
-                    if termall:
-                        # one codeword segment per pass: one shared
-                        # lblock bump sized for the LONGEST segment,
-                        # then each length in lblock bits
-                        longest = max(
-                            (len(sg) for sg in data), default=0
+                    if termall or bypass:
+                        # one length per codeword segment, each in
+                        # lblock + floor(log2(passes_in_segment)) bits
+                        # (B.10.7.5); one shared lblock bump sized so
+                        # every segment length fits its field
+                        plan = _seg_plan(0, npasses, termall, bypass)
+                        kbits = [pc.bit_length() - 1 for pc, _ in plan]
+                        need = max(
+                            (
+                                len(sg).bit_length() - (lb + kb)
+                                for sg, kb in zip(data, kbits)
+                            ),
+                            default=0,
                         )
-                        need = max(0, longest.bit_length() - lb)
+                        need = max(0, need)
                         for _ in range(need):
                             wr.put(1)
                         wr.put(0)
                         lb += need
                         band.lblock[by * band.ncx + bx] = lb
-                        for sg in data:
-                            wr.put_bits(len(sg), lb)
+                        for sg, kb in zip(data, kbits):
+                            wr.put_bits(len(sg), lb + kb)
                             body += sg
                     else:
                         k = npasses.bit_length() - 1
@@ -2157,8 +2306,9 @@ def _parse_cod(cod: bytes, what: str):
     levels, xcb, ycb, cbstyle, transform = cod[5:10]
     if nlayers < 1:
         raise J2kParseError(f"zero quality layers ({what})")
-    if cbstyle & ~0x04:
-        # 0x04 = termination on each coding pass (supported); the
+    if cbstyle & ~0x05:
+        # 0x04 = termination on each coding pass and 0x01 = selective
+        # arithmetic coding bypass (both supported); the
         # other mode flags (bypass/reset/vsc/segsym/predictable
         # termination) stay gated
         raise J2kUnsupported(f"code-block style 0x{cbstyle:02x} ({what})")
@@ -2191,7 +2341,7 @@ def _apply_coc(seg: bytes, nc: int, levels_c: list, cbw_c: list,
     if scoc & 0x01:
         raise J2kUnsupported(f"custom precinct sizes ({what})")
     lv, xcb2, ycb2, cbsty2, tr2 = body[1:6]
-    if cbsty2 & ~0x04:
+    if cbsty2 & ~0x05:
         raise J2kUnsupported(f"code-block style 0x{cbsty2:02x} ({what})")
     if tr2 not in (0, 1):
         raise J2kParseError(f"unknown transformation {tr2} ({what})")
@@ -2789,6 +2939,7 @@ def _decode_tile_planes(
         mus = mus_c[ci] if mus_c is not None else None
         rgn = rgn_c[ci] if rgn_c is not None else 0
         termall = bool(cbsty_c[ci] & 0x04) if cbsty_c else False
+        bypass = bool(cbsty_c[ci] & 0x01) if cbsty_c else False
         bands = _build_bands(
             th_c[ci], tw_c[ci], levels_c[ci], cbw_c[ci], cbh_c[ci],
             depths[ci], x0_c[ci], y0_c[ci],
@@ -2807,6 +2958,7 @@ def _decode_tile_planes(
                     )
                 band.rgn = rgn
                 band.termall = termall
+                band.bypass = bypass
                 if transform_c[ci] == 0:
                     rb = depths[ci] + _BAND_GAIN[band.btype]
                     band.step = 2.0 ** (rb - exps[k]) * (
@@ -2866,12 +3018,22 @@ def _decode_tile_planes(
                         npasses = _get_npasses(rd)
                         while rd.bit():
                             band.lblock[i] += 1
-                        if band.termall:
-                            # one codeword segment PER PASS, each
-                            # length in lblock bits (T.800 B.10.7.5)
+                        if band.termall or band.bypass:
+                            # one length per codeword segment, each in
+                            # lblock + floor(log2(seg passes)) bits
+                            # (T.800 B.10.7.5); segmentation follows
+                            # the termall/bypass plan from the block's
+                            # cumulative pass position
+                            plan = _seg_plan(
+                                st[1], npasses,
+                                band.termall, band.bypass,
+                            )
                             seg_len = [
-                                rd.bits(band.lblock[i])
-                                for _ in range(npasses)
+                                rd.bits(
+                                    band.lblock[i]
+                                    + pc.bit_length() - 1
+                                )
+                                for pc, _raw in plan
                             ]
                         else:
                             nbits = (
@@ -2894,7 +3056,7 @@ def _decode_tile_planes(
                     raise J2kParseError("missing EPH after packet header")
                 tpos += 2
         for st, npasses, seg_len in jobs:
-            if isinstance(seg_len, list):  # termall: one seg per pass
+            if isinstance(seg_len, list):  # termall/bypass segments
                 for L in seg_len:
                     seg = tile[tpos : tpos + L]
                     if len(seg) != L:
@@ -2925,10 +3087,12 @@ def _decode_tile_planes(
                             f"missing bit-planes {p} >= Mb {band.mb}"
                         )
                     termall = getattr(band, "termall", False)
+                    bypass = getattr(band, "bypass", False)
+                    segmented = termall or bypass
                     blk = t1_decode_block(
-                        chunks if termall else b"".join(chunks),
+                        chunks if segmented else b"".join(chunks),
                         bw, bh, band.btype, nplanes, npasses,
-                        termall=termall,
+                        termall=termall, bypass=bypass,
                     )
                     rgn = getattr(band, "rgn", 0)
                     if rgn:

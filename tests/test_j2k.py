@@ -212,7 +212,7 @@ def test_unsupported_features_gate_with_names():
         decode_j2k(bytes(bad))
 
     bad = bytearray(cs)
-    _patch_cod(bad, 10, 0x01)  # code-block style: selective bypass
+    _patch_cod(bad, 10, 0x02)  # code-block style: reset on each pass
     with pytest.raises(J2kUnsupported, match="code-block style"):
         decode_j2k(bytes(bad))
 
@@ -1003,12 +1003,103 @@ def test_termall_per_pass_segments_round_trip():
     assert np.array_equal(decode_j2k(blob)[:, :, 0], st[:, :, 0])
 
 
+def test_bypass_selective_raw_segments_round_trip():
+    """Code-block style 0x01 (selective arithmetic coding bypass,
+    T.800 D.6): SPP/MRP passes from the 5th bit-plane are raw
+    bit-stuffed segments, cleanups stay MQ with carried contexts,
+    lengths signaled per segment in lblock + floor(log2(seg passes))
+    bits — composing with tiles, layers, progressions, lossy 9/7,
+    and termall (0x05: every pass its own segment, raw or MQ)."""
+    rng = np.random.default_rng(157)
+    # 16-bit image -> deep bit-planes, so raw passes really engage
+    img = rng.integers(0, 65536, (40, 56)).astype(np.uint16)
+    blob = encode_j2k(img, levels=2, bypass=True)
+    c = blob.find(b"\xff\x52")
+    assert blob[c + 4 + 8] == 0x01  # the style bit is on the wire
+    assert np.array_equal(decode_j2k(blob)[:, :, 0], img)
+    # a bypass stream with deep planes must contain raw segments:
+    # the same image coded without bypass differs in size
+    assert blob != encode_j2k(img, levels=2)
+    rgb = rng.integers(0, 256, (64, 32, 3), dtype=np.uint8)
+    for prog in (0, 2, 4):
+        blob = encode_j2k(rgb, levels=2, tile=(32, 32), layers=3,
+                          prog=prog, bypass=True)
+        assert np.array_equal(decode_j2k(blob), rgb), prog
+    blob = encode_j2k(img, levels=2, lossy=True, bypass=True)
+    d = np.abs(decode_j2k(blob)[:, :, 0].astype(np.int64) - img)
+    assert d.max() <= 2
+    # combined style 0x05
+    blob = encode_j2k(img, levels=1, termall=True, bypass=True)
+    c = blob.find(b"\xff\x52")
+    assert blob[c + 4 + 8] == 0x05
+    assert np.array_equal(decode_j2k(blob)[:, :, 0], img)
+    # shallow image: fewer than 5 bit-planes -> pure-MQ single segment
+    shallow = rng.integers(0, 8, (16, 16)).astype(np.uint8)
+    blob = encode_j2k(shallow, levels=1, bypass=True)
+    assert np.array_equal(decode_j2k(blob)[:, :, 0], shallow)
+
+
+def test_bypass_raw_segment_bit_stuffing():
+    """The raw coder's 0xFF stuffing: after an 0xFF byte the next
+    byte carries 7 bits with MSB 0, and a segment never ends in
+    0xFF (T.800 D.6.2)."""
+    from hortacloud_importer_spark.sources.j2k import (
+        RawDecoder,
+        RawEncoder,
+    )
+
+    enc = RawEncoder()
+    bits = [1] * 8 + [1, 0, 1, 1, 0, 0, 1]  # forces an 0xFF byte
+    for b in bits:
+        enc.encode(0, b)
+    data = enc.flush()
+    assert data[0] == 0xFF
+    assert data[1] & 0x80 == 0  # stuffed: MSB of the next byte is 0
+    assert data[-1] != 0xFF
+    dec = RawDecoder(data)
+    assert [dec.decode(0) for _ in bits] == bits
+    # a stream whose stuffing bit is SET raises the named error
+    bad = bytearray(data)
+    bad[1] |= 0x80
+    dec = RawDecoder(bytes(bad))
+    with pytest.raises(J2kParseError, match="stuffing"):
+        for _ in bits:
+            dec.decode(0)
+    # overrun raises, never wraps
+    dec = RawDecoder(b"")
+    with pytest.raises(J2kParseError, match="overruns"):
+        dec.decode(0)
+
+
+def test_bypass_corruption_raises_named_errors_only():
+    rng = np.random.default_rng(163)
+    base = encode_j2k(
+        rng.integers(0, 65536, (24, 24)).astype(np.uint16),
+        levels=2, bypass=True,
+    )
+    for t in range(300):
+        b = bytearray(base)
+        mode = t % 3
+        if mode == 0:
+            b = b[: int(rng.integers(1, len(b)))]
+        elif mode == 1:
+            i = int(rng.integers(0, len(b)))
+            b[i] ^= 1 << int(rng.integers(0, 8))
+        else:
+            i = int(rng.integers(0, len(b)))
+            b[i : i + 4] = bytes(rng.integers(0, 256, 4).tolist())
+        try:
+            decode_j2k(bytes(b))
+        except J2kParseError:
+            pass
+
+
 def test_termall_other_style_flags_stay_gated():
     rng = np.random.default_rng(149)
     img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
     enc = encode_j2k(img, levels=1, termall=True)
     c = enc.find(b"\xff\x52")
-    for flag in (0x01, 0x02, 0x08, 0x10, 0x20):
+    for flag in (0x02, 0x08, 0x10, 0x20):
         b = bytearray(enc)
         b[c + 4 + 8] = 0x04 | flag
         with pytest.raises(J2kUnsupported, match="code-block style"):
