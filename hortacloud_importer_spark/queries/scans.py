@@ -863,9 +863,12 @@ def scan_tiff_ccitt(spark: SparkSession, sf_dir: str) -> DataFrame:
     (i*(z+2)) mod 5 == 0, two Group 4 (T.6) and two byte-aligned MH
     (compression 2), encoded by the clean-room writer and decoded by
     the clean-room T.4/T.6 decoder (sources/ccitt.py) inside the
-    executor media kernel. The DuckDB oracle regenerates the ink
-    formula (AVG of 256 0/1 samples = count/2^8, exact in both
-    engines); run-table or 2-D-mode bugs break the hash. Decoder
+    executor media kernel. Page 0 additionally codes rows 0/7/15 in
+    T.6 UNCOMPRESSED MODE (T6Options bit 1, the extension code +
+    literal pixels + exit-T path), so that branch runs in-pipeline
+    too. The DuckDB oracle regenerates the ink formula (AVG of 256
+    0/1 samples = count/2^8, exact in both engines); run-table,
+    2-D-mode, or uncompressed-mode bugs break the hash. Decoder
     conformance is additionally pinned against the JDK's independent
     TIFF plugin in tests/test_ccitt.py."""
     import tempfile
@@ -880,8 +883,11 @@ def scan_tiff_ccitt(spark: SparkSession, sf_dir: str) -> DataFrame:
         i = np.arange(256, dtype=np.int64)
         ink = ((i * (z + 2)) % 5 == 0).astype(np.uint8).reshape(16, 16)
         comp = "g4" if z % 2 == 0 else "ccitt_rle"
+        kwargs = {}
+        if z == 0:
+            kwargs["g4_uncompressed_rows"] = {0, 7, 15}
         with open(f"{workdir}/doc.{z:03d}.tif", "wb") as fh:
-            fh.write(encode_tiff(ink[None, ...], compression=comp))
+            fh.write(encode_tiff(ink[None, ...], compression=comp, **kwargs))
     media = (
         spark.read.format("binaryFile")
         .load(f"file://{workdir}/*.tif")

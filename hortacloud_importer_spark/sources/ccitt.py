@@ -7,7 +7,9 @@ coding), or 4 (Group 4 / T.6 pure two-dimensional coding). The reference outsour
 tifffile; this module implements them from the public ITU-T T.4/T.6
 code listings: the white/black terminating + make-up run-length
 tables (T.4 §2), the extended make-up codes shared by both colors,
-and the 2-D vertical/pass/horizontal mode codes (T.4 §4.2 / T.6 §2).
+the 2-D vertical/pass/horizontal mode codes (T.4 §4.2 / T.6 §2), and
+uncompressed mode (the 0000001111 extension + Table-4 literal pixel
+codes + exit-T, i.e. T4Options/T6Options bit 1).
 
 Decode output is "ink" bits — uint8 (rows, width), 1 = black run, 0 =
 white — independent of TIFF photometric; the TIFF layer maps ink to
@@ -198,9 +200,35 @@ def _decode_2d_line(bits: _Bits, ref: list[int], width: int) -> list[int]:
                     a1 = b1 + 2 if bits.bit() else b1 - 2
                 elif bits.bit():  # 000001x -> VR3/VL3
                     a1 = b1 + 3 if bits.bit() else b1 - 3
+                elif bits.bit():  # 0000001xxx -> extension
+                    ext = (bits.bit() << 2) | (bits.bit() << 1) | bits.bit()
+                    if ext != 0b111:
+                        raise CcittParseError(
+                            f"T.6 extension type {ext} unsupported"
+                        )
+                    # uncompressed mode (T.4 4.2.1.4 / T.6 Table 4):
+                    # literal pixel values until an exit code; the
+                    # exit's T bit names the color of the next run
+                    p = a0 if a0 > 0 else 0
+                    cur = len(trans) & 1
+                    lit, t_color = _decode_uncompressed(bits, width - p)
+                    for b in lit:
+                        if b != cur:
+                            if trans and p < trans[-1]:
+                                raise CcittParseError(
+                                    "uncompressed pixels out of order"
+                                )
+                            trans.append(p)
+                            cur = b
+                        p += 1
+                    a0 = p
+                    if t_color != cur and a0 < width:
+                        trans.append(a0)
+                    color = len(trans) & 1
+                    continue
                 else:
                     raise CcittParseError(
-                        "unsupported T.6 extension / premature EOFB"
+                        "unsupported T.6 code / premature EOFB"
                     )
         if a1 < 0 or a1 > width or (trans and a1 < trans[-1]):
             raise CcittParseError("2-D transition out of order")
@@ -208,6 +236,37 @@ def _decode_2d_line(bits: _Bits, ref: list[int], width: int) -> list[int]:
         a0 = a1
         color ^= 1
     return trans
+
+
+def _decode_uncompressed(bits: _Bits, room: int) -> tuple[list, int]:
+    """T.4 Table 5 / T.6 Table 4 uncompressed-mode body: -> (literal
+    pixel values, T). Codes are runs of k white pixels: k<=4 followed
+    by a black pixel ('0'*k + '1'), exactly five whites ('000001'),
+    or the exit codes ('0'*(6+n) + '1' + T, n<=4 trailing whites,
+    T = color of the run that resumes 2-D coding)."""
+    lit: list = []
+    while True:
+        k = 0
+        while not bits.bit():
+            k += 1
+            if k > 10:
+                raise CcittParseError(
+                    "uncompressed-mode code exceeds 10 zeros"
+                )
+        if k <= 4:
+            lit += [0] * k + [1]
+        elif k == 5:
+            lit += [0] * 5
+        else:  # exit with k-6 trailing whites, then the T bit
+            lit += [0] * (k - 6)
+            t_color = bits.bit()
+            if len(lit) > room:
+                raise CcittParseError(
+                    "uncompressed pixels overrun the row"
+                )
+            return lit, t_color
+        if len(lit) > room:
+            raise CcittParseError("uncompressed pixels overrun the row")
 
 
 def _decode_1d_line(bits: _Bits, width: int) -> list[int]:
@@ -365,10 +424,40 @@ def _row_runs(row: np.ndarray) -> list[int]:
     return runs
 
 
-def encode_g4(ink: np.ndarray) -> bytes:
-    """(rows, width) ink bits -> a T.6 strip (horizontal-mode-only)."""
+def _emit_uncompressed(bw: _BitWriter, row: np.ndarray) -> None:
+    """Code one full row of literal pixels in uncompressed mode:
+    the 0000001111 entry code, Table-4 body codes, and an exit with
+    T = 0 (the row is complete, so the color is immaterial)."""
+    bw.write("0000001111")  # extension -> uncompressed mode
+    px = np.asarray(row, np.uint8).tolist()
+    i, n = 0, len(px)
+    while i < n:
+        z = 0
+        while i + z < n and px[i + z] == 0:
+            z += 1
+        if i + z >= n:  # only whites remain: fives, then exit
+            while z >= 5:
+                bw.write("000001")
+                z -= 5
+            bw.write("0" * (6 + z) + "1" + "0")
+            return
+        i += z + 1  # the whites plus their terminating black pixel
+        while z >= 5:  # whites before a black: fives, then k<=4 + 1
+            bw.write("000001")
+            z -= 5
+        bw.write("0" * z + "1")
+    bw.write("0000001" + "0")  # row ended on a black pixel
+
+
+def encode_g4(ink: np.ndarray, uncompressed_rows=()) -> bytes:
+    """(rows, width) ink bits -> a T.6 strip (horizontal-mode-only;
+    rows listed in ``uncompressed_rows`` are coded entirely in
+    uncompressed mode, T6Options-bit-1 style)."""
     bw = _BitWriter()
-    for row in np.asarray(ink, np.uint8):
+    for y, row in enumerate(np.asarray(ink, np.uint8)):
+        if y in uncompressed_rows:
+            _emit_uncompressed(bw, row)
+            continue
         runs = _row_runs(row)
         if len(runs) % 2 == 1:
             runs.append(0)  # trailing zero-length black run

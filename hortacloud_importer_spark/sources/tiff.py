@@ -234,14 +234,9 @@ def _page_dtype(ec: str, ifd: dict[int, list]) -> tuple[np.dtype, int]:
             )
         if ifd.get(_TAG_SAMPLE_FORMAT, [1])[0] != 1:
             raise TiffParseError("CCITT pages take SampleFormat 1")
-        if comp == _COMP_G3 and ifd.get(_TAG_T4_OPTIONS, [0])[0] & 2:
-            raise TiffParseError(
-                "T.4 uncompressed mode (T4Options bit 1) unsupported"
-            )
-        if comp == _COMP_G4 and ifd.get(_TAG_T6_OPTIONS, [0])[0] & 2:
-            raise TiffParseError(
-                "T.6 uncompressed mode (T6Options bit 1) unsupported"
-            )
+        # T4Options/T6Options bit 1 (uncompressed mode allowed) needs
+        # no gate: the shared 2-D line decoder handles the extension
+        # code inline (sources/ccitt.py _decode_uncompressed)
         if ifd.get(_TAG_FILL_ORDER, [1])[0] not in (1, 2):
             raise TiffParseError("bad FillOrder")
         return np.dtype("u1"), 1
@@ -857,6 +852,7 @@ def encode_tiff(
     tile: tuple[int, int] | None = None,
     predictor: int = 1,
     bigtiff: bool = False,
+    g4_uncompressed_rows: "set | None" = None,
 ) -> bytes:
     """Write (pages, h, w[, samples]) uint8/uint16 as little-endian TIFF.
 
@@ -890,6 +886,8 @@ def encode_tiff(
             raise ValueError("CCITT compression takes 0/1 uint8 ink bits")
         if predictor != 1 or tile is not None:
             raise ValueError("CCITT compression excludes predictor/tiles")
+    if g4_uncompressed_rows and compression != "g4":
+        raise ValueError("uncompressed-mode rows require compression 'g4'")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 or 2")
     if is_float and (compression == "jpeg" or predictor != 1):
@@ -971,8 +969,17 @@ def encode_tiff(
                 encode_mh,
             )
 
-            enc = encode_g4 if comp_code == _COMP_G4 else encode_mh
-            payloads = [enc(b[:, :, 0]) for b in blocks]
+            if comp_code == _COMP_G4 and g4_uncompressed_rows:
+                payloads = [
+                    encode_g4(
+                        b[:, :, 0],
+                        uncompressed_rows=g4_uncompressed_rows,
+                    )
+                    for b in blocks
+                ]
+            else:
+                enc = encode_g4 if comp_code == _COMP_G4 else encode_mh
+                payloads = [enc(b[:, :, 0]) for b in blocks]
         else:
             payloads = [b.tobytes() for b in blocks]
             if comp_code == 8:
@@ -986,6 +993,8 @@ def encode_tiff(
         ]
         if predictor == 2:
             tags.append((_TAG_PREDICTOR, 3, [2]))
+        if comp_code == _COMP_G4 and g4_uncompressed_rows:
+            tags.append((_TAG_T6_OPTIONS, 4, [2]))  # uncompressed ok
         if is_float:
             tags.append((_TAG_SAMPLE_FORMAT, 3, [3]))
         if comp_code in _CCITT_CODES:

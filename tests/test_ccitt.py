@@ -258,3 +258,91 @@ def test_raw_ccitt_corruption_named_errors():
             decode_mh(bytes(buf), 30, 6)
         except CcittParseError:
             pass
+
+
+def test_t6_uncompressed_mode_round_trips():
+    """T.6 uncompressed mode (T6Options bit 1): whole rows coded as
+    extension code + Table-4 literal pixel codes + exit-T, mixed with
+    horizontal-mode rows; the decoder handles the extension inline."""
+    for seed, (h, w), density in (
+        (21, (12, 40), 0.1), (22, (7, 33), 0.5), (23, (5, 64), 0.9),
+        (24, (1, 1), 0.5), (25, (16, 16), 0.3),
+    ):
+        ink = _rand_ink(seed, h, w, density)
+        rng = np.random.default_rng(seed)
+        ur = set(int(x) for x in rng.integers(0, h, max(1, h // 2)))
+        blob = encode_g4(ink, uncompressed_rows=ur)
+        assert np.array_equal(decode_g4(blob, w, h), ink), seed
+        # all rows uncompressed
+        blob = encode_g4(ink, uncompressed_rows=set(range(h)))
+        assert np.array_equal(decode_g4(blob, w, h), ink), seed
+    # degenerate rows: all white (long 000001 chains + exit) and all
+    # black (every pixel a '1' code, exit after a black)
+    for fill in (0, 1):
+        ink = np.full((3, 41), fill, np.uint8)
+        blob = encode_g4(ink, uncompressed_rows={0, 1, 2})
+        assert np.array_equal(decode_g4(blob, 41, 3), ink)
+
+
+def test_t6_uncompressed_mid_row_entry_and_exit_t():
+    """Hand-built stream: a horizontal-mode run pair, then the
+    extension code enters uncompressed mode MID-ROW; the exit's T bit
+    sets the color of the resumed 2-D coding."""
+    from hortacloud_importer_spark.sources.ccitt import _BitWriter
+
+    # width 16: row = 4 white, 2 black (horizontal), then literals
+    # 1,0,1,1 (uncompressed), exit with T=0 (white), then V0 codes
+    # the rest against the all-white reference via b1=16
+    bw = _BitWriter()
+    bw.write("001")  # horizontal mode
+    bw.write("1011")  # white run 4 (T.4 terminating code)
+    bw.write("11")  # black run 2
+    bw.write("0000001111")  # extension -> uncompressed
+    bw.write("1")  # literal black
+    bw.write("01")  # literal white, black
+    bw.write("1")  # literal black
+    bw.write("0000001" + "0")  # exit, 0 trailing whites, T=white
+    bw.write("1")  # V0: a1 = b1 = 16 (row completes white)
+    bw.align()
+    expect = np.array(
+        [[0, 0, 0, 0, 1, 1, 1, 0, 1, 1, 0, 0, 0, 0, 0, 0]], np.uint8
+    )
+    assert np.array_equal(decode_g4(bytes(bw.out), 16, 1), expect)
+
+
+def test_t6_uncompressed_tiff_t6options_and_named_errors():
+    """encode_tiff writes T6Options bit 1 alongside uncompressed-mode
+    strips; decode reads them; other extension types stay gated."""
+    import struct as _s
+
+    from hortacloud_importer_spark.sources.ccitt import (
+        _BitWriter,
+        _decode_uncompressed,
+        _Bits,
+    )
+    from hortacloud_importer_spark.sources.tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    ink = _rand_ink(31, 16, 16, 0.35)
+    blob = encode_tiff(ink[None], compression="g4",
+                       g4_uncompressed_rows={0, 7, 15})
+    assert _s.pack("<H", 293) in blob  # T6Options tag on the wire
+    assert np.array_equal(decode_tiff(blob)[0, :, :, 0], ink)
+    # a non-uncompressed extension type raises by NAME
+    bw = _BitWriter()
+    bw.write("0000001" + "101")  # extension type 5
+    bw.align()
+    with pytest.raises(CcittParseError, match="extension type"):
+        decode_g4(bytes(bw.out), 8, 1)
+    # >10 zeros inside uncompressed mode raises by name
+    bits = _Bits(bytes(2))
+    with pytest.raises(CcittParseError, match="10 zeros"):
+        _decode_uncompressed(bits, 8)
+    # literal overrun raises by name
+    bw = _BitWriter()
+    bw.write("0000001111" + "1" * 9 + "00000010")
+    bw.align()
+    with pytest.raises(CcittParseError, match="overrun"):
+        decode_g4(bytes(bw.out), 8, 1)
