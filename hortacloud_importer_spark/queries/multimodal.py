@@ -592,3 +592,97 @@ def mm_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "timescale",
         "is_sync",
     )
+
+
+@register(
+    "mm_video_sync_decode",
+    "K4",
+    driver=False,
+    oracle="""
+SELECT codec, n_sync_frames, height, width, channels, matches_still
+FROM (VALUES
+  ('av01', 3, 64, 64, 3, TRUE),
+  ('hvc1', 3, 64, 64, 3, TRUE)
+) AS t(codec, n_sync_frames, height, width, channels, matches_still)
+""",
+)
+def mm_video_sync_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 HEVC/AV1 video-track sample decode through the libheif
+    binding, oracle-exact on the route-equivalence invariant: three
+    lossless stills per codec are lifted into an hvc1/av01 MP4 track
+    (sources/isobmff.py build_video_mp4), each SYNC sample is
+    rewrapped as a HEIF/AVIF still on the executors
+    (decode_isobmff_video) and decoded by the same de265/dav1d
+    binding — and every MP4-route frame must equal the still-route
+    decode BIT-EXACTLY (same decoder, same coded bytes; codec-version
+    drift cancels out, so the pin is portable). Requires the libheif
+    binding + x265/aom encoders (present in this container); absent
+    bindings raise the standard named gate rather than fake rows."""
+    import numpy as np
+
+    from hortacloud_importer_spark.sources.heif import (
+        decode_heif,
+        encode_heif,
+    )
+    from hortacloud_importer_spark.sources.isobmff import (
+        build_video_mp4,
+        heif_primary_item_payload,
+    )
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    rows = []
+    for codec, fourcc in (("hevc", b"hvc1"), ("av1", b"av01")):
+        stills = []
+        for f in range(3):
+            img = np.stack(
+                [
+                    (yy * 3 + xx + f * 11) % 256,
+                    (xx * 5 + f * 29) % 256,
+                    (yy * 2 + xx * 7 + f * 47) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            stills.append(encode_heif(img, codec=codec, lossless=True))
+        parts = [heif_primary_item_payload(s) for s in stills]
+        _t, cfg, cw, ch, _p = parts[0]
+        mp4 = build_video_mp4(fourcc, cfg, cw, ch, [p[4] for p in parts])
+        rows.append(
+            (fourcc.decode(), bytearray(mp4), [bytearray(s) for s in stills])
+        )
+    media = spark.createDataFrame(
+        rows, "codec string, mp4 binary, stills array<binary>"
+    ).repartition(2, "codec")
+
+    def kernel(batches):
+        import pandas as pd
+
+        from hortacloud_importer_spark.sources.heif import decode_heif
+        from hortacloud_importer_spark.sources.isobmff import (
+            decode_isobmff_video,
+        )
+
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                frames = decode_isobmff_video(bytes(row.mp4))
+                ok = all(
+                    np.array_equal(frames[i], decode_heif(bytes(s)))
+                    for i, s in enumerate(row.stills)
+                )
+                out.append(
+                    {
+                        "codec": row.codec,
+                        "n_sync_frames": int(frames.shape[0]),
+                        "height": int(frames.shape[1]),
+                        "width": int(frames.shape[2]),
+                        "channels": int(frames.shape[3]),
+                        "matches_still": bool(ok),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        kernel,
+        "codec string, n_sync_frames int, height int, width int,"
+        " channels int, matches_still boolean",
+    )

@@ -11,10 +11,13 @@ fragments (moof) so frames can be range-read without shipping mdat.
 Pixel decode: MJPEG-coded video tracks decode CLEAN-ROOM (every
 sample is a complete T.81 stream -> sources/jpeg.py); HEIF-family
 images decode through the optional system libheif binding
-(sources/heif.py); HEVC/AV1/AAC tracks stay a gated
-NotImplementedError — codec bindings belong behind the same optional
-import tail as PIL, and shipping a wrong decode would be worse than
-an honest gate.
+(sources/heif.py); hvc1/hev1/av01 video tracks route their SYNC
+samples through that same binding (decode_isobmff_video: each
+keyframe rewrapped byte-identical as a HEIF/AVIF still — MP4 samples
+and HEIF items share the coded layout); other codecs (AAC audio,
+AVC) stay a gated NotImplementedError — codec bindings belong behind
+the same optional import tail as PIL, and shipping a wrong decode
+would be worse than an honest gate.
 
 What the probe extracts:
 - HEIF/HEIC/AVIF (`ftyp` brands mif1/heic/heix/avif/avis):
@@ -275,7 +278,11 @@ def decode_isobmff(data: bytes):
         try:
             return decode_isobmff_mjpeg(data)  # clean-room, no binding
         except NotImplementedError:
-            pass  # non-JPEG codec: fall through to the named gate
+            try:
+                # hvc1/hev1/av01 sync samples through libheif
+                return decode_isobmff_video(data)
+            except NotImplementedError:
+                pass  # no such track / no binding: the named gate
     raise NotImplementedError(
         f"ISOBMFF {kind} payload ({w}x{h}): coded-stream decode needs "
         "a codec binding (HEVC/AV1/AAC) — header metadata is available "
@@ -667,3 +674,353 @@ def decode_isobmff_mjpeg(data: bytes) -> "object":
             )
         frames.append(arr)
     return np.stack(frames)
+
+
+# ------------------------------------ HEVC/AV1 video-track sample decode
+#
+# MP4 video samples and HEIF still items share the exact same coded
+# layout: length-prefixed HEVC NAL units under an hvcC config, raw AV1
+# OBUs under an av1C config. So each SYNC sample (IDR/keyframe — the
+# only samples that decode standalone) of an hvc1/hev1/av01 track can
+# be rewrapped, byte-identical, as a minimal HEIF/AVIF still and
+# routed through the SAME libheif binding that decodes HEIC/AVIF
+# images (sources/heif.py, de265/dav1d). Binding absent -> the honest
+# NotImplementedError gate decode_isobmff always raised.
+
+_VIDEO_CONFIG_TAGS = {
+    b"hvc1": (b"hvcC", b"heic"),
+    b"hev1": (b"hvcC", b"heic"),
+    b"av01": (b"av1C", b"avif"),
+}
+
+
+def isobmff_video_configs(data: bytes) -> dict:
+    """track_id -> (sample-entry 4CC, width, height, raw decoder
+    config box bytes) for every hvc1/hev1/av01 video track — stsd
+    VisualSampleEntry walk only, no payload reads."""
+    boxes = isobmff_boxes(data)
+    out: dict = {}
+    for path, ta, tb in boxes:
+        if path[-1] != b"trak":
+            continue
+        sub = [(p, a, b) for p, a, b in boxes if ta <= a and b <= tb]
+        tkhd = next(((a, b) for p, a, b in sub if p[-1] == b"tkhd"), None)
+        stsd = next(((a, b) for p, a, b in sub if p[-1] == b"stsd"), None)
+        if tkhd is None or stsd is None:
+            continue
+        ver = _u(data, tkhd[0], 1)
+        track_id = _u(data, tkhd[0] + (4 + 16 if ver else 4 + 8), 4)
+        a, b = stsd
+        if b - a < 16 or _u(data, a + 4, 4) < 1:
+            continue
+        entry_size = _u(data, a + 8, 4)
+        fourcc = data[a + 12 : a + 16]
+        if fourcc not in _VIDEO_CONFIG_TAGS:
+            continue
+        e0 = a + 8
+        if entry_size < 86 + 8 or e0 + entry_size > b:
+            raise IsobmffParseError("visual sample entry truncated")
+        w = _u(data, a + 40, 2)
+        h = _u(data, a + 42, 2)
+        cfg_tag = _VIDEO_CONFIG_TAGS[fourcc][0]
+        pos = e0 + 86  # past the fixed VisualSampleEntry fields
+        cfg = None
+        while pos + 8 <= e0 + entry_size:
+            csize = _u(data, pos, 4)
+            if csize < 8 or pos + csize > e0 + entry_size:
+                raise IsobmffParseError("sample-entry child overruns")
+            if data[pos + 4 : pos + 8] == cfg_tag:
+                cfg = data[pos : pos + csize]
+                break
+            pos += csize
+        if cfg is None:
+            raise IsobmffParseError(
+                f"{fourcc.decode('latin1')} entry lacks its "
+                f"{cfg_tag.decode('latin1')} config box"
+            )
+        out[track_id] = (fourcc, w, h, cfg)
+    return out
+
+
+def wrap_sample_as_heif(
+    config_box: bytes, item_type: bytes, brand: bytes,
+    w: int, h: int, sample: bytes,
+) -> bytes:
+    """One coded video sample + its decoder config -> a minimal
+    HEIF/AVIF still container libheif decodes: ftyp + meta
+    (hdlr pict / pitm / iloc / iinf / iprp with the config box and an
+    ispe) + mdat. The sample bytes are copied verbatim — MP4 samples
+    and HEIF items share the coded layout."""
+
+    def _box(t: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    def _full(t: bytes, payload: bytes, ver: int = 0) -> bytes:
+        return _box(t, bytes([ver, 0, 0, 0]) + payload)
+
+    ftyp = _box(b"ftyp", brand + b"\x00\x00\x00\x00" + b"mif1" + brand)
+    hdlr = _full(
+        b"hdlr", b"\x00" * 4 + b"pict" + b"\x00" * 12 + b"\x00"
+    )
+    pitm = _full(b"pitm", struct.pack(">H", 1))
+    iinf = _full(
+        b"iinf",
+        struct.pack(">H", 1)
+        + _full(
+            b"infe",
+            struct.pack(">HH", 1, 0) + item_type + b"\x00",
+            ver=2,
+        ),
+    )
+    ispe = _full(b"ispe", struct.pack(">II", w, h))
+    ipco = _box(b"ipco", config_box + ispe)
+    ipma = _full(
+        b"ipma",
+        struct.pack(">I", 1) + struct.pack(">HB", 1, 2)
+        + bytes([0x81, 0x02]),  # config essential, ispe plain
+    )
+    iprp = _box(b"iprp", ipco + ipma)
+
+    def _iloc(offset: int) -> bytes:
+        return _full(
+            b"iloc",
+            bytes([0x44, 0x00])  # offset_size 4, length_size 4
+            + struct.pack(">HHHH", 1, 1, 0, 1)  # count, id, dri, extents
+            + struct.pack(">II", offset, len(sample)),
+        )
+
+    # iloc is fixed-size, so assemble once with 0 to learn the layout
+    meta0 = _full(b"meta", hdlr + pitm + _iloc(0) + iinf + iprp)
+    offset = len(ftyp) + len(meta0) + 8  # into the mdat body
+    meta = _full(b"meta", hdlr + pitm + _iloc(offset) + iinf + iprp)
+    return ftyp + meta + _box(b"mdat", sample)
+
+
+def build_video_mp4(
+    fourcc: bytes, config_box: bytes, w: int, h: int,
+    samples: list, timescale: int = 30000, duration: int = 1001,
+    track_id: int = 1,
+) -> bytes:
+    """Fixture builder: coded samples (each an independently decodable
+    keyframe) + their decoder config -> an unfragmented MP4 with one
+    hvc1/hev1/av01 video track (stsd VisualSampleEntry + stts/stsc/
+    stsz/stco; no stss, so every sample reports sync)."""
+    if fourcc not in _VIDEO_CONFIG_TAGS:
+        raise IsobmffParseError(f"unsupported video fourcc {fourcc!r}")
+
+    def _box(t: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    def _full(t: bytes, payload: bytes, ver: int = 0) -> bytes:
+        return _box(t, bytes([ver, 0, 0, 0]) + payload)
+
+    entry_body = (
+        b"\x00" * 6 + struct.pack(">H", 1)  # SampleEntry: dri 1
+        + b"\x00" * 16  # pre_defined / reserved
+        + struct.pack(">HH", w, h)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + b"\x00" * 4
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 24, -1)  # depth, pre_defined
+        + config_box
+    )
+    stsd = _full(b"stsd", struct.pack(">I", 1) + _box(fourcc, entry_body))
+    n = len(samples)
+    stts = _full(b"stts", struct.pack(">III", 1, n, duration))
+    stsc = _full(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+    stsz = _full(
+        b"stsz",
+        struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", len(s)) for s in samples),
+    )
+
+    def _stco(off: int) -> bytes:
+        return _full(b"stco", struct.pack(">II", 1, off))
+
+    def _moov(off: int) -> bytes:
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + _stco(off))
+        mdhd = _full(
+            b"mdhd",
+            struct.pack(">IIII", 0, 0, timescale, n * duration)
+            + b"\x00" * 4,
+        )
+        hdlr = _full(
+            b"hdlr", b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00"
+        )
+        mdia = _box(b"mdia", mdhd + hdlr + _box(b"minf", stbl))
+        tkhd = _full(
+            b"tkhd",
+            struct.pack(">III", 0, 0, track_id) + b"\x00" * 60
+            + struct.pack(">II", w << 16, h << 16),
+        )
+        return _box(b"moov", _box(b"trak", tkhd + mdia))
+
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x00\x00mp42")
+    off0 = len(ftyp) + len(_moov(0)) + 8
+    return ftyp + _moov(off0) + _box(b"mdat", b"".join(samples))
+
+
+def decode_isobmff_video(data: bytes):
+    """hvc1/hev1/av01 video track -> (n_sync_frames, h, w, c) uint8:
+    every SYNC sample of the first HEVC/AV1 track is rewrapped as a
+    HEIF/AVIF still (wrap_sample_as_heif) and decoded through the
+    libheif binding — the video analog of the HEIC image path, with
+    the MJPEG composition's shape/guard contract. Non-sync samples
+    reference prior frames and are skipped (range-read schedulers
+    sample sync frames; sources/heif.py gates when the binding is
+    absent)."""
+    import numpy as np
+
+    configs = isobmff_video_configs(data)
+    if not configs:
+        raise NotImplementedError(
+            "no HEVC/AV1 video track to route through libheif"
+        )
+    from hortacloud_importer_spark.sources.heif import (
+        decode_heif,
+        load_libheif,
+    )
+
+    if load_libheif() is None:
+        raise NotImplementedError(
+            "HEVC/AV1 sample decode needs the libheif codec binding"
+        )
+    track = next(iter(configs))
+    fourcc, w, h, cfg = configs[track]
+    cfg_tag, brand = _VIDEO_CONFIG_TAGS[fourcc]
+    # HEIF item type: hvc1 for any HEVC flavor, av01 for AV1
+    item_type = b"hvc1" if cfg_tag == b"hvcC" else b"av01"
+    idx = [
+        r for r in isobmff_frame_index(data)
+        if r[0] == track and r[7]  # sync samples only
+    ]
+    if not idx:
+        raise IsobmffParseError("video track has no sync samples")
+    frames = []
+    shape = None
+    total = 0
+    for (_tid, _si, off, sz, _dts, _dur, _ts, _sync) in idx:
+        still = wrap_sample_as_heif(
+            cfg, item_type, brand, w, h, data[off : off + sz],
+        )
+        arr = decode_heif(still)
+        if shape is None:
+            shape = arr.shape
+        elif arr.shape != shape:
+            raise IsobmffParseError(
+                f"frame size changes mid-track: {arr.shape} vs {shape}"
+            )
+        total += arr.size
+        if total > 1 << 28:
+            raise IsobmffParseError(
+                f"{len(idx)} sync frames of {shape} exceed the "
+                "full-decode guard; use the frame index to range-read "
+                "a subset"
+            )
+        frames.append(arr)
+    return np.stack(frames)
+
+
+def heif_primary_item_payload(data: bytes) -> tuple:
+    """-> (item_type 4CC, raw decoder config box, w, h, item bytes)
+    for a HEIF/AVIF still's first CODED (hvc1/av01) item — libheif
+    often wraps the primary image in a 1x1 ``grid`` item that merely
+    references the coded tile via iref/dimg, so the coded item is the
+    one whose bytes an MP4 video-track fixture wants. The inverse of
+    :func:`wrap_sample_as_heif` (used by build_video_mp4 fixtures)."""
+    boxes = isobmff_boxes(data)
+    # first coded item from iinf/infe (iinf is a counted full box —
+    # its infe children follow the entry count, so walk them inline)
+    item_type = item_id = None
+    iinf = next(((a, b) for p, a, b in boxes if p[-1] == b"iinf"), None)
+    if iinf is None:
+        raise IsobmffParseError("no iinf box")
+    a, b = iinf
+    iver = _u(data, a, 1)
+    pos = a + 4
+    n_items = _u(data, pos, 2 if iver == 0 else 4)
+    pos += 2 if iver == 0 else 4
+    for _ in range(n_items):
+        if pos + 8 > b:
+            raise IsobmffParseError("iinf shorter than its entry count")
+        isize = _u(data, pos, 4)
+        if isize < 8 or pos + isize > b or data[pos + 4 : pos + 8] != b"infe":
+            raise IsobmffParseError("malformed infe entry")
+        ever = _u(data, pos + 8, 1)
+        if ever >= 2:
+            iid = _u(data, pos + 12, 2 if ever == 2 else 4)
+            off = pos + 12 + (2 if ever == 2 else 4) + 2
+            if data[off : off + 4] in (b"hvc1", b"av01"):
+                item_type = data[off : off + 4]
+                item_id = iid
+                break
+        pos += isize
+    if item_type is None:
+        raise IsobmffParseError("no hvc1/av01 coded item in iinf")
+    # config box + dims from the associated ipco properties
+    children = [
+        (p[-1], a, b)
+        for p, a, b in boxes
+        if len(p) >= 2 and p[-2] == b"ipco"
+    ]
+    ipma = next(((a, b) for p, a, b in boxes if p[-1] == b"ipma"), None)
+    if ipma is None:
+        raise IsobmffParseError("no ipma box")
+    cfg = None
+    w = h = 0
+    for idx in _ipma_assocs(data, ipma, item_id):
+        if idx >= len(children):
+            raise IsobmffParseError("ipma names a missing property")
+        tag, a, b = children[idx]
+        if tag in (b"hvcC", b"av1C"):
+            cfg = struct.pack(">I", (b - a) + 8) + tag + data[a:b]
+        elif tag == b"ispe":
+            w, h = _u(data, a + 4, 4), _u(data, a + 8, 4)
+    if cfg is None:
+        raise IsobmffParseError("primary item has no hvcC/av1C config")
+    # item bytes from iloc
+    iloc = next(((a, b) for p, a, b in boxes if p[-1] == b"iloc"), None)
+    if iloc is None:
+        raise IsobmffParseError("no iloc box")
+    a, b = iloc
+    lver = _u(data, a, 1)
+    pos = a + 4
+    sizes = _u(data, pos, 2)
+    pos += 2
+    offset_size = sizes >> 12
+    length_size = (sizes >> 8) & 0xF
+    base_size = (sizes >> 4) & 0xF
+    index_size = sizes & 0xF if lver in (1, 2) else 0
+    count = _u(data, pos, 2 if lver < 2 else 4)
+    pos += 2 if lver < 2 else 4
+    for _ in range(count):
+        iid = _u(data, pos, 2 if lver < 2 else 4)
+        pos += 2 if lver < 2 else 4
+        method = 0
+        if lver in (1, 2):
+            method = _u(data, pos, 2) & 0xF
+            pos += 2
+        pos += 2  # data_reference_index
+        base = _u(data, pos, base_size)
+        pos += base_size
+        n_ext = _u(data, pos, 2)
+        pos += 2
+        extents = []
+        for _ in range(n_ext):
+            pos += index_size
+            off = _u(data, pos, offset_size)
+            pos += offset_size
+            ln = _u(data, pos, length_size)
+            pos += length_size
+            extents.append((base + off, ln))
+        if iid == item_id:
+            if method != 0:
+                raise IsobmffParseError(
+                    f"iloc construction method {method} unsupported"
+                )
+            payload = b"".join(data[o : o + n] for o, n in extents)
+            if sum(n for _, n in extents) != len(payload):
+                raise IsobmffParseError("iloc extent overruns the file")
+            return item_type, cfg, w, h, payload
+    raise IsobmffParseError(f"iloc lacks an entry for item {item_id}")
