@@ -557,7 +557,15 @@ def mm_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     scheduler range-read selected frames (sync samples) from object
     storage without shipping mdat payloads. Offsets are reported
     relative to each file's first sample so the oracle VALUES stay
-    layout-independent; every dts/duration/size/sync bit is pinned."""
+    layout-independent; every dts/duration/size/sync bit is pinned.
+
+    Caveat: the fixtures here are hand-assembled (no third-party MP4
+    muxer exists in this container — the JDK's imageio has no MP4
+    writer). Two mitigations cross-check the same stbl/moof walker:
+    scan_mp4_frames decodes MJPEG samples located by it, and
+    mm_video_sync_decode feeds its byte ranges to libheif (an
+    INDEPENDENT parser of the coded payload), which would reject any
+    mis-offset sample as a corrupt HEVC/AV1 bitstream."""
     from pyspark.sql.window import Window
 
     from hortacloud_importer_spark.operators.multimodal import (

@@ -178,7 +178,24 @@ def mp3_bitrate_stats(data: bytes) -> tuple[int, int, bool]:
 
 def decode_mp3(data: bytes):
     """Full sample decode needs the subband-synthesis / MDCT chain —
-    an honest codec-binding gate, same contract as decode_isobmff."""
+    an honest codec-binding gate, same contract as decode_isobmff.
+
+    Why this stays a gate rather than a clean-room decode (assessed
+    deliberately): unlike FLAC (RFC 9639 — every table algorithmic)
+    or the T.800/T.81 entropy coders (state machines reproducible
+    from the spec text), conformant MPEG audio decode requires
+    committee-designed NUMERIC constant tables with no derivation:
+    the 512-tap synthesis window (ISO 11172-3 Table 3-B.3) for every
+    layer, the Layer II bit-allocation tables (B.2a-d), and the 34
+    Layer III Huffman code tables (B.7). This container has no
+    independent reference to verify a transcription against (no
+    mpg123/libmad/ffmpeg/minimp3, no Java MP3 SPI, nothing in the
+    retrieved public snippets), and an own-encoder round trip cannot
+    catch a mistranscribed constant — encoder and decoder would share
+    the error and pass while producing nonconforming PCM on real
+    files. Shipping a silently wrong decode is worse than this gate;
+    the exact frame walk (mp3_probe / mp3_bitrate_stats) covers the
+    crawl pipeline's metadata pass."""
     mp3_probe(data)  # validates the container before gating
     raise NotImplementedError(
         "MP3 sample decode needs an audio codec binding; the header "
