@@ -47,14 +47,19 @@ overrides decode (and the encoder emits them via ``qcc_eps_delta``).
 Maxshift
 region-of-interest (RGN, T.800 Annex H) decodes — ROI-upshifted
 coefficients classify by magnitude and scale back after Tier-1 —
-within the 31-coded-bit-plane integer domain. Code-block styles 0x04 (termination on each coding pass: per-pass
-codeword segments with shared context state, T.800 D.4.1/B.10.7.5)
-and 0x01 (selective arithmetic coding bypass: raw bit-stuffed
-SPP/MRP segments from the 5th bit-plane, D.6) DECODE, alone or
-combined. Honest gates (raised as :class:`J2kUnsupported`): custom
-precincts, the remaining code-block style flags (reset/vsc/segsym/
-predictable termination), explicit-style RGN, and tile grids
-misaligned to a subsampled component's rate x 2^levels.
+within the 31-coded-bit-plane integer domain. ALL SIX T.800 code-block mode switches decode, alone or in any
+combination: 0x01 selective arithmetic coding bypass (raw
+bit-stuffed SPP/MRP segments from the 5th bit-plane, D.6), 0x02
+context reset after every coding pass, 0x04 termination on each
+coding pass (per-pass codeword segments with shared context state,
+D.4.1/B.10.7.5), 0x08 vertically stripe-causal context formation
+(D.3.4), 0x10 predictable termination (an encoder-side flush
+property; decode is identical, so it passes through), and 0x20
+segmentation symbols (the 1010 cleanup-end marker, verified as an
+error check, D.5). Honest gates (raised as
+:class:`J2kUnsupported`): custom precincts, reserved style bits
+0x40/0x80, explicit-style RGN, and tile grids misaligned to a
+subsampled component's rate x 2^levels.
 Per-tile COD/QCD/COC/QCC overrides decode with the T.800 A.6
 precedence (tile COC > tile COD > main COC > main COD; tile QCC >
 tile QCD > main QCC > main QCD), restricted to a tile's first part.
@@ -617,10 +622,16 @@ class _T1State:
     :meth:`make_significant` — never recomputed."""
 
     __slots__ = ("w", "h", "sig", "sign", "visited", "refined",
-                 "cand", "colcand", "nsig")
+                 "cand", "colcand", "nsig", "vsc")
 
-    def __init__(self, w: int, h: int):
+    def __init__(self, w: int, h: int, vsc: bool = False):
         self.w, self.h = w, h
+        # vertically stripe-causal context formation (style 0x08,
+        # T.800 D.3.4): samples in the NEXT stripe are treated as
+        # insignificant when forming contexts for the last row of the
+        # current stripe — both significance counts and sign
+        # contributions. Coding order and state are unchanged.
+        self.vsc = vsc
         n = w * h
         self.sig = bytearray(n)
         self.sign = bytearray(n)  # 1 = negative
@@ -645,6 +656,7 @@ class _T1State:
     def neighbor_counts(self, x: int, y: int) -> tuple[int, int, int]:
         w, h, sig = self.w, self.h, self.sig
         i = y * w + x
+        below = y < h - 1 and not (self.vsc and (y & 3) == 3)
         hh = 0
         if x > 0 and sig[i - 1]:
             hh += 1
@@ -653,7 +665,7 @@ class _T1State:
         vv = 0
         if y > 0 and sig[i - w]:
             vv += 1
-        if y < h - 1 and sig[i + w]:
+        if below and sig[i + w]:
             vv += 1
         dd = 0
         if y > 0:
@@ -661,7 +673,7 @@ class _T1State:
                 dd += 1
             if x < w - 1 and sig[i - w + 1]:
                 dd += 1
-        if y < h - 1:
+        if below:
             if x > 0 and sig[i + w - 1]:
                 dd += 1
             if x < w - 1 and sig[i + w + 1]:
@@ -685,7 +697,7 @@ class _T1State:
         vc = 0
         if y > 0:
             vc += one(i - w)
-        if y < h - 1:
+        if y < h - 1 and not (self.vsc and (y & 3) == 3):
             vc += one(i + w)
         return max(-1, min(1, hc)), max(-1, min(1, vc))
 
@@ -733,7 +745,8 @@ def _seg_plan(
 
 def t1_decode_block(
     data, w: int, h: int, band: str, nplanes: int, npasses: int,
-    termall: bool = False, bypass: bool = False,
+    termall: bool = False, bypass: bool = False, reset: bool = False,
+    vsc: bool = False, segsym: bool = False,
 ) -> np.ndarray:
     """Decode one code-block -> signed int32 (h, w) coefficients.
     ``nplanes`` = magnitude bit-planes coded (Mb - missing),
@@ -744,8 +757,13 @@ def t1_decode_block(
     :func:`_seg_plan`: each MQ segment re-primes the interval
     registers (INITDEC) while the context states carry across
     segments (T.800 D.4.1); raw segments decode bit-stuffed raw
-    significance/sign/refinement bits (D.6)."""
-    st = _T1State(w, h)
+    significance/sign/refinement bits (D.6). ``reset`` (style 0x02)
+    reinitializes the context states after every coding pass; ``vsc``
+    (0x08) masks next-stripe neighbors during context formation;
+    ``segsym`` (0x20) checks the 1010 segmentation symbol the encoder
+    codes with the UNIFORM context at the end of each cleanup pass --
+    a mismatch is a detected bitstream error (D.5)."""
+    st = _T1State(w, h, vsc=vsc)
     plan = None
     if termall or bypass:
         plan = _seg_plan(0, npasses, termall, bypass)
@@ -775,7 +793,7 @@ def t1_decode_block(
                     mq = RawDecoder(data[seg_i])
                 else:
                     mq = MQDecoder(data[seg_i])
-                    if mq_ctx is not None:
+                    if mq_ctx is not None and not reset:
                         mq.st = mq_ctx
                 seg_i += 1
             seg_left -= 1
@@ -785,8 +803,20 @@ def t1_decode_block(
             _mrp(st, mq, mag, bp, decode=True)
         else:
             _cup(st, mq, mag, bp, band, decode=True)
+            if segsym:
+                sym = 0
+                for _ in range(4):
+                    sym = (sym << 1) | mq.decode(CTX_UNI)
+                if sym != 0b1010:
+                    raise J2kParseError(
+                        "segmentation symbol mismatch (bitstream error)"
+                    )
             bp -= 1
             st.visited = bytearray(w * h)
+        if reset and not getattr(mq, "is_raw", False):
+            mq.st[:] = bytearray(
+                (i << 1) | m for i, m in _CTX_INIT[:N_CTX]
+            )
         pass_kind = (pass_kind + 1) % 3
     out = np.zeros((h, w), dtype=np.int32)
     for y in range(h):
@@ -800,7 +830,8 @@ def t1_decode_block(
 
 def t1_encode_block(
     coeffs: np.ndarray, band: str, termall: bool = False,
-    bypass: bool = False,
+    bypass: bool = False, reset: bool = False, vsc: bool = False,
+    segsym: bool = False,
 ) -> tuple:
     """Encode one code-block of signed ints -> (codeword bytes,
     n_planes_used, n_passes). All-zero blocks return (b"", 0, 0) —
@@ -815,7 +846,7 @@ def t1_encode_block(
     if amax == 0:
         return ([] if segmented else b""), 0, 0
     nplanes = amax.bit_length()
-    st = _T1State(w, h)
+    st = _T1State(w, h, vsc=vsc)
     mag = [0] * (w * h)
     sgn = st.sign
     flat = coeffs.ravel()
@@ -841,7 +872,7 @@ def t1_encode_block(
                 mq = RawEncoder()
             else:
                 mq = MQEncoder()
-                if mq_idx is not None:
+                if mq_idx is not None and not reset:
                     mq.idx, mq.mps = mq_idx, mq_mps
         if pass_kind == 0:
             _spp(st, mq, mag, bp, band, decode=False)
@@ -849,8 +880,14 @@ def t1_encode_block(
             _mrp(st, mq, mag, bp, decode=False)
         else:
             _cup(st, mq, mag, bp, band, decode=False)
+            if segsym:
+                for bit in (1, 0, 1, 0):
+                    mq.encode(CTX_UNI, bit)
             bp -= 1
             st.visited = bytearray(w * h)
+        if reset and not getattr(mq, "is_raw", False):
+            mq.idx = [i for i, _ in _CTX_INIT[:N_CTX]]
+            mq.mps = [m for _, m in _CTX_INIT[:N_CTX]]
         npasses += 1
         pass_kind = (pass_kind + 1) % 3
         if plan is not None:
@@ -1545,6 +1582,9 @@ def encode_j2k(
     tile_overrides: "dict[int, dict] | None" = None,
     termall: bool = False,
     bypass: bool = False,
+    reset: bool = False,
+    vsc: bool = False,
+    segsym: bool = False,
 ) -> bytes:
     """(h, w[, nc]) uint8/uint16 -> lossless (5/3) codestream.
     ``tile=(xt, yt)`` splits the image into an XTsiz x YTsiz grid of
@@ -1634,9 +1674,11 @@ def encode_j2k(
             ):
                 raise J2kParseError(f"invalid COC code-block size {over}")
             cbw_c[ci], cbh_c[ci] = ow, oh
-    if (termall or bypass) and (coc or tile_overrides):
+    if (termall or bypass or reset or vsc or segsym) and (
+        coc or tile_overrides
+    ):
         raise J2kParseError(
-            "termall/bypass compose with uniform code-block style only"
+            "code-block style modes compose with uniform style only"
         )
     if tile_overrides:
         if lossy or subsampling or poc or coc or packed_headers:
@@ -1794,6 +1836,9 @@ def encode_j2k(
                 poc=poc,
                 termall=termall,
                 bypass=bypass,
+                reset=reset,
+                vsc=vsc,
+                segsym=segsym,
             )
         )
 
@@ -1813,7 +1858,10 @@ def encode_j2k(
         (cbw.bit_length() - 1) - 2,
         (cbh.bit_length() - 1) - 2,
         (0x04 if termall else 0)
-        | (0x01 if bypass else 0),  # code-block style bits
+        | (0x01 if bypass else 0)
+        | (0x02 if reset else 0)
+        | (0x08 if vsc else 0)
+        | (0x20 if segsym else 0),  # code-block style bits
         0 if lossy else 1,  # transformation: 9/7 or 5/3
     )
     cod = struct.pack(">HBBHB", 12, 0, prog, layers, 1 if mct else 0) + spcod
@@ -2003,6 +2051,9 @@ def _encode_tile(
     poc: list | None = None,
     termall: bool = False,
     bypass: bool = False,
+    reset: bool = False,
+    vsc: bool = False,
+    segsym: bool = False,
 ) -> list[bytes]:
     """Tier-1 + Tier-2 encode one tile's (already level-shifted /
     MCT'd) component planes into its packet stream, returned one
@@ -2124,7 +2175,8 @@ def _encode_tile(
                             blk = np.where(mask, blk << roi_shift, blk)
                         data, nplanes, npasses = t1_encode_block(
                             blk, band.btype, termall=termall,
-                            bypass=bypass,
+                            bypass=bypass, reset=reset, vsc=vsc,
+                            segsym=segsym,
                         )
                         if nplanes > band.mb:
                             raise J2kParseError(
@@ -2306,9 +2358,12 @@ def _parse_cod(cod: bytes, what: str):
     levels, xcb, ycb, cbstyle, transform = cod[5:10]
     if nlayers < 1:
         raise J2kParseError(f"zero quality layers ({what})")
-    if cbstyle & ~0x05:
-        # 0x04 = termination on each coding pass and 0x01 = selective
-        # arithmetic coding bypass (both supported); the
+    if cbstyle & ~0x3F:
+        # all six T.800 mode-switch bits decode: 0x01 bypass, 0x02
+        # context reset, 0x04 termall, 0x08 vertically stripe-causal,
+        # 0x10 predictable termination (an encoder-side flush
+        # property -- decode is identical, so it passes through),
+        # 0x20 segmentation symbols; the
         # other mode flags (bypass/reset/vsc/segsym/predictable
         # termination) stay gated
         raise J2kUnsupported(f"code-block style 0x{cbstyle:02x} ({what})")
@@ -2341,7 +2396,7 @@ def _apply_coc(seg: bytes, nc: int, levels_c: list, cbw_c: list,
     if scoc & 0x01:
         raise J2kUnsupported(f"custom precinct sizes ({what})")
     lv, xcb2, ycb2, cbsty2, tr2 = body[1:6]
-    if cbsty2 & ~0x05:
+    if cbsty2 & ~0x3F:
         raise J2kUnsupported(f"code-block style 0x{cbsty2:02x} ({what})")
     if tr2 not in (0, 1):
         raise J2kParseError(f"unknown transformation {tr2} ({what})")
@@ -2938,8 +2993,12 @@ def _decode_tile_planes(
         exps = exps_c[ci]
         mus = mus_c[ci] if mus_c is not None else None
         rgn = rgn_c[ci] if rgn_c is not None else 0
-        termall = bool(cbsty_c[ci] & 0x04) if cbsty_c else False
-        bypass = bool(cbsty_c[ci] & 0x01) if cbsty_c else False
+        cbs_i = cbsty_c[ci] if cbsty_c else 0
+        termall = bool(cbs_i & 0x04)
+        bypass = bool(cbs_i & 0x01)
+        reset = bool(cbs_i & 0x02)
+        vsc = bool(cbs_i & 0x08)
+        segsym = bool(cbs_i & 0x20)
         bands = _build_bands(
             th_c[ci], tw_c[ci], levels_c[ci], cbw_c[ci], cbh_c[ci],
             depths[ci], x0_c[ci], y0_c[ci],
@@ -2959,6 +3018,9 @@ def _decode_tile_planes(
                 band.rgn = rgn
                 band.termall = termall
                 band.bypass = bypass
+                band.reset = reset
+                band.vsc = vsc
+                band.segsym = segsym
                 if transform_c[ci] == 0:
                     rb = depths[ci] + _BAND_GAIN[band.btype]
                     band.step = 2.0 ** (rb - exps[k]) * (
@@ -3093,6 +3155,9 @@ def _decode_tile_planes(
                         chunks if segmented else b"".join(chunks),
                         bw, bh, band.btype, nplanes, npasses,
                         termall=termall, bypass=bypass,
+                        reset=getattr(band, "reset", False),
+                        vsc=getattr(band, "vsc", False),
+                        segsym=getattr(band, "segsym", False),
                     )
                     rgn = getattr(band, "rgn", 0)
                     if rgn:

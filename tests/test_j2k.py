@@ -212,7 +212,7 @@ def test_unsupported_features_gate_with_names():
         decode_j2k(bytes(bad))
 
     bad = bytearray(cs)
-    _patch_cod(bad, 10, 0x02)  # code-block style: reset on each pass
+    _patch_cod(bad, 10, 0x40)  # reserved code-block style bit
     with pytest.raises(J2kUnsupported, match="code-block style"):
         decode_j2k(bytes(bad))
 
@@ -1094,12 +1094,12 @@ def test_bypass_corruption_raises_named_errors_only():
             pass
 
 
-def test_termall_other_style_flags_stay_gated():
+def test_reserved_style_bits_stay_gated():
     rng = np.random.default_rng(149)
     img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
     enc = encode_j2k(img, levels=1, termall=True)
     c = enc.find(b"\xff\x52")
-    for flag in (0x02, 0x08, 0x10, 0x20):
+    for flag in (0x40, 0x80, 0xC0):
         b = bytearray(enc)
         b[c + 4 + 8] = 0x04 | flag
         with pytest.raises(J2kUnsupported, match="code-block style"):
@@ -1111,6 +1111,99 @@ def test_termall_corruption_raises_named_errors_only():
     base = encode_j2k(
         rng.integers(0, 65536, (24, 24)).astype(np.uint16),
         levels=2, termall=True,
+    )
+    for t in range(300):
+        b = bytearray(base)
+        mode = t % 3
+        if mode == 0:
+            b = b[: int(rng.integers(1, len(b)))]
+        elif mode == 1:
+            i = int(rng.integers(0, len(b)))
+            b[i] ^= 1 << int(rng.integers(0, 8))
+        else:
+            i = int(rng.integers(0, len(b)))
+            b[i : i + 4] = bytes(rng.integers(0, 256, 4).tolist())
+        try:
+            decode_j2k(bytes(b))
+        except J2kParseError:
+            pass
+
+
+def test_all_six_mode_switches_round_trip():
+    """T.800 code-block mode switches 0x01-0x20 decode in any
+    combination: reset (0x02) reinitializes contexts per pass, vsc
+    (0x08) masks next-stripe neighbors in context formation, segsym
+    (0x20) codes a verified 1010 at each cleanup end — composed with
+    bypass/termall, layers, tiles, and lossy 9/7."""
+    rng = np.random.default_rng(167)
+    img = rng.integers(0, 65536, (40, 48)).astype(np.uint16)
+    rgb = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    combos = [
+        dict(reset=True),
+        dict(vsc=True),
+        dict(segsym=True),
+        dict(reset=True, vsc=True, segsym=True),
+        dict(bypass=True, vsc=True, segsym=True),
+        dict(termall=True, reset=True),
+        dict(termall=True, bypass=True, reset=True, vsc=True,
+             segsym=True),
+    ]
+    for kw in combos:
+        blob = encode_j2k(img, levels=2, **kw)
+        assert np.array_equal(decode_j2k(blob)[:, :, 0], img), kw
+        blob = encode_j2k(rgb, levels=2, layers=2, tile=(16, 32), **kw)
+        assert np.array_equal(decode_j2k(blob), rgb), kw
+    # the full style byte is on the wire
+    blob = encode_j2k(img, levels=1, termall=True, bypass=True,
+                      reset=True, vsc=True, segsym=True)
+    c = blob.find(b"\xff\x52")
+    assert blob[c + 12] == 0x2F
+    # lossy composes
+    blob = encode_j2k(img, levels=2, lossy=True, reset=True, vsc=True,
+                      segsym=True)
+    d = np.abs(decode_j2k(blob)[:, :, 0].astype(np.int64) - img)
+    assert d.max() <= 2
+
+
+def test_predictable_termination_bit_is_a_decode_noop():
+    """Style 0x10 only constrains the ENCODER's flush; a stream whose
+    header sets it decodes identically."""
+    rng = np.random.default_rng(173)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    enc = encode_j2k(img, levels=1, termall=True)
+    b = bytearray(enc)
+    c = enc.find(b"\xff\x52")
+    b[c + 12] = 0x04 | 0x10
+    assert np.array_equal(decode_j2k(bytes(b))[:, :, 0], img)
+
+
+def test_segsym_detects_payload_corruption():
+    """The segmentation symbol is a real error check: corrupting the
+    Tier-1 payload of a segsym stream must surface the named
+    mismatch (or another named parse error) far more often than
+    silent mis-decode — and the specific 1010 check fires."""
+    rng = np.random.default_rng(179)
+    img = rng.integers(0, 65536, (24, 24)).astype(np.uint16)
+    enc = encode_j2k(img, levels=1, segsym=True)
+    sod = enc.find(b"\xff\x93") + 2
+    hits = 0
+    for t in range(120):
+        b = bytearray(enc)
+        i = sod + int(rng.integers(0, len(enc) - sod - 2))
+        b[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            decode_j2k(bytes(b))
+        except J2kParseError as exc:
+            if "segmentation symbol" in str(exc):
+                hits += 1
+    assert hits > 10  # the check demonstrably fires on corruption
+
+
+def test_new_style_corruption_raises_named_errors_only():
+    rng = np.random.default_rng(181)
+    base = encode_j2k(
+        rng.integers(0, 65536, (24, 24)).astype(np.uint16),
+        levels=2, bypass=True, reset=True, vsc=True, segsym=True,
     )
     for t in range(300):
         b = bytearray(base)

@@ -94,7 +94,7 @@ def test_decode_jp2_gate_names_feature_and_options():
     while pos < len(cs):
         marker, length = struct.unpack(">HH", cs[pos : pos + 4])
         if marker == 0xFF52:  # COD: SPcod code-block style byte
-            cs[pos + length] = 0x02  # context reset on each pass
+            cs[pos + length] = 0x40  # reserved style bit
             break
         pos += 2 + length
     with pytest.raises(NotImplementedError, match="code-block style.*OpenJPEG"):
