@@ -56,10 +56,16 @@ D.4.1/B.10.7.5), 0x08 vertically stripe-causal context formation
 (D.3.4), 0x10 predictable termination (an encoder-side flush
 property; decode is identical, so it passes through), and 0x20
 segmentation symbols (the 1010 cleanup-end marker, verified as an
-error check, D.5). Honest gates (raised as
-:class:`J2kUnsupported`): custom precincts, reserved style bits
-0x40/0x80, explicit-style RGN, and tile grids misaligned to a
-subsampled component's rate x 2^levels.
+error check, D.5). Custom precincts (Scod bit 0, B.9) decode:
+per-resolution partitions with per-precinct tag trees and packets,
+code-blocks clamped to the precinct size, position-ordered packet
+sequences for RPCL/PCRL/CPRL — composing with tiles, tile-parts,
+layers, every progression, lossy 9/7, subsampling, packed headers,
+and the style modes. Honest gates (raised as
+:class:`J2kUnsupported`): reserved style bits 0x40/0x80,
+explicit-style RGN, precincts combined with POC / COC / per-tile
+COD overrides, and tile grids misaligned to a subsampled
+component's rate x 2^levels.
 Per-tile COD/QCD/COC/QCC overrides decode with the T.800 A.6
 precedence (tile COC > tile COD > main COC > main COD; tile QCC >
 tile QCD > main QCC > main QCD), restricted to a tile's first part.
@@ -1326,9 +1332,19 @@ class _Band:
         mb: int,
         ox: int = 0,
         oy: int = 0,
+        ppx: int = 15,
+        ppy: int = 15,
+        pcx: int | None = None,
+        pcy: int | None = None,
     ):
         self.btype = btype
         self.h, self.w = h, w
+        # T.800 B.7: the code-block partition may not cross precinct
+        # boundaries -- the effective code-block size is clamped to
+        # the precinct size (both canvas-anchored powers of two, so
+        # blocks nest exactly inside precincts)
+        cbw = min(cbw, 1 << ppx)
+        cbh = min(cbh, 1 << ppy)
         self.cbw, self.cbh = cbw, cbh
         self.mb = mb
         self.ox, self.oy = ox, oy
@@ -1337,14 +1353,71 @@ class _Band:
         self.ncx = (-(-(ox + w) // cbw) - self.mx0) if w else 0
         self.ncy = (-(-(oy + h) // cbh) - self.my0) if h else 0
         n = self.ncx * self.ncy
-        self.incl = TagTree(self.ncx or 1, self.ncy or 1)
-        self.msb = TagTree(self.ncx or 1, self.ncy or 1)
+        # precinct grid (B.9): band-coordinate exponents; counts are
+        # the RESOLUTION's (shared by all its bands; a precinct's
+        # region in one band may be empty). Default 2^15 = the
+        # no-precinct case: one precinct, one tag-tree pair.
+        self.ppx, self.ppy = ppx, ppy
+        self.px0 = (ox >> ppx) if w else 0
+        self.py0 = (oy >> ppy) if h else 0
+        own_pcx = ((-(-(ox + w) >> ppx)) - self.px0) if w else 0
+        own_pcy = ((-(-(oy + h) >> ppy)) - self.py0) if h else 0
+        self.pcx = pcx if pcx is not None else own_pcx
+        self.pcy = pcy if pcy is not None else own_pcy
+        if own_pcx > self.pcx or own_pcy > self.pcy:
+            raise J2kParseError(
+                "band precinct grid exceeds the resolution's"
+            )
+        self._trees: dict[tuple, tuple] = {}
         self.lblock = [3] * n
         self.coeffs = None  # decoder: np array filled per block
         self.step = None  # scalar quantization step (None: reversible)
         # decoder: block index -> [missing-planes p, total passes,
         # list of codeword chunks] accumulated across quality layers
         self.contrib: dict[int, list] = {}
+
+    def precinct_block_range(self, px: int, py: int) -> tuple:
+        """Relative block-index ranges (bx_lo, bx_hi, by_lo, by_hi)
+        of the blocks inside precinct (px, py) -- possibly empty."""
+        if not self.ncx or not self.ncy:
+            return 0, 0, 0, 0
+        x_lo = (self.px0 + px) << self.ppx
+        x_hi = (self.px0 + px + 1) << self.ppx
+        y_lo = (self.py0 + py) << self.ppy
+        y_hi = (self.py0 + py + 1) << self.ppy
+        bx_lo = max(0, x_lo // self.cbw - self.mx0)
+        bx_hi = min(self.ncx, -(-x_hi // self.cbw) - self.mx0)
+        by_lo = max(0, y_lo // self.cbh - self.my0)
+        by_hi = min(self.ncy, -(-y_hi // self.cbh) - self.my0)
+        return bx_lo, max(bx_lo, bx_hi), by_lo, max(by_lo, by_hi)
+
+    def block_precinct(self, bx: int, by: int) -> tuple:
+        """(precinct index, px, py, local bx, local by) of relative
+        block (bx, by); blocks nest exactly inside precincts."""
+        ax = (self.mx0 + bx) * self.cbw
+        ay = (self.my0 + by) * self.cbh
+        px = (ax >> self.ppx) - self.px0
+        py = (ay >> self.ppy) - self.py0
+        bx_lo, _, by_lo, _ = self.precinct_block_range(px, py)
+        return (
+            py * max(1, self.pcx) + px, px, py, bx - bx_lo, by - by_lo,
+        )
+
+    def precinct_trees(self, px: int, py: int) -> tuple:
+        """(inclusion, msb) tag trees over precinct (px, py)'s block
+        sub-grid, created on first use; tree coordinates are LOCAL
+        (bx - bx_lo, by - by_lo)."""
+        key = (px, py)
+        trees = self._trees.get(key)
+        if trees is None:
+            bx_lo, bx_hi, by_lo, by_hi = self.precinct_block_range(
+                px, py
+            )
+            tw = max(1, bx_hi - bx_lo)
+            th = max(1, by_hi - by_lo)
+            trees = (TagTree(tw, th), TagTree(tw, th))
+            self._trees[key] = trees
+        return trees
 
     def block_rect(self, bx: int, by: int) -> tuple[int, int, int, int]:
         """(y0, x0, h, w) of code-block (bx, by) in band-LOCAL
@@ -1365,6 +1438,7 @@ def _build_bands(
     depth: int,
     x0: int = 0,
     y0: int = 0,
+    precincts: "list[tuple[int, int]] | None" = None,
 ) -> list[list[_Band]]:
     """Per-resolution band lists for one component. Resolution 0 is
     the LL_n band; resolution r >= 1 holds HL/LH/HH of level
@@ -1378,10 +1452,35 @@ def _build_bands(
     canvas-anchored code-block partition (T.800 B.7) is well
     defined."""
     (llh, llw), per_level = subband_dims(h, w, levels)
+    if precincts is not None and len(precincts) != levels + 1:
+        raise J2kParseError(
+            f"{len(precincts)} precinct sizes for {levels + 1} "
+            "resolutions"
+        )
 
-    def mk(btype, bh, bw, lvl):
+    def _res_pgrid(r: int) -> tuple:
+        """(pcx, pcy, ppx_band, ppy_band) for resolution r: counts
+        from RESOLUTION coordinates (B.9 -- shared by the
+        resolution's bands), exponents shifted into band coordinates
+        (PPx - 1 for r > 0, the dyadic halving)."""
+        if precincts is None:
+            ppx = ppy = 15
+        else:
+            ppx, ppy = precincts[r]
+        k = levels - r
+        rx0, ry0 = x0 >> k, y0 >> k
+        rw = (-(-(x0 + w) >> k) - rx0) if w else 0
+        rh = (-(-(y0 + h) >> k) - ry0) if h else 0
+        pcx = ((-(-(rx0 + rw) >> ppx)) - (rx0 >> ppx)) if rw else 0
+        pcy = ((-(-(ry0 + rh) >> ppy)) - (ry0 >> ppy)) if rh else 0
+        if r:
+            ppx, ppy = max(0, ppx - 1), max(0, ppy - 1)
+        return max(pcx, 1), max(pcy, 1), ppx, ppy
+
+    def mk(btype, bh, bw, lvl, pg):
         eps = depth + 2 + _BAND_GAIN[btype]
-        return _Band(
+        pcx, pcy, ppx, ppy = pg
+        band = _Band(
             btype,
             bh,
             bw,
@@ -1390,68 +1489,93 @@ def _build_bands(
             _GUARD_BITS + eps - 1,
             ox=x0 >> lvl,
             oy=y0 >> lvl,
+            ppx=ppx,
+            ppy=ppy,
+            pcx=pcx,
+            pcy=pcy,
         )
+        band.lvl = lvl  # band-coords -> canvas shift (progressions)
+        return band
 
-    out = [[mk("LL", llh, llw, levels)]]
+    out = [[mk("LL", llh, llw, levels, _res_pgrid(0))]]
     # per_level[0] is the coarsest detail level (= levels), matching
     # resolution 1; level drops as resolution rises
     for i, (hl, lh, hh) in enumerate(per_level):
         lvl = levels - i
+        pg = _res_pgrid(levels - lvl + 1)
         out.append(
             [
-                mk("HL", hl[0], hl[1], lvl),
-                mk("LH", lh[0], lh[1], lvl),
-                mk("HH", hh[0], hh[1], lvl),
+                mk("HL", hl[0], hl[1], lvl, pg),
+                mk("LH", lh[0], lh[1], lvl, pg),
+                mk("HH", hh[0], hh[1], lvl, pg),
             ]
         )
     return out
 
 
-def _packet_sequence(prog: int, nres, ncomp: int, nlayers: int = 1):
-    """(layer, resolution, component) visit order for single-precinct
-    codestreams (one packet per element). ``nres`` may be a single
-    resolution count or one per component (the COC case): a packet
-    exists only while r < nres[c], exactly T.800 B.12's rule that
-    resolution loops skip components with fewer decomposition levels.
-    The five T.800 progressions collapse to their layer/resolution/
-    component loop nests here: PCRL (position -> component ->
-    resolution -> layer) degenerates to CPRL's order because with one
-    precinct per tile-resolution every precinct sits at the same
-    position."""
+def _packet_sequence(
+    prog: int, nres, ncomp: int, nlayers: int = 1, comps=None,
+):
+    """(layer, resolution, component, precinct) visit order -- one
+    packet per element. ``nres`` may be a single resolution count or
+    one per component (the COC case): a packet exists only while
+    r < nres[c], exactly T.800 B.12's rule that resolution loops skip
+    components with fewer decomposition levels.
+
+    Without ``comps`` (band lists per component) every resolution has
+    one precinct and the five T.800 progressions collapse to their
+    layer/resolution/component loop nests. With ``comps``, precincts
+    iterate in raster order within (c, r) for LRCP/RLCP, and the
+    position-dependent progressions (RPCL/PCRL/CPRL) order precincts
+    by their canvas top-left (clamped to the tile origin), per the
+    B.12 position loops."""
     nres_c = [nres] * ncomp if isinstance(nres, int) else list(nres)
     nmax = max(nres_c)
+
+    def pgrid(c, r):
+        if comps is None:
+            return 1
+        b = comps[c][r][0]
+        return max(1, b.pcx * b.pcy)
+
+    def pos(c, r, p):
+        """Canvas (y, x) of precinct p's top-left, tile-clamped."""
+        if comps is None:
+            return (0, 0)
+        b = comps[c][r][0]
+        lvl = getattr(b, "lvl", 0)
+        py, px = divmod(p, max(1, b.pcx))
+        x = max(b.ox, (b.px0 + px) << b.ppx) << lvl
+        y = max(b.oy, (b.py0 + py) << b.ppy) << lvl
+        return (y, x)
+
+    quads = [
+        (l, r, c, p)
+        for l in range(nlayers)
+        for r in range(nmax)
+        for c in range(ncomp)
+        if r < nres_c[c]
+        for p in range(pgrid(c, r))
+    ]
     if prog == 0:  # LRCP
-        return [
-            (l, r, c)
-            for l in range(nlayers)
-            for r in range(nmax)
-            for c in range(ncomp)
-            if r < nres_c[c]
-        ]
-    if prog == 1:  # RLCP
-        return [
-            (l, r, c)
-            for r in range(nmax)
-            for l in range(nlayers)
-            for c in range(ncomp)
-            if r < nres_c[c]
-        ]
-    if prog == 2:  # RPCL
-        return [
-            (l, r, c)
-            for r in range(nmax)
-            for c in range(ncomp)
-            if r < nres_c[c]
-            for l in range(nlayers)
-        ]
-    if prog in (3, 4):  # PCRL (degenerate), CPRL
-        return [
-            (l, r, c)
-            for c in range(ncomp)
-            for r in range(nres_c[c])
-            for l in range(nlayers)
-        ]
-    raise J2kUnsupported(f"progression order {prog} is not supported")
+        key = None  # generation order IS l, r, c, p-raster
+    elif prog == 1:  # RLCP
+        key = lambda q: (q[1], q[0], q[2], q[3])  # noqa: E731
+    elif prog == 2:  # RPCL
+        key = lambda q: (  # noqa: E731
+            q[1], pos(q[2], q[1], q[3]), q[2], q[0]
+        )
+    elif prog == 3:  # PCRL
+        key = lambda q: (  # noqa: E731
+            pos(q[2], q[1], q[3]), q[2], q[1], q[0]
+        )
+    elif prog == 4:  # CPRL
+        key = lambda q: (  # noqa: E731
+            q[2], pos(q[2], q[1], q[3]), q[1], q[0]
+        )
+    else:
+        raise J2kUnsupported(f"progression order {prog} is not supported")
+    return quads if key is None else sorted(quads, key=key)
 
 
 def _poc_sequence(entries, nres_c, ncomp: int, nlayers: int):
@@ -1585,6 +1709,7 @@ def encode_j2k(
     reset: bool = False,
     vsc: bool = False,
     segsym: bool = False,
+    precincts: list | None = None,
 ) -> bytes:
     """(h, w[, nc]) uint8/uint16 -> lossless (5/3) codestream.
     ``tile=(xt, yt)`` splits the image into an XTsiz x YTsiz grid of
@@ -1680,6 +1805,23 @@ def encode_j2k(
         raise J2kParseError(
             "code-block style modes compose with uniform style only"
         )
+    if precincts is not None:
+        if coc or tile_overrides or poc:
+            raise J2kParseError(
+                "precincts compose with uniform coding style, no POC"
+            )
+        if len(precincts) != levels + 1:
+            raise J2kParseError(
+                f"{len(precincts)} precinct sizes for {levels + 1} "
+                "resolutions"
+            )
+        for r, (ppx, ppy) in enumerate(precincts):
+            if not (0 <= ppx <= 15 and 0 <= ppy <= 15):
+                raise J2kParseError(f"precinct exponent out of range")
+            if r and (ppx < 1 or ppy < 1):
+                raise J2kParseError(
+                    f"precinct exponent 0 at resolution {r}"
+                )
     if tile_overrides:
         if lossy or subsampling or poc or coc or packed_headers:
             raise J2kParseError(
@@ -1839,6 +1981,7 @@ def encode_j2k(
                 reset=reset,
                 vsc=vsc,
                 segsym=segsym,
+                precincts=precincts,
             )
         )
 
@@ -1864,7 +2007,16 @@ def encode_j2k(
         | (0x20 if segsym else 0),  # code-block style bits
         0 if lossy else 1,  # transformation: 9/7 or 5/3
     )
-    cod = struct.pack(">HBBHB", 12, 0, prog, layers, 1 if mct else 0) + spcod
+    if precincts is not None:
+        spcod += bytes((ppy << 4) | ppx for ppx, ppy in precincts)
+    cod = struct.pack(
+        ">HBBHB",
+        12 + (len(precincts) if precincts is not None else 0),
+        0x01 if precincts is not None else 0,
+        prog,
+        layers,
+        1 if mct else 0,
+    ) + spcod
     out += struct.pack(">H", COD) + cod
     if coc:
         for ci in sorted(coc):
@@ -2054,6 +2206,7 @@ def _encode_tile(
     reset: bool = False,
     vsc: bool = False,
     segsym: bool = False,
+    precincts: list | None = None,
 ) -> list[bytes]:
     """Tier-1 + Tier-2 encode one tile's (already level-shifted /
     MCT'd) component planes into its packet stream, returned one
@@ -2084,7 +2237,7 @@ def _encode_tile(
         )
         bands = _build_bands(
             h_c[ci], w_c[ci], levels_c[ci], cbw_c[ci], cbh_c[ci],
-            depth, x0_c[ci], y0_c[ci],
+            depth, x0_c[ci], y0_c[ci], precincts=precincts,
         )
         if lossy:
             # lossy_eps: one shared table, or one per component (the
@@ -2182,65 +2335,80 @@ def _encode_tile(
                             raise J2kParseError(
                                 f"block needs {nplanes} planes, Mb={band.mb}"
                             )
+                        pi, pxi, pyi, lbx, lby = band.block_precinct(
+                            bx, by
+                        )
+                        tincl, tmsb = band.precinct_trees(pxi, pyi)
                         if nplanes == 0:
-                            band.incl.set_value(bx, by, nlayers)
-                            band.msb.set_value(bx, by, 0)
+                            tincl.set_value(lbx, lby, nlayers)
+                            tmsb.set_value(lbx, lby, 0)
                         else:
                             lyr = gidx % nlayers
                             gidx += 1
-                            band.incl.set_value(bx, by, lyr)
-                            band.msb.set_value(bx, by, band.mb - nplanes)
+                            tincl.set_value(lbx, lby, lyr)
+                            tmsb.set_value(lbx, lby, band.mb - nplanes)
                             encoded[(c, r, bi, bx, by)] = (
                                 data,
                                 npasses,
                                 lyr,
+                                pi,
                             )
-                band.incl.finalize()
-                band.msb.finalize()
+                for tincl, tmsb in band._trees.values():
+                    tincl.finalize()
+                    tmsb.finalize()
 
-    # per-(component, resolution): which layers get a first inclusion
-    # (answers the nonempty-packet bit in O(1) per packet)
+    # per-(component, resolution, precinct): which layers get a first
+    # inclusion (answers the nonempty-packet bit in O(1) per packet)
     incl_layers: dict[tuple, set] = {}
     for key, e in encoded.items():
-        incl_layers.setdefault((key[0], key[1]), set()).add(e[2])
+        incl_layers.setdefault((key[0], key[1], e[3]), set()).add(e[2])
 
     # packets (returned individually so the caller can split the tile
     # into tile-parts at packet boundaries, T.800 A.4.2)
     packets: list[bytes] = []
     nres_c = [lv + 1 for lv in levels_c]
     pseq = (
-        _poc_sequence(poc, nres_c, nc, nlayers)
+        [(l, r, c, 0) for l, r, c in _poc_sequence(
+            poc, nres_c, nc, nlayers
+        )]
         if poc
-        else _packet_sequence(prog, nres_c, nc, nlayers)
+        else _packet_sequence(prog, nres_c, nc, nlayers, comps)
     )
     if poc and len(pseq) != nlayers * sum(nres_c):
         raise J2kParseError("poc entries do not cover every packet")
-    for lyr, r, c in pseq:
+    for lyr, r, c, pidx in pseq:
         wr = PackBitWriter()
         body = bytearray()
         blist = comps[c][r]
-        if lyr not in incl_layers.get((c, r), ()):
+        if lyr not in incl_layers.get((c, r, pidx), ()):
             wr.put(0)
             packets.append((wr.flush(), b""))
             continue
         wr.put(1)
+        pyi, pxi = divmod(pidx, max(1, blist[0].pcx))
         for bi, band in enumerate(blist):
-            for by in range(band.ncy):
-                for bx in range(band.ncx):
+            tincl, tmsb = band.precinct_trees(pxi, pyi)
+            bx_lo, bx_hi, by_lo, by_hi = band.precinct_block_range(
+                pxi, pyi
+            )
+            for by in range(by_lo, by_hi):
+                for bx in range(bx_lo, bx_hi):
                     key = (c, r, bi, bx, by)
                     ent = encoded.get(key)
                     if ent is None or ent[2] > lyr:
                         # never included, or first inclusion is in a
                         # later layer: keep coding the tag tree
-                        band.incl.encode(bx, by, lyr + 1, wr.put)
+                        tincl.encode(
+                            bx - bx_lo, by - by_lo, lyr + 1, wr.put
+                        )
                         continue
-                    data, npasses, elayer = ent
+                    data, npasses, elayer, _pi = ent
                     if elayer < lyr:
                         wr.put(0)  # included earlier, idle this layer
                         continue
-                    band.incl.encode(bx, by, lyr + 1, wr.put)
-                    p = band.msb.leaf_value(bx, by)
-                    band.msb.encode(bx, by, p + 1, wr.put)
+                    tincl.encode(bx - bx_lo, by - by_lo, lyr + 1, wr.put)
+                    p = tmsb.leaf_value(bx - bx_lo, by - by_lo)
+                    tmsb.encode(bx - bx_lo, by - by_lo, p + 1, wr.put)
                     _put_npasses(wr, npasses)
                     lb = band.lblock[by * band.ncx + bx]
                     if termall or bypass:
@@ -2348,8 +2516,10 @@ def _parse_main_header(data: bytes):
 
 def _parse_cod(cod: bytes, what: str):
     """COD/SPcod fields -> (scod, prog, nlayers, mct, levels, cbw,
-    cbh, transform), with the validation shared by main-header and
-    tile-header COD segments."""
+    cbh, transform, cbstyle, precincts), with the validation shared
+    by main-header and tile-header COD segments. ``precincts`` is
+    None (maximal, Scod bit 0 clear) or one (PPx, PPy) pair per
+    resolution."""
     if len(cod) < 10:
         raise J2kParseError(f"{what} shorter than its SPcod")
     scod, prog = cod[0], cod[1]
@@ -2369,12 +2539,28 @@ def _parse_cod(cod: bytes, what: str):
         raise J2kUnsupported(f"code-block style 0x{cbstyle:02x} ({what})")
     if transform not in (0, 1):
         raise J2kParseError(f"unknown transformation {transform} ({what})")
+    precincts = None
     if scod & 0x01:
-        raise J2kUnsupported(f"custom precinct sizes ({what})")
+        if len(cod) < 10 + levels + 1:
+            raise J2kParseError(
+                f"{what} lacks its {levels + 1} precinct-size bytes"
+            )
+        precincts = []
+        for r in range(levels + 1):
+            b = cod[10 + r]
+            ppx, ppy = b & 0xF, b >> 4
+            if r and (ppx < 1 or ppy < 1):
+                raise J2kParseError(
+                    f"precinct exponent 0 at resolution {r} ({what})"
+                )
+            precincts.append((ppx, ppy))
     cbw, cbh = 1 << (xcb + 2), 1 << (ycb + 2)
     if cbw > 64 and cbh > 64 or cbw * cbh > 4096:
         raise J2kParseError(f"illegal code-block size {cbw}x{cbh} ({what})")
-    return scod, prog, nlayers, mct, levels, cbw, cbh, transform, cbstyle
+    return (
+        scod, prog, nlayers, mct, levels, cbw, cbh, transform,
+        cbstyle, precincts,
+    )
 
 
 def _apply_coc(seg: bytes, nc: int, levels_c: list, cbw_c: list,
@@ -2485,7 +2671,8 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         raise J2kUnsupported(">16-bit components are not supported")
 
     (
-        scod, prog, nlayers, mct, levels, cbw, cbh, transform, cbstyle,
+        scod, prog, nlayers, mct, levels, cbw, cbh, transform,
+        cbstyle, precincts,
     ) = _parse_cod(cod, "COD")
     use_sop = bool(scod & 0x02)
     use_eph = bool(scod & 0x04)
@@ -2498,6 +2685,8 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     cbh_c = [cbh] * nc
     transform_c = [transform] * nc
     cbsty_c = [cbstyle] * nc
+    if precincts and coc_segs:
+        raise J2kUnsupported("custom precincts combined with COC")
     for seg in coc_segs:
         _apply_coc(
             seg, nc, levels_c, cbw_c, cbh_c, transform_c, cbsty_c, "COC"
@@ -2694,6 +2883,8 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     # tile QCC > tile QCD > main QCC > main QCD)
     # a tile COC can change decomposition levels too, desyncing the
     # main-header POC coverage check computed from levels_c — gate both
+    if poc_entries and precincts:
+        raise J2kUnsupported("POC combined with custom precincts")
     if poc_entries and (tile_cod or tile_coc):
         raise J2kUnsupported(
             "POC combined with per-tile COD/COC overrides"
@@ -2704,8 +2895,12 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         if t_cod is not None:
             (
                 scod_t, prog_t, nlayers_t, mct_t, lv0, cw0, ch0, tr0,
-                cbs0,
+                cbs0, prec_t,
             ) = _parse_cod(t_cod, "tile COD")
+            if prec_t is not None or precincts is not None:
+                raise J2kUnsupported(
+                    "custom precincts combined with per-tile COD"
+                )
             if mct_t != mct:
                 raise J2kUnsupported("per-tile MCT override")
             lv_t = [lv0] * nc
@@ -2825,6 +3020,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             rgn_c=rgn_c,
             poc=poc_entries or None,
             cbsty_c=cbs_t,
+            precincts=precincts,
         )
         for ci in range(nc):
             cx0, cy0, cx1, cy1 = crects[ci]
@@ -2963,6 +3159,7 @@ def _decode_tile_planes(
     rgn_c: list | None = None,
     poc: list | None = None,
     cbsty_c: list | None = None,
+    precincts: list | None = None,
 ) -> list:
     """Tier-2 + Tier-1 + inverse DWT for one tile's byte stream ->
     per-component (th, tw) planes (int64 reversible, float64
@@ -3001,7 +3198,7 @@ def _decode_tile_planes(
         segsym = bool(cbs_i & 0x20)
         bands = _build_bands(
             th_c[ci], tw_c[ci], levels_c[ci], cbw_c[ci], cbh_c[ci],
-            depths[ci], x0_c[ci], y0_c[ci],
+            depths[ci], x0_c[ci], y0_c[ci], precincts=precincts,
         )
         k = 0
         for blist in bands:
@@ -3045,11 +3242,13 @@ def _decode_tile_planes(
     hpos = 0  # header-bit cursor in the packed stream, when present
     nres_c = [lv + 1 for lv in levels_c]
     seq = (
-        _poc_sequence(poc, nres_c, nc, nlayers)
+        [(l, r, c, 0) for l, r, c in _poc_sequence(
+            poc, nres_c, nc, nlayers
+        )]
         if poc
-        else _packet_sequence(prog, nres_c, nc, nlayers)
+        else _packet_sequence(prog, nres_c, nc, nlayers, comps)
     )
-    for lyr, r, c in seq:
+    for lyr, r, c, pidx in seq:
         if use_sop:
             if tile[tpos : tpos + 2] == b"\xff\x91":
                 tpos += 6
@@ -3058,22 +3257,33 @@ def _decode_tile_planes(
         )
         jobs = []
         if rd.bit():
+            pyi, pxi = divmod(pidx, max(1, comps[c][r][0].pcx))
             for band in comps[c][r]:
-                for by in range(band.ncy):
-                    for bx in range(band.ncx):
+                tincl, tmsb = band.precinct_trees(pxi, pyi)
+                bx_lo, bx_hi, by_lo, by_hi = band.precinct_block_range(
+                    pxi, pyi
+                )
+                for by in range(by_lo, by_hi):
+                    for bx in range(bx_lo, bx_hi):
                         i = by * band.ncx + bx
                         st = band.contrib.get(i)
                         if st is None:
                             # not yet included: inclusion via the tag
                             # tree at this layer's threshold
-                            if not band.incl.decode(
-                                bx, by, lyr + 1, rd.bit
+                            if not tincl.decode(
+                                bx - bx_lo, by - by_lo, lyr + 1, rd.bit
                             ):
                                 continue
                             k = 1
-                            while not band.msb.decode(bx, by, k, rd.bit):
+                            while not tmsb.decode(
+                                bx - bx_lo, by - by_lo, k, rd.bit
+                            ):
                                 k += 1
-                            st = [band.msb.leaf_value(bx, by), 0, []]
+                            st = [
+                                tmsb.leaf_value(bx - bx_lo, by - by_lo),
+                                0,
+                                [],
+                            ]
                             band.contrib[i] = st
                         elif not rd.bit():  # included before, idle now
                             continue

@@ -1220,3 +1220,104 @@ def test_new_style_corruption_raises_named_errors_only():
             decode_j2k(bytes(b))
         except J2kParseError:
             pass
+
+
+def test_custom_precincts_round_trip():
+    """Scod bit 0 / T.800 B.9: per-resolution precinct partitions.
+    Packets become per-(layer, resolution, component, PRECINCT) with
+    per-precinct tag trees, code-blocks clamp to the precinct size,
+    and the position-dependent progressions order precincts by canvas
+    position — composed with tiles, tile-parts, layers, every
+    progression, lossy 9/7, subsampling, packed headers, and the
+    code-block style modes."""
+    rng = np.random.default_rng(191)
+    img = rng.integers(0, 65536, (70, 90)).astype(np.uint16)
+    rgb = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    for kw in (
+        dict(levels=2, precincts=[(5, 5), (5, 5), (5, 5)], cb=(16, 16)),
+        dict(levels=2, precincts=[(4, 5), (5, 4), (6, 5)], cb=(8, 8)),
+        dict(levels=3, precincts=[(3, 3), (3, 3), (4, 4), (5, 5)],
+             cb=(8, 8)),
+        dict(levels=0, precincts=[(5, 5)], cb=(16, 16)),
+        dict(levels=2, precincts=[(15, 15), (6, 6), (7, 7)],
+             cb=(32, 32)),
+    ):
+        blob = encode_j2k(img, **kw)
+        i = blob.find(b"\xff\x52")
+        assert blob[i + 4] & 0x01  # Scod precinct bit on the wire
+        # Lcod grew by levels+1 precinct-size bytes
+        assert blob[i + 3] == 12 + kw["levels"] + 1
+        assert np.array_equal(decode_j2k(blob)[:, :, 0], img), kw
+    for prog in (0, 1, 2, 3, 4):
+        blob = encode_j2k(rgb, levels=2, layers=3, prog=prog,
+                          precincts=[(4, 4), (4, 4), (5, 5)], cb=(8, 8))
+        assert np.array_equal(decode_j2k(blob), rgb), prog
+    blob = encode_j2k(img, levels=2, tile=(32, 32), tile_parts=3,
+                      cb=(8, 8), precincts=[(4, 4), (4, 4), (5, 5)])
+    assert np.array_equal(decode_j2k(blob)[:, :, 0], img)
+    blob = encode_j2k(img, levels=2, lossy=True, cb=(16, 16),
+                      precincts=[(5, 5), (5, 5), (6, 6)])
+    d = np.abs(decode_j2k(blob)[:, :, 0].astype(np.int64) - img)
+    assert d.max() <= 2
+    blob = encode_j2k(
+        img, levels=2, cb=(8, 8), precincts=[(4, 4), (4, 4), (4, 4)],
+        termall=True, bypass=True, reset=True, vsc=True, segsym=True,
+    )
+    assert np.array_equal(decode_j2k(blob)[:, :, 0], img)
+    st = rng.integers(0, 256, (64, 64, 2), dtype=np.uint8)
+    blob = encode_j2k(st, levels=1, mct=False, subsampling={1: (2, 2)},
+                      cb=(8, 8), precincts=[(4, 4), (4, 4)])
+    assert np.array_equal(decode_j2k(blob)[:, :, 0], st[:, :, 0])
+    for ph in ("ppm", "ppt"):
+        blob = encode_j2k(img, levels=2, cb=(8, 8),
+                          precincts=[(4, 4), (4, 4), (4, 4)],
+                          packed_headers=ph)
+        assert np.array_equal(decode_j2k(blob)[:, :, 0], img), ph
+
+
+def test_precinct_gates_and_validation():
+    rng = np.random.default_rng(193)
+    img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+    # precinct exponent 0 above resolution 0 is a parse error
+    with pytest.raises(J2kParseError, match="exponent 0"):
+        encode_j2k(img, levels=1, precincts=[(4, 4), (0, 4)])
+    with pytest.raises(J2kParseError, match="precinct sizes"):
+        encode_j2k(img, levels=2, precincts=[(4, 4)])
+    # POC x precincts gates by name (splice a POC into a precinct
+    # stream is involved; the encoder-side gate pins the contract)
+    with pytest.raises(J2kParseError, match="precincts"):
+        encode_j2k(img, levels=1, layers=2, precincts=[(4, 4), (4, 4)],
+                   poc=[(0, 0, 2, 2, 1, 0)])
+    with pytest.raises(J2kParseError, match="precincts"):
+        encode_j2k(img, levels=1, precincts=[(4, 4), (4, 4)],
+                   coc={0: {"levels": 1}})
+    # decoder side: COD with the precinct flag but truncated sizes
+    enc = bytearray(encode_j2k(img, levels=1))
+    i = enc.find(b"\xff\x52")
+    enc[i + 4] |= 0x01  # claim precincts, provide no bytes
+    with pytest.raises(J2kParseError, match="precinct"):
+        decode_j2k(bytes(enc))
+
+
+def test_precinct_corruption_raises_named_errors_only():
+    rng = np.random.default_rng(197)
+    base = encode_j2k(
+        rng.integers(0, 65536, (48, 48)).astype(np.uint16),
+        levels=2, cb=(8, 8), precincts=[(4, 4), (4, 4), (5, 5)],
+        prog=2,
+    )
+    for t in range(300):
+        b = bytearray(base)
+        mode = t % 3
+        if mode == 0:
+            b = b[: int(rng.integers(1, len(b)))]
+        elif mode == 1:
+            i = int(rng.integers(0, len(b)))
+            b[i] ^= 1 << int(rng.integers(0, 8))
+        else:
+            i = int(rng.integers(0, len(b)))
+            b[i : i + 4] = bytes(rng.integers(0, 256, 4).tolist())
+        try:
+            decode_j2k(bytes(b))
+        except J2kParseError:
+            pass

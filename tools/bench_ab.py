@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Controlled A/B of the bench between two git revisions (default:
+round-8 HEAD vs the current HEAD), calibration-normalized — the
+round-10 verdict's ask: attribute the r8->r10 bench drift between
+query-internals growth and host drift, and pin a band future rounds
+can diff against without forensics.
+
+Method: each side runs ITS OWN bench.py (same 34-query headline set
+in both revisions, verified) with SPARK_GRAFT_BENCH_REPS=1, in
+interleaved A/B/A/B/... order so host-contention waves hit both
+sides equally. The harness measures one calibration spin (the same
+fixed single-threaded workload bench.py fingerprints) immediately
+before every run and normalizes that run's total by
+(calib / REF_CALIB); per-query minima across runs feed the
+attribution table. Results are appended to SOAK.md under
+'# BENCH REPIN'.
+
+Usage: python tools/bench_ab.py [old_rev] [reps]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_CALIB = 0.2407  # BENCH_r10's recorded calib_spin_sec
+
+
+def calib_spin() -> float:
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc = (acc * 1103515245 + i) & 0xFFFFFFFF
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
+def run_bench(tree: str) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_BENCH_REPS"] = "1"
+    env.setdefault("SPARK_GRAFT_CPUS", "32")
+    c = calib_spin()
+    r = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=tree,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    line = next(
+        (
+            ln
+            for ln in reversed(r.stdout.strip().splitlines())
+            if ln.startswith("{")
+        ),
+        None,
+    )
+    if r.returncode != 0 or line is None:
+        raise SystemExit(
+            f"bench failed in {tree}: rc={r.returncode}\n"
+            + r.stderr[-2000:]
+        )
+    out = json.loads(line)
+    out["harness_calib"] = c
+    out["norm_value"] = round(out["value"] * REF_CALIB / c, 3)
+    return out
+
+
+def main() -> None:
+    old_rev = sys.argv[1] if len(sys.argv) > 1 else "7576aee"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    old_tree = "/tmp/spark_graft_ab_old"
+    if not os.path.exists(os.path.join(old_tree, "bench.py")):
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", old_tree, old_rev],
+            cwd=REPO,
+            check=True,
+        )
+    runs: dict[str, list] = {"old": [], "new": []}
+    for rep in range(reps):
+        for side, tree in (("old", old_tree), ("new", REPO)):
+            print(f"rep {rep + 1}/{reps} side {side} ...", flush=True)
+            runs[side].append(run_bench(tree))
+
+    def best(side: str) -> dict:
+        rs = runs[side]
+        per_q: dict[str, float] = {}
+        for r in rs:
+            for q, t in r["queries"].items():
+                per_q[q] = min(per_q.get(q, float("inf")), t)
+        return {
+            "raw_totals": [r["value"] for r in rs],
+            "norm_totals": [r["norm_value"] for r in rs],
+            "calibs": [r["harness_calib"] for r in rs],
+            "best_raw": min(r["value"] for r in rs),
+            "best_norm": min(r["norm_value"] for r in rs),
+            "sum_of_query_mins": round(sum(per_q.values()), 3),
+            "per_query": per_q,
+        }
+
+    old_b, new_b = best("old"), best("new")
+    movers = sorted(
+        (
+            (q, old_b["per_query"].get(q), new_b["per_query"].get(q))
+            for q in new_b["per_query"]
+            if q in old_b["per_query"]
+        ),
+        key=lambda t: (t[2] or 0) - (t[1] or 0),
+        reverse=True,
+    )
+    lines = [
+        "",
+        "# BENCH REPIN (round 11 controlled A/B)",
+        "",
+        f"Interleaved {reps}x single-rep runs per side on one idle "
+        "session; every run calibration-spun immediately before "
+        f"launch and normalized to calib {REF_CALIB} (BENCH_r10's).",
+        "",
+        f"- old ({old_rev}, round-8 HEAD): raw {old_b['raw_totals']} "
+        f"norm {old_b['norm_totals']} (calibs {old_b['calibs']})",
+        f"- new (round-11 HEAD): raw {new_b['raw_totals']} "
+        f"norm {new_b['norm_totals']} (calibs {new_b['calibs']})",
+        f"- best normalized totals: old {old_b['best_norm']} s, "
+        f"new {new_b['best_norm']} s "
+        f"(sum-of-query-mins: old {old_b['sum_of_query_mins']}, "
+        f"new {new_b['sum_of_query_mins']})",
+        "",
+        "Biggest per-query deltas (old -> new, sec, min across runs):",
+        "",
+    ]
+    for q, o, n in movers[:8]:
+        lines.append(f"- {q}: {o} -> {n} ({n - o:+.3f})")
+    lines.append("")
+    with open(os.path.join(REPO, "SOAK.md"), "a") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print(json.dumps({
+        "old_best_norm": old_b["best_norm"],
+        "new_best_norm": new_b["best_norm"],
+    }))
+
+
+if __name__ == "__main__":
+    main()
