@@ -29,9 +29,12 @@ Codec mappings (all public specs):
   named gate (MDCT/CELT chains need a codec binding), the same
   contract as decode_mp3/decode_adts.
 
-Multiplexed (grouped) and chained streams raise the named error: a
-probe that averaged two concurrent streams' granules would report
-garbage durations, so refusing is the honest contract.
+CHAINED streams (complete BOS..EOS streams concatenated — the
+icecast-recording shape) aggregate across links when every link
+shares codec/channels/rate; parameter changes mid-chain raise the
+named error, as do multiplexed (grouped) streams: a probe that
+averaged two concurrent streams' granules would report garbage
+durations, so refusing is the honest contract.
 
 No reference parity: the reference repo contains no Ogg handling
 (SURVEY.md §2.K4 extension row).
@@ -121,9 +124,32 @@ def ogg_pages(data: bytes) -> list:
     return pages
 
 
+def _chain_segments(pages: list) -> list:
+    """Split a page list into chain links (RFC 3533 chained streams:
+    complete BOS..EOS streams concatenated). A BOS page after the
+    first page starts a new link; the previous link must have closed
+    with its EOS page."""
+    if not pages:
+        raise OggParseError("stream holds no pages")
+    segments: list = []
+    cur: list = []
+    for pi, page in enumerate(pages):
+        if page[0] & 0x02 and pi != 0:
+            if not cur or not cur[-1][0] & 0x04:
+                raise OggParseError(
+                    "new BOS before the prior chain link's EOS"
+                )
+            segments.append(cur)
+            cur = []
+        cur.append(page)
+    segments.append(cur)
+    return segments
+
+
 def _single_stream_packets(pages: list) -> tuple[list, list, int]:
     """Pages -> (packets, per-packet end-granulepos, last granulepos)
-    for exactly ONE logical stream; grouped/chained streams raise."""
+    for exactly ONE logical stream (one chain link); grouped streams
+    raise."""
     if not pages:
         raise OggParseError("stream holds no pages")
     serial = pages[0][2]
@@ -142,7 +168,7 @@ def _single_stream_packets(pages: list) -> tuple[list, list, int]:
             )
         if htype & 0x02 and pi != 0:
             raise OggParseError(
-                "chained ogg streams are not supported"
+                "chain link contains an interior BOS page"
             )
         if seen_eos:
             raise OggParseError("page follows the EOS page")
@@ -178,8 +204,32 @@ def ogg_probe(data: bytes) -> tuple[str, int, int, int, int]:
     """(codec, n_samples, n_channels, sample_rate, n_packets) from a
     full page walk — exact duration accounting, no sample decode.
     ``n_samples`` is at the output rate (Opus: 48 kHz minus pre-skip,
-    per RFC 7845 §4/§5.1)."""
-    pages = ogg_pages(data)
+    per RFC 7845 §4/§5.1). CHAINED streams (complete streams
+    concatenated, the icecast-recording shape) aggregate across links
+    when every link shares codec/channels/rate; parameter changes
+    mid-chain raise the named error."""
+    segments = _chain_segments(ogg_pages(data))
+    if len(segments) > 1:
+        probes = [_probe_one_link(seg) for seg in segments]
+        head = probes[0]
+        for p in probes[1:]:
+            if (p[0], p[2], p[3]) != (head[0], head[2], head[3]):
+                raise OggParseError(
+                    "chained ogg stream changes codec/channels/rate "
+                    f"mid-chain ({head[0]}/{head[2]}ch/{head[3]} -> "
+                    f"{p[0]}/{p[2]}ch/{p[3]})"
+                )
+        return (
+            head[0],
+            sum(p[1] for p in probes),
+            head[2],
+            head[3],
+            sum(p[4] for p in probes),
+        )
+    return _probe_one_link(segments[0])
+
+
+def _probe_one_link(pages: list) -> tuple[str, int, int, int, int]:
     packets, _granules, last_granule = _single_stream_packets(pages)
     first = packets[0]
     if first.startswith(b"\x01vorbis"):
@@ -228,7 +278,7 @@ def ogg_probe(data: bytes) -> tuple[str, int, int, int, int]:
     if first.startswith(b"\x7fFLAC"):
         from hortacloud_importer_spark.sources.flac import flac_probe
 
-        native = ogg_flac_to_native(data)
+        native = _link_flac_to_native(pages)
         n_samples, channels, rate, _bps = flac_probe(native)
         n_headers = struct.unpack(">H", first[7:9])[0]
         n_audio = len(packets) - 1 - n_headers
@@ -244,8 +294,13 @@ def ogg_flac_to_native(data: bytes) -> bytes:
     mapping v1.0: BOS packet = 0x7f 'FLAC' maj min nheaders(2 BE) +
     'fLaC' + STREAMINFO; next ``nheaders`` packets are metadata
     blocks; every later packet is one native frame). Metadata-block
-    last-flags are rewritten so the chain terminates exactly once."""
-    pages = ogg_pages(data)
+    last-flags are rewritten so the chain terminates exactly once.
+    For CHAINED containers this converts the FIRST link (decode_ogg
+    concatenates links itself)."""
+    return _link_flac_to_native(_chain_segments(ogg_pages(data))[0])
+
+
+def _link_flac_to_native(pages: list) -> bytes:
     packets, _granules, _last = _single_stream_packets(pages)
     first = packets[0]
     if not first.startswith(b"\x7fFLAC"):
@@ -286,13 +341,23 @@ def ogg_flac_to_native(data: bytes) -> bytes:
 
 def decode_ogg(data: bytes):
     """FLAC-in-Ogg decodes REAL samples through the clean-room FLAC
-    decoder; Vorbis/Opus raise the honest codec-binding gate after the
-    container validates — same contract as decode_mp3/decode_adts."""
-    kind = ogg_probe(data)[0]
+    decoder (chained links concatenate, PCM-gaplessly, after the probe
+    has verified uniform codec/channels/rate); Vorbis/Opus raise the
+    honest codec-binding gate after the container validates — same
+    contract as decode_mp3/decode_adts."""
+    import numpy as np
+
+    kind = ogg_probe(data)[0]  # also validates chain uniformity
     if kind == "flac":
         from hortacloud_importer_spark.sources.flac import decode_flac
 
-        return decode_flac(ogg_flac_to_native(data))
+        segments = _chain_segments(ogg_pages(data))
+        outs = []
+        rate = None
+        for seg in segments:
+            pcm, rate = decode_flac(_link_flac_to_native(seg))
+            outs.append(pcm)
+        return np.concatenate(outs, axis=0), rate
     raise NotImplementedError(
         f"ogg {kind} sample decode needs an audio codec binding; the "
         "page walk (ogg_probe) covers metadata extraction"

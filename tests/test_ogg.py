@@ -130,23 +130,23 @@ def test_packets_span_pages_and_lacing_boundaries():
 def test_multiplexed_chained_and_unknown_codecs_gate_by_name():
     a = encode_ogg_vorbis_headers(2)
     b = encode_ogg_opus_headers(2)
-    # chained: a full stream concatenated after another
-    with pytest.raises(OggParseError, match="chained|sequence|serial|grouped"):
+    # chained with DIFFERENT codecs: named gate
+    with pytest.raises(OggParseError, match="chained"):
         ogg_probe(a + b)
-    # grouped: interleave pages of two serials
-    pa, pb = ogg_pages(a), ogg_pages(b)
-    assert pa[0][2] != pb[0][2] or True  # same fixture serial; rebuild b
+    # grouped: a second stream's BOS spliced mid-link (between pages
+    # of a multi-page stream) surfaces as the named BOS-placement
+    # error (true multiplexing is refused)
+    big = encode_ogg_vorbis_headers(300)  # > 255 segments: multi-page
+    pbig = ogg_pages(big)
+    assert len(pbig) > 1
     b2 = write_ogg_pages(
         [b"OpusHead" + struct.pack("<BBHIhB", 1, 2, 0, 48000, 0, 0)],
         [0],
         serial=0x9999,
     )
-    # splice the second stream's BOS page after the first stream's BOS
-    first_page_len = len(a) - sum(
-        27 + len(p[5]) + sum(p[5]) for p in pa[1:]
-    )
-    with pytest.raises(OggParseError, match="grouped"):
-        ogg_probe(a[:first_page_len] + b2 + a[first_page_len:])
+    first_page_len = 27 + len(pbig[0][5]) + sum(pbig[0][5])
+    with pytest.raises(OggParseError, match="BOS|grouped"):
+        ogg_probe(big[:first_page_len] + b2 + big[first_page_len:])
     # unknown codec id
     blob = write_ogg_pages([b"\x8fZZZZZZZ" + bytes(8)], [0])
     with pytest.raises(OggParseError, match="unrecognized"):
@@ -158,6 +158,33 @@ def test_multiplexed_chained_and_unknown_codecs_gate_by_name():
     blob = write_ogg_pages([b"Speex   " + bytes(72)], [0])
     with pytest.raises(OggParseError, match="speex"):
         ogg_probe(blob)
+
+
+def test_chained_streams_aggregate_and_decode():
+    """RFC 3533 chained streams (complete BOS..EOS links
+    concatenated): the probe sums samples/packets across uniform
+    links, and FLAC-in-Ogg chains decode to gaplessly concatenated
+    PCM; mid-chain parameter changes gate by name."""
+    a = encode_ogg_vorbis_headers(4, rate=44100, channels=2,
+                                  samples_per_packet=1024)
+    b = encode_ogg_vorbis_headers(6, rate=44100, channels=2,
+                                  samples_per_packet=1024)
+    assert ogg_probe(a + b) == ("vorbis", 10240, 2, 44100, 10)
+    # rate change mid-chain: named error
+    c = encode_ogg_vorbis_headers(2, rate=8000, channels=2)
+    with pytest.raises(OggParseError, match="chained"):
+        ogg_probe(a + c)
+    rng = np.random.default_rng(17)
+    p1 = rng.integers(-999, 999, (256, 2)).astype(np.int64)
+    p2 = rng.integers(-999, 999, (128, 2)).astype(np.int64)
+    f1 = encode_ogg_flac(encode_flac(p1, rate=16000, bits=16,
+                                     block_size=128))
+    f2 = encode_ogg_flac(encode_flac(p2, rate=16000, bits=16,
+                                     block_size=128))
+    assert ogg_probe(f1 + f2) == ("flac", 384, 2, 16000, 3)
+    pcm, rate = decode_ogg(f1 + f2)
+    assert rate == 16000
+    assert np.array_equal(pcm, np.concatenate([p1, p2]))
 
 
 def test_crc_catches_single_bit_flips_in_headers():
