@@ -61,11 +61,15 @@ per-resolution partitions with per-precinct tag trees and packets,
 code-blocks clamped to the precinct size, position-ordered packet
 sequences for RPCL/PCRL/CPRL — composing with tiles, tile-parts,
 layers, every progression, lossy 9/7, subsampling, packed headers,
-and the style modes. Honest gates (raised as
-:class:`J2kUnsupported`): reserved style bits 0x40/0x80,
-explicit-style RGN, precincts combined with POC / COC / per-tile
-COD overrides, and tile grids misaligned to a subsampled
-component's rate x 2^levels.
+and the style modes. Precincts are resolved PER COMPONENT AND PER
+TILE with the A.6 precedence: a COC or tile COD carries its own
+precinct list (Scoc/Scod bit 0) or resets its scope to maximal, and
+POC entries iterate the real precinct grids with the B.12 position
+loops (coverage checked per tile from the RESOLVED parameters).
+Honest gates (raised as :class:`J2kUnsupported`): reserved style
+bits 0x40/0x80, explicit-style RGN (T.800 defines only Srgn = 0
+maxshift; other values are reserved), and tile grids misaligned to
+a subsampled component's rate x 2^levels.
 Per-tile COD/QCD/COC/QCC overrides decode with the T.800 A.6
 precedence (tile COC > tile COD > main COC > main COD; tile QCC >
 tile QCD > main QCC > main QCD), restricted to a tile's first part.
@@ -1513,24 +1517,11 @@ def _build_bands(
     return out
 
 
-def _packet_sequence(
-    prog: int, nres, ncomp: int, nlayers: int = 1, comps=None,
-):
-    """(layer, resolution, component, precinct) visit order -- one
-    packet per element. ``nres`` may be a single resolution count or
-    one per component (the COC case): a packet exists only while
-    r < nres[c], exactly T.800 B.12's rule that resolution loops skip
-    components with fewer decomposition levels.
-
-    Without ``comps`` (band lists per component) every resolution has
-    one precinct and the five T.800 progressions collapse to their
-    layer/resolution/component loop nests. With ``comps``, precincts
-    iterate in raster order within (c, r) for LRCP/RLCP, and the
-    position-dependent progressions (RPCL/PCRL/CPRL) order precincts
-    by their canvas top-left (clamped to the tile origin), per the
-    B.12 position loops."""
-    nres_c = [nres] * ncomp if isinstance(nres, int) else list(nres)
-    nmax = max(nres_c)
+def _pgrid_pos(comps):
+    """(pgrid, pos) closures over per-component band lists: packet
+    count and canvas position of a (component, resolution) pair's
+    precincts. Without ``comps`` everything degenerates to one
+    precinct at the origin."""
 
     def pgrid(c, r):
         if comps is None:
@@ -1549,6 +1540,45 @@ def _packet_sequence(
         y = max(b.oy, (b.py0 + py) << b.ppy) << lvl
         return (y, x)
 
+    return pgrid, pos
+
+
+def _prog_key(prog: int, pos):
+    """Sort key over (l, r, c, p) quads for one of the five T.800
+    B.12 progressions; None means the natural l, r, c, p-raster
+    generation order (LRCP) already matches."""
+    if prog == 0:  # LRCP
+        return None  # generation order IS l, r, c, p-raster
+    if prog == 1:  # RLCP
+        return lambda q: (q[1], q[0], q[2], q[3])
+    if prog == 2:  # RPCL
+        return lambda q: (q[1], pos(q[2], q[1], q[3]), q[2], q[0])
+    if prog == 3:  # PCRL
+        return lambda q: (pos(q[2], q[1], q[3]), q[2], q[1], q[0])
+    if prog == 4:  # CPRL
+        return lambda q: (q[2], pos(q[2], q[1], q[3]), q[1], q[0])
+    raise J2kUnsupported(f"progression order {prog} is not supported")
+
+
+def _packet_sequence(
+    prog: int, nres, ncomp: int, nlayers: int = 1, comps=None,
+):
+    """(layer, resolution, component, precinct) visit order -- one
+    packet per element. ``nres`` may be a single resolution count or
+    one per component (the COC case): a packet exists only while
+    r < nres[c], exactly T.800 B.12's rule that resolution loops skip
+    components with fewer decomposition levels.
+
+    Without ``comps`` (band lists per component) every resolution has
+    one precinct and the five T.800 progressions collapse to their
+    layer/resolution/component loop nests. With ``comps``, precincts
+    iterate in raster order within (c, r) for LRCP/RLCP, and the
+    position-dependent progressions (RPCL/PCRL/CPRL) order precincts
+    by their canvas top-left (clamped to the tile origin), per the
+    B.12 position loops."""
+    nres_c = [nres] * ncomp if isinstance(nres, int) else list(nres)
+    nmax = max(nres_c)
+    pgrid, pos = _pgrid_pos(comps)
     quads = [
         (l, r, c, p)
         for l in range(nlayers)
@@ -1557,33 +1587,20 @@ def _packet_sequence(
         if r < nres_c[c]
         for p in range(pgrid(c, r))
     ]
-    if prog == 0:  # LRCP
-        key = None  # generation order IS l, r, c, p-raster
-    elif prog == 1:  # RLCP
-        key = lambda q: (q[1], q[0], q[2], q[3])  # noqa: E731
-    elif prog == 2:  # RPCL
-        key = lambda q: (  # noqa: E731
-            q[1], pos(q[2], q[1], q[3]), q[2], q[0]
-        )
-    elif prog == 3:  # PCRL
-        key = lambda q: (  # noqa: E731
-            pos(q[2], q[1], q[3]), q[2], q[1], q[0]
-        )
-    elif prog == 4:  # CPRL
-        key = lambda q: (  # noqa: E731
-            q[2], pos(q[2], q[1], q[3]), q[1], q[0]
-        )
-    else:
-        raise J2kUnsupported(f"progression order {prog} is not supported")
+    key = _prog_key(prog, pos)
     return quads if key is None else sorted(quads, key=key)
 
 
-def _poc_sequence(entries, nres_c, ncomp: int, nlayers: int):
+def _poc_sequence(entries, nres_c, ncomp: int, nlayers: int,
+                  comps=None):
     """Packet order under progression-order changes (POC, T.800
     A.6.6): each entry contributes its progression's (layer,
-    resolution, component) nest over [RSpoc, REpoc) x [CSpoc, CEpoc)
-    x [0, LYEpoc), skipping packets an earlier entry already emitted
-    (the standard continuation rule). The caller checks coverage."""
+    resolution, component, precinct) nest over [RSpoc, REpoc) x
+    [CSpoc, CEpoc) x [0, LYEpoc) x the precinct grids, skipping
+    packets an earlier entry already emitted (the standard
+    continuation rule). Precinct geometry comes from ``comps`` (as in
+    :func:`_packet_sequence`); the caller checks coverage."""
+    pgrid, pos = _pgrid_pos(comps)
     seen: set = set()
     out: list = []
     for (rs, cs, lye, re_, ce, pp) in entries:
@@ -1592,45 +1609,43 @@ def _poc_sequence(entries, nres_c, ncomp: int, nlayers: int):
         lye = min(lye, nlayers)
         if rs >= re_ or cs >= ce or lye <= 0:
             continue
-        if pp == 0:  # LRCP
-            gen = (
-                (l, r, c)
-                for l in range(lye)
-                for r in range(rs, re_)
-                for c in range(cs, ce)
-            )
-        elif pp == 1:  # RLCP
-            gen = (
-                (l, r, c)
-                for r in range(rs, re_)
-                for l in range(lye)
-                for c in range(cs, ce)
-            )
-        elif pp == 2:  # RPCL
-            gen = (
-                (l, r, c)
-                for r in range(rs, re_)
-                for c in range(cs, ce)
-                for l in range(lye)
-            )
-        elif pp in (3, 4):  # PCRL (degenerate) / CPRL
-            gen = (
-                (l, r, c)
-                for c in range(cs, ce)
-                for r in range(rs, re_)
-                for l in range(lye)
-            )
-        else:
+        if pp > 4:
             raise J2kUnsupported(f"POC progression {pp}")
-        for t in gen:
-            if t[1] >= nres_c[t[2]] or t in seen:
+        quads = [
+            (l, r, c, p)
+            for l in range(lye)
+            for r in range(rs, re_)
+            for c in range(cs, ce)
+            if r < nres_c[c]
+            for p in range(pgrid(c, r))
+        ]
+        key = _prog_key(pp, pos)
+        if key is not None:
+            quads.sort(key=key)
+        for q in quads:
+            if q in seen:
                 continue
-            seen.add(t)
-            out.append(t)
+            seen.add(q)
+            out.append(q)
     return out
 
 
 # ------------------------------------------------------------ encoder
+
+
+def _validate_precincts(plist: list, levels: int) -> None:
+    """Shared precinct-list validation for COD/COC/tile-COD emission:
+    one (PPx, PPy) exponent pair per resolution, 0..15, nonzero above
+    resolution 0 (band coordinates halve there, T.800 B.9)."""
+    if len(plist) != levels + 1:
+        raise J2kParseError(
+            f"{len(plist)} precinct sizes for {levels + 1} resolutions"
+        )
+    for r, (ppx, ppy) in enumerate(plist):
+        if not (0 <= ppx <= 15 and 0 <= ppy <= 15):
+            raise J2kParseError("precinct exponent out of range")
+        if r and (ppx < 1 or ppy < 1):
+            raise J2kParseError(f"precinct exponent 0 at resolution {r}")
 
 
 def _check_tile_geometry(
@@ -1781,16 +1796,23 @@ def encode_j2k(
             raise J2kParseError(
                 "MCT needs identical sampling on components 0-2"
             )
-    # per-component coding overrides -> COC (+ matching style-0 QCC)
+    # per-component coding overrides -> COC (+ matching style-0 QCC).
+    # A COC overrides the COD in full for its component (T.800
+    # A.6.2), so a coc'd component's precincts come from its own
+    # optional "precincts" list (absent = maximal), never the COD's.
     levels_c = [levels] * nc
     cbw_c = [cbw] * nc
     cbh_c = [cbh] * nc
+    prec_c: list = [precincts] * nc
     if coc:
         if lossy:
             raise J2kParseError("coc overrides support lossless only")
         for ci, over in coc.items():
             if not 0 <= ci < nc:
                 raise J2kParseError(f"coc names component {ci} of {nc}")
+            bad = set(over) - {"levels", "cb", "precincts"}
+            if bad:
+                raise J2kParseError(f"unknown coc override keys {bad}")
             levels_c[ci] = over.get("levels", levels)
             ow, oh = over.get("cb", (cbw_c[ci], cbh_c[ci]))
             if (
@@ -1799,6 +1821,9 @@ def encode_j2k(
             ):
                 raise J2kParseError(f"invalid COC code-block size {over}")
             cbw_c[ci], cbh_c[ci] = ow, oh
+            prec_c[ci] = over.get("precincts")
+            if prec_c[ci] is not None:
+                _validate_precincts(prec_c[ci], levels_c[ci])
     if (termall or bypass or reset or vsc or segsym) and (
         coc or tile_overrides
     ):
@@ -1806,32 +1831,22 @@ def encode_j2k(
             "code-block style modes compose with uniform style only"
         )
     if precincts is not None:
-        if coc or tile_overrides or poc:
-            raise J2kParseError(
-                "precincts compose with uniform coding style, no POC"
-            )
-        if len(precincts) != levels + 1:
-            raise J2kParseError(
-                f"{len(precincts)} precinct sizes for {levels + 1} "
-                "resolutions"
-            )
-        for r, (ppx, ppy) in enumerate(precincts):
-            if not (0 <= ppx <= 15 and 0 <= ppy <= 15):
-                raise J2kParseError(f"precinct exponent out of range")
-            if r and (ppx < 1 or ppy < 1):
-                raise J2kParseError(
-                    f"precinct exponent 0 at resolution {r}"
-                )
+        _validate_precincts(precincts, levels)
     if tile_overrides:
-        if lossy or subsampling or poc or coc or packed_headers:
+        if lossy or subsampling or coc or packed_headers:
             raise J2kParseError(
                 "tile_overrides compose with the plain lossless path "
                 "only"
             )
         for isot, over in tile_overrides.items():
-            bad = set(over) - {"levels", "cb", "layers", "prog"}
+            bad = set(over) - {"levels", "cb", "layers", "prog",
+                               "precincts"}
             if bad:
                 raise J2kParseError(f"unknown tile override keys {bad}")
+            if over.get("precincts") is not None:
+                _validate_precincts(
+                    over["precincts"], over.get("levels", levels)
+                )
     _check_tile_geometry(
         w, h, xt, yt,
         max(
@@ -1934,7 +1949,10 @@ def encode_j2k(
         cw_t, ch_t = over.get("cb", (cbw, cbh))
         layers_t = over.get("layers", layers)
         prog_t = over.get("prog", prog)
-        tile_cfg[isot] = (lv_t, cw_t, ch_t, layers_t, prog_t, bool(over))
+        prec_t = over.get("precincts")
+        tile_cfg[isot] = (
+            lv_t, cw_t, ch_t, layers_t, prog_t, bool(over), prec_t
+        )
         tile_roi = None
         if roi is not None:
             ry0, ry1, rx0, rx1 = roi
@@ -1958,6 +1976,9 @@ def encode_j2k(
         lvs = [lv_t] * nc if over else levels_c
         cws = [cw_t] * nc if over else cbw_c
         chs = [ch_t] * nc if over else cbh_c
+        # tile COD (when present) replaces the main coding style in
+        # full, precincts included (absent key = maximal)
+        precs = [prec_t] * nc if over else prec_c
         tiles.append(
             _encode_tile(
                 tps,
@@ -1981,7 +2002,7 @@ def encode_j2k(
                 reset=reset,
                 vsc=vsc,
                 segsym=segsym,
-                precincts=precincts,
+                precincts=precs,
             )
         )
 
@@ -2028,11 +2049,17 @@ def encode_j2k(
                 0,
                 0 if lossy else 1,
             )
+            pbytes = b""
+            if prec_c[ci] is not None:
+                pbytes = bytes(
+                    (ppy << 4) | ppx for ppx, ppy in prec_c[ci]
+                )
             out += (
                 struct.pack(">H", COC)
-                + struct.pack(">H", 2 + 1 + 1 + 5)
-                + bytes([ci, 0])  # Ccoc, Scoc (no custom precincts)
+                + struct.pack(">H", 2 + 1 + 1 + 5 + len(pbytes))
+                + bytes([ci, 0x01 if pbytes else 0])  # Ccoc, Scoc
                 + spcoc
+                + pbytes
             )
     if poc:
         for e in poc:
@@ -2111,7 +2138,9 @@ def encode_j2k(
     tile_bytes = bytearray()
     ppm_stream = bytearray()
     for isot, packets in enumerate(tiles):
-        lv_t, cw_t, ch_t, layers_t, prog_t, has_over = tile_cfg[isot]
+        (
+            lv_t, cw_t, ch_t, layers_t, prog_t, has_over, prec_t,
+        ) = tile_cfg[isot]
         over_markers = b""
         if has_over:
             spcod_t = struct.pack(
@@ -2122,12 +2151,23 @@ def encode_j2k(
                 0,
                 1,  # lossless only (validated above)
             )
+            pbytes_t = b""
+            if prec_t is not None:
+                pbytes_t = bytes(
+                    (ppy << 4) | ppx for ppx, ppy in prec_t
+                )
             over_markers += (
                 struct.pack(">H", COD)
                 + struct.pack(
-                    ">HBBHB", 12, 0, prog_t, layers_t, 1 if mct else 0
+                    ">HBBHB",
+                    12 + len(pbytes_t),
+                    0x01 if pbytes_t else 0,
+                    prog_t,
+                    layers_t,
+                    1 if mct else 0,
                 )
                 + spcod_t
+                + pbytes_t
             )
             exps_t = [depth + 2 + _BAND_GAIN["LL"]]
             for r in range(1, lv_t + 1):
@@ -2230,6 +2270,12 @@ def _encode_tile(
         cbw_c = [cbw_c] * nc
     if isinstance(cbh_c, int):
         cbh_c = [cbh_c] * nc
+    if precincts is None:
+        prec_c = [None] * nc
+    elif precincts and isinstance(precincts[0], tuple):
+        prec_c = [precincts] * nc
+    else:
+        prec_c = list(precincts)
     comps = []
     for ci, plane in enumerate(planes):
         pyr = (dwt_forward97 if lossy else dwt_forward)(
@@ -2237,7 +2283,7 @@ def _encode_tile(
         )
         bands = _build_bands(
             h_c[ci], w_c[ci], levels_c[ci], cbw_c[ci], cbh_c[ci],
-            depth, x0_c[ci], y0_c[ci], precincts=precincts,
+            depth, x0_c[ci], y0_c[ci], precincts=prec_c[ci],
         )
         if lossy:
             # lossy_eps: one shared table, or one per component (the
@@ -2367,15 +2413,16 @@ def _encode_tile(
     # into tile-parts at packet boundaries, T.800 A.4.2)
     packets: list[bytes] = []
     nres_c = [lv + 1 for lv in levels_c]
-    pseq = (
-        [(l, r, c, 0) for l, r, c in _poc_sequence(
-            poc, nres_c, nc, nlayers
-        )]
-        if poc
-        else _packet_sequence(prog, nres_c, nc, nlayers, comps)
-    )
-    if poc and len(pseq) != nlayers * sum(nres_c):
-        raise J2kParseError("poc entries do not cover every packet")
+    if poc:
+        pseq = _poc_sequence(poc, nres_c, nc, nlayers, comps)
+        pgrid, _ = _pgrid_pos(comps)
+        expected = nlayers * sum(
+            pgrid(c, r) for c in range(nc) for r in range(nres_c[c])
+        )
+        if len(pseq) != expected:
+            raise J2kParseError("poc entries do not cover every packet")
+    else:
+        pseq = _packet_sequence(prog, nres_c, nc, nlayers, comps)
     for lyr, r, c, pidx in pseq:
         wr = PackBitWriter()
         body = bytearray()
@@ -2565,9 +2612,12 @@ def _parse_cod(cod: bytes, what: str):
 
 def _apply_coc(seg: bytes, nc: int, levels_c: list, cbw_c: list,
                cbh_c: list, transform_c: list, cbsty_c: list,
-               what: str) -> int:
+               what: str, prec_c: list | None = None) -> int:
     """Apply one COC segment to the per-component arrays in place;
-    returns the component it named. Shared by main and tile COCs."""
+    returns the component it named. Shared by main and tile COCs.
+    A COC overrides the COD for its component in full (T.800 A.6.2),
+    so ``prec_c[ccoc]`` is set to the COC's own precinct list when
+    Scoc bit 0 is on and reset to None (maximal) otherwise."""
     if nc < 257:
         if len(seg) < 7:
             raise J2kParseError(f"{what} shorter than its SPcoc")
@@ -2579,9 +2629,22 @@ def _apply_coc(seg: bytes, nc: int, levels_c: list, cbw_c: list,
     if ccoc >= nc:
         raise J2kParseError(f"{what} names component {ccoc} of {nc}")
     scoc = body[0]
-    if scoc & 0x01:
-        raise J2kUnsupported(f"custom precinct sizes ({what})")
     lv, xcb2, ycb2, cbsty2, tr2 = body[1:6]
+    prec = None
+    if scoc & 0x01:
+        if len(body) < 6 + lv + 1:
+            raise J2kParseError(
+                f"{what} lacks its {lv + 1} precinct-size bytes"
+            )
+        prec = []
+        for r in range(lv + 1):
+            b = body[6 + r]
+            ppx, ppy = b & 0xF, b >> 4
+            if r and (ppx < 1 or ppy < 1):
+                raise J2kParseError(
+                    f"precinct exponent 0 at resolution {r} ({what})"
+                )
+            prec.append((ppx, ppy))
     if cbsty2 & ~0x3F:
         raise J2kUnsupported(f"code-block style 0x{cbsty2:02x} ({what})")
     if tr2 not in (0, 1):
@@ -2593,6 +2656,8 @@ def _apply_coc(seg: bytes, nc: int, levels_c: list, cbw_c: list,
     cbw_c[ccoc], cbh_c[ccoc] = w2, h2
     transform_c[ccoc] = tr2
     cbsty_c[ccoc] = cbsty2
+    if prec_c is not None:
+        prec_c[ccoc] = prec
     return ccoc
 
 
@@ -2685,11 +2750,11 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     cbh_c = [cbh] * nc
     transform_c = [transform] * nc
     cbsty_c = [cbstyle] * nc
-    if precincts and coc_segs:
-        raise J2kUnsupported("custom precincts combined with COC")
+    prec_c: list = [precincts] * nc
     for seg in coc_segs:
         _apply_coc(
-            seg, nc, levels_c, cbw_c, cbh_c, transform_c, cbsty_c, "COC"
+            seg, nc, levels_c, cbw_c, cbh_c, transform_c, cbsty_c,
+            "COC", prec_c=prec_c,
         )
     if mct == 1 and len(set(transform_c[:3])) > 1:
         raise J2kUnsupported(
@@ -2719,14 +2784,10 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             if pp > 4:
                 raise J2kUnsupported(f"POC progression {pp}")
             poc_entries.append((rs, cs, lye, re_, ce, pp))
-    if poc_entries:
-        covered = _poc_sequence(
-            poc_entries, [lv + 1 for lv in levels_c], nc, nlayers
-        )
-        if len(covered) != nlayers * sum(lv + 1 for lv in levels_c):
-            raise J2kParseError(
-                "POC entries do not cover every packet"
-            )
+    # POC coverage (every packet emitted exactly once) is checked per
+    # tile inside _decode_tile_planes: packet counts depend on each
+    # tile's resolved levels AND its precinct grids, neither of which
+    # is known until the tile headers resolve.
 
     # QCD per component (band count follows that component's levels),
     # optionally overridden per component by QCC:
@@ -2881,14 +2942,6 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     # resolve each tile's coding/quantization parameters with the
     # T.800 precedence (tile COC > tile COD > main COC > main COD;
     # tile QCC > tile QCD > main QCC > main QCD)
-    # a tile COC can change decomposition levels too, desyncing the
-    # main-header POC coverage check computed from levels_c — gate both
-    if poc_entries and precincts:
-        raise J2kUnsupported("POC combined with custom precincts")
-    if poc_entries and (tile_cod or tile_coc):
-        raise J2kUnsupported(
-            "POC combined with per-tile COD/COC overrides"
-        )
     tile_params: dict[int, tuple] = {}
     for isot in parts:
         t_cod = tile_cod.get(isot)
@@ -2897,10 +2950,6 @@ def _decode_j2k(data: bytes) -> np.ndarray:
                 scod_t, prog_t, nlayers_t, mct_t, lv0, cw0, ch0, tr0,
                 cbs0, prec_t,
             ) = _parse_cod(t_cod, "tile COD")
-            if prec_t is not None or precincts is not None:
-                raise J2kUnsupported(
-                    "custom precincts combined with per-tile COD"
-                )
             if mct_t != mct:
                 raise J2kUnsupported("per-tile MCT override")
             lv_t = [lv0] * nc
@@ -2908,16 +2957,19 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             ch_t = [ch0] * nc
             tr_t = [tr0] * nc
             cbs_t = [cbs0] * nc
+            pr_t = [prec_t] * nc
             sop_t, eph_t = bool(scod_t & 0x02), bool(scod_t & 0x04)
         else:
             prog_t, nlayers_t = prog, nlayers
             lv_t, cw_t, ch_t = list(levels_c), list(cbw_c), list(cbh_c)
             tr_t = list(transform_c)
             cbs_t = list(cbsty_c)
+            pr_t = list(prec_c)
             sop_t, eph_t = use_sop, use_eph
         for seg in tile_coc.get(isot, []):
             _apply_coc(
-                seg, nc, lv_t, cw_t, ch_t, tr_t, cbs_t, "tile COC"
+                seg, nc, lv_t, cw_t, ch_t, tr_t, cbs_t, "tile COC",
+                prec_c=pr_t,
             )
         if mct == 1 and tr_t[:3] != transform_c[:3]:
             raise J2kUnsupported(
@@ -2944,7 +2996,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             )
         tile_params[isot] = (
             lv_t, cw_t, ch_t, tr_t, prog_t, nlayers_t, sop_t, eph_t,
-            g_t, e_t, m_t, cbs_t,
+            g_t, e_t, m_t, cbs_t, pr_t,
         )
         if max(lv_t) > max(levels_c):
             _check_tile_geometry(
@@ -2988,7 +3040,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         x0, y0, x1, y1 = rects[isot]
         (
             lv_t, cw_t, ch_t, tr_t, prog_t, nlayers_t, sop_t, eph_t,
-            g_t, e_t, m_t, cbs_t,
+            g_t, e_t, m_t, cbs_t, pr_t,
         ) = tile_params[isot]
         crects = [
             (
@@ -3020,7 +3072,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             rgn_c=rgn_c,
             poc=poc_entries or None,
             cbsty_c=cbs_t,
-            precincts=precincts,
+            precincts=pr_t,
         )
         for ci in range(nc):
             cx0, cy0, cx1, cy1 = crects[ci]
@@ -3184,6 +3236,14 @@ def _decode_tile_planes(
         cbh_c = [cbh_c] * nc
     if isinstance(transform_c, int):
         transform_c = [transform_c] * nc
+    # precincts: None (maximal everywhere), one shared per-resolution
+    # list, or one list-or-None per component (the COC / tile-COD case)
+    if precincts is None:
+        prec_c = [None] * nc
+    elif precincts and isinstance(precincts[0], tuple):
+        prec_c = [precincts] * nc
+    else:
+        prec_c = list(precincts)
     comps = []
     for ci in range(nc):
         guard = guard_c[ci]
@@ -3198,7 +3258,7 @@ def _decode_tile_planes(
         segsym = bool(cbs_i & 0x20)
         bands = _build_bands(
             th_c[ci], tw_c[ci], levels_c[ci], cbw_c[ci], cbh_c[ci],
-            depths[ci], x0_c[ci], y0_c[ci], precincts=precincts,
+            depths[ci], x0_c[ci], y0_c[ci], precincts=prec_c[ci],
         )
         k = 0
         for blist in bands:
@@ -3241,13 +3301,16 @@ def _decode_tile_planes(
     tpos = 0
     hpos = 0  # header-bit cursor in the packed stream, when present
     nres_c = [lv + 1 for lv in levels_c]
-    seq = (
-        [(l, r, c, 0) for l, r, c in _poc_sequence(
-            poc, nres_c, nc, nlayers
-        )]
-        if poc
-        else _packet_sequence(prog, nres_c, nc, nlayers, comps)
-    )
+    if poc:
+        seq = _poc_sequence(poc, nres_c, nc, nlayers, comps)
+        pgrid, _ = _pgrid_pos(comps)
+        expected = nlayers * sum(
+            pgrid(c, r) for c in range(nc) for r in range(nres_c[c])
+        )
+        if len(seq) != expected:
+            raise J2kParseError("POC entries do not cover every packet")
+    else:
+        seq = _packet_sequence(prog, nres_c, nc, nlayers, comps)
     for lyr, r, c, pidx in seq:
         if use_sop:
             if tile[tpos : tpos + 2] == b"\xff\x91":

@@ -740,10 +740,10 @@ def test_coc_gates_stay_named():
     img = rng.integers(0, 256, (16, 16), dtype=np.uint8)
     enc = encode_j2k(img, levels=1, coc={0: {"levels": 2}})
     i = enc.find(b"\xff\x53")
-    # Scoc custom-precinct bit -> named gate
+    # Scoc custom-precinct bit without its size bytes -> parse error
     b = bytearray(enc)
     b[i + 5] |= 0x01
-    with pytest.raises(J2kUnsupported, match="precinct"):
+    with pytest.raises(J2kParseError, match="precinct-size bytes"):
         decode_j2k(bytes(b))
     # COC naming a missing component -> parse error
     b = bytearray(enc)
@@ -838,10 +838,11 @@ def test_poc_gates_and_coverage_errors():
         decode_j2k(bytes(b))
 
 
-def test_poc_with_tile_coc_gates_by_name():
-    """ADVICE r10: a tile-header COC can change decomposition levels,
-    desyncing the main-header POC coverage check — POC + per-tile COC
-    must gate like POC + per-tile COD, not mis-walk packets."""
+def test_poc_with_tile_overrides_decodes():
+    """POC + per-tile coding overrides: the coverage check and the
+    packet walk both recompute from each tile's RESOLVED parameters
+    (ADVICE r10 asked for the gate or the recompute — this is the
+    recompute), so a tile-header COC no longer desyncs the walk."""
     import struct as _s
 
     rng = np.random.default_rng(113)
@@ -851,13 +852,29 @@ def test_poc_with_tile_coc_gates_by_name():
     assert sot > 0
     psot = _s.unpack(">I", enc[sot + 6 : sot + 10])[0]
     # splice a structurally-valid COC into the tile header (after the
-    # 12-byte SOT segment) and grow Psot to match
+    # 12-byte SOT segment) and grow Psot to match; its parameters
+    # agree with the main header, so the decode must still be exact
     coc = b"\xff\x53" + _s.pack(">H", 9) + bytes([0, 0, 2, 4, 4, 0, 1])
     b = bytearray(enc[: sot + 12] + coc + enc[sot + 12 :])
     if psot:
         b[sot + 6 : sot + 10] = _s.pack(">I", psot + len(coc))
-    with pytest.raises(J2kUnsupported, match="POC combined"):
+    assert np.array_equal(decode_j2k(bytes(b))[:, :, 0], img)
+    # a tile COC RAISING the level count outgrows the main QCD's band
+    # table — a parse error, never a silent mis-walk
+    coc = b"\xff\x53" + _s.pack(">H", 9) + bytes([0, 0, 3, 4, 4, 0, 1])
+    b = bytearray(enc[: sot + 12] + coc + enc[sot + 12 :])
+    if psot:
+        b[sot + 6 : sot + 10] = _s.pack(">I", psot + len(coc))
+    with pytest.raises(J2kParseError, match="band count"):
         decode_j2k(bytes(b))
+    # encoder-side composition: POC + tile_overrides round-trips
+    img2 = rng.integers(0, 65536, (64, 64)).astype(np.uint16)
+    blob = encode_j2k(
+        img2, levels=2, tile=(32, 32), layers=2,
+        poc=[(0, 0, 2, 3, 1, 2)],
+        tile_overrides={1: {"levels": 1}, 2: {"layers": 1}},
+    )
+    assert np.array_equal(decode_j2k(blob)[:, :, 0], img2)
 
 
 def test_per_tile_cod_qcd_overrides_round_trip():
@@ -1275,6 +1292,53 @@ def test_custom_precincts_round_trip():
         assert np.array_equal(decode_j2k(blob)[:, :, 0], img), ph
 
 
+def test_precincts_compose_with_poc_coc_and_tile_overrides():
+    """Precincts are a PER-COMPONENT, PER-TILE property (T.800 A.6.1
+    / A.6.2): a COC or tile COD overrides the COD's coding style in
+    full, its own precinct list included (absent = maximal), and POC
+    entries iterate the real precinct grids with the B.12 position
+    loops — the three combinations round 10 still gated."""
+    rng = np.random.default_rng(199)
+    img = rng.integers(0, 256, (64, 80), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    # POC + precincts, including position-dependent progressions
+    for poc in (
+        [(0, 0, 2, 2, 3, 4), (0, 0, 2, 4, 3, 0)],
+        [(0, 0, 1, 3, 3, 2), (0, 0, 2, 3, 3, 1)],
+        [(0, 0, 2, 1, 3, 3), (0, 0, 2, 3, 3, 2)],
+    ):
+        blob = encode_j2k(rgb, levels=2, layers=2, cb=(8, 8),
+                          precincts=[(4, 4), (4, 4), (5, 5)], poc=poc)
+        assert np.array_equal(decode_j2k(blob), rgb), poc
+    # COC carrying its own precinct list (Scoc bit 0) next to a COD
+    # list; a third component proves COC-without-precincts resets to
+    # maximal rather than inheriting the COD's
+    blob = encode_j2k(
+        rgb, levels=2, cb=(8, 8), precincts=[(4, 4), (4, 4), (5, 5)],
+        coc={1: {"levels": 1, "precincts": [(3, 3), (4, 4)]},
+             2: {"levels": 2}},
+    )
+    i = blob.find(b"\xff\x53")
+    assert blob[i + 5] & 0x01  # Scoc precinct bit on the wire
+    assert np.array_equal(decode_j2k(blob), rgb)
+    # per-tile COD with its own precinct list, mixed with tiles that
+    # keep the main header's
+    blob = encode_j2k(
+        img, levels=2, tile=(32, 32), cb=(8, 8),
+        precincts=[(4, 4), (4, 4), (5, 5)],
+        tile_overrides={1: {"levels": 1, "precincts": [(3, 3), (4, 4)]},
+                        2: {"levels": 2}},
+    )
+    assert np.array_equal(decode_j2k(blob)[:, :, 0], img)
+    # all three at once: POC + precincts + tiles + layers
+    blob = encode_j2k(
+        img, levels=2, tile=(32, 32), layers=3, cb=(8, 8),
+        precincts=[(3, 3), (3, 3), (4, 4)],
+        poc=[(0, 0, 2, 2, 1, 3), (0, 0, 3, 3, 1, 4)],
+    )
+    assert np.array_equal(decode_j2k(blob)[:, :, 0], img)
+
+
 def test_precinct_gates_and_validation():
     rng = np.random.default_rng(193)
     img = rng.integers(0, 256, (32, 32), dtype=np.uint8)
@@ -1283,14 +1347,16 @@ def test_precinct_gates_and_validation():
         encode_j2k(img, levels=1, precincts=[(4, 4), (0, 4)])
     with pytest.raises(J2kParseError, match="precinct sizes"):
         encode_j2k(img, levels=2, precincts=[(4, 4)])
-    # POC x precincts gates by name (splice a POC into a precinct
-    # stream is involved; the encoder-side gate pins the contract)
-    with pytest.raises(J2kParseError, match="precincts"):
-        encode_j2k(img, levels=1, layers=2, precincts=[(4, 4), (4, 4)],
-                   poc=[(0, 0, 2, 2, 1, 0)])
-    with pytest.raises(J2kParseError, match="precincts"):
-        encode_j2k(img, levels=1, precincts=[(4, 4), (4, 4)],
-                   coc={0: {"levels": 1}})
+    # a coc-component precinct list must match the coc'd level count
+    with pytest.raises(J2kParseError, match="precinct sizes"):
+        encode_j2k(img, levels=2, precincts=[(4, 4), (4, 4), (5, 5)],
+                   coc={0: {"levels": 1,
+                            "precincts": [(4, 4), (4, 4), (4, 4)]}})
+    # ... and a tile-override list must match the tile's level count
+    with pytest.raises(J2kParseError, match="precinct sizes"):
+        encode_j2k(img, levels=2, tile=(16, 16),
+                   tile_overrides={0: {"levels": 1,
+                                       "precincts": [(4, 4)]}})
     # decoder side: COD with the precinct flag but truncated sizes
     enc = bytearray(encode_j2k(img, levels=1))
     i = enc.find(b"\xff\x52")
