@@ -66,10 +66,14 @@ TILE with the A.6 precedence: a COC or tile COD carries its own
 precinct list (Scoc/Scod bit 0) or resets its scope to maximal, and
 POC entries iterate the real precinct grids with the B.12 position
 loops (coverage checked per tile from the RESOLVED parameters).
-Honest gates (raised as :class:`J2kUnsupported`): reserved style
-bits 0x40/0x80, explicit-style RGN (T.800 defines only Srgn = 0
-maxshift; other values are reserved), and tile grids misaligned to
-a subsampled component's rate x 2^levels.
+Geometry is fully general: tile grids need NOT align to 2^levels
+(or to a subsampled component's rate) — tile-component bands follow
+the exact B-15 ceil formulas with the lifting split by CANVAS
+parity — and nonzero image/tile-grid offsets (XOsiz/YOsiz/XTOsiz/
+YTOsiz, B.3/B.4) decode, components anchoring at ceil(offset/rate)
+on their own grids. The only :class:`J2kUnsupported` gates left are
+spec-reserved codepoints: style bits 0x40/0x80 and non-maxshift RGN
+styles (T.800 defines only Srgn = 0).
 Per-tile COD/QCD/COC/QCC overrides decode with the T.800 A.6
 precedence (tile COC > tile COD > main COC > main COD; tile QCC >
 tile QCD > main QCC > main QCD), restricted to a tile's first part.
@@ -1082,7 +1086,118 @@ def _code_sign(st: _T1State, mq, x: int, y: int, decode: bool):
 # ------------------------------------------------- 5/3 reversible DWT
 
 
-def fwd_5x3_1d(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _wss_indices(idx: np.ndarray, n: int) -> np.ndarray:
+    """Whole-sample-symmetric (periodic) reflection of arbitrary
+    indices into [0, n) — T.800 F.3.8's 1D_EXTD extension rule."""
+    if n == 1:
+        return np.zeros_like(idx)
+    p = 2 * n - 2
+    m = np.abs(idx) % p
+    return np.where(m >= n, p - m, m)
+
+
+# Canvas-sample margin for the odd-origin lifting paths: the even-
+# origin cores apply their own boundary mirrors at the EXTENDED
+# edges, and a boundary value propagates one coefficient lane per
+# lifting step (2 steps for 5/3, 4 for 9/7) — 12 samples = 6 lanes
+# keeps every retained coefficient a pure function of the correctly
+# WSS-extended signal.
+_DWT_MARGIN = 12
+
+
+def _fwd_1d_general(a: np.ndarray, o: int, core, single_odd):
+    """Forward lifting on a signal occupying canvas [o, o+n): low
+    lane = even canvas indices (T.800 F.4). Even origins take the
+    fast vectorized core; odd origins extend whole-sample-symmetric,
+    run the core on the even-aligned extension, and slice the
+    interior (identical arithmetic to lifting in canvas coordinates).
+    A single sample at an odd position is the special 1D_FILTR case
+    (high-pass lane; x2 for the reversible filter)."""
+    n = a.shape[-1]
+    o &= 1
+    if n == 0:
+        return a[..., :0].copy(), a[..., :0].copy()
+    if n == 1 and o:
+        return a[..., :0].copy(), single_odd(a)
+    if not o:
+        return core(a)
+    el = _DWT_MARGIN + 1  # extended canvas start o - el is even
+    er = _DWT_MARGIN
+    idx = _wss_indices(np.arange(-el, n + er), n)
+    s, d = core(a[..., idx])
+    ns = (o + n + 1) // 2 - (o + 1) // 2  # even canvas count in [o, o+n)
+    ks = (el + 1) // 2  # first retained s lane (canvas >= o)
+    kd = el // 2
+    return (
+        s[..., ks : ks + ns].copy(),
+        d[..., kd : kd + (n - ns)].copy(),
+    )
+
+
+def _lane_ext(a: np.ndarray, left: int, right: int, lw: bool,
+              rw: bool) -> np.ndarray:
+    """Extend one coefficient lane by reflection: ``lw``/``rw`` pick
+    whole-sample (True) or half-sample (False) symmetry at each end —
+    the lane-space image of whole-sample-symmetric SIGNAL extension,
+    which alternates by the boundary's canvas parity."""
+    n = a.shape[-1]
+    if n == 1:
+        return a[..., np.zeros(left + 1 + right, dtype=np.intp)]
+    idx = []
+    for i in range(-left, n + right):
+        j = i
+        while j < 0 or j >= n:
+            if j < 0:
+                j = -j if lw else -j - 1
+            else:
+                j = 2 * (n - 1) - j if rw else 2 * n - 1 - j
+        idx.append(j)
+    return a[..., idx]
+
+
+def _inv_1d_general(s: np.ndarray, d: np.ndarray, o: int, core,
+                    single_odd_inv) -> np.ndarray:
+    """Inverse of :func:`_fwd_1d_general`: rebuild canvas [o, o+n)
+    from its even (``s``) and odd (``d``) lanes. Odd origins extend
+    each lane with the parity-correct reflection (the lanes of a
+    WSS-extended signal are themselves symmetric — whole-sample where
+    the boundary sample falls in that lane, half-sample otherwise),
+    run the even-origin core, and slice."""
+    ns, nd = s.shape[-1], d.shape[-1]
+    n = ns + nd
+    o &= 1
+    if n == 0:
+        return s[..., :0].astype(s.dtype, copy=True)
+    if n == 1 and nd == 1:
+        return single_odd_inv(d)
+    if not o:
+        return core(s, d)
+    el = _DWT_MARGIN + 1  # extended canvas [O, O2), both ends even
+    er = _DWT_MARGIN + ((o + n) & 1)
+    big_o = o - el
+    big_o2 = o + n + er
+    ss0, ds0 = (o + 1) // 2, o // 2  # global lane origins
+    last = o + n - 1
+    s_ext = _lane_ext(
+        s,
+        ss0 - big_o // 2,
+        big_o2 // 2 - (ss0 + ns),
+        lw=False,  # o odd: boundary sample is in the d lane
+        rw=(last % 2 == 0),
+    )
+    d_ext = _lane_ext(
+        d,
+        ds0 - big_o // 2,
+        big_o2 // 2 - (ds0 + nd),
+        lw=True,
+        rw=(last % 2 == 1),
+    )
+    out = core(s_ext, d_ext)
+    k = o - big_o
+    return out[..., k : k + n].copy()
+
+
+def _fwd_5x3_even(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """One forward 5/3 lifting step along the last axis (0-origin,
     even samples -> low-pass), vectorized over leading axes."""
     n = a.shape[-1]
@@ -1106,8 +1221,24 @@ def fwd_5x3_1d(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return s, d
 
 
-def inv_5x3_1d(s: np.ndarray, d: np.ndarray) -> np.ndarray:
-    """Inverse of :func:`fwd_5x3_1d` along the last axis."""
+def fwd_5x3_1d(a: np.ndarray, o: int = 0):
+    """Forward 5/3 on canvas interval [o, o+n) along the last axis."""
+    return _fwd_1d_general(
+        a, o, _fwd_5x3_even,
+        lambda x: x.astype(np.int64) * 2,  # T.800: lone odd sample
+    )
+
+
+def inv_5x3_1d(s: np.ndarray, d: np.ndarray, o: int = 0) -> np.ndarray:
+    """Inverse 5/3 for canvas interval [o, o+n) along the last axis."""
+    return _inv_1d_general(
+        s, d, o, _inv_5x3_even,
+        lambda x: x.astype(np.int64) >> 1,
+    )
+
+
+def _inv_5x3_even(s: np.ndarray, d: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_fwd_5x3_even` along the last axis."""
     ne, no = s.shape[-1], d.shape[-1]
     n = ne + no
     if n == 1:
@@ -1127,49 +1258,68 @@ def inv_5x3_1d(s: np.ndarray, d: np.ndarray) -> np.ndarray:
     return out
 
 
-def _fwd_2d(a: np.ndarray, fwd1d):
+def _fwd_2d(a: np.ndarray, fwd1d, ox: int = 0, oy: int = 0):
     """One decomposition level: vertical then horizontal lifting ->
-    (LL, HL, LH, HH). HL is the horizontally-high-pass band."""
-    lo_v, hi_v = fwd1d(np.swapaxes(a, -1, -2))
+    (LL, HL, LH, HH). HL is the horizontally-high-pass band.
+    ``(ox, oy)`` is the tile-component origin of ``a`` at this level
+    — the lane split follows CANVAS parity (T.800 F.4)."""
+    lo_v, hi_v = fwd1d(np.swapaxes(a, -1, -2), oy)
     lo_v = np.swapaxes(lo_v, -1, -2)
     hi_v = np.swapaxes(hi_v, -1, -2)
-    ll, hl = fwd1d(lo_v)
-    lh, hh = fwd1d(hi_v)
+    ll, hl = fwd1d(lo_v, ox)
+    lh, hh = fwd1d(hi_v, ox)
     return ll, hl, lh, hh
 
 
-def _inv_2d(ll, hl, lh, hh, inv1d) -> np.ndarray:
-    lo_v = inv1d(ll, hl)
-    hi_v = inv1d(lh, hh)
-    both = inv1d(np.swapaxes(lo_v, -1, -2), np.swapaxes(hi_v, -1, -2))
+def _inv_2d(ll, hl, lh, hh, inv1d, ox: int = 0, oy: int = 0):
+    lo_v = inv1d(ll, hl, ox)
+    hi_v = inv1d(lh, hh, ox)
+    both = inv1d(
+        np.swapaxes(lo_v, -1, -2), np.swapaxes(hi_v, -1, -2), oy
+    )
     return np.swapaxes(both, -1, -2)
 
 
-def _mallat_forward(a: np.ndarray, levels: int, fwd1d, dtype) -> list:
+def _mallat_forward(
+    a: np.ndarray, levels: int, fwd1d, dtype, ox: int = 0, oy: int = 0
+) -> list:
     """Mallat decomposition: returns [LL_n, (HL_n, LH_n, HH_n), ...,
-    (HL_1, LH_1, HH_1)] with spec ceil/floor subband sizes."""
+    (HL_1, LH_1, HH_1)] with spec ceil/floor subband sizes. ``(ox,
+    oy)`` anchors the tile-component on its component grid; each
+    level's LL origin is the ceil-half of the previous (B.5)."""
     bands = []
     cur = a.astype(dtype, copy=True)
+    cx, cy = ox, oy
     for _ in range(levels):
-        ll, hl, lh, hh = _fwd_2d(cur, fwd1d)
+        ll, hl, lh, hh = _fwd_2d(cur, fwd1d, cx, cy)
         bands.append((hl, lh, hh))
         cur = ll
+        cx, cy = -(-cx // 2), -(-cy // 2)
     return [cur] + list(reversed(bands))
 
 
-def _mallat_inverse(pyramid: list, inv1d) -> np.ndarray:
+def _mallat_inverse(
+    pyramid: list, inv1d, ox: int = 0, oy: int = 0
+) -> np.ndarray:
+    levels = len(pyramid) - 1
     cur = pyramid[0]
-    for hl, lh, hh in pyramid[1:]:
-        cur = _inv_2d(cur, hl, lh, hh, inv1d)
+    for i, (hl, lh, hh) in enumerate(pyramid[1:]):
+        lvl = levels - 1 - i  # level of the RESULTING larger LL
+        cur = _inv_2d(
+            cur, hl, lh, hh, inv1d,
+            -(-ox // (1 << lvl)), -(-oy // (1 << lvl)),
+        )
     return cur
 
 
-def dwt_forward(a: np.ndarray, levels: int) -> list:
-    return _mallat_forward(a, levels, fwd_5x3_1d, np.int64)
+def dwt_forward(
+    a: np.ndarray, levels: int, ox: int = 0, oy: int = 0
+) -> list:
+    return _mallat_forward(a, levels, fwd_5x3_1d, np.int64, ox, oy)
 
 
-def dwt_inverse(pyramid: list) -> np.ndarray:
-    return _mallat_inverse(pyramid, inv_5x3_1d)
+def dwt_inverse(pyramid: list, ox: int = 0, oy: int = 0) -> np.ndarray:
+    return _mallat_inverse(pyramid, inv_5x3_1d, ox, oy)
 
 
 # ------------------------------------------- 9/7 irreversible DWT
@@ -1206,7 +1356,7 @@ def _lift97_even(even: np.ndarray, odd: np.ndarray, coef: float):
     return even + coef * (d_l + d_r)
 
 
-def fwd_9x7_1d(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def _fwd_9x7_even(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     n = a.shape[-1]
     if n == 1:
         return a.astype(np.float64, copy=True), a[..., :0].astype(np.float64)
@@ -1219,7 +1369,7 @@ def fwd_9x7_1d(a: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return s / _K97, d * _K97
 
 
-def inv_9x7_1d(s: np.ndarray, d: np.ndarray) -> np.ndarray:
+def _inv_9x7_even(s: np.ndarray, d: np.ndarray) -> np.ndarray:
     ne, no = s.shape[-1], d.shape[-1]
     n = ne + no
     if n == 1:
@@ -1236,24 +1386,49 @@ def inv_9x7_1d(s: np.ndarray, d: np.ndarray) -> np.ndarray:
     return out
 
 
-def dwt_forward97(a: np.ndarray, levels: int) -> list:
-    return _mallat_forward(a, levels, fwd_9x7_1d, np.float64)
+def fwd_9x7_1d(a: np.ndarray, o: int = 0):
+    """Forward 9/7 on canvas interval [o, o+n) along the last axis.
+    A lone odd-position sample passes through unscaled (encoder and
+    decoder agree; the lifting of a degenerate one-sample extension
+    would zero it out, so identity is the only lossless-ish choice)."""
+    return _fwd_1d_general(
+        a, o, _fwd_9x7_even, lambda x: x.astype(np.float64, copy=True)
+    )
 
 
-def dwt_inverse97(pyramid: list) -> np.ndarray:
-    return _mallat_inverse(pyramid, inv_9x7_1d)
+def inv_9x7_1d(s: np.ndarray, d: np.ndarray, o: int = 0) -> np.ndarray:
+    return _inv_1d_general(
+        s, d, o, _inv_9x7_even,
+        lambda x: x.astype(np.float64, copy=True),
+    )
 
 
-def subband_dims(h: int, w: int, levels: int):
+def dwt_forward97(
+    a: np.ndarray, levels: int, ox: int = 0, oy: int = 0
+) -> list:
+    return _mallat_forward(a, levels, fwd_9x7_1d, np.float64, ox, oy)
+
+
+def dwt_inverse97(pyramid: list, ox: int = 0, oy: int = 0) -> np.ndarray:
+    return _mallat_inverse(pyramid, inv_9x7_1d, ox, oy)
+
+
+def subband_dims(h: int, w: int, levels: int, ox: int = 0, oy: int = 0):
     """Per-resolution band dims: [(LL_n dims)] then per level n..1 the
-    (HL, LH, HH) dims, matching :func:`dwt_forward`."""
+    (HL, LH, HH) dims, matching :func:`dwt_forward`. ``(ox, oy)`` is
+    the tile-component origin on its component grid — lane counts
+    split by CANVAS parity (T.800 B.5: the even-index lane holds
+    ceil(b)-ceil(a) samples of interval [a, b))."""
     dims = []
-    ch, cw = h, w
+    ch, cw, cy, cx = h, w, oy, ox
     for _ in range(levels):
-        lh_, hh_ = (ch + 1) // 2, ch // 2
-        lw_, hw_ = (cw + 1) // 2, cw // 2
+        lh_ = (cy + ch + 1) // 2 - (cy + 1) // 2  # even rows (s lane)
+        hh_ = ch - lh_
+        lw_ = (cx + cw + 1) // 2 - (cx + 1) // 2
+        hw_ = cw - lw_
         dims.append(((lh_, hw_), (hh_, lw_), (hh_, hw_)))  # HL, LH, HH
         ch, cw = lh_, lw_
+        cy, cx = -(-cy // 2), -(-cx // 2)
     return (ch, cw), list(reversed(dims))
 
 
@@ -1443,6 +1618,7 @@ def _build_bands(
     x0: int = 0,
     y0: int = 0,
     precincts: "list[tuple[int, int]] | None" = None,
+    rate: tuple = (1, 1),
 ) -> list[list[_Band]]:
     """Per-resolution band lists for one component. Resolution 0 is
     the LL_n band; resolution r >= 1 holds HL/LH/HH of level
@@ -1450,40 +1626,53 @@ def _build_bands(
     reversible no-quantization exponents (depth + 2 + gain — the +2
     headroom covers RCT range growth and 5/3 low-pass expansion).
 
-    ``(x0, y0)`` is the tile's canvas origin; it must be a multiple
-    of 2**levels (the caller gates this), so each band's origin in
-    band coordinates is the exact shift ``x0 >> level`` and the
-    canvas-anchored code-block partition (T.800 B.7) is well
-    defined."""
-    (llh, llw), per_level = subband_dims(h, w, levels)
+    ``(x0, y0)`` is the tile-component origin on its COMPONENT grid
+    (any value — band origins follow the exact T.800 B-15 ceil
+    formulas, lane parity included, so misaligned tile grids and
+    image/tile offsets work); ``rate`` is the component's (XRsiz,
+    YRsiz), used only to place precincts on the reference grid for
+    the position-ordered progressions."""
+    (llh, llw), per_level = subband_dims(h, w, levels, x0, y0)
     if precincts is not None and len(precincts) != levels + 1:
         raise J2kParseError(
             f"{len(precincts)} precinct sizes for {levels + 1} "
             "resolutions"
         )
 
+    # per-level lane origins: s (ceil) carries on; d (floor) anchors
+    # the detail bands of that level (T.800 B-15 with the band
+    # offsets folded into the recursion)
+    sx, sy = x0, y0
+    lane = []  # index l-1 -> (sx_l, sy_l, dx_l, dy_l) after level l
+    for _ in range(levels):
+        lane.append((-(-sx // 2), -(-sy // 2), sx // 2, sy // 2))
+        sx, sy = -(-sx // 2), -(-sy // 2)
+
     def _res_pgrid(r: int) -> tuple:
-        """(pcx, pcy, ppx_band, ppy_band) for resolution r: counts
-        from RESOLUTION coordinates (B.9 -- shared by the
-        resolution's bands), exponents shifted into band coordinates
-        (PPx - 1 for r > 0, the dyadic halving)."""
+        """(pcx, pcy, ppx_band, ppy_band, rx0, ry0, ppx_res,
+        ppy_res) for resolution r: counts from RESOLUTION
+        coordinates (B.9 — shared by the resolution's bands),
+        exponents shifted into band coordinates (PPx - 1 for r > 0,
+        the dyadic halving); the raw resolution-grid origin and
+        exponents ride along for exact B.12 position ordering."""
         if precincts is None:
             ppx = ppy = 15
         else:
             ppx, ppy = precincts[r]
         k = levels - r
-        rx0, ry0 = x0 >> k, y0 >> k
-        rw = (-(-(x0 + w) >> k) - rx0) if w else 0
-        rh = (-(-(y0 + h) >> k) - ry0) if h else 0
+        rx0, ry0 = -(-x0 >> k), -(-y0 >> k)
+        rw = ((-(-(x0 + w) >> k)) - rx0) if w else 0
+        rh = ((-(-(y0 + h) >> k)) - ry0) if h else 0
         pcx = ((-(-(rx0 + rw) >> ppx)) - (rx0 >> ppx)) if rw else 0
         pcy = ((-(-(ry0 + rh) >> ppy)) - (ry0 >> ppy)) if rh else 0
+        ppx_b, ppy_b = ppx, ppy
         if r:
-            ppx, ppy = max(0, ppx - 1), max(0, ppy - 1)
-        return max(pcx, 1), max(pcy, 1), ppx, ppy
+            ppx_b, ppy_b = max(0, ppx - 1), max(0, ppy - 1)
+        return max(pcx, 1), max(pcy, 1), ppx_b, ppy_b, rx0, ry0, ppx, ppy
 
-    def mk(btype, bh, bw, lvl, pg):
+    def mk(btype, bh, bw, lvl, pg, ox, oy):
         eps = depth + 2 + _BAND_GAIN[btype]
-        pcx, pcy, ppx, ppy = pg
+        pcx, pcy, ppx, ppy, rx0, ry0, ppx_r, ppy_r = pg
         band = _Band(
             btype,
             bh,
@@ -1491,27 +1680,37 @@ def _build_bands(
             cbw,
             cbh,
             _GUARD_BITS + eps - 1,
-            ox=x0 >> lvl,
-            oy=y0 >> lvl,
+            ox=ox,
+            oy=oy,
             ppx=ppx,
             ppy=ppy,
             pcx=pcx,
             pcy=pcy,
         )
-        band.lvl = lvl  # band-coords -> canvas shift (progressions)
+        band.lvl = lvl
+        # exact B.12 position ordering: the precinct's upper-left on
+        # the REFERENCE grid is max(trx0, precinct-grid point) scaled
+        # by 2^(levels-r) and the component rate
+        band.res_x0, band.res_y0 = rx0, ry0
+        band.res_ppx, band.res_ppy = ppx_r, ppy_r
+        k = lvl if btype == "LL" else lvl - 1
+        band.pos_sx = rate[0] << k
+        band.pos_sy = rate[1] << k
         return band
 
-    out = [[mk("LL", llh, llw, levels, _res_pgrid(0))]]
+    g0 = _res_pgrid(0)
+    out = [[mk("LL", llh, llw, levels, g0, sx, sy)]]
     # per_level[0] is the coarsest detail level (= levels), matching
     # resolution 1; level drops as resolution rises
     for i, (hl, lh, hh) in enumerate(per_level):
         lvl = levels - i
         pg = _res_pgrid(levels - lvl + 1)
+        sx_l, sy_l, dx_l, dy_l = lane[lvl - 1]
         out.append(
             [
-                mk("HL", hl[0], hl[1], lvl, pg),
-                mk("LH", lh[0], lh[1], lvl, pg),
-                mk("HH", hh[0], hh[1], lvl, pg),
+                mk("HL", hl[0], hl[1], lvl, pg, dx_l, sy_l),
+                mk("LH", lh[0], lh[1], lvl, pg, sx_l, dy_l),
+                mk("HH", hh[0], hh[1], lvl, pg, dx_l, dy_l),
             ]
         )
     return out
@@ -1530,14 +1729,19 @@ def _pgrid_pos(comps):
         return max(1, b.pcx * b.pcy)
 
     def pos(c, r, p):
-        """Canvas (y, x) of precinct p's top-left, tile-clamped."""
+        """Reference-grid (y, x) of precinct p's top-left, tile-
+        clamped: resolution coordinates scaled by 2^(N-r) and the
+        component's sampling rate (T.800 B.12's position loops)."""
         if comps is None:
             return (0, 0)
         b = comps[c][r][0]
-        lvl = getattr(b, "lvl", 0)
         py, px = divmod(p, max(1, b.pcx))
-        x = max(b.ox, (b.px0 + px) << b.ppx) << lvl
-        y = max(b.oy, (b.py0 + py) << b.ppy) << lvl
+        x = max(
+            b.res_x0, ((b.res_x0 >> b.res_ppx) + px) << b.res_ppx
+        ) * b.pos_sx
+        y = max(
+            b.res_y0, ((b.res_y0 >> b.res_ppy) + py) << b.res_ppy
+        ) * b.pos_sy
         return (y, x)
 
     return pgrid, pos
@@ -1648,53 +1852,24 @@ def _validate_precincts(plist: list, levels: int) -> None:
             raise J2kParseError(f"precinct exponent 0 at resolution {r}")
 
 
-def _check_tile_geometry(
-    xsiz: int, ysiz: int, xt: int, yt: int, levels: int, err: type
-) -> None:
-    """Geometry this codec models exactly; anything else gates.
-
-    - Multi-tile grids must align to 2**levels: T.800 computes
-      subband bounds from CANVAS coordinates, and only for aligned
-      origins do the tile-local DWT sizes/parities match them (the
-      code-block partition anchor is handled separately, per band).
-    - One default precinct (2**15, anchored at 0) per tile-resolution:
-      a tile-resolution straddling a 2**15 boundary would emit
-      multiple packets per (resolution, component), which this
-      single-precinct parser does not model. Power-of-two tile sizes
-      (what scanners write) always satisfy this.
-    """
-    step = 1 << levels
-    # per-axis: a stripe layout (xt >= xsiz) has every x-origin at 0,
-    # so only axes that actually tile need the alignment
-    if (xt < xsiz and xt % step) or (yt < ysiz and yt % step):
-        raise err(
-            f"tile grid {xt}x{yt} is not aligned to 2^levels={step}; "
-            "canvas-coordinate subbands would desync"
-        )
-    p15 = 1 << 15
-    if (xsiz > p15 and (xt >= xsiz or p15 % xt)) or (
-        ysiz > p15 and (yt >= ysiz or p15 % yt)
-    ):
-        raise err(
-            "a tile-resolution spans multiple default (2^15) "
-            "precincts; multi-precinct packets are not supported"
-        )
-
-
-def _tile_rects(xsiz: int, ysiz: int, xt: int, yt: int):
+def _tile_rects(
+    xsiz: int, ysiz: int, xt: int, yt: int,
+    xo: int = 0, yo: int = 0, xto: int = 0, yto: int = 0,
+):
     """Raster-order tile rectangles (x0, y0, x1, y1) of the XTsiz x
-    YTsiz grid clipped to the image (T.800 B.3; offsets are gated to
-    zero, so tile t sits at (t % ntx, t // ntx))."""
-    ntx, nty = -(-xsiz // xt), -(-ysiz // yt)
+    YTsiz grid anchored at (XTOsiz, YTOsiz) and clipped to the image
+    area [XOsiz, Xsiz) x [YOsiz, Ysiz) (T.800 B.3); tile t sits at
+    (t % ntx, t // ntx)."""
+    ntx, nty = -(-(xsiz - xto) // xt), -(-(ysiz - yto) // yt)
     rects = []
     for tj in range(nty):
         for ti in range(ntx):
             rects.append(
                 (
-                    ti * xt,
-                    tj * yt,
-                    min((ti + 1) * xt, xsiz),
-                    min((tj + 1) * yt, ysiz),
+                    max(xto + ti * xt, xo),
+                    max(yto + tj * yt, yo),
+                    min(xto + (ti + 1) * xt, xsiz),
+                    min(yto + (tj + 1) * yt, ysiz),
                 )
             )
     return rects
@@ -1725,8 +1900,13 @@ def encode_j2k(
     vsc: bool = False,
     segsym: bool = False,
     precincts: list | None = None,
+    offsets: tuple | None = None,
 ) -> bytes:
     """(h, w[, nc]) uint8/uint16 -> lossless (5/3) codestream.
+    ``offsets=(XOsiz, YOsiz, XTOsiz, YTOsiz)`` anchors the image area
+    at (XOsiz, YOsiz) on the reference grid (Xsiz = XOsiz + w) with
+    the tile grid at (XTOsiz, YTOsiz) — the T.800 B.3/B.4 geometry
+    real crops and scanner mosaics use.
     ``tile=(xt, yt)`` splits the image into an XTsiz x YTsiz grid of
     independently coded tiles (the layout real scanner JP2s use);
     default is one tile covering the image. ``tile_parts`` splits
@@ -1768,9 +1948,21 @@ def encode_j2k(
         mct = nc == 3
     if mct and nc != 3:
         raise J2kParseError("MCT needs exactly 3 components")
-    xt, yt = tile if tile else (w, h)
+    xo, yo, xto, yto = offsets if offsets else (0, 0, 0, 0)
+    if not (0 <= xto <= xo and 0 <= yto <= yo):
+        raise J2kParseError(
+            "offsets need 0 <= XTOsiz <= XOsiz (and likewise for Y)"
+        )
+    xsiz, ysiz = xo + w, yo + h
+    xt, yt = tile if tile else (xsiz - xto, ysiz - yto)
     if xt < 1 or yt < 1:
         raise J2kParseError(f"invalid tile size {tile}")
+    if xto + xt <= xo or yto + yt <= yo:
+        raise J2kParseError("first tile does not overlap the image area")
+    if offsets and roi_shift:
+        raise J2kParseError(
+            "roi requires zero offsets (its rect maps by plain shifts)"
+        )
     if tile_parts < 1:
         raise J2kParseError(f"tile_parts must be >= 1, not {tile_parts}")
     if packed_headers not in (None, "ppt", "ppm"):
@@ -1847,30 +2039,18 @@ def encode_j2k(
                 _validate_precincts(
                     over["precincts"], over.get("levels", levels)
                 )
-    _check_tile_geometry(
-        w, h, xt, yt,
-        max(
-            [max(levels_c)]
-            + [
-                o.get("levels", levels)
-                for o in (tile_overrides or {}).values()
-            ]
-        ),
-        J2kParseError,
-    )
-    if subsampling and (xt < w or yt < h):
-        if tile_overrides:
-            raise J2kParseError(
-                "subsampling + per-tile overrides is out of scope"
-            )
-        for ci in range(nc):
-            sx = xr_c[ci] << levels_c[ci]
-            sy = yr_c[ci] << levels_c[ci]
-            if (xt < w and xt % sx) or (yt < h and yt % sy):
-                raise J2kParseError(
-                    f"tile grid {xt}x{yt} is not aligned to component "
-                    f"{ci}'s rate x 2^levels ({sx}x{sy})"
-                )
+    if subsampling and tile_overrides and (xt < w or yt < h):
+        raise J2kParseError(
+            "subsampling + per-tile overrides is out of scope"
+        )
+    if roi_shift and (
+        (xt < w and xt % (1 << levels)) or (yt < h and yt % (1 << levels))
+    ):
+        # the encoder maps the ROI rect into band grids by plain
+        # shifts, which is exact only on 2^levels-aligned tile origins
+        raise J2kParseError(
+            "roi requires a 2^levels-aligned tile grid"
+        )
 
     # one (eps per band) table drives BOTH the QCD header and every
     # tile's quantizer — a single source of truth (mu is always 0)
@@ -1938,12 +2118,24 @@ def encode_j2k(
             planes = [(r + 2 * g + b) >> 2, b - g, r - g]
 
     if subsampling:
+        # the component grid anchors at reference-grid 0: sample j
+        # sits at canvas j*rate, so the first in-image sample is
+        # ceil(XOsiz/rate), at image-array column ceil(.)*rate - XOsiz
         planes = [
-            planes[ci][:: yr_c[ci], :: xr_c[ci]] for ci in range(nc)
+            planes[ci][
+                (-(-yo // yr_c[ci])) * yr_c[ci] - yo :: yr_c[ci],
+                (-(-xo // xr_c[ci])) * xr_c[ci] - xo :: xr_c[ci],
+            ]
+            for ci in range(nc)
         ]
+    comp_orig = [
+        (-(-yo // yr_c[ci]), -(-xo // xr_c[ci])) for ci in range(nc)
+    ]
     tiles = []
     tile_cfg: dict[int, tuple] = {}
-    for isot, (x0, y0, x1, y1) in enumerate(_tile_rects(w, h, xt, yt)):
+    for isot, (x0, y0, x1, y1) in enumerate(
+        _tile_rects(xsiz, ysiz, xt, yt, xo, yo, xto, yto)
+    ):
         over = (tile_overrides or {}).get(isot, {})
         lv_t = over.get("levels", levels)
         cw_t, ch_t = over.get("cb", (cbw, cbh))
@@ -1961,17 +2153,23 @@ def encode_j2k(
             if iy0 < iy1 and ix0 < ix1:
                 tile_roi = (iy0 - y0, iy1 - y0, ix0 - x0, ix1 - x0)
         if subsampling:
+            # component sample j covers canvas j*rate: the tile holds
+            # j in [ceil(x0/rate), ceil(x1/rate)) (T.800 B.5's tcx0);
+            # plane arrays are the component IMAGE REGION, so indexing
+            # subtracts the region origin
             tps = [
                 planes[ci][
-                    y0 // yr_c[ci] : -(-y1 // yr_c[ci]),
-                    x0 // xr_c[ci] : -(-x1 // xr_c[ci]),
+                    -(-y0 // yr_c[ci]) - comp_orig[ci][0]
+                    : -(-y1 // yr_c[ci]) - comp_orig[ci][0],
+                    -(-x0 // xr_c[ci]) - comp_orig[ci][1]
+                    : -(-x1 // xr_c[ci]) - comp_orig[ci][1],
                 ]
                 for ci in range(nc)
             ]
-            ax = [x0 // xr_c[ci] for ci in range(nc)]
-            ay = [y0 // yr_c[ci] for ci in range(nc)]
+            ax = [-(-x0 // xr_c[ci]) for ci in range(nc)]
+            ay = [-(-y0 // yr_c[ci]) for ci in range(nc)]
         else:
-            tps = [p[y0:y1, x0:x1] for p in planes]
+            tps = [p[y0 - yo : y1 - yo, x0 - xo : x1 - xo] for p in planes]
             ax, ay = x0, y0
         lvs = [lv_t] * nc if over else levels_c
         cws = [cw_t] * nc if over else cbw_c
@@ -2003,6 +2201,7 @@ def encode_j2k(
                 vsc=vsc,
                 segsym=segsym,
                 precincts=precs,
+                rates=[(xr_c[ci], yr_c[ci]) for ci in range(nc)],
             )
         )
 
@@ -2010,7 +2209,8 @@ def encode_j2k(
     out = bytearray()
     out += struct.pack(">H", SOC)
     siz = struct.pack(
-        ">HHIIIIIIIIH", 38 + 3 * nc, 0, w, h, 0, 0, xt, yt, 0, 0, nc
+        ">HHIIIIIIIIH",
+        38 + 3 * nc, 0, xsiz, ysiz, xo, yo, xt, yt, xto, yto, nc,
     )
     for ci in range(nc):
         ssiz = (depth - 1) | (0x80 if signed else 0)
@@ -2247,6 +2447,7 @@ def _encode_tile(
     vsc: bool = False,
     segsym: bool = False,
     precincts: list | None = None,
+    rates: list | None = None,
 ) -> list[bytes]:
     """Tier-1 + Tier-2 encode one tile's (already level-shifted /
     MCT'd) component planes into its packet stream, returned one
@@ -2279,11 +2480,12 @@ def _encode_tile(
     comps = []
     for ci, plane in enumerate(planes):
         pyr = (dwt_forward97 if lossy else dwt_forward)(
-            plane, levels_c[ci]
+            plane, levels_c[ci], x0_c[ci], y0_c[ci]
         )
         bands = _build_bands(
             h_c[ci], w_c[ci], levels_c[ci], cbw_c[ci], cbh_c[ci],
             depth, x0_c[ci], y0_c[ci], precincts=prec_c[ci],
+            rate=(rates[ci] if rates else (1, 1)),
         )
         if lossy:
             # lossy_eps: one shared table, or one per component (the
@@ -2702,11 +2904,17 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         ">HIIIIIIIIH", siz[:36]
     )
     del rsiz
-    if xo or yo or xto or yto:
-        raise J2kUnsupported("nonzero image/tile grid offsets")
     if not xt or not yt:
         raise J2kParseError("zero tile dimensions")
-    ntiles = (-(-xsiz // xt)) * (-(-ysiz // yt))
+    # T.800 A.5.1: offsets anchor the tile grid at or before the
+    # image area, and the first tile must overlap it
+    if xo >= xsiz or yo >= ysiz:
+        raise J2kParseError("image offset at or past the image size")
+    if xto > xo or yto > yo:
+        raise J2kParseError("tile grid offset exceeds the image offset")
+    if xto + xt <= xo or yto + yt <= yo:
+        raise J2kParseError("first tile does not overlap the image area")
+    ntiles = (-(-(xsiz - xto) // xt)) * (-(-(ysiz - yto) // yt))
     if ntiles > 1 << 20:
         # crafted Xsiz/Ysiz with a tiny XTsiz would otherwise
         # materialize billions of rects before any tile data is read
@@ -2818,10 +3026,6 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             raise J2kParseError(f"RGN shift {sprgn} exceeds 37")
         rgn_c[crgn] = sprgn
 
-    _check_tile_geometry(
-        xsiz, ysiz, xt, yt, max(levels_c), J2kUnsupported
-    )
-
     # tile-part loop — collect every SOT..SOD..data segment (parts of
     # one tile may interleave with other tiles and arrive in any
     # order), then decode each tile from its TPsot-ordered
@@ -2829,9 +3033,19 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     # tile-parts at packet boundaries, so the concatenation is the
     # original stream. Informational tile-part header markers
     # (PLT/COM) are skipped; PPT (packed headers) gates.
-    rects = _tile_rects(xsiz, ysiz, xt, yt)
+    rects = _tile_rects(xsiz, ysiz, xt, yt, xo, yo, xto, yto)
+    # component image region [ceil(XOsiz/XRsiz), ceil(Xsiz/XRsiz))
+    # (T.800 B.2): planes hold the region; absolute component coords
+    # index it after subtracting the region origin
+    comp_orig = [
+        (-(-yo // yr_c[ci]), -(-xo // xr_c[ci])) for ci in range(nc)
+    ]
     comp_dims = [
-        (-(-ysiz // yr_c[ci]), -(-xsiz // xr_c[ci])) for ci in range(nc)
+        (
+            -(-ysiz // yr_c[ci]) - comp_orig[ci][0],
+            -(-xsiz // xr_c[ci]) - comp_orig[ci][1],
+        )
+        for ci in range(nc)
     ]
     tile_cod: dict[int, bytes] = {}
     tile_qcd: dict[int, bytes] = {}
@@ -2998,24 +3212,6 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             lv_t, cw_t, ch_t, tr_t, prog_t, nlayers_t, sop_t, eph_t,
             g_t, e_t, m_t, cbs_t, pr_t,
         )
-        if max(lv_t) > max(levels_c):
-            _check_tile_geometry(
-                xsiz, ysiz, xt, yt, max(lv_t), J2kUnsupported
-            )
-        if subsampled and ntiles > 1:
-            # tiling a subsampled component: every tile origin must
-            # land exactly on the component grid (xt divisible by the
-            # rate) and stay 2^levels-aligned THERE, else the canvas-
-            # coordinate subband math desyncs per tile
-            for ci in range(nc):
-                sx = xr_c[ci] << lv_t[ci]
-                sy = yr_c[ci] << lv_t[ci]
-                if (xt < xsiz and xt % sx) or (yt < ysiz and yt % sy):
-                    raise J2kUnsupported(
-                        f"tile grid {xt}x{yt} is not aligned to "
-                        f"component {ci}'s rate x 2^levels "
-                        f"({sx}x{sy})"
-                    )
 
     # plane dtype: integer only when EVERY tile codes that component
     # reversibly (a single 9/7 tile forces the float accumulator)
@@ -3073,10 +3269,14 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             poc=poc_entries or None,
             cbsty_c=cbs_t,
             precincts=pr_t,
+            rates=[(xr_c[ci], yr_c[ci]) for ci in range(nc)],
         )
         for ci in range(nc):
             cx0, cy0, cx1, cy1 = crects[ci]
-            planes[ci][cy0:cy1, cx0:cx1] = tplanes[ci]
+            coy, cox = comp_orig[ci]
+            planes[ci][cy0 - coy : cy1 - coy, cx0 - cox : cx1 - cox] = (
+                tplanes[ci]
+            )
 
     if mct == 1:
         if nc < 3:
@@ -3106,15 +3306,24 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             odt = np.int16 if max(depths) <= 8 else np.int32
     else:
         odt = np.uint16 if max(depths) > 8 else np.uint8
-    out = np.zeros((ysiz, xsiz, nc), dtype=odt)
+    out = np.zeros((ysiz - yo, xsiz - xo, nc), dtype=odt)
     for ci in range(nc):
         p = planes[ci]
         if xr_c[ci] != 1 or yr_c[ci] != 1:
             # nearest-neighbor replication back to the reference grid
-            # (the JPEG chroma convention; exact per component)
-            p = np.repeat(
-                np.repeat(p, yr_c[ci], axis=0), xr_c[ci], axis=1
-            )[:ysiz, :xsiz]
+            # (the JPEG chroma convention; exact per component):
+            # reference pixel x reads component sample floor(x/rate),
+            # clamped into the component image region
+            coy, cox = comp_orig[ci]
+            xs = np.clip(
+                np.arange(xo, xsiz) // xr_c[ci] - cox,
+                0, max(p.shape[1] - 1, 0),
+            )
+            ys = np.clip(
+                np.arange(yo, ysiz) // yr_c[ci] - coy,
+                0, max(p.shape[0] - 1, 0),
+            )
+            p = p[np.ix_(ys, xs)]
         if p.dtype == np.float64:
             p = np.rint(p)
         if signs[ci]:
@@ -3212,6 +3421,7 @@ def _decode_tile_planes(
     poc: list | None = None,
     cbsty_c: list | None = None,
     precincts: list | None = None,
+    rates: list | None = None,
 ) -> list:
     """Tier-2 + Tier-1 + inverse DWT for one tile's byte stream ->
     per-component (th, tw) planes (int64 reversible, float64
@@ -3259,6 +3469,7 @@ def _decode_tile_planes(
         bands = _build_bands(
             th_c[ci], tw_c[ci], levels_c[ci], cbw_c[ci], cbh_c[ci],
             depths[ci], x0_c[ci], y0_c[ci], precincts=prec_c[ci],
+            rate=(rates[ci] if rates else (1, 1)),
         )
         k = 0
         for blist in bands:
@@ -3458,5 +3669,5 @@ def _decode_tile_planes(
             pyr.append(
                 (bands[r][0].coeffs, bands[r][1].coeffs, bands[r][2].coeffs)
             )
-        planes.append(inv(pyr))
+        planes.append(inv(pyr, x0_c[ci], y0_c[ci]))
     return planes

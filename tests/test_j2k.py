@@ -340,10 +340,11 @@ def test_multitile_out_of_order_and_coverage():
         decode_j2k(head + b"".join(sots + [sots[0]]) + b"\xff\xd9")
 
 
-def test_anchored_block_partition_and_alignment_gate():
+def test_anchored_block_partition_and_misaligned_grid():
     """T.800 B.7: code-blocks anchor at canvas (0,0), so a tile whose
     band origin is not a block multiple starts with a short block;
-    misaligned multi-tile grids gate instead of desyncing."""
+    multi-tile grids NOT aligned to 2^levels decode exactly (band
+    geometry follows the B-15 ceil formulas, lane parity included)."""
     from hortacloud_importer_spark.sources.j2k import _Band
 
     # band 89 wide at origin 25 under 64-wide blocks: anchored grid
@@ -357,10 +358,11 @@ def test_anchored_block_partition_and_alignment_gate():
     assert (b0.ncx, b0.ncy) == (2, 1)
     assert b0.block_rect(0, 0) == (0, 0, 10, 64)
 
-    # multi-tile grid not aligned to 2^levels gates honestly
-    img = np.zeros((64, 64), dtype=np.uint8)
-    with pytest.raises(J2kParseError, match="aligned to 2\\^levels"):
-        encode_j2k(img, tile=(27, 40), levels=3)
+    # multi-tile grid not aligned to 2^levels round-trips exactly
+    rng = np.random.default_rng(61)
+    img = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    out = decode_j2k(encode_j2k(img, tile=(27, 40), levels=3))
+    assert np.array_equal(out[:, :, 0], img)
 
 
 def test_tile_parts_and_pcrl():
@@ -789,12 +791,12 @@ def test_subsampling_gates_stay_named():
     rng = np.random.default_rng(107)
     img = rng.integers(0, 256, (16, 16, 2), dtype=np.uint8)
     enc = encode_j2k(img, levels=1, mct=False, subsampling={1: (2, 2)})
-    # multi-tile + subsampling: named gate (geometry is per-tile
-    # component rects this single-precinct model does not cover)
+    # shrinking XTsiz makes the 1-tile stream claim 2 tiles: the
+    # missing tile is a hard parse error, not a partial decode
     i = enc.find(b"\xff\x51")
     b = bytearray(enc)
-    b[i + 4 + 14 : i + 4 + 18] = struct.pack(">I", 8)  # XTsiz = 8
-    with pytest.raises((J2kUnsupported, J2kParseError)):
+    b[i + 4 + 18 : i + 4 + 22] = struct.pack(">I", 8)  # XTsiz = 8
+    with pytest.raises(J2kParseError, match="of 2 tiles"):
         decode_j2k(bytes(b))
     # zero rate is a parse error
     b = bytearray(enc)
@@ -987,10 +989,134 @@ def test_subsampling_with_aligned_multi_tile_grid():
     assert np.array_equal(out[:, :, 0], img[:, :, 0])
     d = np.repeat(np.repeat(img[::2, ::2, 1], 2, 0), 2, 1)[:48, :80]
     assert np.array_equal(out[:, :, 1], d)
-    # a MISALIGNED grid (xt not divisible by rate*2^levels) gates
-    with pytest.raises(J2kParseError, match="aligned"):
-        encode_j2k(img, levels=2, mct=False, tile=(32, 32),
-                   subsampling={1: (3, 2)})
+    # a MISALIGNED grid (xt not divisible by rate*2^levels) decodes
+    # exactly too: each tile-component anchors on its own grid with
+    # ceil bounds (T.800 B.5), rate-3 sampling included
+    blob = encode_j2k(img, levels=2, mct=False, tile=(32, 32),
+                      subsampling={1: (3, 2)})
+    out = decode_j2k(blob)
+    assert np.array_equal(out[:, :, 0], img[:, :, 0])
+    d = np.repeat(np.repeat(img[::2, ::3, 1], 2, 0), 3, 1)[:48, :80]
+    assert np.array_equal(out[:, :, 1], d)
+
+
+def test_misaligned_tile_grids_round_trip():
+    """Multi-tile grids NOT aligned to 2^levels (and not to a
+    subsampled component's rate x 2^levels): tile-component band
+    geometry follows the exact T.800 B-15 ceil formulas and the
+    lifting splits lanes by CANVAS parity, so arbitrary tile origins
+    decode exactly — the last geometry gate of rounds <= 10."""
+    rng = np.random.default_rng(241)
+    for (h, w, lv, t) in [(33, 29, 2, (10, 12)), (64, 64, 3, (17, 9)),
+                          (21, 40, 1, (7, 7)), (16, 16, 2, (5, 16))]:
+        img = rng.integers(0, 65536, (h, w)).astype(np.uint16)
+        blob = encode_j2k(img, levels=lv, tile=t, cb=(8, 8))
+        assert np.array_equal(decode_j2k(blob)[:, :, 0], img), (h, w, lv, t)
+    # misaligned + subsampled multi-tile (the VERDICT r10 gate)
+    img = rng.integers(0, 256, (33, 29, 2), dtype=np.uint8)
+    blob = encode_j2k(img, levels=2, mct=False, subsampling={1: (2, 2)},
+                      tile=(10, 12), cb=(8, 8))
+    out = decode_j2k(blob)
+    assert np.array_equal(out[:, :, 0], img[:, :, 0])
+    d1 = np.repeat(np.repeat(img[::2, ::2, 1], 2, 0), 2, 1)[:33, :29]
+    assert np.array_equal(out[:, :, 1], d1)
+    # misaligned + MCT + layers, every progression (position orders
+    # come from the exact reference-grid precinct positions)
+    img = rng.integers(0, 256, (30, 34, 3), dtype=np.uint8)
+    for prog in range(5):
+        blob = encode_j2k(img, levels=2, tile=(13, 11), layers=2,
+                          prog=prog, cb=(8, 8))
+        assert np.array_equal(decode_j2k(blob), img), prog
+    # misaligned + lossy 9/7 (parity-aware float lifting)
+    img = rng.integers(0, 256, (40, 44), dtype=np.uint8)
+    blob = encode_j2k(img, levels=2, tile=(13, 17), lossy=True, cb=(8, 8))
+    d = np.abs(decode_j2k(blob)[:, :, 0].astype(np.int64) - img)
+    assert d.max() <= 2
+    # misaligned + precincts + POC + styles + ppt tile-parts
+    img = rng.integers(0, 65536, (48, 48)).astype(np.uint16)
+    blob = encode_j2k(img, levels=2, tile=(13, 19), cb=(8, 8),
+                      precincts=[(3, 3), (3, 3), (4, 4)], layers=2,
+                      poc=[(0, 0, 2, 2, 1, 3), (0, 0, 2, 3, 1, 4)])
+    assert np.array_equal(decode_j2k(blob)[:, :, 0], img)
+    img = rng.integers(0, 256, (26, 31), dtype=np.uint8)
+    blob = encode_j2k(img, levels=2, tile=(9, 14), cb=(8, 8),
+                      termall=True, bypass=True, segsym=True,
+                      tile_parts=2, packed_headers="ppt")
+    assert np.array_equal(decode_j2k(blob)[:, :, 0], img)
+
+
+def test_image_and_tile_grid_offsets_round_trip():
+    """Nonzero XOsiz/YOsiz/XTOsiz/YTOsiz (T.800 B.3/B.4): the image
+    area anchors inside the reference grid, tiles anchor at the tile
+    offset and clip to the image area, components anchor at
+    ceil(offset/rate) on their own grids — previously a named gate."""
+    rng = np.random.default_rng(251)
+    for (off, t) in [((5, 3, 2, 1), (16, 16)), ((7, 7, 7, 7), None),
+                     ((1, 2, 0, 0), (13, 9)), ((9, 5, 4, 4), (8, 8))]:
+        img = rng.integers(0, 256, (40, 44), dtype=np.uint8)
+        blob = encode_j2k(img, levels=2, cb=(8, 8), tile=t, offsets=off)
+        out = decode_j2k(blob)
+        assert out.shape[:2] == (40, 44), (off, t)
+        assert np.array_equal(out[:, :, 0], img), (off, t)
+    # SIZ carries the offsets on the wire
+    i = blob.find(b"\xff\x51")
+    assert struct.unpack(">II", blob[i + 4 + 10 : i + 4 + 18]) == (9, 5)
+    assert struct.unpack(">II", blob[i + 4 + 26 : i + 4 + 34]) == (4, 4)
+    # offsets + MCT + layers; offsets + lossy
+    img = rng.integers(0, 256, (30, 34, 3), dtype=np.uint8)
+    blob = encode_j2k(img, levels=2, tile=(13, 11), layers=2,
+                      offsets=(6, 2, 3, 1), cb=(8, 8))
+    assert np.array_equal(decode_j2k(blob), img)
+    img = rng.integers(0, 256, (26, 31), dtype=np.uint8)
+    blob = encode_j2k(img, levels=2, tile=(9, 14), lossy=True,
+                      offsets=(2, 6, 1, 3), cb=(8, 8))
+    d = np.abs(decode_j2k(blob)[:, :, 0].astype(np.int64) - img)
+    assert d.max() <= 2
+    # offsets + subsampling with an offset that is NOT a rate
+    # multiple: the component grid still anchors at reference 0
+    img = rng.integers(0, 256, (32, 36, 2), dtype=np.uint8)
+    blob = encode_j2k(img, levels=1, mct=False, subsampling={1: (2, 2)},
+                      tile=(11, 13), offsets=(3, 5, 1, 2), cb=(8, 8))
+    out = decode_j2k(blob)
+    assert np.array_equal(out[:, :, 0], img[:, :, 0])
+    comp = img[(np.arange(3, 19) * 2 - 5)[:, None],
+               (np.arange(2, 20) * 2 - 3)[None, :], 1]
+    xs = np.clip(np.arange(3, 39) // 2 - 2, 0, comp.shape[1] - 1)
+    ys = np.clip(np.arange(5, 37) // 2 - 3, 0, comp.shape[0] - 1)
+    assert np.array_equal(out[:, :, 1], comp[np.ix_(ys, xs)])
+    # malformed offset relations are parse errors (T.800 A.5.1)
+    enc = bytearray(encode_j2k(img[:, :, 0], levels=1))
+    i = enc.find(b"\xff\x51")
+    struct.pack_into(">I", enc, i + 4 + 10, 60)  # XOsiz >= Xsiz
+    with pytest.raises(J2kParseError, match="image offset"):
+        decode_j2k(bytes(enc))
+    with pytest.raises(J2kParseError, match="overlap"):
+        encode_j2k(img[:, :, 0], levels=1, tile=(4, 4), offsets=(5, 0, 0, 0))
+
+
+def test_dwt_phase_property():
+    """The 1-D lifting on canvas interval [o, o+n): lane sizes follow
+    the B.5 ceil split, both filters invert exactly, and an even
+    origin reproduces the classic 0-origin transform bit-for-bit."""
+    from hortacloud_importer_spark.sources.j2k import (
+        fwd_5x3_1d, inv_5x3_1d, fwd_9x7_1d, inv_9x7_1d,
+    )
+
+    rng = np.random.default_rng(257)
+    for n in range(0, 34):
+        for o in (0, 1, 2, 7):
+            a = rng.integers(-1000, 1000, (3, n)).astype(np.int64)
+            s, d = fwd_5x3_1d(a, o)
+            ns = (o + n + 1) // 2 - (o + 1) // 2
+            assert s.shape[-1] == ns and d.shape[-1] == n - ns, (n, o)
+            assert np.array_equal(inv_5x3_1d(s, d, o), a), (n, o)
+            f = a.astype(np.float64)
+            s, d = fwd_9x7_1d(f, o)
+            assert np.allclose(inv_9x7_1d(s, d, o), f, atol=1e-9), (n, o)
+    a = rng.integers(0, 65536, (5, 33)).astype(np.int64)
+    s0, d0 = fwd_5x3_1d(a)
+    s2, d2 = fwd_5x3_1d(a, 2)
+    assert np.array_equal(s0, s2) and np.array_equal(d0, d2)
 
 
 def test_termall_per_pass_segments_round_trip():
