@@ -623,3 +623,127 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - keep_i).cast("bigint").alias("neardup_removed"),
         F.min(F.when(F.col("keep_flag"), F.col("keep_id"))).alias("first_doc"),
     )
+
+
+_SUBSTR_L = 40  # duplicated-span window length (chars)
+
+_SUBSTR_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, i AS pos, MD5(substr(text, i, {_SUBSTR_L})) AS h
+  FROM ({_DUP_CORPUS_SQL}),
+       UNNEST(range(1, length(text) - {_SUBSTR_L} + 2)) AS t(i)
+  WHERE length(text) >= {_SUBSTR_L}
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c FROM g
+  ) WHERE c > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev_max IS NULL OR pos > prev_max
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           MAX(pos + {_SUBSTR_L}) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_max
+    FROM dup
+  )
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SUBSTR_L} AS e
+  FROM isl GROUP BY doc_id, island
+)
+SELECT c.doc_id,
+       CAST(COALESCE(COUNT(spans.s), 0) AS BIGINT) AS n_spans,
+       CAST(COALESCE(SUM(spans.e - spans.s), 0) AS BIGINT) AS dup_chars,
+       CAST(length(c.text) AS BIGINT) AS total_chars
+FROM ({_DUP_CORPUS_SQL}) c LEFT JOIN spans ON c.doc_id = spans.doc_id
+GROUP BY c.doc_id, c.text
+"""
+
+
+@register("dedup_substring", "K1", oracle=_SUBSTR_ORACLE, driver=False)
+def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SUBSTRING-level dedup: find every maximal span of text
+    whose {L}-char windows all occur >= 2 times corpus-wide — the
+    duplicated-passage pass training-data pipelines run AFTER
+    doc-level dedup (boilerplate, licenses, quoted reposts survive
+    doc-level hashing; this finds them for span REMOVAL, not doc
+    removal).
+
+    Plan shape (100 TB posture): this is the distributed formulation
+    of suffix-array substring dedup — one row per character position,
+    hashed (md5 here for the DuckDB oracle; xxhash64 in a production
+    run halves the shuffle), counted per hash with a window aggregate
+    (single shuffle on the 16-byte hash, map-side partials collapse
+    repeats), then re-grouped per doc for gaps-and-islands span
+    merging (second shuffle, keyed by doc). Nothing but (hash,
+    doc_id, pos) triples ever shuffles — never document text. Suffix
+    arrays beat this on one machine but do not distribute; the
+    window-hash join is what MapReduce-scale substring dedup ships.
+    """
+    from pyspark.sql.window import Window
+
+    L = _SUBSTR_L
+    corpus = _dup_corpus(spark, sf_dir)
+    grams = (
+        corpus.filter(F.length("text") >= L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - L + 1)
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.md5(F.expr(f"substring(text, pos, {L})")).alias("h"),
+        )
+    )
+    dup = (
+        grams.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("c") > 1)
+        .select("doc_id", "pos")
+    )
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn(
+        "prev_max", F.max(F.col("pos") + L).over(prev)
+    ).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull()
+                | (F.col("pos") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).over(run),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + L).alias("e")
+    )
+    return (
+        corpus.join(spans, "doc_id", "left")
+        .groupBy("doc_id", "text")
+        .agg(
+            F.count("s").alias("n_spans"),
+            F.coalesce(F.sum(F.col("e") - F.col("s")), F.lit(0))
+            .cast("bigint")
+            .alias("dup_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "dup_chars",
+            F.length("text").cast("bigint").alias("total_chars"),
+        )
+    )
