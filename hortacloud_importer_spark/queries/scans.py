@@ -475,6 +475,80 @@ def scan_jp2_ppt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_jp2_geometry",
+    "A1+A2",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT z,
+       AVG(v) AS mean_intensity,
+       CAST(MIN(v) AS INTEGER) AS min_intensity,
+       CAST(MAX(v) AS INTEGER) AS max_intensity
+FROM (
+  SELECT t1.range AS z, (t2.range * (2 * t1.range + 5)) % 239 AS v
+  FROM range(4) t1, range(256) t2
+)
+GROUP BY z
+""",
+)
+def scan_jp2_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2 over JPEG 2000 slices with ARBITRARY geometry,
+    oracle-exact: each z exercises a layout the reference's rasterio
+    path would accept but rounds <= 10 of this codec gated — z=0 a
+    tile grid misaligned to 2^levels, z=1 nonzero image+tile-grid
+    offsets, z=2 misaligned tiles with custom precincts AND a POC
+    reorder, z=3 offsets + misaligned tiles + the bypass/termall
+    code-block modes. The DuckDB oracle regenerates the pixel
+    formula, so a parity error anywhere in the B-15 band geometry or
+    the odd-origin lifting breaks the hash."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import media_features
+    from hortacloud_importer_spark.sources.jp2 import encode_jp2
+
+    workdir = tempfile.mkdtemp(prefix="jp2_geom_")
+    h = w = 16
+    variants = [
+        dict(levels=2, tile=(10, 12), cb=(8, 8)),
+        dict(levels=2, offsets=(5, 3, 2, 1), tile=(16, 16), cb=(8, 8)),
+        dict(levels=2, tile=(13, 11), cb=(8, 8), layers=2,
+             precincts=[(3, 3), (3, 3), (4, 4)],
+             poc=[(0, 0, 2, 2, 1, 3), (0, 0, 2, 3, 1, 4)]),
+        dict(levels=2, tile=(9, 14), offsets=(2, 6, 1, 3), cb=(8, 8),
+             termall=True, bypass=True),
+    ]
+    for z, kw in enumerate(variants):
+        vals = ((np.arange(h * w).reshape(h, w) * (2 * z + 5)) % 239).astype(
+            np.uint8
+        )
+        with open(f"{workdir}/default.0.{z:03d}.jp2", "wb") as fh:
+            fh.write(encode_jp2(vals, **kw))
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*.jp2")
+        .select(
+            F.regexp_extract(F.col("path"), r"\.(\d{3})\.jp2$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("image").alias("kind"),
+            F.lit("jp2").alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 16, 'width', 16, 'channels', 1,"
+                " 'sample_rate', 0, 'n_frames', 1)"
+            ).alias("meta"),
+        )
+    )
+    return media_features(media).select(
+        F.col("media_id").alias("z"),
+        "mean_intensity",
+        "min_intensity",
+        "max_intensity",
+    )
+
+
+@register(
     "scan_tiff_stack_12bit",
     "A1+A2",
     driver=False,  # the external driver set is frozen at 50
