@@ -1094,6 +1094,40 @@ def test_image_and_tile_grid_offsets_round_trip():
         encode_j2k(img[:, :, 0], levels=1, tile=(4, 4), offsets=(5, 0, 0, 0))
 
 
+def test_position_progression_scales_by_component_rate():
+    """T.800 B.12: the position loops (RPCL/PCRL/CPRL) visit
+    precincts by their REFERENCE-GRID corner — resolution coordinates
+    scaled by 2^(N-r) AND the component's XRsiz/YRsiz. A subsampled
+    component's precincts cover rate-x more reference grid per
+    resolution unit, so they interleave sparsely with a full-rate
+    component's (hand-derived order below)."""
+    from hortacloud_importer_spark.sources.j2k import (
+        _build_bands, _packet_sequence,
+    )
+
+    # canvas 64x8: comp0 sampled at rate (4,1) -> 16 wide on its own
+    # grid; comp1 full-rate 64 wide. levels=1, precinct exponent 3
+    # (size 8 in resolution coords).
+    comps = [
+        _build_bands(8, 16, 1, 8, 8, 8, precincts=[(3, 3), (3, 3)],
+                     rate=(4, 1)),
+        _build_bands(8, 64, 1, 8, 8, 8, precincts=[(3, 3), (3, 3)],
+                     rate=(1, 1)),
+    ]
+    seq = _packet_sequence(2, [2, 2], 2, 1, comps)  # RPCL
+    r1 = [(c, p) for (l, r, c, p) in seq if r == 1]
+    # comp0 r1 precincts sit at reference x = 0, 32 (res coords 0, 8
+    # scaled by rate 4); comp1's at x = 0, 8, ..., 56
+    assert r1 == [
+        (0, 0), (1, 0), (1, 1), (1, 2), (1, 3),
+        (0, 1), (1, 4), (1, 5), (1, 6), (1, 7),
+    ]
+    r0 = [(c, p) for (l, r, c, p) in seq if r == 0]
+    # res 0: comp0 [0,8) -> 1 precinct at x=0 (scale 4*2); comp1
+    # [0,32) -> 4 precincts at reference x = 0, 16, 32, 48 (scale 2)
+    assert r0 == [(0, 0), (1, 0), (1, 1), (1, 2), (1, 3)]
+
+
 def test_dwt_phase_property():
     """The 1-D lifting on canvas interval [o, o+n): lane sizes follow
     the B.5 ceil split, both filters invert exactly, and an even
