@@ -81,7 +81,10 @@ Subsampled components tile too when every tile origin lands on the
 component grid 2^levels-aligned (per-component band anchors). Progression-order changes (POC, T.800 A.6.6)
 decode: each entry contributes its progression nest over its
 resolution/component/layer bounds with the standard continuation
-rule, and the header is required to cover every packet. Signed components decode (no DC level shift,
+rule, and the header is required to cover every packet. POC and RGN
+decode from TILE-PART headers too (first part; a tile POC replaces
+the main header's progression for that tile, a tile RGN overrides
+the maxshift per component). Signed components decode (no DC level shift,
 int8/int16 output), main-header COC per-component overrides
 (decomposition levels, code-block geometry, transform) drive the
 packet walk per T.800 B.12, and non-unit XRsiz/YRsiz component
@@ -1837,6 +1840,21 @@ def _poc_sequence(entries, nres_c, ncomp: int, nlayers: int,
 # ------------------------------------------------------------ encoder
 
 
+def _poc_marker(poc: list) -> bytes:
+    """POC marker segment bytes from (RSpoc, CSpoc, LYEpoc, REpoc,
+    CEpoc, Ppoc) 6-tuples — shared by the main header and tile-header
+    emission paths."""
+    for e in poc:
+        if len(e) != 6:
+            raise J2kParseError("poc entries are 6-tuples")
+    body = b""
+    for rs, cs, lye, re_, ce, pp in poc:
+        body += struct.pack(
+            ">BBHBBB", rs, cs, lye, re_, ce if ce < 256 else 0, pp
+        )
+    return struct.pack(">HH", POC, 2 + len(body)) + body
+
+
 def _validate_precincts(plist: list, levels: int) -> None:
     """Shared precinct-list validation for COD/COC/tile-COD emission:
     one (PPx, PPy) exponent pair per resolution, 0..15, nonzero above
@@ -2032,7 +2050,7 @@ def encode_j2k(
             )
         for isot, over in tile_overrides.items():
             bad = set(over) - {"levels", "cb", "layers", "prog",
-                               "precincts"}
+                               "precincts", "poc"}
             if bad:
                 raise J2kParseError(f"unknown tile override keys {bad}")
             if over.get("precincts") is not None:
@@ -2142,8 +2160,14 @@ def encode_j2k(
         layers_t = over.get("layers", layers)
         prog_t = over.get("prog", prog)
         prec_t = over.get("precincts")
+        poc_t = over.get("poc")
+        # "poc" alone adds a tile-header POC marker without replacing
+        # the tile's coding style (no tile COD is written for it)
+        cod_over = bool(
+            set(over) & {"levels", "cb", "layers", "prog", "precincts"}
+        )
         tile_cfg[isot] = (
-            lv_t, cw_t, ch_t, layers_t, prog_t, bool(over), prec_t
+            lv_t, cw_t, ch_t, layers_t, prog_t, cod_over, prec_t, poc_t
         )
         tile_roi = None
         if roi is not None:
@@ -2171,12 +2195,12 @@ def encode_j2k(
         else:
             tps = [p[y0 - yo : y1 - yo, x0 - xo : x1 - xo] for p in planes]
             ax, ay = x0, y0
-        lvs = [lv_t] * nc if over else levels_c
-        cws = [cw_t] * nc if over else cbw_c
-        chs = [ch_t] * nc if over else cbh_c
+        lvs = [lv_t] * nc if cod_over else levels_c
+        cws = [cw_t] * nc if cod_over else cbw_c
+        chs = [ch_t] * nc if cod_over else cbh_c
         # tile COD (when present) replaces the main coding style in
         # full, precincts included (absent key = maximal)
-        precs = [prec_t] * nc if over else prec_c
+        precs = [prec_t] * nc if cod_over else prec_c
         tiles.append(
             _encode_tile(
                 tps,
@@ -2202,6 +2226,7 @@ def encode_j2k(
                 segsym=segsym,
                 precincts=precs,
                 rates=[(xr_c[ci], yr_c[ci]) for ci in range(nc)],
+                poc_override=poc_t,
             )
         )
 
@@ -2262,15 +2287,7 @@ def encode_j2k(
                 + pbytes
             )
     if poc:
-        for e in poc:
-            if len(e) != 6:
-                raise J2kParseError("poc entries are 6-tuples")
-        body = b""
-        for rs, cs, lye, re_, ce, pp in poc:
-            body += struct.pack(
-                ">BBHBBB", rs, cs, lye, re_, ce if ce < 256 else 0, pp
-            )
-        out += struct.pack(">HH", POC, 2 + len(body)) + body
+        out += _poc_marker(poc)
     nres = levels + 1
     n_bands = 3 * levels + 1
     if lossy and quant == 2:
@@ -2340,8 +2357,11 @@ def encode_j2k(
     for isot, packets in enumerate(tiles):
         (
             lv_t, cw_t, ch_t, layers_t, prog_t, has_over, prec_t,
+            poc_t,
         ) = tile_cfg[isot]
         over_markers = b""
+        if poc_t:
+            over_markers += _poc_marker(poc_t)
         if has_over:
             spcod_t = struct.pack(
                 ">BBBBB",
@@ -2448,6 +2468,7 @@ def _encode_tile(
     segsym: bool = False,
     precincts: list | None = None,
     rates: list | None = None,
+    poc_override: list | None = None,
 ) -> list[bytes]:
     """Tier-1 + Tier-2 encode one tile's (already level-shifted /
     MCT'd) component planes into its packet stream, returned one
@@ -2615,6 +2636,8 @@ def _encode_tile(
     # into tile-parts at packet boundaries, T.800 A.4.2)
     packets: list[bytes] = []
     nres_c = [lv + 1 for lv in levels_c]
+    if poc_override is not None:
+        poc = poc_override  # tile-header POC replaces the main one
     if poc:
         pseq = _poc_sequence(poc, nres_c, nc, nlayers, comps)
         pgrid, _ = _pgrid_pos(comps)
@@ -2863,6 +2886,57 @@ def _apply_coc(seg: bytes, nc: int, levels_c: list, cbw_c: list,
     return ccoc
 
 
+def _parse_poc_entries(segs: list, nc: int) -> list:
+    """POC segment bodies -> (RSpoc, CSpoc, LYEpoc, REpoc, CEpoc,
+    Ppoc) tuples; shared by main-header and tile-header POC markers
+    (T.800 A.6.6 — same grammar in both)."""
+    entries: list = []
+    for seg in segs:
+        esz = 7 if nc < 257 else 9
+        if not seg or len(seg) % esz:
+            raise J2kParseError(f"POC length {len(seg)} not {esz}-aligned")
+        for i in range(0, len(seg), esz):
+            e = seg[i : i + esz]
+            if nc < 257:
+                rs, cs = e[0], e[1]
+                (lye,) = struct.unpack(">H", e[2:4])
+                re_, ce, pp = e[4], e[5], e[6]
+                if ce == 0:
+                    ce = 256  # T.800: 0 encodes 256 in the byte form
+            else:
+                rs = e[0]
+                (cs,) = struct.unpack(">H", e[1:3])
+                (lye,) = struct.unpack(">H", e[3:5])
+                re_ = e[5]
+                (ce,) = struct.unpack(">H", e[6:8])
+                pp = e[8]
+            if pp > 4:
+                raise J2kUnsupported(f"POC progression {pp}")
+            entries.append((rs, cs, lye, re_, ce, pp))
+    return entries
+
+
+def _apply_rgn(seg: bytes, nc: int, rgn_c: list) -> None:
+    """Apply one RGN segment (T.800 A.6.3) to the per-component
+    maxshift list in place; shared by main and tile-header RGNs (a
+    tile RGN overrides the main header's for that component)."""
+    need = 3 if nc < 257 else 4
+    if len(seg) < need:
+        raise J2kParseError("RGN segment too short")
+    if nc < 257:
+        crgn, srgn, sprgn = seg[0], seg[1], seg[2]
+    else:
+        crgn = struct.unpack(">H", seg[:2])[0]
+        srgn, sprgn = seg[2], seg[3]
+    if crgn >= nc:
+        raise J2kParseError(f"RGN names component {crgn} of {nc}")
+    if srgn != 0:
+        raise J2kUnsupported(f"RGN style {srgn} (only 0 = maxshift)")
+    if sprgn > 37:
+        raise J2kParseError(f"RGN shift {sprgn} exceeds 37")
+    rgn_c[crgn] = sprgn
+
+
 def _split_qcc(seg: bytes, nc: int, what: str):
     """QCC segment -> (component index, Sqcc body)."""
     if not seg:
@@ -2969,29 +3043,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             "MCT with per-component transform overrides"
         )
 
-    poc_entries: list = []
-    for seg in poc_segs:
-        esz = 7 if nc < 257 else 9
-        if not seg or len(seg) % esz:
-            raise J2kParseError(f"POC length {len(seg)} not {esz}-aligned")
-        for i in range(0, len(seg), esz):
-            e = seg[i : i + esz]
-            if nc < 257:
-                rs, cs = e[0], e[1]
-                (lye,) = struct.unpack(">H", e[2:4])
-                re_, ce, pp = e[4], e[5], e[6]
-                if ce == 0:
-                    ce = 256  # T.800: 0 encodes 256 in the byte form
-            else:
-                rs = e[0]
-                (cs,) = struct.unpack(">H", e[1:3])
-                (lye,) = struct.unpack(">H", e[3:5])
-                re_ = e[5]
-                (ce,) = struct.unpack(">H", e[6:8])
-                pp = e[8]
-            if pp > 4:
-                raise J2kUnsupported(f"POC progression {pp}")
-            poc_entries.append((rs, cs, lye, re_, ce, pp))
+    poc_entries = _parse_poc_entries(poc_segs, nc)
     # POC coverage (every packet emitted exactly once) is checked per
     # tile inside _decode_tile_planes: packet counts depend on each
     # tile's resolved levels AND its precinct grids, neither of which
@@ -3010,21 +3062,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         main_qcc_raw[cqcc] = body
     rgn_c = [0] * nc
     for seg in rgn_segs:
-        need = 3 if nc < 257 else 4
-        if len(seg) < need:
-            raise J2kParseError("RGN segment too short")
-        if nc < 257:
-            crgn, srgn, sprgn = seg[0], seg[1], seg[2]
-        else:
-            crgn = struct.unpack(">H", seg[:2])[0]
-            srgn, sprgn = seg[2], seg[3]
-        if crgn >= nc:
-            raise J2kParseError(f"RGN names component {crgn} of {nc}")
-        if srgn != 0:
-            raise J2kUnsupported(f"RGN style {srgn} (only 0 = maxshift)")
-        if sprgn > 37:
-            raise J2kParseError(f"RGN shift {sprgn} exceeds 37")
-        rgn_c[crgn] = sprgn
+        _apply_rgn(seg, nc, rgn_c)
 
     # tile-part loop — collect every SOT..SOD..data segment (parts of
     # one tile may interleave with other tiles and arrive in any
@@ -3051,6 +3089,8 @@ def _decode_j2k(data: bytes) -> np.ndarray:
     tile_qcd: dict[int, bytes] = {}
     tile_coc: dict[int, list] = {}
     tile_qcc: dict[int, list] = {}
+    tile_poc: dict[int, list] = {}
+    tile_rgn: dict[int, list] = {}
     parts: dict[int, list[tuple[int, bytes]]] = {}
     ppt_segs: dict[int, list[tuple[int, bytes]]] = {}
     tp_order: list[tuple[int, int]] = []  # (isot, tpsot) encounter order
@@ -3086,15 +3126,24 @@ def _decode_j2k(data: bytes) -> np.ndarray:
                     raise J2kParseError("truncated PPT segment")
                 ppt_segs.setdefault(isot, []).append((seg[0], seg[1:]))
                 sod_at += 2 + tlen
-            elif tmarker in (COD, QCD, COC, QCC):
-                # per-tile coding/quantization overrides (T.800
-                # A.6.1-A.6.5: allowed only in a tile's FIRST part)
+            elif tmarker in (COD, QCD, COC, QCC, POC, RGN):
+                # per-tile coding/quantization/progression/ROI
+                # overrides (T.800 A.6.1-A.6.6). The COD family is
+                # first-part-only by spec; POC is restricted here to
+                # the first part too (a mid-stream progression change
+                # across tile-parts is the one A.6.6 shape this
+                # decoder does not model — gated below by name).
                 seg = data[sod_at + 4 : sod_at + 2 + tlen]
                 if len(seg) != tlen - 2:
                     raise J2kParseError(
                         f"truncated tile-header 0x{tmarker:04x}"
                     )
                 if tpsot != 0:
+                    if tmarker == POC:
+                        raise J2kUnsupported(
+                            "POC in a non-first tile-part (mid-stream "
+                            "progression change)"
+                        )
                     raise J2kParseError(
                         "COD/QCD-family marker outside tile-part 0"
                     )
@@ -3108,11 +3157,14 @@ def _decode_j2k(data: bytes) -> np.ndarray:
                     tile_qcd[isot] = seg
                 elif tmarker == COC:
                     tile_coc.setdefault(isot, []).append(seg)
-                else:
+                elif tmarker == QCC:
                     tile_qcc.setdefault(isot, []).append(seg)
+                elif tmarker == POC:
+                    tile_poc.setdefault(isot, []).append(seg)
+                else:
+                    tile_rgn.setdefault(isot, []).append(seg)
                 sod_at += 2 + tlen
             else:
-                # RGN/POC/anything else here is out of scope
                 raise J2kUnsupported(
                     f"tile-part header marker 0x{tmarker:04x} "
                     "is not supported"
@@ -3208,9 +3260,19 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             g_t[ci], e_t[ci], m_t[ci] = _parse_quant(
                 body, tr_t[ci], lv_t[ci], what
             )
+        # tile-header POC replaces the main header's for this tile
+        # (T.800 A.6.6); tile RGN overrides per component (A.6.3)
+        poc_t = (
+            _parse_poc_entries(tile_poc[isot], nc)
+            if isot in tile_poc
+            else poc_entries
+        )
+        rgn_t = list(rgn_c)
+        for seg in tile_rgn.get(isot, []):
+            _apply_rgn(seg, nc, rgn_t)
         tile_params[isot] = (
             lv_t, cw_t, ch_t, tr_t, prog_t, nlayers_t, sop_t, eph_t,
-            g_t, e_t, m_t, cbs_t, pr_t,
+            g_t, e_t, m_t, cbs_t, pr_t, poc_t, rgn_t,
         )
 
     # plane dtype: integer only when EVERY tile codes that component
@@ -3236,7 +3298,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
         x0, y0, x1, y1 = rects[isot]
         (
             lv_t, cw_t, ch_t, tr_t, prog_t, nlayers_t, sop_t, eph_t,
-            g_t, e_t, m_t, cbs_t, pr_t,
+            g_t, e_t, m_t, cbs_t, pr_t, poc_t, rgn_t,
         ) = tile_params[isot]
         crects = [
             (
@@ -3265,8 +3327,8 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             m_t,
             tr_t,
             packed=packed_by_tile.get(isot),
-            rgn_c=rgn_c,
-            poc=poc_entries or None,
+            rgn_c=rgn_t,
+            poc=poc_t or None,
             cbsty_c=cbs_t,
             precincts=pr_t,
             rates=[(xr_c[ci], yr_c[ci]) for ci in range(nc)],

@@ -1094,6 +1094,73 @@ def test_image_and_tile_grid_offsets_round_trip():
         encode_j2k(img[:, :, 0], levels=1, tile=(4, 4), offsets=(5, 0, 0, 0))
 
 
+def test_tile_header_poc_and_rgn():
+    """POC and RGN in TILE-PART headers (T.800 A.6.6 / A.6.3): a tile
+    POC replaces the main header's progression for that tile, a tile
+    RGN overrides the maxshift per component; POC in a non-first
+    tile-part (mid-stream progression change) gates by name."""
+    rng = np.random.default_rng(263)
+    img = rng.integers(0, 65536, (64, 64)).astype(np.uint16)
+    # per-tile POC with no main POC, different order per tile
+    blob = encode_j2k(
+        img, levels=2, tile=(32, 32), layers=2,
+        tile_overrides={
+            1: {"poc": [(0, 0, 2, 3, 1, 2)]},
+            2: {"poc": [(0, 0, 2, 2, 1, 4), (0, 0, 2, 3, 1, 0)]},
+        },
+    )
+    assert blob.count(b"\xff\x5f") >= 2  # POCs really in tile headers
+    assert np.array_equal(decode_j2k(blob)[:, :, 0], img)
+    # main POC + tile POC override + a tile that ALSO swaps its COD
+    blob = encode_j2k(
+        img, levels=2, tile=(32, 32), layers=2,
+        poc=[(0, 0, 2, 3, 1, 2)],
+        tile_overrides={
+            1: {"poc": [(0, 0, 2, 3, 1, 1)]},
+            3: {"levels": 1, "poc": [(0, 0, 2, 2, 1, 0)]},
+        },
+    )
+    assert np.array_equal(decode_j2k(blob)[:, :, 0], img)
+    # tile POC + custom precincts + a misaligned tile grid
+    blob = encode_j2k(
+        img, levels=2, tile=(13, 19), cb=(8, 8), layers=2,
+        precincts=[(3, 3), (3, 3), (4, 4)],
+        tile_overrides={
+            1: {"poc": [(0, 0, 2, 2, 1, 3), (0, 0, 2, 3, 1, 4)]},
+        },
+    )
+    assert np.array_equal(decode_j2k(blob)[:, :, 0], img)
+    # tile RGN: relocate the main-header RGN into the tile header —
+    # the decode must be identical (the override path, A.6.3)
+    img8 = rng.integers(0, 4, (16, 16), dtype=np.uint8)
+    img8[4:10, 6:12] = rng.integers(200, 255, (6, 6))
+    enc = encode_j2k(img8, levels=1, roi=(4, 10, 6, 12), roi_shift=8)
+    i = enc.find(b"\xff\x5e")
+    rgn_seg = enc[i : i + 7]
+    stripped = enc[:i] + enc[i + 7 :]
+    sot = stripped.find(b"\xff\x90")
+    psot = struct.unpack(">I", stripped[sot + 6 : sot + 10])[0]
+    b2 = bytearray(stripped[: sot + 12] + rgn_seg + stripped[sot + 12 :])
+    if psot:
+        b2[sot + 6 : sot + 10] = struct.pack(">I", psot + 7)
+    assert np.array_equal(decode_j2k(bytes(b2))[:, :, 0], img8)
+    # POC spliced into a NON-first tile-part gates by name
+    enc = encode_j2k(img, levels=2, tile_parts=2)
+    p = -1
+    for _ in range(2):
+        p = enc.find(b"\xff\x90", p + 1)
+    poc_seg = (
+        b"\xff\x5f" + struct.pack(">H", 9) + bytes([0, 0])
+        + struct.pack(">H", 1) + bytes([3, 1, 0])
+    )
+    psot = struct.unpack(">I", enc[p + 6 : p + 10])[0]
+    b3 = bytearray(enc[: p + 12] + poc_seg + enc[p + 12 :])
+    if psot:
+        b3[p + 6 : p + 10] = struct.pack(">I", psot + len(poc_seg))
+    with pytest.raises(J2kUnsupported, match="non-first tile-part"):
+        decode_j2k(bytes(b3))
+
+
 def test_position_progression_scales_by_component_rate():
     """T.800 B.12: the position loops (RPCL/PCRL/CPRL) visit
     precincts by their REFERENCE-GRID corner — resolution coordinates
