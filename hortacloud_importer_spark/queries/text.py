@@ -390,3 +390,195 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "word", "tfidf")
     )
+
+
+_BPE_MERGES = 6  # merge-learning iterations
+
+
+def _bpe_oracle(k: int) -> str:
+    """Programmatically unrolled DuckDB mirror of the BPE trainer:
+    k CTE stages, each selecting the argmax pair (count DESC, pair
+    ASC) and applying the greedy left-to-right non-overlapping merge
+    via the same alternating-runs window logic as the Spark side."""
+    parts = [
+        """
+WITH w AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT UNNEST(str_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+s0 AS (SELECT word, cnt, str_split(word, '') AS tok FROM w)"""
+    ]
+    for i in range(1, k + 1):
+        p, s = i, i - 1
+        parts.append(
+            f"""
+p{p} AS (
+  SELECT s.tok[t.i] || ' ' || s.tok[t.i + 1] AS pair,
+         CAST(SUM(s.cnt) AS BIGINT) AS pc
+  FROM s{s} s, UNNEST(range(1, len(s.tok))) AS t(i)
+  WHERE len(s.tok) >= 2 GROUP BY 1
+),
+b{p} AS (SELECT {p} AS rank, pair, pc FROM p{p}
+         ORDER BY pc DESC, pair LIMIT 1),
+pos{p} AS (
+  SELECT s.word, s.cnt, t.i, s.tok[t.i] AS t,
+         split_part(b.pair, ' ', 1) AS a,
+         split_part(b.pair, ' ', 2) AS b
+  FROM s{s} s CROSS JOIN b{p} b,
+       UNNEST(range(1, len(s.tok) + 1)) AS t(i)
+),
+m{p} AS (
+  SELECT *, (t = a AND lead(t) OVER (PARTITION BY word ORDER BY i) = b)
+         AS mg FROM pos{p}
+),
+g{p} AS (
+  SELECT *, i - SUM(CASE WHEN mg THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY word ORDER BY i) AS grp
+  FROM m{p}
+),
+r{p} AS (
+  SELECT *, MIN(CASE WHEN mg THEN i END)
+              OVER (PARTITION BY word, grp) AS rstart
+  FROM g{p}
+),
+d{p} AS (
+  SELECT *, (mg AND (i - rstart) % 2 = 0) AS dm FROM r{p}
+),
+e{p} AS (
+  SELECT *, COALESCE(lag(dm) OVER (PARTITION BY word ORDER BY i),
+                     FALSE) AS dropped
+  FROM d{p}
+),
+s{p} AS (
+  SELECT word, cnt,
+         list(CASE WHEN dm THEN a || b ELSE t END ORDER BY i)
+           FILTER (WHERE NOT dropped) AS tok
+  FROM e{p} GROUP BY word, cnt
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT rank, pair, pc AS freq FROM b{i}" for i in range(1, k + 1)
+    )
+    return ",".join(parts) + "\n" + union
+
+
+@register("text_bpe_merges", "K5", oracle=_bpe_oracle(_BPE_MERGES),
+          driver=False)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge LEARNING (the tokenizer-training loop):
+    start from the character sequence of every distinct word, and for
+    k rounds pick the corpus-wide most frequent adjacent symbol pair
+    (ties broken by pair text) and merge its greedy left-to-right
+    non-overlapping occurrences. Returns the learned merge table
+    (rank, pair, freq) — the artifact a tokenizer ships.
+
+    Fully declarative iteration: the per-round argmax is a LIMIT-1
+    aggregate broadcast into the merge step (no .collect() of data;
+    the one localCheckpoint per round bounds plan depth exactly like
+    the connected-components loop). The greedy-non-overlap semantics
+    ("aaa" merges once, not twice) is alternating-runs window logic —
+    mergeable positions grouped into consecutive islands, even
+    offsets within an island merge — reproduced verbatim in the
+    unrolled DuckDB oracle.
+
+    100 TB posture: state is the VOCABULARY (distinct words x symbol
+    arrays), not the corpus — the corpus is read once for word
+    counts; each round shuffles one pair-count aggregate (map-side
+    combined) plus one vocabulary regroup, both keyed well below
+    corpus scale. This is how production BPE trainers distribute.
+    """
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    seqs = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .select("word", "cnt", F.split("word", "").alias("tok"))
+    )
+    ww = Window.partitionBy("word").orderBy("i")
+    bests = []
+    for rnd in range(1, _BPE_MERGES + 1):
+        pairs = (
+            seqs.filter(F.size("tok") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(tok) - 1),"
+                        " i -> concat(tok[i-1], ' ', tok[i]))"
+                    )
+                ).alias("pair"),
+            )
+            .groupBy("pair")
+            .agg(F.sum("cnt").cast("bigint").alias("pc"))
+        )
+        best = (
+            pairs.orderBy(F.desc("pc"), F.asc("pair"))
+            .limit(1)
+            .select(F.lit(rnd).alias("rank"), "pair", "pc")
+        )
+        bests.append(best)
+        pos = (
+            seqs.crossJoin(F.broadcast(best.drop("rank", "pc")))
+            .select(
+                "word",
+                "cnt",
+                F.posexplode("tok").alias("i", "t"),
+                F.split("pair", " ")[0].alias("a"),
+                F.split("pair", " ")[1].alias("b"),
+            )
+            .withColumn(
+                "mg",
+                (F.col("t") == F.col("a"))
+                & (F.lead("t").over(ww) == F.col("b")),
+            )
+            .withColumn(
+                "grp",
+                F.col("i")
+                - F.sum(F.col("mg").cast("int")).over(
+                    ww.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+        )
+        pos = pos.withColumn(
+            "rstart",
+            F.min(F.when(F.col("mg"), F.col("i"))).over(
+                Window.partitionBy("word", "grp")
+            ),
+        ).withColumn(
+            "dm",
+            F.col("mg") & ((F.col("i") - F.col("rstart")) % 2 == 0),
+        )
+        pos = pos.withColumn(
+            "dropped", F.coalesce(F.lag("dm").over(ww), F.lit(False))
+        )
+        seqs = (
+            pos.filter(~F.col("dropped"))
+            .groupBy("word", "cnt")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("i"),
+                                F.when(
+                                    F.col("dm"),
+                                    F.concat(F.col("a"), F.col("b")),
+                                )
+                                .otherwise(F.col("t"))
+                                .alias("out"),
+                            )
+                        )
+                    ),
+                    lambda x: x["out"],
+                ).alias("tok")
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = bests[0]
+    for b in bests[1:]:
+        out = out.unionByName(b)
+    return out.select("rank", "pair", F.col("pc").alias("freq"))
