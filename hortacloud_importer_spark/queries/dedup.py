@@ -676,15 +676,26 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     removal).
 
     Plan shape (100 TB posture): this is the distributed formulation
-    of suffix-array substring dedup — one row per character position,
-    hashed (md5 here for the DuckDB oracle; xxhash64 in a production
-    run halves the shuffle), counted per hash with a window aggregate
-    (single shuffle on the 16-byte hash, map-side partials collapse
-    repeats), then re-grouped per doc for gaps-and-islands span
-    merging (second shuffle, keyed by doc). Nothing but (hash,
-    doc_id, pos) triples ever shuffles — never document text. Suffix
-    arrays beat this on one machine but do not distribute; the
-    window-hash join is what MapReduce-scale substring dedup ships.
+    of suffix-array substring dedup — one row per character position
+    carrying a 16-BYTE BINARY md5 digest (same grouping as the
+    oracle's hex md5, half the width; an 8-byte xxhash64 would halve
+    it again at a quantifiable collision risk), counted per digest
+    with a window aggregate (ONE shuffle of the grams, sorted by the
+    digest), then re-grouped per doc for gaps-and-islands span
+    merging (second, much smaller shuffle of only the duplicated
+    positions). Nothing but (hash, doc_id, pos) triples ever
+    shuffles — never document text. Suffix arrays beat this on one
+    machine but do not distribute; the window-hash formulation is
+    what MapReduce-scale substring dedup ships.
+
+    Honest cost model: stride-1 exactness means ~28 shuffle bytes PER
+    CORPUS CHARACTER — a petabyte-class shuffle at 100 TB, inherent
+    to the algorithm (Lee et al.'s suffix arrays are likewise
+    O(total bytes), and single-machine), not to this plan. Run it on
+    the post-doc-dedup corpus and budget accordingly. One degenerate
+    hot key (a corpus that is one repeated character) would pin a
+    reducer through the window sort; the doc-level exact dedup that
+    precedes this pass removes exactly those repeats.
     """
     from pyspark.sql.window import Window
 
@@ -702,7 +713,11 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "pos",
-            F.md5(F.expr(f"substring(text, pos, {L})")).alias("h"),
+            # 16-byte BINARY digest: same grouping as DuckDB's hex md5
+            # (bijective) at half the shuffle width
+            F.unhex(F.md5(F.expr(f"substring(text, pos, {L})"))).alias(
+                "h"
+            ),
         )
     )
     dup = (
@@ -745,5 +760,102 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_spans",
             "dup_chars",
             F.length("text").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+_DECON_ORACLE = """
+WITH d AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS w
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS gram, doc_id AS bench_id
+  FROM d, UNNEST(range(1, len(w) - 3)) AS t(i)
+  WHERE doc_id % 10 = 7 AND len(w) >= 5
+),
+cg AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+  FROM d, UNNEST(range(1, len(w) - 3)) AS t(i)
+  WHERE doc_id % 10 <> 7 AND len(w) >= 5
+),
+hits AS (
+  SELECT cg.doc_id,
+         COUNT(DISTINCT cg.gram) AS n_shared_grams,
+         COUNT(DISTINCT bg.bench_id) AS n_bench_docs
+  FROM cg JOIN bg USING (gram)
+  GROUP BY cg.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+       CAST(COALESCE(h.n_bench_docs, 0) AS BIGINT) AS n_bench_docs,
+       COALESCE(h.n_shared_grams, 0) >= 3 AS contaminated
+FROM d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 10 <> 7
+"""
+
+
+@register("corpus_decontaminate", "K2", oracle=_DECON_ORACLE,
+          driver=False)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark DECONTAMINATION: flag corpus documents that share
+    word 5-grams with a held-out evaluation set (here: doc_id % 10 ==
+    7 plays the benchmark) — the hygiene pass training pipelines run
+    so eval questions don't leak into training data. Reports, per
+    corpus doc, the distinct shared grams, the distinct benchmark
+    docs hit, and the >= 3-gram contamination flag.
+
+    100 TB posture: the asymmetry IS the plan — the benchmark side is
+    tiny (eval suites are thousands of docs, the corpus is billions),
+    so its distinct gram set BROADCASTS and the corpus-side gram scan
+    is map-local until one final per-doc aggregate; the corpus never
+    self-joins and never shuffles text. This mirrors how production
+    decontamination ships (benchmark n-gram set as a shared filter).
+    """
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("w"),
+    )
+
+    def grams(d: DataFrame, id_col: str) -> DataFrame:
+        return (
+            d.filter(F.size("w") >= 5)
+            .select(
+                F.col("doc_id").alias(id_col),
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(w) - 4),"
+                        " i -> concat_ws(' ', slice(w, i, 5)))"
+                    )
+                ).alias("gram"),
+            )
+            .distinct()
+        )
+
+    bench = grams(docs.filter(F.col("doc_id") % 10 == 7), "bench_id")
+    corpus = grams(docs.filter(F.col("doc_id") % 10 != 7), "doc_id")
+    hits = (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("gram").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+    return (
+        docs.filter(F.col("doc_id") % 10 != 7)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_grams", F.lit(0))
+            .cast("bigint")
+            .alias("n_shared_grams"),
+            F.coalesce("n_bench_docs", F.lit(0))
+            .cast("bigint")
+            .alias("n_bench_docs"),
+            (F.coalesce("n_shared_grams", F.lit(0)) >= 3).alias(
+                "contaminated"
+            ),
         )
     )

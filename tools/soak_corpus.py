@@ -67,6 +67,12 @@ QUERIES = [
     ("dedup_approx", "banded MinHash/SimHash buckets (oracle mode, uncapped)"),
     ("dedup_minhash", "production MinHash-LSH, bucket_cap=1024"),
     ("dedup_simhash", "production SimHash bands, bucket_cap=4096"),
+    # dedup_substring is NOT soaked here: its cost is ~28 shuffle
+    # bytes per corpus character by construction (stride-1 windows),
+    # ~10 GiB+ on this fixture — and the harness's .count() trigger
+    # lets Catalyst prune the span branch entirely, so the recorded
+    # wall would be fiction. Its scale posture is documented in the
+    # query docstring; correctness is oracle-pinned.
     ("dedup_ngram_jaccard", "DF-capped inverted-index pair join"),
     ("dedup_components", "edges materialized once, then propagation"),
     ("q_corpus_curation", "md5 groupBy + capped shingle join"),
