@@ -463,9 +463,29 @@ s{p} AS (
     return ",".join(parts) + "\n" + union
 
 
-@register("text_bpe_merges", "K5", oracle=_bpe_oracle(_BPE_MERGES),
-          driver=False)
-def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _bpe_encode_oracle(k: int) -> str:
+    """The same unrolled trainer chain, finished by re-joining the
+    final vocabulary's symbol sequences onto the corpus words — the
+    per-document token accounting of :func:`text_bpe_encode`."""
+    chain = _bpe_oracle(k)
+    chain = chain[: chain.index("\nSELECT")]  # keep the WITH chain
+    return (
+        chain
+        + f"""
+SELECT dw.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(dw.word)) AS BIGINT) AS n_chars,
+       CAST(SUM(len(s.tok)) AS BIGINT) AS n_tokens
+FROM (
+  SELECT doc_id, UNNEST(str_split(text, ' ')) AS word FROM documents
+) dw JOIN s{k} s USING (word)
+WHERE dw.word <> ''
+GROUP BY dw.doc_id
+"""
+    )
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
     """Distributed BPE merge LEARNING (the tokenizer-training loop):
     start from the character sequence of every distinct word, and for
     k rounds pick the corpus-wide most frequent adjacent symbol pair
@@ -581,4 +601,46 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
-    return out.select("rank", "pair", F.col("pc").alias("freq"))
+    return (
+        out.select("rank", "pair", F.col("pc").alias("freq")),
+        seqs,
+    )
+
+
+@register("text_bpe_merges", "K5", oracle=_bpe_oracle(_BPE_MERGES),
+          driver=False)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned BPE merge table (rank, pair, freq) — see
+    :func:`_bpe_train` for the algorithm and its scale posture."""
+    return _bpe_train(spark, sf_dir)[0]
+
+
+@register("text_bpe_encode", "K5",
+          oracle=_bpe_encode_oracle(_BPE_MERGES), driver=False)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the learned merges: per-document token
+    accounting (words, characters, post-merge tokens) — the
+    compression measurement that sizes a training run. The apply side
+    is a join of the corpus's words onto the trained vocabulary's
+    final symbol sequences: no per-document re-segmentation, because
+    BPE merges are word-local — encoding a corpus is a vocabulary
+    LOOKUP, which is how production tokenizers batch-encode at scale
+    (the vocabulary broadcast-joins; only (doc_id, word) pairs
+    shuffle)."""
+    _, seqs = _bpe_train(spark, sf_dir)
+    words = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", F.explode(F.split("text", " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+    )
+    return (
+        words.join(F.broadcast(seqs.select("word", F.size("tok").alias("n_tok"))), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum(F.length("word")).cast("bigint").alias("n_chars"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+    )
