@@ -1,0 +1,184 @@
+"""Third-derivation pins for the newest LLM-pipeline operators.
+
+The registry already checks Spark == DuckDB for these queries; both
+sides, however, implement the SAME algorithm sketch, so a shared
+misreading (wrong greedy semantics in BPE, an off-by-one in substring
+windows) would pass the oracle gate. These tests re-derive the
+answers with plain-Python reference implementations — a suffix-naive
+substring scan, a textbook Sennrich-style BPE trainer, a dict-based
+decontaminator — and compare against the DUCKDB oracle output (the
+cheaper side; Spark equality to DuckDB is covered by test_oracle).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, defaultdict
+
+import duckdb
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+L = 40  # dedup_substring window length
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    return c
+
+
+def _docs(con):
+    return con.execute("SELECT doc_id, text FROM documents").fetchall()
+
+
+def _dup_corpus(con):
+    rows = _docs(con)
+    return rows + [
+        (doc_id + 100000, text) for doc_id, text in rows if doc_id % 5 == 0
+    ]
+
+
+def test_dedup_substring_reference(con):
+    from hortacloud_importer_spark.queries.dedup import _SUBSTR_ORACLE
+
+    corpus = _dup_corpus(con)
+    # reference: count every L-char window corpus-wide, then merge
+    # the duplicated positions per doc into maximal spans
+    counts: Counter = Counter()
+    for _, text in corpus:
+        for i in range(len(text) - L + 1):
+            counts[text[i : i + L]] += 1
+    expected = {}
+    for doc_id, text in corpus:
+        spans = []
+        for i in range(len(text) - L + 1):
+            if counts[text[i : i + L]] < 2:
+                continue
+            if spans and i <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], i + L)
+            else:
+                spans.append([i, i + L])
+        expected[doc_id] = (
+            len(spans),
+            sum(e - s for s, e in spans),
+            len(text),
+        )
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(_SUBSTR_ORACLE).fetchall()
+    }
+    assert got == expected
+
+
+def _py_bpe_train(words: Counter, k: int):
+    """Textbook BPE: argmax adjacent pair (count desc, pair asc),
+    merge greedily left-to-right non-overlapping within each word."""
+    seqs = {w: list(w) for w in words}
+    merges = []
+    for rank in range(1, k + 1):
+        pairs: Counter = Counter()
+        for w, cnt in words.items():
+            t = seqs[w]
+            for a, b in zip(t, t[1:]):
+                pairs[(a, b)] += cnt
+        (a, b), freq = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        merges.append((rank, f"{a} {b}", freq))
+        for w, t in seqs.items():
+            out, i = [], 0
+            while i < len(t):
+                if i + 1 < len(t) and t[i] == a and t[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(t[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+def test_bpe_merges_and_encode_reference(con):
+    from hortacloud_importer_spark.queries.text import (
+        _BPE_MERGES,
+        _bpe_encode_oracle,
+        _bpe_oracle,
+    )
+
+    words: Counter = Counter()
+    per_doc: dict = {}
+    for doc_id, text in _docs(con):
+        ws = [w for w in text.split(" ") if w]
+        per_doc[doc_id] = ws
+        words.update(ws)
+    merges, seqs = _py_bpe_train(words, _BPE_MERGES)
+
+    got = sorted(con.execute(_bpe_oracle(_BPE_MERGES)).fetchall())
+    assert got == sorted(merges)
+
+    expected = {
+        doc_id: (
+            len(ws),
+            sum(len(w) for w in ws),
+            sum(len(seqs[w]) for w in ws),
+        )
+        for doc_id, ws in per_doc.items()
+        if ws
+    }
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            _bpe_encode_oracle(_BPE_MERGES)
+        ).fetchall()
+    }
+    assert got == expected
+
+
+def test_decontaminate_reference(con):
+    from hortacloud_importer_spark.queries.dedup import _DECON_ORACLE
+
+    bench_grams: dict = defaultdict(set)  # gram -> bench doc ids
+    corpus: dict = {}
+    for doc_id, text in _docs(con):
+        ws = [w for w in text.split(" ") if w]
+        grams = {
+            " ".join(ws[i : i + 5]) for i in range(len(ws) - 4)
+        }
+        if doc_id % 10 == 7:
+            for g in grams:
+                bench_grams[g].add(doc_id)
+        else:
+            corpus[doc_id] = grams
+    expected = {}
+    for doc_id, grams in corpus.items():
+        shared = {g for g in grams if g in bench_grams}
+        hit_docs = set().union(
+            *(bench_grams[g] for g in shared)
+        ) if shared else set()
+        expected[doc_id] = (
+            len(shared),
+            len(hit_docs),
+            len(shared) >= 3,
+        )
+    got = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(_DECON_ORACLE).fetchall()
+    }
+    assert got == expected
+
+
+def test_substring_hash_is_collision_safe_here(con):
+    """The oracle groups by md5; sanity-check that no two DISTINCT
+    windows share a digest in the fixture corpus (so hash grouping
+    equals string grouping for every asserted value above)."""
+    seen: dict = {}
+    for _, text in _dup_corpus(con):
+        for i in range(len(text) - L + 1):
+            w = text[i : i + L]
+            h = hashlib.md5(w.encode()).hexdigest()
+            assert seen.setdefault(h, w) == w
