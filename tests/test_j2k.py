@@ -969,6 +969,36 @@ def test_round10_feature_streams_fuzz_named_errors_only():
                 pass  # the one named contract
 
 
+def test_geometry_corruption_raises_named_errors_only():
+    """Corruption fuzz over the NEW geometry surface (misaligned
+    tiles + image/tile offsets + tile-header POC): truncations, bit
+    flips, and 4-byte stomps must surface as J2kParseError (incl.
+    its J2kUnsupported subclass), never raw struct/Index/Value
+    errors or a hang — SIZ offset fields are prime stomp targets."""
+    rng = np.random.default_rng(271)
+    base = encode_j2k(
+        rng.integers(0, 65536, (40, 44)).astype(np.uint16),
+        levels=2, tile=(13, 11), cb=(8, 8), layers=2,
+        offsets=(5, 3, 2, 1),
+        tile_overrides={1: {"poc": [(0, 0, 2, 3, 1, 2)]}},
+    )
+    for t in range(300):
+        b = bytearray(base)
+        mode = t % 3
+        if mode == 0:
+            b = b[: int(rng.integers(1, len(b)))]
+        elif mode == 1:
+            i = int(rng.integers(0, len(b)))
+            b[i] ^= 1 << int(rng.integers(0, 8))
+        else:
+            i = int(rng.integers(0, len(b)))
+            b[i : i + 4] = bytes(rng.integers(0, 256, 4).tolist())
+        try:
+            decode_j2k(bytes(b))
+        except J2kParseError:
+            pass  # the one named contract
+
+
 def test_subsampling_with_aligned_multi_tile_grid():
     """Tiled + subsampled: every tile origin lands on the component
     grid 2^levels-aligned, per-component band anchors included —
