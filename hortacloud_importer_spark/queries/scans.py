@@ -681,6 +681,88 @@ def scan_wav_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scan_wav_g711",
+    "A1+K4",
+    driver=False,  # the external driver set is frozen at 50
+    oracle="""
+SELECT z,
+       AVG(v) AS mean_amplitude,
+       CAST(MIN(v) AS INTEGER) AS min_amplitude,
+       CAST(MAX(v) AS INTEGER) AS max_amplitude
+FROM (
+  SELECT z,
+    CASE WHEN z < 2 THEN
+      -- mu-law expand: invert byte, (2*mantissa+33)<<exp, bias 132
+      CASE WHEN (255 - c) >= 128
+           THEN 132 - ((((255 - c) % 16) * 8 + 132) << (((255 - c) // 16) % 8))
+           ELSE ((((255 - c) % 16) * 8 + 132) << (((255 - c) // 16) % 8)) - 132
+      END
+    ELSE
+      -- A-law expand: XOR 0x55, seg 0 linear (+8), seg >= 1 dyadic
+      CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END *
+      CASE WHEN ((xor(c, 85) // 16) % 8) = 0
+           THEN (xor(c, 85) % 16) * 16 + 8
+           ELSE ((xor(c, 85) % 16) * 16 + 264)
+                << (((xor(c, 85) // 16) % 8) - 1)
+      END
+    END AS v
+  FROM (
+    SELECT t1.range AS z, (t2.range * (t1.range + 3) * 11) % 256 AS c
+    FROM range(4) t1, range(256) t2
+  )
+)
+GROUP BY z
+""",
+)
+def scan_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 audio over G.711 A-law/mu-law WAV containers (format tags
+    6/7 — the telephony encodings), oracle-exact: four 256-codeword
+    clips (z 0-1 mu-law, z 2-3 A-law) with codes
+    c = (i*(z+3)*11) % 256 are written via encode_wav(g711=...) and
+    decoded through the executor media kernel; the DuckDB oracle
+    re-derives the expander from G.711's closed-form segment
+    arithmetic, so a companding bug anywhere in sources/wav.py's
+    formula tables breaks the hash."""
+    import tempfile
+
+    import numpy as np
+
+    from hortacloud_importer_spark.operators.multimodal import media_features
+    from hortacloud_importer_spark.sources.wav import encode_wav
+
+    workdir = tempfile.mkdtemp(prefix="wav_g711_")
+    for z in range(4):
+        c = (
+            (np.arange(256, dtype=np.int64) * (z + 3) * 11) % 256
+        ).astype(np.uint8)
+        law = "ulaw" if z < 2 else "alaw"
+        with open(f"{workdir}/clip.{z:03d}.wav", "wb") as fh:
+            fh.write(encode_wav(c, rate=8000, g711=law))
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*.wav")
+        .select(
+            F.regexp_extract(F.col("path"), r"\.(\d{3})\.wav$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("audio").alias("kind"),
+            F.lit("wav").alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 1, 'width', 256, 'channels', 1,"
+                " 'sample_rate', 8000, 'n_frames', 1)"
+            ).alias("meta"),
+        )
+    )
+    return media_features(media).select(
+        F.col("media_id").alias("z"),
+        F.col("mean_intensity").alias("mean_amplitude"),
+        F.col("min_intensity").alias("min_amplitude"),
+        F.col("max_intensity").alias("max_amplitude"),
+    )
+
+
+@register(
     "scan_gif_bmp_media",
     "A1+K4",
     driver=False,  # the external driver set is frozen at 50

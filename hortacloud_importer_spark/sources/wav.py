@@ -9,12 +9,19 @@ programming specification): a ``RIFF``/``WAVE`` header followed by
 tagged chunks, of which ``fmt `` carries the sample layout and
 ``data`` the PCM frames.
 
-Scope: integer PCM (format tag 1) and IEEE float (tag 3), 8-bit
-unsigned / 16-bit / 24-bit / 32-bit signed little-endian, any channel
-count and sample rate; WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) resolves
-through its SubFormat GUID. Compressed formats (ADPCM, MP3-in-WAV,
-a-law/mu-law) raise :class:`WavParseError` naming the tag — the same
-honest-gate contract as every codec in this repo.
+Scope: integer PCM (format tag 1), IEEE float (tag 3), and ITU-T
+G.711 A-law (tag 6) / mu-law (tag 7) — 8-bit unsigned / 16-bit /
+24-bit / 32-bit signed little-endian for PCM, any channel count and
+sample rate; WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) resolves through
+its SubFormat GUID. The G.711 expanders are computed from the
+closed-form segment arithmetic (G.711's companding is a formula, not
+a committee table — mu-law: invert the byte, magnitude
+(2*mantissa + 33) << exponent rebiased by 33 quantization steps of 8;
+A-law: XOR 0x55, segment 0 linear, higher segments dyadic), so no
+transcription risk exists. Compressed formats that DO need fixed
+tables or bit-stream state (ADPCM, MP3-in-WAV) still raise
+:class:`WavParseError` naming the tag — the same honest-gate
+contract as every codec in this repo.
 
 Decode returns ``(samples, channels)`` int32/float32 plus the sample
 rate; the encoder is the fixture/writer dual. Both run per-file
@@ -36,6 +43,33 @@ class WavParseError(ValueError):
 _PCM_DTYPES = {8: np.uint8, 16: np.dtype("<i2"), 32: np.dtype("<i4")}
 # first 2 bytes of the EXTENSIBLE SubFormat GUID = the format tag
 _TAG_PCM, _TAG_FLOAT, _TAG_EXTENSIBLE = 1, 3, 0xFFFE
+_TAG_ALAW, _TAG_ULAW = 6, 7
+
+
+def _g711_expand_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(alaw_to_linear, ulaw_to_linear) int16 code->sample maps,
+    computed from the ITU-T G.711 segment formulas (no literal
+    tables). Mu-law: codeword is the bitwise NOT of
+    sign|exponent|mantissa where magnitude+33steps quantizes to
+    (2*mantissa+33) << exponent in units of 8 (bias 0x84). A-law:
+    codeword XORs 0x55; segment 0 is linear at step 16 (+8 midpoint),
+    segments 1..7 prepend the implicit leading 1 and double."""
+    codes = np.arange(256)
+    # mu-law expand
+    u = ~codes & 0xFF
+    t = ((u & 0x0F) << 3) + 0x84
+    t = t << ((u >> 4) & 0x07)
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    # A-law expand
+    a = codes ^ 0x55
+    seg = (a >> 4) & 0x07
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, (t + 0x108) << np.maximum(seg - 1, 0))
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+    return alaw, ulaw
+
+
+_ALAW2LIN, _ULAW2LIN = _g711_expand_tables()
 
 
 def wav_probe(data: bytes) -> tuple[int, int, int]:
@@ -130,26 +164,43 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
                 arr = arr.astype(np.int32)
         else:
             raise WavParseError(f"{bits}-bit PCM unsupported")
+    elif tag in (_TAG_ALAW, _TAG_ULAW):
+        if bits != 8:
+            raise WavParseError(
+                f"G.711 WAV must be 8-bit, not {bits}"
+            )
+        lut = _ALAW2LIN if tag == _TAG_ALAW else _ULAW2LIN
+        arr = lut[np.frombuffer(pcm, dtype=np.uint8)].astype(np.int32)
     else:
         raise WavParseError(
-            f"WAV format tag {tag} needs an audio codec (PCM and "
-            "IEEE-float decode built in)"
+            f"WAV format tag {tag} needs an audio codec (PCM, "
+            "IEEE-float, and G.711 A-law/mu-law decode built in)"
         )
     n = len(arr) - len(arr) % nch
     return arr[:n].reshape(-1, nch), rate
 
 
 def encode_wav(
-    samples: np.ndarray, rate: int = 16000
+    samples: np.ndarray, rate: int = 16000, g711: str | None = None
 ) -> bytes:
     """(n[, channels]) uint8/int16/int32/float32 -> WAV bytes — the
-    fixture/writer dual of :func:`decode_wav`."""
+    fixture/writer dual of :func:`decode_wav`. ``g711="alaw"|"ulaw"``
+    writes uint8 samples as G.711 CODEWORDS (format tag 6/7) rather
+    than unsigned PCM — every byte value is a valid codeword, so
+    fixture generators emit codes directly."""
     if samples.ndim == 1:
         samples = samples[:, None]
     if samples.ndim != 2:
         raise WavParseError("samples must be (n,) or (n, channels)")
     n, nch = samples.shape
-    if samples.dtype == np.uint8:
+    if g711 is not None:
+        if g711 not in ("alaw", "ulaw"):
+            raise WavParseError(f"g711 must be alaw|ulaw, not {g711!r}")
+        if samples.dtype != np.uint8:
+            raise WavParseError("G.711 codewords must be uint8")
+        tag = _TAG_ALAW if g711 == "alaw" else _TAG_ULAW
+        bits, raw = 8, samples.astype(np.uint8)
+    elif samples.dtype == np.uint8:
         tag, bits, raw = _TAG_PCM, 8, samples.astype(np.uint8)
     elif samples.dtype == np.int16:
         tag, bits, raw = _TAG_PCM, 16, samples.astype("<i2")

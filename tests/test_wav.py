@@ -74,10 +74,15 @@ def test_extensible_subformat_resolves():
 def test_gates_and_malformed():
     with pytest.raises(WavParseError, match="RIFF"):
         decode_wav(b"nope")
-    # mu-law (tag 7) gates by name
+    # mu-law (tag 7) now DECODES (G.711 expander); code 0x00 is the
+    # most-negative mu-law codeword
     fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
-    with pytest.raises(WavParseError, match="tag 7"):
-        decode_wav(_container(fmt, b"\x00\x00"))
+    out, _ = decode_wav(_container(fmt, b"\x00\x00"))
+    assert out.ravel().tolist() == [-32124, -32124]
+    # IMA ADPCM (tag 0x11) stays a named gate (stateful bitstream)
+    fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 4000, 256, 8)
+    with pytest.raises(WavParseError, match="tag 17"):
+        decode_wav(_container(fmt, b"\x00" * 8))
     # missing data chunk
     body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + struct.pack(
         "<HHIIHH", 1, 1, 8000, 16000, 2, 16
@@ -172,3 +177,70 @@ def test_truncated_and_degenerate_payloads():
     assert rows.iloc[0]["min_intensity"] == 0
     assert sum(rows.iloc[1]["hist16"]) == 3  # NaN landed in a bin
     assert rows.iloc[2]["min_intensity"] == -(2**31)
+
+
+def test_g711_expanders_match_scalar_restatement_and_anchors():
+    """The vectorized A-law/mu-law tables must equal a per-value
+    scalar restatement of G.711's segment arithmetic, and hit the
+    published range anchors (mu-law: two zero codes, +/-32124 at the
+    extremes; A-law: +/-8 smallest, +/-32256 largest)."""
+    from hortacloud_importer_spark.sources.wav import (
+        _ALAW2LIN,
+        _ULAW2LIN,
+    )
+
+    def ulaw2lin(c):
+        u = ~c & 0xFF
+        t = ((u & 0x0F) << 3) + 0x84
+        t <<= (u & 0x70) >> 4
+        return (0x84 - t) if (u & 0x80) else (t - 0x84)
+
+    def alaw2lin(c):
+        a = c ^ 0x55
+        t = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            t += 8
+        elif seg == 1:
+            t += 0x108
+        else:
+            t = (t + 0x108) << (seg - 1)
+        return t if (a & 0x80) else -t
+
+    assert [int(x) for x in _ULAW2LIN] == [ulaw2lin(c) for c in range(256)]
+    assert [int(x) for x in _ALAW2LIN] == [alaw2lin(c) for c in range(256)]
+    assert _ULAW2LIN[0xFF] == 0 and _ULAW2LIN[0x7F] == 0
+    assert _ULAW2LIN[0x00] == -32124 and _ULAW2LIN[0x80] == 32124
+    assert _ALAW2LIN[0x55] == -8 and _ALAW2LIN[0xD5] == 8
+    assert _ALAW2LIN[0x2A] == -32256 and _ALAW2LIN[0xAA] == 32256
+
+
+def test_g711_wav_round_trip_and_gates():
+    from hortacloud_importer_spark.sources.wav import (
+        _ALAW2LIN,
+        _ULAW2LIN,
+        WavParseError,
+        decode_wav,
+        encode_wav,
+        wav_probe,
+    )
+
+    rng = np.random.default_rng(41)
+    codes = rng.integers(0, 256, (777, 2), dtype=np.uint8)
+    for law, lut in (("alaw", _ALAW2LIN), ("ulaw", _ULAW2LIN)):
+        blob = encode_wav(codes, rate=8000, g711=law)
+        out, rate = decode_wav(blob)
+        assert rate == 8000 and out.shape == (777, 2)
+        assert out.dtype == np.int32
+        assert np.array_equal(out, lut[codes].astype(np.int32)), law
+        assert wav_probe(blob) == (777, 2, 8000)
+    with pytest.raises(WavParseError, match="uint8"):
+        encode_wav(codes.astype(np.int16), g711="ulaw")
+    with pytest.raises(WavParseError, match="alaw"):
+        encode_wav(codes, g711="g722")
+    # a 16-bit stream claiming the mu-law tag is malformed, not decoded
+    blob = bytearray(encode_wav(codes.astype(np.int16).ravel()))
+    i = blob.find(b"fmt ") + 8
+    blob[i : i + 2] = (7).to_bytes(2, "little")  # tag -> mu-law
+    with pytest.raises(WavParseError, match="8-bit"):
+        decode_wav(bytes(blob))
