@@ -859,3 +859,79 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_MIX_U = (
+    "CAST('0x' || substr(md5(source || ':' || doc_id || ':seed7'), 1, 8)"
+    " AS BIGINT) / 4294967296.0"
+)
+
+_MIX_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source, length(text) AS n_chars,
+         ((CAST(substr(source, 4) AS INT) % 4) + 1) / 5.0 AS rate,
+         {_MIX_U} AS u
+  FROM documents
+)
+SELECT source,
+       CAST(ANY_VALUE(rate * 10) AS BIGINT) AS rate_tenths,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(SUM(CASE WHEN u < rate THEN n_chars ELSE 0 END) AS BIGINT)
+         AS kept_chars,
+       MIN(CASE WHEN u < rate THEN doc_id END) AS first_kept
+FROM d GROUP BY source
+"""
+
+
+@register("corpus_sample_mix", "K1", oracle=_MIX_ORACLE, driver=False)
+def corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MIXTURE SAMPLING: each source gets a sampling
+    rate (here a fixed function of the source id standing in for the
+    mixing weights a data recipe assigns), and a document survives iff
+    a hash-derived uniform u(doc) < rate(source) — the reproducible,
+    seed-keyed downsampling stage that turns raw sources into a
+    training mix. Returns per-source accounting (docs, kept, chars,
+    first kept id).
+
+    100 TB posture: sampling is a STATELESS map-side filter — the
+    uniform comes from md5(source:doc_id:seed), so re-runs, retries,
+    and partial re-crawls keep/drop the SAME documents with no
+    sampling state to store or shuffle; the only shuffle is the final
+    per-source aggregate (map-side combined, one row per source).
+    Changing the seed re-rolls the whole mix reproducibly.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.length("text").alias("n_chars"),
+        (
+            ((F.substring("source", 4, 10).cast("int") % 4) + 1) / 5.0
+        ).alias("rate"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "", F.col("source"), F.lit(":"),
+                            F.col("doc_id"), F.lit(":seed7"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("bigint")
+            / F.lit(4294967296.0)
+        ).alias("u"),
+    )
+    kept = F.col("u") < F.col("rate")
+    return d.groupBy("source").agg(
+        F.first(F.col("rate") * 10).cast("bigint").alias("rate_tenths"),
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+        F.min(F.when(kept, F.col("doc_id"))).alias("first_kept"),
+    )
