@@ -644,3 +644,115 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+# Character-class-only patterns: identical semantics in Java regex
+# (Spark) and RE2 (DuckDB) — no lookarounds, no backreferences.
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+_PII_PHONE = "[0-9]{3}[- ][0-9]{3}[- ][0-9]{4}"
+_PII_IP = "[0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}[.][0-9]{1,3}"
+
+# Deterministic synthetic PII so the fixture corpus exercises every
+# pattern (the word-soup documents contain none natively); both
+# engines append the same suffixes from doc_id arithmetic.
+_PII_CORPUS_SQL = """
+SELECT doc_id,
+       text ||
+       CASE WHEN doc_id % 7 = 0
+            THEN ' contact user' || doc_id || '@example.com now' ELSE '' END ||
+       CASE WHEN doc_id % 11 = 0
+            THEN ' call 415-555-0' || (100 + doc_id % 900) ELSE '' END ||
+       CASE WHEN doc_id % 13 = 0
+            THEN ' from 10.0.' || (doc_id % 256) || '.' || ((doc_id * 7) % 256)
+            ELSE '' END AS text
+FROM documents
+"""
+
+_PII_ORACLE = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{_PII_EMAIL}', 0)) AS BIGINT)
+         AS n_emails,
+       CAST(len(regexp_extract_all(text, '{_PII_PHONE}', 0)) AS BIGINT)
+         AS n_phones,
+       CAST(len(regexp_extract_all(text, '{_PII_IP}', 0)) AS BIGINT)
+         AS n_ips,
+       CAST(length(
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g')
+       ) AS BIGINT) AS redacted_len,
+       MD5(
+         regexp_replace(regexp_replace(regexp_replace(text,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IP}', '<IP>', 'g')
+       ) AS redacted_fp
+FROM ({_PII_CORPUS_SQL})
+"""
+
+
+@register("text_redact_pii", "K5", oracle=_PII_ORACLE, driver=False)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII REDACTION: replace emails, phone numbers, and IPv4
+    addresses with typed placeholder tokens and account for what was
+    removed — the compliance pass every production corpus runs before
+    training. The fixture corpus carries deterministic synthetic PII
+    (appended from doc_id arithmetic, identically on both engines) so
+    all three patterns fire; the md5 of the redacted text pins the
+    exact replacement output, not just the counts.
+
+    Patterns are character-class-only so Java regex (Spark executors)
+    and RE2 (the DuckDB oracle) agree byte-for-byte — no lookarounds,
+    which RE2 lacks. 100 TB posture: pure map-side Catalyst
+    regexp_replace/extract_all (whole-stage codegen, no Python, no
+    shuffle until the caller aggregates)."""
+    base = table(spark, sf_dir, "documents")
+    text = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit(" contact user"), F.col("doc_id"),
+                F.lit("@example.com now"),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.lit(" call 415-555-0"),
+                (F.lit(100) + F.col("doc_id") % 900),
+            ),
+        ).otherwise(""),
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit(" from 10.0."), F.col("doc_id") % 256,
+                F.lit("."), (F.col("doc_id") * 7) % 256,
+            ),
+        ).otherwise(""),
+    )
+    d = base.select("doc_id", text.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.expr(f"regexp_extract_all(text, '{_PII_EMAIL}', 0)"))
+        .cast("bigint")
+        .alias("n_emails"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_PII_PHONE}', 0)"))
+        .cast("bigint")
+        .alias("n_phones"),
+        F.size(F.expr(f"regexp_extract_all(text, '{_PII_IP}', 0)"))
+        .cast("bigint")
+        .alias("n_ips"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
