@@ -818,21 +818,22 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def grams(d: DataFrame, id_col: str) -> DataFrame:
-        return (
-            d.filter(F.size("w") >= 5)
-            .select(
-                F.col("doc_id").alias(id_col),
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(w) - 4),"
-                        " i -> concat_ws(' ', slice(w, i, 5)))"
-                    )
-                ).alias("gram"),
-            )
-            .distinct()
+        return d.filter(F.size("w") >= 5).select(
+            F.col("doc_id").alias(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 4),"
+                    " i -> concat_ws(' ', slice(w, i, 5)))"
+                )
+            ).alias("gram"),
         )
 
-    bench = grams(docs.filter(F.col("doc_id") % 10 == 7), "bench_id")
+    bench = grams(docs.filter(F.col("doc_id") % 10 == 7), "bench_id").distinct()
+    # the CORPUS side is deliberately NOT pre-distinct'ed: that would
+    # shuffle every gram of the whole corpus once before the join —
+    # the broadcast filter drops non-hits map-side, and the
+    # countDistinct aggregates below absorb within-doc repeats of the
+    # few grams that DO hit (hits are benchmark-bounded by definition)
     corpus = grams(docs.filter(F.col("doc_id") % 10 != 7), "doc_id")
     hits = (
         corpus.join(F.broadcast(bench), "gram")
