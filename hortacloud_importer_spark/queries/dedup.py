@@ -746,21 +746,22 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     spans = isl.groupBy("doc_id", "island").agg(
         F.min("pos").alias("s"), (F.max("pos") + L).alias("e")
     )
+    # project text down to its LENGTH before the join: the final
+    # per-doc regroup must shuffle (doc_id, total_chars) longs, never
+    # document text (plan-asserted in tests/test_plans.py)
     return (
-        corpus.join(spans, "doc_id", "left")
-        .groupBy("doc_id", "text")
+        corpus.select(
+            "doc_id", F.length("text").cast("bigint").alias("total_chars")
+        )
+        .join(spans, "doc_id", "left")
+        .groupBy("doc_id", "total_chars")
         .agg(
             F.count("s").alias("n_spans"),
             F.coalesce(F.sum(F.col("e") - F.col("s")), F.lit(0))
             .cast("bigint")
             .alias("dup_chars"),
         )
-        .select(
-            "doc_id",
-            "n_spans",
-            "dup_chars",
-            F.length("text").cast("bigint").alias("total_chars"),
-        )
+        .select("doc_id", "n_spans", "dup_chars", "total_chars")
     )
 
 

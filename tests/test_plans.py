@@ -354,3 +354,46 @@ def test_halve_first_rejects_17bit_values(spark):
         halve_blocks(blocks, "max", halve_first=True).collect()
     # the assemble-first plan narrows only at the sink, so it still works
     assert halve_blocks(blocks, "max").count() == 1
+
+
+def test_decontaminate_broadcasts_bench_and_stays_map_only(spark, sf_dir):
+    """The benchmark gram set must BROADCAST (the asymmetry IS the
+    decontamination plan) and the corpus side must reach the join
+    with no shuffle of its own — no pre-distinct of corpus grams."""
+    plan = _plan(spark, "corpus_decontaminate", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    # exactly one broadcast (the bench grams); the corpus grams flow
+    # map-side into it — count exchanges before the join boundary
+    before_join = plan.split("BroadcastHashJoin")[-1]
+    assert "Exchange hashpartitioning(gram" not in plan, (
+        "corpus grams were shuffled by gram before the broadcast join"
+    )
+    del before_join
+
+
+def test_sample_mix_is_one_partial_aggregate(spark, sf_dir):
+    """Mixture sampling is a stateless map-side filter + ONE
+    map-side-combined aggregate: a single shuffle keyed by source."""
+    plan = _plan(spark, "corpus_sample_mix", sf_dir)
+    shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert shuffles == 1, plan
+    assert "HashAggregate" in plan
+
+
+def test_redact_pii_has_no_exchange(spark, sf_dir):
+    """PII redaction is pure per-row Catalyst regexp work: the
+    executed plan must contain NO exchange of any kind."""
+    plan = _plan(spark, "text_redact_pii", sf_dir)
+    assert "Exchange" not in plan
+
+
+def test_substring_dedup_shuffles_binary_digest(spark, sf_dir):
+    """The gram shuffle must carry the 16-byte BINARY digest (unhex),
+    never the window text; document text must not appear in any
+    exchange's output schema."""
+    plan = _plan(spark, "dedup_substring", sf_dir)
+    assert "unhex" in plan
+    assert "substring(text" in plan  # windows read at the scan...
+    for chunk in plan.split("Exchange")[1:]:
+        first_line = chunk.splitlines()[0]
+        assert "text" not in first_line, first_line
