@@ -937,3 +937,169 @@ def corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept_chars"),
         F.min(F.when(kept, F.col("doc_id"))).alias("first_kept"),
     )
+
+
+_SUBSTR_APPLY_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id, i AS pos, MD5(substr(text, i, {_SUBSTR_L})) AS h
+  FROM ({_DUP_CORPUS_SQL}),
+       UNNEST(range(1, length(text) - {_SUBSTR_L} + 2)) AS t(i)
+  WHERE length(text) >= {_SUBSTR_L}
+),
+dup AS (
+  SELECT doc_id, pos FROM (
+    SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c FROM g
+  ) WHERE c > 1
+),
+isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev_max IS NULL OR pos > prev_max
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (
+    SELECT doc_id, pos,
+           MAX(pos + {_SUBSTR_L}) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS prev_max
+    FROM dup
+  )
+),
+spans AS (
+  SELECT doc_id, MIN(pos) AS s, MAX(pos) + {_SUBSTR_L} AS e
+  FROM isl GROUP BY doc_id, island
+),
+segs AS (
+  SELECT doc_id, s,
+         COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 1)
+           AS seg_start
+  FROM spans
+),
+rebuilt AS (
+  SELECT c.doc_id,
+         COALESCE(
+           string_agg(substr(c.text, g.seg_start, g.s - g.seg_start),
+                      '' ORDER BY g.s),
+           ''
+         ) ||
+         substr(c.text,
+                COALESCE((SELECT MAX(e) FROM spans p
+                          WHERE p.doc_id = c.doc_id), 1))
+           AS cleaned
+  FROM ({_DUP_CORPUS_SQL}) c LEFT JOIN segs g USING (doc_id)
+  GROUP BY c.doc_id, c.text
+)
+SELECT doc_id,
+       MD5(cleaned) AS cleaned_fp,
+       CAST(length(cleaned) AS BIGINT) AS cleaned_len
+FROM rebuilt
+"""
+
+
+@register("dedup_substring_apply", "K1",
+          oracle=_SUBSTR_APPLY_ORACLE, driver=False)
+def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of substring dedup: REMOVE every duplicated
+    span found by :func:`dedup_substring` and fingerprint the cleaned
+    text — find-then-rewrite is the actual pipeline shape (Lee et
+    al. delete the duplicated spans, they don't just count them).
+    Output is (doc_id, md5(cleaned), cleaned_len): the md5 pins the
+    byte-exact reconstruction, including span-boundary off-by-ones.
+
+    Plan: the span table (tiny — only duplicated regions) joins back
+    to the corpus by doc_id; each doc's kept segments are substrings
+    between consecutive spans (lag window) plus the tail, reassembled
+    in position order. Text shuffles ONCE here by necessity — the
+    output is a rewrite of the text itself."""
+    from pyspark.sql.window import Window
+
+    L = _SUBSTR_L
+    corpus = _dup_corpus(spark, sf_dir)
+    grams = (
+        corpus.filter(F.length("text") >= L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.length("text") - L + 1)
+            ).alias("pos"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.unhex(F.md5(F.expr(f"substring(text, pos, {L})"))).alias(
+                "h"
+            ),
+        )
+    )
+    dup = (
+        grams.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("c") > 1)
+        .select("doc_id", "pos")
+    )
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    run = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn(
+        "prev_max", F.max(F.col("pos") + L).over(prev)
+    ).withColumn(
+        "island",
+        F.sum(
+            F.when(
+                F.col("prev_max").isNull()
+                | (F.col("pos") > F.col("prev_max")),
+                1,
+            ).otherwise(0)
+        ).over(run),
+    )
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"), (F.max("pos") + L).alias("e")
+    )
+    segs = spans.select(
+        "doc_id",
+        "s",
+        F.coalesce(
+            F.lag("e").over(Window.partitionBy("doc_id").orderBy("s")),
+            F.lit(1),
+        ).alias("seg_start"),
+    )
+    ends = spans.groupBy("doc_id").agg(F.max("e").alias("max_e"))
+    rebuilt = (
+        corpus.join(segs, "doc_id", "left")
+        .join(ends, "doc_id", "left")
+        .groupBy("doc_id", "text", "max_e")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("s"),
+                                F.expr(
+                                    "substring(text, seg_start,"
+                                    " s - seg_start)"
+                                ).alias("seg"),
+                            )
+                        )
+                    ),
+                    lambda x: x["seg"],
+                ),
+            ).alias("head"),
+        )
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("head"),
+                F.expr("substring(text, coalesce(max_e, 1))"),
+            ).alias("cleaned"),
+        )
+    )
+    return rebuilt.select(
+        "doc_id",
+        F.md5("cleaned").alias("cleaned_fp"),
+        F.length("cleaned").cast("bigint").alias("cleaned_len"),
+    )

@@ -74,6 +74,37 @@ def test_dedup_substring_reference(con):
     }
     assert got == expected
 
+    # the APPLY side: remove the spans and fingerprint the remainder
+    from hortacloud_importer_spark.queries.dedup import (
+        _SUBSTR_APPLY_ORACLE,
+    )
+
+    cleaned_expect = {}
+    for doc_id, text in corpus:
+        spans = []
+        for i in range(len(text) - L + 1):
+            if counts[text[i : i + L]] < 2:
+                continue
+            if spans and i <= spans[-1][1]:
+                spans[-1][1] = max(spans[-1][1], i + L)
+            else:
+                spans.append([i, i + L])
+        out, prev = [], 0
+        for s, e in spans:
+            out.append(text[prev:s])
+            prev = e
+        out.append(text[prev:])
+        cleaned = "".join(out)
+        cleaned_expect[doc_id] = (
+            hashlib.md5(cleaned.encode()).hexdigest(),
+            len(cleaned),
+        )
+    got = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(_SUBSTR_APPLY_ORACLE).fetchall()
+    }
+    assert got == cleaned_expect
+
 
 def _py_bpe_train(words: Counter, k: int):
     """Textbook BPE: argmax adjacent pair (count desc, pair asc),
