@@ -214,3 +214,98 @@ def stream_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return tumbling.unionByName(sliding).unionByName(session)
+
+
+_DEDUP_W = 60000  # watermark horizon, seconds (ts granularity below)
+
+_STREAM_DEDUP_ORACLE = f"""
+WITH RECURSIVE corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM documents
+  WHERE doc_id % 5 = 0
+  UNION ALL
+  -- a near-in-time repeat (+500 s, inside the watermark horizon):
+  -- these must SUPPRESS, unlike the +100000 s re-crawls
+  SELECT doc_id + 500 AS doc_id, text FROM documents
+  WHERE doc_id % 7 = 0 AND doc_id % 5 <> 0
+),
+ev AS (
+  SELECT MD5(text) AS fp, CAST(doc_id AS BIGINT) AS ts FROM corpus
+),
+keys AS (
+  SELECT fp, list_sort(list(ts)) AS tss FROM ev GROUP BY fp
+),
+walk AS (
+  SELECT fp, tss, 1 AS idx, tss[1] AS last_emit, 1 AS n_emit
+  FROM keys
+  UNION ALL
+  SELECT fp, tss, idx + 1,
+         CASE WHEN tss[idx + 1] > last_emit + {_DEDUP_W}
+              THEN tss[idx + 1] ELSE last_emit END,
+         n_emit + CASE WHEN tss[idx + 1] > last_emit + {_DEDUP_W}
+                       THEN 1 ELSE 0 END
+  FROM walk WHERE idx < len(tss)
+)
+SELECT fp,
+       CAST(len(tss) AS BIGINT) AS n_records,
+       CAST(n_emit AS BIGINT) AS n_emitted,
+       tss[1] AS first_ts,
+       last_emit AS last_emitted_ts
+FROM walk WHERE idx = len(tss)
+"""
+
+
+@register("stream_dedup", "I5+K1", oracle=_STREAM_DEDUP_ORACLE,
+          driver=False)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch dual of dropDuplicatesWithinWatermark (the
+    streaming_dedup wrapper in streaming/windows.py): per content
+    fingerprint, the FIRST record emits and stores state; later
+    records are dropped while the stored record is within the
+    watermark horizon W and RE-EMIT once it expires (duplicates do
+    NOT refresh the state — Spark keeps the emitted record's
+    timestamp). The re-crawl corpus makes both behaviors observable:
+    near-in-time repeats suppress, the +100000-second re-crawls fall
+    past W and re-emit.
+
+    The emission chain is sequential PER KEY but keys are
+    independent, so it distributes as one groupBy(fp) plus a bounded
+    in-row fold (higher-order aggregate over the per-key timestamp
+    array — per-key state is duplicate-count-bounded, the same
+    argument as Spark's own dedup state store). The oracle replays
+    the identical chain with a recursive CTE."""
+    corpus = table(spark, sf_dir, "documents").select("doc_id", "text")
+    recrawl = corpus.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = corpus.filter(
+        (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 5 != 0)
+    ).select((F.col("doc_id") + 500).alias("doc_id"), "text")
+    ev = (
+        corpus.unionByName(recrawl)
+        .unionByName(near)
+        .select(
+            F.md5("text").alias("fp"),
+            F.col("doc_id").cast("bigint").alias("ts"),
+        )
+    )
+    per_key = ev.groupBy("fp").agg(
+        F.array_sort(F.collect_list("ts")).alias("tss")
+    )
+    emitted = F.aggregate(
+        "tss",
+        F.expr("CAST(array() AS array<bigint>)"),
+        lambda acc, t: F.when(
+            (F.size(acc) == 0)
+            | (t > F.element_at(acc, -1) + F.lit(_DEDUP_W)),
+            F.concat(acc, F.array(t)),
+        ).otherwise(acc),
+    )
+    return per_key.select(
+        "fp",
+        F.size("tss").cast("bigint").alias("n_records"),
+        F.size(emitted).cast("bigint").alias("n_emitted"),
+        F.element_at("tss", 1).alias("first_ts"),
+        F.element_at(emitted, -1).alias("last_emitted_ts"),
+    )
