@@ -1622,6 +1622,7 @@ def _build_bands(
     y0: int = 0,
     precincts: "list[tuple[int, int]] | None" = None,
     rate: tuple = (1, 1),
+    tile_origin: "tuple | None" = None,
 ) -> list[list[_Band]]:
     """Per-resolution band lists for one component. Resolution 0 is
     the LL_n band; resolution r >= 1 holds HL/LH/HH of level
@@ -1634,7 +1635,14 @@ def _build_bands(
     formulas, lane parity included, so misaligned tile grids and
     image/tile offsets work); ``rate`` is the component's (XRsiz,
     YRsiz), used only to place precincts on the reference grid for
-    the position-ordered progressions."""
+    the position-ordered progressions. ``tile_origin`` is the tile's
+    upper-left on the REFERENCE grid (tx0, ty0): per T.800 B.12 a
+    PARTIAL first precinct (resolution origin off the precinct grid)
+    triggers the position loops at the tile origin itself, not at the
+    component's clamped origin scaled up; default assumes the
+    component origin sits on the rate grid."""
+    if tile_origin is None:
+        tile_origin = (x0 * rate[0], y0 * rate[1])
     (llh, llw), per_level = subband_dims(h, w, levels, x0, y0)
     if precincts is not None and len(precincts) != levels + 1:
         raise J2kParseError(
@@ -1699,6 +1707,7 @@ def _build_bands(
         k = lvl if btype == "LL" else lvl - 1
         band.pos_sx = rate[0] << k
         band.pos_sy = rate[1] << k
+        band.tile_rx0, band.tile_ry0 = tile_origin
         return band
 
     g0 = _res_pgrid(0)
@@ -1732,19 +1741,21 @@ def _pgrid_pos(comps):
         return max(1, b.pcx * b.pcy)
 
     def pos(c, r, p):
-        """Reference-grid (y, x) of precinct p's top-left, tile-
-        clamped: resolution coordinates scaled by 2^(N-r) and the
-        component's sampling rate (T.800 B.12's position loops)."""
+        """Reference-grid (y, x) where precinct p TRIGGERS the T.800
+        B.12 position loops: a full precinct at its grid corner
+        (resolution coordinates scaled by 2^(N-r) and the component's
+        sampling rate), a PARTIAL first precinct — the resolution
+        origin off the precinct grid — at the TILE reference origin
+        per-axis (the ``x == tx0`` / ``y == ty0`` arm of the position
+        test; OpenJPEG pi.c applies the same rule)."""
         if comps is None:
             return (0, 0)
         b = comps[c][r][0]
         py, px = divmod(p, max(1, b.pcx))
-        x = max(
-            b.res_x0, ((b.res_x0 >> b.res_ppx) + px) << b.res_ppx
-        ) * b.pos_sx
-        y = max(
-            b.res_y0, ((b.res_y0 >> b.res_ppy) + py) << b.res_ppy
-        ) * b.pos_sy
+        gx = ((b.res_x0 >> b.res_ppx) + px) << b.res_ppx
+        gy = ((b.res_y0 >> b.res_ppy) + py) << b.res_ppy
+        x = b.tile_rx0 if gx < b.res_x0 else gx * b.pos_sx
+        y = b.tile_ry0 if gy < b.res_y0 else gy * b.pos_sy
         return (y, x)
 
     return pgrid, pos
@@ -2227,6 +2238,7 @@ def encode_j2k(
                 precincts=precs,
                 rates=[(xr_c[ci], yr_c[ci]) for ci in range(nc)],
                 poc_override=poc_t,
+                tile_origin=(x0, y0),
             )
         )
 
@@ -2469,6 +2481,7 @@ def _encode_tile(
     precincts: list | None = None,
     rates: list | None = None,
     poc_override: list | None = None,
+    tile_origin: "tuple | None" = None,
 ) -> list[bytes]:
     """Tier-1 + Tier-2 encode one tile's (already level-shifted /
     MCT'd) component planes into its packet stream, returned one
@@ -2507,6 +2520,7 @@ def _encode_tile(
             h_c[ci], w_c[ci], levels_c[ci], cbw_c[ci], cbh_c[ci],
             depth, x0_c[ci], y0_c[ci], precincts=prec_c[ci],
             rate=(rates[ci] if rates else (1, 1)),
+            tile_origin=tile_origin,
         )
         if lossy:
             # lossy_eps: one shared table, or one per component (the
@@ -3332,6 +3346,7 @@ def _decode_j2k(data: bytes) -> np.ndarray:
             cbsty_c=cbs_t,
             precincts=pr_t,
             rates=[(xr_c[ci], yr_c[ci]) for ci in range(nc)],
+            tile_origin=(x0, y0),
         )
         for ci in range(nc):
             cx0, cy0, cx1, cy1 = crects[ci]
@@ -3484,6 +3499,7 @@ def _decode_tile_planes(
     cbsty_c: list | None = None,
     precincts: list | None = None,
     rates: list | None = None,
+    tile_origin: "tuple | None" = None,
 ) -> list:
     """Tier-2 + Tier-1 + inverse DWT for one tile's byte stream ->
     per-component (th, tw) planes (int64 reversible, float64
@@ -3532,6 +3548,7 @@ def _decode_tile_planes(
             th_c[ci], tw_c[ci], levels_c[ci], cbw_c[ci], cbh_c[ci],
             depths[ci], x0_c[ci], y0_c[ci], precincts=prec_c[ci],
             rate=(rates[ci] if rates else (1, 1)),
+            tile_origin=tile_origin,
         )
         k = 0
         for blist in bands:

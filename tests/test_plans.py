@@ -362,13 +362,17 @@ def test_decontaminate_broadcasts_bench_and_stays_map_only(spark, sf_dir):
     with no shuffle of its own — no pre-distinct of corpus grams."""
     plan = _plan(spark, "corpus_decontaminate", sf_dir)
     assert "BroadcastHashJoin" in plan
-    # exactly one broadcast (the bench grams); the corpus grams flow
-    # map-side into it — count exchanges before the join boundary
-    before_join = plan.split("BroadcastHashJoin")[-1]
-    assert "Exchange hashpartitioning(gram" not in plan, (
-        "corpus grams were shuffled by gram before the broadcast join"
+    # exactly one broadcast (the bench grams). In the printed tree the
+    # join's STREAMED (corpus) child sits between the BroadcastHashJoin
+    # line and the BroadcastExchange line of the build side: that
+    # segment must be shuffle-free — the bench side may dedup behind
+    # its broadcast, the corpus side must reach the join map-local.
+    join_subtree = plan.split("BroadcastHashJoin", 1)[1]
+    corpus_side = join_subtree.split("BroadcastExchange", 1)[0]
+    assert "Exchange" not in corpus_side, (
+        "corpus grams were shuffled before the broadcast join:\n"
+        + corpus_side
     )
-    del before_join
 
 
 def test_sample_mix_is_one_partial_aggregate(spark, sf_dir):
