@@ -431,6 +431,184 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CURATION_LM_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, lang, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, lang, text FROM documents
+  WHERE doc_id % 5 = 0
+),
+w AS (
+  SELECT doc_id, lang, text,
+         list_filter(str_split(text, ' '), x -> x <> '') AS ws,
+         LEN(str_split(text, ' ')) AS n_words,
+         CAST(LEN(list_filter(str_split(text, ' '),
+              x -> x IN ('the','a','of','and','to','in','is','for',
+                         'on','with'))) AS DOUBLE)
+           / LEN(str_split(text, ' ')) AS stop_ratio
+  FROM corpus
+),
+bg AS (
+  SELECT doc_id, ws[CAST(t.i AS INT)] || ' ' || ws[CAST(t.i AS INT) + 1] AS gram
+  FROM w, UNNEST(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+),
+cnt AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY gram),
+lm AS (
+  SELECT bg.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_bg,
+         CAST(SUM(length(bin(cnt.c))) AS BIGINT) AS bits
+  FROM bg JOIN cnt USING (gram) GROUP BY bg.doc_id
+),
+tot AS (
+  SELECT CAST(SUM(n_bg) AS BIGINT) AS tot_bg,
+         CAST(SUM(bits) AS BIGINT) AS tot_bits
+  FROM lm
+),
+quality AS (
+  SELECT w.*, lm.n_bg, lm.bits,
+         lm.bits IS NOT NULL
+         AND lm.bits * (SELECT tot_bg FROM tot)
+             > lm.n_bg * (SELECT tot_bits FROM tot) AS lm_hot
+  FROM w LEFT JOIN lm USING (doc_id)
+  WHERE n_words >= 5 AND n_words <= 2000 AND stop_ratio >= 0.01
+),
+kept AS (SELECT * FROM quality WHERE NOT lm_hot),
+deduped AS (
+  SELECT MD5(text) AS fp, MIN(doc_id) AS keep_id, MIN(lang) AS lang,
+         MIN(n_words) AS n_words, COUNT(*) AS n_copies
+  FROM kept GROUP BY 1
+)
+SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(d.n_words) AS BIGINT) AS total_words,
+       CAST(SUM(d.n_copies - 1) AS BIGINT) AS dups_removed,
+       MIN(d.keep_id) AS first_doc,
+       CAST((SELECT COUNT(*) FROM quality q2
+             WHERE q2.lm_hot AND q2.lang = d.lang) AS BIGINT)
+         AS lm_removed
+FROM deduped d
+GROUP BY d.lang
+"""
+
+
+@register("q_corpus_curation_lm", "K1+K5+B", driver=False,
+          oracle=_CURATION_LM_ORACLE)
+def q_corpus_curation_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """:func:`q_corpus_curation` with the n-gram LM quality stage
+    (text.py::text_ngram_ppx) composed in: documents whose mean
+    bigram log2-count exceeds the CORPUS mean are REMOVED as
+    boilerplate-suspicious before dedup. The cut is the exact integer
+    cross-multiplication ``doc_bits * total_bigrams > doc_bigrams *
+    total_bits`` — scale-free (an absolute bits threshold would drift
+    with corpus size, since counts grow with it) and bit-exact in any
+    engine, which is what keeps a model-based filter oracle-checkable
+    (a KenLM-style filter cuts on a quantile of the same score — the
+    same relative-to-corpus shape). Docs too short to score (under
+    two words) pass the LM stage vacuously.
+
+    Plan: the LM model is one map-side-combined gram-count aggregate
+    joined back by gram (see text_ngram_ppx's posture) plus a 1-row
+    corpus-total broadcast, the quality filter stays scan-local,
+    dedup still shuffles only fingerprints — composing a model-based
+    filter does not change the curation pipeline's shuffle
+    skeleton."""
+    stopwords = ("the", "a", "of", "and", "to", "in", "is", "for",
+                 "on", "with")
+    d = table(spark, sf_dir, "documents")
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "lang", "text"
+    )
+    corpus = d.select("doc_id", "lang", "text").unionByName(dup)
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("bigint")
+    stop_ratio = (
+        F.size(F.filter(words, lambda w: w.isin(*stopwords)))
+        .cast("double")
+        / n_words
+    )
+    ws = F.filter(words, lambda x: x != "")
+    bg = (
+        corpus.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat(ws[i-1], ' ', ws[i]))"
+                )
+            ).alias("gram"),
+        )
+    )
+    cnt = bg.groupBy("gram").agg(F.count("*").cast("bigint").alias("c"))
+    lm = (
+        bg.join(cnt, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bg"),
+            F.sum(F.length(F.bin("c"))).cast("bigint").alias("bits"),
+        )
+    )
+    tot = lm.agg(
+        F.sum("n_bg").cast("bigint").alias("tot_bg"),
+        F.sum("bits").cast("bigint").alias("tot_bits"),
+    )
+    quality = (
+        corpus.withColumn("n_words", n_words)
+        .withColumn("stop_ratio", stop_ratio)
+        .filter(
+            (F.col("n_words") >= 5)
+            & (F.col("n_words") <= 2000)
+            & (F.col("stop_ratio") >= 0.01)
+        )
+        .join(lm, "doc_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lm_hot",
+            F.col("bits").isNotNull()
+            & (
+                F.col("bits") * F.col("tot_bg")
+                > F.col("n_bg") * F.col("tot_bits")
+            ),
+        )
+    )
+    kept = quality.filter(~F.col("lm_hot"))
+    lm_removed = (
+        quality.filter(F.col("lm_hot"))
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("lm_removed"))
+    )
+    deduped = kept.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.min("lang").alias("lang"),
+        F.min("n_words").alias("n_words"),
+        F.count("*").alias("n_copies"),
+    )
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("total_words"),
+            F.sum(F.col("n_copies") - 1).cast("bigint").alias(
+                "dups_removed"
+            ),
+            F.min("keep_id").alias("first_doc"),
+        )
+        .join(lm_removed, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "total_words",
+            "dups_removed",
+            "first_doc",
+            F.coalesce("lm_removed", F.lit(0))
+            .cast("bigint")
+            .alias("lm_removed"),
+        )
+    )
+
+
 @register(
     "dedup_components",
     "K2",
@@ -697,10 +875,16 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     reducer through the window sort; the doc-level exact dedup that
     precedes this pass removes exactly those repeats.
     """
+    return substring_find(_dup_corpus(spark, sf_dir))
+
+
+def substring_find(corpus: DataFrame, L: int = _SUBSTR_L) -> DataFrame:
+    """Stride-1 substring-dedup FIND over an arbitrary (doc_id, text)
+    corpus — the operator behind :func:`dedup_substring` (which binds
+    it to the oracle's duplicated fixture corpus). tools/soak_corpus.py
+    runs it directly on the big corpus."""
     from pyspark.sql.window import Window
 
-    L = _SUBSTR_L
-    corpus = _dup_corpus(spark, sf_dir)
     grams = (
         corpus.filter(F.length("text") >= L)
         .select(
@@ -725,6 +909,16 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c") > 1)
         .select("doc_id", "pos")
     )
+    return _substring_spans(corpus, dup, L)
+
+
+def _substring_spans(corpus: DataFrame, dup: DataFrame, L: int) -> DataFrame:
+    """Shared tail of the substring-dedup family: duplicated positions
+    -> gaps-and-islands span merge -> per-doc (n_spans, dup_chars,
+    total_chars). ``dup`` is (doc_id, pos) — one row per position
+    whose L-gram occurs >= 2 times corpus-wide."""
+    from pyspark.sql.window import Window
+
     prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -763,6 +957,189 @@ def dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "n_spans", "dup_chars", "total_chars")
     )
+
+
+_SEED_K = 24  # minimizer k-gram length (chars): long enough that
+#               seed-level duplication tracks L-gram-level duplication
+#               on real text (short k floods pass 2 with common-phrase
+#               candidates)
+_SEED_W = 17  # minimizer window (k-gram positions); k + w - 1 <= L
+_POS_BITS = 20  # packed-long position field; docs must be < 2^20 chars
+
+
+@register("dedup_substring_seeded", "K1", oracle=_SUBSTR_ORACLE,
+          driver=False)
+def dedup_substring_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimizer-SEEDED exact substring dedup: identical output to
+    :func:`dedup_substring` (same oracle pins both) at a fraction of
+    its shuffle bytes — see :func:`substring_find_seeded`."""
+    return substring_find_seeded(_dup_corpus(spark, sf_dir))
+
+
+def substring_find_seeded(
+    corpus: DataFrame,
+    L: int = _SUBSTR_L,
+    k: int = _SEED_K,
+    w: int = _SEED_W,
+) -> DataFrame:
+    """Seeded substring-dedup FIND: byte-identical output to
+    :func:`substring_find` without its ~28 shuffle bytes per corpus
+    character. Stride-1 exactness shuffles one digest row per
+    position; this shuffles only MINIMIZER positions as candidate
+    seeds, then verifies exactly.
+
+    Exactness argument (why seeding loses nothing): a (w, k) minimizer
+    scheme picks, for every full window of w consecutive k-gram
+    positions, the rightmost position of minimal hash. The pick of a
+    window is a pure function of the window's k+w-1 characters plus
+    the RELATIVE order of its positions. With k + w - 1 <= L, every
+    L-gram contains at least one FULL interior window, so every
+    occurrence of a duplicated L-gram selects an anchor at the same
+    relative offset delta in [0, L-k] — all copies of the gram
+    contribute the same k-gram seed hash, which therefore reaches
+    count >= 2. Expanding every surviving anchor ``a`` to candidate
+    positions [a-(L-k), a] thus covers EVERY duplicated position of
+    every copy, and the second pass verifies candidates with exact
+    16-byte L-gram digests (count >= 2 over candidates implies
+    count >= 2 corpus-wide; all copies are candidates, so no miss).
+    Seed-hash collisions only ADD candidates, never drop one.
+
+    The minimizer sweep stays primitive-typed: (hash, position) pairs
+    pack into ONE int64 — high 44 bits of xxhash64, low 20 bits
+    holding (2^20-1 - pos) so array_min is min-hash with rightmost
+    tie-break. Ties on the truncated hash resolve by RELATIVE order
+    (positions in a window differ by the same offset in every copy),
+    so packing preserves the exactness argument; documents must be
+    shorter than 2^20 chars (enforced with raise_error — chunk longer
+    docs upstream).
+
+    Plan shape (100 TB posture), three thin shuffles + one broadcast:
+    1. anchors (packed seed int64, doc_id, pos) at ~2/(w+1) of
+       positions — ~2-3 B/char against the baseline's ~28 B/char;
+    2. surviving anchor positions, grouped per doc (rows proportional
+       to DUPLICATED content, not corpus size), broadcast back onto
+       the corpus scan — candidate digests are then computed map-side,
+       never moving text;
+    3. candidate digests (~28 B per candidate; candidates are
+       proportional to duplicated content + seed-collision noise, so
+       the win over stride-1 is ~(2/(w+1))^-1 on mostly-unique
+       corpora and degrades toward parity as the duplicated fraction
+       approaches 1 — every truly duplicated position must still be
+       verified individually; measured tables in SOAK.md).
+    If the duplicated-anchor side ever outgrows broadcast, Spark falls
+    back to a doc_id shuffle join whose corpus side is raw text
+    (~1 B/char) — still ~28x under the stride-1 baseline. Run after
+    doc-level dedup, like the baseline."""
+    from pyspark.sql.window import Window
+
+    pos_mask = (1 << _POS_BITS) - 1
+    eligible = corpus.filter(F.length("text") >= L)
+
+    # --- pass 1 (map-side): packed k-gram hashes, minimizer picks ---
+    n = F.length("text")
+    guarded = F.when(
+        n >= F.lit(1 << _POS_BITS),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "substring_find_seeded: document longer than "
+                    f"{(1 << _POS_BITS) - 1} chars (doc_id "
+                ),
+                F.col("doc_id").cast("string"),
+                F.lit("); chunk it upstream"),
+            )
+        ).cast("string"),
+    ).otherwise(F.col("text"))
+    # packed = (xxhash64 & ~pos_mask) + (pos_mask - i): low bits are
+    # cleared by the AND, so the addition never carries into the hash
+    packed = F.transform(
+        F.sequence(F.lit(1), n - k + 1),
+        lambda i: (
+            F.xxhash64(F.col("text").substr(i, F.lit(k))).bitwiseAND(
+                F.lit(~pos_mask)
+            )
+            + (F.lit(pos_mask) - i)
+        ),
+    )
+    # the sweep references _ph TWICE (size + slice): CollapseProject
+    # would otherwise inline the O(n) array builder into the
+    # per-window lambda — O(n^2) per doc (measured: a 5-minute hang
+    # at sf0.001; same pitfall class as _shingles / winnow notes)
+    picks = F.transform(
+        F.sequence(F.lit(1), F.size("_ph") - w + 1),
+        lambda s: F.array_min(F.slice(F.col("_ph"), s, w)),
+    )
+    # explode_OUTER, not explode: InferFiltersFromGenerate would add a
+    # size(...) > 0 predicate for a plain explode, and predicate
+    # pushdown substitutes the whole nested-transform chain into that
+    # filter — re-evaluating the O(n*w) minimizer sweep per input row.
+    # No filter is inferred for outer generates; the cheap isNotNull
+    # below runs on the Generate's OUTPUT attribute, which cannot push
+    # beneath it. (Docs here always have >= 1 window.)
+    anchors = (
+        eligible.select("doc_id", guarded.alias("text"))
+        .select("doc_id", packed.alias("_ph"))
+        .select("doc_id", F.array_distinct(picks).alias("_ap"))
+        .select("doc_id", F.explode_outer("_ap").alias("p"))
+        .filter(F.col("p").isNotNull())
+        .select(
+            "doc_id",
+            (F.lit(pos_mask) - F.col("p").bitwiseAND(F.lit(pos_mask)))
+            .cast("int")
+            .alias("apos"),
+            F.col("p").bitwiseAND(F.lit(~pos_mask)).alias("kh"),
+        )
+    )
+    survivors = (
+        anchors.withColumn(
+            "c", F.count("*").over(Window.partitionBy("kh"))
+        )
+        .filter(F.col("c") > 1)
+        .groupBy("doc_id")
+        .agg(F.collect_set("apos").alias("aps"))
+    )
+
+    # --- pass 2 (map-side after a broadcast): candidate positions
+    # [a-(L-k), a] clipped to valid L-gram starts, exact digests ---
+    cand = (
+        eligible.join(F.broadcast(survivors), "doc_id")
+        .select(
+            "doc_id",
+            "text",
+            F.array_distinct(
+                F.flatten(
+                    F.transform(
+                        "aps",
+                        lambda a: F.sequence(
+                            F.greatest(a - (L - k), F.lit(1)),
+                            F.least(a, F.length("text") - L + 1),
+                        ),
+                    )
+                )
+            ).alias("_cp"),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                "_cp",
+                lambda p: F.struct(
+                    p.alias("pos"),
+                    F.unhex(
+                        F.md5(F.col("text").substr(p, F.lit(L)))
+                    ).alias("h"),
+                ),
+            ).alias("_cd"),
+        )
+        .select("doc_id", F.explode_outer("_cd").alias("c"))
+        .filter(F.col("c").isNotNull())
+        .select("doc_id", F.col("c.pos").alias("pos"), F.col("c.h").alias("h"))
+    )
+    dup = (
+        cand.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("c") > 1)
+        .select("doc_id", "pos")
+    )
+    return _substring_spans(corpus, dup, L)
 
 
 _DECON_ORACLE = """
@@ -813,9 +1190,20 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-joins and never shuffles text. This mirrors how production
     decontamination ships (benchmark n-gram set as a shared filter).
     """
+    return _decontaminate(
+        spark,
+        sf_dir,
+        F.filter(F.split("text", " "), lambda x: x != ""),
+    )
+
+
+def _decontaminate(spark, sf_dir: str, words) -> DataFrame:
+    """Shared decontamination pipeline: ``words`` is the tokenizer
+    expression (plain whitespace split, or the normalized variant) —
+    everything downstream (gram construction, the broadcast
+    asymmetry, the per-doc aggregates) is identical."""
     docs = table(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.filter(F.split("text", " "), lambda x: x != "").alias("w"),
+        "doc_id", words.alias("w")
     )
 
     def grams(d: DataFrame, id_col: str) -> DataFrame:
@@ -861,6 +1249,71 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# normalized tokenization for leak checks: lowercase, strip
+# punctuation to spaces, collapse whitespace — byte-identical between
+# Spark (Java regex) and DuckDB (RE2) for this ASCII class
+_NORM_SQL = (
+    "list_filter(str_split(trim(regexp_replace(lower(text),"
+    " '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"
+)
+
+_DECON_NORM_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, {_NORM_SQL} AS w
+  FROM documents
+),
+bg AS (
+  SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS gram, doc_id AS bench_id
+  FROM d, UNNEST(range(1, len(w) - 3)) AS t(i)
+  WHERE doc_id % 10 = 7 AND len(w) >= 5
+),
+cg AS (
+  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS gram
+  FROM d, UNNEST(range(1, len(w) - 3)) AS t(i)
+  WHERE doc_id % 10 <> 7 AND len(w) >= 5
+),
+hits AS (
+  SELECT cg.doc_id,
+         COUNT(DISTINCT cg.gram) AS n_shared_grams,
+         COUNT(DISTINCT bg.bench_id) AS n_bench_docs
+  FROM cg JOIN bg USING (gram)
+  GROUP BY cg.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_shared_grams, 0) AS BIGINT) AS n_shared_grams,
+       CAST(COALESCE(h.n_bench_docs, 0) AS BIGINT) AS n_bench_docs,
+       COALESCE(h.n_shared_grams, 0) >= 3 AS contaminated
+FROM d LEFT JOIN hits h USING (doc_id)
+WHERE d.doc_id % 10 <> 7
+"""
+
+
+@register("corpus_decontaminate_norm", "K2", oracle=_DECON_NORM_ORACLE,
+          driver=False)
+def corpus_decontaminate_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NORMALIZED-token benchmark decontamination: identical to
+    :func:`corpus_decontaminate` except grams are built over
+    normalized tokens — lowercase, punctuation stripped to spaces,
+    whitespace collapsed — the way production leak checks tokenize
+    (an eval question leaks into training data with different casing
+    and punctuation more often than verbatim). The normalization is
+    a pure map-side Catalyst regexp on BOTH sides of the broadcast,
+    so the plan shape (tiny bench gram set broadcasts, corpus side
+    map-local to the join, one per-doc aggregate) is unchanged —
+    plan-asserted in tests/test_plans.py alongside the exact-token
+    variant."""
+    norm = F.filter(
+        F.split(
+            F.trim(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+            ),
+            " ",
+        ),
+        lambda x: x != "",
+    )
+    return _decontaminate(spark, sf_dir, norm)
 
 
 _MIX_U = (

@@ -762,6 +762,111 @@ def scan_wav_g711(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ima_adpcm_oracle() -> str:
+    """DuckDB mirror of the IMA ADPCM state machine: a recursive CTE
+    replays every (predictor, index) transition over the fixture's
+    deterministic nibble streams. The 89-entry step table literal is
+    emitted from sources/wav.py's constant — the SQL pins the whole
+    decode PIPELINE (block header seeding, nibble order, clamps,
+    reconstruction arithmetic); the table VALUES themselves are
+    independently verified against the stdlib audioop reference in
+    tests/test_wav.py."""
+    from hortacloud_importer_spark.sources.wav import _IMA_STEPS
+
+    steps = ", ".join(str(int(v)) for v in _IMA_STEPS)
+    return f"""
+WITH RECURSIVE d AS (
+  SELECT t.range AS z, -1 AS i,
+         CAST(t.range * 1234 - 600 AS BIGINT) AS pred,
+         CAST((t.range * 17) % 89 AS BIGINT) AS idx
+  FROM range(4) t
+  UNION ALL
+  SELECT z, i,
+         GREATEST(-32768, LEAST(32767,
+           pred + CASE WHEN nib >= 8 THEN -diff ELSE diff END)),
+         GREATEST(0, LEAST(88, idx + ([-1,-1,-1,-1,2,4,6,8])[(nib % 8) + 1]))
+  FROM (
+    SELECT z, i, pred, idx, nib,
+           (step // 8)
+           + CASE WHEN nib % 2 = 1 THEN step // 4 ELSE 0 END
+           + CASE WHEN (nib // 2) % 2 = 1 THEN step // 2 ELSE 0 END
+           + CASE WHEN (nib // 4) % 2 = 1 THEN step ELSE 0 END AS diff
+    FROM (
+      SELECT z, i + 1 AS i, pred, idx,
+             ((i + 1) * (z + 5) * 7) % 16 AS nib,
+             ([{steps}])[idx + 1] AS step
+      FROM d WHERE i < 503
+    )
+  )
+)
+SELECT z,
+       AVG(pred) AS mean_amplitude,
+       CAST(MIN(pred) AS INTEGER) AS min_amplitude,
+       CAST(MAX(pred) AS INTEGER) AS max_amplitude
+FROM d
+GROUP BY z
+"""
+
+
+@register(
+    "scan_wav_adpcm",
+    "A1+K4",
+    driver=False,  # the external driver set is frozen at 50
+    oracle=_ima_adpcm_oracle(),
+)
+def scan_wav_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4 audio over IMA/DVI ADPCM WAV containers (format tag 0x11 —
+    the 4-bit compressed format real speech corpora carry),
+    oracle-exact at the CODEWORD level: four mono clips, each one
+    ADPCM block whose 504 nibbles are n_i = (i*(z+5)*7) mod 16 with
+    initial predictor z*1234-600 and initial step index (z*17) mod 89,
+    are written by encode_wav_ima_codewords and decoded through the
+    executor media kernel (sources/wav.py's stateful expander). The
+    DuckDB oracle replays the identical state machine with a recursive
+    CTE, so a bug anywhere in the block layout, nibble order,
+    reconstruction arithmetic, or clamping breaks the hash; the step
+    TABLE itself is pinned against the independent stdlib audioop
+    reference in tests/test_wav.py."""
+    import tempfile
+
+    from hortacloud_importer_spark.operators.multimodal import media_features
+    from hortacloud_importer_spark.sources.wav import (
+        encode_wav_ima_codewords,
+    )
+
+    workdir = tempfile.mkdtemp(prefix="wav_adpcm_")
+    for z in range(4):
+        nibs = [(i * (z + 5) * 7) % 16 for i in range(504)]
+        with open(f"{workdir}/clip.{z:03d}.wav", "wb") as fh:
+            fh.write(
+                encode_wav_ima_codewords(
+                    nibs, z * 1234 - 600, (z * 17) % 89, rate=8000
+                )
+            )
+    media = (
+        spark.read.format("binaryFile")
+        .load(f"file://{workdir}/*.wav")
+        .select(
+            F.regexp_extract(F.col("path"), r"\.(\d{3})\.wav$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("audio").alias("kind"),
+            F.lit("wav").alias("format"),
+            F.col("content").alias("payload"),
+            F.expr(
+                "named_struct('height', 1, 'width', 505, 'channels', 1,"
+                " 'sample_rate', 8000, 'n_frames', 1)"
+            ).alias("meta"),
+        )
+    )
+    return media_features(media).select(
+        F.col("media_id").alias("z"),
+        F.col("mean_intensity").alias("mean_amplitude"),
+        F.col("min_intensity").alias("min_amplitude"),
+        F.col("max_intensity").alias("max_amplitude"),
+    )
+
+
 @register(
     "scan_gif_bmp_media",
     "A1+K4",

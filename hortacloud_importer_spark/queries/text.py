@@ -485,13 +485,22 @@ GROUP BY dw.doc_id
     )
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str):
+def _bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    merges: int = _BPE_MERGES,
+    probe=None,
+):
     """Distributed BPE merge LEARNING (the tokenizer-training loop):
     start from the character sequence of every distinct word, and for
-    k rounds pick the corpus-wide most frequent adjacent symbol pair
-    (ties broken by pair text) and merge its greedy left-to-right
-    non-overlapping occurrences. Returns the learned merge table
-    (rank, pair, freq) — the artifact a tokenizer ships.
+    ``merges`` rounds pick the corpus-wide most frequent adjacent
+    symbol pair (ties broken by pair text) and merge its greedy
+    left-to-right non-overlapping occurrences. Returns the learned
+    merge table (rank, pair, freq) — the artifact a tokenizer ships.
+    The registry queries train the 6-round fixture vocabulary their
+    unrolled DuckDB oracles mirror; tools/soak_bpe.py trains 256
+    rounds on the 500k-document corpus, with ``probe(rnd, seqs)``
+    called after each round to force and measure it.
 
     Fully declarative iteration: the per-round argmax is a LIMIT-1
     aggregate broadcast into the merge step (no .collect() of data;
@@ -520,7 +529,7 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     )
     ww = Window.partitionBy("word").orderBy("i")
     bests = []
-    for rnd in range(1, _BPE_MERGES + 1):
+    for rnd in range(1, merges + 1):
         pairs = (
             seqs.filter(F.size("tok") >= 2)
             .select(
@@ -598,6 +607,8 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
             )
             .localCheckpoint(eager=False)
         )
+        if probe is not None:
+            probe(rnd, seqs)
     out = bests[0]
     for b in bests[1:]:
         out = out.unionByName(b)
@@ -755,4 +766,76 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_ips"),
         F.length(redacted).cast("bigint").alias("redacted_len"),
         F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+_PPX_ORACLE = """
+WITH w AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+bg AS (
+  SELECT doc_id, ws[CAST(t.i AS INT)] || ' ' || ws[CAST(t.i AS INT) + 1] AS gram
+  FROM w, UNNEST(range(1, len(ws))) AS t(i)
+  WHERE len(ws) >= 2
+),
+cnt AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY gram)
+SELECT bg.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(length(bin(cnt.c))) AS BIGINT) AS lm_bits,
+       CAST(SUM(length(bin(cnt.c))) AS DOUBLE) / COUNT(*)
+         AS bits_per_bigram
+FROM bg JOIN cnt USING (gram)
+GROUP BY bg.doc_id
+"""
+
+
+@register("text_ngram_ppx", "K5", oracle=_PPX_ORACLE, driver=False)
+def text_ngram_ppx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counts-based n-gram LM quality score (the KenLM-style
+    perplexity-proxy curation stage): train bigram counts on the
+    corpus, then score every document by how PREDICTABLE its bigrams
+    are under those counts. The per-token statistic is
+    ``length(bin(count))`` = floor(log2 count) + 1 — an INTEGER
+    log-likelihood proxy, so the per-doc sums are exact integers in
+    any aggregation order and the DuckDB mirror hash-matches
+    bit-for-bit (a float log-prob sum could not be oracle-exact:
+    cross-row float sums are partition-order-dependent — the float-sum
+    oracle rule). ``bits_per_bigram`` divides the two exact aggregates
+    once per output row. High bits = frequent, predictable n-grams =
+    the low-perplexity text quality filters keep.
+
+    100 TB posture: one map-side-combined gram-count aggregate (the
+    model), one shuffle join of doc-grams onto it keyed by gram, one
+    per-doc aggregate — no text ever shuffles (grams are derived
+    map-side on both sides of the join; hash the gram key to 8 bytes
+    in production to thin the shuffle further). The model side is
+    DISTINCT grams, far below corpus scale."""
+    d = table(spark, sf_dir, "documents")
+    words = F.filter(F.split("text", " "), lambda x: x != "")
+    bg = (
+        d.select("doc_id", words.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> concat(ws[i-1], ' ', ws[i]))"
+                )
+            ).alias("gram"),
+        )
+    )
+    cnt = bg.groupBy("gram").agg(F.count("*").cast("bigint").alias("c"))
+    bits = F.length(F.bin("c"))
+    return (
+        bg.join(cnt, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.sum(bits).cast("bigint").alias("lm_bits"),
+            (
+                F.sum(bits).cast("double") / F.count("*")
+            ).alias("bits_per_bigram"),
+        )
     )

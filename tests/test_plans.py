@@ -356,11 +356,18 @@ def test_halve_first_rejects_17bit_values(spark):
     assert halve_blocks(blocks, "max").count() == 1
 
 
-def test_decontaminate_broadcasts_bench_and_stays_map_only(spark, sf_dir):
+@pytest.mark.parametrize(
+    "qname", ["corpus_decontaminate", "corpus_decontaminate_norm"]
+)
+def test_decontaminate_broadcasts_bench_and_stays_map_only(
+    spark, sf_dir, qname
+):
     """The benchmark gram set must BROADCAST (the asymmetry IS the
     decontamination plan) and the corpus side must reach the join
-    with no shuffle of its own — no pre-distinct of corpus grams."""
-    plan = _plan(spark, "corpus_decontaminate", sf_dir)
+    with no shuffle of its own — no pre-distinct of corpus grams.
+    The normalized-token variant must keep the identical shape (its
+    normalization is map-side regexp work)."""
+    plan = _plan(spark, qname, sf_dir)
     assert "BroadcastHashJoin" in plan
     # exactly one broadcast (the bench grams). In the printed tree the
     # join's STREAMED (corpus) child sits between the BroadcastHashJoin
@@ -389,6 +396,20 @@ def test_redact_pii_has_no_exchange(spark, sf_dir):
     executed plan must contain NO exchange of any kind."""
     plan = _plan(spark, "text_redact_pii", sf_dir)
     assert "Exchange" not in plan
+
+
+def test_seeded_substring_dedup_plan(spark, sf_dir):
+    """The minimizer-seeded variant's contract: no exchange ever
+    carries document text (the broadcast hands anchor POSITIONS back
+    to the corpus scan), the seed shuffle carries the int64 xxhash
+    (not a wide digest), and the survivors side reaches the corpus
+    via a broadcast join."""
+    plan = _plan(spark, "dedup_substring_seeded", sf_dir)
+    assert "xxhash64" in plan
+    assert "BroadcastHashJoin" in plan
+    for chunk in plan.split("Exchange")[1:]:
+        first_line = chunk.splitlines()[0]
+        assert "text" not in first_line, first_line
 
 
 def test_substring_dedup_shuffles_binary_digest(spark, sf_dir):

@@ -268,3 +268,84 @@ def test_streaming_cascade_checkpoint_restart_byte_identical(spark, tmp_path):
     # the post-restart run really did resume from checkpointed state:
     # the deepest child needs parents from BOTH halves of the volume
     assert (len(want) - 1, 0) in got
+
+
+def test_streaming_dedup_restart_preserves_and_expires_state(
+    spark, tmp_path
+):
+    """VERDICT r11 #8 (in-suite half; tools/soak_stream.py holds the
+    SIGKILL half): the LIVE dropDuplicatesWithinWatermark wrapper,
+    stopped and restarted from its checkpoint, must (a) keep dropping
+    a re-crawl whose fingerprint entered state BEFORE the restart —
+    the fingerprint lives only in the checkpointed state store — and
+    (b) RE-EMIT a re-crawl arriving after the watermark expired the
+    fingerprint, the re-emit-past-horizon semantics the batch dual
+    (stream_dedup) pins against DuckDB."""
+    import json
+    import os
+    import time as _time
+
+    from hortacloud_importer_spark.streaming.windows import streaming_dedup
+
+    indir = str(tmp_path / "docs")
+    outdir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(indir)
+
+    def write(name: str, rows: list, mtime: float) -> None:
+        p = f"{indir}/{name}"
+        with open(p, "w") as fh:
+            for r in rows:
+                fh.write(json.dumps(r) + "\n")
+        os.utime(p, (mtime, mtime))
+
+    def run_once() -> None:
+        docs = (
+            spark.readStream.schema(
+                "doc_id long, ts timestamp, text string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .json(indir)
+        )
+        q = (
+            streaming_dedup(docs, watermark="5 minutes")
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180), "stream did not drain"
+
+    base = _time.time() - 600
+    phase1 = [
+        {"doc_id": i, "ts": f"2026-01-01 10:{i:02d}:00",
+         "text": f"text number {i}"}
+        for i in range(10)
+    ]
+    write("a.json", phase1, base)
+    run_once()
+    # the query object is GONE; watermark (10:04) and the fingerprint
+    # state live only in the checkpoint now. Four one-doc batches:
+    # doc 10 re-crawls doc 9 INSIDE the horizon (fingerprint held in
+    # restored state -> dropped); docs 11 and 13 advance the
+    # watermark past doc 1's expiry — TWO batches, because state
+    # cleanup runs after each batch's input with the watermark
+    # computed from the batch BEFORE it (measured; an entry expiring
+    # at 10:06 is evicted at the end of the first batch whose
+    # pre-batch watermark exceeds it); doc 12 then re-crawls doc 1
+    # PAST the horizon (fingerprint evicted -> re-emitted).
+    write("b1.json", [{"doc_id": 10, "ts": "2026-01-01 10:10:00",
+                       "text": "text number 9"}], base + 1)
+    write("b2.json", [{"doc_id": 11, "ts": "2026-01-01 10:12:00",
+                       "text": "text number 11"}], base + 2)
+    write("b3.json", [{"doc_id": 13, "ts": "2026-01-01 10:13:00",
+                       "text": "text number 13"}], base + 3)
+    write("b4.json", [{"doc_id": 12, "ts": "2026-01-01 10:30:00",
+                       "text": "text number 1"}], base + 4)
+    run_once()
+
+    got = sorted(
+        r["doc_id"] for r in spark.read.parquet(outdir).collect()
+    )
+    assert got == [*range(10), 11, 12, 13], got

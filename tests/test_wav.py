@@ -79,9 +79,15 @@ def test_gates_and_malformed():
     fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
     out, _ = decode_wav(_container(fmt, b"\x00\x00"))
     assert out.ravel().tolist() == [-32124, -32124]
-    # IMA ADPCM (tag 0x11) stays a named gate (stateful bitstream)
+    # IMA ADPCM (tag 0x11) decodes since round 12, but only in its
+    # real 4-bit form — a nonsense bit width still raises by name
     fmt = struct.pack("<HHIIHH", 0x11, 1, 8000, 4000, 256, 8)
-    with pytest.raises(WavParseError, match="tag 17"):
+    with pytest.raises(WavParseError, match="IMA ADPCM.*4-bit"):
+        decode_wav(_container(fmt, b"\x00" * 8))
+    # Microsoft ADPCM (tag 2) stays a named gate: its coefficient
+    # table has no independent in-container verification reference
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 256, 4)
+    with pytest.raises(WavParseError, match="tag 2"):
         decode_wav(_container(fmt, b"\x00" * 8))
     # missing data chunk
     body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + struct.pack(
@@ -244,3 +250,159 @@ def test_g711_wav_round_trip_and_gates():
     blob[i : i + 2] = (7).to_bytes(2, "little")  # tag -> mu-law
     with pytest.raises(WavParseError, match="8-bit"):
         decode_wav(bytes(blob))
+
+
+def test_ima_step_table_structural_invariants():
+    """The 89-entry IMA step table is a transcribed published
+    constant; these invariants catch transposition/typo classes the
+    behavioral audioop cross-check below then seals completely."""
+    from hortacloud_importer_spark.sources.wav import (
+        _IMA_INDEX_ADJ, _IMA_STEPS,
+    )
+
+    t = _IMA_STEPS.astype(np.int64)
+    assert len(t) == 89
+    assert t[0] == 7 and t[-1] == 32767
+    assert (np.diff(t) > 0).all(), "step table must be strictly increasing"
+    ratios = t[1:] / t[:-1]
+    assert ratios.min() > 1.05 and ratios.max() < 1.16, (
+        "every step is ~1.1x the previous"
+    )
+    assert _IMA_INDEX_ADJ.tolist() == [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def test_ima_core_matches_stdlib_audioop():
+    """INDEPENDENT verification of the table and state machine: the
+    stdlib audioop module (CPython Modules/audioop.c, Python <= 3.12)
+    implements the identical Intel/DVI ADPCM decoder. Every initial
+    index 0..88 seeds a decode of a pseudorandom nibble stream, so
+    every table entry and both clamps are exercised behaviorally."""
+    audioop = pytest.importorskip("audioop")
+    from hortacloud_importer_spark.sources.wav import ima_adpcm_core
+
+    rng = np.random.default_rng(2024)
+    for idx0 in range(89):
+        pred0 = int(rng.integers(-32768, 32768))
+        nibs = rng.integers(0, 16, 64, dtype=np.uint8)
+        # audioop reads the HIGH nibble of each byte first
+        packed = bytes(
+            (int(nibs[i]) << 4) | int(nibs[i + 1])
+            for i in range(0, len(nibs), 2)
+        )
+        want_b, _state = audioop.adpcm2lin(packed, 2, (pred0, idx0))
+        want = np.frombuffer(want_b, dtype="<i2").astype(np.int32)
+        got, _, _ = ima_adpcm_core(nibs, pred0, idx0)
+        assert np.array_equal(got, want), f"diverged at index0={idx0}"
+
+
+def test_ima_wav_roundtrip_mono_stereo():
+    """decode(encode_wav_ima(x)) must equal the ENCODER's own
+    reconstruction exactly (the quantizer mirrors the decoder), and
+    track a smooth signal within ADPCM quantization error."""
+    from hortacloud_importer_spark.sources.wav import (
+        decode_wav, encode_wav_ima, wav_probe,
+    )
+
+    t = np.arange(2000)
+    mono = (
+        12000 * np.sin(t / 9.0) + 300 * np.sin(t / 2.0)
+    ).astype(np.int16)
+    blob = encode_wav_ima(mono, rate=16000, block_samples=505)
+    out, rate = decode_wav(blob)
+    assert rate == 16000 and out.shape == (2000, 1)
+    assert out.dtype == np.int32
+    # block-leading samples are verbatim
+    assert np.array_equal(out[::505, 0], mono[::505].astype(np.int32))
+    err = out[:, 0] - mono.astype(np.int32)
+    rms_sig = float(np.sqrt(np.mean(mono.astype(np.float64) ** 2)))
+    rms_err = float(np.sqrt(np.mean(err.astype(np.float64) ** 2)))
+    assert rms_err < rms_sig / 10, (rms_err, rms_sig)
+    assert wav_probe(blob) == (2000, 1, 16000)
+
+    stereo = np.stack(
+        [mono, (7000 * np.cos(t / 5.0)).astype(np.int16)], axis=1
+    )
+    blob = encode_wav_ima(stereo, rate=8000, block_samples=9)
+    out, rate = decode_wav(blob)
+    assert out.shape == (2000, 2) and rate == 8000
+    for ch in range(2):
+        err = out[:, ch] - stereo[:, ch].astype(np.int32)
+        rms_sig = float(
+            np.sqrt(np.mean(stereo[:, ch].astype(np.float64) ** 2))
+        )
+        assert float(np.sqrt(np.mean(err.astype(np.float64) ** 2))) < (
+            rms_sig / 8
+        )
+    assert wav_probe(blob) == (2000, 2, 8000)
+
+
+def test_ima_codeword_fixture_matches_core_and_audioop():
+    """The codeword fixture writer (the ADPCM analog of
+    encode_wav(g711=...)) must decode to exactly the core's output
+    for the given nibble stream and initial state — and, when the
+    stdlib reference is present, to audioop's."""
+    from hortacloud_importer_spark.sources.wav import (
+        decode_wav, encode_wav_ima_codewords, ima_adpcm_core, wav_probe,
+    )
+
+    nibs = [(i * 7 + 3) % 16 for i in range(96)]
+    pred0, idx0 = -1234, 30
+    blob = encode_wav_ima_codewords(nibs, pred0, idx0, rate=8000)
+    out, rate = decode_wav(blob)
+    core, _, _ = ima_adpcm_core(np.array(nibs, np.uint8), pred0, idx0)
+    want = np.concatenate([[pred0], core]).astype(np.int32)
+    assert rate == 8000
+    assert np.array_equal(out[:, 0], want)
+    assert wav_probe(blob) == (97, 1, 8000)
+    audioop = pytest.importorskip("audioop")
+    packed = bytes(
+        (nibs[i] << 4) | nibs[i + 1] for i in range(0, len(nibs), 2)
+    )
+    ref_b, _ = audioop.adpcm2lin(packed, 2, (pred0, idx0))
+    ref = np.frombuffer(ref_b, dtype="<i2").astype(np.int32)
+    assert np.array_equal(out[1:, 0], ref)
+
+
+def test_ima_error_contract_and_truncation():
+    from hortacloud_importer_spark.sources.wav import (
+        WavParseError, decode_wav, encode_wav_ima,
+        encode_wav_ima_codewords,
+    )
+
+    # header index out of range raises by name
+    blob = bytearray(encode_wav_ima_codewords([0] * 8, 0, 0))
+    i = blob.find(b"data") + 8 + 2  # block header index byte
+    blob[i] = 89
+    with pytest.raises(WavParseError, match="index 89"):
+        decode_wav(bytes(blob))
+    # block align too small for the channel headers raises by name
+    fmt = struct.pack("<HHIIHHHH", 0x11, 2, 8000, 4000, 4, 4, 2, 9)
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 8) + b"\x00" * 8
+    )
+    with pytest.raises(WavParseError, match="block align"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    # a truncated final block decodes its whole data words only
+    full = encode_wav_ima(
+        np.arange(505 + 101, dtype=np.int16), block_samples=505
+    )
+    out_full, _ = decode_wav(full)
+    cut = bytearray(full)
+    dpos = cut.find(b"data")
+    (dlen,) = struct.unpack("<I", cut[dpos + 4 : dpos + 8])
+    # strip deep into the final block's REAL samples (the first ~200
+    # trailing bytes are pad nibbles the fact chunk trims anyway)
+    drop = 230
+    cut[dpos + 4 : dpos + 8] = struct.pack("<I", dlen - drop)
+    cut = cut[: len(cut) - drop]
+    out_cut, _ = decode_wav(bytes(cut))
+    assert out_cut.shape[0] < out_full.shape[0]
+    assert np.array_equal(out_cut, out_full[: out_cut.shape[0]])
+    # malformed encoder inputs
+    with pytest.raises(WavParseError, match="odd"):
+        encode_wav_ima(np.zeros(8, np.int16), block_samples=4)
+    with pytest.raises(WavParseError, match="int16"):
+        encode_wav_ima(np.zeros(8, np.int32))
+    with pytest.raises(WavParseError, match="multiple of 8"):
+        encode_wav_ima_codewords([1, 2, 3], 0, 0)
