@@ -275,7 +275,7 @@ def _dedup_query(spark, trigger: dict):
     docs = (
         spark.readStream.schema("doc_id long, ts timestamp, text string")
         .option("maxFilesPerTrigger", 1)
-        .json(DDIR)
+        .json(f"{DDIR}/*.json")  # not the fixture's `done` marker
     )
     return (
         streaming_dedup(docs, watermark="5 minutes")
