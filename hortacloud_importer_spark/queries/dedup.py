@@ -449,16 +449,18 @@ w AS (
   FROM corpus
 ),
 bg AS (
-  SELECT doc_id, ws[CAST(t.i AS INT)] || ' ' || ws[CAST(t.i AS INT) + 1] AS gram
+  SELECT doc_id,
+         unhex(md5(ws[CAST(t.i AS INT)] || ' '
+                   || ws[CAST(t.i AS INT) + 1])) AS gh
   FROM w, UNNEST(range(1, len(ws))) AS t(i)
   WHERE len(ws) >= 2
 ),
-cnt AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY gram),
+cnt AS (SELECT gh, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY gh),
 lm AS (
   SELECT bg.doc_id,
          CAST(COUNT(*) AS BIGINT) AS n_bg,
          CAST(SUM(length(bin(cnt.c))) AS BIGINT) AS bits
-  FROM bg JOIN cnt USING (gram) GROUP BY bg.doc_id
+  FROM bg JOIN cnt USING (gh) GROUP BY bg.doc_id
 ),
 tot AS (
   SELECT CAST(SUM(n_bg) AS BIGINT) AS tot_bg,
@@ -536,14 +538,14 @@ def q_corpus_curation_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(ws) - 1),"
-                    " i -> concat(ws[i-1], ' ', ws[i]))"
+                    " i -> unhex(md5(concat(ws[i-1], ' ', ws[i]))))"
                 )
-            ).alias("gram"),
+            ).alias("gh"),
         )
     )
-    cnt = bg.groupBy("gram").agg(F.count("*").cast("bigint").alias("c"))
+    cnt = bg.groupBy("gh").agg(F.count("*").cast("bigint").alias("c"))
     lm = (
-        bg.join(cnt, "gram")
+        bg.join(cnt, "gh")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_bg"),

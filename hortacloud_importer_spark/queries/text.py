@@ -775,17 +775,19 @@ WITH w AS (
   FROM documents
 ),
 bg AS (
-  SELECT doc_id, ws[CAST(t.i AS INT)] || ' ' || ws[CAST(t.i AS INT) + 1] AS gram
+  SELECT doc_id,
+         unhex(md5(ws[CAST(t.i AS INT)] || ' '
+                   || ws[CAST(t.i AS INT) + 1])) AS gh
   FROM w, UNNEST(range(1, len(ws))) AS t(i)
   WHERE len(ws) >= 2
 ),
-cnt AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY gram)
+cnt AS (SELECT gh, CAST(COUNT(*) AS BIGINT) AS c FROM bg GROUP BY gh)
 SELECT bg.doc_id,
        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
        CAST(SUM(length(bin(cnt.c))) AS BIGINT) AS lm_bits,
        CAST(SUM(length(bin(cnt.c))) AS DOUBLE) / COUNT(*)
          AS bits_per_bigram
-FROM bg JOIN cnt USING (gram)
+FROM bg JOIN cnt USING (gh)
 GROUP BY bg.doc_id
 """
 
@@ -806,11 +808,12 @@ def text_ngram_ppx(spark: SparkSession, sf_dir: str) -> DataFrame:
     the low-perplexity text quality filters keep.
 
     100 TB posture: one map-side-combined gram-count aggregate (the
-    model), one shuffle join of doc-grams onto it keyed by gram, one
-    per-doc aggregate — no text ever shuffles (grams are derived
-    map-side on both sides of the join; hash the gram key to 8 bytes
-    in production to thin the shuffle further). The model side is
-    DISTINCT grams, far below corpus scale."""
+    model), one shuffle join of doc-grams onto it, one per-doc
+    aggregate — and no gram TEXT ever shuffles: both sides key on the
+    16-byte md5 digest (the engine-portable grouping hash, mirrored
+    verbatim in the oracle; an md5 collision would merge two counts
+    identically in both engines). The model side is DISTINCT grams,
+    far below corpus scale."""
     d = table(spark, sf_dir, "documents")
     words = F.filter(F.split("text", " "), lambda x: x != "")
     bg = (
@@ -821,15 +824,15 @@ def text_ngram_ppx(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(ws) - 1),"
-                    " i -> concat(ws[i-1], ' ', ws[i]))"
+                    " i -> unhex(md5(concat(ws[i-1], ' ', ws[i]))))"
                 )
-            ).alias("gram"),
+            ).alias("gh"),
         )
     )
-    cnt = bg.groupBy("gram").agg(F.count("*").cast("bigint").alias("c"))
+    cnt = bg.groupBy("gh").agg(F.count("*").cast("bigint").alias("c"))
     bits = F.length(F.bin("c"))
     return (
-        bg.join(cnt, "gram")
+        bg.join(cnt, "gh")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_bigrams"),
@@ -838,4 +841,73 @@ def text_ngram_ppx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(bits).cast("double") / F.count("*")
             ).alias("bits_per_bigram"),
         )
+    )
+
+
+_REP_ORACLE = """
+WITH w AS (
+  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ws
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         unhex(md5(ws[CAST(t.i AS INT)] || ' '
+                   || ws[CAST(t.i AS INT) + 1] || ' '
+                   || ws[CAST(t.i AS INT) + 2])) AS gh
+  FROM w, UNNEST(range(1, len(ws) - 1)) AS t(i)
+  WHERE len(ws) >= 3
+),
+per AS (
+  SELECT doc_id, gh, COUNT(*) AS c FROM g GROUP BY doc_id, gh
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_grams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(MAX(c) AS BIGINT) AS top_gram_count,
+       CAST(SUM(c) - COUNT(*) AS DOUBLE) / SUM(c) AS dup_gram_ratio
+FROM per GROUP BY doc_id
+"""
+
+
+@register("text_repetition", "K5", oracle=_REP_ORACLE, driver=False)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTRA-document repetition signals (the Gopher-style repetition
+    filters): per document, total vs distinct word 3-grams, the
+    hottest gram's count, and the duplicate-gram ratio — high ratios
+    mark templated/spammy text (keyword stuffing, boilerplate loops)
+    that survives every corpus-LEVEL dedup pass because it repeats
+    within one document, not across documents. All-but-one statistic
+    is an exact integer, and the ratio divides two exact aggregates
+    once per output row, so the DuckDB mirror hash-matches.
+
+    100 TB posture: grouped by (doc_id, 16-byte gram digest — the
+    engine-portable md5 grouping hash, mirrored in the oracle) — a
+    pure map-side explode plus ONE hash aggregate whose keys never
+    leave their document, then a per-doc rollup; no corpus-wide
+    model, no join, no gram text in any exchange."""
+    d = table(spark, sf_dir, "documents")
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    per = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 2),"
+                    " i -> unhex(md5(concat_ws(' ', ws[i-1], ws[i],"
+                    " ws[i+1]))))"
+                )
+            ).alias("gh"),
+        )
+        .groupBy("doc_id", "gh")
+        .agg(F.count("*").alias("c"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_grams"),
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("top_gram_count"),
+        (
+            (F.sum("c") - F.count("*")).cast("double") / F.sum("c")
+        ).alias("dup_gram_ratio"),
     )

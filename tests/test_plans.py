@@ -398,6 +398,20 @@ def test_redact_pii_has_no_exchange(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+@pytest.mark.parametrize("qname", ["text_ngram_ppx", "text_repetition"])
+def test_lm_text_ops_shuffle_digests_not_grams(spark, sf_dir, qname):
+    """The n-gram LM score and the repetition signal key every
+    aggregate/join on the 16-byte md5 digest: no exchange may carry
+    gram text or the word array."""
+    plan = _plan(spark, qname, sf_dir)
+    for chunk in plan.split("Exchange")[1:]:
+        first_line = chunk.splitlines()[0]
+        assert "gram#" not in first_line and "ws#" not in first_line, (
+            first_line
+        )
+        assert "text" not in first_line, first_line
+
+
 def test_seeded_substring_dedup_plan(spark, sf_dir):
     """The minimizer-seeded variant's contract: no exchange ever
     carries document text (the broadcast hands anchor POSITIONS back
