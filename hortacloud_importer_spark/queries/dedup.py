@@ -529,29 +529,9 @@ def q_corpus_curation_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         / n_words
     )
-    ws = F.filter(words, lambda x: x != "")
-    bg = (
-        corpus.select("doc_id", ws.alias("ws"))
-        .filter(F.size("ws") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(ws) - 1),"
-                    " i -> unhex(md5(concat(ws[i-1], ' ', ws[i]))))"
-                )
-            ).alias("gh"),
-        )
-    )
-    cnt = bg.groupBy("gh").agg(F.count("*").cast("bigint").alias("c"))
-    lm = (
-        bg.join(cnt, "gh")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_bg"),
-            F.sum(F.length(F.bin("c"))).cast("bigint").alias("bits"),
-        )
-    )
+    from hortacloud_importer_spark.queries.text import bigram_lm_bits
+
+    lm = bigram_lm_bits(corpus.select("doc_id", "text"))
     tot = lm.agg(
         F.sum("n_bg").cast("bigint").alias("tot_bg"),
         F.sum("bits").cast("bigint").alias("tot_bits"),
@@ -1034,6 +1014,14 @@ def substring_find_seeded(
     doc-level dedup, like the baseline."""
     from pyspark.sql.window import Window
 
+    if k + w - 1 > L:
+        # the entire exactness argument rests on every L-gram holding
+        # at least one FULL minimizer window — fail loud, not subtly
+        raise ValueError(
+            f"substring_find_seeded needs k + w - 1 <= L "
+            f"(got k={k}, w={w}, L={L}): a duplicated L-gram could "
+            "otherwise carry no anchor and be silently missed"
+        )
     pos_mask = (1 << _POS_BITS) - 1
     eligible = corpus.filter(F.length("text") >= L)
 

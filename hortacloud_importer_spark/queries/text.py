@@ -792,6 +792,40 @@ GROUP BY bg.doc_id
 """
 
 
+def bigram_lm_bits(corpus: DataFrame) -> DataFrame:
+    """The shared bigram-counts LM core: (doc_id, text) -> per-doc
+    (n_bg, bits) where bits = sum over the doc's bigrams of
+    floor(log2 corpus_count) + 1 — exact integers in any aggregation
+    order. Both sides of the count join key on the 16-byte md5 gram
+    digest (the engine-portable grouping hash), so no gram text
+    reaches an exchange. Used by :func:`text_ngram_ppx` and the
+    curation composite (dedup.py::q_corpus_curation_lm); their DuckDB
+    oracles mirror this pipeline verbatim."""
+    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    bg = (
+        corpus.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> unhex(md5(concat(ws[i-1], ' ', ws[i]))))"
+                )
+            ).alias("gh"),
+        )
+    )
+    cnt = bg.groupBy("gh").agg(F.count("*").cast("bigint").alias("c"))
+    return (
+        bg.join(cnt, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bg"),
+            F.sum(F.length(F.bin("c"))).cast("bigint").alias("bits"),
+        )
+    )
+
+
 @register("text_ngram_ppx", "K5", oracle=_PPX_ORACLE, driver=False)
 def text_ngram_ppx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Counts-based n-gram LM quality score (the KenLM-style
@@ -815,32 +849,13 @@ def text_ngram_ppx(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically in both engines). The model side is DISTINCT grams,
     far below corpus scale."""
     d = table(spark, sf_dir, "documents")
-    words = F.filter(F.split("text", " "), lambda x: x != "")
-    bg = (
-        d.select("doc_id", words.alias("ws"))
-        .filter(F.size("ws") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(ws) - 1),"
-                    " i -> unhex(md5(concat(ws[i-1], ' ', ws[i]))))"
-                )
-            ).alias("gh"),
-        )
-    )
-    cnt = bg.groupBy("gh").agg(F.count("*").cast("bigint").alias("c"))
-    bits = F.length(F.bin("c"))
-    return (
-        bg.join(cnt, "gh")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_bigrams"),
-            F.sum(bits).cast("bigint").alias("lm_bits"),
-            (
-                F.sum(bits).cast("double") / F.count("*")
-            ).alias("bits_per_bigram"),
-        )
+    return bigram_lm_bits(d.select("doc_id", "text")).select(
+        "doc_id",
+        F.col("n_bg").alias("n_bigrams"),
+        F.col("bits").alias("lm_bits"),
+        (F.col("bits").cast("double") / F.col("n_bg")).alias(
+            "bits_per_bigram"
+        ),
     )
 
 

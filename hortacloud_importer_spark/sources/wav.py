@@ -188,8 +188,13 @@ def encode_wav_ima(
         samples = samples[:, None]
     if samples.ndim != 2 or samples.dtype != np.int16:
         raise WavParseError("IMA ADPCM encoder needs (n[, ch]) int16")
-    if block_samples < 3 or block_samples % 2 == 0:
-        raise WavParseError("block_samples must be odd and >= 3")
+    if block_samples < 9 or (block_samples - 1) % 8:
+        # 1 header sample + nibbles packing into WHOLE 4-byte data
+        # words: the interleave below writes words of 8 nibbles
+        raise WavParseError(
+            "block_samples must be 1 mod 8 and >= 9 (one header "
+            "sample plus whole 4-byte nibble words)"
+        )
     n, nch = samples.shape
     balign = 4 * nch + (block_samples - 1) // 2 * nch
     steps, adj = _IMA_STEPS, _IMA_INDEX_ADJ
@@ -350,6 +355,10 @@ def wav_probe(data: bytes) -> tuple[int, int, int]:
             tag, nch, rate, _br, balign, bits = struct.unpack(
                 "<HHIIHH", data[pos + 8 : pos + 24]
             )
+            if tag == _TAG_EXTENSIBLE and clen >= 26 and pos + 34 <= end:
+                # resolve the SubFormat tag exactly like decode_wav —
+                # probe and decode must agree on the codec
+                (tag,) = struct.unpack("<H", data[pos + 32 : pos + 34])
             spb = None
             if clen >= 20 and pos + 28 <= end:
                 (spb,) = struct.unpack("<H", data[pos + 26 : pos + 28])
@@ -369,10 +378,14 @@ def wav_probe(data: bytes) -> tuple[int, int, int]:
             raise WavParseError(
                 f"bad IMA ADPCM fmt ({bits}-bit, align {balign})"
             )
+        capacity = (balign - 4 * nch) * 2 // nch + 1
         if spb is None:
-            spb = (balign - 4 * nch) * 2 // nch + 1
+            spb = capacity
         full, rem = divmod(data_len, balign)
-        n = full * spb
+        # a full block yields min(spb, capacity) samples — fmt may
+        # claim a wSamplesPerBlock the block geometry cannot hold,
+        # and decode only emits what the data words contain
+        n = full * min(spb, capacity)
         if rem >= 4 * nch:
             usable = (rem - 4 * nch) - (rem - 4 * nch) % (4 * nch)
             n += 1 + min(usable * 2 // nch, spb - 1)

@@ -399,9 +399,12 @@ def test_ima_error_contract_and_truncation():
     out_cut, _ = decode_wav(bytes(cut))
     assert out_cut.shape[0] < out_full.shape[0]
     assert np.array_equal(out_cut, out_full[: out_cut.shape[0]])
-    # malformed encoder inputs
-    with pytest.raises(WavParseError, match="odd"):
+    # malformed encoder inputs: block_samples must be 1 mod 8 (whole
+    # 4-byte nibble words) — 11 is odd but would tear a data word
+    with pytest.raises(WavParseError, match="1 mod 8"):
         encode_wav_ima(np.zeros(8, np.int16), block_samples=4)
+    with pytest.raises(WavParseError, match="1 mod 8"):
+        encode_wav_ima(np.zeros(100, np.int16), block_samples=11)
     with pytest.raises(WavParseError, match="int16"):
         encode_wav_ima(np.zeros(8, np.int32))
     with pytest.raises(WavParseError, match="multiple of 8"):

@@ -388,6 +388,28 @@ def run_dedup_scenario() -> "dict | None":
     v["killed_at"] = killed_at
     v["kill_sec"] = round(t_kill, 1)
     v["resume_sec"] = round(t_resume, 1)
+    # the commit poll is racy (0.2s): only claim a state-store
+    # straddle if a (i-2, i) duplicate pair REALLY spans the kill
+    # point (source doc i-2 committed before it, re-crawl doc i after)
+    straddle = [
+        i for i in range(3, DDOCS, 10) if i - 2 < killed_at <= i
+    ]
+    if straddle:
+        i = straddle[0]
+        v["straddle_note"] = (
+            f"The doc-{i}/doc-{i - 2} duplicate pair STRADDLES it — "
+            f"doc {i - 2}'s fingerprint lives only in the checkpointed"
+            f" state store when doc {i} arrives post-resume."
+        )
+    else:
+        v["straddle_note"] = (
+            "No within-horizon duplicate pair happened to straddle "
+            "this kill point (the commit poll overshot); the "
+            "exactly-once and drop/re-emit checks below still hold, "
+            "but the state-survival evidence for THIS run comes from "
+            "the re-emit set only — re-run for a straddling kill."
+        )
+    v["straddling_pairs"] = straddle
     print(json.dumps(v, indent=1))
     return v
 
@@ -496,9 +518,7 @@ def main() -> int:
         "(fingerprint expired) must RE-EMIT — the semantics the batch "
         "dual pins, here proven to survive a SIGKILL: the kill lands "
         f"after **{dv['killed_at']} one-doc batches** "
-        f"({dv['kill_sec']}s in), so the doc-3/doc-1 duplicate pair "
-        "STRADDLES it — doc 1's fingerprint lives only in the "
-        "checkpointed state store when doc 3 arrives post-resume.",
+        f"({dv['kill_sec']}s in). {dv['straddle_note']}",
         "",
         f"- Result: **{dv['visible_docs']}/{dv['expected_docs']} docs "
         "visible exactly once** — 0 duplicates, 0 missing, 0 extra "
