@@ -1439,6 +1439,126 @@ FROM rebuilt
 """
 
 
+_PACK_S = 512  # tokens per packed training sequence
+
+_PACK_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(str_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n
+  FROM documents
+),
+pre AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prefix
+  FROM d WHERE n >= 1
+),
+frag AS (
+  SELECT doc_id, n, prefix, t.s AS seq_id,
+         LEAST((t.s + 1) * {_PACK_S}, prefix + n)
+           - GREATEST(t.s * {_PACK_S}, prefix) AS tokens
+  FROM pre,
+       UNNEST(range(CAST(prefix // {_PACK_S} AS BIGINT),
+                    CAST((prefix + n - 1) // {_PACK_S} + 1 AS BIGINT)))
+         AS t(s)
+)
+SELECT CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS seq_tokens,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM frag GROUP BY seq_id
+"""
+
+
+@register("corpus_pack", "K1+F2", oracle=_PACK_ORACLE, driver=False)
+def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SEQUENCE PACKING (the concat-and-chunk stage that
+    turns a curated corpus into fixed-length training sequences):
+    documents are laid end-to-end in doc_id order and cut into
+    512-token sequences, documents splitting across cut points — the
+    standard packing used when assembling LLM training batches. Per
+    sequence: contributing docs, token count (== 512 everywhere but
+    the final partial sequence), and the first/last doc — the index a
+    dataloader needs to range-read its shard.
+
+    100 TB posture: the global token prefix sum is the scale-safe
+    TWO-PASS pattern (operators/rownum.py): range-partition by
+    doc_id, per-partition token totals (a tiny n_partitions-row
+    side), prefix-sum THOSE, broadcast the offsets back, then a
+    partition-local cumulative sum — no Exchange SinglePartition ever
+    touches the corpus (plan-asserted in tests/test_plans.py). The
+    fragment explode is map-side (a doc spans at most ceil(n/512) + 1
+    sequences) and the final aggregate is one map-side-combined
+    groupBy(seq_id)."""
+    from pyspark.sql.window import Window
+
+    spark_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(F.split("text", " "), lambda x: x != "")
+            )
+            .cast("bigint")
+            .alias("n"),
+        )
+        .filter(F.col("n") >= 1)
+    )
+    ranged = d.repartitionByRange(spark_parts, "doc_id").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").agg(F.sum("n").alias("_t"))
+    w_off = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "_pid",
+        F.coalesce(F.sum("_t").over(w_off), F.lit(0)).alias("_off"),
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pre = (
+        ranged.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "prefix",
+            F.col("_off")
+            + F.coalesce(F.sum("n").over(w_local), F.lit(0)),
+        )
+        .drop("_pid", "_off")
+    )
+    S = _PACK_S
+    frag = pre.select(
+        "doc_id",
+        "n",
+        "prefix",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("prefix") / S),
+                F.floor((F.col("prefix") + F.col("n") - 1) / S),
+            )
+        ).alias("seq_id"),
+    ).withColumn(
+        "tokens",
+        F.least((F.col("seq_id") + 1) * S, F.col("prefix") + F.col("n"))
+        - F.greatest(F.col("seq_id") * S, F.col("prefix")),
+    )
+    return frag.groupBy("seq_id").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("tokens").cast("bigint").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
 @register("dedup_substring_apply", "K1",
           oracle=_SUBSTR_APPLY_ORACLE, driver=False)
 def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -398,6 +398,26 @@ def test_redact_pii_has_no_exchange(spark, sf_dir):
     assert "Exchange" not in plan
 
 
+def test_corpus_pack_has_no_global_window_over_the_data(spark, sf_dir):
+    """Sequence packing's global token prefix sum must use the
+    two-pass shape: the corpus-side cumulative sum is keyed by the
+    range-partition id; the only SinglePartition exchange feeds the
+    tiny per-partition token totals, never document rows."""
+    plan = _plan(spark, "corpus_pack", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition(_pid#" in plan
+    single = [
+        seg for seg in plan.split("Exchange ")
+        if seg.startswith("SinglePartition")
+    ]
+    for seg in single:
+        head = seg[:500]
+        if "parquet" in head:
+            assert "ReadSchema: struct<>" in head, (
+                f"data columns feed SinglePartition: {head}"
+            )
+
+
 @pytest.mark.parametrize("qname", ["text_ngram_ppx", "text_repetition"])
 def test_lm_text_ops_shuffle_digests_not_grams(spark, sf_dir, qname):
     """The n-gram LM score and the repetition signal key every
