@@ -181,9 +181,9 @@ def encode_wav_ima(
     encoder: the block's first sample seeds the predictor; each later
     sample quantizes its delta with the mirrored successive-
     approximation loop, so decode(encode(x)) tracks x within the
-    step-size quantization error. ``block_samples`` must be odd
-    (1 header sample + an even nibble count packing into whole
-    bytes)."""
+    step-size quantization error. ``block_samples`` must be 1 mod 8
+    and >= 9 (1 header sample + nibbles packing into whole 4-byte
+    data words, which is how the interleaver writes them)."""
     if samples.ndim == 1:
         samples = samples[:, None]
     if samples.ndim != 2 or samples.dtype != np.int16:
@@ -381,6 +381,11 @@ def wav_probe(data: bytes) -> tuple[int, int, int]:
         capacity = (balign - 4 * nch) * 2 // nch + 1
         if spb is None:
             spb = capacity
+        if spb < 1:
+            # wSamplesPerBlock=0 is malformed: decode would still emit
+            # the per-block header sample, so probe and decode frame
+            # counts would diverge on the same bytes — reject instead
+            raise WavParseError("IMA fmt wSamplesPerBlock must be >= 1")
         full, rem = divmod(data_len, balign)
         # a full block yields min(spb, capacity) samples — fmt may
         # claim a wSamplesPerBlock the block geometry cannot hold,
@@ -452,6 +457,9 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         if spb is None:
             # derive from the block geometry (header sample included)
             spb = (balign - 4 * nch) * 2 // nch + 1
+        if spb < 1:
+            # keep decode consistent with wav_probe's rejection
+            raise WavParseError("IMA fmt wSamplesPerBlock must be >= 1")
         arr = _decode_ima_adpcm(pcm, nch, balign, spb)
         if fact_frames is not None:
             # fact carries the true frame count: the final block's

@@ -1,0 +1,64 @@
+"""Pin the bench capture's self-adjudication math (round-13 ask #1).
+
+Round 12's driver bench recorded a +31% phantom regression because the
+idle gate admitted a run at loadavg 1.77 and the artifact carried no
+normalized value — a judge session was spent disproving it. These tests
+pin (a) the normalization DIRECTION (a slow host deflates, never
+inflates), (b) the band verdict, and (c) the tightened idle-gate
+defaults, so a future edit can't silently regress the capture protocol.
+"""
+
+import importlib.util
+import os
+
+import pytest
+
+_BENCH_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"
+)
+_spec = importlib.util.spec_from_file_location("bench_module", _BENCH_PATH)
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+def test_normalization_deflates_on_slow_host():
+    # Host 2x slower than reference (calib doubled): a 50 s raw total
+    # is really a 25 s run — normalization must DIVIDE by the slowdown.
+    assert bench.calib_normalize(50.0, bench.REF_CALIB * 2) == 25.0
+
+
+def test_normalization_identity_on_reference_host():
+    assert bench.calib_normalize(26.0, bench.REF_CALIB) == 26.0
+
+
+def test_normalization_inflates_on_fast_host():
+    # A host 20% faster than reference under-reports; normalize up.
+    val = bench.calib_normalize(20.0, bench.REF_CALIB * 0.8)
+    assert val == 25.0
+
+
+def test_normalization_none_calib_falls_back_to_identity():
+    assert bench.calib_normalize(26.0, None) == 26.0
+
+
+def test_band_verdict():
+    lo, hi = bench.BAND
+    assert bench.band_verdict(lo - 0.1) == "below"
+    assert bench.band_verdict(lo) == "inside"
+    assert bench.band_verdict((lo + hi) / 2) == "inside"
+    assert bench.band_verdict(hi) == "inside"
+    assert bench.band_verdict(hi + 0.1) == "above"
+
+
+def test_band_matches_pinned_repin():
+    assert bench.BAND == (24.0, 28.0)
+    assert bench.REF_CALIB == pytest.approx(0.2407)
+
+
+def test_idle_gate_defaults_tightened(monkeypatch):
+    # The r12 contamination: default MAXLOAD 2.0 admitted loadavg 1.77.
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_MAXLOAD", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_IDLE_TIMEOUT", raising=False)
+    src = open(_BENCH_PATH).read()
+    assert '"SPARK_GRAFT_BENCH_MAXLOAD", "0.8"' in src
+    assert '"SPARK_GRAFT_BENCH_IDLE_TIMEOUT", "1800"' in src

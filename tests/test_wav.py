@@ -409,3 +409,21 @@ def test_ima_error_contract_and_truncation():
         encode_wav_ima(np.zeros(8, np.int32))
     with pytest.raises(WavParseError, match="multiple of 8"):
         encode_wav_ima_codewords([1, 2, 3], 0, 0)
+
+
+def test_ima_spb_zero_rejected_by_probe_and_decode():
+    """wSamplesPerBlock=0 is malformed: probe used to report 0 frames
+    while decode still emitted one header sample per block (ADVICE
+    r12). Both must now reject it with the named error."""
+    from hortacloud_importer_spark.sources.wav import (
+        encode_wav_ima, wav_probe,
+    )
+
+    mono = np.zeros(100, np.int16)
+    blob = bytearray(encode_wav_ima(mono, rate=8000, block_samples=9))
+    p = blob.find(b"fmt ")
+    assert p > 0
+    blob[p + 8 + 18 : p + 8 + 20] = struct.pack("<H", 0)
+    for fn in (wav_probe, decode_wav):
+        with pytest.raises(WavParseError, match="wSamplesPerBlock"):
+            fn(bytes(blob))

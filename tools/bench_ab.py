@@ -15,7 +15,12 @@ before every run and normalizes that run's total by
 attribution table. Results are appended to SOAK.md under
 '# BENCH REPIN'.
 
-Usage: python tools/bench_ab.py [old_rev] [reps]
+One-command usage (pins old side to the round-8 ref, 3 interleaved
+reps, appends a BENCH REPIN section to SOAK.md AND writes a
+machine-readable BENCH_AB.json with an attribution verdict):
+
+    python tools/bench_ab.py            # HEAD vs pinned r8, self-attributing
+    python tools/bench_ab.py <rev> [reps]
 """
 
 from __future__ import annotations
@@ -27,7 +32,11 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-REF_CALIB = 0.2407  # BENCH_r10's recorded calib_spin_sec
+sys.path.insert(0, REPO)
+
+from bench import BAND, REF_CALIB  # single source of truth for the band
+
+PINNED_R8_REV = "7576aee"  # round-8 HEAD: last rev before the band repin
 
 
 def calib_spin() -> float:
@@ -45,6 +54,10 @@ def run_bench(tree: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_BENCH_REPS"] = "1"
     env.setdefault("SPARK_GRAFT_CPUS", "32")
+    # Pin the idle gate explicitly so both sides wait on the SAME
+    # threshold (the old rev's bench.py defaults to the looser 2.0).
+    env.setdefault("SPARK_GRAFT_BENCH_MAXLOAD", "0.8")
+    env.setdefault("SPARK_GRAFT_BENCH_IDLE_TIMEOUT", "900")
     c = calib_spin()
     r = subprocess.run(
         [sys.executable, "bench.py"],
@@ -74,7 +87,7 @@ def run_bench(tree: str) -> dict:
 
 
 def main() -> None:
-    old_rev = sys.argv[1] if len(sys.argv) > 1 else "7576aee"
+    old_rev = sys.argv[1] if len(sys.argv) > 1 else PINNED_R8_REV
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     old_tree = "/tmp/spark_graft_ab_old"
     if not os.path.exists(os.path.join(old_tree, "bench.py")):
@@ -115,17 +128,23 @@ def main() -> None:
         key=lambda t: (t[2] or 0) - (t[1] or 0),
         reverse=True,
     )
+    head = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        cwd=REPO,
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
     lines = [
         "",
-        "# BENCH REPIN (round 11 controlled A/B)",
+        f"# BENCH REPIN (controlled A/B: {old_rev} vs HEAD {head})",
         "",
         f"Interleaved {reps}x single-rep runs per side on one idle "
         "session; every run calibration-spun immediately before "
         f"launch and normalized to calib {REF_CALIB} (BENCH_r10's).",
         "",
-        f"- old ({old_rev}, round-8 HEAD): raw {old_b['raw_totals']} "
+        f"- old ({old_rev}): raw {old_b['raw_totals']} "
         f"norm {old_b['norm_totals']} (calibs {old_b['calibs']})",
-        f"- new (round-11 HEAD): raw {new_b['raw_totals']} "
+        f"- new (HEAD {head}): raw {new_b['raw_totals']} "
         f"norm {new_b['norm_totals']} (calibs {new_b['calibs']})",
         f"- best normalized totals: old {old_b['best_norm']} s, "
         f"new {new_b['best_norm']} s "
@@ -140,10 +159,33 @@ def main() -> None:
     lines.append("")
     with open(os.path.join(REPO, "SOAK.md"), "a") as fh:
         fh.write("\n".join(lines) + "\n")
-    print(json.dumps({
+
+    # Self-attribution: the whole point of the interleaved design. If
+    # HEAD's normalized total sits inside (or within 5% of) the pinned
+    # band AND within 10% of the old side's, a driver-side spike was
+    # host noise; a real code regression shows up as HEAD normalized
+    # meaningfully above both.
+    ratio = round(new_b["best_norm"] / old_b["best_norm"], 3)
+    in_band = new_b["best_norm"] <= BAND[1] * 1.05
+    attribution = (
+        "code" if (ratio > 1.10 and not in_band) else "host-or-noise"
+    )
+    verdict = {
+        "old_rev": old_rev,
+        "new_rev": head,
         "old_best_norm": old_b["best_norm"],
         "new_best_norm": new_b["best_norm"],
-    }))
+        "ratio_new_over_old": ratio,
+        "band": list(BAND),
+        "new_inside_band": in_band,
+        "attribution": attribution,
+        "top_movers": [
+            {"query": q, "old": o, "new": n} for q, o, n in movers[:8]
+        ],
+    }
+    with open(os.path.join(REPO, "BENCH_AB.json"), "w") as fh:
+        json.dump(verdict, fh, indent=2)
+    print(json.dumps(verdict))
 
 
 if __name__ == "__main__":
