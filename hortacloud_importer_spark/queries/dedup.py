@@ -199,40 +199,13 @@ def jaccard_pairs(
     )
 
 
-@register("dedup_minhash", "K2", oracle=None, driver=False)
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash near-dup (K2), rows-only: 32 permutation hashes
-    h_j(x) = (a_j * x + b_j) mod p over xxhash64 shingle ids, banded
-    4-per-band into 8 LSH buckets; candidate pairs agree on at least
-    one band. This replaces K2's shingle self-join with a bounded
-    bucket join — the 100 TB scale path (bucket cardinality is
-    controlled by band width, not document frequency). Engine hash
-    functions differ, so no SQL oracle; the pair set is validated in
-    tests against dedup_ngram_jaccard's exact pairs. bucket_cap=1024
-    guards the production path against non-discriminative buckets on
-    repetitive corpora (the corpus soak measured an adversarial
-    blowup without it — SOAK.md)."""
-    from hortacloud_importer_spark.operators.minhash import minhash_pairs
-
-    return minhash_pairs(
-        _shingles(spark, sf_dir), n_hashes=32, bands=8, bucket_cap=1024
-    )
-
-
-@register("dedup_simhash", "K2", oracle=None, driver=False)
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup (K2), rows-only: 64-bit token-hash majority
-    signature per document; candidates = equal 16-bit prefix band;
-    emitted with hamming distance ≤ 12. All bit math stays in Catalyst
-    expressions (no UDF). bucket_cap=4096 guards the prefix-band join
-    against near-uniform corpora where one band swallows the corpus
-    (SOAK.md corpus section)."""
-    from hortacloud_importer_spark.operators.minhash import simhash_pairs
-
-    d = table(spark, sf_dir, "documents")
-    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
-    return simhash_pairs(tokens, max_hamming=12, bucket_cap=4096)
-
+# Production bucket caps (see operators/minhash.py::_drop_hot_buckets
+# and the SOAK.md corpus section for the adversarial blowup that
+# motivated them). Shared with the DuckDB oracle mirrors below so the
+# cap path itself is oracle-checked, not just the classic-LSH path
+# that dedup_approx covers.
+_MINHASH_BUCKET_CAP = 1024
+_SIMHASH_BUCKET_CAP = 4096
 
 def _minhash_perm_values() -> str:
     """The (j, a, b) permutation constants as a SQL VALUES list —
@@ -241,6 +214,143 @@ def _minhash_perm_values() -> str:
 
     return ", ".join(
         f"({j}, {a}, {b})" for j, (a, b) in enumerate(_perm_params(32))
+    )
+
+
+# Capped banded-MinHash mirror (round-13: flipped from rows-only to
+# oracle-exact — the portable md5-derived shingle ids + deterministic
+# LCG permutation table make every signature, bucket, hot-bucket drop,
+# pair, and estimate replayable in any SQL engine).
+_DEDUP_MINHASH_SQL = f"""
+WITH ids AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS x
+  FROM ({_SHINGLES_SQL})
+),
+perms(j, a, b) AS (VALUES {{perms}}),
+hx AS (
+  SELECT doc_id, j, MIN((a * x + b) % 2147483647) AS h
+  FROM ids CROSS JOIN perms GROUP BY 1, 2
+),
+bandsig AS (
+  SELECT doc_id, j // 4 AS band,
+         string_agg(CAST(h AS VARCHAR), '_' ORDER BY j) AS bucket
+  FROM hx GROUP BY 1, 2
+),
+hot AS (
+  SELECT band, bucket FROM bandsig
+  GROUP BY 1, 2 HAVING COUNT(*) > {{cap}}
+),
+kept AS (
+  SELECT bs.* FROM bandsig bs
+  LEFT JOIN hot ON hot.band = bs.band AND hot.bucket = bs.bucket
+  WHERE hot.band IS NULL
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM kept a
+  JOIN kept b ON a.band = b.band AND a.bucket = b.bucket
+            AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       SUM(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
+FROM cand c
+JOIN hx ha ON ha.doc_id = c.doc_a
+JOIN hx hb ON hb.doc_id = c.doc_b AND hb.j = ha.j
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "dedup_minhash",
+    "K2",
+    oracle=_DEDUP_MINHASH_SQL.format(
+        perms=_minhash_perm_values(), cap=_MINHASH_BUCKET_CAP
+    ),
+    driver=False,
+)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup (K2), oracle-exact since round 13: 32
+    permutation hashes h_j(x) = (a_j * x + b_j) mod p over portable
+    md5-derived shingle ids, banded 4-per-band into 8 LSH buckets;
+    candidate pairs agree on at least one band. This replaces K2's
+    shingle self-join with a bounded bucket join — the 100 TB scale
+    path (bucket cardinality is controlled by band width, not document
+    frequency). Unlike dedup_approx (classic uncapped LSH), this runs
+    the PRODUCTION guard: buckets holding more than
+    _MINHASH_BUCKET_CAP documents are dropped before the self-join,
+    and the DuckDB oracle replays that drop too. The xxhash64
+    production-hash mode stays available (operators/minhash.py,
+    portable=False) and recall-validated in tests/test_neardup.py."""
+    from hortacloud_importer_spark.operators.minhash import minhash_pairs
+
+    return minhash_pairs(
+        _shingles(spark, sf_dir),
+        n_hashes=32,
+        bands=8,
+        portable=True,
+        bucket_cap=_MINHASH_BUCKET_CAP,
+    )
+
+
+# Capped prefix-band SimHash mirror (round-13 rows-only -> oracle flip;
+# 60-bit portable signatures so >> is sign-free in both engines).
+_DEDUP_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents
+),
+th AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, t.range AS b,
+         SUM(CASE WHEN (h >> t.range) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN range(60) t GROUP BY 1, 2
+),
+simsig AS (
+  SELECT doc_id,
+         SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+           AS simhash
+  FROM bits GROUP BY 1
+),
+banded AS (SELECT doc_id, simhash, simhash >> 48 AS band FROM simsig),
+hot AS (
+  SELECT band FROM banded GROUP BY 1 HAVING COUNT(*) > {_SIMHASH_BUCKET_CAP}
+),
+kept AS (
+  SELECT bd.* FROM banded bd
+  LEFT JOIN hot ON hot.band = bd.band
+  WHERE hot.band IS NULL
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM kept a
+JOIN kept b ON a.band = b.band AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 12
+"""
+
+
+@register("dedup_simhash", "K2", oracle=_DEDUP_SIMHASH_SQL, driver=False)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup (K2), oracle-exact since round 13: 60-bit
+    portable (md5-derived) token-hash majority signature per document;
+    candidates = equal 12-bit prefix band; emitted with hamming
+    distance ≤ 12. All bit math stays in Catalyst expressions (no
+    UDF). Runs the PRODUCTION _SIMHASH_BUCKET_CAP prefix-band guard
+    (near-uniform corpora would otherwise funnel the corpus into one
+    band — SOAK.md corpus section), and the DuckDB oracle replays the
+    guard. The xxhash64 mode stays available via portable=False."""
+    from hortacloud_importer_spark.operators.minhash import simhash_pairs
+
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return simhash_pairs(
+        tokens,
+        max_hamming=12,
+        portable=True,
+        bucket_cap=_SIMHASH_BUCKET_CAP,
     )
 
 
@@ -1244,9 +1354,11 @@ def _decontaminate(spark, sf_dir: str, words) -> DataFrame:
 # normalized tokenization for leak checks: lowercase, strip
 # punctuation to spaces, collapse whitespace — byte-identical between
 # Spark (Java regex) and DuckDB (RE2) for this ASCII class
-_NORM_SQL = (
-    "list_filter(str_split(trim(regexp_replace(lower(text),"
-    " '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')"
+# Shared normalized tokenization (operators/textnorm.py): one
+# definition for decontamination AND the normalized text ops, with the
+# DuckDB mirror kept in lockstep there.
+from hortacloud_importer_spark.operators.textnorm import (  # noqa: E402
+    NORM_WORDS_SQL as _NORM_SQL,
 )
 
 _DECON_NORM_ORACLE = f"""
@@ -1294,16 +1406,9 @@ def corpus_decontaminate_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-local to the join, one per-doc aggregate) is unchanged —
     plan-asserted in tests/test_plans.py alongside the exact-token
     variant."""
-    norm = F.filter(
-        F.split(
-            F.trim(
-                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
-            ),
-            " ",
-        ),
-        lambda x: x != "",
-    )
-    return _decontaminate(spark, sf_dir, norm)
+    from hortacloud_importer_spark.operators.textnorm import norm_words
+
+    return _decontaminate(spark, sf_dir, norm_words())
 
 
 _MIX_U = (
@@ -1556,6 +1661,76 @@ def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tokens").cast("bigint").alias("seq_tokens"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
+    )
+
+
+_SHARD_N = 8  # dataloader shards (ranks x workers in a real job)
+_SHARD_SEED = "seed11"  # epoch seed: changing it re-deals + re-orders
+
+_SHARD_ORACLE = f"""
+WITH pack AS ({_PACK_ORACLE}),
+keyed AS (
+  SELECT seq_id, seq_tokens,
+         CAST('0x' || substr(md5('{_SHARD_SEED}:' || seq_id), 1, 15)
+              AS BIGINT) AS u
+  FROM pack
+)
+SELECT CAST(u % {_SHARD_N} AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       CAST(SUM(seq_tokens) AS BIGINT) AS shard_tokens,
+       arg_min(seq_id, u) AS first_seq,
+       arg_max(seq_id, u) AS last_seq,
+       CAST(SUM(u % 1048576) AS BIGINT) AS key_checksum
+FROM keyed GROUP BY 1
+"""
+
+
+@register("corpus_shard", "K1+F2", oracle=_SHARD_ORACLE, driver=False)
+def corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SHARD DEAL + seeded sequence shuffle on top of
+    :func:`corpus_pack` (round-13 ask #3): every packed 512-token
+    sequence is dealt to one of _SHARD_N dataloader shards by a
+    seed-keyed md5 hash, and WITHIN a shard the read order is the
+    ascending (u, seq_id) key — the same stateless
+    md5(seed:id) idiom as corpus_sample_mix, so re-runs, retries, and
+    resumed epochs deal and order identically, and changing the seed
+    re-shuffles the whole epoch reproducibly. Output is the per-shard
+    accounting a dataloader contract needs: sequence count, token sum
+    (hash-balance check), the first/last sequence in shuffled order
+    (arg_min/arg_max by u — pins the order endpoints), and a key
+    checksum.
+
+    100 TB posture: the shard deal is a pure map over the PACK INDEX
+    (one row per sequence, ~1/512 of corpus row count, no text), so
+    the only new exchange is the hash partition on `shard` for the
+    accounting aggregate (map-side combined, _SHARD_N output rows) —
+    plan-asserted in tests/test_plans.py. The full within-shard order
+    is never materialized by a global sort: each shard's reader sorts
+    its OWN index slice (n/_SHARD_N tiny index rows) at load time."""
+    u = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "", F.lit(f"{_SHARD_SEED}:"), F.col("seq_id")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    keyed = (
+        corpus_pack(spark, sf_dir)
+        .select("seq_id", "seq_tokens", u.alias("u"))
+        .withColumn("shard", (F.col("u") % _SHARD_N).cast("bigint"))
+    )
+    return keyed.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_seqs"),
+        F.sum("seq_tokens").cast("bigint").alias("shard_tokens"),
+        F.min_by("seq_id", "u").alias("first_seq"),
+        F.max_by("seq_id", "u").alias("last_seq"),
+        F.sum(F.col("u") % 1048576).cast("bigint").alias("key_checksum"),
     )
 
 

@@ -10,10 +10,14 @@ aggregates only.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hortacloud_importer_spark.catalog import table
+from hortacloud_importer_spark.operators.textnorm import (
+    NORM_WORDS_SQL,
+    norm_words,
+)
 from hortacloud_importer_spark.registry import register
 
 _STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
@@ -769,9 +773,9 @@ def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PPX_ORACLE = """
+_PPX_ORACLE_TPL = """
 WITH w AS (
-  SELECT doc_id, list_filter(str_split(text, ' '), x -> x <> '') AS ws
+  SELECT doc_id, {words_sql} AS ws
   FROM documents
 ),
 bg AS (
@@ -791,17 +795,28 @@ FROM bg JOIN cnt USING (gh)
 GROUP BY bg.doc_id
 """
 
+_PPX_ORACLE = _PPX_ORACLE_TPL.format(
+    words_sql="list_filter(str_split(text, ' '), x -> x <> '')"
+)
 
-def bigram_lm_bits(corpus: DataFrame) -> DataFrame:
+
+def bigram_lm_bits(corpus: DataFrame, words: Column | None = None) -> DataFrame:
     """The shared bigram-counts LM core: (doc_id, text) -> per-doc
     (n_bg, bits) where bits = sum over the doc's bigrams of
     floor(log2 corpus_count) + 1 — exact integers in any aggregation
     order. Both sides of the count join key on the 16-byte md5 gram
     digest (the engine-portable grouping hash), so no gram text
-    reaches an exchange. Used by :func:`text_ngram_ppx` and the
-    curation composite (dedup.py::q_corpus_curation_lm); their DuckDB
-    oracles mirror this pipeline verbatim."""
-    ws = F.filter(F.split("text", " "), lambda x: x != "")
+    reaches an exchange. ``words`` overrides the tokenizer (an
+    array<string> Column over `text`; default whitespace-split) — the
+    normalized variant passes operators/textnorm.py::norm_words().
+    Used by :func:`text_ngram_ppx`, :func:`text_ngram_ppx_norm`, and
+    the curation composite (dedup.py::q_corpus_curation_lm); their
+    DuckDB oracles mirror this pipeline verbatim."""
+    ws = (
+        words
+        if words is not None
+        else F.filter(F.split("text", " "), lambda x: x != "")
+    )
     bg = (
         corpus.select("doc_id", ws.alias("ws"))
         .filter(F.size("ws") >= 2)
@@ -850,6 +865,60 @@ def text_ngram_ppx(spark: SparkSession, sf_dir: str) -> DataFrame:
     far below corpus scale."""
     d = table(spark, sf_dir, "documents")
     return bigram_lm_bits(d.select("doc_id", "text")).select(
+        "doc_id",
+        F.col("n_bg").alias("n_bigrams"),
+        F.col("bits").alias("lm_bits"),
+        (F.col("bits").cast("double") / F.col("n_bg")).alias(
+            "bits_per_bigram"
+        ),
+    )
+
+
+@register(
+    "text_wordcount_norm",
+    "K5",
+    driver=False,
+    oracle=f"""
+SELECT w AS word, COUNT(*) AS n
+FROM (SELECT UNNEST({NORM_WORDS_SQL}) AS w FROM documents)
+GROUP BY 1
+""",
+)
+def text_wordcount_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized token counts (K5, round-13 ask #4): the same
+    map-side-combined vocabulary aggregate as text_wordcount, but over
+    the SHARED normalizer (operators/textnorm.py — lowercase,
+    punctuation to spaces, whitespace collapsed) instead of a raw
+    whitespace split, so 'The', 'the,' and '...the' count as one word
+    — what a multilingual corpus statistic actually needs. The oracle
+    replays the byte-identical normalizer."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(norm_words()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "text_ngram_ppx_norm",
+    "K5",
+    driver=False,
+    oracle=_PPX_ORACLE_TPL.format(words_sql=NORM_WORDS_SQL),
+)
+def text_ngram_ppx_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-token n-gram LM quality score (K5, round-13 ask #4):
+    identical statistic and plan shape to :func:`text_ngram_ppx`, but
+    the bigrams are built over the shared normalizer
+    (operators/textnorm.py) — casing and punctuation no longer split
+    the count mass, which is how production KenLM-style filters
+    tokenize. Same 100 TB posture: digest-keyed model join, no gram
+    text in any exchange, normalization itself is a pure map-side
+    regexp."""
+    d = table(spark, sf_dir, "documents")
+    return bigram_lm_bits(
+        d.select("doc_id", "text"), words=norm_words()
+    ).select(
         "doc_id",
         F.col("n_bg").alias("n_bigrams"),
         F.col("bits").alias("lm_bits"),

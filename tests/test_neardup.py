@@ -269,3 +269,50 @@ def test_components_edges_materialized_once(spark):
         for r in connected_components(pairs).collect()
     }
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_capped_portable_minhash_matches_duckdb_when_cap_fires(spark):
+    """The registered dedup_minhash runs the production bucket cap in
+    portable-hash mode with a DuckDB oracle — but at fixture scale no
+    bucket exceeds 1024, so the cap branch of the oracle is never
+    exercised there. Replay the SAME SQL here with cap=3 on a corpus
+    where four identical docs blow past it: both engines must drop the
+    hot buckets (killing the 4-clique's pairs) and keep the surviving
+    near-dup pair, bit-for-bit."""
+    import duckdb
+
+    from hortacloud_importer_spark.queries.dedup import (
+        _DEDUP_MINHASH_SQL,
+        _minhash_perm_values,
+        _shingles_of,
+    )
+
+    words = BASE.split()
+    near = words.copy()
+    near[5] = "leaps"
+    docs = [(i, " ".join(words)) for i in range(4)]  # hot 4-clique
+    docs += [(10, " ".join(near)), (11, " ".join(near))]  # survivors
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+
+    got = sorted(
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in minhash_pairs(
+            _shingles_of(df), n_hashes=32, bands=8, portable=True,
+            bucket_cap=3,
+        ).collect()
+    )
+
+    con = duckdb.connect()
+    con.register("docs_src", __import__("pandas").DataFrame(
+        docs, columns=["doc_id", "text"]
+    ))
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_src")
+    sql = _DEDUP_MINHASH_SQL.format(perms=_minhash_perm_values(), cap=3)
+    want = sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+    assert got == want
+    # the cap actually fired: the identical 4-clique (6 pairs, every
+    # band shared by all 4 docs > cap) is gone, the near-dup pair stays
+    pairs = {(a, b) for a, b, _ in got}
+    assert (10, 11) in pairs
+    assert not any(a < 4 and b < 4 for a, b in pairs)

@@ -424,7 +424,28 @@ def test_corpus_pack_has_no_global_window_over_the_data(spark, sf_dir):
             )
 
 
-@pytest.mark.parametrize("qname", ["text_ngram_ppx", "text_repetition"])
+def test_corpus_shard_deal_is_one_hash_exchange_on_shard(spark, sf_dir):
+    """The shard deal must be a pure map over the pack index: the only
+    NEW exchange vs corpus_pack is the hash partition on `shard` for
+    the accounting aggregate, and (inherited) no SinglePartition
+    exchange reads document columns."""
+    plan = _plan(spark, "corpus_shard", sf_dir)
+    assert "Exchange hashpartitioning(shard" in plan
+    single = [
+        seg for seg in plan.split("Exchange ")
+        if seg.startswith("SinglePartition")
+    ]
+    for seg in single:
+        head = seg[:500]
+        if "parquet" in head:
+            assert "ReadSchema: struct<>" in head, (
+                f"data columns feed SinglePartition: {head}"
+            )
+
+
+@pytest.mark.parametrize(
+    "qname", ["text_ngram_ppx", "text_repetition", "text_ngram_ppx_norm"]
+)
 def test_lm_text_ops_shuffle_digests_not_grams(spark, sf_dir, qname):
     """The n-gram LM score and the repetition signal key every
     aggregate/join on the 16-byte md5 digest: no exchange may carry
