@@ -133,3 +133,66 @@ pctl AS (
   GROUP BY grp
 )
 """.strip()
+
+
+def approx_percentile_rank_error(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    pcts: Sequence[float],
+    accuracy: int = 10000,
+) -> DataFrame:
+    """Measure percentile_approx's error CONTRACT against exact ranks,
+    fully distributed (round-13 ask #6: tested, not asserted).
+
+    The GK/KLL-style sketch behind percentile_approx guarantees that
+    the returned element's rank is within n/accuracy of the target
+    rank q*n. This checker recomputes each returned value's TRUE rank
+    interval [rank_lt+1, rank_le] (its 1-based positions in the sorted
+    group) with exact conditional counts, and emits the distance from
+    the target rank to that interval as ``rank_err`` — 0 whenever the
+    contract held exactly.
+
+    Shape: one percentile_approx aggregate (mergeable map-side), then
+    the tiny (groups x len(pcts)) approx table BROADCASTS back onto
+    the data for one conditional-count aggregate (row fanout
+    len(pcts), map-side combined). A verification harness, not a hot
+    path — but still one that never collects data rows or sorts
+    globally, so it runs at any scale the main query runs."""
+    gc = list(group_cols)
+    ap = df.groupBy(*gc).agg(
+        F.percentile_approx(value_col, list(pcts), accuracy).alias("_ap"),
+        F.count(value_col).alias("n"),
+    )
+    qarr = F.array(*[F.lit(float(q)) for q in pcts])
+    ap = ap.select(
+        *gc, "n", F.posexplode("_ap").alias("_qi", "approx_value")
+    ).withColumn("q", F.element_at(qarr, F.col("_qi") + 1)).drop("_qi")
+    j = df.select(*gc, F.col(value_col).alias("_v")).join(
+        F.broadcast(ap), gc
+    )
+    ranks = j.groupBy(*gc, "q", "approx_value", "n").agg(
+        F.sum((F.col("_v") < F.col("approx_value")).cast("long")).alias(
+            "rank_lt"
+        ),
+        F.sum((F.col("_v") <= F.col("approx_value")).cast("long")).alias(
+            "rank_le"
+        ),
+    )
+    # target rank q*n, clamped to >= 1: the smallest element occupies
+    # rank 1, so q=0's target is rank 1, not rank 0
+    target = F.greatest(F.lit(1.0), F.col("q") * F.col("n").cast("double"))
+    err = F.greatest(
+        F.lit(0.0),
+        (F.col("rank_lt") + 1).cast("double") - target,
+        target - F.col("rank_le").cast("double"),
+    )
+    return ranks.select(
+        *gc,
+        "q",
+        "approx_value",
+        "n",
+        "rank_lt",
+        "rank_le",
+        err.alias("rank_err"),
+    )

@@ -70,8 +70,11 @@ _BOILER_WORDS = (
 QUERIES = [
     ("dedup_exact", "16-byte fingerprint shuffle, never payloads"),
     ("dedup_approx", "banded MinHash/SimHash buckets (oracle mode, uncapped)"),
-    ("dedup_minhash", "production MinHash-LSH, bucket_cap=1024"),
-    ("dedup_simhash", "production SimHash bands, bucket_cap=4096"),
+    # r13: the registered minhash/simhash queries flipped to portable
+    # md5-derived hashes (oracle-exact incl. the cap) — these rows now
+    # measure that path; the xxhash64 mode remains in the operators
+    ("dedup_minhash", "capped MinHash-LSH (portable hashes, cap=1024)"),
+    ("dedup_simhash", "capped SimHash bands (portable hashes, cap=4096)"),
     # The substring-dedup family runs with a FULL-AGGREGATE trigger
     # (FULL_AGG below): a .count() trigger would let Catalyst prune
     # the span branch (count of a groupBy = distinct keys, join
@@ -85,6 +88,14 @@ QUERIES = [
     ("dedup_components", "edges materialized once, then propagation"),
     ("q_corpus_curation", "md5 groupBy + capped shingle join"),
     ("text_tfidf", "split/explode/agg, joins on small aggregates"),
+    # r13 ask #5: the round-12 text/packing ops had no soak rows. All
+    # five end in prunable aggregates, so they run with the
+    # full-checksum trigger (FULL_AGG).
+    ("text_ngram_ppx", "bigram LM: digest-keyed model join, no gram text"),
+    ("text_ngram_ppx_norm", "normalized-token LM, same digest-keyed plan"),
+    ("text_repetition", "intra-doc gram stats: one (doc,digest) agg, no join"),
+    ("corpus_pack", "two-pass prefix sum; window sees partition totals only"),
+    ("corpus_shard", "shard deal over the pack index, one exchange on shard"),
     ("sim_topk", "broadcast query, TakeOrdered"),
     ("sim_ann", "bucketed candidates, exact re-score of survivors"),
 ]
@@ -96,6 +107,11 @@ FULL_AGG = {
     "dedup_substring",
     "dedup_substring_seeded",
     "dedup_substring_apply",
+    "text_ngram_ppx",
+    "text_ngram_ppx_norm",
+    "text_repetition",
+    "corpus_pack",
+    "corpus_shard",
 }
 
 
@@ -316,6 +332,15 @@ def main() -> int:
         .config("spark.driver.memory", os.environ["SPARK_GRAFT_DRIVER_MEM"])
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", "4052")
+        # A GC pause > the default 120s network timeout expires the
+        # in-process executor's heartbeat; local mode cannot replace
+        # an executor, so the scheduler endpoint dies and every later
+        # stage hangs at (0 + N) forever (observed round 13 during the
+        # substring phase at 500k docs). Long timeouts are the correct
+        # posture for a single-JVM soak: there is no remote peer whose
+        # failure the timeout would detect.
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "60s")
         .getOrCreate()
     )
 
@@ -433,6 +458,12 @@ def main() -> int:
             }
         )
         print(json.dumps(phases[-1]))
+        # drop caches a phase left behind (minhash/simhash signature
+        # frames etc.): keeps phases isolated and the old-gen heap
+        # from ratcheting toward the GC pauses that trip the
+        # heartbeat — each phase builds its own caches inside its
+        # own measurement window, so this costs later phases nothing
+        spark.catalog.clearCache()
 
     sampler.stop()
     report["phases"] = phases
@@ -520,6 +551,20 @@ def _write_md(r: dict) -> None:
             f"{n:,} docs. Both rows above were measured with the "
             "full-checksum trigger (every output column of every row "
             "aggregated), so neither wall is pruned fiction.",
+        ]
+    if "text_ngram_ppx" in by_q:
+        lines += [
+            "",
+            "text_ngram_ppx's doc-grams->counts join is the linear "
+            "corpus-side shuffle (~36 B/bigram). The round-13 "
+            "pre-aggregation experiment (group to (doc_id, gh, c) "
+            "BEFORE the model join) was measured and REJECTED on this "
+            "corpus shape: shuffle rose 2,041 -> 3,523 MiB (+73%) with "
+            "identical output checksums, because 120-word documents "
+            "almost never repeat a bigram — the pre-agg adds a full "
+            "(doc_id, gh) exchange and removes no rows. It would only "
+            "pay on corpora with heavy intra-doc repetition, which "
+            "text_repetition flags cheaply first.",
         ]
     lines += [
         "",
