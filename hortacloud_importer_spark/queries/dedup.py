@@ -1578,26 +1578,16 @@ FROM frag GROUP BY seq_id
 """
 
 
-@register("corpus_pack", "K1+F2", oracle=_PACK_ORACLE, driver=False)
-def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic SEQUENCE PACKING (the concat-and-chunk stage that
-    turns a curated corpus into fixed-length training sequences):
-    documents are laid end-to-end in doc_id order and cut into
-    512-token sequences, documents splitting across cut points — the
-    standard packing used when assembling LLM training batches. Per
-    sequence: contributing docs, token count (== 512 everywhere but
-    the final partial sequence), and the first/last doc — the index a
-    dataloader needs to range-read its shard.
-
-    100 TB posture: the global token prefix sum is the scale-safe
-    TWO-PASS pattern (operators/rownum.py): range-partition by
-    doc_id, per-partition token totals (a tiny n_partitions-row
-    side), prefix-sum THOSE, broadcast the offsets back, then a
-    partition-local cumulative sum — no Exchange SinglePartition ever
-    touches the corpus (plan-asserted in tests/test_plans.py). The
-    fragment explode is map-side (a doc spans at most ceil(n/512) + 1
-    sequences) and the final aggregate is one map-side-combined
-    groupBy(seq_id)."""
+def _pack_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n, prefix) — per-document token count plus the GLOBAL
+    token offset of the document in doc_id order, via the scale-safe
+    two-pass prefix sum (operators/rownum.py pattern): range-partition
+    by doc_id, per-partition token totals (<= n_partitions rows),
+    prefix-sum THOSE in the only unpartitioned window, broadcast the
+    offsets back, then a partition-local cumulative sum — no
+    SinglePartition exchange ever touches document rows (plan-asserted
+    in tests/test_plans.py). Shared by corpus_pack and
+    corpus_pack_index."""
     from pyspark.sql.window import Window
 
     spark_parts = int(
@@ -1631,7 +1621,7 @@ def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    pre = (
+    return (
         ranged.join(F.broadcast(offsets), "_pid")
         .withColumn(
             "prefix",
@@ -1640,6 +1630,29 @@ def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("_pid", "_off")
     )
+
+
+@register("corpus_pack", "K1+F2", oracle=_PACK_ORACLE, driver=False)
+def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic SEQUENCE PACKING (the concat-and-chunk stage that
+    turns a curated corpus into fixed-length training sequences):
+    documents are laid end-to-end in doc_id order and cut into
+    512-token sequences, documents splitting across cut points — the
+    standard packing used when assembling LLM training batches. Per
+    sequence: contributing docs, token count (== 512 everywhere but
+    the final partial sequence), and the first/last doc — the index a
+    dataloader needs to range-read its shard.
+
+    100 TB posture: the global token prefix sum is the scale-safe
+    TWO-PASS pattern (operators/rownum.py): range-partition by
+    doc_id, per-partition token totals (a tiny n_partitions-row
+    side), prefix-sum THOSE, broadcast the offsets back, then a
+    partition-local cumulative sum — no Exchange SinglePartition ever
+    touches the corpus (plan-asserted in tests/test_plans.py). The
+    fragment explode is map-side (a doc spans at most ceil(n/512) + 1
+    sequences) and the final aggregate is one map-side-combined
+    groupBy(seq_id)."""
+    pre = _pack_prefix(spark, sf_dir)
     S = _PACK_S
     frag = pre.select(
         "doc_id",
@@ -1661,6 +1674,81 @@ def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tokens").cast("bigint").alias("seq_tokens"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
+    )
+
+
+_PACK_INDEX_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(str_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n
+  FROM documents
+),
+pre AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prefix
+  FROM d WHERE n >= 1
+)
+SELECT CAST(t.s AS BIGINT) AS seq_id,
+       doc_id,
+       CAST(GREATEST(t.s * {_PACK_S}, prefix) - t.s * {_PACK_S}
+            AS BIGINT) AS seq_off,
+       CAST(GREATEST(t.s * {_PACK_S}, prefix) - prefix
+            AS BIGINT) AS doc_off,
+       CAST(LEAST((t.s + 1) * {_PACK_S}, prefix + n)
+            - GREATEST(t.s * {_PACK_S}, prefix) AS BIGINT) AS n_tok
+FROM pre,
+     UNNEST(range(CAST(prefix // {_PACK_S} AS BIGINT),
+                  CAST((prefix + n - 1) // {_PACK_S} + 1 AS BIGINT)))
+       AS t(s)
+"""
+
+
+@register("corpus_pack_index", "K1+F2",
+          oracle=_PACK_INDEX_ORACLE, driver=False)
+def corpus_pack_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FRAGMENT-level read index corpus_pack aggregates away: one
+    row per (sequence, contributing document) with the fragment's
+    offset inside the sequence (seq_off), its offset inside the source
+    document (doc_off), and its token count (n_tok) — exactly the
+    table a dataloader range-reads to reconstruct sequence bytes
+    without re-tokenizing the corpus. Invariants (checked by the
+    oracle hash, since both engines compute them): per sequence,
+    fragments tile [0, 512) with no gaps; per document, fragments
+    tile [0, n) in doc_off order.
+
+    100 TB posture: identical plan to corpus_pack minus its final
+    aggregate — the two-pass prefix sum (the only unpartitioned window
+    sees per-partition totals), then a map-side fragment explode; the
+    index is emitted partition-local with NO additional exchange, and
+    at ~1 row per 512 tokens it is ~0.2% of corpus row count."""
+    pre = _pack_prefix(spark, sf_dir)
+    S = _PACK_S
+    frag = pre.select(
+        "doc_id",
+        "n",
+        "prefix",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("prefix") / S),
+                F.floor((F.col("prefix") + F.col("n") - 1) / S),
+            )
+        ).alias("seq_id"),
+    )
+    start = F.greatest(F.col("seq_id") * S, F.col("prefix"))
+    return frag.select(
+        "seq_id",
+        "doc_id",
+        (start - F.col("seq_id") * S).cast("bigint").alias("seq_off"),
+        (start - F.col("prefix")).cast("bigint").alias("doc_off"),
+        (
+            F.least((F.col("seq_id") + 1) * S, F.col("prefix") + F.col("n"))
+            - start
+        )
+        .cast("bigint")
+        .alias("n_tok"),
     )
 
 

@@ -181,12 +181,13 @@ def test_no_registered_query_has_unpartitioned_window_over_facts():
     allowed = {
         ("queries/windows.py", "sort_global"),  # nation: 25 rows
         ("operators/rownum.py", "global_row_numbers"),  # <= npartitions rows
-        # corpus_pack's token-offset prefix sum: the same two-pass
-        # shape as global_row_numbers — the window runs over the
+        # the shared token-offset prefix sum behind corpus_pack and
+        # corpus_pack_index: the same two-pass shape as
+        # global_row_numbers — the window runs over the
         # <= npartitions per-partition totals, never document rows
         # (test_corpus_pack_has_no_global_window_over_the_data pins
         # the executed plan)
-        ("queries/dedup.py", "corpus_pack"),
+        ("queries/dedup.py", "_pack_prefix"),
     }
     hits = []
     for py in qdir.rglob("*.py"):
