@@ -171,6 +171,13 @@ def main() -> None:
         "code" if (ratio > 1.10 and not in_band) else "host-or-noise"
     )
     verdict = {
+        "note": (
+            "totals here are SINGLE-REP normalized (each side runs "
+            "bench.py with REPS=1), which land ~30-40% above the "
+            "min-of-3 band by design — judge the RATIO, not the "
+            "absolute; new_inside_band only flags the rare case a "
+            "single-rep total is somehow inside the min-of-3 band"
+        ),
         "old_rev": old_rev,
         "new_rev": head,
         "old_best_norm": old_b["best_norm"],
