@@ -14,7 +14,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hortacloud_importer_spark.catalog import table
+from hortacloud_importer_spark.operators.textnorm import NORM_WORDS_SQL
 from hortacloud_importer_spark.registry import register
+
+# normalized tokenization for leak checks and the *_norm dedup/text
+# variants: lowercase, strip punctuation to spaces, collapse
+# whitespace — byte-identical between Spark (Java regex) and DuckDB
+# (RE2) for this ASCII class; ONE definition (operators/textnorm.py)
+# shared with the DuckDB mirror
+_NORM_SQL = NORM_WORDS_SQL
 
 # A corpus with actual duplicates: every 5th document re-appears under
 # a shifted doc_id (simulating a re-crawl).
@@ -49,6 +57,35 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference between shuffling hashes and shuffling documents."""
     corpus = _dup_corpus(spark, sf_dir)
     return corpus.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    )
+
+
+@register(
+    "dedup_exact_norm",
+    "K1",
+    driver=False,
+    oracle=f"""
+SELECT MD5(array_to_string({NORM_WORDS_SQL}, ' ')) AS fp,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM ({_DUP_CORPUS_SQL})
+GROUP BY 1
+""",
+)
+def dedup_exact_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NORMALIZED exact dedup (K1, round-13): fingerprint the SHARED
+    normalizer's token stream (operators/textnorm.py) instead of raw
+    bytes, so re-crawls that differ only in casing, punctuation, or
+    whitespace collapse onto one fingerprint — the 'fuzzy-exact' first
+    pass most production pipelines run before any near-dup stage.
+    Same 100 TB posture as dedup_exact: normalization is a map-side
+    regexp, and only the 16-byte fingerprint ever shuffles."""
+    corpus = _dup_corpus(spark, sf_dir)
+    from hortacloud_importer_spark.operators.textnorm import norm_words
+
+    return corpus.groupBy(
+        F.md5(F.concat_ws(" ", norm_words())).alias("fp")
+    ).agg(
         F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
     )
 
@@ -1350,16 +1387,6 @@ def _decontaminate(spark, sf_dir: str, words) -> DataFrame:
         )
     )
 
-
-# normalized tokenization for leak checks: lowercase, strip
-# punctuation to spaces, collapse whitespace — byte-identical between
-# Spark (Java regex) and DuckDB (RE2) for this ASCII class
-# Shared normalized tokenization (operators/textnorm.py): one
-# definition for decontamination AND the normalized text ops, with the
-# DuckDB mirror kept in lockstep there.
-from hortacloud_importer_spark.operators.textnorm import (  # noqa: E402
-    NORM_WORDS_SQL as _NORM_SQL,
-)
 
 _DECON_NORM_ORACLE = f"""
 WITH d AS (

@@ -332,13 +332,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_tfidf",
-    "K5",
-    oracle="""
+_TFIDF_ORACLE_TPL = """
 WITH toks AS (
   SELECT doc_id, w AS word
-  FROM (SELECT doc_id, UNNEST(str_split(text, ' ')) AS w FROM documents)
+  FROM (SELECT doc_id, UNNEST({words_sql}) AS w FROM documents)
   WHERE w <> ''
 ),
 tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -353,23 +350,19 @@ SELECT doc_id, word, tfidf FROM (
                     t.word) AS rn
   FROM tf t JOIN dfreq d USING (word) CROSS JOIN n
 ) WHERE rn <= 3
-""",
-)
-def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tf-idf with per-doc top-3 terms (K5): term frequency per
-    (doc, word), document frequency per word off the same aggregate,
-    idf = ln(N/df), then a per-doc grouped top-k (WindowGroupLimit
-    pushes the partial limit below the shuffle). The word-keyed join
-    shuffles vocabulary-sized data only; the 1-row corpus count is
-    broadcast. Scores are rounded to 6 dp before ranking so both
-    engines rank identical values; ties break on the word itself.
-    (tf feeds two aggregates; recomputing it beats caching here —
-    both consumers are one shuffle off the same scan.)"""
+"""
+
+
+def _tfidf_top3(spark: SparkSession, sf_dir: str, words: Column) -> DataFrame:
+    """Shared tf-idf core over any tokenizer expression (an
+    array<string> Column over `text`); see text_tfidf for the plan
+    rationale. Both the raw and normalized registry variants wrap
+    this with the matching ``words_sql`` in _TFIDF_ORACLE_TPL."""
     from pyspark.sql import Window
 
     d = table(spark, sf_dir, "documents")
     toks = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+        d.select("doc_id", F.explode(words).alias("word"))
         .filter(F.col("word") != "")
     )
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
@@ -394,6 +387,40 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "word", "tfidf")
     )
+
+
+@register(
+    "text_tfidf",
+    "K5",
+    oracle=_TFIDF_ORACLE_TPL.format(words_sql="str_split(text, ' ')"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tf-idf with per-doc top-3 terms (K5): term frequency per
+    (doc, word), document frequency per word off the same aggregate,
+    idf = ln(N/df), then a per-doc grouped top-k (WindowGroupLimit
+    pushes the partial limit below the shuffle). The word-keyed join
+    shuffles vocabulary-sized data only; the 1-row corpus count is
+    broadcast. Scores are rounded to 6 dp before ranking so both
+    engines rank identical values; ties break on the word itself.
+    (tf feeds two aggregates; recomputing it beats caching here —
+    both consumers are one shuffle off the same scan.)"""
+    return _tfidf_top3(spark, sf_dir, F.split("text", " "))
+
+
+@register(
+    "text_tfidf_norm",
+    "K5",
+    driver=False,
+    oracle=_TFIDF_ORACLE_TPL.format(words_sql=NORM_WORDS_SQL),
+)
+def text_tfidf_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-token tf-idf (K5, completes round-13 ask #4's
+    consistent-normalization set alongside text_wordcount_norm and
+    text_ngram_ppx_norm): identical plan to text_tfidf over the shared
+    normalizer (operators/textnorm.py), so 'Term', 'term,' and 'term'
+    share one tf/df mass — term statistics a real corpus pipeline can
+    actually compare across documents."""
+    return _tfidf_top3(spark, sf_dir, norm_words())
 
 
 _BPE_MERGES = 6  # merge-learning iterations
