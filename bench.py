@@ -95,6 +95,20 @@ def band_verdict(normalized: float) -> str:
     return "inside" if normalized <= hi else "above"
 
 
+def band_distance_pct(normalized: float) -> float:
+    """Signed distance from the band as a percentage of the nearest
+    edge: 0.0 inside, +0.5 means 0.5% above the ceiling. The calib
+    spin carries ~±3% sampling noise, so a sub-3% 'above' is the
+    noise floor, not a regression — this field lets a reader see that
+    without recomputing."""
+    lo, hi = BAND
+    if normalized < lo:
+        return round(100.0 * (normalized - lo) / lo, 2)
+    if normalized > hi:
+        return round(100.0 * (normalized - hi) / hi, 2)
+    return 0.0
+
+
 def _host_fingerprint() -> dict:
     """Identify the machine state a bench run executed under, so a
     round-over-round delta can be attributed to code vs host (round 8
@@ -233,6 +247,9 @@ def main() -> None:
     if not sys.argv[1:] and abs(sf - 0.1) < 1e-9:
         out["band"] = list(BAND)
         out["band_verdict"] = band_verdict(out["calib_normalized_value"])
+        out["band_distance_pct"] = band_distance_pct(
+            out["calib_normalized_value"]
+        )
     print(json.dumps(out))
 
 

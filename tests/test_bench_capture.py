@@ -62,3 +62,11 @@ def test_idle_gate_defaults_tightened(monkeypatch):
     src = open(_BENCH_PATH).read()
     assert '"SPARK_GRAFT_BENCH_MAXLOAD", "0.8"' in src
     assert '"SPARK_GRAFT_BENCH_IDLE_TIMEOUT", "1800"' in src
+
+
+def test_band_distance_pct():
+    lo, hi = bench.BAND
+    assert bench.band_distance_pct((lo + hi) / 2) == 0.0
+    assert bench.band_distance_pct(hi) == 0.0
+    assert bench.band_distance_pct(hi * 1.005) == 0.5
+    assert bench.band_distance_pct(lo * 0.99) == -1.0
