@@ -213,3 +213,40 @@ def test_substring_hash_is_collision_safe_here(con):
             w = text[i : i + L]
             h = hashlib.md5(w.encode()).hexdigest()
             assert seen.setdefault(h, w) == w
+
+
+def test_corpus_pack_index_tiles_sequences_and_documents(spark, sf_dir):
+    """The fragment index must TILE: per sequence, fragments cover
+    [0, 512) contiguously (the final sequence may end short); per
+    document, fragments cover [0, n_tokens) contiguously in doc_off
+    order. This is the property that lets a dataloader reconstruct
+    any sequence by range-reading documents — the oracle hash proves
+    engine agreement, this proves the geometry itself."""
+    from hortacloud_importer_spark.queries.dedup import (
+        _PACK_S,
+        corpus_pack_index,
+    )
+
+    rows = corpus_pack_index(spark, sf_dir).collect()
+    by_seq: dict = {}
+    by_doc: dict = {}
+    for r in rows:
+        by_seq.setdefault(r.seq_id, []).append((r.seq_off, r.n_tok))
+        by_doc.setdefault(r.doc_id, []).append((r.doc_off, r.n_tok))
+    assert rows and len(by_seq) > 1 and len(by_doc) > 1
+    last_seq = max(by_seq)
+    for seq_id, frags in by_seq.items():
+        frags.sort()
+        pos = 0
+        for off, n in frags:
+            assert off == pos, (seq_id, off, pos)
+            assert n >= 1
+            pos = off + n
+        if seq_id != last_seq:
+            assert pos == _PACK_S, (seq_id, pos)
+    for doc_id, frags in by_doc.items():
+        frags.sort()
+        pos = 0
+        for off, n in frags:
+            assert off == pos, (doc_id, off, pos)
+            pos = off + n
