@@ -1800,6 +1800,33 @@ FROM keyed GROUP BY 1
 """
 
 
+def shard_deal(
+    seqs: DataFrame,
+    n_shards: int = _SHARD_N,
+    seed: str = _SHARD_SEED,
+    id_col: str = "seq_id",
+) -> DataFrame:
+    """Parameterized shard deal: append (u, shard) to any frame with
+    an integer id column — u = the seed-keyed portable md5 integer
+    (the within-shard order key), shard = u mod n_shards. Stateless
+    and reproducible: the same (seed, id) always lands in the same
+    shard at the same order position; a NEW epoch passes a new seed
+    and gets an independent deal + order. Pure map-side (no exchange);
+    `corpus_shard` is this plus the accounting aggregate."""
+    u = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("", F.lit(f"{seed}:"), F.col(id_col))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return seqs.withColumn("u", u).withColumn(
+        "shard", (F.col("u") % n_shards).cast("bigint")
+    )
+
+
 @register("corpus_shard", "K1+F2", oracle=_SHARD_ORACLE, driver=False)
 def corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic SHARD DEAL + seeded sequence shuffle on top of
@@ -1821,24 +1848,12 @@ def corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     accounting aggregate (map-side combined, _SHARD_N output rows) —
     plan-asserted in tests/test_plans.py. The full within-shard order
     is never materialized by a global sort: each shard's reader sorts
-    its OWN index slice (n/_SHARD_N tiny index rows) at load time."""
-    u = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "", F.lit(f"{_SHARD_SEED}:"), F.col("seq_id")
-                )
-            ),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    keyed = (
-        corpus_pack(spark, sf_dir)
-        .select("seq_id", "seq_tokens", u.alias("u"))
-        .withColumn("shard", (F.col("u") % _SHARD_N).cast("bigint"))
+    its OWN index slice (n/_SHARD_N tiny index rows) at load time.
+    The deal itself is the reusable :func:`shard_deal` (epoch seed and
+    shard count parameterized; determinism pinned in
+    tests/test_llm_ops_reference.py)."""
+    keyed = shard_deal(
+        corpus_pack(spark, sf_dir).select("seq_id", "seq_tokens")
     )
     return keyed.groupBy("shard").agg(
         F.count("*").cast("bigint").alias("n_seqs"),

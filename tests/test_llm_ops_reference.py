@@ -250,3 +250,28 @@ def test_corpus_pack_index_tiles_sequences_and_documents(spark, sf_dir):
         for off, n in frags:
             assert off == pos, (doc_id, off, pos)
             pos = off + n
+
+
+def test_shard_deal_is_seed_keyed_and_partitions(spark):
+    """The reusable shard deal: same seed => identical assignment AND
+    identical within-shard order key; a new epoch seed => a genuinely
+    different permutation; every id lands in exactly one shard and
+    shards are reasonably balanced."""
+    from hortacloud_importer_spark.queries.dedup import shard_deal
+
+    ids = spark.range(2000).withColumnRenamed("id", "seq_id")
+    a = {r.seq_id: (r.shard, r.u)
+         for r in shard_deal(ids, 8, "epoch0").collect()}
+    b = {r.seq_id: (r.shard, r.u)
+         for r in shard_deal(ids, 8, "epoch0").collect()}
+    c = {r.seq_id: (r.shard, r.u)
+         for r in shard_deal(ids, 8, "epoch1").collect()}
+    assert a == b  # reproducible across runs
+    assert len(a) == 2000
+    moved = sum(1 for k in a if a[k][0] != c[k][0])
+    assert moved > 1000  # a new epoch re-deals most sequences
+    sizes = {}
+    for sh, _ in a.values():
+        assert 0 <= sh < 8
+        sizes[sh] = sizes.get(sh, 0) + 1
+    assert len(sizes) == 8 and min(sizes.values()) > 2000 // 8 // 2
