@@ -1606,20 +1606,10 @@ FROM frag GROUP BY seq_id
 
 
 def _pack_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n, prefix) — per-document token count plus the GLOBAL
-    token offset of the document in doc_id order, via the scale-safe
-    two-pass prefix sum (operators/rownum.py pattern): range-partition
-    by doc_id, per-partition token totals (<= n_partitions rows),
-    prefix-sum THOSE in the only unpartitioned window, broadcast the
-    offsets back, then a partition-local cumulative sum — no
-    SinglePartition exchange ever touches document rows (plan-asserted
-    in tests/test_plans.py). Shared by corpus_pack and
-    corpus_pack_index."""
-    from pyspark.sql.window import Window
-
-    spark_parts = int(
-        spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    """(doc_id, n, prefix) over the raw documents table — see
+    :func:`_pack_prefix_of` for the mechanism. Shared by corpus_pack
+    and corpus_pack_index; q_dataset_build feeds the generalized
+    version its filtered/deduped corpus instead."""
     d = (
         table(spark, sf_dir, "documents")
         .select(
@@ -1631,6 +1621,23 @@ def _pack_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n"),
         )
         .filter(F.col("n") >= 1)
+    )
+    return _pack_prefix_of(spark, d)
+
+
+def _pack_prefix_of(spark: SparkSession, d: DataFrame) -> DataFrame:
+    """Append the GLOBAL token offset (`prefix`) in doc_id order to any
+    (doc_id, n) frame, via the scale-safe two-pass prefix sum
+    (operators/rownum.py pattern): range-partition by doc_id,
+    per-partition token totals (<= n_partitions rows), prefix-sum
+    THOSE in the only unpartitioned window, broadcast the offsets
+    back, then a partition-local cumulative sum — no SinglePartition
+    exchange ever touches document rows (plan-asserted in
+    tests/test_plans.py)."""
+    from pyspark.sql.window import Window
+
+    spark_parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
     ranged = d.repartitionByRange(spark_parts, "doc_id").withColumn(
         "_pid", F.spark_partition_id()
@@ -1861,6 +1868,186 @@ def corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("seq_id", "u").alias("first_seq"),
         F.max_by("seq_id", "u").alias("last_seq"),
         F.sum(F.col("u") % 1048576).cast("bigint").alias("key_checksum"),
+    )
+
+
+_DSB_STOPS = "'the','a','of','and','to','in','is','for','on','with'"
+
+_DATASET_BUILD_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, source, text FROM documents
+  WHERE doc_id % 5 = 0
+),
+quality AS (
+  SELECT doc_id, source, text,
+         CAST(len(list_filter(str_split(text, ' '), x -> x <> ''))
+              AS BIGINT) AS n,
+         LEN(str_split(text, ' ')) AS n_words,
+         CAST(LEN(list_filter(str_split(text, ' '),
+                              w -> w IN ({_DSB_STOPS}))) AS DOUBLE)
+           / LEN(str_split(text, ' ')) AS stop_ratio
+  FROM corpus
+),
+kept AS (
+  SELECT * FROM quality
+  WHERE n_words >= 5 AND n_words <= 2000 AND stop_ratio >= 0.01
+    AND n >= 1
+),
+dedup AS (
+  SELECT MIN(doc_id) AS doc_id,
+         arg_min(source, doc_id) AS source,
+         MIN(n) AS n
+  FROM kept GROUP BY MD5(text)
+),
+sampled AS (
+  SELECT doc_id, n FROM (
+    SELECT doc_id, n,
+           ((CAST(substr(source, 4) AS INT) % 4) + 1) / 5.0 AS rate,
+           {_MIX_U} AS u
+    FROM dedup
+  ) WHERE u < rate
+),
+pre AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS prefix
+  FROM sampled
+),
+frag AS (
+  SELECT t.s AS seq_id,
+         LEAST((t.s + 1) * {_PACK_S}, prefix + n)
+           - GREATEST(t.s * {_PACK_S}, prefix) AS tokens
+  FROM pre,
+       UNNEST(range(CAST(prefix // {_PACK_S} AS BIGINT),
+                    CAST((prefix + n - 1) // {_PACK_S} + 1 AS BIGINT)))
+         AS t(s)
+),
+seqs AS (
+  SELECT CAST(seq_id AS BIGINT) AS seq_id,
+         CAST(SUM(tokens) AS BIGINT) AS seq_tokens
+  FROM frag GROUP BY 1
+),
+keyed AS (
+  SELECT seq_id, seq_tokens,
+         CAST('0x' || substr(md5('{_SHARD_SEED}:' || seq_id), 1, 15)
+              AS BIGINT) AS u
+  FROM seqs
+)
+SELECT CAST(u % {_SHARD_N} AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_seqs,
+       CAST(SUM(seq_tokens) AS BIGINT) AS shard_tokens,
+       arg_min(seq_id, u) AS first_seq,
+       arg_max(seq_id, u) AS last_seq
+FROM keyed GROUP BY 1
+"""
+
+
+@register("q_dataset_build", "K1+K5+F2",
+          oracle=_DATASET_BUILD_ORACLE, driver=False)
+def q_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW CRAWL -> TRAINING SHARDS, one Catalyst plan (K1+K5+F2): the
+    full dataset-build composite a training run actually executes —
+    quality signals filter the dup-injected corpus, exact dedup
+    collapses re-crawls (16-byte md5 shuffle), deterministic mixture
+    sampling applies per-source rates (stateless seed-keyed md5, the
+    corpus_sample_mix stage), survivors pack end-to-end into 512-token
+    sequences (the two-pass global prefix sum — no SinglePartition
+    over data rows), and the sequences deal into dataloader shards
+    (shard_deal). Output: per-shard sequence/token accounting with the
+    shuffled-order endpoints. Every stage is an already-verified
+    operator; this pins their COMPOSITION with one DuckDB oracle.
+    (Benchmark decontamination composes the same way — broadcast gram
+    join before sampling — but is pinned by its own oracle pair, so
+    this composite keeps the plan readable without it.)
+
+    Scale shape: the only full-corpus shuffles are the md5 dedup
+    groupBy and the pack range-partition; sampling is a map-side
+    filter on the deduped (doc_id, n) index, the prefix-sum window
+    sees per-partition totals only, and the shard accounting is one
+    map-side-combined aggregate with _SHARD_N output rows."""
+    stopwords = (
+        "the", "a", "of", "and", "to", "in", "is", "for", "on", "with"
+    )
+    d = table(spark, sf_dir, "documents")
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
+    )
+    corpus = d.select("doc_id", "source", "text").unionByName(dup)
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("bigint")
+    stop_ratio = (
+        F.size(F.filter(words, lambda w: w.isin(*stopwords))).cast(
+            "double"
+        )
+        / n_words
+    )
+    n = F.size(F.filter(words, lambda x: x != "")).cast("bigint")
+    kept = (
+        corpus.withColumn("n", n)
+        .withColumn("n_words", n_words)
+        .withColumn("stop_ratio", stop_ratio)
+        .filter(
+            (F.col("n_words") >= 5)
+            & (F.col("n_words") <= 2000)
+            & (F.col("stop_ratio") >= 0.01)
+            & (F.col("n") >= 1)
+        )
+    )
+    dedup = kept.groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("source", "doc_id").alias("source"),
+        F.min("n").alias("n"),
+    )
+    rate = ((F.substring("source", 4, 10).cast("int") % 4) + 1) / 5.0
+    u_mix = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "", F.col("source"), F.lit(":"),
+                        F.col("doc_id"), F.lit(":seed7"),
+                    )
+                ),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    sampled = (
+        dedup.withColumn("rate", rate)
+        .withColumn("u", u_mix)
+        .filter(F.col("u") < F.col("rate"))
+        .select("doc_id", "n")
+    )
+    pre = _pack_prefix_of(spark, sampled)
+    S = _PACK_S
+    frag = pre.select(
+        F.explode(
+            F.sequence(
+                F.floor(F.col("prefix") / S),
+                F.floor((F.col("prefix") + F.col("n") - 1) / S),
+            )
+        ).alias("seq_id"),
+        "prefix",
+        "n",
+    ).withColumn(
+        "tokens",
+        F.least((F.col("seq_id") + 1) * S, F.col("prefix") + F.col("n"))
+        - F.greatest(F.col("seq_id") * S, F.col("prefix")),
+    )
+    seqs = frag.groupBy("seq_id").agg(
+        F.sum("tokens").cast("bigint").alias("seq_tokens")
+    )
+    keyed = shard_deal(seqs)
+    return keyed.groupBy("shard").agg(
+        F.count("*").cast("bigint").alias("n_seqs"),
+        F.sum("seq_tokens").cast("bigint").alias("shard_tokens"),
+        F.min_by("seq_id", "u").alias("first_seq"),
+        F.max_by("seq_id", "u").alias("last_seq"),
     )
 
 

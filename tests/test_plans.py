@@ -187,7 +187,7 @@ def test_no_registered_query_has_unpartitioned_window_over_facts():
         # <= npartitions per-partition totals, never document rows
         # (test_corpus_pack_has_no_global_window_over_the_data pins
         # the executed plan)
-        ("queries/dedup.py", "_pack_prefix"),
+        ("queries/dedup.py", "_pack_prefix_of"),
     }
     hits = []
     for py in qdir.rglob("*.py"):
@@ -432,6 +432,29 @@ def test_corpus_shard_deal_is_one_hash_exchange_on_shard(spark, sf_dir):
     exchange reads document columns."""
     plan = _plan(spark, "corpus_shard", sf_dir)
     assert "Exchange hashpartitioning(shard" in plan
+    single = [
+        seg for seg in plan.split("Exchange ")
+        if seg.startswith("SinglePartition")
+    ]
+    for seg in single:
+        head = seg[:500]
+        if "parquet" in head:
+            assert "ReadSchema: struct<>" in head, (
+                f"data columns feed SinglePartition: {head}"
+            )
+
+
+def test_dataset_build_composite_plan_shape(spark, sf_dir):
+    """The raw-crawl->shards composite must inherit every stage's
+    scale guarantee in composition: the pack prefix-sum's two-pass
+    shape (windows keyed by the range-partition id; any
+    SinglePartition exchange over a parquet scan reads no columns),
+    the shard accounting's hash exchange, and no cartesian join
+    anywhere."""
+    plan = _plan(spark, "q_dataset_build", sf_dir)
+    assert "windowspecdefinition(_pid#" in plan
+    assert "Exchange hashpartitioning(shard" in plan
+    assert "CartesianProduct" not in plan
     single = [
         seg for seg in plan.split("Exchange ")
         if seg.startswith("SinglePartition")
