@@ -1904,7 +1904,8 @@ dedup AS (
 sampled AS (
   SELECT doc_id, n FROM (
     SELECT doc_id, n,
-           ((CAST(substr(source, 4) AS INT) % 4) + 1) / 5.0 AS rate,
+           ((CAST('0x' || substr(md5(source), 1, 8) AS BIGINT) % 4) + 1)
+             / 5.0 AS rate,
            {_MIX_U} AS u
     FROM dedup
   ) WHERE u < rate
@@ -2001,7 +2002,20 @@ def q_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("source", "doc_id").alias("source"),
         F.min("n").alias("n"),
     )
-    rate = ((F.substring("source", 4, 10).cast("int") % 4) + 1) / 5.0
+    # per-source rate from a HASH of the source name (not a parse of
+    # its suffix like corpus_sample_mix's fixture-shaped rate): works
+    # for any source vocabulary — the soak corpus uses web/wiki/code/
+    # news, where a digit-parse raises under ANSI casts
+    rate = (
+        (
+            F.conv(F.substring(F.md5("source"), 1, 8), 16, 10).cast(
+                "bigint"
+            )
+            % 4
+            + 1
+        )
+        / 5.0
+    )
     u_mix = (
         F.conv(
             F.substring(

@@ -96,6 +96,8 @@ QUERIES = [
     ("text_repetition", "intra-doc gram stats: one (doc,digest) agg, no join"),
     ("corpus_pack", "two-pass prefix sum; window sees partition totals only"),
     ("corpus_shard", "shard deal over the pack index, one exchange on shard"),
+    ("q_dataset_build",
+     "full crawl->shards composite: dedup + mix + pack + shard fused"),
     ("sim_topk", "broadcast query, TakeOrdered"),
     ("sim_ann", "bucketed candidates, exact re-score of survivors"),
 ]
@@ -104,6 +106,7 @@ QUERIES = [
 # queries whose final stage is a prunable aggregate: measured with the
 # checksum trigger, never .count() (see the QUERIES comment)
 FULL_AGG = {
+    "q_dataset_build",
     "dedup_substring",
     "dedup_substring_seeded",
     "dedup_substring_apply",
@@ -482,6 +485,13 @@ def main() -> int:
             }
             recalls[method] = round(len(exact & got) / max(len(exact), 1), 2)
         report["ann_recall_at_k"] = recalls
+    if args.queries:
+        # subset run: print-only. _write_md splices the WHOLE section
+        # for this doc count, so a partial phase table would silently
+        # replace the full one in SOAK.md.
+        print(json.dumps(report, indent=1)[:2400])
+        spark.stop()
+        return 0
     _write_md(report)
     print(json.dumps(report, indent=1)[:2400])
     spark.stop()
