@@ -1443,10 +1443,17 @@ _MIX_U = (
     " AS BIGINT) / 4294967296.0"
 )
 
+# per-source rate from a HASH of the source name (r13: was a parse of
+# the fixture's "srcN" suffix, which raises under ANSI casts on any
+# other source vocabulary — e.g. the soak corpus's web/wiki/code/news)
+_MIX_RATE = (
+    "((CAST('0x' || substr(md5(source), 1, 8) AS BIGINT) % 4) + 1) / 5.0"
+)
+
 _MIX_ORACLE = f"""
 WITH d AS (
   SELECT doc_id, source, length(text) AS n_chars,
-         ((CAST(substr(source, 4) AS INT) % 4) + 1) / 5.0 AS rate,
+         {_MIX_RATE} AS rate,
          {_MIX_U} AS u
   FROM documents
 )
@@ -1484,7 +1491,16 @@ def corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.length("text").alias("n_chars"),
         (
-            ((F.substring("source", 4, 10).cast("int") % 4) + 1) / 5.0
+            # hash-derived per-source rate (mirrors _MIX_RATE): works
+            # for any source vocabulary, not just the fixture's "srcN"
+            (
+                F.conv(F.substring(F.md5("source"), 1, 8), 16, 10).cast(
+                    "bigint"
+                )
+                % 4
+                + 1
+            )
+            / 5.0
         ).alias("rate"),
         (
             F.conv(

@@ -94,6 +94,8 @@ QUERIES = [
     ("text_ngram_ppx", "bigram LM: digest-keyed model join, no gram text"),
     ("text_ngram_ppx_norm", "normalized-token LM, same digest-keyed plan"),
     ("text_repetition", "intra-doc gram stats: one (doc,digest) agg, no join"),
+    ("corpus_sample_mix",
+     "stateless seed-keyed sampling: map-side filter, one tiny agg"),
     ("corpus_pack", "two-pass prefix sum; window sees partition totals only"),
     ("corpus_shard", "shard deal over the pack index, one exchange on shard"),
     ("q_dataset_build",
