@@ -1589,6 +1589,18 @@ FROM rebuilt
 
 _PACK_S = 512  # tokens per packed training sequence
 
+
+def _seq_ids(S: int):
+    """Sequence ids covered by a doc laid at [prefix, prefix + n):
+    ``prefix div S .. (prefix + n - 1) div S``. INTEGER `div`, not
+    float floor-of-division: floor(prefix / S) agrees with the
+    oracle's ``//`` only while S is a power of two and prefixes stay
+    below 2^53 — `div` holds for any S at any corpus size."""
+    return F.sequence(
+        F.expr(f"prefix div {S}"),
+        F.expr(f"(prefix + n - 1) div {S}"),
+    )
+
 _PACK_ORACLE = f"""
 WITH d AS (
   SELECT doc_id,
@@ -1708,12 +1720,7 @@ def corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n",
         "prefix",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("prefix") / S),
-                F.floor((F.col("prefix") + F.col("n") - 1) / S),
-            )
-        ).alias("seq_id"),
+        F.explode(_seq_ids(S)).alias("seq_id"),
     ).withColumn(
         "tokens",
         F.least((F.col("seq_id") + 1) * S, F.col("prefix") + F.col("n"))
@@ -1780,12 +1787,7 @@ def corpus_pack_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n",
         "prefix",
-        F.explode(
-            F.sequence(
-                F.floor(F.col("prefix") / S),
-                F.floor((F.col("prefix") + F.col("n") - 1) / S),
-            )
-        ).alias("seq_id"),
+        F.explode(_seq_ids(S)).alias("seq_id"),
     )
     start = F.greatest(F.col("seq_id") * S, F.col("prefix"))
     return frag.select(
@@ -1805,12 +1807,18 @@ def corpus_pack_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHARD_N = 8  # dataloader shards (ranks x workers in a real job)
 _SHARD_SEED = "seed11"  # epoch seed: changing it re-deals + re-orders
 
+# shared shard-key SQL fragment — the DuckDB mirror of shard_deal()'s
+# u column; interpolated by every oracle that deals shards so a seed
+# or hash-width change can never desync a composite from its stages
+_SHARD_U_SQL = (
+    f"CAST('0x' || substr(md5('{_SHARD_SEED}:' || seq_id), 1, 15)"
+    " AS BIGINT)"
+)
+
 _SHARD_ORACLE = f"""
 WITH pack AS ({_PACK_ORACLE}),
 keyed AS (
-  SELECT seq_id, seq_tokens,
-         CAST('0x' || substr(md5('{_SHARD_SEED}:' || seq_id), 1, 15)
-              AS BIGINT) AS u
+  SELECT seq_id, seq_tokens, {_SHARD_U_SQL} AS u
   FROM pack
 )
 SELECT CAST(u % {_SHARD_N} AS BIGINT) AS shard,
@@ -1920,8 +1928,7 @@ dedup AS (
 sampled AS (
   SELECT doc_id, n FROM (
     SELECT doc_id, n,
-           ((CAST('0x' || substr(md5(source), 1, 8) AS BIGINT) % 4) + 1)
-             / 5.0 AS rate,
+           {_MIX_RATE} AS rate,
            {_MIX_U} AS u
     FROM dedup
   ) WHERE u < rate
@@ -1948,9 +1955,7 @@ seqs AS (
   FROM frag GROUP BY 1
 ),
 keyed AS (
-  SELECT seq_id, seq_tokens,
-         CAST('0x' || substr(md5('{_SHARD_SEED}:' || seq_id), 1, 15)
-              AS BIGINT) AS u
+  SELECT seq_id, seq_tokens, {_SHARD_U_SQL} AS u
   FROM seqs
 )
 SELECT CAST(u % {_SHARD_N} AS BIGINT) AS shard,
@@ -2056,12 +2061,7 @@ def q_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = _pack_prefix_of(spark, sampled)
     S = _PACK_S
     frag = pre.select(
-        F.explode(
-            F.sequence(
-                F.floor(F.col("prefix") / S),
-                F.floor((F.col("prefix") + F.col("n") - 1) / S),
-            )
-        ).alias("seq_id"),
+        F.explode(_seq_ids(S)).alias("seq_id"),
         "prefix",
         "n",
     ).withColumn(
