@@ -221,6 +221,7 @@ def simhash_pairs(
     max_hamming: int = 12,
     portable: bool = False,
     bucket_cap: int | None = None,
+    per_doc_budget: int | None = None,
 ) -> DataFrame:
     """Candidate pairs via 16-bit prefix band + exact hamming filter.
 
@@ -228,7 +229,20 @@ def simhash_pairs(
     sides read it, and without the cache the token aggregation runs
     twice. Set-semantics output — no trailing global sort.
     ``bucket_cap`` drops prefix bands larger than the cap (see
-    _drop_hot_buckets); None = classic semantics (oracle mode)."""
+    _drop_hot_buckets); None = classic semantics (oracle mode).
+
+    ``per_doc_budget`` bounds the candidate OUTPUT volume — the
+    round-13 watch item: the bucket cap bounds the join's input, but
+    ham<=max_hamming on short repetitive docs is a loose metric and
+    the pair OUTPUT itself blew up to 272x the planted structure at
+    the 500k-doc soak. With a budget B, each doc_a keeps only its B
+    best candidates (ascending (hamming, doc_b) — deterministic), so
+    output <= B * n_docs by construction. Cost shape: a doc's pairs
+    all live in its own prefix band, and the band join's output is
+    already hash-partitioned on `band`, so the groupBy(band, doc_a)
+    that enforces the budget satisfies its clustering from the join's
+    partitioning — the full pair stream is ranked and cut WITHOUT
+    ever being exchanged (plan-asserted in tests/test_plans.py)."""
     sig = simhash_signatures(tokens, portable=portable).withColumn(
         "band", F.shiftrightunsigned("simhash", 48)
     ).cache()
@@ -241,9 +255,31 @@ def simhash_pairs(
         F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"), "band"
     )
     hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
-    return (
+    pairs = (
         a.join(b, "band")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .select("band", "doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+    if per_doc_budget is None:
+        return pairs.drop("band")
+    # keep `band` in the grouping key: it adds nothing semantically
+    # (a doc has exactly one band) but lets EnsureRequirements prove
+    # hashpartitioning(band) satisfies the clustering — no exchange
+    top = (
+        pairs.groupBy("band", "doc_a")
+        .agg(
+            F.slice(
+                F.array_sort(F.collect_list(F.struct("hamming", "doc_b"))),
+                1,
+                per_doc_budget,
+            ).alias("_top")
+        )
+        .select("doc_a", F.explode("_top").alias("_t"))
+        .select(
+            "doc_a",
+            F.col("_t.doc_b").alias("doc_b"),
+            F.col("_t.hamming").alias("hamming"),
+        )
+    )
+    return top

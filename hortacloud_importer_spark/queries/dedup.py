@@ -391,6 +391,59 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SIMHASH_PAIR_BUDGET = 16  # max candidates a doc may emit (round-13
+#                            ask #1: bound the pair OUTPUT, not just
+#                            the join input the bucket cap bounds)
+
+def _simhash_budget_sql(budget: int) -> str:
+    """DuckDB mirror of the per-doc candidate budget: the base capped
+    pair SQL, cut to each doc_a's `budget` best candidates by the same
+    deterministic (hamming, doc_b) order the Spark side sorts on —
+    parameterized so tests can fire the budget at tiny values."""
+    return f"""
+SELECT doc_a, doc_b, hamming FROM ({_DEDUP_SIMHASH_SQL})
+QUALIFY row_number() OVER (
+  PARTITION BY doc_a ORDER BY hamming, doc_b
+) <= {budget}
+"""
+
+
+@register("dedup_simhash_budget", "K2",
+          oracle=_simhash_budget_sql(_SIMHASH_PAIR_BUDGET), driver=False)
+def dedup_simhash_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup with a PER-DOC CANDIDATE BUDGET — the
+    round-13 ask #1 contract on candidate OUTPUT volume. The capped
+    :func:`dedup_simhash` bounds the band join's input (no bucket
+    holds more than _SIMHASH_BUCKET_CAP docs), but ham<=12 over
+    60-bit signatures of short docs is a loose metric: the 500k-doc
+    soak still emitted 27.2M pairs — 272x the planted structure.
+    This variant keeps, per doc_a, only its _SIMHASH_PAIR_BUDGET best
+    candidates by ascending (hamming, doc_b) — a deterministic total
+    order, so the DuckDB oracle replays the cut exactly (row_number
+    QUALIFY). Output <= budget * n_docs BY CONSTRUCTION; true
+    near-dups (small hamming) always rank ahead of band noise, so
+    planted-pair recall is unaffected (soak-verified: SOAK.md).
+
+    100 TB posture: the budget costs NO new exchange — a doc's pairs
+    all live in its own prefix band, the band join's output is
+    already hash-partitioned on `band`, and the budget groupBy keys
+    on (band, doc_a) so EnsureRequirements reuses that partitioning
+    (plan-asserted in tests/test_plans.py). The pair stream is ranked
+    and cut where it is produced; only the budgeted survivors ever
+    move."""
+    from hortacloud_importer_spark.operators.minhash import simhash_pairs
+
+    d = table(spark, sf_dir, "documents")
+    tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return simhash_pairs(
+        tokens,
+        max_hamming=12,
+        portable=True,
+        bucket_cap=_SIMHASH_BUCKET_CAP,
+        per_doc_budget=_SIMHASH_PAIR_BUDGET,
+    )
+
+
 _DEDUP_APPROX_SQL = f"""
 WITH ids AS (
   SELECT DISTINCT doc_id,

@@ -316,3 +316,57 @@ def test_capped_portable_minhash_matches_duckdb_when_cap_fires(spark):
     pairs = {(a, b) for a, b, _ in got}
     assert (10, 11) in pairs
     assert not any(a < 4 and b < 4 for a, b in pairs)
+
+
+def test_simhash_budget_matches_duckdb_when_budget_fires(spark):
+    """The registered dedup_simhash_budget runs the per-doc candidate
+    budget — but at fixture scale no doc has more than 16 candidates,
+    so the cut never fires there. Replay the SAME parameterized SQL
+    here with budget=2 on a corpus where one band holds a 6-clique:
+    each doc_a must keep exactly its 2 best (hamming, doc_b)
+    candidates, bit-for-bit in both engines, and the planted nearest
+    neighbor must survive the cut."""
+    import duckdb
+    import pandas as pd
+
+    from hortacloud_importer_spark.queries.dedup import (
+        _simhash_budget_sql,
+    )
+
+    words = BASE.split()
+    near = words.copy()
+    near[5] = "leaps"
+    # 6 identical docs -> one band, 15 pairs uncapped; doc 0 alone has
+    # 5 candidates at hamming 0, so budget=2 must cut 3 of them
+    docs = [(i, " ".join(words)) for i in range(6)]
+    docs += [(10, " ".join(near))]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    tokens = df.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    )
+
+    budgeted = simhash_pairs(
+        tokens, max_hamming=12, portable=True, per_doc_budget=2
+    )
+    got = sorted(
+        (r.doc_a, r.doc_b, r.hamming) for r in budgeted.collect()
+    )
+
+    con = duckdb.connect()
+    con.register(
+        "docs_src", pd.DataFrame(docs, columns=["doc_id", "text"])
+    )
+    con.execute("CREATE VIEW documents AS SELECT * FROM docs_src")
+    want = sorted(
+        tuple(r) for r in con.execute(_simhash_budget_sql(2)).fetchall()
+    )
+    assert got == want
+
+    # the budget actually fired: every doc_a emits at most 2 pairs,
+    # and the deterministic order kept (0,1) and (0,2) for doc 0
+    from collections import Counter
+
+    per_doc = Counter(a for a, _, _ in got)
+    assert max(per_doc.values()) <= 2
+    assert per_doc[0] == 2
+    assert {(a, b) for a, b, _ in got if a == 0} == {(0, 1), (0, 2)}

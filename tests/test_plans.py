@@ -507,3 +507,36 @@ def test_substring_dedup_shuffles_binary_digest(spark, sf_dir):
     for chunk in plan.split("Exchange")[1:]:
         first_line = chunk.splitlines()[0]
         assert "text" not in first_line, first_line
+
+
+def test_simhash_budget_adds_no_exchange_at_scale(spark, sf_dir):
+    """The per-doc candidate budget's 100 TB contract: a doc's pairs
+    all live in its own prefix band, so the budget's
+    groupBy(band, doc_a) must reuse the band join's hash partitioning
+    — rank-and-cut where the pairs are produced, never exchanging the
+    (unbounded) pair stream. Verified in the at-scale join shape
+    (sort-merge on band, broadcast disabled): the budgeted plan has
+    exactly as many exchanges as the base capped query, and the
+    collect_list aggregate pair (partial+final) sits collocated on
+    the join with no Exchange between."""
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        base = _plan(spark, "dedup_simhash", sf_dir)
+        budg = _plan(spark, "dedup_simhash_budget", sf_dir)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert budg.count("Exchange") == base.count("Exchange")
+    # the final collect_list must not have an exchange between its
+    # partial and final stages: walk the plan between the two
+    # ObjectHashAggregate lines and assert no Exchange in the span
+    lines = budg.splitlines()
+    agg_idx = [
+        i for i, ln in enumerate(lines) if "ObjectHashAggregate" in ln
+    ]
+    assert len(agg_idx) == 2, budg
+    span = "\n".join(lines[agg_idx[0]: agg_idx[1] + 1])
+    assert "Exchange" not in span, span

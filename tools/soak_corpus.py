@@ -75,6 +75,11 @@ QUERIES = [
     # measure that path; the xxhash64 mode remains in the operators
     ("dedup_minhash", "capped MinHash-LSH (portable hashes, cap=1024)"),
     ("dedup_simhash", "capped SimHash bands (portable hashes, cap=4096)"),
+    # r14 ask #1: the budget variant bounds the pair OUTPUT volume
+    # (the bucket cap only bounds the join's input); its recall vs
+    # the base's planted pairs is checked below the phase loop
+    ("dedup_simhash_budget",
+     "per-doc candidate budget (16): output <= 16*docs by construction"),
     # The substring-dedup family runs with a FULL-AGGREGATE trigger
     # (FULL_AGG below): a .count() trigger would let Catalyst prune
     # the span branch (count of a groupBy = distinct keys, join
@@ -487,6 +492,52 @@ def main() -> int:
             }
             recalls[method] = round(len(exact & got) / max(len(exact), 1), 2)
         report["ann_recall_at_k"] = recalls
+    # Budget contract (r14 ask #1): the budgeted simhash must keep
+    # every PLANTED pair the base capped query finds — true near-dups
+    # (small hamming) rank ahead of band noise in the per-doc cut.
+    # Computed distributively (left-semi against the planted-pair
+    # table) — the base's pair set is far too large to collect.
+    by_q0 = {p["query"]: p for p in phases}
+    if not UNIQUE and "dedup_simhash_budget" in by_q0:
+        planted = (
+            spark.range(N_DOCS // 10)
+            .selectExpr("id*10 AS doc_a", "id*10+9 AS doc_b")
+            .union(
+                spark.range(N_DOCS // 10).selectExpr(
+                    "id*10+7 AS doc_a", "id*10+8 AS doc_b"
+                )
+            )
+        )
+        base_hits = (
+            registry["dedup_simhash"]
+            .fn(spark, WORK)
+            .join(planted, ["doc_a", "doc_b"], "left_semi")
+            .count()
+        )
+        spark.catalog.clearCache()
+        budget_hits = (
+            registry["dedup_simhash_budget"]
+            .fn(spark, WORK)
+            .join(planted, ["doc_a", "doc_b"], "left_semi")
+            .count()
+        )
+        spark.catalog.clearCache()
+        base_rows = by_q0["dedup_simhash"]["rows"]
+        budget_rows = by_q0["dedup_simhash_budget"]["rows"]
+        report["simhash_budget"] = {
+            "planted_pairs": N_DOCS // 5,
+            "base_planted_hits": base_hits,
+            "budget_planted_hits": budget_hits,
+            "recall_vs_base": round(budget_hits / max(base_hits, 1), 4),
+            "base_pairs": base_rows,
+            "budget_pairs": budget_rows,
+            "pair_volume_ratio": round(
+                budget_rows / max(base_rows, 1), 4
+            ),
+            "pairs_per_planted": round(
+                budget_rows / max(N_DOCS // 5, 1), 1
+            ),
+        }
     if args.queries:
         # subset run: print-only. _write_md splices the WHOLE section
         # for this doc count, so a partial phase table would silently
@@ -606,6 +657,25 @@ def _write_md(r: dict) -> None:
             f"on the {r['n_vecs']:,}-vector corpus (same fixed query; "
             "candidates stay bucket-bounded, see the sim_ann shuffle "
             "row).",
+        ]
+    if "simhash_budget" in r:
+        sb = r["simhash_budget"]
+        lines += [
+            "",
+            "SimHash candidate-volume contract (round-14 ask #1): the "
+            "per-doc budget (16, ascending hamming) cut the pair "
+            f"output from **{sb['base_pairs']:,}** "
+            f"({round(sb['base_pairs'] / max(sb['planted_pairs'], 1))}x "
+            "planted structure) to "
+            f"**{sb['budget_pairs']:,}** "
+            f"(**{sb['pairs_per_planted']}x planted**, ratio "
+            f"{sb['pair_volume_ratio']}) while keeping "
+            f"**{sb['budget_planted_hits']:,} of "
+            f"{sb['base_planted_hits']:,}** planted pairs the base "
+            f"finds (recall {sb['recall_vs_base']}). The cut costs no "
+            "exchange: a doc's pairs live in its own prefix band, so "
+            "the budget groupBy reuses the band join's partitioning "
+            "(plan-asserted in tests/test_plans.py).",
         ]
     lines += [
         "",
