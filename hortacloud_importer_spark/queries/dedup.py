@@ -1094,6 +1094,86 @@ def substring_find(corpus: DataFrame, L: int = _SUBSTR_L) -> DataFrame:
     return _substring_spans(corpus, dup, L)
 
 
+@register("dedup_substring_df", "K1", oracle=_SUBSTR_ORACLE,
+          driver=False)
+def dedup_substring_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-1 substring dedup with a DOCUMENT-FREQUENCY PRE-FILTER
+    on the gram fingerprints (round-13 ask #2): byte-identical output
+    to :func:`dedup_substring` — the same oracle pins all three
+    variants — see :func:`substring_find_df`."""
+    return substring_find_df(_dup_corpus(spark, sf_dir))
+
+
+def substring_find_df(corpus: DataFrame, L: int = _SUBSTR_L) -> DataFrame:
+    """Stride-1 substring-dedup FIND with a DF pre-filter: only gram
+    fingerprints seen >= 2 times corpus-wide can seed a span, so the
+    expensive exact-verify stage runs on candidate positions
+    (proportional to DUPLICATED content), not the whole corpus.
+
+    Exactness argument (same family as substring_find_seeded's): pass
+    1 counts an 8-byte xxhash64 of each L-gram; a truly duplicated
+    gram hashes identically at every occurrence, so its seed hash
+    reaches count >= 2 and ALL its positions survive the semi-join —
+    no miss. A hash collision between different grams only ADDS
+    candidates; pass 2 re-verifies candidates with the exact 16-byte
+    md5 digest, and a duplicated gram's full occurrence set is inside
+    the candidate set, so its candidate-subset count equals its
+    corpus-wide count. Collided unique grams count 1 under md5 and
+    drop. Output is therefore bit-identical to the baseline.
+
+    Plan shape (100 TB posture) vs the stride-1 baseline's single
+    ~28 B/char sorted window shuffle:
+    1. seed DF count: the narrowest possible corpus-wide shuffle —
+       8-byte hashes through a map-side-combined HASH aggregate (no
+       doc_id/pos payload, no sort); repeated grams combine before
+       the wire, so dup-heavy corpora shuffle LESS here, not more;
+    2. the duplicated-fingerprint table semi-joins back onto a
+       map-side recompute of the gram stream (md5 computed BEFORE the
+       join and text dropped, so even a shuffle-fallback join never
+       moves document text. On mostly-unique corpora the table is
+       tiny and broadcasts — stage 2 is then map-side free);
+    3. exact verify: the baseline's digest window, but over
+       candidates only.
+    The trade is measured on both corpus shapes in SOAK.md: on
+    mostly-unique corpora stages 2-3 are near-free and the total
+    shuffle drops well under the baseline; as the duplicated fraction
+    grows, candidates approach all positions and the pre-filter's
+    extra pass converges toward pure overhead — same honest
+    degradation mode as the seeded variant, quantified there."""
+    from pyspark.sql.window import Window
+
+    eligible = corpus.filter(F.length("text") >= L)
+    pos_seq = F.explode(
+        F.sequence(F.lit(1), F.length("text") - L + 1)
+    ).alias("pos")
+    gram = F.expr(f"substring(text, pos, {L})")
+    dup_xh = (
+        eligible.select(pos_seq, "text")
+        .select(F.xxhash64(gram).alias("xh"))
+        .groupBy("xh")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") > 1)
+        .select("xh")
+    )
+    cand = (
+        eligible.select("doc_id", pos_seq, "text")
+        .select(
+            "doc_id",
+            "pos",
+            F.xxhash64(gram).alias("xh"),
+            F.unhex(F.md5(gram)).alias("h"),
+        )
+        .join(dup_xh, "xh", "left_semi")
+        .select("doc_id", "pos", "h")
+    )
+    dup = (
+        cand.withColumn("c", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("c") > 1)
+        .select("doc_id", "pos")
+    )
+    return _substring_spans(corpus, dup, L)
+
+
 def _substring_spans(corpus: DataFrame, dup: DataFrame, L: int) -> DataFrame:
     """Shared tail of the substring-dedup family: duplicated positions
     -> gaps-and-islands span merge -> per-doc (n_spans, dup_chars,

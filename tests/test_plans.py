@@ -540,3 +540,20 @@ def test_simhash_budget_adds_no_exchange_at_scale(spark, sf_dir):
     assert len(agg_idx) == 2, budg
     span = "\n".join(lines[agg_idx[0]: agg_idx[1] + 1])
     assert "Exchange" not in span, span
+
+
+def test_substring_df_prefilter_plan(spark, sf_dir):
+    """The DF pre-filter variant's contract: the corpus-wide count
+    pass shuffles ONLY the 8-byte xxhash64 seed (a hash aggregate
+    with a partial stage — no doc_id/pos payload, no sort), and no
+    exchange anywhere carries document text (md5 is computed before
+    the semi-join so even a shuffle-fallback join moves digests)."""
+    plan = _plan(spark, "dedup_substring_df", sf_dir)
+    assert "xxhash64" in plan
+    assert "unhex" in plan
+    # the seed DF count must be a partial-aggregated HashAggregate
+    # keyed on xh alone
+    assert "partial_count" in plan
+    for chunk in plan.split("Exchange")[1:]:
+        first_line = chunk.splitlines()[0]
+        assert "text" not in first_line, first_line
