@@ -2028,6 +2028,57 @@ def corpus_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHARD_STORE_ORACLE = f"""
+WITH idx AS ({_PACK_INDEX_ORACLE}),
+keyed AS (SELECT idx.*, {_SHARD_U_SQL} AS u FROM idx)
+SELECT CAST(u % {_SHARD_N} AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_fragments,
+       CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS shard_tokens
+FROM keyed GROUP BY 1
+"""
+
+
+@register("corpus_shard_store", "K1+A6+A11",
+          oracle=_SHARD_STORE_ORACLE, driver=False)
+def corpus_shard_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMMITTED DATALOADER MANIFEST SINK (round-13 ask #6): deal
+    the fragment read index to shards, WRITE ``shard={k}/index.parquet``
+    with a manifest commit (pipelines/shard_store.py — the A6/A11
+    commit-and-resume discipline of the block stores), then READ THE
+    STORE BACK committed-only and return per-shard accounting. The
+    DuckDB oracle re-derives the same accounting from the pack-index
+    SQL + the shared shard-key fragment, so a write that drops,
+    duplicates, or mis-routes fragment rows — or a read-back that sees
+    uncommitted files — breaks the hash. Resume semantics (a re-run
+    writes only missing shards; stray uncommitted files are inert) are
+    pinned in tests/test_shard_store.py.
+
+    100 TB posture: the index is ~1 row per 512 tokens with no text;
+    the only exchange is the hash partition on ``shard`` routing each
+    shard's rows to its writer task; files are written executor-side
+    (staged+rename / atomic PUT) and the driver handles only n_shards
+    accounting rows plus one immutable manifest shard append."""
+    import tempfile
+
+    from hortacloud_importer_spark.pipelines.shard_store import (
+        read_shard_store,
+        shard_index,
+        write_shard_store,
+    )
+
+    root = tempfile.mkdtemp(prefix="shard_store_") + "/store"
+    write_shard_store(spark, shard_index(spark, sf_dir), root)
+    back = read_shard_store(spark, root)
+    return back.groupBy(F.col("shard").cast("bigint").alias("shard")).agg(
+        F.count("*").cast("bigint").alias("n_fragments"),
+        F.countDistinct("seq_id").cast("bigint").alias("n_seqs"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("shard_tokens"),
+    )
+
+
 _DSB_STOPS = "'the','a','of','and','to','in','is','for','on','with'"
 
 _DATASET_BUILD_ORACLE = f"""
