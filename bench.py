@@ -76,7 +76,47 @@ HEADLINE = [
     # r5 addition: the full octree->KTX conversion (stats + requant +
     # mip chains + viewer metadata + manifest commit)
     "vol_ktx_convert",
+    # r14 additions (round-13 ask #4): the LLM dataset-build story —
+    # the crawl->shards composite, the shard deal, the portable capped
+    # MinHash, and one normalized-token text op. Band repinned with a
+    # fresh interleaved A/B (SOAK.md # BENCH REPIN r14).
+    "q_dataset_build",
+    "corpus_shard",
+    "dedup_minhash",
+    "text_ngram_ppx_norm",
 ]
+
+# Queries whose final stage is a count-prunable aggregate (count of a
+# groupBy = distinct keys, so Catalyst skips the value aggregates and
+# records a partly fictional wall — the round-11 soak lesson): bench
+# triggers these with a full-row checksum instead of .count().
+FULL_AGG = {
+    "q_dataset_build",
+    "corpus_shard",
+    "dedup_minhash",
+    "text_ngram_ppx_norm",
+}
+
+
+def _trigger(df, name: str) -> None:
+    """Execute a headline query fully. Plain .count() for queries whose
+    final aggregate is non-prunable; the FULL_AGG set gets a checksum
+    aggregate over every output column so nothing prunes."""
+    if name in FULL_AGG:
+        from pyspark.sql import functions as F
+
+        df.agg(
+            F.sum(
+                F.crc32(
+                    F.concat_ws(
+                        "\x1f",
+                        *[F.col(c).cast("string") for c in df.columns],
+                    )
+                )
+            )
+        ).collect()
+    else:
+        df.count()
 
 
 def calib_normalize(total: float, calib_spin_sec: float | None) -> float:
@@ -199,7 +239,7 @@ def main() -> None:
     names = sys.argv[1:] or [n for n in HEADLINE if n in specs]
 
     # Warm the JVM + parquet footers once so timings measure the queries.
-    specs[names[0]].fn(spark, sf_dir).count()
+    _trigger(specs[names[0]].fn(spark, sf_dir), names[0])
     for probe in ("vol_n5_throughput", "vol_ktx_convert"):
         if probe in names:
             # first call builds its one-time /tmp store; warm it out of
@@ -221,7 +261,7 @@ def main() -> None:
     for _ in range(reps):
         for name in names:
             t0 = time.time()
-            specs[name].fn(spark, sf_dir).count()
+            _trigger(specs[name].fn(spark, sf_dir), name)
             timings[name] = min(timings[name], time.time() - t0)
     timings = {name: round(t, 3) for name, t in timings.items()}
 

@@ -249,31 +249,79 @@ def _decode_one(fmt: str, payload: bytes, meta) -> np.ndarray:
 
 
 def synthetic_media(
-    spark: SparkSession, n: int, kind: str = "image", seed: int = 11
+    spark: SparkSession,
+    n: int,
+    kind: str = "image",
+    seed: int = 11,
+    portable: bool = False,
 ) -> DataFrame:
     """Deterministic raw8 media: per-row RNG seeded by (seed, id), so
-    any executor regenerates identical payloads (no driver data)."""
+    any executor regenerates identical payloads (no driver data).
+
+    ``portable=True`` derives the dimensions AND every payload byte
+    from md5 chains instead of numpy's PCG — the engine's
+    portable-hash idiom (operators/minhash.py), so a DuckDB oracle
+    regenerates byte i of item m as hex pair ``i % 16`` of
+    ``md5('{seed}:{m}:{i // 16}')`` and replays the downstream
+    resize/sample/feature arithmetic value-for-value. This is what
+    flipped the mm_* feature queries from rows-only to oracle-exact
+    (round-13 ask #3, same discipline as the MinHash/SimHash flip)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        def h8(mid: int, tag: str) -> int:
+            return int(
+                hashlib.md5(
+                    f"{seed}:{mid}:{tag}".encode()
+                ).hexdigest()[:8],
+                16,
+            )
+
+        def pbytes(mid: int, n_bytes: int) -> bytes:
+            out = bytearray()
+            for blk in range((n_bytes + 15) // 16):
+                out += hashlib.md5(f"{seed}:{mid}:{blk}".encode()).digest()
+            return bytes(out[:n_bytes])
+
         for pdf in batches:
             rows = []
             for mid in pdf["id"]:
-                rng = np.random.default_rng((seed, int(mid)))
-                if kind == "image":
-                    h, w, c = int(rng.integers(4, 17)), int(rng.integers(4, 17)), 3
-                    nf, sr = 1, 0
-                    payload = rng.integers(0, 256, size=h * w * c, dtype=np.uint8)
-                elif kind == "video":
-                    h, w, c = 8, 8, 1
-                    nf, sr = int(rng.integers(4, 13)), 0
-                    payload = rng.integers(0, 256, size=nf * h * w * c, dtype=np.uint8)
-                else:  # audio: 1-D PCM8
-                    h, w, c = 1, int(rng.integers(64, 257)), 1
-                    nf, sr = 1, 8000
-                    payload = rng.integers(0, 256, size=w, dtype=np.uint8)
+                mid = int(mid)
+                if portable:
+                    if kind == "image":
+                        h, w, c = 4 + h8(mid, "h") % 13, 4 + h8(mid, "w") % 13, 3
+                        nf, sr = 1, 0
+                        payload = np.frombuffer(
+                            pbytes(mid, h * w * c), dtype=np.uint8
+                        )
+                    elif kind == "video":
+                        h, w, c = 8, 8, 1
+                        nf, sr = 4 + h8(mid, "f") % 9, 0
+                        payload = np.frombuffer(
+                            pbytes(mid, nf * h * w * c), dtype=np.uint8
+                        )
+                    else:  # audio: 1-D PCM8
+                        h, w, c = 1, 64 + h8(mid, "w") % 193, 1
+                        nf, sr = 1, 8000
+                        payload = np.frombuffer(pbytes(mid, w), dtype=np.uint8)
+                else:
+                    rng = np.random.default_rng((seed, mid))
+                    if kind == "image":
+                        h, w, c = int(rng.integers(4, 17)), int(rng.integers(4, 17)), 3
+                        nf, sr = 1, 0
+                        payload = rng.integers(0, 256, size=h * w * c, dtype=np.uint8)
+                    elif kind == "video":
+                        h, w, c = 8, 8, 1
+                        nf, sr = int(rng.integers(4, 13)), 0
+                        payload = rng.integers(0, 256, size=nf * h * w * c, dtype=np.uint8)
+                    else:  # audio: 1-D PCM8
+                        h, w, c = 1, int(rng.integers(64, 257)), 1
+                        nf, sr = 1, 8000
+                        payload = rng.integers(0, 256, size=w, dtype=np.uint8)
                 rows.append(
                     {
-                        "media_id": int(mid),
+                        "media_id": mid,
                         "kind": kind,
                         "format": "raw8",
                         "payload": payload.tobytes(),

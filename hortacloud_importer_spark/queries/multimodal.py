@@ -115,20 +115,144 @@ def mm_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_resize_features", "K4", oracle=None, driver=False)
+_MM_SEED = 11  # synthetic_media's default seed, shared with the SQL
+
+
+def _pbyte_sql(m: str, si: str) -> str:
+    """DuckDB mirror of synthetic_media(portable=True)'s byte stream:
+    byte ``si`` of item ``m`` is hex pair ``si % 16`` of
+    ``md5('{seed}:{m}:{si // 16}')``."""
+    return (
+        f"CAST('0x' || substr(md5('{_MM_SEED}:' || {m} || ':' ||"
+        f" (({si}) // 16)), 2 * (({si}) % 16) + 1, 2) AS INT)"
+    )
+
+
+def _h8_sql(m: str, tag: str) -> str:
+    """DuckDB mirror of the portable dimension hash."""
+    return (
+        f"CAST('0x' || substr(md5('{_MM_SEED}:' || {m} || ':{tag}'),"
+        " 1, 8) AS BIGINT)"
+    )
+
+
+def _feat_stats_sql(vals_sql: str, facet: str | None = None) -> str:
+    """Stats + full 16-bin histogram (CSV) over a ``(media_id, v)``
+    byte relation — the SQL dual of media_features' uint8 path (mean
+    of ints is an exact long sum + one division in both engines;
+    hist bin = v >> 4 with zero bins included)."""
+    facet_col = f"'{facet}' AS facet,\n       " if facet else ""
+    return f"""
+WITH vals AS ({vals_sql}),
+stats AS (
+  SELECT media_id, COUNT(*) AS n_bytes, AVG(v) AS mean_intensity,
+         MIN(v) AS min_intensity, MAX(v) AS max_intensity
+  FROM vals GROUP BY 1
+),
+hist AS (
+  SELECT media_id, v // 16 AS bin, COUNT(*) AS c FROM vals GROUP BY 1, 2
+),
+hist_full AS (
+  SELECT s.media_id, b.range AS bin, COALESCE(h.c, 0) AS c
+  FROM stats s CROSS JOIN range(16) b
+  LEFT JOIN hist h ON h.media_id = s.media_id AND h.bin = b.range
+)
+SELECT {facet_col}s.media_id,
+       CAST(s.n_bytes AS INT) AS n_bytes,
+       s.mean_intensity,
+       CAST(s.min_intensity AS INT) AS min_intensity,
+       CAST(s.max_intensity AS INT) AS max_intensity,
+       (SELECT string_agg(CAST(c AS VARCHAR), ',' ORDER BY bin)
+        FROM hist_full h WHERE h.media_id = s.media_id) AS hist16_csv
+FROM stats s
+"""
+
+
+# nearest-neighbor 8x8 resize of the 64 portable images: output pixel
+# (y, x, c) reads source byte ((y*h//8)*w + (x*w//8))*3 + c
+_RESIZE_VALS_SQL = f"""
+  SELECT p.m AS media_id,
+         {_pbyte_sql('p.m', '((p.y * d.h // 8) * d.w + (p.x * d.w // 8)) * 3 + p.c')} AS v
+  FROM (
+    SELECT tm.range AS m, ty.range AS y, tx.range AS x, tc.range AS c
+    FROM range(64) tm CROSS JOIN range(8) ty
+    CROSS JOIN range(8) tx CROSS JOIN range(3) tc
+  ) p
+  JOIN (
+    SELECT range AS m,
+           4 + {_h8_sql('range', 'h')} % 13 AS h,
+           4 + {_h8_sql('range', 'w')} % 13 AS w
+    FROM range(64)
+  ) d ON d.m = p.m
+"""
+
+# every 2nd frame of the 16 portable videos (8x8x1 = 64 bytes/frame);
+# the sampled frame becomes media_id m*1000 + fi
+_FRAMES_VALS_SQL = f"""
+  SELECT m * 1000 + fi AS media_id,
+         {_pbyte_sql('m', 'fi * 64 + j')} AS v
+  FROM (
+    SELECT v.m, t.fi, b.range AS j
+    FROM (
+      SELECT range AS m, 4 + {_h8_sql('range', 'f')} % 9 AS nf
+      FROM range(16)
+    ) v,
+    UNNEST(range(0, v.nf, 2)) AS t(fi),
+    range(64) b
+  )
+"""
+
+# the documents' UTF-8 payload bytes (mm_doc_features' byte relation)
+_DOC_VALS_SQL = """
+  SELECT doc_id AS media_id,
+         CAST('0x' || substr(hex(encode(text)),
+                             CAST(2 * t.i - 1 AS INT), 2) AS INT) AS v
+  FROM documents,
+       UNNEST(range(1, octet_length(encode(text)) + 1)) AS t(i)
+"""
+
+
+def _feat_csv(df: DataFrame) -> DataFrame:
+    """FEATURES_SCHEMA -> scalar-only columns (hist16 -> CSV)."""
+    return df.select(
+        "media_id",
+        "n_bytes",
+        "mean_intensity",
+        "min_intensity",
+        "max_intensity",
+        F.array_join(
+            F.transform("hist16", lambda v: v.cast("string")), ","
+        ).alias("hist16_csv"),
+    )
+
+
+@register("mm_resize_features", "K4",
+          oracle=_feat_stats_sql(_RESIZE_VALS_SQL), driver=False)
 def mm_resize_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K4 rows-only: synthetic raw8 images -> nearest-neighbor resize
-    to 8x8 -> features; exercises the compose-by-schema pipeline."""
-    media = synthetic_media(spark, 64, "image")
-    return media_features(resize_images(media, 8, 8))
+    """K4, oracle-exact since round 14 (was rows-only): portable
+    synthetic raw8 images -> nearest-neighbor resize to 8x8 ->
+    features. The DuckDB oracle regenerates every payload byte from
+    the md5 chain (synthetic_media portable mode), replays the
+    nearest-neighbor index arithmetic ((y*h//8)*w + x*w//8 per
+    channel), and re-derives the stats + full 16-bin histogram — so
+    the whole compose-by-schema pipeline (dims hash, byte stream,
+    resize taps, feature moments, zero-bin handling) is pinned
+    value-for-value."""
+    media = synthetic_media(spark, 64, "image", portable=True)
+    return _feat_csv(media_features(resize_images(media, 8, 8)))
 
 
-@register("mm_frame_sample", "K4", oracle=None, driver=False)
+@register("mm_frame_sample", "K4",
+          oracle=_feat_stats_sql(_FRAMES_VALS_SQL), driver=False)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K4 rows-only: video frame sampling (every 2nd frame) -> per-
-    frame features (the 1->N explode dual, J4)."""
-    media = synthetic_media(spark, 16, "video")
-    return media_features(sample_frames(media, 2))
+    """K4, oracle-exact since round 14 (was rows-only): video frame
+    sampling (every 2nd frame — the 1->N explode dual, J4) -> per-
+    frame features. Deterministic end to end: the oracle regenerates
+    each video's frame count from the dimension hash, enumerates the
+    sampled frame offsets (fi * 64 + j byte indexing), and replays
+    the per-frame stats — including the m*1000+fi sampled-frame id."""
+    media = synthetic_media(spark, 16, "video", portable=True)
+    return _feat_csv(media_features(sample_frames(media, 2)))
 
 
 @register(
@@ -400,25 +524,44 @@ def _feat_tagged(df: DataFrame, facet: str) -> DataFrame:
     )
 
 
-@register("mm_features", "K4", oracle=None, driver=False)
+_MM_FEATURES_ORACLE = f"""
+SELECT * FROM ({_feat_stats_sql(_DOC_VALS_SQL, facet="doc")})
+UNION ALL
+SELECT * FROM ({_feat_stats_sql(_RESIZE_VALS_SQL, facet="resize")})
+UNION ALL
+SELECT * FROM ({_feat_stats_sql(_FRAMES_VALS_SQL, facet="frames")})
+"""
+
+
+@register("mm_features", "K4", oracle=_MM_FEATURES_ORACLE, driver=False)
 def mm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Consolidated K4 query (local registry; K4's driver evidence is
-    mm_doc_bytes hash-green plus scan_tiff_stack, which drives the
-    same media_features operator oracle-exact), union-with-tag:
-    `doc` = full feature extraction over fixture-derived raw8
-    payloads; `resize` = synthetic images -> nearest-neighbor 8x8
-    resize -> features (compose-by-schema); `frames` = video frame
-    sampling (every 2nd frame) -> per-frame features (the 1->N
-    explode dual, J4). The 16-bin histogram is serialized to CSV so
-    every output column is a scalar the external canonicalizer can
+    """Consolidated K4 query, oracle-exact since round 14 (was
+    rows-only), union-with-tag: `doc` = full feature extraction over
+    fixture-derived raw8 payloads; `resize` = portable synthetic
+    images -> nearest-neighbor 8x8 resize -> features
+    (compose-by-schema); `frames` = video frame sampling (every 2nd
+    frame) -> per-frame features (the 1->N explode dual, J4). Each
+    facet's DuckDB oracle regenerates the payload bytes (hex pairs of
+    the text for `doc`, the portable md5 chain for the synthetics)
+    and replays the downstream arithmetic, so all three pipelines are
+    pinned value-for-value in one hash. The 16-bin histogram ships as
+    CSV so every output column is a scalar the canonicalizer can
     hash. Standalone variants stay registered driver=False."""
     doc = _feat_tagged(media_features(_doc_media(spark, sf_dir)), "doc")
     rs = _feat_tagged(
-        media_features(resize_images(synthetic_media(spark, 64, "image"), 8, 8)),
+        media_features(
+            resize_images(
+                synthetic_media(spark, 64, "image", portable=True), 8, 8
+            )
+        ),
         "resize",
     )
     fr = _feat_tagged(
-        media_features(sample_frames(synthetic_media(spark, 16, "video"), 2)),
+        media_features(
+            sample_frames(
+                synthetic_media(spark, 16, "video", portable=True), 2
+            )
+        ),
         "frames",
     )
     return doc.unionByName(rs).unionByName(fr)
