@@ -45,6 +45,48 @@ FROM embeddings e,
 GROUP BY 1
 """
 
+# Shared ANN oracle fragments: `sim_ann` (lsh UNION ivf) and
+# `sim_ann_ivf` interpolate the SAME CTE text, so a change to the
+# centroid/probe arithmetic cannot desync the consolidated query from
+# the standalone one (the q_dataset_build shared-fragment discipline).
+_ANN_BASE_CTES = f"""vecpos AS (
+  SELECT vec_id, label, t.i - 1 AS d,
+         CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+),
+dots AS ({_DOT_SQL.format(qid=_QUERY_VEC_ID)}),
+qn AS (SELECT SQRT(norm2) AS qnorm FROM dots WHERE vec_id = {_QUERY_VEC_ID})"""
+
+_IVF_CTES = f"""cent AS (SELECT label, d, AVG(v) AS cv FROM vecpos GROUP BY 1, 2),
+qpos AS (SELECT d, v FROM vecpos WHERE vec_id = {_QUERY_VEC_ID}),
+probe AS (
+  SELECT label FROM (
+    SELECT c.label,
+           ROUND(SUM(c.cv * q.v)
+                 / (SQRT(SUM(c.cv * c.cv))
+                    * (SELECT SQRT(SUM(v * v)) FROM qpos)), 6) AS csim
+    FROM cent c JOIN qpos q ON q.d = c.d
+    GROUP BY c.label
+  ) ORDER BY csim DESC, label LIMIT 3
+),
+ivf_ranked AS (
+  SELECT e.vec_id, e.label,
+         ROUND(d.dot / (SQRT(d.norm2) * qn.qnorm), 6) AS score,
+         ROW_NUMBER() OVER (
+           ORDER BY ROUND(d.dot / (SQRT(d.norm2) * qn.qnorm), 6) DESC,
+                    e.vec_id) AS rn
+  FROM embeddings e
+  JOIN probe USING (label)
+  JOIN dots d ON d.vec_id = e.vec_id, qn
+  WHERE e.vec_id <> {_QUERY_VEC_ID}
+)"""
+
+_SIM_ANN_IVF_SQL = f"""
+WITH {_ANN_BASE_CTES},
+{_IVF_CTES}
+SELECT vec_id, label, score FROM ivf_ranked WHERE rn <= {_TOP_K}
+"""
+
 
 @register(
     "sim_topk",
@@ -109,13 +151,17 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(e, query_vec_id=_QUERY_VEC_ID, k=_TOP_K)
 
 
-@register("sim_ann_ivf", "K3", oracle=None, driver=False)
+@register("sim_ann_ivf", "K3", oracle=_SIM_ANN_IVF_SQL, driver=False)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via inverted-file coarse quantization (K3 scale path),
-    rows-only: per-cell centroids -> probe the query's nearest cells
-    -> exact cosine over cell members only. Complements sim_ann_lsh:
-    IVF prunes by data-learned cells, LSH by random hyperplanes.
-    Candidate scores validated exact in tests."""
+    oracle-exact: per-cell centroids -> probe the query's nearest
+    cells -> exact cosine over cell members only. Complements
+    sim_ann_lsh: IVF prunes by data-learned cells, LSH by random
+    hyperplanes. Unlike the LSH path, IVF has no hash family at all —
+    centroid averages and cosine scores are plain arithmetic rounded
+    to 6 dp before every ranking decision, so the DuckDB mirror
+    (shared CTE fragments with `sim_ann`'s ivf branch) replays the
+    probed cell set and the candidate ranking value-for-value."""
     from hortacloud_importer_spark.operators.ann import ivf_topk
 
     e = table(spark, sf_dir, "embeddings")
@@ -182,11 +228,7 @@ def sim_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SIM_ANN_SQL = f"""
-WITH vecpos AS (
-  SELECT vec_id, label, t.i - 1 AS d,
-         CAST(embedding[CAST(t.i AS INT)] AS DOUBLE) AS v
-  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
-),
+WITH {_ANN_BASE_CTES},
 planes AS (
   SELECT j.range AS j, d.range AS d,
          CAST('0x' || substr(md5(CAST(j.range AS VARCHAR) || '_'
@@ -203,8 +245,6 @@ sigs AS (
     GROUP BY vp.vec_id, p.j
   ) GROUP BY 1
 ),
-dots AS ({_DOT_SQL.format(qid=_QUERY_VEC_ID)}),
-qn AS (SELECT SQRT(norm2) AS qnorm FROM dots WHERE vec_id = {_QUERY_VEC_ID}),
 lsh_cand AS (
   SELECT s.vec_id,
          bit_count(xor(s.sig, (SELECT sig FROM sigs
@@ -223,31 +263,10 @@ lsh AS (
     WHERE c.hamming <= 4
   ) WHERE rn <= {_TOP_K}
 ),
-cent AS (SELECT label, d, AVG(v) AS cv FROM vecpos GROUP BY 1, 2),
-qpos AS (SELECT d, v FROM vecpos WHERE vec_id = {_QUERY_VEC_ID}),
-probe AS (
-  SELECT label FROM (
-    SELECT c.label,
-           ROUND(SUM(c.cv * q.v)
-                 / (SQRT(SUM(c.cv * c.cv))
-                    * (SELECT SQRT(SUM(v * v)) FROM qpos)), 6) AS csim
-    FROM cent c JOIN qpos q ON q.d = c.d
-    GROUP BY c.label
-  ) ORDER BY csim DESC, label LIMIT 3
-),
+{_IVF_CTES},
 ivf AS (
   SELECT 'ivf' AS method, vec_id, score, CAST(label AS BIGINT) AS extra
-  FROM (
-    SELECT e.vec_id, e.label,
-           ROUND(d.dot / (SQRT(d.norm2) * qn.qnorm), 6) AS score,
-           ROW_NUMBER() OVER (
-             ORDER BY ROUND(d.dot / (SQRT(d.norm2) * qn.qnorm), 6) DESC,
-                      e.vec_id) AS rn
-    FROM embeddings e
-    JOIN probe USING (label)
-    JOIN dots d ON d.vec_id = e.vec_id, qn
-    WHERE e.vec_id <> {_QUERY_VEC_ID}
-  ) WHERE rn <= {_TOP_K}
+  FROM ivf_ranked WHERE rn <= {_TOP_K}
 )
 SELECT * FROM lsh UNION ALL SELECT * FROM ivf
 """
