@@ -2372,3 +2372,141 @@ def dedup_substring_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("cleaned").alias("cleaned_fp"),
         F.length("cleaned").cast("bigint").alias("cleaned_len"),
     )
+
+
+_INGEST_INCREMENT_ORACLE = """
+WITH d AS (SELECT doc_id, source, text FROM documents),
+inc AS (
+  SELECT doc_id, source, MD5(text) AS fp FROM d WHERE doc_id % 4 = 3
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, source, MD5(text) AS fp
+  FROM d WHERE doc_id % 5 = 0
+),
+base AS (SELECT DISTINCT MD5(text) AS fp FROM d WHERE doc_id % 4 <> 3),
+flags AS (
+  SELECT i.doc_id, i.source, i.fp,
+         i.fp IN (SELECT fp FROM base) AS dup_store,
+         ROW_NUMBER() OVER (PARTITION BY i.fp ORDER BY i.doc_id) AS rn
+  FROM inc i
+),
+total AS (
+  SELECT COUNT(DISTINCT fp) AS store_total FROM (
+    SELECT fp FROM base UNION ALL SELECT fp FROM inc
+  )
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN dup_store THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_vs_store,
+       CAST(SUM(CASE WHEN NOT dup_store AND rn > 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_within,
+       CAST(SUM(CASE WHEN NOT dup_store AND rn = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       (SELECT store_total FROM total) AS store_total
+FROM flags GROUP BY 1
+"""
+
+
+@register("corpus_ingest_increment", "K1+A6+A11",
+          oracle=_INGEST_INCREMENT_ORACLE, driver=False)
+def corpus_ingest_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL crawl ingest against a COMMITTED fingerprint store
+    (K1+A6+A11): the production shape of repeated ingestion — a new
+    crawl generation dedups against everything absorbed by EARLIER
+    generations without rescanning their text. Generation 0 (docs with
+    doc_id % 4 != 3) commits its content fingerprints to a bucketed,
+    manifest-committed store (pipelines/fingerprint_store.py); the
+    increment (the remaining docs plus injected re-crawls, the
+    q_dataset_build idiom) is classified against the COMMITTED
+    READ-BACK: already-in-store, duplicate-within-increment, or new;
+    the new fingerprints commit as generation 1, and the final
+    store_total column comes from a SECOND committed read-back — so a
+    write that drops/duplicates fingerprints, a manifest that admits
+    an uncommitted file, or a read that misses a generation all break
+    the oracle hash. Commit/resume/stray-file semantics are pinned in
+    tests/test_fingerprint_store.py.
+
+    100 TB posture: only 16-byte fingerprints ever move — the store
+    is ~0.4% of corpus bytes, read as a manifest-filtered parquet
+    scan; the increment classification is one join on fp (historical
+    side bucketed by digest nibble, so a real deployment can raise
+    the nibble count and run it storage-partitioned with no shuffle
+    of the store); the generation-1 write is one hash exchange of the
+    NEW fingerprints only; within-increment ranking windows on fp,
+    never globally."""
+    import tempfile
+
+    from pyspark.sql.window import Window
+
+    from hortacloud_importer_spark.pipelines.fingerprint_store import (
+        read_fingerprints,
+        write_fingerprints,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    base = d.filter(F.col("doc_id") % 4 != 3)
+    recrawl = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
+    )
+    inc = (
+        d.filter(F.col("doc_id") % 4 == 3)
+        .unionByName(recrawl)
+        .select("doc_id", "source", F.md5("text").alias("fp"))
+    )
+
+    root = tempfile.mkdtemp(prefix="fp_store_") + "/store"
+    write_fingerprints(
+        spark, base.select(F.md5("text").alias("fp")), root, gen=0
+    )
+    committed = read_fingerprints(spark, root).select(
+        "fp", F.lit(True).alias("dup_store")
+    )
+    # classify ONCE and materialize (increment-sized, not store-sized):
+    # the classification is consumed twice — by the generation-1 append
+    # and by the report — and lazily re-deriving it after the append
+    # would reclassify the increment against the GROWN store (every new
+    # fingerprint would flip to already-committed)
+    flagged = (
+        inc.join(committed, "fp", "left")
+        .withColumn("dup_store", F.coalesce("dup_store", F.lit(False)))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("fp").orderBy("doc_id")
+            ),
+        )
+        .localCheckpoint()
+    )
+    new_fps = (
+        flagged.filter(~F.col("dup_store") & (F.col("rn") == 1))
+        .select("fp")
+    )
+    write_fingerprints(spark, new_fps, root, gen=1)
+    # scalar by necessity: folded into the lazy report plan, the
+    # post-append read-back's scan canonicalizes against the
+    # pre-append scan of the same path and reads the OLD file set
+    store_total = (
+        read_fingerprints(spark, root)
+        .agg(F.countDistinct("fp").cast("bigint").alias("t"))
+        .collect()[0]["t"]
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(F.col("dup_store").cast("bigint"))
+            .cast("bigint")
+            .alias("n_dup_vs_store"),
+            F.sum(
+                ((~F.col("dup_store")) & (F.col("rn") > 1)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_dup_within"),
+            F.sum(
+                ((~F.col("dup_store")) & (F.col("rn") == 1)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("n_new"),
+        )
+        .withColumn("store_total", F.lit(store_total).cast("bigint"))
+    )
