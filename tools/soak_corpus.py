@@ -91,6 +91,10 @@ QUERIES = [
      "DF pre-filter: 8-byte seed count, exact verify on candidates"),
     ("dedup_substring_seeded", "minimizer seeds: same output, thin shuffles"),
     ("dedup_substring_apply", "span rewrite: text shuffles ONCE by necessity"),
+    # r14: incremental ingest against the committed fingerprint store —
+    # only 16-byte digests move; gen-0 commit + classify + gen-1 append
+    ("corpus_ingest_increment",
+     "committed fp store: digest-only anti-join, generation append"),
     ("dedup_ngram_jaccard", "DF-capped inverted-index pair join"),
     ("dedup_components", "edges materialized once, then propagation"),
     ("q_corpus_curation", "md5 groupBy + capped shingle join"),
@@ -115,6 +119,7 @@ QUERIES = [
 # queries whose final stage is a prunable aggregate: measured with the
 # checksum trigger, never .count() (see the QUERIES comment)
 FULL_AGG = {
+    "corpus_ingest_increment",
     "q_dataset_build",
     "dedup_substring",
     "dedup_substring_df",
