@@ -1134,12 +1134,17 @@ def substring_find_df(corpus: DataFrame, L: int = _SUBSTR_L) -> DataFrame:
        tiny and broadcasts — stage 2 is then map-side free);
     3. exact verify: the baseline's digest window, but over
        candidates only.
-    The trade is measured on both corpus shapes in SOAK.md: on
-    mostly-unique corpora stages 2-3 are near-free and the total
-    shuffle drops well under the baseline; as the duplicated fraction
-    grows, candidates approach all positions and the pre-filter's
-    extra pass converges toward pure overhead — same honest
-    degradation mode as the seeded variant, quantified there."""
+    MEASURED AND REJECTED as a scale path (SOAK.md, round 14, both
+    corpus shapes at 500k docs): 1.9x MORE shuffle than stride-1 on
+    the 46%-duplicated corpus (stages 2-3 remove nothing there) and
+    STILL 1.75x more on the fully-unique corpus — the premise that
+    the seed table is "tiny" fails, because it is one row per
+    POSITION and on a unique corpus nothing map-side-combines, so
+    stage 1 exchanges the positional stream it was meant to avoid.
+    The lever that works is reducing positions (the minimizer-seeded
+    variant, 6.5x less shuffle on unique corpora). Kept registered
+    oracle-exact as the recorded experiment, per the ngram_ppx
+    pre-agg rejection discipline."""
     from pyspark.sql.window import Window
 
     eligible = corpus.filter(F.length("text") >= L)
