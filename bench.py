@@ -18,14 +18,20 @@ from hortacloud_importer_spark.registry import all_queries
 from hortacloud_importer_spark.session import get_spark
 
 # Calibration anchor + expected band for the default headline set at
-# sf0.1 (pinned by the round-11 interleaved A/B, tools/bench_ab.py:
-# REF_CALIB is BENCH_r10's recorded calib_spin_sec; the 24-28 s band is
-# the repinned min-of-3 total on an idle host at that calibration).
+# sf0.1 (REF_CALIB is BENCH_r10's recorded calib_spin_sec; the band is
+# the expected min-of-3 total on an idle host at that calibration).
 # The emitted calib_normalized_value = value * REF_CALIB / calib_spin_sec
 # rescales a contended capture back to reference-host speed so the
 # artifact adjudicates itself instead of costing a judge session.
+# Round-14 repin (SOAK.md # BENCH REPIN r14): the headline set grew
+# 34 -> 38 (q_dataset_build, corpus_shard, dedup_minhash,
+# text_ngram_ppx_norm); the interleaved A/B vs the pinned r8 rev put
+# the SHARED-34 sum-of-mins ratio at 1.047 (host-or-noise, no flagged
+# per-query regression) and the measured min-of-3 increment of the
+# four additions at 5.99 s, so the 24-28 s band shifts by the
+# increment (+~1 s width for the added per-query jitter).
 REF_CALIB = 0.2407
-BAND = (24.0, 28.0)
+BAND = (29.0, 34.0)
 
 # Headline set: flagship + one representative per operator family.
 # Grown as coverage widens; anything registered can be benched via argv.
