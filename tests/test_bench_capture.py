@@ -51,7 +51,8 @@ def test_band_verdict():
 
 
 def test_band_matches_pinned_repin():
-    assert bench.BAND == (24.0, 28.0)
+    # r14 repin: 38-query headline set (SOAK.md # BENCH REPIN r14)
+    assert bench.BAND == (29.0, 34.0)
     assert bench.REF_CALIB == pytest.approx(0.2407)
 
 
