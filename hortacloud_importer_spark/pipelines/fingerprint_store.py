@@ -61,21 +61,33 @@ def write_fingerprints(
     root: str,
     gen: int,
     resume: bool = True,
+    payload_cols: list[str] | None = None,
+    bucket_col=None,
 ) -> list[dict]:
-    """Write generation ``gen``'s fingerprint files (one per bucket
-    nibble present in ``fps``, each holding its DISTINCT fingerprints
-    in sorted order) for every bucket not already committed, then
-    append ONE manifest commit shard covering the new files. ``fps``
-    needs a single string column ``fp`` (32 hex chars). Returns the
-    accounting rows for buckets written THIS run.
+    """Write generation ``gen``'s store files (one per bucket value
+    present in the input, each holding its DISTINCT payload rows in
+    sorted order) for every bucket not already committed, then append
+    ONE manifest commit shard covering the new files. Defaults are the
+    fingerprint store: a single string column ``fp`` (32 hex chars)
+    bucketed by its first nibble. ``payload_cols``/``bucket_col``
+    generalize the same commit/resume machinery to posting-list stores
+    (e.g. the MinHash signature store buckets ``(doc_id, band, bucket,
+    sig)`` rows by band) — bucket values must be single lowercase hex
+    characters so the manifest resume regex recognizes them. Returns
+    the accounting rows for buckets written THIS run.
     """
     from hortacloud_importer_spark.sources import manifest
     from hortacloud_importer_spark.sources.datasource import _pa_fs
 
+    cols = payload_cols if payload_cols is not None else ["fp"]
+    key = bucket_col if bucket_col is not None else F.substring("fp", 1, 1)
     done = _committed_buckets(spark, root, gen) if resume else set()
-    todo = fps.select("fp").withColumn("bucket", F.substring("fp", 1, 1))
+    # the file-bucket key lives in an internal column so a PAYLOAD
+    # column named "bucket" (the signature store's LSH bucket) is
+    # never clobbered by the store's own partitioning key
+    todo = fps.select(*cols).withColumn("_store_bucket", key)
     if done:
-        todo = todo.filter(~F.col("bucket").isin(*sorted(done)))
+        todo = todo.filter(~F.col("_store_bucket").isin(*sorted(done)))
 
     root_str = str(root)
     gen_i = int(gen)
@@ -92,9 +104,9 @@ def write_fingerprints(
 
         if len(pdf) == 0:
             return pd.DataFrame(columns=["gen", "bucket", "n_fps", "file"])
-        b = pdf["bucket"].iloc[0]
+        b = pdf["_store_bucket"].iloc[0]
         body = (
-            pdf[["fp"]].drop_duplicates().sort_values("fp")
+            pdf[cols].drop_duplicates().sort_values(cols)
         )
         filesystem, base = _fs(root_str)
         rel = f"gen={gen_i}/b={b}/part.parquet"
@@ -117,7 +129,7 @@ def write_fingerprints(
         )
 
     acct = (
-        todo.groupBy("bucket")
+        todo.groupBy("_store_bucket")
         .applyInPandas(
             _write_one, "gen long, bucket string, n_fps long, file string"
         )

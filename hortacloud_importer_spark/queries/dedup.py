@@ -2515,3 +2515,191 @@ def corpus_ingest_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("store_total", F.lit(store_total).cast("bigint"))
     )
+
+
+def _banded_sig_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket, sig) portable banded-MinHash postings of
+    any (doc_id, text) corpus: the 32-perm signature of
+    operators/minhash.py banded 4-per-band into 8 buckets (the
+    dedup_minhash parameters), plus the full '_'-joined signature
+    string — the row shape the signature STORE persists, so an
+    increment can LSH-join and estimate jaccard against committed
+    generations without ever rescanning their text."""
+    from hortacloud_importer_spark.operators.minhash import (
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(_shingles_of(docs), 32, portable=True)
+    buckets = ", ".join(
+        "named_struct('band', {i}L, 'bucket', concat_ws('_', {vals}))".format(
+            i=i,
+            vals=", ".join(
+                f"CAST(sig[{i * 4 + r}] AS STRING)" for r in range(4)
+            ),
+        )
+        for i in range(8)
+    )
+    sig_str = ", ".join(f"CAST(sig[{j}] AS STRING)" for j in range(32))
+    return (
+        sig.select(
+            "doc_id",
+            F.expr(f"concat_ws('_', {sig_str})").alias("sig"),
+            F.expr(f"explode(array({buckets}))").alias("bb"),
+        )
+        .select("doc_id", "bb.band", "bb.bucket", "sig")
+    )
+
+
+_SHINGLES_OF_SQL = """
+SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+FROM (SELECT doc_id, str_split(text, ' ') AS words FROM {src})
+     , UNNEST(range(1, len(words) - 1)) AS t(i)
+"""
+
+
+def _minhash_increment_oracle() -> str:
+    side = """
+ids_{s} AS (
+  SELECT DISTINCT doc_id,
+         CAST('0x' || substr(md5(shingle), 1, 7) AS BIGINT) AS x
+  FROM ({shingles})
+),
+hx_{s} AS (
+  SELECT doc_id, j, MIN((a * x + b) % 2147483647) AS h
+  FROM ids_{s} CROSS JOIN perms GROUP BY 1, 2
+),
+bandsig_{s} AS (
+  SELECT doc_id, j // 4 AS band,
+         string_agg(CAST(h AS VARCHAR), '_' ORDER BY j) AS bucket
+  FROM hx_{s} GROUP BY 1, 2
+)"""
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents),
+base AS (SELECT doc_id, text FROM d WHERE doc_id % 4 <> 3),
+inc AS (
+  SELECT doc_id, text FROM d WHERE doc_id % 4 = 3
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, text FROM d WHERE doc_id % 5 = 0
+),
+perms(j, a, b) AS (VALUES {_minhash_perm_values()}),
+{side.format(s='base', shingles=_SHINGLES_OF_SQL.format(src='base'))},
+{side.format(s='inc', shingles=_SHINGLES_OF_SQL.format(src='inc'))},
+hot AS (
+  SELECT band, bucket FROM (
+    SELECT band, bucket FROM bandsig_base
+    UNION ALL SELECT band, bucket FROM bandsig_inc
+  ) GROUP BY 1, 2 HAVING COUNT(*) > {_MINHASH_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT i.doc_id AS doc_inc, s.doc_id AS doc_store
+  FROM bandsig_inc i
+  JOIN bandsig_base s ON i.band = s.band AND i.bucket = s.bucket
+  LEFT JOIN hot ON hot.band = i.band AND hot.bucket = i.bucket
+  WHERE hot.band IS NULL
+)
+SELECT doc_inc, doc_store,
+       SUM(CASE WHEN hi.h = hs.h THEN 1 ELSE 0 END) / 32.0 AS est_jaccard
+FROM cand c
+JOIN hx_inc hi ON hi.doc_id = c.doc_inc
+JOIN hx_base hs ON hs.doc_id = c.doc_store AND hs.j = hi.j
+GROUP BY 1, 2
+HAVING SUM(CASE WHEN hi.h = hs.h THEN 1 ELSE 0 END) / 32.0 >= 0.5
+"""
+
+
+@register("dedup_minhash_increment", "K2+A6+A11",
+          oracle=_minhash_increment_oracle(), driver=False)
+def dedup_minhash_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup against a COMMITTED SIGNATURE STORE
+    (K2+A6+A11): the fuzzy sibling of corpus_ingest_increment — a new
+    crawl generation finds its near-duplicates of EVERYTHING already
+    absorbed without rescanning committed text, because the store
+    persists banded MinHash postings (doc_id, band, bucket, sig), not
+    documents. Generation 0 (doc_id % 4 != 3) commits its postings
+    (pipelines/fingerprint_store.py, bucketed by band — the same
+    commit/resume/stray-file discipline, pinned in
+    tests/test_fingerprint_store.py); the increment computes its own
+    postings, LSH-joins the COMMITTED READ-BACK on (band, bucket)
+    under the production _MINHASH_BUCKET_CAP (applied to the combined
+    bucket census, replayed in SQL), and estimates jaccard from the
+    STORED signature strings — so a store that drops, corrupts, or
+    duplicates posting rows breaks the oracle hash. Output: increment
+    docs with an estimated-jaccard >= 0.5 match in the committed
+    corpus.
+
+    100 TB posture: committed text is never read — the store is
+    signatures only (~32 ints/doc); the LSH join is bucket-bounded
+    (band width + cap), never all-pairs; the store is band-partitioned
+    so a deployment can co-partition increments by band and keep the
+    join storage-partitioned; the estimate reads the stored sig string
+    (no second signature pass over the base corpus)."""
+    import tempfile
+
+    from hortacloud_importer_spark.pipelines.fingerprint_store import (
+        read_fingerprints,
+        write_fingerprints,
+    )
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.filter(F.col("doc_id") % 4 != 3)
+    inc = d.filter(F.col("doc_id") % 4 == 3).unionByName(
+        d.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+
+    root = tempfile.mkdtemp(prefix="sig_store_") + "/store"
+    write_fingerprints(
+        spark,
+        _banded_sig_of(base),
+        root,
+        gen=0,
+        payload_cols=["doc_id", "band", "bucket", "sig"],
+        bucket_col=F.col("band").cast("string"),
+    )
+    store = read_fingerprints(spark, root).select(
+        F.col("doc_id").alias("doc_store"),
+        "band",
+        "bucket",
+        F.col("sig").alias("sig_store"),
+    )
+    inc_b = _banded_sig_of(inc).select(
+        F.col("doc_id").alias("doc_inc"),
+        "band",
+        "bucket",
+        F.col("sig").alias("sig_inc"),
+    )
+    hot = (
+        store.select("band", "bucket")
+        .unionByName(inc_b.select("band", "bucket"))
+        .groupBy("band", "bucket")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > _MINHASH_BUCKET_CAP)
+        .select("band", "bucket")
+    )
+    cand = (
+        inc_b.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+        .join(
+            store.join(F.broadcast(hot), ["band", "bucket"], "left_anti"),
+            ["band", "bucket"],
+        )
+        .select("doc_inc", "doc_store", "sig_inc", "sig_store")
+        .distinct()
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(
+                    F.split("sig_inc", "_"),
+                    F.split("sig_store", "_"),
+                    lambda x, y: x == y,
+                ),
+                lambda v: v,
+            )
+        ).cast("double")
+        / F.lit(32.0)
+    )
+    return (
+        cand.select("doc_inc", "doc_store", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+    )

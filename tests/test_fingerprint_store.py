@@ -111,3 +111,44 @@ def test_read_without_manifest_refuses(spark, tmp_path_factory):
     os.makedirs(root)
     with pytest.raises(FileNotFoundError):
         read_fingerprints(spark, root)
+
+
+def test_posting_payload_keeps_its_own_bucket_column(
+    spark, tmp_path_factory
+):
+    """The generalized payload path (signature store): a PAYLOAD
+    column literally named `bucket` must round-trip untouched — the
+    writer's internal file-bucket key may not clobber it (the round-14
+    regression: the LSH bucket came back as the band nibble)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    rows = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "band": [0, 1, 1],
+            "bucket": ["11_22", "33_44", "55_66"],
+            "sig": ["a_b", "c_d", "e_f"],
+        }
+    )
+    df = spark.createDataFrame(rows)
+    root = str(tmp_path_factory.mktemp("fp_posting") / "store")
+    acct = write_fingerprints(
+        spark,
+        df,
+        root,
+        gen=0,
+        payload_cols=["doc_id", "band", "bucket", "sig"],
+        bucket_col=F.col("band").cast("string"),
+    )
+    assert sorted(r["bucket"] for r in acct) == ["0", "1"]
+    back = read_fingerprints(spark, root)
+    got = {
+        (r["doc_id"], r["band"], r["bucket"], r["sig"])
+        for r in back.collect()
+    }
+    assert got == {
+        (1, 0, "11_22", "a_b"),
+        (2, 1, "33_44", "c_d"),
+        (3, 1, "55_66", "e_f"),
+    }
