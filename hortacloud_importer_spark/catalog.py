@@ -77,6 +77,32 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]
     return tuple(table(spark, sf_dir, n) for n in names)
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition a frame whose physical parallelism is
+    far below the session's cores — the optimization-guide §2.5 fix
+    for "one huge unsplittable file": the fixture tables are
+    single-row-group parquet files, so every scan is ONE task and any
+    CPU-heavy derivation (shingle explode, md5 per gram, signature
+    folds) serializes on one core while the rest idle.
+
+    Scale-adaptive BY CONSTRUCTION, not by config: the repartition is
+    planned only when the input's partition count is at most half the
+    scheduler's parallelism. At 100 TB the source has thousands of
+    splits, the condition is false, and this is a no-op — no exchange
+    appears in the plan, so the payload-free-shuffle posture of the
+    hash exchanges is untouched. When it does fire, the one
+    round-robin exchange moves the (small, unsplittable) input once so
+    every downstream map stage runs wide; results are unchanged
+    because every consumer is row-order independent (aggregates,
+    hash joins, windows with total orders).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 2 <= target:
+        return df.repartition(target)
+    return df
+
+
 class SchemaMismatch(ValueError):
     """A later input diverged from the frozen run schema."""
 

@@ -126,7 +126,12 @@ def lsh_topk(
     SQL-reproducible family (the oracle path); pass ``dim`` with it to
     bake the planes in as literals (no per-row md5).
     """
-    sig = embeddings.withColumn(
+    from hortacloud_importer_spark.catalog import spread
+
+    # spread before the signature projection: n_planes x dim fold
+    # work per row is the query's CPU cost, and a single-row-group
+    # fixture scan runs it on one core (guide §2.5; no-op at scale)
+    sig = spread(embeddings).withColumn(
         "sig", _signature(F.col("embedding"), n_planes, portable, dim)
     )
     q = sig.filter(F.col("vec_id") == query_vec_id).select(
@@ -194,6 +199,9 @@ def ivf_topk(
     semi-join membership filter. At 100 TB only nprobe/ncells of the
     corpus is scored — the classic IVF recall/cost dial.
     """
+    from hortacloud_importer_spark.catalog import spread
+
+    embeddings = spread(embeddings)
     pos = embeddings.select("label", F.posexplode("embedding").alias("pos", "v"))
     centroids = (
         pos.groupBy("label", "pos")

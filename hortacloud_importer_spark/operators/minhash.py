@@ -141,37 +141,48 @@ def minhash_pairs(
         for i in range(bands)
     )
     banded = sig.select(
-        "doc_id", F.expr(f"explode(array({structs}))").alias("bb")
-    ).select("doc_id", "bb.band", "bb.bucket")
+        "doc_id", "sig", F.expr(f"explode(array({structs}))").alias("bb")
+    ).select("doc_id", "sig", "bb.band", "bb.bucket")
     if bucket_cap is not None:
         banded = _drop_hot_buckets(banded, ["band", "bucket"], bucket_cap)
+    # Signatures ride THROUGH the band join and est is computed inline
+    # on the join output, so the one distinct over (doc_a, doc_b, est)
+    # is the whole tail of the query. The previous shape —
+    # distinct pair set, then TWO broadcast joins back onto sig to
+    # fetch sig_a/sig_b — cost two extra broadcast-exchange jobs and
+    # an extra aggregation exchange per run (round-14: per-job wall
+    # overhead dominates at bench scale, guide §2.4 remove exchanges).
+    # est is a deterministic function of the pair, so
+    # distinct(doc_a, doc_b, est) returns exactly the old rows; the
+    # exchange carries 8 more bytes per surviving pair and the
+    # band-duplicated copies of a pair recompute the (codegen) match
+    # sum instead of being deduped first — measured cheaper than the
+    # two join stages they replace.
     a = banded.alias("a")
     b = banded.alias("b")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+    # flat codegen sum of the n_hashes equality bits, NOT
+    # zip_with+filter+size: higher-order functions are CodegenFallback
+    # (interpreted per row, closure allocation per element), and this
+    # projection runs once per band-join output row — the round-14
+    # profile put 17 s of the 32-core executor time in the interpreted
+    # form at sf0.1. Same integer count, same /n division ->
+    # bit-identical.
+    matches = " + ".join(
+        f"CAST(a.sig[{j}] = b.sig[{j}] AS INT)" for j in range(n_hashes)
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
-            )
-        ).cast("double")
-        / F.lit(float(n_hashes))
-    )
+    est = F.expr(f"({matches}) / {float(n_hashes)!r}D")
     # set-semantics output (no trailing global sort: the pair set is
     # what matters, and a total order costs a range-partition job —
     # callers that display order explicitly)
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            est.alias("est_jaccard"),
+        )
+        .distinct()
     )
 
 

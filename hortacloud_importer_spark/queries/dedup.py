@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hortacloud_importer_spark.catalog import table
+from hortacloud_importer_spark.catalog import spread, table
 from hortacloud_importer_spark.operators.textnorm import NORM_WORDS_SQL
 from hortacloud_importer_spark.registry import register
 
@@ -109,7 +109,13 @@ def _shingles_of(d: DataFrame) -> DataFrame:
     Formulated as arrays_zip(words, words[1:], words[2:]) -> explode,
     NOT per-index element_at lambdas: element_at inside a transform
     re-evaluates split(text) per access, which is O(words^2) per
-    document (measured 6x slower at sf0.1)."""
+    document (measured 6x slower at sf0.1).
+
+    The input is spread (catalog.spread) before the explode: the
+    shingle fan-out and downstream md5/xxhash work is the CPU cost of
+    every near-dup query, and a single-row-group fixture file
+    otherwise runs it on one core (guide §2.5; no-op at scale)."""
+    d = spread(d)
     words = F.split("text", " ")
     z = F.arrays_zip(
         words,
@@ -192,10 +198,23 @@ def jaccard_pairs(
     # become 8-byte longs instead of ~20-char strings, so the 2.8M-row
     # pair shuffle moves a fraction of the bytes (collision odds at this
     # vocabulary are ~1e-11 — far below the float tolerance elsewhere).
-    # No persist: measured 2x slower than recompute here — the shingle
-    # scan is one codegen stage and ReuseExchange dedupes the distinct
-    # shuffle across the four references.
-    sh = shingles.select("doc_id", F.xxhash64("shingle").alias("shingle")).distinct()
+    # localCheckpoint (round-14, guide §3.3/§5): the deduped posting
+    # list feeds FOUR consumers (hot filter, sizes, both self-join
+    # sides); without truncation each broadcast subtree re-derived the
+    # whole scan->explode->distinct chain (6 recomputes in the
+    # round-14 plan) and the 100+-operator plan itself cost real
+    # driver time per run. The checkpoint materializes exactly the
+    # post-distinct rows (disk-backed — the same bytes the distinct
+    # exchange already wrote), so consumers re-read instead of
+    # re-deriving; measured ~20% on the bench query with identical
+    # output. An earlier round measured plain .persist() 2x SLOWER —
+    # persist keeps the full plan (no truncation) and caches BEFORE
+    # the distinct; the checkpoint cuts both.
+    sh = (
+        shingles.select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .distinct()
+        .localCheckpoint()
+    )
     if df_cap is not None:
         # hot-shingle side is tiny by construction (only df>cap
         # survivors) -> broadcast anti-join, no extra shuffle of the
@@ -381,7 +400,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard. The xxhash64 mode stays available via portable=False."""
     from hortacloud_importer_spark.operators.minhash import simhash_pairs
 
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     return simhash_pairs(
         tokens,
@@ -433,7 +452,7 @@ def dedup_simhash_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     move."""
     from hortacloud_importer_spark.operators.minhash import simhash_pairs
 
-    d = table(spark, sf_dir, "documents")
+    d = spread(table(spark, sf_dir, "documents"))
     tokens = d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
     return simhash_pairs(
         tokens,
@@ -1775,9 +1794,13 @@ def _pack_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n, prefix) over the raw documents table — see
     :func:`_pack_prefix_of` for the mechanism. Shared by corpus_pack
     and corpus_pack_index; q_dataset_build feeds the generalized
-    version its filtered/deduped corpus instead."""
+    version its filtered/deduped corpus instead. The scan is spread
+    first (catalog.spread, no-op at scale): the token-count tokenize
+    runs for both the range-partition sample pass and the real
+    exchange, and a single-row-group fixture file would serialize
+    both on one core (guide §2.5)."""
     d = (
-        table(spark, sf_dir, "documents")
+        spread(table(spark, sf_dir, "documents"))
         .select(
             "doc_id",
             F.size(
@@ -2186,7 +2209,10 @@ def q_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
     )
-    corpus = d.select("doc_id", "source", "text").unionByName(dup)
+    # spread before the quality tokenize (three array passes over
+    # every document) — single-row-group fixture scans otherwise run
+    # it on two cores (guide §2.5; no-op at scale)
+    corpus = spread(d.select("doc_id", "source", "text").unionByName(dup))
     words = F.split("text", " ")
     n_words = F.size(words).cast("bigint")
     stop_ratio = (

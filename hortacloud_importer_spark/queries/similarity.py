@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hortacloud_importer_spark.catalog import table
+from hortacloud_importer_spark.catalog import spread, table
 from hortacloud_importer_spark.registry import register
 
 _QUERY_VEC_ID = 0
@@ -109,8 +109,10 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query vector (vec_id=0). The query row is broadcast — never a
     shuffle of the corpus; the top-k is a TakeOrdered-style global
     limit. At 100 TB this is the exact re-score stage of the ANN
-    pipeline below."""
-    e = table(spark, sf_dir, "embeddings")
+    pipeline below. The corpus side is spread (catalog.spread, no-op
+    at scale) so the per-row dot/norm folds run wide on the
+    single-row-group fixture scan (guide §2.5)."""
+    e = spread(table(spark, sf_dir, "embeddings"))
     # qnorm folds once in the broadcast 1-row side, not once per corpus
     # row (same fold order -> bit-identical score)
     q = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
@@ -197,8 +199,9 @@ def sim_pairs_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (K2/K3): cosine ≥ 0.25 among
     vectors sharing a label — the label plays the role of the coarse
     IVF/cluster assignment, so the quadratic comparison happens only
-    inside cells, never across the corpus."""
-    e = table(spark, sf_dir, "embeddings")
+    inside cells, never across the corpus. Spread per guide §2.5
+    (no-op at scale) so the per-vector norm folds run wide."""
+    e = spread(table(spark, sf_dir, "embeddings"))
     # norms are per-VECTOR, so compute them before the pair join —
     # inside the pair select they'd be re-folded per PAIR, tripling the
     # higher-order-function work (measured 34s -> ~1/3 at sf0.01). The

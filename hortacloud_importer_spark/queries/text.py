@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from hortacloud_importer_spark.catalog import table
+from hortacloud_importer_spark.catalog import spread, table
 from hortacloud_importer_spark.operators.textnorm import (
     NORM_WORDS_SQL,
     norm_words,
@@ -844,15 +844,28 @@ def bigram_lm_bits(corpus: DataFrame, words: Column | None = None) -> DataFrame:
         if words is not None
         else F.filter(F.split("text", " "), lambda x: x != "")
     )
+    # The short-doc guard lives INSIDE the generator expression (IF ->
+    # empty array), NOT as a .filter(size(ws) >= 2): Catalyst pushes
+    # such a filter below the ws projection by substitution, so every
+    # row would evaluate the full tokenizer TWICE (once for the pushed
+    # predicate, once for the projection) — the round-14 plan showed
+    # exactly that duplication on both corpus passes. The IF keeps one
+    # tokenizer evaluation per row and explodes zero rows for docs
+    # with < 2 words (identical output; gh is never null here, so the
+    # old post-explode isnotnull(gh) pruning is not even reachable).
+    # The corpus is spread first (catalog.spread, no-op at scale):
+    # both passes are tokenizer+md5-bound and a single-row-group
+    # fixture scan would run them on one core (guide §2.5).
     bg = (
-        corpus.select("doc_id", ws.alias("ws"))
-        .filter(F.size("ws") >= 2)
+        spread(corpus).select("doc_id", ws.alias("ws"))
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(ws) - 1),"
-                    " i -> unhex(md5(concat(ws[i-1], ' ', ws[i]))))"
+                    "IF(size(ws) >= 2,"
+                    " transform(sequence(1, size(ws) - 1),"
+                    " i -> unhex(md5(concat(ws[i-1], ' ', ws[i])))),"
+                    " array())"
                 )
             ).alias("gh"),
         )

@@ -78,6 +78,16 @@ def downsample_voxels(
     The plan is scan -> project (child-coordinate bit math) ->
     hash-aggregate. At scale the shuffle moves exactly one row per
     child voxel per partial — an 8x reduction per level.
+
+    Round-14 optimization note: an 8-parity-slot rewrite of the
+    ``arthur`` collect_list aggregate (8 conditional MAX slots keyed
+    by (z%2, y%2, x%2), 2nd-max as a row-level sort of the slots —
+    plain codegen instead of ObjectHashAggregate) was implemented,
+    oracle-verified, and REJECTED on an interleaved A/B at sf0.1: the
+    slot form ran ~1.5x SLOWER on the 64^3/6-level pyramid (8 sparse
+    aggregate buffers + the per-child array sort cost more than the
+    tiny 8-element list collection they replace). The collect_list
+    form stays.
     """
     dz, dy, dx = dims
     cz = child_index(F.col("z"), dz).alias("z")
