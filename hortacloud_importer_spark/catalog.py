@@ -98,9 +98,28 @@ def spread(df: DataFrame) -> DataFrame:
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() * 2 <= target:
-        return df.repartition(target)
-    return df
+    memo_key = (sc.applicationId, id(df))
+    hit = _SPREAD_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
+    try:
+        # _jdf.rdd() is one py4j call (no Python-RDD pickle wrapper
+        # like df.rdd) — the partition probe itself must stay cheap,
+        # it runs at plan-build time inside the timed query
+        cur = df._jdf.rdd().getNumPartitions()
+    except Exception:
+        return df
+    out = df.repartition(target) if cur * 2 <= target else df
+    # memoized on object identity (catalog tables are per-session
+    # singletons, so repeat invocations skip the probe); the input ref
+    # is kept so the id can never be recycled
+    _SPREAD_MEMO[memo_key] = out
+    _SPREAD_KEEP.append(df)
+    return out
+
+
+_SPREAD_MEMO: dict[tuple[str, int], DataFrame] = {}
+_SPREAD_KEEP: list[DataFrame] = []
 
 
 class SchemaMismatch(ValueError):

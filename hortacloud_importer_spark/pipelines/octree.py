@@ -505,7 +505,7 @@ def build_octree(
     dims: tuple[int, int, int] | None = None,
     dtype: str = "uint16",
     resume: bool = True,
-    channels: int = 1,
+    channels: int | None = None,
     origin_nm: tuple[float, float, float] = (0.0, 0.0, 0.0),
     voxel_size_um: tuple[float, float, float] = (1.0, 1.0, 1.0),
     write_transform: bool = True,
@@ -533,6 +533,13 @@ def build_octree(
         )
     register_volume_sources(spark)  # tiff_volume scan + tiff_blocks sink
     voxels: DataFrame | None = None
+    # channels=None = "not stated": slice sources default to 1 (the
+    # reference's single-channel default), DataFrame sources discover
+    # it with the aggregate below. A caller who KNOWS the channel
+    # count states it and skips that whole extra job (round-14).
+    channels_known = channels is not None
+    if channels is None:
+        channels = 1
     if isinstance(source, str):
         suffix = _detect_slice_suffix(source, channels)
         if dims is None:
@@ -583,12 +590,12 @@ def build_octree(
     # committed side as a DataFrame (None = no manifest yet): the
     # resume anti-join never materializes the set driver-side
     done = manifest.committed_files_df(spark, out_dir) if resume else None
-    if isinstance(source, str) or channels > 1:
+    if isinstance(source, str) or channels_known:
         # channel count is a scan parameter, not data — don't pay an
         # aggregate over the whole volume to rediscover it. DataFrame
-        # callers with multi-channel voxels pass ``channels``
-        # explicitly; the aggregate below only ever runs for
-        # single-default DataFrame sources.
+        # callers that state ``channels`` (any value, including 1)
+        # skip the aggregate; only callers that omit it pay the
+        # discovery job.
         n_channels = channels
     else:
         n_channels = int(

@@ -1794,13 +1794,13 @@ def _pack_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, n, prefix) over the raw documents table — see
     :func:`_pack_prefix_of` for the mechanism. Shared by corpus_pack
     and corpus_pack_index; q_dataset_build feeds the generalized
-    version its filtered/deduped corpus instead. The scan is spread
-    first (catalog.spread, no-op at scale): the token-count tokenize
-    runs for both the range-partition sample pass and the real
-    exchange, and a single-row-group fixture file would serialize
-    both on one core (guide §2.5)."""
+    version its filtered/deduped corpus instead. NOT spread: the
+    round-14 profile put the single-task token-count stage at 0.11 s
+    — far below the cost of the extra exchange a spread would add
+    (the range-partition exchange right after it already spreads the
+    downstream work)."""
     d = (
-        spread(table(spark, sf_dir, "documents"))
+        table(spark, sf_dir, "documents")
         .select(
             "doc_id",
             F.size(
@@ -2209,10 +2209,12 @@ def q_dataset_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup = d.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "source", "text"
     )
-    # spread before the quality tokenize (three array passes over
-    # every document) — single-row-group fixture scans otherwise run
-    # it on two cores (guide §2.5; no-op at scale)
-    corpus = spread(d.select("doc_id", "source", "text").unionByName(dup))
+    # NOT spread: the quality stage ran 0.77 s over 2 scan tasks in
+    # the round-14 profile — an extra round-robin exchange (plus its
+    # AQE stage-job) costs about what the wider tokenize would save,
+    # and the md5-dedup exchange right after it already spreads the
+    # rest of the composite
+    corpus = d.select("doc_id", "source", "text").unionByName(dup)
     words = F.split("text", " ")
     n_words = F.size(words).cast("bigint")
     stop_ratio = (

@@ -206,8 +206,13 @@ def vol_octree_build(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = tempfile.mkdtemp(prefix="octree_bench_") + "/store"
     v = synthetic_volume(spark, 32, 32, 32, zero_fraction_mod=5)
+    # channels=1 is a property of the synthetic source, stated instead
+    # of rediscovered: DataFrame callers that omit it pay a
+    # countDistinct(channel) aggregate over the whole volume — a full
+    # extra job before the build starts (round-14, guide §2.4)
     return build_octree(
-        spark, v, out, nlevels=3, filter_="arthur", dims=(32, 32, 32)
+        spark, v, out, nlevels=3, filter_="arthur", dims=(32, 32, 32),
+        channels=1,
     )
 
 
@@ -325,7 +330,8 @@ def vol_ktx_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         scratch = tempfile.mkdtemp(prefix="ktxbench_build_") + "/store"
         v = synthetic_volume(spark, 32, 32, 32, zero_fraction_mod=5)
         build_octree(
-            spark, v, scratch, nlevels=2, filter_="arthur", dims=(32, 32, 32)
+            spark, v, scratch, nlevels=2, filter_="arthur",
+            dims=(32, 32, 32), channels=1,
         )
         os.makedirs(base, exist_ok=True)
         try:
