@@ -1501,12 +1501,19 @@ def _decontaminate(spark, sf_dir: str, words) -> DataFrame:
     )
 
     def grams(d: DataFrame, id_col: str) -> DataFrame:
-        return d.filter(F.size("w") >= 5).select(
+        # short-doc guard inside the generator (IF -> empty array), not
+        # a .filter(size(w) >= 5): Catalyst pushes that filter below
+        # the w projection by substitution and the tokenizer (regexp in
+        # the _norm variant) runs twice per row (round-14, guide §4.4's
+        # duplicated-derivation trap).
+        return d.select(
             F.col("doc_id").alias(id_col),
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(w) - 4),"
-                    " i -> concat_ws(' ', slice(w, i, 5)))"
+                    "IF(size(w) >= 5,"
+                    " transform(sequence(1, size(w) - 4),"
+                    " i -> concat_ws(' ', slice(w, i, 5))),"
+                    " array())"
                 )
             ).alias("gram"),
         )
@@ -1828,8 +1835,21 @@ def _pack_prefix_of(spark: SparkSession, d: DataFrame) -> DataFrame:
     spark_parts = int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    ranged = d.repartitionByRange(spark_parts, "doc_id").withColumn(
-        "_pid", F.spark_partition_id()
+    # localCheckpoint: the two passes below (per-partition totals, then
+    # the offsets join + local cumsum) otherwise each recompute the
+    # WHOLE upstream of `d` — for q_dataset_build that is the entire
+    # quality-filter + md5-dedup pipeline twice, for the raw pack
+    # queries a second full text scan + tokenize (the round-14 before
+    # plans show the duplicated subtrees; column pruning makes the two
+    # copies differ, so ReuseExchange never fires). The materialized
+    # rows are (doc_id, n, _pid) — 20 bytes/doc, executor-local — so
+    # the checkpoint is cheap at any scale while the avoided recompute
+    # is a full corpus pass (guide §3.3/§5: truncate duplicated
+    # lineage; the jaccard posting-list checkpoint is the same move).
+    ranged = (
+        d.repartitionByRange(spark_parts, "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
     )
     counts = ranged.groupBy("_pid").agg(F.sum("n").alias("_t"))
     w_off = Window.orderBy("_pid").rowsBetween(

@@ -856,6 +856,14 @@ def bigram_lm_bits(corpus: DataFrame, words: Column | None = None) -> DataFrame:
     # The corpus is spread first (catalog.spread, no-op at scale):
     # both passes are tokenizer+md5-bound and a single-row-group
     # fixture scan would run them on one core (guide §2.5).
+    # The md5 runs AFTER the explode, not inside the transform lambda:
+    # higher-order lambdas are CodegenFallback (interpreted per
+    # element), so hashing inside the lambda pays interpreted md5 per
+    # bigram; post-explode the digest is a plain codegen projection in
+    # the same stage (no exchange between — the groupBy/join exchanges
+    # still carry only the 16-byte digest). Measured 1.79 -> 1.06 s on
+    # the bg subtree at sf0.1, identical digests (guide §4.1: move
+    # work from interpreted lambdas to codegen built-ins).
     bg = (
         spread(corpus).select("doc_id", ws.alias("ws"))
         .select(
@@ -864,11 +872,12 @@ def bigram_lm_bits(corpus: DataFrame, words: Column | None = None) -> DataFrame:
                 F.expr(
                     "IF(size(ws) >= 2,"
                     " transform(sequence(1, size(ws) - 1),"
-                    " i -> unhex(md5(concat(ws[i-1], ' ', ws[i])))),"
+                    " i -> concat(ws[i-1], ' ', ws[i])),"
                     " array())"
                 )
-            ).alias("gh"),
+            ).alias("g"),
         )
+        .select("doc_id", F.unhex(F.md5("g")).alias("gh"))
     )
     cnt = bg.groupBy("gh").agg(F.count("*").cast("bigint").alias("c"))
     return (
@@ -1011,19 +1020,26 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     model, no join, no gram text in any exchange."""
     d = table(spark, sf_dir, "documents")
     ws = F.filter(F.split("text", " "), lambda x: x != "")
+    # Same two round-14 fixes as bigram_lm_bits: the short-doc guard
+    # lives inside the generator (a pushed-down size(ws) filter would
+    # re-evaluate the tokenizer per row), and the md5 runs post-explode
+    # as a codegen projection instead of inside the interpreted
+    # transform lambda (identical digests, same-stage, no exchange
+    # ever sees gram text).
     per = (
         d.select("doc_id", ws.alias("ws"))
-        .filter(F.size("ws") >= 3)
         .select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, size(ws) - 2),"
-                    " i -> unhex(md5(concat_ws(' ', ws[i-1], ws[i],"
-                    " ws[i+1]))))"
+                    "IF(size(ws) >= 3,"
+                    " transform(sequence(1, size(ws) - 2),"
+                    " i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1])),"
+                    " array())"
                 )
-            ).alias("gh"),
+            ).alias("g"),
         )
+        .select("doc_id", F.unhex(F.md5("g")).alias("gh"))
         .groupBy("doc_id", "gh")
         .agg(F.count("*").alias("c"))
     )
