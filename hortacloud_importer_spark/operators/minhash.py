@@ -128,6 +128,15 @@ def minhash_pairs(
     """
     rows = n_hashes // bands
     sig = minhash_signatures(shingles, n_hashes, portable=portable).cache()
+    # Fill the cache EAGERLY: AQE materializes the hot-bucket subtree
+    # and the main band-join subtree as concurrently submitted jobs,
+    # and a lazy cache lets both race through the un-filled
+    # InMemoryRelation — the signature aggregate (the query's dominant
+    # compute) ran twice in the round-14 profile (two concurrent
+    # ~1.4 s jobs, each a full scan + 32-MIN aggregate). One count()
+    # serializes the fill; measured 5.3 -> 3.3 s cold at sf0.1, and
+    # on warm reps the count is a cache-read no-op.
+    sig.count()
 
     def _bucket_sql(i: int) -> str:
         cols = [f"sig[{i * rows + r}]" for r in range(rows)]
@@ -257,6 +266,8 @@ def simhash_pairs(
     sig = simhash_signatures(tokens, portable=portable).withColumn(
         "band", F.shiftrightunsigned("simhash", 48)
     ).cache()
+    # eager fill — same concurrent-subtree race as minhash_pairs above
+    sig.count()
     if bucket_cap is not None:
         sig = _drop_hot_buckets(sig, ["band"], bucket_cap)
     a = sig.select(

@@ -2734,18 +2734,19 @@ def dedup_minhash_increment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_inc", "doc_store", "sig_inc", "sig_store")
         .distinct()
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with(
-                    F.split("sig_inc", "_"),
-                    F.split("sig_store", "_"),
-                    lambda x, y: x == y,
-                ),
-                lambda v: v,
-            )
-        ).cast("double")
-        / F.lit(32.0)
+    # flat codegen equality sum over the 32 split slots, not
+    # zip_with+filter+size (CodegenFallback — interpreted per element
+    # with closure allocation per pair row); the split itself is
+    # evaluated once per side via codegen subexpression elimination.
+    # Same integer count / 32.0 -> bit-identical (the minhash_pairs
+    # round-14 rewrite, applied to the incremental path).
+    _sum = " + ".join(
+        f"CAST(element_at(_sa, {j + 1}) = element_at(_sb, {j + 1}) AS INT)"
+        for j in range(32)
+    )
+    est = F.expr(f"({_sum}) / 32.0D")
+    cand = cand.withColumn("_sa", F.split("sig_inc", "_")).withColumn(
+        "_sb", F.split("sig_store", "_")
     )
     return (
         cand.select("doc_inc", "doc_store", est.alias("est_jaccard"))
