@@ -38,7 +38,7 @@ def get_spark(app_name: str = "hortacloud-importer-spark") -> SparkSession:
         # vol_pyramid_throughput at sf0.1 (OPTIMIZATION_r14.md).
         .config(
             "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-            "true",
+            os.environ.get("SPARK_GRAFT_CACHED_REPLAN", "true"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
