@@ -201,6 +201,29 @@ def _read_loadavg() -> float | None:
         return None
 
 
+def _read_steal_sec() -> float | None:
+    """Cumulative hypervisor steal time (seconds) from /proc/stat.
+
+    Round-14 finding: this VM suffers intermittent steal waves (2-10
+    vCPUs taken for minutes at a time) that the idle gate and the
+    single-threaded calib spin BOTH miss — loadavg only counts our own
+    runnable tasks, and steal accrues only while a workload is trying
+    to run, so a pre-flight check reads clean and the wave then lands
+    on the timed region (a 38-query run recorded 59.3 s under a wave
+    vs 29.1 s minutes later; SOAK.md # STEAL ADJUDICATION r14). The
+    delta across the timed region, emitted below, makes the capture
+    self-adjudicating for this failure mode too."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        # cpu user nice system idle iowait irq softirq steal ...
+        if parts[0] != "cpu" or len(parts) < 9:
+            return None
+        return float(parts[8]) / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def _await_idle() -> tuple[float | None, float, bool]:
     """Pre-flight gate: spin-wait until the 1-min load drops below
     $SPARK_GRAFT_BENCH_MAXLOAD (default 0.8) or the wait exceeds
@@ -263,6 +286,8 @@ def main() -> None:
     # shared host span many seconds, and back-to-back reps would both
     # sit inside the same wave.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    steal_pre = _read_steal_sec()
+    t_timed0 = time.time()
     timings: dict[str, float] = {name: float("inf") for name in names}
     for _ in range(reps):
         for name in names:
@@ -272,6 +297,16 @@ def main() -> None:
     timings = {name: round(t, 3) for name, t in timings.items()}
 
     host["loadavg_post"] = _read_loadavg()
+    steal_post = _read_steal_sec()
+    if steal_pre is not None and steal_post is not None:
+        # Steal accrued across the timed region, and the average number
+        # of vCPUs the hypervisor took while it ran. ~0 on a healthy
+        # run; > 0.5 sustained means the timings are contaminated by a
+        # steal wave (see _read_steal_sec) and should be re-run, not
+        # read as a regression.
+        wall = max(time.time() - t_timed0, 1e-9)
+        host["steal_sec"] = round(steal_post - steal_pre, 2)
+        host["steal_cps"] = round((steal_post - steal_pre) / wall, 3)
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_sec",

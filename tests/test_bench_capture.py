@@ -71,3 +71,23 @@ def test_band_distance_pct():
     assert bench.band_distance_pct(hi) == 0.0
     assert bench.band_distance_pct(hi * 1.005) == 0.5
     assert bench.band_distance_pct(lo * 0.99) == -1.0
+
+
+def test_steal_reader_parses_proc_stat():
+    # Round-14: hypervisor steal waves (2-10 vCPUs for minutes) are
+    # invisible to BOTH the idle gate (loadavg only counts our own
+    # runnable tasks) and the calib spin (a pre-run sample misses a
+    # wave that lands on the timed region). The capture must therefore
+    # carry the steal delta across the timed region. This pins the
+    # reader against the real /proc/stat on this host (field 9 of the
+    # aggregate cpu line, in clock ticks).
+    val = bench._read_steal_sec()
+    assert val is None or (isinstance(val, float) and val >= 0.0)
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    if parts[0] == "cpu" and len(parts) >= 9:
+        import os as _os
+
+        expected = float(parts[8]) / _os.sysconf("SC_CLK_TCK")
+        # cumulative counter: the reader's earlier sample is <= now
+        assert val is not None and val <= expected + 1.0

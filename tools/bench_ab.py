@@ -50,6 +50,28 @@ def calib_spin() -> float:
     return round(best, 4)
 
 
+def read_steal_sec() -> float | None:
+    """Cumulative hypervisor steal seconds (see bench._read_steal_sec:
+    steal waves are invisible to both the idle gate and the calib
+    spin, and they are the round-14-measured cause of 2-3x phantom
+    totals on identical code)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        if parts[0] != "cpu" or len(parts) < 9:
+            return None
+        return float(parts[8]) / os.sysconf("SC_CLK_TCK")
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+# A rep whose run-average steal exceeds this many vCPUs is discarded
+# and re-run: the interleaving defends the RATIO against waves that
+# hit both sides, but a wave that lands inside ONE side's run still
+# poisons that side's per-query minima.
+STEAL_DISCARD_CPS = 0.5
+
+
 def run_bench(tree: str) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_BENCH_REPS"] = "1"
@@ -59,6 +81,8 @@ def run_bench(tree: str) -> dict:
     env.setdefault("SPARK_GRAFT_BENCH_MAXLOAD", "0.8")
     env.setdefault("SPARK_GRAFT_BENCH_IDLE_TIMEOUT", "900")
     c = calib_spin()
+    steal0 = read_steal_sec()
+    t0 = time.time()
     r = subprocess.run(
         [sys.executable, "bench.py"],
         cwd=tree,
@@ -67,6 +91,7 @@ def run_bench(tree: str) -> dict:
         text=True,
         timeout=1800,
     )
+    steal1 = read_steal_sec()
     line = next(
         (
             ln
@@ -83,6 +108,10 @@ def run_bench(tree: str) -> dict:
     out = json.loads(line)
     out["harness_calib"] = c
     out["norm_value"] = round(out["value"] * REF_CALIB / c, 3)
+    if steal0 is not None and steal1 is not None:
+        out["harness_steal_cps"] = round(
+            (steal1 - steal0) / max(time.time() - t0, 1e-9), 3
+        )
     return out
 
 
@@ -97,10 +126,35 @@ def main() -> None:
             check=True,
         )
     runs: dict[str, list] = {"old": [], "new": []}
+    discarded = 0
     for rep in range(reps):
         for side, tree in (("old", old_tree), ("new", REPO)):
-            print(f"rep {rep + 1}/{reps} side {side} ...", flush=True)
-            runs[side].append(run_bench(tree))
+            for attempt in range(3):
+                print(
+                    f"rep {rep + 1}/{reps} side {side}"
+                    + (f" (retry {attempt})" if attempt else "")
+                    + " ...",
+                    flush=True,
+                )
+                r = run_bench(tree)
+                cps = r.get("harness_steal_cps")
+                if cps is None or cps <= STEAL_DISCARD_CPS or attempt == 2:
+                    if cps is not None and cps > STEAL_DISCARD_CPS:
+                        # out of retries: keep it, but it is marked —
+                        # per-query minima across reps absorb one bad rep
+                        print(
+                            f"  KEPT CONTAMINATED rep (steal {cps} cps, "
+                            "retries exhausted)",
+                            flush=True,
+                        )
+                    runs[side].append(r)
+                    break
+                discarded += 1
+                print(
+                    f"  DISCARDED rep: steal wave ({cps} vCPUs avg "
+                    f"> {STEAL_DISCARD_CPS}) — re-running",
+                    flush=True,
+                )
 
     def best(side: str) -> dict:
         rs = runs[side]
@@ -163,9 +217,13 @@ def main() -> None:
         f"launch and normalized to calib {REF_CALIB} (BENCH_r10's).",
         "",
         f"- old ({old_rev}): raw {old_b['raw_totals']} "
-        f"norm {old_b['norm_totals']} (calibs {old_b['calibs']})",
+        f"norm {old_b['norm_totals']} (calibs {old_b['calibs']}, "
+        f"steal cps {[r.get('harness_steal_cps') for r in runs['old']]})",
         f"- new (HEAD {head}): raw {new_b['raw_totals']} "
-        f"norm {new_b['norm_totals']} (calibs {new_b['calibs']})",
+        f"norm {new_b['norm_totals']} (calibs {new_b['calibs']}, "
+        f"steal cps {[r.get('harness_steal_cps') for r in runs['new']]})",
+        f"- steal-contaminated reps discarded and re-run: {discarded} "
+        f"(threshold {STEAL_DISCARD_CPS} vCPUs run-average)",
         f"- best normalized totals: old {old_b['best_norm']} s, "
         f"new {new_b['best_norm']} s "
         f"(sum-of-query-mins: old {old_b['sum_of_query_mins']}, "
@@ -236,6 +294,11 @@ def main() -> None:
         "band": list(BAND),
         "new_inside_band": in_band,
         "attribution": attribution,
+        "steal_discarded_reps": discarded,
+        "steal_cps_per_run": {
+            side: [r.get("harness_steal_cps") for r in runs[side]]
+            for side in ("old", "new")
+        },
         "per_query_ratios": per_query_ratios,
         "noise_floor": {"min_old_sec": 0.5, "min_ratio": 1.5},
         "flagged_regressions": flagged,

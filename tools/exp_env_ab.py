@@ -65,11 +65,24 @@ def main() -> None:
     mins: dict[str, dict[str, float]] = {"a": {}, "b": {}}
     for rep in range(reps):
         for side, env in (("a", env_a), ("b", env_b)):
-            spin = calib_spin()
-            res = run_subset(env, names)
+            # Steal-discard (round-14: hypervisor steal waves poison a
+            # side's minima; bench.py emits the run's own steal_cps):
+            # retry a contaminated rep up to twice, then keep it —
+            # per-query minima absorb one bad rep.
+            for attempt in range(3):
+                spin = calib_spin()
+                res = run_subset(env, names)
+                steal = res.get("host", {}).get("steal_cps")
+                if steal is None or steal <= 0.5 or attempt == 2:
+                    break
+                print(
+                    f"rep {rep + 1}/{reps} side {side} DISCARDED "
+                    f"(steal {steal} cps) — re-running",
+                    file=sys.stderr,
+                )
             print(
                 f"rep {rep + 1}/{reps} side {side} env={env} "
-                f"calib={spin} total={res['value']}",
+                f"calib={spin} total={res['value']} steal={steal}",
                 file=sys.stderr,
             )
             for q, t in res["queries"].items():
