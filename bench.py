@@ -201,6 +201,22 @@ def _read_loadavg() -> float | None:
         return None
 
 
+def _parse_steal_sec(stat_line: str, clk_tck: float) -> float | None:
+    """Pure parser for the aggregate cpu line of /proc/stat:
+    cpu user nice system idle iowait irq softirq steal ... — returns
+    the cumulative steal in seconds, or None when the line carries no
+    steal field (old kernels) or is not the aggregate cpu line.
+    Factored out of the reader so tests pin it against fixed fixtures
+    instead of the live /proc/stat (r14 ADVICE)."""
+    parts = stat_line.split()
+    if not parts or parts[0] != "cpu" or len(parts) < 9:
+        return None
+    try:
+        return float(parts[8]) / clk_tck
+    except ValueError:
+        return None
+
+
 def _read_steal_sec() -> float | None:
     """Cumulative hypervisor steal time (seconds) from /proc/stat.
 
@@ -215,12 +231,9 @@ def _read_steal_sec() -> float | None:
     self-adjudicating for this failure mode too."""
     try:
         with open("/proc/stat") as fh:
-            parts = fh.readline().split()
-        # cpu user nice system idle iowait irq softirq steal ...
-        if parts[0] != "cpu" or len(parts) < 9:
-            return None
-        return float(parts[8]) / os.sysconf("SC_CLK_TCK")
-    except (OSError, ValueError, IndexError):
+            line = fh.readline()
+        return _parse_steal_sec(line, os.sysconf("SC_CLK_TCK"))
+    except (OSError, ValueError):
         return None
 
 
@@ -286,14 +299,74 @@ def main() -> None:
     # shared host span many seconds, and back-to-back reps would both
     # sit inside the same wave.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Round-15 (r14 verdict #1): the capture must ACT on its own steal
+    # telemetry, not just record it — a steal wave landing on one rep
+    # poisons that rep's minima (a serial-stage query read 3x under a
+    # wave in BENCH_r14). Steal is sampled per rep pass; a pass whose
+    # run-average steal exceeds the 0.5-vCPU contamination threshold
+    # (the tools/bench_ab.py discard rule) is DISCARDED and re-run, up
+    # to STEAL_MAX_RETRIES extra passes per rep. Retries exhausted =
+    # the contaminated pass is kept (minima across the other reps
+    # absorb it) and the capture says so in host.steal_kept_contaminated.
+    steal_thresh = float(os.environ.get("SPARK_GRAFT_BENCH_STEAL_CPS", "0.5"))
+    steal_max_retries = int(
+        os.environ.get("SPARK_GRAFT_BENCH_STEAL_RETRIES", "2")
+    )
+    # Round-15 (r14 verdict #3): cold-plan reps. minhash/simhash
+    # signature caches are plan-matched by the CacheManager ACROSS
+    # reps (the r14 driver tail logged "Asked to cache already cached
+    # data"), so min-of-reps silently took a warm-cache rep for the
+    # dedup family. Clearing the cache before every timed execution
+    # makes each measurement compute from the parquet inputs.
+    # Env-gated ONLY so the methodology delta itself is measurable by
+    # interleaved A/B (tools/exp_env_ab.py); default is the honest cold
+    # mode.
+    cold_cache = os.environ.get("SPARK_GRAFT_BENCH_COLDCACHE", "1") != "0"
     steal_pre = _read_steal_sec()
     t_timed0 = time.time()
     timings: dict[str, float] = {name: float("inf") for name in names}
+    steal_cps_reps: list[float | None] = []
+    steal_discarded = 0
+    steal_kept_contaminated = 0
     for _ in range(reps):
-        for name in names:
-            t0 = time.time()
-            _trigger(specs[name].fn(spark, sf_dir), name)
-            timings[name] = min(timings[name], time.time() - t0)
+        for attempt in range(steal_max_retries + 1):
+            pass_timings: dict[str, float] = {}
+            rep_steal0 = _read_steal_sec()
+            rep_t0 = time.time()
+            for name in names:
+                if cold_cache:
+                    spark.catalog.clearCache()
+                t0 = time.time()
+                _trigger(specs[name].fn(spark, sf_dir), name)
+                pass_timings[name] = time.time() - t0
+            rep_steal1 = _read_steal_sec()
+            rep_cps = None
+            if rep_steal0 is not None and rep_steal1 is not None:
+                rep_cps = round(
+                    (rep_steal1 - rep_steal0)
+                    / max(time.time() - rep_t0, 1e-9),
+                    3,
+                )
+            contaminated = rep_cps is not None and rep_cps > steal_thresh
+            if contaminated and attempt < steal_max_retries:
+                steal_discarded += 1
+                print(
+                    f"bench: rep pass DISCARDED (steal {rep_cps} vCPUs "
+                    f"avg > {steal_thresh}) — re-running",
+                    file=sys.stderr,
+                )
+                continue
+            if contaminated:
+                steal_kept_contaminated += 1
+                print(
+                    f"bench: KEPT CONTAMINATED rep pass (steal {rep_cps} "
+                    "vCPUs avg, retries exhausted)",
+                    file=sys.stderr,
+                )
+            steal_cps_reps.append(rep_cps)
+            for name, t in pass_timings.items():
+                timings[name] = min(timings[name], t)
+            break
     timings = {name: round(t, 3) for name, t in timings.items()}
 
     host["loadavg_post"] = _read_loadavg()
@@ -303,10 +376,19 @@ def main() -> None:
         # of vCPUs the hypervisor took while it ran. ~0 on a healthy
         # run; > 0.5 sustained means the timings are contaminated by a
         # steal wave (see _read_steal_sec) and should be re-run, not
-        # read as a regression.
+        # read as a regression. Since round 15 the rep loop above
+        # already discards-and-retries contaminated passes, so this
+        # whole-region average (which includes discarded passes) is the
+        # pessimistic bound; steal_cps_reps carries the per-KEPT-pass
+        # values the minima were actually taken from (r14 ADVICE: a
+        # whole-run average dilutes a single-rep wave by 1/reps).
         wall = max(time.time() - t_timed0, 1e-9)
         host["steal_sec"] = round(steal_post - steal_pre, 2)
         host["steal_cps"] = round((steal_post - steal_pre) / wall, 3)
+    host["steal_cps_reps"] = steal_cps_reps
+    host["steal_discarded_reps"] = steal_discarded
+    host["steal_kept_contaminated"] = steal_kept_contaminated
+    host["cold_cache_reps"] = cold_cache
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_sec",

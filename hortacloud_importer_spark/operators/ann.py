@@ -126,12 +126,16 @@ def lsh_topk(
     SQL-reproducible family (the oracle path); pass ``dim`` with it to
     bake the planes in as literals (no per-row md5).
     """
-    from hortacloud_importer_spark.catalog import spread
-
-    # spread before the signature projection: n_planes x dim fold
-    # work per row is the query's CPU cost, and a single-row-group
-    # fixture scan runs it on one core (guide §2.5; no-op at scale)
-    sig = spread(embeddings).withColumn(
+    # NOT spread (round-15 re-adjudication): round 14 added
+    # catalog.spread before the signature projection; the driver's
+    # PERF_r14 regressed sim_ann 0.81x and a clean interleaved toggle
+    # this round confirmed spread LOSES ~1.4x here even after
+    # normalizing by the untouched control — the probe+round-robin
+    # exchange costs more than the fold parallelism it buys on this
+    # small embedding table (the corpus is never shuffled by the query
+    # itself, so the spread exchange was the plan's only corpus-wide
+    # data movement).
+    sig = embeddings.withColumn(
         "sig", _signature(F.col("embedding"), n_planes, portable, dim)
     )
     q = sig.filter(F.col("vec_id") == query_vec_id).select(
@@ -199,9 +203,12 @@ def ivf_topk(
     semi-join membership filter. At 100 TB only nprobe/ncells of the
     corpus is scored — the classic IVF recall/cost dial.
     """
-    from hortacloud_importer_spark.catalog import spread
-
-    embeddings = spread(embeddings)
+    # NOT spread (round-15 re-adjudication — see lsh_topk above): the
+    # clean toggle read spread losing ~1.7x control-adjusted on
+    # sim_ann_ivf, and the driver's PERF_r14 regressed it; the centroid
+    # aggregate shuffles by (label, pos) right after, so the
+    # round-robin exchange bought nothing the aggregate's own exchange
+    # doesn't already provide.
     pos = embeddings.select("label", F.posexplode("embedding").alias("pos", "v"))
     centroids = (
         pos.groupBy("label", "pos")

@@ -126,6 +126,8 @@ def minhash_pairs(
     pair blowup on repetitive corpora; None preserves classic-LSH
     semantics exactly (the oracle-checked mode).
     """
+    import os
+
     rows = n_hashes // bands
     sig = minhash_signatures(shingles, n_hashes, portable=portable).cache()
     # Fill the cache EAGERLY: AQE materializes the hot-bucket subtree
@@ -149,49 +151,83 @@ def minhash_pairs(
         f"named_struct('band', {i}, 'bucket', {_bucket_sql(i)})"
         for i in range(bands)
     )
-    banded = sig.select(
-        "doc_id", "sig", F.expr(f"explode(array({structs}))").alias("bb")
-    ).select("doc_id", "sig", "bb.band", "bb.bucket")
-    if bucket_cap is not None:
-        banded = _drop_hot_buckets(banded, ["band", "bucket"], bucket_cap)
-    # Signatures ride THROUGH the band join and est is computed inline
-    # on the join output, so the one distinct over (doc_a, doc_b, est)
-    # is the whole tail of the query. The previous shape —
-    # distinct pair set, then TWO broadcast joins back onto sig to
-    # fetch sig_a/sig_b — cost two extra broadcast-exchange jobs and
-    # an extra aggregation exchange per run (round-14: per-job wall
-    # overhead dominates at bench scale, guide §2.4 remove exchanges).
-    # est is a deterministic function of the pair, so
-    # distinct(doc_a, doc_b, est) returns exactly the old rows; the
-    # exchange carries 8 more bytes per surviving pair and the
-    # band-duplicated copies of a pair recompute the (codegen) match
-    # sum instead of being deduped first — measured cheaper than the
-    # two join stages they replace.
-    a = banded.alias("a")
-    b = banded.alias("b")
     # flat codegen sum of the n_hashes equality bits, NOT
     # zip_with+filter+size: higher-order functions are CodegenFallback
     # (interpreted per row, closure allocation per element), and this
-    # projection runs once per band-join output row — the round-14
-    # profile put 17 s of the 32-core executor time in the interpreted
-    # form at sf0.1. Same integer count, same /n division ->
-    # bit-identical.
-    matches = " + ".join(
-        f"CAST(a.sig[{j}] = b.sig[{j}] AS INT)" for j in range(n_hashes)
-    )
-    est = F.expr(f"({matches}) / {float(n_hashes)!r}D")
-    # set-semantics output (no trailing global sort: the pair set is
-    # what matters, and a total order costs a range-partition job —
-    # callers that display order explicitly)
-    return (
+    # projection runs once per surviving pair — the round-14 profile
+    # put 17 s of the 32-core executor time in the interpreted form at
+    # sf0.1. Same integer count, same /n division -> bit-identical.
+    def _est(sig_a: str, sig_b: str) -> "F.Column":
+        matches = " + ".join(
+            f"CAST({sig_a}[{j}] = {sig_b}[{j}] AS INT)"
+            for j in range(n_hashes)
+        )
+        return F.expr(f"({matches}) / {float(n_hashes)!r}D")
+
+    if os.environ.get("SPARK_GRAFT_MINHASH_SIG_THROUGH", "0") != "0":
+        # Round-14 shape: signatures ride THROUGH the band join and est
+        # is computed inline on the join output, so the one distinct
+        # over (doc_a, doc_b, est) is the whole tail. Cheapest in
+        # per-job overhead (no join-back stage), but the LSH band
+        # exchange carries the full sig (n_hashes longs) on BOTH sides
+        # x bands copies — ~20x the payload of id-only banding. The
+        # r14 verdict flagged that as the wrong trade at 100 TB; kept
+        # behind this toggle as the recorded experiment (see
+        # OPTIMIZATION_r15.md for the measured A/B).
+        banded = sig.select(
+            "doc_id", "sig", F.expr(f"explode(array({structs}))").alias("bb")
+        ).select("doc_id", "sig", "bb.band", "bb.bucket")
+        if bucket_cap is not None:
+            banded = _drop_hot_buckets(banded, ["band", "bucket"], bucket_cap)
+        a = banded.alias("a")
+        b = banded.alias("b")
+        return (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                _est("a.sig", "b.sig").alias("est_jaccard"),
+            )
+            .distinct()
+        )
+
+    # Default (round-15, guide §2.3 "shuffle keys and metadata instead
+    # of payloads" / §8): the band exchange carries ONLY
+    # (band, bucket, doc_id) — ~24 B/doc/band — never the signature.
+    # The distinct pair set is computed on ids alone, then the sig
+    # table is joined back ONCE per side to score the survivors. At
+    # 100 TB the dominant LSH shuffle moves bands x 24 B per doc
+    # instead of bands x ~260 B x 2 sides, and the join-back shuffles
+    # the sig table once per side — bounded by docs, not by band
+    # fan-out. est is a deterministic function of the pair, so scoring
+    # after the distinct returns exactly the same rows.
+    banded = sig.select(
+        "doc_id", F.expr(f"explode(array({structs}))").alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
+    if bucket_cap is not None:
+        banded = _drop_hot_buckets(banded, ["band", "bucket"], bucket_cap)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            est.alias("est_jaccard"),
         )
         .distinct()
+    )
+    sig_a = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+    )
+    sig_b = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+    )
+    return (
+        pairs.join(sig_a, "doc_a")
+        .join(sig_b, "doc_b")
+        .select("doc_a", "doc_b", _est("sig_a", "sig_b").alias("est_jaccard"))
     )
 
 

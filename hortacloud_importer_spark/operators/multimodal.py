@@ -600,7 +600,20 @@ def _check_errors_mode(errors: str, allowed: tuple[str, ...]) -> None:
         raise ValueError(f"errors must be {'/'.join(allowed)}, got {errors!r}")
 
 
-def media_features(media: DataFrame, errors: str = "raise") -> DataFrame:
+_FEATURE_COL_TYPES = {
+    "n_bytes": "int",
+    "mean_intensity": "double",
+    "min_intensity": "int",
+    "max_intensity": "int",
+    "hist16": "array<long>",
+}
+
+
+def media_features(
+    media: DataFrame,
+    errors: str = "raise",
+    columns: "tuple[str, ...] | None" = None,
+) -> DataFrame:
     """Feature extraction: per-item intensity stats + 16-bin histogram,
     one Arrow batch at a time (J2's batched-kernel pattern).
 
@@ -617,11 +630,48 @@ def media_features(media: DataFrame, errors: str = "raise") -> DataFrame:
       features and the error text in an extra ``decode_error`` column
       (NULL for clean rows), so the pipeline can count/quarantine
       bad payloads downstream instead of losing them silently.
-    """
+
+    ``columns`` is the wanted-column pushdown (guide §4.1/§6): Spark
+    cannot prune through an opaque mapInPandas, so a caller that only
+    consumes ``n_bytes`` would otherwise still pay for the stats and
+    the 16-bin histogram of every payload. Passing a subset of the
+    feature columns narrows both the kernel's work and the Arrow
+    output schema; decode behavior (and the ``errors`` contract) is
+    unchanged, so a corrupt payload fails/skips/tags identically."""
     _check_errors_mode(errors, ("raise", "skip", "tag"))
-    schema = FEATURES_SCHEMA
+    if columns is None:
+        keep = tuple(_FEATURE_COL_TYPES)
+    else:
+        unknown = set(columns) - set(_FEATURE_COL_TYPES)
+        if unknown:
+            raise ValueError(f"unknown feature columns: {sorted(unknown)}")
+        # canonical order, so the schema is stable however the caller
+        # spells the subset
+        keep = tuple(c for c in _FEATURE_COL_TYPES if c in set(columns))
+    need_hist = "hist16" in keep
+    need_stats = bool(
+        {"mean_intensity", "min_intensity", "max_intensity"} & set(keep)
+    )
+    schema = "media_id long, " + ", ".join(
+        f"{c} {_FEATURE_COL_TYPES[c]}" for c in keep
+    )
     if errors == "tag":
-        schema = FEATURES_SCHEMA + ", decode_error string"
+        schema = schema + ", decode_error string"
+
+    _zero_feature = {
+        "n_bytes": 0,
+        "mean_intensity": 0.0,
+        "min_intensity": 0,
+        "max_intensity": 0,
+    }
+
+    def _zeros(n_bytes: int) -> dict:
+        rec = {c: _zero_feature.get(c) for c in keep}
+        if "hist16" in rec:
+            rec["hist16"] = np.zeros(16, dtype=np.int64)
+        if "n_bytes" in rec:
+            rec["n_bytes"] = n_bytes
+        return rec
 
     def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         catchable = _decode_error_types() if errors != "raise" else ()
@@ -636,39 +686,28 @@ def media_features(media: DataFrame, errors: str = "raise") -> DataFrame:
                         # feature — keep the true length so quarantine
                         # queries can size the corrupt set (matches
                         # media_probe's tag-mode accounting)
-                        out.append(
-                            {
-                                "media_id": int(row.media_id),
-                                "n_bytes": len(bytes(row.payload)),
-                                "mean_intensity": 0.0,
-                                "min_intensity": 0,
-                                "max_intensity": 0,
-                                "hist16": np.zeros(16, dtype=np.int64),
-                                "decode_error": (
-                                    f"{type(exc).__name__}: {exc}"
-                                ),
-                            }
-                        )
+                        rec = {"media_id": int(row.media_id)}
+                        rec.update(_zeros(len(bytes(row.payload))))
+                        rec["decode_error"] = f"{type(exc).__name__}: {exc}"
+                        out.append(rec)
                     continue
                 if arr.size == 0:
                     # a legal container with an empty data chunk:
                     # zero features, not a reduction crash
-                    out.append(
-                        {
-                            "media_id": int(row.media_id),
-                            "n_bytes": 0,
-                            "mean_intensity": 0.0,
-                            "min_intensity": 0,
-                            "max_intensity": 0,
-                            "hist16": np.zeros(16, dtype=np.int64),
-                        }
-                    )
+                    rec = {"media_id": int(row.media_id)}
+                    rec.update(_zeros(0))
+                    out.append(rec)
                     continue
+                rec = {"media_id": int(row.media_id)}
+                if "n_bytes" in keep:
+                    rec["n_bytes"] = int(arr.size)
+                if not need_hist:
+                    hist = None
                 # 16 bins. uint8 keeps fixed [0,256) bins (>> 4); wider
                 # samples bin over the item's own power-of-two dynamic
                 # range — a fixed >> 12 would put every pixel of a
                 # 12-bit (or dim 16-bit microscopy) item into bin 0.
-                if np.issubdtype(arr.dtype, np.floating):
+                elif np.issubdtype(arr.dtype, np.floating):
                     # float audio: 16 bins over [-1, 1); NaN -> bin 0
                     binned = np.clip(
                         np.nan_to_num((arr.ravel() + 1.0) * 8.0), 0, 15
@@ -698,24 +737,28 @@ def media_features(media: DataFrame, errors: str = "raise") -> DataFrame:
                             4, int(arr.max(initial=0)).bit_length() - 4
                         )
                     hist = np.bincount(arr.ravel() >> shift, minlength=16)
-                stat = arr
-                if np.issubdtype(arr.dtype, np.floating):
-                    stat = np.nan_to_num(arr)  # NaN -> 0 in the stats
-                out.append(
-                    {
-                        "media_id": int(row.media_id),
-                        "n_bytes": int(arr.size),
-                        "mean_intensity": float(stat.mean()),
-                        "min_intensity": int(stat.min()),
-                        "max_intensity": int(stat.max()),
-                        "hist16": hist.astype(np.int64),
-                    }
-                )
+                if need_hist:
+                    rec["hist16"] = hist.astype(np.int64)
+                if need_stats:
+                    stat = arr
+                    if np.issubdtype(arr.dtype, np.floating):
+                        stat = np.nan_to_num(arr)  # NaN -> 0 in the stats
+                    if "mean_intensity" in keep:
+                        rec["mean_intensity"] = float(stat.mean())
+                    if "min_intensity" in keep:
+                        rec["min_intensity"] = int(stat.min())
+                    if "max_intensity" in keep:
+                        rec["max_intensity"] = int(stat.max())
+                out.append(rec)
             if errors == "tag":
                 for rec in out:
                     rec.setdefault("decode_error", None)
             yield pd.DataFrame(out) if out else _empty_batch(schema)
 
+    # pass only the columns the kernel reads (guide §4.1): `kind` (and
+    # anything a caller tacked on) would otherwise ride the Arrow
+    # transfer for nothing
+    media = media.select("media_id", "format", "payload", "meta")
     return media.mapInPandas(feats, schema)
 
 

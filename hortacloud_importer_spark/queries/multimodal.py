@@ -55,8 +55,13 @@ FROM documents
 def mm_doc_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K4 payload plumbing, oracle-checked: text -> binary column ->
     mapInPandas decode -> per-item byte count must equal DuckDB's
-    octet_length."""
-    return media_features(_doc_media(spark, sf_dir)).select("media_id", "n_bytes")
+    octet_length. Only n_bytes is consumed, so the wanted-column
+    pushdown skips the stats + 16-bin histogram the opaque mapInPandas
+    would otherwise compute and ship for every payload (guide §4.1 —
+    Spark cannot prune through the Python boundary itself)."""
+    return media_features(
+        _doc_media(spark, sf_dir), columns=("n_bytes",)
+    ).select("media_id", "n_bytes")
 
 
 @register(

@@ -109,10 +109,14 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query vector (vec_id=0). The query row is broadcast — never a
     shuffle of the corpus; the top-k is a TakeOrdered-style global
     limit. At 100 TB this is the exact re-score stage of the ANN
-    pipeline below. The corpus side is spread (catalog.spread, no-op
-    at scale) so the per-row dot/norm folds run wide on the
-    single-row-group fixture scan (guide §2.5)."""
-    e = spread(table(spark, sf_dir, "embeddings"))
+    pipeline below. NOT spread (round-15 re-adjudication): round 14's
+    catalog.spread here read 0.98 in its own toggle, the driver's
+    PERF_r14 regressed sim_topk 0.77x, and this round's clean
+    interleaved toggle confirmed spread losing ~1.3x control-adjusted
+    — the round-robin exchange of the embedding table costs more than
+    the fold parallelism it buys in a plan whose only other data
+    movement is a broadcast and a TakeOrdered merge."""
+    e = table(spark, sf_dir, "embeddings")
     # qnorm folds once in the broadcast 1-row side, not once per corpus
     # row (same fold order -> bit-identical score)
     q = e.filter(F.col("vec_id") == _QUERY_VEC_ID).select(

@@ -73,21 +73,50 @@ def test_band_distance_pct():
     assert bench.band_distance_pct(lo * 0.99) == -1.0
 
 
-def test_steal_reader_parses_proc_stat():
+def test_steal_parser_fixtures():
     # Round-14: hypervisor steal waves (2-10 vCPUs for minutes) are
     # invisible to BOTH the idle gate (loadavg only counts our own
     # runnable tasks) and the calib spin (a pre-run sample misses a
     # wave that lands on the timed region). The capture must therefore
-    # carry the steal delta across the timed region. This pins the
-    # reader against the real /proc/stat on this host (field 9 of the
-    # aggregate cpu line, in clock ticks).
+    # carry the steal delta across the timed region. The parser is
+    # pinned against FIXED fixtures (r14 ADVICE: the old live-file test
+    # was non-hermetic and a no-op on hosts without a steal field):
+    # field 9 of the aggregate cpu line, in clock ticks.
+    line = "cpu 100 0 200 3000 40 0 5 250 0 0\n"
+    assert bench._parse_steal_sec(line, 100.0) == 2.5
+    # short line (pre-2.6.11 kernel: no steal field) -> None
+    assert bench._parse_steal_sec("cpu 100 0 200 3000\n", 100.0) is None
+    # not the aggregate cpu line -> None
+    assert (
+        bench._parse_steal_sec("cpu0 1 2 3 4 5 6 7 8 9 10\n", 100.0) is None
+    )
+    # empty / malformed -> None, never a raise
+    assert bench._parse_steal_sec("", 100.0) is None
+    assert bench._parse_steal_sec("cpu a b c d e f g h i\n", 100.0) is None
+
+
+def test_steal_reader_live_smoke():
+    # at most a smoke assertion against the live file (hermetic tests
+    # above carry the real pins)
     val = bench._read_steal_sec()
     assert val is None or (isinstance(val, float) and val >= 0.0)
-    with open("/proc/stat") as fh:
-        parts = fh.readline().split()
-    if parts[0] == "cpu" and len(parts) >= 9:
-        import os as _os
 
-        expected = float(parts[8]) / _os.sysconf("SC_CLK_TCK")
-        # cumulative counter: the reader's earlier sample is <= now
-        assert val is not None and val <= expected + 1.0
+
+def test_rep_loop_steal_defenses_present():
+    # r14 verdict #1/#3: the rep loop must (a) discard-and-retry a
+    # steal-contaminated pass (bounded, stamped in host.*) and
+    # (b) clear the SQL cache before each timed execution so
+    # min-of-reps measures cold plans. Pin the knobs and the stamps so
+    # a refactor can't silently drop the defenses.
+    src = open(_BENCH_PATH).read()
+    assert '"SPARK_GRAFT_BENCH_STEAL_CPS", "0.5"' in src
+    assert '"SPARK_GRAFT_BENCH_STEAL_RETRIES", "2"' in src
+    assert '"SPARK_GRAFT_BENCH_COLDCACHE", "1"' in src
+    assert "spark.catalog.clearCache()" in src
+    for stamp in (
+        "steal_cps_reps",
+        "steal_discarded_reps",
+        "steal_kept_contaminated",
+        "cold_cache_reps",
+    ):
+        assert f'host["{stamp}"]' in src

@@ -320,3 +320,47 @@ def test_media_probe_error_modes(spark):
     rows = {r["media_id"]: r for r in media_probe(media, errors="tag").collect()}
     assert rows[1]["probe_error"] is None and rows[1]["height"] == 4
     assert "BmpParseError" in rows[2]["probe_error"]
+
+
+def test_features_wanted_columns_pushdown(spark):
+    """columns=... narrows both the kernel's work and the Arrow output
+    schema (guide §4.1: Spark cannot prune through an opaque
+    mapInPandas). Values must match the full kernel's for the kept
+    columns; unknown names must fail loudly."""
+    media = synthetic_media(spark, 12, "image")
+    narrow = media_features(media, columns=("n_bytes",))
+    assert [f.name for f in narrow.schema.fields] == ["media_id", "n_bytes"]
+    got = {r["media_id"]: r["n_bytes"] for r in narrow.collect()}
+    full = {r["media_id"]: r["n_bytes"] for r in media_features(media).collect()}
+    assert got == full
+    # subset with stats: values identical to the full kernel
+    sub = media_features(media, columns=("max_intensity", "n_bytes"))
+    assert [f.name for f in sub.schema.fields] == [
+        "media_id",
+        "n_bytes",
+        "max_intensity",
+    ]
+    fr = {r["media_id"]: r for r in media_features(media).collect()}
+    for r in sub.collect():
+        assert r["n_bytes"] == fr[r["media_id"]]["n_bytes"]
+        assert r["max_intensity"] == fr[r["media_id"]]["max_intensity"]
+    with pytest.raises(ValueError, match="unknown feature columns"):
+        media_features(media, columns=("nope",))
+
+
+def test_features_wanted_columns_tag_mode(spark):
+    """The errors contract is orthogonal to the pushdown: a corrupt
+    payload still tags, with the kept columns zeroed (n_bytes = true
+    payload length) and decode_error populated."""
+    media = spark.createDataFrame(
+        [(1, "image", "gif", bytearray(b"GIF89a\x01"), (0, 0, 0, 0, 1))],
+        "media_id long, kind string, format string, payload binary, "
+        "meta struct<height:int,width:int,channels:int,"
+        "sample_rate:int,n_frames:int>",
+    )
+    rows = media_features(
+        media, errors="tag", columns=("n_bytes",)
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0]["n_bytes"] == 7
+    assert rows[0]["decode_error"] is not None

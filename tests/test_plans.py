@@ -571,3 +571,32 @@ def test_ingest_increment_exchanges_digests_only(spark, sf_dir):
     for chunk in plan.split("Exchange")[1:]:
         first_line = chunk.splitlines()[0]
         assert "text" not in first_line, first_line
+
+
+def test_minhash_band_exchange_carries_ids_not_signatures(spark, sf_dir):
+    """The round-15 LSH shuffle-payload contract (guide §2.3 / §8):
+    in the at-scale join shape (sort-merge on (band, bucket),
+    broadcast disabled, AQE off) the band exchanges move ONLY
+    (doc_id, band, bucket) — never the 32-long signature array, whose
+    band-duplicated copies would multiply the dominant LSH shuffle
+    ~20x at 100 TB. Signatures travel once per side through the
+    doc-keyed join-back exchanges instead."""
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = _plan(spark, "dedup_minhash", sf_dir)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    band_exchanges = [
+        chunk.splitlines()[0]
+        for chunk in plan.split("Exchange")[1:]
+        if chunk.splitlines()[0].lstrip().startswith(
+            "hashpartitioning(band"
+        )
+    ]
+    assert band_exchanges, plan  # the LSH join must still shuffle bands
+    for first_line in band_exchanges:
+        assert "sig" not in first_line, first_line

@@ -63,23 +63,40 @@ def main() -> None:
     reps = int(sys.argv[3])
     names = sys.argv[4:]
     mins: dict[str, dict[str, float]] = {"a": {}, "b": {}}
+    steal_per_run: dict[str, list] = {"a": [], "b": []}
+    discarded = 0
+    kept_contaminated = 0
     for rep in range(reps):
         for side, env in (("a", env_a), ("b", env_b)):
             # Steal-discard (round-14: hypervisor steal waves poison a
             # side's minima; bench.py emits the run's own steal_cps):
             # retry a contaminated rep up to twice, then keep it —
-            # per-query minima absorb one bad rep.
+            # per-query minima absorb one bad rep. A kept-contaminated
+            # rep is labeled loudly AND recorded in the JSON (r14
+            # ADVICE: the artifact must self-adjudicate like
+            # BENCH_AB.json does).
             for attempt in range(3):
                 spin = calib_spin()
                 res = run_subset(env, names)
                 steal = res.get("host", {}).get("steal_cps")
-                if steal is None or steal <= 0.5 or attempt == 2:
+                if steal is None or steal <= 0.5:
                     break
+                if attempt == 2:
+                    kept_contaminated += 1
+                    print(
+                        f"rep {rep + 1}/{reps} side {side} KEPT "
+                        f"CONTAMINATED (steal {steal} cps, retries "
+                        "exhausted)",
+                        file=sys.stderr,
+                    )
+                    break
+                discarded += 1
                 print(
                     f"rep {rep + 1}/{reps} side {side} DISCARDED "
                     f"(steal {steal} cps) — re-running",
                     file=sys.stderr,
                 )
+            steal_per_run[side].append(steal)
             print(
                 f"rep {rep + 1}/{reps} side {side} env={env} "
                 f"calib={spin} total={res['value']} steal={steal}",
@@ -100,7 +117,18 @@ def main() -> None:
                 "b_over_a": round(b / a, 3) if a else None,
             }
         )
-    print(json.dumps({"env_a": env_a, "env_b": env_b, "per_query": rows}))
+    print(
+        json.dumps(
+            {
+                "env_a": env_a,
+                "env_b": env_b,
+                "per_query": rows,
+                "steal_cps_per_run": steal_per_run,
+                "steal_discarded_reps": discarded,
+                "steal_kept_contaminated": kept_contaminated,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":
