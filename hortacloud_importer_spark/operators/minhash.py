@@ -129,16 +129,29 @@ def minhash_pairs(
     import os
 
     rows = n_hashes // bands
-    sig = minhash_signatures(shingles, n_hashes, portable=portable).cache()
-    # Fill the cache EAGERLY: AQE materializes the hot-bucket subtree
-    # and the main band-join subtree as concurrently submitted jobs,
-    # and a lazy cache lets both race through the un-filled
-    # InMemoryRelation — the signature aggregate (the query's dominant
-    # compute) ran twice in the round-14 profile (two concurrent
-    # ~1.4 s jobs, each a full scan + 32-MIN aggregate). One count()
-    # serializes the fill; measured 5.3 -> 3.3 s cold at sf0.1, and
-    # on warm reps the count is a cache-read no-op.
-    sig.count()
+    sig = minhash_signatures(shingles, n_hashes, portable=portable)
+    # Materialize the signature table ONCE for its 3-4 consumers
+    # (banding, hot-bucket filter, both join-back sides). Two concerns
+    # both demand eagerness: AQE submits the consumer subtrees as
+    # concurrent jobs, and a lazy cache lets them race through the
+    # un-filled InMemoryRelation — the signature aggregate (the
+    # query's dominant compute) ran TWICE in the round-14 profile.
+    # MEASURED AND KEPT AT cache()+count() (round-15, guide §1.1): a
+    # localCheckpoint() variant (env SPARK_GRAFT_MINHASH_CKPT=1) was
+    # tried to collapse the per-consumer plan weight — at sf0.1 the
+    # query's wall is ~95% driver latency (2.5 s wall vs 0.11
+    # executor-s) — but two 5-rep interleaved toggles read
+    # dedup_minhash ~0.90 / dedup_approx ~1.14 with the untouched
+    # control itself swinging ~2x: no clean win, and the checkpointed
+    # RDD blocks' ASYNC ContextCleaner teardown lands in the NEXT
+    # timed query's window (the control ran right after and slowed in
+    # every rep). The checkpoint path stays behind the toggle as the
+    # recorded experiment.
+    if os.environ.get("SPARK_GRAFT_MINHASH_CKPT", "0") == "1":
+        sig = sig.localCheckpoint()
+    else:
+        sig = sig.cache()
+        sig.count()
 
     def _bucket_sql(i: int) -> str:
         cols = [f"sig[{i * rows + r}]" for r in range(rows)]
@@ -299,11 +312,19 @@ def simhash_pairs(
     that enforces the budget satisfies its clustering from the join's
     partitioning — the full pair stream is ranked and cut WITHOUT
     ever being exchanged (plan-asserted in tests/test_plans.py)."""
+    import os
+
     sig = simhash_signatures(tokens, portable=portable).withColumn(
         "band", F.shiftrightunsigned("simhash", 48)
-    ).cache()
-    # eager fill — same concurrent-subtree race as minhash_pairs above
-    sig.count()
+    )
+    # one eager materialization for both join sides + the hot filter —
+    # same rationale (and the same rejected-checkpoint toggle) as
+    # minhash_pairs above
+    if os.environ.get("SPARK_GRAFT_MINHASH_CKPT", "0") == "1":
+        sig = sig.localCheckpoint()
+    else:
+        sig = sig.cache()
+        sig.count()
     if bucket_cap is not None:
         sig = _drop_hot_buckets(sig, ["band"], bucket_cap)
     a = sig.select(

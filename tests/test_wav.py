@@ -172,6 +172,10 @@ def test_truncated_and_degenerate_payloads():
     feats_fn = None
 
     class _Probe:
+        def select(self, *cols):
+            # media_features narrows its input columns (guide §4.1)
+            return self
+
         def mapInPandas(self, fn, schema):
             nonlocal feats_fn
             feats_fn = fn
