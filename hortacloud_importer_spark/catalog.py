@@ -116,7 +116,14 @@ def spread(df: DataFrame) -> DataFrame:
     out = df.repartition(target) if cur * 2 <= target else df
     # memoized on object identity (catalog tables are per-session
     # singletons, so repeat invocations skip the probe); the input ref
-    # is kept so the id can never be recycled
+    # is kept so the id can never be recycled. Bounded (r14 verdict
+    # minor #5): a long-lived service spreading ad-hoc frames would
+    # otherwise grow both structures forever — at the cap the memo is
+    # reset (the probe is one py4j call, so a rare re-probe is cheap;
+    # correctness is unaffected because the memo is a pure cache).
+    if len(_SPREAD_MEMO) >= _SPREAD_MEMO_MAX:
+        _SPREAD_MEMO.clear()
+        _SPREAD_KEEP.clear()
     _SPREAD_MEMO[memo_key] = out
     _SPREAD_KEEP.append(df)
     return out
@@ -124,6 +131,7 @@ def spread(df: DataFrame) -> DataFrame:
 
 _SPREAD_MEMO: dict[tuple[str, int], DataFrame] = {}
 _SPREAD_KEEP: list[DataFrame] = []
+_SPREAD_MEMO_MAX = 512
 
 
 class SchemaMismatch(ValueError):
